@@ -1,13 +1,383 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.TextFunctions
+import graft.operators._
+import graft.pipeline.StarPipeline
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the north-star LLM-pipeline operators), each with
+  * DuckDB-equivalent oracle SQL where SQL-expressible.
+  *
+  * Cross-engine exactness conventions (so hash-compares are bit-stable):
+  *  - money aggregates go through `CAST(x AS DECIMAL(18,2))` then SUM (exact
+  *    decimal arithmetic in both engines) and a final cast to DOUBLE;
+  *  - vector dot products fold strictly left-to-right in DOUBLE on both
+  *    sides (Spark `aggregate` ≡ DuckDB `list_reduce`);
+  *  - every rank/row_number window carries a unique tie-break column;
+  *  - derived ratios are only `round`ed where the value set provably cannot
+  *    sit at a rounding boundary.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the enriched star fact (orders ⋈ broadcast dims) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    StarPipeline.factEnriched(spark, "/root/testdata/sf0.001")
+
+  private val dec = DecimalType(18, 2)
+  private def decSum(c: Column): Column = sum(c.cast(dec)).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference parity: scans, projections, dedup, joins (SURVEY §2) ----
+    "q_dim_customer" -> ((s, d) =>
+      DimExtract.distinctRows(Tables.customer(s, d), "c_custkey", "c_name", "c_mktsegment")),
+
+    "q_time_dim" -> ((s, d) => TimeDim(Tables.events(s, d), "ts")),
+
+    "q_anti_join_orders" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val cutoff = java.sql.Timestamp.valueOf("1999-01-01 00:00:00")
+      val existing = orders.filter(col("o_orderdate") < lit(cutoff))
+      AntiJoinInsert.newRows(orders, existing, Seq("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    }),
+
+    "q_latest_per_user" -> ((s, d) =>
+      LatestPerKey(Tables.events(s, d), Seq("user_id"), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("ts").as("last_ts"),
+          col("event_type").as("last_type"), col("value").as("last_value"))),
+
+    "q_fact_enrich" -> ((s, d) => {
+      val enriched = FactEnrich.apply(
+        FactEnrich.apply(Tables.lineitem(s, d), Tables.part(s, d),
+          col("l_partkey") === col("p_partkey")),
+        Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      enriched.select("l_orderkey", "l_linenumber", "p_brand", "p_type", "s_name",
+        "l_extendedprice")
+    }),
+
+    "q_star_agg" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("revenue"))),
+
+    "q1_pricing" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-09-01 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          decSum(col("l_quantity")).as("sum_qty"),
+          decSum(col("l_extendedprice")).as("sum_base_price"),
+          // decimal × decimal is exact in both engines; double→decimal cast of
+          // the double PRODUCT is not (half-cent ties round differently)
+          sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+
+    "q_surrogate_dense" -> ((s, d) =>
+      SurrogateKey.dense(Tables.orders(s, d).select("o_orderkey"), "sk",
+        Seq(col("o_orderkey")))),
+
+    "q_topk_orders" -> ((s, d) =>
+      TopKPerGroup(Tables.orders(s, d), Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")),
+
+    "q_sessionize" -> ((s, d) =>
+      Sessionize(Tables.events(s, d), "user_id", "ts", "event_id", 1800000000L)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"),
+          decSum(col("value")).as("total_value"))),
+
+    "q_running_rev" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d).select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_extendedprice").cast(dec)).over(w).cast("double").as("running_rev"))
+    }),
+
+    "q_distinct_stats" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"))),
+
+    "q_json_props" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
+
+    // ---- LLM-pipeline: deduplication ----
+    "q_dedup_exact" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      Dedup.exact(li.unionAll(li))
+    }),
+
+    "q_dedup_fingerprint" -> ((s, d) =>
+      Dedup.fingerprintGroups(Tables.documents(s, d), "doc_id", "text")),
+
+    "q_dedup_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", n = 3, threshold = 0.7)),
+
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.7)),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text")),
+
+    // ---- LLM-pipeline: similarity search ----
+    "q_ann_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
+    }),
+
+    "q_embed_dup_pairs" -> ((s, d) =>
+      Similarity.cosineDupPairs(Tables.embeddings(s, d), threshold = 0.42)),
+
+    "q_ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5,
+        everyNthCentroid = 50, nProbe = 3)
+    }),
+
+    // ---- LLM-pipeline: text analysis ----
+    "q_text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d))),
+    "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "q_token_classes" -> ((s, d) => TextAnalysis.tokenClasses(Tables.documents(s, d))),
+
+    // ---- LLM-pipeline: multimodal columns ----
+    "q_multimodal_meta" -> ((s, d) =>
+      Multimodal.payloadMeta(Multimodal.synthesize(Tables.documents(s, d), "doc_id", "text"))),
+
+    // ---- approximate sketches (no SQL oracle: HLL internals differ) ----
+    "q_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("apx_part"),
+          approx_count_distinct(col("l_orderkey")).as("apx_order"))))
+
+  // ---------------------------------------------------------------------------
+
+  /** Shared oracle-SQL fragments (DuckDB dialect). */
+  private val tokensSql = "regexp_extract_all(text, '\\S+')"
+
+  /** Shingle sets per doc: (doc_id, s) distinct word-3-grams. */
+  private val shingleCte =
+    s"""toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+       |idx AS (SELECT doc_id, ts, unnest(range(1, len(ts)-1)) AS i FROM toks),
+       |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s FROM idx),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** Exact shingle-Jaccard pairs ≥ 0.7 — oracle for BOTH the exact-pairs
+    * query and the MinHash-LSH query (LSH recall at J≥0.7 with 16 bands × 4
+    * rows is 1 - (1-j^4)^16 ≈ 1 for the fixture pairs, and the exact verify
+    * step removes every false positive, so the outputs coincide).
+    */
+  private val jaccardOracle =
+    s"""WITH $shingleCte,
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT doc_a, doc_b,
+       |         round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+       |  FROM inter
+       |  JOIN sz sa ON sa.doc_id = doc_a
+       |  JOIN sz sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.7""".stripMargin
+
+  /** Left-fold double dot product — bit-equal to Spark's `aggregate(zip_with)`. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dim_customer" ->
+      "SELECT DISTINCT c_custkey, c_name, c_mktsegment FROM customer",
+
+    "q_time_dim" ->
+      """SELECT DISTINCT ts AS start_time,
+        |CAST(hour(ts) AS INT) AS hour, CAST(day(ts) AS INT) AS day,
+        |CAST(week(ts) AS INT) AS week, CAST(month(ts) AS INT) AS month,
+        |CAST(year(ts) AS INT) AS year, CAST(isodow(ts) - 1 AS INT) AS weekday
+        |FROM events""".stripMargin,
+
+    "q_anti_join_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders e
+        |  WHERE e.o_orderkey = o.o_orderkey
+        |    AND e.o_orderdate < TIMESTAMP '1999-01-01 00:00:00')""".stripMargin,
+
+    "q_latest_per_user" ->
+      """SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin,
+
+    "q_fact_enrich" ->
+      """SELECT l_orderkey, l_linenumber, p_brand, p_type, s_name, l_extendedprice
+        |FROM lineitem
+        |LEFT JOIN part ON l_partkey = p_partkey
+        |LEFT JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+
+    "q_star_agg" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_surrogate_dense" ->
+      "SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS sk FROM orders",
+
+    "q_topk_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM x)
+        |SELECT user_id, session_seq, count(*) AS n_events, min(ts) AS session_start,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
+
+    "q_running_rev" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+        |  PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+        |FROM lineitem""".stripMargin,
+
+    "q_distinct_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |count(DISTINCT l_partkey) AS nd_part, count(DISTINCT l_suppkey) AS nd_supp
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_dedup_exact" ->
+      "SELECT DISTINCT * FROM (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)",
+
+    "q_dedup_fingerprint" ->
+      s"""SELECT md5(array_to_string(list_sort(list_distinct($tokensSql)), ' ')) AS fingerprint,
+         |min(doc_id) AS keep_id, count(*) AS n_docs
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_jaccard" -> jaccardOracle,
+    "q_dedup_minhash" -> jaccardOracle,
+
+    "q_dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         |tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+         |tc AS (SELECT doc_id, t, count(*) AS cnt, md5(t) AS h FROM tok GROUP BY doc_id, t),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |    CASE WHEN SUM(cnt * (CASE WHEN ((strpos('0123456789abcdef', substr(h, (j // 4) + 1, 1)) - 1)
+         |                                    & (1 << (3 - (j % 4)))) > 0
+         |                              THEN 1 ELSE -1 END)) >= 0
+         |         THEN '1' ELSE '0' END AS bit
+         |  FROM tc, (SELECT unnest(range(0, 64)) AS j) js
+         |  GROUP BY doc_id, j)
+         |SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash
+         |FROM bits GROUP BY doc_id""".stripMargin,
+
+    "q_ann_topk" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q_id, n.vec_id AS n_id,
+         |         ${dotSql("qv", "n.embedding")} / (qn * n.nrm) AS c
+         |  FROM n CROSS JOIN q WHERE n.vec_id <> q_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, c,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS INT) AS rk
+         |  FROM scored)
+         |SELECT q_id, n_id, round(c, 6) AS cos, rk FROM ranked WHERE rk <= 5""".stripMargin,
+
+    "q_embed_dup_pairs" ->
+      s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS c
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, round(c, 6) AS cos FROM p WHERE c >= 0.42""".stripMargin,
+
+    "q_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS ts, length(text) AS nc FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(ts) AS INT) AS n_tokens,
+         |  CAST(len(list_distinct(ts)) AS INT) AS n_uniq,
+         |  CAST(nc AS INT) AS n_chars_live,
+         |  round(CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts), 6) AS ttr,
+         |  round(CAST(nc - (len(ts) - 1) AS DOUBLE) / len(ts), 6) AS avg_token_len,
+         |  round(least(CAST(len(ts) AS DOUBLE) / 64, 1.0) *
+         |        (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)), 6) AS quality
+         |FROM t""".stripMargin,
+
+    "q_lang_id" -> {
+      def hits(langTokens: Seq[String]): String =
+        s"CAST(len(list_filter($tokensSql, x -> x IN (${langTokens.map("'" + _ + "'").mkString(", ")}))) AS INT)"
+      val en = hits(TextFunctions.markers("en")); val es = hits(TextFunctions.markers("es"))
+      val fr = hits(TextFunctions.markers("fr")); val de = hits(TextFunctions.markers("de"))
+      s"""SELECT doc_id, $en AS en_hits, $es AS es_hits, $fr AS fr_hits, $de AS de_hits,
+         |CASE WHEN greatest($en, $es, $fr, $de) = 0 THEN 'und'
+         |     WHEN $en = greatest($en, $es, $fr, $de) THEN 'en'
+         |     WHEN $es = greatest($en, $es, $fr, $de) THEN 'es'
+         |     WHEN $fr = greatest($en, $es, $fr, $de) THEN 'fr'
+         |     ELSE 'de' END AS pred_lang
+         |FROM documents""".stripMargin
+    },
+
+    "q_token_classes" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INT) AS n_alpha,
+        |CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_num,
+        |CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INT) AS n_other
+        |FROM documents""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |CAST(strlen(text) AS INT) AS n_bytes,
+        |md5(text) AS payload_md5,
+        |sha256(text) AS payload_sha256
+        |FROM documents""".stripMargin)
 }

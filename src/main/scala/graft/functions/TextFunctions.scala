@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the LLM-pipeline operators (tokenize, shingle,
+  * fingerprint, simhash). All pure Catalyst expressions — codegen'd, no UDFs,
+  * so they stay inside whole-stage codegen on the 100 TB scan path.
+  *
+  * Everything here is engine-portable by construction: the same semantics are
+  * expressible in ANSI-ish SQL (see SparkEntry.oracleSql), which is what
+  * makes these operators oracle-checkable against DuckDB.
+  */
+object TextFunctions {
+
+  /** Whitespace-delimited tokens. `\\S+` extraction (rather than split on
+    * `\\s+`) sidesteps leading/trailing-empty-string edge cases identically
+    * across engines.
+    */
+  def tokens(text: Column): Column = regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  /** Word n-gram shingles: `["a b c", "b c d", ...]`. Documents shorter than
+    * n yield an empty array.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(ts) - (n - 1), lit(0))),
+      i => concat_ws(" ", slice(ts, i, lit(n))))
+  }
+
+  /** Bag-of-words fingerprint: md5 over the sorted distinct token set.
+    * Documents that are permutations of the same vocabulary collide — a
+    * cheap, exact, order-insensitive dedup key (one hash per doc, groupBy
+    * fingerprint = one shuffle of 16-byte keys at any scale).
+    */
+  def bagFingerprint(text: Column): Column =
+    md5(to_binary(array_join(array_sort(array_distinct(tokens(text))), " "), lit("utf-8")))
+
+  /** 64-bit SimHash rendered as a 64-char '0'/'1' string (MSB first).
+    *
+    * Per-token basis hash = md5 hex (engine-portable; xxhash64 would be
+    * Spark-only). Bit j of the signature is the sign of
+    * sum_tokens(count * (2*bit_j(md5(token)) - 1)). Near-identical token
+    * bags ⇒ small Hamming distance. Computed as pure array expressions —
+    * one pass over tokens per doc, no explode, no shuffle.
+    */
+  def simhash64(text: Column): Column = {
+    val toks = tokens(text)
+    // (md5-hex, occurrence count) per DISTINCT token — md5 computed once per
+    // token, not once per bit.
+    val entries = transform(array_distinct(toks), tok =>
+      struct(
+        md5(to_binary(tok, lit("utf-8"))).as("h"),
+        size(filter(toks, x => x === tok)).cast("long").as("cnt")))
+    // Bit j of the signature = sign of sum over tokens of cnt * (+1/-1),
+    // where +1 iff bit j of the token's md5 is set (MSB-first over the hex).
+    val bits = transform(sequence(lit(0), lit(63)), j => {
+      val pos = (floor(j / 4) + 1).cast("int") // 1-based hex-digit index
+      // 1 << (3 - j%4), MSB-first within the hex digit (shiftleft needs a
+      // static shift amount, so index a constant array instead)
+      val mask = element_at(array(lit(8), lit(4), lit(2), lit(1)),
+        (pmod(j, lit(4)) + 1).cast("int"))
+      val contrib = aggregate(entries, lit(0L), (acc, e) => {
+        val nib = conv(e.getField("h").substr(pos, lit(1)), 16, 10).cast("int")
+        acc + e.getField("cnt") * when(nib.bitwiseAND(mask) > 0, 1L).otherwise(-1L)
+      })
+      when(contrib >= 0, lit("1")).otherwise(lit("0"))
+    })
+    array_join(bits, "")
+  }
+
+  /** Language-ID by stopword-marker voting. Returns the struct
+    * (en, es, fr, de, pred) where pred is the argmax language with a fixed
+    * tie order (en > es > fr > de; 'und' when all zero). A deliberately
+    * simple n-gram-free heuristic: count marker-token occurrences.
+    */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "los", "las", "una", "es"),
+    "fr" -> Seq("le", "les", "des", "une", "est", "et"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"))
+
+  def markerHits(text: Column, lang: String): Column =
+    size(filter(tokens(text), t => t.isInCollection(markers(lang))))
+
+  def predictedLang(text: Column): Column = {
+    val en = markerHits(text, "en"); val es = markerHits(text, "es")
+    val fr = markerHits(text, "fr"); val de = markerHits(text, "de")
+    val best = greatest(en, es, fr, de)
+    when(best === 0, "und")
+      .when(en === best, "en").when(es === best, "es")
+      .when(fr === best, "fr").otherwise("de")
+  }
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column (north-star similarity-search operators).
+  *
+  * Two paths:
+  *  - `bruteForceTopK` — the exactness baseline: broadcast the (small) query
+  *    set against the full corpus; each executor scans its corpus partitions
+  *    once, no corpus shuffle. Cost: |Q| × |corpus| dot products,
+  *    distributed. At 100 TB this is the right shape when |Q| is bounded
+  *    (the corpus never moves; only per-query top-k rows — k·|Q| per
+  *    partition, thanks to WindowGroupLimit — cross the wire).
+  *  - `ivfTopK` — the scale path for large |Q|: partition the corpus into
+  *    IVF cells (nearest of `nCells` deterministic seed centroids), probe
+  *    only the `nProbe` cells nearest each query. Cuts the scan factor to
+  *    nProbe/nCells at some recall cost (measured in the spec against
+  *    brute force).
+  *
+  * Norms are computed once per vector BEFORE pairing — never per pair.
+  */
+object Similarity {
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", norm2(col("embedding")))
+
+  /** Exact top-k neighbors for each query vector (self-match excluded).
+    * Output: (q_id, n_id, cos) with rank ≤ k per query, ordered
+    * deterministically (cos desc, n_id asc).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = withNorm(corpus).select(col("vec_id").as("n_id"),
+      col("embedding").as("nv"), col("nrm").as("nn"))
+    val q = withNorm(queries).select(col("vec_id").as("q_id"),
+      col("embedding").as("qv"), col("nrm").as("qn"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosinePrenormed(dot(col("qv"), col("nv")), col("qn"), col("nn")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos"), col("rk"))
+  }
+
+  /** All pairs with cosine ≥ threshold — embedding-level near-dup detection.
+    * Blocked by IVF cell (both vectors must land in the same cell) to avoid
+    * the full n² cross join; with `nCells=1` it degrades to exact all-pairs.
+    */
+  def cosineDupPairs(corpus: DataFrame, threshold: Double, everyNthCentroid: Int = 0): DataFrame = {
+    val base = withNorm(corpus).select(col("vec_id"), col("embedding"), col("nrm"))
+    val paired =
+      if (everyNthCentroid <= 0) {
+        // Unblocked all-pairs: broadcast one side so the large side streams in
+        // place — NEVER a join on a constant key (that would funnel every row
+        // through a single shuffle partition).
+        val a = base.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
+          col("nrm").as("na"))
+        val b = base.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
+          col("nrm").as("nb"))
+        a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      } else {
+        // IVF-cell blocking: only same-cell pairs are enumerated; the join
+        // shuffles on the cell id, so pair generation distributes.
+        val blocked = assignCells(base, centroids(base, everyNthCentroid))
+        val a = blocked.select(col("cell"), col("vec_id").as("vec_a"),
+          col("embedding").as("va"), col("nrm").as("na"))
+        val b = blocked.select(col("cell"), col("vec_id").as("vec_b"),
+          col("embedding").as("vb"), col("nrm").as("nb"))
+        a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
+      }
+    paired
+      .withColumn("cos", cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Deterministic seed centroids: every `everyNth`-th vector by id. A
+    * stand-in for trained k-means centers that keeps the whole pipeline
+    * reproducible (no iterative fitting, no RNG).
+    */
+  def centroids(corpus: DataFrame, everyNth: Int): DataFrame =
+    withNorm(corpus).filter(col("vec_id") % everyNth === 0)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"), col("nrm").as("cn"))
+
+  /** Assign each corpus vector to its nearest centroid (max cosine; ties →
+    * lowest cell id). Centroids are broadcast; one window per vector.
+    */
+  def assignCells(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = corpus.join(broadcast(cents))
+      .withColumn("ccos", cosinePrenormed(dot(col("embedding"), col("cv")), col("nrm"), col("cn")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
+    scored.withColumn("crk", row_number().over(w)).filter(col("crk") === 1)
+      .drop("cv", "cn", "ccos", "crk")
+  }
+
+  /** IVF-style ANN: probe the `nProbe` nearest cells per query, exact top-k
+    * within the probed cells.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              everyNthCentroid: Int, nProbe: Int): DataFrame = {
+    val base = withNorm(corpus)
+    val cents = centroids(base, everyNthCentroid)
+    val cells = assignCells(base, cents)
+
+    val q = withNorm(queries).select(col("vec_id").as("q_id"),
+      col("embedding").as("qv"), col("nrm").as("qn"))
+    val qScored = q.join(broadcast(cents))
+      .withColumn("ccos", cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+    val qw = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
+    val probes = qScored.withColumn("crk", row_number().over(qw))
+      .filter(col("crk") <= nProbe).select(col("q_id"), col("qv"), col("qn"), col("cell"))
+
+    val scored = cells
+      .select(col("cell"), col("vec_id").as("n_id"), col("embedding").as("nv"), col("nrm").as("nn"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosinePrenormed(dot(col("qv"), col("nv")), col("qn"), col("nn")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos"), col("rk"))
+  }
+}

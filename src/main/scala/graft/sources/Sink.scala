@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Parquet sinks + existing-target reads (reference operators S4-S8).
+  *
+  * The reference wraps every write in `try: error-if-exists / except: append`
+  * (`etl.py:124-127` et al.) and every read-back in a `try/except` that
+  * manufactures an empty frame by filtering on an always-false predicate
+  * (`etl.py:108-112` — operator S8/P4). Both collapse here into explicit,
+  * exception-free forms: a single `SaveMode.Append` write, and an existence
+  * check + schema-correct empty relation.
+  */
+object Sink {
+
+  /** Partitioned parquet append (S5-S7; `partitionBy` keys mirror
+    * `etl.py:125,233,291`). Hive-style directory partitioning is the layout
+    * that gives partition-pruned reads at 100 TB.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  def write(df: DataFrame, path: String): Unit = writePartitioned(df, path, Nil)
+
+  /** Read an existing target table, or return an EMPTY frame with the given
+    * schema when the target has never been written (S8, `etl.py:108-112`).
+    * Unlike the reference this never catches unrelated failures (the bare
+    * `except` at `etl.py:138-141` hides a `NameError` forever — SURVEY §7.4.2).
+    */
+  def readOrEmpty(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hadoopPath)) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+}
