@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup restores the original row set") {
+    val li = Tables.lineitem(spark, sf)
+    assert(Dedup.exact(li.unionAll(li)).count() === li.count())
+  }
+
+  test("fingerprint groups collapse token permutations") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha"), // permutation of 1 → same fingerprint
+      (3L, "delta epsilon")
+    ).toDF("doc_id", "text")
+    val out = Dedup.fingerprintGroups(docs, "doc_id", "text").collect()
+    assert(out.length === 2)
+    val permGroup = out.find(_.getAs[Long]("n_docs") == 2L).get
+    assert(permGroup.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("jaccardPairs finds planted near-dups and nothing else (fixtures)") {
+    val pairs = Dedup.jaccardPairs(Tables.documents(spark, sf), "doc_id", "text")
+    val js = pairs.select("jaccard").as[Double].collect()
+    assert(js.nonEmpty, "fixtures contain planted near-dup pairs")
+    assert(js.forall(_ >= 0.7))
+  }
+
+  test("minhash LSH pairs equal exact jaccard pairs on fixtures") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh === exact)
+  }
+
+  test("simhash: near-identical docs get close signatures, distinct docs do not") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra"), // near-dup of 1
+      (3L, "completely different vocabulary entirely unrelated words here")
+    ).toDF("doc_id", "text")
+    val sig = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
+    def hamming(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    assert(sig.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    assert(hamming(sig(1L), sig(2L)) < hamming(sig(1L), sig(3L)))
+    assert(hamming(sig(1L), sig(2L)) <= 8)
+  }
+
+  test("simhash is deterministic") {
+    val docs = Tables.documents(spark, sf).limit(20)
+    val a = Dedup.simhashSignatures(docs, "doc_id", "text").orderBy("doc_id").collect()
+    val b = Dedup.simhashSignatures(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(a === b)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("bruteForceTopK returns k ranked neighbors per query, no self-match") {
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 5).collect()
+    assert(out.length === 15)
+    assert(out.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("n_id")))
+    // ranks are 1..5 per query and cosine is non-increasing within a query
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq === (1 to 5))
+      val cos = sorted.map(_.getAs[Double]("cos")).toSeq
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("bruteForceTopK agrees with a driver-side exact computation") {
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q0 = vecs(0L)
+    val expected = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cosine(q0, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    val got = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 5)
+      .orderBy("rk").select("n_id").as[Long].collect().toSeq
+    assert(got === expected)
+  }
+
+  test("ivfTopK achieves reasonable recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, queries, k = 5, everyNthCentroid = 50, nProbe = 3)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall too low even for random embeddings")
+    assert(approx.size === exact.size)
+  }
+
+  test("cosineDupPairs blocked by cells is a subset of unblocked pairs") {
+    val all = Similarity.cosineDupPairs(emb, threshold = 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val blocked = Similarity.cosineDupPairs(emb, threshold = 0.4, everyNthCentroid = 50)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(blocked.subsetOf(all))
+    assert(all.nonEmpty)
+  }
+}

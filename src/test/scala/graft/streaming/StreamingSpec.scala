@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+                          mode: String = "append"): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  test("dedupWithinWatermark drops duplicate keys inside the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = in.toDF().toDF("event_id", "ts")
+    in.addData(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05")), // dup within watermark
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:10")))
+    val out = runToMemory(
+      Streaming.dedupWithinWatermark(df, "ts", "10 minutes", Seq("event_id")), "dedup_out")
+    assert(out.select("event_id").as[Long].collect().sorted === Array(1L, 2L))
+  }
+
+  test("windowedCounts aggregates tumbling event-time windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    in.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "click", 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:07:00"), "view", 5.0))
+    // advance the watermark far enough to close both windows
+    in.addData((java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), "late", 0.0))
+    val out = runToMemory(
+      Streaming.windowedCounts(df, "ts", "1 minute", "5 minutes", Seq("event_type")),
+      "win_out")
+    val clicks = out.filter(col("event_type") === "click").head()
+    assert(clicks.getAs[Long]("n") === 2L)
+    assert(clicks.getAs[Double]("sum_value") === 3.0)
+    assert(out.filter(col("event_type") === "view").head().getAs[Long]("n") === 1L)
+  }
+
+  test("stateful sessionize closes a session on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = in.toDF().toDF("user_id", "ts", "value")
+    in.addData(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 2.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 7.0)) // >30min gap → new session
+    val out = runToMemory(
+      Streaming.sessionize(spark, df, gapMs = 30 * 60 * 1000L, useTimeout = false), "sess_out")
+    // the first session (2 events, sum 3.0) must have been emitted as closed
+    val closed = out.collect()
+    assert(closed.exists(r => r.getAs[Long]("n_events") == 2L &&
+      r.getAs[Double]("total_value") == 3.0))
+  }
+}
