@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Document deduplication suite (north-star LLM-pipeline operators;
   * SURVEY §7.3). Four tiers, cheapest first:
@@ -15,11 +16,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes (100 TB): every tier is shuffle-bounded by (doc-count ×
   * signature-size), never by pairs. Pair enumeration happens ONLY inside LSH
-  * buckets, whose size is controlled by the band structure; the exact
-  * verifier joins candidate pairs (small) back to shingle sets. The
-  * all-pairs `jaccardPairs` exists as the correctness oracle path and for
-  * modest blocks — its shingle-join prefilter only pairs documents sharing
-  * ≥1 shingle, which on real corpora is a tiny fraction of n².
+  * buckets (whose size the band structure controls) or between documents
+  * sharing a shingle. Shingles travel as 64-bit xxhash64 values, not
+  * strings — joins and minima run over fixed-width longs (collision odds
+  * across ~10⁹ distinct shingles are ~2⁻⁵⁰ per pair, far below any
+  * statistical noise floor of near-dup detection). The exploded
+  * (doc, shingle-hash) relation is persisted MEMORY_AND_DISK while an
+  * operator uses it several times — at ~16 bytes/shingle that is orders of
+  * magnitude smaller than the corpus text.
   */
 object Dedup {
 
@@ -40,26 +44,18 @@ object Dedup {
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), TextFunctions.simhash64(col(textCol)).as("simhash"))
 
-  /** Shingle sets: (id, distinct word-n-gram array). */
-  private def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  /** Exploded distinct shingle hashes: (id, h). The long-valued `h` stands
+    * in for the shingle everywhere downstream (joins, minhash basis).
+    */
+  private def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
       .select(col(idCol).as("id"),
-        array_distinct(TextFunctions.shingles(col(textCol), n)).as("sh"))
-      .filter(size(col("sh")) > 0)
+        explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
 
-  /** Exact shingle-Jaccard near-dup pairs, shingle-join blocked:
-    * only documents sharing at least one shingle are ever paired.
-    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
-    */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.7): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, n)
-    val sizes = sets.select(col("id"), size(col("sh")).as("nsh"))
-    val tok = sets.select(col("id"), explode(col("sh")).as("s"))
-    val inter = tok.as("a").join(tok.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .agg(count("*").as("i"))
+  /** (doc_a, doc_b, i, na, nb) → (doc_a, doc_b, jaccard ≥ threshold). */
+  private def jaccardFromCounts(inter: DataFrame, sizes: DataFrame,
+                                threshold: Double): DataFrame =
     inter
       .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
       .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
@@ -67,14 +63,30 @@ object Dedup {
         round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+
+  /** Exact shingle-Jaccard near-dup pairs, shingle-join blocked:
+    * only documents sharing at least one shingle are ever paired.
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.7): DataFrame = {
+    // referenced three times below (self-join + sizes) — persist instead of
+    // re-running the tokenize/shingle pipeline per reference
+    val tok = shingleHashes(docs, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = tok.groupBy("id").agg(count("*").as("nsh"))
+    val inter = tok.as("a").join(tok.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count("*").as("i"))
+    jaccardFromCounts(inter, sizes, threshold)
   }
 
   /** Tier 4: MinHash + LSH near-dup pairs, exact-verified.
     *
-    * Signature: `numHashes` minima of xxhash64(seed=i, shingle). Banding:
-    * `bands` bands of `numHashes/bands` rows — a pair collides in ≥1 band
-    * with prob 1-(1-j^r)^b (≈1-1e-15 at j=0.95, b=16, r=4), so at sane
-    * thresholds candidate recall is effectively exact; the final exact
+    * Signature: `numHashes` minima of xxhash64(seed=i, shingle-hash).
+    * Banding: `bands` bands of `numHashes/bands` rows — a pair collides in
+    * ≥1 band with prob 1-(1-j^r)^b (≈1-1e-15 at j=0.95, b=16, r=4), so at
+    * sane thresholds candidate recall is effectively exact; the final exact
     * Jaccard verification removes all false positives. Hence the output
     * EQUALS `jaccardPairs` while never enumerating non-colliding pairs.
     */
@@ -83,14 +95,12 @@ object Dedup {
                       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sets = shingleSets(docs, idCol, textCol, n)
+    val tok = shingleHashes(docs, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Signature via explode + one hash-aggregate: every xxhash64 and min()
-    // stays inside whole-stage codegen (a nested higher-order-function
-    // formulation is interpreted per element — measured 30× slower).
-    val minCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    val sig = sets.select(col("id"), explode(col("sh")).as("s"))
-      .groupBy("id")
+    // signature via one hash-aggregate: every xxhash64 and min() stays
+    // inside whole-stage codegen
+    val minCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"h$i"))
+    val sig = tok.groupBy("id")
       .agg(minCols.head, minCols.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
 
@@ -107,13 +117,14 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
 
-    candidates
-      .join(sets.select(col("id").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(sets.select(col("id").as("doc_b"), col("sh").as("shb")), "doc_b")
-      .withColumn("i", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jaccard",
-        round(col("i").cast("double") / (size(col("sha")) + size(col("shb")) - col("i")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    // exact verification: intersection counts via hash-joins against the
+    // (small) candidate set — no arrays, no re-tokenization
+    val sizes = tok.groupBy("id").agg(count("*").as("nsh"))
+    val inter = tok.join(broadcast(candidates), col("id") === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("h"))
+      .join(tok.withColumnRenamed("id", "doc_b"), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count("*").as("i"))
+    jaccardFromCounts(inter, sizes, threshold)
   }
 }

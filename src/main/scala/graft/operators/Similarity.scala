@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.VectorFunctions._
+import graft.functions.CosineSimilarity.cosineSim
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * Two paths:
   *  - `bruteForceTopK` — the exactness baseline: broadcast the (small) query
   *    set against the full corpus; each executor scans its corpus partitions
-  *    once, no corpus shuffle. Cost: |Q| × |corpus| dot products,
+  *    once, no corpus shuffle. Cost: |Q| × |corpus| cosine evaluations,
   *    distributed. At 100 TB this is the right shape when |Q| is bounded
   *    (the corpus never moves; only per-query top-k rows — k·|Q| per
   *    partition, thanks to WindowGroupLimit — cross the wire).
@@ -21,24 +21,21 @@ import org.apache.spark.sql.functions._
   *    nProbe/nCells at some recall cost (measured in the spec against
   *    brute force).
   *
-  * Norms are computed once per vector BEFORE pairing — never per pair.
+  * All cosine math goes through [[graft.functions.CosineSimilarity]] — a
+  * single-pass codegen'd Catalyst expression (the higher-order-function
+  * form is interpreted per element and was the bench bottleneck).
   */
 object Similarity {
-
-  private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("nrm", norm2(col("embedding")))
 
   /** Exact top-k neighbors for each query vector (self-match excluded).
     * Output: (q_id, n_id, cos) with rank ≤ k per query, ordered
     * deterministically (cos desc, n_id asc).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = withNorm(corpus).select(col("vec_id").as("n_id"),
-      col("embedding").as("nv"), col("nrm").as("nn"))
-    val q = withNorm(queries).select(col("vec_id").as("q_id"),
-      col("embedding").as("qv"), col("nrm").as("qn"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosinePrenormed(dot(col("qv"), col("nv")), col("qn"), col("nn")))
+      .withColumn("cos", cosineSim(col("qv"), col("nv")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos"), col("rk"))
@@ -46,32 +43,25 @@ object Similarity {
 
   /** All pairs with cosine ≥ threshold — embedding-level near-dup detection.
     * Blocked by IVF cell (both vectors must land in the same cell) to avoid
-    * the full n² cross join; with `nCells=1` it degrades to exact all-pairs.
+    * the full n² cross join; with `everyNthCentroid=0` it degrades to exact
+    * all-pairs via a broadcast nested-loop join (NEVER a join on a constant
+    * key, which would funnel every row through one shuffle partition).
     */
   def cosineDupPairs(corpus: DataFrame, threshold: Double, everyNthCentroid: Int = 0): DataFrame = {
-    val base = withNorm(corpus).select(col("vec_id"), col("embedding"), col("nrm"))
+    val base = corpus.select(col("vec_id"), col("embedding"))
     val paired =
       if (everyNthCentroid <= 0) {
-        // Unblocked all-pairs: broadcast one side so the large side streams in
-        // place — NEVER a join on a constant key (that would funnel every row
-        // through a single shuffle partition).
-        val a = base.select(col("vec_id").as("vec_a"), col("embedding").as("va"),
-          col("nrm").as("na"))
-        val b = base.select(col("vec_id").as("vec_b"), col("embedding").as("vb"),
-          col("nrm").as("nb"))
+        val a = base.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+        val b = base.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
         a.join(broadcast(b), col("vec_a") < col("vec_b"))
       } else {
-        // IVF-cell blocking: only same-cell pairs are enumerated; the join
-        // shuffles on the cell id, so pair generation distributes.
         val blocked = assignCells(base, centroids(base, everyNthCentroid))
-        val a = blocked.select(col("cell"), col("vec_id").as("vec_a"),
-          col("embedding").as("va"), col("nrm").as("na"))
-        val b = blocked.select(col("cell"), col("vec_id").as("vec_b"),
-          col("embedding").as("vb"), col("nrm").as("nb"))
+        val a = blocked.select(col("cell"), col("vec_id").as("vec_a"), col("embedding").as("va"))
+        val b = blocked.select(col("cell"), col("vec_id").as("vec_b"), col("embedding").as("vb"))
         a.join(b, Seq("cell")).filter(col("vec_a") < col("vec_b"))
       }
     paired
-      .withColumn("cos", cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .withColumn("cos", cosineSim(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
   }
@@ -81,18 +71,18 @@ object Similarity {
     * reproducible (no iterative fitting, no RNG).
     */
   def centroids(corpus: DataFrame, everyNth: Int): DataFrame =
-    withNorm(corpus).filter(col("vec_id") % everyNth === 0)
-      .select(col("vec_id").as("cell"), col("embedding").as("cv"), col("nrm").as("cn"))
+    corpus.filter(col("vec_id") % everyNth === 0)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
 
   /** Assign each corpus vector to its nearest centroid (max cosine; ties →
     * lowest cell id). Centroids are broadcast; one window per vector.
     */
   def assignCells(corpus: DataFrame, cents: DataFrame): DataFrame = {
     val scored = corpus.join(broadcast(cents))
-      .withColumn("ccos", cosinePrenormed(dot(col("embedding"), col("cv")), col("nrm"), col("cn")))
+      .withColumn("ccos", cosineSim(col("embedding"), col("cv")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
     scored.withColumn("crk", row_number().over(w)).filter(col("crk") === 1)
-      .drop("cv", "cn", "ccos", "crk")
+      .drop("cv", "ccos", "crk")
   }
 
   /** IVF-style ANN: probe the `nProbe` nearest cells per query, exact top-k
@@ -100,23 +90,22 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               everyNthCentroid: Int, nProbe: Int): DataFrame = {
-    val base = withNorm(corpus)
+    val base = corpus.select(col("vec_id"), col("embedding"))
     val cents = centroids(base, everyNthCentroid)
     val cells = assignCells(base, cents)
 
-    val q = withNorm(queries).select(col("vec_id").as("q_id"),
-      col("embedding").as("qv"), col("nrm").as("qn"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val qScored = q.join(broadcast(cents))
-      .withColumn("ccos", cosinePrenormed(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("ccos", cosineSim(col("qv"), col("cv")))
     val qw = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
     val probes = qScored.withColumn("crk", row_number().over(qw))
-      .filter(col("crk") <= nProbe).select(col("q_id"), col("qv"), col("qn"), col("cell"))
+      .filter(col("crk") <= nProbe).select(col("q_id"), col("qv"), col("cell"))
 
     val scored = cells
-      .select(col("cell"), col("vec_id").as("n_id"), col("embedding").as("nv"), col("nrm").as("nn"))
+      .select(col("cell"), col("vec_id").as("n_id"), col("embedding").as("nv"))
       .join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosinePrenormed(dot(col("qv"), col("nv")), col("qn"), col("nn")))
+      .withColumn("cos", cosineSim(col("qv"), col("nv")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos"), col("rk"))

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 wraps public `Column`s around ColumnNodes; the Expression⇄Column
+  * converters live in `org.apache.spark.sql.classic` with `private[sql]`
+  * access. This bridge (placed inside the sql package, the standard pattern
+  * for Catalyst extensions built outside the Spark tree) re-exports the two
+  * conversions the graft expressions need.
+  */
+object bridge {
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+}
