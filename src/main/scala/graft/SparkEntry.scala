@@ -160,6 +160,37 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.payloadMeta(Multimodal.synthesize(Tables.documents(s, d), "doc_id", "text"))),
 
+    // ---- as-of join (time-series enrichment) ----
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value", "event_id")
+      AsOfJoin(ev, purchases, keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("ts" -> "asof_ts", "value" -> "asof_value"),
+        leftTie = "event_id", rightTie = "event_id")
+        .select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+    }),
+
+    // ---- grouping sets / set operations ----
+    "q_rollup" -> ((s, d) =>
+      Tables.orders(s, d)
+        .rollup(year(col("o_orderdate")).as("y"), col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("revenue"))),
+
+    "q_set_intersect" -> ((s, d) =>
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+        .intersect(Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("custkey")))),
+
+    "q_set_except" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey").as("custkey"))
+        .except(Tables.orders(s, d).select(col("o_custkey").as("custkey")))),
+
+    // ---- text pipeline extensions ----
+    "q_tfidf" -> ((s, d) => TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), k = 3)),
+    "q_normalize" -> ((s, d) => TextAnalysis.normalize(Tables.documents(s, d))),
+
     // ---- approximate sketches (no SQL oracle: HLL internals differ) ----
     "q_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
@@ -371,6 +402,49 @@ object SparkEntry {
         |CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INT) AS n_alpha,
         |CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_num,
         |CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INT) AS n_other
+        |FROM documents""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT a.event_id, a.user_id, a.ts, b.ts AS asof_ts, b.value AS asof_value
+        |FROM events a
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') b
+        |ON a.user_id = b.user_id AND a.ts >= b.ts""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT year(o_orderdate) AS y, o_orderstatus AS status, count(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders""".stripMargin,
+
+    "q_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tf.term AS term,
+         |         round(tf * (CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS score
+         |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+         |ranked AS (
+         |  SELECT doc_id, term, score,
+         |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rk
+         |  FROM scored)
+         |SELECT doc_id, term, score, rk FROM ranked WHERE rk <= 3""".stripMargin,
+
+    "q_normalize" ->
+      """SELECT doc_id,
+        |trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS clean_text,
+        |CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS INT) AS n_clean_chars
         |FROM documents""".stripMargin,
 
     "q_multimodal_meta" ->

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over a document table (north-star LLM-pipeline
@@ -54,4 +55,40 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0))).as("n_alpha"),
       size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_num"),
       size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).as("n_other"))
+
+  /** Text normalization for ingest pipelines: lowercase, strip non-alnum,
+    * collapse runs of whitespace, trim. One codegen'd projection.
+    */
+  def normalize(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        " +", " ")).as("clean_text"))
+      .withColumn("n_clean_chars", length(col("clean_text")))
+
+  /** Top-k corpus terms per document by tf·idf.
+    *
+    * idf is the plain ratio (N+1)/(df+1) — deliberately log-free so every
+    * arithmetic step is a deterministic double op reproducible across
+    * engines (libm `log` may differ in the last ulp between runtimes);
+    * rankings are unchanged since log is monotone.
+    *
+    * Shape: one explode + two hash aggregations (tf by (doc,term), df by
+    * term) + a broadcast of the tiny df/N side, then a per-doc rank window.
+    * The corpus-wide df table is the only global state and is bounded by
+    * vocabulary size, not corpus size.
+    */
+  def tfIdfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count("*").as("tf"))
+    val df = tok.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count("*").as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * ((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("doc_id", "term", "score", "rk")
+  }
 }

@@ -46,8 +46,13 @@ for name, sql in sorted(oracle.items()):
     for i, (a, b) in enumerate(zip(exp_rows, got_rows)):
         for c, (x, y) in enumerate(zip(a, b)):
             same = (x == y) or (x is None and y is None)
-            if not same and isinstance(x, float) and isinstance(y, float):
-                same = (math.isnan(x) and math.isnan(y)) or x == y
+            if not same:
+                try:
+                    import pandas as pd
+                    if pd.isna(x) and pd.isna(y):
+                        same = True
+                except (TypeError, ValueError):
+                    pass
             if not same:
                 bad = (i, cols[c], x, y)
                 break
