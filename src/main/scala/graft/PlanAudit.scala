@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints physical-plan evidence for the scale-design claims in SCALE.md:
+  * filter/column pushdown into parquet scans, broadcast joins on dims,
+  * rank-limit pushdown, partial aggregation. Run:
+  * runMain graft.PlanAudit [sfDir]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def audit(name: String)(checks: (String, String => Boolean)*): Unit = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      checks.foreach { case (what, ok) =>
+        println(f"[audit] $name%-22s ${if (ok(plan)) "OK  " else "MISS"} $what")
+      }
+    }
+    audit("q1_pricing")(
+      "filter pushed to parquet scan" -> (_.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate")),
+      "scan pruned to the 6 referenced columns" -> (p =>
+        p.contains("FileScan parquet [l_quantity#") && !p.contains("l_orderkey")),
+      "map-side partial aggregation" -> (p => p.contains("HashAggregate(keys=[l_returnflag") && "HashAggregate".r.findAllIn(p).length >= 2))
+    audit("q_star_agg")(
+      "all three dims broadcast" -> (p => "BroadcastHashJoin".r.findAllIn(p).length == 3),
+      "no sort-merge join" -> (p => !p.contains("SortMergeJoin")))
+    audit("q_topk_orders")(
+      "rank limit pushed into shuffle (WindowGroupLimit)" -> (_.contains("WindowGroupLimit")))
+    audit("q_anti_join_orders")(
+      "anti join key-only on build side" -> (p => p.contains("LeftAnti")))
+    audit("q_dim_customer")(
+      "scan reads only the 3 projected columns" -> (_.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>")))
+    audit("q_fact_enrich")(
+      "dims broadcast, fact streams" -> (p => "BroadcastHashJoin".r.findAllIn(p).length == 2))
+    spark.stop()
+  }
+}

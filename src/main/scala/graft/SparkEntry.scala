@@ -191,6 +191,14 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) => TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), k = 3)),
     "q_normalize" -> ((s, d) => TextAnalysis.normalize(Tables.documents(s, d))),
 
+    // ---- skew mitigation: two-phase salted aggregation (results ≡ plain) ----
+    "q_salted_agg" -> ((s, d) =>
+      Skew.saltedAggregate(Tables.lineitem(s, d), Seq("l_returnflag"),
+        saltCol = col("l_orderkey"), salts = 16,
+        partialAggs = Seq(count(lit(1)).as("n"), decSum(col("l_quantity")).as("qty")),
+        mergeAggs = Seq(sum(col("n")).as("n"),
+          sum(col("qty").cast(dec)).cast("double").as("qty")))),
+
     // ---- approximate sketches (no SQL oracle: HLL internals differ) ----
     "q_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
@@ -403,6 +411,11 @@ object SparkEntry {
         |CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_num,
         |CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INT) AS n_other
         |FROM documents""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_asof_join" ->
       """SELECT a.event_id, a.user_id, a.ts, b.ts AS asof_ts, b.value AS asof_value
