@@ -191,6 +191,20 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) => TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), k = 3)),
     "q_normalize" -> ((s, d) => TextAnalysis.normalize(Tables.documents(s, d))),
 
+    // ---- exact percentile via rank window (no approx sketch needed) ----
+    "q_median_price" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      val lo = floor((col("cnt") + 1) / 2).cast("long") // middle (odd) / lower middle (even)
+      val hi = (floor(col("cnt") / 2) + 1).cast("long") // same row (odd) / upper middle (even)
+      Tables.lineitem(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+        .filter(col("rn") === lo || col("rn") === hi)
+        .groupBy(col("l_returnflag"))
+        .agg((sum(col("l_extendedprice")) / count(lit(1))).as("median_price"))
+    }),
+
     // ---- skew mitigation: two-phase salted aggregation (results ≡ plain) ----
     "q_salted_agg" -> ((s, d) =>
       Skew.saltedAggregate(Tables.lineitem(s, d), Seq("l_returnflag"),
@@ -411,6 +425,17 @@ object SparkEntry {
         |CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_num,
         |CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INT) AS n_other
         |FROM documents""".stripMargin,
+
+    "q_median_price" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS cnt
+        |  FROM lineitem)
+        |SELECT l_returnflag, SUM(l_extendedprice) / count(*) AS median_price
+        |FROM r WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+        |GROUP BY l_returnflag""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n,
