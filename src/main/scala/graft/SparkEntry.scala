@@ -191,6 +191,25 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) => TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), k = 3)),
     "q_normalize" -> ((s, d) => TextAnalysis.normalize(Tables.documents(s, d))),
 
+    "q_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(year(col("o_orderdate")).as("y"), col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"))),
+
+    "q_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("y"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))),
+
+    "q_order_gaps" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .withColumn("gap_days", datediff(col("o_orderdate"), col("prev_date")))
+        .select("o_custkey", "o_orderkey", "o_orderdate", "gap_days")
+    }),
+
     // ---- exact percentile via rank window (no approx sketch needed) ----
     "q_median_price" -> ((s, d) => {
       val w = Window.partitionBy(col("l_returnflag"))
@@ -425,6 +444,23 @@ object SparkEntry {
         |CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_num,
         |CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INT) AS n_other
         |FROM documents""".stripMargin,
+
+    "q_cube" ->
+      """SELECT year(o_orderdate) AS y, o_orderpriority AS prio, count(*) AS n
+        |FROM orders GROUP BY CUBE (year(o_orderdate), o_orderpriority)""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT year(o_orderdate) AS y,
+        |count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+        |count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+        |count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        |FROM orders GROUP BY year(o_orderdate)""".stripMargin,
+
+    "q_order_gaps" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |CAST(date_diff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey), o_orderdate) AS INT) AS gap_days
+        |FROM orders""".stripMargin,
 
     "q_median_price" ->
       """WITH r AS (
