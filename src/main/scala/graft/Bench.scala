@@ -11,9 +11,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb one-time session costs (codegen compiler, shuffle service,
-    // parquet footer caches) so per-query numbers measure the queries
+    // parquet footer caches, higher-order-expression compilation) so
+    // per-query numbers measure the queries
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
+    spark.range(4).selectExpr("transform(sequence(1, 8), i -> i * 2) AS a")
+      .selectExpr("aggregate(a, 0L, (acc, x) -> acc + x)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -40,6 +40,13 @@ object PlanAudit {
       "scan reads only the 3 projected columns" -> (_.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>")))
     audit("q_fact_enrich")(
       "dims broadcast, fact streams" -> (p => "BroadcastHashJoin".r.findAllIn(p).length == 2))
+    audit("q_asof_join")(
+      "single shuffle (one keyed sort window, no join node)" -> (p =>
+        "ShuffleExchange|Exchange hashpartitioning".r.findAllIn(p).length <= 2 &&
+          !p.contains("SortMergeJoin")))
+    audit("q_sessionize")(
+      "windows + final agg reuse one user_id partitioning" -> (p =>
+        "hashpartitioning\\(user_id".r.findAllIn(p).length >= 1))
     spark.stop()
   }
 }

@@ -1,0 +1,36 @@
+package graft.plans
+
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions: registers the graft native expressions with the SQL
+  * function registry so they are callable from `spark.sql(...)` as well as
+  * the Column API.
+  *
+  * Wire-up options:
+  *  - `spark.sql.extensions=graft.plans.GraftExtensions` on any session, or
+  *  - `SparkSession.builder().withExtensions(new GraftExtensions)`, or
+  *  - `GraftExtensions.register(spark)` on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.cosineSimilarityDescriptor)
+  }
+}
+
+object GraftExtensions {
+  private val cosineSimilarityDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_similarity"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "cosine_similarity(a, b) takes exactly 2 arguments")
+      CosineSimilarity(children.head, children(1))
+    })
+
+  /** Imperative registration for an already-built session (tests, REPLs). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      cosineSimilarityDescriptor._1, cosineSimilarityDescriptor._2, cosineSimilarityDescriptor._3)
+}
