@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.functions.CosineSimilarity.cosineSim
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index for ANN search: the corpus is materialized as parquet
+  * PARTITIONED BY cell (nearest deterministic seed centroid), with the
+  * centroid vectors stored alongside. A query then:
+  *   1. ranks centroids against the query batch (tiny, broadcast);
+  *   2. reads ONLY the probed cells' partition directories — static
+  *      partition pruning, since the probed cell ids are known up front;
+  *   3. exact top-k within the probed subset.
+  *
+  * This is the operator `Similarity.ivfTopK` (which recomputes cells per
+  * query) upgraded to the 100 TB shape: assignment cost is paid once at
+  * build, queries touch nProbe/nCells of the data at the FILESYSTEM level —
+  * the same mechanism as date-partition pruning, applied to vector cells.
+  */
+object AnnIndex {
+
+  def build(spark: SparkSession, corpus: DataFrame, everyNthCentroid: Int,
+            path: String): Unit = {
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    val cents = Similarity.centroids(base, everyNthCentroid)
+    Similarity.assignCells(base, cents)
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$path/cells")
+    cents.select(col("cell"), col("cv").as("embedding"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+  }
+
+  def query(spark: SparkSession, path: String, queries: DataFrame,
+            k: Int, nProbe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("embedding").as("cv"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+
+    val qScored = q.join(broadcast(cents))
+      .withColumn("ccos", cosineSim(col("qv"), col("cv")))
+    val qw = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
+    val probes = qScored.withColumn("crk", row_number().over(qw))
+      .filter(col("crk") <= nProbe).select(col("q_id"), col("qv"), col("cell"))
+
+    // probed cell ids are small by construction (≤ nProbe × |Q|): collect
+    // them so the scan below is STATICALLY partition-pruned
+    val probedCells = probes.select("cell").distinct().collect().map(_.getLong(0))
+
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("cell"), col("vec_id").as("n_id"), col("embedding").as("nv"))
+
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos"), col("rk"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.{Sink, Tables}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class MergeAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MergeUpsert replaces matched keys and rewrites only touched partitions") {
+    val path = Files.createTempDirectory("merge_t").toString + "/t"
+    val orig = Tables.orders(spark, sf)
+      .withColumn("year", year(col("o_orderdate")))
+    Sink.writePartitioned(orig, path, Seq("year"))
+
+    // untouched partition files must survive the merge byte-identical
+    def filesOf(yearDir: String) =
+      java.nio.file.Files.list(Paths.get(s"$path/$yearDir")).toArray.map(_.toString).sorted.toSeq
+    val before1995 = filesOf("year=1995")
+
+    // update: flip status of two 1997 orders, add one brand-new 1997 order
+    val updates = orig.filter(col("year") === 1997).limit(2)
+      .withColumn("o_orderstatus", lit("X"))
+      .unionByName(orig.filter(col("year") === 1997).limit(1)
+        .withColumn("o_orderkey", lit(999999L)))
+    MergeUpsert(spark, path, updates, keys = Seq("o_orderkey"), partitionCols = Seq("year"))
+
+    val after = spark.read.parquet(path)
+    assert(after.count() === orig.count() + 1)
+    assert(after.filter(col("o_orderstatus") === "X").count() === 2)
+    assert(after.filter(col("o_orderkey") === 999999L).count() === 1)
+    assert(filesOf("year=1995") === before1995, "untouched partition was rewritten")
+  }
+
+  test("MergeUpsert without partitions does a full keyed rewrite") {
+    val path = Files.createTempDirectory("merge_np").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(path)
+    MergeUpsert(spark, path, Seq((2L, "B"), (3L, "c")).toDF("id", "v"),
+      keys = Seq("id"), partitionCols = Nil)
+    val got = spark.read.parquet(path).as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
+  test("AnnIndex query equals ivfTopK and prunes the cell scan") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Files.createTempDirectory("ann_idx").toString
+    AnnIndex.build(spark, emb, everyNthCentroid = 50, idx)
+
+    val queries = emb.filter(col("vec_id") < 8)
+    val fromIndex = AnnIndex.query(spark, idx, queries, k = 5, nProbe = 3)
+    val direct = Similarity.ivfTopK(emb, queries, k = 5, everyNthCentroid = 50, nProbe = 3)
+    assert(fromIndex.orderBy("q_id", "rk").collect() ===
+      direct.orderBy("q_id", "rk").collect())
+
+    // the scan must be partition-pruned to the probed cells
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), s"no partition pruning in:\n$plan")
+  }
+}
