@@ -412,6 +412,35 @@ object SparkEntry {
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, round(c, 6) AS cos FROM p WHERE c >= 0.42""".stripMargin,
 
+    "q_ann_ivf" ->
+      s"""WITH n AS (SELECT vec_id, embedding FROM embeddings),
+         |cents AS (SELECT vec_id AS cell, embedding AS cv FROM n WHERE vec_id % 50 = 0),
+         |assign AS (
+         |  SELECT vec_id, cell, embedding FROM (
+         |    SELECT n.vec_id, c.cell, n.embedding,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ${dotSql("n.embedding", "c.cv")} / (${normSql("n.embedding")} * ${normSql("c.cv")}) DESC,
+         |                      c.cell) AS crk
+         |    FROM n CROSS JOIN cents c) WHERE crk = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS qv FROM n WHERE vec_id < 8),
+         |probes AS (
+         |  SELECT q_id, qv, cell FROM (
+         |    SELECT q.q_id, q.qv, c.cell,
+         |           row_number() OVER (PARTITION BY q.q_id
+         |             ORDER BY ${dotSql("q.qv", "c.cv")} / (${normSql("q.qv")} * ${normSql("c.cv")}) DESC,
+         |                      c.cell) AS crk
+         |    FROM q CROSS JOIN cents c) WHERE crk <= 3),
+         |scored AS (
+         |  SELECT p.q_id, a.vec_id AS n_id,
+         |         ${dotSql("p.qv", "a.embedding")} / (${normSql("p.qv")} * ${normSql("a.embedding")}) AS c
+         |  FROM probes p JOIN assign a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.q_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, c,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS INT) AS rk
+         |  FROM scored)
+         |SELECT q_id, n_id, round(c, 6) AS cos, rk FROM ranked WHERE rk <= 5""".stripMargin,
+
     "q_text_stats" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS ts, length(text) AS nc FROM documents)
          |SELECT doc_id,
