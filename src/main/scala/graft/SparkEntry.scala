@@ -232,11 +232,16 @@ object SparkEntry {
         mergeAggs = Seq(sum(col("n")).as("n"),
           sum(col("qty").cast(dec)).cast("double").as("qty")))),
 
-    // ---- approximate sketches (no SQL oracle: HLL internals differ) ----
+    // ---- approximate sketches (no SQL oracle: engine-specific hashes) ----
     "q_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("apx_part"),
-          approx_count_distinct(col("l_orderkey")).as("apx_order"))))
+          approx_count_distinct(col("l_orderkey")).as("apx_order"))),
+
+    "q_kmv_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(graft.functions.KmvDistinct(128)(col("l_partkey")).as("kmv_part"),
+          countDistinct(col("l_partkey")).as("exact_part"))))
 
   // ---------------------------------------------------------------------------
 
