@@ -60,6 +60,11 @@ object SparkEntry {
         "l_extendedprice")
     }),
 
+    // the reference's songplays-fact build end-to-end (minus the
+    // nondeterministic surrogate id, which oracle compares exclude)
+    "q_star_fact" -> ((s, d) =>
+      StarPipeline.factEnriched(s, d).drop("fact_id")),
+
     "q_star_agg" -> ((s, d) =>
       Tables.orders(s, d)
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
@@ -307,6 +312,15 @@ object SparkEntry {
         |FROM lineitem
         |LEFT JOIN part ON l_partkey = p_partkey
         |LEFT JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+
+    "q_star_fact" ->
+      """SELECT o.*, c_custkey, c_name, c_mktsegment,
+        |n_name AS nation, r_name AS region,
+        |CAST(year(o_orderdate) AS INT) AS year, CAST(month(o_orderdate) AS INT) AS month
+        |FROM orders o
+        |LEFT JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin,
 
     "q_star_agg" ->
       """SELECT r_name, n_name, count(*) AS n_orders,
