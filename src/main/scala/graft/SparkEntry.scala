@@ -237,6 +237,16 @@ object SparkEntry {
         mergeAggs = Seq(sum(col("n")).as("n"),
           sum(col("qty").cast(dec)).cast("double").as("qty")))),
 
+    // ---- data-quality gate ----
+    "q_quality" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val customer = Tables.customer(s, d).withColumnRenamed("c_custkey", "o_custkey")
+      Quality.report(
+        Quality.notNull(orders, Seq("o_orderkey", "o_custkey")),
+        Quality.uniqueKey(orders, Seq("o_orderkey")),
+        Quality.foreignKey(orders, "o_custkey", customer, "o_custkey"))
+    }),
+
     // ---- approximate sketches (no SQL oracle: engine-specific hashes) ----
     "q_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
@@ -244,6 +254,7 @@ object SparkEntry {
           approx_count_distinct(col("l_orderkey")).as("apx_order"))),
 
     "q_kmv_distinct" -> ((s, d) =>
+      // (no oracle: xxhash64 basis is Spark-specific; spec checks error bounds)
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(graft.functions.KmvDistinct(128)(col("l_partkey")).as("kmv_part"),
           countDistinct(col("l_partkey")).as("exact_part"))))
@@ -383,6 +394,21 @@ object SparkEntry {
         |MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_quality" ->
+      """SELECT 'not_null:o_orderkey' AS rule,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM orders
+        |UNION ALL
+        |SELECT 'not_null:o_custkey',
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |UNION ALL
+        |SELECT 'unique_key:o_orderkey',
+        |  CAST(coalesce(SUM(n - 1), 0) AS BIGINT)
+        |  FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'foreign_key:o_custkey->o_custkey', count(*) FROM orders o
+        |WHERE o_custkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""".stripMargin,
 
     "q_dedup_exact" ->
       "SELECT DISTINCT * FROM (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)",

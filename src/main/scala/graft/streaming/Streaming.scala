@@ -37,6 +37,21 @@ object Streaming {
       .select((Seq(col("window.start").as("win_start"), col("window.end").as("win_end"))
         ++ groupCols.map(col) ++ Seq(col("n"), col("sum_value"))): _*)
 
+  /** Streaming upsert sink: each micro-batch MERGEs into the target
+    * partitioned parquet table via `foreachBatch` + `MergeUpsert` — the
+    * streaming version of the reference's dedup-before-insert loads, with
+    * UPDATE semantics the append-only original couldn't express. Each batch
+    * rewrites only the partitions it touches. Returns the started query.
+    */
+  def upsertSink(stream: DataFrame, path: String, keys: Seq[String],
+                 partitionCols: Seq[String], checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.MergeUpsert(batch.sparkSession, path, batch.toDF(), keys, partitionCols)
+      }
+      .start()
+
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                               n_events: Long, total_value: Double)
