@@ -237,6 +237,20 @@ object SparkEntry {
         mergeAggs = Seq(sum(col("n")).as("n"),
           sum(col("qty").cast(dec)).cast("double").as("qty")))),
 
+    // ---- range join (binned; no nested-loop) ----
+    "q_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("tsu", unix_micros(col("ts")))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          (col("tsu") - 300000000L).as("lo"), (col("tsu") + 300000000L).as("hi"))
+      RangeJoin.pointInRange(
+        ev.select(col("user_id"), col("event_id"), col("tsu")),
+        errors, keys = Seq("user_id"),
+        tsCol = "tsu", loCol = "lo", hiCol = "hi", binWidth = 300000000L)
+        .groupBy(col("error_id"))
+        .agg(count(lit(1)).as("n_nearby"))
+    }),
+
     // ---- data-quality gate ----
     "q_quality" -> ((s, d) => {
       val orders = Tables.orders(s, d)
@@ -394,6 +408,14 @@ object SparkEntry {
         |MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT e.event_id AS error_id, count(*) AS n_nearby
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events) a
+        |  ON a.user_id = e.user_id
+        | AND a.tsu BETWEEN e.tsu - 300000000 AND e.tsu + 300000000
+        |GROUP BY e.event_id""".stripMargin,
 
     "q_quality" ->
       """SELECT 'not_null:o_orderkey' AS rule,
