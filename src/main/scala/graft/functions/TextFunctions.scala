@@ -20,13 +20,18 @@ object TextFunctions {
   def tokens(text: Column): Column = regexp_extract_all(text, lit("\\S+"), lit(0))
 
   /** Word n-gram shingles: `["a b c", "b c d", ...]`. Documents shorter than
-    * n yield an empty array.
+    * n (including null/empty text) yield an empty array — the guard is a
+    * `when`, NOT `sequence(1, 0)`: Spark's `sequence` auto-steps DOWNWARD
+    * when start > stop, so `sequence(1, 0)` is `[1, 0]` and the 0 index
+    * crashes `slice`.
     */
   def shingles(text: Column, n: Int): Column = {
     val ts = tokens(text)
-    transform(
-      sequence(lit(1), greatest(size(ts) - (n - 1), lit(0))),
-      i => concat_ws(" ", slice(ts, i, lit(n))))
+    when(size(ts) >= n,
+      transform(
+        sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Bag-of-words fingerprint: md5 over the sorted distinct token set.

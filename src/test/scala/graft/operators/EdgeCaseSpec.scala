@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Degenerate-input behavior: none of the operators may throw on empty
+  * relations, null text, or sub-shingle documents — at 100 TB every
+  * pathological row shape WILL occur, and a job that dies on row 3 billion
+  * is the expensive way to find out.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def docs(rows: (java.lang.Long, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row(r._1, r._2))),
+      docSchema)
+
+  test("dedup tiers tolerate null / empty / short texts") {
+    val d = docs((1L, null), (2L, ""), (3L, "one two"), (4L, "a b c d e"), (5L, "a b c d e"))
+    // fingerprint: null text → null fingerprint group; empty → empty-bag group
+    assert(Dedup.fingerprintGroups(d, "doc_id", "text").count() === 4)
+    // jaccard/minhash: docs without a full shingle are silently excluded,
+    // the 5-token twins still pair up
+    val jp = Dedup.jaccardPairs(d, "doc_id", "text").collect()
+    assert(jp.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((4L, 5L)))
+    val mp = Dedup.minhashLshPairs(d, "doc_id", "text").collect()
+    assert(mp.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((4L, 5L)))
+    // simhash: defined (possibly degenerate) for empty; null text → null sig
+    val sig = Dedup.simhashSignatures(d, "doc_id", "text").collect()
+    assert(sig.length === 5)
+  }
+
+  test("text analysis tolerates null and empty text") {
+    val d = docs((1L, null), (2L, ""), (3L, "x"))
+    assert(TextAnalysis.langId(d).count() === 3)
+    assert(TextAnalysis.tokenClasses(d).count() === 3)
+    assert(TextAnalysis.normalize(d).count() === 3)
+    // tfidf drops token-less docs, keeps the rest
+    assert(TextAnalysis.tfIdfTopTerms(d, 3).select("doc_id").as[Long].collect().toSet === Set(3L))
+  }
+
+  test("core operators tolerate empty inputs") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("k", LongType), StructField("ts", LongType))))
+    assert(AntiJoinInsert.newRows(empty, empty, Seq("k")).count() === 0)
+    assert(LatestPerKey(empty, Seq("k"), Seq(col("ts"))).count() === 0)
+    assert(TopKPerGroup(empty, Seq("k"), Seq(col("ts")), 3).count() === 0)
+    assert(Dedup.exact(empty).count() === 0)
+    assert(SurrogateKey.nextOffset(empty, "k") === 0L)
+  }
+
+  test("similarity tolerates empty corpus and empty query set") {
+    val emptyEmb = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    assert(Similarity.bruteForceTopK(emptyEmb, emptyEmb, 5).count() === 0)
+    assert(Similarity.cosineDupPairs(emptyEmb, 0.5).count() === 0)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    assert(Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 0), 5).count() === 0)
+  }
+}
