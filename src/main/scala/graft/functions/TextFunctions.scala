@@ -26,6 +26,7 @@ object TextFunctions {
     * crashes `slice`.
     */
   def shingles(text: Column, n: Int): Column = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
     val ts = tokens(text)
     when(size(ts) >= n,
       transform(
@@ -51,6 +52,13 @@ object TextFunctions {
     * one pass over tokens per doc, no explode, no shuffle.
     */
   def simhash64(text: Column): Column = {
+    // null text → null signature (matching bagFingerprint's null propagation;
+    // without the gate every null doc would get the identical all-zeros
+    // signature and read as an exact duplicate of every other null doc)
+    when(text.isNotNull, simhash64NonNull(text)).otherwise(lit(null).cast("string"))
+  }
+
+  private def simhash64NonNull(text: Column): Column = {
     val toks = tokens(text)
     // (md5-hex, occurrence count) per DISTINCT token — md5 computed once per
     // token, not once per bit.

@@ -81,12 +81,19 @@ object SurrogateKey {
   def sparse(df: DataFrame, name: String, offset: Long = 0L): DataFrame =
     df.withColumn(name, monotonically_increasing_id() + lit(offset))
 
-  def dense(df: DataFrame, name: String, order: Seq[Column], offset: Long = 0L): DataFrame =
-    df.withColumn(name, row_number().over(Window.orderBy(order: _*)).cast("long") + lit(offset))
+  /** Dense ids `offset, offset+1, ...` in `order` (default 1-based). */
+  def dense(df: DataFrame, name: String, order: Seq[Column], offset: Long = 1L): DataFrame =
+    df.withColumn(name,
+      row_number().over(Window.orderBy(order: _*)).cast("long") - 1L + lit(offset))
 
-  /** `max(key)+1` seed over the existing target (the reference's broken A2). */
+  /** First FREE id after the existing target: `max(key) + 1`, or 0 on an
+    * empty/missing target (the working form of the reference's broken A2
+    * seed, `etl.py:271-272`). Feed directly as `offset` to `sparse`/`dense`
+    * — the first new id is exactly `nextOffset`, no collision with existing
+    * keys.
+    */
   def nextOffset(existing: DataFrame, keyCol: String): Long =
-    existing.agg(coalesce(max(col(keyCol)), lit(0L))).head().getLong(0)
+    existing.agg(coalesce(max(col(keyCol)) + 1L, lit(0L))).head().getLong(0)
 }
 
 /** Top-k rows per group via rank window (beyond the reference — SURVEY §2.4

@@ -49,10 +49,17 @@ class CoreSpec extends SparkSpec {
     assert(sparse.select("sk").distinct().count() === 3)
   }
 
-  test("SurrogateKey.nextOffset reads max over existing") {
+  test("SurrogateKey.nextOffset returns the first free id") {
     val df = Seq(5L, 11L).toDF("id")
-    assert(SurrogateKey.nextOffset(df, "id") === 11L)
+    assert(SurrogateKey.nextOffset(df, "id") === 12L)
     assert(SurrogateKey.nextOffset(df.filter(col("id") < 0), "id") === 0L)
+    // seeding sparse/dense with nextOffset never collides with existing keys
+    val newKeys = SurrogateKey.sparse(Seq("x", "y").toDF("v"), "id", 12L)
+      .select("id").as[Long].collect()
+    assert(newKeys.forall(_ >= 12L))
+    val denseKeys = SurrogateKey.dense(Seq("x", "y").toDF("v"), "id", Seq(col("v")), 12L)
+      .select("id").as[Long].collect().sorted
+    assert(denseKeys === Array(12L, 13L))
   }
 
   test("TopKPerGroup caps each group with deterministic ties") {

@@ -13,13 +13,7 @@ import org.apache.spark.sql.types._
 class EdgeCaseSpec extends SparkSpec {
   import spark.implicits._
 
-  private val docSchema = StructType(Seq(
-    StructField("doc_id", LongType), StructField("text", StringType)))
-
-  private def docs(rows: (java.lang.Long, String)*) =
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row(r._1, r._2))),
-      docSchema)
+  private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
 
   test("dedup tiers tolerate null / empty / short texts") {
     val d = docs((1L, null), (2L, ""), (3L, "one two"), (4L, "a b c d e"), (5L, "a b c d e"))
@@ -31,9 +25,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(jp.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((4L, 5L)))
     val mp = Dedup.minhashLshPairs(d, "doc_id", "text").collect()
     assert(mp.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((4L, 5L)))
-    // simhash: defined (possibly degenerate) for empty; null text → null sig
+    // simhash contract: null text → null signature (no accidental
+    // "all nulls are duplicates" collisions); empty text → defined signature
     val sig = Dedup.simhashSignatures(d, "doc_id", "text").collect()
-    assert(sig.length === 5)
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(sig(1L).isEmpty)
+    assert(sig(2L).isDefined && sig(3L).isDefined)
+    assert(sig.size === 5)
+  }
+
+  test("shingle width is validated eagerly") {
+    intercept[IllegalArgumentException] {
+      graft.functions.TextFunctions.shingles(col("text"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardPairs(docs((1L, "a b c")), "doc_id", "text", n = -1)
+    }
   }
 
   test("text analysis tolerates null and empty text") {
