@@ -35,13 +35,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
       s"cosine_similarity expects array<float> inputs, got ${left.dataType} / ${right.dataType}")
   }
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // dimension mismatch or null elements → null (matches the HOF form:
+    // zip_with pads/propagates null — a silently-truncated similarity over
+    // mixed-dimension embeddings would be plausible-but-wrong)
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions.{udaf, xxhash64}
   */
 case class KmvBuffer(values: Array[Long]) // sign-flipped hashes, sorted asc, distinct, ≤ k
 
-class KmvDistinct(k: Int) extends Aggregator[Long, KmvBuffer, Double] {
+class KmvDistinct(k: Int) extends Aggregator[java.lang.Long, KmvBuffer, Double] {
   require(k >= 16, "k < 16 gives useless accuracy")
   private val TwoTo64 = 1.8446744073709552e19
   private val TwoTo63 = 9.223372036854775808e18
@@ -29,8 +29,12 @@ class KmvDistinct(k: Int) extends Aggregator[Long, KmvBuffer, Double] {
   // flip the sign bit so SIGNED order of stored values == UNSIGNED hash order
   private def flip(h: Long): Long = h ^ Long.MinValue
 
-  override def reduce(b: KmvBuffer, rawHash: Long): KmvBuffer = {
-    val v = flip(rawHash)
+  override def reduce(b: KmvBuffer, rawHash: java.lang.Long): KmvBuffer = {
+    // null input = null column value (see apply below): skipped, matching
+    // countDistinct/approx_count_distinct semantics — xxhash64(null) would
+    // otherwise smuggle the seed hash in as a phantom distinct value
+    if (rawHash == null) return b
+    val v = flip(rawHash.longValue())
     val vs = b.values
     if (vs.length >= k && v >= vs(vs.length - 1)) b
     else {
@@ -81,8 +85,8 @@ class KmvDistinct(k: Int) extends Aggregator[Long, KmvBuffer, Double] {
 
 object KmvDistinct {
   /** Untyped entry point: `kmvDistinct(256)(col)` — hashes the column with
-    * xxhash64 and sketches the hash stream.
+    * xxhash64 and sketches the hash stream; null values are excluded.
     */
-  def apply(k: Int)(c: Column): Column = udaf(new KmvDistinct(k), Encoders.scalaLong)
-    .apply(xxhash64(c))
+  def apply(k: Int)(c: Column): Column = udaf(new KmvDistinct(k), Encoders.LONG)
+    .apply(org.apache.spark.sql.functions.when(c.isNotNull, xxhash64(c)))
 }

@@ -68,10 +68,19 @@ object Dedup {
     * only documents sharing at least one shingle are ever paired.
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
     */
+  /** @param maxShingleDf drop shingles shared by more than this many docs
+    *        before pairing — a stop-phrase appearing in millions of
+    *        documents would otherwise blow up one bucket into O(df²) pairs
+    *        on a single task. Ultra-common shingles carry no near-dup
+    *        signal, so capping changes results only for degenerate corpora.
+    *        Default: uncapped (exact; fixtures are small).
+    */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.7): DataFrame = {
-    // referenced twice below (inter + sizes) — persist instead of re-running
-    // the tokenize/shingle pipeline per reference
+                   n: Int = 3, threshold: Double = 0.7,
+                   maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    // referenced twice below (inter + sizes) — persisted for the session;
+    // callers in long-lived services should pass docs they are willing to
+    // cache (~16 bytes/shingle) or clear via catalog.clearCache()
     val tok = shingleHashes(docs, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = tok.groupBy("id").agg(count("*").as("nsh"))
     // intersection counts via bucket-pair enumeration: ONE shuffle on the
@@ -80,7 +89,7 @@ object Dedup {
     // bounded by a shingle's document frequency, the same bound the
     // self-join's output has.
     val inter = tok.groupBy("h").agg(collect_set(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxShingleDf)
       .select(explode(col("ids")).as("doc_a"), col("ids"))
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
@@ -100,7 +109,8 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.7): DataFrame = {
+                      threshold: Double = 0.7,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val tok = shingleHashes(docs, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
@@ -116,8 +126,10 @@ object Dedup {
       explode(transform(sequence(lit(0), lit(bands - 1)),
         k => struct(k.as("band"), slice(col("sig"), k * lit(r) + 1, lit(r)).as("bsig")))).as("bk"))
 
+    // maxBucket guards low-variance corpora where one band signature
+    // collects a huge member list (O(size²) candidate pairs from one task)
     val buckets = banded.groupBy("bk").agg(collect_set(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
 
     val candidates = buckets
       .select(explode(col("ids")).as("doc_a"), col("ids"))

@@ -16,29 +16,66 @@ import org.apache.spark.sql.functions._
   */
 object Maintenance {
 
-  /** Rewrite `path` so each partition holds ⌈rows/targetRowsPerFile⌉ files.
-    * Two-phase (write to `path + ".compact.tmp"`, swap) so a crash never
-    * leaves the table half-rewritten.
+  /** Rewrite `path` so each PARTITION holds ⌈partitionRows/targetRowsPerFile⌉
+    * files (a salt inside each partition spreads rows over that many tasks —
+    * repartitioning on the partition columns alone would funnel every
+    * partition into a single task/file regardless of size).
+    *
+    * Swap discipline: write to `.compact.tmp`, move the original aside to
+    * `.compact.old`, promote tmp, delete old. A crash at any point leaves the
+    * data recoverable (original under `.old` or still in place) — never
+    * deleted-before-replaced. NOT atomic for concurrent readers (there is a
+    * window with no table at `path`); snapshot isolation needs a table
+    * format with a manifest (Delta/Iceberg) — the documented upgrade path.
     */
   def compact(spark: SparkSession, path: String, partitionCols: Seq[String],
               targetRowsPerFile: Long): Unit = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
     val df = spark.read.parquet(path)
-    val total = df.count()
-    val nFiles = math.max(1, math.ceil(total.toDouble / targetRowsPerFile).toInt)
 
     val compacted =
-      if (partitionCols.isEmpty) df.repartition(nFiles)
-      else df.repartition(nFiles, partitionCols.map(col): _*)
+      if (partitionCols.isEmpty) {
+        val total = df.count()
+        df.repartition(math.max(1, math.ceil(total.toDouble / targetRowsPerFile).toInt))
+      } else {
+        // per-partition file counts from per-partition row counts; each
+        // (partition, salt) pair gets its own GLOBAL slot id and rows are
+        // range-partitioned by slot with an explicit partition count —
+        // a plain column repartition would let AQE coalesce the small
+        // shuffle partitions back together and write one file per partition
+        // regardless of targetRowsPerFile
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(partitionCols.map(col): _*)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val counts = df.groupBy(partitionCols.map(col): _*)
+          .agg(count(lit(1)).as("__prows"))
+          .withColumn("__nf", greatest(ceil(col("__prows") / targetRowsPerFile), lit(1L)))
+          .withColumn("__base", coalesce(sum(col("__nf")).over(w), lit(0L)))
+        val totalSlots = counts.agg(sum(col("__nf"))).head().getLong(0).toInt
+        val salted = df.join(broadcast(counts), partitionCols)
+          .withColumn("__slot",
+            col("__base") + pmod(xxhash64(struct(df.columns.map(col): _*)), col("__nf")))
+        salted.repartitionByRange(math.max(totalSlots, 1), col("__slot"))
+          .drop("__prows", "__nf", "__base", "__slot")
+      }
 
-    val tmp = path + ".compact.tmp"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
+
     val w = compacted.write.mode(SaveMode.Overwrite)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
 
-    val hadoopPath = new org.apache.hadoop.fs.Path(path)
-    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(hadoopPath, true)
-    fs.rename(tmpPath, hadoopPath)
+    fs.delete(old, true)
+    if (!fs.rename(target, old)) sys.error(s"compact: could not move $target aside")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(old, target) // roll back: restore the original
+      sys.error(s"compact: could not promote $tmp; original restored")
+    }
+    fs.delete(old, true)
   }
 
   /** Count data files per partition directory — the health metric compaction

@@ -63,7 +63,9 @@ object Multimodal {
     */
   object FakeCodec {
     def decode(payload: Array[Byte], frameStride: Int): (Double, Int) = {
-      if (payload.isEmpty) (0.0, 0)
+      // null payloads reach decode when the source row had null content
+      // (synthesize maps null text → null binary); treat as empty media
+      if (payload == null || payload.isEmpty) (0.0, 0)
       else {
         var s = 0L; var i = 0
         while (i < payload.length) { s += payload(i) & 0xff; i += 1 }
@@ -85,7 +87,8 @@ object Multimodal {
         // per-partition codec init would go here
         rows.map { case (id, modality, payload) =>
           val (meanByte, frames) = FakeCodec.decode(payload, frameStride)
-          MediaFeature(id, modality, payload.length, meanByte, frames)
+          MediaFeature(id, modality, if (payload == null) 0 else payload.length,
+            meanByte, frames)
         }
       }
   }

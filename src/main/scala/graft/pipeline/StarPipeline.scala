@@ -29,9 +29,12 @@ object StarPipeline {
     LatestPerKey(
       Tables.events(spark, sfDir)
         .select(col("user_id"), col("event_type").as("last_event_type"),
-          col("value").as("last_value"), col("ts")),
-      keys = Seq("user_id"), orderDesc = Seq(col("ts")))
-      .drop("ts")
+          col("value").as("last_value"), col("ts"), col("event_id")),
+      // event_id tie-break: two events in the same microsecond must resolve
+      // deterministically (library convention — every rank window carries a
+      // unique tie-break)
+      keys = Seq("user_id"), orderDesc = Seq(col("ts"), col("event_id")))
+      .drop("ts", "event_id")
 
   /** `time` analogue off the event stream (`etl.py:209-211` + weekday fix). */
   def timeDim(spark: SparkSession, sfDir: String): DataFrame =

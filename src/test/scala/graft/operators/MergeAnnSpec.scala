@@ -33,6 +33,35 @@ class MergeAnnSpec extends SparkSpec {
     assert(filesOf("year=1995") === before1995, "untouched partition was rewritten")
   }
 
+  test("MergeUpsert deletes the old copy when an update moves a key across partitions") {
+    val path = Files.createTempDirectory("merge_mv").toString + "/t"
+    Seq((7L, "free", "alice"), (8L, "free", "bob"), (9L, "paid", "carol"))
+      .toDF("user_id", "level", "name").write.partitionBy("level").parquet(path)
+
+    // user 7 flips free→paid: old row lives in level=free, new in level=paid
+    MergeUpsert(spark, path, Seq((7L, "paid", "alice")).toDF("user_id", "level", "name"),
+      keys = Seq("user_id"), partitionCols = Seq("level"))
+    val after = spark.read.parquet(path)
+    assert(after.filter(col("user_id") === 7L).count() === 1, "stale old-partition copy survived")
+    assert(after.filter(col("user_id") === 7L).select("level").as[String].head() === "paid")
+    assert(after.count() === 3)
+
+    // bob flips too — draining level=free to zero rows: the directory must go
+    MergeUpsert(spark, path, Seq((8L, "paid", "bob")).toDF("user_id", "level", "name"),
+      keys = Seq("user_id"), partitionCols = Seq("level"))
+    val drained = spark.read.parquet(path)
+    assert(drained.count() === 3)
+    assert(drained.filter(col("level") === "free").count() === 0)
+  }
+
+  test("MergeUpsert restores the session's partitionOverwriteMode") {
+    val before = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    val path = Files.createTempDirectory("merge_conf").toString + "/t"
+    Seq((1L, 0, "a")).toDF("id", "p", "v").write.partitionBy("p").parquet(path)
+    MergeUpsert(spark, path, Seq((1L, 0, "A")).toDF("id", "p", "v"), Seq("id"), Seq("p"))
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode") === before)
+  }
+
   test("MergeUpsert without partitions does a full keyed rewrite") {
     val path = Files.createTempDirectory("merge_np").toString + "/t"
     Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(path)
