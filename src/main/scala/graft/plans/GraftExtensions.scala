@@ -10,13 +10,20 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * the Column API.
   *
   * Wire-up options:
-  *  - `spark.sql.extensions=graft.plans.GraftExtensions` on any session, or
-  *  - `SparkSession.builder().withExtensions(new GraftExtensions)`, or
-  *  - `GraftExtensions.register(spark)` on a live session.
+  *  - `spark.sql.extensions=graft.plans.GraftExtensions` — ONLY effective
+  *    when set before the SparkContext exists (spark-submit/cluster conf);
+  *    with a live context the builder silently ignores it, or
+  *  - `SparkSession.builder().withExtensions(new GraftExtensions)` — binds
+  *    at session construction unconditionally, or
+  *  - `GraftExtensions.register(spark)` on a live session (functions only —
+  *    optimizer rules cannot be injected post-construction).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSimilarityDescriptor)
+    // opt-in range-join binning (fires only when
+    // spark.graft.rangeJoin.binWidth is set on the session)
+    e.injectOptimizerRule(_ => RangeJoinRule)
   }
 }
 
