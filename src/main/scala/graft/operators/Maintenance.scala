@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Table-maintenance operators for parquet lakes.
@@ -102,11 +102,19 @@ object Maintenance {
   */
 object Quality {
 
-  def notNull(df: DataFrame, cols: Seq[String]): DataFrame =
-    df.select(cols.map(c =>
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(c)): _*)
-      .selectExpr(s"stack(${cols.length}, ${cols.map(c => s"'$c', $c").mkString(", ")}) AS (rule, violations)")
-      .withColumn("rule", concat(lit("not_null:"), col("rule")))
+  def notNull(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // one aggregate row of per-column null counts, exploded to one row per
+    // rule — built entirely from Column objects (no SQL-string splicing), so
+    // exotic column names (dots, spaces, embedded backticks) pass through
+    def quoted(c: String): Column = df.col("`" + c.replace("`", "``") + "`")
+    val counts = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit("not_null:" + c).as("rule"),
+        sum(when(quoted(c).isNull, 1L).otherwise(0L)).as("violations")).as(s"__nn$i")
+    }
+    df.agg(counts.head, counts.tail: _*)
+      .select(explode(array(cols.indices.map(i => col(s"__nn$i")): _*)).as("kv"))
+      .select(col("kv.rule"), col("kv.violations"))
+  }
 
   def uniqueKey(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n")).filter(col("n") > 1)

@@ -112,9 +112,13 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders", ordersSchema)
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem", lineitemSchema)
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    read(spark, dir, "events", eventsRawSchema)
+    // the legacy conf is scoped to this read via a data-source option (it
+    // reaches the parquet reader through the relation's hadoopConf), so the
+    // shared session's conf is never mutated
+    spark.read.schema(eventsRawSchema)
+      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents", documentsSchema)

@@ -13,4 +13,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Unpersist the RDD blocks backing a `localCheckpoint`ed Dataset.
+    * `Dataset.unpersist` only clears CacheManager entries, not the
+    * checkpoint RDD's storage — its `LogicalRDD` leaf (private[sql]) holds
+    * the persisted RDD, reachable only from inside the sql package.
+    */
+  def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(true)
+      case _ => ()
+    }
 }

@@ -38,6 +38,33 @@ class DedupSpec extends SparkSpec {
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text")
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(lsh === exact)
+    // the registered q_dedup_jaccard configuration (32 bands × 4 rows)
+    val lsh128 = Dedup.minhashLshPairs(docs, "doc_id", "text", numHashes = 128, bands = 32)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh128 === exact)
+  }
+
+  test("pair operators leave no shingle-scale cached blocks behind") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+
+    // exact path: single-pass, caches nothing at all
+    Dedup.jaccardPairs(Tables.documents(spark, sf), "doc_id", "text").count()
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "jaccardPairs must not leave cached RDDs")
+
+    // LSH path: the shingle relation is unpersisted before return; only the
+    // (small) localCheckpoint-backed result may remain, and the caller can
+    // release it explicitly
+    val pairs = Dedup.minhashLshPairs(Tables.documents(spark, sf), "doc_id", "text")
+    val n = pairs.count()
+    assert(n > 0)
+    val residual = sc.getPersistentRDDs.keySet -- before
+    assert(residual.size <= 1,
+      s"only the checkpointed result may remain cached, saw ${residual.size}")
+    Dedup.release(pairs)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "after releasing the result no blocks remain")
   }
 
   test("simhash: near-identical docs get close signatures, distinct docs do not") {

@@ -45,6 +45,17 @@ class MaintenanceSpec extends SparkSpec {
     assert(rep("foreign_key:o_custkey->o_custkey") === 1L)
   }
 
+  test("notNull handles exotic column names (dots, spaces, backticks)") {
+    val df = Seq((Some(1), None: Option[Int], Some(3)), (None, None, Some(6)))
+      .toDF("a.b", "weird `col`", "plain name")
+    val rep = Quality.notNull(df, Seq("a.b", "weird `col`", "plain name"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep === Map(
+      "not_null:a.b" -> 1L,
+      "not_null:weird `col`" -> 2L,
+      "not_null:plain name" -> 0L))
+  }
+
   test("streaming upsertSink merges micro-batches into the table") {
     implicit val sqlCtx = spark.sqlContext
     val path = Files.createTempDirectory("supsert").toString + "/t"
