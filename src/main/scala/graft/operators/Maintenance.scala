@@ -25,39 +25,14 @@ object Maintenance {
     * `.compact.old`, promote tmp, delete old. A crash at any point leaves the
     * data recoverable (original under `.old` or still in place) — never
     * deleted-before-replaced. NOT atomic for concurrent readers (there is a
-    * window with no table at `path`); snapshot isolation needs a table
-    * format with a manifest (Delta/Iceberg) — the documented upgrade path.
+    * window with no table at `path`); for snapshot-isolated compaction use
+    * [[graft.sources.ManifestTable.compact]], which readers never observe
+    * mid-swap.
     */
   def compact(spark: SparkSession, path: String, partitionCols: Seq[String],
               targetRowsPerFile: Long): Unit = {
     require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
-    val df = spark.read.parquet(path)
-
-    val compacted =
-      if (partitionCols.isEmpty) {
-        val total = df.count()
-        df.repartition(math.max(1, math.ceil(total.toDouble / targetRowsPerFile).toInt))
-      } else {
-        // per-partition file counts from per-partition row counts; each
-        // (partition, salt) pair gets its own GLOBAL slot id and rows are
-        // range-partitioned by slot with an explicit partition count —
-        // a plain column repartition would let AQE coalesce the small
-        // shuffle partitions back together and write one file per partition
-        // regardless of targetRowsPerFile
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(partitionCols.map(col): _*)
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-        val counts = df.groupBy(partitionCols.map(col): _*)
-          .agg(count(lit(1)).as("__prows"))
-          .withColumn("__nf", greatest(ceil(col("__prows") / targetRowsPerFile), lit(1L)))
-          .withColumn("__base", coalesce(sum(col("__nf")).over(w), lit(0L)))
-        val totalSlots = counts.agg(sum(col("__nf"))).head().getLong(0).toInt
-        val salted = df.join(broadcast(counts), partitionCols)
-          .withColumn("__slot",
-            col("__base") + pmod(xxhash64(struct(df.columns.map(col): _*)), col("__nf")))
-        salted.repartitionByRange(math.max(totalSlots, 1), col("__slot"))
-          .drop("__prows", "__nf", "__base", "__slot")
-      }
+    val compacted = sizedRepartition(spark.read.parquet(path), partitionCols, targetRowsPerFile)
 
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -77,6 +52,35 @@ object Maintenance {
     }
     fs.delete(old, true)
   }
+
+  /** Repartition so each table PARTITION lands in ⌈partitionRows/target⌉
+    * write tasks (= files). Per-partition file counts come from per-partition
+    * row counts; each (partition, salt) pair gets its own GLOBAL slot id and
+    * rows are range-partitioned by slot with an explicit partition count — a
+    * plain column repartition would let AQE coalesce the small shuffle
+    * partitions back together and write one file per partition regardless of
+    * the target. Shared by [[compact]] and `ManifestTable.compact`.
+    */
+  def sizedRepartition(df: DataFrame, partitionCols: Seq[String],
+                       targetRowsPerFile: Long): DataFrame =
+    if (partitionCols.isEmpty) {
+      val total = df.count()
+      df.repartition(math.max(1, math.ceil(total.toDouble / targetRowsPerFile).toInt))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(partitionCols.map(col): _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val counts = df.groupBy(partitionCols.map(col): _*)
+        .agg(count(lit(1)).as("__prows"))
+        .withColumn("__nf", greatest(ceil(col("__prows") / targetRowsPerFile), lit(1L)))
+        .withColumn("__base", coalesce(sum(col("__nf")).over(w), lit(0L)))
+      val totalSlots = counts.agg(sum(col("__nf"))).head().getLong(0).toInt
+      val salted = df.join(broadcast(counts), partitionCols)
+        .withColumn("__slot",
+          col("__base") + pmod(xxhash64(struct(df.columns.map(col): _*)), col("__nf")))
+      salted.repartitionByRange(math.max(totalSlots, 1), col("__slot"))
+        .drop("__prows", "__nf", "__base", "__slot")
+    }
 
   /** Count data files per partition directory — the health metric compaction
     * improves.

@@ -1,0 +1,303 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+import java.nio.charset.StandardCharsets
+
+/** A minimal snapshot-isolated table format over parquet — the manifest
+  * layer that plain-directory tables lack (and the reason the round-1
+  * `Maintenance.compact` had a no-table window for concurrent readers).
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/<part=val>/.../<commit>-part-*.parquet   immutable data files
+  *   <root>/_manifests/m000000000001.txt                  immutable snapshots
+  *   <root>/_tmp/<commit>/                                scratch for in-flight writes
+  * }}}
+  *
+  * A snapshot is a manifest file listing exactly the data files of one table
+  * version, plus the table schema and partition columns. Commits are
+  * "write data files → write manifest to scratch → atomic rename to the
+  * next version number": readers list `_manifests`, take the highest
+  * version, and read precisely the files it names — they observe every
+  * table state as all-or-nothing and are never affected by concurrent
+  * compaction/merge (old files stay on disk until [[vacuum]]). This is the
+  * Delta/Iceberg commit protocol reduced to its load-bearing core.
+  *
+  * Scale notes (100 TB):
+  *  - data files are written by executors; the driver only RENAMES them into
+  *    place (metadata ops bounded by file count, not bytes) and writes one
+  *    manifest line per file;
+  *  - partition values live in hive-style directory names, so snapshot
+  *    reads get normal partition pruning (`basePath` + explicit file list);
+  *  - [[merge]]/[[overwritePartitions]] rewrite only affected partitions'
+  *    entries; a partition drained to zero rows simply vanishes from the
+  *    manifest — no stale-directory deletion pass (the dynamic-overwrite
+  *    hack `MergeUpsert` needs on plain directories);
+  *  - single-writer by construction: the version-rename either wins or
+  *    fails (a lost race throws `ConcurrentModificationException`; a true
+  *    multi-writer deployment needs a compare-and-swap log store, exactly
+  *    as Delta does on S3);
+  *  - [[vacuum]] deletes files unreferenced by the retained manifests; run
+  *    it with a retention window longer than any reader, as every
+  *    manifest-based format requires.
+  */
+object ManifestTable {
+
+  private val Header = "graft-manifest-v1"
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(path: String) = new Path(path, "_manifests")
+  private def dataDir(path: String) = new Path(path, "data")
+  private def manifestName(v: Long) = f"m$v%012d.txt"
+
+  private case class Manifest(version: Long, schema: StructType,
+                              partitionCols: Seq[String], files: Seq[String])
+
+  // ------------------------------------------------------------------ reads
+
+  /** Highest committed version, or None when the table does not exist. */
+  def currentVersion(spark: SparkSession, path: String): Option[Long] = {
+    val f = fs(spark, path)
+    val dir = manifestDir(path)
+    if (!f.exists(dir)) None
+    else {
+      val vs = f.listStatus(dir).map(_.getPath.getName)
+        .filter(n => n.startsWith("m") && n.endsWith(".txt"))
+        .map(n => n.substring(1, n.length - 4).toLong)
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  private def readManifest(spark: SparkSession, path: String, version: Long): Manifest = {
+    val f = fs(spark, path)
+    val in = f.open(new Path(manifestDir(path), manifestName(version)))
+    val text = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    val lines = text.split("\n").toSeq
+    require(lines.headOption.contains(Header), s"not a graft manifest: version $version")
+    val schema = DataType.fromJson(
+      lines.find(_.startsWith("schema=")).get.stripPrefix("schema=")).asInstanceOf[StructType]
+    val parts = lines.find(_.startsWith("partitions=")).get.stripPrefix("partitions=")
+    Manifest(version, schema,
+      if (parts.isEmpty) Nil else parts.split(",").toSeq,
+      lines.filter(_.startsWith("file=")).map(_.stripPrefix("file=")))
+  }
+
+  /** Snapshot read of the current version (time travel: [[readVersion]]). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    readVersion(spark, path,
+      currentVersion(spark, path).getOrElse(sys.error(s"no manifest table at $path")))
+
+  /** Read a specific committed version — every manifest is immutable, so any
+    * retained (un-vacuumed) version stays readable forever.
+    */
+  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val m = readManifest(spark, path, version)
+    if (m.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+    else
+      spark.read.schema(m.schema)
+        .option("basePath", dataDir(path).toString)
+        .parquet(m.files.map(rel => new Path(dataDir(path), rel).toString): _*)
+  }
+
+  // ----------------------------------------------------------------- writes
+
+  /** Write df's files under `data/` with a commit-unique name prefix and
+    * return their table-relative paths. Files are produced by executors into
+    * a scratch dir, then renamed into the shared hive layout (rename = a
+    * metadata op on any real filesystem; partition dirs must be shared so
+    * readers get partition inference under one basePath).
+    */
+  private def writeDataFiles(spark: SparkSession, path: String, df: DataFrame,
+                             partitionCols: Seq[String]): Seq[String] = {
+    val commit = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val f = fs(spark, path)
+    val tmp = new Path(path, s"_tmp/$commit")
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
+
+    val moved = scala.collection.mutable.ArrayBuffer[String]()
+    val tmpUri = f.makeQualified(tmp).toUri
+    val it = f.listFiles(tmp, true)
+    while (it.hasNext) {
+      val file = it.next()
+      if (file.getPath.getName.endsWith(".parquet")) {
+        // partition subpath = dirs between tmp root and the file (both URIs
+        // must be fs-qualified or relativize returns the input unchanged)
+        val rel = tmpUri.relativize(file.getPath.toUri).getPath
+        val relDir = rel.split("/").dropRight(1).mkString("/")
+        val destDir = if (relDir.isEmpty) dataDir(path)
+                      else new Path(dataDir(path), relDir)
+        f.mkdirs(destDir)
+        val dest = new Path(destDir, s"$commit-${file.getPath.getName}")
+        if (!f.rename(file.getPath, dest)) sys.error(s"could not place $dest")
+        moved += (if (relDir.isEmpty) dest.getName else s"$relDir/${dest.getName}")
+      }
+    }
+    f.delete(tmp, true)
+    moved.toSeq
+  }
+
+  private[sources] def commit(spark: SparkSession, path: String, expected: Long,
+                              schema: StructType, partitionCols: Seq[String],
+                              files: Seq[String]): Long = {
+    val f = fs(spark, path)
+    f.mkdirs(manifestDir(path))
+    val body = (Seq(Header,
+      "schema=" + schema.json,
+      "partitions=" + partitionCols.mkString(",")) ++
+      files.map("file=" + _)).mkString("\n") + "\n"
+    val scratch = new Path(path, s"_tmp/manifest-${java.util.UUID.randomUUID()}")
+    val out = f.create(scratch, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val target = new Path(manifestDir(path), manifestName(expected))
+    // the version file is immutable: its atomic appearance IS the commit.
+    // A lost race (version already taken) aborts rather than clobbers.
+    if (f.exists(target) || !f.rename(scratch, target)) {
+      f.delete(scratch, false)
+      throw new java.util.ConcurrentModificationException(
+        s"version $expected of $path was committed concurrently")
+    }
+    expected
+  }
+
+  /** Create or replace the whole table as one snapshot. */
+  def overwrite(spark: SparkSession, path: String, df: DataFrame,
+                partitionCols: Seq[String] = Nil): Long = {
+    val next = currentVersion(spark, path).map(_ + 1).getOrElse(1L)
+    commit(spark, path, next, df.schema, partitionCols,
+      writeDataFiles(spark, path, df, partitionCols))
+  }
+
+  /** Append rows: new snapshot = previous files + this batch's files. */
+  def append(spark: SparkSession, path: String, df: DataFrame): Long =
+    currentVersion(spark, path) match {
+      case None => overwrite(spark, path, df)
+      case Some(v) =>
+        val m = readManifest(spark, path, v)
+        commit(spark, path, v + 1, m.schema, m.partitionCols,
+          m.files ++ writeDataFiles(spark, path, df, m.partitionCols))
+    }
+
+  /** Replace exactly the partitions present in `df` (dynamic-overwrite
+    * semantics, but transactional): untouched partitions keep their old
+    * manifest entries verbatim.
+    */
+  def overwritePartitions(spark: SparkSession, path: String, df: DataFrame): Long = {
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path — use overwrite"))
+    val m = readManifest(spark, path, v)
+    require(m.partitionCols.nonEmpty, "table is unpartitioned — use overwrite")
+    val added = writeDataFiles(spark, path, df, m.partitionCols)
+    val replacedDirs = added.map(rel => rel.split("/").dropRight(1).mkString("/")).toSet
+    val kept = m.files.filterNot(rel =>
+      replacedDirs.contains(rel.split("/").dropRight(1).mkString("/")))
+    commit(spark, path, v + 1, m.schema, m.partitionCols, kept ++ added)
+  }
+
+  /** Keyed MERGE (upsert): rows whose `keys` match existing rows replace
+    * them, new keys are appended. Only partitions touched by the update
+    * batch — including partitions holding the OLD copy of a moved key — are
+    * rewritten; a partition drained to zero rows just drops out of the
+    * manifest. Semantics mirror [[graft.operators.MergeUpsert]] (reference
+    * `etl.py`'s dedup-insert, §7.4.4) with a transactional commit.
+    */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+            keys: Seq[String], partitionCols: Seq[String] = Nil): Long =
+    currentVersion(spark, path) match {
+      case None => overwrite(spark, path, updates, partitionCols)
+      case Some(v) =>
+        val m = readManifest(spark, path, v)
+        val existing = readVersion(spark, path, v)
+        val ordered = existing.columns.map(col).toSeq
+        if (m.partitionCols.isEmpty) {
+          val kept = existing.join(updates.select(keys.map(col): _*), keys, "left_anti")
+          val next = kept.unionByName(updates.select(ordered: _*)).localCheckpoint(true)
+          commit(spark, path, v + 1, m.schema, Nil, writeDataFiles(spark, path, next, Nil))
+        } else {
+          val pCols = m.partitionCols.map(col)
+          // partitions named by the batch ∪ partitions holding old copies of
+          // the updated keys; bounded by the batch size, safe to collect
+          val affected = updates.select(pCols: _*)
+            .union(existing
+              .join(broadcast(updates.select(keys.map(col): _*).distinct()), keys, "left_semi")
+              .select(pCols: _*))
+            .distinct().collect().map(_.toSeq)
+          val affectedDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(affected.map(Row.fromSeq).toSeq, 1),
+            existing.select(pCols: _*).schema)
+          val kept = existing.join(broadcast(affectedDf), m.partitionCols)
+            .join(updates.select(keys.map(col): _*), keys, "left_anti")
+          val next = kept.unionByName(updates.select(ordered: _*)).localCheckpoint(true)
+          val added = writeDataFiles(spark, path, next, m.partitionCols)
+          // remove every affected partition's old entries (NOT just dirs the
+          // new files landed in — a drained partition writes no files)
+          val affectedDirs = affected.map(vals =>
+            m.partitionCols.zip(vals).map { case (c, value) =>
+              s"$c=${org.apache.spark.sql.graft.bridge.escapePathValue(value)}"
+            }.mkString("/")).toSet
+          val keptFiles = m.files.filterNot(rel =>
+            affectedDirs.contains(rel.split("/").dropRight(1).mkString("/")))
+          commit(spark, path, v + 1, m.schema, m.partitionCols, keptFiles ++ added)
+        }
+    }
+
+  /** Rewrite the current snapshot into ~`targetRowsPerFile`-row files —
+    * same sizing discipline as `Maintenance.compact`, but readers of the
+    * previous version are completely unaffected (no swap window; the old
+    * files live until [[vacuum]]).
+    */
+  def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): Long = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    val sized = graft.operators.Maintenance.sizedRepartition(
+      readVersion(spark, path, v), m.partitionCols, targetRowsPerFile)
+      .localCheckpoint(true) // materialize before writing (self-read safety)
+    commit(spark, path, v + 1, m.schema, m.partitionCols,
+      writeDataFiles(spark, path, sized, m.partitionCols))
+  }
+
+  /** Delete data files referenced by none of the `keepVersions` most recent
+    * manifests, then the superseded manifests themselves. Returns the number
+    * of data files deleted. Run only when no reader still holds a manifest
+    * older than the retention window.
+    */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): Int = {
+    require(keepVersions >= 1, "must keep at least the current version")
+    val f = fs(spark, path)
+    val dir = manifestDir(path)
+    if (!f.exists(dir)) return 0
+    val versions = f.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("m") && n.endsWith(".txt"))
+      .map(n => n.substring(1, n.length - 4).toLong).sorted
+    val keep = versions.takeRight(keepVersions)
+    val referenced = keep.flatMap(readManifest(spark, path, _).files).toSet
+    var deleted = 0
+    val dataUri = f.makeQualified(dataDir(path)).toUri
+    val it = f.listFiles(dataDir(path), true)
+    val doomed = scala.collection.mutable.ArrayBuffer[Path]()
+    while (it.hasNext) {
+      val file = it.next()
+      if (file.getPath.getName.endsWith(".parquet")) {
+        val rel = dataUri.relativize(file.getPath.toUri).getPath
+        if (!referenced.contains(rel)) doomed += file.getPath
+      }
+    }
+    doomed.foreach { p => if (f.delete(p, false)) deleted += 1 }
+    versions.dropRight(keepVersions).foreach(v =>
+      f.delete(new Path(dir, manifestName(v)), false))
+    deleted
+  }
+}

@@ -24,4 +24,13 @@ object bridge {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(true)
       case _ => ()
     }
+
+  /** Hive-style partition-directory escaping, exactly as Spark's writer
+    * applies it (special chars percent-encoded, nulls →
+    * `__HIVE_DEFAULT_PARTITION__`) — needed to map partition VALUES back to
+    * the directory names the writer produced.
+    */
+  def escapePathValue(v: Any): String =
+    if (v == null) org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+    else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(String.valueOf(v))
 }

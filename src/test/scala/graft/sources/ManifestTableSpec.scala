@@ -1,0 +1,134 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class ManifestTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String = Files.createTempDirectory("mt").toString + "/t"
+
+  test("overwrite / read round-trip, partitioned and unpartitioned") {
+    val flat = tmpTable()
+    val df = Seq((1L, "a", 2020), (2L, "b", 2021), (3L, "c", 2020)).toDF("id", "v", "year")
+    ManifestTable.overwrite(spark, flat, df)
+    assert(ManifestTable.read(spark, flat).orderBy("id").collect()
+      === df.orderBy("id").collect())
+
+    val part = tmpTable()
+    ManifestTable.overwrite(spark, part, df, Seq("year"))
+    val back = ManifestTable.read(spark, part)
+    assert(back.columns.sorted === Array("id", "v", "year"))
+    assert(back.count() === 3)
+    assert(back.filter(col("year") === 2020).count() === 2)
+  }
+
+  test("partition pruning reaches the snapshot scan") {
+    val path = tmpTable()
+    val df = (1 to 100).map(i => (i.toLong, s"v$i", 2000 + i % 4)).toDF("id", "v", "year")
+    ManifestTable.overwrite(spark, path, df, Seq("year"))
+    val plan = ManifestTable.read(spark, path).filter(col("year") === 2001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("year"),
+      s"expected partition filter in:\n$plan")
+  }
+
+  test("append adds a snapshot; old versions stay readable (time travel)") {
+    val path = tmpTable()
+    val v1 = ManifestTable.overwrite(spark, path,
+      Seq((1L, "a", 2020)).toDF("id", "v", "year"), Seq("year"))
+    val v2 = ManifestTable.append(spark, path,
+      Seq((2L, "b", 2021)).toDF("id", "v", "year"))
+    assert(v2 === v1 + 1)
+    assert(ManifestTable.readVersion(spark, path, v1).count() === 1)
+    assert(ManifestTable.read(spark, path).count() === 2)
+  }
+
+  test("merge replaces matched keys, moves keys across partitions, drops drained partitions") {
+    val path = tmpTable()
+    ManifestTable.overwrite(spark, path,
+      Seq((1L, "alice", "free"), (2L, "bob", "free"), (3L, "cara", "paid"))
+        .toDF("id", "name", "level"), Seq("level"))
+    // flip cara to free (drains level=paid), update bob in place, insert dave
+    ManifestTable.merge(spark, path,
+      Seq((3L, "cara", "free"), (2L, "bob2", "free"), (4L, "dave", "paid"))
+        .toDF("id", "name", "level"), keys = Seq("id"))
+    val got = ManifestTable.read(spark, path)
+      .select("id", "name", "level").as[(Long, String, String)].collect().toSet
+    assert(got === Set((1L, "alice", "free"), (2L, "bob2", "free"),
+      (3L, "cara", "free"), (4L, "dave", "paid")))
+
+    // drain level=paid entirely: its entries must vanish from the manifest
+    ManifestTable.merge(spark, path,
+      Seq((4L, "dave", "free")).toDF("id", "name", "level"), keys = Seq("id"))
+    val after = ManifestTable.read(spark, path)
+    assert(after.filter(col("level") === "paid").count() === 0)
+    assert(after.count() === 4)
+  }
+
+  test("compact shrinks file count; vacuum removes unreferenced files") {
+    val path = tmpTable()
+    val df = (1 to 400).map(i => (i.toLong, s"v$i", i % 2)).toDF("id", "v", "part")
+    ManifestTable.overwrite(spark, path, df.repartition(8), Seq("part"))
+    (1 to 3).foreach(k => ManifestTable.append(spark, path,
+      Seq((1000L + k, "x", k % 2)).toDF("id", "v", "part")))
+    val before = graft.operators.Maintenance.fileCount(spark, path + "/data")
+    val beforeRows = ManifestTable.read(spark, path).count()
+
+    ManifestTable.compact(spark, path, targetRowsPerFile = 100000)
+    val m = ManifestTable.read(spark, path)
+    assert(m.count() === beforeRows)
+    // current snapshot references few files, old ones still on disk
+    val onDisk = graft.operators.Maintenance.fileCount(spark, path + "/data")
+    assert(onDisk === before + 2, "compact adds files; nothing deleted yet")
+
+    val deleted = ManifestTable.vacuum(spark, path, keepVersions = 1)
+    assert(deleted === before.toInt)
+    assert(ManifestTable.read(spark, path).count() === beforeRows)
+    assert(graft.operators.Maintenance.fileCount(spark, path + "/data") === 2)
+  }
+
+  test("a concurrent reader never observes a partial table during compact/merge") {
+    val path = tmpTable()
+    val df = (1 to 200).map(i => (i.toLong, s"v$i", i % 2)).toDF("id", "v", "part")
+    ManifestTable.overwrite(spark, path, df.repartition(4), Seq("part"))
+
+    @volatile var failure: Option[Throwable] = None
+    @volatile var stop = false
+    val observed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val reader = new Thread(() => {
+      try {
+        while (!stop) { observed.add(ManifestTable.read(spark, path).count()) }
+      } catch { case t: Throwable => failure = Some(t) }
+    })
+    reader.start()
+    try {
+      (1 to 4).foreach { k =>
+        ManifestTable.compact(spark, path, targetRowsPerFile = 50)
+        ManifestTable.merge(spark, path,
+          Seq((300L + k, "new", k % 2)).toDF("id", "v", "part"), keys = Seq("id"))
+      }
+    } finally { stop = true; reader.join(60000) }
+
+    assert(failure.isEmpty, s"reader failed: $failure")
+    // valid counts: 200 (initial, post-compact) .. 204 (after each merge)
+    val valid = (200L to 204L).toSet
+    import scala.jdk.CollectionConverters._
+    assert(observed.asScala.toSet.subsetOf(valid),
+      s"reader saw inconsistent snapshots: ${observed.asScala.toSet -- valid}")
+    assert(ManifestTable.read(spark, path).count() === 204)
+  }
+
+  test("commit races abort instead of clobbering") {
+    val path = tmpTable()
+    val df = Seq((1L, "a")).toDF("id", "v")
+    ManifestTable.overwrite(spark, path, df)
+    // a lost race = the expected version number is already taken when the
+    // rename happens; the second committer must abort, not overwrite
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.commit(spark, path, expected = 1L, df.schema, Nil, Nil)
+    }
+    assert(ManifestTable.read(spark, path).count() === 1, "winner's snapshot intact")
+  }
+}
