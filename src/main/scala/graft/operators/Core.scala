@@ -49,6 +49,18 @@ object LatestPerKey {
 object AntiJoinInsert {
   def newRows(staged: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
     staged.join(existing.select(keys.map(col): _*), keys, "left_anti")
+
+  /** Null-safe variant (`<=>` on every key): a NULL key component matches a
+    * NULL in the target, so rows with nullable keys (e.g. a fact row whose
+    * dimension lookup missed) are not re-inserted on every run — with plain
+    * equality NULL never equals NULL and such rows duplicate forever
+    * (the reference's songplays key `(start_time, song_id, sessionId)` has
+    * exactly this bug for unmatched songs, `etl.py:275-277`).
+    */
+  def newRowsNullSafe(staged: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame = {
+    val ex = existing.select(keys.map(k => col(k).as("__ex_" + k)): _*)
+    staged.join(ex, keys.map(k => col(k) <=> col("__ex_" + k)).reduce(_ && _), "left_anti")
+  }
 }
 
 /** Fact enrichment join (reference J5a, `etl.py:244-247`): left-outer join of
