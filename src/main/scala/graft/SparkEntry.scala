@@ -170,6 +170,16 @@ object SparkEntry {
         everyNthCentroid = 50, nProbe = 3)
     }),
 
+    // IVF with 2 deterministic Lloyd iterations: the quantized-int64 member
+    // mean makes the trained centroids bit-identical across engines, so the
+    // whole k-means pipeline (assign → mean → reassign → probe → rank) is
+    // hash-checked against DuckDB, not just spec-checked
+    "q_ann_ivf_refined" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5,
+        everyNthCentroid = 50, nProbe = 3, refineIters = 2)
+    }),
+
     // ---- LLM-pipeline: text analysis ----
     "q_text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
@@ -322,6 +332,61 @@ object SparkEntry {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
   private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  /** Nearest-centroid assignment CTE (ties → lowest cell id), shared by the
+    * IVF oracles. */
+  private def assignCteSql(name: String, cents: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, cell, embedding FROM (
+       |    SELECT n.vec_id, c.cell, n.embedding,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY ${dotSql("n.embedding", "c.cv")} / (${normSql("n.embedding")} * ${normSql("c.cv")}) DESC,
+       |                      c.cell) AS crk
+       |    FROM n CROSS JOIN $cents c) WHERE crk = 1)""".stripMargin
+
+  /** Oracle for the k-means-refined IVF (`Similarity.refineCentroids`): the
+    * quantized-int64 member mean (round(v·1e6) summed exactly, divided in
+    * DOUBLE, narrowed to REAL) re-derives centroids bit-identical to Spark's,
+    * so the full trained pipeline hash-compares. */
+  private def refinedIvfOracle(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("WITH n AS (SELECT vec_id, embedding FROM embeddings),\n")
+    sb.append("cents0 AS (SELECT vec_id AS cell, embedding AS cv FROM n WHERE vec_id % 50 = 0)")
+    for (k <- 0 until iters) {
+      sb.append(",\n").append(assignCteSql(s"assign$k", s"cents$k"))
+      sb.append(
+        s""",
+           |ex$k AS (SELECT cell, unnest(range(1, len(embedding)+1)) AS i, embedding FROM assign$k),
+           |qm$k AS (SELECT cell, i,
+           |  SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS sq,
+           |  count(*) AS cnt FROM ex$k GROUP BY cell, i),
+           |cents${k + 1} AS (SELECT cell,
+           |  list(CAST(CAST(sq AS DOUBLE) / cnt / 1000000 AS REAL) ORDER BY i) AS cv
+           |  FROM qm$k GROUP BY cell)""".stripMargin)
+    }
+    sb.append(",\n").append(assignCteSql("afinal", s"cents$iters"))
+    sb.append(
+      s""",
+         |q AS (SELECT vec_id AS q_id, embedding AS qv FROM n WHERE vec_id < 8),
+         |probes AS (
+         |  SELECT q_id, qv, cell FROM (
+         |    SELECT q.q_id, q.qv, c.cell,
+         |           row_number() OVER (PARTITION BY q.q_id
+         |             ORDER BY ${dotSql("q.qv", "c.cv")} / (${normSql("q.qv")} * ${normSql("c.cv")}) DESC,
+         |                      c.cell) AS crk
+         |    FROM q CROSS JOIN cents$iters c) WHERE crk <= 3),
+         |scored AS (
+         |  SELECT p.q_id, a.vec_id AS n_id,
+         |         ${dotSql("p.qv", "a.embedding")} / (${normSql("p.qv")} * ${normSql("a.embedding")}) AS c
+         |  FROM probes p JOIN afinal a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.q_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, c,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS INT) AS rk
+         |  FROM scored)
+         |SELECT q_id, n_id, round(c, 6) AS cos, rk FROM ranked WHERE rk <= 5""".stripMargin)
+    sb.toString
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_dim_customer" ->
@@ -508,6 +573,8 @@ object SparkEntry {
          |         ${dotSql("a.embedding", "b.embedding")} / (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS c
          |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, round(c, 6) AS cos FROM p WHERE c >= 0.42""".stripMargin,
+
+    "q_ann_ivf_refined" -> refinedIvfOracle(2),
 
     "q_ann_ivf" ->
       s"""WITH n AS (SELECT vec_id, embedding FROM embeddings),

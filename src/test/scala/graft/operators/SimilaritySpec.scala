@@ -52,6 +52,29 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.size === exact.size)
   }
 
+  test("k-means-refined IVF recall is at least the seed-centroid recall") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    def recallOf(iters: Int): Double = {
+      val approx = Similarity.ivfTopK(emb, queries, k = 5,
+        everyNthCentroid = 50, nProbe = 3, refineIters = iters)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val seed = recallOf(0)
+    val refined = recallOf(2)
+    assert(refined >= seed, s"Lloyd refinement lowered recall: $refined < $seed")
+  }
+
+  test("refineCentroids is bit-deterministic across input partitionings") {
+    val seeds = Similarity.centroids(emb, 50)
+    def run(parts: Int): Map[Long, Seq[Float]] =
+      Similarity.refineCentroids(emb.repartition(parts), seeds, iters = 2)
+        .as[(Long, Seq[Float])].collect().toMap
+    assert(run(3) === run(17))
+  }
+
   test("cosineDupPairs blocked by cells is a subset of unblocked pairs") {
     val all = Similarity.cosineDupPairs(emb, threshold = 0.4)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
