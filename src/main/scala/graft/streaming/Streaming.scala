@@ -56,49 +56,95 @@ object Streaming {
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                               n_events: Long, total_value: Double)
 
+  /** Shared per-key session step: fold this batch's events (sorted by event
+    * time) into the running session, emitting every session closed inline by
+    * a post-gap event; on a timeout invocation, flush and drop the idle
+    * session. `setTimeout` re-arms the chosen timeout after a state update.
+    */
+  private def sessionStep(user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+                          state: GroupState[SessionState], gapMs: Long,
+                          setTimeout: SessionState => Unit): Iterator[SessionOut] =
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator(SessionOut(user, new java.sql.Timestamp(s.start), s.n, s.sum))
+    } else {
+      var closed = List.empty[SessionOut]
+      var cur = state.getOption.orNull
+      rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, v) =>
+        val t = ts.getTime
+        cur match {
+          case null => cur = SessionState(t, t, 1, v)
+          case s if t - s.last > gapMs =>
+            closed ::= SessionOut(user, new java.sql.Timestamp(s.start), s.n, s.sum)
+            cur = SessionState(t, t, 1, v)
+          // also reached by late (out-of-order) events, which may precede the
+          // session's current span — extend both ends, never rewind `last`
+          case s => cur = SessionState(math.min(s.start, t), math.max(s.last, t),
+            s.n + 1, s.sum + v)
+        }
+      }
+      if (cur != null) {
+        state.update(cur)
+        setTimeout(cur)
+      }
+      closed.reverseIterator
+    }
+
+  private def typedEvents(spark: SparkSession, events: DataFrame) = {
+    import spark.implicits._
+    events.select(col("user_id").cast("long"),
+      col("ts").cast("timestamp"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+  }
+
   /** Stateful gap sessionization via flatMapGroupsWithState — the streaming
     * twin of `operators.Sessionize`. A session also closes inline when a
     * later event for the key arrives past the gap; with `useTimeout` the
-    * processing-time timeout additionally flushes idle keys (production
-    * mode — tests run without it because timeouts never fire under
-    * `processAllAvailable`).
+    * processing-time timeout additionally flushes idle keys (tests run
+    * without it because timeouts never fire under `processAllAvailable`).
+    *
+    * Prefer [[sessionizeEventTime]] on an unbounded feed: processing-time
+    * flush ties session closure to wall-clock arrival, so a replay/backfill
+    * (events arriving fast) closes sessions too late and a stalled source
+    * closes them too early. The event-time variant is driven solely by the
+    * data's own clock.
     */
   def sessionize(spark: SparkSession, events: DataFrame, gapMs: Long,
                  useTimeout: Boolean = true): DataFrame = {
     import spark.implicits._
-    val typed = events.select(col("user_id").cast("long"),
-      col("ts").cast("timestamp"), col("value").cast("double"))
-      .as[(Long, java.sql.Timestamp, Double)]
-
     val timeoutConf =
       if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
-    typed.groupByKey(_._1)
+    val sessions = typedEvents(spark, events).groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
-         state: GroupState[SessionState]) => {
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(SessionOut(user, new java.sql.Timestamp(s.start), s.n, s.sum))
-          } else {
-            var closed = List.empty[SessionOut]
-            var cur = state.getOption.orNull
-            rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, v) =>
-              val t = ts.getTime
-              cur match {
-                case null => cur = SessionState(t, t, 1, v)
-                case s if t - s.last > gapMs =>
-                  closed ::= SessionOut(user, new java.sql.Timestamp(s.start), s.n, s.sum)
-                  cur = SessionState(t, t, 1, v)
-                case s => cur = SessionState(s.start, t, s.n + 1, s.sum + v)
-              }
-            }
-            if (cur != null) {
-              state.update(cur)
-              if (useTimeout) state.setTimeoutDuration(gapMs)
-            }
-            closed.reverseIterator
-          }
-        }).toDF()
+         state: GroupState[SessionState]) =>
+          sessionStep(user, rows, state, gapMs,
+            _ => if (useTimeout) state.setTimeoutDuration(gapMs)))
+    sessions.toDF()
+  }
+
+  /** Event-time sessionization: idle sessions are flushed when the
+    * **watermark** (not the wall clock) passes `last event + gap` — the
+    * correct unbounded-feed semantics. Late events inside the watermark
+    * delay still extend their session; state for a key is dropped exactly
+    * when no in-watermark event can reach it anymore, so state size stays
+    * bounded by the number of keys active within one gap+delay horizon.
+    */
+  def sessionizeEventTime(spark: SparkSession, events: DataFrame, gapMs: Long,
+                          watermarkDelay: String): DataFrame = {
+    import spark.implicits._
+    val sessions = typedEvents(spark, events)
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[SessionState]) =>
+          sessionStep(user, rows, state, gapMs,
+            // the deadline must sit strictly past the current watermark or
+            // Spark rejects it (the event that set it may itself be late)
+            s => state.setTimeoutTimestamp(
+              math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))))
+    sessions.toDF()
   }
 }

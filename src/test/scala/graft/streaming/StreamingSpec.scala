@@ -46,6 +46,54 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("event_type") === "view").head().getAs[Long]("n") === 1L)
   }
 
+  test("event-time sessionize flushes an idle session once the watermark passes it") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = in.toDF().toDF("user_id", "ts", "value")
+    val q = Streaming.sessionizeEventTime(spark, df, gapMs = 30 * 60 * 1000L,
+      watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sess_et_out").outputMode("append").start()
+    // user 1's session: two events, never followed by another user-1 event
+    in.addData(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sess_et_out").isEmpty) // watermark hasn't passed the gap yet
+    // a user-2 event 3h later advances the watermark to 02:50 — past
+    // user 1's 00:10 + 30min deadline — so the idle session must flush
+    // with no further user-1 input (the processing-time variant would sit
+    // on it forever here)
+    in.addData((2L, java.sql.Timestamp.valueOf("2024-01-01 03:00:00"), 5.0))
+    q.processAllAvailable(); q.stop()
+    val closed = spark.table("sess_et_out").collect()
+    assert(closed.exists(r => r.getAs[Long]("user_id") == 1L &&
+      r.getAs[Long]("n_events") == 2L && r.getAs[Double]("total_value") == 3.0))
+  }
+
+  test("event-time sessionize extends a session with late in-watermark events") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = in.toDF().toDF("user_id", "ts", "value")
+    val q = Streaming.sessionizeEventTime(spark, df, gapMs = 30 * 60 * 1000L,
+      watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("sess_late_out").outputMode("append").start()
+    in.addData((1L, java.sql.Timestamp.valueOf("2024-01-01 00:20:00"), 2.0))
+    q.processAllAvailable()
+    // arrives out of order (event time before the first event) but within
+    // the 1h watermark delay → must merge into the same session
+    in.addData((1L, java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 1.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to flush user 1
+    in.addData((2L, java.sql.Timestamp.valueOf("2024-01-01 05:00:00"), 0.0))
+    q.processAllAvailable(); q.stop()
+    val user1 = spark.table("sess_late_out").filter(col("user_id") === 1).collect()
+    assert(user1.length === 1)
+    assert(user1.head.getAs[Long]("n_events") === 2L)
+    assert(user1.head.getAs[Double]("total_value") === 3.0)
+    assert(user1.head.getAs[java.sql.Timestamp]("session_start") ===
+      java.sql.Timestamp.valueOf("2024-01-01 00:05:00"))
+  }
+
   test("stateful sessionize closes a session on gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
