@@ -107,15 +107,23 @@ object Similarity {
     }
 
   /** Assign each corpus vector to its nearest centroid (max cosine; ties →
-    * lowest cell id). Centroids are broadcast; one window per vector.
+    * lowest cell id). Centroids are broadcast; the argmax is a hash
+    * aggregate over `max(struct(ccos, -cell, …))` rather than a rank
+    * window, so the (vector × centroid) expansion is collapsed by map-side
+    * partial aggregation before the shuffle — wire volume is one row per
+    * vector, not nCells rows per vector.
     */
-  def assignCells(corpus: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = corpus.join(broadcast(cents))
+  def assignCells(corpus: DataFrame, cents: DataFrame): DataFrame =
+    corpus.join(broadcast(cents))
       .withColumn("ccos", cosineSim(col("embedding"), col("cv")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
-    scored.withColumn("crk", row_number().over(w)).filter(col("crk") === 1)
-      .drop("cv", "ccos", "crk")
-  }
+      // lexicographic struct max ≡ ORDER BY ccos DESC, cell ASC LIMIT 1;
+      // (ccos, -cell) is unique per vector, so the trailing payload fields
+      // never participate in the comparison
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos"), (-col("cell")).as("neg_cell"),
+        col("embedding").as("e"))).as("best"))
+      .select(col("vec_id"), col("best.e").as("embedding"),
+        (-col("best.neg_cell")).as("cell"))
 
   /** IVF-style ANN: probe the `nProbe` nearest cells per query, exact top-k
     * within the probed cells. With `refineIters > 0` the seed centroids are
