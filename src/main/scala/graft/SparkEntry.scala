@@ -189,6 +189,66 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.payloadMeta(Multimodal.synthesize(Tables.documents(s, d), "doc_id", "text"))),
 
+    // ---- LLM-pipeline: training-data curation ----
+    // PII is synthesized deterministically (same expressions in the oracle)
+    // so the redaction rules are actually exercised — the fixture corpus
+    // itself contains none
+    "q_redact_pii" -> ((s, d) => {
+      val withPii = Tables.documents(s, d).withColumn("text", concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" 10.0."), (col("doc_id") % 256).cast("string"), lit(".1")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" 9"), lpad(col("doc_id").cast("string"), 9, "0")))
+          .otherwise(lit(""))))
+      TrainingData.redactPii(withPii, "text")
+        .select("doc_id", "clean", "n_emails", "n_ips", "n_nums")
+    }),
+
+    "q_gopher_quality" -> ((s, d) =>
+      TrainingData.repetitionStats(Tables.documents(s, d), "doc_id", "text")),
+
+    "q_split_assign" -> ((s, d) =>
+      TrainingData.splitAssign(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")),
+
+    "q_pack_chunks" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).as("n_tokens"))
+      TrainingData.contextChunks(toks, "doc_id", "n_tokens", ctxSize = 128, nShards = 8)
+    }),
+
+    // ---- native session windows (Spark session_window ≡ gaps-and-islands) ----
+    "q_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("total_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"), col("total_value"))),
+
+    // ---- runtime-filter join pruning (result ≡ plain join) ----
+    "q_bloom_join" -> ((s, d) => {
+      val build = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      BloomPrune.join(Tables.orders(s, d), "o_custkey", build, "c_custkey",
+        expectedKeys = 200000L)
+        .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+    }),
+
+    // ---- snapshot diff (CDC-style audit of an incremental load) ----
+    "q_snapshot_diff" -> ((s, d) => {
+      val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      val newer = orders.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 53 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+        .unionAll(orders.filter(col("o_orderkey") % 101 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit(1.0).as("o_totalprice")))
+      SnapshotDiff(orders, newer, Seq("o_orderkey"), Seq("o_totalprice"))
+    }),
+
     // ---- as-of join (time-series enrichment) ----
     "q_asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -713,6 +773,112 @@ object SparkEntry {
         |trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS clean_text,
         |CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS INT) AS n_clean_chars
         |FROM documents""".stripMargin,
+
+    "q_redact_pii" ->
+      s"""WITH synth AS (
+         |  SELECT doc_id,
+         |    text ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN ' 9' || lpad(CAST(doc_id AS VARCHAR), 9, '0') ELSE '' END AS t
+         |  FROM documents),
+         |r1 AS (SELECT doc_id, regexp_replace(t, '${TrainingData.EmailRe}', '[EMAIL]', 'g') AS t1 FROM synth),
+         |r2 AS (SELECT doc_id, t1, regexp_replace(t1, '${TrainingData.Ipv4Re}', '[IP]', 'g') AS t2 FROM r1),
+         |r3 AS (SELECT doc_id, t1, t2, regexp_replace(t2, '${TrainingData.LongDigitsRe}', '[NUM]', 'g') AS t3 FROM r2)
+         |SELECT doc_id, t3 AS clean,
+         |  CAST(len(string_split(t1, '[EMAIL]')) - 1 AS INT) AS n_emails,
+         |  CAST(len(string_split(t2, '[IP]')) - 1 AS INT) AS n_ips,
+         |  CAST(len(string_split(t3, '[NUM]')) - 1 AS INT) AS n_nums
+         |FROM r3""".stripMargin,
+
+    "q_gopher_quality" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+         |base AS (SELECT doc_id, ws, CAST(len(ws) AS INT) AS n_words FROM toks),
+         |tok AS (SELECT doc_id, unnest(ws) AS t FROM toks),
+         |wc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+         |topw AS (SELECT doc_id, max(c) AS top_word_n, SUM(length(t) * c) AS char_sum FROM wc GROUP BY doc_id),
+         |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+         |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks)),
+         |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+         |topb AS (SELECT doc_id, max(c) AS top_bigram_n FROM bc GROUP BY doc_id),
+         |stats AS (
+         |  SELECT base.doc_id, n_words,
+         |    round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / n_words, 6) AS dup_word_frac,
+         |    round(CAST(top_word_n AS DOUBLE) / n_words, 6) AS top_word_frac,
+         |    round(CAST(coalesce(top_bigram_n, 0) AS DOUBLE) / greatest(n_words - 1, 1), 6) AS top_bigram_frac,
+         |    round(CAST(len(list_filter(ws, x -> x IN ('the','a','an','of','to','and','in','is','it','that'))) AS DOUBLE) / n_words, 6) AS stopword_frac,
+         |    round(CAST(char_sum AS DOUBLE) / n_words, 6) AS mean_word_len
+         |  FROM base
+         |  JOIN topw ON base.doc_id = topw.doc_id
+         |  LEFT JOIN topb ON base.doc_id = topb.doc_id)
+         |SELECT doc_id, n_words, dup_word_frac, top_word_frac, top_bigram_frac,
+         |  stopword_frac, mean_word_len,
+         |  CAST(n_words BETWEEN 10 AND 100000 AND mean_word_len BETWEEN 2.0 AND 12.0
+         |       AND top_word_frac <= 0.20 AND dup_word_frac <= 0.80
+         |       AND stopword_frac >= 0.01 AS INT) AS gopher_ok
+         |FROM stats""".stripMargin,
+
+    "q_split_assign" ->
+      """WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |b AS (SELECT doc_id, lang,
+        |  CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS INT) AS bucket FROM h)
+        |SELECT doc_id, lang, bucket,
+        |  CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
+        |FROM b""".stripMargin,
+
+    "q_pack_chunks" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens,
+         |  CAST(doc_id % 8 AS INT) AS shard FROM documents),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |  SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end FROM t)
+         |SELECT doc_id, shard,
+         |  CAST(tok_end - n_tokens AS BIGINT) AS tok_offset,
+         |  CAST(tok_end AS BIGINT) AS tok_end,
+         |  CAST((tok_end - n_tokens) // 128 AS BIGINT) AS chunk_first,
+         |  CAST((tok_end - 1) // 128 AS BIGINT) AS chunk_last
+         |FROM c""".stripMargin,
+
+    "q_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        |  FROM x)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, seq""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT o_orderkey, o_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH old AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |newt AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 53 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 1.0 FROM orders WHERE o_orderkey % 101 = 0)
+        |SELECT * FROM (
+        |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |         WHEN n.o_orderkey IS NULL THEN 'removed'
+        |         WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed' END AS change,
+        |    o.o_totalprice AS old_o_totalprice, n.o_totalprice AS new_o_totalprice
+        |  FROM old o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey)
+        |WHERE change IS NOT NULL""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,

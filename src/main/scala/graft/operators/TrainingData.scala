@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators for LLM pipelines (north-star brief):
+  * PII redaction, Gopher-style repetition/quality rules, deterministic
+  * train/val/test splits, and context-window packing. Everything is pure
+  * column algebra — codegen-friendly, no UDFs, no driver loops — and
+  * deterministic, so each operator carries a DuckDB oracle.
+  *
+  * Reference counterpart: none — the reference (etl.py) stops at star-schema
+  * ETL; these are the operations its data lake would need to feed model
+  * training at 100 TB.
+  */
+object TrainingData {
+
+  // ---------------------------------------------------------------------------
+  // PII redaction
+
+  /** Regexes shared verbatim with the DuckDB oracle (RE2-compatible subset:
+    * no backrefs, no lookaround — also the fastest path through Java regex).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val LongDigitsRe = "\\b[0-9]{9,}\\b"
+
+  /** Scrub emails, IPv4 addresses, and long digit runs (ids, card/phone
+    * numbers) from `textCol`, and count what was removed. Order matters:
+    * emails first (their local part may contain digits), then IPs (dotted
+    * digits would otherwise partially match the digit rule), then digit runs.
+    *
+    * Scale: three codegen'd regexp_replace passes, no shuffle — a pure map.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EmailRe, "[EMAIL]")
+    val t2 = regexp_replace(t1, Ipv4Re, "[IP]")
+    val t3 = regexp_replace(t2, LongDigitsRe, "[NUM]")
+    df.withColumn("clean", t3)
+      .withColumn("n_emails", size(split(t1, "\\[EMAIL\\]", -1)) - 1)
+      .withColumn("n_ips", size(split(t2, "\\[IP\\]", -1)) - 1)
+      .withColumn("n_nums", size(split(t3, "\\[NUM\\]", -1)) - 1)
+  }
+
+  // ---------------------------------------------------------------------------
+  // Gopher-style repetition / quality rules
+
+  /** Per-document repetition and quality signals in the style of the Gopher
+    * / C4 filtering rules, adapted to word granularity:
+    *   - `dup_word_frac`    — 1 − distinct/total words (repetition);
+    *   - `top_word_frac`    — occurrences of the most frequent word / total;
+    *   - `top_bigram_frac`  — occurrences of the most frequent word bigram / (total−1);
+    *   - `stopword_frac`    — fraction of words in a tiny function-word list
+    *                          (a document with none is usually not prose);
+    *   - `mean_word_len`    — Gopher keeps 3..10;
+    *   - `gopher_ok`        — conjunction of the standard thresholds.
+    *
+    * All signals are higher-order-function folds over the token array — one
+    * projection, no explode, no shuffle; the most-frequent-element counts use
+    * `aggregate` over a sorted copy so they stay O(n log n) per row without
+    * a map-typed intermediate.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = graft.functions.TextFunctions.tokens(col(textCol))
+    val nw = size(col("ws")).cast("int")
+    val stopwords = Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+
+    df.select(col(idCol), col(textCol))
+      .withColumn("ws", words)
+      .withColumn("n_words", nw)
+      .withColumn("bigrams", expr(
+        "transform(slice(ws, 1, size(ws) - 1), (w, i) -> concat(w, ' ', ws[i + 1]))"))
+      .withColumn("top_word_n", expr(maxRunSql("ws")))
+      .withColumn("top_bigram_n", expr(maxRunSql("bigrams")))
+      .withColumn("n_stop", size(filter(col("ws"),
+        w => w.isin(stopwords.map(lit): _*))).cast("int"))
+      .withColumn("dup_word_frac",
+        round(lit(1.0) - size(array_distinct(col("ws"))).cast("double") / nw, 6))
+      .withColumn("top_word_frac", round(col("top_word_n").cast("double") / nw, 6))
+      .withColumn("top_bigram_frac",
+        round(col("top_bigram_n").cast("double") / greatest(nw - 1, lit(1)), 6))
+      .withColumn("stopword_frac", round(col("n_stop").cast("double") / nw, 6))
+      .withColumn("mean_word_len", round(
+        aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).cast("double") / nw, 6))
+      .withColumn("gopher_ok",
+        col("n_words").between(10, 100000) &&
+          col("mean_word_len").between(2.0, 12.0) &&
+          col("top_word_frac") <= 0.20 &&
+          col("dup_word_frac") <= 0.80 &&
+          col("stopword_frac") >= 0.01)
+      .select(idCol, "n_words", "dup_word_frac", "top_word_frac", "top_bigram_frac",
+        "stopword_frac", "mean_word_len", "gopher_ok")
+  }
+
+  /** SQL fold for the most-frequent-element count of a (string) array
+    * column: sort, then count the longest equal-run. Shared shape with the
+    * DuckDB oracle. */
+  private def maxRunSql(arrCol: String): String =
+    s"""aggregate(array_sort($arrCol),
+       |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+       |  (acc, x) -> named_struct(
+       |    'prev', x,
+       |    'run', IF(acc.prev <=> x, acc.run + 1, 1),
+       |    'best', GREATEST(acc.best, IF(acc.prev <=> x, acc.run + 1, 1))),
+       |  acc -> acc.best)""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Deterministic train/val/test split
+
+  /** Assign each row to train/val/test by hashing its id — stable across
+    * runs, engines, partitionings, and data order, so a document keeps its
+    * split forever (the property that prevents train/test leakage when the
+    * corpus is re-ingested). Bucket = first two hex chars of md5(id) ∈
+    * [0, 256): < 204 → train (~80%), < 230 → val (~10%), else test (~10%).
+    *
+    * Scale: pure map — md5 of the key only; no shuffle, no RNG state.
+    */
+  def splitAssign(df: DataFrame, idCol: String): DataFrame = {
+    val h = md5(col(idCol).cast("string"))
+    val hexDigit = (c: Column) => (instr(lit("0123456789abcdef"), c) - 1).cast("int")
+    val bucket = hexDigit(substring(h, 1, 1)) * 16 + hexDigit(substring(h, 2, 1))
+    df.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < 204, "train")
+          .when(col("bucket") < 230, "val")
+          .otherwise("test"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Context-window packing
+
+  /** Pack the token stream into fixed-size context windows, the way
+    * pretraining shards are cut: documents are concatenated in a
+    * deterministic order inside each shard and the running token offset maps
+    * every document to the chunk range [chunk_first, chunk_last] it lands in.
+    *
+    * Sharding (`id % nShards`) keeps the running-sum window partitioned —
+    * each shard packs independently in parallel, which is exactly how a
+    * 100 TB corpus is cut (per-file / per-shard streams), instead of one
+    * global single-partition prefix sum.
+    */
+  def contextChunks(df: DataFrame, idCol: String, nTokensCol: String,
+                    ctxSize: Int, nShards: Int): DataFrame = {
+    val shard = (col(idCol) % nShards).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", shard)
+      .withColumn("tok_end", sum(col(nTokensCol)).over(w).cast("long"))
+      .withColumn("tok_offset", (col("tok_end") - col(nTokensCol)).cast("long"))
+      .withColumn("chunk_first", floor(col("tok_offset") / ctxSize).cast("long"))
+      .withColumn("chunk_last",
+        floor((col("tok_end") - 1) / ctxSize).cast("long"))
+      .select(col(idCol), col("shard"), col("tok_offset"), col("tok_end"),
+        col("chunk_first"), col("chunk_last"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TrainingDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii scrubs emails, IPs, and long digit runs, and counts them") {
+    val df = Seq(
+      (1L, "write to alice.smith+x@corp.example.org or bob@ex.io today"),
+      (2L, "server 192.168.0.17 answered, card 4111111111111111 on file"),
+      (3L, "nothing sensitive here 123 12345678")).toDF("doc_id", "text")
+    val out = TrainingData.redactPii(df, "text")
+      .select("doc_id", "clean", "n_emails", "n_ips", "n_nums")
+      .as[(Long, String, Int, Int, Int)].collect().sortBy(_._1)
+    assert(out(0)._2 === "write to [EMAIL] or [EMAIL] today")
+    assert(out(0)._3 === 2 && out(0)._4 === 0 && out(0)._5 === 0)
+    assert(out(1)._2 === "server [IP] answered, card [NUM] on file")
+    assert(out(1)._3 === 0 && out(1)._4 === 1 && out(1)._5 === 1)
+    // short digit runs (< 9 digits) are NOT redacted
+    assert(out(2)._2 === "nothing sensitive here 123 12345678")
+  }
+
+  test("repetitionStats flags degenerate documents and passes normal prose") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val out = TrainingData.repetitionStats(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    val prose = out(1L)
+    assert(prose.getAs[Int]("n_words") === 14)
+    assert(prose.getAs[Double]("top_word_frac") === math.rint(2.0 / 14 * 1e6) / 1e6)
+    assert(prose.getAs[Boolean]("gopher_ok"))
+
+    val spam = out(2L)
+    assert(spam.getAs[Double]("top_word_frac") === 1.0)
+    assert(spam.getAs[Double]("dup_word_frac") === math.rint((1 - 1.0 / 12) * 1e6) / 1e6)
+    assert(spam.getAs[Double]("top_bigram_frac") === 1.0)
+    assert(!spam.getAs[Boolean]("gopher_ok"))
+
+    assert(!out(3L).getAs[Boolean]("gopher_ok")) // too short
+  }
+
+  private lazy val docs = graft.sources.Tables.documents(spark, sf)
+
+  test("splitAssign is deterministic, covers ~80/10/10, and keys never move") {
+    val a = TrainingData.splitAssign(docs, "doc_id").select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val b = TrainingData.splitAssign(docs.repartition(7), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a === b)
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9)
+    assert(frac.getOrElse("val", 0.0) < 0.2 && frac.getOrElse("test", 0.0) < 0.2)
+  }
+
+  test("contextChunks packs each shard's token stream without gaps or overlap") {
+    val toks = docs.select(col("doc_id"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).as("n_tokens"))
+    val out = TrainingData.contextChunks(toks, "doc_id", "n_tokens",
+      ctxSize = 128, nShards = 8)
+      .select("doc_id", "shard", "tok_offset", "tok_end", "chunk_first", "chunk_last")
+      .as[(Long, Int, Long, Long, Long, Long)].collect()
+
+    out.groupBy(_._2).foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_._1)
+      // offsets are a gapless prefix-sum: each doc starts where the previous ended
+      sorted.sliding(2).foreach {
+        case Array(prev, next) => assert(next._3 === prev._4)
+        case _ =>
+      }
+      assert(sorted.head._3 === 0L)
+      sorted.foreach { case (_, _, off, end, first, last) =>
+        assert(first === off / 128)
+        assert(last === (end - 1) / 128)
+        assert(first <= last)
+      }
+    }
+  }
+}
