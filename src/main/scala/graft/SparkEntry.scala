@@ -209,7 +209,10 @@ object SparkEntry {
     }),
 
     "q_gopher_quality" -> ((s, d) =>
-      TrainingData.repetitionStats(Tables.documents(s, d), "doc_id", "text")),
+      TrainingData.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+        // int, not boolean: the driver hash-compares raw values and the
+        // oracle side has no native bool column to mirror it
+        .withColumn("gopher_ok", col("gopher_ok").cast("int"))),
 
     "q_split_assign" -> ((s, d) =>
       TrainingData.splitAssign(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")),
