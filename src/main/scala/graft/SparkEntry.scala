@@ -217,6 +217,19 @@ object SparkEntry {
     "q_split_assign" -> ((s, d) =>
       TrainingData.splitAssign(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")),
 
+    // benchmark held out as every-50th doc; pairs sharing ≥3 word-3-grams
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TrainingData.decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 3, minShared = 3L)
+    }),
+
+    "q_lang_sample" -> ((s, d) =>
+      TrainingData.sampleByBucket(Tables.documents(s, d).select("doc_id", "lang"),
+        "doc_id", "lang", keepOf256 = Map("en" -> 64, "es" -> 128))),
+
     "q_pack_chunks" -> ((s, d) => {
       val toks = Tables.documents(s, d).select(col("doc_id"),
         size(TextFunctions.tokens(col("text"))).as("n_tokens"))
@@ -829,6 +842,22 @@ object SparkEntry {
         |SELECT doc_id, lang, bucket,
         |  CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
         |FROM b""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH $shingleCte
+         |SELECT c.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+         |FROM sh c JOIN sh b ON c.s = b.s
+         |WHERE c.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    "q_lang_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS INT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket < CASE lang WHEN 'en' THEN 64 WHEN 'es' THEN 128 ELSE 256 END""".stripMargin,
 
     "q_pack_chunks" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens,

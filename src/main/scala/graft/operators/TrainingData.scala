@@ -107,25 +107,75 @@ object TrainingData {
        |  acc -> acc.best)""".stripMargin
 
   // ---------------------------------------------------------------------------
-  // Deterministic train/val/test split
+  // Deterministic train/val/test split + stratified sampling
 
-  /** Assign each row to train/val/test by hashing its id — stable across
-    * runs, engines, partitionings, and data order, so a document keeps its
-    * split forever (the property that prevents train/test leakage when the
-    * corpus is re-ingested). Bucket = first two hex chars of md5(id) ∈
-    * [0, 256): < 204 → train (~80%), < 230 → val (~10%), else test (~10%).
+  /** Uniform bucket in [0, 256) from the row's id: first two hex chars of
+    * md5(id). Stable across runs, engines, partitionings, and data order —
+    * the foundation for leak-proof splits and reproducible sampling.
+    */
+  def hashBucket(id: Column): Column = {
+    val h = md5(id.cast("string"))
+    val hexDigit = (c: Column) => (instr(lit("0123456789abcdef"), c) - 1).cast("int")
+    hexDigit(substring(h, 1, 1)) * 16 + hexDigit(substring(h, 2, 1))
+  }
+
+  /** Assign each row to train/val/test by hashing its id, so a document
+    * keeps its split forever (the property that prevents train/test leakage
+    * when the corpus is re-ingested). Bucket < 204 → train (~80%), < 230 →
+    * val (~10%), else test (~10%).
     *
     * Scale: pure map — md5 of the key only; no shuffle, no RNG state.
     */
-  def splitAssign(df: DataFrame, idCol: String): DataFrame = {
-    val h = md5(col(idCol).cast("string"))
-    val hexDigit = (c: Column) => (instr(lit("0123456789abcdef"), c) - 1).cast("int")
-    val bucket = hexDigit(substring(h, 1, 1)) * 16 + hexDigit(substring(h, 2, 1))
-    df.withColumn("bucket", bucket)
+  def splitAssign(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("bucket", hashBucket(col(idCol)))
       .withColumn("split",
         when(col("bucket") < 204, "train")
           .when(col("bucket") < 230, "val")
           .otherwise("test"))
+
+  /** Stratified deterministic downsampling (language/source rebalancing,
+    * temperature-style mixing): keep a row iff its hash bucket falls below
+    * the stratum's keep rate, expressed in 256ths so the decision is exact
+    * integer math. A row's fate depends only on (id, stratum rate) — re-runs
+    * and engines agree, and lowering a rate only ever removes rows already
+    * kept (nested samples, the property quota-based samplers lack).
+    */
+  def sampleByBucket(df: DataFrame, idCol: String, stratumCol: String,
+                     keepOf256: Map[String, Int], defaultKeep: Int = 256): DataFrame = {
+    val keep = keepOf256.foldLeft(lit(defaultKeep)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("bucket", hashBucket(col(idCol))).filter(col("bucket") < keep)
+  }
+
+  // ---------------------------------------------------------------------------
+  // Benchmark decontamination
+
+  /** Flag (corpus doc, benchmark doc) pairs sharing at least `minShared`
+    * distinct word-`n`-grams — the overlap check that keeps eval benchmarks
+    * out of training data. Output: (idCol, bench_id, n_shared).
+    *
+    * Scale shape: benchmark suites are tiny next to a 100 TB corpus, so the
+    * benchmark's distinct shingle hashes BROADCAST and the corpus never
+    * shuffles — each task drains its own scan partitions against the
+    * in-memory benchmark set, and only matching (doc, bench) pairs (with
+    * map-side-combined counts) reach the wire. Shingles travel as 64-bit
+    * rolling hashes ([[graft.functions.TextFunctions.rollingShingleHashes]]),
+    * never as strings.
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3, minShared: Long = 1L): DataFrame = {
+    import graft.functions.TextFunctions._
+    def shingles(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+        explode(array_distinct(rollingShingleHashes(tokenHashes(col(textCol)), n))).as("h"))
+    shingles(corpus, idCol)
+      .join(broadcast(shingles(bench, "bench_id")), "h")
+      // both sides are per-doc distinct, so the pair count IS the number of
+      // distinct shared n-grams
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   // ---------------------------------------------------------------------------

@@ -58,6 +58,46 @@ class TrainingDataSpec extends SparkSpec {
     assert(frac.getOrElse("val", 0.0) < 0.2 && frac.getOrElse("test", 0.0) < 0.2)
   }
 
+  test("sampleByBucket keeps exact per-stratum rates and nests under rate cuts") {
+    val out = TrainingData.sampleByBucket(docs.select("doc_id", "lang"),
+      "doc_id", "lang", Map("en" -> 64, "es" -> 128))
+    val full = TrainingData.splitAssign(docs.select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "bucket").as[(Long, Int)].collect().toMap
+    out.select("doc_id", "lang", "bucket").as[(Long, String, Int)].collect()
+      .foreach { case (id, lang, b) =>
+        assert(b === full(id)) // same bucket function as the split
+        val cap = lang match { case "en" => 64; case "es" => 128; case _ => 256 }
+        assert(b < cap)
+      }
+    // lowering a rate is a strict subset: 32/256 en ⊂ 64/256 en
+    val tighter = TrainingData.sampleByBucket(docs.select("doc_id", "lang"),
+      "doc_id", "lang", Map("en" -> 32, "es" -> 128))
+      .select("doc_id").as[Long].collect().toSet
+    val looser = out.select("doc_id").as[Long].collect().toSet
+    assert(tighter.subsetOf(looser))
+  }
+
+  test("decontaminate finds docs overlapping the benchmark and only those") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares 4 trigrams with bench 100
+      (2L, "one two three four five six"), // no overlap
+      (3L, "delta epsilon zeta eta theta")) // shares 2 trigrams with bench 100
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta"),
+      (101L, "totally unrelated benchmark prompt text"))
+      .toDF("doc_id", "text")
+    val pairs = TrainingData.decontaminate(corpus, bench, "doc_id", "text",
+      n = 3, minShared = 3L)
+      .select("doc_id", "bench_id", "n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 100L, 4L)))
+    val loose = TrainingData.decontaminate(corpus, bench, "doc_id", "text",
+      n = 3, minShared = 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(loose === Set(1L, 3L))
+  }
+
   test("contextChunks packs each shard's token stream without gaps or overlap") {
     val toks = docs.select(col("doc_id"),
       size(graft.functions.TextFunctions.tokens(col("text"))).as("n_tokens"))
