@@ -47,6 +47,31 @@ object PlanAudit {
     audit("q_sessionize")(
       "windows + final agg reuse one user_id partitioning" -> (p =>
         "hashpartitioning\\(user_id".r.findAllIn(p).length >= 1))
+    audit("q_gopher_quality")(
+      "pure projection: no shuffle at all" -> (p => !p.contains("Exchange")),
+      "single parquet scan" -> (p => "FileScan parquet".r.findAllIn(p).length == 1))
+    audit("q_split_assign")(
+      "pure projection: no shuffle at all" -> (p => !p.contains("Exchange")))
+    audit("q_pack_chunks")(
+      "one shard-keyed shuffle only" -> (p =>
+        "hashpartitioning\\(shard".r.findAllIn(p).length >= 1 &&
+          "Exchange".r.findAllIn(p).length == 1))
+    audit("q_bloom_join")(
+      "bloom prefilter sits before the join" -> (p =>
+        p.contains("bloom_might_contain") &&
+          p.indexOf("bloom_might_contain", p.indexOf("Join")) > 0),
+      "selective build side broadcast, no sort-merge join" -> (p =>
+        p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")))
+    audit("q_decontaminate")(
+      "benchmark shingles broadcast; corpus side never exchanges before the join" -> (p =>
+        p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")),
+      "pair counts partially aggregated map-side" -> (p =>
+        "HashAggregate".r.findAllIn(p).length >= 2))
+    audit("q_ann_ivf_refined")(
+      "assignment argmax is an aggregate, not a rank window" -> (p =>
+        !p.contains("WindowGroupLimit(") || p.contains("max(")),
+      "centroids broadcast at every iteration" -> (p =>
+        "BroadcastNestedLoopJoin|BroadcastExchange".r.findAllIn(p).length >= 3))
     spark.stop()
   }
 }

@@ -40,6 +40,7 @@ object BloomPrune {
     val bf: BloomFilter = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
     val bcast = probe.sparkSession.sparkContext.broadcast(bf)
     val might = udf((k: java.lang.Long) => k != null && bcast.value.mightContainLong(k))
+      .withName("bloom_might_contain")
     probe.filter(might(probeKey))
   }
 }
