@@ -55,8 +55,16 @@ object ManifestTable {
   private def dataDir(path: String) = new Path(path, "data")
   private def manifestName(v: Long) = f"m$v%012d.txt"
 
+  /** Per-file zone map: column → (encoded min, encoded max); both None when
+    * the file's column is entirely null (such a file can never satisfy a
+    * range predicate, so it prunes away).
+    */
+  private type FileStats = Map[String, (Option[String], Option[String])]
+
   private case class Manifest(version: Long, schema: StructType,
-                              partitionCols: Seq[String], files: Seq[String])
+                              partitionCols: Seq[String], files: Seq[String],
+                              statsCols: Seq[String] = Nil,
+                              stats: Map[String, FileStats] = Map.empty)
 
   // ------------------------------------------------------------------ reads
 
@@ -86,9 +94,24 @@ object ManifestTable {
     val schema = DataType.fromJson(
       lines.find(_.startsWith("schema=")).get.stripPrefix("schema=")).asInstanceOf[StructType]
     val parts = lines.find(_.startsWith("partitions=")).get.stripPrefix("partitions=")
+    val statsCols = lines.find(_.startsWith("statscols="))
+      .map(_.stripPrefix("statscols=")).filter(_.nonEmpty)
+      .map(_.split(",").toSeq).getOrElse(Nil)
+    val stats = lines.filter(_.startsWith("stats=")).map(_.stripPrefix("stats="))
+      .map { l =>
+        // stats=<rel>|<col>|<minEnc>|<maxEnc> — encoded values are URL-safe,
+        // so '|' cannot appear inside them; empty = column entirely null
+        val Array(rel, c, mn, mx) = l.split("\\|", -1)
+        (rel, c, Option(mn).filter(_.nonEmpty), Option(mx).filter(_.nonEmpty))
+      }
+      .groupBy(_._1)
+      .map { case (rel, rows) =>
+        rel -> rows.map(r => r._2 -> ((r._3, r._4))).toMap
+      }
     Manifest(version, schema,
       if (parts.isEmpty) Nil else parts.split(",").toSeq,
-      lines.filter(_.startsWith("file=")).map(_.stripPrefix("file=")))
+      lines.filter(_.startsWith("file=")).map(_.stripPrefix("file=")),
+      statsCols, stats)
   }
 
   /** Snapshot read of the current version (time travel: [[readVersion]]). */
@@ -107,6 +130,111 @@ object ManifestTable {
       spark.read.schema(m.schema)
         .option("basePath", dataDir(path).toString)
         .parquet(m.files.map(rel => new Path(dataDir(path), rel).toString): _*)
+  }
+
+  // -------------------------------------------------------------- zone maps
+
+  /** Stat values travel in the manifest as `tag:payload` with the payload
+    * URL-encoded. Longs stay exact; doubles round-trip via `toString`
+    * (shortest-repr, lossless); strings arbitrary. Only these three types
+    * are supported as stats columns — enough for keys, measures, and
+    * ISO-ish string timestamps.
+    */
+  private def encodeStat(v: Any): String = v match {
+    case l: Long => s"L:$l"
+    case i: Int => s"L:${i.toLong}"
+    case s: Short => s"L:${s.toLong}"
+    case d: Double => s"D:$d"
+    case fl: Float => s"D:${fl.toDouble}"
+    case s: String => "S:" + java.net.URLEncoder.encode(s, "UTF-8")
+    case other => sys.error(s"unsupported stats value type: ${other.getClass}")
+  }
+
+  private def decodeStat(enc: String): Any = enc.splitAt(2) match {
+    case ("L:", p) => p.toLong
+    case ("D:", p) => p.toDouble
+    case ("S:", p) => java.net.URLDecoder.decode(p, "UTF-8")
+    case _ => sys.error(s"bad stat encoding: $enc")
+  }
+
+  private def statCompare(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: Long, y: Double) => java.lang.Double.compare(x.toDouble, y)
+    case (x: Double, y: Long) => java.lang.Double.compare(x, y.toDouble)
+    case (x: String, y: String) => x.compareTo(y)
+    case _ => sys.error(s"incomparable stat types: ${a.getClass} vs ${b.getClass}")
+  }
+
+  /** One column-pruned pass over freshly committed files: per-file min/max
+    * for each stats column, keyed by table-relative path. Runs distributed
+    * (`input_file_name` grouping); the scan reads only the stats columns.
+    */
+  private def collectStats(spark: SparkSession, path: String, rels: Seq[String],
+                           schema: StructType, partitionCols: Seq[String],
+                           statsCols: Seq[String]): Map[String, FileStats] = {
+    if (statsCols.isEmpty || rels.isEmpty) return Map.empty
+    val bad = statsCols.filter(partitionCols.contains)
+    require(bad.isEmpty, s"stats on partition columns are redundant: $bad")
+    val paths = rels.map(rel => new Path(dataDir(path), rel).toString)
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val rows = spark.read.schema(schema)
+      .option("basePath", dataDir(path).toString).parquet(paths: _*)
+      .groupBy(input_file_name().as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.map { r =>
+      val f = r.getString(0)
+      val rel = rels.find(f.endsWith(_))
+        .getOrElse(sys.error(s"stats file $f not among committed files"))
+      rel -> statsCols.map { c =>
+        c -> ((Option(r.getAs[Any](s"min_$c")).map(encodeStat),
+               Option(r.getAs[Any](s"max_$c")).map(encodeStat)))
+      }.toMap
+    }.toMap
+  }
+
+  /** Files of `version` whose zone map can satisfy `lo <= colName <= hi` —
+    * plus every file with no recorded stats (unknown must be scanned).
+    * Returns (kept files, total files) for observability/specs.
+    */
+  def prunedFiles(spark: SparkSession, path: String, colName: String,
+                  lo: Any, hi: Any): (Seq[String], Int) = {
+    val v = currentVersion(spark, path).getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    val kept =
+      if (!m.statsCols.contains(colName)) m.files
+      else m.files.filter { rel =>
+        m.stats.get(rel).flatMap(_.get(colName)) match {
+          case None => true // no stats recorded for this file → must scan
+          case Some((None, None)) => false // all-null column: no range match
+          case Some((mn, mx)) =>
+            mn.forall(e => statCompare(decodeStat(e), hi) <= 0) &&
+              mx.forall(e => statCompare(decodeStat(e), lo) >= 0)
+        }
+      }
+    (kept, m.files.size)
+  }
+
+  /** Range scan with zone-map file skipping: read only the files whose
+    * min/max overlap [lo, hi], then apply the precise predicate — result is
+    * identical to filtering a full snapshot read, touching a fraction of the
+    * files when the data is clustered on `colName` (sorted writes, kept by
+    * compact's range repartition). This is file-level skipping UNDER the
+    * partition level — the zone-map mechanism of Delta/Iceberg.
+    */
+  def readRange(spark: SparkSession, path: String, colName: String,
+                lo: Any, hi: Any): DataFrame = {
+    val v = currentVersion(spark, path).getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    val (kept, _) = prunedFiles(spark, path, colName, lo, hi)
+    val base =
+      if (kept.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+      else spark.read.schema(m.schema)
+        .option("basePath", dataDir(path).toString)
+        .parquet(kept.map(rel => new Path(dataDir(path), rel).toString): _*)
+    base.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
   // ----------------------------------------------------------------- writes
@@ -150,13 +278,19 @@ object ManifestTable {
 
   private[sources] def commit(spark: SparkSession, path: String, expected: Long,
                               schema: StructType, partitionCols: Seq[String],
-                              files: Seq[String]): Long = {
+                              files: Seq[String], statsCols: Seq[String] = Nil,
+                              stats: Map[String, FileStats] = Map.empty): Long = {
     val f = fs(spark, path)
     f.mkdirs(manifestDir(path))
+    val statLines = for {
+      rel <- files.filter(stats.contains)
+      (c, (mn, mx)) <- stats(rel).toSeq.sortBy(_._1)
+    } yield s"stats=$rel|$c|${mn.getOrElse("")}|${mx.getOrElse("")}"
     val body = (Seq(Header,
       "schema=" + schema.json,
-      "partitions=" + partitionCols.mkString(",")) ++
-      files.map("file=" + _)).mkString("\n") + "\n"
+      "partitions=" + partitionCols.mkString(","),
+      "statscols=" + statsCols.mkString(",")) ++
+      files.map("file=" + _) ++ statLines).mkString("\n") + "\n"
     val scratch = new Path(path, s"_tmp/manifest-${java.util.UUID.randomUUID()}")
     val out = f.create(scratch, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -171,12 +305,17 @@ object ManifestTable {
     expected
   }
 
-  /** Create or replace the whole table as one snapshot. */
+  /** Create or replace the whole table as one snapshot. `statsCols` opts the
+    * table into zone maps: every commit records per-file min/max for these
+    * columns, and [[readRange]] skips non-overlapping files.
+    */
   def overwrite(spark: SparkSession, path: String, df: DataFrame,
-                partitionCols: Seq[String] = Nil): Long = {
+                partitionCols: Seq[String] = Nil,
+                statsCols: Seq[String] = Nil): Long = {
     val next = currentVersion(spark, path).map(_ + 1).getOrElse(1L)
-    commit(spark, path, next, df.schema, partitionCols,
-      writeDataFiles(spark, path, df, partitionCols))
+    val files = writeDataFiles(spark, path, df, partitionCols)
+    commit(spark, path, next, df.schema, partitionCols, files, statsCols,
+      collectStats(spark, path, files, df.schema, partitionCols, statsCols))
   }
 
   /** Append rows: new snapshot = previous files + this batch's files. */
@@ -185,8 +324,10 @@ object ManifestTable {
       case None => overwrite(spark, path, df)
       case Some(v) =>
         val m = readManifest(spark, path, v)
-        commit(spark, path, v + 1, m.schema, m.partitionCols,
-          m.files ++ writeDataFiles(spark, path, df, m.partitionCols))
+        val added = writeDataFiles(spark, path, df, m.partitionCols)
+        commit(spark, path, v + 1, m.schema, m.partitionCols, m.files ++ added,
+          m.statsCols, m.stats ++
+            collectStats(spark, path, added, m.schema, m.partitionCols, m.statsCols))
     }
 
   /** Replace exactly the partitions present in `df` (dynamic-overwrite
@@ -202,7 +343,9 @@ object ManifestTable {
     val replacedDirs = added.map(rel => rel.split("/").dropRight(1).mkString("/")).toSet
     val kept = m.files.filterNot(rel =>
       replacedDirs.contains(rel.split("/").dropRight(1).mkString("/")))
-    commit(spark, path, v + 1, m.schema, m.partitionCols, kept ++ added)
+    commit(spark, path, v + 1, m.schema, m.partitionCols, kept ++ added,
+      m.statsCols, m.stats ++
+        collectStats(spark, path, added, m.schema, m.partitionCols, m.statsCols))
   }
 
   /** Keyed MERGE (upsert): rows whose `keys` match existing rows replace
@@ -223,7 +366,9 @@ object ManifestTable {
         if (m.partitionCols.isEmpty) {
           val kept = existing.join(updates.select(keys.map(col): _*), keys, "left_anti")
           val next = kept.unionByName(updates.select(ordered: _*)).localCheckpoint(true)
-          commit(spark, path, v + 1, m.schema, Nil, writeDataFiles(spark, path, next, Nil))
+          val files = writeDataFiles(spark, path, next, Nil)
+          commit(spark, path, v + 1, m.schema, Nil, files, m.statsCols,
+            collectStats(spark, path, files, m.schema, Nil, m.statsCols))
         } else {
           val pCols = m.partitionCols.map(col)
           // partitions named by the batch ∪ partitions holding old copies of
@@ -248,7 +393,9 @@ object ManifestTable {
             }.mkString("/")).toSet
           val keptFiles = m.files.filterNot(rel =>
             affectedDirs.contains(rel.split("/").dropRight(1).mkString("/")))
-          commit(spark, path, v + 1, m.schema, m.partitionCols, keptFiles ++ added)
+          commit(spark, path, v + 1, m.schema, m.partitionCols, keptFiles ++ added,
+            m.statsCols, m.stats ++
+              collectStats(spark, path, added, m.schema, m.partitionCols, m.statsCols))
         }
     }
 
@@ -256,17 +403,29 @@ object ManifestTable {
     * same sizing discipline as `Maintenance.compact`, but readers of the
     * previous version are completely unaffected (no swap window; the old
     * files live until [[vacuum]]).
+    *
+    * When the table carries zone maps, compaction range-repartitions on the
+    * stats columns instead of round-robin: small files merge AND the data
+    * re-clusters, so each output file covers a narrow stats range and
+    * [[readRange]] stays selective — the OPTIMIZE-with-clustering behavior
+    * of the big table formats, for free out of the same rewrite.
     */
   def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): Long = {
     require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
     val v = currentVersion(spark, path)
       .getOrElse(sys.error(s"no manifest table at $path"))
     val m = readManifest(spark, path, v)
-    val sized = graft.operators.Maintenance.sizedRepartition(
-      readVersion(spark, path, v), m.partitionCols, targetRowsPerFile)
+    val current = readVersion(spark, path, v)
+    val sized = (if (m.statsCols.nonEmpty && m.partitionCols.isEmpty) {
+      val total = current.count()
+      val n = math.max(1, math.ceil(total.toDouble / targetRowsPerFile).toInt)
+      current.repartitionByRange(n, m.statsCols.map(col): _*)
+    } else graft.operators.Maintenance.sizedRepartition(
+      current, m.partitionCols, targetRowsPerFile))
       .localCheckpoint(true) // materialize before writing (self-read safety)
-    commit(spark, path, v + 1, m.schema, m.partitionCols,
-      writeDataFiles(spark, path, sized, m.partitionCols))
+    val files = writeDataFiles(spark, path, sized, m.partitionCols)
+    commit(spark, path, v + 1, m.schema, m.partitionCols, files, m.statsCols,
+      collectStats(spark, path, files, m.schema, m.partitionCols, m.statsCols))
   }
 
   /** Delete data files referenced by none of the `keepVersions` most recent

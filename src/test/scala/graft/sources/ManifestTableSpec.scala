@@ -24,6 +24,58 @@ class ManifestTableSpec extends SparkSpec {
     assert(back.filter(col("year") === 2020).count() === 2)
   }
 
+  test("zone maps skip files outside the queried range; results stay exact") {
+    val path = tmpTable()
+    // cluster on id: range repartition → each file holds a narrow id band
+    val df = (1 to 1000).map(i => (i.toLong, s"v$i", i * 1.5)).toDF("id", "v", "x")
+      .repartitionByRange(10, col("id"))
+    ManifestTable.overwrite(spark, path, df, statsCols = Seq("id", "x"))
+
+    val (kept, total) = ManifestTable.prunedFiles(spark, path, "id", 100L, 150L)
+    assert(total === 10)
+    assert(kept.size <= 2, s"expected <=2 of $total files for a 5% range, got ${kept.size}")
+
+    val got = ManifestTable.readRange(spark, path, "id", 100L, 150L)
+      .select("id").as[Long].collect().sorted
+    assert(got === (100L to 150L).toArray)
+
+    // double-typed stats prune too
+    val (keptX, _) = ManifestTable.prunedFiles(spark, path, "x", 0.0, 30.0)
+    assert(keptX.size <= 2)
+    assert(ManifestTable.readRange(spark, path, "x", 0.0, 30.0).count() === 20)
+  }
+
+  test("zone maps: all-null files prune away; statless files are kept") {
+    val path = tmpTable()
+    val withNulls = Seq((1L, Option(5.0)), (2L, Option.empty[Double])).toDF("id", "x")
+      .repartition(2, col("id")) // separate files
+    ManifestTable.overwrite(spark, path, withNulls, statsCols = Seq("x"))
+    val (kept, total) = ManifestTable.prunedFiles(spark, path, "x", 0.0, 100.0)
+    assert(total === 2 && kept.size === 1) // the all-null file can never match
+    // a column without recorded stats falls back to scanning everything
+    val (all, t2) = ManifestTable.prunedFiles(spark, path, "id", 0L, 100L)
+    assert(all.size === t2)
+  }
+
+  test("zone maps survive append and compact") {
+    val path = tmpTable()
+    ManifestTable.overwrite(spark, path,
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartitionByRange(4, col("id")),
+      statsCols = Seq("id"))
+    ManifestTable.append(spark, path,
+      (101 to 200).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartitionByRange(4, col("id")))
+    val (kept1, total1) = ManifestTable.prunedFiles(spark, path, "id", 180L, 190L)
+    assert(total1 === 8 && kept1.size === 1, s"append: kept ${kept1.size}/$total1")
+    assert(ManifestTable.readRange(spark, path, "id", 180L, 190L).count() === 11)
+
+    ManifestTable.compact(spark, path, targetRowsPerFile = 50)
+    val (kept2, total2) = ManifestTable.prunedFiles(spark, path, "id", 1L, 10L)
+    assert(kept2.size < total2, s"compact: kept ${kept2.size}/$total2")
+    assert(ManifestTable.readRange(spark, path, "id", 1L, 10L).count() === 10)
+  }
+
   test("partition pruning reaches the snapshot scan") {
     val path = tmpTable()
     val df = (1 to 100).map(i => (i.toLong, s"v$i", 2000 + i % 4)).toDF("id", "v", "year")
