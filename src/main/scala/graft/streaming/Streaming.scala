@@ -52,6 +52,23 @@ object Streaming {
       }
       .start()
 
+  /** Transactional streaming upsert: like [[upsertSink]], but each
+    * micro-batch MERGEs into a [[graft.sources.ManifestTable]] — the commit
+    * is one atomic manifest swap, so concurrent readers see every batch
+    * all-or-nothing and never a half-written directory. Combined with the
+    * checkpoint this gives effectively-once table states: a replayed batch
+    * re-merges the same keys idempotently.
+    */
+  def manifestUpsertSink(stream: DataFrame, path: String, keys: Seq[String],
+                         partitionCols: Seq[String], checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.ManifestTable.merge(
+          batch.sparkSession, path, batch.toDF(), keys, partitionCols): Unit
+      }
+      .start()
+
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                               n_events: Long, total_value: Double)

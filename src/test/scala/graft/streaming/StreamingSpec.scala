@@ -94,6 +94,27 @@ class StreamingSpec extends SparkSpec {
       java.sql.Timestamp.valueOf("2024-01-01 00:05:00"))
   }
 
+  test("manifestUpsertSink merges each micro-batch as one atomic snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("musink").toString
+    val in = MemoryStream[(Long, String, Int)]
+    val q = Streaming.manifestUpsertSink(in.toDF().toDF("id", "v", "year"),
+      s"$root/t", keys = Seq("id"), partitionCols = Seq("year"),
+      checkpointDir = s"$root/ckpt")
+    in.addData((1L, "a", 2020), (2L, "b", 2021))
+    q.processAllAvailable()
+    in.addData((1L, "a2", 2020), (3L, "c", 2021)) // update key 1, insert key 3
+    q.processAllAvailable(); q.stop()
+
+    val table = graft.sources.ManifestTable.read(spark, s"$root/t")
+    assert(table.orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq
+      === Seq((1L, "a2"), (2L, "b"), (3L, "c")))
+    // two micro-batches → two committed versions; the first is still readable
+    val v = graft.sources.ManifestTable.currentVersion(spark, s"$root/t").get
+    assert(v === 2L)
+    assert(graft.sources.ManifestTable.readVersion(spark, s"$root/t", 1L).count() === 2)
+  }
+
   test("stateful sessionize closes a session on gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
