@@ -252,6 +252,12 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
     }),
 
+    // ---- Z-order curve (multi-column clustering key; exact bit math) ----
+    "q_zorder" -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"),
+        graft.functions.ZOrder.interleave2(
+          col("o_custkey"), year(col("o_orderdate")).cast("long")).as("z"))),
+
     // ---- snapshot diff (CDC-style audit of an incremental load) ----
     "q_snapshot_diff" -> ((s, d) => {
       val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
@@ -894,6 +900,11 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "q_zorder" ->
+      s"""SELECT o_orderkey,
+         |${graft.functions.ZOrder.interleaveSql("o_custkey", "year(o_orderdate)")} AS z
+         |FROM orders""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH old AS (SELECT o_orderkey, o_totalprice FROM orders),

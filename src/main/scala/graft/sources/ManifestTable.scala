@@ -132,6 +132,28 @@ object ManifestTable {
         .parquet(m.files.map(rel => new Path(dataDir(path), rel).toString): _*)
   }
 
+  /** Rows in the data files that `toVersion` references but `fromVersion`
+    * does not — the incremental-read primitive: a downstream job remembers
+    * the last version it processed and consumes only what arrived since,
+    * never rescanning the table. For append-only flows this is exactly the
+    * appended rows; after a merge/compact it is the rewritten files (file-
+    * level change data capture — the consumer sees every row whose file
+    * changed, the same contract as Delta's file-based CDF fallback).
+    */
+  def readVersionDelta(spark: SparkSession, path: String,
+                       fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion, s"from $fromVersion > to $toVersion")
+    val to = readManifest(spark, path, toVersion)
+    val before = readManifest(spark, path, fromVersion).files.toSet
+    val fresh = to.files.filterNot(before)
+    if (fresh.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], to.schema)
+    else
+      spark.read.schema(to.schema)
+        .option("basePath", dataDir(path).toString)
+        .parquet(fresh.map(rel => new Path(dataDir(path), rel).toString): _*)
+  }
+
   // -------------------------------------------------------------- zone maps
 
   /** Stat values travel in the manifest as `tag:payload` with the payload
