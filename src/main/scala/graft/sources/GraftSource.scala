@@ -1,0 +1,128 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** Spark DataSource (V1 relation API) face of [[ManifestTable]], so the
+  * table format plugs into the standard reader/writer surface:
+  *
+  * {{{
+  *   df.write.format("graft").option("partitionBy", "year")
+  *     .option("statsCols", "id").mode("append").save(path)
+  *   spark.read.format("graft").load(path)                   // current version
+  *   spark.read.format("graft").option("version", 3).load(path) // time travel
+  * }}}
+  *
+  * Reads implement `PrunedFilteredScan`: Spark hands the source the query's
+  * column set and pushable predicates, and the relation (a) derives per-
+  * column bounds from comparison filters on the table's stats columns and
+  * prunes the snapshot's FILE LIST against its zone maps before any scan
+  * starts, (b) applies every convertible filter inside the inner plan so
+  * parquet row-group pushdown still engages, and (c) prunes columns at the
+  * scan. Unconvertible filters are reported unhandled and Spark re-applies
+  * them — results are always exact.
+  */
+class GraftSource extends RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def createRelation(ctx: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path", sys.error("graft: 'path' is required"))
+    new GraftRelation(ctx, path, parameters.get("version").map(_.toLong))
+  }
+
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val path = parameters.getOrElse("path", sys.error("graft: 'path' is required"))
+    val spark = ctx.sparkSession
+    def split(k: String) = parameters.get(k).map(_.split(",").toSeq).getOrElse(Nil)
+    val exists = ManifestTable.currentVersion(spark, path).isDefined
+    mode match {
+      case SaveMode.Append if exists => ManifestTable.append(spark, path, data)
+      case SaveMode.Append | SaveMode.Overwrite =>
+        ManifestTable.overwrite(spark, path, data, split("partitionBy"), split("statsCols"))
+      case SaveMode.ErrorIfExists if exists =>
+        sys.error(s"graft table already exists at $path")
+      case SaveMode.ErrorIfExists =>
+        ManifestTable.overwrite(spark, path, data, split("partitionBy"), split("statsCols"))
+      case SaveMode.Ignore if exists => // no-op
+      case SaveMode.Ignore =>
+        ManifestTable.overwrite(spark, path, data, split("partitionBy"), split("statsCols"))
+    }
+    new GraftRelation(ctx, path, None)
+  }
+}
+
+class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
+    extends BaseRelation with PrunedFilteredScan {
+
+  private val spark = ctx.sparkSession
+  override def sqlContext: SQLContext = ctx
+
+  private def resolvedVersion: Long = version.getOrElse(
+    ManifestTable.currentVersion(spark, path)
+      .getOrElse(sys.error(s"no graft table at $path")))
+
+  override val schema: StructType =
+    ManifestTable.readVersion(spark, path, resolvedVersion).schema
+
+  /** Filters we can apply exactly as Columns (everything listed here is
+    * handled by us; the rest Spark re-applies on top).
+    */
+  private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === v)
+    case GreaterThan(a, v) => Some(col(a) > v)
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+    case LessThan(a, v) => Some(col(a) < v)
+    case LessThanOrEqual(a, v) => Some(col(a) <= v)
+    case In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case Or(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters.filter(toColumn(_).isEmpty)
+
+  /** Conjunctive per-column bounds usable against zone maps. Only top-level
+    * (implicitly ANDed) comparison filters contribute — OR branches never
+    * tighten a bound, so they are simply ignored (conservative).
+    */
+  private def bounds(filters: Array[Filter]): Map[String, (Option[Any], Option[Any])] = {
+    val m = scala.collection.mutable.Map[String, (Option[Any], Option[Any])]()
+    def tighten(a: String, lo: Option[Any], hi: Option[Any]): Unit = {
+      val (l0, h0) = m.getOrElse(a, (None, None))
+      m(a) = (lo.orElse(l0), hi.orElse(h0))
+    }
+    filters.foreach {
+      case EqualTo(a, v) => tighten(a, Some(v), Some(v))
+      case GreaterThan(a, v) => tighten(a, Some(v), None)
+      case GreaterThanOrEqual(a, v) => tighten(a, Some(v), None)
+      case LessThan(a, v) => tighten(a, None, Some(v))
+      case LessThanOrEqual(a, v) => tighten(a, None, Some(v))
+      case _ =>
+    }
+    m.toMap
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    val base = ManifestTable.readVersionPruned(spark, path, resolvedVersion,
+      bounds(filters))
+    val filtered = filters.flatMap(toColumn).foldLeft(base)(_ filter _)
+    val pruned =
+      if (requiredColumns.isEmpty) filtered
+      else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
+    pruned.rdd
+  }
+}

@@ -179,13 +179,61 @@ object ManifestTable {
     case _ => sys.error(s"bad stat encoding: $enc")
   }
 
-  private def statCompare(a: Any, b: Any): Int = (a, b) match {
-    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
-    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
-    case (x: Long, y: Double) => java.lang.Double.compare(x.toDouble, y)
-    case (x: Double, y: Long) => java.lang.Double.compare(x, y.toDouble)
-    case (x: String, y: String) => x.compareTo(y)
-    case _ => sys.error(s"incomparable stat types: ${a.getClass} vs ${b.getClass}")
+  /** None when the two values cannot be ordered (unknown type pairing) —
+    * callers must then keep the file rather than mis-prune it. */
+  private def statCompare(a: Any, b: Any): Option[Int] = {
+    def norm(v: Any): Any = v match {
+      case i: java.lang.Integer => i.longValue
+      case s: java.lang.Short => s.longValue
+      case b: java.lang.Byte => b.longValue
+      case f: java.lang.Float => f.doubleValue
+      case other => other
+    }
+    (norm(a), norm(b)) match {
+      case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+      case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+      case (x: Long, y: Double) => Some(java.lang.Double.compare(x.toDouble, y))
+      case (x: Double, y: Long) => Some(java.lang.Double.compare(x, y.toDouble))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case _ => None
+    }
+  }
+
+  /** Files of `m` that can hold a row satisfying the conjunctive per-column
+    * bounds (each column: optional lower, optional upper; a present bound
+    * means a range predicate exists, which null values never satisfy).
+    * Conservative: missing stats, non-stats columns, or incomparable types
+    * keep the file.
+    */
+  private def pruneByBounds(m: Manifest,
+                            bounds: Map[String, (Option[Any], Option[Any])]): Seq[String] =
+    m.files.filter { rel =>
+      bounds.forall { case (c, (lo, hi)) =>
+        if (!m.statsCols.contains(c) || (lo.isEmpty && hi.isEmpty)) true
+        else m.stats.get(rel).flatMap(_.get(c)) match {
+          case None => true // no stats recorded for this file → must scan
+          case Some((None, None)) => false // all-null column: no range match
+          case Some((mn, mx)) =>
+            hi.forall(h => mn.forall(e => statCompare(decodeStat(e), h).forall(_ <= 0))) &&
+              lo.forall(l => mx.forall(e => statCompare(decodeStat(e), l).forall(_ >= 0)))
+        }
+      }
+    }
+
+  /** Snapshot read of `version` with the file list zone-map-pruned against
+    * per-column bounds — the entry point the `graft` DataSource
+    * ([[GraftSource]]) uses to push query predicates down to file skipping.
+    */
+  def readVersionPruned(spark: SparkSession, path: String, version: Long,
+                        bounds: Map[String, (Option[Any], Option[Any])]): DataFrame = {
+    val m = readManifest(spark, path, version)
+    val kept = pruneByBounds(m, bounds)
+    if (kept.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+    else
+      spark.read.schema(m.schema)
+        .option("basePath", dataDir(path).toString)
+        .parquet(kept.map(rel => new Path(dataDir(path), rel).toString): _*)
   }
 
   /** One column-pruned pass over freshly committed files: per-file min/max
@@ -225,18 +273,7 @@ object ManifestTable {
                   lo: Any, hi: Any): (Seq[String], Int) = {
     val v = currentVersion(spark, path).getOrElse(sys.error(s"no manifest table at $path"))
     val m = readManifest(spark, path, v)
-    val kept =
-      if (!m.statsCols.contains(colName)) m.files
-      else m.files.filter { rel =>
-        m.stats.get(rel).flatMap(_.get(colName)) match {
-          case None => true // no stats recorded for this file → must scan
-          case Some((None, None)) => false // all-null column: no range match
-          case Some((mn, mx)) =>
-            mn.forall(e => statCompare(decodeStat(e), hi) <= 0) &&
-              mx.forall(e => statCompare(decodeStat(e), lo) >= 0)
-        }
-      }
-    (kept, m.files.size)
+    (pruneByBounds(m, Map(colName -> ((Some(lo), Some(hi))))), m.files.size)
   }
 
   /** Range scan with zone-map file skipping: read only the files whose
@@ -249,14 +286,8 @@ object ManifestTable {
   def readRange(spark: SparkSession, path: String, colName: String,
                 lo: Any, hi: Any): DataFrame = {
     val v = currentVersion(spark, path).getOrElse(sys.error(s"no manifest table at $path"))
-    val m = readManifest(spark, path, v)
-    val (kept, _) = prunedFiles(spark, path, colName, lo, hi)
-    val base =
-      if (kept.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
-      else spark.read.schema(m.schema)
-        .option("basePath", dataDir(path).toString)
-        .parquet(kept.map(rel => new Path(dataDir(path), rel).toString): _*)
-    base.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+    readVersionPruned(spark, path, v, Map(colName -> ((Some(lo), Some(hi)))))
+      .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 
   // ----------------------------------------------------------------- writes

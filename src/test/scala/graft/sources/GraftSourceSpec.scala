@@ -1,0 +1,73 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class GraftSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String = Files.createTempDirectory("gsrc").toString + "/t"
+
+  test("format(\"graft\") write/read round-trip with modes and time travel") {
+    val path = tmpTable()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.format("graft").option("statsCols", "id").save(path)
+    Seq((3L, "c")).toDF("id", "v")
+      .write.format("graft").mode("append").save(path)
+
+    val full = spark.read.format("graft").load(path)
+    assert(full.orderBy("id").as[(Long, String)].collect().toSeq
+      === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    val v1 = spark.read.format("graft").option("version", 1).load(path)
+    assert(v1.count() === 2)
+
+    intercept[RuntimeException] {
+      Seq((9L, "x")).toDF("id", "v")
+        .write.format("graft").mode("errorifexists").save(path)
+    }
+    Seq((9L, "x")).toDF("id", "v")
+      .write.format("graft").mode("ignore").save(path) // no-op
+    assert(spark.read.format("graft").load(path).count() === 3)
+  }
+
+  test("filters and projections push through the source; results stay exact") {
+    val path = tmpTable()
+    (1 to 1000).map(i => (i.toLong, s"v$i", i % 7)).toDF("id", "v", "g")
+      .repartitionByRange(10, col("id"))
+      .write.format("graft").option("statsCols", "id").save(path)
+
+    val q = spark.read.format("graft").load(path)
+      .filter(col("id") >= 100L && col("id") <= 150L && col("g") === 3)
+      .select("id", "v")
+    val got = q.as[(Long, String)].collect().map(_._1).sorted
+    assert(got === (100L to 150L).filter(_ % 7 == 3).toArray)
+  }
+
+  test("zone maps engage through the DataSource filter pushdown") {
+    val path = tmpTable()
+    (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartitionByRange(10, col("id"))
+      .write.format("graft").option("statsCols", "id").save(path)
+
+    // relation-level check: the same bounds the Filter pushdown derives
+    // prune the file list the relation will scan
+    val (kept, total) = ManifestTable.prunedFiles(spark, path, "id", 100L, 150L)
+    assert(total === 10 && kept.size <= 2)
+    // and the full SQL path over the source returns exactly the range
+    val n = spark.read.format("graft").load(path)
+      .filter(col("id").between(100L, 150L)).count()
+    assert(n === 51L)
+  }
+
+  test("partitioned write through the source keeps partition semantics") {
+    val path = tmpTable()
+    Seq((1L, "a", 2020), (2L, "b", 2021), (3L, "c", 2020)).toDF("id", "v", "year")
+      .write.format("graft").option("partitionBy", "year").save(path)
+    val back = spark.read.format("graft").load(path)
+    assert(back.filter(col("year") === 2020).count() === 2)
+    Seq((4L, "d", 2021)).toDF("id", "v", "year")
+      .write.format("graft").mode("append").save(path)
+    assert(spark.read.format("graft").load(path).count() === 4)
+  }
+}
