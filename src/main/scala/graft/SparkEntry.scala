@@ -230,6 +230,10 @@ object SparkEntry {
       TrainingData.sampleByBucket(Tables.documents(s, d).select("doc_id", "lang"),
         "doc_id", "lang", keepOf256 = Map("en" -> 64, "es" -> 128))),
 
+    "q_chunk_text" -> ((s, d) =>
+      TrainingData.chunkText(Tables.documents(s, d), "doc_id", "text",
+        window = 32, overlap = 8)),
+
     "q_pack_chunks" -> ((s, d) => {
       val toks = Tables.documents(s, d).select(col("doc_id"),
         size(TextFunctions.tokens(col("text"))).as("n_tokens"))
@@ -864,6 +868,17 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, bucket FROM b
         |WHERE bucket < CASE lang WHEN 'en' THEN 64 WHEN 'es' THEN 128 ELSE 256 END""".stripMargin,
+
+    "q_chunk_text" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         |n AS (SELECT doc_id, ts, len(ts) AS n FROM toks),
+         |c AS (SELECT doc_id, ts, n,
+         |  unnest(range(0, GREATEST(1, CAST(ceil((n - 8) * 1.0 / 24) AS BIGINT)))) AS chunk_id
+         |  FROM n)
+         |SELECT doc_id, chunk_id,
+         |  array_to_string(ts[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text,
+         |  CAST(least(32, n - chunk_id * 24) AS INT) AS n_tokens
+         |FROM c""".stripMargin,
 
     "q_pack_chunks" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens,

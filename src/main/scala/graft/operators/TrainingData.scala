@@ -149,6 +149,36 @@ object TrainingData {
   }
 
   // ---------------------------------------------------------------------------
+  // Sliding-window text chunking (RAG / context prep)
+
+  /** Split each document into token windows of `window` tokens advancing by
+    * `window - overlap` — the standard RAG/embedding chunker. Every chunk is
+    * a row: (id, chunk_id, chunk_text, n_tokens); a document shorter than
+    * the window yields exactly one chunk.
+    *
+    * Pure row-local array algebra (`sequence`/`transform`/`slice` + one
+    * generator): chunks of a document never leave its partition and nothing
+    * shuffles. Contrast with [[contextChunks]], which packs the corpus-level
+    * token stream into fixed budgets; this one windows each document
+    * independently.
+    */
+  def chunkText(df: DataFrame, idCol: String, textCol: String,
+                window: Int, overlap: Int): DataFrame = {
+    require(window > 0 && overlap >= 0 && overlap < window,
+      s"need 0 <= overlap < window, got window=$window overlap=$overlap")
+    val stride = window - overlap
+    val nChunks = greatest(lit(1L),
+      ceil((size(col("_ts")) - lit(overlap)).cast("double") / lit(stride)).cast("long"))
+    df.withColumn("_ts", graft.functions.TextFunctions.tokens(col(textCol)))
+      .withColumn("_c", explode(transform(sequence(lit(0L), nChunks - 1),
+        i => struct(i.as("chunk_id"),
+          slice(col("_ts"), (i * stride + 1).cast("int"), lit(window)).as("ctoks")))))
+      .select(col(idCol), col("_c.chunk_id").as("chunk_id"),
+        array_join(col("_c.ctoks"), " ").as("chunk_text"),
+        size(col("_c.ctoks")).as("n_tokens"))
+  }
+
+  // ---------------------------------------------------------------------------
   // Benchmark decontamination
 
   /** Flag (corpus doc, benchmark doc) pairs sharing at least `minShared`

@@ -98,6 +98,37 @@ class TrainingDataSpec extends SparkSpec {
     assert(loose === Set(1L, 3L))
   }
 
+  test("chunkText windows tokens with overlap and never drops a token") {
+    val df = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (2L, "a b")).toDF("doc_id", "text")
+    val out = TrainingData.chunkText(df, "doc_id", "text", window = 4, overlap = 1)
+      .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+      .as[(Long, Long, String, Int)].collect().sortBy(r => (r._1, r._2))
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq === Seq(
+      "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"))
+    assert(out.filter(_._1 == 2L) === Array((2L, 0L, "a b", 2)))
+    // consecutive chunks overlap by exactly one token
+    assert(out.filter(_._1 == 1L).forall(_._4 === 4))
+
+    // property over the fixture corpus: the de-overlapped reconstruction
+    // (chunk 0 whole + each later chunk minus its 8-token prefix) restores
+    // every document's token sequence exactly — nothing dropped, reordered,
+    // or duplicated
+    val rebuilt = TrainingData.chunkText(docs, "doc_id", "text", 32, 8)
+      .withColumn("ctoks", split(col("chunk_text"), " "))
+      .withColumn("tail", when(col("chunk_id") === 0, col("ctoks"))
+        .otherwise(expr("slice(ctoks, 9, size(ctoks))")))
+      .groupBy(col("doc_id"))
+      .agg(flatten(sort_array(collect_list(struct(col("chunk_id"), col("tail"))))
+        .getField("tail")).as("all_toks"))
+    val orig = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    val mismatches = rebuilt.join(orig, "doc_id")
+      .filter(col("all_toks") =!= col("toks")).count()
+    assert(mismatches === 0)
+  }
+
   test("contextChunks packs each shard's token stream without gaps or overlap") {
     val toks = docs.select(col("doc_id"),
       size(graft.functions.TextFunctions.tokens(col("text"))).as("n_tokens"))
