@@ -154,6 +154,13 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), k = 5)
     }),
 
+    // int8-quantized brute-force ANN: per-vector max-abs scale cancels in
+    // cosine, so ranking runs on the quantized values directly
+    "q_ann_quantized" -> ((s, d) => {
+      val q8 = Similarity.quantize8(Tables.embeddings(s, d))
+      Similarity.bruteForceTopK(q8, q8.filter(col("vec_id") < 8), k = 5)
+    }),
+
     "q_embed_dup_pairs" -> ((s, d) =>
       Similarity.cosineDupPairs(Tables.embeddings(s, d), threshold = 0.42)),
 
@@ -629,6 +636,25 @@ object SparkEntry {
          |scored AS (
          |  SELECT q_id, n.vec_id AS n_id,
          |         ${dotSql("qv", "n.embedding")} / (qn * n.nrm) AS c
+         |  FROM n CROSS JOIN q WHERE n.vec_id <> q_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, c,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS INT) AS rk
+         |  FROM scored)
+         |SELECT q_id, n_id, round(c, 6) AS cos, rk FROM ranked WHERE rk <= 5""".stripMargin,
+
+    "q_ann_quantized" ->
+      s"""WITH qz AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) /
+         |      greatest(list_reduce(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))),
+         |                           (a, b) -> greatest(a, b)), 1e-300) * 127) AS REAL)) AS e
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, e, ${normSql("e")} AS nrm FROM qz),
+         |q AS (SELECT vec_id AS q_id, e AS qv, nrm AS qn FROM n WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q_id, n.vec_id AS n_id,
+         |         ${dotSql("qv", "n.e")} / (qn * n.nrm) AS c
          |  FROM n CROSS JOIN q WHERE n.vec_id <> q_id),
          |ranked AS (
          |  SELECT q_id, n_id, c,

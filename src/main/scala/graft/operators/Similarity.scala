@@ -66,6 +66,28 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Symmetric int8 quantization of the embedding column: each vector is
+    * scaled by its own max-abs onto [-127, 127] and rounded — 4× less
+    * memory/IO than float32, which at a 100 TB index is the difference
+    * between an in-memory ANN tier and a disk-bound one. Cosine needs no
+    * dequantization at all: the per-vector scale cancels in
+    * dot/(|a|·|b|), so quantized vectors rank directly (small rounding
+    * error, measured in the spec against exact ranks).
+    *
+    * All math in DOUBLE with a deterministic op order, so the quantized
+    * values are bit-identical in the DuckDB oracle. Output keeps the
+    * (vec_id, embedding) contract of the other similarity operators, with
+    * the quantized values stored as float (the byte-typed storage form is a
+    * plain cast away; CosineSimilarity consumes float arrays).
+    */
+  def quantize8(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("_ma", greatest(aggregate(col("embedding"), lit(0.0),
+        (a, y) => greatest(a, abs(y.cast("double")))), lit(1e-300)))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") / col("_ma") * 127).cast("float")).as("embedding"))
+
   /** Deterministic seed centroids: every `everyNth`-th vector by id. A
     * stand-in for trained k-means centers that keeps the whole pipeline
     * reproducible (no iterative fitting, no RNG).

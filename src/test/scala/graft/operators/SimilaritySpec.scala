@@ -75,6 +75,20 @@ class SimilaritySpec extends SparkSpec {
     assert(run(3) === run(17))
   }
 
+  test("int8 quantization stays in range and barely moves the top-k ranking") {
+    val q8 = Similarity.quantize8(emb)
+    val vals = q8.select("embedding").as[Array[Float]].collect()
+    assert(vals.forall(_.forall(v => v == math.rint(v) && math.abs(v) <= 127f)))
+    assert(vals.forall(_.exists(v => math.abs(v) == 127f))) // scale actually used
+
+    val exact = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.bruteForceTopK(q8, q8.filter(col("vec_id") < 8), k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall $recall vs exact ranks")
+  }
+
   test("cosineDupPairs blocked by cells is a subset of unblocked pairs") {
     val all = Similarity.cosineDupPairs(emb, threshold = 0.4)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
