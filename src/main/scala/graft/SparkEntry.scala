@@ -834,13 +834,13 @@ object SparkEntry {
          |    CASE WHEN doc_id % 7 = 0 THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END ||
          |    CASE WHEN doc_id % 11 = 0 THEN ' 9' || lpad(CAST(doc_id AS VARCHAR), 9, '0') ELSE '' END AS t
          |  FROM documents),
-         |r1 AS (SELECT doc_id, regexp_replace(t, '${TrainingData.EmailRe}', '[EMAIL]', 'g') AS t1 FROM synth),
-         |r2 AS (SELECT doc_id, t1, regexp_replace(t1, '${TrainingData.Ipv4Re}', '[IP]', 'g') AS t2 FROM r1),
-         |r3 AS (SELECT doc_id, t1, t2, regexp_replace(t2, '${TrainingData.LongDigitsRe}', '[NUM]', 'g') AS t3 FROM r2)
+         |r1 AS (SELECT doc_id, t, regexp_replace(t, '${TrainingData.EmailRe}', '[EMAIL]', 'g') AS t1 FROM synth),
+         |r2 AS (SELECT doc_id, t, t1, regexp_replace(t1, '${TrainingData.Ipv4Re}', '[IP]', 'g') AS t2 FROM r1),
+         |r3 AS (SELECT doc_id, t, t1, t2, regexp_replace(t2, '${TrainingData.LongDigitsRe}', '[NUM]', 'g') AS t3 FROM r2)
          |SELECT doc_id, t3 AS clean,
-         |  CAST(len(string_split(t1, '[EMAIL]')) - 1 AS INT) AS n_emails,
-         |  CAST(len(string_split(t2, '[IP]')) - 1 AS INT) AS n_ips,
-         |  CAST(len(string_split(t3, '[NUM]')) - 1 AS INT) AS n_nums
+         |  CAST(len(regexp_extract_all(t, '${TrainingData.EmailRe}')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t1, '${TrainingData.Ipv4Re}')) AS INT) AS n_ips,
+         |  CAST(len(regexp_extract_all(t2, '${TrainingData.LongDigitsRe}')) AS INT) AS n_nums
          |FROM r3""".stripMargin,
 
     "q_gopher_quality" ->

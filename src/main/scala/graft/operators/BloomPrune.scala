@@ -34,13 +34,29 @@ object BloomPrune {
   /** Just the pruning step: keep probe rows whose key might be in the build
     * side's key set (plus nothing else — no join). Useful to cut a fact
     * table down before several downstream uses.
+    *
+    * Key typing mirrors Spark's `stat.bloomFilter`: integral keys hash via
+    * `putLong`, strings via their UTF-8 bytes — the probe MUST use the
+    * matching family or every lookup would miss, so anything else is
+    * rejected up front rather than silently returning an empty/failed join.
     */
   def prune(probe: DataFrame, probeKey: Column, build: DataFrame, buildKey: String,
             expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
     val bf: BloomFilter = build.stat.bloomFilter(buildKey, expectedKeys, fpp)
     val bcast = probe.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((k: java.lang.Long) => k != null && bcast.value.mightContainLong(k))
-      .withName("bloom_might_contain")
-    probe.filter(might(probeKey))
+    import org.apache.spark.sql.types._
+    val might = probe.select(probeKey).schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        udf((k: java.lang.Long) => k != null && bcast.value.mightContainLong(k))
+          .withName("bloom_might_contain")
+          .apply(probeKey.cast(LongType))
+      case StringType =>
+        udf((k: String) => k != null && bcast.value.mightContainString(k))
+          .withName("bloom_might_contain")
+          .apply(probeKey)
+      case other => sys.error(
+        s"BloomPrune supports integral or string keys, got $other for $probeKey")
+    }
+    probe.filter(might)
   }
 }

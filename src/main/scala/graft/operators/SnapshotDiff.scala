@@ -27,8 +27,10 @@ object SnapshotDiff {
       .withColumn("_new", lit(1))
       .withColumnsRenamed(compare.map(c => c -> s"_n_$c").toMap)
 
+    // keys-only diff (compare = Nil) still classifies added/removed; with
+    // nothing to compare, a key present in both snapshots is unchanged
     val anyDiff = compare.map(c => !(col(s"_o_$c") <=> col(s"_n_$c")))
-      .reduce(_ || _)
+      .foldLeft(lit(false))(_ || _)
 
     o.join(n, keys, "full_outer")
       .withColumn("change",

@@ -30,18 +30,22 @@ object TrainingData {
     * numbers) from `textCol`, and count what was removed. Order matters:
     * emails first (their local part may contain digits), then IPs (dotted
     * digits would otherwise partially match the digit rule), then digit runs.
+    * Counts are pattern matches on the respective pre-replacement text, so
+    * pre-existing literal `[EMAIL]`/`[IP]`/`[NUM]` tokens (e.g. a re-run
+    * over an already-redacted corpus) are never counted.
     *
-    * Scale: three codegen'd regexp_replace passes, no shuffle — a pure map.
+    * Scale: codegen'd regex passes, no shuffle — a pure map.
     */
   def redactPii(df: DataFrame, textCol: String): DataFrame = {
     val t0 = col(textCol)
     val t1 = regexp_replace(t0, EmailRe, "[EMAIL]")
     val t2 = regexp_replace(t1, Ipv4Re, "[IP]")
     val t3 = regexp_replace(t2, LongDigitsRe, "[NUM]")
+    def count(t: Column, re: String) = size(regexp_extract_all(t, lit(re), lit(0)))
     df.withColumn("clean", t3)
-      .withColumn("n_emails", size(split(t1, "\\[EMAIL\\]", -1)) - 1)
-      .withColumn("n_ips", size(split(t2, "\\[IP\\]", -1)) - 1)
-      .withColumn("n_nums", size(split(t3, "\\[NUM\\]", -1)) - 1)
+      .withColumn("n_emails", count(t0, EmailRe))
+      .withColumn("n_ips", count(t1, Ipv4Re))
+      .withColumn("n_nums", count(t2, LongDigitsRe))
   }
 
   // ---------------------------------------------------------------------------
@@ -65,25 +69,32 @@ object TrainingData {
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = graft.functions.TextFunctions.tokens(col(textCol))
     val nw = size(col("ws")).cast("int")
+    // zero-token documents (empty/whitespace text) are legitimate input:
+    // divisions use a clamped denominator (fractions come out 0) and the
+    // bigram slice is gated — slice with length -1 throws under Spark 4
+    val nwSafe = greatest(nw, lit(1))
     val stopwords = Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
 
     df.select(col(idCol), col(textCol))
       .withColumn("ws", words)
       .withColumn("n_words", nw)
       .withColumn("bigrams", expr(
-        "transform(slice(ws, 1, size(ws) - 1), (w, i) -> concat(w, ' ', ws[i + 1]))"))
+        """IF(size(ws) >= 2,
+          |   transform(slice(ws, 1, size(ws) - 1), (w, i) -> concat(w, ' ', ws[i + 1])),
+          |   array())""".stripMargin))
       .withColumn("top_word_n", expr(maxRunSql("ws")))
       .withColumn("top_bigram_n", expr(maxRunSql("bigrams")))
       .withColumn("n_stop", size(filter(col("ws"),
         w => w.isin(stopwords.map(lit): _*))).cast("int"))
       .withColumn("dup_word_frac",
-        round(lit(1.0) - size(array_distinct(col("ws"))).cast("double") / nw, 6))
-      .withColumn("top_word_frac", round(col("top_word_n").cast("double") / nw, 6))
+        round(size(col("ws")).cast("double") / nwSafe
+          - size(array_distinct(col("ws"))).cast("double") / nwSafe, 6))
+      .withColumn("top_word_frac", round(col("top_word_n").cast("double") / nwSafe, 6))
       .withColumn("top_bigram_frac",
         round(col("top_bigram_n").cast("double") / greatest(nw - 1, lit(1)), 6))
-      .withColumn("stopword_frac", round(col("n_stop").cast("double") / nw, 6))
+      .withColumn("stopword_frac", round(col("n_stop").cast("double") / nwSafe, 6))
       .withColumn("mean_word_len", round(
-        aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).cast("double") / nw, 6))
+        aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).cast("double") / nwSafe, 6))
       .withColumn("gopher_ok",
         col("n_words").between(10, 100000) &&
           col("mean_word_len").between(2.0, 12.0) &&

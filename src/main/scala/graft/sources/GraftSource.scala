@@ -65,12 +65,18 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
   private val spark = ctx.sparkSession
   override def sqlContext: SQLContext = ctx
 
-  private def resolvedVersion: Long = version.getOrElse(
+  /** Pinned at relation construction: every scan of this relation reads the
+    * SAME snapshot even if writers commit newer versions in between — the
+    * relation IS the snapshot (a `def` here would silently re-resolve per
+    * action and mix versions across a query's lifetime).
+    */
+  private val resolvedVersion: Long = version.getOrElse(
     ManifestTable.currentVersion(spark, path)
       .getOrElse(sys.error(s"no graft table at $path")))
 
+  // from the manifest file directly — no file-index build just for a schema
   override val schema: StructType =
-    ManifestTable.readVersion(spark, path, resolvedVersion).schema
+    ManifestTable.manifestSchema(spark, path, resolvedVersion)
 
   /** Filters we can apply exactly as Columns (everything listed here is
     * handled by us; the rest Spark re-applies on top).

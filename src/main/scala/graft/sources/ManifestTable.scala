@@ -114,6 +114,12 @@ object ManifestTable {
       statsCols, stats)
   }
 
+  /** Schema of a committed version, straight from its manifest (no data-file
+    * listing). */
+  private[sources] def manifestSchema(spark: SparkSession, path: String,
+                                      version: Long): StructType =
+    readManifest(spark, path, version).schema
+
   /** Snapshot read of the current version (time travel: [[readVersion]]). */
   def read(spark: SparkSession, path: String): DataFrame =
     readVersion(spark, path,
@@ -371,12 +377,26 @@ object ManifestTable {
       collectStats(spark, path, files, df.schema, partitionCols, statsCols))
   }
 
+  /** Reject batches whose columns do not line up with the table schema —
+    * by name and type, order-free, nullability ignored. Without this an
+    * append with a renamed column would commit fine and then read back as
+    * all-NULL for the new files (silent corruption); a retyped one would
+    * fail at scan time, long after the bad commit was durable.
+    */
+  private def requireCompatible(df: DataFrame, m: Manifest, op: String): Unit = {
+    def shape(s: StructType) = s.fields.map(f => f.name -> f.dataType).sortBy(_._1).toSeq
+    require(shape(df.schema) == shape(m.schema),
+      s"$op batch schema ${df.schema.simpleString} does not match table schema " +
+        s"${m.schema.simpleString}")
+  }
+
   /** Append rows: new snapshot = previous files + this batch's files. */
   def append(spark: SparkSession, path: String, df: DataFrame): Long =
     currentVersion(spark, path) match {
       case None => overwrite(spark, path, df)
       case Some(v) =>
         val m = readManifest(spark, path, v)
+        requireCompatible(df, m, "append")
         val added = writeDataFiles(spark, path, df, m.partitionCols)
         commit(spark, path, v + 1, m.schema, m.partitionCols, m.files ++ added,
           m.statsCols, m.stats ++
@@ -392,6 +412,7 @@ object ManifestTable {
       .getOrElse(sys.error(s"no manifest table at $path — use overwrite"))
     val m = readManifest(spark, path, v)
     require(m.partitionCols.nonEmpty, "table is unpartitioned — use overwrite")
+    requireCompatible(df, m, "overwritePartitions")
     val added = writeDataFiles(spark, path, df, m.partitionCols)
     val replacedDirs = added.map(rel => rel.split("/").dropRight(1).mkString("/")).toSet
     val kept = m.files.filterNot(rel =>
@@ -414,6 +435,7 @@ object ManifestTable {
       case None => overwrite(spark, path, updates, partitionCols)
       case Some(v) =>
         val m = readManifest(spark, path, v)
+        requireCompatible(updates, m, "merge")
         val existing = readVersion(spark, path, v)
         val ordered = existing.columns.map(col).toSeq
         if (m.partitionCols.isEmpty) {
@@ -469,10 +491,12 @@ object ManifestTable {
       .getOrElse(sys.error(s"no manifest table at $path"))
     val m = readManifest(spark, path, v)
     val current = readVersion(spark, path, v)
-    val sized = (if (m.statsCols.nonEmpty && m.partitionCols.isEmpty) {
+    val sized = (if (m.statsCols.nonEmpty) {
+      // partition cols lead the range key so rows stay grouped per output
+      // directory; within a partition, files tile the stats range
       val total = current.count()
       val n = math.max(1, math.ceil(total.toDouble / targetRowsPerFile).toInt)
-      current.repartitionByRange(n, m.statsCols.map(col): _*)
+      current.repartitionByRange(n, (m.partitionCols ++ m.statsCols).map(col): _*)
     } else graft.operators.Maintenance.sizedRepartition(
       current, m.partitionCols, targetRowsPerFile))
       .localCheckpoint(true) // materialize before writing (self-read safety)
@@ -497,6 +521,11 @@ object ManifestTable {
     val keep = versions.takeRight(keepVersions)
     val referenced = keep.flatMap(readManifest(spark, path, _).files).toSet
     var deleted = 0
+    if (!f.exists(dataDir(path))) { // zero-data-file table: nothing to collect
+      versions.dropRight(keepVersions).foreach(v =>
+        f.delete(new Path(dir, manifestName(v)), false))
+      return 0
+    }
     val dataUri = f.makeQualified(dataDir(path)).toUri
     val it = f.listFiles(dataDir(path), true)
     val doomed = scala.collection.mutable.ArrayBuffer[Path]()

@@ -18,6 +18,19 @@ class BloomPruneSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("string keys prune correctly; unsupported key types fail fast") {
+    val build = Seq("a", "b").toDF("k")
+    val probe = (1 to 500).map(i => s"k$i").toDF("pk").unionAll(Seq("a").toDF("pk"))
+    val kept = BloomPrune.prune(probe, col("pk"), build, "k", 100L)
+      .as[String].collect().toSet
+    assert(kept.contains("a"))
+    assert(kept.size < 50)
+    val err = intercept[RuntimeException] {
+      BloomPrune.prune(Seq(1.5).toDF("pk"), col("pk"), Seq(1L).toDF("k"), "k", 10L)
+    }
+    assert(err.getMessage.contains("integral or string"))
+  }
+
   test("prune drops most non-matching rows and keeps every matching one") {
     val build = Seq(1L, 2L, 3L).toDF("k")
     val probe = (1L to 10000L).toDF("pk")

@@ -15,6 +15,14 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(out === Map(2L -> "changed", 3L -> "removed", 4L -> "changed", 5L -> "added"))
   }
 
+  test("keys-only diff (no compare columns) reports added and removed") {
+    val older = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val newer = Seq((2L, "changed-but-not-compared"), (3L, "z")).toDF("k", "v")
+    val out = SnapshotDiff(older, newer, Seq("k"), compare = Nil)
+      .select("k", "change").as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "removed", 3L -> "added"))
+  }
+
   test("null-safe comparison: null → value and value → null count as changed") {
     val older = Seq((1L, Option.empty[Double]), (2L, Some(2.0)), (3L, Option.empty[Double]))
       .toDF("k", "v")

@@ -22,6 +22,27 @@ class TrainingDataSpec extends SparkSpec {
     assert(out(2)._2 === "nothing sensitive here 123 12345678")
   }
 
+  test("repetitionStats survives empty and whitespace-only documents") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "real words here with the usual stuff"))
+      .toDF("doc_id", "text")
+    val out = TrainingData.repetitionStats(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(1L, 2L).foreach { id =>
+      assert(out(id).getAs[Int]("n_words") === 0)
+      assert(out(id).getAs[Double]("dup_word_frac") === 0.0)
+      assert(out(id).getAs[Double]("top_bigram_frac") === 0.0)
+      assert(!out(id).getAs[Boolean]("gopher_ok"))
+    }
+    assert(out(3L).getAs[Int]("n_words") === 7)
+  }
+
+  test("redactPii does not count pre-existing redaction tokens") {
+    val df = Seq((1L, "already clean: [EMAIL] and [IP] and [NUM] remain")).toDF("doc_id", "text")
+    val out = TrainingData.redactPii(df, "text")
+      .select("n_emails", "n_ips", "n_nums").as[(Int, Int, Int)].head()
+    assert(out === ((0, 0, 0)))
+  }
+
   test("repetitionStats flags degenerate documents and passes normal prose") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),

@@ -60,6 +60,16 @@ class GraftSourceSpec extends SparkSpec {
     assert(n === 51L)
   }
 
+  test("a loaded relation is a pinned snapshot: later commits don't leak in") {
+    val path = tmpTable()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.format("graft").save(path)
+    val snapshot = spark.read.format("graft").load(path)
+    assert(snapshot.count() === 2)
+    Seq((3L, "c")).toDF("id", "v").write.format("graft").mode("append").save(path)
+    assert(snapshot.count() === 2) // still version 1
+    assert(spark.read.format("graft").load(path).count() === 3) // fresh load sees v2
+  }
+
   test("partitioned write through the source keeps partition semantics") {
     val path = tmpTable()
     Seq((1L, "a", 2020), (2L, "b", 2021), (3L, "c", 2020)).toDF("id", "v", "year")

@@ -76,6 +76,42 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.readRange(spark, path, "id", 1L, 10L).count() === 10)
   }
 
+  test("append rejects schema-incompatible batches before committing anything") {
+    val path = tmpTable()
+    ManifestTable.overwrite(spark, path, Seq((1L, "a")).toDF("id", "v"))
+    val v = ManifestTable.currentVersion(spark, path).get
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, path, Seq((2L, "b")).toDF("id", "renamed"))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, path, Seq((2, "b")).toDF("id", "v")) // id INT ≠ LONG
+    }
+    assert(ManifestTable.currentVersion(spark, path).get === v) // nothing committed
+    ManifestTable.append(spark, path, Seq(("b", 2L)).toDF("v", "id")) // order-free OK
+    assert(ManifestTable.read(spark, path).orderBy("id")
+      .select("id", "v").as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("compact keeps zone maps selective on PARTITIONED stats tables") {
+    val path = tmpTable()
+    val df = (1 to 400).map(i => (i.toLong, s"v$i", i % 2)).toDF("id", "v", "g")
+      .repartitionByRange(8, col("g"), col("id"))
+    ManifestTable.overwrite(spark, path, df, Seq("g"), statsCols = Seq("id"))
+    ManifestTable.compact(spark, path, targetRowsPerFile = 50)
+    val (kept, total) = ManifestTable.prunedFiles(spark, path, "id", 1L, 40L)
+    assert(total >= 4)
+    assert(kept.size < total, s"partitioned compact kept $kept of $total")
+    assert(ManifestTable.readRange(spark, path, "id", 1L, 40L).count() === 40)
+  }
+
+  test("vacuum on a table with zero data files returns 0 instead of crashing") {
+    val path = tmpTable()
+    ManifestTable.overwrite(spark, path,
+      Seq.empty[(Long, String, Int)].toDF("id", "v", "year"), Seq("year"))
+    assert(ManifestTable.read(spark, path).count() === 0)
+    assert(ManifestTable.vacuum(spark, path) === 0)
+  }
+
   test("partition pruning reaches the snapshot scan") {
     val path = tmpTable()
     val df = (1 to 100).map(i => (i.toLong, s"v$i", 2000 + i % 4)).toDF("id", "v", "year")
