@@ -23,11 +23,10 @@ object Bench {
       import spark.implicits._
       val mini = Seq((1L, "a b c d e f"), (2L, "a b c d e g"),
         (3L, "x y z w v u"), (4L, "p q r s t u")).toDF("doc_id", "text")
-      // the two registered LSH configurations (64/16 and 128/32) generate
-      // different aggregate classes — compile both
+      // compile both registered Jaccard paths (LSH 64/16 and the df-capped
+      // direct enumeration) — different generated aggregate classes
       operators.Dedup.minhashLshPairs(mini, "doc_id", "text").count()
-      operators.Dedup.minhashLshPairs(mini, "doc_id", "text",
-        numHashes = 128, bands = 32).count()
+      operators.Dedup.jaccardPairs(mini, "doc_id", "text", maxShingleDf = 64).count()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -39,6 +38,8 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
+    // stderr passes through sbt undecorated — a second parse-safe channel
+    System.err.println(json)
     // sbt's logger decorates forked stdout with [info] prefixes, which can
     // break downstream JSON parsing — also write the raw line to a file
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")

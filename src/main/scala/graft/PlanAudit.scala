@@ -68,8 +68,11 @@ object PlanAudit {
       "pair counts partially aggregated map-side" -> (p =>
         "HashAggregate".r.findAllIn(p).length >= 2))
     audit("q_ann_ivf_refined")(
+      // probe/top-k windows partition by q_id; a regression of the
+      // assignment argmax back to a rank window would show up as a window
+      // spec over vec_id — assert that specifically, plus the struct-max
       "assignment argmax is an aggregate, not a rank window" -> (p =>
-        !p.contains("WindowGroupLimit(") || p.contains("max(")),
+        !p.contains("windowspecdefinition(vec_id") && p.contains("max(")),
       "centroids broadcast at every iteration" -> (p =>
         "BroadcastNestedLoopJoin|BroadcastExchange".r.findAllIn(p).length >= 3))
     spark.stop()

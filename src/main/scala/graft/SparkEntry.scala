@@ -131,16 +131,21 @@ object SparkEntry {
     "q_dedup_fingerprint" -> ((s, d) =>
       Dedup.fingerprintGroups(Tables.documents(s, d), "doc_id", "text")),
 
-    // exact-Jaccard pairs via the scale path: LSH candidates (32 bands × 4
-    // rows — recall ≥ 1-(1-0.7⁴)³² ≈ 0.9999 at the threshold, 1-1e-45 for
-    // the fixture's ≥0.96 near-dups) + true-Jaccard verification. Output is
-    // identical to the exact all-sharing-pairs enumeration (the DuckDB
-    // oracle), without its O(df²) stop-shingle blow-up — the uncapped exact
-    // form was 43% of the round-1 bench on 5k docs and is quadratic at 100 TB.
+    // exact shingle-Jaccard pairs via the df-capped direct path: documents
+    // are paired only through shingles shared by ≤ 64 docs, so one
+    // stop-phrase shingle can expand to at most 64²/2 pairs per bucket —
+    // bounded per-task work at any corpus size. Jaccard still uses the FULL
+    // shingle-set sizes; only pair *generation* is capped (ultra-common
+    // shingles carry no near-dup signal). The cap is mirrored in the oracle.
     "q_dedup_jaccard" -> ((s, d) =>
-      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 3, numHashes = 128, bands = 32, threshold = 0.7)),
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.7, maxShingleDf = 64)),
 
+    // the probabilistic scale path: MinHash-LSH candidates (16 bands × 4
+    // rows — recall ≥ 1-(1-0.7⁴)¹⁶ ≈ 0.98 at the threshold, 1-1e-22 for the
+    // fixture's ≥0.96 near-dups) + true-Jaccard verification, so false
+    // positives are eliminated and the output equals the exact enumeration
+    // (the DuckDB oracle) without ever materializing non-colliding pairs
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
         n = 3, numHashes = 64, bands = 16, threshold = 0.7)),
@@ -161,12 +166,18 @@ object SparkEntry {
       Similarity.bruteForceTopK(q8, q8.filter(col("vec_id") < 8), k = 5)
     }),
 
+    // embedding near-dup pairs, IVF-cell-blocked (fine blocking, ~n/25
+    // cells): pairs enumerate only within a cell, Σ|cell|² instead of n².
+    // The exact all-pairs form (everyNthCentroid=0) is deliberately NOT
+    // registered — its broadcast-NLJ plan is quadratic in corpus size; it
+    // lives on as the spec-level ground truth (`SimilaritySpec` proves the
+    // blocked output ⊆ exact and measures recall on the fixture).
     "q_embed_dup_pairs" -> ((s, d) =>
-      Similarity.cosineDupPairs(Tables.embeddings(s, d), threshold = 0.42)),
+      Similarity.cosineDupPairs(Tables.embeddings(s, d), threshold = 0.42,
+        everyNthCentroid = 25)),
 
-    // the sub-quadratic scale path: pairs only within an IVF cell (nearest
-    // deterministic centroid), so the pair space is Σ|cell|² instead of n² —
-    // the blocking is SQL-expressible, hence fully oracled
+    // coarser blocking (~n/50 cells): higher recall per cell, more pairs per
+    // bucket — the two registrations bracket the recall/cost trade-off
     "q_embed_dup_pairs_blocked" -> ((s, d) =>
       Similarity.cosineDupPairs(Tables.embeddings(s, d), threshold = 0.42,
         everyNthCentroid = 50)),
@@ -332,7 +343,18 @@ object SparkEntry {
         .select("o_custkey", "o_orderkey", "o_orderdate", "gap_days")
     }),
 
-    // ---- exact percentile via rank window (no approx sketch needed) ----
+    // ---- percentiles ----
+    // the 100 TB escape hatch: approx_percentile is a mergeable sketch — one
+    // map-side-combined aggregation pass, no per-group sort, bounded memory.
+    // No SQL oracle (DuckDB's approx algorithm differs); rows-only check,
+    // exactness vs q_median_price is spec-bounded.
+    "q_median_approx" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+          .as("median_approx"))),
+
+    // exact percentile via rank window — the oracle-checkable form; prefer
+    // q_median_approx at scale (exact medians need a per-group sort)
     "q_median_price" -> ((s, d) => {
       val w = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
@@ -402,16 +424,37 @@ object SparkEntry {
        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s FROM idx),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
-  /** Exact shingle-Jaccard pairs ≥ 0.7 — oracle for BOTH the exact-pairs
-    * query and the MinHash-LSH query (LSH recall at J≥0.7 with 16 bands × 4
-    * rows is 1 - (1-j^4)^16 ≈ 1 for the fixture pairs, and the exact verify
-    * step removes every false positive, so the outputs coincide).
+  /** Exact shingle-Jaccard pairs ≥ 0.7 — the oracle for the MinHash-LSH
+    * query (LSH recall at J≥0.7 with 16 bands × 4 rows is 1 - (1-j^4)^16 ≈ 1
+    * for the fixture pairs, and the exact verify step removes every false
+    * positive, so the outputs coincide).
     */
   private val jaccardOracle =
     s"""WITH $shingleCte,
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT doc_a, doc_b,
+       |         round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+       |  FROM inter
+       |  JOIN sz sa ON sa.doc_id = doc_a
+       |  JOIN sz sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.7""".stripMargin
+
+  /** Oracle for the df-capped direct path: pair generation restricted to
+    * shingles with document frequency ≤ 64, set sizes still over ALL
+    * shingles — exactly `Dedup.jaccardPairs(maxShingleDf = 64)`.
+    */
+  private val jaccardCappedOracle =
+    s"""WITH $shingleCte,
+       |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  JOIN df ON df.s = a.s
+       |  WHERE df.df <= 64
        |  GROUP BY 1, 2),
        |jac AS (
        |  SELECT doc_a, doc_b,
@@ -612,7 +655,7 @@ object SparkEntry {
          |min(doc_id) AS keep_id, count(*) AS n_docs
          |FROM documents GROUP BY 1""".stripMargin,
 
-    "q_dedup_jaccard" -> jaccardOracle,
+    "q_dedup_jaccard" -> jaccardCappedOracle,
     "q_dedup_minhash" -> jaccardOracle,
 
     "q_dedup_simhash" ->
@@ -663,11 +706,19 @@ object SparkEntry {
          |SELECT q_id, n_id, round(c, 6) AS cos, rk FROM ranked WHERE rk <= 5""".stripMargin,
 
     "q_embed_dup_pairs" ->
-      s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+      s"""WITH n AS (SELECT vec_id, embedding FROM embeddings),
+         |cents AS (SELECT vec_id AS cell, embedding AS cv FROM n WHERE vec_id % 25 = 0),
+         |assign AS (
+         |  SELECT vec_id, cell, embedding FROM (
+         |    SELECT n.vec_id, c.cell, n.embedding,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ${dotSql("n.embedding", "c.cv")} / (${normSql("n.embedding")} * ${normSql("c.cv")}) DESC,
+         |                      c.cell) AS crk
+         |    FROM n CROSS JOIN cents c) WHERE crk = 1),
          |p AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |         ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS c
-         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |         ${dotSql("a.embedding", "b.embedding")} / (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS c
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, round(c, 6) AS cos FROM p WHERE c >= 0.42""".stripMargin,
 
     "q_embed_dup_pairs_blocked" ->

@@ -46,6 +46,14 @@ object Similarity {
     * the full n² cross join; with `everyNthCentroid=0` it degrades to exact
     * all-pairs via a broadcast nested-loop join (NEVER a join on a constant
     * key, which would funnel every row through one shuffle partition).
+    *
+    * The exact form is for specs/oracles ONLY — its plan is O(n²) in corpus
+    * size. Production callers pick `everyNthCentroid` by expected cluster
+    * size: recall is the probability both members of a pair share a cell, so
+    * larger cells (bigger everyNth) recall more and cost more (Σ|cell|²
+    * pairs). True near-dups (cos ≳ 0.9) co-locate far more reliably than
+    * the barely-similar pairs a low threshold admits — the SemDeDup-style
+    * trade-off, measured on the fixture in `SimilaritySpec`.
     */
   def cosineDupPairs(corpus: DataFrame, threshold: Double, everyNthCentroid: Int = 0): DataFrame = {
     val base = corpus.select(col("vec_id"), col("embedding"))

@@ -90,11 +90,20 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("cosineDupPairs blocked by cells is a subset of unblocked pairs") {
+    // the exact all-pairs form (everyNthCentroid=0) is spec-only ground
+    // truth: its plan is O(n²), so SparkEntry registers only blocked configs
     val all = Similarity.cosineDupPairs(emb, threshold = 0.4)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
-    val blocked = Similarity.cosineDupPairs(emb, threshold = 0.4, everyNthCentroid = 50)
-      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
-    assert(blocked.subsetOf(all))
     assert(all.nonEmpty)
+    val recalls = Seq(25, 50).map { nth =>
+      val blocked = Similarity.cosineDupPairs(emb, threshold = 0.4, everyNthCentroid = nth)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      assert(blocked.subsetOf(all), s"blocking nth=$nth invented a pair")
+      nth -> blocked.size.toDouble / all.size
+    }.toMap
+    info(s"blocked-pair recall vs exact: $recalls")
+    // coarser blocking (fewer, larger cells) must not recall less than finer
+    assert(recalls(50) >= recalls(25), s"recall not monotone in cell size: $recalls")
+    assert(recalls(25) > 0.0, s"fine blocking found nothing: $recalls")
   }
 }
