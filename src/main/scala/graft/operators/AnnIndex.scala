@@ -20,10 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
+  /** Build the index. `refineIters > 0` tightens the deterministic seed
+    * centroids with that many Lloyd iterations ([[Similarity.refineCentroids]])
+    * before the one-time assignment — better-centered cells mean each probe
+    * captures more true neighbors, so recall at a fixed nProbe/nCells scan
+    * fraction strictly improves (measured in `MergeAnnSpec`). The refinement
+    * cost is paid once here, never at query time.
+    */
   def build(spark: SparkSession, corpus: DataFrame, everyNthCentroid: Int,
-            path: String): Unit = {
+            path: String, refineIters: Int = 0): Unit = {
     val base = corpus.select(col("vec_id"), col("embedding"))
-    val cents = Similarity.centroids(base, everyNthCentroid)
+    val cents = Similarity.refineCentroids(
+      base, Similarity.centroids(base, everyNthCentroid), refineIters)
     Similarity.assignCells(base, cents)
       .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$path/cells")
     cents.select(col("cell"), col("cv").as("embedding"))

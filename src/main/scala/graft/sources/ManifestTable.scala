@@ -36,10 +36,17 @@ import java.nio.charset.StandardCharsets
   *    entries; a partition drained to zero rows simply vanishes from the
   *    manifest — no stale-directory deletion pass (the dynamic-overwrite
   *    hack `MergeUpsert` needs on plain directories);
-  *  - single-writer by construction: the version-rename either wins or
-  *    fails (a lost race throws `ConcurrentModificationException`; a true
-  *    multi-writer deployment needs a compare-and-swap log store, exactly
-  *    as Delta does on S3);
+  *  - concurrent writers: the version-rename either wins or fails atomically
+  *    (never clobbers). A losing [[append]]/[[overwrite]]/
+  *    [[overwritePartitions]] REBASES: it re-reads the winner's manifest,
+  *    re-validates, and re-attempts at the next version — both commits land.
+  *    A losing [[merge]] rebases only when the concurrent delta provably
+  *    cannot interact with it (pure-append, disjoint partitions, no key
+  *    overlap); otherwise it throws — its rewritten rows were derived from a
+  *    snapshot the winner changed. [[compact]] never rebases (same reason);
+  *    orphaned files from any losing attempt are swept by [[vacuum]]. The
+  *    atomicity primitive is the filesystem rename, exactly as Delta on
+  *    HDFS; an eventually-consistent object store needs a CAS log service;
   *  - [[vacuum]] deletes files unreferenced by the retained manifests; run
   *    it with a retention window longer than any reader, as every
   *    manifest-based format requires.
@@ -200,9 +207,28 @@ object ManifestTable {
       case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
       case (x: Long, y: Double) => Some(java.lang.Double.compare(x.toDouble, y))
       case (x: Double, y: Long) => Some(java.lang.Double.compare(x, y.toDouble))
-      case (x: String, y: String) => Some(x.compareTo(y))
+      case (x: String, y: String) => Some(utf8Compare(x, y))
       case _ => None
     }
+  }
+
+  /** Lexicographic UTF-8 byte order — the collation Spark's min/max
+    * aggregates use to PRODUCE the stats (UTF8String.binaryCompare). Java's
+    * `String.compareTo` orders by UTF-16 code unit, which diverges for
+    * supplementary-plane characters vs U+E000–U+FFFF; pruning with a
+    * different collation than the stats' would wrongly skip files.
+    */
+  private def utf8Compare(x: String, y: String): Int = {
+    val a = x.getBytes(StandardCharsets.UTF_8)
+    val b = y.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
   }
 
   /** Files of `m` that can hold a row satisfying the conjunctive per-column
@@ -260,10 +286,22 @@ object ManifestTable {
       .groupBy(input_file_name().as("_f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
+    // Manifest rels are LITERAL on-disk names (hive-escaped partition dirs
+    // like `p=c%3Ad` included), but input_file_name() returns a URI-ENCODED
+    // form of them (`p=c%253Ad`, space→%20) — and Hadoop's Path(String)
+    // preserves that encoding. Decode exactly once via java.net.URI, then
+    // require an exact '/'-bounded match — a suffix test could misattribute
+    // stats between files whose names overlap.
+    val dataPath = fs(spark, path).makeQualified(dataDir(path)).toUri.getPath
+    val relSet = rels.toSet
     rows.map { r =>
-      val f = r.getString(0)
-      val rel = rels.find(f.endsWith(_))
-        .getOrElse(sys.error(s"stats file $f not among committed files"))
+      val p = try new java.net.URI(r.getString(0)).getPath
+              catch { case _: java.net.URISyntaxException => r.getString(0) }
+      require(p.startsWith(dataPath + "/"),
+        s"stats file ${r.getString(0)} outside the data dir $dataPath")
+      val rel = p.substring(dataPath.length + 1)
+      require(relSet.contains(rel),
+        s"stats file ${r.getString(0)} not among committed files")
       rel -> statsCols.map { c =>
         c -> ((Option(r.getAs[Any](s"min_$c")).map(encodeStat),
                Option(r.getAs[Any](s"max_$c")).map(encodeStat)))
@@ -364,17 +402,37 @@ object ManifestTable {
     expected
   }
 
+  /** Rebase budget for losing committers. Each retry re-reads the winner's
+    * manifest and re-validates, so retries only exhaust under sustained
+    * commit pressure — at which point failing loudly beats spinning.
+    */
+  private val MaxCommitRetries = 5
+
+  private def dirOf(rel: String): String = rel.split("/").dropRight(1).mkString("/")
+
   /** Create or replace the whole table as one snapshot. `statsCols` opts the
     * table into zone maps: every commit records per-file min/max for these
     * columns, and [[readRange]] skips non-overlapping files.
+    *
+    * Losing a commit race only costs a retry at the next version number —
+    * replace-everything semantics carry no state to rebase.
     */
   def overwrite(spark: SparkSession, path: String, df: DataFrame,
                 partitionCols: Seq[String] = Nil,
                 statsCols: Seq[String] = Nil): Long = {
-    val next = currentVersion(spark, path).map(_ + 1).getOrElse(1L)
     val files = writeDataFiles(spark, path, df, partitionCols)
-    commit(spark, path, next, df.schema, partitionCols, files, statsCols,
-      collectStats(spark, path, files, df.schema, partitionCols, statsCols))
+    val stats = collectStats(spark, path, files, df.schema, partitionCols, statsCols)
+    var tries = 0
+    while (true) {
+      val next = currentVersion(spark, path).map(_ + 1).getOrElse(1L)
+      try return commit(spark, path, next, df.schema, partitionCols, files,
+        statsCols, stats)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          tries += 1; if (tries > MaxCommitRetries) throw e
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Reject batches whose columns do not line up with the table schema —
@@ -390,36 +448,106 @@ object ManifestTable {
         s"${m.schema.simpleString}")
   }
 
-  /** Append rows: new snapshot = previous files + this batch's files. */
+  /** Table schema after accepting `df`: identical shape → unchanged; a
+    * SUPERSET batch (every table column present with its exact type, plus
+    * new columns) → the merged schema with the new columns appended as
+    * nullable — add-nullable-column evolution, the one lake evolution a
+    * 100 TB table cannot live without (it cannot be rewritten to add a
+    * column). Old files simply read as NULL for the new columns, because
+    * snapshot reads pass the manifest schema explicitly. Renamed, dropped,
+    * or retyped columns still reject — those are the silent-corruption
+    * shapes [[requireCompatible]] exists to stop.
+    */
+  private def evolveSchema(df: DataFrame, m: Manifest, op: String): StructType = {
+    def shape(s: StructType) = s.fields.map(f => f.name -> f.dataType).sortBy(_._1).toSeq
+    if (shape(df.schema) == shape(m.schema)) m.schema
+    else {
+      val batchTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      val tableNames = m.schema.fieldNames.toSet
+      val missing = m.schema.fieldNames.filterNot(batchTypes.contains)
+      val retyped = m.schema.fields.filter(f =>
+        batchTypes.get(f.name).exists(_ != f.dataType))
+      require(missing.isEmpty && retyped.isEmpty,
+        s"$op batch schema ${df.schema.simpleString} is not a compatible superset of " +
+          s"table schema ${m.schema.simpleString} " +
+          s"(missing: ${missing.mkString(",")}; retyped: ${retyped.map(_.name).mkString(",")})")
+      val fresh = df.schema.fields.filterNot(f => tableNames.contains(f.name))
+        .map(_.copy(nullable = true))
+      StructType(m.schema.fields ++ fresh)
+    }
+  }
+
+  /** Append rows: new snapshot = previous files + this batch's files.
+    *
+    * Accepts schema-evolving batches ([[evolveSchema]]): a batch with new
+    * columns commits the widened schema; prior versions' files read back
+    * with NULLs there. Appends commute with any concurrent commit, so a
+    * lost version race rebases onto the winner's manifest (re-validating
+    * schema and partitioning) instead of failing.
+    */
   def append(spark: SparkSession, path: String, df: DataFrame): Long =
     currentVersion(spark, path) match {
       case None => overwrite(spark, path, df)
-      case Some(v) =>
-        val m = readManifest(spark, path, v)
-        requireCompatible(df, m, "append")
+      case Some(v0) =>
+        var m = readManifest(spark, path, v0)
+        evolveSchema(df, m, "append") // fail fast, before any data lands
+        val base = m
         val added = writeDataFiles(spark, path, df, m.partitionCols)
-        commit(spark, path, v + 1, m.schema, m.partitionCols, m.files ++ added,
-          m.statsCols, m.stats ++
-            collectStats(spark, path, added, m.schema, m.partitionCols, m.statsCols))
+        // added files carry the batch's schema (⊇ stats columns)
+        val addedStats =
+          collectStats(spark, path, added, df.schema, m.partitionCols, m.statsCols)
+        var tries = 0
+        while (true) {
+          require(m.partitionCols == base.partitionCols,
+            s"table partitioning changed concurrently: " +
+              s"${base.partitionCols} -> ${m.partitionCols}")
+          val schema = evolveSchema(df, m, "append")
+          try return commit(spark, path, m.version + 1, schema, m.partitionCols,
+            m.files ++ added, m.statsCols, m.stats ++ addedStats)
+          catch {
+            case e: java.util.ConcurrentModificationException =>
+              tries += 1; if (tries > MaxCommitRetries) throw e
+              m = readManifest(spark, path, currentVersion(spark, path).get)
+          }
+        }
+        sys.error("unreachable")
     }
 
   /** Replace exactly the partitions present in `df` (dynamic-overwrite
     * semantics, but transactional): untouched partitions keep their old
     * manifest entries verbatim.
+    *
+    * A lost commit race rebases like [[append]]: the replaced partitions are
+    * the operation's declared intent, so re-applying them over the winner's
+    * manifest linearizes as "winner first, this overwrite second".
     */
   def overwritePartitions(spark: SparkSession, path: String, df: DataFrame): Long = {
-    val v = currentVersion(spark, path)
+    val v0 = currentVersion(spark, path)
       .getOrElse(sys.error(s"no manifest table at $path — use overwrite"))
-    val m = readManifest(spark, path, v)
+    var m = readManifest(spark, path, v0)
     require(m.partitionCols.nonEmpty, "table is unpartitioned — use overwrite")
     requireCompatible(df, m, "overwritePartitions")
+    val base = m
     val added = writeDataFiles(spark, path, df, m.partitionCols)
-    val replacedDirs = added.map(rel => rel.split("/").dropRight(1).mkString("/")).toSet
-    val kept = m.files.filterNot(rel =>
-      replacedDirs.contains(rel.split("/").dropRight(1).mkString("/")))
-    commit(spark, path, v + 1, m.schema, m.partitionCols, kept ++ added,
-      m.statsCols, m.stats ++
-        collectStats(spark, path, added, m.schema, m.partitionCols, m.statsCols))
+    val replacedDirs = added.map(dirOf).toSet
+    val addedStats =
+      collectStats(spark, path, added, m.schema, m.partitionCols, m.statsCols)
+    var tries = 0
+    while (true) {
+      require(m.partitionCols == base.partitionCols,
+        s"table partitioning changed concurrently: " +
+          s"${base.partitionCols} -> ${m.partitionCols}")
+      requireCompatible(df, m, "overwritePartitions")
+      val kept = m.files.filterNot(rel => replacedDirs.contains(dirOf(rel)))
+      try return commit(spark, path, m.version + 1, m.schema, m.partitionCols,
+        kept ++ added, m.statsCols, m.stats ++ addedStats)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          tries += 1; if (tries > MaxCommitRetries) throw e
+          m = readManifest(spark, path, currentVersion(spark, path).get)
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Keyed MERGE (upsert): rows whose `keys` match existing rows replace
@@ -428,6 +556,15 @@ object ManifestTable {
     * rewritten; a partition drained to zero rows just drops out of the
     * manifest. Semantics mirror [[graft.operators.MergeUpsert]] (reference
     * `etl.py`'s dedup-insert, §7.4.4) with a transactional commit.
+    *
+    * Concurrency: a merge's rewritten rows are DERIVED from the snapshot it
+    * read, so a lost commit race rebases only when the winner's delta
+    * provably cannot interact with this merge — pure-append (no file this
+    * merge read was removed), nothing added inside the rewritten
+    * partitions, and no appended row sharing a merge key. Anything else
+    * throws `ConcurrentModificationException`: the caller must re-run the
+    * merge against the winner's snapshot. Orphaned data files from the
+    * losing attempt are unreferenced and swept by [[vacuum]].
     */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
             keys: Seq[String], partitionCols: Seq[String] = Nil): Long =
@@ -442,6 +579,8 @@ object ManifestTable {
           val kept = existing.join(updates.select(keys.map(col): _*), keys, "left_anti")
           val next = kept.unionByName(updates.select(ordered: _*)).localCheckpoint(true)
           val files = writeDataFiles(spark, path, next, Nil)
+          // full-table rewrite: ANY concurrent commit invalidates the
+          // snapshot this merge rewrote — no rebase path exists
           commit(spark, path, v + 1, m.schema, Nil, files, m.statsCols,
             collectStats(spark, path, files, m.schema, Nil, m.statsCols))
         } else {
@@ -466,11 +605,46 @@ object ManifestTable {
             m.partitionCols.zip(vals).map { case (c, value) =>
               s"$c=${org.apache.spark.sql.graft.bridge.escapePathValue(value)}"
             }.mkString("/")).toSet
-          val keptFiles = m.files.filterNot(rel =>
-            affectedDirs.contains(rel.split("/").dropRight(1).mkString("/")))
-          commit(spark, path, v + 1, m.schema, m.partitionCols, keptFiles ++ added,
-            m.statsCols, m.stats ++
-              collectStats(spark, path, added, m.schema, m.partitionCols, m.statsCols))
+          val addedStats =
+            collectStats(spark, path, added, m.schema, m.partitionCols, m.statsCols)
+          var cur = m
+          var tries = 0
+          while (true) {
+            val keptFiles = cur.files.filterNot(rel => affectedDirs.contains(dirOf(rel)))
+            try return commit(spark, path, cur.version + 1, m.schema, m.partitionCols,
+              keptFiles ++ added, m.statsCols, cur.stats ++ addedStats)
+            catch {
+              case e: java.util.ConcurrentModificationException =>
+                tries += 1; if (tries > MaxCommitRetries) throw e
+                val now = readManifest(spark, path, currentVersion(spark, path).get)
+                // rebase is sound ONLY against a non-interacting delta:
+                if (now.schema != m.schema)
+                  throw new java.util.ConcurrentModificationException(
+                    s"merge of $path lost to a commit that changed the table schema — " +
+                      "re-run against the new snapshot")
+                val removed = cur.files.toSet -- now.files.toSet
+                if (removed.nonEmpty) throw new java.util.ConcurrentModificationException(
+                  s"merge of $path lost to a commit that rewrote ${removed.size} file(s) " +
+                    "this merge read — re-run against the new snapshot")
+                val fresh = now.files.filterNot(cur.files.toSet)
+                if (fresh.exists(rel => affectedDirs.contains(dirOf(rel))))
+                  throw new java.util.ConcurrentModificationException(
+                    s"merge of $path lost to a commit that wrote into a partition " +
+                      "this merge rewrites — re-run against the new snapshot")
+                if (fresh.nonEmpty) {
+                  val freshPaths = fresh.map(rel => new Path(dataDir(path), rel).toString)
+                  val overlap = spark.read.schema(now.schema)
+                    .option("basePath", dataDir(path).toString).parquet(freshPaths: _*)
+                    .join(broadcast(updates.select(keys.map(col): _*).distinct()),
+                      keys, "left_semi")
+                  if (!overlap.isEmpty) throw new java.util.ConcurrentModificationException(
+                    s"merge of $path lost to a commit that appended rows sharing its " +
+                      "merge keys — re-run against the new snapshot")
+                }
+                cur = now
+            }
+          }
+          sys.error("unreachable")
         }
     }
 

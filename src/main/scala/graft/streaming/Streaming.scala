@@ -88,6 +88,16 @@ object Streaming {
     } else {
       var closed = List.empty[SessionOut]
       var cur = state.getOption.orNull
+      // late events more than a gap BEFORE the live session's start can
+      // never belong to it (the batch twin puts a session boundary between
+      // them); they chain into their own session(s) here instead of
+      // stretching the live one backwards. Each late event is > gap before
+      // cur.start, so a late chain can never extend forward into `cur`.
+      var late: SessionState = null
+      def closeLate(): Unit = if (late != null) {
+        closed ::= SessionOut(user, new java.sql.Timestamp(late.start), late.n, late.sum)
+        late = null
+      }
       rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, v) =>
         val t = ts.getTime
         cur match {
@@ -95,12 +105,20 @@ object Streaming {
           case s if t - s.last > gapMs =>
             closed ::= SessionOut(user, new java.sql.Timestamp(s.start), s.n, s.sum)
             cur = SessionState(t, t, 1, v)
-          // also reached by late (out-of-order) events, which may precede the
-          // session's current span — extend both ends, never rewind `last`
+          case s if s.start - t > gapMs =>
+            late match {
+              case null => late = SessionState(t, t, 1, v)
+              case l if t - l.last > gapMs =>
+                closeLate()
+                late = SessionState(t, t, 1, v)
+              case l => late = SessionState(l.start, t, l.n + 1, l.sum + v)
+            }
+          // in-gap late events extend the span; never rewind `last`
           case s => cur = SessionState(math.min(s.start, t), math.max(s.last, t),
             s.n + 1, s.sum + v)
         }
       }
+      closeLate()
       if (cur != null) {
         state.update(cur)
         setTimeout(cur)

@@ -86,4 +86,31 @@ class MergeAnnSpec extends SparkSpec {
     val plan = fromIndex.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [cell"), s"no partition pruning in:\n$plan")
   }
+
+  test("AnnIndex built with refined centroids equals ivfTopK(refineIters) and recalls at least the seed index") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+
+    val truth = pairs(Similarity.bruteForceTopK(emb, queries, k = 5))
+
+    val seedIdx = Files.createTempDirectory("ann_seed").toString
+    AnnIndex.build(spark, emb, everyNthCentroid = 50, seedIdx)
+    val refIdx = Files.createTempDirectory("ann_ref").toString
+    AnnIndex.build(spark, emb, everyNthCentroid = 50, refIdx, refineIters = 2)
+
+    val refined = pairs(AnnIndex.query(spark, refIdx, queries, k = 5, nProbe = 3))
+    // the persisted refined index answers exactly like the inline trained path
+    val direct = pairs(Similarity.ivfTopK(emb, queries, k = 5,
+      everyNthCentroid = 50, nProbe = 3, refineIters = 2))
+    assert(refined === direct)
+
+    val seedRecall = (pairs(AnnIndex.query(spark, seedIdx, queries, k = 5, nProbe = 3))
+      & truth).size.toDouble / truth.size
+    val refRecall = (refined & truth).size.toDouble / truth.size
+    info(s"index recall: seed=$seedRecall refined=$refRecall")
+    assert(refRecall >= seedRecall,
+      s"refined centroids must not lose recall: $refRecall < $seedRecall")
+  }
 }

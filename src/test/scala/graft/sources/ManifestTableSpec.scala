@@ -213,10 +213,92 @@ class ManifestTableSpec extends SparkSpec {
     val df = Seq((1L, "a")).toDF("id", "v")
     ManifestTable.overwrite(spark, path, df)
     // a lost race = the expected version number is already taken when the
-    // rename happens; the second committer must abort, not overwrite
+    // rename happens; the raw commit primitive must abort, not overwrite
     intercept[java.util.ConcurrentModificationException] {
       ManifestTable.commit(spark, path, expected = 1L, df.schema, Nil, Nil)
     }
     assert(ManifestTable.read(spark, path).count() === 1, "winner's snapshot intact")
+  }
+
+  test("two interleaved appenders both land via commit rebase") {
+    val path = tmpTable()
+    ManifestTable.overwrite(spark, path, Seq((0L, "base")).toDF("id", "v"))
+    // both appenders read version 1 up front, then race the v2 rename; the
+    // loser must rebase onto the winner's manifest and commit v3. The wide
+    // window between manifest read and rename (a full parquet write) makes
+    // the interleaving deterministic in practice.
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("left", "right").map { tag =>
+      new Thread(() => {
+        try ManifestTable.append(spark, path,
+          Seq((tag.hashCode.toLong, tag)).toDF("id", "v")): Unit
+        catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"an appender failed: ${errors.peek()}")
+    assert(ManifestTable.currentVersion(spark, path).contains(3L),
+      "both commits must land as consecutive versions")
+    assert(ManifestTable.read(spark, path).select("v").as[String].collect().toSet
+      === Set("base", "left", "right"), "both appenders' rows readable")
+  }
+
+  test("append evolves the schema by adding nullable columns") {
+    val path = tmpTable()
+    ManifestTable.overwrite(spark, path, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v1 = ManifestTable.currentVersion(spark, path).get
+
+    // widened batch: every table column present + a new one → accepted,
+    // merged schema committed, old files read as NULL for the new column
+    ManifestTable.append(spark, path,
+      Seq((3L, "c", 0.5)).toDF("id", "v", "score"))
+    val cur = ManifestTable.read(spark, path)
+    assert(cur.columns.toSeq === Seq("id", "v", "score"))
+    assert(cur.schema("score").nullable, "evolved column must be nullable")
+    assert(cur.orderBy("id").select("score").as[Option[Double]].collect().toSeq
+      === Seq(None, None, Some(0.5)))
+
+    // time travel: the pre-evolution version keeps its original schema
+    assert(ManifestTable.readVersion(spark, path, v1).columns.toSeq === Seq("id", "v"))
+
+    // the DataSource face sees the evolved schema too
+    val viaSource = spark.read.format("graft").load(path)
+    assert(viaSource.columns.toSeq === Seq("id", "v", "score"))
+    assert(viaSource.filter(col("score").isNull).count() === 2)
+
+    // post-evolution, a batch in the ORIGINAL shape is now missing a column
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, path, Seq((4L, "d")).toDF("id", "v"))
+    }
+    // a retyped column is never evolution
+    intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, path,
+        Seq((4L, "d", 1)).toDF("id", "v", "score")) // score INT ≠ DOUBLE
+    }
+  }
+
+  test("string zone maps prune in UTF-8 order (supplementary plane vs U+E000)") {
+    val path = tmpTable()
+    val supp = new String(Character.toChars(0x10000)) // UTF-8 F0.. / UTF-16 D800..
+    val priv = "\uE000"                              // UTF-8 EE.. / UTF-16 E000
+    // UTF-16 code-unit order says supp < priv; UTF-8 byte order (the
+    // collation Spark's min/max used to PRODUCE the stats) says priv < supp.
+    // Pruning with the wrong collation would skip the file for [supp, supp].
+    ManifestTable.overwrite(spark, path,
+      Seq((1L, priv), (2L, supp)).toDF("id", "s").coalesce(1), statsCols = Seq("s"))
+    assert(ManifestTable.readRange(spark, path, "s", supp, supp).count() === 1)
+    assert(ManifestTable.readRange(spark, path, "s", priv, priv).count() === 1)
+  }
+
+  test("stats collection survives partition values that URI-encode") {
+    val path = tmpTable()
+    // 'a b' percent-encodes in input_file_name() URIs; stats→file matching
+    // must normalize, or the commit dies on a spurious lookup failure
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "c:d")).toDF("id", "p")
+    ManifestTable.overwrite(spark, path, df, Seq("p"), statsCols = Seq("id"))
+    assert(ManifestTable.read(spark, path).count() === 3)
+    assert(ManifestTable.readRange(spark, path, "id", 3L, 3L)
+      .select("p").as[String].head() === "c:d")
   }
 }

@@ -94,6 +94,40 @@ class StreamingSpec extends SparkSpec {
       java.sql.Timestamp.valueOf("2024-01-01 00:05:00"))
   }
 
+  test("a late event more than a gap before the session start closes as its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = in.toDF().toDF("user_id", "ts", "value")
+    val q = Streaming.sessionizeEventTime(spark, df, gapMs = 30 * 60 * 1000L,
+      watermarkDelay = "3 hours")
+      .writeStream.format("memory").queryName("sess_gap_out").outputMode("append").start()
+    in.addData((1L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 10.0))
+    q.processAllAvailable()
+    // in-watermark but a full hour (> 30min gap) before the live session's
+    // start: the batch twin separates them with a session boundary, so the
+    // stream must too — two late events within one gap chain together
+    in.addData(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 01:10:00"), 2.0))
+    q.processAllAvailable()
+    val early = spark.table("sess_gap_out").filter(col("user_id") === 1).collect()
+    assert(early.length === 1, "late chain must close inline as one session")
+    assert(early.head.getAs[java.sql.Timestamp]("session_start") ===
+      java.sql.Timestamp.valueOf("2024-01-01 01:00:00"))
+    assert(early.head.getAs[Long]("n_events") === 2L)
+    assert(early.head.getAs[Double]("total_value") === 3.0)
+    // flush the live session: it must contain ONLY its own event
+    in.addData((2L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 0.0))
+    q.processAllAvailable(); q.stop()
+    val live = spark.table("sess_gap_out").filter(col("user_id") === 1)
+      .orderBy("session_start").collect()
+    assert(live.length === 2)
+    assert(live(1).getAs[java.sql.Timestamp]("session_start") ===
+      java.sql.Timestamp.valueOf("2024-01-01 02:00:00"))
+    assert(live(1).getAs[Long]("n_events") === 1L)
+    assert(live(1).getAs[Double]("total_value") === 10.0)
+  }
+
   test("manifestUpsertSink merges each micro-batch as one atomic snapshot") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("musink").toString
