@@ -153,6 +153,21 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text")),
 
+    // pairs → duplicate CLUSTERS (transitive closure) → canonical keep-list:
+    // the step an actual dedup pipeline runs after near-dup detection.
+    // Min-label propagation to fixpoint; the DuckDB oracle re-derives the
+    // same components with a recursive CTE, so the whole
+    // detect→cluster→choose-canonical chain is hash-checked end to end
+    "q_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.7, maxShingleDf = 64)
+      docs.select("doc_id").join(Dedup.clusters(pairs), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          coalesce(col("keep"), lit(1)).as("keep"))
+    }),
+
     // ---- LLM-pipeline: similarity search ----
     "q_ann_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -321,6 +336,12 @@ object SparkEntry {
         .except(Tables.orders(s, d).select(col("o_custkey").as("custkey")))),
 
     // ---- text pipeline extensions ----
+    // exact corpus-wide top terms via Misra-Gries candidates + exact
+    // recount: shuffle is bounded by the sketch width, not the term
+    // dictionary; the certificate makes the output provably the true top-k
+    "q_heavy_hitters" -> ((s, d) =>
+      HeavyHitters.topTerms(s, Tables.documents(s, d), "text", k = 20)),
+
     "q_tfidf" -> ((s, d) => TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), k = 3)),
     "q_normalize" -> ((s, d) => TextAnalysis.normalize(Tables.documents(s, d))),
 
@@ -658,6 +679,37 @@ object SparkEntry {
     "q_dedup_jaccard" -> jaccardCappedOracle,
     "q_dedup_minhash" -> jaccardOracle,
 
+    // transitive closure over the capped-Jaccard pair graph; LEAST(a, MIN(b))
+    // = the component's minimum id, the same canonical choice Spark makes
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  JOIN dfq ON dfq.s = a.s
+         |  WHERE dfq.df <= 64
+         |  GROUP BY 1, 2),
+         |jpairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter
+         |  JOIN sz sa ON sa.doc_id = doc_a
+         |  JOIN sz sb ON sb.doc_id = doc_b
+         |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.7),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+         |          UNION SELECT doc_b, doc_a FROM jpairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         |         FROM reach GROUP BY a)
+         |SELECT d.doc_id,
+         |  COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         |  CAST(CASE WHEN COALESCE(c.cluster_id, d.doc_id) = d.doc_id
+         |       THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin,
+
     "q_dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
          |tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
@@ -855,6 +907,14 @@ object SparkEntry {
       """SELECT c_custkey AS custkey FROM customer
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders""".stripMargin,
+
+    "q_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($tokensSql) AS term FROM documents),
+         |c AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+         |r AS (SELECT term, n,
+         |        CAST(row_number() OVER (ORDER BY n DESC, term) AS INT) AS rk
+         |      FROM c)
+         |SELECT term, n, rk FROM r WHERE rk <= 20""".stripMargin,
 
     "q_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),

@@ -123,6 +123,55 @@ object Dedup {
     jaccardFromCounts(inter, threshold)
   }
 
+  /** Duplicate CLUSTERS from a near-dup pair list — the step that turns
+    * pairwise similarity into an actionable keep-list. Transitive closure:
+    * if a~b and b~c, then {a,b,c} is one cluster even when a~c was never
+    * emitted. Output: one row per document appearing in ≥1 pair —
+    * (doc_id, cluster_id, keep) where cluster_id is the component's minimum
+    * id and keep=1 marks the canonical representative.
+    *
+    * Algorithm: min-label propagation to fixpoint. Each iteration is one
+    * hash-aggregate over the (undirected) edge list — a label never travels
+    * farther than one hop per round, so rounds = graph diameter. Near-dup
+    * graphs are unions of small dense cliques (diameter ≤ ~3 in practice);
+    * `maxIters` caps pathological chains and the loop stops as soon as an
+    * iteration changes nothing. Scale shape: shuffle volume per round is
+    * bounded by |edges|, labels are `localCheckpoint`ed so lineage stays
+    * O(1), and the fixpoint test is a count — no driver-side graph.
+    *
+    * Reference counterpart: none — `etl.py` dedups on exact keys only
+    * (etl.py:60,79); clustering is what its pipeline would need the moment
+    * near-dup pairs replace exact matches.
+    */
+  def clusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+               maxIters: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id"), col("src").as("lbl"))
+      .distinct().localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      // candidate label = min(own, min over neighbors' labels)
+      val next = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2")).agg(min(col("lbl")).as("nlbl"))
+        .join(labels, col("id2") === labels("id"))
+        .select(col("id"), least(col("lbl"), col("nlbl")).as("lbl"),
+          (col("nlbl") < col("lbl")).cast("long").as("delta"))
+        .localCheckpoint()
+      changed = next.agg(coalesce(sum(col("delta")), lit(0L))).head().getLong(0)
+      val spent = labels
+      labels = next.select(col("id"), col("lbl"))
+      release(spent)
+      it += 1
+    }
+    require(changed == 0, s"clusters did not converge in $maxIters iterations")
+    release(edges)
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+      (col("id") === col("lbl")).cast("int").as("keep"))
+  }
+
   /** Tier 4: MinHash + LSH near-dup pairs, exact-verified — the scale path
     * for exact-Jaccard output.
     *

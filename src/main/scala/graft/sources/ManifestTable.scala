@@ -683,8 +683,25 @@ object ManifestTable {
     * manifests, then the superseded manifests themselves. Returns the number
     * of data files deleted. Run only when no reader still holds a manifest
     * older than the retention window.
+    *
+    * Also sweeps `_tmp` scratch dirs older than `tmpRetentionMs` — the
+    * leftovers of writers that died mid-flight (a LIVE writer's scratch is
+    * younger than any sane retention; the default is a day).
     */
-  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): Int = {
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
+             tmpRetentionMs: Long = 24L * 3600 * 1000): Int = {
+    val fsys = fs(spark, path)
+    val tmpRoot = new Path(path, "_tmp")
+    if (fsys.exists(tmpRoot)) {
+      val cutoff = System.currentTimeMillis() - tmpRetentionMs
+      fsys.listStatus(tmpRoot).foreach { st =>
+        if (st.getModificationTime < cutoff) fsys.delete(st.getPath, true): Unit
+      }
+    }
+    vacuumData(spark, path, keepVersions)
+  }
+
+  private def vacuumData(spark: SparkSession, path: String, keepVersions: Int): Int = {
     require(keepVersions >= 1, "must keep at least the current version")
     val f = fs(spark, path)
     val dir = manifestDir(path)

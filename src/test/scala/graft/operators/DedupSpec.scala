@@ -88,4 +88,26 @@ class DedupSpec extends SparkSpec {
     val b = Dedup.simhashSignatures(docs, "doc_id", "text").orderBy("doc_id").collect()
     assert(a === b)
   }
+
+  test("clusters computes transitive closure with canonical minimum-id keeps") {
+    // component {1,2,3,4} is a 3-hop CHAIN (1-2, 2-3, 3-4): membership of 4
+    // requires propagation, not just one join; {7,9} is a separate pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs)
+      .select("doc_id", "cluster_id", "keep").as[(Long, Long, Int)]
+      .collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, 1L, 1), (2L, 1L, 0), (3L, 1L, 0), (4L, 1L, 0),
+      (7L, 7L, 1), (9L, 7L, 0)))
+  }
+
+  test("clusters is partitioning-invariant and handles an empty pair list") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 13L))
+      .toDF("doc_a", "doc_b")
+    val one = Dedup.clusters(pairs.repartition(1)).orderBy("doc_id").collect()
+    val many = Dedup.clusters(pairs.repartition(7)).orderBy("doc_id").collect()
+    assert(one === many)
+    val empty = Dedup.clusters(pairs.filter(col("doc_a") < 0))
+    assert(empty.count() === 0)
+  }
 }

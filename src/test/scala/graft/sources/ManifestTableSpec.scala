@@ -291,6 +291,20 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.readRange(spark, path, "s", priv, priv).count() === 1)
   }
 
+  test("vacuum sweeps stale _tmp scratch from dead writers") {
+    val path = tmpTable()
+    ManifestTable.overwrite(spark, path, Seq((1L, "a")).toDF("id", "v"))
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a writer that died mid-flight: orphaned scratch, old mtime
+    val stale = new org.apache.hadoop.fs.Path(path, "_tmp/deadbeef00000000")
+    f.mkdirs(stale)
+    f.setTimes(stale, 1000L, -1)
+    ManifestTable.vacuum(spark, path)
+    assert(!f.exists(stale), "stale scratch must be swept")
+    assert(ManifestTable.read(spark, path).count() === 1)
+  }
+
   test("stats collection survives partition values that URI-encode") {
     val path = tmpTable()
     // 'a b' percent-encodes in input_file_name() URIs; stats→file matching
