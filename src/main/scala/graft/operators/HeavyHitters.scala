@@ -43,6 +43,11 @@ object HeavyHitters {
 
     def zero: Map[String, Long] = Map.empty
 
+    // Cost note: the decrement branch is O(width), but each call destroys
+    // `width` units of counter mass and total mass inflow is one per input
+    // row — so across a stream of N tokens the decrement work is O(N)
+    // total, i.e. amortized O(1) per token; the common resident-increment
+    // path is a single persistent-map update.
     def reduce(b: Map[String, Long], t: String): Map[String, Long] =
       b.get(t) match {
         case Some(n) => b.updated(t, n + 1)
@@ -64,7 +69,9 @@ object HeavyHitters {
 
     def finish(r: Map[String, Long]): Map[String, Long] = r
     def bufferEncoder: Encoder[Map[String, Long]] = Encoders.kryo[Map[String, Long]]
-    def outputEncoder: Encoder[Map[String, Long]] = Encoders.kryo[Map[String, Long]]
+    // a real MapType (not kryo binary) so the untyped udaf column reads back
+    def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }
 
   /** Exact top-k terms of `textCol` by count (ties → term ascending), via
@@ -77,9 +84,13 @@ object HeavyHitters {
     require(k < width, s"need k ($k) < sketch width ($width) for the certificate")
     val terms = docs.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
 
-    val mg = new MisraGries(width)
-    val total = terms.count()
-    val sketch = terms.as[String].select(mg.toColumn).head()
+    // N and the candidate sketch in ONE pass over the corpus (no caching of
+    // the exploded terms — at 100 TB re-reading compressed parquet for the
+    // recount beats materializing raw token strings)
+    val mgCol = udaf(new MisraGries(width), Encoders.STRING)
+    val firstPass = terms.agg(count(col("term")), mgCol(col("term"))).head()
+    val total = firstPass.getLong(0)
+    val sketch = firstPass.getMap[String, Long](1).toMap
 
     val certified = {
       val cands = sketch.keys.toSeq.toDF("term")

@@ -394,13 +394,35 @@ object ManifestTable {
     val target = new Path(manifestDir(path), manifestName(expected))
     // the version file is immutable: its atomic appearance IS the commit.
     // A lost race (version already taken) aborts rather than clobbers.
-    if (f.exists(target) || !f.rename(scratch, target)) {
+    if (!publishExclusive(f, scratch, target)) {
       f.delete(scratch, false)
       throw new java.util.ConcurrentModificationException(
         s"version $expected of $path was committed concurrently")
     }
     expected
   }
+
+  /** Atomically publish `scratch` as `target`, failing (false) if `target`
+    * already exists. A plain exists()+rename() is a TOCTOU hole on the
+    * local filesystem, where Hadoop's rename bottoms out in POSIX rename(2)
+    * and silently REPLACES the destination — two racing committers could
+    * both "win". On `file:` we therefore publish via link(2)
+    * (`Files.createLink`), which is atomic-exclusive by contract; on HDFS
+    * rename itself refuses an existing destination atomically, so the
+    * exists() check is merely a fast path.
+    */
+  private def publishExclusive(f: FileSystem, scratch: Path, target: Path): Boolean =
+    if ("file" == f.getUri.getScheme) {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(f.makeQualified(target).toUri.getPath),
+          java.nio.file.Paths.get(f.makeQualified(scratch).toUri.getPath))
+        f.delete(scratch, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else !f.exists(target) && f.rename(scratch, target)
 
   /** Rebase budget for losing committers. Each retry re-reads the winner's
     * manifest and re-validates, so retries only exhaust under sustained
@@ -477,17 +499,34 @@ object ManifestTable {
     }
   }
 
+  /** Create the table at exactly version 1, or signal that someone else
+    * created it first. Callers whose semantics are NOT replace-everything
+    * (append, merge) must route table creation here rather than through
+    * [[overwrite]] — overwrite's retry loop would turn a lost CREATE race
+    * into a whole-table replacement that silently drops the winner's rows.
+    * The loser's data files become vacuumable orphans.
+    */
+  private def createExclusive(spark: SparkSession, path: String, df: DataFrame,
+                              partitionCols: Seq[String]): Option[Long] = {
+    val files = writeDataFiles(spark, path, df, partitionCols)
+    try Some(commit(spark, path, 1L, df.schema, partitionCols, files, Nil, Map.empty))
+    catch { case _: java.util.ConcurrentModificationException => None }
+  }
+
   /** Append rows: new snapshot = previous files + this batch's files.
     *
     * Accepts schema-evolving batches ([[evolveSchema]]): a batch with new
     * columns commits the widened schema; prior versions' files read back
     * with NULLs there. Appends commute with any concurrent commit, so a
     * lost version race rebases onto the winner's manifest (re-validating
-    * schema and partitioning) instead of failing.
+    * schema and partitioning) instead of failing — including a lost CREATE
+    * race, which falls through to a normal append against the winner.
     */
   def append(spark: SparkSession, path: String, df: DataFrame): Long =
     currentVersion(spark, path) match {
-      case None => overwrite(spark, path, df)
+      case None =>
+        createExclusive(spark, path, df, Nil)
+          .getOrElse(append(spark, path, df))
       case Some(v0) =>
         var m = readManifest(spark, path, v0)
         evolveSchema(df, m, "append") // fail fast, before any data lands
@@ -569,7 +608,11 @@ object ManifestTable {
   def merge(spark: SparkSession, path: String, updates: DataFrame,
             keys: Seq[String], partitionCols: Seq[String] = Nil): Long =
     currentVersion(spark, path) match {
-      case None => overwrite(spark, path, updates, partitionCols)
+      case None =>
+        // lost CREATE race → the table exists now; merge into it instead of
+        // letting overwrite's retry replace the winner's rows
+        createExclusive(spark, path, updates, partitionCols)
+          .getOrElse(merge(spark, path, updates, keys, partitionCols))
       case Some(v) =>
         val m = readManifest(spark, path, v)
         requireCompatible(updates, m, "merge")

@@ -114,8 +114,17 @@ object Streaming {
               case l => late = SessionState(l.start, t, l.n + 1, l.sum + v)
             }
           // in-gap late events extend the span; never rewind `last`
-          case s => cur = SessionState(math.min(s.start, t), math.max(s.last, t),
-            s.n + 1, s.sum + v)
+          case s =>
+            cur = SessionState(math.min(s.start, t), math.max(s.last, t),
+              s.n + 1, s.sum + v)
+            // extending `start` downward may BRIDGE the pending late chain
+            // into the live session (late.last is now within a gap of it):
+            // batch semantics make that one session, so absorb the chain
+            if (late != null && cur.start - late.last <= gapMs) {
+              cur = SessionState(math.min(late.start, cur.start), cur.last,
+                cur.n + late.n, cur.sum + late.sum)
+              late = null
+            }
         }
       }
       closeLate()

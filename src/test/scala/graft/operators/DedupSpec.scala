@@ -110,4 +110,15 @@ class DedupSpec extends SparkSpec {
     val empty = Dedup.clusters(pairs.filter(col("doc_a") < 0))
     assert(empty.count() === 0)
   }
+
+  test("clusters converges on a long chain in O(log diameter) rounds (pointer jumping)") {
+    // a 65-hop pairwise-drift chain (template churn): one-hop propagation
+    // would need 65 rounds; pointer jumping must finish well under maxIters
+    val chain = (100L until 165L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(chain).select("doc_id", "cluster_id", "keep")
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(got.length === 66)
+    assert(got.forall(_._2 == 100L), "whole chain must collapse to one cluster")
+    assert(got.count(_._3 == 1) === 1 && got.head === ((100L, 100L, 1)))
+  }
 }

@@ -128,6 +128,35 @@ class StreamingSpec extends SparkSpec {
     assert(live(1).getAs[Double]("total_value") === 10.0)
   }
 
+  test("an in-gap late event bridges a pending late chain into the live session") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = in.toDF().toDF("user_id", "ts", "value")
+    val q = Streaming.sessionizeEventTime(spark, df, gapMs = 30 * 60 * 1000L,
+      watermarkDelay = "3 hours")
+      .writeStream.format("memory").queryName("sess_bridge_out").outputMode("append").start()
+    in.addData((1L, java.sql.Timestamp.valueOf("2024-01-01 02:30:00"), 10.0))
+    q.processAllAvailable()
+    // 01:40/01:55 are >gap before the live start (02:30) → late chain; then
+    // 02:05 is in-gap of 02:30 AND in-gap of 01:55 — batch semantics chain
+    // all four into ONE session, so nothing may close here
+    in.addData(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 01:40:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 01:55:00"), 2.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 02:05:00"), 4.0))
+    q.processAllAvailable()
+    assert(spark.table("sess_bridge_out").filter(col("user_id") === 1).isEmpty,
+      "bridged chain must not close as a separate session")
+    in.addData((2L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sess_bridge_out").filter(col("user_id") === 1).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[java.sql.Timestamp]("session_start") ===
+      java.sql.Timestamp.valueOf("2024-01-01 01:40:00"))
+    assert(got.head.getAs[Long]("n_events") === 4L)
+    assert(got.head.getAs[Double]("total_value") === 17.0)
+  }
+
   test("manifestUpsertSink merges each micro-batch as one atomic snapshot") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("musink").toString
