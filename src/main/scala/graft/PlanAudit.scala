@@ -67,6 +67,25 @@ object PlanAudit {
         p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")),
       "pair counts partially aggregated map-side" -> (p =>
         "HashAggregate".r.findAllIn(p).length >= 2))
+    audit("q_dedup_jaccard")(
+      // df-capped direct enumeration: pair expansion happens inside shingle
+      // buckets only — no join at all, let alone a quadratic one
+      "no cartesian/broadcast-nested-loop pair generation" -> (p =>
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")),
+      "bucket pairing is aggregation, not a self-join" -> (p =>
+        !p.contains("SortMergeJoin") && "HashAggregate".r.findAllIn(p).length >= 2))
+    audit("q_embed_dup_pairs")(
+      // the registered pairs query must be the blocked form: pairing is an
+      // equi-join keyed on the IVF cell. (A broadcast NL join DOES appear —
+      // the centroid assignment, bounded by nCells — so the discriminator
+      // is the cell-keyed pair join, absent entirely from the O(n²) form.)
+      "pairing is cell-keyed, not all-pairs" -> (p =>
+        !p.contains("CartesianProduct") &&
+          ("hashpartitioning\\(cell".r.findAllIn(p).nonEmpty ||
+            p.contains("BroadcastHashJoin [cell"))))
+    audit("q_dedup_simhash_pairs")(
+      "banded candidates via hash join, Hamming verify post-join" -> (p =>
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
     audit("q_ann_ivf_refined")(
       // probe/top-k windows partition by q_id; a regression of the
       // assignment argmax back to a rank window would show up as a window

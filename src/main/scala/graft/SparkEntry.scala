@@ -153,6 +153,13 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashSignatures(Tables.documents(s, d), "doc_id", "text")),
 
+    // simhash tier completed: banded candidate join + exact Hamming verify.
+    // EXACT by pigeonhole (≤3 differing bits cannot touch all 4 bands), so
+    // the full signature→band→verify chain hash-checks against DuckDB
+    "q_dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3, bands = 4)),
+
     // pairs → duplicate CLUSTERS (transitive closure) → canonical keep-list:
     // the step an actual dedup pipeline runs after near-dup detection.
     // Min-label propagation to fixpoint; the DuckDB oracle re-derives the
@@ -485,6 +492,23 @@ object SparkEntry {
        |  JOIN sz sb ON sb.doc_id = doc_b)
        |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.7""".stripMargin
 
+  /** Per-doc 64-bit simhash as a bit string — shared by the signature and
+    * banded-pair oracles; final relation: `sig(doc_id, simhash)`. */
+  private val simhashCte =
+    s"""toksh AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+       |tokh AS (SELECT doc_id, unnest(ts) AS t FROM toksh),
+       |tc AS (SELECT doc_id, t, count(*) AS cnt, md5(t) AS h FROM tokh GROUP BY doc_id, t),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |    CASE WHEN SUM(cnt * (CASE WHEN ((strpos('0123456789abcdef', substr(h, (j // 4) + 1, 1)) - 1)
+       |                                    & (1 << (3 - (j % 4)))) > 0
+       |                              THEN 1 ELSE -1 END)) >= 0
+       |         THEN '1' ELSE '0' END AS bit
+       |  FROM tc, (SELECT unnest(range(0, 64)) AS j) js
+       |  GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash
+       |        FROM bits GROUP BY doc_id)""".stripMargin
+
   /** Left-fold double dot product — bit-equal to Spark's `aggregate(zip_with)`. */
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
@@ -710,20 +734,22 @@ object SparkEntry {
          |       THEN 1 ELSE 0 END AS INT) AS keep
          |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin,
 
-    "q_dedup_simhash" ->
-      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
-         |tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
-         |tc AS (SELECT doc_id, t, count(*) AS cnt, md5(t) AS h FROM tok GROUP BY doc_id, t),
-         |bits AS (
-         |  SELECT doc_id, j,
-         |    CASE WHEN SUM(cnt * (CASE WHEN ((strpos('0123456789abcdef', substr(h, (j // 4) + 1, 1)) - 1)
-         |                                    & (1 << (3 - (j % 4)))) > 0
-         |                              THEN 1 ELSE -1 END)) >= 0
-         |         THEN '1' ELSE '0' END AS bit
-         |  FROM tc, (SELECT unnest(range(0, 64)) AS j) js
-         |  GROUP BY doc_id, j)
-         |SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash
-         |FROM bits GROUP BY doc_id""".stripMargin,
+    "q_dedup_simhash" -> s"WITH $simhashCte\nSELECT doc_id, simhash FROM sig",
+
+    "q_dedup_simhash_pairs" ->
+      s"""WITH $simhashCte,
+         |bb AS (SELECT doc_id, simhash, band,
+         |         substr(simhash, band * 16 + 1, 16) AS bs
+         |       FROM sig, (SELECT unnest(range(0, 4)) AS band) bands),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
+         |                  b.doc_id AS doc_b, b.simhash AS sb
+         |  FROM bb a JOIN bb b ON a.band = b.band AND a.bs = b.bs
+         |                     AND a.doc_id < b.doc_id),
+         |h AS (SELECT doc_a, doc_b,
+         |        CAST(len(list_filter(range(1, 65), i -> sa[i] <> sb[i])) AS INT) AS hamming
+         |      FROM cand)
+         |SELECT doc_a, doc_b, hamming FROM h WHERE hamming <= 3""".stripMargin,
 
     "q_ann_topk" ->
       s"""WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),

@@ -39,6 +39,19 @@ object Sink {
       .saveAsTable(table)
   }
 
+  /** ORC interchange sink/source — the second columnar format Spark ships
+    * natively (vectorized reader, predicate pushdown, column pruning), for
+    * pipelines whose upstream/downstream speaks ORC instead of parquet.
+    * Same partitioned-append contract as [[writePartitioned]].
+    */
+  def writeOrc(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
+  }
+
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Read an existing target table, or return an EMPTY frame with the given
     * schema when the target has never been written (S8, `etl.py:108-112`).
     * Unlike the reference this never catches unrelated failures (the bare

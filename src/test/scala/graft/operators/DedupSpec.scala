@@ -89,6 +89,20 @@ class DedupSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("simhashPairs equals brute-force Hamming pairs (pigeonhole exactness)") {
+    val docs = Tables.documents(spark, sf).limit(200)
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash"))
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val expected = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = hamming(sa, sb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, bands = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === expected, "banded candidates + verify must equal brute force")
+  }
+
   test("clusters computes transitive closure with canonical minimum-id keeps") {
     // component {1,2,3,4} is a 3-hop CHAIN (1-2, 2-3, 3-4): membership of 4
     // requires propagation, not just one join; {7,9} is a separate pair

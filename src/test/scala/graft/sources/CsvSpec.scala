@@ -22,4 +22,22 @@ class CsvSpec extends SparkSpec {
     val back = Json.read(spark, Tables.ordersSchema, dir)
     assert(back.count() === Tables.orders(spark, sf).count())
   }
+
+  test("ORC sink round-trips partitioned and pushes filters into the scan") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("orc_rt").toString + "/orders"
+    val orig = Tables.orders(spark, sf).withColumn("year", year(col("o_orderdate")))
+    Sink.writeOrc(orig, dir, Seq("year"))
+    val back = Sink.readOrc(spark, dir, orig.schema)
+    assert(back.count() === orig.count())
+    assert(back.exceptAll(orig).count() === 0 && orig.exceptAll(back).count() === 0)
+    // native ORC reader: partition pruning + predicate pushdown both engage
+    val plan = back.filter(col("year") === 1995 && col("o_totalprice") > 100000)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan orc"), s"not the native orc scan:\n$plan")
+    assert(plan.contains("PartitionFilters: [") && plan.contains("year"),
+      s"no partition pruning in:\n$plan")
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(o_totalprice"),
+      s"no predicate pushdown in:\n$plan")
+  }
 }
