@@ -268,9 +268,17 @@ object ManifestTable {
         .parquet(kept.map(rel => new Path(dataDir(path), rel).toString): _*)
   }
 
+  /** Reserved pseudo-column in the per-file stats map holding the file's
+    * ROW COUNT (min == max == count). Rides the stats scan for free and
+    * powers [[fastCount]]; never a queryable column (pruning consults only
+    * `statsCols`, which cannot contain it).
+    */
+  private val RowsKey = "_rows"
+
   /** One column-pruned pass over freshly committed files: per-file min/max
-    * for each stats column, keyed by table-relative path. Runs distributed
-    * (`input_file_name` grouping); the scan reads only the stats columns.
+    * for each stats column plus the row count, keyed by table-relative
+    * path. Runs distributed (`input_file_name` grouping); the scan reads
+    * only the stats columns.
     */
   private def collectStats(spark: SparkSession, path: String, rels: Seq[String],
                            schema: StructType, partitionCols: Seq[String],
@@ -278,9 +286,11 @@ object ManifestTable {
     if (statsCols.isEmpty || rels.isEmpty) return Map.empty
     val bad = statsCols.filter(partitionCols.contains)
     require(bad.isEmpty, s"stats on partition columns are redundant: $bad")
+    require(!statsCols.contains(RowsKey), s"$RowsKey is reserved")
     val paths = rels.map(rel => new Path(dataDir(path), rel).toString)
     val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("_nrows")
     val rows = spark.read.schema(schema)
       .option("basePath", dataDir(path).toString).parquet(paths: _*)
       .groupBy(input_file_name().as("_f"))
@@ -302,11 +312,30 @@ object ManifestTable {
       val rel = p.substring(dataPath.length + 1)
       require(relSet.contains(rel),
         s"stats file ${r.getString(0)} not among committed files")
-      rel -> statsCols.map { c =>
+      val nrows = Some(encodeStat(r.getAs[Long]("_nrows")))
+      rel -> (statsCols.map { c =>
         c -> ((Option(r.getAs[Any](s"min_$c")).map(encodeStat),
                Option(r.getAs[Any](s"max_$c")).map(encodeStat)))
-      }.toMap
+      }.toMap + (RowsKey -> ((nrows, nrows))))
     }.toMap
+  }
+
+  /** Metadata-only COUNT(*): Some(total) when every file of the current
+    * snapshot carries a row count (recorded by the stats pass at commit
+    * time — tables must opt into `statsCols`), None when any file predates
+    * row counting or the table has no stats. Zero data IO: at 100 TB the
+    * difference between answering instantly from the manifest and a
+    * full-table scan — the fast-count feature of the big lake formats.
+    */
+  def fastCount(spark: SparkSession, path: String): Option[Long] = {
+    val v = currentVersion(spark, path).getOrElse(return None)
+    val m = readManifest(spark, path, v)
+    if (m.files.isEmpty) return Some(0L)
+    val counts = m.files.map(rel =>
+      m.stats.get(rel).flatMap(_.get(RowsKey)).flatMap(_._1))
+    if (counts.forall(_.isDefined))
+      Some(counts.flatten.map(e => decodeStat(e).asInstanceOf[Long]).sum)
+    else None
   }
 
   /** Files of `version` whose zone map can satisfy `lo <= colName <= hi` —

@@ -291,6 +291,26 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.readRange(spark, path, "s", priv, priv).count() === 1)
   }
 
+  test("fastCount answers COUNT(*) from the manifest alone on stats tables") {
+    val path = tmpTable()
+    ManifestTable.overwrite(spark, path,
+      (1 to 300).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(4),
+      statsCols = Seq("id"))
+    assert(ManifestTable.fastCount(spark, path) === Some(300L))
+    ManifestTable.append(spark, path,
+      (301 to 350).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    assert(ManifestTable.fastCount(spark, path) === Some(350L))
+    assert(ManifestTable.fastCount(spark, path) ===
+      Some(ManifestTable.read(spark, path).count()))
+    ManifestTable.compact(spark, path, targetRowsPerFile = 100)
+    assert(ManifestTable.fastCount(spark, path) === Some(350L))
+
+    // a table that never opted into stats has no counts to sum
+    val bare = tmpTable()
+    ManifestTable.overwrite(spark, bare, Seq((1L, "a")).toDF("id", "v"))
+    assert(ManifestTable.fastCount(spark, bare) === None)
+  }
+
   test("vacuum sweeps stale _tmp scratch from dead writers") {
     val path = tmpTable()
     ManifestTable.overwrite(spark, path, Seq((1L, "a")).toDF("id", "v"))
