@@ -39,8 +39,13 @@ object Bench {
         val df = fn(spark, sfDir)
         if (materialize) df.write.mode("overwrite").format("noop").save()
         else df.count(): Unit
-      } catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          // a crashed query must not masquerade as a fast success
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          name -> -1.0
+      }
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

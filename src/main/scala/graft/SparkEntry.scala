@@ -506,8 +506,15 @@ object SparkEntry {
        |         THEN '1' ELSE '0' END AS bit
        |  FROM tc, (SELECT unnest(range(0, 64)) AS j) js
        |  GROUP BY doc_id, j),
-       |sig AS (SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash
-       |        FROM bits GROUP BY doc_id)""".stripMargin
+       |sig0 AS (SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash
+       |         FROM bits GROUP BY doc_id),
+       |sig AS (
+       |  -- zero-token docs have no tc rows; Spark's empty fold leaves the
+       |  -- accumulator all zeros => every bit '1'. NULL text stays NULL.
+       |  SELECT d.doc_id,
+       |    CASE WHEN d.text IS NULL THEN NULL
+       |         ELSE COALESCE(s.simhash, repeat('1', 64)) END AS simhash
+       |  FROM documents d LEFT JOIN sig0 s ON s.doc_id = d.doc_id)""".stripMargin
 
   /** Left-fold double dot product — bit-equal to Spark's `aggregate(zip_with)`. */
   private def dotSql(a: String, b: String): String =

@@ -18,10 +18,13 @@ object Sink {
     * `etl.py:125,233,291`). Hive-style directory partitioning is the layout
     * that gives partition-pruned reads at 100 TB.
     */
-  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+  private def appendWriter(df: DataFrame, partitionCols: Seq[String]) = {
     val w = df.write.mode(SaveMode.Append)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+    if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
   }
+
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    appendWriter(df, partitionCols).parquet(path)
 
   def write(df: DataFrame, path: String): Unit = writePartitioned(df, path, Nil)
 
@@ -44,10 +47,8 @@ object Sink {
     * pipelines whose upstream/downstream speaks ORC instead of parquet.
     * Same partitioned-append contract as [[writePartitioned]].
     */
-  def writeOrc(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Append)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
-  }
+  def writeOrc(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit =
+    appendWriter(df, partitionCols).orc(path)
 
   def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)

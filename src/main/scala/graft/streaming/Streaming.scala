@@ -70,70 +70,34 @@ object Streaming {
       .start()
 
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+
+  /** Group state: EVERY open session of the key, sorted by start, pairwise
+    * more than a gap apart. A single-session state cannot be correct under
+    * out-of-order arrival: a late chain held open may be bridged into the
+    * live session by a later batch's in-gap event, and an eagerly-closed
+    * session can never be reopened — so nothing is emitted until it is
+    * provably final.
+    */
+  final case class OpenSessions(open: Seq[SessionState])
+
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                               n_events: Long, total_value: Double)
 
-  /** Shared per-key session step: fold this batch's events (sorted by event
-    * time) into the running session, emitting every session closed inline by
-    * a post-gap event; on a timeout invocation, flush and drop the idle
-    * session. `setTimeout` re-arms the chosen timeout after a state update.
+  /** Fold one event into the key's disjoint open sessions: it merges every
+    * session whose `[start-gap, last+gap]` envelope contains it — possibly
+    * BRIDGING two neighbors into one — or opens a new session.
     */
-  private def sessionStep(user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
-                          state: GroupState[SessionState], gapMs: Long,
-                          setTimeout: SessionState => Unit): Iterator[SessionOut] =
-    if (state.hasTimedOut) {
-      val s = state.get
-      state.remove()
-      Iterator(SessionOut(user, new java.sql.Timestamp(s.start), s.n, s.sum))
-    } else {
-      var closed = List.empty[SessionOut]
-      var cur = state.getOption.orNull
-      // late events more than a gap BEFORE the live session's start can
-      // never belong to it (the batch twin puts a session boundary between
-      // them); they chain into their own session(s) here instead of
-      // stretching the live one backwards. Each late event is > gap before
-      // cur.start, so a late chain can never extend forward into `cur`.
-      var late: SessionState = null
-      def closeLate(): Unit = if (late != null) {
-        closed ::= SessionOut(user, new java.sql.Timestamp(late.start), late.n, late.sum)
-        late = null
-      }
-      rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, v) =>
-        val t = ts.getTime
-        cur match {
-          case null => cur = SessionState(t, t, 1, v)
-          case s if t - s.last > gapMs =>
-            closed ::= SessionOut(user, new java.sql.Timestamp(s.start), s.n, s.sum)
-            cur = SessionState(t, t, 1, v)
-          case s if s.start - t > gapMs =>
-            late match {
-              case null => late = SessionState(t, t, 1, v)
-              case l if t - l.last > gapMs =>
-                closeLate()
-                late = SessionState(t, t, 1, v)
-              case l => late = SessionState(l.start, t, l.n + 1, l.sum + v)
-            }
-          // in-gap late events extend the span; never rewind `last`
-          case s =>
-            cur = SessionState(math.min(s.start, t), math.max(s.last, t),
-              s.n + 1, s.sum + v)
-            // extending `start` downward may BRIDGE the pending late chain
-            // into the live session (late.last is now within a gap of it):
-            // batch semantics make that one session, so absorb the chain
-            if (late != null && cur.start - late.last <= gapMs) {
-              cur = SessionState(math.min(late.start, cur.start), cur.last,
-                cur.n + late.n, cur.sum + late.sum)
-              late = null
-            }
-        }
-      }
-      closeLate()
-      if (cur != null) {
-        state.update(cur)
-        setTimeout(cur)
-      }
-      closed.reverseIterator
-    }
+  private def insertEvent(open: List[SessionState], t: Long, v: Double,
+                          gapMs: Long): List[SessionState] = {
+    val (near, rest) = open.partition(s => t >= s.start - gapMs && t <= s.last + gapMs)
+    val merged = near.foldLeft(SessionState(t, t, 1, v))((a, s) =>
+      SessionState(math.min(a.start, s.start), math.max(a.last, s.last),
+        a.n + s.n, a.sum + s.sum))
+    (merged :: rest).sortBy(_.start)
+  }
+
+  private def toOut(user: Long)(s: SessionState): SessionOut =
+    SessionOut(user, new java.sql.Timestamp(s.start), s.n, s.sum)
 
   private def typedEvents(spark: SparkSession, events: DataFrame) = {
     import spark.implicits._
@@ -143,16 +107,19 @@ object Streaming {
   }
 
   /** Stateful gap sessionization via flatMapGroupsWithState — the streaming
-    * twin of `operators.Sessionize`. A session also closes inline when a
-    * later event for the key arrives past the gap; with `useTimeout` the
+    * twin of `operators.Sessionize`, processing-time flavored: after each
+    * batch every session except the newest is emitted as closed (the
+    * newest stays open for more events); with `useTimeout` the
     * processing-time timeout additionally flushes idle keys (tests run
     * without it because timeouts never fire under `processAllAvailable`).
     *
     * Prefer [[sessionizeEventTime]] on an unbounded feed: processing-time
     * flush ties session closure to wall-clock arrival, so a replay/backfill
     * (events arriving fast) closes sessions too late and a stalled source
-    * closes them too early. The event-time variant is driven solely by the
-    * data's own clock.
+    * closes them too early, and the eager per-batch close can split a
+    * session that a later out-of-order batch would have bridged. The
+    * event-time variant is driven solely by the data's own clock and emits
+    * only provably-final sessions.
     */
   def sessionize(spark: SparkSession, events: DataFrame, gapMs: Long,
                  useTimeout: Boolean = true): DataFrame = {
@@ -162,18 +129,32 @@ object Streaming {
     val sessions = typedEvents(spark, events).groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
-         state: GroupState[SessionState]) =>
-          sessionStep(user, rows, state, gapMs,
-            _ => if (useTimeout) state.setTimeoutDuration(gapMs)))
+         state: GroupState[OpenSessions]) =>
+          if (state.hasTimedOut) {
+            val out = state.get.open.sortBy(_.start).map(toOut(user))
+            state.remove()
+            out.iterator
+          } else {
+            var open = state.getOption.map(_.open.toList).getOrElse(Nil)
+            rows.foreach { case (_, ts, v) =>
+              open = insertEvent(open, ts.getTime, v, gapMs)
+            }
+            val sorted = open.sortBy(_.start)
+            state.update(OpenSessions(Seq(sorted.last)))
+            if (useTimeout) state.setTimeoutDuration(gapMs)
+            sorted.init.iterator.map(toOut(user))
+          })
     sessions.toDF()
   }
 
-  /** Event-time sessionization: idle sessions are flushed when the
-    * **watermark** (not the wall clock) passes `last event + gap` — the
-    * correct unbounded-feed semantics. Late events inside the watermark
-    * delay still extend their session; state for a key is dropped exactly
-    * when no in-watermark event can reach it anymore, so state size stays
-    * bounded by the number of keys active within one gap+delay horizon.
+  /** Event-time sessionization: a session is emitted exactly when the
+    * **watermark** passes `last event + gap` — the point at which no
+    * in-watermark event can reach its merge envelope anymore, so every
+    * emitted session is final (never split, never duplicated). Late
+    * in-watermark events extend or BRIDGE open sessions across batches;
+    * state per key is the open-session list, dropped as soon as the last
+    * session expires, so state size stays bounded by the keys active
+    * within one gap+delay horizon.
     */
   def sessionizeEventTime(spark: SparkSession, events: DataFrame, gapMs: Long,
                           watermarkDelay: String): DataFrame = {
@@ -183,12 +164,24 @@ object Streaming {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
-         state: GroupState[SessionState]) =>
-          sessionStep(user, rows, state, gapMs,
+         state: GroupState[OpenSessions]) => {
+          val wm = state.getCurrentWatermarkMs()
+          var open = state.getOption.map(_.open.toList).getOrElse(Nil)
+          if (!state.hasTimedOut)
+            rows.foreach { case (_, ts, v) =>
+              open = insertEvent(open, ts.getTime, v, gapMs)
+            }
+          val (expired, live) = open.partition(s => s.last + gapMs < wm)
+          if (live.isEmpty) { if (state.exists) state.remove() }
+          else {
+            state.update(OpenSessions(live))
             // the deadline must sit strictly past the current watermark or
             // Spark rejects it (the event that set it may itself be late)
-            s => state.setTimeoutTimestamp(
-              math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))))
+            state.setTimeoutTimestamp(
+              math.max(live.map(_.last + gapMs).min, wm + 1))
+          }
+          expired.sortBy(_.start).iterator.map(toOut(user))
+        })
     sessions.toDF()
   }
 }

@@ -94,7 +94,7 @@ class StreamingSpec extends SparkSpec {
       java.sql.Timestamp.valueOf("2024-01-01 00:05:00"))
   }
 
-  test("a late event more than a gap before the session start closes as its own session") {
+  test("a late event more than a gap before the session start becomes its own session") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
     val df = in.toDF().toDF("user_id", "ts", "value")
@@ -104,28 +104,60 @@ class StreamingSpec extends SparkSpec {
     in.addData((1L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 10.0))
     q.processAllAvailable()
     // in-watermark but a full hour (> 30min gap) before the live session's
-    // start: the batch twin separates them with a session boundary, so the
-    // stream must too — two late events within one gap chain together
+    // start: the batch twin separates them with a session boundary — the
+    // two late events chain together as their OWN open session. Nothing may
+    // emit yet: a later in-watermark event could still bridge or extend
+    // either session (sessions emit only once provably final).
     in.addData(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 1.0),
       (1L, java.sql.Timestamp.valueOf("2024-01-01 01:10:00"), 2.0))
     q.processAllAvailable()
-    val early = spark.table("sess_gap_out").filter(col("user_id") === 1).collect()
-    assert(early.length === 1, "late chain must close inline as one session")
-    assert(early.head.getAs[java.sql.Timestamp]("session_start") ===
-      java.sql.Timestamp.valueOf("2024-01-01 01:00:00"))
-    assert(early.head.getAs[Long]("n_events") === 2L)
-    assert(early.head.getAs[Double]("total_value") === 3.0)
-    // flush the live session: it must contain ONLY its own event
+    assert(spark.table("sess_gap_out").filter(col("user_id") === 1).isEmpty,
+      "no session is final while the watermark can still reach it")
+    // watermark past both envelopes → both sessions flush, separately
     in.addData((2L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 0.0))
     q.processAllAvailable(); q.stop()
-    val live = spark.table("sess_gap_out").filter(col("user_id") === 1)
+    val got = spark.table("sess_gap_out").filter(col("user_id") === 1)
       .orderBy("session_start").collect()
-    assert(live.length === 2)
-    assert(live(1).getAs[java.sql.Timestamp]("session_start") ===
+    assert(got.length === 2)
+    assert(got(0).getAs[java.sql.Timestamp]("session_start") ===
+      java.sql.Timestamp.valueOf("2024-01-01 01:00:00"))
+    assert(got(0).getAs[Long]("n_events") === 2L)
+    assert(got(0).getAs[Double]("total_value") === 3.0)
+    assert(got(1).getAs[java.sql.Timestamp]("session_start") ===
       java.sql.Timestamp.valueOf("2024-01-01 02:00:00"))
-    assert(live(1).getAs[Long]("n_events") === 1L)
-    assert(live(1).getAs[Double]("total_value") === 10.0)
+    assert(got(1).getAs[Long]("n_events") === 1L)
+    assert(got(1).getAs[Double]("total_value") === 10.0)
+  }
+
+  test("a bridge event in a LATER batch still unifies a late chain with the live session") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = in.toDF().toDF("user_id", "ts", "value")
+    val q = Streaming.sessionizeEventTime(spark, df, gapMs = 30 * 60 * 1000L,
+      watermarkDelay = "3 hours")
+      .writeStream.format("memory").queryName("sess_xbatch_out").outputMode("append").start()
+    in.addData((1L, java.sql.Timestamp.valueOf("2024-01-01 02:30:00"), 10.0))
+    q.processAllAvailable()
+    // late chain arrives in its own batch — must stay OPEN in state, not
+    // close at batch end (an eager close would make the later bridge
+    // unrecoverable and split what batch semantics join)
+    in.addData(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 01:40:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 01:55:00"), 2.0))
+    q.processAllAvailable()
+    // the bridge arrives one batch later still
+    in.addData((1L, java.sql.Timestamp.valueOf("2024-01-01 02:05:00"), 4.0))
+    q.processAllAvailable()
+    assert(spark.table("sess_xbatch_out").filter(col("user_id") === 1).isEmpty)
+    in.addData((2L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sess_xbatch_out").filter(col("user_id") === 1).collect()
+    assert(got.length === 1, s"batch twin yields ONE session, got ${got.length}")
+    assert(got.head.getAs[java.sql.Timestamp]("session_start") ===
+      java.sql.Timestamp.valueOf("2024-01-01 01:40:00"))
+    assert(got.head.getAs[Long]("n_events") === 4L)
+    assert(got.head.getAs[Double]("total_value") === 17.0)
   }
 
   test("an in-gap late event bridges a pending late chain into the live session") {
