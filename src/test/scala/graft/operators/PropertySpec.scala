@@ -67,4 +67,30 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("clusters matches union-find ground truth on random pair graphs") {
+    val pairGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)).suchThat(p => p._1 != p._2))
+    samples(pairGen, 6).foreach { raw =>
+      val pairs = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      // in-memory union-find ground truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val expected = nodes
+        .groupBy(find).values
+        .flatMap { members =>
+          val root = members.min
+          members.map(m => (m, root, if (m == root) 1 else 0))
+        }.toSet
+
+      val got = Dedup.clusters(pairs.toDF("doc_a", "doc_b"))
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got === expected, s"pairs=$pairs")
+    }
+  }
 }

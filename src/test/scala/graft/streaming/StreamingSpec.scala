@@ -189,6 +189,54 @@ class StreamingSpec extends SparkSpec {
     assert(got.head.getAs[Double]("total_value") === 17.0)
   }
 
+  test("event-time sessionize equals the batch twin under shuffled cross-batch arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    // 3 keys × 20 events over 6 hours with 30-min-gap session structure,
+    // delivered out of order across 4 micro-batches (seeded shuffle), huge
+    // watermark so nothing is dropped — the streaming output must equal
+    // batch Sessionize exactly
+    val rnd = new scala.util.Random(7)
+    val events = for {
+      user <- 1L to 3L
+      i <- 0 until 20
+    } yield {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+        i * 11 * 60 * 1000L + // 11-min steps → some gaps exceed 30 min below
+        (if (i % 7 == 0) 40 * 60 * 1000L * (i / 7 + user) else 0L)
+      (user, new java.sql.Timestamp(t), rnd.nextInt(10).toDouble)
+    }
+    val shuffled = rnd.shuffle(events)
+
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = in.toDF().toDF("user_id", "ts", "value")
+    val q = Streaming.sessionizeEventTime(spark, df, gapMs = 30 * 60 * 1000L,
+      watermarkDelay = "10 days")
+      .writeStream.format("memory").queryName("sess_eq_out").outputMode("append").start()
+    shuffled.grouped(15).foreach { batch =>
+      in.addData(batch); q.processAllAvailable()
+    }
+    // sentinel key far in the future flushes everything real
+    in.addData((99L, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 0.0))
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("sess_eq_out").filter(col("user_id") =!= 99L)
+      .select("user_id", "session_start", "n_events", "total_value")
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSet
+
+    val batchDf = events.toDF("user_id", "ts", "value")
+      .withColumn("event_id", monotonically_increasing_id())
+    val expected = graft.operators.Sessionize(
+        batchDf, "user_id", "ts", "event_id", gapMicros = 30L * 60 * 1000 * 1000)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"),
+        sum(col("value")).as("total_value"))
+      .select("user_id", "session_start", "n_events", "total_value")
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSet
+
+    assert(got === expected,
+      s"streaming ${got.size} sessions vs batch ${expected.size}")
+  }
+
   test("manifestUpsertSink merges each micro-batch as one atomic snapshot") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("musink").toString
