@@ -49,7 +49,9 @@ object Bench {
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // failed queries carry the -1 sentinel: keep them visible per-query but
+    // out of the headline total (a crash must not read as a speedup)
+    val total = results.values.filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // stderr passes through sbt undecorated — a second parse-safe channel

@@ -82,7 +82,7 @@ object Dedup {
                    maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     require(64 % bands == 0 && bands >= 2,
       s"bands ($bands) must divide 64 and be >= 2 (a 64-bit segment would " +
-        "overflow the signed-BIGINT Hamming decode; bands=1 is also a full cross join)")
+        "overflow the signed-BIGINT Hamming decode)")
     require(maxHamming < bands,
       s"exactness needs maxHamming ($maxHamming) < bands ($bands) [pigeonhole]")
     val w = 64 / bands

@@ -71,12 +71,14 @@ object Streaming {
 
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
 
-  /** Group state: EVERY open session of the key, sorted by start, pairwise
-    * more than a gap apart. A single-session state cannot be correct under
-    * out-of-order arrival: a late chain held open may be bridged into the
-    * live session by a later batch's in-gap event, and an eagerly-closed
-    * session can never be reopened — so nothing is emitted until it is
-    * provably final.
+  /** Group state: the key's open sessions, sorted by start, pairwise more
+    * than a gap apart. [[sessionizeEventTime]] keeps ALL of them and emits
+    * a session only once provably final (a single-session state cannot be
+    * correct under out-of-order arrival: a late chain held open may be
+    * bridged into the live session by a later batch's in-gap event, and an
+    * eagerly-closed session can never be reopened). The processing-time
+    * [[sessionize]] keeps only the newest session — its documented eager
+    * per-batch close.
     */
   final case class OpenSessions(open: Seq[SessionState])
 
