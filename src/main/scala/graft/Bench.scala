@@ -33,7 +33,11 @@ object Bench {
     // forces every output column to be computed — the diagnostic that
     // exposed simhash64's hidden 570 ms/doc projection cost.
     val materialize = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("materialize")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // diagnostic subset: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
@@ -45,6 +49,14 @@ object Bench {
           // a crashed query must not masquerade as a fast success
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           name -> -1.0
+      } finally {
+        // drop every cached plan and persisted/localCheckpoint RDD the query
+        // left behind: 59 queries share one session, and leaked blocks from
+        // earlier queries (checkpointed pair sets, cached shingle relations)
+        // otherwise build memory pressure that makes later queries' times
+        // depend on run order (observed: same query 4x slower late in a run)
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       }
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

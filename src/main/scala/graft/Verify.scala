@@ -20,6 +20,11 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // release cached plans + persisted/checkpointed RDDs between queries
+        // (same leak-isolation rationale as Bench)
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

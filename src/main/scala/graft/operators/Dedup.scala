@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -57,9 +57,46 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min("doc_id").as("keep_id"), count("*").as("n_docs"))
 
-  /** Tier 3: per-doc 64-bit simhash signature (engine-portable bit string). */
-  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), TextFunctions.simhash64(col(textCol)).as("simhash"))
+  /** Tier 3: per-doc 64-bit simhash signature (engine-portable bit string).
+    *
+    * Bit semantics identical to [[TextFunctions.simhash64]] (sign of the
+    * count-weighted ±1 sum of md5 bits over token occurrences; null text →
+    * null signature; token-less text → all-ones), but computed as ONE ROW
+    * PER TOKEN OCCURRENCE feeding 64 codegen'd ± sums in a hash aggregate
+    * instead of an interpreted higher-order fold. Interpreted HOF lambdas
+    * evaluate outside whole-stage codegen (~0.5 ms/doc measured at sf0.1 —
+    * the single biggest cost of the simhash tier); the aggregate form keeps
+    * md5 + bit tests + sums inside codegen, and map-side partial
+    * aggregation bounds the shuffle at docs × 64 longs regardless of token
+    * count — the same shape that makes the minhash signature fast.
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // explode_outer keeps token-less docs (null or empty text) as a single
+    // null-token row, so every input doc survives the groupBy
+    val toks = docs.select(col(idCol).as("doc_id"),
+        col(textCol).isNotNull.as("has_text"),
+        explode_outer(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), col("has_text"), col("tok").isNotNull.as("has_tok"),
+        md5(to_binary(col("tok"), lit("utf-8"))).as("h"))
+      // first 16 hex chars = the 64 signature bits, decoded as two 32-bit
+      // halves (16 hex chars would overflow signed BIGINT)
+      .select(col("doc_id"), col("has_text"), col("has_tok"),
+        conv(col("h").substr(lit(1), lit(8)), 16, 10).cast("long").as("hi"),
+        conv(col("h").substr(lit(9), lit(8)), 16, 10).cast("long").as("lo"))
+    // MSB-first: signature position j reads bit (31-j) of its 32-bit half
+    def bitSum(j: Int): Column = {
+      val (half, mask) = if (j < 32) (col("hi"), 1L << (31 - j))
+                         else (col("lo"), 1L << (63 - j))
+      sum(when(!col("has_tok"), 0L)
+        .when(half.bitwiseAND(lit(mask)) > 0, 1L).otherwise(-1L)).as(s"b$j")
+    }
+    val aggs = max(col("has_text")).as("has_text") +: (0 until 64).map(bitSum)
+    toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        when(col("has_text"), concat((0 until 64).map(j =>
+          when(col(s"b$j") >= 0, lit("1")).otherwise(lit("0"))): _*))
+          .otherwise(lit(null).cast("string")).as("simhash"))
+  }
 
   /** SimHash near-dup pairs: all pairs with Hamming distance ≤ `maxHamming`
     * — EXACT, not probabilistic, by pigeonhole: the 64-bit signature splits
@@ -82,32 +119,55 @@ object Dedup {
                    maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     require(64 % bands == 0 && bands >= 2,
       s"bands ($bands) must divide 64 and be >= 2 (a 64-bit segment would " +
-        "overflow the signed-BIGINT Hamming decode)")
+        "overflow the signed-BIGINT decode of a 32-bit half)")
     require(maxHamming < bands,
       s"exactness needs maxHamming ($maxHamming) < bands ($bands) [pigeonhole]")
     val w = 64 / bands
-    // materialize signatures once — both sides of the candidate self-join
-    // would otherwise recompute the whole signature fold
-    val sigs = simhashSignatures(docs, idCol, textCol).localCheckpoint()
-    val banded = sigs
-      .select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("doc_id"), col("simhash"), col("band"),
-        expr(s"substring(simhash, band * $w + 1, $w)").as("bs"))
-    val cand = banded.select(col("band"), col("bs"),
-        col("doc_id").as("doc_a"), col("simhash").as("sa"))
-      .join(banded.select(col("band"), col("bs"),
-        col("doc_id").as("doc_b"), col("simhash").as("sb")), Seq("band", "bs"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "sa", "doc_b", "sb").distinct()
-    val hamming = (0 until bands).map { k =>
-      expr(s"bit_count(CAST(conv(substring(sa, ${k * w + 1}, $w), 2, 10) AS BIGINT) ^ " +
-        s"CAST(conv(substring(sb, ${k * w + 1}, $w), 2, 10) AS BIGINT))")
-    }.reduce(_ + _)
-    cand
-      .withColumn("hamming", hamming.cast("int"))
-      .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+    // materialize signatures once (both sides of the candidate self-join
+    // would otherwise recompute the whole signature fold), decoding the
+    // portable bit STRING into two 32-bit halves packed in longs as part of
+    // the same pass: banding and Hamming then run as shift/mask/xor/popcount
+    // over 16 bytes per pair instead of substring+conv over 128 chars
+    val sigs = simhashSignatures(docs, idCol, textCol)
+      .filter(col("simhash").isNotNull)
+      .select(col("doc_id"),
+        conv(substring(col("simhash"), 1, 32), 2, 10).cast("long").as("hi"),
+        conv(substring(col("simhash"), 33, 32), 2, 10).cast("long").as("lo"))
+      .localCheckpoint()
+    try {
+      // band k = bits [k*w, (k+1)*w) MSB-first; bands >= 2 means each band
+      // sits entirely inside one half, so extraction is one shift + mask
+      def seg(k: Int): Column = {
+        val off = k * w
+        val (half, shift) = if (off < 32) (col("hi"), 32 - off - w)
+                            else (col("lo"), 64 - off - w)
+        shiftright(half, shift).bitwiseAND(lit((1L << w) - 1))
+      }
+      val banded = sigs.select(col("doc_id"), col("hi"), col("lo"),
+        explode(array((0 until bands).map(k =>
+          struct(lit(k).as("band"), seg(k).as("bs"))): _*)).as("bk"))
+        .select(col("doc_id"), col("hi"), col("lo"),
+          col("bk.band").as("band"), col("bk.bs").as("bs"))
+      val cand = banded.select(col("band"), col("bs"),
+          col("doc_id").as("doc_a"), col("hi").as("ha"), col("lo").as("la"))
+        .join(banded.select(col("band"), col("bs"),
+          col("doc_id").as("doc_b"), col("hi").as("hb"), col("lo").as("lb")),
+          Seq("band", "bs"))
+        .filter(col("doc_a") < col("doc_b"))
+      // Hamming BEFORE dedup: popcount per candidate row is pennies, and a
+      // multi-band collision costs only a duplicate popcount — whereas
+      // distinct-then-filter shuffles EVERY candidate (quadratic in bucket
+      // size on signature-correlated corpora); post-filter the distinct
+      // shuffles only true near-dup pairs
+      // eager: the pair set is small; materializing it here lets the finally
+      // release the signature blocks without the caller replaying anything
+      cand
+        .withColumn("hamming",
+          expr("CAST(bit_count(ha ^ hb) + bit_count(la ^ lb) AS INT)"))
+        .filter(col("hamming") <= maxHamming)
+        .select("doc_a", "doc_b", "hamming").distinct()
+        .localCheckpoint()
+    } finally release(sigs)
   }
 
   /** Exploded distinct shingle hashes with the doc's shingle-set size carried
@@ -180,14 +240,20 @@ object Dedup {
     * id and keep=1 marks the canonical representative.
     *
     * Algorithm: min-label propagation with POINTER JUMPING. Each round
-    * first relaxes over the (undirected) edge list — label(v) := min of
-    * own and neighbors' labels — then shortcuts label(v) := label(label(v)),
+    * relaxes over the (undirected, self-looped) edge list — label(v) := min
+    * over N(v)∪{v} of labels — then shortcuts label(v) := label(label(v)),
     * so label chains halve every round and convergence is O(log diameter)
     * rounds, not O(diameter): a 10⁶-long pairwise-drift chain finishes in
     * ~20 rounds where one-hop propagation would need 10⁶. Scale shape:
-    * both steps are hash joins bounded by |edges| / |nodes|, labels are
-    * `localCheckpoint`ed so lineage stays O(1) across rounds, and the
-    * fixpoint test is a count — no driver-side graph state.
+    * both steps are hash joins bounded by |edges| / |nodes|; the caller's
+    * pair plan and the per-round labels are `localCheckpoint`ed so nothing
+    * upstream is ever re-evaluated and lineage stays O(1) across rounds.
+    * The self-loops make relax a single join+aggregate (the node's own
+    * label arrives through its (v,v) edge — no second join), and the
+    * fixpoint test is the exact label-sum: every per-node change is
+    * strictly decreasing, so Σ label (as decimal — overflow-free) is
+    * strictly monotone and stalls iff NO label moved. No driver-side
+    * graph state.
     *
     * Reference counterpart: none — `etl.py` dedups on exact keys only
     * (etl.py:60,79); clustering is what its pipeline would need the moment
@@ -195,36 +261,51 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
                maxIters: Int = 50): DataFrame = {
-    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+    // materialize the caller's (possibly expensive) pair plan ONCE — the
+    // union branches below read these checkpoint blocks; the uncached form
+    // re-ran a multi-second near-dup plan per branch inside a single job
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).localCheckpoint()
+    val edges =
+      try p.union(p.select(col("dst"), col("src")))
+        .union(p.select(col("src"), col("src")))
+        .union(p.select(col("dst"), col("dst")))
+        .distinct().localCheckpoint()
+      finally release(p)
+    // exact convergence probe: labels only ever decrease, so the decimal sum
+    // (38 digits — no overflow at any node count) is unchanged iff the
+    // round was a no-op. One narrow scan of checkpointed blocks, vs the
+    // join+count the probe previously cost.
+    def labelSum(df: DataFrame): Option[BigDecimal] =
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
+        .map(BigDecimal(_))
     var labels = edges.select(col("src").as("id"), col("src").as("lbl"))
       .distinct().localCheckpoint()
     try {
-      var changed = 1L
+      var prevSum = labelSum(labels)
+      var converged = false
       var it = 0
-      while (changed > 0 && it < maxIters) {
-        // relax: candidate label = min(own, min over neighbors' labels)
+      while (!converged && it < maxIters) {
+        // relax: label(v) := min over N(v)∪{v} (self-loop carries own label)
         val relaxed = edges.join(labels, edges("dst") === labels("id"))
-          .groupBy(col("src").as("id2")).agg(min(col("lbl")).as("nlbl"))
-          .join(labels, col("id2") === labels("id"))
-          .select(col("id"), least(col("lbl"), col("nlbl")).as("lbl"))
-          .localCheckpoint()
+          .groupBy(edges("src").as("id")).agg(min(col("lbl")).as("lbl"))
         // shortcut: adopt the label of your label (labels are always node
-        // ids and every node has a label row, so the inner join is total)
+        // ids and every node has a label row, so the inner join is total).
+        // `relaxed` appears on both sides uncached: its inputs are
+        // checkpointed, and recomputing two cheap hash stages beats
+        // materializing an extra checkpoint every round.
         val next = relaxed
-          .join(relaxed.select(col("id").as("lbl"), col("lbl").as("ll")), Seq("lbl"))
+          .join(relaxed.select(col("id").as("l2"), col("lbl").as("ll")),
+            col("lbl") === col("l2"))
           .select(col("id"), col("ll").as("lbl"))
           .localCheckpoint()
-        changed = next
-          .join(labels.withColumnRenamed("lbl", "prev"), Seq("id"))
-          .filter(col("lbl") < col("prev")).count()
-        release(relaxed)
+        val curSum = labelSum(next)
+        converged = curSum == prevSum
+        prevSum = curSum
         release(labels)
         labels = next
         it += 1
       }
-      require(changed == 0, s"clusters did not converge in $maxIters rounds")
+      require(converged, s"clusters did not converge in $maxIters rounds")
       labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
         (col("id") === col("lbl")).cast("int").as("keep"))
     } finally release(edges)
