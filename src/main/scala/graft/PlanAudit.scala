@@ -86,6 +86,21 @@ object PlanAudit {
     audit("q_dedup_simhash_pairs")(
       "banded candidates via hash join, Hamming verify post-join" -> (p =>
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
+    audit("q_bpe_pretokenize")(
+      "pure projection: no shuffle at all" -> (p => !p.contains("Exchange")),
+      "single parquet scan, pruned to doc_id+text" -> (p =>
+        "FileScan parquet".r.findAllIn(p).length == 1 && !p.contains("lang")))
+    audit("q_curate")(
+      // the near-dup pair plan is consumed (and checkpointed) inside
+      // Dedup.clusters before this plan runs; what remains must be keyed
+      // hash joins + a map-side-combined language aggregate
+      "no cartesian/broadcast-nested-loop anywhere" -> (p =>
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")),
+      "per-language totals partially aggregated map-side" -> (p =>
+        "HashAggregate".r.findAllIn(p).length >= 2))
+    audit("q_embed_clusters")(
+      "keep-list join is keyed, never all-pairs" -> (p =>
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
     audit("q_ann_ivf_refined")(
       // probe/top-k windows partition by q_id; a regression of the
       // assignment argmax back to a rank window would show up as a window

@@ -175,6 +175,28 @@ object SparkEntry {
           coalesce(col("keep"), lit(1)).as("keep"))
     }),
 
+    // end-to-end curation gate: Gopher quality AND near-dup canonical keep
+    // (capped-Jaccard clusters) -> per-language survivor counts and token
+    // totals — the "what survives the pipeline" report a training-data run
+    // publishes. Composes three operators; the oracle recomputes the whole
+    // chain in SQL so the COMPOSITION itself is hash-checked, not just the
+    // parts.
+    "q_curate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val quality = TrainingData.repetitionStats(docs, "doc_id", "text")
+        .select(col("doc_id"), col("gopher_ok"))
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.7, maxShingleDf = 64)
+      docs.select(col("doc_id"), col("lang"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_toks"))
+        .join(quality, Seq("doc_id"))
+        .join(Dedup.clusters(pairs).select(col("doc_id"), col("keep")),
+          Seq("doc_id"), "left")
+        .filter(col("gopher_ok") && coalesce(col("keep"), lit(1)) === 1)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    }),
+
     // ---- LLM-pipeline: similarity search ----
     "q_ann_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -204,6 +226,22 @@ object SparkEntry {
       Similarity.cosineDupPairs(Tables.embeddings(s, d), threshold = 0.42,
         everyNthCentroid = 50)),
 
+    // SemDeDup-style semantic dedup over EMBEDDINGS: cell-blocked cosine
+    // near-dup pairs -> transitive clusters -> canonical keep-list for the
+    // whole corpus. Same pointer-jumping closure as q_dedup_clusters,
+    // driven by cosine similarity instead of shingle Jaccard; the
+    // recursive-CTE oracle hash-checks detect->cluster->keep end to end.
+    "q_embed_clusters" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val pairs = Similarity.cosineDupPairs(emb, threshold = 0.42, everyNthCentroid = 50)
+      emb.select("vec_id")
+        .join(Dedup.clusters(pairs, "vec_a", "vec_b")
+          .withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"),
+          coalesce(col("keep"), lit(1)).as("keep"))
+    }),
+
     "q_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5,
@@ -222,6 +260,24 @@ object SparkEntry {
 
     // ---- LLM-pipeline: text analysis ----
     "q_text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d))),
+
+    // GPT-2-style BPE PRE-tokenizer counts (the "BPE-ish regex" token
+    // counter): contractions, optionally space-prefixed letter/digit runs,
+    // punctuation runs, whitespace runs — leftmost-first alternation,
+    // identical under Java regex and RE2 (no lookahead, so both engines
+    // accept it). Counting needs no learned merges; chars/token is the
+    // standard compressibility proxy. The ratio is deliberately UNrounded:
+    // IEEE division of the same two integers is bit-identical across
+    // engines, while round(x, 6) can land on a half-ulp boundary
+    // (e.g. odd/128).
+    "q_bpe_pretokenize" -> ((s, d) => {
+      val n = size(regexp_extract_all(col("text"), lit(BpePreTokenRe), lit(0)))
+      Tables.documents(s, d).select(col("doc_id"),
+        n.as("n_bpe_tokens"),
+        length(col("text")).as("n_chars"),
+        (length(col("text")).cast("double") / greatest(n, lit(1)))
+          .as("chars_per_token"))
+    }),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_token_classes" -> ((s, d) => TextAnalysis.tokenClasses(Tables.documents(s, d))),
 
@@ -442,6 +498,12 @@ object SparkEntry {
 
   // ---------------------------------------------------------------------------
 
+  /** GPT-2-style BPE pre-tokenizer (lookahead-free form, so Java regex and
+    * RE2 agree): contractions, optionally space-prefixed letter runs, digit
+    * runs, punctuation runs, whitespace runs. */
+  private[graft] val BpePreTokenRe =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
   /** Shared oracle-SQL fragments (DuckDB dialect). */
   private val tokensSql = "regexp_extract_all(text, '\\S+')"
 
@@ -491,6 +553,60 @@ object SparkEntry {
        |  JOIN sz sa ON sa.doc_id = doc_a
        |  JOIN sz sb ON sb.doc_id = doc_b)
        |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.7""".stripMargin
+
+  /** Capped-Jaccard pair graph → connected components via recursive
+    * closure; final relation `comp(doc_id, cluster_id)`. Must follow
+    * [[shingleCte]] under `WITH RECURSIVE`. Shared by the clusters and
+    * curation oracles. */
+  private val jaccardClusterCtes =
+    """dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  JOIN dfq ON dfq.s = a.s
+      |  WHERE dfq.df <= 64
+      |  GROUP BY 1, 2),
+      |jpairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM inter
+      |  JOIN sz sa ON sa.doc_id = doc_a
+      |  JOIN sz sb ON sb.doc_id = doc_b
+      |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.7),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+      |          UNION SELECT doc_b, doc_a FROM jpairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      |         FROM reach GROUP BY a)""".stripMargin
+
+  /** Gopher repetition/quality stats CTE chain with every CTE name prefixed
+    * by `p` (so it can coexist with the shingle/cluster CTEs in one WITH
+    * list); final relation `${p}stats(doc_id, n_words, dup_word_frac,
+    * top_word_frac, top_bigram_frac, stopword_frac, mean_word_len)`.
+    * `gopherCtes("")` is the exact chain the green q_gopher_quality oracle
+    * has always used — one definition serves both. */
+  private def gopherCtes(p: String): String =
+    s"""${p}toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+       |${p}base AS (SELECT doc_id, ws, CAST(len(ws) AS INT) AS n_words FROM ${p}toks),
+       |${p}tok AS (SELECT doc_id, unnest(ws) AS t FROM ${p}toks),
+       |${p}wc AS (SELECT doc_id, t, count(*) AS c FROM ${p}tok GROUP BY doc_id, t),
+       |${p}topw AS (SELECT doc_id, max(c) AS top_word_n, SUM(length(t) * c) AS char_sum FROM ${p}wc GROUP BY doc_id),
+       |${p}bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+       |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM ${p}toks)),
+       |${p}bc AS (SELECT doc_id, b, count(*) AS c FROM ${p}bg GROUP BY doc_id, b),
+       |${p}topb AS (SELECT doc_id, max(c) AS top_bigram_n FROM ${p}bc GROUP BY doc_id),
+       |${p}stats AS (
+       |  SELECT ${p}base.doc_id, n_words,
+       |    round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / n_words, 6) AS dup_word_frac,
+       |    round(CAST(top_word_n AS DOUBLE) / n_words, 6) AS top_word_frac,
+       |    round(CAST(coalesce(top_bigram_n, 0) AS DOUBLE) / greatest(n_words - 1, 1), 6) AS top_bigram_frac,
+       |    round(CAST(len(list_filter(ws, x -> x IN ('the','a','an','of','to','and','in','is','it','that'))) AS DOUBLE) / n_words, 6) AS stopword_frac,
+       |    round(CAST(char_sum AS DOUBLE) / n_words, 6) AS mean_word_len
+       |  FROM ${p}base
+       |  JOIN ${p}topw ON ${p}base.doc_id = ${p}topw.doc_id
+       |  LEFT JOIN ${p}topb ON ${p}base.doc_id = ${p}topb.doc_id)""".stripMargin
 
   /** Per-doc 64-bit simhash as a bit string — shared by the signature and
     * banded-pair oracles; final relation: `sig(doc_id, simhash)`. */
@@ -714,32 +830,62 @@ object SparkEntry {
     // = the component's minimum id, the same canonical choice Spark makes
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $shingleCte,
-         |dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  JOIN dfq ON dfq.s = a.s
-         |  WHERE dfq.df <= 64
-         |  GROUP BY 1, 2),
-         |jpairs AS (
-         |  SELECT doc_a, doc_b
-         |  FROM inter
-         |  JOIN sz sa ON sa.doc_id = doc_a
-         |  JOIN sz sb ON sb.doc_id = doc_b
-         |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.7),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
-         |          UNION SELECT doc_b, doc_a FROM jpairs),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
-         |         FROM reach GROUP BY a)
+         |$jaccardClusterCtes
          |SELECT d.doc_id,
          |  COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
          |  CAST(CASE WHEN COALESCE(c.cluster_id, d.doc_id) = d.doc_id
          |       THEN 1 ELSE 0 END AS INT) AS keep
          |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin,
+
+    // the whole curation chain in SQL: gopher stats (rounded fracs, same
+    // lateral-alias thresholds as q_gopher_quality) AND capped-Jaccard
+    // cluster keep, aggregated per language
+    "q_curate" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |$jaccardClusterCtes,
+         |${gopherCtes("g")},
+         |gok AS (
+         |  SELECT doc_id,
+         |    CAST(n_words BETWEEN 10 AND 100000 AND mean_word_len BETWEEN 2.0 AND 12.0
+         |         AND top_word_frac <= 0.20 AND dup_word_frac <= 0.80
+         |         AND stopword_frac >= 0.01 AS INT) AS gopher_ok
+         |  FROM gstats),
+         |kept AS (
+         |  SELECT d.doc_id, d.lang, CAST(len($tokensSql) AS BIGINT) AS n_toks
+         |  FROM documents d
+         |  JOIN gok ON gok.doc_id = d.doc_id
+         |  LEFT JOIN comp c ON c.doc_id = d.doc_id
+         |  WHERE gok.gopher_ok = 1 AND COALESCE(c.cluster_id, d.doc_id) = d.doc_id)
+         |SELECT lang, count(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+         |FROM kept GROUP BY lang""".stripMargin,
+
+    "q_embed_clusters" ->
+      s"""WITH RECURSIVE n AS (SELECT vec_id, embedding FROM embeddings),
+         |cents AS (SELECT vec_id AS cell, embedding AS cv FROM n WHERE vec_id % 50 = 0),
+         |assign AS (
+         |  SELECT vec_id, cell, embedding FROM (
+         |    SELECT n.vec_id, c.cell, n.embedding,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ${dotSql("n.embedding", "c.cv")} / (${normSql("n.embedding")} * ${normSql("c.cv")}) DESC,
+         |                      c.cell) AS crk
+         |    FROM n CROSS JOIN cents c) WHERE crk = 1),
+         |p AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${dotSql("a.embedding", "b.embedding")} / (${normSql("a.embedding")} * ${normSql("b.embedding")}) >= 0.42),
+         |edges AS (SELECT vec_a AS a, vec_b AS b FROM p
+         |          UNION SELECT vec_b, vec_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
+         |         FROM reach GROUP BY a)
+         |SELECT e.vec_id,
+         |  COALESCE(c.cluster_id, e.vec_id) AS cluster_id,
+         |  CAST(CASE WHEN COALESCE(c.cluster_id, e.vec_id) = e.vec_id
+         |       THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id""".stripMargin,
 
     "q_dedup_simhash" -> s"WITH $simhashCte\nSELECT doc_id, simhash FROM sig",
 
@@ -879,6 +1025,15 @@ object SparkEntry {
          |FROM documents""".stripMargin
     },
 
+    "q_bpe_pretokenize" -> {
+      val re = BpePreTokenRe.replace("'", "''")
+      s"""WITH t AS (SELECT doc_id, len(regexp_extract_all(text, '$re')) AS n FROM documents)
+         |SELECT d.doc_id, CAST(n AS INT) AS n_bpe_tokens,
+         |  CAST(length(d.text) AS INT) AS n_chars,
+         |  CAST(length(d.text) AS DOUBLE) / greatest(n, 1) AS chars_per_token
+         |FROM documents d JOIN t ON t.doc_id = d.doc_id""".stripMargin
+    },
+
     "q_token_classes" ->
       """SELECT doc_id,
         |CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INT) AS n_alpha,
@@ -988,25 +1143,7 @@ object SparkEntry {
          |FROM r3""".stripMargin,
 
     "q_gopher_quality" ->
-      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
-         |base AS (SELECT doc_id, ws, CAST(len(ws) AS INT) AS n_words FROM toks),
-         |tok AS (SELECT doc_id, unnest(ws) AS t FROM toks),
-         |wc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
-         |topw AS (SELECT doc_id, max(c) AS top_word_n, SUM(length(t) * c) AS char_sum FROM wc GROUP BY doc_id),
-         |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
-         |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks)),
-         |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
-         |topb AS (SELECT doc_id, max(c) AS top_bigram_n FROM bc GROUP BY doc_id),
-         |stats AS (
-         |  SELECT base.doc_id, n_words,
-         |    round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / n_words, 6) AS dup_word_frac,
-         |    round(CAST(top_word_n AS DOUBLE) / n_words, 6) AS top_word_frac,
-         |    round(CAST(coalesce(top_bigram_n, 0) AS DOUBLE) / greatest(n_words - 1, 1), 6) AS top_bigram_frac,
-         |    round(CAST(len(list_filter(ws, x -> x IN ('the','a','an','of','to','and','in','is','it','that'))) AS DOUBLE) / n_words, 6) AS stopword_frac,
-         |    round(CAST(char_sum AS DOUBLE) / n_words, 6) AS mean_word_len
-         |  FROM base
-         |  JOIN topw ON base.doc_id = topw.doc_id
-         |  LEFT JOIN topb ON base.doc_id = topb.doc_id)
+      s"""WITH ${gopherCtes("")}
          |SELECT doc_id, n_words, dup_word_frac, top_word_frac, top_bigram_frac,
          |  stopword_frac, mean_word_len,
          |  CAST(n_words BETWEEN 10 AND 100000 AND mean_word_len BETWEEN 2.0 AND 12.0
