@@ -27,6 +27,10 @@ object Bench {
       // direct enumeration) — different generated aggregate classes
       operators.Dedup.minhashLshPairs(mini, "doc_id", "text").count()
       operators.Dedup.jaccardPairs(mini, "doc_id", "text", maxShingleDf = 64).count()
+      // ... and the cluster loop's relax/shortcut/sum classes, so the
+      // alphabetically-first clusters query doesn't absorb their codegen
+      operators.Dedup.clusters(
+        Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")).count()
     }
     // default: count() — comparable round-over-round (and lets Catalyst
     // prune, which is legitimate). MATERIALIZE mode (noop datasource write)
@@ -36,6 +40,14 @@ object Bench {
     // diagnostic subset: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // a typo'd name would otherwise bench nothing and print total=0 —
+    // which reads as an absurd speedup to anything parsing the headline
+    only.foreach { s =>
+      val unknown = s -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[bench] WARNING: unknown names in SPARK_GRAFT_BENCH_ONLY: ${unknown.mkString(", ")}")
+    }
     val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -16,14 +16,16 @@ object PlanAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def audit(name: String)(checks: (String, String => Boolean)*): Unit = {
-      val df = SparkEntry.queries(name)(spark, sf)
+    def auditDf(name: String, df: org.apache.spark.sql.DataFrame)(
+        checks: (String, String => Boolean)*): Unit = {
       df.count()
       val plan = df.queryExecution.executedPlan.toString
       checks.foreach { case (what, ok) =>
         println(f"[audit] $name%-22s ${if (ok(plan)) "OK  " else "MISS"} $what")
       }
     }
+    def audit(name: String)(checks: (String, String => Boolean)*): Unit =
+      auditDf(name, SparkEntry.queries(name)(spark, sf))(checks: _*)
     audit("q1_pricing")(
       "filter pushed to parquet scan" -> (_.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate")),
       "scan pruned to the 6 referenced columns" -> (p =>
@@ -83,9 +85,17 @@ object PlanAudit {
         !p.contains("CartesianProduct") &&
           ("hashpartitioning\\(cell".r.findAllIn(p).nonEmpty ||
             p.contains("BroadcastHashJoin [cell"))))
-    audit("q_dedup_simhash_pairs")(
-      "banded candidates via hash join, Hamming verify post-join" -> (p =>
-        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
+    // the public simhashPairs returns a checkpointed result (its executed
+    // plan is just a cached-block scan), so audit the LAZY internal plan —
+    // the one that actually contains the candidate join
+    auditDf("q_dedup_simhash_pairs",
+      graft.operators.Dedup.simhashPairsFrom(
+        graft.operators.Dedup.packedSignatures(
+          graft.sources.Tables.documents(spark, sf), "doc_id", "text"),
+        maxHamming = 3, bands = 4))(
+      "banded candidates via equi-join on (band, segment)" -> (p =>
+        p.contains("Join") && !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")))
     audit("q_bpe_pretokenize")(
       "pure projection: no shuffle at all" -> (p => !p.contains("Exchange")),
       "single parquet scan, pruned to doc_id+text" -> (p =>

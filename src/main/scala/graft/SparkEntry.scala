@@ -500,9 +500,12 @@ object SparkEntry {
 
   /** GPT-2-style BPE pre-tokenizer (lookahead-free form, so Java regex and
     * RE2 agree): contractions, optionally space-prefixed letter runs, digit
-    * runs, punctuation runs, whitespace runs. */
+    * runs, punctuation runs, whitespace runs. Whitespace is an EXPLICIT
+    * class, not `\s`: Java's `\s` includes vertical tab (\x0B) while RE2's
+    * does not, so `\s` would tokenize VT-adjacent text differently in the
+    * two engines; both support `\xHH`, making the class below identical. */
   private[graft] val BpePreTokenRe =
-    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+"
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
   private val tokensSql = "regexp_extract_all(text, '\\S+')"
@@ -647,6 +650,20 @@ object SparkEntry {
        |             ORDER BY ${dotSql("n.embedding", "c.cv")} / (${normSql("n.embedding")} * ${normSql("c.cv")}) DESC,
        |                      c.cell) AS crk
        |    FROM n CROSS JOIN $cents c) WHERE crk = 1)""".stripMargin
+
+  /** Shared CTE chain for the cell-blocked embedding pair oracles: corpus
+    * `n`, seed centroids every `everyNth`-th vector, nearest-cell
+    * assignment (via [[assignCteSql]] — the single definition of the
+    * tie-break), and raw-cosine pairs `p(vec_a, vec_b, c)`. Callers apply
+    * their own threshold/rounding to `c`. */
+  private def embedPairsCte(everyNth: Int): String =
+    s"""n AS (SELECT vec_id, embedding FROM embeddings),
+       |cents AS (SELECT vec_id AS cell, embedding AS cv FROM n WHERE vec_id % $everyNth = 0),
+       |${assignCteSql("assign", "cents")},
+       |p AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         ${dotSql("a.embedding", "b.embedding")} / (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS c
+       |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id)""".stripMargin
 
   /** Oracle for the k-means-refined IVF (`Similarity.refineCentroids`): the
     * quantized-int64 member mean (round(v·1e6) summed exactly, divided in
@@ -860,21 +877,10 @@ object SparkEntry {
          |FROM kept GROUP BY lang""".stripMargin,
 
     "q_embed_clusters" ->
-      s"""WITH RECURSIVE n AS (SELECT vec_id, embedding FROM embeddings),
-         |cents AS (SELECT vec_id AS cell, embedding AS cv FROM n WHERE vec_id % 50 = 0),
-         |assign AS (
-         |  SELECT vec_id, cell, embedding FROM (
-         |    SELECT n.vec_id, c.cell, n.embedding,
-         |           row_number() OVER (PARTITION BY n.vec_id
-         |             ORDER BY ${dotSql("n.embedding", "c.cv")} / (${normSql("n.embedding")} * ${normSql("c.cv")}) DESC,
-         |                      c.cell) AS crk
-         |    FROM n CROSS JOIN cents c) WHERE crk = 1),
-         |p AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |  WHERE ${dotSql("a.embedding", "b.embedding")} / (${normSql("a.embedding")} * ${normSql("b.embedding")}) >= 0.42),
-         |edges AS (SELECT vec_a AS a, vec_b AS b FROM p
-         |          UNION SELECT vec_b, vec_a FROM p),
+      s"""WITH RECURSIVE ${embedPairsCte(50)},
+         |dup AS (SELECT vec_a, vec_b FROM p WHERE c >= 0.42),
+         |edges AS (SELECT vec_a AS a, vec_b AS b FROM dup
+         |          UNION SELECT vec_b, vec_a FROM dup),
          |reach(a, b) AS (
          |  SELECT a, b FROM edges
          |  UNION
@@ -937,35 +943,11 @@ object SparkEntry {
          |SELECT q_id, n_id, round(c, 6) AS cos, rk FROM ranked WHERE rk <= 5""".stripMargin,
 
     "q_embed_dup_pairs" ->
-      s"""WITH n AS (SELECT vec_id, embedding FROM embeddings),
-         |cents AS (SELECT vec_id AS cell, embedding AS cv FROM n WHERE vec_id % 25 = 0),
-         |assign AS (
-         |  SELECT vec_id, cell, embedding FROM (
-         |    SELECT n.vec_id, c.cell, n.embedding,
-         |           row_number() OVER (PARTITION BY n.vec_id
-         |             ORDER BY ${dotSql("n.embedding", "c.cv")} / (${normSql("n.embedding")} * ${normSql("c.cv")}) DESC,
-         |                      c.cell) AS crk
-         |    FROM n CROSS JOIN cents c) WHERE crk = 1),
-         |p AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |         ${dotSql("a.embedding", "b.embedding")} / (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS c
-         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      s"""WITH ${embedPairsCte(25)}
          |SELECT vec_a, vec_b, round(c, 6) AS cos FROM p WHERE c >= 0.42""".stripMargin,
 
     "q_embed_dup_pairs_blocked" ->
-      s"""WITH n AS (SELECT vec_id, embedding FROM embeddings),
-         |cents AS (SELECT vec_id AS cell, embedding AS cv FROM n WHERE vec_id % 50 = 0),
-         |assign AS (
-         |  SELECT vec_id, cell, embedding FROM (
-         |    SELECT n.vec_id, c.cell, n.embedding,
-         |           row_number() OVER (PARTITION BY n.vec_id
-         |             ORDER BY ${dotSql("n.embedding", "c.cv")} / (${normSql("n.embedding")} * ${normSql("c.cv")}) DESC,
-         |                      c.cell) AS crk
-         |    FROM n CROSS JOIN cents c) WHERE crk = 1),
-         |p AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |         ${dotSql("a.embedding", "b.embedding")} / (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS c
-         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      s"""WITH ${embedPairsCte(50)}
          |SELECT vec_a, vec_b, round(c, 6) AS cos FROM p WHERE c >= 0.42""".stripMargin,
 
     "q_ann_ivf_refined" -> refinedIvfOracle(2),

@@ -22,6 +22,11 @@ import org.apache.spark.storage.StorageLevel
   * across ~10⁹ distinct shingles are ~2⁻⁵⁰ per pair, far below any
   * statistical noise floor of near-dup detection).
   *
+  * Contract shared by every tier: `idCol` is a UNIQUE document identifier.
+  * The signature tiers aggregate token/shingle rows by id, so rows sharing
+  * an id are treated as ONE document (their token bags merge into a single
+  * blended signature) — feed `exact`-deduped input if ids can repeat.
+  *
   * Which Jaccard path to run:
   *  - [[minhashLshPairs]] is the SCALE path (and the one `SparkEntry`
   *    registers): LSH candidate generation bounded by the band structure,
@@ -122,52 +127,64 @@ object Dedup {
         "overflow the signed-BIGINT decode of a 32-bit half)")
     require(maxHamming < bands,
       s"exactness needs maxHamming ($maxHamming) < bands ($bands) [pigeonhole]")
-    val w = 64 / bands
     // materialize signatures once (both sides of the candidate self-join
-    // would otherwise recompute the whole signature fold), decoding the
-    // portable bit STRING into two 32-bit halves packed in longs as part of
-    // the same pass: banding and Hamming then run as shift/mask/xor/popcount
-    // over 16 bytes per pair instead of substring+conv over 128 chars
-    val sigs = simhashSignatures(docs, idCol, textCol)
+    // would otherwise recompute the whole signature fold); eager result: the
+    // pair set is small, and materializing it here lets the finally release
+    // the signature blocks without the caller replaying anything
+    val sigs = packedSignatures(docs, idCol, textCol).localCheckpoint()
+    try simhashPairsFrom(sigs, maxHamming, bands).localCheckpoint()
+    finally release(sigs)
+  }
+
+  /** Lazy packed form of [[simhashSignatures]]: the portable bit STRING
+    * decoded into two 32-bit halves packed in longs — banding and Hamming
+    * then run as shift/mask/xor/popcount over 16 bytes per pair instead of
+    * substring+conv over 128 chars. Null-signature (null-text) docs are
+    * dropped: they have no bits to band.
+    */
+  private[graft] def packedSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashSignatures(docs, idCol, textCol)
       .filter(col("simhash").isNotNull)
       .select(col("doc_id"),
         conv(substring(col("simhash"), 1, 32), 2, 10).cast("long").as("hi"),
         conv(substring(col("simhash"), 33, 32), 2, 10).cast("long").as("lo"))
-      .localCheckpoint()
-    try {
-      // band k = bits [k*w, (k+1)*w) MSB-first; bands >= 2 means each band
-      // sits entirely inside one half, so extraction is one shift + mask
-      def seg(k: Int): Column = {
-        val off = k * w
-        val (half, shift) = if (off < 32) (col("hi"), 32 - off - w)
-                            else (col("lo"), 64 - off - w)
-        shiftright(half, shift).bitwiseAND(lit((1L << w) - 1))
-      }
-      val banded = sigs.select(col("doc_id"), col("hi"), col("lo"),
-        explode(array((0 until bands).map(k =>
-          struct(lit(k).as("band"), seg(k).as("bs"))): _*)).as("bk"))
-        .select(col("doc_id"), col("hi"), col("lo"),
-          col("bk.band").as("band"), col("bk.bs").as("bs"))
-      val cand = banded.select(col("band"), col("bs"),
-          col("doc_id").as("doc_a"), col("hi").as("ha"), col("lo").as("la"))
-        .join(banded.select(col("band"), col("bs"),
-          col("doc_id").as("doc_b"), col("hi").as("hb"), col("lo").as("lb")),
-          Seq("band", "bs"))
-        .filter(col("doc_a") < col("doc_b"))
-      // Hamming BEFORE dedup: popcount per candidate row is pennies, and a
-      // multi-band collision costs only a duplicate popcount — whereas
-      // distinct-then-filter shuffles EVERY candidate (quadratic in bucket
-      // size on signature-correlated corpora); post-filter the distinct
-      // shuffles only true near-dup pairs
-      // eager: the pair set is small; materializing it here lets the finally
-      // release the signature blocks without the caller replaying anything
-      cand
-        .withColumn("hamming",
-          expr("CAST(bit_count(ha ^ hb) + bit_count(la ^ lb) AS INT)"))
-        .filter(col("hamming") <= maxHamming)
-        .select("doc_a", "doc_b", "hamming").distinct()
-        .localCheckpoint()
-    } finally release(sigs)
+
+  /** Banded candidate generation + exact Hamming verification over packed
+    * (doc_id, hi, lo) signatures. Lazy — [[simhashPairs]] adds the
+    * checkpoint lifecycle; `PlanAudit` reads this plan directly (the
+    * checkpointed public form erases the join shape it needs to assert).
+    */
+  private[graft] def simhashPairsFrom(sigs: DataFrame, maxHamming: Int, bands: Int): DataFrame = {
+    val w = 64 / bands
+    // band k = bits [k*w, (k+1)*w) MSB-first; bands >= 2 means each band
+    // sits entirely inside one half, so extraction is one shift + mask
+    def seg(k: Int): Column = {
+      val off = k * w
+      val (half, shift) = if (off < 32) (col("hi"), 32 - off - w)
+                          else (col("lo"), 64 - off - w)
+      shiftright(half, shift).bitwiseAND(lit((1L << w) - 1))
+    }
+    val banded = sigs.select(col("doc_id"), col("hi"), col("lo"),
+      explode(array((0 until bands).map(k =>
+        struct(lit(k).as("band"), seg(k).as("bs"))): _*)).as("bk"))
+      .select(col("doc_id"), col("hi"), col("lo"),
+        col("bk.band").as("band"), col("bk.bs").as("bs"))
+    val cand = banded.select(col("band"), col("bs"),
+        col("doc_id").as("doc_a"), col("hi").as("ha"), col("lo").as("la"))
+      .join(banded.select(col("band"), col("bs"),
+        col("doc_id").as("doc_b"), col("hi").as("hb"), col("lo").as("lb")),
+        Seq("band", "bs"))
+      .filter(col("doc_a") < col("doc_b"))
+    // Hamming BEFORE dedup: popcount per candidate row is pennies, and a
+    // multi-band collision costs only a duplicate popcount — whereas
+    // distinct-then-filter shuffles EVERY candidate (quadratic in bucket
+    // size on signature-correlated corpora); post-filter the distinct
+    // shuffles only true near-dup pairs
+    cand
+      .withColumn("hamming",
+        expr("CAST(bit_count(ha ^ hb) + bit_count(la ^ lb) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming").distinct()
   }
 
   /** Exploded distinct shingle hashes with the doc's shingle-set size carried
@@ -250,10 +267,11 @@ object Dedup {
     * upstream is ever re-evaluated and lineage stays O(1) across rounds.
     * The self-loops make relax a single join+aggregate (the node's own
     * label arrives through its (v,v) edge — no second join), and the
-    * fixpoint test is the exact label-sum: every per-node change is
-    * strictly decreasing, so Σ label (as decimal — overflow-free) is
-    * strictly monotone and stalls iff NO label moved. No driver-side
-    * graph state.
+    * fixpoint test is exact: for numeric ids, the label-sum probe (every
+    * per-node change is strictly decreasing, so Σ label as decimal —
+    * overflow-free — is strictly monotone and stalls iff NO label moved);
+    * for any other id type, a changed-row join against the previous round.
+    * No driver-side graph state.
     *
     * Reference counterpart: none — `etl.py` dedups on exact keys only
     * (etl.py:60,79); clustering is what its pipeline would need the moment
@@ -271,17 +289,27 @@ object Dedup {
         .union(p.select(col("dst"), col("dst")))
         .distinct().localCheckpoint()
       finally release(p)
-    // exact convergence probe: labels only ever decrease, so the decimal sum
-    // (38 digits — no overflow at any node count) is unchanged iff the
-    // round was a no-op. One narrow scan of checkpointed blocks, vs the
-    // join+count the probe previously cost.
+    // exact convergence probe, fast path for NUMERIC ids: labels only ever
+    // decrease, so the decimal sum (38 digits — no overflow at any node
+    // count) is unchanged iff the round was a no-op. One narrow scan of
+    // checkpointed blocks. For any other id type (strings, etc.) the cast
+    // would be null/ANSI-error, so fall back to the exact changed-row join —
+    // one extra cheap join per round, same any-orderable-type domain the
+    // operator always had.
+    val numericIds = p.schema("src").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     def labelSum(df: DataFrame): Option[BigDecimal] =
       Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
         .map(BigDecimal(_))
+    def anyChanged(prev: DataFrame, cur: DataFrame): Boolean =
+      prev.select(col("id"), col("lbl").as("prev_lbl"))
+        .join(cur.select(col("id"), col("lbl").as("cur_lbl")), Seq("id"))
+        .filter(!(col("prev_lbl") <=> col("cur_lbl")))
+        .limit(1).count() > 0
     var labels = edges.select(col("src").as("id"), col("src").as("lbl"))
       .distinct().localCheckpoint()
     try {
-      var prevSum = labelSum(labels)
+      var prevSum = if (numericIds) labelSum(labels) else None
       var converged = false
       var it = 0
       while (!converged && it < maxIters) {
@@ -298,9 +326,11 @@ object Dedup {
             col("lbl") === col("l2"))
           .select(col("id"), col("ll").as("lbl"))
           .localCheckpoint()
-        val curSum = labelSum(next)
-        converged = curSum == prevSum
-        prevSum = curSum
+        if (numericIds) {
+          val curSum = labelSum(next)
+          converged = curSum == prevSum
+          prevSum = curSum
+        } else converged = !anyChanged(labels, next)
         release(labels)
         labels = next
         it += 1

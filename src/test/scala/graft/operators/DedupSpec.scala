@@ -127,6 +127,20 @@ class DedupSpec extends SparkSpec {
     assert(empty.count() === 0)
   }
 
+  test("clusters handles NON-numeric ids (changed-row probe, not the label sum)") {
+    // a 4-hop string chain: the decimal-cast sum probe would see null sums
+    // every round and either crash (ANSI) or stop after round 1 with 'd'
+    // labeled 'b'; the changed-row fallback must propagate to the true min
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y"))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs)
+      .select("doc_id", "cluster_id", "keep").as[(String, String, Int)]
+      .collect().sortBy(_._1)
+    assert(got === Array(
+      ("a", "a", 1), ("b", "a", 0), ("c", "a", 0), ("d", "a", 0), ("e", "a", 0),
+      ("x", "x", 1), ("y", "x", 0)))
+  }
+
   test("clusters converges on a long chain in O(log diameter) rounds (pointer jumping)") {
     // a 65-hop pairwise-drift chain (template churn): one-hop propagation
     // would need 65 rounds; pointer jumping must finish well under maxIters
