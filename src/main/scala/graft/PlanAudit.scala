@@ -96,6 +96,11 @@ object PlanAudit {
       "banded candidates via equi-join on (band, segment)" -> (p =>
         p.contains("Join") && !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin")))
+    audit("q_dedup_incremental")(
+      "batch scored via shingle-keyed joins, never all-pairs" -> (p =>
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")),
+      "corpus df cap is a semi-join (no corpus row duplication)" -> (p =>
+        p.contains("LeftSemi")))
     audit("q_bpe_pretokenize")(
       "pure projection: no shuffle at all" -> (p => !p.contains("Exchange")),
       "single parquet scan, pruned to doc_id+text" -> (p =>

@@ -160,6 +160,17 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 3, bands = 4)),
 
+    // incremental ingest dedup: score only the NEW batch (every 10th doc)
+    // against the existing corpus — one shingle-keyed join, no corpus
+    // re-clustering; the production pattern once a lake is live
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.jaccardPairsAgainst(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3, threshold = 0.7, maxShingleDf = 64)
+    }),
+
     // pairs → duplicate CLUSTERS (transitive closure) → canonical keep-list:
     // the step an actual dedup pipeline runs after near-dup detection.
     // Min-label propagation to fixpoint; the DuckDB oracle re-derives the
@@ -842,6 +853,26 @@ object SparkEntry {
 
     "q_dedup_jaccard" -> jaccardCappedOracle,
     "q_dedup_minhash" -> jaccardOracle,
+
+    // batch = doc_id % 10 = 0, corpus = the rest; df cap on CORPUS shingle
+    // frequency only, Jaccard over full shingle sets — exactly
+    // Dedup.jaccardPairsAgainst(maxShingleDf = 64)
+    "q_dedup_incremental" ->
+      s"""WITH $shingleCte,
+         |cdf AS (SELECT s, count(*) AS df FROM sh WHERE doc_id % 10 <> 0 GROUP BY s),
+         |inter AS (
+         |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, count(*) AS i
+         |  FROM sh b JOIN sh c ON b.s = c.s
+         |  JOIN cdf ON cdf.s = b.s
+         |  WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0 AND cdf.df <= 64
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT batch_id, corpus_id,
+         |         round(i * 1.0 / (sb.n + sc.n - i), 6) AS jaccard
+         |  FROM inter
+         |  JOIN sz sb ON sb.doc_id = batch_id
+         |  JOIN sz sc ON sc.doc_id = corpus_id)
+         |SELECT batch_id, corpus_id, jaccard FROM j WHERE jaccard >= 0.7""".stripMargin,
 
     // transitive closure over the capped-Jaccard pair graph; LEAST(a, MIN(b))
     // = the component's minimum id, the same canonical choice Spark makes

@@ -249,6 +249,46 @@ object Dedup {
     jaccardFromCounts(inter, threshold)
   }
 
+  /** Incremental near-dup check: which BATCH documents near-duplicate an
+    * existing CORPUS document (shingle-Jaccard ≥ threshold)? This is the
+    * primitive an incremental ingest runs instead of re-clustering the
+    * world: only the new batch is scored, the corpus is touched by one
+    * shingle-keyed hash join — no corpus self-pairs, no batch self-pairs.
+    * Output: (batch_id, corpus_id, jaccard), jaccard ≥ threshold over the
+    * FULL shingle sets of both documents.
+    *
+    * Scale shape: both sides shuffle once on the 64-bit shingle hash;
+    * pair expansion is bounded per corpus shingle by `maxShingleDf` (the
+    * corpus document frequency — a stop-phrase shared by millions of
+    * corpus docs would otherwise pair every batch doc containing it with
+    * all of them). Candidate count ≤ |batch shingles| × maxShingleDf.
+    * Reference counterpart: the dedup-before-insert anti-joins at
+    * etl.py:107-123 — exact-key only; this is the near-dup upgrade.
+    */
+  def jaccardPairsAgainst(corpus: DataFrame, batch: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 3, threshold: Double = 0.7,
+                          maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val bt = shingleHashes(batch, idCol, textCol, n)
+    val ct = shingleHashes(corpus, idCol, textCol, n)
+    // cap by CORPUS document frequency before pairing (one aggregate over
+    // hashed shingles; semi-join keeps only pairing-eligible shingles)
+    val capped = if (maxShingleDf == Int.MaxValue) ct
+      else ct.join(
+        ct.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf).select("h"),
+        Seq("h"), "left_semi")
+    val inter = bt.select(col("id").as("batch_id"), col("nsh").as("na"), col("h"))
+      .join(capped.select(col("id").as("corpus_id"), col("nsh").as("nb"), col("h")), Seq("h"))
+      .groupBy("batch_id", "corpus_id")
+      .agg(count(lit(1)).as("i"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+    inter
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "corpus_id", "jaccard")
+  }
+
   /** Duplicate CLUSTERS from a near-dup pair list — the step that turns
     * pairwise similarity into an actionable keep-list. Transitive closure:
     * if a~b and b~c, then {a,b,c} is one cluster even when a~c was never

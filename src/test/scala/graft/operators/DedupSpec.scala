@@ -44,6 +44,21 @@ class DedupSpec extends SparkSpec {
     assert(lsh128 === exact)
   }
 
+  test("jaccardPairsAgainst equals the cross slice of symmetric jaccardPairs") {
+    val docs = Tables.documents(spark, sf)
+    val batch = docs.filter(col("doc_id") % 2 === 0)
+    val corpus = docs.filter(col("doc_id") % 2 =!= 0)
+    val got = Dedup.jaccardPairsAgainst(corpus, batch, "doc_id", "text")
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // symmetric pairs restricted to one-even-one-odd, reoriented batch-first
+    val expected = Dedup.jaccardPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => (a % 2 == 0) != (b % 2 == 0) }
+      .map { case (a, b) => if (a % 2 == 0) (a, b) else (b, a) }.toSet
+    assert(got === expected)
+    assert(got.forall { case (b, c) => b % 2 == 0 && c % 2 != 0 })
+  }
+
   test("pair operators leave no shingle-scale cached blocks behind") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
