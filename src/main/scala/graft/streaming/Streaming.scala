@@ -186,4 +186,128 @@ object Streaming {
         })
     sessions.toDF()
   }
+
+  // -------------------------------------------------------------------------
+  // Streaming near-dup detection (MinHash-LSH with bucketed state)
+
+  final case class BucketMember(doc_id: Long, ts_ms: Long,
+                                sig: Array[Long], sh: Array[Long])
+  final case class BucketState(members: List[BucketMember])
+  final case class NearDupPair(doc_a: Long, doc_b: Long, jaccard: Double)
+
+  /** First band index where the two signatures' slices coincide, or -1.
+    * Used to emit each pair from exactly ONE bucket (its lowest colliding
+    * band) — both members' full signatures are in state, so every bucket
+    * can decide ownership locally, with no cross-bucket dedup shuffle. */
+  private def lowestCollidingBand(a: Array[Long], b: Array[Long], r: Int): Int = {
+    var k = 0
+    while ((k + 1) * r <= a.length) {
+      var i = k * r
+      while (i < (k + 1) * r && a(i) == b(i)) i += 1
+      if (i == (k + 1) * r) return k
+      k += 1
+    }
+    -1
+  }
+
+  /** Exact Jaccard of two SORTED distinct-hash arrays, rounded to 6 like
+    * the batch path (`Dedup.jaccardFromCounts`). */
+  private def jaccardOf(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1 else j += 1
+    }
+    BigDecimal(inter.toDouble / (a.length + b.length - inter))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Streaming MinHash-LSH near-dup detection — the streaming twin of
+    * `Dedup.minhashLshPairs`: every arriving document is checked against
+    * the retained corpus ONLINE, emitting (doc_a, doc_b, jaccard) pairs
+    * with the exact Jaccard ≥ `threshold`, across micro-batches.
+    *
+    * Shape: shingle hashes and the `numHashes`-minima signature are
+    * computed with the same codegen'd expressions as the batch path; rows
+    * are exploded per band and keyed by (band, hash(band signature)), so
+    * state is the LSH bucket — membership bounded by the band structure
+    * exactly as in batch LSH, never the corpus. Each pair is verified with
+    * the TRUE Jaccard over full shingle sets held in state (no false
+    * positives) and emitted from its lowest colliding band only (no
+    * duplicates, decided locally from the full signatures both members
+    * carry). A bucket-key hash collision is detected the same way — the
+    * signatures don't actually collide in this band — and skipped.
+    *
+    * State is bounded by `retentionMs`: members whose event time falls
+    * behind watermark - retention are evicted (and the whole bucket times
+    * out once every member is past retention), so an unbounded feed dedups
+    * against a sliding corpus horizon — the same trade a production
+    * streaming dedup makes. Ids must be unique per document (Dedup's
+    * contract).
+    */
+  def nearDupPairs(spark: SparkSession, docs: DataFrame,
+                   idCol: String, tsCol: String, textCol: String,
+                   watermarkDelay: String, retentionMs: Long,
+                   n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.7): DataFrame = {
+    import graft.functions.TextFunctions
+    import spark.implicits._
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val shingled = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(tsCol).cast("timestamp").as("ts"),
+        TextFunctions.tokenHashes(col(textCol)).as("th"))
+      .select(col("doc_id"), col("ts"),
+        array_sort(array_distinct(TextFunctions.rollingShingleHashes(col("th"), n))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // per-row signature: array_min(transform) ≡ the batch groupBy-min,
+    // one pass per hash seed
+    val withSig = shingled.select(col("doc_id"), col("ts"), col("sh"),
+      array((0 until numHashes).map(i =>
+        array_min(transform(col("sh"), h => xxhash64(lit(i), h)))): _*).as("sig"))
+    val banded = withSig.select(col("doc_id"), col("ts"), col("sh"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          k => struct(k.cast("int").as("band"),
+            xxhash64(slice(col("sig"), k * lit(r) + 1, lit(r))).as("bkey")))).as("bk"))
+      .select(col("doc_id"), col("ts"), col("sh"), col("sig"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, Array[Long], Array[Long], Int, Long)]
+    val pairs = banded.groupByKey(d => (d._5, d._6))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (Int, Long), rows: Iterator[(Long, java.sql.Timestamp, Array[Long], Array[Long], Int, Long)],
+         state: GroupState[BucketState]) => {
+          val wm = state.getCurrentWatermarkMs()
+          var members = state.getOption.map(_.members).getOrElse(Nil)
+            .filter(_.ts_ms >= wm - retentionMs)
+          val out = List.newBuilder[NearDupPair]
+          if (!state.hasTimedOut) {
+            // deterministic arrival order inside the batch
+            rows.toSeq.sortBy(d => (d._2.getTime, d._1)).foreach { d =>
+              val (id, ts, sh, sig) = (d._1, d._2.getTime, d._3, d._4)
+              members.foreach { m =>
+                if (m.doc_id != id && lowestCollidingBand(sig, m.sig, r) == key._1) {
+                  val j = jaccardOf(sh, m.sh)
+                  if (j >= threshold)
+                    out += NearDupPair(math.min(id, m.doc_id), math.max(id, m.doc_id), j)
+                }
+              }
+              members = BucketMember(id, ts, sig, sh) :: members
+            }
+          }
+          if (members.isEmpty) { if (state.exists) state.remove() }
+          else {
+            state.update(BucketState(members))
+            // expire once the LAST member leaves the retention horizon;
+            // must sit strictly past the current watermark (saturating add:
+            // a keep-everything retention must not overflow to the past)
+            val newest = members.map(_.ts_ms).max
+            val deadline = if (newest > Long.MaxValue - retentionMs - 1) Long.MaxValue - 1
+                           else newest + retentionMs
+            state.setTimeoutTimestamp(math.max(deadline, wm + 1))
+          }
+          out.result().iterator
+        })
+    pairs.toDF()
+  }
 }

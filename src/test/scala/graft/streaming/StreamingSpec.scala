@@ -273,4 +273,62 @@ class StreamingSpec extends SparkSpec {
     assert(closed.exists(r => r.getAs[Long]("n_events") == 2L &&
       r.getAs[Double]("total_value") == 3.0))
   }
+
+  test("streaming near-dup pairs equal batch exact Jaccard across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    // expected: the batch ground truth (minhash LSH provably equals it at
+    // this config — DedupSpec); streaming must reproduce it even though
+    // near-dup members arrive in DIFFERENT micro-batches
+    val expected = graft.operators.Dedup
+      .jaccardPairs(graft.sources.Tables.documents(spark, sf), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = docs.map { case (id, text) =>
+      (id, new java.sql.Timestamp(base + id), text) }
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "text")
+    // ts spreads over ~500 ms but waves arrive out of event-time order, so
+    // the delay must cover the whole spread or later waves would be LATE
+    // (dropped before the stateful operator — observed with "0 seconds")
+    val q = Streaming.nearDupPairs(spark, df, "doc_id", "ts", "text",
+      watermarkDelay = "1 hour", retentionMs = Long.MaxValue / 4)
+      .writeStream.format("memory").queryName("neardup_out").outputMode("append").start()
+    // three arrival waves: id % 3 — planted near-dup pairs (adjacent ids)
+    // land in different batches, so detection must go through state
+    (0 until 3).foreach { w =>
+      in.addData(rows.filter(_._1 % 3 == w).toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("neardup_out")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("streaming near-dup evicts members past the retention horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(ms: Long) = new java.sql.Timestamp(t0 + ms)
+    // 10 tokens, 9 shared prefix → 8 shingles each, 7 shared → J = 7/9 ≈ 0.78
+    val a = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    val b = "t1 t2 t3 t4 t5 t6 t7 t8 t9 xx"
+    // guard against vacuity: the batch path DOES pair these texts
+    assert(graft.operators.Dedup.jaccardPairs(
+      Seq((1L, a), (3L, b)).toDF("doc_id", "text"), "doc_id", "text").count() === 1)
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "text")
+    val q = Streaming.nearDupPairs(spark, df, "doc_id", "ts", "text",
+      watermarkDelay = "0 seconds", retentionMs = 10000L)
+      .writeStream.format("memory").queryName("neardup_ttl_out").outputMode("append").start()
+    in.addData((1L, ts(0), a)); q.processAllAvailable()
+    // unrelated doc 100 s later advances the watermark past doc 1's horizon
+    in.addData((2L, ts(100000), "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")); q.processAllAvailable()
+    // doc 3 near-dups doc 1 — but doc 1 left the retention window: no pair
+    in.addData((3L, ts(101000), b)); q.processAllAvailable()
+    q.stop()
+    assert(spark.table("neardup_ttl_out").isEmpty)
+  }
 }
