@@ -96,11 +96,23 @@ object PlanAudit {
       "banded candidates via equi-join on (band, segment)" -> (p =>
         p.contains("Join") && !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin")))
-    audit("q_dedup_incremental")(
-      "batch scored via shingle-keyed joins, never all-pairs" -> (p =>
-        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")),
-      "corpus df cap is a semi-join (no corpus row duplication)" -> (p =>
-        p.contains("LeftSemi")))
+    // the public jaccardPairsAgainst returns a checkpointed result — audit
+    // the lazy internal plan, where the join shape is visible
+    locally {
+      import org.apache.spark.sql.functions.col
+      val docs = graft.sources.Tables.documents(spark, sf)
+      auditDf("q_dedup_incremental",
+        graft.operators.Dedup.pairsAgainstFrom(
+          graft.operators.Dedup.shingleHashes(
+            docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 3),
+          graft.operators.Dedup.shingleHashes(
+            docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 3),
+          threshold = 0.7, maxShingleDf = 64))(
+        "batch scored via shingle-keyed joins, never all-pairs" -> (p =>
+          !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")),
+        "corpus df cap is a semi-join (no corpus row duplication)" -> (p =>
+          p.contains("LeftSemi")))
+    }
     audit("q_bpe_pretokenize")(
       "pure projection: no shuffle at all" -> (p => !p.contains("Exchange")),
       "single parquet scan, pruned to doc_id+text" -> (p =>

@@ -197,7 +197,7 @@ object Dedup {
     * rolling combine then touches only longs (13× faster than building
     * shingle strings — see [[TextFunctions.rollingShingleHashes]]).
     */
-  private def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  private[graft] def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
       .select(col(idCol).as("id"), TextFunctions.tokenHashes(col(textCol)).as("th"))
       .select(col("id"),
@@ -258,35 +258,50 @@ object Dedup {
     * FULL shingle sets of both documents.
     *
     * Scale shape: both sides shuffle once on the 64-bit shingle hash;
-    * pair expansion is bounded per corpus shingle by `maxShingleDf` (the
-    * corpus document frequency — a stop-phrase shared by millions of
-    * corpus docs would otherwise pair every batch doc containing it with
-    * all of them). Candidate count ≤ |batch shingles| × maxShingleDf.
-    * Reference counterpart: the dedup-before-insert anti-joins at
-    * etl.py:107-123 — exact-key only; this is the near-dup upgrade.
+    * the corpus' hashed shingles are scanned/tokenized ONCE (cached
+    * MEMORY_AND_DISK while the df-cap aggregate and the pairing join both
+    * read them, released before returning — the [[minhashLshPairs]]
+    * lifecycle, so the result is eager and localCheckpoint-backed). Pair
+    * expansion is bounded per corpus shingle by `maxShingleDf` (the corpus
+    * document frequency — a stop-phrase shared by millions of corpus docs
+    * would otherwise pair every batch doc containing it with all of them).
+    * Candidate count ≤ |batch shingles| × maxShingleDf. If batch and
+    * corpus overlap, a doc meeting itself is dropped (same id); distinct
+    * ids with duplicate content pair normally. Reference counterpart: the
+    * dedup-before-insert anti-joins at etl.py:107-123 — exact-key only;
+    * this is the near-dup upgrade.
     */
   def jaccardPairsAgainst(corpus: DataFrame, batch: DataFrame,
                           idCol: String, textCol: String,
                           n: Int = 3, threshold: Double = 0.7,
                           maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val bt = shingleHashes(batch, idCol, textCol, n)
-    val ct = shingleHashes(corpus, idCol, textCol, n)
+    val ct = shingleHashes(corpus, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
+    try pairsAgainstFrom(bt, ct, threshold, maxShingleDf).localCheckpoint()
+    finally ct.unpersist(blocking = true)
+  }
+
+  /** Lazy body of [[jaccardPairsAgainst]] over pre-built shingle relations
+    * — [[jaccardPairsAgainst]] adds the cache/checkpoint lifecycle;
+    * `PlanAudit` reads this plan directly (the checkpointed public form
+    * erases the join shape it needs to assert). */
+  private[graft] def pairsAgainstFrom(bt: DataFrame, ct: DataFrame,
+                                      threshold: Double, maxShingleDf: Int): DataFrame = {
     // cap by CORPUS document frequency before pairing (one aggregate over
-    // hashed shingles; semi-join keeps only pairing-eligible shingles)
+    // the cached shingles; semi-join keeps only pairing-eligible ones)
     val capped = if (maxShingleDf == Int.MaxValue) ct
       else ct.join(
         ct.groupBy("h").agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxShingleDf).select("h"),
         Seq("h"), "left_semi")
-    val inter = bt.select(col("id").as("batch_id"), col("nsh").as("na"), col("h"))
-      .join(capped.select(col("id").as("corpus_id"), col("nsh").as("nb"), col("h")), Seq("h"))
-      .groupBy("batch_id", "corpus_id")
+    val inter = bt.select(col("id").as("doc_a"), col("nsh").as("na"), col("h"))
+      .join(capped.select(col("id").as("doc_b"), col("nsh").as("nb"), col("h")), Seq("h"))
+      // overlapping inputs: a doc present on both sides must not self-pair
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("i"), first(col("na")).as("na"), first(col("nb")).as("nb"))
-    inter
-      .withColumn("jaccard",
-        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("batch_id", "corpus_id", "jaccard")
+    jaccardFromCounts(inter, threshold)
+      .select(col("doc_a").as("batch_id"), col("doc_b").as("corpus_id"), col("jaccard"))
   }
 
   /** Duplicate CLUSTERS from a near-dup pair list — the step that turns

@@ -238,18 +238,27 @@ object Streaming {
     * carry). A bucket-key hash collision is detected the same way — the
     * signatures don't actually collide in this band — and skipped.
     *
-    * State is bounded by `retentionMs`: members whose event time falls
-    * behind watermark - retention are evicted (and the whole bucket times
+    * State is bounded three ways: `retentionMs` evicts members whose event
+    * time falls behind watermark - retention (and the whole bucket times
     * out once every member is past retention), so an unbounded feed dedups
-    * against a sliding corpus horizon — the same trade a production
-    * streaming dedup makes. Ids must be unique per document (Dedup's
-    * contract).
+    * against a sliding corpus horizon; `maxBucket` stops a degenerate
+    * bucket (boilerplate flood sharing one band signature) from growing —
+    * at the cap a bucket stops admitting and pairing, the online analog of
+    * the batch `maxBucket` skip, bounding both per-arrival compare cost
+    * and state (pairs whose LOWEST colliding band is capped are lost, the
+    * same recall trade the batch guard makes); and note that each member's
+    * signature + shingle set is held in EVERY band bucket it occupies — a
+    * `bands`× duplication of the retained corpus' shingle volume, the
+    * price of local pair ownership. Size `bands` against the state store
+    * (8 bands halves state vs 16, at slightly lower candidate recall).
+    * Ids must be unique per document (Dedup's contract).
     */
   def nearDupPairs(spark: SparkSession, docs: DataFrame,
                    idCol: String, tsCol: String, textCol: String,
                    watermarkDelay: String, retentionMs: Long,
                    n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.7): DataFrame = {
+                   threshold: Double = 0.7,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
     import graft.functions.TextFunctions
     import spark.implicits._
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -284,15 +293,19 @@ object Streaming {
           if (!state.hasTimedOut) {
             // deterministic arrival order inside the batch
             rows.toSeq.sortBy(d => (d._2.getTime, d._1)).foreach { d =>
-              val (id, ts, sh, sig) = (d._1, d._2.getTime, d._3, d._4)
-              members.foreach { m =>
-                if (m.doc_id != id && lowestCollidingBand(sig, m.sig, r) == key._1) {
-                  val j = jaccardOf(sh, m.sh)
-                  if (j >= threshold)
-                    out += NearDupPair(math.min(id, m.doc_id), math.max(id, m.doc_id), j)
+              // at the cap the bucket is degenerate: stop pairing AND
+              // admitting (see scaladoc — the online maxBucket skip)
+              if (members.size < maxBucket) {
+                val (id, ts, sh, sig) = (d._1, d._2.getTime, d._3, d._4)
+                members.foreach { m =>
+                  if (m.doc_id != id && lowestCollidingBand(sig, m.sig, r) == key._1) {
+                    val j = jaccardOf(sh, m.sh)
+                    if (j >= threshold)
+                      out += NearDupPair(math.min(id, m.doc_id), math.max(id, m.doc_id), j)
+                  }
                 }
+                members = BucketMember(id, ts, sig, sh) :: members
               }
-              members = BucketMember(id, ts, sig, sh) :: members
             }
           }
           if (members.isEmpty) { if (state.exists) state.remove() }

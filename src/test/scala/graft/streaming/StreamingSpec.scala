@@ -331,4 +331,22 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(spark.table("neardup_ttl_out").isEmpty)
   }
+
+  test("streaming near-dup maxBucket stops a degenerate bucket from pairing") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val a = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    val b = "t1 t2 t3 t4 t5 t6 t7 t8 t9 xx"
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = in.toDF().toDF("doc_id", "ts", "text")
+    // cap 1: the first doc fills every bucket it touches; the near-dup
+    // arriving second is never admitted or paired anywhere
+    val q = Streaming.nearDupPairs(spark, df, "doc_id", "ts", "text",
+      watermarkDelay = "1 hour", retentionMs = Long.MaxValue / 4, maxBucket = 1)
+      .writeStream.format("memory").queryName("neardup_cap_out").outputMode("append").start()
+    in.addData((1L, new java.sql.Timestamp(t0), a))
+    in.addData((2L, new java.sql.Timestamp(t0 + 1), b))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("neardup_cap_out").isEmpty)
+  }
 }
