@@ -364,7 +364,11 @@ object Dedup {
     var labels = edges.select(col("src").as("id"), col("src").as("lbl"))
       .distinct().localCheckpoint()
     try {
-      var prevSum = if (numericIds) labelSum(labels) else None
+      // no initial sum scan: round 1 can never be a no-op (each pair's
+      // larger id strictly decreases), so None ≠ Some(round-1 sum) is the
+      // correct verdict — and for an empty pair list both sides are None,
+      // which converges immediately as before
+      var prevSum: Option[BigDecimal] = None
       var converged = false
       var it = 0
       while (!converged && it < maxIters) {
