@@ -34,6 +34,21 @@ class EdgeCaseSpec extends SparkSpec {
     assert(sig.size === 5)
   }
 
+  test("incremental near-dup tolerates empty batch, null/short texts, and overlap") {
+    val corpus = docs((1L, "a b c d e"), (2L, null), (3L, "x y"))
+    // empty batch → empty result, no crash
+    assert(Dedup.jaccardPairsAgainst(corpus, corpus.filter(col("doc_id") < 0),
+      "doc_id", "text").count() === 0)
+    // null/short batch docs are excluded; a batch doc that also sits in the
+    // corpus (same id, duplicate content) must NOT self-pair
+    val batch = docs((1L, "a b c d e"), (4L, null), (5L, "z"))
+    assert(Dedup.jaccardPairsAgainst(corpus, batch, "doc_id", "text").count() === 0)
+    // a genuine near-dup batch doc still pairs with its corpus twin
+    val hit = Dedup.jaccardPairsAgainst(corpus, docs((9L, "a b c d e")), "doc_id", "text")
+      .collect()
+    assert(hit.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((9L, 1L)))
+  }
+
   test("shingle width is validated eagerly") {
     intercept[IllegalArgumentException] {
       graft.functions.TextFunctions.shingles(col("text"), 0)
