@@ -85,6 +85,10 @@ object PlanAudit {
         !p.contains("CartesianProduct") &&
           ("hashpartitioning\\(cell".r.findAllIn(p).nonEmpty ||
             p.contains("BroadcastHashJoin [cell"))))
+    audit("q_embed_dup_pairs_lsh")(
+      "pairing is (table, bucket)-keyed, never all-pairs" -> (p =>
+        p.contains("Join") && !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")))
     // the public simhashPairs returns a checkpointed result (its executed
     // plan is just a cached-block scan), so audit the LAZY internal plan —
     // the one that actually contains the candidate join

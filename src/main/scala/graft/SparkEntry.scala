@@ -237,6 +237,17 @@ object SparkEntry {
       Similarity.cosineDupPairs(Tables.embeddings(s, d), threshold = 0.42,
         everyNthCentroid = 50)),
 
+    // sign-LSH blocking — the "LSH-bucketed" alternative to IVF cells:
+    // 16 tables × 5-bit sign buckets over fixed ±1 hyperplanes, exact
+    // cosine verification. Recall ≈0.86 at this low threshold (sign-LSH
+    // favors the 0.9+ SemDeDup regime — parameter guidance in the
+    // operator's scaladoc); the oracle re-derives the identical
+    // construction from the same sign matrix, so the output hash-checks
+    // exactly, recall loss included
+    "q_embed_dup_pairs_lsh" -> ((s, d) =>
+      Similarity.hyperplaneDupPairs(Tables.embeddings(s, d), threshold = 0.42,
+        bits = 5, tables = 16)),
+
     // SemDeDup-style semantic dedup over EMBEDDINGS: cell-blocked cosine
     // near-dup pairs -> transitive clusters -> canonical keep-list for the
     // whole corpus. Same pointer-jumping closure as q_dedup_clusters,
@@ -676,6 +687,44 @@ object SparkEntry {
        |         ${dotSql("a.embedding", "b.embedding")} / (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS c
        |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id)""".stripMargin
 
+  /** Sign-LSH pair oracle: re-derives `Similarity.hyperplaneDupPairs`'s
+    * construction — same literal ±1 sign matrix, left-folded DOUBLE
+    * projections, per-table bucket ids, any-table collision, exact cosine
+    * filter — so the output matches bit-for-bit including recall loss. */
+  private def hyperplaneLshOracle(threshold: Double, bits: Int, tables: Int, dim: Int): String = {
+    val signs = Similarity.hyperplaneSigns(tables * bits, dim)
+    // int64-quantized projections (exact, associative) — same construction
+    // as Similarity.hyperplaneDupPairs
+    val projCols = (0 until tables * bits).map { i =>
+      val lst = signs(i).mkString("[", ", ", "]")
+      s"SUM(xq * ($lst)[pos]) AS p$i"
+    }.mkString(",\n    ")
+    def bucketSql(t: Int): String =
+      (0 until bits).map(k =>
+        s"(CASE WHEN p${t * bits + k} >= 0 THEN ${1L << k} ELSE 0 END)")
+        .mkString(" + ")
+    val arms = (0 until tables).map(t =>
+      s"SELECT vec_id, $t AS t, ${bucketSql(t)} AS b FROM pr")
+      .mkString("\nUNION ALL\n")
+    s"""WITH n AS (SELECT vec_id, embedding FROM embeddings),
+       |ex AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos, embedding FROM n),
+       |exq AS (SELECT vec_id, pos,
+       |          CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+       |        FROM ex),
+       |pr AS (SELECT vec_id,
+       |    $projCols
+       |  FROM exq GROUP BY vec_id),
+       |banded AS (
+       |$arms),
+       |p AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         ${dotSql("an.embedding", "bn.embedding")} / (${normSql("an.embedding")} * ${normSql("bn.embedding")}) AS c
+       |  FROM banded a JOIN banded b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id
+       |  JOIN n an ON an.vec_id = a.vec_id
+       |  JOIN n bn ON bn.vec_id = b.vec_id)
+       |SELECT DISTINCT vec_a, vec_b, round(c, 6) AS cos FROM p WHERE c >= $threshold""".stripMargin
+  }
+
   /** Oracle for the k-means-refined IVF (`Similarity.refineCentroids`): the
     * quantized-int64 member mean (round(v·1e6) summed exactly, divided in
     * DOUBLE, narrowed to REAL) re-derives centroids bit-identical to Spark's,
@@ -980,6 +1029,8 @@ object SparkEntry {
     "q_embed_dup_pairs_blocked" ->
       s"""WITH ${embedPairsCte(50)}
          |SELECT vec_a, vec_b, round(c, 6) AS cos FROM p WHERE c >= 0.42""".stripMargin,
+
+    "q_embed_dup_pairs_lsh" -> hyperplaneLshOracle(0.42, bits = 5, tables = 16, dim = 64),
 
     "q_ann_ivf_refined" -> refinedIvfOracle(2),
 

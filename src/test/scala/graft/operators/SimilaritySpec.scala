@@ -106,4 +106,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recalls(50) >= recalls(25), s"recall not monotone in cell size: $recalls")
     assert(recalls(25) > 0.0, s"fine blocking found nothing: $recalls")
   }
+
+  test("hyperplane LSH pairs are an exact-cosine subset with usable recall") {
+    val exact = Similarity.cosineDupPairs(emb, threshold = 0.42)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(exact.nonEmpty)
+    val lsh = Similarity.hyperplaneDupPairs(emb, threshold = 0.42,
+      bits = 5, tables = 16).as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty, "sign-LSH found nothing on the fixture")
+    // verified subset: every emitted pair exists in the exact set with the
+    // identical rounded cosine (the verify step removes false positives)
+    lsh.foreach { case (a, b, c) =>
+      assert(exact.get((a, b)).contains(c), s"($a,$b,$c) not in exact pairs")
+    }
+    val recall = lsh.length.toDouble / exact.size
+    info(s"sign-LSH recall at threshold 0.42 (5 bits x 16 tables): $recall")
+    assert(recall >= 0.5, s"recall $recall below the configured expectation")
+  }
 }
