@@ -86,9 +86,13 @@ object PlanAudit {
           ("hashpartitioning\\(cell".r.findAllIn(p).nonEmpty ||
             p.contains("BroadcastHashJoin [cell"))))
     audit("q_embed_dup_pairs_lsh")(
+      // the (t, b) key must actually appear in the pair join's partitioning
+      // (or BHJ key list) — a regression to joining on t alone would still
+      // be an equi-join, so contains("Join") alone proves nothing
       "pairing is (table, bucket)-keyed, never all-pairs" -> (p =>
-        p.contains("Join") && !p.contains("CartesianProduct") &&
-          !p.contains("BroadcastNestedLoopJoin")))
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+          ("hashpartitioning\\(t#\\d+, b#\\d+L".r.findAllIn(p).nonEmpty ||
+            "BroadcastHashJoin \\[t#\\d+, b#\\d+L".r.findAllIn(p).nonEmpty)))
     // the public simhashPairs returns a checkpointed result (its executed
     // plan is just a cached-block scan), so audit the LAZY internal plan —
     // the one that actually contains the candidate join

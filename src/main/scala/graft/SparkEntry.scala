@@ -706,7 +706,8 @@ object SparkEntry {
     val arms = (0 until tables).map(t =>
       s"SELECT vec_id, $t AS t, ${bucketSql(t)} AS b FROM pr")
       .mkString("\nUNION ALL\n")
-    s"""WITH n AS (SELECT vec_id, embedding FROM embeddings),
+    s"""WITH n AS (SELECT vec_id, embedding FROM embeddings
+       |       WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
        |ex AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos, embedding FROM n),
        |exq AS (SELECT vec_id, pos,
        |          CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT) AS xq

@@ -364,10 +364,13 @@ object Dedup {
     var labels = edges.select(col("src").as("id"), col("src").as("lbl"))
       .distinct().localCheckpoint()
     try {
-      // no initial sum scan: round 1 can never be a no-op (each pair's
-      // larger id strictly decreases), so None ≠ Some(round-1 sum) is the
-      // correct verdict — and for an empty pair list both sides are None,
-      // which converges immediately as before
+      // no initial sum scan: for any pair with doc_a != doc_b round 1
+      // strictly decreases a label, so None ≠ Some(round-1 sum) is the
+      // correct verdict; an empty pair list gives None == None and still
+      // converges at round 1. The one degenerate input — every pair a
+      // self-pair (a,a) — now detects its (unchanged) fixpoint at round 2
+      // instead of round 1, which only matters to a caller passing
+      // maxIters=1 (pointer jumping needs ≥2 rounds on any real graph)
       var prevSum: Option[BigDecimal] = None
       var converged = false
       var it = 0

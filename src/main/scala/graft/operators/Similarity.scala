@@ -125,8 +125,7 @@ object Similarity {
     (1 to iters).foldLeft(seeds) { (cents, _) =>
       assignCells(corpus, cents)
         .select(col("cell"),
-          posexplode(expr(
-            "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))")))
+          posexplode(transform(col("embedding"), v => quantize1e6(v))))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("col")).as("sq"), count(lit(1)).as("n"))
         .groupBy(col("cell"))
@@ -184,6 +183,15 @@ object Similarity {
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos"), col("rk"))
   }
 
+  /** Exact int64 quantization of one DOUBLE-ish component (round(x·1e6)):
+    * integer sums over these are associative, hence partition-order
+    * independent and bit-reproducible in any engine that rounds the same
+    * doubles. Shared by [[refineCentroids]] and [[hyperplaneDupPairs]];
+    * the DuckDB oracles restate it as
+    * `CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)`. */
+  private[graft] def quantize1e6(x: Column): Column =
+    round(x.cast("double") * 1000000).cast("long")
+
   /** Deterministic ±1 hyperplane sign matrix: `count` hyperplanes × `dim`
     * components drawn from java.util.Random(seed) — a spec-stable LCG, so
     * the same literals can be embedded in the DuckDB oracle and any other
@@ -227,12 +235,25 @@ object Similarity {
                          bits: Int = 5, tables: Int = 16, dim: Int = 64): DataFrame = {
     require(bits >= 1 && bits <= 62 && tables >= 1, "need 1 <= bits <= 62, tables >= 1")
     val signs = hyperplaneSigns(tables * bits, dim)
+    // vectors with a NaN/±Inf component are dropped up front: the sibling
+    // operators yield a NaN cosine the threshold filter removes, but here
+    // the ANSI double→long quantization cast would THROW instead (the
+    // oracle mirrors the filter, so outputs still hash-match)
     val base = corpus.select(col("vec_id"), col("embedding"))
-    // (vec_id, pos, xq): one row per component, quantized to exact int64
+      .filter(!exists(col("embedding"),
+        x => isnan(x.cast("double")) || abs(x.cast("double")) === Double.PositiveInfinity))
+    // (vec_id, pos, xq): one row per component, quantized to exact int64;
+    // a vector longer than `dim` has no sign for its tail components —
+    // fail loudly (ANSI would throw an opaque INVALID_ARRAY_INDEX; non-ANSI
+    // would silently truncate the projection)
     val exploded = base
       .select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("vec_id"), col("pos"),
-        round(col("col").cast("double") * 1000000).cast("long").as("xq"))
+      .select(col("vec_id"),
+        when(col("pos") < dim, col("pos"))
+          .otherwise(raise_error(lit(
+            s"hyperplaneDupPairs: embedding has more than dim=$dim components")).cast("int"))
+          .as("pos"),
+        quantize1e6(col("col")).as("xq"))
     val projAggs = (0 until tables * bits).map(i =>
       sum(col("xq") * element_at(typedLit(signs(i).toSeq), col("pos") + 1)).as(s"p$i"))
     val projections = exploded.groupBy("vec_id").agg(projAggs.head, projAggs.tail: _*)

@@ -67,6 +67,25 @@ class EdgeCaseSpec extends SparkSpec {
     assert(TextAnalysis.tfIdfTopTerms(d, 3).select("doc_id").as[Long].collect().toSet === Set(3L))
   }
 
+  test("hyperplane LSH drops non-finite vectors and rejects over-long ones") {
+    val d = Seq(
+      (1L, Array(1f, Float.NaN)),
+      (2L, Array(0.5f, 2f)),
+      (3L, Array(0.5f, 2f)),
+      (4L, Array(Float.PositiveInfinity, 1f))).toDF("vec_id", "embedding")
+    // NaN/Inf rows are dropped (siblings drop them via NaN cosine; here the
+    // ANSI quantization cast would throw) — the identical finite twins pair
+    val out = Similarity.hyperplaneDupPairs(d, threshold = 0.9,
+      bits = 2, tables = 2, dim = 2).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((2L, 3L)))
+    // a vector longer than dim must fail loudly, not silently truncate
+    val wide = Seq((1L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    intercept[Exception] {
+      Similarity.hyperplaneDupPairs(wide, threshold = 0.5,
+        bits = 2, tables = 2, dim = 2).collect()
+    }
+  }
+
   test("core operators tolerate empty inputs") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
