@@ -349,4 +349,27 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     assert(spark.table("neardup_cap_out").isEmpty)
   }
+
+  test("the mergeable KMV sketch aggregates incrementally in streaming update mode") {
+    implicit val sqlCtx = spark.sqlContext
+    // mergeability is exactly what streaming state needs: each micro-batch
+    // folds into the sketch buffer, and the final update must equal the
+    // one-shot batch aggregation over everything seen
+    val values = (1L to 600L).map(v => v % 97 + v % 5) // stable multiset
+    val batchValue = values.toDF("v")
+      .agg(graft.functions.KmvDistinct(64)(col("v")).as("kmv"))
+      .head().getDouble(0)
+    val in = MemoryStream[Long]
+    val q = in.toDF().toDF("v")
+      .groupBy()
+      .agg(graft.functions.KmvDistinct(64)(col("v")).as("kmv"))
+      .writeStream.format("memory").queryName("kmv_out").outputMode("update").start()
+    values.grouped(200).foreach { chunk =>
+      in.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    val updates = spark.table("kmv_out").as[Double].collect()
+    assert(updates.contains(batchValue),
+      s"final streaming update $updates must include the batch value $batchValue")
+  }
 }
