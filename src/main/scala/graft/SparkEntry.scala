@@ -237,16 +237,24 @@ object SparkEntry {
       Similarity.cosineDupPairs(Tables.embeddings(s, d), threshold = 0.42,
         everyNthCentroid = 50)),
 
-    // sign-LSH blocking — the "LSH-bucketed" alternative to IVF cells:
-    // 16 tables × 5-bit sign buckets over fixed ±1 hyperplanes, exact
-    // cosine verification. Recall ≈0.86 at this low threshold (sign-LSH
-    // favors the 0.9+ SemDeDup regime — parameter guidance in the
-    // operator's scaladoc); the oracle re-derives the identical
-    // construction from the same sign matrix, so the output hash-checks
-    // exactly, recall loss included
-    "q_embed_dup_pairs_lsh" -> ((s, d) =>
-      Similarity.hyperplaneDupPairs(Tables.embeddings(s, d), threshold = 0.42,
-        bits = 5, tables = 16)),
+    // sign-LSH blocking — the "LSH-bucketed" alternative to IVF cells —
+    // registered in its FAVORABLE regime (high threshold, long buckets, few
+    // tables: the SemDeDup augmented-copy hunt the operator's scaladoc
+    // prescribes; the low-threshold bracketing case lives on as a spec).
+    // The synthetic corpus has no high-cosine pairs (max ≈0.6), so the
+    // near-identical copies a real augmented corpus would contain are
+    // PLANTED deterministically: every 4th vector reappears (id+1e6) with
+    // its first component zeroed — cos = sqrt(1 - v0²/|v|²) ≈ 0.99. The
+    // oracle re-derives the identical construction (same plant, same sign
+    // matrix), so the output hash-checks exactly, recall loss included
+    "q_embed_dup_pairs_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") % 4 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(array(lit(0f)), slice(col("embedding"), 2, 63)).as("embedding"))
+      Similarity.hyperplaneDupPairs(e.unionByName(planted), threshold = 0.95,
+        bits = 12, tables = 4)
+    }),
 
     // SemDeDup-style semantic dedup over EMBEDDINGS: cell-blocked cosine
     // near-dup pairs -> transitive clusters -> canonical keep-list for the
@@ -691,7 +699,8 @@ object SparkEntry {
     * construction — same literal ±1 sign matrix, left-folded DOUBLE
     * projections, per-table bucket ids, any-table collision, exact cosine
     * filter — so the output matches bit-for-bit including recall loss. */
-  private def hyperplaneLshOracle(threshold: Double, bits: Int, tables: Int, dim: Int): String = {
+  private def hyperplaneLshOracle(threshold: Double, bits: Int, tables: Int, dim: Int,
+                                  corpusSql: String = "SELECT vec_id, embedding FROM embeddings"): String = {
     val signs = Similarity.hyperplaneSigns(tables * bits, dim)
     // int64-quantized projections (exact, associative) — same construction
     // as Similarity.hyperplaneDupPairs
@@ -706,8 +715,10 @@ object SparkEntry {
     val arms = (0 until tables).map(t =>
       s"SELECT vec_id, $t AS t, ${bucketSql(t)} AS b FROM pr")
       .mkString("\nUNION ALL\n")
-    s"""WITH n AS (SELECT vec_id, embedding FROM embeddings
-       |       WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
+    s"""WITH corpus AS ($corpusSql),
+       |n AS (SELECT vec_id, embedding FROM corpus
+       |       WHERE len(list_filter(embedding,
+       |         x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 9.2e12)) = 0),
        |ex AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos, embedding FROM n),
        |exq AS (SELECT vec_id, pos,
        |          CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT) AS xq
@@ -1031,7 +1042,12 @@ object SparkEntry {
       s"""WITH ${embedPairsCte(50)}
          |SELECT vec_a, vec_b, round(c, 6) AS cos FROM p WHERE c >= 0.42""".stripMargin,
 
-    "q_embed_dup_pairs_lsh" -> hyperplaneLshOracle(0.42, bits = 5, tables = 16, dim = 64),
+    "q_embed_dup_pairs_lsh" -> hyperplaneLshOracle(0.95, bits = 12, tables = 4, dim = 64,
+      corpusSql = """SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+               list_prepend(CAST(0 AS REAL), embedding[2:64]) AS embedding
+        FROM embeddings WHERE vec_id % 4 = 0"""),
 
     "q_ann_ivf_refined" -> refinedIvfOracle(2),
 

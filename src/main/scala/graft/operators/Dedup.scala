@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
 import org.apache.spark.storage.StorageLevel
 
 /** Document deduplication suite (north-star LLM-pipeline operators;
@@ -344,15 +345,21 @@ object Dedup {
         .union(p.select(col("dst"), col("dst")))
         .distinct().localCheckpoint()
       finally release(p)
-    // exact convergence probe, fast path for NUMERIC ids: labels only ever
+    // exact convergence probe, fast path for INTEGRAL ids: labels only ever
     // decrease, so the decimal sum (38 digits — no overflow at any node
     // count) is unchanged iff the round was a no-op. One narrow scan of
-    // checkpointed blocks. For any other id type (strings, etc.) the cast
-    // would be null/ANSI-error, so fall back to the exact changed-row join —
-    // one extra cheap join per round, same any-orderable-type domain the
-    // operator always had.
-    val numericIds = p.schema("src").dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // checkpointed blocks. Integral ONLY — not NumericType: a fractional id
+    // (float/double/decimal-with-scale) rounds in the decimal(38,0) cast, so
+    // a label change smaller than the rounding quantum (2.4 -> 2.3) could
+    // leave the sum unchanged and report convergence before the fixpoint.
+    // Everything else (strings, fractionals) falls back to the exact
+    // changed-row join — one extra cheap join per round, same
+    // any-orderable-type domain the operator always had.
+    val integralIds = p.schema("src").dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case dt: DecimalType => dt.scale == 0
+      case _ => false
+    }
     def labelSum(df: DataFrame): Option[BigDecimal] =
       Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
         .map(BigDecimal(_))
@@ -388,7 +395,7 @@ object Dedup {
             col("lbl") === col("l2"))
           .select(col("id"), col("ll").as("lbl"))
           .localCheckpoint()
-        if (numericIds) {
+        if (integralIds) {
           val curSum = labelSum(next)
           converged = curSum == prevSum
           prevSum = curSum

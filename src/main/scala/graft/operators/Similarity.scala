@@ -192,6 +192,12 @@ object Similarity {
   private[graft] def quantize1e6(x: Column): Column =
     round(x.cast("double") * 1000000).cast("long")
 
+  /** Largest |x| whose `quantize1e6` fits in a long (Long.MaxValue/1e6 ≈
+    * 9.223e12, held back a notch for the rounding). Finite values past this
+    * would still THROW in the ANSI double→long cast despite a NaN/Inf-only
+    * guard, so callers filter on it alongside NULL/NaN/Inf. */
+  private[graft] val MaxQuantizableAbs: Double = 9.2e12
+
   /** Deterministic ±1 hyperplane sign matrix: `count` hyperplanes × `dim`
     * components drawn from java.util.Random(seed) — a spec-stable LCG, so
     * the same literals can be embedded in the DuckDB oracle and any other
@@ -235,13 +241,20 @@ object Similarity {
                          bits: Int = 5, tables: Int = 16, dim: Int = 64): DataFrame = {
     require(bits >= 1 && bits <= 62 && tables >= 1, "need 1 <= bits <= 62, tables >= 1")
     val signs = hyperplaneSigns(tables * bits, dim)
-    // vectors with a NaN/±Inf component are dropped up front: the sibling
-    // operators yield a NaN cosine the threshold filter removes, but here
-    // the ANSI double→long quantization cast would THROW instead (the
-    // oracle mirrors the filter, so outputs still hash-match)
+    // vectors with a NULL / NaN / ±Inf / over-bound component are dropped up
+    // front: the sibling operators yield a NaN cosine the threshold filter
+    // removes, but here the ANSI double→long quantization cast would THROW
+    // instead. NULL is tested FIRST so the exists() predicate is never null
+    // (Spark's exists over a null lambda result yields null and the filter
+    // would drop the row while DuckDB's list_filter would keep it — a latent
+    // cross-engine mismatch); the |x| bound guards finite-but-huge values
+    // whose round(x·1e6) still overflows long (|x| > Long.Max/1e6 ≈ 9.22e12;
+    // abs() of ±Inf also trips it, and Spark orders NaN above any double so
+    // isnan stays for clarity). The oracle mirrors all four conditions.
     val base = corpus.select(col("vec_id"), col("embedding"))
       .filter(!exists(col("embedding"),
-        x => isnan(x.cast("double")) || abs(x.cast("double")) === Double.PositiveInfinity))
+        x => x.isNull || isnan(x.cast("double")) ||
+          abs(x.cast("double")) > lit(MaxQuantizableAbs)))
     // (vec_id, pos, xq): one row per component, quantized to exact int64;
     // a vector longer than `dim` has no sign for its tail components —
     // fail loudly (ANSI would throw an opaque INVALID_ARRAY_INDEX; non-ANSI

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Structured-Streaming upgrades of the batch operators (SURVEY §2.6: the
   * reference is batch-only and simulates incrementality by re-running +
@@ -251,7 +252,8 @@ object Streaming {
     * `bands`× duplication of the retained corpus' shingle volume, the
     * price of local pair ownership. Size `bands` against the state store
     * (8 bands halves state vs 16, at slightly lower candidate recall).
-    * Ids must be unique per document (Dedup's contract).
+    * Ids must be unique per document (Dedup's contract) and INTEGRAL
+    * (int/long/short/byte — state keys are Long; checked eagerly).
     */
   def nearDupPairs(spark: SparkSession, docs: DataFrame,
                    idCol: String, tsCol: String, textCol: String,
@@ -262,6 +264,16 @@ object Streaming {
     import graft.functions.TextFunctions
     import spark.implicits._
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // the typed state tuple keys members by Long id, so idCol is cast below;
+    // a non-integral id (string, …) would cast to NULL and flow into bucket
+    // state with undefined pairing behavior — fail eagerly instead. (The
+    // batch Dedup tiers are id-type generic; this operator's contract is
+    // narrower and checked, not silent.)
+    docs.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+      case t => throw new IllegalArgumentException(
+        s"Streaming.nearDupPairs needs an integral id column (state keys are Long); got $idCol: $t")
+    }
     val r = numHashes / bands
     val shingled = docs.select(col(idCol).cast("long").as("doc_id"),
         col(tsCol).cast("timestamp").as("ts"),

@@ -156,6 +156,21 @@ class DedupSpec extends SparkSpec {
       ("x", "x", 1), ("y", "x", 0)))
   }
 
+  test("clusters handles FRACTIONAL numeric ids (sub-quantum label moves)") {
+    // every id in the chain rounds to the same decimal(38,0) value (2), so
+    // the label-sum probe would see an unchanged sum after round 1 and stop
+    // with 2.2/2.1 mislabeled; fractional ids must take the changed-row
+    // probe and still reach the true minimum
+    val pairs = Seq((2.4, 2.3), (2.3, 2.2), (2.2, 2.1), (7.5, 7.4))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs)
+      .select("doc_id", "cluster_id", "keep").as[(Double, Double, Int)]
+      .collect().sortBy(_._1)
+    assert(got === Array(
+      (2.1, 2.1, 1), (2.2, 2.1, 0), (2.3, 2.1, 0), (2.4, 2.1, 0),
+      (7.4, 7.4, 1), (7.5, 7.4, 0)))
+  }
+
   test("clusters converges on a long chain in O(log diameter) rounds (pointer jumping)") {
     // a 65-hop pairwise-drift chain (template churn): one-hop propagation
     // would need 65 rounds; pointer jumping must finish well under maxIters

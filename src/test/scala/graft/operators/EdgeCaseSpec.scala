@@ -86,6 +86,21 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("hyperplane LSH drops null-component and over-bound finite vectors") {
+    // a NULL component must drop the vector DETERMINISTICALLY (not via a
+    // null exists() the filter interprets one way and the oracle's
+    // list_filter the other), and a finite value past Long.Max/1e6 must be
+    // filtered, not explode the ANSI quantization cast
+    val d = Seq(
+      (1L, Seq(Option(1f), None)),
+      (2L, Seq(Option(0.5f), Option(2f))),
+      (3L, Seq(Option(0.5f), Option(2f))),
+      (4L, Seq(Option(1e13f), Option(1f)))).toDF("vec_id", "embedding")
+    val out = Similarity.hyperplaneDupPairs(d, threshold = 0.9,
+      bits = 2, tables = 2, dim = 2).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((2L, 3L)))
+  }
+
   test("core operators tolerate empty inputs") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

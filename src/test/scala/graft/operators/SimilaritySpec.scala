@@ -107,6 +107,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recalls(25) > 0.0, s"fine blocking found nothing: $recalls")
   }
 
+  test("hyperplane LSH in its registered SemDeDup regime finds planted copies") {
+    // the registered q_embed_dup_pairs_lsh configuration: high threshold,
+    // long buckets, few tables — hunting near-identical (augmented) copies,
+    // planted here exactly as in SparkEntry (zeroed first component)
+    val base = emb.select("vec_id", "embedding")
+    val planted = base.filter(col("vec_id") % 4 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(array(lit(0f)), slice(col("embedding"), 2, 63)).as("embedding"))
+    val got = Similarity.hyperplaneDupPairs(base.unionByName(planted),
+        threshold = 0.95, bits = 12, tables = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty, "registered regime found nothing on planted copies")
+    // the base corpus has no cos>=0.95 pairs, so every emitted pair must be
+    // a planted (original, copy) pair above threshold
+    got.foreach { case (a, b, c) =>
+      assert(b === a + 1000000L, s"unexpected pair ($a,$b)")
+      assert(c >= 0.95)
+    }
+    // recall over the TRUE planted pairs clearing the threshold
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    def cos0(v: Array[Float]): Double = { // cosine against the zeroed-head copy
+      var d = 0.0; var na = 0.0
+      for (i <- v.indices) { na += v(i).toDouble * v(i); if (i > 0) d += v(i).toDouble * v(i) }
+      d / (math.sqrt(na) * math.sqrt(d))
+    }
+    val truth = vecs.count { case (id, v) => id % 4 == 0 && cos0(v) >= 0.95 }
+    val recall = got.length.toDouble / truth
+    info(s"sign-LSH recall at threshold 0.95 (12 bits x 4 tables): $recall")
+    assert(recall >= 0.6, s"recall $recall below the configured regime's expectation")
+  }
+
   test("hyperplane LSH pairs are an exact-cosine subset with usable recall") {
     val exact = Similarity.cosineDupPairs(emb, threshold = 0.42)
       .as[(Long, Long, Double)].collect()

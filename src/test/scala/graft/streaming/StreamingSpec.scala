@@ -350,6 +350,18 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("neardup_cap_out").isEmpty)
   }
 
+  test("streaming near-dup rejects non-integral id columns eagerly") {
+    // a string id would silently cast to null and key bucket state with
+    // undefined pairing behavior — the operator must fail at plan time
+    val df = Seq(("a", new java.sql.Timestamp(0L), "t1 t2 t3 t4"))
+      .toDF("doc_id", "ts", "text")
+    val e = intercept[IllegalArgumentException] {
+      Streaming.nearDupPairs(spark, df, "doc_id", "ts", "text",
+        watermarkDelay = "1 hour", retentionMs = 1000L)
+    }
+    assert(e.getMessage.contains("integral id column"))
+  }
+
   test("the mergeable KMV sketch aggregates incrementally in streaming update mode") {
     implicit val sqlCtx = spark.sqlContext
     // mergeability is exactly what streaming state needs: each micro-batch
