@@ -49,27 +49,51 @@ object Bench {
           s"[bench] WARNING: unknown names in SPARK_GRAFT_BENCH_ONLY: ${unknown.mkString(", ")}")
     }
     val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
+    // SPARK_GRAFT_BENCH_REPS=N (diagnostic): run each query N times, report
+    // the MIN — separates a query's real cost from run-to-run noise. The
+    // driver's per-round bench keeps the default 1 rep for comparability.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(1).max(1)
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        val df = fn(spark, sfDir)
-        if (materialize) df.write.mode("overwrite").format("noop").save()
-        else df.count(): Unit
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          // a crashed query must not masquerade as a fast success
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          name -> -1.0
-      } finally {
-        // drop every cached plan and persisted/localCheckpoint RDD the query
-        // left behind: 59 queries share one session, and leaked blocks from
-        // earlier queries (checkpointed pair sets, cached shingle relations)
-        // otherwise build memory pressure that makes later queries' times
-        // depend on run order (observed: same query 4x slower late in a run)
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      val times = (1 to reps).map { rep =>
+        val gc0 = gcMillis
+        val t0 = System.nanoTime()
+        try {
+          val df = fn(spark, sfDir)
+          if (materialize) df.write.mode("overwrite").format("noop").save()
+          else df.count(): Unit
+          val sec = (System.nanoTime() - t0) / 1e9
+          // per-query GC share on stderr: the evidence channel for telling
+          // heap contention (inherited from an earlier heavy query) apart
+          // from a real plan regression
+          System.err.println(
+            f"[bench] $name%-28s rep$rep ${sec}%8.3f s  gc ${(gcMillis - gc0) / 1000.0}%6.3f s")
+          sec
+        } catch {
+          case e: Throwable =>
+            // a crashed query must not masquerade as a fast success
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+        } finally {
+          // drop every cached plan and persisted/localCheckpoint RDD the query
+          // left behind: ~60 queries share one session, and leaked blocks from
+          // earlier queries (checkpointed pair sets, cached shingle relations)
+          // otherwise build memory pressure that makes later queries' times
+          // depend on run order (observed: same query 4x slower late in a run)
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+          // ... and start the next measurement from a settled heap: without
+          // this, a heavy query's garbage is collected DURING its successors'
+          // timings, charging its cost to whoever runs next (the round-5
+          // 2-7x phantom regressions on untouched queries)
+          System.gc()
+        }
       }
+      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
