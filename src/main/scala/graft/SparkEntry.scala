@@ -460,12 +460,27 @@ object SparkEntry {
     // ---- percentiles ----
     // the 100 TB escape hatch: approx_percentile is a mergeable sketch — one
     // map-side-combined aggregation pass, no per-group sort, bounded memory.
-    // No SQL oracle (DuckDB's approx algorithm differs); rows-only check,
-    // exactness vs q_median_price is spec-bounded.
-    "q_median_approx" -> ((s, d) =>
-      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
-        .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)")
-          .as("median_approx"))),
+    // DuckDB's approx algorithm differs, so the oracle checks the sketch's
+    // RANK contract instead of the value: the returned element's rank
+    // interval [below+1, atmost] must overlap the median band ± the
+    // accuracy-derived slack (n/accuracy + 1). One extra broadcast join +
+    // aggregate recounts the ranks exactly; the oracle re-derives n_rows
+    // and asserts within_bound = 1.
+    "q_median_approx" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice")
+      val apx = li.groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("m"))
+      val slack = ceil(col("n_rows") / lit(10000.0)) + lit(1L)
+      li.join(broadcast(apx), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum((col("l_extendedprice") < col("m")).cast("long")).as("below"),
+          sum((col("l_extendedprice") <= col("m")).cast("long")).as("atmost"))
+        .select(col("l_returnflag"), col("n_rows"),
+          ((col("below") + lit(1L) <= ceil(col("n_rows") / lit(2.0)) + slack) &&
+            (col("atmost") >= floor(col("n_rows") / lit(2.0)) - slack))
+            .cast("int").as("within_bound"))
+    }),
 
     // exact percentile via rank window — the oracle-checkable form; prefer
     // q_median_approx at scale (exact medians need a per-group sort)
@@ -514,17 +529,37 @@ object SparkEntry {
         Quality.foreignKey(orders, "o_custkey", customer, "o_custkey"))
     }),
 
-    // ---- approximate sketches (no SQL oracle: engine-specific hashes) ----
+    // ---- approximate sketches, oracle-BOUND-checked ----
+    // The estimates themselves are engine-specific (Spark HLL++ / xxhash64
+    // KMV — DuckDB cannot re-derive either), so the registered outputs
+    // assert the sketch's error CONTRACT instead: exact values plus an
+    // `ok` int flag (|est − exact| ≤ bound) that the oracle re-derives as
+    // literal 1. A sketch drifting out of bound flips the flag to 0 and the
+    // hash gate goes red — the bound is the checked claim, without
+    // pretending the estimate is exact. Estimate values stay observable in
+    // the specs (KmvDistinctSpec, PropertySpec).
     "q_approx_distinct" -> ((s, d) =>
+      // HLL++ at default rsd 0.05; asserted at 3·rsd relative error
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("apx_part"),
-          approx_count_distinct(col("l_orderkey")).as("apx_order"))),
+          countDistinct(col("l_partkey")).as("exact_part"),
+          approx_count_distinct(col("l_orderkey")).as("apx_order"),
+          countDistinct(col("l_orderkey")).as("exact_order"))
+        .select(col("l_returnflag"), col("exact_part"), col("exact_order"),
+          (abs(col("apx_part") - col("exact_part")) <= lit(0.15) * col("exact_part"))
+            .cast("int").as("part_ok"),
+          (abs(col("apx_order") - col("exact_order")) <= lit(0.15) * col("exact_order"))
+            .cast("int").as("order_ok"))),
 
     "q_kmv_distinct" -> ((s, d) =>
-      // (no oracle: xxhash64 basis is Spark-specific; spec checks error bounds)
+      // KMV with k=128 minima: σ ≈ 1/√(k−2) ≈ 0.089; asserted at the same
+      // 0.25 relative bound the spec enforces
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(graft.functions.KmvDistinct(128)(col("l_partkey")).as("kmv_part"),
-          countDistinct(col("l_partkey")).as("exact_part"))))
+          countDistinct(col("l_partkey")).as("exact_part"))
+        .select(col("l_returnflag"), col("exact_part"),
+          (abs(col("kmv_part") - col("exact_part")) <= lit(0.25) * col("exact_part"))
+            .cast("int").as("kmv_ok"))))
 
   // ---------------------------------------------------------------------------
 
@@ -1149,6 +1184,24 @@ object SparkEntry {
         |SELECT l_returnflag, SUM(l_extendedprice) / count(*) AS median_price
         |FROM r WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
         |GROUP BY l_returnflag""".stripMargin,
+
+    // sketch-contract oracles: exact columns re-derived, the ok/within
+    // flags asserted as literal 1 (the Spark side computes them from its
+    // own engine-specific estimate — out-of-bound turns them 0 and the
+    // hash gate red)
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_part,
+        |count(DISTINCT l_orderkey) AS exact_order,
+        |1 AS part_ok, 1 AS order_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_kmv_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_part,
+        |1 AS kmv_ok FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_median_approx" ->
+      """SELECT l_returnflag, count(*) AS n_rows, 1 AS within_bound
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n,
