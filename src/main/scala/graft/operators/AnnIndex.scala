@@ -38,6 +38,31 @@ object AnnIndex {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
   }
 
+  /** Incrementally upsert a vector batch into an existing index — the live
+    * 100 TB path: a corpus that grows by append-batches must not pay a full
+    * rebuild per batch. The batch is assigned against the PERSISTED
+    * centroids (tiny, broadcast), then [[MergeUpsert]] rewrites only the
+    * cell partitions the batch actually touches — every other cell's files
+    * stay byte-identical (spec-checked), so query-side partition pruning
+    * and any downstream caches keyed on file identity are undisturbed.
+    * An existing `vec_id` is REPLACED (including across cells if its new
+    * embedding assigns elsewhere); a new id is inserted.
+    *
+    * Centroids are deliberately NOT refined here: cell geometry stays fixed
+    * so upserts stay cheap and deterministic. Under drift (batch
+    * distribution diverging from the build corpus), recall at fixed nProbe
+    * degrades gracefully — re-center with a periodic [[build]] (the usual
+    * IVF operational pattern).
+    */
+  def upsert(spark: SparkSession, path: String, batch: DataFrame): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("embedding").as("cv"))
+    val assigned = Similarity.assignCells(
+      batch.select(col("vec_id"), col("embedding")), cents)
+    MergeUpsert(spark, s"$path/cells", assigned,
+      keys = Seq("vec_id"), partitionCols = Seq("cell"))
+  }
+
   def query(spark: SparkSession, path: String, queries: DataFrame,
             k: Int, nProbe: Int): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids")

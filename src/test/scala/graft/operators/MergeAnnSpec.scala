@@ -87,6 +87,62 @@ class MergeAnnSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [cell"), s"no partition pruning in:\n$plan")
   }
 
+  test("AnnIndex.upsert merges a batch into existing cells without a rebuild") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val idx = Files.createTempDirectory("ann_up").toString
+    AnnIndex.build(spark, emb, everyNthCentroid = 50, idx)
+    val origCount = spark.read.parquet(s"$idx/cells").count()
+
+    // batch: two NEW vectors cloned from existing ones (+100000) and one
+    // REPLACEMENT — vec 1 takes vec 2's embedding (possibly moving cell)
+    val batch = emb.filter(col("vec_id").isin(10L, 11L))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") === 2L)
+        .select(lit(1L).as("vec_id"), col("embedding")))
+
+    // cells the upsert may legitimately rewrite: the batch's assigned
+    // cells plus wherever the replaced key's OLD copy lives
+    val cents = spark.read.parquet(s"$idx/centroids")
+      .select(col("cell"), col("embedding").as("cv"))
+    val touched = Similarity.assignCells(batch, cents)
+        .select("cell").as[Long].collect().toSet ++
+      spark.read.parquet(s"$idx/cells").filter(col("vec_id") === 1L)
+        .select("cell").as[Long].collect().toSet
+
+    def filesOf(dir: java.nio.file.Path) =
+      Files.list(dir).toArray.map(_.toString).sorted.toSeq
+    val before = Files.list(Paths.get(s"$idx/cells")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.startsWith("cell="))
+      .map(d => d.getFileName.toString -> filesOf(d)).toMap
+
+    AnnIndex.upsert(spark, idx, batch)
+
+    // every cell the batch didn't touch keeps byte-identical files
+    val untouched = before.keys.filterNot(d =>
+      touched.contains(d.stripPrefix("cell=").toLong))
+    assert(untouched.nonEmpty, "fixture degenerate: every cell touched")
+    untouched.foreach { d =>
+      assert(filesOf(Paths.get(s"$idx/cells/$d")) === before(d),
+        s"untouched $d was rewritten")
+    }
+
+    val cells = spark.read.parquet(s"$idx/cells")
+    assert(cells.count() === origCount + 2) // 2 inserts, 1 replace
+    // the replacement took: exactly one copy of vec 1, carrying vec 2's embedding
+    val v1 = cells.filter(col("vec_id") === 1L)
+      .select("embedding").as[Array[Float]].collect()
+    val v2 = emb.filter(col("vec_id") === 2L)
+      .select("embedding").as[Array[Float]].head()
+    assert(v1.length === 1 && v1.head === v2)
+
+    // queries see the new vectors: vec 10's exact clone is its top neighbor
+    val got = AnnIndex.query(spark, idx,
+        emb.filter(col("vec_id") === 10L), k = 3, nProbe = 3)
+      .orderBy("rk").select("n_id").as[Long].head()
+    assert(got === 100010L, s"top neighbor after upsert was $got, not the clone")
+  }
+
   test("AnnIndex built with refined centroids equals ivfTopK(refineIters) and recalls at least the seed index") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 8)
