@@ -191,6 +191,12 @@ object Streaming {
   // -------------------------------------------------------------------------
   // Streaming near-dup detection (MinHash-LSH with bucketed state)
 
+  /** `sig` holds the signature PREFIX through this bucket's band — bands
+    * past the bucket's own index can never influence the ownership test
+    * (see [[lowestCollidingBand]]), so storing them would be pure state
+    * waste: the prefix cut saves ~half the signature volume at identical
+    * semantics (band k keeps (k+1)·r of numHashes components; the mean over
+    * k is (bands+1)/2·r). */
   final case class BucketMember(doc_id: Long, ts_ms: Long,
                                 sig: Array[Long], sh: Array[Long])
   final case class BucketState(members: List[BucketMember])
@@ -198,8 +204,9 @@ object Streaming {
 
   /** First band index where the two signatures' slices coincide, or -1.
     * Used to emit each pair from exactly ONE bucket (its lowest colliding
-    * band) — both members' full signatures are in state, so every bucket
-    * can decide ownership locally, with no cross-bucket dedup shuffle. */
+    * band): deciding `lowest == k` inside band k's bucket only ever reads
+    * bands 0..k, which is why state stores just that prefix — every bucket
+    * decides ownership locally, with no cross-bucket dedup shuffle. */
   private def lowestCollidingBand(a: Array[Long], b: Array[Long], r: Int): Int = {
     var k = 0
     while ((k + 1) * r <= a.length) {
@@ -248,10 +255,14 @@ object Streaming {
     * the batch `maxBucket` skip, bounding both per-arrival compare cost
     * and state (pairs whose LOWEST colliding band is capped are lost, the
     * same recall trade the batch guard makes); and note that each member's
-    * signature + shingle set is held in EVERY band bucket it occupies — a
-    * `bands`× duplication of the retained corpus' shingle volume, the
-    * price of local pair ownership. Size `bands` against the state store
-    * (8 bands halves state vs 16, at slightly lower candidate recall).
+    * shingle set is held in EVERY band bucket it occupies — a `bands`×
+    * duplication of the retained corpus' shingle volume, the price of
+    * local pair ownership (the signature, by contrast, is stored only as
+    * the PREFIX each bucket's ownership test can read — see
+    * [[BucketMember]]). Size `bands` against the state store: the default
+    * is 8 (state-halving vs 16 at slightly lower candidate recall per the
+    * 1-(1-j^r)^bands curve; both configs' pair sets coincide on the spec
+    * corpus, measured in `StreamingSpec`).
     * Ids must be unique per document (Dedup's contract) and INTEGRAL
     * (int/long/short/byte — state keys are Long; checked eagerly).
     */
@@ -286,11 +297,15 @@ object Streaming {
     val withSig = shingled.select(col("doc_id"), col("ts"), col("sh"),
       array((0 until numHashes).map(i =>
         array_min(transform(col("sh"), h => xxhash64(lit(i), h)))): _*).as("sig"))
-    val banded = withSig.select(col("doc_id"), col("ts"), col("sh"), col("sig"),
+    // per band: the bucket key AND the signature prefix through that band —
+    // all the ownership test in bucket k can ever read (bands > k never
+    // influence `lowest == k`), so nothing more enters state
+    val banded = withSig.select(col("doc_id"), col("ts"), col("sh"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           k => struct(k.cast("int").as("band"),
-            xxhash64(slice(col("sig"), k * lit(r) + 1, lit(r))).as("bkey")))).as("bk"))
-      .select(col("doc_id"), col("ts"), col("sh"), col("sig"),
+            xxhash64(slice(col("sig"), k * lit(r) + 1, lit(r))).as("bkey"),
+            slice(col("sig"), lit(1), (k + lit(1)) * lit(r)).as("prefix")))).as("bk"))
+      .select(col("doc_id"), col("ts"), col("sh"), col("bk.prefix").as("sig"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
       .withWatermark("ts", watermarkDelay)
       .as[(Long, java.sql.Timestamp, Array[Long], Array[Long], Int, Long)]

@@ -350,6 +350,54 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("neardup_cap_out").isEmpty)
   }
 
+  test("8-band near-dup state is under half of 16 bands at equal emitted pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    // 60 docs x 400 disjoint-vocabulary tokens; every even doc has a twin
+    // differing in ONE token (J = 397/399 ≈ 0.995) — at that similarity both
+    // band layouts catch every pair (miss prob < 1e-9), so the comparison
+    // isolates STATE COST at equal output. Long texts matter: the shingle
+    // sets dominate state, and shingles are duplicated per band.
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (0 until 60).map { i =>
+      val base = (0 until 400).map(j => s"w${i / 2 * 2}_$j")
+      val toks = if (i % 2 == 1) base.dropRight(1) :+ "CHANGED" else base
+      (i.toLong, new java.sql.Timestamp(t0 + i), toks.mkString(" "))
+    }
+    def run(bands: Int, name: String): (Set[(Long, Long, Double)], Long, Long) = {
+      val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val q = Streaming.nearDupPairs(spark, in.toDF().toDF("doc_id", "ts", "text"),
+          "doc_id", "ts", "text", watermarkDelay = "1 hour",
+          retentionMs = Long.MaxValue / 4, bands = bands)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      // two waves so state actually carries members across batches
+      in.addData(rows.filter(_._1 % 2 == 0)); q.processAllAvailable()
+      in.addData(rows.filter(_._1 % 2 == 1)); q.processAllAvailable()
+      val progress = q.recentProgress.flatMap(_.stateOperators)
+      val mem = progress.map(_.memoryUsedBytes).max
+      val nRows = progress.map(_.numRowsTotal).max
+      q.stop()
+      (spark.table(name).as[(Long, Long, Double)].collect().toSet, mem, nRows)
+    }
+    val (pairs16, mem16, rows16) = run(16, "nd_state16")
+    val (pairs8, mem8, rows8) = run(8, "nd_state8")
+    assert(pairs16 === pairs8, "band layouts disagreed on the emitted pairs")
+    assert(pairs8.size === 30, s"expected the 30 planted twins, got ${pairs8.size}")
+    // structural claim: every doc occupies one bucket PER BAND, so halving
+    // the bands ~halves the state rows — and with it the per-band-duplicated
+    // shingle volume. Not exactly 2x: a twin's ~2 differing shingles split
+    // a shared bucket wherever one lands in that band's minima (P≈0.02-0.04
+    // per band here, ~9 splits observed at both layouts), hence the band
+    val rowRatio = rows16.toDouble / rows8
+    assert(rowRatio >= 1.85 && rowRatio <= 2.15,
+      s"state rows: 16 bands=$rows16, 8 bands=$rows8 (ratio $rowRatio)")
+    info(s"state bytes: 16 bands=$mem16, 8 bands=$mem8 (ratio ${mem16.toDouble / mem8})")
+    // measured-bytes claim: the logical asymptote is 2x (shingles dominate
+    // and halve); the store's version-retention and per-map overheads
+    // dilute what memoryUsedBytes reports, so hold the floor at 1.6x
+    assert(mem8 * 1.6 <= mem16,
+      s"8 bands should near-halve state bytes: $mem8 vs $mem16")
+  }
+
   test("streaming near-dup rejects non-integral id columns eagerly") {
     // a string id would silently cast to null and key bucket state with
     // undefined pairing behavior — the operator must fail at plan time
