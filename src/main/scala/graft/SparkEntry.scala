@@ -312,8 +312,15 @@ object SparkEntry {
     "q_token_classes" -> ((s, d) => TextAnalysis.tokenClasses(Tables.documents(s, d))),
 
     // ---- LLM-pipeline: multimodal columns ----
+    // real containers, real parsing: documents are encoded as structurally
+    // valid PNG/JPEG bytes (dims/channels from a deterministic id rule, the
+    // text as body), then the pure-JVM header parser recovers format,
+    // dimensions, channels and the body FROM THE BYTES. The oracle restates
+    // only the generation rule, so parse(encode(rule)) == rule — including
+    // the md5/sha of the round-tripped body — is what hash-checks.
     "q_multimodal_meta" -> ((s, d) =>
-      Multimodal.payloadMeta(Multimodal.synthesize(Tables.documents(s, d), "doc_id", "text"))),
+      Multimodal.imageMeta(s,
+        Multimodal.encodeImages(s, Tables.documents(s, d), "doc_id", "text"))),
 
     // ---- LLM-pipeline: training-data curation ----
     // PII is synthesized deterministically (same expressions in the oracle)
@@ -1379,11 +1386,20 @@ object SparkEntry {
         |  FROM old o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey)
         |WHERE change IS NOT NULL""".stripMargin,
 
+    // the generation rule restated; Spark derives the same values by
+    // PARSING the encoded bytes (container sizes: PNG 57+|body|, JPEG
+    // 41+3·nComp+|body| — see Multimodal.encodePng/encodeJpeg layouts)
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,
-        |CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-        |CAST(strlen(text) AS INT) AS n_bytes,
-        |md5(text) AS payload_md5,
-        |sha256(text) AS payload_sha256
+        |CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+        |CAST((doc_id * 37) % 1280 + 64 AS INT) AS width,
+        |CAST((doc_id * 53) % 720 + 64 AS INT) AS height,
+        |CAST(CASE WHEN doc_id % 2 = 0 THEN (CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 3 END)
+        |          ELSE (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 3 END) END AS INT) AS channels,
+        |CAST(CASE WHEN doc_id % 2 = 0 THEN 57 + strlen(text)
+        |          WHEN doc_id % 4 = 1 THEN 44 + strlen(text)
+        |          ELSE 50 + strlen(text) END AS INT) AS n_bytes,
+        |md5(text) AS body_md5,
+        |sha256(text) AS body_sha256
         |FROM documents""".stripMargin)
 }

@@ -8,12 +8,16 @@ import org.apache.spark.sql.types._
   * opaque `binary` payloads with typed metadata, and run decode /
   * feature-extract / frame-sample as partition-local batch functions.
   *
-  * The Spark-side plumbing — schema, partitioning, batch shape — is real;
-  * the codec itself is a STUB (`FakeCodec`): this container has no
-  * image/audio libraries, so decode is a deterministic fake that stands in
-  * for (e.g.) a JNI/JEP call to a real decoder. Swapping `FakeCodec` for a
-  * real one changes no plan shape: decode stays `mapPartitions`
-  * (batch-amortized codec init, executor-local, no shuffle).
+  * The CONTAINER layer is real: [[encodeImages]] writes structurally valid
+  * PNG (signature, CRC-correct IHDR/IDAT/IEND chunks) and JPEG (SOI, APP0,
+  * COM, SOF0, EOI segments) bytes, and [[parseImageHeader]] is an honest
+  * pure-JVM parser — PNG chunk walk, JPEG marker-segment walk — that
+  * recovers format, dimensions, channel count and the payload body with no
+  * image library. Only the PIXEL layer is stubbed (`FakeCodec`, standing in
+  * for a JNI/JEP decoder call: the IDAT stream here is not zlib pixel
+  * data). Swapping it in changes no plan shape: decode stays
+  * `mapPartitions` (batch-amortized codec init, executor-local, no
+  * shuffle).
   */
 object Multimodal {
 
@@ -52,6 +56,164 @@ object Multimodal {
       octet_length(col("payload")).as("n_bytes"),
       md5(col("payload")).as("payload_md5"),
       sha2(col("payload"), 256).as("payload_sha256"))
+
+  // ---------------------------------------------------------------------
+  // Real image containers: pure-JVM encode + header parse (no libraries)
+
+  final case class ImageMeta(fmt: String, width: Int, height: Int,
+                             channels: Int, body: Array[Byte])
+
+  private def be32(v: Int) = Array[Byte](
+    (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+
+  /** Structurally valid PNG: signature + CRC-correct IHDR/IDAT/IEND chunks.
+    * `body` rides as the IDAT payload (NOT zlib pixel data — the pixel
+    * layer is the stubbed part; the container is real).
+    * Layout: 8 (sig) + 25 (IHDR) + 12+|body| (IDAT) + 12 (IEND). */
+  def encodePng(width: Int, height: Int, colorType: Int, body: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(57 + body.length)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      bos.write(be32(data.length)); bos.write(tb); bos.write(data)
+      bos.write(be32(crc.getValue.toInt))
+    }
+    bos.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    chunk("IHDR", be32(width) ++ be32(height) ++ Array[Byte](8, colorType.toByte, 0, 0, 0))
+    chunk("IDAT", body)
+    chunk("IEND", Array.emptyByteArray)
+    bos.toByteArray
+  }
+
+  /** Structurally valid JPEG: SOI, APP0(JFIF), COM, SOF0, EOI; `body` rides
+    * after EOI (trailing data, as real-world files often carry). The COM
+    * segment before SOF0 forces any parser to WALK segments rather than
+    * read a fixed offset. Layout: 2 + 18 + 9 + (10+3·nComp) + 2 + |body|. */
+  def encodeJpeg(width: Int, height: Int, nComp: Int, body: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(41 + 3 * nComp + body.length)
+    def seg(marker: Int, data: Array[Byte]): Unit = {
+      bos.write(0xff); bos.write(marker)
+      bos.write(be16(data.length + 2)); bos.write(data)
+    }
+    bos.write(0xff); bos.write(0xd8) // SOI
+    seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xfe, "graft".getBytes("US-ASCII")) // COM
+    seg(0xc0, Array[Byte](8) ++ be16(height) ++ be16(width) ++
+      Array(nComp.toByte) ++
+      (1 to nComp).flatMap(c => Seq(c.toByte, 0x11.toByte, 0.toByte)))
+    bos.write(0xff); bos.write(0xd9) // EOI
+    bos.write(body, 0, body.length)
+    bos.toByteArray
+  }
+
+  /** Honest header parse from magic bytes — no image library:
+    *   - PNG: verify the 8-byte signature, require IHDR first (per spec),
+    *     read width/height/color type, then WALK the chunk list collecting
+    *     IDAT data (the body) until IEND.
+    *   - JPEG: verify SOI, then WALK marker segments (skipping APP/COM/
+    *     anything variable-length, handling standalone markers) to the
+    *     first SOF frame header for (height, width, components); the body
+    *     is whatever trails the EOI marker.
+    * Truncated/garbage/unsupported inputs → None, never a throw. */
+  def parseImageHeader(b: Array[Byte]): Option[ImageMeta] = {
+    if (b == null) return None
+    def u8(i: Int) = b(i) & 0xff
+    def rd16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def rd32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val pngSig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (b.length >= 33 && pngSig.indices.forall(i => u8(i) == pngSig(i))) {
+      if (rd32(8) != 13 || new String(b, 12, 4, "US-ASCII") != "IHDR") return None
+      val (w, h, colorType) = (rd32(16), rd32(20), u8(25))
+      val channels = colorType match {
+        case 0 | 3 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => return None
+      }
+      if (w <= 0 || h <= 0) return None
+      val body = new java.io.ByteArrayOutputStream()
+      var i = 33 // first chunk after IHDR
+      while (i + 8 <= b.length) {
+        val len = rd32(i)
+        val typ = new String(b, i + 4, 4, "US-ASCII")
+        if (len < 0 || i + 12 + len > b.length) return None
+        if (typ == "IEND") return Some(ImageMeta("png", w, h, channels, body.toByteArray))
+        if (typ == "IDAT") body.write(b, i + 8, len)
+        i += 12 + len
+      }
+      None // ran off the end without IEND
+    } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      var sof: Option[(Int, Int, Int)] = None
+      while (i + 1 < b.length) {
+        if (u8(i) != 0xff) return None // desynced
+        val m = u8(i + 1)
+        if (m == 0xd9) { // EOI: body is the trailing data
+          return sof.map { case (w, h, n) =>
+            ImageMeta("jpeg", w, h, n, java.util.Arrays.copyOfRange(b, i + 2, b.length))
+          }
+        } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+        else {
+          if (i + 3 >= b.length) return None
+          val len = rd16(i + 2)
+          if (len < 2 || i + 2 + len > b.length) return None
+          if (m == 0xda) // SOS: entropy-coded data follows, not walkable —
+            return sof.map { case (w, h, n) => // dims yes, trailing body no
+              ImageMeta("jpeg", w, h, n, Array.emptyByteArray)
+            }
+          val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) {
+            if (sof.isDefined || len < 8) return None // two frames → not ours
+            val (h, w, n) = (rd16(i + 5), rd16(i + 7), u8(i + 9))
+            if (w <= 0 || h <= 0 || n <= 0) return None
+            sof = Some((w, h, n))
+          }
+          i += 2 + len
+        }
+      }
+      None
+    } else None
+  }
+
+  /** Deterministic image-table synthesizer over real containers: even ids
+    * encode as PNG (RGBA every 4th id, RGB otherwise), odd ids as JPEG
+    * (grayscale where id % 4 == 1, 3-component otherwise); dimensions
+    * follow the same (id·37, id·53) rule as [[synthesize]]; the document
+    * text rides as the body. The generation rule is restated by the DuckDB
+    * oracle, so `parse(encode(rule(id))) == rule(id)` is hash-checked
+    * end-to-end — the parsing is what's under test, not the rule. */
+  def encodeImages(spark: SparkSession, docs: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val body = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
+        val w = (math.floorMod(id * 37, 1280) + 64).toInt
+        val h = (math.floorMod(id * 53, 720) + 64).toInt
+        val payload =
+          if (id % 2 == 0) encodePng(w, h, if (id % 4 == 0) 6 else 2, body)
+          else encodeJpeg(w, h, if (math.floorMod(id, 4) == 1) 1 else 3, body)
+        (id, payload)
+      }).toDF("media_id", "payload")
+  }
+
+  /** Parsed-header metadata: one partition-local pass (the codec-init slot)
+    * recovers format/dimensions/channels/body from the BYTES, then content
+    * hashes are computed on the recovered body — unparseable payloads keep
+    * their id with null metadata rather than vanishing. */
+  def imageMeta(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val m = parseImageHeader(p)
+        (id, m.map(_.fmt).orNull, m.map(_.width), m.map(_.height),
+          m.map(_.channels), if (p == null) 0 else p.length, m.map(_.body).orNull)
+      })
+      .toDF("media_id", "fmt", "width", "height", "channels", "n_bytes", "body")
+      .select(col("media_id"), col("fmt"), col("width"), col("height"),
+        col("channels"), col("n_bytes"),
+        md5(col("body")).as("body_md5"), sha2(col("body"), 256).as("body_sha256"))
+  }
 
   final case class MediaFeature(media_id: Long, modality: String, n_bytes: Int,
                                 mean_byte: Double, frames_sampled: Int)

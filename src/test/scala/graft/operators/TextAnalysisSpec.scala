@@ -56,4 +56,56 @@ class TextAnalysisSpec extends SparkSpec {
     assert(frames.count() > 0)
     assert(frames.filter(pmod(col("frame_idx"), lit(2)) =!= 0).count() === 0)
   }
+
+  test("multimodal: PNG/JPEG encode → header parse round-trips exactly") {
+    val body = "hello media".getBytes("UTF-8")
+    val png = Multimodal.parseImageHeader(Multimodal.encodePng(640, 480, 6, body)).get
+    assert((png.fmt, png.width, png.height, png.channels) === (("png", 640, 480, 4)))
+    assert(png.body === body)
+    val jpg = Multimodal.parseImageHeader(Multimodal.encodeJpeg(123, 77, 3, body)).get
+    assert((jpg.fmt, jpg.width, jpg.height, jpg.channels) === (("jpeg", 123, 77, 3)))
+    assert(jpg.body === body)
+    // grayscale JPEG and paletted PNG channel mapping
+    assert(Multimodal.parseImageHeader(
+      Multimodal.encodeJpeg(5, 5, 1, Array.emptyByteArray)).get.channels === 1)
+    assert(Multimodal.parseImageHeader(
+      Multimodal.encodePng(5, 5, 3, Array.emptyByteArray)).get.channels === 1)
+  }
+
+  test("multimodal: the parser rejects garbage and truncation, never throws") {
+    val png = Multimodal.encodePng(64, 64, 2, "x".getBytes)
+    val jpg = Multimodal.encodeJpeg(64, 64, 3, "x".getBytes)
+    val bad = Seq[Array[Byte]](
+      null, Array.emptyByteArray, "not an image at all".getBytes("UTF-8"),
+      png.take(20), png.take(40), jpg.take(3), jpg.take(10),
+      jpg.dropRight(3) // EOI cut off mid-walk
+    )
+    bad.foreach(b => assert(Multimodal.parseImageHeader(b).isEmpty))
+    // a REAL-world-shaped JPEG — SOS entropy data before EOI — still yields
+    // dimensions (body extraction alone degrades to empty)
+    val withSos = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(jpg, 0, jpg.length - 3) // keep everything up to before EOI
+      bos.write(Array[Byte](0xff.toByte, 0xda.toByte, 0, 3, 1)) // SOS seg
+      bos.write(Array[Byte](7, 7, 7))   // entropy-ish bytes
+      bos.write(Array[Byte](0xff.toByte, 0xd9.toByte))
+      bos.toByteArray
+    }
+    val m = Multimodal.parseImageHeader(withSos).get
+    assert((m.width, m.height, m.body.length) === ((64, 64, 0)))
+  }
+
+  test("multimodal: encodeImages → imageMeta recovers the id rule from bytes") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val meta = Multimodal.imageMeta(spark,
+      Multimodal.encodeImages(spark, docs, "doc_id", "text"))
+    val rows = meta.collect()
+    assert(rows.length === 50)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(r.getAs[String]("fmt") === (if (id % 2 == 0) "png" else "jpeg"))
+      assert(r.getAs[Int]("width") === (id * 37 % 1280 + 64).toInt)
+      assert(r.getAs[Int]("height") === (id * 53 % 720 + 64).toInt)
+    }
+  }
 }
