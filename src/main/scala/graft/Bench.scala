@@ -93,7 +93,10 @@ object Bench {
           System.gc()
         }
       }
-      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
+      // ANY failed rep poisons the query: an intermittent crash (exactly
+      // the flaky class multi-rep mode exists to diagnose) must not hide
+      // behind a clean min-of-successes
+      name -> (if (times.forall(_ >= 0)) times.min else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -243,14 +243,17 @@ object SparkEntry {
     // prescribes; the low-threshold bracketing case lives on as a spec).
     // The synthetic corpus has no high-cosine pairs (max ≈0.6), so the
     // near-identical copies a real augmented corpus would contain are
-    // PLANTED deterministically: every 4th vector reappears (id+1e6) with
-    // its first component zeroed — cos = sqrt(1 - v0²/|v|²) ≈ 0.99. The
-    // oracle re-derives the identical construction (same plant, same sign
+    // PLANTED deterministically: every 4th vector reappears with its first
+    // component zeroed — cos = sqrt(1 - v0²/|v|²) ≈ 0.99. Planted ids are
+    // NEGATIVE mirrors (-1e6 - id): corpus ids are non-negative, so the
+    // plant can never collide with a real vec_id at any corpus size (a
+    // collision would silently merge two vectors' projections). The oracle
+    // re-derives the identical construction (same plant, same sign
     // matrix), so the output hash-checks exactly, recall loss included
     "q_embed_dup_pairs_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
       val planted = e.filter(col("vec_id") % 4 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
+        .select((-col("vec_id") - 1000000L).as("vec_id"),
           concat(array(lit(0f)), slice(col("embedding"), 2, 63)).as("embedding"))
       Similarity.hyperplaneDupPairs(e.unionByName(planted), threshold = 0.95,
         bits = 12, tables = 4)
@@ -760,7 +763,8 @@ object SparkEntry {
     s"""WITH corpus AS ($corpusSql),
        |n AS (SELECT vec_id, embedding FROM corpus
        |       WHERE len(list_filter(embedding,
-       |         x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 9.2e12)) = 0),
+       |         x -> x IS NULL OR isnan(x) OR isinf(x)
+       |              OR abs(x) > ${Similarity.maxQuantizableAbs(dim)})) = 0),
        |ex AS (SELECT vec_id, unnest(range(1, len(embedding)+1)) AS pos, embedding FROM n),
        |exq AS (SELECT vec_id, pos,
        |          CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT) AS xq
@@ -1087,7 +1091,7 @@ object SparkEntry {
     "q_embed_dup_pairs_lsh" -> hyperplaneLshOracle(0.95, bits = 12, tables = 4, dim = 64,
       corpusSql = """SELECT vec_id, embedding FROM embeddings
         UNION ALL
-        SELECT vec_id + 1000000 AS vec_id,
+        SELECT -vec_id - 1000000 AS vec_id,
                list_prepend(CAST(0 AS REAL), embedding[2:64]) AS embedding
         FROM embeddings WHERE vec_id % 4 = 0"""),
 
@@ -1396,10 +1400,10 @@ object SparkEntry {
         |CAST((doc_id * 53) % 720 + 64 AS INT) AS height,
         |CAST(CASE WHEN doc_id % 2 = 0 THEN (CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 3 END)
         |          ELSE (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 3 END) END AS INT) AS channels,
-        |CAST(CASE WHEN doc_id % 2 = 0 THEN 57 + strlen(text)
-        |          WHEN doc_id % 4 = 1 THEN 44 + strlen(text)
-        |          ELSE 50 + strlen(text) END AS INT) AS n_bytes,
-        |md5(text) AS body_md5,
-        |sha256(text) AS body_sha256
+        |CAST(CASE WHEN doc_id % 2 = 0 THEN 57 + strlen(coalesce(text, ''))
+        |          WHEN doc_id % 4 = 1 THEN 44 + strlen(coalesce(text, ''))
+        |          ELSE 50 + strlen(coalesce(text, '')) END AS INT) AS n_bytes,
+        |md5(coalesce(text, '')) AS body_md5,
+        |sha256(coalesce(text, '')) AS body_sha256
         |FROM documents""".stripMargin)
 }

@@ -135,7 +135,9 @@ object Multimodal {
       while (i + 8 <= b.length) {
         val len = rd32(i)
         val typ = new String(b, i + 4, 4, "US-ASCII")
-        if (len < 0 || i + 12 + len > b.length) return None
+        // long arithmetic: a corrupt len near Int.MaxValue must fail the
+        // bounds check, not wrap negative and crash the write below
+        if (len < 0 || i.toLong + 12 + len > b.length) return None
         if (typ == "IEND") return Some(ImageMeta("png", w, h, channels, body.toByteArray))
         if (typ == "IDAT") body.write(b, i + 8, len)
         i += 12 + len
@@ -155,7 +157,7 @@ object Multimodal {
         else {
           if (i + 3 >= b.length) return None
           val len = rd16(i + 2)
-          if (len < 2 || i + 2 + len > b.length) return None
+          if (len < 2 || i.toLong + 2 + len > b.length) return None
           if (m == 0xda) // SOS: entropy-coded data follows, not walkable —
             return sof.map { case (w, h, n) => // dims yes, trailing body no
               ImageMeta("jpeg", w, h, n, Array.emptyByteArray)
@@ -187,12 +189,17 @@ object Multimodal {
     docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
+        // non-negative ids only: truncated % (Scala and DuckDB alike)
+        // diverges from floorMod below zero, so a negative id would make
+        // the rule unmirrorable — fail loudly rather than diverge silently.
+        // Null text is EMPTY media (the oracle coalesces to '' to match).
+        require(id >= 0, s"encodeImages: negative media id $id")
         val body = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
-        val w = (math.floorMod(id * 37, 1280) + 64).toInt
-        val h = (math.floorMod(id * 53, 720) + 64).toInt
+        val w = (id * 37 % 1280 + 64).toInt
+        val h = (id * 53 % 720 + 64).toInt
         val payload =
           if (id % 2 == 0) encodePng(w, h, if (id % 4 == 0) 6 else 2, body)
-          else encodeJpeg(w, h, if (math.floorMod(id, 4) == 1) 1 else 3, body)
+          else encodeJpeg(w, h, if (id % 4 == 1) 1 else 3, body)
         (id, payload)
       }).toDF("media_id", "payload")
   }

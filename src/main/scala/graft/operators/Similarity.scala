@@ -192,11 +192,15 @@ object Similarity {
   private[graft] def quantize1e6(x: Column): Column =
     round(x.cast("double") * 1000000).cast("long")
 
-  /** Largest |x| whose `quantize1e6` fits in a long (Long.MaxValue/1e6 ≈
-    * 9.223e12, held back a notch for the rounding). Finite values past this
-    * would still THROW in the ANSI double→long cast despite a NaN/Inf-only
-    * guard, so callers filter on it alongside NULL/NaN/Inf. */
-  private[graft] val MaxQuantizableAbs: Double = 9.2e12
+  /** Largest per-component |x| such that BOTH the `quantize1e6` cast AND a
+    * ±1-signed SUM of `dim` quantized components fit in a long
+    * (Long.MaxValue/1e6/dim, held back a notch for the rounding). The
+    * naive per-cast bound (≈9.2e12) is not enough: dim in-bound components
+    * summed into one projection could still overflow the ANSI long SUM —
+    * and DuckDB, which widens BIGINT sums to HUGEINT, would not, so even a
+    * non-throwing wrap would diverge from the oracle. Callers filter on
+    * this alongside NULL/NaN/Inf. */
+  private[graft] def maxQuantizableAbs(dim: Int): Double = 9.2e12 / dim
 
   /** Deterministic ±1 hyperplane sign matrix: `count` hyperplanes × `dim`
     * components drawn from java.util.Random(seed) — a spec-stable LCG, so
@@ -243,18 +247,19 @@ object Similarity {
     val signs = hyperplaneSigns(tables * bits, dim)
     // vectors with a NULL / NaN / ±Inf / over-bound component are dropped up
     // front: the sibling operators yield a NaN cosine the threshold filter
-    // removes, but here the ANSI double→long quantization cast would THROW
-    // instead. NULL is tested FIRST so the exists() predicate is never null
-    // (Spark's exists over a null lambda result yields null and the filter
-    // would drop the row while DuckDB's list_filter would keep it — a latent
-    // cross-engine mismatch); the |x| bound guards finite-but-huge values
-    // whose round(x·1e6) still overflows long (|x| > Long.Max/1e6 ≈ 9.22e12;
+    // removes, but here the ANSI double→long quantization cast (or the
+    // signed projection SUM over dim components) would THROW instead. NULL
+    // is tested FIRST so the exists() predicate is never null (Spark's
+    // exists over a null lambda result yields null and the filter would
+    // drop the row while DuckDB's list_filter would keep it — a latent
+    // cross-engine mismatch); the dim-aware |x| bound guards finite values
+    // whose quantized SUM could overflow long (see [[maxQuantizableAbs]];
     // abs() of ±Inf also trips it, and Spark orders NaN above any double so
     // isnan stays for clarity). The oracle mirrors all four conditions.
     val base = corpus.select(col("vec_id"), col("embedding"))
       .filter(!exists(col("embedding"),
         x => x.isNull || isnan(x.cast("double")) ||
-          abs(x.cast("double")) > lit(MaxQuantizableAbs)))
+          abs(x.cast("double")) > lit(maxQuantizableAbs(dim))))
     // (vec_id, pos, xq): one row per component, quantized to exact int64;
     // a vector longer than `dim` has no sign for its tail components —
     // fail loudly (ANSI would throw an opaque INVALID_ARRAY_INDEX; non-ANSI

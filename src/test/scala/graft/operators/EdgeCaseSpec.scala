@@ -89,13 +89,18 @@ class EdgeCaseSpec extends SparkSpec {
   test("hyperplane LSH drops null-component and over-bound finite vectors") {
     // a NULL component must drop the vector DETERMINISTICALLY (not via a
     // null exists() the filter interprets one way and the oracle's
-    // list_filter the other), and a finite value past Long.Max/1e6 must be
-    // filtered, not explode the ANSI quantization cast
+    // list_filter the other); a finite value past the quantization bound
+    // must be filtered, not explode the ANSI cast; and vector 5 — every
+    // component UNDER the naive per-cast bound but whose signed projection
+    // SUM would overflow long — must be dropped by the dim-aware bound,
+    // not crash the aggregate (or silently wrap where the oracle's
+    // HUGEINT sum wouldn't)
     val d = Seq(
       (1L, Seq(Option(1f), None)),
       (2L, Seq(Option(0.5f), Option(2f))),
       (3L, Seq(Option(0.5f), Option(2f))),
-      (4L, Seq(Option(1e13f), Option(1f)))).toDF("vec_id", "embedding")
+      (4L, Seq(Option(1e13f), Option(1f))),
+      (5L, Seq(Option(5e12f), Option(5e12f)))).toDF("vec_id", "embedding")
     val out = Similarity.hyperplaneDupPairs(d, threshold = 0.9,
       bits = 2, tables = 2, dim = 2).collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((2L, 3L)))

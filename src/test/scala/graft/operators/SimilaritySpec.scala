@@ -113,16 +113,16 @@ class SimilaritySpec extends SparkSpec {
     // planted here exactly as in SparkEntry (zeroed first component)
     val base = emb.select("vec_id", "embedding")
     val planted = base.filter(col("vec_id") % 4 === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"),
+      .select((-col("vec_id") - 1000000L).as("vec_id"),
         concat(array(lit(0f)), slice(col("embedding"), 2, 63)).as("embedding"))
     val got = Similarity.hyperplaneDupPairs(base.unionByName(planted),
         threshold = 0.95, bits = 12, tables = 4)
       .as[(Long, Long, Double)].collect()
     assert(got.nonEmpty, "registered regime found nothing on planted copies")
     // the base corpus has no cos>=0.95 pairs, so every emitted pair must be
-    // a planted (original, copy) pair above threshold
+    // a (negative-mirror copy, original) pair above threshold
     got.foreach { case (a, b, c) =>
-      assert(b === a + 1000000L, s"unexpected pair ($a,$b)")
+      assert(b === -(a + 1000000L), s"unexpected pair ($a,$b)")
       assert(c >= 0.95)
     }
     // recall over the TRUE planted pairs clearing the threshold
