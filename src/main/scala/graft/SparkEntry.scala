@@ -353,6 +353,20 @@ object SparkEntry {
     "q_split_assign" -> ((s, d) =>
       TrainingData.splitAssign(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")),
 
+    "q_global_shuffle" -> ((s, d) =>
+      TrainingData.deterministicShuffle(
+        Tables.documents(s, d).select("doc_id"), "doc_id", nShards = 8)),
+
+    "q_source_cap" -> ((s, d) =>
+      TrainingData.capPerGroup(
+        Tables.documents(s, d).select("doc_id", "source"), "doc_id", "source",
+        maxPerGroup = 40)),
+
+    // substring-level dedup: every repeated word-3-gram span cut from all
+    // but its first corpus occurrence
+    "q_dedup_spans" -> ((s, d) =>
+      Dedup.removeDupSpans(Tables.documents(s, d), "doc_id", "text", n = 3)),
+
     // benchmark held out as every-50th doc; pairs sharing ≥3 word-3-grams
     "q_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1304,6 +1318,48 @@ object SparkEntry {
         |SELECT doc_id, lang, bucket,
         |  CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
         |FROM b""".stripMargin,
+
+    "q_global_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |  CAST(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 8 AS INT) AS shard,
+        |  md5('o' || CAST(doc_id AS VARCHAR)) AS oh
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY oh, doc_id) - 1 AS BIGINT) AS pos
+        |FROM h""".stripMargin,
+
+    "q_source_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY md5('c' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS grp_rank
+        |  FROM documents)
+        |SELECT doc_id, source, grp_rank FROM r WHERE grp_rank <= 40""".stripMargin,
+
+    // substring-level dedup: mirror the (count >= 2, not-first-occurrence)
+    // mark + [pos, pos+2] cover + token cut, on gram STRINGS (the Spark side
+    // uses rolling xxhash64 gram hashes — equivalent modulo 64-bit collisions)
+    "q_dedup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         |g AS (SELECT doc_id, ts, unnest(range(0, GREATEST(len(ts) - 2, 0))) AS pos FROM toks),
+         |gr AS (SELECT doc_id, pos, ts[pos+1] || ' ' || ts[pos+2] || ' ' || ts[pos+3] AS gram FROM g),
+         |m AS (SELECT doc_id, pos,
+         |        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk,
+         |        count(*) OVER (PARTITION BY gram) AS cnt
+         |      FROM gr),
+         |marked AS (SELECT doc_id, pos FROM m WHERE cnt >= 2 AND rk >= 2),
+         |cov AS (SELECT DISTINCT doc_id, pos + d.r AS i FROM marked, range(3) d(r)),
+         |ti AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS i FROM toks),
+         |kept AS (SELECT ti.doc_id, ti.i, ti.ts[ti.i + 1] AS tok
+         |         FROM ti LEFT JOIN cov ON ti.doc_id = cov.doc_id AND ti.i = cov.i
+         |         WHERE cov.i IS NULL),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+         |               count(*) AS n_kept
+         |        FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  coalesce(a.clean_text, '') AS clean_text,
+         |  CAST(len(t.ts) - coalesce(a.n_kept, 0) AS INT) AS n_removed
+         |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH $shingleCte

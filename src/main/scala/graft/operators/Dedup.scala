@@ -471,4 +471,57 @@ object Dedup {
       jaccardFromCounts(inter, threshold).localCheckpoint()
     } finally tok.unpersist(blocking = true)
   }
+
+  // ---------------------------------------------------------------------------
+  // Exact duplicated-SPAN removal (substring-level dedup)
+
+  /** Cut every repeated word-`n`-gram span from all but its first corpus
+    * occurrence — substring-level exact dedup in the style of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better" (the step
+    * document-level dedup cannot do: boilerplate, license headers, and
+    * quoted passages repeat inside otherwise-unique documents).
+    *
+    * Semantics: an n-gram occurrence (doc, pos) is REMOVED iff the n-gram
+    * occurs ≥2 times corpus-wide and (doc, pos) is not the globally-first
+    * occurrence (min by (doc, pos) — deterministic, engine-independent).
+    * Removed occurrences mark tokens [pos, pos+n-1]; overlapping marks
+    * union, so maximal duplicated spans are cut in one piece. Output:
+    * (id, clean_text, n_removed) — clean_text is the surviving tokens
+    * joined by single spaces, one row per input document.
+    *
+    * Scale shape (100 TB): the paper's suffix array is a single-machine
+    * structure; the distributed equivalent is this — (1) one map pass emits
+    * rolling xxhash64 n-gram hashes (fixed-width longs, never strings);
+    * (2) one hash-aggregate on the gram hash computes (count, argmin) with
+    * map-side partial aggregation; (3) duplicated grams (a small fraction)
+    * join back against the gram stream on the hash — AQE broadcasts this
+    * side when it fits; (4) marks aggregate per doc and the cut is pure
+    * row-local array algebra. Shuffles are bounded by gram count × 16
+    * bytes; nothing is ever pairwise.
+    */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"span gram width must be >= 1, got $n")
+    val base = df.select(col(idCol), col(textCol))
+      .withColumn("_ts", TextFunctions.tokens(col(textCol)))
+      .withColumn("_gh", TextFunctions.rollingShingleHashes(
+        TextFunctions.tokenHashes(col(textCol)), n))
+    val grams = base.select(col(idCol), posexplode(col("_gh")).as(Seq("pos", "h")))
+    // per-gram corpus stats: occurrence count + canonical first occurrence.
+    // min over the (id, pos) struct is lexicographic in both engines.
+    val dupStats = grams.groupBy("h")
+      .agg(count(lit(1)).as("cnt"), min(struct(col(idCol), col("pos"))).as("keep"))
+      .filter(col("cnt") >= 2)
+    val marked = grams.join(dupStats, "h")
+      .filter(!(col(idCol) === col(s"keep.$idCol") && col("pos") === col("keep.pos")))
+      .select(col(idCol), col("pos"))
+    val cuts = marked.groupBy(idCol).agg(collect_set(col("pos")).as("_starts"))
+    base.join(cuts, Seq(idCol), "left")
+      .withColumn("_cov", array_distinct(flatten(transform(
+        coalesce(col("_starts"), array().cast("array<int>")),
+        p => sequence(p, p + n - 1)))))
+      .withColumn("_kept", filter(col("_ts"), (t, i) => !array_contains(col("_cov"), i)))
+      .select(col(idCol),
+        array_join(col("_kept"), " ").as("clean_text"),
+        (size(col("_ts")) - size(col("_kept"))).as("n_removed"))
+  }
 }

@@ -91,4 +91,39 @@ object TextAnalysis {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select("doc_id", "term", "score", "rk")
   }
+
+  // ---------------------------------------------------------------------------
+  // HTML / boilerplate stripping
+
+  /** Script/style blocks die whole (non-greedy, dot-matches-newline). The
+    * pattern is RE2-compatible (no lookaround/backrefs) so the DuckDB
+    * oracle runs it verbatim; the close tag is matched loosely
+    * (`</(script|style)`) because browsers too terminate the block at the
+    * first closer regardless of which element opened it.
+    */
+  val HtmlBlockRe = "(?s)<(script|style)[^>]*>.*?</(script|style)[^>]*>"
+  val HtmlTagRe = "<[^>]*>"
+
+  /** Strip markup from HTML-ish text: script/style blocks first (their
+    * CONTENT is not prose), then remaining tags, then the five core
+    * character entities, then whitespace collapse+trim. `n_tags` counts the
+    * tags removed (after block removal) — a cheap markup-density signal for
+    * quality filtering. Web-crawl curation runs this before every text
+    * operator in this file.
+    *
+    * Scale: three codegen'd regex passes + literal replaces, row-local, no
+    * shuffle — the same cost class as [[normalize]].
+    */
+  def stripHtml(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val noBlocks = regexp_replace(col(textCol), HtmlBlockRe, " ")
+    val noTags = regexp_replace(noBlocks, HtmlTagRe, " ")
+    // &amp; decodes LAST: "&amp;lt;" is the literal text "&lt;", not "<"
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    docs.withColumn("n_tags",
+        size(regexp_extract_all(noBlocks, lit(HtmlTagRe), lit(0))))
+      .withColumn("clean_text",
+        trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " ")))
+  }
 }

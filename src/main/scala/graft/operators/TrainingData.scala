@@ -160,6 +160,54 @@ object TrainingData {
   }
 
   // ---------------------------------------------------------------------------
+  // Deterministic global shuffle (training-order export)
+
+  /** Assign every row a reproducible pseudo-random (shard, pos) — the
+    * training-data export order. Shard comes from the id's [[hashBucket]];
+    * position is the rank of an independently-salted md5 within the shard.
+    * The order depends only on ids: re-runs, engines, partitionings, and
+    * input order all agree, and adding documents never reorders existing
+    * ones relative to each other — the reproducibility property an RNG
+    * shuffle (`rand(seed)` is partitioning-dependent in Spark) cannot give.
+    *
+    * Scale: one hash-partition exchange on `shard` plus a per-shard sort —
+    * never a global sort. Each shard is corpus/nShards rows; size nShards
+    * so a shard fits an executor's spill budget (a 100 TB corpus at 4096
+    * shards sorts ~25 GB per task, a normal external sort).
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    // order salt "o" decorrelates the within-shard order from the shard
+    // assignment (both are md5 of the id, but of different strings)
+    val w = Window.partitionBy(col("shard")).orderBy(col("_oh"), col(idCol))
+    df.withColumn("shard", (hashBucket(col(idCol)) % nShards).cast("int"))
+      .withColumn("_oh", md5(concat(lit("o"), col(idCol).cast("string"))))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("_oh")
+  }
+
+  /** Keep at most `maxPerGroup` rows per group (domain/source frequency
+    * capping — the C4/RefinedWeb guard against a single site dominating the
+    * corpus), chosen deterministically: rows are ranked inside their group
+    * by a salted md5 of the id, so the survivors are a reproducible uniform
+    * sample, not "whichever K arrived first". Output keeps `grp_rank`
+    * (1-based) for auditability.
+    *
+    * Scale: one exchange on `groupCol`; the `row_number <= K` filter is
+    * rewritten by Spark into a WindowGroupLimit — each map task keeps only
+    * its local top-K per group BEFORE the shuffle, so a skewed domain ships
+    * K rows per input partition, not its whole population.
+    */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                  maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup > 0, s"maxPerGroup must be positive, got $maxPerGroup")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(concat(lit("c"), col(idCol).cast("string"))), col(idCol))
+    df.withColumn("grp_rank", row_number().over(w))
+      .filter(col("grp_rank") <= maxPerGroup)
+  }
+
+  // ---------------------------------------------------------------------------
   // Sliding-window text chunking (RAG / context prep)
 
   /** Split each document into token windows of `window` tokens advancing by

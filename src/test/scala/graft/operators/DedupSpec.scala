@@ -181,4 +181,42 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_._2 == 100L), "whole chain must collapse to one cluster")
     assert(got.count(_._3 == 1) === 1 && got.head === ((100L, 100L, 1)))
   }
+
+  test("removeDupSpans cuts repeated 3-gram spans, keeping first occurrences") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      // shares "alpha beta gamma" + "beta gamma delta" with doc 1: doc 1 is
+      // the first occurrence, so doc 2 loses tokens 2..5 (overlapping spans
+      // merge into one cut)
+      (2L, "x y alpha beta gamma delta z"),
+      // WITHIN-doc repetition: the second "p q r s" goes
+      (3L, "p q r s p q r s"),
+      (4L, "one two"), // shorter than n: no grams, untouched
+      (5L, "")).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(docs, "doc_id", "text", n = 3)
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, "alpha beta gamma delta epsilon", 0)))
+    assert(out(1) === ((2L, "x y z", 4)))
+    assert(out(2) === ((3L, "p q r s", 4)))
+    assert(out(3) === ((4L, "one two", 0)))
+    assert(out(4) === ((5L, "", 0)))
+  }
+
+  test("removeDupSpans conserves tokens and is layout-independent (fixtures)") {
+    val docs = Tables.documents(spark, sf)
+    val out = Dedup.removeDupSpans(docs, "doc_id", "text", n = 3)
+    val checked = out
+      .join(docs.select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n_orig")), "doc_id")
+      .select(col("doc_id"),
+        (size(graft.functions.TextFunctions.tokens(col("clean_text"))) + col("n_removed"))
+          .as("accounted"), col("n_orig"))
+    assert(checked.filter(col("accounted") =!= col("n_orig")).count() === 0)
+    // the cut set is a pure function of content: physical layout cannot matter
+    val re = Dedup.removeDupSpans(docs.repartition(7), "doc_id", "text", n = 3)
+      .select("doc_id", "n_removed").as[(Long, Int)].collect().sortBy(_._1)
+    val base = out.select("doc_id", "n_removed").as[(Long, Int)].collect().sortBy(_._1)
+    assert(re.toSeq === base.toSeq)
+  }
 }

@@ -173,4 +173,39 @@ class TrainingDataSpec extends SparkSpec {
       }
     }
   }
+
+  test("deterministicShuffle is a permutation, stable under repartitioning") {
+    val ids = docs.select("doc_id")
+    val out = TrainingData.deterministicShuffle(ids, "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(out.length === ids.count())
+    // (shard, pos) is a bijection: dense 0..n-1 positions per shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq)
+    }
+    // order is a function of ids alone: a different physical layout agrees
+    val re = TrainingData.deterministicShuffle(
+        ids.repartition(13), "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(re.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+    // and it is not the identity order (the whole point of a shuffle)
+    val shard0 = out.filter(_._2 === 0).sortBy(_._3).map(_._1)
+    assert(shard0.toSeq !== shard0.sorted.toSeq)
+  }
+
+  test("capPerGroup keeps exactly min(K, group size) deterministic survivors") {
+    val df = docs.select("doc_id", "source")
+    val sizes = df.groupBy("source").count().as[(String, Long)].collect().toMap
+    val out = TrainingData.capPerGroup(df, "doc_id", "source", maxPerGroup = 40)
+      .select("doc_id", "source", "grp_rank").as[(Long, String, Int)].collect()
+    val kept = out.groupBy(_._2).map { case (s, rows) => s -> rows.length }
+    sizes.foreach { case (s, n) =>
+      assert(kept.getOrElse(s, 0) === math.min(40L, n),
+        s"source $s: expected min(40, $n)")
+    }
+    // survivors are id-determined: re-run over a shuffled layout agrees
+    val re = TrainingData.capPerGroup(df.repartition(7), "doc_id", "source", 40)
+      .select("doc_id").as[Long].collect().sorted
+    assert(re.toSeq === out.map(_._1).sorted.toSeq)
+  }
 }
