@@ -462,6 +462,22 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) => TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), k = 3)),
     "q_normalize" -> ((s, d) => TextAnalysis.normalize(Tables.documents(s, d))),
 
+    // markup synthesized deterministically in-query (the corpus is plain
+    // text); script block carries a bare '<' so block-before-tag order is
+    // actually exercised
+    "q_html_strip" -> ((s, d) => {
+      val html = Tables.documents(s, d).select(col("doc_id"), concat(
+        lit("<html><head><style>body { margin:0 }</style></head><body>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<script type=\"text/javascript\">var x = 1 < 2;</script>"))
+          .otherwise(lit("")),
+        lit("<p class=\"doc\">"), col("text"), lit("</p>"),
+        when(col("doc_id") % 5 === 0, lit("<br/>Tom &amp; Jerry &lt;3"))
+          .otherwise(lit("")),
+        lit("</body></html>")).as("text"))
+      TextAnalysis.stripHtml(html, "text").select("doc_id", "clean_text", "n_tags")
+    }),
+
     "q_cube" -> ((s, d) =>
       Tables.orders(s, d)
         .cube(year(col("o_orderdate")).as("y"), col("o_orderpriority").as("prio"))
@@ -1283,6 +1299,27 @@ object SparkEntry {
         |trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS clean_text,
         |CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS INT) AS n_clean_chars
         |FROM documents""".stripMargin,
+
+    // same markup synthesis + strip chain; regexes are shared verbatim with
+    // TextAnalysis (RE2-compatible by construction), 'g' = replace-all to
+    // match Spark's regexp_replace semantics
+    "q_html_strip" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><style>body { margin:0 }</style></head><body>'
+        |  || CASE WHEN doc_id % 3 = 0 THEN '<script type="text/javascript">var x = 1 < 2;</script>' ELSE '' END
+        |  || '<p class="doc">' || text || '</p>'
+        |  || CASE WHEN doc_id % 5 = 0 THEN '<br/>Tom &amp; Jerry &lt;3' ELSE '' END
+        |  || '</body></html>' AS t FROM documents),
+        |nb AS (SELECT doc_id,
+        |  regexp_replace(t, '(?s)<(script|style)[^>]*>.*?</(script|style)[^>]*>', ' ', 'g') AS t1 FROM h),
+        |nt AS (SELECT doc_id, t1, regexp_replace(t1, '<[^>]*>', ' ', 'g') AS t2 FROM nb)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(t2, '&lt;', '<'), '&gt;', '>'),
+        |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |    '[ \t\r\n]+', ' ', 'g')) AS clean_text,
+        |  CAST(len(regexp_extract_all(t1, '<[^>]*>')) AS INT) AS n_tags
+        |FROM nt""".stripMargin,
 
     "q_redact_pii" ->
       s"""WITH synth AS (

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 import java.nio.charset.StandardCharsets
@@ -719,6 +719,99 @@ object ManifestTable {
           sys.error("unreachable")
         }
     }
+
+  /** Row-level DELETE, copy-on-write: rewrite ONLY the files that hold
+    * matching rows; every other file carries into the new snapshot
+    * untouched — same bytes, same recorded stats. Readers of prior
+    * versions are unaffected (old files live until [[vacuum]]); losing the
+    * version race to a concurrent commit throws rather than clobbers.
+    * Returns the new version, or the current one when nothing matched.
+    *
+    * SQL DELETE null semantics: rows where `predicate` is NULL are KEPT
+    * (only predicate=true deletes).
+    *
+    * Touched-file discovery is one column-pruned scan (`input_file_name`
+    * grouping over the predicate's columns); [[deleteRange]] skips even
+    * that for stats columns.
+    */
+  def delete(spark: SparkSession, path: String, predicate: Column): Long = {
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    if (m.files.isEmpty) return v
+    rewriteWithout(spark, path, v, m,
+      touchedFiles(spark, path, m.files, m.schema, predicate), predicate)
+  }
+
+  /** Range DELETE with zone-map file skipping: candidate files come from
+    * the manifest's per-file min/max, so on a corpus clustered on `colName`
+    * (sorted writes, compact's range repartition) most files are carried
+    * over without being READ at all — at 100 TB the difference between a
+    * partition-sized rewrite and a table scan. Candidates are then narrowed
+    * to files actually holding matches by a scan of `colName` alone.
+    */
+  def deleteRange(spark: SparkSession, path: String, colName: String,
+                  lo: Any, hi: Any): Long = {
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    if (m.files.isEmpty) return v
+    val pred = col(colName) >= lit(lo) && col(colName) <= lit(hi)
+    val candidates = pruneByBounds(m, Map(colName -> ((Some(lo), Some(hi)))))
+    if (candidates.isEmpty) return v
+    rewriteWithout(spark, path, v, m,
+      touchedFiles(spark, path, candidates, m.schema, pred), pred)
+  }
+
+  /** The subset of `rels` whose files contain at least one predicate match —
+    * one scan grouped by `input_file_name`, column-pruned to the predicate's
+    * references. Driver memory is bounded by the file count, which the
+    * manifest already holds.
+    */
+  private def touchedFiles(spark: SparkSession, path: String, rels: Seq[String],
+                           schema: StructType, predicate: Column): Seq[String] = {
+    if (rels.isEmpty) return Nil
+    val dataPath = fs(spark, path).makeQualified(dataDir(path)).toUri.getPath
+    val relSet = rels.toSet
+    spark.read.schema(schema).option("basePath", dataDir(path).toString)
+      .parquet(rels.map(rel => new Path(dataDir(path), rel).toString): _*)
+      .filter(predicate)
+      .select(input_file_name().as("_f")).distinct().collect()
+      .map { r =>
+        // same decode discipline as the stats pass: input_file_name is
+        // URI-encoded, manifest rels are literal on-disk names
+        val u = r.getString(0)
+        val p = try new java.net.URI(u).getPath
+                catch { case _: java.net.URISyntaxException => u }
+        require(p.startsWith(dataPath + "/"),
+          s"matched file $u outside the data dir $dataPath")
+        val rel = p.substring(dataPath.length + 1)
+        require(relSet.contains(rel), s"matched file $u not among scanned files")
+        rel
+      }.toSeq
+  }
+
+  /** Commit a snapshot that replaces `touched` files with their rows NOT
+    * matching `pred` (null-safe: NULL keeps). Untouched files keep their
+    * stats entries verbatim; rewritten files get a fresh stats pass.
+    */
+  private def rewriteWithout(spark: SparkSession, path: String, v: Long,
+                             m: Manifest, touched: Seq[String],
+                             pred: Column): Long = {
+    if (touched.isEmpty) return v
+    val touchedSet = touched.toSet
+    val untouched = m.files.filterNot(touchedSet)
+    val kept = spark.read.schema(m.schema)
+      .option("basePath", dataDir(path).toString)
+      .parquet(touched.map(rel => new Path(dataDir(path), rel).toString): _*)
+      .filter(!coalesce(pred, lit(false)))
+    val newFiles = writeDataFiles(spark, path, kept, m.partitionCols)
+    val newStats = collectStats(spark, path, newFiles, m.schema,
+      m.partitionCols, m.statsCols)
+    commit(spark, path, v + 1, m.schema, m.partitionCols,
+      untouched ++ newFiles, m.statsCols,
+      m.stats.filter { case (rel, _) => !touchedSet.contains(rel) } ++ newStats)
+  }
 
   /** Rewrite the current snapshot into ~`targetRowsPerFile`-row files —
     * same sizing discipline as `Maintenance.compact`, but readers of the

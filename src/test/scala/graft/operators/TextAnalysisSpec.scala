@@ -108,4 +108,22 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[Int]("height") === (id * 53 % 720 + 64).toInt)
     }
   }
+
+  test("stripHtml removes blocks and tags, decodes entities, counts tags") {
+    val df = Seq(
+      (1L, "<html><body><p>hello <b>world</b></p><script>if (a<b) x();" +
+        "</script>&amp;, &lt;tag&gt; &quot;q&quot; &#39;s&#39;</body></html>"),
+      (2L, "plain text, no markup"),
+      (3L, "<style a=\"b\">p { color: red }</style>stay"),
+      // double-encoded: &amp;lt; is the TEXT "&lt;", never "<"
+      (4L, "safe: &amp;lt;b&amp;gt;")).toDF("doc_id", "text")
+    val out = TextAnalysis.stripHtml(df)
+      .select("doc_id", "clean_text", "n_tags")
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    // script CONTENT (with its bare '<') is gone entirely, not just the tags
+    assert(out(0) === ((1L, "hello world &, <tag> \"q\" 's'", 8)))
+    assert(out(1) === ((2L, "plain text, no markup", 0)))
+    assert(out(2) === ((3L, "stay", 0)))
+    assert(out(3) === ((4L, "safe: &lt;b&gt;", 0)))
+  }
 }

@@ -9,6 +9,15 @@ class ManifestTableSpec extends SparkSpec {
 
   private def tmpTable(): String = Files.createTempDirectory("mt").toString + "/t"
 
+  /** Data-file list of a committed version, straight off the manifest text
+    * (the format is the spec'd on-disk contract, so parsing it here is fair
+    * game). Files are immutable, so name identity == byte identity. */
+  private def filesOf(path: String, v: Long): Seq[String] = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_manifests", f"m$v%012d.txt")))
+    txt.split("\n").filter(_.startsWith("file=")).map(_.stripPrefix("file=")).toSeq
+  }
+
   test("overwrite / read round-trip, partitioned and unpartitioned") {
     val flat = tmpTable()
     val df = Seq((1L, "a", 2020), (2L, "b", 2021), (3L, "c", 2020)).toDF("id", "v", "year")
@@ -334,5 +343,50 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, path).count() === 3)
     assert(ManifestTable.readRange(spark, path, "id", 3L, 3L)
       .select("p").as[String].head() === "c:d")
+  }
+
+  test("deleteRange: zone-pruned copy-on-write; untouched files carry over byte-identical") {
+    val path = tmpTable()
+    val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartitionByRange(10, col("id"))
+    val v1 = ManifestTable.overwrite(spark, path, df, statsCols = Seq("id"))
+    val before = filesOf(path, v1)
+    assert(before.size === 10)
+
+    val v2 = ManifestTable.deleteRange(spark, path, "id", 100L, 150L)
+    assert(v2 === v1 + 1)
+    // the 100-row id bands put [100,150] in at most 2 files: >= 8 of the 10
+    // original files must appear in the new manifest under their old names
+    val carried = filesOf(path, v2).toSet intersect before.toSet
+    assert(carried.size >= 8, s"only ${carried.size} files carried over")
+
+    val got = ManifestTable.read(spark, path).select("id").as[Long].collect().sorted
+    assert(got === ((1L to 99L) ++ (151L to 1000L)).toArray)
+    // metadata-only count stays exact (untouched stats kept, rewrites re-counted)
+    assert(ManifestTable.fastCount(spark, path) === Some(949L))
+    // time travel: the pre-delete snapshot is intact
+    assert(ManifestTable.readVersion(spark, path, v1).count() === 1000)
+    // a range matching nothing commits nothing
+    assert(ManifestTable.deleteRange(spark, path, "id", 5000L, 6000L) === v2)
+  }
+
+  test("delete: NULL-predicate rows are kept; partitioned tables rewrite in place") {
+    val flat = tmpTable()
+    val df = Seq((1L, Option("a")), (2L, None), (3L, Option("b")), (4L, Option("a")))
+      .toDF("id", "v")
+    ManifestTable.overwrite(spark, flat, df)
+    ManifestTable.delete(spark, flat, col("v") === "a")
+    // SQL DELETE semantics: v IS NULL makes the predicate NULL → row survives
+    assert(ManifestTable.read(spark, flat).select("id").as[Long].collect().sorted
+      === Array(2L, 3L))
+
+    val part = tmpTable()
+    val pdf = Seq((1L, "x", 2020), (2L, "y", 2020), (3L, "z", 2021)).toDF("id", "v", "year")
+    ManifestTable.overwrite(spark, part, pdf, Seq("year"))
+    ManifestTable.delete(spark, part, col("id") === 2L)
+    val back = ManifestTable.read(spark, part)
+    assert(back.select("id").as[Long].collect().sorted === Array(1L, 3L))
+    // the untouched partition's file survives under its old name
+    assert(back.filter(col("year") === 2021).count() === 1)
   }
 }
