@@ -144,6 +144,22 @@ object PlanAudit {
         !p.contains("windowspecdefinition(vec_id") && p.contains("max(")),
       "centroids broadcast at every iteration" -> (p =>
         "BroadcastNestedLoopJoin|BroadcastExchange".r.findAllIn(p).length >= 3))
+    audit("q_source_cap")(
+      // the scaladoc's skew claim: row_number <= K must become a
+      // WindowGroupLimit so each map task ships K rows per group, not the
+      // group's whole population
+      "rank limit pushed into the shuffle (WindowGroupLimit)" -> (p =>
+        p.contains("WindowGroupLimit")))
+    audit("q_global_shuffle")(
+      "one shard-keyed exchange, no global sort" -> (p =>
+        "Exchange".r.findAllIn(p).length == 1 && !p.contains("rangepartitioning")))
+    audit("q_dedup_spans")(
+      "never pairwise: keyed joins + aggregates only" -> (p =>
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")),
+      "gram stats partially aggregated map-side" -> (p =>
+        "HashAggregate".r.findAllIn(p).length >= 2))
+    audit("q_html_strip")(
+      "pure projection: no shuffle at all" -> (p => !p.contains("Exchange")))
     spark.stop()
   }
 }
