@@ -160,6 +160,9 @@ object PlanAudit {
         "HashAggregate".r.findAllIn(p).length >= 2))
     audit("q_html_strip")(
       "pure projection: no shuffle at all" -> (p => !p.contains("Exchange")))
+    audit("q_quality_score")(
+      "classifier scoring is one shuffle-free fold" -> (p =>
+        !p.contains("Exchange") && !p.contains("Generate")))
     spark.stop()
   }
 }

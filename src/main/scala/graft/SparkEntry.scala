@@ -357,6 +357,9 @@ object SparkEntry {
       TrainingData.deterministicShuffle(
         Tables.documents(s, d).select("doc_id"), "doc_id", nShards = 8)),
 
+    "q_quality_score" -> ((s, d) =>
+      TrainingData.qualityScore(Tables.documents(s, d), "doc_id", "text")),
+
     "q_source_cap" -> ((s, d) =>
       TrainingData.capPerGroup(
         Tables.documents(s, d).select("doc_id", "source"), "doc_id", "source",
@@ -1365,6 +1368,25 @@ object SparkEntry {
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY oh, doc_id) - 1 AS BIGINT) AS pos
         |FROM h""".stripMargin,
+
+    // hashed-linear-classifier scoring: the weight sum is EXACT integer
+    // math in both engines; the only float is the final sigmoid, rounded
+    // to 6 dp (same discipline as every double column here)
+    "q_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+         |w AS (SELECT doc_id, len(ws) AS n,
+         |  coalesce(list_sum(list_transform(ws, tok ->
+         |    (((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 256
+         |     + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 16
+         |     + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1)) * 2654435761)
+         |      % 1000003 - 500001)), 0) AS w_sum
+         |  FROM t),
+         |s AS (SELECT doc_id, n, w_sum,
+         |  round(1.0 / (1.0 + exp(-(w_sum * 1.0 / (GREATEST(n, 1) * 1000003)))), 6) AS q_score
+         |  FROM w)
+         |SELECT doc_id, CAST(n AS INT) AS n_words, CAST(w_sum AS BIGINT) AS w_sum,
+         |  q_score, CAST(q_score >= 0.5 AS INT) AS keep
+         |FROM s""".stripMargin,
 
     "q_source_cap" ->
       """WITH r AS (SELECT doc_id, source,

@@ -160,6 +160,55 @@ object TrainingData {
   }
 
   // ---------------------------------------------------------------------------
+  // Model-based quality scoring (hashed linear classifier)
+
+  /** Modulus for the multiplicative feature-weight hash: a prime, so the
+    * map j → (j·K) mod M scatters the 4096 feature indices across the full
+    * residue range. Integer weights in [-(M-1)/2, (M-1)/2] keep the
+    * accumulation EXACT — the float appears only in the final sigmoid.
+    */
+  private val WeightMod = 1000003L
+  private val WeightMul = 2654435761L // Knuth's multiplicative constant
+
+  /** Score documents with a hashed-feature linear classifier — the shape of
+    * the fasttext-style quality models (DCLM, FineWeb-edu) that gate what
+    * enters a training mix. A real deployment loads trained weights; this
+    * sandbox derives a deterministic weight table from the feature index
+    * instead (no model artifacts here), keeping the load-bearing plumbing —
+    * feature hashing, bag-of-features accumulation, bias-free logistic
+    * output, threshold gate — real, testable, and oracle-checkable.
+    *
+    * Per token: feature j = first 3 md5 hex chars (∈ [0, 4096)); integer
+    * weight w(j) = (j·WeightMul) mod WeightMod − (WeightMod−1)/2. Per doc:
+    * `w_sum` = Σ w over token OCCURRENCES (exact integer — engines cannot
+    * disagree), `q_score` = sigmoid(w_sum / (n_words·WeightMod)) rounded to
+    * 6 dp, `keep` = q_score ≥ threshold. Empty docs score sigmoid(0) = 0.5.
+    *
+    * Scale: one `aggregate` fold over the token array — no explode, no
+    * shuffle, no weight table in memory (the "table" is two multiplies).
+    * With trained weights the same fold reads a broadcast array instead;
+    * nothing else changes.
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.5): DataFrame = {
+    val half = (WeightMod - 1) / 2
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    def weight(t: Column): Column = {
+      val j = conv(substring(md5(t), 1, 3), 16, 10).cast("long")
+      (j * WeightMul) % WeightMod - half
+    }
+    df.select(col(idCol), col(textCol))
+      .withColumn("_ws", toks)
+      .withColumn("n_words", size(col("_ws")).cast("int"))
+      .withColumn("w_sum", aggregate(col("_ws"), lit(0L), (acc, t) => acc + weight(t)))
+      .withColumn("q_score", round(
+        lit(1.0) / (lit(1.0) + exp(-(col("w_sum").cast("double")
+          / (greatest(col("n_words"), lit(1)) * WeightMod)))), 6))
+      .withColumn("keep", (col("q_score") >= threshold).cast("int"))
+      .select(idCol, "n_words", "w_sum", "q_score", "keep")
+  }
+
+  // ---------------------------------------------------------------------------
   // Deterministic global shuffle (training-order export)
 
   /** Assign every row a reproducible pseudo-random (shard, pos) — the

@@ -208,4 +208,32 @@ class TrainingDataSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(re.toSeq === out.map(_._1).sorted.toSeq)
   }
+
+  test("qualityScore: exact integer weight sums, bag model, 0.5 for empty docs") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha"), // permutation: identical bag → identical score
+      (3L, "alpha alpha alpha"), // occurrences count, not distinct tokens
+      (4L, "")).toDF("doc_id", "text")
+    val out = TrainingData.qualityScore(df, "doc_id", "text")
+      .select("doc_id", "n_words", "w_sum", "q_score", "keep")
+      .as[(Long, Int, Long, Double, Int)].collect().sortBy(_._1).toSeq
+
+    // reference weights computed independently of the Spark expression tree
+    def w(tok: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(2)
+      val j = ((h(0) & 0xff) << 4) | ((h(1) & 0xff) >> 4) // first 3 hex chars
+      (j * 2654435761L) % 1000003L - 500001L
+    }
+    val expected = Seq("alpha", "beta", "gamma").map(w).sum
+    assert(out(0)._3 === expected)
+    assert(out(1)._3 === expected)
+    assert(out(1)._4 === out(0)._4 && out(1)._5 === out(0)._5)
+    assert(out(2)._3 === 3 * w("alpha"))
+    // empty doc: zero-sum sigmoid, kept at the default threshold
+    assert(out(3) === ((4L, 0, 0L, 0.5, 1)))
+    // scores sit strictly inside (0, 1)
+    out.foreach(r => assert(r._4 > 0.0 && r._4 < 1.0))
+  }
 }
