@@ -338,6 +338,35 @@ object ManifestTable {
     else None
   }
 
+  /** Metadata-only MIN/MAX over a stats column: (min, max) straight from
+    * the manifest's zone maps, zero data IO — valid because each file's
+    * recorded min/max are EXACT (computed from its rows at commit time,
+    * not sampled), so the extremes over files are the extremes over rows.
+    * None when the column carries no stats on some file (must-scan), when
+    * the table has no stats, or when every file's column is entirely null
+    * (no ordered values exist). Complements [[fastCount]]; the pattern the
+    * big formats use to answer `SELECT min(ts), max(ts)` on a 100 TB table
+    * from the log alone.
+    */
+  def fastMinMax(spark: SparkSession, path: String,
+                 colName: String): Option[(Any, Any)] = {
+    val v = currentVersion(spark, path).getOrElse(return None)
+    val m = readManifest(spark, path, v)
+    if (!m.statsCols.contains(colName) || m.files.isEmpty) return None
+    val perFile = m.files.map(rel => m.stats.get(rel).flatMap(_.get(colName)))
+    if (perFile.exists(_.isEmpty)) return None // statless file: must scan
+    // (None, None) entries are all-null files: no values to contribute
+    val ranges = perFile.flatten.collect {
+      case (Some(mn), Some(mx)) => (decodeStat(mn), decodeStat(mx))
+    }
+    if (ranges.isEmpty) return None
+    ranges.reduceOption { (a, b) =>
+      val lo = if (statCompare(a._1, b._1).exists(_ <= 0)) a._1 else b._1
+      val hi = if (statCompare(a._2, b._2).exists(_ >= 0)) a._2 else b._2
+      (lo, hi)
+    }
+  }
+
   /** Files of `version` whose zone map can satisfy `lo <= colName <= hi` —
     * plus every file with no recorded stats (unknown must be scanned).
     * Returns (kept files, total files) for observability/specs.
@@ -805,9 +834,15 @@ object ManifestTable {
       .option("basePath", dataDir(path).toString)
       .parquet(touched.map(rel => new Path(dataDir(path), rel).toString): _*)
       .filter(!coalesce(pred, lit(false)))
-    val newFiles = writeDataFiles(spark, path, kept, m.partitionCols)
-    val newStats = collectStats(spark, path, newFiles, m.schema,
+    val written = writeDataFiles(spark, path, kept, m.partitionCols)
+    val newStats = collectStats(spark, path, written, m.schema,
       m.partitionCols, m.statsCols)
+    // a fully-drained rewrite can emit a ROW-LESS parquet file; committing
+    // it would poison fastCount/fastMinMax (no stats row = "must scan").
+    // On stats tables the stats pass identifies them for free — drop them
+    // from the commit and let vacuum sweep the orphaned bytes.
+    val newFiles = if (m.statsCols.nonEmpty) written.filter(newStats.contains)
+                   else written
     commit(spark, path, v + 1, m.schema, m.partitionCols,
       untouched ++ newFiles, m.statsCols,
       m.stats.filter { case (rel, _) => !touchedSet.contains(rel) } ++ newStats)

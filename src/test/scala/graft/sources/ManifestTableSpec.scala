@@ -345,6 +345,26 @@ class ManifestTableSpec extends SparkSpec {
       .select("p").as[String].head() === "c:d")
   }
 
+  test("fastMinMax answers MIN/MAX from the manifest alone and tracks deletes") {
+    val path = tmpTable()
+    val df = (1 to 500).map(i => (i.toLong, s"v$i", i * 0.5)).toDF("id", "v", "x")
+      .repartitionByRange(5, col("id"))
+    ManifestTable.overwrite(spark, path, df, statsCols = Seq("id", "x"))
+    assert(ManifestTable.fastMinMax(spark, path, "id") === Some((1L, 500L)))
+    assert(ManifestTable.fastMinMax(spark, path, "x") === Some((0.5, 250.0)))
+    // no stats recorded for this column → must scan
+    assert(ManifestTable.fastMinMax(spark, path, "v") === None)
+    // rewrites refresh the extremes: delete the top id band
+    ManifestTable.deleteRange(spark, path, "id", 401L, 500L)
+    assert(ManifestTable.fastMinMax(spark, path, "id") === Some((1L, 400L)))
+
+    // an all-null stats column has no ordered values at all
+    val nulls = tmpTable()
+    ManifestTable.overwrite(spark, nulls,
+      Seq((1L, Option.empty[java.lang.Long])).toDF("id", "y"), statsCols = Seq("y"))
+    assert(ManifestTable.fastMinMax(spark, nulls, "y") === None)
+  }
+
   test("deleteRange: zone-pruned copy-on-write; untouched files carry over byte-identical") {
     val path = tmpTable()
     val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
