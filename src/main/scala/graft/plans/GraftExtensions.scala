@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in range-join binning (fires only when
     // spark.graft.rangeJoin.binWidth is set on the session)
     e.injectOptimizerRule(_ => RangeJoinRule)
+    // manifest-answered COUNT/MIN/MAX over graft relations (exact-or-silent)
+    e.injectOptimizerRule(_ => MetaAggregateRule)
   }
 }
 

@@ -78,6 +78,16 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
   override val schema: StructType =
     ManifestTable.manifestSchema(spark, path, resolvedVersion)
 
+  /** Manifest-answered COUNT(*) for THIS relation's pinned snapshot — the
+    * hook [[graft.plans.MetaAggregateRule]] uses to answer whole-table
+    * aggregates without a scan. */
+  private[graft] def metaCount: Option[Long] =
+    ManifestTable.fastCountAt(spark, path, resolvedVersion)
+
+  /** Manifest-answered MIN/MAX (zone maps) for the pinned snapshot. */
+  private[graft] def metaMinMax(colName: String): Option[(Any, Any)] =
+    ManifestTable.fastMinMaxAt(spark, path, resolvedVersion, colName)
+
   /** Filters we can apply exactly as Columns (everything listed here is
     * handled by us; the rest Spark re-applies on top).
     */

@@ -329,6 +329,13 @@ object ManifestTable {
     */
   def fastCount(spark: SparkSession, path: String): Option[Long] = {
     val v = currentVersion(spark, path).getOrElse(return None)
+    fastCountAt(spark, path, v)
+  }
+
+  /** [[fastCount]] pinned to a snapshot — what a version-pinned relation
+    * (time travel, [[GraftRelation]]) must consult instead of "current". */
+  private[graft] def fastCountAt(spark: SparkSession, path: String,
+                                 v: Long): Option[Long] = {
     val m = readManifest(spark, path, v)
     if (m.files.isEmpty) return Some(0L)
     val counts = m.files.map(rel =>
@@ -351,6 +358,12 @@ object ManifestTable {
   def fastMinMax(spark: SparkSession, path: String,
                  colName: String): Option[(Any, Any)] = {
     val v = currentVersion(spark, path).getOrElse(return None)
+    fastMinMaxAt(spark, path, v, colName)
+  }
+
+  /** [[fastMinMax]] pinned to a snapshot (see [[fastCountAt]]). */
+  private[graft] def fastMinMaxAt(spark: SparkSession, path: String, v: Long,
+                                  colName: String): Option[(Any, Any)] = {
     val m = readManifest(spark, path, v)
     if (!m.statsCols.contains(colName) || m.files.isEmpty) return None
     val perFile = m.files.map(rel => m.stats.get(rel).flatMap(_.get(colName)))
