@@ -43,17 +43,16 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     val spark = ctx.sparkSession
     def split(k: String) = parameters.get(k).map(_.split(",").toSeq).getOrElse(Nil)
     val exists = ManifestTable.currentVersion(spark, path).isDefined
+    def create(): Unit = ManifestTable.overwrite(spark, path, data,
+      split("partitionBy"), split("statsCols"), split("bloomCols")): Unit
     mode match {
       case SaveMode.Append if exists => ManifestTable.append(spark, path, data)
-      case SaveMode.Append | SaveMode.Overwrite =>
-        ManifestTable.overwrite(spark, path, data, split("partitionBy"), split("statsCols"))
+      case SaveMode.Append | SaveMode.Overwrite => create()
       case SaveMode.ErrorIfExists if exists =>
         sys.error(s"graft table already exists at $path")
-      case SaveMode.ErrorIfExists =>
-        ManifestTable.overwrite(spark, path, data, split("partitionBy"), split("statsCols"))
+      case SaveMode.ErrorIfExists => create()
       case SaveMode.Ignore if exists => // no-op
-      case SaveMode.Ignore =>
-        ManifestTable.overwrite(spark, path, data, split("partitionBy"), split("statsCols"))
+      case SaveMode.Ignore => create()
     }
     new GraftRelation(ctx, path, None)
   }
@@ -131,10 +130,22 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
     m.toMap
   }
 
+  /** Point candidates for Bloom file skipping: equality/IN values per
+    * column from the top-level conjuncts. NULL candidates drop (x = NULL
+    * never matches, and hashing them could wrongly skip); an emptied IN
+    * contributes nothing. With several conjuncts on one column, any single
+    * conjunct's candidate set prunes safely — keep the first.
+    */
+  private def points(filters: Array[Filter]): Map[String, Seq[Any]] =
+    filters.collect {
+      case EqualTo(a, v) if v != null => a -> Seq(v)
+      case In(a, vs) if vs.exists(_ != null) => a -> vs.toSeq.filter(_ != null)
+    }.groupBy(_._1).map { case (c, entries) => c -> entries.head._2 }
+
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
-    val base = ManifestTable.readVersionPruned(spark, path, resolvedVersion,
-      bounds(filters))
+    val base = ManifestTable.readVersionPrunedPoints(spark, path, resolvedVersion,
+      bounds(filters), points(filters))
     val filtered = filters.flatMap(toColumn).foldLeft(base)(_ filter _)
     val pruned =
       if (requiredColumns.isEmpty) filtered

@@ -71,7 +71,8 @@ object ManifestTable {
   private case class Manifest(version: Long, schema: StructType,
                               partitionCols: Seq[String], files: Seq[String],
                               statsCols: Seq[String] = Nil,
-                              stats: Map[String, FileStats] = Map.empty)
+                              stats: Map[String, FileStats] = Map.empty,
+                              bloomCols: Seq[String] = Nil)
 
   // ------------------------------------------------------------------ reads
 
@@ -115,10 +116,13 @@ object ManifestTable {
       .map { case (rel, rows) =>
         rel -> rows.map(r => r._2 -> ((r._3, r._4))).toMap
       }
+    val bloomCols = lines.find(_.startsWith("bloomcols="))
+      .map(_.stripPrefix("bloomcols=")).filter(_.nonEmpty)
+      .map(_.split(",").toSeq).getOrElse(Nil)
     Manifest(version, schema,
       if (parts.isEmpty) Nil else parts.split(",").toSeq,
       lines.filter(_.startsWith("file=")).map(_.stripPrefix("file=")),
-      statsCols, stats)
+      statsCols, stats, bloomCols)
   }
 
   /** Schema of a committed version, straight from its manifest (no data-file
@@ -257,15 +261,29 @@ object ManifestTable {
     * ([[GraftSource]]) uses to push query predicates down to file skipping.
     */
   def readVersionPruned(spark: SparkSession, path: String, version: Long,
-                        bounds: Map[String, (Option[Any], Option[Any])]): DataFrame = {
+                        bounds: Map[String, (Option[Any], Option[Any])]): DataFrame =
+    readVersionPrunedPoints(spark, path, version, bounds, Map.empty)
+
+  /** [[readVersionPruned]] plus Bloom point skipping: for each
+    * (column → candidate values) entry on a bloom column, a file survives
+    * only if SOME candidate may be present (conjunct-safe: pruning by one
+    * conjunct is always a superset of the true file set).
+    */
+  private[graft] def readVersionPrunedPoints(
+      spark: SparkSession, path: String, version: Long,
+      bounds: Map[String, (Option[Any], Option[Any])],
+      points: Map[String, Seq[Any]]): DataFrame = {
     val m = readManifest(spark, path, version)
-    val kept = pruneByBounds(m, bounds)
-    if (kept.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
-    else
-      spark.read.schema(m.schema)
-        .option("basePath", dataDir(path).toString)
-        .parquet(kept.map(rel => new Path(dataDir(path), rel).toString): _*)
+    val kept = points.foldLeft(pruneByBounds(m, bounds)) {
+      case (acc, (c, vs)) =>
+        if (!m.bloomCols.contains(c) || vs.isEmpty) acc
+        else {
+          val dt = m.schema(c).dataType
+          val hs = vs.map(v => pointHash(v, dt))
+          acc.filter(rel => hs.exists(h => bloomMayContain(m, rel, c, h)))
+        }
+    }
+    readRels(spark, path, m, kept)
   }
 
   /** Reserved pseudo-column in the per-file stats map holding the file's
@@ -282,14 +300,21 @@ object ManifestTable {
     */
   private def collectStats(spark: SparkSession, path: String, rels: Seq[String],
                            schema: StructType, partitionCols: Seq[String],
-                           statsCols: Seq[String]): Map[String, FileStats] = {
-    if (statsCols.isEmpty || rels.isEmpty) return Map.empty
-    val bad = statsCols.filter(partitionCols.contains)
+                           statsCols: Seq[String],
+                           bloomCols: Seq[String] = Nil): Map[String, FileStats] = {
+    if ((statsCols.isEmpty && bloomCols.isEmpty) || rels.isEmpty) return Map.empty
+    val bad = (statsCols ++ bloomCols).filter(partitionCols.contains)
     require(bad.isEmpty, s"stats on partition columns are redundant: $bad")
     require(!statsCols.contains(RowsKey), s"$RowsKey is reserved")
+    require((statsCols ++ bloomCols).forall(!_.startsWith(BloomPrefix)),
+      s"column names may not start with the reserved prefix $BloomPrefix")
     val paths = rels.map(rel => new Path(dataDir(path), rel).toString)
+    val bloomAgg = udaf(new BloomAgg(BloomWords, BloomK),
+      org.apache.spark.sql.Encoders.LONG)
     val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      bloomCols.map(c =>
+        bloomAgg(when(col(c).isNotNull, xxhash64(col(c)))).as(s"bloom_$c")) :+
       count(lit(1)).as("_nrows")
     val rows = spark.read.schema(schema)
       .option("basePath", dataDir(path).toString).parquet(paths: _*)
@@ -313,12 +338,138 @@ object ManifestTable {
       require(relSet.contains(rel),
         s"stats file ${r.getString(0)} not among committed files")
       val nrows = Some(encodeStat(r.getAs[Long]("_nrows")))
+      // bloom payloads ride the same per-file stats map under a reserved
+      // pseudo-column key — every commit path that carries stats carries
+      // them too, with no extra plumbing (the RowsKey trick)
+      val blooms = bloomCols.map { c =>
+        (BloomPrefix + c) -> ((Option(r.getAs[String](s"bloom_$c")), None))
+      }
       rel -> (statsCols.map { c =>
         c -> ((Option(r.getAs[Any](s"min_$c")).map(encodeStat),
                Option(r.getAs[Any](s"max_$c")).map(encodeStat)))
-      }.toMap + (RowsKey -> ((nrows, nrows))))
+      }.toMap ++ blooms + (RowsKey -> ((nrows, nrows))))
     }.toMap
   }
+
+  // ------------------------------------------------------- bloom file skipping
+
+  /** Per-file Bloom filter sizing: 2^15 bits (512 longs ≈ 4 KiB; ~5.5 KiB
+    * as base64 in the manifest) with 6 probes — ~2% false positives at
+    * 4 000 distinct values per file, ~10% at 10 000. A false positive only
+    * costs reading one file that zone maps could not skip anyway.
+    */
+  private val BloomWords = 512
+  private val BloomK = 6
+  private val BloomPrefix = "_bloom:"
+
+  /** Build one Bloom bitset per (file, column) from pre-hashed values.
+    * Probe indices derive from the single xxhash64 by double hashing
+    * (Kirsch-Mitzenmacher): idx_i = h1 + i·h2 mod m — k probes from one
+    * 64-bit hash, identical on the write and read side.
+    */
+  private class BloomAgg(words: Int, k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        java.lang.Long, Array[Long], String] {
+    override def zero: Array[Long] = new Array[Long](words)
+    override def reduce(b: Array[Long], h: java.lang.Long): Array[Long] = {
+      if (h != null) setBits(b, k, h)
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): String = {
+      val bytes = java.nio.ByteBuffer.allocate(b.length * 8)
+      b.foreach(bytes.putLong)
+      s"$k:" + java.util.Base64.getEncoder.encodeToString(bytes.array())
+    }
+    override def bufferEncoder = org.apache.spark.sql.Encoders.kryo[Array[Long]]
+    override def outputEncoder = org.apache.spark.sql.Encoders.STRING
+  }
+
+  private def bloomProbes(bits: Int, k: Int, h: Long): Iterator[Int] = {
+    val h2 = (h >>> 32) * 0x9E3779B97F4A7C15L | 1L // odd: full-period stride
+    (0 until k).iterator.map(i => (((h + i * h2) & Long.MaxValue) % bits).toInt)
+  }
+
+  private def setBits(words: Array[Long], k: Int, h: Long): Unit =
+    bloomProbes(words.length * 64, k, h).foreach { idx =>
+      words(idx >> 6) |= 1L << (idx & 63)
+    }
+
+  /** True when the file MAY contain a value hashing to `h` — a missing or
+    * unparsable bloom is "may" (must scan); an empty bitset (all-null file)
+    * correctly answers "definitely not". */
+  private def bloomMayContain(m: Manifest, rel: String, colName: String,
+                              h: Long): Boolean =
+    m.stats.get(rel).flatMap(_.get(BloomPrefix + colName)).flatMap(_._1) match {
+      case None => true
+      case Some(payload) =>
+        val sep = payload.indexOf(':')
+        if (sep <= 0) true
+        else {
+          val k = payload.substring(0, sep).toInt
+          val bytes = java.util.Base64.getDecoder.decode(payload.substring(sep + 1))
+          val words = new Array[Long](bytes.length / 8)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          var i = 0
+          while (i < words.length) { words(i) = bb.getLong(); i += 1 }
+          bloomProbes(words.length * 64, k, h)
+            .forall(idx => (words(idx >> 6) & (1L << (idx & 63))) != 0)
+        }
+    }
+
+  /** xxhash64 of a point value exactly as the write side hashed the column
+    * (same seed, same type coercion) — evaluated on the driver. */
+  private def pointHash(value: Any, dt: DataType): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(value, dt)), 42L)
+      .eval(null).asInstanceOf[Long]
+
+  /** Files of the current version that MAY hold `colName = value`, after
+    * both zone-map and Bloom skipping — plus the total, for observability.
+    */
+  def prunedFilesByPoint(spark: SparkSession, path: String, colName: String,
+                         value: Any): (Seq[String], Int) = {
+    val v = currentVersion(spark, path).getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    (pointPrune(m, colName, value), m.files.size)
+  }
+
+  private def pointPrune(m: Manifest, colName: String, value: Any): Seq[String] = {
+    val byBounds = pruneByBounds(m, Map(colName -> ((Some(value), Some(value)))))
+    if (!m.bloomCols.contains(colName)) byBounds
+    else {
+      val h = pointHash(value, m.schema(colName).dataType)
+      byBounds.filter(rel => bloomMayContain(m, rel, colName, h))
+    }
+  }
+
+  /** Point lookup with Bloom + zone-map file skipping: read only the files
+    * that may contain `colName = value`, then apply the exact predicate.
+    * The skipping layer equality needs on UNCLUSTERED columns: zone maps
+    * only help when the file layout correlates with the column, while a
+    * Bloom filter skips on any layout — the Iceberg/Parquet bloom idea at
+    * file granularity, carried in the manifest.
+    */
+  def readPoint(spark: SparkSession, path: String, colName: String,
+                value: Any): DataFrame = {
+    val v = currentVersion(spark, path).getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    readRels(spark, path, m, pointPrune(m, colName, value))
+      .filter(col(colName) === lit(value))
+  }
+
+  private def readRels(spark: SparkSession, path: String, m: Manifest,
+                       rels: Seq[String]): DataFrame =
+    if (rels.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+    else
+      spark.read.schema(m.schema)
+        .option("basePath", dataDir(path).toString)
+        .parquet(rels.map(rel => new Path(dataDir(path), rel).toString): _*)
 
   /** Metadata-only COUNT(*): Some(total) when every file of the current
     * snapshot carries a row count (recorded by the stats pass at commit
@@ -447,7 +598,8 @@ object ManifestTable {
   private[sources] def commit(spark: SparkSession, path: String, expected: Long,
                               schema: StructType, partitionCols: Seq[String],
                               files: Seq[String], statsCols: Seq[String] = Nil,
-                              stats: Map[String, FileStats] = Map.empty): Long = {
+                              stats: Map[String, FileStats] = Map.empty,
+                              bloomCols: Seq[String] = Nil): Long = {
     val f = fs(spark, path)
     f.mkdirs(manifestDir(path))
     val statLines = for {
@@ -458,6 +610,7 @@ object ManifestTable {
       "schema=" + schema.json,
       "partitions=" + partitionCols.mkString(","),
       "statscols=" + statsCols.mkString(",")) ++
+      (if (bloomCols.nonEmpty) Seq("bloomcols=" + bloomCols.mkString(",")) else Nil) ++
       files.map("file=" + _) ++ statLines).mkString("\n") + "\n"
     val scratch = new Path(path, s"_tmp/manifest-${java.util.UUID.randomUUID()}")
     val out = f.create(scratch, true)
@@ -512,14 +665,16 @@ object ManifestTable {
     */
   def overwrite(spark: SparkSession, path: String, df: DataFrame,
                 partitionCols: Seq[String] = Nil,
-                statsCols: Seq[String] = Nil): Long = {
+                statsCols: Seq[String] = Nil,
+                bloomCols: Seq[String] = Nil): Long = {
     val files = writeDataFiles(spark, path, df, partitionCols)
-    val stats = collectStats(spark, path, files, df.schema, partitionCols, statsCols)
+    val stats = collectStats(spark, path, files, df.schema, partitionCols,
+      statsCols, bloomCols)
     var tries = 0
     while (true) {
       val next = currentVersion(spark, path).map(_ + 1).getOrElse(1L)
       try return commit(spark, path, next, df.schema, partitionCols, files,
-        statsCols, stats)
+        statsCols, stats, bloomCols)
       catch {
         case e: java.util.ConcurrentModificationException =>
           tries += 1; if (tries > MaxCommitRetries) throw e
@@ -605,7 +760,8 @@ object ManifestTable {
         val added = writeDataFiles(spark, path, df, m.partitionCols)
         // added files carry the batch's schema (⊇ stats columns)
         val addedStats =
-          collectStats(spark, path, added, df.schema, m.partitionCols, m.statsCols)
+          collectStats(spark, path, added, df.schema, m.partitionCols,
+            m.statsCols, m.bloomCols)
         var tries = 0
         while (true) {
           require(m.partitionCols == base.partitionCols,
@@ -613,7 +769,7 @@ object ManifestTable {
               s"${base.partitionCols} -> ${m.partitionCols}")
           val schema = evolveSchema(df, m, "append")
           try return commit(spark, path, m.version + 1, schema, m.partitionCols,
-            m.files ++ added, m.statsCols, m.stats ++ addedStats)
+            m.files ++ added, m.statsCols, m.stats ++ addedStats, m.bloomCols)
           catch {
             case e: java.util.ConcurrentModificationException =>
               tries += 1; if (tries > MaxCommitRetries) throw e
@@ -641,7 +797,8 @@ object ManifestTable {
     val added = writeDataFiles(spark, path, df, m.partitionCols)
     val replacedDirs = added.map(dirOf).toSet
     val addedStats =
-      collectStats(spark, path, added, m.schema, m.partitionCols, m.statsCols)
+      collectStats(spark, path, added, m.schema, m.partitionCols,
+        m.statsCols, m.bloomCols)
     var tries = 0
     while (true) {
       require(m.partitionCols == base.partitionCols,
@@ -650,7 +807,7 @@ object ManifestTable {
       requireCompatible(df, m, "overwritePartitions")
       val kept = m.files.filterNot(rel => replacedDirs.contains(dirOf(rel)))
       try return commit(spark, path, m.version + 1, m.schema, m.partitionCols,
-        kept ++ added, m.statsCols, m.stats ++ addedStats)
+        kept ++ added, m.statsCols, m.stats ++ addedStats, m.bloomCols)
       catch {
         case e: java.util.ConcurrentModificationException =>
           tries += 1; if (tries > MaxCommitRetries) throw e
@@ -696,7 +853,8 @@ object ManifestTable {
           // full-table rewrite: ANY concurrent commit invalidates the
           // snapshot this merge rewrote — no rebase path exists
           commit(spark, path, v + 1, m.schema, Nil, files, m.statsCols,
-            collectStats(spark, path, files, m.schema, Nil, m.statsCols))
+            collectStats(spark, path, files, m.schema, Nil, m.statsCols,
+              m.bloomCols), m.bloomCols)
         } else {
           val pCols = m.partitionCols.map(col)
           // partitions named by the batch ∪ partitions holding old copies of
@@ -720,13 +878,14 @@ object ManifestTable {
               s"$c=${org.apache.spark.sql.graft.bridge.escapePathValue(value)}"
             }.mkString("/")).toSet
           val addedStats =
-            collectStats(spark, path, added, m.schema, m.partitionCols, m.statsCols)
+            collectStats(spark, path, added, m.schema, m.partitionCols,
+              m.statsCols, m.bloomCols)
           var cur = m
           var tries = 0
           while (true) {
             val keptFiles = cur.files.filterNot(rel => affectedDirs.contains(dirOf(rel)))
             try return commit(spark, path, cur.version + 1, m.schema, m.partitionCols,
-              keptFiles ++ added, m.statsCols, cur.stats ++ addedStats)
+              keptFiles ++ added, m.statsCols, cur.stats ++ addedStats, m.bloomCols)
             catch {
               case e: java.util.ConcurrentModificationException =>
                 tries += 1; if (tries > MaxCommitRetries) throw e
@@ -849,16 +1008,18 @@ object ManifestTable {
       .filter(!coalesce(pred, lit(false)))
     val written = writeDataFiles(spark, path, kept, m.partitionCols)
     val newStats = collectStats(spark, path, written, m.schema,
-      m.partitionCols, m.statsCols)
+      m.partitionCols, m.statsCols, m.bloomCols)
     // a fully-drained rewrite can emit a ROW-LESS parquet file; committing
     // it would poison fastCount/fastMinMax (no stats row = "must scan").
     // On stats tables the stats pass identifies them for free — drop them
     // from the commit and let vacuum sweep the orphaned bytes.
-    val newFiles = if (m.statsCols.nonEmpty) written.filter(newStats.contains)
+    val newFiles = if (m.statsCols.nonEmpty || m.bloomCols.nonEmpty)
+                     written.filter(newStats.contains)
                    else written
     commit(spark, path, v + 1, m.schema, m.partitionCols,
       untouched ++ newFiles, m.statsCols,
-      m.stats.filter { case (rel, _) => !touchedSet.contains(rel) } ++ newStats)
+      m.stats.filter { case (rel, _) => !touchedSet.contains(rel) } ++ newStats,
+      m.bloomCols)
   }
 
   /** Rewrite the current snapshot into ~`targetRowsPerFile`-row files —
@@ -889,7 +1050,8 @@ object ManifestTable {
       .localCheckpoint(true) // materialize before writing (self-read safety)
     val files = writeDataFiles(spark, path, sized, m.partitionCols)
     commit(spark, path, v + 1, m.schema, m.partitionCols, files, m.statsCols,
-      collectStats(spark, path, files, m.schema, m.partitionCols, m.statsCols))
+      collectStats(spark, path, files, m.schema, m.partitionCols, m.statsCols,
+        m.bloomCols), m.bloomCols)
   }
 
   /** Delete data files referenced by none of the `keepVersions` most recent

@@ -345,6 +345,55 @@ class ManifestTableSpec extends SparkSpec {
       .select("p").as[String].head() === "c:d")
   }
 
+  test("bloom file skipping prunes point lookups where zone maps cannot") {
+    val path = tmpTable()
+    // hash layout: every file spans nearly the full id range, so zone maps
+    // keep everything and only the bloom can skip
+    val df = (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(10, col("id"))
+    ManifestTable.overwrite(spark, path, df,
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+
+    val (zoneKept, total) = ManifestTable.prunedFiles(spark, path, "id", 777L, 777L)
+    assert(total === 10)
+    assert(zoneKept.size >= 9, "hash layout should defeat zone maps")
+
+    val (kept, _) = ManifestTable.prunedFilesByPoint(spark, path, "id", 777L)
+    assert(kept.size <= 3, s"bloom should skip most files, kept ${kept.size}/10")
+
+    // no false negatives: sampled present ids all come back, absent ids empty
+    (1 to 20).map(_ * 97L).foreach { id =>
+      assert(ManifestTable.readPoint(spark, path, "id", id)
+        .select("v").as[String].collect().toSeq === Seq(s"v$id"))
+    }
+    assert(ManifestTable.readPoint(spark, path, "id", 999999L).count() === 0)
+  }
+
+  test("blooms survive append/delete; format('graft') equality scans use them") {
+    val path = tmpTable()
+    (1 to 500).map(i => (i.toLong, i.toString)).toDF("id", "v")
+      .repartition(5, col("id"))
+      .write.format("graft").option("statsCols", "id")
+      .option("bloomCols", "id").save(path)
+    // appended files must pick up the table's bloom columns from the manifest
+    ManifestTable.append(spark, path,
+      (501 to 600).map(i => (i.toLong, i.toString)).toDF("id", "v").repartition(2))
+    val (kept, total) = ManifestTable.prunedFilesByPoint(spark, path, "id", 550L)
+    assert(total === 7)
+    assert(kept.size <= 3, s"appended files should carry blooms, kept ${kept.size}/7")
+
+    // the DataSource read path routes equality filters through the bloom
+    val got = spark.read.format("graft").load(path)
+      .filter(col("id") === 550L).select("v").as[String].collect()
+    assert(got.toSeq === Seq("550"))
+
+    // a copy-on-write delete re-blooms the rewritten files
+    ManifestTable.deleteRange(spark, path, "id", 550L, 550L)
+    assert(ManifestTable.readPoint(spark, path, "id", 550L).count() === 0)
+    val (kept2, _) = ManifestTable.prunedFilesByPoint(spark, path, "id", 400L)
+    assert(kept2.size <= 3)
+  }
+
   test("fastMinMax answers MIN/MAX from the manifest alone and tracks deletes") {
     val path = tmpTable()
     val df = (1 to 500).map(i => (i.toLong, s"v$i", i * 0.5)).toDF("id", "v", "x")
