@@ -163,6 +163,13 @@ object PlanAudit {
     audit("q_quality_score")(
       "classifier scoring is one shuffle-free fold" -> (p =>
         !p.contains("Exchange") && !p.contains("Generate")))
+    audit("q_temperature_mix")(
+      // only strata-sized aggregates exchange; the corpus takes the rates
+      // via broadcast and never shuffles itself
+      "rates broadcast onto the corpus, no sort-merge join" -> (p =>
+        p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")),
+      "stratum counts partially aggregated map-side" -> (p =>
+        "HashAggregate".r.findAllIn(p).length >= 2))
     spark.stop()
   }
 }

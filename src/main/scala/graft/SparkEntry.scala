@@ -383,6 +383,10 @@ object SparkEntry {
       TrainingData.sampleByBucket(Tables.documents(s, d).select("doc_id", "lang"),
         "doc_id", "lang", keepOf256 = Map("en" -> 64, "es" -> 128))),
 
+    "q_temperature_mix" -> ((s, d) =>
+      TrainingData.temperatureMix(Tables.documents(s, d).select("doc_id", "lang"),
+        "doc_id", "lang", budget = 100L)),
+
     "q_chunk_text" -> ((s, d) =>
       TrainingData.chunkText(Tables.documents(s, d), "doc_id", "text",
         window = 32, overlap = 8)),
@@ -1426,6 +1430,23 @@ object SparkEntry {
          |FROM sh c JOIN sh b ON c.s = b.s
          |WHERE c.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
          |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    // √-temperature mix: integer-only rate math after the (correctly-
+    // rounded, hence engine-exact) isqrt; DuckDB's sum() promotes to
+    // HUGEINT, so the rate casts back to BIGINT to match Spark's long
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c),
+        |r AS (SELECT lang,
+        |  CAST(LEAST(256, (256 * 100 * w) // ((SELECT sum(w) FROM w) * n)) AS BIGINT) AS keep256
+        |  FROM w),
+        |b AS (SELECT doc_id, lang,
+        |  CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS INT) AS bucket
+        |  FROM documents)
+        |SELECT b.doc_id, b.lang, b.bucket, r.keep256
+        |FROM b JOIN r ON b.lang = r.lang
+        |WHERE b.bucket < r.keep256""".stripMargin,
 
     "q_lang_sample" ->
       """WITH b AS (

@@ -257,6 +257,47 @@ object TrainingData {
   }
 
   // ---------------------------------------------------------------------------
+  // Temperature-based mixture sampling
+
+  /** Rebalance a corpus across strata (languages, sources) the way
+    * multilingual training mixes are built: target proportions follow
+    * n_s^α with α = 0.5 — the square-root temperature that upsamples tail
+    * strata without letting the head dominate — under a total budget of
+    * ~`budget` kept documents. Per stratum: weight w_s = ⌊√n_s⌋, keep rate
+    * in 256ths = min(256, (256·budget·w_s) div (W·n_s)), then the same
+    * [[hashBucket]] decision as [[sampleByBucket]] — so the sample is
+    * deterministic, engine-independent, and NESTED: raising the budget only
+    * ever adds documents. All rate math is integer (⌊√n⌋ is exact for any
+    * int64 count because IEEE sqrt is correctly rounded); under ANSI
+    * semantics an overflow of 256·budget·w_s fails loudly rather than
+    * mis-sampling (budget·√n_s must stay below 2⁵⁵).
+    *
+    * Output: kept rows as (id, stratum, bucket, keep256). A stratum so
+    * large its rate rounds to zero drops entirely — at that point the
+    * budget cannot represent it; raise the budget or cap the stratum first
+    * ([[capPerGroup]]).
+    *
+    * Scale: one map-side-combined count aggregate (strata-sized), the total
+    * re-broadcast, one broadcast join back onto the corpus — the corpus
+    * itself never shuffles.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, stratumCol: String,
+                     budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("_n"))
+      .withColumn("_w", floor(sqrt(col("_n").cast("double"))).cast("long"))
+    val totalW = counts.agg(sum("_w").as("_tw"))
+    val rates = counts.crossJoin(broadcast(totalW))
+      .withColumn("keep256",
+        least(lit(256L), expr(s"(256 * ${budget}L * _w) DIV (_tw * _n)")))
+      .select(col(stratumCol), col("keep256"))
+    df.join(broadcast(rates), stratumCol)
+      .withColumn("bucket", hashBucket(col(idCol)))
+      .filter(col("bucket") < col("keep256"))
+      .select(idCol, stratumCol, "bucket", "keep256")
+  }
+
+  // ---------------------------------------------------------------------------
   // Sliding-window text chunking (RAG / context prep)
 
   /** Split each document into token windows of `window` tokens advancing by

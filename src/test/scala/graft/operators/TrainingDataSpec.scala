@@ -209,6 +209,30 @@ class TrainingDataSpec extends SparkSpec {
     assert(re.toSeq === out.map(_._1).sorted.toSeq)
   }
 
+  test("temperatureMix: integer rates match hand math; samples nest under budget") {
+    // 900 'big' docs vs 100 'small': w = 30 vs 10, W = 40
+    val df = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (1001 to 1100).map(i => (i.toLong, "small"))).toDF("doc_id", "lang")
+    val out = TrainingData.temperatureMix(df, "doc_id", "lang", budget = 200L)
+      .select("doc_id", "lang", "bucket", "keep256")
+      .as[(Long, String, Int, Long)].collect()
+
+    // keep256(big)   = min(256, 256·200·30 / (40·900)) = 42
+    // keep256(small) = min(256, 256·200·10 / (40·100)) = 128
+    val rates = out.groupBy(_._2).map { case (s, rows) => s -> rows.head._4 }
+    assert(rates === Map("big" -> 42L, "small" -> 128L))
+    // the kept set is exactly the bucket rule — no quota noise
+    out.foreach(r => assert(r._3 < r._4))
+    // square-root temperature upsamples the tail: small keeps a ~3× rate
+    // while the raw corpus is 9:1
+
+    // nested: a bigger budget only ADDS documents
+    val more = TrainingData.temperatureMix(df, "doc_id", "lang", budget = 400L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.map(_._1).forall(more.contains))
+    assert(more.size > out.length)
+  }
+
   test("qualityScore: exact integer weight sums, bag model, 0.5 for empty docs") {
     val df = Seq(
       (1L, "alpha beta gamma"),
