@@ -53,6 +53,33 @@ object Sink {
   def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
 
+  /** Export rows as sharded JSON-lines — the standard handoff format for
+    * LLM training runs — in the REPRODUCIBLE order of
+    * [[graft.operators.TrainingData.deterministicShuffle]]: shard
+    * membership and within-shard line order depend only on ids, so two
+    * exports of the same corpus are byte-wise interchangeable no matter
+    * how either run was partitioned. Layout: `path/shard=<k>/part-*.txt`,
+    * one JSON object per line, `pos` included so consumers can verify
+    * order.
+    *
+    * Scale: one exchange on the shard key, per-shard external sort, then a
+    * straight text write — the same cost shape as the shuffle itself.
+    * `repartition` on the shard COLUMN keeps whole shards on single tasks,
+    * so each shard's lines are written by exactly one writer in order.
+    */
+  def writeJsonlShards(df: DataFrame, path: String, idCol: String,
+                       nShards: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val ordered = graft.operators.TrainingData
+      .deterministicShuffle(df, idCol, nShards)
+    ordered
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .select(col("shard"), to_json(struct(ordered.columns.map(col)
+        .toIndexedSeq: _*)).as("value"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").text(path)
+  }
+
   /** Read an existing target table, or return an EMPTY frame with the given
     * schema when the target has never been written (S8, `etl.py:108-112`).
     * Unlike the reference this never catches unrelated failures (the bare

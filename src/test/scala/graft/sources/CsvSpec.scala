@@ -40,4 +40,34 @@ class CsvSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(o_totalprice"),
       s"no predicate pushdown in:\n$plan")
   }
+
+  test("writeJsonlShards exports byte-reproducible ordered training shards") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+    val out = Files.createTempDirectory("jsonl").toString + "/export"
+    Sink.writeJsonlShards(docs, out, "doc_id", nShards = 4)
+
+    val expected = graft.operators.TrainingData
+      .deterministicShuffle(docs, "doc_id", 4)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+      .groupBy(_._2).map { case (s, rows) => s -> rows.sortBy(_._3).map(_._1).toSeq }
+
+    val IdRe = """"doc_id":(\d+)""".r
+    def shardIds(dir: String, s: Int): Seq[Long] =
+      spark.read.text(s"$dir/shard=$s").select("value").as[String].collect()
+        .map(l => IdRe.findFirstMatchIn(l).get.group(1).toLong).toSeq
+    (0 until 4).foreach { s =>
+      assert(shardIds(out, s) === expected(s), s"shard $s order")
+    }
+
+    // a differently-partitioned run of the same corpus writes identical lines
+    val out2 = Files.createTempDirectory("jsonl").toString + "/export2"
+    Sink.writeJsonlShards(docs.repartition(7), out2, "doc_id", nShards = 4)
+    (0 until 4).foreach { s =>
+      val a = spark.read.text(s"$out/shard=$s").as[String].collect().toSeq
+      val b = spark.read.text(s"$out2/shard=$s").as[String].collect().toSeq
+      assert(a === b, s"shard $s bytes")
+    }
+  }
 }
