@@ -54,6 +54,54 @@ object MetaAggregateRule extends Rule[LogicalPlan] {
             else agg
           case None => agg
         }
+      // GROUP BY partition columns: a file belongs to exactly one partition
+      // directory, so per-group row counts and zone-map extremes fold from
+      // the manifest alone
+      case agg @ Aggregate(groupingExprs, aggExprs, child, _)
+          if groupingExprs.nonEmpty &&
+            groupingExprs.forall(_.isInstanceOf[AttributeReference]) =>
+        val groupAttrs = groupingExprs.map(_.asInstanceOf[AttributeReference])
+        relationOf(child) match {
+          case Some(rel)
+              if groupAttrs.forall(a => rel.partitionColumns.contains(a.name)) =>
+            rel.metaGroupAgg(groupAttrs.map(_.name)) match {
+              case Some(groups) =>
+                val keyIndex = groupAttrs.map(_.name).zipWithIndex.toMap
+                val rows = groups.map { case (key, n, minMax) =>
+                  val vals = aggExprs.map {
+                    case a: AttributeReference =>
+                      keyIndex.get(a.name).map(key(_))
+                    case ne => answerGrouped(ne, n, minMax)
+                  }
+                  if (vals.forall(_.isDefined)) Some(Row(vals.map(_.get): _*))
+                  else None
+                }
+                if (rows.forall(_.isDefined))
+                  LocalRelation.fromExternalRows(agg.output, rows.map(_.get))
+                else agg
+              case None => agg
+            }
+          case _ => agg
+        }
+    }
+  }
+
+  /** Answer one aggregate output from a group's folded metadata. */
+  private def answerGrouped(ne: NamedExpression, n: Long,
+                            minMax: Map[String, (Any, Any)]): Option[Any] = {
+    val ae = ne match {
+      case Alias(a: AggregateExpression, _) => a
+      case a: AggregateExpression => a
+      case _ => return None
+    }
+    if (ae.isDistinct || ae.filter.isDefined) return None
+    ae.aggregateFunction match {
+      case Count(Seq(l: Literal)) if l.value != null => Some(n)
+      case Min(a: AttributeReference) =>
+        minMax.get(a.name).flatMap(mm => external(mm._1, a.dataType))
+      case Max(a: AttributeReference) =>
+        minMax.get(a.name).flatMap(mm => external(mm._2, a.dataType))
+      case _ => None
     }
   }
 
@@ -102,6 +150,8 @@ object MetaAggregateRule extends Rule[LogicalPlan] {
     case (d: Double, DoubleType) => Some(d)
     case (d: Double, FloatType) => Some(d.toFloat)
     case (s: String, StringType) => Some(s)
+    case (t: java.sql.Timestamp, TimestampType) => Some(t)
+    case (d: java.sql.Date, DateType) => Some(d)
     case _ => None
   }
 }

@@ -87,6 +87,15 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
   private[graft] def metaMinMax(colName: String): Option[(Any, Any)] =
     ManifestTable.fastMinMaxAt(spark, path, resolvedVersion, colName)
 
+  /** This relation's partition columns (for grouped metadata aggregates). */
+  private[graft] def partitionColumns: Seq[String] =
+    ManifestTable.partitionColsAt(spark, path, resolvedVersion)
+
+  /** Per-partition-group metadata aggregates for the pinned snapshot. */
+  private[graft] def metaGroupAgg(groupCols: Seq[String])
+      : Option[Seq[(Seq[Any], Long, Map[String, (Any, Any)])]] =
+    ManifestTable.fastGroupAgg(spark, path, resolvedVersion, groupCols)
+
   /** Filters we can apply exactly as Columns (everything listed here is
     * handled by us; the rest Spark re-applies on top).
     */

@@ -186,6 +186,17 @@ object ManifestTable {
     case d: Double => s"D:$d"
     case fl: Float => s"D:${fl.toDouble}"
     case s: String => "S:" + java.net.URLEncoder.encode(s, "UTF-8")
+    // temporal stats normalize to Spark's internal epoch numbers (micros /
+    // days) — the encoding is API-independent (java.sql vs java.time both
+    // land on the same long), so manifests survive a session flipping
+    // spark.sql.datetime.java8API.enabled
+    case t: java.sql.Timestamp =>
+      "T:" + org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+    case t: java.time.Instant =>
+      "T:" + org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t)
+    case d: java.sql.Date =>
+      "A:" + org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d)
+    case d: java.time.LocalDate => "A:" + d.toEpochDay
     case other => sys.error(s"unsupported stats value type: ${other.getClass}")
   }
 
@@ -193,6 +204,10 @@ object ManifestTable {
     case ("L:", p) => p.toLong
     case ("D:", p) => p.toDouble
     case ("S:", p) => java.net.URLDecoder.decode(p, "UTF-8")
+    case ("T:", p) =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(p.toLong)
+    case ("A:", p) =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaDate(p.toInt)
     case _ => sys.error(s"bad stat encoding: $enc")
   }
 
@@ -204,6 +219,15 @@ object ManifestTable {
       case s: java.lang.Short => s.longValue
       case b: java.lang.Byte => b.longValue
       case f: java.lang.Float => f.doubleValue
+      // temporal values order by their epoch numbers; a column never mixes
+      // date and timestamp, so the days/micros scales cannot meet
+      case t: java.sql.Timestamp =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+      case t: java.time.Instant =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t)
+      case d: java.sql.Date =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong
+      case d: java.time.LocalDate => d.toEpochDay
       case other => other
     }
     (norm(a), norm(b)) match {
@@ -483,6 +507,11 @@ object ManifestTable {
     fastCountAt(spark, path, v)
   }
 
+  /** Partition columns of a committed version (manifest-only read). */
+  private[graft] def partitionColsAt(spark: SparkSession, path: String,
+                                     v: Long): Seq[String] =
+    readManifest(spark, path, v).partitionCols
+
   /** [[fastCount]] pinned to a snapshot — what a version-pinned relation
     * (time travel, [[GraftRelation]]) must consult instead of "current". */
   private[graft] def fastCountAt(spark: SparkSession, path: String,
@@ -529,6 +558,87 @@ object ManifestTable {
       val hi = if (statCompare(a._2, b._2).exists(_ >= 0)) a._2 else b._2
       (lo, hi)
     }
+  }
+
+  /** Per-PARTITION metadata aggregates: group the snapshot's files by their
+    * partition-directory values (restricted to `groupCols`, a subset of the
+    * partition columns) and fold each group's row counts and zone maps —
+    * `GROUP BY partition_col` answered without opening a file, because a
+    * file belongs to exactly one partition directory. Returns one entry per
+    * group: (typed group values in `groupCols` order, row count, per-stats-
+    * col (min, max) where every contributing file had a value).
+    *
+    * None (caller must scan) when: any file lacks a row count, any
+    * partition value fails to parse back to its column type, or the table
+    * is unpartitioned. Zero-row groups are dropped — SQL GROUP BY emits no
+    * row for them.
+    */
+  private[graft] def fastGroupAgg(spark: SparkSession, path: String, version: Long,
+                                  groupCols: Seq[String])
+      : Option[Seq[(Seq[Any], Long, Map[String, (Any, Any)])]] = {
+    val m = readManifest(spark, path, version)
+    if (m.partitionCols.isEmpty || !groupCols.forall(m.partitionCols.contains))
+      return None
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    def parse(raw: String, dt: DataType): Option[Any] =
+      org.apache.spark.sql.graft.bridge.unescapePathValue(raw) match {
+        case None => Some(null)
+        case Some(s) =>
+          try {
+            val c = org.apache.spark.sql.catalyst.expressions.Cast(
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                org.apache.spark.unsafe.types.UTF8String.fromString(s),
+                org.apache.spark.sql.types.StringType),
+              dt, Some(zone.getId))
+            Option(c.eval(null)).map(
+              org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(_, dt))
+          } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    val groups = scala.collection.mutable.Map[Seq[Any],
+      (Long, scala.collection.mutable.Map[String, (Any, Any)])]()
+    val poisoned = scala.collection.mutable.Set[String]()
+    m.files.foreach { rel =>
+      val dirs = rel.split("/").dropRight(1)
+      if (dirs.length != m.partitionCols.length) return None
+      val byCol = dirs.map { seg =>
+        val i = seg.indexOf('=')
+        if (i <= 0) return None
+        seg.substring(0, i) -> seg.substring(i + 1)
+      }.toMap
+      val key = groupCols.map { c =>
+        parse(byCol.getOrElse(c, return None),
+          m.schema(c).dataType).getOrElse(return None)
+      }
+      val fileStats = m.stats.getOrElse(rel, return None)
+      val n = fileStats.get(RowsKey).flatMap(_._1)
+        .map(e => decodeStat(e).asInstanceOf[Long]).getOrElse(return None)
+      val (n0, mm) = groups.getOrElseUpdate(key,
+        (0L, scala.collection.mutable.Map[String, (Any, Any)]()))
+      m.statsCols.foreach { c =>
+        fileStats.get(c) match {
+          case Some((Some(mnE), Some(mxE))) =>
+            val (mn, mx) = (decodeStat(mnE), decodeStat(mxE))
+            mm.get(c) match {
+              case None => mm(c) = (mn, mx)
+              case Some((gmn, gmx)) =>
+                mm(c) = (
+                  if (statCompare(mn, gmn).exists(_ < 0)) mn else gmn,
+                  if (statCompare(mx, gmx).exists(_ > 0)) mx else gmx)
+            }
+          case Some((None, None)) => // all-null file: no extremes to offer
+          case _ =>
+            // a file with rows but NO recorded range could hide the true
+            // extreme — this column is unanswerable table-wide
+            poisoned += c
+        }
+      }
+      groups(key) = (n0 + n, mm)
+    }
+    Some(groups.toSeq.collect {
+      case (key, (n, mm)) if n > 0 =>
+        (key, n, mm.toMap.filter { case (c, _) => !poisoned.contains(c) })
+    })
   }
 
   /** Files of `version` whose zone map can satisfy `lo <= colName <= hi` —

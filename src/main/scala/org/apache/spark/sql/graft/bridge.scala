@@ -33,4 +33,10 @@ object bridge {
   def escapePathValue(v: Any): String =
     if (v == null) org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
     else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(String.valueOf(v))
+
+  /** Inverse of [[escapePathValue]]: directory segment → raw string value,
+    * None for the hive null sentinel. */
+  def unescapePathValue(s: String): Option[String] =
+    if (s == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None
+    else Some(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s))
 }

@@ -99,6 +99,38 @@ class MetaAggregateRuleSpec extends SparkSpec {
     assert(cur.as[(Long, Long)].head() === ((200L, 200L)))
   }
 
+  test("GROUP BY partition columns answers from the manifest, nulls included") {
+    val s = extSpark
+    import s.implicits._
+    val path = tmpTable()
+    val df = ((1 to 60).map(i => (i.toLong, Option(2020 + i % 3))) ++
+      Seq((100L, Option.empty[Int]), (101L, Option.empty[Int])))
+      .toDF("id", "year")
+    df.write.format("graft").option("partitionBy", "year")
+      .option("statsCols", "id").save(path)
+
+    val agg = s.read.format("graft").load(path).groupBy("year")
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
+    assert(plansMetadataOnly(agg), agg.queryExecution.executedPlan.toString)
+
+    val got = agg.collect().map(r =>
+      (if (r.isNullAt(0)) -1 else r.getInt(0),
+        r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    // scan-truth, computed without the rule (plain parquet under data/)
+    val truth = df.groupBy("year")
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r =>
+        (if (r.isNullAt(0)) -1 else r.getInt(0),
+          r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq === truth.toSeq)
+
+    // grouping by a NON-partition column must scan (and stay correct)
+    val byId = s.read.format("graft").load(path).groupBy("id")
+      .agg(count(lit(1)).as("n"))
+    assert(!plansMetadataOnly(byId))
+    assert(byId.count() === 62)
+  }
+
   test("the rewrite is opt-out and DISTINCT disables it") {
     val s = extSpark
     import s.implicits._

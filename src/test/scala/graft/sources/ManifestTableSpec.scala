@@ -345,6 +345,36 @@ class ManifestTableSpec extends SparkSpec {
       .select("p").as[String].head() === "c:d")
   }
 
+  test("timestamp and date zone maps prune, answer fastMinMax, survive deletes") {
+    val path = tmpTable()
+    // one year of hourly events, clustered by time — the canonical lake layout
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val df = (0 until 2400).map { i =>
+      (i.toLong, new java.sql.Timestamp(base + i * 3600L * 1000),
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i / 24)))
+    }.toDF("id", "ts", "d").repartitionByRange(10, col("ts"))
+    ManifestTable.overwrite(spark, path, df, statsCols = Seq("ts", "d"))
+
+    // a one-day window touches ~1 of 10 files (each file spans ~10 days)
+    val lo = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-03-01 23:00:00")
+    val (kept, total) = ManifestTable.prunedFiles(spark, path, "ts", lo, hi)
+    assert(total === 10 && kept.size <= 2, s"kept ${kept.size}/10")
+    assert(ManifestTable.readRange(spark, path, "ts", lo, hi).count() === 24)
+
+    val (dKept, _) = ManifestTable.prunedFiles(spark, path, "d",
+      java.sql.Date.valueOf("2024-03-01"), java.sql.Date.valueOf("2024-03-02"))
+    assert(dKept.size <= 2)
+
+    assert(ManifestTable.fastMinMax(spark, path, "ts")
+      === Some((new java.sql.Timestamp(base),
+                new java.sql.Timestamp(base + 2399L * 3600 * 1000))))
+    // a time-ranged GDPR purge stays file-bounded on the time axis
+    ManifestTable.deleteRange(spark, path, "ts", lo, hi)
+    assert(ManifestTable.readRange(spark, path, "ts", lo, hi).count() === 0)
+    assert(ManifestTable.fastCount(spark, path) === Some(2376L))
+  }
+
   test("bloom file skipping prunes point lookups where zone maps cannot") {
     val path = tmpTable()
     // hash layout: every file spans nearly the full id range, so zone maps
