@@ -59,7 +59,7 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
 }
 
 class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private val spark = ctx.sparkSession
   override def sqlContext: SQLContext = ctx
@@ -137,6 +137,28 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
       case _ =>
     }
     m.toMap
+  }
+
+  /** `INSERT INTO` / `INSERT OVERWRITE` from SQL land here. Append commits
+    * a new snapshot; overwrite replaces the table while PRESERVING its
+    * declared layout (partitioning, zone-map and bloom columns come from
+    * the current manifest, not the insert) — so
+    * `CREATE TABLE t USING graft OPTIONS (path '…')` + SQL DML is a
+    * complete workflow against the snapshot-isolated format.
+    */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    if (overwrite) {
+      val v = ManifestTable.currentVersion(spark, path)
+        .getOrElse(sys.error(s"no graft table at $path"))
+      val (parts, stats, blooms) = ManifestTable.layoutAt(spark, path, v)
+      ManifestTable.overwrite(spark, path, data, parts, stats, blooms): Unit
+    } else ManifestTable.append(spark, path, data): Unit
+    // the catalog caches resolved relations, and THIS relation pins its
+    // snapshot version — without invalidation, `SELECT` after `INSERT`
+    // would keep answering from the pre-insert snapshot forever. Dropping
+    // the cached entries makes the next query re-resolve to a fresh pinned
+    // snapshot (per-query pinning is exactly the isolation we want).
+    spark.sessionState.catalog.invalidateAllCachedTables()
   }
 
   /** Point candidates for Bloom file skipping: equality/IN values per

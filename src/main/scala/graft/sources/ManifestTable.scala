@@ -512,6 +512,14 @@ object ManifestTable {
                                      v: Long): Seq[String] =
     readManifest(spark, path, v).partitionCols
 
+  /** Declared layout of a committed version: (partition, stats, bloom)
+    * columns — what an overwriting writer must preserve. */
+  private[graft] def layoutAt(spark: SparkSession, path: String,
+                              v: Long): (Seq[String], Seq[String], Seq[String]) = {
+    val m = readManifest(spark, path, v)
+    (m.partitionCols, m.statsCols, m.bloomCols)
+  }
+
   /** [[fastCount]] pinned to a snapshot — what a version-pinned relation
     * (time travel, [[GraftRelation]]) must consult instead of "current". */
   private[graft] def fastCountAt(spark: SparkSession, path: String,

@@ -80,4 +80,32 @@ class GraftSourceSpec extends SparkSpec {
       .write.format("graft").mode("append").save(path)
     assert(spark.read.format("graft").load(path).count() === 4)
   }
+
+  test("SQL DDL + DML: CREATE TABLE USING graft, INSERT INTO/OVERWRITE, SELECT") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("gsql").toString + "/t"
+    Seq((1L, "a", 2020), (2L, "b", 2021)).toDF("id", "v", "year")
+      .write.format("graft").option("partitionBy", "year")
+      .option("statsCols", "id").save(path)
+    val table = "graft_sql_t"
+    spark.sql(s"CREATE TABLE $table USING graft OPTIONS (path '$path')")
+    try {
+      assert(spark.sql(s"SELECT v FROM $table WHERE id = 2").as[String].head() === "b")
+
+      spark.sql(s"INSERT INTO $table VALUES (3, 'c', 2021)")
+      assert(spark.sql(s"SELECT count(*) FROM $table").as[Long].head() === 3L)
+      // the append committed a real snapshot: visible to the path API too,
+      // with stats maintained (fastCount answers from the manifest)
+      assert(ManifestTable.fastCount(spark, path) === Some(3L))
+
+      spark.sql(s"INSERT OVERWRITE TABLE $table VALUES (9, 'z', 2022)")
+      assert(spark.sql(s"SELECT id, v, year FROM $table").as[(Long, String, Int)]
+        .collect().toSeq === Seq((9L, "z", 2022)))
+      // overwrite preserved the declared layout: partitioning + stats cols
+      val dir = new java.io.File(s"$path/data")
+      assert(dir.listFiles().exists(_.getName == "year=2022"),
+        "partition layout must survive INSERT OVERWRITE")
+      assert(ManifestTable.fastMinMax(spark, path, "id") === Some((9L, 9L)))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table"): Unit
+  }
 }
