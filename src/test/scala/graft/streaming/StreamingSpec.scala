@@ -432,4 +432,38 @@ class StreamingSpec extends SparkSpec {
     assert(updates.contains(batchValue),
       s"final streaming update $updates must include the batch value $batchValue")
   }
+
+  test("followTable consumes each table delta exactly once across restarts") {
+    import graft.sources.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("follow").toString
+    val table = s"$dir/t"
+    val ckpt = s"$dir/ckpt"
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, Seq[Long])]()
+    def run(): Long = Streaming.followTable(spark, table, ckpt) { (df, from, to) =>
+      seen += ((from, to, df.select("id").as[Long].collect().sorted.toSeq))
+    }
+
+    // nothing exists yet: no-op, checkpoint untouched
+    assert(run() === 0L && seen.isEmpty)
+
+    ManifestTable.overwrite(spark, table, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(run() === 1L)
+    assert(seen.last === ((0L, 1L, Seq(1L, 2L))))
+
+    // idle poll: no new version, handler not called
+    assert(run() === 1L && seen.size === 1)
+
+    // two appends, one poll: both arrive as ONE delta batch
+    ManifestTable.append(spark, table, Seq((3L, "c")).toDF("id", "v"))
+    ManifestTable.append(spark, table, Seq((4L, "d")).toDF("id", "v"))
+    assert(run() === 3L)
+    assert(seen.last === ((1L, 3L, Seq(3L, 4L))))
+
+    // a "restarted" follower (fresh call, same checkpoint) reprocesses nothing
+    ManifestTable.append(spark, table, Seq((5L, "e")).toDF("id", "v"))
+    assert(run() === 4L)
+    assert(seen.last === ((3L, 4L, Seq(5L))))
+    assert(seen.map(_._3).flatten.sorted === Seq(1L, 2L, 3L, 4L, 5L),
+      "every row delivered exactly once across the follower's lifetime")
+  }
 }
