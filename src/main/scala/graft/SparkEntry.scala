@@ -622,6 +622,12 @@ object SparkEntry {
   /** Shared oracle-SQL fragments (DuckDB dialect). */
   private val tokensSql = "regexp_extract_all(text, '\\S+')"
 
+  /** First 8 md5 hex chars of column `h5` as a BIGINT in [0, 2^32) — the
+    * DuckDB mirror of TrainingData.hashBucket32 (Spark: conv(substr,16,10)). */
+  private val md5Hex32Sql: String = (1 to 8).map { i =>
+    s"(strpos('0123456789abcdef', substr(h5, $i, 1)) - 1) * ${1L << (4 * (8 - i))}"
+  }.mkString(" + ")
+
   /** Shingle sets per doc: (doc_id, s) distinct word-3-grams. */
   private val shingleCte =
     s"""toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
@@ -1364,21 +1370,21 @@ object SparkEntry {
         |FROM b""".stripMargin,
 
     "q_global_shuffle" ->
-      """WITH h AS (SELECT doc_id,
-        |  CAST(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-        |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 8 AS INT) AS shard,
-        |  md5('o' || CAST(doc_id AS VARCHAR)) AS oh
-        |  FROM documents)
-        |SELECT doc_id, shard,
-        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY oh, doc_id) - 1 AS BIGINT) AS pos
-        |FROM h""".stripMargin,
+      s"""WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h5,
+         |  md5('o' || CAST(doc_id AS VARCHAR)) AS oh
+         |  FROM documents),
+         |s AS (SELECT doc_id, oh,
+         |  CAST(($md5Hex32Sql) % 8 AS INT) AS shard FROM h)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY oh, doc_id) - 1 AS BIGINT) AS pos
+         |FROM s""".stripMargin,
 
     // hashed-linear-classifier scoring: the weight sum is EXACT integer
     // math in both engines; the only float is the final sigmoid, rounded
     // to 6 dp (same discipline as every double column here)
     "q_quality_score" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS ws FROM documents),
-         |w AS (SELECT doc_id, len(ws) AS n,
+         |w AS (SELECT doc_id, coalesce(len(ws), 0) AS n,
          |  coalesce(list_sum(list_transform(ws, tok ->
          |    (((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 256
          |     + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 16
@@ -1421,7 +1427,7 @@ object SparkEntry {
          |        FROM kept GROUP BY doc_id)
          |SELECT t.doc_id,
          |  coalesce(a.clean_text, '') AS clean_text,
-         |  CAST(len(t.ts) - coalesce(a.n_kept, 0) AS INT) AS n_removed
+         |  CAST(coalesce(len(t.ts), 0) - coalesce(a.n_kept, 0) AS INT) AS n_removed
          |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin,
 
     "q_decontaminate" ->
@@ -1445,7 +1451,7 @@ object SparkEntry {
         |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS INT) AS bucket
         |  FROM documents)
         |SELECT b.doc_id, b.lang, b.bucket, r.keep256
-        |FROM b JOIN r ON b.lang = r.lang
+        |FROM b JOIN r ON b.lang IS NOT DISTINCT FROM r.lang
         |WHERE b.bucket < r.keep256""".stripMargin,
 
     "q_lang_sample" ->

@@ -501,10 +501,14 @@ object Dedup {
     */
   def removeDupSpans(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"span gram width must be >= 1, got $n")
+    // NULL text ≡ empty document (clean_text "", 0 removed) — keeps one
+    // row per input doc and matches the oracle's coalesce-to-'' semantics
+    // instead of propagating NULL through the token algebra
+    val txt = coalesce(col(textCol), lit(""))
     val base = df.select(col(idCol), col(textCol))
-      .withColumn("_ts", TextFunctions.tokens(col(textCol)))
+      .withColumn("_ts", TextFunctions.tokens(txt))
       .withColumn("_gh", TextFunctions.rollingShingleHashes(
-        TextFunctions.tokenHashes(col(textCol)), n))
+        TextFunctions.tokenHashes(txt), n))
     val grams = base.select(col(idCol), posexplode(col("_gh")).as(Seq("pos", "h")))
     // per-gram corpus stats: occurrence count + canonical first occurrence.
     // min over the (id, pos) struct is lexicographic in both engines.

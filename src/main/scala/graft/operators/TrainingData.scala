@@ -130,6 +130,15 @@ object TrainingData {
     hexDigit(substring(h, 1, 1)) * 16 + hexDigit(substring(h, 2, 1))
   }
 
+  /** Uniform value in [0, 2³²) from the id's md5 (first 8 hex chars) — the
+    * shard-assignment basis. [[hashBucket]]'s 256 buckets are right for
+    * rates-in-256ths sampling but would silently CAP a shard count at 256
+    * (and skew whenever 256 % nShards != 0); 32 bits keep the modulo bias
+    * under nShards/2³² at any realistic shard count.
+    */
+  def hashBucket32(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
   /** Assign each row to train/val/test by hashing its id, so a document
     * keeps its split forever (the property that prevents train/test leakage
     * when the corpus is re-ingested). Bucket < 204 → train (~80%), < 230 →
@@ -192,7 +201,9 @@ object TrainingData {
   def qualityScore(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.5): DataFrame = {
     val half = (WeightMod - 1) / 2
-    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    // NULL text scores as an empty document (w_sum 0, sigmoid 0.5) rather
+    // than a NULL row — mirrors the oracle's coalesce(list_sum, 0)
+    val toks = graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit("")))
     def weight(t: Column): Column = {
       val j = conv(substring(md5(t), 1, 3), 16, 10).cast("long")
       (j * WeightMul) % WeightMod - half
@@ -229,7 +240,7 @@ object TrainingData {
     // order salt "o" decorrelates the within-shard order from the shard
     // assignment (both are md5 of the id, but of different strings)
     val w = Window.partitionBy(col("shard")).orderBy(col("_oh"), col(idCol))
-    df.withColumn("shard", (hashBucket(col(idCol)) % nShards).cast("int"))
+    df.withColumn("shard", (hashBucket32(col(idCol)) % nShards).cast("int"))
       .withColumn("_oh", md5(concat(lit("o"), col(idCol).cast("string"))))
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
       .drop("_oh")
@@ -287,11 +298,16 @@ object TrainingData {
     val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("_n"))
       .withColumn("_w", floor(sqrt(col("_n").cast("double"))).cast("long"))
     val totalW = counts.agg(sum("_w").as("_tw"))
+    // NULL is a real stratum (un-identified language is still corpus mass):
+    // it participates in the weight total AND receives its rate, via a
+    // null-safe join — a plain equi-join would count it into W and then
+    // silently drop every null row, under-delivering the budget
     val rates = counts.crossJoin(broadcast(totalW))
       .withColumn("keep256",
         least(lit(256L), expr(s"(256 * ${budget}L * _w) DIV (_tw * _n)")))
-      .select(col(stratumCol), col("keep256"))
-    df.join(broadcast(rates), stratumCol)
+      .select(col(stratumCol).as("_stratum"), col("keep256"))
+    df.join(broadcast(rates), col(stratumCol) <=> col("_stratum"))
+      .drop("_stratum")
       .withColumn("bucket", hashBucket(col(idCol)))
       .filter(col("bucket") < col("keep256"))
       .select(idCol, stratumCol, "bucket", "keep256")

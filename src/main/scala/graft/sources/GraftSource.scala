@@ -73,28 +73,35 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
     ManifestTable.currentVersion(spark, path)
       .getOrElse(sys.error(s"no graft table at $path")))
 
+  /** The pinned snapshot's manifest, parsed ONCE per relation: the
+    * optimizer consults this relation repeatedly (schema resolution, a
+    * MetaAggregateRule probe per aggregate expression per optimizer
+    * iteration, every scan's pruning) and a manifest is immutable — so one
+    * read serves them all. On a 100k-file manifest with bloom payloads the
+    * difference is re-parsing hundreds of MB per query vs once per
+    * relation. */
+  private lazy val manifest = ManifestTable.readManifest(spark, path, resolvedVersion)
+
   // from the manifest file directly — no file-index build just for a schema
-  override val schema: StructType =
-    ManifestTable.manifestSchema(spark, path, resolvedVersion)
+  override def schema: StructType = manifest.schema
 
   /** Manifest-answered COUNT(*) for THIS relation's pinned snapshot — the
     * hook [[graft.plans.MetaAggregateRule]] uses to answer whole-table
     * aggregates without a scan. */
   private[graft] def metaCount: Option[Long] =
-    ManifestTable.fastCountAt(spark, path, resolvedVersion)
+    ManifestTable.fastCountOf(manifest)
 
   /** Manifest-answered MIN/MAX (zone maps) for the pinned snapshot. */
   private[graft] def metaMinMax(colName: String): Option[(Any, Any)] =
-    ManifestTable.fastMinMaxAt(spark, path, resolvedVersion, colName)
+    ManifestTable.fastMinMaxOf(manifest, colName)
 
   /** This relation's partition columns (for grouped metadata aggregates). */
-  private[graft] def partitionColumns: Seq[String] =
-    ManifestTable.partitionColsAt(spark, path, resolvedVersion)
+  private[graft] def partitionColumns: Seq[String] = manifest.partitionCols
 
   /** Per-partition-group metadata aggregates for the pinned snapshot. */
   private[graft] def metaGroupAgg(groupCols: Seq[String])
       : Option[Seq[(Seq[Any], Long, Map[String, (Any, Any)])]] =
-    ManifestTable.fastGroupAgg(spark, path, resolvedVersion, groupCols)
+    ManifestTable.fastGroupAggOf(spark, manifest, groupCols)
 
   /** Filters we can apply exactly as Columns (everything listed here is
     * handled by us; the rest Spark re-applies on top).
@@ -175,7 +182,7 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
-    val base = ManifestTable.readVersionPrunedPoints(spark, path, resolvedVersion,
+    val base = ManifestTable.readPrunedPoints(spark, path, manifest,
       bounds(filters), points(filters))
     val filtered = filters.flatMap(toColumn).foldLeft(base)(_ filter _)
     val pruned =

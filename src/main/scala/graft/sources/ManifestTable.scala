@@ -68,11 +68,11 @@ object ManifestTable {
     */
   private type FileStats = Map[String, (Option[String], Option[String])]
 
-  private case class Manifest(version: Long, schema: StructType,
-                              partitionCols: Seq[String], files: Seq[String],
-                              statsCols: Seq[String] = Nil,
-                              stats: Map[String, FileStats] = Map.empty,
-                              bloomCols: Seq[String] = Nil)
+  private[sources] case class Manifest(version: Long, schema: StructType,
+                                       partitionCols: Seq[String], files: Seq[String],
+                                       statsCols: Seq[String] = Nil,
+                                       stats: Map[String, FileStats] = Map.empty,
+                                       bloomCols: Seq[String] = Nil)
 
   // ------------------------------------------------------------------ reads
 
@@ -89,7 +89,8 @@ object ManifestTable {
     }
   }
 
-  private def readManifest(spark: SparkSession, path: String, version: Long): Manifest = {
+  private[sources] def readManifest(spark: SparkSession, path: String,
+                                    version: Long): Manifest = {
     val f = fs(spark, path)
     val in = f.open(new Path(manifestDir(path), manifestName(version)))
     val text = try {
@@ -296,8 +297,13 @@ object ManifestTable {
   private[graft] def readVersionPrunedPoints(
       spark: SparkSession, path: String, version: Long,
       bounds: Map[String, (Option[Any], Option[Any])],
+      points: Map[String, Seq[Any]]): DataFrame =
+    readPrunedPoints(spark, path, readManifest(spark, path, version), bounds, points)
+
+  private[sources] def readPrunedPoints(
+      spark: SparkSession, path: String, m: Manifest,
+      bounds: Map[String, (Option[Any], Option[Any])],
       points: Map[String, Seq[Any]]): DataFrame = {
-    val m = readManifest(spark, path, version)
     val kept = points.foldLeft(pruneByBounds(m, bounds)) {
       case (acc, (c, vs)) =>
         if (!m.bloomCols.contains(c) || vs.isEmpty) acc
@@ -431,18 +437,22 @@ object ManifestTable {
     m.stats.get(rel).flatMap(_.get(BloomPrefix + colName)).flatMap(_._1) match {
       case None => true
       case Some(payload) =>
-        val sep = payload.indexOf(':')
-        if (sep <= 0) true
-        else {
+        // ANY malformed payload (bad k, broken base64, empty bitset) must
+        // degrade to "may contain" — a corrupted stat line may cost a file
+        // read, never a wrong answer or a crashed scan
+        try {
+          val sep = payload.indexOf(':')
+          if (sep <= 0) return true
           val k = payload.substring(0, sep).toInt
           val bytes = java.util.Base64.getDecoder.decode(payload.substring(sep + 1))
+          if (k <= 0 || bytes.length < 8) return true
           val words = new Array[Long](bytes.length / 8)
           val bb = java.nio.ByteBuffer.wrap(bytes)
           var i = 0
           while (i < words.length) { words(i) = bb.getLong(); i += 1 }
           bloomProbes(words.length * 64, k, h)
             .forall(idx => (words(idx >> 6) & (1L << (idx & 63))) != 0)
-        }
+        } catch { case scala.util.control.NonFatal(_) => true }
     }
 
   /** xxhash64 of a point value exactly as the write side hashed the column
@@ -523,8 +533,10 @@ object ManifestTable {
   /** [[fastCount]] pinned to a snapshot — what a version-pinned relation
     * (time travel, [[GraftRelation]]) must consult instead of "current". */
   private[graft] def fastCountAt(spark: SparkSession, path: String,
-                                 v: Long): Option[Long] = {
-    val m = readManifest(spark, path, v)
+                                 v: Long): Option[Long] =
+    fastCountOf(readManifest(spark, path, v))
+
+  private[sources] def fastCountOf(m: Manifest): Option[Long] = {
     if (m.files.isEmpty) return Some(0L)
     val counts = m.files.map(rel =>
       m.stats.get(rel).flatMap(_.get(RowsKey)).flatMap(_._1))
@@ -551,8 +563,11 @@ object ManifestTable {
 
   /** [[fastMinMax]] pinned to a snapshot (see [[fastCountAt]]). */
   private[graft] def fastMinMaxAt(spark: SparkSession, path: String, v: Long,
-                                  colName: String): Option[(Any, Any)] = {
-    val m = readManifest(spark, path, v)
+                                  colName: String): Option[(Any, Any)] =
+    fastMinMaxOf(readManifest(spark, path, v), colName)
+
+  private[sources] def fastMinMaxOf(m: Manifest,
+                                    colName: String): Option[(Any, Any)] = {
     if (!m.statsCols.contains(colName) || m.files.isEmpty) return None
     val perFile = m.files.map(rel => m.stats.get(rel).flatMap(_.get(colName)))
     if (perFile.exists(_.isEmpty)) return None // statless file: must scan
@@ -583,8 +598,12 @@ object ManifestTable {
     */
   private[graft] def fastGroupAgg(spark: SparkSession, path: String, version: Long,
                                   groupCols: Seq[String])
+      : Option[Seq[(Seq[Any], Long, Map[String, (Any, Any)])]] =
+    fastGroupAggOf(spark, readManifest(spark, path, version), groupCols)
+
+  private[sources] def fastGroupAggOf(spark: SparkSession, m: Manifest,
+                                      groupCols: Seq[String])
       : Option[Seq[(Seq[Any], Long, Map[String, (Any, Any)])]] = {
-    val m = readManifest(spark, path, version)
     if (m.partitionCols.isEmpty || !groupCols.forall(m.partitionCols.contains))
       return None
     val zone = java.time.ZoneId.of(

@@ -377,17 +377,22 @@ object Streaming {
                   checkpointPath: String)
                  (handler: (DataFrame, Long, Long) => Unit): Long = {
     import graft.sources.ManifestTable
-    val hadoopPath = new org.apache.hadoop.fs.Path(checkpointPath)
-    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val last: Long =
-      if (!fs.exists(hadoopPath)) 0L
-      else {
-        val in = fs.open(hadoopPath)
-        val buf = new java.io.ByteArrayOutputStream()
-        try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        finally in.close()
-        new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      }
+    // checkpoint = a DIRECTORY of immutable marker files `v<version>`; the
+    // follower's position is the highest parseable marker. Advancing = one
+    // atomic create of the next marker (never delete-then-replace, which
+    // has a window where a crash loses the position entirely and the next
+    // poll would replay the WHOLE table); older markers are garbage-swept
+    // only after the new one durably exists, and an interrupted sweep or a
+    // corrupt marker merely leaves the position one step stale —
+    // at-least-once again, never a full replay.
+    val dir = new org.apache.hadoop.fs.Path(checkpointPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers: Seq[Long] =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v"))
+        .flatMap(n => scala.util.Try(n.substring(1).toLong).toOption)
+    val last: Long = if (markers.isEmpty) 0L else markers.max
     val current = ManifestTable.currentVersion(spark, tablePath)
       .getOrElse(return last)
     if (current <= last) return last
@@ -395,13 +400,11 @@ object Streaming {
       if (last == 0L) ManifestTable.readVersion(spark, tablePath, current)
       else ManifestTable.readVersionDelta(spark, tablePath, last, current)
     handler(delta, last, current)
-    val tmp = new org.apache.hadoop.fs.Path(
-      checkpointPath + s".tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write(current.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(hadoopPath, false)
-    if (!fs.rename(tmp, hadoopPath)) sys.error(s"could not advance checkpoint $checkpointPath")
+    fs.mkdirs(dir)
+    val marker = new org.apache.hadoop.fs.Path(dir, s"v$current")
+    fs.create(marker, true).close()
+    markers.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"v$v"), false): Unit)
     current
   }
 }

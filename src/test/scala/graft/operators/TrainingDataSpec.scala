@@ -193,6 +193,14 @@ class TrainingDataSpec extends SparkSpec {
     assert(shard0.toSeq !== shard0.sorted.toSeq)
   }
 
+  test("deterministicShuffle populates shard counts beyond 256 (32-bit basis)") {
+    // a 256-bucket basis would leave shards 256..299 empty forever
+    val many = spark.range(5000).toDF("doc_id")
+    val shards = TrainingData.deterministicShuffle(many, "doc_id", nShards = 300)
+      .select("shard").distinct().as[Int].collect().sorted
+    assert(shards.toSeq === (0 until 300))
+  }
+
   test("capPerGroup keeps exactly min(K, group size) deterministic survivors") {
     val df = docs.select("doc_id", "source")
     val sizes = df.groupBy("source").count().as[(String, Long)].collect().toMap
