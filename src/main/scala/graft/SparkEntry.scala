@@ -370,6 +370,11 @@ object SparkEntry {
     "q_dedup_spans" -> ((s, d) =>
       Dedup.removeDupSpans(Tables.documents(s, d), "doc_id", "text", n = 3)),
 
+    // the production regime: only duplicated runs of >= 8 tokens are cut
+    "q_dedup_spans_min" -> ((s, d) =>
+      Dedup.removeDupSpans(Tables.documents(s, d), "doc_id", "text", n = 3,
+        minSpanTokens = 8)),
+
     // benchmark held out as every-50th doc; pairs sharing ≥3 word-3-grams
     "q_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -627,6 +632,38 @@ object SparkEntry {
   private val md5Hex32Sql: String = (1 to 8).map { i =>
     s"(strpos('0123456789abcdef', substr(h5, $i, 1)) - 1) * ${1L << (4 * (8 - i))}"
   }.mkString(" + ")
+
+  /** Duplicated-span removal oracle: marked-gram cover → contiguous islands
+    * (gaps-and-islands) → only islands of >= `minSpan` tokens cut. With
+    * minSpan = 3 (= gram width) every island qualifies, matching the
+    * undergated operator default. */
+  private def dupSpanOracle(minSpan: Int): String =
+    s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+       |g AS (SELECT doc_id, ts, unnest(range(0, GREATEST(len(ts) - 2, 0))) AS pos FROM toks),
+       |gr AS (SELECT doc_id, pos, ts[pos+1] || ' ' || ts[pos+2] || ' ' || ts[pos+3] AS gram FROM g),
+       |m AS (SELECT doc_id, pos,
+       |        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk,
+       |        count(*) OVER (PARTITION BY gram) AS cnt
+       |      FROM gr),
+       |marked AS (SELECT doc_id, pos FROM m WHERE cnt >= 2 AND rk >= 2),
+       |cov AS (SELECT DISTINCT doc_id, pos + d.r AS i FROM marked, range(3) d(r)),
+       |isl AS (SELECT doc_id, i,
+       |          i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |        FROM cov),
+       |runs AS (SELECT doc_id, grp, min(i) AS s, max(i) AS e FROM isl
+       |         GROUP BY doc_id, grp HAVING count(*) >= $minSpan),
+       |cut AS (SELECT doc_id, unnest(range(s, e + 1)) AS i FROM runs),
+       |ti AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS i FROM toks),
+       |kept AS (SELECT ti.doc_id, ti.i, ti.ts[ti.i + 1] AS tok
+       |         FROM ti LEFT JOIN cut ON ti.doc_id = cut.doc_id AND ti.i = cut.i
+       |         WHERE cut.i IS NULL),
+       |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+       |               count(*) AS n_kept
+       |        FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  coalesce(a.clean_text, '') AS clean_text,
+       |  CAST(coalesce(len(t.ts), 0) - coalesce(a.n_kept, 0) AS INT) AS n_removed
+       |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin
 
   /** Shingle sets per doc: (doc_id, s) distinct word-3-grams. */
   private val shingleCte =
@@ -1406,29 +1443,11 @@ object SparkEntry {
         |SELECT doc_id, source, grp_rank FROM r WHERE grp_rank <= 40""".stripMargin,
 
     // substring-level dedup: mirror the (count >= 2, not-first-occurrence)
-    // mark + [pos, pos+2] cover + token cut, on gram STRINGS (the Spark side
-    // uses rolling xxhash64 gram hashes — equivalent modulo 64-bit collisions)
-    "q_dedup_spans" ->
-      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
-         |g AS (SELECT doc_id, ts, unnest(range(0, GREATEST(len(ts) - 2, 0))) AS pos FROM toks),
-         |gr AS (SELECT doc_id, pos, ts[pos+1] || ' ' || ts[pos+2] || ' ' || ts[pos+3] AS gram FROM g),
-         |m AS (SELECT doc_id, pos,
-         |        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk,
-         |        count(*) OVER (PARTITION BY gram) AS cnt
-         |      FROM gr),
-         |marked AS (SELECT doc_id, pos FROM m WHERE cnt >= 2 AND rk >= 2),
-         |cov AS (SELECT DISTINCT doc_id, pos + d.r AS i FROM marked, range(3) d(r)),
-         |ti AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS i FROM toks),
-         |kept AS (SELECT ti.doc_id, ti.i, ti.ts[ti.i + 1] AS tok
-         |         FROM ti LEFT JOIN cov ON ti.doc_id = cov.doc_id AND ti.i = cov.i
-         |         WHERE cov.i IS NULL),
-         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
-         |               count(*) AS n_kept
-         |        FROM kept GROUP BY doc_id)
-         |SELECT t.doc_id,
-         |  coalesce(a.clean_text, '') AS clean_text,
-         |  CAST(coalesce(len(t.ts), 0) - coalesce(a.n_kept, 0) AS INT) AS n_removed
-         |FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin,
+    // mark + [pos, pos+2] cover + islands-with-length-floor + token cut, on
+    // gram STRINGS (the Spark side uses rolling xxhash64 gram hashes —
+    // equivalent modulo 64-bit collisions)
+    "q_dedup_spans" -> dupSpanOracle(minSpan = 3),
+    "q_dedup_spans_min" -> dupSpanOracle(minSpan = 8),
 
     "q_decontaminate" ->
       s"""WITH $shingleCte

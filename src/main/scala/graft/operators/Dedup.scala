@@ -485,9 +485,11 @@ object Dedup {
     * occurs ≥2 times corpus-wide and (doc, pos) is not the globally-first
     * occurrence (min by (doc, pos) — deterministic, engine-independent).
     * Removed occurrences mark tokens [pos, pos+n-1]; overlapping marks
-    * union, so maximal duplicated spans are cut in one piece. Output:
-    * (id, clean_text, n_removed) — clean_text is the surviving tokens
-    * joined by single spaces, one row per input document.
+    * union, so maximal duplicated spans are cut in one piece — but only
+    * spans of at least max(`minSpanTokens`, n) tokens are actually cut
+    * (the paper uses a 50-token floor: short accidental repeats stay).
+    * Output: (id, clean_text, n_removed) — clean_text is the surviving
+    * tokens joined by single spaces, one row per input document.
     *
     * Scale shape (100 TB): the paper's suffix array is a single-machine
     * structure; the distributed equivalent is this — (1) one map pass emits
@@ -499,7 +501,8 @@ object Dedup {
     * row-local array algebra. Shuffles are bounded by gram count × 16
     * bytes; nothing is ever pairwise.
     */
-  def removeDupSpans(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String, n: Int,
+                     minSpanTokens: Int = 0): DataFrame = {
     require(n >= 1, s"span gram width must be >= 1, got $n")
     // NULL text ≡ empty document (clean_text "", 0 removed) — keeps one
     // row per input doc and matches the oracle's coalesce-to-'' semantics
@@ -519,11 +522,29 @@ object Dedup {
       .filter(!(col(idCol) === col(s"keep.$idCol") && col("pos") === col("keep.pos")))
       .select(col(idCol), col("pos"))
     val cuts = marked.groupBy(idCol).agg(collect_set(col("pos")).as("_starts"))
+    // marked-token cover → maximal contiguous runs → only runs of at least
+    // max(minSpanTokens, n) tokens are cut (the paper's span-length floor:
+    // a repeated 3-gram inside otherwise-unique prose is noise, a repeated
+    // 50-token run is boilerplate). One SQL fold over the sorted cover —
+    // row-local, and with the default floor (= n) every run qualifies.
+    val floorTokens = math.max(minSpanTokens, n)
+    val runCutSql =
+      s"""aggregate(
+         |  array_sort(_cov),
+         |  named_struct('prev', -2, 's', -1, 'cut', CAST(array() AS array<int>)),
+         |  (a, x) -> IF(x = a.prev + 1,
+         |    named_struct('prev', x, 's', a.s, 'cut', a.cut),
+         |    named_struct('prev', x, 's', x, 'cut',
+         |      IF(a.s >= 0 AND a.prev - a.s + 1 >= $floorTokens,
+         |         concat(a.cut, sequence(a.s, a.prev)), a.cut))),
+         |  a -> IF(a.s >= 0 AND a.prev - a.s + 1 >= $floorTokens,
+         |          concat(a.cut, sequence(a.s, a.prev)), a.cut))""".stripMargin
     base.join(cuts, Seq(idCol), "left")
       .withColumn("_cov", array_distinct(flatten(transform(
         coalesce(col("_starts"), array().cast("array<int>")),
         p => sequence(p, p + n - 1)))))
-      .withColumn("_kept", filter(col("_ts"), (t, i) => !array_contains(col("_cov"), i)))
+      .withColumn("_cut", expr(runCutSql))
+      .withColumn("_kept", filter(col("_ts"), (t, i) => !array_contains(col("_cut"), i)))
       .select(col(idCol),
         array_join(col("_kept"), " ").as("clean_text"),
         (size(col("_ts")) - size(col("_kept"))).as("n_removed"))

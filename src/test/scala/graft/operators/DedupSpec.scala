@@ -203,6 +203,31 @@ class DedupSpec extends SparkSpec {
     assert(out(4) === ((5L, "", 0)))
   }
 
+  test("removeDupSpans minSpanTokens floor keeps short repeats, cuts long runs") {
+    val long = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, s"intro $long outro"),
+      // repeats doc 1's 10-token run (cut: >= 8) AND a 3-token repeat of
+      // its own tail ("intro x y" vs nothing)… the short repeat below
+      (2L, s"prefix $long suffix"),
+      (3L, "alpha beta gamma filler junk"),
+      // repeats only "alpha beta gamma" (3-token span: BELOW the floor)
+      (4L, "alpha beta gamma other words here")).toDF("doc_id", "text")
+
+    val gated = Dedup.removeDupSpans(docs, "doc_id", "text", n = 3, minSpanTokens = 8)
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(gated(0)._3 === 0)
+    assert(gated(1) === ((2L, "prefix suffix", 10)), "long run must be cut")
+    assert(gated(3) === ((4L, "alpha beta gamma other words here", 0)),
+      "3-token repeat is below the 8-token floor")
+
+    // ungated (default floor = n): the short repeat goes too
+    val ungated = Dedup.removeDupSpans(docs, "doc_id", "text", n = 3)
+      .select("doc_id", "n_removed").as[(Long, Int)].collect().sortBy(_._1)
+    assert(ungated(3)._2 === 3)
+  }
+
   test("removeDupSpans conserves tokens and is layout-independent (fixtures)") {
     val docs = Tables.documents(spark, sf)
     val out = Dedup.removeDupSpans(docs, "doc_id", "text", n = 3)
