@@ -158,6 +158,9 @@ object PlanAudit {
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")),
       "gram stats partially aggregated map-side" -> (p =>
         "HashAggregate".r.findAllIn(p).length >= 2))
+    audit("q_dedup_spans_min")(
+      "span-floor gating stays row-local (no extra exchange vs ungated)" -> (p =>
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
     audit("q_html_strip")(
       "pure projection: no shuffle at all" -> (p => !p.contains("Exchange")))
     audit("q_quality_score")(
