@@ -166,6 +166,40 @@ object PlanAudit {
     audit("q_quality_score")(
       "classifier scoring is one shuffle-free fold" -> (p =>
         !p.contains("Exchange") && !p.contains("Generate")))
+    audit("q_profile")(
+      // per-column single-distinct aggregates: each scan pruned to its one
+      // column, no Expand row multiplication (the multi-distinct form
+      // shipped C+1 copies of every row and measured 9x slower)
+      "each column profiled from its own pruned scan" -> (p =>
+        "FileScan parquet \\[l_quantity#".r.findAllIn(p).nonEmpty &&
+          "FileScan parquet \\[l_tax#".r.findAllIn(p).nonEmpty),
+      "no Expand row multiplication" -> (p => !p.contains("Expand")),
+      "distinct counts partially aggregated map-side" -> (p =>
+        "HashAggregate".r.findAllIn(p).length >= 2))
+    audit("q_histogram")(
+      "bin counts partially aggregated map-side" -> (p =>
+        "HashAggregate".r.findAllIn(p).length >= 2),
+      "totalprice filter pushed to the scan" -> (p =>
+        p.contains("PushedFilters: [IsNotNull(o_totalprice)")))
+    audit("q_top_unshipped")(
+      "date filters pushed to both fact scans" -> (p =>
+        p.contains("GreaterThan(l_shipdate") && p.contains("LessThan(o_orderdate")),
+      "customer dim broadcast" -> (p => p.contains("BroadcastHashJoin")),
+      "top-10 is TakeOrdered, not a single-partition sort" -> (p =>
+        p.contains("TakeOrderedAndProject")))
+    audit("q_keyword_search")(
+      "term filter applied before the hit aggregation (no full token shuffle)" -> (p =>
+        p.contains("LeftSemi")),
+      "hit counts partially aggregated map-side" -> (p =>
+        "HashAggregate".r.findAllIn(p).length >= 2))
+    audit("q_ngram_counts")(
+      "top-k is TakeOrdered over the gram counts (per-partition heaps)" -> (p =>
+        p.contains("TakeOrderedAndProject")),
+      "gram counts partially aggregated map-side" -> (p =>
+        "HashAggregate".r.findAllIn(p).length >= 2))
+    audit("q_inverted_index")(
+      "one term-keyed aggregation builds the postings" -> (p =>
+        "hashpartitioning\\(term".r.findAllIn(p).nonEmpty))
     audit("q_temperature_mix")(
       // only strata-sized aggregates exchange; the corpus takes the rates
       // via broadcast and never shuffles itself

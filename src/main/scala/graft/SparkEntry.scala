@@ -115,6 +115,33 @@ object SparkEntry {
           countDistinct(col("l_partkey")).as("nd_part"),
           countDistinct(col("l_suppkey")).as("nd_supp"))),
 
+    // one-pass per-column profile (long format via stack); output bounded
+    // by #columns, never rows — the trust-but-verify pass on a new drop
+    "q_profile" -> ((s, d) =>
+      Profile.numeric(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // fixed-width value histogram, occupied bins only (sparse under skew)
+    "q_histogram" -> ((s, d) =>
+      Profile.histogram(Tables.orders(s, d), "o_totalprice", binWidth = 50000.0)),
+
+    // TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem,
+    // revenue per order, top 10. Dims broadcast; top-k is a TakeOrdered
+    // (per-partition heaps), never a single-partition sort of the agg.
+    "q_top_unshipped" -> ((s, d) => {
+      val cutoff = java.sql.Timestamp.valueOf("1998-06-01 00:00:00")
+      val bldg = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      Tables.lineitem(s, d).filter(col("l_shipdate") > lit(cutoff))
+        .join(Tables.orders(s, d).filter(col("o_orderdate") < lit(cutoff)),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(bldg), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    }),
+
     "q_json_props" -> ((s, d) =>
       Tables.events(s, d)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -473,6 +500,23 @@ object SparkEntry {
 
     "q_tfidf" -> ((s, d) => TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), k = 3)),
     "q_normalize" -> ((s, d) => TextAnalysis.normalize(Tables.documents(s, d))),
+
+    // term → (df, sorted postings); postings ride as a comma-joined string
+    // so the compare is engine-portable. minDf=50 drops the long tail the
+    // way a production index shards or prunes it.
+    "q_inverted_index" -> ((s, d) =>
+      TextAnalysis.invertedIndex(Tables.documents(s, d), minDf = 50L)),
+
+    // conjunctive whole-token search (all three terms must appear); the
+    // index-free baseline whose semantics a persisted inverted index serves
+    "q_keyword_search" -> ((s, d) =>
+      TextAnalysis.searchAll(Tables.documents(s, d), Seq("join", "hash", "scan"))
+        .select(col("doc_id"), length(col("text")).as("n_chars"))),
+
+    // corpus bigram statistics, top 20 — count-based LM / contamination
+    // analysis; grams built row-locally, single vocabulary-keyed aggregation
+    "q_ngram_counts" -> ((s, d) =>
+      TextAnalysis.ngramCounts(Tables.documents(s, d), n = 2, k = 20)),
 
     // markup synthesized deterministically in-query (the corpus is plain
     // text); script block carries a bare '<' so block-before-tag order is
@@ -1000,6 +1044,36 @@ object SparkEntry {
         |count(DISTINCT l_partkey) AS nd_part, count(DISTINCT l_suppkey) AS nd_supp
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
+    // per-column UNION ALL re-derivation of the one-pass Spark profile;
+    // mean = exact decimal sum → double → one IEEE division, both engines
+    "q_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows, count($c) AS n_nonnull,
+           |count(DISTINCT $c) AS n_distinct,
+           |CAST(min($c) AS DOUBLE) AS min_val, CAST(max($c) AS DOUBLE) AS max_val,
+           |CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / count($c) AS mean_val
+           |FROM lineitem""".stripMargin)
+      .mkString("\nUNION ALL\n"),
+
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+        |count(*) AS n, min(o_totalprice) AS bin_min, max(o_totalprice) AS bin_max,
+        |CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000.0 AS bin_lo
+        |FROM orders WHERE o_totalprice IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    "q_top_unshipped" ->
+      """SELECT l_orderkey, o_orderdate,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
     "q_json_props" ->
       """SELECT event_type, count(*) AS n,
         |CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -1349,6 +1423,37 @@ object SparkEntry {
         |trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS clean_text,
         |CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS INT) AS n_clean_chars
         |FROM documents""".stripMargin,
+
+    // postings re-derived as an ordered string_agg over the same distinct
+    // (doc, term) pairs; numeric doc_id order == Spark's sort_array on longs
+    "q_inverted_index" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id, term FROM
+         |  (SELECT doc_id, unnest($tokensSql) AS term FROM documents))
+         |SELECT term, count(*) AS df,
+         |string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+         |FROM tok GROUP BY term HAVING count(*) >= 50""".stripMargin,
+
+    "q_keyword_search" ->
+      s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars FROM documents
+         |WHERE doc_id IN (
+         |  SELECT doc_id FROM
+         |    (SELECT DISTINCT doc_id, term FROM
+         |      (SELECT doc_id, unnest($tokensSql) AS term FROM documents))
+         |  WHERE term IN ('join', 'hash', 'scan')
+         |  GROUP BY doc_id HAVING count(*) = 3)""".stripMargin,
+
+    // bigrams built by the same 1-based slice over the shared tokenization;
+    // range(1, len-n+2) == Spark's sequence(1, size-n+1) inclusive
+    "q_ngram_counts" ->
+      s"""WITH toks AS (SELECT $tokensSql AS ts FROM documents),
+         |bg AS (SELECT unnest(list_transform(range(1, len(ts)),
+         |         i -> ts[i] || ' ' || ts[i + 1])) AS gram
+         |       FROM toks WHERE len(ts) >= 2),
+         |c AS (SELECT gram, count(*) AS n FROM bg GROUP BY gram),
+         |r AS (SELECT gram, n,
+         |        CAST(row_number() OVER (ORDER BY n DESC, gram) AS INT) AS rk
+         |      FROM c)
+         |SELECT gram, n, rk FROM r WHERE rk <= 20""".stripMargin,
 
     // same markup synthesis + strip chain; regexes are shared verbatim with
     // TextAnalysis (RE2-compatible by construction), 'g' = replace-all to

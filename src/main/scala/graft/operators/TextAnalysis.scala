@@ -92,6 +92,70 @@ object TextAnalysis {
       .select("doc_id", "term", "score", "rk")
   }
 
+  /** Inverted index over the corpus: term → document frequency + the sorted
+    * posting list (doc ids). Postings are emitted as a comma-joined string
+    * so the result is engine-portable (array hash semantics differ across
+    * engines); `minDf` drops the hapax tail, which at web scale is most of
+    * the vocabulary.
+    *
+    * Scale shape: explode(distinct-per-doc tokens) → one hash aggregation
+    * keyed by term. State per term is its posting list — for genuinely hot
+    * terms (df ~ corpus size) a production index shards postings into
+    * (term, bucket) groups or a bitmap codec; the single-group form is kept
+    * here because it is the oracle-checkable core and the sharding is a
+    * key-suffix away.
+    */
+  def invertedIndex(docs: DataFrame, minDf: Long): DataFrame =
+    docs.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
+      .filter(col("df") >= minDf)
+
+  /** Conjunctive keyword search: documents containing ALL of `terms`
+    * (exact whole-token match under the shared `\S+` tokenization).
+    *
+    * Shape: explode only the matching terms (the filter lands inside the
+    * generator's projection), count distinct hits per doc, keep docs whose
+    * hit count equals |terms|, then a left-semi join back to the corpus.
+    * The exploded stream is bounded by |terms| × docs-with-a-hit, not by
+    * corpus token volume, and the semi join carries only doc ids. Against a
+    * persisted [[invertedIndex]] the scan side drops to |terms| postings —
+    * this form is the index-free baseline with identical semantics.
+    */
+  def searchAll(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "searchAll needs at least one term")
+    val matched = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === terms.size)
+      .select("doc_id")
+    docs.join(matched, Seq("doc_id"), "left_semi")
+  }
+
+  /** Corpus-wide n-gram counts, top-k by frequency (count-based LM
+    * statistics / contamination analysis). Grams are built row-locally by a
+    * `transform` over the token array (no self-join, no window); the only
+    * shuffle is the final count aggregation, whose key space is the gram
+    * vocabulary. Ties rank deterministically (count desc, gram asc).
+    */
+  def ngramCounts(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    require(n >= 1 && k >= 1, "n and k must be positive")
+    val grams = docs
+      .select(tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(1, size(ts) - ${n - 1}), i -> array_join(slice(ts, i, $n), ' '))"))
+        .as("gram"))
+    // top-k via TakeOrdered (per-partition heaps, no single-partition sort of
+    // the vocabulary); the rank window then only ever sees k rows
+    val top = grams.groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram")).limit(k)
+    top.withColumn("rk",
+      row_number().over(Window.orderBy(col("n").desc, col("gram"))).cast("int"))
+  }
+
   // ---------------------------------------------------------------------------
   // HTML / boilerplate stripping
 
