@@ -200,6 +200,22 @@ object PlanAudit {
     audit("q_inverted_index")(
       "one term-keyed aggregation builds the postings" -> (p =>
         "hashpartitioning\\(term".r.findAllIn(p).nonEmpty))
+    audit("q_phrase_search")(
+      "row-local n-gram membership: no shuffle, no explode" -> (p =>
+        !p.contains("Exchange") && !p.contains("Generate")))
+    audit("q_bm25")(
+      "df/corpus-stats sides broadcast, no sort-merge join" -> (p =>
+        p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")),
+      "top-k is TakeOrdered (per-partition heaps)" -> (p =>
+        p.contains("TakeOrderedAndProject")),
+      "tf partially aggregated map-side" -> (p =>
+        "HashAggregate".r.findAllIn(p).length >= 2))
+    audit("q_hybrid_search")(
+      // the only nested-loop is the broadcast of the single query vector;
+      // candidate lists are TakeOrdered-cut before the rank windows
+      "no cartesian product anywhere" -> (p => !p.contains("CartesianProduct")),
+      "candidate cuts via TakeOrdered" -> (p =>
+        p.contains("TakeOrderedAndProject")))
     audit("q_temperature_mix")(
       // only strata-sized aggregates exchange; the corpus takes the rates
       // via broadcast and never shuffles itself

@@ -518,6 +518,23 @@ object SparkEntry {
     "q_ngram_counts" -> ((s, d) =>
       TextAnalysis.ngramCounts(Tables.documents(s, d), n = 2, k = 20)),
 
+    // adjacent-token phrase match, entirely row-local (no explode/shuffle)
+    "q_phrase_search" -> ((s, d) =>
+      Search.searchPhrase(Tables.documents(s, d), "hash join")
+        .select(col("doc_id"), length(col("text")).as("n_chars"))),
+
+    // BM25-style ranked retrieval (log-free monotone idf; fixed-order term
+    // summation — see Search scaladoc for the cross-engine discipline)
+    "q_bm25" -> ((s, d) =>
+      Search.bm25(Tables.documents(s, d), Seq("join", "hash", "scan"), k = 10)),
+
+    // keyword + vector hybrid via reciprocal-rank fusion: both candidate
+    // lists TakeOrdered-cut to 100 before ranking, fusion cost bounded by
+    // candidates, never corpus
+    "q_hybrid_search" -> ((s, d) =>
+      Search.hybridSearch(Tables.documents(s, d), Tables.embeddings(s, d),
+        Seq("join", "hash", "scan"), queryVecId = 0L, k = 10)),
+
     // markup synthesized deterministically in-query (the corpus is plain
     // text); script block carries a bare '<' so block-before-tag order is
     // actually exercised
@@ -670,6 +687,38 @@ object SparkEntry {
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
   private val tokensSql = "regexp_extract_all(text, '\\S+')"
+
+  /** BM25 re-derivation over the ('hash','join','scan') query, shared by
+    * q_bm25 and q_hybrid_search. Constants are interpolated from the SAME
+    * Scala doubles the operator uses (k1=1.2, b=0.75), so both engines
+    * parse bit-identical literals; the per-doc total adds the per-term
+    * contributions in sorted-term order exactly as `Search.bm25` does. */
+  private val bm25Cte: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+       |m AS (SELECT doc_id, term FROM tok WHERE term IN ('join', 'hash', 'scan')),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM m GROUP BY doc_id, term),
+       |dft AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM m) GROUP BY term),
+       |st AS (SELECT count(*) AS n_docs,
+       |         CAST(SUM(len($tokensSql)) AS DOUBLE) / count(*) AS avgdl
+       |       FROM documents),
+       |dls AS (SELECT doc_id, len($tokensSql) AS dl FROM documents),
+       |ctr AS (SELECT tf.doc_id, tf.term,
+       |          (CAST(n_docs + 1 AS DOUBLE) / (df + 1)) * (tf * ${1.2 + 1})
+       |            / (tf + 1.2 * (${1 - 0.75} + 0.75 * dl / avgdl)) AS c
+       |        FROM tf JOIN dft ON tf.term = dft.term
+       |        JOIN dls ON tf.doc_id = dls.doc_id CROSS JOIN st),
+       |pv AS (SELECT doc_id,
+       |         max(CASE WHEN term = 'hash' THEN c END) AS c_hash,
+       |         max(CASE WHEN term = 'join' THEN c END) AS c_join,
+       |         max(CASE WHEN term = 'scan' THEN c END) AS c_scan
+       |       FROM ctr GROUP BY doc_id),
+       |bm25s AS (SELECT doc_id,
+       |            round(COALESCE(c_hash, 0.0) + COALESCE(c_join, 0.0)
+       |                + COALESCE(c_scan, 0.0), 6) AS score
+       |          FROM pv),
+       |bm25r AS (SELECT doc_id, score,
+       |            CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rk
+       |          FROM bm25s)""".stripMargin
 
   /** First 8 md5 hex chars of column `h5` as a BIGINT in [0, 2^32) — the
     * DuckDB mirror of TrainingData.hashBucket32 (Spark: conv(substr,16,10)). */
@@ -1454,6 +1503,43 @@ object SparkEntry {
          |        CAST(row_number() OVER (ORDER BY n DESC, gram) AS INT) AS rk
          |      FROM c)
          |SELECT gram, n, rk FROM r WHERE rk <= 20""".stripMargin,
+
+    "q_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokensSql AS ts FROM documents)
+         |SELECT doc_id, CAST(length(text) AS INT) AS n_chars FROM t
+         |WHERE len(ts) >= 2 AND list_contains(
+         |  list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]),
+         |  'hash join')""".stripMargin,
+
+    "q_bm25" ->
+      s"""$bm25Cte
+         |SELECT doc_id, score, rk FROM bm25r WHERE rk <= 10""".stripMargin,
+
+    // the vector side mirrors q_ann_topk's dot/norm discipline; ranks are
+    // assigned after both TakeOrdered cuts, fusion adds the two exact
+    // 1/(60+rank) divisions in fixed order
+    "q_hybrid_search" ->
+      s"""$bm25Cte,
+         |kw AS (SELECT doc_id, rk AS kw_rank FROM bm25r WHERE rk <= 100),
+         |nv AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+         |qq AS (SELECT embedding AS qv, nrm AS qn FROM nv WHERE vec_id = 0),
+         |sc AS (SELECT nv.vec_id AS doc_id,
+         |         round(${dotSql("qv", "nv.embedding")} / (qn * nv.nrm), 6) AS c
+         |       FROM nv CROSS JOIN qq WHERE nv.vec_id <> 0),
+         |vr AS (SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY c DESC, doc_id) AS INT) AS vec_rank
+         |       FROM sc),
+         |vtop AS (SELECT doc_id, vec_rank FROM vr WHERE vec_rank <= 100),
+         |f AS (SELECT COALESCE(kw.doc_id, vtop.doc_id) AS doc_id, kw_rank, vec_rank
+         |      FROM kw FULL OUTER JOIN vtop ON kw.doc_id = vtop.doc_id),
+         |g AS (SELECT doc_id, kw_rank, vec_rank,
+         |        round(COALESCE(1.0 / (60 + kw_rank), 0.0)
+         |            + COALESCE(1.0 / (60 + vec_rank), 0.0), 6) AS rrf
+         |      FROM f),
+         |h AS (SELECT doc_id, kw_rank, vec_rank, rrf,
+         |        CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rk
+         |      FROM g)
+         |SELECT doc_id, kw_rank, vec_rank, rrf, rk FROM h WHERE rk <= 10""".stripMargin,
 
     // same markup synthesis + strip chain; regexes are shared verbatim with
     // TextAnalysis (RE2-compatible by construction), 'g' = replace-all to
