@@ -200,6 +200,12 @@ object PlanAudit {
     audit("q_inverted_index")(
       "one term-keyed aggregation builds the postings" -> (p =>
         "hashpartitioning\\(term".r.findAllIn(p).nonEmpty))
+    audit("q_search_indexed")(
+      // matching happens on exploded postings (|terms| rows in-query; a
+      // persisted index at scale), with a doc-id-only semi join back out
+      "index-served hits return via a semi join" -> (p => p.contains("LeftSemi")),
+      "hit counts partially aggregated map-side" -> (p =>
+        "HashAggregate".r.findAllIn(p).length >= 2))
     audit("q_phrase_search")(
       "row-local n-gram membership: no shuffle, no explode" -> (p =>
         !p.contains("Exchange") && !p.contains("Generate")))

@@ -513,6 +513,17 @@ object SparkEntry {
       TextAnalysis.searchAll(Tables.documents(s, d), Seq("join", "hash", "scan"))
         .select(col("doc_id"), length(col("text")).as("n_chars"))),
 
+    // the same search SERVED FROM the index (|terms| posting rows, corpus
+    // text never scanned for matching); same oracle as the scan-based form
+    // — the two construction paths must agree exactly
+    "q_search_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val hits = TextAnalysis.searchIndexed(
+        TextAnalysis.invertedIndexArr(docs, minDf = 1L), Seq("join", "hash", "scan"))
+      docs.join(hits, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), length(col("text")).as("n_chars"))
+    }),
+
     // corpus bigram statistics, top 20 — count-based LM / contamination
     // analysis; grams built row-locally, single vocabulary-keyed aggregation
     "q_ngram_counts" -> ((s, d) =>
@@ -1483,6 +1494,17 @@ object SparkEntry {
          |FROM tok GROUP BY term HAVING count(*) >= 50""".stripMargin,
 
     "q_keyword_search" ->
+      s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars FROM documents
+         |WHERE doc_id IN (
+         |  SELECT doc_id FROM
+         |    (SELECT DISTINCT doc_id, term FROM
+         |      (SELECT doc_id, unnest($tokensSql) AS term FROM documents))
+         |  WHERE term IN ('join', 'hash', 'scan')
+         |  GROUP BY doc_id HAVING count(*) = 3)""".stripMargin,
+
+    // identical result contract to q_keyword_search — the Spark side takes
+    // the index-served path, and both paths must land on this same answer
+    "q_search_indexed" ->
       s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars FROM documents
          |WHERE doc_id IN (
          |  SELECT doc_id FROM

@@ -106,11 +106,40 @@ object TextAnalysis {
     * key-suffix away.
     */
   def invertedIndex(docs: DataFrame, minDf: Long): DataFrame =
+    invertedIndexArr(docs, minDf)
+      .withColumn("postings", array_join(col("postings"), ","))
+
+  /** The index in its native shape: postings as a sorted `array<long>` —
+    * what a persisted index table stores and [[searchIndexed]] serves from.
+    * `minDf = 1` keeps every term (required for exact search equivalence;
+    * a pruned index silently misses rarer-than-minDf terms).
+    */
+  def invertedIndexArr(docs: DataFrame, minDf: Long): DataFrame =
     docs.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
       .groupBy("term")
       .agg(count(lit(1)).as("df"),
-        array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
+        sort_array(collect_list(col("doc_id"))).as("postings"))
       .filter(col("df") >= minDf)
+
+  /** Conjunctive search served FROM an index ([[invertedIndexArr]] shape,
+    * possibly read back from a persisted table) instead of scanning the
+    * corpus: pull the |terms| posting rows, explode them, and keep doc ids
+    * hit |terms| times. Result ≡ [[searchAll]] doc ids when the index was
+    * built with `minDf = 1` (spec-checked, including a parquet round-trip).
+    *
+    * Scale: the scan side is |terms| postings — independent of corpus row
+    * count; the aggregate's key space is the docs matching ≥1 term. This is
+    * why a 100 TB corpus serves keyword queries from the index table, not
+    * the text.
+    */
+  def searchIndexed(index: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "searchIndexed needs at least one term")
+    index.filter(col("term").isin(terms: _*))
+      .select(explode(col("postings")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === terms.size)
+      .select("doc_id")
+  }
 
   /** Conjunctive keyword search: documents containing ALL of `terms`
     * (exact whole-token match under the shared `\S+` tokenization).

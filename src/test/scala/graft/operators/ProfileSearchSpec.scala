@@ -93,4 +93,36 @@ class ProfileSearchSpec extends SparkSpec {
     val out = TextAnalysis.ngramCounts(df, n = 3, k = 5).collect()
     assert(out.map(r => r.getAs[String]("gram")).toSeq === Seq("a b c"))
   }
+
+  test("Profile.numeric on an all-null column: zero counts, null extremes and mean") {
+    val df = Seq((Some(1.0), Option.empty[Double]), (Some(2.0), None)).toDF("a", "b")
+    val b = Profile.numeric(df, Seq("b")).collect().head
+    assert(b.getAs[Long]("n_rows") === 2L)
+    assert(b.getAs[Long]("n_nonnull") === 0L)
+    assert(b.getAs[Long]("n_distinct") === 0L)
+    assert(b.isNullAt(b.fieldIndex("min_val")))
+    assert(b.isNullAt(b.fieldIndex("max_val")))
+    assert(b.isNullAt(b.fieldIndex("mean_val")))
+  }
+
+  test("searchIndexed over a minDf=1 index returns exactly searchAll's doc ids") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val direct = TextAnalysis.searchAll(docs, Seq("join", "hash", "scan"))
+      .select("doc_id").as[Long].collect().sorted
+    val viaIndex = TextAnalysis.searchIndexed(
+      TextAnalysis.invertedIndexArr(docs, minDf = 1L), Seq("join", "hash", "scan"))
+      .as[Long].collect().sorted
+    assert(direct.nonEmpty && viaIndex.toSeq === direct.toSeq)
+  }
+
+  test("searchIndexed works from a PERSISTED index (parquet round-trip)") {
+    val docs = Seq((1L, "a b c"), (2L, "a b"), (3L, "b c"), (4L, "a c")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    TextAnalysis.invertedIndexArr(docs, minDf = 1L)
+      .write.mode("overwrite").parquet(dir)
+    val hits = TextAnalysis.searchIndexed(spark.read.parquet(dir), Seq("a", "c"))
+      .as[Long].collect().sorted
+    assert(hits === Array(1L, 4L))
+  }
 }
