@@ -216,6 +216,9 @@ object PlanAudit {
         p.contains("TakeOrderedAndProject")),
       "tf partially aggregated map-side" -> (p =>
         "HashAggregate".r.findAllIn(p).length >= 2))
+    audit("q_bm25_indexed")(
+      "served via posting explode, top-k TakeOrdered" -> (p =>
+        p.contains("Generate explode(postings") && p.contains("TakeOrderedAndProject")))
     audit("q_hybrid_search")(
       // the only nested-loop is the broadcast of the single query vector;
       // candidate lists are TakeOrdered-cut before the rank windows

@@ -539,6 +539,15 @@ object SparkEntry {
     "q_bm25" -> ((s, d) =>
       Search.bm25(Tables.documents(s, d), Seq("join", "hash", "scan"), k = 10)),
 
+    // the same ranking SERVED FROM the tf-aware index (|terms| posting
+    // rows + doc-length table; corpus text never scanned); same oracle as
+    // q_bm25 — both construction paths must agree bit-for-bit
+    "q_bm25_indexed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Search.bm25Indexed(Search.searchIndex(docs), Search.docLengths(docs),
+        Search.corpusStats(docs), Seq("join", "hash", "scan"), k = 10)
+    }),
+
     // keyword + vector hybrid via reciprocal-rank fusion: both candidate
     // lists TakeOrdered-cut to 100 before ranking, fusion cost bounded by
     // candidates, never corpus
@@ -1534,6 +1543,11 @@ object SparkEntry {
          |  'hash join')""".stripMargin,
 
     "q_bm25" ->
+      s"""$bm25Cte
+         |SELECT doc_id, score, rk FROM bm25r WHERE rk <= 10""".stripMargin,
+
+    // identical contract to q_bm25 — the Spark side serves from the index
+    "q_bm25_indexed" ->
       s"""$bm25Cte
          |SELECT doc_id, score, rk FROM bm25r WHERE rk <= 10""".stripMargin,
 

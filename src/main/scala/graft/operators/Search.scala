@@ -64,12 +64,56 @@ object Search {
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfT = toks.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = docs.agg(
+    bm25Score(tf.join(broadcast(dfT), "term"), docLengths(docs), corpusStats(docs),
+      terms, k, k1, b)
+  }
+
+  /** tf-aware search index: one row per vocabulary term with its df and
+    * postings as a doc-sorted `array<struct<doc_id, tf>>` — the shape a
+    * persisted BM25 index table stores. Build once per corpus snapshot;
+    * [[bm25Indexed]] then serves queries from |terms| posting rows.
+    */
+  def searchIndex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("term").agg(count(lit(1)).as("df"),
+        sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("postings"))
+
+  /** Per-document token counts — persisted next to [[searchIndex]] (BM25's
+    * length normalization needs them at query time). */
+  def docLengths(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
+
+  /** Corpus-level constants (doc count, average doc length), one row. */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.agg(
       count(lit(1)).as("n_docs"),
       (sum(size(tokens(col("text")))).cast("double") / count(lit(1))).as("avgdl"))
-    val dl = docs.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
 
-    val contrib = tf.join(broadcast(dfT), "term").join(dl, "doc_id")
+  /** BM25 served FROM a [[searchIndex]] (possibly read back from disk):
+    * identical scores and ranks to [[bm25]] — same idf (the index df IS the
+    * per-term posting count), same tf, same fixed-order summation
+    * (equivalence spec-checked, including a parquet round-trip). The query
+    * touches |terms| index rows + the doc-length table; the corpus text is
+    * never scanned.
+    */
+  def bm25Indexed(index: DataFrame, docLens: DataFrame, stats: DataFrame,
+                  terms: Seq[String], k: Int,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Indexed needs at least one query term")
+    require(terms.distinct.size == terms.size, "bm25Indexed terms must be distinct")
+    val tfDf = index.filter(col("term").isin(terms: _*))
+      .select(col("term"), col("df"), explode(col("postings")).as("p"))
+      .select(col("term"), col("df"),
+        col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+    bm25Score(tfDf, docLens, stats, terms, k, k1, b)
+  }
+
+  /** Shared scoring core: `tfDf` carries (doc_id, term, tf, df) for the
+    * matched terms, however it was produced (corpus scan or index). */
+  private def bm25Score(tfDf: DataFrame, docLens: DataFrame, stats: DataFrame,
+                        terms: Seq[String], k: Int, k1: Double, b: Double): DataFrame = {
+    val contrib = tfDf.join(docLens, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("c",
         ((col("n_docs") + 1).cast("double") / (col("df") + 1)) *

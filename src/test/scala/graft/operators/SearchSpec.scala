@@ -75,6 +75,23 @@ class SearchSpec extends SparkSpec {
     assert(out.get(0L).forall(v => v._2.isEmpty))
   }
 
+  test("bm25Indexed over a persisted index reproduces bm25 exactly") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val terms = Seq("join", "hash", "scan")
+    val direct = Search.bm25(docs, terms, k = 50).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"), r.getAs[Int]("rk")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+    Search.searchIndex(docs).write.mode("overwrite").parquet(s"$dir/index")
+    Search.docLengths(docs).write.mode("overwrite").parquet(s"$dir/dl")
+    val viaIndex = Search.bm25Indexed(
+      spark.read.parquet(s"$dir/index"), spark.read.parquet(s"$dir/dl"),
+      Search.corpusStats(docs), terms, k = 50).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"), r.getAs[Int]("rk")))
+    assert(direct.nonEmpty && viaIndex.toSeq === direct.toSeq)
+  }
+
   test("hybridSearch candidate cut bounds both lists") {
     val docs = (1L to 20L).map(i => (i, if (i <= 10) "a" else "z")).toDF("doc_id", "text")
     val emb = (0L to 20L).map(i => (i, Array(i.toFloat, 1.0f))).toDF("vec_id", "embedding")
