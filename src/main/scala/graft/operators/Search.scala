@@ -90,6 +90,42 @@ object Search {
       count(lit(1)).as("n_docs"),
       (sum(size(tokens(col("text")))).cast("double") / count(lit(1))).as("avgdl"))
 
+  /** Incremental index maintenance: merge a NEW batch of documents into an
+    * existing [[searchIndex]] without rebuilding it. Only the terms the
+    * batch actually contains are re-aggregated (their postings explode and
+    * merge with the batch's); every other term's row passes through
+    * untouched via an anti join. Cost is bounded by the affected terms'
+    * posting volume + the batch — never the corpus.
+    *
+    * Precondition: batch doc ids are disjoint from the indexed corpus
+    * (append-only ingest — the same contract as `AnnIndex.upsert`). A
+    * re-ingested doc id would double-count df/tf; dedup the batch against
+    * the corpus first (`Dedup.exact` / anti join on doc_id).
+    *
+    * Equivalence `upsert(index(a), b) ≡ index(a ∪ b)` is spec-checked down
+    * to bit-identical BM25 rankings; pair with a `docLengths` union and
+    * [[statsFromLengths]] for the query-time tables.
+    */
+  def upsertIndex(index: DataFrame, newDocs: DataFrame): DataFrame = {
+    val delta = searchIndex(newDocs)
+    val deltaTerms = delta.select("term")
+    val untouched = index.join(deltaTerms, Seq("term"), "left_anti")
+    val affected = index.join(deltaTerms, Seq("term"), "left_semi")
+    val merged = affected.select(col("term"), explode(col("postings")).as("p"))
+      .unionByName(delta.select(col("term"), explode(col("postings")).as("p")))
+      .groupBy("term").agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("p"))).as("postings"))
+    untouched.unionByName(merged)
+  }
+
+  /** Corpus stats re-derived from a [[docLengths]] table (so incremental
+    * ingest never rescans text): same sum/count as [[corpusStats]], hence
+    * the identical avgdl double. */
+  def statsFromLengths(docLens: DataFrame): DataFrame =
+    docLens.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+
   /** BM25 served FROM a [[searchIndex]] (possibly read back from disk):
     * identical scores and ranks to [[bm25]] — same idf (the index df IS the
     * per-term posting count), same tf, same fixed-order summation

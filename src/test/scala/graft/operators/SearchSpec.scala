@@ -92,6 +92,44 @@ class SearchSpec extends SparkSpec {
     assert(direct.nonEmpty && viaIndex.toSeq === direct.toSeq)
   }
 
+  test("upsertIndex equals a full rebuild, down to bit-identical BM25 rankings") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val terms = Seq("join", "hash", "scan")
+
+    val upserted = Search.upsertIndex(Search.searchIndex(base), batch)
+    val rebuilt = Search.searchIndex(docs)
+    // index rows identical (df + full postings arrays) term by term
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[String]("term"), r.getAs[Long]("df"),
+        r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("postings")).toList)
+    assert(upserted.collect().map(key).sortBy(_._1).toSeq ===
+      rebuilt.collect().map(key).sortBy(_._1).toSeq)
+
+    // query-time equality through the incremental stats path
+    val dl = Search.docLengths(base).unionByName(Search.docLengths(batch))
+    val viaUpsert = Search.bm25Indexed(upserted, dl,
+      Search.statsFromLengths(dl), terms, k = 50).collect().toSeq
+    val direct = Search.bm25(docs, terms, k = 50).collect().toSeq
+    assert(viaUpsert === direct)
+  }
+
+  test("upsertIndex leaves terms absent from the batch untouched") {
+    val base = Seq((1L, "alpha beta"), (2L, "alpha gamma")).toDF("doc_id", "text")
+    val batch = Seq((3L, "beta delta")).toDF("doc_id", "text")
+    val out = Search.upsertIndex(Search.searchIndex(base), batch).collect()
+      .map(r => r.getAs[String]("term") ->
+        ((r.getAs[Long]("df"), r.getSeq[org.apache.spark.sql.Row](2).map(_.getLong(0)).toList)))
+      .toMap
+    assert(out("alpha") === ((2L, List(1L, 2L))))   // untouched
+    assert(out("gamma") === ((1L, List(2L))))       // untouched
+    assert(out("beta") === ((2L, List(1L, 3L))))    // merged
+    assert(out("delta") === ((1L, List(3L))))       // new term
+  }
+
   test("hybridSearch candidate cut bounds both lists") {
     val docs = (1L to 20L).map(i => (i, if (i <= 10) "a" else "z")).toDF("doc_id", "text")
     val emb = (0L to 20L).map(i => (i, Array(i.toFloat, 1.0f))).toDF("vec_id", "embedding")
