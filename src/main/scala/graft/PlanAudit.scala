@@ -200,6 +200,10 @@ object PlanAudit {
     audit("q_inverted_index")(
       "one term-keyed aggregation builds the postings" -> (p =>
         "hashpartitioning\\(term".r.findAllIn(p).nonEmpty))
+    audit("q_window_dist")(
+      "all three distribution windows share one priority-keyed partitioning" -> (p =>
+        "hashpartitioning\\(o_orderpriority".r.findAllIn(p).nonEmpty &&
+          "Exchange".r.findAllIn(p).length == 1))
     audit("q_search_indexed")(
       // matching happens on exploded postings (|terms| rows in-query; a
       // persisted index at scale), with a doc-id-only semi join back out

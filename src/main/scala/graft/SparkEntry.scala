@@ -582,6 +582,19 @@ object SparkEntry {
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(count(lit(1)))),
 
+    // distribution windows (ntile/percent_rank/cume_dist), keyed by
+    // priority so every window is a bounded group, never a global sort;
+    // both rank ratios are single IEEE divisions of exact integer ranks
+    "q_window_dist" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+    }),
+
     "q_order_gaps" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
       Tables.orders(s, d)
@@ -1142,6 +1155,14 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |CAST(ntile(4) OVER w AS INT) AS quartile,
+        |percent_rank() OVER w AS pct_rank,
+        |cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin,
 
     "q_json_props" ->
       """SELECT event_type, count(*) AS n,

@@ -107,15 +107,24 @@ object Search {
     * [[statsFromLengths]] for the query-time tables.
     */
   def upsertIndex(index: DataFrame, newDocs: DataFrame): DataFrame = {
+    val untouched = index.join(searchIndex(newDocs).select("term"), Seq("term"), "left_anti")
+    untouched.unionByName(upsertDelta(index, newDocs))
+  }
+
+  /** The CHANGED index rows only — merged entries for exactly the terms the
+    * batch contains (new terms included). This is what a keyed storage
+    * merge wants ([[graft.streaming.Streaming.indexUpsertSink]] hands these
+    * rows to `ManifestTable.merge`, which carries every untouched row/file
+    * over); [[upsertIndex]] is this plus the anti-join passthrough for
+    * callers holding the index as a DataFrame.
+    */
+  def upsertDelta(index: DataFrame, newDocs: DataFrame): DataFrame = {
     val delta = searchIndex(newDocs)
-    val deltaTerms = delta.select("term")
-    val untouched = index.join(deltaTerms, Seq("term"), "left_anti")
-    val affected = index.join(deltaTerms, Seq("term"), "left_semi")
-    val merged = affected.select(col("term"), explode(col("postings")).as("p"))
+    val affected = index.join(delta.select("term"), Seq("term"), "left_semi")
+    affected.select(col("term"), explode(col("postings")).as("p"))
       .unionByName(delta.select(col("term"), explode(col("postings")).as("p")))
       .groupBy("term").agg(count(lit(1)).as("df"),
         sort_array(collect_list(col("p"))).as("postings"))
-    untouched.unionByName(merged)
   }
 
   /** Corpus stats re-derived from a [[docLengths]] table (so incremental

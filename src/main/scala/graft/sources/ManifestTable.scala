@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 import java.nio.charset.StandardCharsets
 
 /** A minimal snapshot-isolated table format over parquet — the manifest
@@ -827,10 +827,31 @@ object ManifestTable {
     * fail at scan time, long after the bad commit was durable.
     */
   private def requireCompatible(df: DataFrame, m: Manifest, op: String): Unit = {
-    def shape(s: StructType) = s.fields.map(f => f.name -> f.dataType).sortBy(_._1).toSeq
+    def shape(s: StructType) =
+      s.fields.map(f => f.name -> ignoreNullability(f.dataType)).sortBy(_._1).toSeq
     require(shape(df.schema) == shape(m.schema),
       s"$op batch schema ${df.schema.simpleString} does not match table schema " +
         s"${m.schema.simpleString}")
+  }
+
+  /** Type with every nullability flag forced, recursively — schema
+    * comparisons here are nullability-insensitive BY DOCUMENTED CONTRACT,
+    * but bare `DataType ==` compares `containsNull`/field nullability
+    * inside arrays/structs/maps, so a nested-typed column that round-trips
+    * through parquet (where aggregate-produced non-null flags widen) would
+    * spuriously reject as "retyped". Top-level nullability was already
+    * ignored (only `dataType` is compared); this extends the same rule to
+    * nested levels.
+    */
+  private def ignoreNullability(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f =>
+        f.copy(dataType = ignoreNullability(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(ignoreNullability(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(ignoreNullability(m.keyType), ignoreNullability(m.valueType),
+        valueContainsNull = true)
+    case other => other
   }
 
   /** Table schema after accepting `df`: identical shape → unchanged; a
@@ -844,14 +865,16 @@ object ManifestTable {
     * shapes [[requireCompatible]] exists to stop.
     */
   private def evolveSchema(df: DataFrame, m: Manifest, op: String): StructType = {
-    def shape(s: StructType) = s.fields.map(f => f.name -> f.dataType).sortBy(_._1).toSeq
+    def shape(s: StructType) =
+      s.fields.map(f => f.name -> ignoreNullability(f.dataType)).sortBy(_._1).toSeq
     if (shape(df.schema) == shape(m.schema)) m.schema
     else {
       val batchTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
       val tableNames = m.schema.fieldNames.toSet
       val missing = m.schema.fieldNames.filterNot(batchTypes.contains)
       val retyped = m.schema.fields.filter(f =>
-        batchTypes.get(f.name).exists(_ != f.dataType))
+        batchTypes.get(f.name).exists(t =>
+          ignoreNullability(t) != ignoreNullability(f.dataType)))
       require(missing.isEmpty && retyped.isEmpty,
         s"$op batch schema ${df.schema.simpleString} is not a compatible superset of " +
           s"table schema ${m.schema.simpleString} " +

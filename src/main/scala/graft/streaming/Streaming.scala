@@ -70,6 +70,47 @@ object Streaming {
       }
       .start()
 
+  /** Live search-index maintenance: each micro-batch of documents
+    * (doc_id, text) is merged into a persisted tf-aware BM25 index
+    * ([[graft.operators.Search.searchIndex]] shape) plus its doc-length
+    * table, both snapshot-isolated [[graft.sources.ManifestTable]]s.
+    *
+    * The index table is partitioned by a term-hash bucket so the per-batch
+    * `merge` rewrites ONLY the buckets holding the batch's terms — ingest
+    * IO tracks the batch's vocabulary, not the index. Queries between
+    * batches serve from a consistent snapshot (`bm25Indexed` over
+    * `ManifestTable.read`); a replayed batch after a checkpoint recovery
+    * re-merges the same term rows it already wrote, so the append-only
+    * contract (new doc ids per batch) keeps recovery idempotent at the
+    * term-row level only if the batch is deduplicated upstream — the same
+    * discipline `AnnIndex.upsert` documents.
+    */
+  def indexUpsertSink(stream: DataFrame, indexPath: String, dlPath: String,
+                      checkpointDir: String, buckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(buckets > 0, "buckets must be positive")
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val docs = batch.toDF()
+        if (!docs.isEmpty) {
+          val changed = graft.sources.ManifestTable.currentVersion(s, indexPath) match {
+            case None => graft.operators.Search.searchIndex(docs)
+            case Some(_) =>
+              graft.operators.Search.upsertDelta(
+                graft.sources.ManifestTable.read(s, indexPath).drop("tbucket"), docs)
+          }
+          val rows = changed.withColumn("tbucket",
+            pmod(hash(col("term")), lit(buckets)))
+          graft.sources.ManifestTable.merge(s, indexPath, rows,
+            keys = Seq("term"), partitionCols = Seq("tbucket")): Unit
+          graft.sources.ManifestTable.append(s, dlPath,
+            graft.operators.Search.docLengths(docs)): Unit
+        }
+      }
+      .start()
+  }
+
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
 
   /** Group state: the key's open sessions, sorted by start, pairwise more

@@ -488,4 +488,27 @@ class ManifestTableSpec extends SparkSpec {
     // the untouched partition's file survives under its old name
     assert(back.filter(col("year") === 2021).count() === 1)
   }
+
+  test("nested-typed columns survive append/merge despite nullability drift") {
+    // an aggregate-produced array<struct> column carries containsNull=false /
+    // non-null struct fields; after the parquet round-trip those flags widen.
+    // Schema compatibility is nullability-insensitive BY CONTRACT — bare
+    // DataType == would spuriously reject the second batch as "retyped"
+    val path = tmpTable()
+    def batch(ids: Seq[Long]) = ids.toDF("id")
+      .groupBy((col("id") % 2).as("k"))
+      .agg(sort_array(collect_list(struct(col("id"), (col("id") * 10).as("x"))))
+        .as("items"))
+    ManifestTable.append(spark, path, batch(1L to 4L))
+    // append: same shape up to nullability → must NOT reject or re-evolve
+    ManifestTable.append(spark, path, batch(5L to 6L))
+    assert(ManifestTable.read(spark, path).count() === 4)
+    // merge: keyed replace with the same nullability drift
+    ManifestTable.merge(spark, path, batch(7L to 8L), keys = Seq("k"))
+    val merged = ManifestTable.read(spark, path)
+    // both k-values matched → all four old rows replaced by the two new ones
+    assert(merged.count() === 2)
+    assert(merged.filter(col("k") === 1)
+      .select(explode(col("items.id"))).as[Long].collect().toSet === Set(7L))
+  }
 }

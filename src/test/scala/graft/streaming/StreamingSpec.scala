@@ -258,6 +258,39 @@ class StreamingSpec extends SparkSpec {
     assert(graft.sources.ManifestTable.readVersion(spark, s"$root/t", 1L).count() === 2)
   }
 
+  test("indexUpsertSink maintains a live BM25 index equal to a batch rebuild") {
+    import graft.operators.Search
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("idxsink").toString
+    val in = MemoryStream[(Long, String)]
+    val q = Streaming.indexUpsertSink(in.toDF().toDF("doc_id", "text"),
+      s"$root/idx", s"$root/dl", s"$root/ckpt", buckets = 8)
+
+    val b1 = Seq((1L, "spark join hash"), (2L, "hash scan scan"), (3L, "sort merge"))
+    val b2 = Seq((4L, "join join scan"), (5L, "window agg"))
+    val terms = Seq("join", "hash", "scan")
+    def served(): Seq[(Long, Double, Int)] = {
+      val idx = graft.sources.ManifestTable.read(spark, s"$root/idx").drop("tbucket")
+      val dl = graft.sources.ManifestTable.read(spark, s"$root/dl")
+      Search.bm25Indexed(idx, dl, Search.statsFromLengths(dl), terms, k = 10)
+        .as[(Long, Double, Int)].collect().toSeq
+    }
+    def rebuilt(rows: Seq[(Long, String)]): Seq[(Long, Double, Int)] =
+      Search.bm25(rows.toDF("doc_id", "text"), terms, k = 10)
+        .as[(Long, Double, Int)].collect().toSeq
+
+    in.addData(b1: _*); q.processAllAvailable()
+    assert(served() === rebuilt(b1))
+    in.addData(b2: _*); q.processAllAvailable(); q.stop()
+    assert(served() === rebuilt(b1 ++ b2))
+    // two batches → two committed index versions; the first stays readable
+    // (time travel over the live index) and matches the batch-1 rebuild
+    val idxV1 = graft.sources.ManifestTable.readVersion(spark, s"$root/idx", 1L).drop("tbucket")
+    val dlV1 = graft.sources.ManifestTable.readVersion(spark, s"$root/dl", 1L)
+    assert(Search.bm25Indexed(idxV1, dlV1, Search.statsFromLengths(dlV1), terms, k = 10)
+      .as[(Long, Double, Int)].collect().toSeq === rebuilt(b1))
+  }
+
   test("stateful sessionize closes a session on gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
