@@ -200,6 +200,14 @@ object PlanAudit {
     audit("q_inverted_index")(
       "one term-keyed aggregation builds the postings" -> (p =>
         "hashpartitioning\\(term".r.findAllIn(p).nonEmpty))
+    audit("q_grouping_sets")(
+      "one Expand-based aggregation, partials map-side" -> (p =>
+        p.contains("Expand") && "HashAggregate".r.findAllIn(p).length >= 2))
+    audit("q_gap_fill")(
+      "fill window is priority-keyed (no global sort)" -> (p =>
+        "hashpartitioning\\(prio".r.findAllIn(p).nonEmpty),
+      "grid join is keyed, never cartesian" -> (p =>
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
     audit("q_window_dist")(
       "all three distribution windows share one priority-keyed partitioning" -> (p =>
         "hashpartitioning\\(o_orderpriority".r.findAllIn(p).nonEmpty &&

@@ -576,6 +576,40 @@ object SparkEntry {
         .cube(year(col("o_orderdate")).as("y"), col("o_orderpriority").as("prio"))
         .agg(count(lit(1)).as("n"))),
 
+    // arbitrary grouping combinations — the shape cube/rollup can't
+    // express ((prio, year) detail + each one-dimension margin, no grand
+    // total). Group keys are non-null here, so NULL marks the margins.
+    "q_grouping_sets" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("prio"),
+          year(col("o_orderdate")).as("y"), col("o_totalprice"))
+      o.groupingSets(
+          Seq(Seq(col("prio"), col("y")), Seq(col("prio")), Seq(col("y"))),
+          col("prio"), col("y"))
+        .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("revenue"))
+    }),
+
+    // time-series resample: month grid per priority (sequence explode),
+    // zero-filled counts + forward-filled revenue. The fill window is
+    // priority-keyed; grid size is bounded by the date span, never rows.
+    "q_gap_fill" -> ((s, d) => {
+      val m = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 450000)
+        .groupBy(col("o_orderpriority").as("prio"),
+          date_trunc("month", col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("rev"))
+      val grid = m.groupBy(col("prio"))
+        .agg(min(col("mo")).as("lo"), max(col("mo")).as("hi"))
+        .select(col("prio"),
+          explode(expr("sequence(lo, hi, interval 1 month)")).as("mo"))
+      val w = Window.partitionBy(col("prio")).orderBy(col("mo"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(m, Seq("prio", "mo"), "left")
+        .select(col("prio"), col("mo"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("rev"), ignoreNulls = true).over(w).as("rev_filled"))
+    }),
+
     "q_pivot" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy(year(col("o_orderdate")).as("y"))
@@ -1415,6 +1449,34 @@ object SparkEntry {
     "q_cube" ->
       """SELECT year(o_orderdate) AS y, o_orderpriority AS prio, count(*) AS n
         |FROM orders GROUP BY CUBE (year(o_orderdate), o_orderpriority)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderpriority AS prio, CAST(year(o_orderdate) AS INT) AS y,
+        |count(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, year(o_orderdate)),
+        |                        (o_orderpriority), (year(o_orderdate)))""".stripMargin,
+
+    // same grid construction: per-priority month bounds, generate_series
+    // (inclusive both ends, like Spark's sequence), zero-fill + IGNORE
+    // NULLS forward fill over the same priority-keyed frame
+    "q_gap_fill" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority AS prio, date_trunc('month', o_orderdate) AS mo,
+        |         count(*) AS n,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders WHERE o_totalprice > 450000 GROUP BY 1, 2),
+        |g AS (
+        |  SELECT prio, unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS mo
+        |  FROM (SELECT prio, min(mo) AS lo, max(mo) AS hi FROM m GROUP BY prio)),
+        |j AS (
+        |  SELECT g.prio, g.mo, COALESCE(m.n, 0) AS n, m.rev
+        |  FROM g LEFT JOIN m ON g.prio = m.prio AND g.mo = m.mo)
+        |SELECT prio, mo, n,
+        |  last_value(rev IGNORE NULLS) OVER (PARTITION BY prio ORDER BY mo
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_filled
+        |FROM j""".stripMargin,
 
     "q_pivot" ->
       """SELECT year(o_orderdate) AS y,
