@@ -755,6 +755,19 @@ object SparkEntry {
   /** Shared oracle-SQL fragments (DuckDB dialect). */
   private val tokensSql = "regexp_extract_all(text, '\\S+')"
 
+  /** Conjunctive ('join','hash','scan') whole-token search — ONE value
+    * shared by q_keyword_search (scan-based) and q_search_indexed
+    * (index-served), because their entire point is landing on the same
+    * answer. */
+  private val conjunctiveSearchSql: String =
+    s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars FROM documents
+       |WHERE doc_id IN (
+       |  SELECT doc_id FROM
+       |    (SELECT DISTINCT doc_id, term FROM
+       |      (SELECT doc_id, unnest($tokensSql) AS term FROM documents))
+       |  WHERE term IN ('join', 'hash', 'scan')
+       |  GROUP BY doc_id HAVING count(*) = 3)""".stripMargin
+
   /** BM25 re-derivation over the ('hash','join','scan') query, shared by
     * q_bm25 and q_hybrid_search. Constants are interpolated from the SAME
     * Scala doubles the operator uses (k1=1.2, b=0.75), so both engines
@@ -1585,25 +1598,13 @@ object SparkEntry {
          |string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
          |FROM tok GROUP BY term HAVING count(*) >= 50""".stripMargin,
 
-    "q_keyword_search" ->
-      s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars FROM documents
-         |WHERE doc_id IN (
-         |  SELECT doc_id FROM
-         |    (SELECT DISTINCT doc_id, term FROM
-         |      (SELECT doc_id, unnest($tokensSql) AS term FROM documents))
-         |  WHERE term IN ('join', 'hash', 'scan')
-         |  GROUP BY doc_id HAVING count(*) = 3)""".stripMargin,
+    "q_keyword_search" -> conjunctiveSearchSql,
 
-    // identical result contract to q_keyword_search — the Spark side takes
-    // the index-served path, and both paths must land on this same answer
-    "q_search_indexed" ->
-      s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars FROM documents
-         |WHERE doc_id IN (
-         |  SELECT doc_id FROM
-         |    (SELECT DISTINCT doc_id, term FROM
-         |      (SELECT doc_id, unnest($tokensSql) AS term FROM documents))
-         |  WHERE term IN ('join', 'hash', 'scan')
-         |  GROUP BY doc_id HAVING count(*) = 3)""".stripMargin,
+    // identical result contract to q_keyword_search (the SAME sql value —
+    // a drifting copy would quietly decouple the two paths' guarantee):
+    // the Spark side takes the index-served path, and both construction
+    // paths must land on this one answer
+    "q_search_indexed" -> conjunctiveSearchSql,
 
     // bigrams built by the same 1-based slice over the shared tokenization;
     // range(1, len-n+2) == Spark's sequence(1, size-n+1) inclusive

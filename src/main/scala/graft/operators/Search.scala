@@ -107,8 +107,9 @@ object Search {
     * [[statsFromLengths]] for the query-time tables.
     */
   def upsertIndex(index: DataFrame, newDocs: DataFrame): DataFrame = {
-    val untouched = index.join(searchIndex(newDocs).select("term"), Seq("term"), "left_anti")
-    untouched.unionByName(upsertDelta(index, newDocs))
+    val delta = searchIndex(newDocs)
+    index.join(delta.select("term"), Seq("term"), "left_anti")
+      .unionByName(upsertDeltaFrom(index, delta))
   }
 
   /** The CHANGED index rows only — merged entries for exactly the terms the
@@ -118,11 +119,30 @@ object Search {
     * over); [[upsertIndex]] is this plus the anti-join passthrough for
     * callers holding the index as a DataFrame.
     */
-  def upsertDelta(index: DataFrame, newDocs: DataFrame): DataFrame = {
-    val delta = searchIndex(newDocs)
+  def upsertDelta(index: DataFrame, newDocs: DataFrame): DataFrame =
+    upsertDeltaFrom(index, searchIndex(newDocs))
+
+  /** [[upsertDelta]] over an already-built batch delta (so callers that
+    * also need the delta — e.g. for bucket pruning — build it once).
+    *
+    * IDEMPOTENT by construction: the batch's doc ids (read off the delta's
+    * own postings) are anti-joined OUT of the affected terms' existing
+    * postings before the batch's are added, so the output is independent
+    * of whether this batch was already applied — a replayed micro-batch
+    * re-produces byte-identical rows instead of double-counting. The
+    * removal is exact for a replay (same doc, same text); a doc
+    * re-ingested with CHANGED text still leaves stale postings under terms
+    * it no longer contains — true document update needs a tombstone pass
+    * over the doc's previous term set.
+    */
+  private[graft] def upsertDeltaFrom(index: DataFrame, delta: DataFrame): DataFrame = {
+    val batchIds = delta
+      .select(explode(col("postings")).as("p")).select(col("p.doc_id").as("bid"))
+      .distinct()
     val affected = index.join(delta.select("term"), Seq("term"), "left_semi")
-    affected.select(col("term"), explode(col("postings")).as("p"))
-      .unionByName(delta.select(col("term"), explode(col("postings")).as("p")))
+    val kept = affected.select(col("term"), explode(col("postings")).as("p"))
+      .join(broadcast(batchIds), col("p.doc_id") === col("bid"), "left_anti")
+    kept.unionByName(delta.select(col("term"), explode(col("postings")).as("p")))
       .groupBy("term").agg(count(lit(1)).as("df"),
         sort_array(collect_list(col("p"))).as("postings"))
   }

@@ -134,6 +134,9 @@ object TextAnalysis {
     */
   def searchIndexed(index: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "searchIndexed needs at least one term")
+    // a duplicated term would make the n_hit == |terms| check unsatisfiable
+    // and silently return zero rows — reject loudly, as bm25 does
+    require(terms.distinct.size == terms.size, "searchIndexed terms must be distinct")
     index.filter(col("term").isin(terms: _*))
       .select(explode(col("postings")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
@@ -154,6 +157,9 @@ object TextAnalysis {
     */
   def searchAll(docs: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "searchAll needs at least one term")
+    // a duplicated term would make the n_hit == |terms| check unsatisfiable
+    // and silently return zero rows — reject loudly, as bm25 does
+    require(terms.distinct.size == terms.size, "searchAll terms must be distinct")
     val matched = docs
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
       .filter(col("term").isin(terms: _*))

@@ -74,16 +74,8 @@ object Streaming {
     * (doc_id, text) is merged into a persisted tf-aware BM25 index
     * ([[graft.operators.Search.searchIndex]] shape) plus its doc-length
     * table, both snapshot-isolated [[graft.sources.ManifestTable]]s.
-    *
-    * The index table is partitioned by a term-hash bucket so the per-batch
-    * `merge` rewrites ONLY the buckets holding the batch's terms — ingest
-    * IO tracks the batch's vocabulary, not the index. Queries between
-    * batches serve from a consistent snapshot (`bm25Indexed` over
-    * `ManifestTable.read`); a replayed batch after a checkpoint recovery
-    * re-merges the same term rows it already wrote, so the append-only
-    * contract (new doc ids per batch) keeps recovery idempotent at the
-    * term-row level only if the batch is deduplicated upstream — the same
-    * discipline `AnnIndex.upsert` documents.
+    * The per-batch work is [[applyIndexBatch]] — see there for the
+    * idempotence and consistency contract.
     */
   def indexUpsertSink(stream: DataFrame, indexPath: String, dlPath: String,
                       checkpointDir: String, buckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -91,24 +83,66 @@ object Streaming {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val s = batch.sparkSession
-        val docs = batch.toDF()
-        if (!docs.isEmpty) {
-          val changed = graft.sources.ManifestTable.currentVersion(s, indexPath) match {
-            case None => graft.operators.Search.searchIndex(docs)
-            case Some(_) =>
-              graft.operators.Search.upsertDelta(
-                graft.sources.ManifestTable.read(s, indexPath).drop("tbucket"), docs)
-          }
-          val rows = changed.withColumn("tbucket",
-            pmod(hash(col("term")), lit(buckets)))
-          graft.sources.ManifestTable.merge(s, indexPath, rows,
-            keys = Seq("term"), partitionCols = Seq("tbucket")): Unit
-          graft.sources.ManifestTable.append(s, dlPath,
-            graft.operators.Search.docLengths(docs)): Unit
-        }
+        applyIndexBatch(batch.sparkSession, indexPath, dlPath, batch.toDF(), buckets)
       }
       .start()
+  }
+
+  /** Apply one document micro-batch to the (index, doc-length) table pair.
+    *
+    * Replay-safe under foreachBatch's at-least-once contract, at every
+    * crash point:
+    *  - the index merge is IDEMPOTENT: `upsertDeltaFrom` strips the
+    *    batch's doc ids from the affected postings before re-adding them,
+    *    so its output is independent of whether the batch already landed
+    *    (a replay rewrites byte-identical rows, never double-counts);
+    *  - the doc-length append is DEDUPED against the table, so a replay
+    *    appends nothing;
+    *  - ordering is index-first: a crash between the two commits replays
+    *    into an idempotent merge and a still-pending dl append. (dl-first
+    *    would be wrong: its dedup would swallow the replay before the
+    *    index merge ever ran.)
+    * Cross-table visibility: between the two commits a reader sees batch
+    * postings whose doc ids are not yet in the dl table — those docs drop
+    * out of BM25's inner join until the dl commit lands (self-healing,
+    * bounded by one batch). A strictly consistent read pins both tables to
+    * versions committed by the same fully-applied batch.
+    *
+    * Ingest IO tracks the batch: the current-index read is pruned to the
+    * term-hash buckets the batch's vocabulary lands in (≤ `buckets`
+    * values, collected from the batch delta — hive partition pruning cuts
+    * the file list before the semi join), and the keyed merge rewrites
+    * only those buckets.
+    */
+  private[graft] def applyIndexBatch(s: SparkSession, indexPath: String,
+                                     dlPath: String, docs: DataFrame,
+                                     buckets: Int): Unit = {
+    import graft.operators.Search
+    import graft.sources.ManifestTable
+    if (docs.isEmpty) return
+    val delta = Search.searchIndex(docs).cache()
+    try {
+      val changed = ManifestTable.currentVersion(s, indexPath) match {
+        case None => delta
+        case Some(_) =>
+          val hit = delta
+            .select(pmod(hash(col("term")), lit(buckets)).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSeq // bounded by `buckets`
+          val current = ManifestTable.read(s, indexPath)
+            .filter(col("tbucket").isin(hit: _*)).drop("tbucket")
+          Search.upsertDeltaFrom(current, delta)
+      }
+      ManifestTable.merge(s, indexPath,
+        changed.withColumn("tbucket", pmod(hash(col("term")), lit(buckets))),
+        keys = Seq("term"), partitionCols = Seq("tbucket")): Unit
+      val dl = Search.docLengths(docs)
+      val fresh = ManifestTable.currentVersion(s, dlPath) match {
+        case None => dl
+        case Some(_) =>
+          dl.join(ManifestTable.read(s, dlPath).select("doc_id"), Seq("doc_id"), "left_anti")
+      }
+      if (!fresh.isEmpty) ManifestTable.append(s, dlPath, fresh): Unit
+    } finally delta.unpersist()
   }
 
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)

@@ -291,6 +291,50 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Double, Int)].collect().toSeq === rebuilt(b1))
   }
 
+  test("applyIndexBatch is replay-safe at every crash point") {
+    import graft.operators.Search
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("idxreplay").toString
+    val (idx, dl) = (s"$root/idx", s"$root/dl")
+    val terms = Seq("join", "hash", "scan")
+    val b1 = Seq((1L, "spark join hash"), (2L, "hash scan scan")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "join join scan"), (4L, "window agg")).toDF("doc_id", "text")
+    def served(): Seq[(Long, Double, Int)] = {
+      val i = ManifestTable.read(spark, idx).drop("tbucket")
+      val d = ManifestTable.read(spark, dl)
+      Search.bm25Indexed(i, d, Search.statsFromLengths(d), terms, k = 10)
+        .as[(Long, Double, Int)].collect().toSeq
+    }
+    def indexRows() = ManifestTable.read(spark, idx).drop("tbucket").collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("df"),
+        r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("postings")).toList))
+      .sortBy(_._1).toSeq
+
+    Streaming.applyIndexBatch(spark, idx, dl, b1, buckets = 8)
+    val (rows1, dl1, out1) = (indexRows(), ManifestTable.read(spark, dl).count(), served())
+    // full replay (foreachBatch at-least-once): nothing may change
+    Streaming.applyIndexBatch(spark, idx, dl, b1, buckets = 8)
+    assert(indexRows() === rows1)
+    assert(ManifestTable.read(spark, dl).count() === dl1)
+    assert(served() === out1)
+
+    // crash BETWEEN the two commits: b2's index merge landed, dl append did
+    // not (simulated by running exactly the sink's merge half), then the
+    // batch replays in full
+    val delta2 = Search.searchIndex(b2)
+    ManifestTable.merge(spark, idx,
+      Search.upsertDeltaFrom(ManifestTable.read(spark, idx).drop("tbucket"), delta2)
+        .withColumn("tbucket", pmod(hash(col("term")), lit(8))),
+      keys = Seq("term"), partitionCols = Seq("tbucket"))
+    Streaming.applyIndexBatch(spark, idx, dl, b2, buckets = 8)
+    val expected = Search.bm25(b1.unionByName(b2), terms, k = 10)
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(served() === expected)
+    // doc-length ledger holds exactly one row per ingested doc
+    assert(ManifestTable.read(spark, dl).select("doc_id").as[Long].collect().sorted
+      === Array(1L, 2L, 3L, 4L))
+  }
+
   test("stateful sessionize closes a session on gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
