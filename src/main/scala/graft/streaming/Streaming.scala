@@ -145,6 +145,33 @@ object Streaming {
     } finally delta.unpersist()
   }
 
+  /** Watermarked stream-stream interval join: left events join right
+    * events with the same key whose event time falls in
+    * `[leftTs, leftTs + joinWindow]` — the impression↔click attribution
+    * shape. Both sides carry watermarks and the join condition bounds the
+    * event-time range, which is exactly what Structured Streaming needs to
+    * EVICT state: each side buffers only rows younger than
+    * watermark + joinWindow, so state is bounded by rate × horizon, never
+    * by stream length. Without the time-range conjunct the same join would
+    * buffer both streams forever.
+    *
+    * The non-key/non-time columns of the two sides must not collide (the
+    * usual disjoint-payload contract of an attribution join); the key
+    * column appears once in the output.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTsCol: String, rightTsCol: String,
+                   watermarkDelay: String, joinWindow: String): DataFrame = {
+    require(leftTsCol != rightTsCol,
+      "left and right event-time columns must be named differently")
+    val l = left.withWatermark(leftTsCol, watermarkDelay)
+    val r = right.withWatermark(rightTsCol, watermarkDelay)
+    val cond = l(keyCol) === r(keyCol) &&
+      r(rightTsCol) >= l(leftTsCol) &&
+      r(rightTsCol) <= l(leftTsCol) + expr(s"interval $joinWindow")
+    l.join(r, cond, "inner").drop(r(keyCol))
+  }
+
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
 
   /** Group state: the key's open sessions, sorted by start, pairwise more

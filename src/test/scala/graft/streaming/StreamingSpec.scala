@@ -291,6 +291,49 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Double, Int)].collect().toSeq === rebuilt(b1))
   }
 
+  test("intervalJoin attributes right events inside the window, drops the rest") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val imps = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = Streaming.intervalJoin(
+      imps.toDF().toDF("ad_id", "imp_ts"),
+      clicks.toDF().toDF("ad_id", "click_ts", "click_kind"),
+      keyCol = "ad_id", leftTsCol = "imp_ts", rightTsCol = "click_ts",
+      watermarkDelay = "1 hour", joinWindow = "10 minutes")
+
+    imps.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+    clicks.addData(
+      (1L, ts("2024-01-01 10:05:00"), "in"),     // inside the 10-min window
+      (1L, ts("2024-01-01 10:20:00"), "late"),   // outside: 20 min after
+      (2L, ts("2024-01-01 09:59:00"), "before"), // click BEFORE impression
+      (3L, ts("2024-01-01 10:01:00"), "nokey"))  // no matching impression
+    val out = runToMemory(joined, "ij_out")
+    assert(out.select("ad_id", "click_kind").as[(Long, String)].collect().toSeq
+      === Seq((1L, "in")))
+  }
+
+  test("intervalJoin matches across micro-batches (buffered state)") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val imps = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = Streaming.intervalJoin(
+      imps.toDF().toDF("ad_id", "imp_ts"),
+      clicks.toDF().toDF("ad_id", "click_ts", "click_kind"),
+      keyCol = "ad_id", leftTsCol = "imp_ts", rightTsCol = "click_ts",
+      watermarkDelay = "1 hour", joinWindow = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij_x").outputMode("append").start()
+    imps.addData((7L, ts("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    // the matching click arrives a LATER micro-batch; the buffered
+    // impression must still join it
+    clicks.addData((7L, ts("2024-01-01 12:04:00"), "crossbatch"))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("ij_x").select("click_kind").as[String].collect().toSeq
+      === Seq("crossbatch"))
+  }
+
   test("applyIndexBatch is replay-safe at every crash point") {
     import graft.operators.Search
     import graft.sources.ManifestTable
