@@ -200,6 +200,11 @@ object PlanAudit {
     audit("q_inverted_index")(
       "one term-keyed aggregation builds the postings" -> (p =>
         "hashpartitioning\\(term".r.findAllIn(p).nonEmpty))
+    audit("q_pagerank")(
+      "rank flow is keyed equi-joins + aggregates, no cartesian" -> (p =>
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")),
+      "contribution gather partially aggregated map-side" -> (p =>
+        "HashAggregate".r.findAllIn(p).length >= 2))
     audit("q_grouping_sets")(
       "one Expand-based aggregation, partials map-side" -> (p =>
         p.contains("Expand") && "HashAggregate".r.findAllIn(p).length >= 2))

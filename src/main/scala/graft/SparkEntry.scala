@@ -616,6 +616,19 @@ object SparkEntry {
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(count(lit(1)))),
 
+    // damped PageRank over the part↔supplier bipartite graph (both edge
+    // directions, so no dangling nodes), 3 rounds, int64-quantized rank
+    // flow — the quantization is what makes an iterative double algorithm
+    // hash-comparable across engines (see Graph scaladoc)
+    "q_pagerank" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val fwd = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val rev = li.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst"))
+      Graph.pageRank(fwd.union(rev).distinct(), iters = 3)
+    }),
+
     // distribution windows (ntile/percent_rank/cume_dist), keyed by
     // priority so every window is a bounded group, never a global sort;
     // both rank ratios are single IEEE divisions of exact integer ranks
@@ -767,6 +780,41 @@ object SparkEntry {
        |      (SELECT doc_id, unnest($tokensSql) AS term FROM documents))
        |  WHERE term IN ('join', 'hash', 'scan')
        |  GROUP BY doc_id HAVING count(*) = 3)""".stripMargin
+
+  /** PageRank re-derivation: the same 3 unrolled rounds as `Graph.pageRank`
+    * over the same bipartite edge set. Every constant is interpolated from
+    * the Scala doubles the operator uses (notably 1−0.85 =
+    * 0.15000000000000002 — the SQL literal 0.15 is a DIFFERENT double);
+    * integer division `//` matches Spark's `div` on the all-positive
+    * ranks, and the int64 contribution sums are order-free, which is the
+    * whole point of the quantization. */
+  private val pageRankSql: String = {
+    val scale = 1L << 40
+    val d = 0.85
+    val oneMinusD = 1 - d
+    val iters = 3
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (
+       |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+       |  UNION
+       |  SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM lineitem),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |pr0 AS (SELECT node, CAST($scale // n AS BIGINT) AS pr FROM nodes CROSS JOIN nn)""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++= s""",
+         |c$i AS (SELECT dst, pr // deg AS c
+         |        FROM e JOIN pr${i - 1} ON src = node JOIN deg USING (src)),
+         |s$i AS (SELECT dst, CAST(SUM(c) AS BIGINT) AS s FROM c$i GROUP BY dst),
+         |pr$i AS (SELECT node, CAST(floor($oneMinusD / n * $scale) AS BIGINT)
+         |       + CAST(floor($d * CAST(COALESCE(s, 0) AS DOUBLE)) AS BIGINT) AS pr
+         |       FROM nodes CROSS JOIN nn LEFT JOIN s$i ON node = dst)""".stripMargin
+    }
+    sb ++= s"\nSELECT node, pr FROM pr$iters"
+    sb.toString
+  }
 
   /** BM25 re-derivation over the ('hash','join','scan') query, shared by
     * q_bm25 and q_hybrid_search. Constants are interpolated from the SAME
@@ -1202,6 +1250,8 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_pagerank" -> pageRankSql,
 
     "q_window_dist" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,

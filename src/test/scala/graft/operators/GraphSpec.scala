@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank matches hand-computed integer ranks on an asymmetric graph") {
+    // a→b, a→c, b→a, c→a; n=3, scale=3000, damping 0.85
+    // init: 1000 each (3000/3)
+    // iter1: contribs a→{b,c}: 1000 div 2 = 500; b→a: 1000; c→a: 1000
+    //        base = floor(0.15/3*3000) = 150
+    //        a = 150 + floor(.85*2000) = 1850; b = c = 150 + floor(.85*500) = 575
+    // iter2: a→{b,c}: 1850 div 2 = 925; b→a: 575; c→a: 575
+    //        a = 150 + floor(.85*1150) = 1127; b = c = 150 + floor(.85*925) = 936
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val out = Graph.pageRank(edges, iters = 2, damping = 0.85, scale = 3000L)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr")).toMap
+    assert(out === Map(1L -> 1127L, 2L -> 936L, 3L -> 936L))
+  }
+
+  test("pageRank on a symmetric cycle is the uniform fixpoint") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val out = Graph.pageRank(edges, iters = 4, scale = 3000L)
+      .collect().map(_.getAs[Long]("pr"))
+    // every node keeps exactly 1/n of the mass at every iteration
+    assert(out.toSeq === Seq(1000L, 1000L, 1000L))
+  }
+
+  test("pageRank conserves total mass up to quantization leakage") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val scale = 1L << 30
+    val total = Graph.pageRank(edges, iters = 5, scale = scale)
+      .agg(org.apache.spark.sql.functions.sum("pr")).as[Long].head()
+    // each node loses < (inDeg+1)/scale per round to the two floors;
+    // 4 nodes × 5 rounds × a few units — mass stays within 100 of scale
+    assert(math.abs(total - scale) <= 100L)
+  }
+
+  test("pageRank ranks a hub above spokes") {
+    // star with back-edges: hub 0 ↔ each of 1..5
+    val edges = ((1L to 5L).flatMap(i => Seq((0L, i), (i, 0L)))).toDF("src", "dst")
+    val out = Graph.pageRank(edges, iters = 6)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr")).toMap
+    assert((1L to 5L).forall(i => out(0L) > out(i)))
+  }
+}
