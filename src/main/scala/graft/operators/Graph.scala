@@ -45,6 +45,7 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct()
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty edge set (an upstream filter drained it?)")
     val base = math.floor((1 - damping) / n * scale).toLong
 
     var pr = nodes.withColumn("pr", lit(scale / n))

@@ -37,45 +37,47 @@ object CurationPipeline {
     */
   def run(spark: SparkSession, docs: DataFrame, bench: DataFrame,
           outDir: String, nShards: Int = 8): Seq[StageCount] = {
-    val cleaned = TextAnalysis.stripHtml(docs, "text")
-      .select(col("doc_id"), col("lang"), col("clean_text").as("text"))
-      .persist()
-    val nRaw = docs.count()
-    val nClean = cleaned.count()
+    // every persisted stage is released in the finally — a stage failure
+    // (e.g. clusters' convergence require) must not leak cached blocks
+    // into a long-lived session
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def stage(df: DataFrame): DataFrame = { persisted += df.persist(); df }
+    try {
+      val cleaned = stage(TextAnalysis.stripHtml(docs, "text")
+        .select(col("doc_id"), col("lang"), col("clean_text").as("text")))
+      val nRaw = docs.count()
+      val nClean = cleaned.count()
 
-    val gated = cleaned.join(
-      TrainingData.repetitionStats(cleaned, "doc_id", "text")
-        .filter(col("gopher_ok")).select("doc_id"),
-      Seq("doc_id"), "left_semi").persist()
-    val nGated = gated.count()
+      val gated = stage(cleaned.join(
+        TrainingData.repetitionStats(cleaned, "doc_id", "text")
+          .filter(col("gopher_ok")).select("doc_id"),
+        Seq("doc_id"), "left_semi"))
+      val nGated = gated.count()
 
-    // cluster members with keep=0 are the redundant near-dups; docs in no
-    // cluster never appear in the pair set and survive via the anti join
-    val drops = Dedup.clusters(
-      Dedup.jaccardPairs(gated, "doc_id", "text", n = 3, threshold = 0.7,
-        maxShingleDf = 64))
-      .filter(col("keep") =!= 1).select("doc_id")
-    val deduped = gated.join(drops, Seq("doc_id"), "left_anti").persist()
-    val nDeduped = deduped.count()
+      // cluster members with keep=0 are the redundant near-dups; docs in no
+      // cluster never appear in the pair set and survive via the anti join
+      val drops = Dedup.clusters(
+        Dedup.jaccardPairs(gated, "doc_id", "text", n = 3, threshold = 0.7,
+          maxShingleDf = 64))
+        .filter(col("keep") =!= 1).select("doc_id")
+      val deduped = stage(gated.join(drops, Seq("doc_id"), "left_anti"))
+      val nDeduped = deduped.count()
 
-    val contaminated = TrainingData.decontaminate(deduped, bench, "doc_id", "text")
-      .select("doc_id").distinct()
-    val decontaminated = deduped.join(contaminated, Seq("doc_id"), "left_anti")
-      .persist()
-    val nDecon = decontaminated.count()
+      val contaminated = TrainingData.decontaminate(deduped, bench, "doc_id", "text")
+        .select("doc_id").distinct()
+      val decontaminated = stage(deduped.join(contaminated, Seq("doc_id"), "left_anti"))
+      val nDecon = decontaminated.count()
 
-    val split = TrainingData.splitAssign(decontaminated, "doc_id")
-    val counts = Seq("train", "val", "test").map { sp =>
-      val part = split.filter(col("split") === sp).drop("split", "bucket")
-      Sink.writeJsonlShards(part, s"$outDir/$sp", "doc_id", nShards)
-      StageCount(s"split_$sp", part.count())
-    }
+      val split = TrainingData.splitAssign(decontaminated, "doc_id")
+      val counts = Seq("train", "val", "test").map { sp =>
+        val part = split.filter(col("split") === sp).drop("split", "bucket")
+        Sink.writeJsonlShards(part, s"$outDir/$sp", "doc_id", nShards)
+        StageCount(s"split_$sp", part.count())
+      }
 
-    cleaned.unpersist(); gated.unpersist(); deduped.unpersist()
-    decontaminated.unpersist()
-
-    Seq(StageCount("raw", nRaw), StageCount("cleaned", nClean),
-      StageCount("gopher_gated", nGated), StageCount("deduped", nDeduped),
-      StageCount("decontaminated", nDecon)) ++ counts
+      Seq(StageCount("raw", nRaw), StageCount("cleaned", nClean),
+        StageCount("gopher_gated", nGated), StageCount("deduped", nDeduped),
+        StageCount("decontaminated", nDecon)) ++ counts
+    } finally persisted.foreach(_.unpersist())
   }
 }

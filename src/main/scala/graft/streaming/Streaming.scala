@@ -122,27 +122,70 @@ object Streaming {
     if (docs.isEmpty) return
     val delta = Search.searchIndex(docs).cache()
     try {
-      val changed = ManifestTable.currentVersion(s, indexPath) match {
-        case None => delta
-        case Some(_) =>
-          val hit = delta
-            .select(pmod(hash(col("term")), lit(buckets)).as("b"))
-            .distinct().collect().map(_.getInt(0)).toSeq // bounded by `buckets`
-          val current = ManifestTable.read(s, indexPath)
-            .filter(col("tbucket").isin(hit: _*)).drop("tbucket")
-          Search.upsertDeltaFrom(current, delta)
+      // a batch of token-free docs has an empty delta: skip the index half
+      // entirely (a merge of zero rows would still commit a spurious
+      // identical version, inflating history/vacuum for no data change);
+      // the doc-length ledger below still records the docs
+      if (!delta.isEmpty) {
+        val changed = ManifestTable.currentVersion(s, indexPath) match {
+          case None =>
+            writeBucketMeta(s, indexPath, buckets)
+            delta
+          case Some(_) =>
+            // the modulus is load-bearing: reading/merging with a DIFFERENT
+            // bucket count than the table was built with would miss every
+            // existing term row and silently replace accumulated postings
+            // with batch-only ones — so the count is pinned in a sidecar at
+            // creation and enforced forever after
+            val stored = readBucketMeta(s, indexPath)
+            require(stored == buckets,
+              s"index at $indexPath was built with $stored term buckets; " +
+                s"got buckets=$buckets — pass the original value")
+            val hit = delta
+              .select(pmod(hash(col("term")), lit(buckets)).as("b"))
+              .distinct().collect().map(_.getInt(0)).toSeq // bounded by `buckets`
+            val current = ManifestTable.read(s, indexPath)
+              .filter(col("tbucket").isin(hit: _*)).drop("tbucket")
+            Search.upsertDeltaFrom(current, delta)
+        }
+        ManifestTable.merge(s, indexPath,
+          changed.withColumn("tbucket", pmod(hash(col("term")), lit(buckets))),
+          keys = Seq("term"), partitionCols = Seq("tbucket")): Unit
       }
-      ManifestTable.merge(s, indexPath,
-        changed.withColumn("tbucket", pmod(hash(col("term")), lit(buckets))),
-        keys = Seq("term"), partitionCols = Seq("tbucket")): Unit
+      // cache: the emptiness probe and the append must not each re-scan the
+      // (corpus-sized) dl table's anti-join
       val dl = Search.docLengths(docs)
-      val fresh = ManifestTable.currentVersion(s, dlPath) match {
+      val fresh = (ManifestTable.currentVersion(s, dlPath) match {
         case None => dl
         case Some(_) =>
           dl.join(ManifestTable.read(s, dlPath).select("doc_id"), Seq("doc_id"), "left_anti")
-      }
-      if (!fresh.isEmpty) ManifestTable.append(s, dlPath, fresh): Unit
+      }).cache()
+      try if (!fresh.isEmpty) ManifestTable.append(s, dlPath, fresh): Unit
+      finally fresh.unpersist()
     } finally delta.unpersist()
+  }
+
+  private def bucketMetaPath(indexPath: String) =
+    new org.apache.hadoop.fs.Path(indexPath, "_index_buckets")
+
+  private def writeBucketMeta(s: SparkSession, indexPath: String, buckets: Int): Unit = {
+    val p = bucketMetaPath(indexPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, false) // exclusive: the sink is single-writer
+    try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readBucketMeta(s: SparkSession, indexPath: String): Int = {
+    val p = bucketMetaPath(indexPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"index at $indexPath has no $p — not created by indexUpsertSink?")
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](32) // the file holds one small integer
+      val n = in.read(buf)
+      new String(buf, 0, n, "UTF-8").trim.toInt
+    } finally in.close()
   }
 
   /** Watermarked stream-stream interval join: left events join right
@@ -164,6 +207,12 @@ object Streaming {
                    watermarkDelay: String, joinWindow: String): DataFrame = {
     require(leftTsCol != rightTsCol,
       "left and right event-time columns must be named differently")
+    // enforce the disjoint-payload contract up front: a shared payload name
+    // would join fine and then fail far downstream with AMBIGUOUS_REFERENCE
+    val shared = (left.columns.toSet - keyCol)
+      .intersect(right.columns.toSet - keyCol)
+    require(shared.isEmpty,
+      s"non-key columns collide across the two sides: ${shared.mkString(", ")}")
     val l = left.withWatermark(leftTsCol, watermarkDelay)
     val r = right.withWatermark(rightTsCol, watermarkDelay)
     val cond = l(keyCol) === r(keyCol) &&

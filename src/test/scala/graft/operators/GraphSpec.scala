@@ -38,6 +38,13 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(total - scale) <= 100L)
   }
 
+  test("pageRank rejects an empty edge set loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst"), iters = 1)
+    }
+    assert(e.getMessage.contains("non-empty edge set"))
+  }
+
   test("pageRank ranks a hub above spokes") {
     // star with back-edges: hub 0 ↔ each of 1..5
     val edges = ((1L to 5L).flatMap(i => Seq((0L, i), (i, 0L)))).toDF("src", "dst")

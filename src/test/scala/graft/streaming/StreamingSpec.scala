@@ -378,6 +378,39 @@ class StreamingSpec extends SparkSpec {
       === Array(1L, 2L, 3L, 4L))
   }
 
+  test("applyIndexBatch pins the bucket count and skips empty-delta versions") {
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("idxguard").toString
+    val (idx, dl) = (s"$root/idx", s"$root/dl")
+    val b1 = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    Streaming.applyIndexBatch(spark, idx, dl, b1, buckets = 8)
+    // a different modulus would silently miss every stored term row and
+    // replace accumulated postings — must reject loudly
+    val e = intercept[IllegalArgumentException] {
+      Streaming.applyIndexBatch(spark, idx, dl,
+        Seq((2L, "alpha")).toDF("doc_id", "text"), buckets = 4)
+    }
+    assert(e.getMessage.contains("built with 8"))
+    // token-free docs: no index commit (no spurious identical version),
+    // but the doc-length ledger still records them
+    val vBefore = ManifestTable.currentVersion(spark, idx).get
+    Streaming.applyIndexBatch(spark, idx, dl,
+      Seq((3L, "   ")).toDF("doc_id", "text"), buckets = 8)
+    assert(ManifestTable.currentVersion(spark, idx).get === vBefore)
+    assert(ManifestTable.read(spark, dl).filter(col("doc_id") === 3L).count() === 1)
+  }
+
+  test("intervalJoin rejects colliding payload column names up front") {
+    val l = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "x"))
+      .toDF("k", "lts", "payload")
+    val r = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "y"))
+      .toDF("k", "rts", "payload")
+    val e = intercept[IllegalArgumentException] {
+      Streaming.intervalJoin(l, r, "k", "lts", "rts", "1 hour", "10 minutes")
+    }
+    assert(e.getMessage.contains("payload"))
+  }
+
   test("stateful sessionize closes a session on gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
