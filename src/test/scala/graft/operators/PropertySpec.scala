@@ -93,4 +93,67 @@ class PropertySpec extends SparkSpec {
       assert(got === expected, s"pairs=$pairs")
     }
   }
+
+  // tokens deliberately include regex metacharacters: the phrase regex must
+  // treat them literally (Pattern.quote), or "a.b" would match "axb"
+  private val nastyTokenGen: Gen[String] =
+    Gen.oneOf("a", "b", "c", "a.b", "x(", ")+", "[z]", "$1", "^", "\\d")
+
+  test("searchPhrase(regex) matches the n-gram-array derivation on adversarial tokens") {
+    val docGen = Gen.listOfN(8, nastyTokenGen).map(_.mkString(" "))
+    samples(Gen.listOfN(30, docGen), 6).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      samples(Gen.listOfN(2, nastyTokenGen), 4).foreach { p =>
+        val phrase = p.mkString(" ")
+        val viaRegex = Search.searchPhrase(docs, phrase)
+          .select("doc_id").as[Long].collect().toSet
+        // independent ground truth: explicit bigram scan over split tokens
+        val expected = texts.zipWithIndex.collect {
+          case (t, i) if t.split("\\s+").filter(_.nonEmpty).sliding(p.length)
+            .exists(_.toSeq == p.toSeq) => i.toLong
+        }.toSet
+        assert(viaRegex === expected, s"phrase='$phrase'")
+      }
+    }
+  }
+
+  test("pageRank conserves mass on random out-complete graphs") {
+    val scale = 1L << 32
+    val edgeGen = for {
+      n <- Gen.choose(2, 12)
+      // guarantee every node an out-edge: i → (i+1) % n, plus random extras
+      extras <- Gen.listOfN(10, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong)) ++
+      extras.map { case (a, b) => (a.toLong, b.toLong) }
+    samples(edgeGen, 6).foreach { edges =>
+      val e = edges.distinct.toDF("src", "dst")
+      val nNodes = edges.flatMap(p => Seq(p._1, p._2)).distinct.size
+      val total = Graph.pageRank(e, iters = 4, scale = scale)
+        .agg(sum("pr")).as[Long].head()
+      // each floor loses < 1 unit per (node, round) + per contribution edge
+      val slack = (edges.size + nNodes + 1).toLong * 4
+      assert(math.abs(total - scale) <= slack, s"edges=$edges total=$total")
+    }
+  }
+
+  test("upsertIndex equals a full rebuild for any corpus split") {
+    val docGen = Gen.listOfN(6, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))
+    val corpusGen = for {
+      texts <- Gen.listOfN(20, docGen)
+      mod <- Gen.choose(2, 5)
+    } yield (texts, mod)
+    samples(corpusGen, 6).foreach { case (texts, mod) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val base = docs.filter(col("doc_id") % mod =!= 0)
+      val batch = docs.filter(col("doc_id") % mod === 0)
+      def norm(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getAs[String]("term"), r.getAs[Long]("df"),
+          r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("postings")).toList))
+        .sortBy(_._1).toSeq
+      assert(norm(Search.upsertIndex(Search.searchIndex(base), batch))
+        === norm(Search.searchIndex(docs)), s"mod=$mod")
+    }
+  }
 }
