@@ -200,6 +200,10 @@ object PlanAudit {
     audit("q_inverted_index")(
       "one term-keyed aggregation builds the postings" -> (p =>
         "hashpartitioning\\(term".r.findAllIn(p).nonEmpty))
+    audit("q_fuzzy_join")(
+      "pairing is variant-keyed, never all-pairs" -> (p =>
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+          "hashpartitioning\\(variant|BroadcastHashJoin \\[variant".r.findAllIn(p).nonEmpty))
     audit("q_pagerank")(
       "rank flow is keyed equi-joins + aggregates, no cartesian" -> (p =>
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")),

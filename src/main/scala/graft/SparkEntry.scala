@@ -616,6 +616,15 @@ object SparkEntry {
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(count(lit(1)))),
 
+    // edit-distance-1 entity resolution over customer names via FastSS
+    // deletion neighborhoods — variant-keyed join, never all-pairs; the
+    // oracle is the INDEPENDENT brute-force cross join, so recall is
+    // machine-checked, not assumed
+    "q_fuzzy_join" -> ((s, d) =>
+      FuzzyJoin.selfPairs(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name")),
+
     // damped PageRank over the part↔supplier bipartite graph (both edge
     // directions, so no dangling nodes), 3 rounds, int64-quantized rank
     // flow — the quantization is what makes an iterative double algorithm
@@ -1250,6 +1259,15 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    // brute force on purpose: an independent derivation (cross join +
+    // levenshtein) checks the deletion-neighborhood construction's recall
+    "q_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |a.c_name AS str_a, b.c_name AS str_b,
+        |CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
 
     "q_pagerank" -> pageRankSql,
 
