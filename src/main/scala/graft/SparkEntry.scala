@@ -101,9 +101,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"),
           decSum(col("value")).as("total_value"))),
 
+    // the fixture PLANTS duplicate (orderkey, linenumber) rows (the exact-
+    // dedup target), so those two columns alone are not a total order:
+    // l_extendedprice completes the tie-break — and full-duplicate rows
+    // yield an order-invariant running-sum multiset, so the compare stays
+    // well-defined even then
     "q_running_rev" -> ((s, d) => {
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, d).select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         sum(col("l_extendedprice").cast(dec)).over(w).cast("double").as("running_rev"))
@@ -1221,7 +1227,8 @@ object SparkEntry {
     "q_running_rev" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
-        |  PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
         |FROM lineitem""".stripMargin,
 
