@@ -165,6 +165,72 @@ object Streaming {
     } finally delta.unpersist()
   }
 
+  /** Live corpus curation: each micro-batch of raw documents
+    * (doc_id, lang, text) is gated, deduplicated against BOTH the
+    * persisted corpus and itself, decontaminated against a benchmark set,
+    * and the survivors appended to a snapshot-isolated ManifestTable —
+    * incremental ingest curation, so a growing lake never re-curates what
+    * it already holds. Per-batch work is [[applyCurationBatch]].
+    */
+  def curationSink(stream: DataFrame, corpusPath: String, bench: DataFrame,
+                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        applyCurationBatch(batch.sparkSession, corpusPath, batch.toDF(), bench)
+      }
+      .start()
+
+  /** One curation micro-batch. Stages mirror
+    * [[graft.pipeline.CurationPipeline]] with the batch-sized incremental
+    * substitutions: near-dup checks run batch-internally AND batch-vs-
+    * corpus (`Dedup.jaccardPairsAgainst` — the corpus df-cap semi-join,
+    * corpus never shuffles), and the append is one atomic commit.
+    *
+    * Replay-safe: already-ingested doc ids are dropped FIRST, so a
+    * replayed batch (foreachBatch at-least-once) reduces to the rows whose
+    * append never committed; since every stage is a deterministic function
+    * of (batch rows, corpus snapshot, benchmark), the replay reaches the
+    * same verdicts for them. Rejections are implicit (not persisted), so a
+    * crash cannot lose or double-apply them.
+    */
+  private[graft] def applyCurationBatch(s: SparkSession, corpusPath: String,
+                                        docs: DataFrame, bench: DataFrame): Unit = {
+    import graft.operators.{Dedup, TextAnalysis, TrainingData}
+    import graft.sources.ManifestTable
+    if (docs.isEmpty) return
+    val cleaned = TextAnalysis.stripHtml(docs, "text")
+      .select(col("doc_id"), col("lang"), col("clean_text").as("text"))
+    val exists = ManifestTable.currentVersion(s, corpusPath).isDefined
+    val fresh = (if (!exists) cleaned
+      else cleaned.join(ManifestTable.read(s, corpusPath).select("doc_id"),
+        Seq("doc_id"), "left_anti")).cache()
+    try {
+      if (!fresh.isEmpty) {
+        val gated = fresh.join(
+          TrainingData.repetitionStats(fresh, "doc_id", "text")
+            .filter(col("gopher_ok")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val internal = gated.join(
+          Dedup.clusters(Dedup.jaccardPairs(gated, "doc_id", "text",
+            n = 3, threshold = 0.7, maxShingleDf = 64))
+            .filter(col("keep") =!= 1).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+        val vsCorpus = if (!exists) internal
+          else internal.join(
+            Dedup.jaccardPairsAgainst(ManifestTable.read(s, corpusPath), internal,
+              "doc_id", "text", n = 3, threshold = 0.7, maxShingleDf = 64)
+              .select(col("batch_id").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+        val surviving = vsCorpus.join(
+          TrainingData.decontaminate(vsCorpus, bench, "doc_id", "text")
+            .select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
+        if (!surviving.isEmpty) ManifestTable.append(s, corpusPath, surviving): Unit
+      }
+    } finally fresh.unpersist()
+  }
+
   private def bucketMetaPath(indexPath: String) =
     new org.apache.hadoop.fs.Path(indexPath, "_index_buckets")
 

@@ -291,6 +291,46 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Double, Int)].collect().toSeq === rebuilt(b1))
   }
 
+  test("curationSink curates incrementally: gates, both dedup axes, decontamination, replay") {
+    import graft.sources.ManifestTable
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("cursink").toString
+    val corpus = s"$root/corpus"
+    val bench = Seq((900L, "en", "alpha beta gamma delta secret benchmark sentence"))
+      .toDF("doc_id", "lang", "text")
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streaming.curationSink(in.toDF().toDF("doc_id", "lang", "text"),
+      corpus, bench, s"$root/ckpt")
+
+    val prose1 = "the quick brown fox jumps over the lazy dog and runs far away home"
+    in.addData((1L, "en", prose1))
+    q.processAllAvailable()
+    assert(ManifestTable.read(spark, corpus).select("doc_id").as[Long].collect().toSeq
+      === Seq(1L))
+
+    val prose2 = "a calm river winds through the valley carrying small boats to the sea"
+    in.addData(
+      (1L, "en", prose1),                       // replayed id: dropped first
+      (2L, "en", prose1 + " again"),            // near-dup of CORPUS doc 1
+      (3L, "en", prose2),                       // clean survivor
+      (4L, "en", prose2 + " today"),            // near-dup of batch doc 3
+      (5L, "en", "spam spam spam spam spam spam spam spam spam spam"), // gated
+      (6L, "en", "it is known that alpha beta gamma delta appears in the test set"))
+    q.processAllAvailable(); q.stop()           // 6: contaminated (shares 3-grams)
+
+    val ids = ManifestTable.read(spark, corpus).select("doc_id").as[Long].collect().sorted
+    assert(ids === Array(1L, 3L))
+    // two non-empty appends → two atomic versions
+    assert(ManifestTable.currentVersion(spark, corpus).get === 2L)
+
+    // full replay of the second batch via the internal apply: no-op
+    Streaming.applyCurationBatch(spark, corpus,
+      Seq((3L, "en", prose2), (4L, "en", prose2 + " today")).toDF("doc_id", "lang", "text"),
+      bench)
+    assert(ManifestTable.currentVersion(spark, corpus).get === 2L)
+    assert(ManifestTable.read(spark, corpus).count() === 2)
+  }
+
   test("intervalJoin attributes right events inside the window, drops the rest") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
