@@ -42,12 +42,16 @@ object FuzzyJoin {
         s"array_distinct(transform(sequence(0, length(vs)), i -> " +
           s"CASE WHEN i = 0 THEN vs " +
           s"ELSE concat(substr(vs, 1, i - 1), substr(vs, i + 1, length(vs))) END))")))
-    // candidates travel as bare id pairs (the variant join shuffles ~len×
-    // rows — keep them narrow); names re-attach for the verify via two
-    // id-keyed joins against the original relation
-    val a = variants.select(col("variant"), col("vid").as("id_a"))
-    val b = variants.select(col("variant"), col("vid").as("id_b"))
-    val cand = a.join(b, Seq("variant"))
+    // candidate pairs via bucket-pair enumeration (the same ONE-shuffle
+    // shape as Dedup.jaccardPairs: group by variant, expand pairs per
+    // bucket — identical pair set to a self-join with half the explode and
+    // shuffle work); candidates travel as bare id pairs and names
+    // re-attach for the verify via two id-keyed joins
+    val cand = variants.groupBy(col("variant"))
+      .agg(collect_set(col("vid")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val names = df.select(col(idCol), col(strCol))

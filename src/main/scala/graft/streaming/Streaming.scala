@@ -187,24 +187,32 @@ object Streaming {
     * corpus (`Dedup.jaccardPairsAgainst` — the corpus df-cap semi-join,
     * corpus never shuffles), and the append is one atomic commit.
     *
-    * Replay-safe: already-ingested doc ids are dropped FIRST, so a
-    * replayed batch (foreachBatch at-least-once) reduces to the rows whose
-    * append never committed; since every stage is a deterministic function
-    * of (batch rows, corpus snapshot, benchmark), the replay reaches the
-    * same verdicts for them. Rejections are implicit (not persisted), so a
-    * crash cannot lose or double-apply them.
+    * Replay contract (foreachBatch at-least-once): already-ingested doc
+    * ids drop FIRST (cross-batch) and the batch dedups on doc_id
+    * (intra-batch duplicate deliveries), so committed rows are never
+    * re-applied and a full replay is a no-op. A PARTIAL replay — crash
+    * after the append committed some of the batch — re-judges the
+    * remaining rows against the now-grown corpus, i.e. exactly as if they
+    * had arrived in a later batch: a row whose batch-internal near-dup
+    * verdict depended on a row the partial run committed is re-checked
+    * through the batch-vs-corpus path instead, whose df-cap recall caveat
+    * `jaccardPairsAgainst` documents. Rejections are implicit (not
+    * persisted), so a crash cannot lose or double-apply them.
     */
   private[graft] def applyCurationBatch(s: SparkSession, corpusPath: String,
                                         docs: DataFrame, bench: DataFrame): Unit = {
     import graft.operators.{Dedup, TextAnalysis, TrainingData}
     import graft.sources.ManifestTable
     if (docs.isEmpty) return
-    val cleaned = TextAnalysis.stripHtml(docs, "text")
+    // doc_id is the document's identity: duplicate deliveries inside ONE
+    // batch would sail past every near-dup check (equal ids never pair)
+    // and land twice in the corpus
+    val cleaned = TextAnalysis.stripHtml(docs.dropDuplicates("doc_id"), "text")
       .select(col("doc_id"), col("lang"), col("clean_text").as("text"))
     val exists = ManifestTable.currentVersion(s, corpusPath).isDefined
+    def corpusDf = ManifestTable.read(s, corpusPath)
     val fresh = (if (!exists) cleaned
-      else cleaned.join(ManifestTable.read(s, corpusPath).select("doc_id"),
-        Seq("doc_id"), "left_anti")).cache()
+      else cleaned.join(corpusDf.select("doc_id"), Seq("doc_id"), "left_anti")).cache()
     try {
       if (!fresh.isEmpty) {
         val gated = fresh.join(
@@ -218,15 +226,18 @@ object Streaming {
           Seq("doc_id"), "left_anti")
         val vsCorpus = if (!exists) internal
           else internal.join(
-            Dedup.jaccardPairsAgainst(ManifestTable.read(s, corpusPath), internal,
+            Dedup.jaccardPairsAgainst(corpusDf, internal,
               "doc_id", "text", n = 3, threshold = 0.7, maxShingleDf = 64)
               .select(col("batch_id").as("doc_id")).distinct(),
             Seq("doc_id"), "left_anti")
+        // cache: decontaminate's shingle pass, the emptiness probe, and the
+        // append must not each re-run the whole gate→dedup chain
         val surviving = vsCorpus.join(
           TrainingData.decontaminate(vsCorpus, bench, "doc_id", "text")
             .select("doc_id").distinct(),
-          Seq("doc_id"), "left_anti")
-        if (!surviving.isEmpty) ManifestTable.append(s, corpusPath, surviving): Unit
+          Seq("doc_id"), "left_anti").cache()
+        try if (!surviving.isEmpty) ManifestTable.append(s, corpusPath, surviving): Unit
+        finally surviving.unpersist()
       }
     } finally fresh.unpersist()
   }

@@ -127,12 +127,15 @@ class PropertySpec extends SparkSpec {
     } yield (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong)) ++
       extras.map { case (a, b) => (a.toLong, b.toLong) }
     samples(edgeGen, 6).foreach { edges =>
-      val e = edges.distinct.toDF("src", "dst")
+      val distinctEdges = edges.distinct
+      val e = distinctEdges.toDF("src", "dst")
       val nNodes = edges.flatMap(p => Seq(p._1, p._2)).distinct.size
       val total = Graph.pageRank(e, iters = 4, scale = scale)
         .agg(sum("pr")).as[Long].head()
-      // each floor loses < 1 unit per (node, round) + per contribution edge
-      val slack = (edges.size + nNodes + 1).toLong * 4
+      // per round, each node loses < 1 unit to EACH of its two floors
+      // (base truncation + damping floor) and each contribution edge
+      // loses < 1 to its integer division — so slack = (E + 2N) per round
+      val slack = (distinctEdges.size + 2L * nNodes) * 4
       assert(math.abs(total - scale) <= slack, s"edges=$edges total=$total")
     }
   }

@@ -312,12 +312,14 @@ class StreamingSpec extends SparkSpec {
     in.addData(
       (1L, "en", prose1),                       // replayed id: dropped first
       (2L, "en", prose1 + " again"),            // near-dup of CORPUS doc 1
-      (3L, "en", prose2),                       // clean survivor
+      (3L, "en", prose2),                       // clean survivor...
+      (3L, "en", prose2),                       // ...delivered TWICE in one batch
       (4L, "en", prose2 + " today"),            // near-dup of batch doc 3
       (5L, "en", "spam spam spam spam spam spam spam spam spam spam"), // gated
       (6L, "en", "it is known that alpha beta gamma delta appears in the test set"))
     q.processAllAvailable(); q.stop()           // 6: contaminated (shares 3-grams)
 
+    // doc 3 must appear ONCE despite the duplicate intra-batch delivery
     val ids = ManifestTable.read(spark, corpus).select("doc_id").as[Long].collect().sorted
     assert(ids === Array(1L, 3L))
     // two non-empty appends → two atomic versions
