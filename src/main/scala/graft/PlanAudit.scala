@@ -204,6 +204,9 @@ object PlanAudit {
       "pairing is variant-keyed, never all-pairs" -> (p =>
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
           "hashpartitioning\\(variant|BroadcastHashJoin \\[variant".r.findAllIn(p).nonEmpty))
+    audit("q_ppr")(
+      "personalized rank flow stays keyed, no cartesian" -> (p =>
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
     audit("q_pagerank")(
       "rank flow is keyed equi-joins + aggregates, no cartesian" -> (p =>
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")),

@@ -644,6 +644,20 @@ object SparkEntry {
       Graph.pageRank(fwd.union(rev).distinct(), iters = 3)
     }),
 
+    // personalized PageRank seeded at ten part nodes: rank becomes
+    // proximity-to-sources — the related-items primitive; same quantized
+    // machinery and oracle style as q_pagerank
+    "q_ppr" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val fwd = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val rev = li.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst"))
+      val sources = Tables.part(s, d).filter(col("p_partkey") <= 10)
+        .select((col("p_partkey") * 2).as("node"))
+      Graph.pageRankPersonalized(fwd.union(rev).distinct(), sources, iters = 3)
+    }),
+
     // distribution windows (ntile/percent_rank/cume_dist), keyed by
     // priority so every window is a bounded group, never a global sort;
     // both rank ratios are single IEEE divisions of exact integer ranks
@@ -803,11 +817,18 @@ object SparkEntry {
     * integer division `//` matches Spark's `div` on the all-positive
     * ranks, and the int64 contribution sums are order-free, which is the
     * whole point of the quantization. */
-  private val pageRankSql: String = {
+  private def pageRankSqlFor(personalized: Boolean): String = {
     val scale = 1L << 40
     val d = 0.85
     val oneMinusD = 1 - d
     val iters = 3
+    // uniform: every node gets init mass and teleport; personalized: only
+    // the source set does (denominator = |sources|), mirroring
+    // Graph.pageRankPersonalized exactly
+    val denom = if (personalized) "n_src" else "n"
+    def baseOf(expr: String) =
+      if (personalized) s"CASE WHEN node IN (SELECT node FROM src) THEN $expr ELSE 0 END"
+      else expr
     val sb = new StringBuilder
     sb ++= s"""WITH e AS (
        |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
@@ -816,20 +837,28 @@ object SparkEntry {
        |nodes AS (SELECT DISTINCT node FROM
        |  (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-       |nn AS (SELECT count(*) AS n FROM nodes),
-       |pr0 AS (SELECT node, CAST($scale // n AS BIGINT) AS pr FROM nodes CROSS JOIN nn)""".stripMargin
+       |nn AS (SELECT count(*) AS n FROM nodes)""".stripMargin
+    if (personalized) sb ++= s""",
+       |src AS (SELECT DISTINCT p_partkey * 2 AS node FROM part WHERE p_partkey <= 10
+       |        AND p_partkey * 2 IN (SELECT node FROM nodes)),
+       |ns AS (SELECT count(*) AS n_src FROM src)""".stripMargin
+    val cross = if (personalized) "CROSS JOIN ns" else "CROSS JOIN nn"
+    sb ++= s""",
+       |pr0 AS (SELECT node, ${baseOf(s"CAST($scale // $denom AS BIGINT)")} AS pr
+       |        FROM nodes $cross)""".stripMargin
     for (i <- 1 to iters) {
       sb ++= s""",
          |c$i AS (SELECT dst, pr // deg AS c
          |        FROM e JOIN pr${i - 1} ON src = node JOIN deg USING (src)),
          |s$i AS (SELECT dst, CAST(SUM(c) AS BIGINT) AS s FROM c$i GROUP BY dst),
-         |pr$i AS (SELECT node, CAST(floor($oneMinusD / n * $scale) AS BIGINT)
+         |pr$i AS (SELECT node, ${baseOf(s"CAST(floor($oneMinusD / $denom * $scale) AS BIGINT)")}
          |       + CAST(floor($d * CAST(COALESCE(s, 0) AS DOUBLE)) AS BIGINT) AS pr
-         |       FROM nodes CROSS JOIN nn LEFT JOIN s$i ON node = dst)""".stripMargin
+         |       FROM nodes $cross LEFT JOIN s$i ON node = dst)""".stripMargin
     }
     sb ++= s"\nSELECT node, pr FROM pr$iters"
     sb.toString
   }
+  private val pageRankSql: String = pageRankSqlFor(personalized = false)
 
   /** BM25 re-derivation over the ('hash','join','scan') query, shared by
     * q_bm25 and q_hybrid_search. Constants are interpolated from the SAME
@@ -1277,6 +1306,8 @@ object SparkEntry {
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
 
     "q_pagerank" -> pageRankSql,
+
+    "q_ppr" -> pageRankSqlFor(personalized = true),
 
     "q_window_dist" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -61,4 +61,47 @@ object Graph {
     }
     pr
   }
+
+  /** Personalized PageRank: identical machinery, but the (1−damping)
+    * teleport mass returns to the SOURCE set instead of spreading
+    * uniformly — rank then measures proximity to the sources, the
+    * recommendation/related-items primitive. `sources` is a one-column
+    * (node) frame; same dangling-node contract and int64 quantization as
+    * [[pageRank]].
+    *
+    * Scale note: the source flag rides the node set as a broadcast-joined
+    * bit; per-iteration shape is unchanged.
+    */
+  def pageRankPersonalized(edges: DataFrame, sources: DataFrame, iters: Int,
+                           damping: Double = 0.85, scale: Long = 1L << 40): DataFrame = {
+    require(iters >= 1, "pageRankPersonalized needs at least one iteration")
+    require(scale > 0, "scale must be positive")
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val srcSet = sources.select(col("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi")
+    val nS = srcSet.count()
+    require(nS > 0, "pageRankPersonalized needs at least one source node present in the graph")
+    val baseS = math.floor((1 - damping) / nS * scale).toLong
+    val flagged = nodes.join(broadcast(srcSet.withColumn("is_src", lit(true))),
+      Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_src"), lit(false)).as("is_src"))
+
+    var pr = flagged.withColumn("pr",
+      when(col("is_src"), lit(scale / nS)).otherwise(lit(0L)))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(pr.select(col("node"), col("pr")), col("src") === col("node"))
+        .join(outDeg, "src")
+        .select(col("dst"), expr("pr div deg").as("c"))
+      val gathered = contribs.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      pr = flagged.join(gathered, col("node") === col("dst"), "left")
+        .select(col("node"), col("is_src"),
+          (when(col("is_src"), lit(baseS)).otherwise(lit(0L)) +
+            floor(lit(damping) * coalesce(col("s"), lit(0L)).cast("double"))
+              .cast("long")).as("pr"))
+    }
+    pr.select("node", "pr")
+  }
 }

@@ -38,6 +38,28 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(total - scale) <= 100L)
   }
 
+  test("pageRankPersonalized matches hand-computed ranks and localizes mass at the source") {
+    // a→b, a→c, b→a, c→a; sources = {a}; scale 3000, damping 0.85
+    // init: a=3000, b=c=0; baseS = floor(0.15*3000) = 450
+    // iter1: a→{b,c}: 1500 each; nothing flows to a
+    //        a = 450; b = c = floor(.85*1500) = 1275
+    // iter2: a→{b,c}: 450 div 2 = 225; b,c→a: 1275 each (s_a = 2550)
+    //        a = 450 + floor(.85*2550) = 2617; b = c = floor(.85*225) = 191
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val out = Graph.pageRankPersonalized(edges, Seq(1L).toDF("node"),
+      iters = 2, damping = 0.85, scale = 3000L)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr")).toMap
+    assert(out === Map(1L -> 2617L, 2L -> 191L, 3L -> 191L))
+  }
+
+  test("pageRankPersonalized rejects sources absent from the graph") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRankPersonalized(edges, Seq(99L).toDF("node"), iters = 1)
+    }
+    assert(e.getMessage.contains("source node present"))
+  }
+
   test("pageRank rejects an empty edge set loudly") {
     val e = intercept[IllegalArgumentException] {
       Graph.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst"), iters = 1)
