@@ -204,6 +204,11 @@ object PlanAudit {
       "pairing is variant-keyed, never all-pairs" -> (p =>
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
           "hashpartitioning\\(variant|BroadcastHashJoin \\[variant".r.findAllIn(p).nonEmpty))
+    audit("q_label_prop")(
+      "vote argmax is an aggregate, not a rank window" -> (p =>
+        !p.contains("windowspecdefinition") && p.contains("max(")),
+      "vote counts partially aggregated map-side" -> (p =>
+        "HashAggregate".r.findAllIn(p).length >= 2))
     audit("q_ppr")(
       "personalized rank flow stays keyed, no cartesian" -> (p =>
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))

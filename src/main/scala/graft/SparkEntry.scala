@@ -644,6 +644,21 @@ object SparkEntry {
       Graph.pageRank(fwd.union(rev).distinct(), iters = 3)
     }),
 
+    // label propagation: suppliers seeded with their nation, labels flow
+    // to parts and back for 3 rounds (majority vote, min-label ties) —
+    // all-integer, so the unrolled oracle needs no float discipline
+    "q_label_prop" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val fwd = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val rev = li.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst"))
+      val seeds = Tables.supplier(s, d)
+        .select((col("s_suppkey") * 2 + 1).as("node"),
+          col("s_nationkey").as("label"))
+      Graph.labelPropagation(fwd.union(rev).distinct(), seeds, iters = 3)
+    }),
+
     // personalized PageRank seeded at ten part nodes: rank becomes
     // proximity-to-sources — the related-items primitive; same quantized
     // machinery and oracle style as q_pagerank
@@ -859,6 +874,37 @@ object SparkEntry {
     sb.toString
   }
   private val pageRankSql: String = pageRankSqlFor(personalized = false)
+
+  /** Label propagation re-derivation: 3 unrolled majority-vote rounds over
+    * the same bipartite edges, all-integer (counts + labels), argmax via
+    * rank (cnt desc, label asc) ≡ Spark's max(struct(cnt, -label)). */
+  private val labelPropSql: String = {
+    val iters = 3
+    val sb = new StringBuilder
+    sb ++= """WITH e AS (
+       |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+       |  UNION
+       |  SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM lineitem),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+       |seed AS (SELECT s_suppkey * 2 + 1 AS node, CAST(min(s_nationkey) AS BIGINT) AS seed_label
+       |         FROM supplier GROUP BY 1),
+       |l0 AS (SELECT node, seed_label AS label FROM nodes LEFT JOIN seed USING (node))""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++= s""",
+         |v$i AS (SELECT dst, label, count(*) AS cnt
+         |        FROM e JOIN l${i - 1} ON src = node WHERE label IS NOT NULL
+         |        GROUP BY dst, label),
+         |w$i AS (SELECT dst, label AS voted,
+         |          row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, label) AS rk
+         |        FROM v$i),
+         |l$i AS (SELECT node, COALESCE(seed_label, w.voted) AS label
+         |        FROM nodes LEFT JOIN seed USING (node)
+         |        LEFT JOIN (SELECT dst, voted FROM w$i WHERE rk = 1) w ON node = w.dst)""".stripMargin
+    }
+    sb ++= s"\nSELECT node, label FROM l$iters"
+    sb.toString
+  }
 
   /** BM25 re-derivation over the ('hash','join','scan') query, shared by
     * q_bm25 and q_hybrid_search. Constants are interpolated from the SAME
@@ -1308,6 +1354,8 @@ object SparkEntry {
     "q_pagerank" -> pageRankSql,
 
     "q_ppr" -> pageRankSqlFor(personalized = true),
+
+    "q_label_prop" -> labelPropSql,
 
     "q_window_dist" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,

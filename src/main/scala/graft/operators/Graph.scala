@@ -62,6 +62,43 @@ object Graph {
     pr
   }
 
+  /** Semi-supervised label propagation: seeded nodes keep their labels
+    * (clamped); every other node takes, per round, the majority label of
+    * its in-neighbors (ties → smallest label; unlabeled neighbors don't
+    * vote). `iters` synchronous rounds. Entirely integer — counts and
+    * labels — so the unrolled oracle re-derivation is exact with no float
+    * discipline needed at all.
+    *
+    * Scale shape per round: one src-keyed join (labels onto edges), one
+    * (dst, label)-keyed count with map-side partials, and one aggregate
+    * argmax `max(struct(cnt, -label))` — the same aggregate-not-rank-window
+    * pattern as the IVF assignment; no driver-side graph state.
+    * Output: (node, label) — label null where no label ever arrived.
+    */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "labelPropagation needs at least one iteration")
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val seed = seeds.select(col("node"), col("label").cast("long").as("seed_label"))
+      .groupBy("node").agg(min(col("seed_label")).as("seed_label"))
+    val base = nodes.join(seed, Seq("node"), "left")
+    var labels = base.select(col("node"), col("seed_label").as("label"))
+    for (_ <- 1 to iters) {
+      val votes = e.join(labels.filter(col("label").isNotNull),
+          col("src") === col("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        // argmax by (cnt desc, label asc): max over (cnt, -label) structs
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("dst"), (-col("m.nl")).as("voted"))
+      labels = base.join(votes, col("node") === col("dst"), "left")
+        .select(col("node"),
+          coalesce(col("seed_label"), col("voted")).as("label"))
+    }
+    labels
+  }
+
   /** Personalized PageRank: identical machinery, but the (1−damping)
     * teleport mass returns to the SOURCE set instead of spreading
     * uniformly — rank then measures proximity to the sources, the

@@ -52,6 +52,23 @@ class GraphSpec extends SparkSpec {
     assert(out === Map(1L -> 2617L, 2L -> 191L, 3L -> 191L))
   }
 
+  test("labelPropagation: labels flow, seeds clamp, ties take the smaller label, islands stay null") {
+    val edges = Seq(
+      (1L, 2L), (4L, 2L), (2L, 1L), (2L, 4L), // 2 hears labels 7 and 3 → tie → 3
+      (2L, 3L), (3L, 2L),                     // 3 is one hop further
+      (5L, 6L), (6L, 5L))                     // unlabeled island
+      .toDF("src", "dst")
+    val seeds = Seq((1L, 7L), (4L, 3L)).toDF("node", "label")
+    val out = Graph.labelPropagation(edges, seeds, iters = 3)
+      .collect().map(r => r.getAs[Long]("node") ->
+        Option(r.getAs[java.lang.Long]("label")).map(_.toLong)).toMap
+    assert(out(1L) === Some(7L)) // seed clamps even though 2's label arrives
+    assert(out(4L) === Some(3L))
+    assert(out(2L) === Some(3L)) // tie between 7 and 3 → smaller label
+    assert(out(3L) === Some(3L)) // propagated one hop further
+    assert(out(5L) === None && out(6L) === None)
+  }
+
   test("pageRankPersonalized rejects sources absent from the graph") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val e = intercept[IllegalArgumentException] {
