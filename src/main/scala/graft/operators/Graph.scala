@@ -18,8 +18,25 @@ import org.apache.spark.sql.functions._
   * step deterministic and engine-portable. Quantization error is bounded
   * by (in-degree + 1)/scale per node per iteration — at the default
   * scale = 2^40 that is noise far below any ranking decision.
+  *
+  * Iteration scaling: past [[EagerIterThreshold]] rounds the loops switch
+  * from one lazy fused plan (cheapest at the registered small iteration
+  * counts — a single job, no materialization) to the
+  * [[Dedup.clusters]] pattern — edge/node/degree inputs persisted once,
+  * each round's state `localCheckpoint`ed and the previous round's blocks
+  * released. Lineage and plan size then stay O(1) in `iters` and the edge
+  * parquet is scanned once, not once per round; at real convergence counts
+  * (20+ rounds) the lazy form's plan grows linearly and recomputes every
+  * prior round per action, which is exactly the failure mode this avoids.
   */
 object Graph {
+
+  /** Round count above which the iterative operators persist their inputs
+    * and checkpoint per round (see object scaladoc). At or below it the
+    * plan stays lazy and fused — one job, the plan the registered
+    * `iters = 3` queries bench at.
+    */
+  private[graft] val EagerIterThreshold = 4
 
   /** `iters` rounds of damped PageRank over `edges` (columns `src`, `dst`;
     * node ids long). Returns (node, pr) with pr in units of 1/scale; the
@@ -28,38 +45,63 @@ object Graph {
     * CONTRACT: every node must have at least one out-edge (no dangling
     * nodes — their rank would leak each round). Callers building
     * bipartite or symmetric graphs get this for free by emitting both
-    * directions; spec-checked.
+    * directions. Enforced loudly by default (one node-bounded count
+    * piggybacked on the setup actions); `validate = false` skips the
+    * check for callers who accept the documented leak.
     *
     * Scale shape: per iteration, one src-keyed equi-join (ranks ⋈ edges,
     * with the out-degree side joined in), one dst-keyed hash aggregation
     * with map-side partials, and a left join back onto the node set —
     * shuffles keyed by node id, state bounded by |nodes|, no driver-side
-    * graph anywhere. The node count (one scalar) is the only action.
+    * graph anywhere. The node count (one scalar) is the only action at
+    * small `iters`; past [[EagerIterThreshold]] each round materializes a
+    * node-sized checkpoint (see object scaladoc).
     */
   def pageRank(edges: DataFrame, iters: Int,
-               damping: Double = 0.85, scale: Long = 1L << 40): DataFrame = {
+               damping: Double = 0.85, scale: Long = 1L << 40,
+               validate: Boolean = true): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
     require(scale > 0, "scale must be positive")
-    val e = edges.select(col("src"), col("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val n = nodes.count()
-    require(n > 0, "pageRank needs a non-empty edge set (an upstream filter drained it?)")
-    val base = math.floor((1 - damping) / n * scale).toLong
+    val ckpt = iters > EagerIterThreshold
+    def pin(df: DataFrame): DataFrame = if (ckpt) df.persist() else df
+    val e = pin(edges.select(col("src"), col("dst")))
+    val nodes = pin(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    val outDeg = pin(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    try {
+      val n = nodes.count()
+      require(n > 0, "pageRank needs a non-empty edge set (an upstream filter drained it?)")
+      if (validate) {
+        // |outDeg| = #distinct srcs = #nodes with an out-edge, so the
+        // dangling count is one cheap aggregate away — no extra join
+        val dangling = n - outDeg.count()
+        require(dangling == 0L,
+          s"pageRank graph has $dangling dangling node(s) (no out-edges) — " +
+            "their rank mass would silently leak each round; add reverse " +
+            "edges or self-loops, or pass validate = false to accept the leak")
+      }
+      val base = math.floor((1 - damping) / n * scale).toLong
 
-    var pr = nodes.withColumn("pr", lit(scale / n))
-    for (_ <- 1 to iters) {
-      val contribs = e.join(pr, col("src") === col("node"))
-        .join(outDeg, "src")
-        .select(col("dst"), expr("pr div deg").as("c"))
-      val gathered = contribs.groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      pr = nodes.join(gathered, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(base) + floor(lit(damping) * coalesce(col("s"), lit(0L)).cast("double"))
-            .cast("long")).as("pr"))
-    }
-    pr
+      var pr = nodes.withColumn("pr", lit(scale / n))
+      var prevCkpt: DataFrame = null
+      for (_ <- 1 to iters) {
+        val contribs = e.join(pr, col("src") === col("node"))
+          .join(outDeg, "src")
+          .select(col("dst"), expr("pr div deg").as("c"))
+        val gathered = contribs.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        val next = nodes.join(gathered, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(base) + floor(lit(damping) * coalesce(col("s"), lit(0L)).cast("double"))
+              .cast("long")).as("pr"))
+        pr = if (ckpt) {
+          val c = next.localCheckpoint()
+          if (prevCkpt != null) Dedup.release(prevCkpt)
+          prevCkpt = c
+          c
+        } else next
+      }
+      pr
+    } finally if (ckpt) { e.unpersist(); nodes.unpersist(); outDeg.unpersist(): Unit }
   }
 
   /** Semi-supervised label propagation: seeded nodes keep their labels
@@ -67,78 +109,113 @@ object Graph {
     * its in-neighbors (ties → smallest label; unlabeled neighbors don't
     * vote). `iters` synchronous rounds. Entirely integer — counts and
     * labels — so the unrolled oracle re-derivation is exact with no float
-    * discipline needed at all.
+    * discipline needed at all. (No dangling-node contract: a node without
+    * out-edges simply doesn't vote — nothing leaks.)
     *
     * Scale shape per round: one src-keyed join (labels onto edges), one
     * (dst, label)-keyed count with map-side partials, and one aggregate
     * argmax `max(struct(cnt, -label))` — the same aggregate-not-rank-window
-    * pattern as the IVF assignment; no driver-side graph state.
+    * pattern as the IVF assignment; no driver-side graph state. Past
+    * [[EagerIterThreshold]] rounds, inputs persist once and each round's
+    * labels checkpoint (see object scaladoc).
     * Output: (node, label) — label null where no label ever arrived.
     */
   def labelPropagation(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "labelPropagation needs at least one iteration")
-    val e = edges.select(col("src"), col("dst"))
+    val ckpt = iters > EagerIterThreshold
+    def pin(df: DataFrame): DataFrame = if (ckpt) df.persist() else df
+    val e = pin(edges.select(col("src"), col("dst")))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val seed = seeds.select(col("node"), col("label").cast("long").as("seed_label"))
       .groupBy("node").agg(min(col("seed_label")).as("seed_label"))
-    val base = nodes.join(seed, Seq("node"), "left")
-    var labels = base.select(col("node"), col("seed_label").as("label"))
-    for (_ <- 1 to iters) {
-      val votes = e.join(labels.filter(col("label").isNotNull),
-          col("src") === col("node"))
-        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-        // argmax by (cnt desc, label asc): max over (cnt, -label) structs
-        .groupBy(col("dst"))
-        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
-        .select(col("dst"), (-col("m.nl")).as("voted"))
-      labels = base.join(votes, col("node") === col("dst"), "left")
-        .select(col("node"),
-          coalesce(col("seed_label"), col("voted")).as("label"))
-    }
-    labels
+    val base = pin(nodes.join(seed, Seq("node"), "left"))
+    try {
+      var labels = base.select(col("node"), col("seed_label").as("label"))
+      var prevCkpt: DataFrame = null
+      for (_ <- 1 to iters) {
+        val votes = e.join(labels.filter(col("label").isNotNull),
+            col("src") === col("node"))
+          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+          // argmax by (cnt desc, label asc): max over (cnt, -label) structs
+          .groupBy(col("dst"))
+          .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+          .select(col("dst"), (-col("m.nl")).as("voted"))
+        val next = base.join(votes, col("node") === col("dst"), "left")
+          .select(col("node"),
+            coalesce(col("seed_label"), col("voted")).as("label"))
+        labels = if (ckpt) {
+          val c = next.localCheckpoint()
+          if (prevCkpt != null) Dedup.release(prevCkpt)
+          prevCkpt = c
+          c
+        } else next
+      }
+      labels
+    } finally if (ckpt) { e.unpersist(); base.unpersist(): Unit }
   }
 
   /** Personalized PageRank: identical machinery, but the (1−damping)
     * teleport mass returns to the SOURCE set instead of spreading
     * uniformly — rank then measures proximity to the sources, the
     * recommendation/related-items primitive. `sources` is a one-column
-    * (node) frame; same dangling-node contract and int64 quantization as
-    * [[pageRank]].
+    * (node) frame; same dangling-node contract (and `validate` guard) and
+    * int64 quantization as [[pageRank]].
     *
     * Scale note: the source flag rides the node set as a broadcast-joined
-    * bit; per-iteration shape is unchanged.
+    * bit; per-iteration shape is unchanged, with the same
+    * [[EagerIterThreshold]] checkpoint switch.
     */
   def pageRankPersonalized(edges: DataFrame, sources: DataFrame, iters: Int,
-                           damping: Double = 0.85, scale: Long = 1L << 40): DataFrame = {
+                           damping: Double = 0.85, scale: Long = 1L << 40,
+                           validate: Boolean = true): DataFrame = {
     require(iters >= 1, "pageRankPersonalized needs at least one iteration")
     require(scale > 0, "scale must be positive")
-    val e = edges.select(col("src"), col("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val srcSet = sources.select(col("node")).distinct()
-      .join(nodes, Seq("node"), "left_semi")
-    val nS = srcSet.count()
-    require(nS > 0, "pageRankPersonalized needs at least one source node present in the graph")
-    val baseS = math.floor((1 - damping) / nS * scale).toLong
-    val flagged = nodes.join(broadcast(srcSet.withColumn("is_src", lit(true))),
-      Seq("node"), "left")
-      .select(col("node"), coalesce(col("is_src"), lit(false)).as("is_src"))
-
-    var pr = flagged.withColumn("pr",
-      when(col("is_src"), lit(scale / nS)).otherwise(lit(0L)))
-    for (_ <- 1 to iters) {
-      val contribs = e.join(pr.select(col("node"), col("pr")), col("src") === col("node"))
-        .join(outDeg, "src")
-        .select(col("dst"), expr("pr div deg").as("c"))
-      val gathered = contribs.groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      pr = flagged.join(gathered, col("node") === col("dst"), "left")
-        .select(col("node"), col("is_src"),
-          (when(col("is_src"), lit(baseS)).otherwise(lit(0L)) +
-            floor(lit(damping) * coalesce(col("s"), lit(0L)).cast("double"))
-              .cast("long")).as("pr"))
-    }
-    pr.select("node", "pr")
+    val ckpt = iters > EagerIterThreshold
+    def pin(df: DataFrame): DataFrame = if (ckpt) df.persist() else df
+    val e = pin(edges.select(col("src"), col("dst")))
+    val nodes = pin(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    val outDeg = pin(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    try {
+      val srcSet = sources.select(col("node")).distinct()
+        .join(nodes, Seq("node"), "left_semi")
+      val nS = srcSet.count()
+      require(nS > 0, "pageRankPersonalized needs at least one source node present in the graph")
+      if (validate) {
+        val dangling = nodes.count() - outDeg.count()
+        require(dangling == 0L,
+          s"pageRankPersonalized graph has $dangling dangling node(s) (no " +
+            "out-edges) — their rank mass would silently leak each round; " +
+            "add reverse edges or self-loops, or pass validate = false to accept the leak")
+      }
+      val baseS = math.floor((1 - damping) / nS * scale).toLong
+      val flagged = pin(nodes.join(broadcast(srcSet.withColumn("is_src", lit(true))),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("is_src"), lit(false)).as("is_src")))
+      try {
+        var pr = flagged.withColumn("pr",
+          when(col("is_src"), lit(scale / nS)).otherwise(lit(0L)))
+        var prevCkpt: DataFrame = null
+        for (_ <- 1 to iters) {
+          val contribs = e.join(pr.select(col("node"), col("pr")), col("src") === col("node"))
+            .join(outDeg, "src")
+            .select(col("dst"), expr("pr div deg").as("c"))
+          val gathered = contribs.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+          val next = flagged.join(gathered, col("node") === col("dst"), "left")
+            .select(col("node"), col("is_src"),
+              (when(col("is_src"), lit(baseS)).otherwise(lit(0L)) +
+                floor(lit(damping) * coalesce(col("s"), lit(0L)).cast("double"))
+                  .cast("long")).as("pr"))
+          pr = if (ckpt) {
+            val c = next.localCheckpoint()
+            if (prevCkpt != null) Dedup.release(prevCkpt)
+            prevCkpt = c
+            c
+          } else next
+        }
+        pr.select("node", "pr")
+      } finally if (ckpt) flagged.unpersist(): Unit
+    } finally if (ckpt) { e.unpersist(); nodes.unpersist(); outDeg.unpersist(): Unit }
   }
 }

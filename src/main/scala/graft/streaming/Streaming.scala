@@ -206,8 +206,15 @@ object Streaming {
     if (docs.isEmpty) return
     // doc_id is the document's identity: duplicate deliveries inside ONE
     // batch would sail past every near-dup check (equal ids never pair)
-    // and land twice in the corpus
-    val cleaned = TextAnalysis.stripHtml(docs.dropDuplicates("doc_id"), "text")
+    // and land twice in the corpus. The survivor is picked DETERMINISTICALLY
+    // (min (text, lang) per id, not dropDuplicates' arbitrary row) so the
+    // committed corpus content is stable across replays and partitionings
+    // even when duplicate deliveries of one id carry different payloads.
+    val oneRowPerId = docs
+      .groupBy("doc_id")
+      .agg(min(struct(col("text"), col("lang"))).as("payload"))
+      .select(col("doc_id"), col("payload.lang"), col("payload.text"))
+    val cleaned = TextAnalysis.stripHtml(oneRowPerId, "text")
       .select(col("doc_id"), col("lang"), col("clean_text").as("text"))
     val exists = ManifestTable.currentVersion(s, corpusPath).isDefined
     def corpusDf = ManifestTable.read(s, corpusPath)
@@ -248,8 +255,20 @@ object Streaming {
   private def writeBucketMeta(s: SparkSession, indexPath: String, buckets: Int): Unit = {
     val p = bucketMetaPath(indexPath)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, false) // exclusive: the sink is single-writer
-    try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+    // A crash after this create but before the first index merge commits
+    // leaves the sidecar present while currentVersion is still None; the
+    // at-least-once replay re-enters here, so an existing sidecar is not an
+    // error — it just must agree with the requested bucket count (the same
+    // invariant readBucketMeta enforces on every later batch).
+    if (fs.exists(p)) {
+      val stored = readBucketMeta(s, indexPath)
+      require(stored == buckets,
+        s"index at $indexPath has a bucket sidecar pinning $stored term " +
+          s"buckets; got buckets=$buckets — pass the original value")
+    } else {
+      val out = fs.create(p, false) // exclusive: the sink is single-writer
+      try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+    }
   }
 
   private def readBucketMeta(s: SparkSession, indexPath: String): Int = {
@@ -593,9 +612,11 @@ object Streaming {
     * streaming sink lives with. Returns the version the checkpoint now
     * points at (unchanged if nothing new).
     *
-    * The checkpoint write is atomic (tmp + rename), so it is never
-    * half-written; concurrent followers sharing one checkpoint race
-    * harmlessly (both would process the same delta — idempotence again).
+    * The checkpoint advance is one atomic create of an empty `v<version>`
+    * marker file (existence IS the content — nothing can be half-written),
+    * with older markers swept only after the new one durably exists;
+    * concurrent followers sharing one checkpoint race harmlessly (both
+    * would process the same delta — idempotence again).
     *
     * Scale: the delta read lists only the files new since the checkpoint;
     * a follower that polls this in a loop processes a 100 TB table's

@@ -91,4 +91,85 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr")).toMap
     assert((1L to 5L).forall(i => out(0L) > out(i)))
   }
+
+  /** Driver-side exact replica of the quantized update rule — the oracle
+    * for the checkpointed long-iteration path.
+    */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+                          damping: Double, scale: Long): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val outDeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val base = math.floor((1 - damping) / nodes.size * scale).toLong
+    var pr = nodes.map(_ -> scale / nodes.size).toMap
+    for (_ <- 1 to iters) {
+      val gathered = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => pr(s) / outDeg(s) }.sum
+      }
+      pr = nodes.map(v => v ->
+        (base + math.floor(damping * gathered.getOrElse(v, 0L).toDouble).toLong)).toMap
+    }
+    pr
+  }
+
+  test("pageRank past the checkpoint threshold matches the exact driver-side recurrence") {
+    // iters = 12 > EagerIterThreshold: exercises persist + per-round
+    // localCheckpoint; result must be bit-identical to the lazy rule
+    val edgeSeq = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 4L),
+      (4L, 1L), (4L, 2L), (2L, 4L))
+    val out = Graph.pageRank(edgeSeq.toDF("src", "dst"), iters = 12,
+        damping = 0.85, scale = 1L << 20)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr")).toMap
+    assert(out === refPageRank(edgeSeq, 12, 0.85, 1L << 20))
+  }
+
+  test("checkpointed iterations keep the plan size bounded in iters") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    // past the threshold each round reads the previous round's checkpoint
+    // RDD, so the final plan has constant depth — more rounds must not
+    // grow it (the lazy form grows linearly and would fail this hard)
+    val p6 = Graph.pageRank(edges, iters = 6).queryExecution.optimizedPlan.toString
+    val p12 = Graph.pageRank(edges, iters = 12).queryExecution.optimizedPlan.toString
+    assert(p12.length <= p6.length + 64,
+      s"plan grew with iters: ${p6.length} -> ${p12.length}")
+  }
+
+  test("pageRank rejects dangling nodes loudly, and validate=false accepts the leak") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst") // node 2 has no out-edge
+    val e = intercept[IllegalArgumentException] { Graph.pageRank(edges, iters = 2) }
+    assert(e.getMessage.contains("dangling"))
+    // opt-out path still runs (documented mass leak)
+    assert(Graph.pageRank(edges, iters = 2, validate = false).count() === 2)
+    val e2 = intercept[IllegalArgumentException] {
+      Graph.pageRankPersonalized(edges, Seq(1L).toDF("node"), iters = 2)
+    }
+    assert(e2.getMessage.contains("dangling"))
+  }
+
+  test("labelPropagation past the checkpoint threshold keeps the converged answer") {
+    val edges = Seq(
+      (1L, 2L), (4L, 2L), (2L, 1L), (2L, 4L),
+      (2L, 3L), (3L, 2L),
+      (5L, 6L), (6L, 5L))
+      .toDF("src", "dst")
+    val seeds = Seq((1L, 7L), (4L, 3L)).toDF("node", "label")
+    // converged by round 3; rounds 4..12 are fixpoint no-ops, so the
+    // checkpointed long run must reproduce the eager short run exactly
+    val short = Graph.labelPropagation(edges, seeds, iters = 3)
+      .collect().map(r => r.getAs[Long]("node") ->
+        Option(r.getAs[java.lang.Long]("label")).map(_.toLong)).toMap
+    val long = Graph.labelPropagation(edges, seeds, iters = 12)
+      .collect().map(r => r.getAs[Long]("node") ->
+        Option(r.getAs[java.lang.Long]("label")).map(_.toLong)).toMap
+    assert(long === short)
+  }
+
+  test("pageRankPersonalized past the checkpoint threshold conserves mass at the sources") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val scale = 1L << 30
+    val out = Graph.pageRankPersonalized(edges, Seq(1L, 3L).toDF("node"),
+      iters = 12, scale = scale)
+    val total = out.agg(org.apache.spark.sql.functions.sum("pr")).as[Long].head()
+    assert(math.abs(total - scale) <= 200L)
+  }
 }

@@ -420,6 +420,57 @@ class StreamingSpec extends SparkSpec {
       === Array(1L, 2L, 3L, 4L))
   }
 
+  test("applyIndexBatch recovers from a crash between sidecar creation and the first commit") {
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("idxsidecar").toString
+    val (idx, dl) = (s"$root/idx", s"$root/dl")
+    // simulate the creation-time crash window: the bucket sidecar exists
+    // (written by a run that died before its first index merge committed)
+    // while the table itself has no version yet
+    val sidecar = new org.apache.hadoop.fs.Path(idx, "_index_buckets")
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(sidecar, false)
+    out.write("8".getBytes("UTF-8")); out.close()
+    assert(ManifestTable.currentVersion(spark, idx).isEmpty)
+    // the at-least-once replay must pass straight through, not wedge on
+    // the exclusive create
+    val b1 = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    Streaming.applyIndexBatch(spark, idx, dl, b1, buckets = 8)
+    assert(ManifestTable.currentVersion(spark, idx).isDefined)
+    // a stranded sidecar with a DIFFERENT count still rejects loudly
+    val root2 = java.nio.file.Files.createTempDirectory("idxsidecar2").toString
+    val idx2 = s"$root2/idx"
+    val sc2 = new org.apache.hadoop.fs.Path(idx2, "_index_buckets")
+    val o2 = fs.create(sc2, false); o2.write("4".getBytes("UTF-8")); o2.close()
+    val e = intercept[IllegalArgumentException] {
+      Streaming.applyIndexBatch(spark, idx2, s"$root2/dl", b1, buckets = 8)
+    }
+    assert(e.getMessage.contains("pinning 4"))
+  }
+
+  test("applyCurationBatch picks a deterministic survivor among duplicate deliveries") {
+    import graft.sources.ManifestTable
+    val root = java.nio.file.Files.createTempDirectory("curdet").toString
+    val corpus = s"$root/corpus"
+    val bench = Seq((900L, "benchmark question text here")).toDF("doc_id", "text")
+    val text1 = "a clean plain document about spark joins and shuffles. " * 4
+    val text2 = "b completely different text about window functions and state. " * 4
+    // one doc_id delivered twice with DIFFERENT payloads in one batch:
+    // the committed row must be the (text, lang)-min payload regardless of
+    // delivery/partition order
+    val dup = Seq((1L, "en", text1), (1L, "de", text2)).toDF("doc_id", "lang", "text")
+    Streaming.applyCurationBatch(spark, corpus, dup, bench)
+    val kept = ManifestTable.read(spark, corpus).collect()
+    assert(kept.length === 1)
+    assert(kept.head.getAs[String]("lang") === "en") // text1 < text2
+    // reversed delivery order commits the identical row
+    val corpus2 = s"$root/corpus2"
+    val dupRev = Seq((1L, "de", text2), (1L, "en", text1)).toDF("doc_id", "lang", "text")
+    Streaming.applyCurationBatch(spark, corpus2, dupRev, bench)
+    val kept2 = ManifestTable.read(spark, corpus2).collect()
+    assert(kept2.length === 1 && kept2.head.getAs[String]("lang") === "en")
+  }
+
   test("applyIndexBatch pins the bucket count and skips empty-delta versions") {
     import graft.sources.ManifestTable
     val root = java.nio.file.Files.createTempDirectory("idxguard").toString
