@@ -226,9 +226,15 @@ object PlanAudit {
       "grid join is keyed, never cartesian" -> (p =>
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
     audit("q_window_dist")(
-      "all three distribution windows share one priority-keyed partitioning" -> (p =>
-        "hashpartitioning\\(o_orderpriority".r.findAllIn(p).nonEmpty &&
-          "Exchange".r.findAllIn(p).length == 1))
+      // the one-pass form funneled the whole table through 5 reducers; the
+      // two-pass form's table-sized sort is keyed by (priority, bucket) —
+      // partitioning cardinality 5 × buckets ≥ shuffle parallelism
+      "table-sized ranks keyed by (priority, range-bucket), never priority alone" -> (p =>
+        "hashpartitioning\\(o_orderpriority#\\d+, _bkt".r.findAllIn(p).nonEmpty),
+      "boundary and offset frames broadcast onto the fact" -> (p =>
+        "BroadcastHashJoin".r.findAllIn(p).length >= 2),
+      "no sort-merge join, no cartesian" -> (p =>
+        !p.contains("SortMergeJoin") && !p.contains("CartesianProduct")))
     audit("q_search_indexed")(
       // matching happens on exploded postings (|terms| rows in-query; a
       // persisted index at scale), with a doc-id-only semi join back out

@@ -673,18 +673,21 @@ object SparkEntry {
       Graph.pageRankPersonalized(fwd.union(rev).distinct(), sources, iters = 3)
     }),
 
-    // distribution windows (ntile/percent_rank/cume_dist), keyed by
-    // priority so every window is a bounded group, never a global sort;
-    // both rank ratios are single IEEE divisions of exact integer ranks
-    "q_window_dist" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, d).select(
-        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
-        ntile(4).over(w).as("quartile"),
-        percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cume"))
-    }),
+    // distribution windows (ntile/percent_rank/cume_dist) over a FIVE-value
+    // partition key: the naive priority-keyed window caps parallelism at 5
+    // and funnels n/5 rows through each reducer forever — at 100× that is a
+    // ~20 GB sort per task. DistWindows.distribution computes the identical
+    // answers two-pass (range-bucketed local ranks + broadcast prefix
+    // offsets; cardinality 5 × 64 buckets); the oracle SQL keeps the exact
+    // one-pass window as the independent re-derivation. Both rank ratios
+    // remain single IEEE divisions of exact integer ranks.
+    "q_window_dist" -> ((s, d) =>
+      DistWindows.distribution(
+        Tables.orders(s, d).select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        partCol = "o_orderpriority", valueCol = "o_totalprice",
+        tieCol = "o_orderkey", tiles = 4, buckets = 64)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          col("tile").as("quartile"), col("pct_rank"), col("cume_dist").as("cume"))),
 
     "q_order_gaps" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
