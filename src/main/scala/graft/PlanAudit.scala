@@ -204,6 +204,10 @@ object PlanAudit {
       "pairing is variant-keyed, never all-pairs" -> (p =>
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
           "hashpartitioning\\(variant|BroadcastHashJoin \\[variant".r.findAllIn(p).nonEmpty))
+    audit("q_fuzzy_join_k2")(
+      "depth-2 pairing is variant-keyed, never all-pairs" -> (p =>
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+          "hashpartitioning\\(variant|BroadcastHashJoin \\[variant".r.findAllIn(p).nonEmpty))
     audit("q_label_prop")(
       "vote argmax is an aggregate, not a rank window" -> (p =>
         !p.contains("windowspecdefinition") && p.contains("max(")),

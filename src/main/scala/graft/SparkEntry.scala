@@ -631,6 +631,16 @@ object SparkEntry {
         Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
         "c_custkey", "c_name")),
 
+    // edit-distance-2: same construction at neighborhood depth 2 (recall
+    // by the deletion-alignment theorem, precision by the levenshtein
+    // verify). maxBucket = 1024 demonstrates the degenerate-flood guard —
+    // provably inert here (zero-padded name buckets are ≤ ~200: two free
+    // digit positions), so the brute-force oracle still matches exactly
+    "q_fuzzy_join_k2" -> ((s, d) =>
+      FuzzyJoin.selfPairs(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name", k = 2, maxBucket = 1024)),
+
     // damped PageRank over the part↔supplier bipartite graph (both edge
     // directions, so no dangling nodes), 3 rounds, int64-quantized rank
     // flow — the quantization is what makes an iterative double algorithm
@@ -1353,6 +1363,13 @@ object SparkEntry {
         |CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+    "q_fuzzy_join_k2" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |a.c_name AS str_a, b.c_name AS str_b,
+        |CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
 
     "q_pagerank" -> pageRankSql,
 

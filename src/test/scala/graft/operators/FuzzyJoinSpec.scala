@@ -50,4 +50,65 @@ class FuzzyJoinSpec extends SparkSpec {
       .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
     assert(expected.nonEmpty && got === expected)
   }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("k = 2 finds double edits the k = 1 pass misses, and equals brute force") {
+    val df = Seq(
+      (1L, "martha"),
+      (2L, "marta"),    // 1 deletion
+      (3L, "martya"),   // substitution h→y: dist 1 to martha, 2 to marta? verify via brute force
+      (4L, "msrthb"),   // two substitutions of martha
+      (5L, "rtha"),     // two deletions of martha... wait "martha" minus 'm','a' = "rtha": dist 2
+      (6L, "zzzzzz"))   // far away
+      .toDF("id", "name")
+    val expected = (for {
+      (ia, sa) <- Seq((1L, "martha"), (2L, "marta"), (3L, "martya"),
+        (4L, "msrthb"), (5L, "rtha"), (6L, "zzzzzz"))
+      (ib, sb) <- Seq((1L, "martha"), (2L, "marta"), (3L, "martya"),
+        (4L, "msrthb"), (5L, "rtha"), (6L, "zzzzzz"))
+      if ia < ib && lev(sa, sb) <= 2
+    } yield (ia, ib, lev(sa, sb))).toSet
+    val got = FuzzyJoin.selfPairs(df, "id", "name", k = 2)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(got === expected)
+    assert(got.contains((1L, 4L, 2))) // double substitution: invisible at k = 1
+    val k1 = FuzzyJoin.selfPairs(df, "id", "name", k = 1)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(!k1.contains((1L, 4L, 2)))
+  }
+
+  test("k = 2 equals brute force on the customer fixture") {
+    val names = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_name").as[(Long, String)].collect()
+    val expected = (for {
+      (ia, sa) <- names; (ib, sb) <- names
+      if ia < ib && lev(sa, sb) <= 2
+    } yield (ia, ib, lev(sa, sb))).toSet
+    val got = FuzzyJoin.selfPairs(
+      spark.read.parquet(s"$sf/customer.parquet").select("c_custkey", "c_name"),
+      "c_custkey", "c_name", k = 2, maxBucket = 1024)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(expected.nonEmpty && got === expected)
+  }
+
+  test("maxBucket caps a degenerate duplicate flood instead of expanding |bucket|^2 pairs") {
+    // 2000 identical keys would expand ~2M pairs per shared variant bucket;
+    // the cap drops those buckets (documented recall trade: exact-dup floods
+    // are exact-dedup's job) while unrelated near pairs still match
+    val flood = (1L to 2000L).map(i => (i, "aaaaaa"))
+    val tail = Seq((9001L, "unique"), (9002L, "uniqee"), (9003L, "zzzzzz"))
+    val df = (flood ++ tail).toDF("id", "name")
+    val got = FuzzyJoin.selfPairs(df, "id", "name", k = 1, maxBucket = 100)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((9001L, 9002L, 1)))
+  }
 }
