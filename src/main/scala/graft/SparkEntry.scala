@@ -358,6 +358,16 @@ object SparkEntry {
       Multimodal.imageMeta(s,
         Multimodal.encodeImages(s, Tables.documents(s, d), "doc_id", "text"))),
 
+    // real PIXELS, not just containers: per doc a small PNG whose samples
+    // follow an integer rule, written through filter cycling (all five PNG
+    // row filters) + deflate + container, then decoded back — inflate +
+    // unfilter — and reduced to sample sums. The oracle enumerates the
+    // same rule with generate_series, so any container/inflate/unfilter
+    // bug breaks the hash. mean_val is one IEEE division of exact ints.
+    "q_png_pixels" -> ((s, d) =>
+      Multimodal.pngPixelStats(s,
+        Multimodal.encodePngPixelTable(s, Tables.documents(s, d), "doc_id"))),
+
     // ---- LLM-pipeline: training-data curation ----
     // PII is synthesized deterministically (same expressions in the oracle)
     // so the redaction rules are actually exercised — the fixture corpus
@@ -2051,5 +2061,23 @@ object SparkEntry {
         |          ELSE 50 + strlen(coalesce(text, '')) END AS INT) AS n_bytes,
         |md5(coalesce(text, '')) AS body_md5,
         |sha256(coalesce(text, '')) AS body_sha256
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    // the pixel generation rule re-enumerated; Spark derives the same
+    // sums by DECODING the PNG bytes (inflate + per-row unfilter). The
+    // constant series bounds match the rule's maxima (w ≤ 39, h ≤ 31,
+    // c ≤ 3 as 0-based indices)
+    "q_png_pixels" ->
+      """SELECT d.doc_id AS media_id,
+        |CAST(d.doc_id % 32 + 8 AS INT) AS width,
+        |CAST(d.doc_id % 24 + 8 AS INT) AS height,
+        |CAST(d.doc_id % 4 + 1 AS INT) AS channels,
+        |CAST(count(*) AS BIGINT) AS n_samples,
+        |CAST(SUM((d.doc_id + 3*gx.x + 7*gy.y + 11*gc.c) % 256) AS BIGINT) AS sum_val,
+        |CAST(SUM((d.doc_id + 3*gx.x + 7*gy.y + 11*gc.c) % 256) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_val
+        |FROM documents d
+        |JOIN generate_series(0, 39) gx(x) ON gx.x <= d.doc_id % 32 + 7
+        |JOIN generate_series(0, 31) gy(y) ON gy.y <= d.doc_id % 24 + 7
+        |JOIN generate_series(0, 3)  gc(c) ON gc.c <= d.doc_id % 4
+        |GROUP BY d.doc_id""".stripMargin)
 }

@@ -13,11 +13,16 @@ import org.apache.spark.sql.types._
   * COM, SOF0, EOI segments) bytes, and [[parseImageHeader]] is an honest
   * pure-JVM parser — PNG chunk walk, JPEG marker-segment walk — that
   * recovers format, dimensions, channel count and the payload body with no
-  * image library. Only the PIXEL layer is stubbed (`FakeCodec`, standing in
-  * for a JNI/JEP decoder call: the IDAT stream here is not zlib pixel
-  * data). Swapping it in changes no plan shape: decode stays
-  * `mapPartitions` (batch-amortized codec init, executor-local, no
-  * shuffle).
+  * image library.
+  *
+  * The PNG PIXEL layer is real too: [[encodePngPixels]] writes genuine
+  * 8-bit zlib-deflated scanlines exercising all five PNG row filters, and
+  * [[decodePngPixels]] inflates and unfilters (none/sub/up/average/paeth)
+  * back to raw samples — `java.util.zip` only, no image library. Only the
+  * JPEG ENTROPY layer remains stubbed (`FakeCodec`, standing in for a
+  * JNI/JEP huffman+DCT call). Swapping it in changes no plan shape:
+  * decode stays `mapPartitions` (batch-amortized codec init,
+  * executor-local, no shuffle).
   */
 object Multimodal {
 
@@ -222,12 +227,187 @@ object Multimodal {
         md5(col("body")).as("body_md5"), sha2(col("body"), 256).as("body_sha256"))
   }
 
+  // ---------------------------------------------------------------------
+  // Real PNG pixel layer: deflate/inflate + the five PNG row filters
+
+  /** Raw 8-bit samples, row-major (y, then x, then channel):
+    * `pixels.length == width * height * channels`. */
+  final case class PixelImage(width: Int, height: Int, channels: Int,
+                              pixels: Array[Byte])
+
+  /** PNG Paeth predictor (spec §9, Filtering). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def colorTypeOf(channels: Int): Int = channels match {
+    case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6
+    case n => throw new IllegalArgumentException(s"channels must be 1-4, got $n")
+  }
+
+  /** REAL PNG encode: 8-bit samples from `pixel(x, y, c)` (low 8 bits
+    * taken), per-row filter cycling through all five filter types
+    * (y % 5: none/sub/up/average/paeth — so a round-trip exercises every
+    * unfilter path), zlib-deflated into a single IDAT inside the
+    * CRC-correct container of [[encodePng]]. A standards-compliant PNG
+    * reader renders these bytes.
+    */
+  def encodePngPixels(width: Int, height: Int, channels: Int,
+                      pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val bpp = channels // 8-bit samples: bytes-per-pixel = channel count
+    val stride = width * channels
+    val raw = new Array[Byte](height * (1 + stride))
+    val cur = new Array[Int](stride)
+    val prior = new Array[Int](stride)
+    var y = 0
+    while (y < height) {
+      var i = 0
+      while (i < stride) { cur(i) = pixel(i / channels, y, i % channels) & 0xff; i += 1 }
+      val f = y % 5
+      val rowOff = y * (1 + stride)
+      raw(rowOff) = f.toByte
+      i = 0
+      while (i < stride) {
+        val a = if (i >= bpp) cur(i - bpp) else 0
+        val b = if (y > 0) prior(i) else 0
+        val c = if (y > 0 && i >= bpp) prior(i - bpp) else 0
+        val v = cur(i)
+        val filtered = f match {
+          case 0 => v
+          case 1 => v - a
+          case 2 => v - b
+          case 3 => v - ((a + b) >> 1)
+          case 4 => v - paeth(a, b, c)
+        }
+        raw(rowOff + 1 + i) = (filtered & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, stride)
+      y += 1
+    }
+    val def_ = new java.util.zip.Deflater()
+    val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    try {
+      def_.setInput(raw); def_.finish()
+      val buf = new Array[Byte](8192)
+      while (!def_.finished()) bos.write(buf, 0, def_.deflate(buf))
+    } finally def_.end()
+    encodePng(width, height, colorTypeOf(channels), bos.toByteArray)
+  }
+
+  /** REAL PNG pixel decode: container walk ([[parseImageHeader]]) → zlib
+    * inflate of the concatenated IDAT stream → per-row unfilter
+    * (none/sub/up/average/paeth) back to raw 8-bit samples. Pure JVM
+    * (`java.util.zip.Inflater`), no image library. Returns None for
+    * non-PNG, 16-bit/interlaced (not written by our encoder), truncated,
+    * corrupt, or wrong-length streams — never throws.
+    */
+  def decodePngPixels(b: Array[Byte]): Option[PixelImage] = {
+    val parsed = parseImageHeader(b)
+    if (parsed.isEmpty || parsed.get.fmt != "png") return None
+    val m = parsed.get
+    // our encoder writes bit depth 8, no interlace (IHDR bytes 24/28)
+    if ((b(24) & 0xff) != 8 || (b(28) & 0xff) != 0) return None
+    val stride = m.width * m.channels
+    val expected = m.height * (1 + stride)
+    val raw = new Array[Byte](expected)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(m.body)
+      var off = 0
+      while (off < expected && !inf.finished()) {
+        val n = inf.inflate(raw, off, expected - off)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None // truncated
+        off += n
+      }
+      if (off != expected || !inf.finished()) return None // short or trailing data
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    val bpp = m.channels
+    val px = new Array[Byte](m.height * stride)
+    var y = 0
+    while (y < m.height) {
+      val rowOff = y * (1 + stride)
+      val outOff = y * stride
+      val f = raw(rowOff) & 0xff
+      if (f > 4) return None // unknown filter type
+      var i = 0
+      while (i < stride) {
+        val x = raw(rowOff + 1 + i) & 0xff
+        val a = if (i >= bpp) px(outOff + i - bpp) & 0xff else 0
+        val up = if (y > 0) px(outOff - stride + i) & 0xff else 0
+        val c = if (y > 0 && i >= bpp) px(outOff - stride + i - bpp) & 0xff else 0
+        val v = f match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + up
+          case 3 => x + ((a + up) >> 1)
+          case 4 => x + paeth(a, up, c)
+        }
+        px(outOff + i) = (v & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    Some(PixelImage(m.width, m.height, m.channels, px))
+  }
+
+  /** Deterministic REAL-pixel PNG table: per id, a small image (the
+    * modulus rule keeps ≤ ~5k samples each) whose sample at (x, y, c) is
+    * `(id + 3x + 7y + 11c) mod 256`, encoded through the full filter +
+    * deflate + container stack. The rule is restated by the DuckDB oracle
+    * (a generate_series enumeration), so the decode in [[pngPixelStats]]
+    * is checked end-to-end: any container-walk, inflate, or unfilter bug
+    * breaks the sample sums.
+    */
+  def encodePngPixelTable(spark: SparkSession, docs: DataFrame,
+                          idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        require(id >= 0, s"encodePngPixelTable: negative media id $id")
+        val w = (id % 32 + 8).toInt
+        val h = (id % 24 + 8).toInt
+        val ch = (id % 4 + 1).toInt
+        (id, encodePngPixels(w, h, ch,
+          (x, y, c) => ((id + 3L * x + 7L * y + 11L * c) % 256).toInt))
+      }).toDF("media_id", "payload")
+  }
+
+  /** Decoded-pixel statistics: one partition-local decode pass (the codec
+    * slot) per payload; undecodable payloads keep their id with null
+    * stats. `mean_val` is one IEEE division of exact integers — the
+    * cross-engine float discipline.
+    */
+  def pngPixelStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        decodePngPixels(p) match {
+          case Some(img) =>
+            var s = 0L
+            var i = 0
+            while (i < img.pixels.length) { s += img.pixels(i) & 0xff; i += 1 }
+            (id, Some(img.width), Some(img.height), Some(img.channels),
+              Some(img.pixels.length.toLong), Some(s),
+              Some(s.toDouble / img.pixels.length))
+          case None => (id, None, None, None, None, None, None)
+        }
+      }).toDF("media_id", "width", "height", "channels",
+        "n_samples", "sum_val", "mean_val")
+  }
+
   final case class MediaFeature(media_id: Long, modality: String, n_bytes: Int,
                                 mean_byte: Double, frames_sampled: Int)
 
-  /** ====== STUB: stands in for a real decoder (no media libs here). ======
+  /** ====== STUB: stands in for a real JPEG entropy decoder (no media
+    * libs here; the PNG path above is fully real). ======
     * Deterministic: "decodes" a payload to (mean byte value, frame count).
-    * A real implementation would decode pixels/samples here — everything
+    * A real implementation would run huffman+DCT here — everything
     * around it (batching, schema, partition-locality) is production-shaped.
     */
   object FakeCodec {

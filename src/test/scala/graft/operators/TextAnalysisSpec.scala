@@ -109,6 +109,58 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: PNG pixel round-trip through all five row filters is exact") {
+    // height ≥ 5 cycles every filter type (y % 5); all four channel counts
+    for (ch <- 1 to 4) {
+      val (w, h) = (13, 11)
+      def rule(x: Int, y: Int, c: Int): Int = (x * 3 + y * 7 + c * 11 + ch) % 256
+      val bytes = Multimodal.encodePngPixels(w, h, ch, rule)
+      val img = Multimodal.decodePngPixels(bytes).get
+      assert((img.width, img.height, img.channels) === ((w, h, ch)))
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+        assert((img.pixels((y * w + x) * ch + c) & 0xff) === rule(x, y, c),
+          s"sample mismatch at ($x,$y,$c) ch=$ch")
+    }
+  }
+
+  test("multimodal: decodePngPixels rejects corrupt streams, never throws") {
+    val good = Multimodal.encodePngPixels(8, 8, 3, (x, y, c) => x + y + c)
+    assert(Multimodal.decodePngPixels(good).isDefined)
+    // truncated IDAT: container re-assembled with half the deflate stream
+    val body = Multimodal.parseImageHeader(good).get.body
+    val truncated = Multimodal.encodePng(8, 8, 2, body.take(body.length / 2))
+    assert(Multimodal.decodePngPixels(truncated).isEmpty)
+    // garbage IDAT (not zlib at all)
+    assert(Multimodal.decodePngPixels(
+      Multimodal.encodePng(8, 8, 2, "not zlib data".getBytes)).isEmpty)
+    // jpeg payload routed to the png decoder
+    assert(Multimodal.decodePngPixels(
+      Multimodal.encodeJpeg(8, 8, 3, Array.emptyByteArray)).isEmpty)
+    // declared dims disagree with the stream length
+    val wrongDims = Multimodal.encodePng(9, 9, 2, body)
+    assert(Multimodal.decodePngPixels(wrongDims).isEmpty)
+    assert(Multimodal.decodePngPixels(null).isEmpty)
+  }
+
+  test("multimodal: encodePngPixelTable → pngPixelStats matches the rule") {
+    val docs = Tables.documents(spark, sf).limit(40)
+    val stats = Multimodal.pngPixelStats(spark,
+      Multimodal.encodePngPixelTable(spark, docs, "doc_id")).collect()
+    assert(stats.length === 40)
+    stats.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val (w, h, ch) = ((id % 32 + 8).toInt, (id % 24 + 8).toInt, (id % 4 + 1).toInt)
+      val expSum = (for (x <- 0 until w; y <- 0 until h; c <- 0 until ch)
+        yield (id + 3L * x + 7L * y + 11L * c) % 256).sum
+      assert(r.getAs[Int]("width") === w)
+      assert(r.getAs[Int]("height") === h)
+      assert(r.getAs[Int]("channels") === ch)
+      assert(r.getAs[Long]("n_samples") === w.toLong * h * ch)
+      assert(r.getAs[Long]("sum_val") === expSum)
+      assert(r.getAs[Double]("mean_val") === expSum.toDouble / (w.toLong * h * ch))
+    }
+  }
+
   test("stripHtml removes blocks and tags, decodes entities, counts tags") {
     val df = Seq(
       (1L, "<html><body><p>hello <b>world</b></p><script>if (a<b) x();" +
