@@ -89,11 +89,11 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
     * hook [[graft.plans.MetaAggregateRule]] uses to answer whole-table
     * aggregates without a scan. */
   private[graft] def metaCount: Option[Long] =
-    ManifestTable.fastCountOf(manifest)
+    ManifestTable.fastCountOf(spark, path, manifest)
 
   /** Manifest-answered MIN/MAX (zone maps) for the pinned snapshot. */
   private[graft] def metaMinMax(colName: String): Option[(Any, Any)] =
-    ManifestTable.fastMinMaxOf(manifest, colName)
+    ManifestTable.fastMinMaxOf(spark, path, manifest, colName)
 
   /** This relation's partition columns (for grouped metadata aggregates). */
   private[graft] def partitionColumns: Seq[String] = manifest.partitionCols
@@ -101,7 +101,7 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
   /** Per-partition-group metadata aggregates for the pinned snapshot. */
   private[graft] def metaGroupAgg(groupCols: Seq[String])
       : Option[Seq[(Seq[Any], Long, Map[String, (Any, Any)])]] =
-    ManifestTable.fastGroupAggOf(spark, manifest, groupCols)
+    ManifestTable.fastGroupAggOf(spark, path, manifest, groupCols)
 
   /** Filters we can apply exactly as Columns (everything listed here is
     * handled by us; the rest Spark re-applies on top).

@@ -68,11 +68,18 @@ object ManifestTable {
     */
   private type FileStats = Map[String, (Option[String], Option[String])]
 
+  /** @param sidecar when set, per-file stats live in the named parquet
+    *        directory under `_manifests/` instead of inline `stats=` lines
+    *        (and `stats` is empty in memory) — the spill that keeps a
+    *        10⁵-file table's manifest parse and pruning off the driver.
+    *        The text manifest remains the commit root either way.
+    */
   private[sources] case class Manifest(version: Long, schema: StructType,
                                        partitionCols: Seq[String], files: Seq[String],
                                        statsCols: Seq[String] = Nil,
                                        stats: Map[String, FileStats] = Map.empty,
-                                       bloomCols: Seq[String] = Nil)
+                                       bloomCols: Seq[String] = Nil,
+                                       sidecar: Option[String] = None)
 
   // ------------------------------------------------------------------ reads
 
@@ -120,10 +127,12 @@ object ManifestTable {
     val bloomCols = lines.find(_.startsWith("bloomcols="))
       .map(_.stripPrefix("bloomcols=")).filter(_.nonEmpty)
       .map(_.split(",").toSeq).getOrElse(Nil)
+    val sidecar = lines.find(_.startsWith("sidecar="))
+      .map(_.stripPrefix("sidecar=")).filter(_.nonEmpty)
     Manifest(version, schema,
       if (parts.isEmpty) Nil else parts.split(",").toSeq,
       lines.filter(_.startsWith("file=")).map(_.stripPrefix("file=")),
-      statsCols, stats, bloomCols)
+      statsCols, stats, bloomCols, sidecar)
   }
 
   /** Schema of a committed version, straight from its manifest (no data-file
@@ -266,20 +275,33 @@ object ManifestTable {
     * Conservative: missing stats, non-stats columns, or incomparable types
     * keep the file.
     */
-  private def pruneByBounds(m: Manifest,
-                            bounds: Map[String, (Option[Any], Option[Any])]): Seq[String] =
-    m.files.filter { rel =>
-      bounds.forall { case (c, (lo, hi)) =>
-        if (!m.statsCols.contains(c) || (lo.isEmpty && hi.isEmpty)) true
-        else m.stats.get(rel).flatMap(_.get(c)) match {
-          case None => true // no stats recorded for this file → must scan
-          case Some((None, None)) => false // all-null column: no range match
-          case Some((mn, mx)) =>
-            hi.forall(h => mn.forall(e => statCompare(decodeStat(e), h).forall(_ <= 0))) &&
-              lo.forall(l => mx.forall(e => statCompare(decodeStat(e), l).forall(_ >= 0)))
-        }
+  /** Per-file zone-map test, shared verbatim by the driver loop (inline
+    * manifests) and the distributed sidecar filter — one source of truth
+    * for skip semantics. `st = None` (no stats recorded) keeps the file.
+    */
+  private def keepByBoundsStats(st: Option[FileStats], statsCols: Seq[String],
+      bounds: Map[String, (Option[Any], Option[Any])]): Boolean =
+    bounds.forall { case (c, (lo, hi)) =>
+      if (!statsCols.contains(c) || (lo.isEmpty && hi.isEmpty)) true
+      else st.flatMap(_.get(c)) match {
+        case None => true // no stats recorded for this file → must scan
+        case Some((None, None)) => false // all-null column: no range match
+        case Some((mn, mx)) =>
+          hi.forall(h => mn.forall(e => statCompare(decodeStat(e), h).forall(_ <= 0))) &&
+            lo.forall(l => mx.forall(e => statCompare(decodeStat(e), l).forall(_ >= 0)))
       }
     }
+
+  /** Per-file Bloom point test over pre-hashed candidates (one entry per
+    * bloom column with candidates): the file survives when, for EVERY
+    * constrained column, SOME candidate may be present. */
+  private def keepByPointsStats(st: Option[FileStats],
+                                hashes: Map[String, Seq[Long]]): Boolean =
+    hashes.forall { case (c, hs) => hs.exists(h => bloomStatMayContain(st, c, h)) }
+
+  private def pruneByBounds(m: Manifest,
+                            bounds: Map[String, (Option[Any], Option[Any])]): Seq[String] =
+    m.files.filter(rel => keepByBoundsStats(m.stats.get(rel), m.statsCols, bounds))
 
   /** Snapshot read of `version` with the file list zone-map-pruned against
     * per-column bounds — the entry point the `graft` DataSource
@@ -303,17 +325,45 @@ object ManifestTable {
   private[sources] def readPrunedPoints(
       spark: SparkSession, path: String, m: Manifest,
       bounds: Map[String, (Option[Any], Option[Any])],
-      points: Map[String, Seq[Any]]): DataFrame = {
-    val kept = points.foldLeft(pruneByBounds(m, bounds)) {
-      case (acc, (c, vs)) =>
-        if (!m.bloomCols.contains(c) || vs.isEmpty) acc
-        else {
-          val dt = m.schema(c).dataType
-          val hs = vs.map(v => pointHash(v, dt))
-          acc.filter(rel => hs.exists(h => bloomMayContain(m, rel, c, h)))
-        }
+      points: Map[String, Seq[Any]]): DataFrame =
+    readRels(spark, path, m, prunedRels(spark, path, m, bounds, points))
+
+  /** File skipping, dispatched on the stats representation: inline
+    * manifests run the driver loop over `m.stats`; sidecar manifests run
+    * the SAME keep functions distributed over the sidecar parquet and
+    * collect only the survivors' names — per-file stats never materialize
+    * on the driver, and the collected list is bounded by what the query
+    * actually reads.
+    */
+  private def prunedRels(spark: SparkSession, path: String, m: Manifest,
+                         bounds: Map[String, (Option[Any], Option[Any])],
+                         points: Map[String, Seq[Any]]): Seq[String] = {
+    val hashes: Map[String, Seq[Long]] = points.collect {
+      case (c, vs) if m.bloomCols.contains(c) && vs.nonEmpty =>
+        val dt = m.schema(c).dataType
+        c -> vs.map(v => pointHash(v, dt))
     }
-    readRels(spark, path, m, kept)
+    m.sidecar match {
+      case None =>
+        m.files.filter { rel =>
+          val st = m.stats.get(rel)
+          keepByBoundsStats(st, m.statsCols, bounds) && keepByPointsStats(st, hashes)
+        }
+      case Some(_) =>
+        val statsCols = m.statsCols
+        val (bs, hs) = (bounds, hashes) // serialize the small predicate state only
+        val survivors = readSidecar(spark, path, m)
+          .filter { r =>
+            val st = Some(rowStats(r))
+            keepByBoundsStats(st, statsCols, bs) && keepByPointsStats(st, hs)
+          }
+          .map(_.rel)(org.apache.spark.sql.Encoders.STRING)
+          .collect().toSet
+        // keep the manifest's deterministic file order; commits write a
+        // sidecar row for EVERY file, so absence from `survivors` means
+        // pruned, not statless
+        m.files.filter(survivors)
+    }
   }
 
   /** Reserved pseudo-column in the per-file stats map holding the file's
@@ -322,6 +372,57 @@ object ManifestTable {
     * `statsCols`, which cannot contain it).
     */
   private val RowsKey = "_rows"
+
+  // -------------------------------------------------- stats sidecar (scale)
+
+  /** One sidecar parquet row per data file: the file's encoded stats as
+    * (col, min, max) entries (null = absent side; the same encoding as the
+    * inline `stats=` lines). `cols` is empty for a statless file — every
+    * committed file gets a row, which is what lets the distributed prune
+    * treat absence as "pruned" instead of "unknown".
+    */
+  private[sources] case class SidecarCol(c: String, mn: String, mx: String)
+  private[sources] case class SidecarRow(rel: String, cols: Seq[SidecarCol])
+
+  /** File count above which a commit spills per-file stats to a parquet
+    * sidecar instead of inline manifest lines. Inline, 10⁵ files × a few
+    * stats columns is tens of MB of driver text parse per READ; the
+    * sidecar keeps the commit-root manifest O(files) small lines and moves
+    * stats storage + pruning to executors. Tunable for tests via
+    * `spark.graft.stats.sidecarThreshold`.
+    */
+  private[sources] def sidecarThreshold(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.stats.sidecarThreshold")
+      .map(_.toInt).getOrElse(4096)
+
+  private def toSidecarCols(st: FileStats): Seq[SidecarCol] =
+    st.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+      SidecarCol(c, mn.orNull, mx.orNull)
+    }
+
+  private def rowStats(r: SidecarRow): FileStats =
+    r.cols.map(sc => sc.c -> ((Option(sc.mn), Option(sc.mx)))).toMap
+
+  private def readSidecar(spark: SparkSession, path: String,
+                          m: Manifest): org.apache.spark.sql.Dataset[SidecarRow] = {
+    import spark.implicits._
+    spark.read.parquet(new Path(manifestDir(path), m.sidecar.get).toString)
+      .as[SidecarRow]
+  }
+
+  /** All per-file stats as a driver map regardless of representation. For
+    * sidecar manifests this COLLECTS the sidecar — bounded by file count,
+    * zero data IO; used only by the metadata-only aggregates
+    * ([[fastMinMax]], [[fastGroupAgg]]), where a files-sized driver fold
+    * still replaces a table scan. Pruning never calls this (see
+    * [[prunedRels]]).
+    */
+  private def statsFor(spark: SparkSession, path: String,
+                       m: Manifest): Map[String, FileStats] = m.sidecar match {
+    case None => m.stats
+    case Some(_) =>
+      readSidecar(spark, path, m).collect().map(r => r.rel -> rowStats(r)).toMap
+  }
 
   /** One column-pruned pass over freshly committed files: per-file min/max
     * for each stats column plus the row count, keyed by table-relative
@@ -432,9 +533,9 @@ object ManifestTable {
   /** True when the file MAY contain a value hashing to `h` — a missing or
     * unparsable bloom is "may" (must scan); an empty bitset (all-null file)
     * correctly answers "definitely not". */
-  private def bloomMayContain(m: Manifest, rel: String, colName: String,
-                              h: Long): Boolean =
-    m.stats.get(rel).flatMap(_.get(BloomPrefix + colName)).flatMap(_._1) match {
+  private def bloomStatMayContain(st: Option[FileStats], colName: String,
+                                  h: Long): Boolean =
+    st.flatMap(_.get(BloomPrefix + colName)).flatMap(_._1) match {
       case None => true
       case Some(payload) =>
         // ANY malformed payload (bad k, broken base64, empty bitset) must
@@ -469,17 +570,14 @@ object ManifestTable {
                          value: Any): (Seq[String], Int) = {
     val v = currentVersion(spark, path).getOrElse(sys.error(s"no manifest table at $path"))
     val m = readManifest(spark, path, v)
-    (pointPrune(m, colName, value), m.files.size)
+    (pointPrune(spark, path, m, colName, value), m.files.size)
   }
 
-  private def pointPrune(m: Manifest, colName: String, value: Any): Seq[String] = {
-    val byBounds = pruneByBounds(m, Map(colName -> ((Some(value), Some(value)))))
-    if (!m.bloomCols.contains(colName)) byBounds
-    else {
-      val h = pointHash(value, m.schema(colName).dataType)
-      byBounds.filter(rel => bloomMayContain(m, rel, colName, h))
-    }
-  }
+  private def pointPrune(spark: SparkSession, path: String, m: Manifest,
+                         colName: String, value: Any): Seq[String] =
+    prunedRels(spark, path, m,
+      Map(colName -> ((Some(value), Some(value)))),
+      Map(colName -> Seq(value)))
 
   /** Point lookup with Bloom + zone-map file skipping: read only the files
     * that may contain `colName = value`, then apply the exact predicate.
@@ -492,7 +590,7 @@ object ManifestTable {
                 value: Any): DataFrame = {
     val v = currentVersion(spark, path).getOrElse(sys.error(s"no manifest table at $path"))
     val m = readManifest(spark, path, v)
-    readRels(spark, path, m, pointPrune(m, colName, value))
+    readRels(spark, path, m, pointPrune(spark, path, m, colName, value))
       .filter(col(colName) === lit(value))
   }
 
@@ -534,15 +632,34 @@ object ManifestTable {
     * (time travel, [[GraftRelation]]) must consult instead of "current". */
   private[graft] def fastCountAt(spark: SparkSession, path: String,
                                  v: Long): Option[Long] =
-    fastCountOf(readManifest(spark, path, v))
+    fastCountOf(spark, path, readManifest(spark, path, v))
 
-  private[sources] def fastCountOf(m: Manifest): Option[Long] = {
+  private[sources] def fastCountOf(spark: SparkSession, path: String,
+                                   m: Manifest): Option[Long] = {
     if (m.files.isEmpty) return Some(0L)
-    val counts = m.files.map(rel =>
-      m.stats.get(rel).flatMap(_.get(RowsKey)).flatMap(_._1))
-    if (counts.forall(_.isDefined))
-      Some(counts.flatten.map(e => decodeStat(e).asInstanceOf[Long]).sum)
-    else None
+    m.sidecar match {
+      case None =>
+        val counts = m.files.map(rel =>
+          m.stats.get(rel).flatMap(_.get(RowsKey)).flatMap(_._1))
+        if (counts.forall(_.isDefined))
+          Some(counts.flatten.map(e => decodeStat(e).asInstanceOf[Long]).sum)
+        else None
+      case Some(_) =>
+        // distributed: per-file row counts fold to (files-with-count, sum)
+        // on executors; only two longs reach the driver
+        val agg = readSidecar(spark, path, m)
+          .map { r =>
+            rowStats(r).get(RowsKey).flatMap(_._1) match {
+              case Some(e) => (1L, decodeStat(e).asInstanceOf[Long])
+              case None => (0L, 0L)
+            }
+          }(org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+          .toDF("has", "cnt").agg(sum(col("has")), sum(col("cnt"))).head()
+        val n = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+        if (n == m.files.size) Some(agg.getLong(1)) else None
+    }
   }
 
   /** Metadata-only MIN/MAX over a stats column: (min, max) straight from
@@ -564,12 +681,15 @@ object ManifestTable {
   /** [[fastMinMax]] pinned to a snapshot (see [[fastCountAt]]). */
   private[graft] def fastMinMaxAt(spark: SparkSession, path: String, v: Long,
                                   colName: String): Option[(Any, Any)] =
-    fastMinMaxOf(readManifest(spark, path, v), colName)
+    fastMinMaxOf(spark, path, readManifest(spark, path, v), colName)
 
-  private[sources] def fastMinMaxOf(m: Manifest,
-                                    colName: String): Option[(Any, Any)] = {
+  private[sources] def fastMinMaxOf(spark: SparkSession, path: String,
+                                    m: Manifest, colName: String): Option[(Any, Any)] = {
     if (!m.statsCols.contains(colName) || m.files.isEmpty) return None
-    val perFile = m.files.map(rel => m.stats.get(rel).flatMap(_.get(colName)))
+    // sidecar manifests: collect the one slim stats table (files-bounded,
+    // zero data IO) — still strictly cheaper than the scan it replaces
+    val stats = statsFor(spark, path, m)
+    val perFile = m.files.map(rel => stats.get(rel).flatMap(_.get(colName)))
     if (perFile.exists(_.isEmpty)) return None // statless file: must scan
     // (None, None) entries are all-null files: no values to contribute
     val ranges = perFile.flatten.collect {
@@ -599,13 +719,15 @@ object ManifestTable {
   private[graft] def fastGroupAgg(spark: SparkSession, path: String, version: Long,
                                   groupCols: Seq[String])
       : Option[Seq[(Seq[Any], Long, Map[String, (Any, Any)])]] =
-    fastGroupAggOf(spark, readManifest(spark, path, version), groupCols)
+    fastGroupAggOf(spark, path, readManifest(spark, path, version), groupCols)
 
-  private[sources] def fastGroupAggOf(spark: SparkSession, m: Manifest,
-                                      groupCols: Seq[String])
+  private[sources] def fastGroupAggOf(spark: SparkSession, path: String,
+                                      m: Manifest, groupCols: Seq[String])
       : Option[Seq[(Seq[Any], Long, Map[String, (Any, Any)])]] = {
     if (m.partitionCols.isEmpty || !groupCols.forall(m.partitionCols.contains))
       return None
+    // see fastMinMaxOf on the sidecar-collect trade
+    val stats = statsFor(spark, path, m)
     val zone = java.time.ZoneId.of(
       spark.sessionState.conf.sessionLocalTimeZone)
     def parse(raw: String, dt: DataType): Option[Any] =
@@ -637,7 +759,7 @@ object ManifestTable {
         parse(byCol.getOrElse(c, return None),
           m.schema(c).dataType).getOrElse(return None)
       }
-      val fileStats = m.stats.getOrElse(rel, return None)
+      val fileStats = stats.getOrElse(rel, return None)
       val n = fileStats.get(RowsKey).flatMap(_._1)
         .map(e => decodeStat(e).asInstanceOf[Long]).getOrElse(return None)
       val (n0, mm) = groups.getOrElseUpdate(key,
@@ -676,7 +798,8 @@ object ManifestTable {
                   lo: Any, hi: Any): (Seq[String], Int) = {
     val v = currentVersion(spark, path).getOrElse(sys.error(s"no manifest table at $path"))
     val m = readManifest(spark, path, v)
-    (pruneByBounds(m, Map(colName -> ((Some(lo), Some(hi))))), m.files.size)
+    (prunedRels(spark, path, m, Map(colName -> ((Some(lo), Some(hi)))), Map.empty),
+      m.files.size)
   }
 
   /** Range scan with zone-map file skipping: read only the files whose
@@ -732,22 +855,86 @@ object ManifestTable {
     moved.toSeq
   }
 
+  /** Publish a new version. `stats` covers the commit's NEW files; stats
+    * for files carried over from a previous snapshot come from `carry`
+    * (the base manifest) — passing the base instead of a pre-merged map is
+    * what lets a sidecar-backed table carry 10⁵ files' stats forward
+    * DISTRIBUTED (old sidecar → filter to kept files → new sidecar)
+    * without the driver ever holding them. Representation is chosen per
+    * commit by file count ([[sidecarThreshold]]); tables cross between
+    * inline and sidecar freely in both directions (growth past the
+    * threshold, shrink via compact/delete below it).
+    */
   private[sources] def commit(spark: SparkSession, path: String, expected: Long,
                               schema: StructType, partitionCols: Seq[String],
                               files: Seq[String], statsCols: Seq[String] = Nil,
                               stats: Map[String, FileStats] = Map.empty,
-                              bloomCols: Seq[String] = Nil): Long = {
+                              bloomCols: Seq[String] = Nil,
+                              carry: Option[Manifest] = None): Long = {
     val f = fs(spark, path)
     f.mkdirs(manifestDir(path))
-    val statLines = for {
-      rel <- files.filter(stats.contains)
-      (c, (mn, mx)) <- stats(rel).toSeq.sortBy(_._1)
-    } yield s"stats=$rel|$c|${mn.getOrElse("")}|${mx.getOrElse("")}"
+    val fileSet = files.toSet
+    val hasStats = statsCols.nonEmpty || bloomCols.nonEmpty ||
+      stats.nonEmpty || carry.exists(b => b.stats.nonEmpty || b.sidecar.isDefined)
+    val useSidecar = hasStats && files.size > sidecarThreshold(spark)
+    var sidecarName: Option[String] = None
+    var statLines: Seq[String] = Nil
+    if (!useSidecar) {
+      // inline lines. Carried stats from a sidecar base are filtered to the
+      // kept files DISTRIBUTED and only then collected — bounded by the new
+      // (below-threshold) file list, not the base's
+      val carried: Map[String, FileStats] = carry match {
+        case None => Map.empty
+        case Some(b) if b.sidecar.isEmpty =>
+          b.stats.filter { case (rel, _) => fileSet.contains(rel) && !stats.contains(rel) }
+        case Some(b) =>
+          val keep = fileSet -- stats.keySet
+          readSidecar(spark, path, b).filter(r => keep.contains(r.rel))
+            .collect().map(r => r.rel -> rowStats(r)).toMap
+      }
+      val all = carried ++ stats
+      statLines = for {
+        rel <- files.filter(all.contains)
+        (c, (mn, mx)) <- all(rel).toSeq.sortBy(_._1)
+      } yield s"stats=$rel|$c|${mn.getOrElse("")}|${mx.getOrElse("")}"
+    } else {
+      // parquet sidecar: one row per committed file (empty cols = statless,
+      // so the distributed prune can treat absence as pruned). Name carries
+      // a nonce so racing committers to the same version never collide;
+      // the loser's orphan is swept by vacuum.
+      import spark.implicits._
+      val name = f"s$expected%012d-${java.util.UUID.randomUUID().toString.take(8)}"
+      val carryRels = fileSet -- stats.keySet
+      val carryCovered: Set[String] = carry match {
+        case None => Set.empty
+        case Some(b) if b.sidecar.isDefined => carryRels.intersect(b.files.toSet)
+        case Some(b) => carryRels.intersect(b.stats.keySet)
+      }
+      val driverRows: Seq[SidecarRow] =
+        files.collect { case rel if stats.contains(rel) =>
+          SidecarRow(rel, toSidecarCols(stats(rel))) } ++
+          (carryRels -- carryCovered).toSeq.sorted.map(SidecarRow(_, Nil))
+      val newDs = spark.createDataset(driverRows)
+      val ds = carry match {
+        case Some(b) if b.sidecar.isDefined && carryCovered.nonEmpty =>
+          newDs.unionByName(
+            readSidecar(spark, path, b).filter(r => carryCovered.contains(r.rel)))
+        case Some(b) if b.sidecar.isEmpty && carryCovered.nonEmpty =>
+          newDs.unionByName(spark.createDataset(
+            files.collect { case rel if carryCovered.contains(rel) =>
+              SidecarRow(rel, toSidecarCols(b.stats(rel))) }))
+        case _ => newDs
+      }
+      ds.write.mode(SaveMode.Overwrite)
+        .parquet(new Path(manifestDir(path), name).toString)
+      sidecarName = Some(name)
+    }
     val body = (Seq(Header,
       "schema=" + schema.json,
       "partitions=" + partitionCols.mkString(","),
       "statscols=" + statsCols.mkString(",")) ++
       (if (bloomCols.nonEmpty) Seq("bloomcols=" + bloomCols.mkString(",")) else Nil) ++
+      sidecarName.map("sidecar=" + _).toSeq ++
       files.map("file=" + _) ++ statLines).mkString("\n") + "\n"
     val scratch = new Path(path, s"_tmp/manifest-${java.util.UUID.randomUUID()}")
     val out = f.create(scratch, true)
@@ -757,6 +944,9 @@ object ManifestTable {
     // A lost race (version already taken) aborts rather than clobbers.
     if (!publishExclusive(f, scratch, target)) {
       f.delete(scratch, false)
+      // the unpublished sidecar is unreferenced; drop it now rather than
+      // waiting for vacuum
+      sidecarName.foreach(n => f.delete(new Path(manifestDir(path), n), true): Unit)
       throw new java.util.ConcurrentModificationException(
         s"version $expected of $path was committed concurrently")
     }
@@ -929,7 +1119,7 @@ object ManifestTable {
               s"${base.partitionCols} -> ${m.partitionCols}")
           val schema = evolveSchema(df, m, "append")
           try return commit(spark, path, m.version + 1, schema, m.partitionCols,
-            m.files ++ added, m.statsCols, m.stats ++ addedStats, m.bloomCols)
+            m.files ++ added, m.statsCols, addedStats, m.bloomCols, carry = Some(m))
           catch {
             case e: java.util.ConcurrentModificationException =>
               tries += 1; if (tries > MaxCommitRetries) throw e
@@ -967,7 +1157,7 @@ object ManifestTable {
       requireCompatible(df, m, "overwritePartitions")
       val kept = m.files.filterNot(rel => replacedDirs.contains(dirOf(rel)))
       try return commit(spark, path, m.version + 1, m.schema, m.partitionCols,
-        kept ++ added, m.statsCols, m.stats ++ addedStats, m.bloomCols)
+        kept ++ added, m.statsCols, addedStats, m.bloomCols, carry = Some(m))
       catch {
         case e: java.util.ConcurrentModificationException =>
           tries += 1; if (tries > MaxCommitRetries) throw e
@@ -1045,7 +1235,7 @@ object ManifestTable {
           while (true) {
             val keptFiles = cur.files.filterNot(rel => affectedDirs.contains(dirOf(rel)))
             try return commit(spark, path, cur.version + 1, m.schema, m.partitionCols,
-              keptFiles ++ added, m.statsCols, cur.stats ++ addedStats, m.bloomCols)
+              keptFiles ++ added, m.statsCols, addedStats, m.bloomCols, carry = Some(cur))
             catch {
               case e: java.util.ConcurrentModificationException =>
                 tries += 1; if (tries > MaxCommitRetries) throw e
@@ -1118,7 +1308,8 @@ object ManifestTable {
     val m = readManifest(spark, path, v)
     if (m.files.isEmpty) return v
     val pred = col(colName) >= lit(lo) && col(colName) <= lit(hi)
-    val candidates = pruneByBounds(m, Map(colName -> ((Some(lo), Some(hi)))))
+    val candidates =
+      prunedRels(spark, path, m, Map(colName -> ((Some(lo), Some(hi)))), Map.empty)
     if (candidates.isEmpty) return v
     rewriteWithout(spark, path, v, m,
       touchedFiles(spark, path, candidates, m.schema, pred), pred)
@@ -1177,9 +1368,7 @@ object ManifestTable {
                      written.filter(newStats.contains)
                    else written
     commit(spark, path, v + 1, m.schema, m.partitionCols,
-      untouched ++ newFiles, m.statsCols,
-      m.stats.filter { case (rel, _) => !touchedSet.contains(rel) } ++ newStats,
-      m.bloomCols)
+      untouched ++ newFiles, m.statsCols, newStats, m.bloomCols, carry = Some(m))
   }
 
   /** Rewrite the current snapshot into ~`targetRowsPerFile`-row files —
@@ -1245,11 +1434,23 @@ object ManifestTable {
       .filter(n => n.startsWith("m") && n.endsWith(".txt"))
       .map(n => n.substring(1, n.length - 4).toLong).sorted
     val keep = versions.takeRight(keepVersions)
-    val referenced = keep.flatMap(readManifest(spark, path, _).files).toSet
+    val keptManifests = keep.map(readManifest(spark, path, _))
+    val referenced = keptManifests.flatMap(_.files).toSet
+    // stats sidecars referenced by surviving manifests must outlive the
+    // sweep; everything else named s* (superseded versions, race losers)
+    // goes with the manifests that referenced it
+    val keptSidecars = keptManifests.flatMap(_.sidecar).toSet
+    def sweepSidecars(): Unit =
+      f.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("s") && !n.endsWith(".txt") && !keptSidecars.contains(n))
+          f.delete(st.getPath, true): Unit
+      }
     var deleted = 0
     if (!f.exists(dataDir(path))) { // zero-data-file table: nothing to collect
       versions.dropRight(keepVersions).foreach(v =>
         f.delete(new Path(dir, manifestName(v)), false))
+      sweepSidecars()
       return 0
     }
     val dataUri = f.makeQualified(dataDir(path)).toUri
@@ -1265,6 +1466,7 @@ object ManifestTable {
     doomed.foreach { p => if (f.delete(p, false)) deleted += 1 }
     versions.dropRight(keepVersions).foreach(v =>
       f.delete(new Path(dir, manifestName(v)), false))
+    sweepSidecars()
     deleted
   }
 }

@@ -511,4 +511,102 @@ class ManifestTableSpec extends SparkSpec {
     assert(merged.filter(col("k") === 1)
       .select(explode(col("items.id"))).as[Long].collect().toSet === Set(7L))
   }
+
+  test("stats sidecar: a 10^4-file snapshot prunes distributed, stats never on the driver") {
+    // commit directly with synthetic file entries (pruning reads only the
+    // manifest + sidecar, never the data files): 10^4 files of 10 rows
+    // each, file i covering ids [10i, 10i+9]. The encoded-stat strings are
+    // the spec'd on-disk contract, same fair game as filesOf's text parse.
+    val path = tmpTable()
+    val nFiles = 10000
+    val files = (0 until nFiles).map(i => f"part-$i%05d.parquet")
+    val stats = (0 until nFiles).map { i =>
+      files(i) -> Map(
+        "id" -> ((Some(s"L:${i * 10L}"), Some(s"L:${i * 10L + 9}"))),
+        "_rows" -> ((Some("L:10"), Some("L:10"))))
+    }.toMap
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+    ManifestTable.commit(spark, path, 1L, schema, Nil, files, Seq("id"), stats)
+    // the text manifest stays the commit root but carries no stats lines
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_manifests", f"m${1L}%012d.txt")))
+    assert(txt.contains("\nsidecar=s"))
+    assert(!txt.contains("\nstats="))
+    // readManifest holds the file list but ZERO per-file stats
+    val m = ManifestTable.readManifest(spark, path, 1L)
+    assert(m.files.size === nFiles && m.stats.isEmpty && m.sidecar.isDefined)
+    // pruning runs over the sidecar and collects only the 16 survivors
+    val (kept, total) = ManifestTable.prunedFiles(spark, path, "id", 101L, 250L)
+    assert(total === nFiles)
+    assert(kept === (10 to 25).map(i => f"part-$i%05d.parquet"))
+    // metadata-only aggregates still answer
+    assert(ManifestTable.fastCount(spark, path) === Some(10L * nFiles))
+    assert(ManifestTable.fastMinMax(spark, path, "id") === Some((0L, 99999L)))
+  }
+
+  test("stats sidecar: tables cross the threshold both ways; reads and pruning stay exact") {
+    spark.conf.set("spark.graft.stats.sidecarThreshold", "6")
+    try {
+      val path = tmpTable()
+      def band(lo: Int, hi: Int) = (lo to hi).map(i => (i.toLong, s"v$i"))
+        .toDF("id", "v").repartitionByRange(4, col("id"))
+      // 4 files → inline stats
+      ManifestTable.overwrite(spark, path, band(1, 400), statsCols = Seq("id"))
+      assert(ManifestTable.readManifest(spark, path, 1L).sidecar.isEmpty)
+      // 8 files → sidecar; inline stats carried forward
+      ManifestTable.append(spark, path, band(401, 800))
+      val m2 = ManifestTable.readManifest(spark, path, 2L)
+      assert(m2.sidecar.isDefined && m2.stats.isEmpty && m2.files.size === 8)
+      // pruning selective on BOTH carried and fresh files
+      val (k1, t1) = ManifestTable.prunedFiles(spark, path, "id", 10L, 60L)
+      assert(t1 === 8 && k1.size <= 2)
+      val (k2, _) = ManifestTable.prunedFiles(spark, path, "id", 430L, 460L)
+      assert(k2.size <= 2)
+      assert(ManifestTable.readRange(spark, path, "id", 430L, 460L)
+        .select("id").as[Long].collect().sorted === (430L to 460L).toArray)
+      // sidecar → sidecar append: carry filters the OLD sidecar distributed
+      ManifestTable.append(spark, path, band(801, 1200))
+      assert(ManifestTable.readManifest(spark, path, 3L).sidecar.isDefined)
+      assert(ManifestTable.fastCount(spark, path) === Some(1200L))
+      assert(ManifestTable.readRange(spark, path, "id", 795L, 805L).count() === 11)
+      // deleteRange on a sidecar table: pruned copy-on-write, stats rebuilt
+      ManifestTable.deleteRange(spark, path, "id", 1L, 100L)
+      assert(ManifestTable.read(spark, path).count() === 1100)
+      // compact shrinks below the threshold → back to inline, carried exact
+      ManifestTable.compact(spark, path, targetRowsPerFile = 300)
+      val vTop = ManifestTable.currentVersion(spark, path).get
+      val mTop = ManifestTable.readManifest(spark, path, vTop)
+      assert(mTop.sidecar.isEmpty && mTop.stats.nonEmpty)
+      assert(ManifestTable.fastCount(spark, path) === Some(1100L))
+      assert(ManifestTable.fastMinMax(spark, path, "id") === Some((101L, 1200L)))
+      // vacuum sweeps every superseded sidecar with its manifests
+      ManifestTable.vacuum(spark, path, keepVersions = 1)
+      val leftovers = new java.io.File(path, "_manifests").list().toSeq
+        .filter(n => n.startsWith("s") && !n.endsWith(".txt"))
+      assert(leftovers.isEmpty, s"unswept sidecars: $leftovers")
+      assert(ManifestTable.read(spark, path).count() === 1100)
+    } finally spark.conf.unset("spark.graft.stats.sidecarThreshold")
+  }
+
+  test("stats sidecar: bloom point skipping stays distributed past the threshold") {
+    spark.conf.set("spark.graft.stats.sidecarThreshold", "2")
+    try {
+      val path = tmpTable()
+      // per-row-distinct u, UNCLUSTERED relative to u's ordering — zone
+      // maps can't skip (every file spans the u range lexicographically),
+      // only the blooms can
+      val df = (1 to 400).map(i => (i.toLong, s"u$i"))
+        .toDF("id", "u").repartitionByRange(4, col("id"))
+      ManifestTable.overwrite(spark, path, df,
+        statsCols = Seq("id"), bloomCols = Seq("u"))
+      assert(ManifestTable.readManifest(spark, path, 1L).sidecar.isDefined)
+      val (kept, total) = ManifestTable.prunedFilesByPoint(spark, path, "u", "u13")
+      assert(total === 4 && kept.nonEmpty && kept.size < 4,
+        s"bloom should skip some of $total files, kept ${kept.size}")
+      val got = ManifestTable.readPoint(spark, path, "u", "u13")
+        .select("id").as[Long].collect()
+      assert(got === Array(13L))
+    } finally spark.conf.unset("spark.graft.stats.sidecarThreshold")
+  }
 }
