@@ -467,6 +467,25 @@ object SparkEntry {
         graft.functions.ZOrder.interleave2(
           col("o_custkey"), year(col("o_orderdate")).cast("long")).as("z"))),
 
+    // ---- SQL DML over the registered table format ----
+    // the full SQL workflow: CREATE TABLE USING graft → DELETE FROM (the
+    // GraftDeleteRule lowering → copy-on-write zone-pruned rewrite) →
+    // read back. The oracle applies the negated predicate to the source
+    // table, so the rewrite's row-level exactness is hash-checked
+    "q_sql_delete" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_sqldel").toString + "/t"
+      graft.sources.ManifestTable.overwrite(s, dir,
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .repartitionByRange(8, col("o_orderkey")),
+        statsCols = Seq("o_orderkey"))
+      s.sql("DROP TABLE IF EXISTS q_sql_delete_t")
+      s.sql(s"CREATE TABLE q_sql_delete_t USING graft OPTIONS (path '$dir')")
+      s.sql("DELETE FROM q_sql_delete_t " +
+        "WHERE o_orderkey % 10 = 3 OR o_totalprice < 10000.0")
+      graft.sources.ManifestTable.read(s, dir)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    }),
+
     // ---- snapshot diff (CDC-style audit of an incremental load) ----
     "q_snapshot_diff" -> ((s, d) => {
       val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
@@ -2028,6 +2047,13 @@ object SparkEntry {
       s"""SELECT o_orderkey,
          |${graft.functions.ZOrder.interleaveSql("o_custkey", "year(o_orderdate)")} AS z
          |FROM orders""".stripMargin,
+
+    // the DELETE predicate negated, with SQL NULL semantics (no NULLs in
+    // orders, so plain NOT is exact)
+    "q_sql_delete" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders
+        |WHERE NOT (o_orderkey % 10 = 3 OR o_totalprice < 10000.0)""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH old AS (SELECT o_orderkey, o_totalprice FROM orders),

@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => RangeJoinRule)
     // manifest-answered COUNT/MIN/MAX over graft relations (exact-or-silent)
     e.injectOptimizerRule(_ => MetaAggregateRule)
+    // SQL DELETE over graft tables (copy-on-write row-level delete)
+    e.injectResolutionRule(_ => GraftDeleteRule)
   }
 }
 

@@ -64,6 +64,10 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
   private val spark = ctx.sparkSession
   override def sqlContext: SQLContext = ctx
 
+  /** Table root on disk — what SQL-level commands over this relation
+    * (e.g. [[graft.plans.GraftDeleteCommand]]) operate on. */
+  private[graft] def tablePath: String = path
+
   /** Pinned at relation construction: every scan of this relation reads the
     * SAME snapshot even if writers commit newer versions in between — the
     * relation IS the snapshot (a `def` here would silently re-resolve per
