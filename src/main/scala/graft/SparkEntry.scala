@@ -347,6 +347,13 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_token_classes" -> ((s, d) => TextAnalysis.tokenClasses(Tables.documents(s, d))),
 
+    // learned-BPE APPLICATION: the merge table applied in rank order over
+    // the alphabetic pre-tokens (see TextAnalysis.bpeTokenize for the
+    // replace-based symbol encoding both engines execute verbatim)
+    "q_bpe_tokenize" -> ((s, d) =>
+      TextAnalysis.bpeTokenize(Tables.documents(s, d), "doc_id", "text",
+        BpePreTokenRe, BpeMerges)),
+
     // ---- LLM-pipeline: multimodal columns ----
     // real containers, real parsing: documents are encoded as structurally
     // valid PNG/JPEG bytes (dims/channels from a deterministic id rule, the
@@ -850,6 +857,17 @@ object SparkEntry {
     * two engines; both support `\xHH`, making the class below identical. */
   private[graft] val BpePreTokenRe =
     "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+"
+
+  /** A small learned-looking merge table in RANK order (the order BPE
+    * training would have emitted them: later merges build on earlier
+    * symbols, e.g. t+h → th before th+e → the). Applied by
+    * `TextAnalysis.bpeTokenize`; the oracle re-applies the same table with
+    * DuckDB's `replace`, generated from THIS list so the two can never
+    * drift. */
+  private[graft] val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g", "a" -> "n",
+    "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e", "o" -> "u",
+    "t" -> "i", "e" -> "n", "e" -> "s", "o" -> "r", "s" -> "t", "a" -> "t")
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
   private val tokensSql = "regexp_extract_all(text, '\\S+')"
@@ -1653,6 +1671,37 @@ object SparkEntry {
          |  CAST(length(d.text) AS INT) AS n_chars,
          |  CAST(length(d.text) AS DOUBLE) / greatest(n, 1) AS chars_per_token
          |FROM documents d JOIN t ON t.doc_id = d.doc_id""".stripMargin
+    },
+
+    // the merge table re-applied with DuckDB's own replace(): the nested
+    // call chain is GENERATED from BpeMerges, so Spark and oracle always
+    // apply identical pairs in identical rank order
+    "q_bpe_tokenize" -> {
+      val re = BpePreTokenRe.replace("'", "''")
+      val sep = "chr(31)"
+      val encoded = BpeMerges.foldLeft(
+        s"$sep || regexp_replace(tok, '(.)', '\\1' || $sep, 'g')") {
+        case (acc, (a, b)) =>
+          s"replace($acc, $sep || '$a' || $sep || '$b' || $sep, $sep || '$a$b' || $sep)"
+      }
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '$re')) AS tok FROM documents
+         |), al AS (
+         |  SELECT doc_id, tok FROM toks WHERE regexp_full_match(tok, ' ?[A-Za-z]+')
+         |), enc AS (
+         |  SELECT doc_id, tok, $encoded AS s FROM al
+         |), agg AS (
+         |  SELECT doc_id, count(*) AS n_alpha_tokens,
+         |    SUM(length(s) - length(replace(s, chr(31), '')) - 1) AS n_symbols,
+         |    SUM(length(tok)) AS n_alpha_chars
+         |  FROM enc GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(n_alpha_tokens, 0) AS INT) AS n_alpha_tokens,
+         |  CAST(coalesce(n_symbols, 0) AS BIGINT) AS n_symbols,
+         |  CAST(coalesce(n_alpha_chars, 0) AS BIGINT) AS n_alpha_chars,
+         |  CAST(coalesce(n_alpha_chars, 0) AS DOUBLE) /
+         |    greatest(coalesce(n_symbols, 0), 1) AS chars_per_symbol
+         |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin
     },
 
     "q_token_classes" ->

@@ -213,6 +213,54 @@ object TextAnalysis {
     * Scale: three codegen'd regex passes + literal replaces, row-local, no
     * shuffle — the same cost class as [[normalize]].
     */
+  /** Learned-BPE application: encode each alphabetic pre-token by applying
+    * a merge table in RANK ORDER — merge k rewrites every (left-to-right,
+    * non-overlapping) adjacent occurrence of its pair before merge k+1
+    * runs, the order the merges were learned in. Symbols travel as a
+    * U+001F-separated string (sep-wrapped, so a pair match is exactly an
+    * adjacent-symbol match and multi-char symbols can never match inside a
+    * neighbor), and each merge is ONE literal string replace — semantics
+    * an independent engine reproduces verbatim with its own `replace`,
+    * which is what makes the DuckDB oracle exact. One caveat is inherited
+    * from non-overlapping replace on both engines: an odd chain `a a a`
+    * merges its first two occurrences only per pass (the shared separator
+    * is consumed), identically on both sides.
+    *
+    * Only tokens matching `^ ?[A-Za-z]+$` are encoded (merges are defined
+    * over letters; the optional GPT-2-style leading space rides along as
+    * its own symbol). The whitespace/punct/contraction pre-tokens are
+    * deliberately excluded: Java and RE2 disagree on `.` vs `\r`, and the
+    * alpha restriction keeps the per-char split engine-portable.
+    *
+    * Output per doc: (doc_id, n_alpha_tokens, n_symbols, n_alpha_chars,
+    * chars_per_symbol) — integers plus one IEEE division, the repo's
+    * cross-engine float discipline. Pure per-row expressions: no shuffle,
+    * no UDF, whole-stage codegen'd.
+    */
+  def bpeTokenize(docs: DataFrame, idCol: String, textCol: String,
+                  preTokenRe: String, merges: Seq[(String, String)]): DataFrame = {
+    val S = "\u001f"
+    val alpha = filter(
+      regexp_extract_all(col(textCol), lit(preTokenRe), lit(0)),
+      t => t.rlike("^ ?[A-Za-z]+$"))
+    def encode(t: org.apache.spark.sql.Column) =
+      merges.foldLeft(concat(lit(S), regexp_replace(t, "(.)", "$1" + S))) {
+        case (acc, (a, b)) =>
+          call_function("replace", acc, lit(S + a + S + b + S), lit(S + a + b + S))
+      }
+    val nSym = aggregate(col("_enc"), lit(0L), (a, s) =>
+      a + (length(s) - length(call_function("replace", s, lit(S), lit("")))).cast("long") - 1L)
+    docs.select(col(idCol), col(textCol), alpha.as("_toks"))
+      .withColumn("_enc", transform(col("_toks"), t => encode(t)))
+      .select(col(idCol),
+        size(col("_toks")).as("n_alpha_tokens"),
+        nSym.as("n_symbols"),
+        aggregate(col("_toks"), lit(0L), (a, t) => a + length(t).cast("long"))
+          .as("n_alpha_chars"))
+      .withColumn("chars_per_symbol",
+        col("n_alpha_chars").cast("double") / greatest(col("n_symbols"), lit(1L)))
+  }
+
   def stripHtml(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val noBlocks = regexp_replace(col(textCol), HtmlBlockRe, " ")
     val noTags = regexp_replace(noBlocks, HtmlTagRe, " ")

@@ -161,6 +161,22 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("bpeTokenize applies merges in rank order: hand-computed symbols") {
+    val df = Seq(
+      (1L, "the thinking"), // 'the'->1 symbol; ' thinking'->[' ',th,in,k,ing]=5
+      (2L, "and 123 ..."),  // only 'and' is alphabetic; an+d -> 1 symbol
+      (3L, ""))             // token-less
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTokenize(df, "doc_id", "text",
+      graft.SparkEntry.BpePreTokenRe, graft.SparkEntry.BpeMerges)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_alpha_tokens"), r.getAs[Long]("n_symbols"),
+          r.getAs[Long]("n_alpha_chars"), r.getAs[Double]("chars_per_symbol")))).toMap
+    assert(out(1L) === ((2, 6L, 12L, 2.0)))
+    assert(out(2L) === ((1, 1L, 3L, 3.0)))
+    assert(out(3L) === ((0, 0L, 0L, 0.0)))
+  }
+
   test("stripHtml removes blocks and tags, decodes entities, counts tags") {
     val df = Seq(
       (1L, "<html><body><p>hello <b>world</b></p><script>if (a<b) x();" +
