@@ -12,13 +12,30 @@ import org.apache.spark.sql.functions._
   * (depth 0 = the string itself). Two strings within edit distance k
   * necessarily share a variant: align an optimal edit script and delete,
   * from each string, the characters the script touches — substitutions
-  * delete the differing position from both sides, an insert/delete
+  * delete the differing position from each side, an insert/delete
   * deletes the extra character from the longer side — at most k
   * deletions per string, landing both on the same string. The variant
   * equi-join therefore has PERFECT RECALL at depth k; it also admits
   * farther pairs (different deletions colliding), so every candidate is
   * verified with a real `levenshtein` — exact precision, per candidate,
   * never per pair-of-rows.
+  *
+  * Position pruning (the scale lever): depth-k variants carry their
+  * deleted-position sets, and a candidate pair is REJECTED before the
+  * pair shuffle when both sides sit at depth exactly k but deleted
+  * DIFFERENT positions. Recall survives, by the alignment above: a
+  * depth-(k,k) meeting implies equal original lengths (equal variants ⇒
+  * len_a − k = len_b − k), and an equal-length pair needing depth k on
+  * BOTH sides is exactly k substitutions — whose deletion sets are the
+  * k differing positions, IDENTICAL on the two sides. Every other
+  * script class (fewer subs, insert+delete, length-changing edits)
+  * reaches a shared variant with depth < k on at least one side, which
+  * the rule always admits. The rule is what makes k = 2 viable on
+  * zero-padded key spaces (`Customer#000012345`): without it, any two
+  * keys whose digit tails share a length-(L−2) subsequence collide —
+  * at sf0.1 that admitted ~100× more candidates than true pairs
+  * (23 s → ~9 s measured on `q_fuzzy_join_k2`; the remaining time is
+  * output-bound — the sf0.1 answer itself is 4.1M verified pairs).
   *
   * Scale shape: the explode is ×O(len^k) on the KEY column only — the
   * entity-resolution regime is short keys (names, codes), where
@@ -44,39 +61,81 @@ object FuzzyJoin {
     *
     * @param k         maximum edit distance (1-3; the variant explode is
     *                  O(len^k) per row — keep keys short at k ≥ 2)
-    * @param maxBucket skip variant buckets larger than this before pair
-    *                  expansion (degenerate duplicate floods; see object
-    *                  scaladoc). Default: uncapped (exact).
+    * @param maxBucket skip variant buckets holding more than this many
+    *                  DISTINCT ids before pair expansion (degenerate
+    *                  duplicate floods; see object scaladoc). A bucket
+    *                  whose position-annotated row count exceeds
+    *                  4×maxBucket is likewise skipped (same-character
+    *                  runs multiply rows per id, not ids). Default:
+    *                  uncapped (exact).
     */
   def selfPairs(df: DataFrame, idCol: String, strCol: String,
                 k: Int = 1, maxBucket: Int = Int.MaxValue): DataFrame = {
     require(k >= 1 && k <= 3, s"selfPairs supports edit distance 1-3, got $k")
     require(maxBucket > 1, "maxBucket must admit at least one pair")
-    // depth-1 deletion layer: i = 0 keeps the string; i = j drops char j.
-    // array_distinct is load-bearing: deleting ANY position inside a run
-    // of identical characters yields the SAME variant, and duplicate
-    // (variant, id) rows would multiply candidate rows quadratically in
-    // run length across the join (measured 4× on zero-padded keys)
-    def delOnce(arr: String) =
-      s"array_distinct(flatten(transform($arr, v -> " +
-        "transform(sequence(0, length(v)), i -> " +
-        "CASE WHEN i = 0 THEN v " +
-        "ELSE concat(substr(v, 1, i - 1), substr(v, i + 1, length(v))) END))))"
-    val neighborhood = (1 to k).foldLeft("array(vs)")((acc, _) => delOnce(acc))
+    val noPos = "CAST(array() AS array<int>)"
+    // Depth-d deletion layer over `vs`, positions 1-indexed on the
+    // ORIGINAL string. `filter(sequence(0, …))` rather than
+    // `sequence(1, …)` because Spark's sequence DESCENDS when
+    // start > stop — sequence(1, 0) is [1, 0], not empty.
+    def layer(d: Int, withPos: Boolean): String = d match {
+      case 0 =>
+        s"array(named_struct('v', vs, 'pos', $noPos, 'd', 0))"
+      case 1 =>
+        val v = "concat(substr(vs, 1, i - 1), substr(vs, i + 1, length(vs)))"
+        val pos = if (withPos) "array(i)" else noPos
+        "transform(filter(sequence(0, length(vs)), i -> i >= 1), " +
+          s"i -> named_struct('v', $v, 'pos', $pos, 'd', 1))"
+      case 2 =>
+        val v = "concat(substr(vs, 1, i - 1), substr(vs, i + 1, j - i - 1), " +
+          "substr(vs, j + 1, length(vs)))"
+        val pos = if (withPos) "array(i, j)" else noPos
+        "flatten(transform(filter(sequence(0, length(vs)), i -> i >= 1 AND i < length(vs)), " +
+          "i -> transform(filter(sequence(0, length(vs)), j -> j > i), " +
+          s"j -> named_struct('v', $v, 'pos', $pos, 'd', 2))))"
+      case _ =>
+        val v = "concat(substr(vs, 1, i - 1), substr(vs, i + 1, j - i - 1), " +
+          "substr(vs, j + 1, l - j - 1), substr(vs, l + 1, length(vs)))"
+        val pos = if (withPos) "array(i, j, l)" else noPos
+        "flatten(flatten(transform(filter(sequence(0, length(vs)), i -> i >= 1 AND i + 2 <= length(vs)), " +
+          "i -> transform(filter(sequence(0, length(vs)), j -> j > i AND j + 1 <= length(vs)), " +
+          "j -> transform(filter(sequence(0, length(vs)), l -> l > j), " +
+          s"l -> named_struct('v', $v, 'pos', $pos, 'd', 3))))))"
+    }
+    // Depth < k travels position-free and run-collapsed (deleting ANY
+    // position inside a run of identical characters yields the SAME
+    // variant; duplicate rows would multiply candidates quadratically in
+    // run length — measured 4× on zero-padded keys). Depth k keeps one
+    // row PER position set: the pruning rule needs the true sets, and a
+    // per-string canonical collapse breaks recall (two strings can reach
+    // the shared substitution-positions variant via different canonical
+    // deletions).
+    val loose = (0 until k).map(layer(_, withPos = false)).mkString(", ")
+    val neighborhood =
+      s"concat(array_distinct(concat($loose)), ${layer(k, withPos = true)})"
     val variants = df.select(col(idCol).as("vid"), col(strCol).as("vs"))
-      .withColumn("variant", explode(expr(neighborhood)))
+      .withColumn("t", explode(expr(neighborhood)))
+      .select(col("vid"), col("t.v").as("variant"),
+        col("t.d").as("d"), col("t.pos").as("pos"))
     // candidate pairs via bucket-pair enumeration (the same ONE-shuffle
     // shape as Dedup.jaccardPairs: group by variant, expand pairs per
-    // bucket — identical pair set to a self-join with half the explode and
-    // shuffle work); candidates travel as bare id pairs and names
-    // re-attach for the verify via two id-keyed joins
+    // bucket — identical pair set to a self-join with half the explode
+    // and shuffle work). The position-pruning filter runs INSIDE the
+    // expansion stage, before any pair reaches the distinct shuffle;
+    // candidates travel as bare id pairs and names re-attach for the
+    // verify via two id-keyed joins.
+    val itemsCap =
+      if (maxBucket >= Int.MaxValue / 4) Int.MaxValue else maxBucket * 4
     val cand = variants.groupBy(col("variant"))
-      .agg(collect_set(col("vid")).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .agg(collect_list(struct(col("vid"), col("d"), col("pos"))).as("items"))
+      .withColumn("nd", size(array_distinct(expr("transform(items, x -> x.vid)"))))
+      .filter(col("nd") > 1 && col("nd") <= maxBucket &&
+        size(col("items")) <= itemsCap)
+      .select(explode(col("items")).as("a"), col("items"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .filter(col("a.vid") < col("b.vid") &&
+        !(col("a.d") === k && col("b.d") === k && col("a.pos") =!= col("b.pos")))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b")).distinct()
     val names = df.select(col(idCol), col(strCol))
     cand
       .join(names.select(col(idCol).as("id_a"), col(strCol).as("str_a")), Seq("id_a"))
