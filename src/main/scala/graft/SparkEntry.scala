@@ -493,6 +493,23 @@ object SparkEntry {
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
     }),
 
+    // ---- SQL UPDATE on a graft table (copy-on-write row-level update;
+    // RHS reads the OLD row, zone-pruned touched-file discovery) ----
+    "q_sql_update" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_sqlupd").toString + "/t"
+      graft.sources.ManifestTable.overwrite(s, dir,
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .repartitionByRange(8, col("o_orderkey")),
+        statsCols = Seq("o_orderkey"))
+      s.sql("DROP TABLE IF EXISTS q_sql_update_t")
+      s.sql(s"CREATE TABLE q_sql_update_t USING graft OPTIONS (path '$dir')")
+      s.sql("UPDATE q_sql_update_t " +
+        "SET o_totalprice = o_totalprice * 2.0, o_orderstatus = 'U' " +
+        "WHERE o_orderkey % 10 = 3 AND o_totalprice < 150000.0")
+      graft.sources.ManifestTable.read(s, dir)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    }),
+
     // ---- snapshot diff (CDC-style audit of an incremental load) ----
     "q_snapshot_diff" -> ((s, d) => {
       val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
@@ -2103,6 +2120,15 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice, o_orderstatus
         |FROM orders
         |WHERE NOT (o_orderkey % 10 = 3 OR o_totalprice < 10000.0)""".stripMargin,
+
+    // the UPDATE re-derived as a CASE projection over the source rows
+    "q_sql_update" ->
+      """SELECT o_orderkey,
+        |CASE WHEN o_orderkey % 10 = 3 AND o_totalprice < 150000.0
+        |     THEN o_totalprice * 2.0 ELSE o_totalprice END AS o_totalprice,
+        |CASE WHEN o_orderkey % 10 = 3 AND o_totalprice < 150000.0
+        |     THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH old AS (SELECT o_orderkey, o_totalprice FROM orders),

@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => MetaAggregateRule)
     // SQL DELETE over graft tables (copy-on-write row-level delete)
     e.injectResolutionRule(_ => GraftDeleteRule)
+    // SQL UPDATE over graft tables (copy-on-write row-level update)
+    e.injectResolutionRule(_ => GraftUpdateRule)
   }
 }
 

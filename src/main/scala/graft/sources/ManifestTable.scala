@@ -1351,13 +1351,66 @@ object ManifestTable {
                              m: Manifest, touched: Seq[String],
                              pred: Column): Long = {
     if (touched.isEmpty) return v
-    val touchedSet = touched.toSet
-    val untouched = m.files.filterNot(touchedSet)
     val kept = spark.read.schema(m.schema)
       .option("basePath", dataDir(path).toString)
       .parquet(touched.map(rel => new Path(dataDir(path), rel).toString): _*)
       .filter(!coalesce(pred, lit(false)))
-    val written = writeDataFiles(spark, path, kept, m.partitionCols)
+    commitRewrite(spark, path, v, m, touched, kept)
+  }
+
+  /** Row-level UPDATE, copy-on-write: rewrite ONLY the files holding rows
+    * matching `predicate`, replacing each assigned column with its new
+    * expression WHERE the predicate holds (SQL semantics: a NULL predicate
+    * leaves the row unchanged; every right-hand side reads the OLD row).
+    * Untouched files carry into the new snapshot byte-identical, prior
+    * versions stay readable, losing the version race throws. New values
+    * cast to the column's declared type, so the table schema is invariant.
+    * Updating a partition column is allowed — rewritten rows land in their
+    * new partition directories. Returns the new version (unchanged when
+    * nothing matched).
+    */
+  def update(spark: SparkSession, path: String, predicate: Column,
+             sets: Seq[(String, Column)]): Long = {
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    if (m.files.isEmpty) return v
+    val fields = m.schema.fields.map(f => f.name -> f).toMap
+    val bad = sets.collect { case (n, _) if !fields.contains(n) => n }
+    require(bad.isEmpty,
+      s"UPDATE of $path assigns unknown column(s) ${bad.mkString(", ")} — " +
+        s"table columns: ${m.schema.fieldNames.mkString(", ")}")
+    require(sets.map(_._1).distinct.size == sets.size,
+      s"UPDATE of $path assigns a column twice")
+    val touched = touchedFiles(spark, path, m.files, m.schema, predicate)
+    if (touched.isEmpty) return v
+    val hit = coalesce(predicate, lit(false))
+    val setMap = sets.toMap
+    val replaced = m.schema.fields.map { f =>
+      setMap.get(f.name) match {
+        case Some(e) => when(hit, e.cast(f.dataType))
+          .otherwise(col(s"`${f.name}`")).as(f.name)
+        case None => col(s"`${f.name}`")
+      }
+    }
+    val rewritten = spark.read.schema(m.schema)
+      .option("basePath", dataDir(path).toString)
+      .parquet(touched.map(rel => new Path(dataDir(path), rel).toString): _*)
+      .select(replaced.toSeq: _*)
+    commitRewrite(spark, path, v, m, touched, rewritten)
+  }
+
+  /** Shared tail of the copy-on-write row-level commands: write
+    * `replacement` (the new content of the `touched` files), refresh stats
+    * for the new files only, and commit them alongside the untouched files
+    * (whose stats entries carry verbatim).
+    */
+  private def commitRewrite(spark: SparkSession, path: String, v: Long,
+                            m: Manifest, touched: Seq[String],
+                            replacement: DataFrame): Long = {
+    val touchedSet = touched.toSet
+    val untouched = m.files.filterNot(touchedSet)
+    val written = writeDataFiles(spark, path, replacement, m.partitionCols)
     val newStats = collectStats(spark, path, written, m.schema,
       m.partitionCols, m.statsCols, m.bloomCols)
     // a fully-drained rewrite can emit a ROW-LESS parquet file; committing

@@ -14,6 +14,16 @@ object bridge {
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** Materialize an analyzed LogicalPlan as a DataFrame (the command side
+    * of a lowered DML statement needs to run its source plan;
+    * `Dataset.ofRows` is `private[sql]`).
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Unpersist the RDD blocks backing a `localCheckpoint`ed Dataset.
     * `Dataset.unpersist` only clears CacheManager entries, not the
     * checkpoint RDD's storage — its `LogicalRDD` leaf (private[sql]) holds
