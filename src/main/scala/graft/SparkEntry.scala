@@ -510,6 +510,31 @@ object SparkEntry {
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
     }),
 
+    // ---- SQL MERGE INTO a graft table (transactional key-scoped upsert:
+    // matched rows replaced, new rows inserted, one atomic commit) ----
+    "q_sql_merge" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_sqlmrg").toString + "/t"
+      val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderstatus")
+      graft.sources.ManifestTable.overwrite(s, dir,
+        orders.repartitionByRange(8, col("o_orderkey")), statsCols = Seq("o_orderkey"))
+      s.sql("DROP TABLE IF EXISTS q_sql_merge_t")
+      s.sql(s"CREATE TABLE q_sql_merge_t USING graft OPTIONS (path '$dir')")
+      // the change feed: repricing for every 7th order + brand-new orders
+      orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 1.0).as("o_totalprice"),
+          lit("M").as("o_orderstatus"))
+        .unionAll(orders.filter(col("o_orderkey") % 997 === 0)
+          .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+            lit(1.0).as("o_totalprice"), lit("N").as("o_orderstatus")))
+        .createOrReplaceTempView("q_sql_merge_src")
+      s.sql("""MERGE INTO q_sql_merge_t t USING q_sql_merge_src s
+              |ON t.o_orderkey = s.o_orderkey
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      graft.sources.ManifestTable.read(s, dir)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    }),
+
     // ---- snapshot diff (CDC-style audit of an incremental load) ----
     "q_snapshot_diff" -> ((s, d) => {
       val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
@@ -2120,6 +2145,17 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice, o_orderstatus
         |FROM orders
         |WHERE NOT (o_orderkey % 10 = 3 OR o_totalprice < 10000.0)""".stripMargin,
+
+    // the MERGE re-derived: matched keys take the source row (CASE
+    // projection), unmatched source keys append (UNION ALL)
+    "q_sql_merge" ->
+      """SELECT o_orderkey,
+        |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+        |CASE WHEN o_orderkey % 7 = 0 THEN 'M' ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 30000000, 1.0, 'N'
+        |FROM orders WHERE o_orderkey % 997 = 0""".stripMargin,
 
     // the UPDATE re-derived as a CASE projection over the source rows
     "q_sql_update" ->

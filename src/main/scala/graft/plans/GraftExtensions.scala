@@ -30,6 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(_ => GraftDeleteRule)
     // SQL UPDATE over graft tables (copy-on-write row-level update)
     e.injectResolutionRule(_ => GraftUpdateRule)
+    // SQL MERGE INTO over graft tables (transactional key-scoped upsert)
+    e.injectResolutionRule(_ => GraftMergeRule)
   }
 }
 

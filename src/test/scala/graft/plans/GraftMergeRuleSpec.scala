@@ -1,0 +1,156 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.sources.ManifestTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** SQL MERGE INTO over graft tables: the classic upsert (matched rows
+  * replaced, new rows inserted) plus update-only and insert-only forms,
+  * all landing on the transactional key-scoped ManifestTable.merge.
+  */
+class GraftMergeRuleSpec extends SparkSpec {
+
+  private lazy val extSpark: SparkSession = {
+    // extensions bind at session construction; keep the shared test
+    // session as the default (same discipline as GraftDeleteRuleSpec)
+    val base = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-merge-test")
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_mrg_wh").toString)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    SparkSession.setDefaultSession(base)
+    SparkSession.setActiveSession(base)
+    s
+  }
+
+  private def target(s: SparkSession, tag: String,
+                     rows: Seq[(Long, String, Long)]): String = {
+    import s.implicits._
+    val path = Files.createTempDirectory(s"sqlmrg_$tag").toString + "/t"
+    ManifestTable.overwrite(s, path, rows.toDF("id", "v", "n"))
+    s.sql(s"DROP TABLE IF EXISTS mrg_$tag")
+    s.sql(s"CREATE TABLE mrg_$tag USING graft OPTIONS (path '$path')")
+    path
+  }
+
+  private val baseRows = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+
+  test("MERGE upsert: UPDATE SET * + INSERT * replaces matched, inserts new") {
+    val s = extSpark
+    import s.implicits._
+    val path = target(s, "up", baseRows)
+    try {
+      Seq((2L, "B2", 200L), (4L, "d", 40L)).toDF("id", "v", "n")
+        .createOrReplaceTempView("src_up")
+      s.sql("""MERGE INTO mrg_up t USING src_up s ON t.id = s.id
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(s.sql("SELECT id, v, n FROM mrg_up ORDER BY id").as[(Long, String, Long)]
+        .collect() === Array((1L, "a", 10L), (2L, "B2", 200L), (3L, "c", 30L), (4L, "d", 40L)))
+      // transactional: the pre-merge snapshot still reads intact
+      assert(ManifestTable.readVersion(s, path, 1L).count() === 3L)
+    } finally s.sql("DROP TABLE IF EXISTS mrg_up"): Unit
+  }
+
+  test("MERGE with explicit assignments and expression right-hand sides") {
+    val s = extSpark
+    import s.implicits._
+    target(s, "ex", baseRows)
+    try {
+      Seq((3L, 5L), (9L, 9L)).toDF("sid", "delta").createOrReplaceTempView("src_ex")
+      s.sql("""MERGE INTO mrg_ex t USING src_ex s ON t.id = s.sid
+              |WHEN MATCHED THEN
+              |  UPDATE SET id = s.sid, v = concat('u', s.delta), n = s.delta * 100
+              |WHEN NOT MATCHED THEN
+              |  INSERT (id, v, n) VALUES (s.sid, 'new', s.delta)""".stripMargin)
+      assert(s.sql("SELECT id, v, n FROM mrg_ex ORDER BY id").as[(Long, String, Long)]
+        .collect() === Array((1L, "a", 10L), (2L, "b", 20L),
+          (3L, "u5", 500L), (9L, "new", 9L)))
+    } finally s.sql("DROP TABLE IF EXISTS mrg_ex"): Unit
+  }
+
+  test("update-only MERGE ignores unmatched source rows") {
+    val s = extSpark
+    import s.implicits._
+    target(s, "uo", baseRows)
+    try {
+      Seq((2L, "X", 0L), (7L, "ghost", 0L)).toDF("id", "v", "n")
+        .createOrReplaceTempView("src_uo")
+      s.sql("""MERGE INTO mrg_uo t USING src_uo s ON t.id = s.id
+              |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      assert(s.sql("SELECT id, v FROM mrg_uo ORDER BY id").as[(Long, String)]
+        .collect() === Array((1L, "a"), (2L, "X"), (3L, "c")))
+    } finally s.sql("DROP TABLE IF EXISTS mrg_uo"): Unit
+  }
+
+  test("insert-only MERGE keeps every matched target row unchanged") {
+    val s = extSpark
+    import s.implicits._
+    target(s, "io", baseRows)
+    try {
+      Seq((2L, "CLOBBER", 0L), (5L, "e", 50L)).toDF("id", "v", "n")
+        .createOrReplaceTempView("src_io")
+      s.sql("""MERGE INTO mrg_io t USING src_io s ON t.id = s.id
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(s.sql("SELECT id, v FROM mrg_io ORDER BY id").as[(Long, String)]
+        .collect() === Array((1L, "a"), (2L, "b"), (3L, "c"), (5L, "e")))
+    } finally s.sql("DROP TABLE IF EXISTS mrg_io"): Unit
+  }
+
+  test("MERGE on a partitioned table rewrites only the touched partitions") {
+    val s = extSpark
+    import s.implicits._
+    val path = Files.createTempDirectory("sqlmrg_part").toString + "/t"
+    val df = Seq((1L, "p1", 10L), (2L, "p1", 20L), (3L, "p2", 30L), (4L, "p3", 40L))
+      .toDF("id", "p", "n")
+    ManifestTable.overwrite(s, path, df, partitionCols = Seq("p"))
+    s.sql(s"CREATE TABLE mrg_part USING graft OPTIONS (path '$path')")
+    try {
+      def files(v: Long): Set[String] = {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path, "_manifests", f"m$v%012d.txt")))
+        txt.split("\n").filter(_.startsWith("file=")).map(_.stripPrefix("file=")).toSet
+      }
+      val before = files(1L)
+      Seq((2L, "p1", 200L), (9L, "p3", 90L)).toDF("id", "p", "n")
+        .createOrReplaceTempView("src_part")
+      s.sql("""MERGE INTO mrg_part t USING src_part s ON t.id = s.id
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(s.sql("SELECT n FROM mrg_part ORDER BY id").as[Long].collect()
+        === Array(10L, 200L, 30L, 40L, 90L))
+      // the p2 partition holds no source keys: its file carries untouched
+      val carried = before & files(2L)
+      assert(carried.exists(_.contains("p=p2")),
+        s"expected the p=p2 file carried byte-identical, carried=$carried")
+    } finally s.sql("DROP TABLE IF EXISTS mrg_part"): Unit
+  }
+
+  test("out-of-scope MERGE (target-referencing RHS) still fails loudly") {
+    val s = extSpark
+    import s.implicits._
+    target(s, "oos", baseRows)
+    try {
+      Seq((2L, "x", 1L)).toDF("id", "v", "n").createOrReplaceTempView("src_oos")
+      val e = intercept[Exception] {
+        s.sql("""MERGE INTO mrg_oos t USING src_oos s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET n = t.n + s.n""".stripMargin)
+      }
+      // v2-only CheckAnalysis (or the unsupported-action path) rejects it;
+      // the essential property is that it did NOT silently run
+      assert(s.sql("SELECT n FROM mrg_oos WHERE id = 2").as[Long].head() === 20L,
+        s"out-of-scope merge must not mutate the table (error was: ${e.getMessage})")
+    } finally s.sql("DROP TABLE IF EXISTS mrg_oos"): Unit
+  }
+}
