@@ -375,6 +375,13 @@ object SparkEntry {
       Multimodal.pngPixelStats(s,
         Multimodal.encodePngPixelTable(s, Tables.documents(s, d), "doc_id"))),
 
+    // full baseline-JPEG stack (quantize/DCT/zigzag/Huffman) exercised
+    // per doc: encode the deterministic rule, decode back, report exact
+    // dims + the quality-100 error contract (JPEG is lossy, so samples
+    // aren't SQL-reproducible — the bound is; sketch-style oracle)
+    "q_jpeg_pixels" -> ((s, d) =>
+      Multimodal.jpegRoundTripCheck(s, Tables.documents(s, d), "doc_id")),
+
     // ---- LLM-pipeline: training-data curation ----
     // PII is synthesized deterministically (same expressions in the oracle)
     // so the redaction rules are actually exercised — the fixture corpus
@@ -2204,6 +2211,19 @@ object SparkEntry {
     // sums by DECODING the PNG bytes (inflate + per-row unfilter). The
     // constant series bounds match the rule's maxima (w ≤ 39, h ≤ 31,
     // c ≤ 3 as 0-based indices)
+    // dims/sample-count exact from the id rule; the decode itself is
+    // asserted through the error-contract flag (any container, entropy,
+    // dequant, or IDCT bug on ANY of the 500 images flips it false and
+    // the hash gate goes red)
+    "q_jpeg_pixels" ->
+      """SELECT doc_id AS media_id,
+        |CAST(doc_id % 32 + 8 AS INT) AS width,
+        |CAST(doc_id % 24 + 8 AS INT) AS height,
+        |CAST(doc_id % 4 + 1 AS INT) AS channels,
+        |CAST((doc_id % 32 + 8) * (doc_id % 24 + 8) * (doc_id % 4 + 1) AS BIGINT) AS n_samples,
+        |CAST(1 AS BOOLEAN) AS err_in_bound
+        |FROM documents""".stripMargin,
+
     "q_png_pixels" ->
       """SELECT d.doc_id AS media_id,
         |CAST(d.doc_id % 32 + 8 AS INT) AS width,

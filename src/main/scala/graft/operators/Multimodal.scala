@@ -15,14 +15,18 @@ import org.apache.spark.sql.types._
   * recovers format, dimensions, channel count and the payload body with no
   * image library.
   *
-  * The PNG PIXEL layer is real too: [[encodePngPixels]] writes genuine
-  * 8-bit zlib-deflated scanlines exercising all five PNG row filters, and
-  * [[decodePngPixels]] inflates and unfilters (none/sub/up/average/paeth)
-  * back to raw samples — `java.util.zip` only, no image library. Only the
-  * JPEG ENTROPY layer remains stubbed (`FakeCodec`, standing in for a
-  * JNI/JEP huffman+DCT call). Swapping it in changes no plan shape:
-  * decode stays `mapPartitions` (batch-amortized codec init,
-  * executor-local, no shuffle).
+  * The PIXEL layers are real too, both of them: [[encodePngPixels]] /
+  * [[decodePngPixels]] write and read genuine 8-bit zlib-deflated
+  * scanlines exercising all five PNG row filters (`java.util.zip` only),
+  * and [[Jpeg.encode]] / [[Jpeg.decode]] are a complete baseline
+  * sequential JPEG codec — quantization, 8×8 DCT, zigzag, Huffman
+  * entropy coding, byte stuffing — pure JVM, cross-validated against the
+  * JDK's independent ImageIO decoder in the specs. Nothing in the
+  * multimodal stack is stubbed; payloads that are not decodable images
+  * fall back to payload-level byte statistics in [[extractFeatures]],
+  * which is the honest operation for opaque non-image media. Decode
+  * stays `mapPartitions` (batch-amortized codec init, executor-local, no
+  * shuffle).
   */
 object Multimodal {
 
@@ -404,29 +408,27 @@ object Multimodal {
   final case class MediaFeature(media_id: Long, modality: String, n_bytes: Int,
                                 mean_byte: Double, frames_sampled: Int)
 
-  /** ====== STUB: stands in for a real JPEG entropy decoder (no media
-    * libs here; the PNG path above is fully real). ======
-    * Deterministic: "decodes" a payload to (mean byte value, frame count).
-    * A real implementation would run huffman+DCT here — everything
-    * around it (batching, schema, partition-locality) is production-shaped.
+  /** Payload byte statistics — the decode fallback for payloads that are
+    * not decodable images (raw sensor dumps, opaque audio, synthetic
+    * fixtures): mean byte value + strided frame count. Not a stub: for an
+    * opaque payload this IS the feature extraction.
     */
-  object FakeCodec {
-    def decode(payload: Array[Byte], frameStride: Int): (Double, Int) = {
-      // null payloads reach decode when the source row had null content
-      // (synthesize maps null text → null binary); treat as empty media
-      if (payload == null || payload.isEmpty) (0.0, 0)
-      else {
-        var s = 0L; var i = 0
-        while (i < payload.length) { s += payload(i) & 0xff; i += 1 }
-        (s.toDouble / payload.length, (payload.length + frameStride - 1) / frameStride)
-      }
+  private def byteStats(payload: Array[Byte], frameStride: Int): (Double, Int) = {
+    // null payloads reach decode when the source row had null content
+    // (synthesize maps null text → null binary); treat as empty media
+    if (payload == null || payload.isEmpty) (0.0, 0)
+    else {
+      var s = 0L; var i = 0
+      while (i < payload.length) { s += payload(i) & 0xff; i += 1 }
+      (s.toDouble / payload.length, (payload.length + frameStride - 1) / frameStride)
     }
   }
 
-  /** Decode/feature-extract via mapPartitions: codec state (here trivial;
-    * in production a native decoder handle) is initialized once per
-    * partition, then streamed over rows — the Spark-idiomatic shape for
-    * expensive per-row native calls.
+  /** Decode/feature-extract via mapPartitions: decodable images (PNG via
+    * [[decodePngPixels]], baseline JPEG via [[Jpeg.decode]] — both real
+    * codecs) yield decoded-sample statistics; everything else falls back
+    * to [[byteStats]]. The shape is the Spark idiom for expensive per-row
+    * codec calls: partition-local, batch-amortized init, no shuffle.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame,
                       frameStride: Int = 256): Dataset[MediaFeature] = {
@@ -435,11 +437,54 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition codec init would go here
         rows.map { case (id, modality, payload) =>
-          val (meanByte, frames) = FakeCodec.decode(payload, frameStride)
+          val decoded = decodePngPixels(payload).orElse(Jpeg.decode(payload))
+          val (meanVal, frames) = decoded match {
+            case Some(img) =>
+              var s = 0L; var i = 0
+              while (i < img.pixels.length) { s += img.pixels(i) & 0xff; i += 1 }
+              (if (img.pixels.isEmpty) 0.0 else s.toDouble / img.pixels.length, 1)
+            case None => byteStats(payload, frameStride)
+          }
           MediaFeature(id, modality, if (payload == null) 0 else payload.length,
-            meanByte, frames)
+            meanVal, frames)
         }
       }
+  }
+
+  /** End-to-end JPEG round-trip audit table: per id, encode the
+    * deterministic sample rule `(id + 3x + 7y + 11c) mod 256` (same rule
+    * as the PNG pixel table) through the full baseline JPEG stack at the
+    * given quality, decode it back, and report exact dimensions plus the
+    * error contract. JPEG is lossy, so unlike PNG the samples are not
+    * bit-reproducible in SQL — instead `err_in_bound` asserts the
+    * documented quality-100 reconstruction bound (DCT round-off only; see
+    * [[Jpeg]]), the same error-contract oracle style as the sketches.
+    * `max_abs_err` is measured but intentionally NOT emitted (engine-
+    * specific); the specs assert on it directly.
+    */
+  def jpegRoundTripCheck(spark: SparkSession, docs: DataFrame, idCol: String,
+                         quality: Int = 100, bound: Int = 4): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        require(id >= 0, s"jpegRoundTripCheck: negative media id $id")
+        val w = (id % 32 + 8).toInt
+        val h = (id % 24 + 8).toInt
+        val ch = (id % 4 + 1).toInt
+        def rule(x: Int, y: Int, c: Int) = ((id + 3L * x + 7L * y + 11L * c) % 256).toInt
+        val img = Jpeg.decode(Jpeg.encode(w, h, ch, quality, rule))
+          .getOrElse(sys.error(s"jpeg round trip failed to decode for id $id"))
+        var maxErr = 0
+        var i = 0
+        while (i < img.pixels.length) {
+          val c = i % ch; val x = (i / ch) % w; val y = i / (ch * w)
+          val e = math.abs((img.pixels(i) & 0xff) - rule(x, y, c))
+          if (e > maxErr) maxErr = e
+          i += 1
+        }
+        (id, img.width, img.height, img.channels,
+          img.pixels.length.toLong, maxErr <= bound)
+      }).toDF("media_id", "width", "height", "channels", "n_samples", "err_in_bound")
   }
 
   /** Frame sampling as pure expressions: cut the payload into fixed-stride

@@ -43,7 +43,7 @@ class TextAnalysisSpec extends SparkSpec {
     assert(meta.select("payload_md5").distinct().count() === meta.count())
   }
 
-  test("multimodal: extractFeatures runs the decode stub per partition") {
+  test("multimodal: extractFeatures byte-stat fallback for non-image payloads") {
     val media = Multimodal.synthesize(Tables.documents(spark, sf).limit(10), "doc_id", "text")
     val feats = Multimodal.extractFeatures(spark, media).collect()
     assert(feats.length === 10)
