@@ -181,6 +181,17 @@ object PlanAudit {
         "HashAggregate".r.findAllIn(p).length >= 2),
       "totalprice filter pushed to the scan" -> (p =>
         p.contains("PushedFilters: [IsNotNull(o_totalprice)")))
+    audit("q_regional_revenue")(
+      "supplier/nation/region side collapses to broadcasts" -> (p =>
+        "BroadcastHashJoin".r.findAllIn(p).length >= 3),
+      // at most: the fixture SF auto-broadcasts customer too, leaving one;
+      // at 100 TB it is exactly two (lineitem ⋈ orders, + ⋈ customer)
+      "at most the two unavoidable big-fact shuffle joins" -> (p =>
+        "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length <= 2),
+      "order-year filter pushed to the orders scan" -> (p =>
+        p.contains("GreaterThanOrEqual(o_orderdate")),
+      "revenue partially aggregated map-side" -> (p =>
+        "HashAggregate".r.findAllIn(p).length >= 2))
     audit("q_top_unshipped")(
       "date filters pushed to both fact scans" -> (p =>
         p.contains("GreaterThan(l_shipdate") && p.contains("LessThan(o_orderdate")),

@@ -148,6 +148,36 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
     }),
 
+    // TPC-H Q5 shape: the six-table regional-revenue join. Plan design
+    // for 100 TB: region→nation→supplier collapse to ONE broadcast (the
+    // per-region supplier set), customer joins nation by broadcast, and
+    // the only shuffles are the two unavoidable big-fact exchanges —
+    // lineitem ⋈ orders on orderkey, then ⋈ customer on custkey. The
+    // c_nationkey = s_nationkey colocation predicate rides the supplier
+    // broadcast, never a shuffle. Audited in PlanAudit.
+    "q_regional_revenue" -> ((s, d) => {
+      val yr0 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+      val yr1 = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+      val asiaNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val asiaSupp = Tables.supplier(s, d)
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit(yr0) && col("o_orderdate") < lit(yr1)),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec))
+          .cast("double").as("revenue"))
+    }),
+
     "q_json_props" -> ((s, d) =>
       Tables.events(s, d)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -1450,6 +1480,20 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_regional_revenue" ->
+      """SELECT n_name,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
 
     // brute force on purpose: an independent derivation (cross join +
     // levenshtein) checks the deletion-neighborhood construction's recall
