@@ -384,6 +384,14 @@ object SparkEntry {
       TextAnalysis.bpeTokenize(Tables.documents(s, d), "doc_id", "text",
         BpePreTokenRe, BpeMerges)),
 
+    // BPE TRAINING, distributed: learn the merge table itself from the
+    // corpus (vocabulary-with-frequencies form — the corpus shuffles
+    // once, every round after that aggregates over distinct words only).
+    // The oracle re-runs the whole loop as a generated CTE chain
+    "q_bpe_train" -> ((s, d) =>
+      TextAnalysis.bpeTrain(s, Tables.documents(s, d), "text",
+        BpePreTokenRe, BpeTrainRounds)),
+
     // ---- LLM-pipeline: multimodal columns ----
     // real containers, real parsing: documents are encoded as structurally
     // valid PNG/JPEG bytes (dims/channels from a deterministic id rule, the
@@ -947,6 +955,10 @@ object SparkEntry {
     "t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g", "a" -> "n",
     "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e", "o" -> "u",
     "t" -> "i", "e" -> "n", "e" -> "s", "o" -> "r", "s" -> "t", "a" -> "t")
+
+  /** Rounds for q_bpe_train — the oracle CTE chain is generated to the
+    * same depth, so the two can never drift. */
+  private[graft] val BpeTrainRounds = 10
 
   /** Shared oracle-SQL fragments (DuckDB dialect). */
   private val tokensSql = "regexp_extract_all(text, '\\S+')"
@@ -1795,6 +1807,47 @@ object SparkEntry {
          |  CAST(coalesce(n_alpha_chars, 0) AS DOUBLE) /
          |    greatest(coalesce(n_symbols, 0), 1) AS chars_per_symbol
          |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin
+    },
+
+    // the TRAINING loop re-run by the oracle engine: a generated chain of
+    // per-round CTEs — pair-count over the vocabulary, argmax with the
+    // same (count DESC, left, right) tie-break, merge applied with the
+    // same sep-wrapped replace — then the per-round winners unioned.
+    // Identical by construction at every depth because both sides are
+    // driven by BpeTrainRounds
+    "q_bpe_train" -> {
+      val re = BpePreTokenRe.replace("'", "''")
+      val S = "chr(31)"
+      val sb = new StringBuilder
+      // MATERIALIZED is load-bearing: each round's vocabulary is referenced
+      // twice (pair counts + next rewrite), so an inlining planner would
+      // otherwise expand the chain into 2^rounds scans
+      sb ++= s"""WITH v0 AS MATERIALIZED (
+         |  SELECT $S || regexp_replace(tok, '(.)', '\\1' || $S, 'g') AS toks, cnt FROM (
+         |    SELECT tok, count(*) AS cnt FROM (
+         |      SELECT unnest(regexp_extract_all(text, '$re')) AS tok FROM documents) q
+         |    WHERE regexp_full_match(tok, ' ?[A-Za-z]+') GROUP BY tok))""".stripMargin
+      for (k <- 1 to BpeTrainRounds) {
+        val l = s"(SELECT l FROM m$k)"
+        val r = s"(SELECT r FROM m$k)"
+        sb ++= s""",
+           |e$k AS (
+           |  SELECT s, cnt, unnest(generate_series(1, len(s) - 1)) AS i FROM (
+           |    SELECT list_filter(string_split(toks, $S), x -> x <> '') AS s, cnt
+           |    FROM v${k - 1}) q),
+           |p$k AS (SELECT s[i] AS l, s[i + 1] AS r, SUM(cnt) AS cnt
+           |        FROM e$k GROUP BY 1, 2),
+           |m$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k
+           |        ORDER BY cnt DESC, l, r LIMIT 1),
+           |v$k AS MATERIALIZED (SELECT replace(toks, $S || $l || $S || $r || $S,
+           |                       $S || $l || $r || $S) AS toks, cnt
+           |        FROM v${k - 1})""".stripMargin
+      }
+      sb ++= (1 to BpeTrainRounds).map(k =>
+        s"SELECT CAST($k AS INT) AS rank, l AS left_sym, r AS right_sym, " +
+          s"CAST(cnt AS BIGINT) AS pair_count FROM m$k")
+        .mkString("\n", "\nUNION ALL\n", "")
+      sb.toString
     },
 
     "q_token_classes" ->

@@ -261,6 +261,72 @@ object TextAnalysis {
         col("n_alpha_chars").cast("double") / greatest(col("n_symbols"), lit(1L)))
   }
 
+  /** Distributed BPE TRAINING (Sennrich-style): learn `rounds` merges from
+    * the corpus. The scale lever is the classic one — training runs over
+    * the DISTINCT-word vocabulary with frequencies, never the corpus:
+    * corpus → (token, count) is one shuffle, bounded by vocabulary size,
+    * and each round after that is one pair-count aggregation over the
+    * vocabulary plus a 1-row argmax action (the Lloyd-iteration pattern —
+    * driver traffic is one (pair, count) row per round). Merge
+    * application inside the loop is the SAME sep-wrapped literal-replace
+    * semantics as [[bpeTokenize]], which is what lets an independent
+    * engine re-derive the whole training loop verbatim (the oracle is a
+    * generated chain of per-round CTEs: pair-count → argmax → replace).
+    *
+    * Determinism: argmax ties break on (count DESC, left, right) — binary
+    * string order, engine-portable over the ASCII symbol alphabet. Only
+    * `^ ?[A-Za-z]+$` pre-tokens train (same restriction, and reason, as
+    * [[bpeTokenize]]).
+    *
+    * Output: (rank, left_sym, right_sym, pair_count) — the learned merge
+    * table, feedable straight into [[bpeTokenize]].
+    */
+  def bpeTrain(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+               textCol: String, preTokenRe: String, rounds: Int): DataFrame = {
+    import spark.implicits._
+    require(rounds >= 1 && rounds <= 64, s"rounds must be 1-64, got $rounds")
+    val S = "\u001f"
+    val alpha = filter(
+      regexp_extract_all(col(textCol), lit(preTokenRe), lit(0)),
+      t => t.rlike("^ ?[A-Za-z]+$"))
+    var vocab = docs.select(explode(alpha).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(S), regexp_replace(col("tok"), "(.)", "$1" + S)).as("toks"),
+        col("cnt"))
+      .persist()
+    vocab.count(): Unit
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      // adjacent symbol pairs, weighted by word frequency. The guarded
+      // sequence (filter i < size) avoids Spark's descending sequence(1, 0)
+      // on single-symbol words — same pitfall as FuzzyJoin documents.
+      val pairs = vocab
+        .select(expr(s"filter(split(toks, '$S'), x -> x <> '')").as("s"), col("cnt"))
+        .select(explode(expr(
+          "transform(filter(sequence(1, size(s)), i -> i < size(s)), " +
+            "i -> struct(element_at(s, i) AS l, element_at(s, i + 1) AS r))")).as("p"),
+          col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r")).agg(sum("cnt").as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("l"), col("r")).limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val l = best(0).getString(0); val rt = best(0).getString(1)
+        merges += ((r, l, rt, best(0).getLong(2)))
+        val next = vocab.withColumn("toks",
+          call_function("replace", col("toks"),
+            lit(S + l + S + rt + S), lit(S + l + rt + S))).persist()
+        next.count(): Unit
+        vocab.unpersist()
+        vocab = next
+        r += 1
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
+  }
+
   def stripHtml(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val noBlocks = regexp_replace(col(textCol), HtmlBlockRe, " ")
     val noTags = regexp_replace(noBlocks, HtmlTagRe, " ")

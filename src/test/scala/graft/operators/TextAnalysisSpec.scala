@@ -177,6 +177,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) === ((0, 0L, 0L, 0.0)))
   }
 
+  test("bpeTrain learns hand-computable merges and tie-breaks deterministically") {
+    // single-word docs so no GPT-2 leading-space symbols complicate the
+    // hand computation. vocabulary: "aab" x3, "ab" x2, "ba" x1
+    // round 1 pairs: (a,a)=3, (a,b)=3+2=5, (b,a)=1 -> merge (a,b) cnt 5
+    // round 2 ("a(ab)" x3, "(ab)" x2, "ba" x1): (a,ab)=3, (b,a)=1 -> (a,ab) 3
+    // round 3: only (b,a)=1 remains -> (b,a) 1; round 4: no pairs -> stops
+    val df = Seq("aab", "aab", "aab", "ab", "ab", "ba").zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(spark, df, "text",
+      graft.SparkEntry.BpePreTokenRe, rounds = 6)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(out === Array((1, "a", "b", 5L), (2, "a", "ab", 3L), (3, "b", "a", 1L)))
+    // the learned table feeds the application layer: "aab" -> [a+ab] = 1 symbol
+    val applied = TextAnalysis.bpeTokenize(Seq((1L, "aab")).toDF("doc_id", "text"),
+      "doc_id", "text", graft.SparkEntry.BpePreTokenRe,
+      out.map(m => m._2 -> m._3).toSeq)
+      .select("n_symbols").as[Long].head()
+    assert(applied === 1L)
+  }
+
   test("stripHtml removes blocks and tags, decodes entities, counts tags") {
     val df = Seq(
       (1L, "<html><body><p>hello <b>world</b></p><script>if (a<b) x();" +
