@@ -178,6 +178,22 @@ object SparkEntry {
           .cast("double").as("revenue"))
     }),
 
+    // time-RANGE window frame (the rows-frame family's missing sibling):
+    // per event, trailing-1-hour activity for its user. Orders by epoch
+    // micros so the frame bound is an exact integer on both engines.
+    // Scale shape: partitioned by user_id (high cardinality, bounded
+    // per-user groups) — one shuffle, no global sort
+    "q_time_window_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tus"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).cast("int").as("n_1h"),
+          sum(col("value").cast(dec)).over(w).cast("double").as("sum_val_1h"))
+    }),
+
     "q_json_props" -> ((s, d) =>
       Tables.events(s, d)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -1492,6 +1508,14 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_time_window_avg" ->
+      """SELECT event_id, user_id,
+        |CAST(count(*) OVER w AS INT) AS n_1h,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_val_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_regional_revenue" ->
       """SELECT n_name,
