@@ -360,6 +360,15 @@ object SparkEntry {
         everyNthCentroid = 50, nProbe = 3)
     }),
 
+    // product quantization (the MEMORY tier: ~4 code bytes per vector):
+    // per-subspace codebooks (sampled seeds + one quantized-Lloyd round),
+    // ADC candidate scoring via broadcast lookup tables, exact re-rank of
+    // the top 20 — the whole trained pipeline re-derived by the oracle
+    "q_ann_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 8), k = 5)
+    }),
+
     // IVF with 2 deterministic Lloyd iterations: the quantized-int64 member
     // mean makes the trained centroids bit-identical across engines, so the
     // whole k-means pipeline (assign → mean → reassign → probe → rank) is
@@ -1385,7 +1394,83 @@ object SparkEntry {
     sb.toString
   }
 
+  /** q_ann_pq re-derived from scratch: subvector split, seed codebooks,
+    * one quantized-Lloyd round per subspace, L2 encode, per-query ADC
+    * lookup tables with subspace-ordered folds, exact re-rank. Constants
+    * mirror Similarity.pqTopK's defaults. */
+  private def pqOracle: String = {
+    val nSub = 4; val nCodes = 16; val stride = 31; val cands = 20; val k = 5
+    def l2Sql(a: String, b: String): String =
+      s"list_reduce(list_transform(list_zip($a, $b), p -> " +
+        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+    s"""WITH n AS (SELECT vec_id, embedding FROM embeddings),
+       |ms AS (SELECT unnest(range(0, $nSub)) AS m),
+       |sv AS (SELECT vec_id, m,
+       |  embedding[m * (len(embedding) // $nSub) + 1 :
+       |            (m + 1) * (len(embedding) // $nSub)] AS sv
+       |  FROM n CROSS JOIN ms),
+       |cb0 AS (SELECT m, vec_id AS code, sv AS cv FROM sv
+       |        WHERE vec_id % $stride = 0 AND vec_id < ${stride.toLong * nCodes}),
+       |enc0 AS (
+       |  SELECT vec_id, m, code, sv FROM (
+       |    SELECT s.vec_id, s.m, c.code, s.sv,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m
+       |             ORDER BY ${l2Sql("s.sv", "c.cv")}, c.code) AS rk
+       |    FROM sv s JOIN cb0 c ON c.m = s.m) WHERE rk = 1),
+       |ex AS (SELECT m, code, unnest(range(1, len(sv) + 1)) AS i, sv FROM enc0),
+       |qm AS (SELECT m, code, i,
+       |  SUM(CAST(round(CAST(sv[i] AS DOUBLE) * 1000000) AS BIGINT)) AS sq,
+       |  count(*) AS cnt FROM ex GROUP BY m, code, i),
+       |cb AS (SELECT m, code,
+       |  list(CAST(CAST(sq AS DOUBLE) / cnt / 1000000 AS REAL) ORDER BY i) AS cv
+       |  FROM qm GROUP BY m, code),
+       |codes AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.code,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m
+       |             ORDER BY ${l2Sql("s.sv", "c.cv")}, c.code) AS rk
+       |    FROM sv s JOIN cb c ON c.m = s.m) WHERE rk = 1),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv FROM n WHERE vec_id < 8),
+       |qsv AS (SELECT q_id, m,
+       |  qv[m * (len(qv) // $nSub) + 1 : (m + 1) * (len(qv) // $nSub)] AS sv
+       |  FROM q CROSS JOIN ms),
+       |qdots AS (SELECT s.q_id, s.m, c.code,
+       |  ${dotSql("s.sv", "c.cv")} AS dt, ${dotSql("c.cv", "c.cv")} AS cn2
+       |  FROM qsv s JOIN cb c ON c.m = s.m),
+       |qn AS (SELECT q_id, ${normSql("qv")} AS qn FROM q),
+       |scored AS (
+       |  SELECT d.q_id, co.vec_id,
+       |    list_reduce(list(d.dt ORDER BY d.m), (x, y) -> x + y) AS ip,
+       |    list_reduce(list(d.cn2 ORDER BY d.m), (x, y) -> x + y) AS rn2
+       |  FROM codes co JOIN qdots d ON d.m = co.m AND d.code = co.code
+       |  GROUP BY d.q_id, co.vec_id),
+       |approxed AS (
+       |  SELECT s.q_id, s.vec_id, s.ip / (qn.qn * sqrt(s.rn2)) AS approx
+       |  FROM scored s JOIN qn ON qn.q_id = s.q_id
+       |  WHERE s.q_id <> s.vec_id),
+       |cand AS (
+       |  SELECT q_id, vec_id AS n_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY approx DESC, vec_id) AS crk
+       |    FROM approxed) WHERE crk <= $cands),
+       |exact AS (
+       |  SELECT c.q_id, c.n_id,
+       |    ${dotSql("q.qv", "nb.embedding")} /
+       |      (${normSql("q.qv")} * ${normSql("nb.embedding")}) AS c
+       |  FROM cand c JOIN q ON q.q_id = c.q_id
+       |  JOIN n nb ON nb.vec_id = c.n_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, c,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS INT) AS rk
+       |  FROM exact)
+       |SELECT q_id, n_id, round(c, 6) AS cos, rk FROM ranked WHERE rk <= $k""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_ann_pq" -> pqOracle,
+
     "q_dim_customer" ->
       "SELECT DISTINCT c_custkey, c_name, c_mktsegment FROM customer",
 

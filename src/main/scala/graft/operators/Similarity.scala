@@ -294,4 +294,108 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
       .distinct()
   }
+
+  /** Product-quantization ANN (Jégou et al., TPAMI 2011): the MEMORY tier
+    * of the similarity stack. The embedding splits into `nSub` subvectors;
+    * each subspace gets a `nCodes`-entry codebook (deterministic sampled
+    * seeds + ONE quantized-Lloyd round, the [[refineCentroids]] mean
+    * discipline applied per subspace) and every corpus vector encodes to
+    * `nSub` SMALL code ids — at nSub=4 that is ~4 bytes per vector against
+    * 256 bytes of float64 dims, the ~64× compression that lets a 100 TB
+    * corpus's index live in cluster memory. Search is asymmetric distance
+    * computation: per query, dot(query_sub, codebook entry) lookup tables
+    * (nSub × nCodes rows — broadcast), scored by a per-(query, vector)
+    * fold over the code lookups, then the top `candidates` re-rank with
+    * EXACT cosine against the true embeddings (the standard two-stage).
+    *
+    * Cross-engine determinism: every float reduction is an ordered fold
+    * (subspace terms sorted by subspace index before summing — a plain
+    * SUM() over doubles would be partial-aggregation-order dependent);
+    * Lloyd means go through the int64 1e-6 quantization; every rank
+    * carries an id tie-break. The DuckDB oracle re-derives codebooks,
+    * codes, ADC scores and the re-rank from scratch.
+    *
+    * Scale shape: corpus never shuffles except the one encode aggregation
+    * (rows = |corpus| × nSub, map-side combined to one row per vector per
+    * subspace); codebooks and per-query lookup tables broadcast; the ADC
+    * aggregation's shuffle is one row per (query, candidate-bearing
+    * vector) after map-side combine.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+             nSub: Int = 4, nCodes: Int = 16, seedStride: Int = 31,
+             candidates: Int = 20): DataFrame = {
+    require(nSub >= 1 && nCodes >= 2 && candidates >= k,
+      s"bad PQ config nSub=$nSub nCodes=$nCodes candidates=$candidates k=$k")
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    def subSplit(df: DataFrame, vecCol: String): DataFrame =
+      df.select(col(df.columns.head), explode(expr(
+        s"transform(sequence(0, ${nSub - 1}), m -> struct(m AS m, " +
+          s"slice($vecCol, m * (size($vecCol) div $nSub) + 1, " +
+          s"size($vecCol) div $nSub) AS sv))")).as("t"))
+        .select(col(df.columns.head), col("t.m").as("m"), col("t.sv").as("sv"))
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    def l2D(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+    val sv = subSplit(base, "embedding")
+    // nearest code per (vector, subspace): min L2, ties → lowest code id
+    def encode(cb: DataFrame): DataFrame =
+      sv.join(broadcast(cb), Seq("m"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(l2D(col("sv"), col("cv")).as("d"), col("code"))).as("best"))
+        .select(col("vec_id"), col("m"), col("best.code").as("code"))
+    // sampled seed codebook (id rule → same seeds at every SF) + one
+    // quantized-Lloyd round per subspace
+    val cb0 = sv.filter(col("vec_id") % seedStride === 0 &&
+        col("vec_id") < seedStride.toLong * nCodes)
+      .select(col("m"), col("vec_id").as("code"), col("sv").as("cv"))
+    val cb = encode(cb0).join(sv, Seq("vec_id", "m"))
+      .select(col("m"), col("code"),
+        posexplode(transform(col("sv"), v => quantize1e6(v))))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg(sum(col("col")).as("sq"), count(lit(1)).as("n"))
+      .groupBy(col("m"), col("code"))
+      .agg(collect_list(struct(col("pos"),
+        (col("sq").cast("double") / col("n") / lit(1000000.0)).cast("float")
+          .as("v"))).as("pm"))
+      .select(col("m"), col("code"),
+        expr("transform(array_sort(pm), x -> x.v)").as("cv"))
+    val codes = encode(cb)
+    // per-query subspace lookup tables: dot(query sub, codebook entry) and
+    // the entry's own norm² (for the reconstruction norm)
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val qdots = subSplit(q.select(col("q_id"), col("qv")), "qv")
+      .join(cb, Seq("m"))
+      .select(col("q_id"), col("m"), col("code"),
+        dotD(col("sv"), col("cv")).as("dt"), dotD(col("cv"), col("cv")).as("cn2"))
+    val qnorm = q.select(col("q_id"), sqrt(dotD(col("qv"), col("qv"))).as("qn"))
+    // ADC: approx cosine = Σ_m dot(q_m, c_m) / (|q| · sqrt(Σ_m |c_m|²)),
+    // both sums folded in subspace order (NOT a bare double SUM)
+    val scored = codes.join(broadcast(qdots), Seq("m", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("dt"), col("cn2")))).as("ts"))
+      .withColumn("ip",
+        expr("aggregate(ts, CAST(0 AS DOUBLE), (a, x) -> a + x.dt)"))
+      .withColumn("rn2",
+        expr("aggregate(ts, CAST(0 AS DOUBLE), (a, x) -> a + x.cn2)"))
+      .join(broadcast(qnorm), Seq("q_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("approx", col("ip") / (col("qn") * sqrt(col("rn2"))))
+    val cw = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("vec_id"))
+    val cand = scored.withColumn("crk", row_number().over(cw))
+      .filter(col("crk") <= candidates)
+      .select(col("q_id"), col("vec_id").as("n_id"))
+    // exact re-rank of the PQ candidates (two-stage retrieval)
+    val exact = cand
+      .join(base.select(col("vec_id").as("n_id"), col("embedding").as("nv")), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", cosineSim(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos"), col("rk"))
+  }
 }

@@ -52,6 +52,36 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.size === exact.size)
   }
 
+  test("pqTopK: PQ candidates + exact re-rank reach usable recall, exact cos values") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(emb, queries, k = 5).cache()
+    try {
+      val approx = pq.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      val recall = (exact & approx).size.toDouble / exact.size
+      assert(recall >= 0.3, s"PQ recall $recall too low even for random embeddings")
+      assert(approx.size === exact.size)
+      // survivors carry their TRUE cosine (the re-rank is exact): any
+      // result pair also in the brute-force top-k must match its score
+      val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
+        .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos"))
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      val mismatched = pq.select("q_id", "n_id", "cos").as[(Long, Long, Double)]
+        .collect().count { case (q, n, c) => bf.get((q, n)).exists(_ != c) }
+      assert(mismatched === 0, "re-ranked cosine differs from the exact score")
+    } finally pq.unpersist(): Unit
+  }
+
+  test("pqTopK is deterministic across input partitionings") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val a = Similarity.pqTopK(emb, queries, k = 5)
+      .orderBy("q_id", "rk").collect().toSeq
+    val b = Similarity.pqTopK(emb.repartition(13), queries, k = 5)
+      .orderBy("q_id", "rk").collect().toSeq
+    assert(a === b)
+  }
+
   test("k-means-refined IVF recall is at least the seed-centroid recall") {
     val queries = emb.filter(col("vec_id") < 8)
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
