@@ -144,6 +144,20 @@ object PlanAudit {
         !p.contains("windowspecdefinition(vec_id") && p.contains("max(")),
       "centroids broadcast at every iteration" -> (p =>
         "BroadcastNestedLoopJoin|BroadcastExchange".r.findAllIn(p).length >= 3))
+    audit("q_ann_pq")(
+      "codebooks and ADC lookup tables broadcast" -> (p =>
+        "BroadcastExchange".r.findAllIn(p).length >= 2),
+      "no all-pairs expansion anywhere" -> (p =>
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")),
+      "encode argmin is an aggregate, not a rank window" -> (p =>
+        !p.contains("windowspecdefinition(vec_id, m") && p.contains("min(")),
+      "ADC scores partially aggregated map-side" -> (p =>
+        "HashAggregate|ObjectHashAggregate".r.findAllIn(p).length >= 2))
+    audit("q_time_window_avg")(
+      "window keyed by user_id (never a single global sort group)" -> (p =>
+        p.contains("windowspecdefinition(user_id")),
+      "range frame, not a running rows frame over the whole table" -> (p =>
+        p.toLowerCase.contains("rangeframe")))
     audit("q_source_cap")(
       // the scaladoc's skew claim: row_number <= K must become a
       // WindowGroupLimit so each map task ships K rows per group, not the
