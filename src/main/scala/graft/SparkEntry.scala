@@ -605,6 +605,38 @@ object SparkEntry {
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
     }),
 
+    // ---- incrementally maintained aggregate materialized view ----
+    // the source table evolves through append → refresh → append → delete →
+    // refresh → append → refresh; each refresh reads ONLY the source files
+    // that changed since the last one (file-level CDF: readVersionDelta +
+    // readVersionRemoved) and folds the delta into the stored view. The
+    // oracle recomputes the same aggregate from scratch over the final
+    // state, so the incremental maintenance must be EXACTLY recompute-
+    // equivalent (decimal sums make it bit-identical) for the hash to match
+    "q_mv_refresh" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_mv").toString
+      val src = s"$dir/src"; val mv = s"$dir/mv"
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"), year(col("o_orderdate")).as("o_year"),
+        col("o_totalprice"))
+      def refresh(): Unit = MaterializedView.refresh(s, src, mv,
+        keys = Seq("o_orderstatus", "o_year"), sums = Seq("o_totalprice")): Unit
+      graft.sources.ManifestTable.overwrite(s, src,
+        orders.filter(col("o_orderkey") % 3 === 0), statsCols = Seq("o_totalprice"))
+      refresh()
+      graft.sources.ManifestTable.append(s, src,
+        orders.filter(col("o_orderkey") % 3 === 1))
+      refresh()
+      graft.sources.ManifestTable.delete(s, src, col("o_totalprice") < 50000.0)
+      refresh()
+      graft.sources.ManifestTable.append(s, src,
+        orders.filter(col("o_orderkey") % 3 === 2))
+      refresh()
+      MaterializedView.read(s, mv)
+        .select(col("o_orderstatus"), col("o_year"), col("n"),
+          col("sum_o_totalprice").cast("double").as("sum_price"))
+    }),
+
     // ---- snapshot diff (CDC-style audit of an incremental load) ----
     "q_snapshot_diff" -> ((s, d) => {
       val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
@@ -2378,6 +2410,21 @@ object SparkEntry {
         |CASE WHEN o_orderkey % 10 = 3 AND o_totalprice < 150000.0
         |     THEN 'U' ELSE o_orderstatus END AS o_orderstatus
         |FROM orders""".stripMargin,
+
+    // the view's final state re-derived from scratch: rows surviving the
+    // delete (which ran while only %3 ∈ {0,1} rows existed) plus the
+    // %3 = 2 rows appended afterwards, grouped the same way
+    "q_mv_refresh" ->
+      """WITH t AS (
+        |  SELECT o_orderstatus, year(o_orderdate) AS o_year, o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 3 IN (0, 1) AND NOT (o_totalprice < 50000.0)
+        |  UNION ALL
+        |  SELECT o_orderstatus, year(o_orderdate), o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 2)
+        |SELECT o_orderstatus, o_year, count(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM t GROUP BY o_orderstatus, o_year""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH old AS (SELECT o_orderkey, o_totalprice FROM orders),

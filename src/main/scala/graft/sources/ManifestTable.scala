@@ -181,6 +181,29 @@ object ManifestTable {
         .parquet(fresh.map(rel => new Path(dataDir(path), rel).toString): _*)
   }
 
+  /** The other half of file-level change data capture: rows in the data
+    * files that `fromVersion` references but `toVersion` no longer does —
+    * i.e. what a delete/update/merge/compact rewrote away. Together with
+    * [[readVersionDelta]] this is a complete row-level delta under the
+    * file-CDF contract (a rewritten file contributes its old rows here and
+    * its new rows there; unchanged rows in a rewritten file appear on both
+    * sides and cancel in any additive consumer). Read under `fromVersion`'s
+    * schema — those files were written before any later evolution.
+    */
+  def readVersionRemoved(spark: SparkSession, path: String,
+                         fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion, s"from $fromVersion > to $toVersion")
+    val from = readManifest(spark, path, fromVersion)
+    val after = readManifest(spark, path, toVersion).files.toSet
+    val gone = from.files.filterNot(after)
+    if (gone.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], from.schema)
+    else
+      spark.read.schema(from.schema)
+        .option("basePath", dataDir(path).toString)
+        .parquet(gone.map(rel => new Path(dataDir(path), rel).toString): _*)
+  }
+
   // -------------------------------------------------------------- zone maps
 
   /** Stat values travel in the manifest as `tag:payload` with the payload
