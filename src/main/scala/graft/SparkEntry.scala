@@ -621,8 +621,11 @@ object SparkEntry {
         col("o_totalprice"))
       def refresh(): Unit = MaterializedView.refresh(s, src, mv,
         keys = Seq("o_orderstatus", "o_year"), sums = Seq("o_totalprice")): Unit
+      // no statsCols: the table is unclustered on price, so zone maps could
+      // not prune the delete anyway — carrying them would just add a stats
+      // scan to every commit
       graft.sources.ManifestTable.overwrite(s, src,
-        orders.filter(col("o_orderkey") % 3 === 0), statsCols = Seq("o_totalprice"))
+        orders.filter(col("o_orderkey") % 3 === 0))
       refresh()
       graft.sources.ManifestTable.append(s, src,
         orders.filter(col("o_orderkey") % 3 === 1))
