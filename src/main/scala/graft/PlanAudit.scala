@@ -158,6 +158,18 @@ object PlanAudit {
         p.contains("windowspecdefinition(user_id")),
       "range frame, not a running rows frame over the whole table" -> (p =>
         p.toLowerCase.contains("rangeframe")))
+    audit("q_unpivot")(
+      "row-local Expand, no shuffle at all" -> (p =>
+        p.contains("Expand") && !p.contains("Exchange")),
+      "single parquet scan of only the 6 referenced columns" -> (p =>
+        "FileScan parquet".r.findAllIn(p).length == 1 && !p.contains("l_shipdate")))
+    audit("q_exists_subquery")(
+      "EXISTS decorrelated to a semi join, NOT EXISTS to an anti join" -> (p =>
+        p.contains("LeftSemi") && p.contains("LeftAnti")),
+      "no per-row subquery execution (no nested scalar subquery node)" -> (p =>
+        !p.contains("Subquery")),
+      "orders sides are key-only filtered scans, never a cartesian" -> (p =>
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
     audit("q_source_cap")(
       // the scaladoc's skew claim: row_number <= K must become a
       // WindowGroupLimit so each map task ships K rows per group, not the

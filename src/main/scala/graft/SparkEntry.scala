@@ -805,6 +805,35 @@ object SparkEntry {
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(count(lit(1)))),
 
+    // wide → long (the inverse of pivot): each lineitem measure column
+    // becomes a (measure, value) row. Row-local Expand — no shuffle; at
+    // 100 TB the output is 4× the input rows but each task expands its own
+    // split, so the plan is scan → project, embarrassingly parallel
+    "q_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d).unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity").cast("double").as("l_quantity"),
+          col("l_extendedprice").cast("double").as("l_extendedprice"),
+          col("l_discount").cast("double").as("l_discount"),
+          col("l_tax").cast("double").as("l_tax")),
+        variableColumnName = "measure", valueColumnName = "value")),
+
+    // correlated EXISTS / NOT EXISTS — Catalyst decorrelates both into
+    // key-only semi/anti joins against a pre-aggregated filter side (no
+    // per-row subquery execution, the classic OLTP trap); plan-audited
+    "q_exists_subquery" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("q_exists_c")
+      Tables.orders(s, d).createOrReplaceTempView("q_exists_o")
+      s.sql("""SELECT c.c_custkey, c.c_name
+              |FROM q_exists_c c
+              |WHERE EXISTS (SELECT 1 FROM q_exists_o o
+              |              WHERE o.o_custkey = c.c_custkey
+              |                AND o.o_totalprice > 300000.0)
+              |  AND NOT EXISTS (SELECT 1 FROM q_exists_o o
+              |                  WHERE o.o_custkey = c.c_custkey
+              |                    AND o.o_orderstatus = 'F')""".stripMargin)
+    }),
+
     // edit-distance-1 entity resolution over customer names via FastSS
     // deletion neighborhoods — variant-keyed join, never all-pairs; the
     // oracle is the INDEPENDENT brute-force cross join, so recall is
@@ -2039,6 +2068,31 @@ object SparkEntry {
         |count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
         |count(*) FILTER (WHERE o_orderstatus = 'P') AS P
         |FROM orders GROUP BY year(o_orderdate)""".stripMargin,
+
+    // long form re-derived as one UNION ALL branch per measure (the
+    // portable spelling of UNPIVOT)
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |       CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |       CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount',
+        |       CAST(l_discount AS DOUBLE) FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax',
+        |       CAST(l_tax AS DOUBLE) FROM lineitem""".stripMargin,
+
+    "q_exists_subquery" ->
+      """SELECT c.c_custkey, c.c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F')""".stripMargin,
 
     "q_order_gaps" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
