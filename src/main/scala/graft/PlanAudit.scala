@@ -153,6 +153,13 @@ object PlanAudit {
         !p.contains("windowspecdefinition(vec_id, m") && p.contains("min(")),
       "ADC scores partially aggregated map-side" -> (p =>
         "HashAggregate|ObjectHashAggregate".r.findAllIn(p).length >= 2))
+    audit("q_ann_ivfpq")(
+      "probe cut and lookup tables broadcast (never a shuffled corpus join)" -> (p =>
+        "BroadcastExchange".r.findAllIn(p).length >= 3),
+      "no all-pairs expansion anywhere" -> (p =>
+        !p.contains("CartesianProduct")),
+      "ADC scores partially aggregated map-side" -> (p =>
+        "HashAggregate|ObjectHashAggregate".r.findAllIn(p).length >= 2))
     audit("q_time_window_avg")(
       "window keyed by user_id (never a single global sort group)" -> (p =>
         p.contains("windowspecdefinition(user_id")),

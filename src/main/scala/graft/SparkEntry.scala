@@ -369,6 +369,16 @@ object SparkEntry {
       Similarity.pqTopK(e, e.filter(col("vec_id") < 8), k = 5)
     }),
 
+    // IVF-PQ (the FAISS IVFPQ composition): the IVF probe cut bounds WHICH
+    // vectors are ADC-scored (nProbe/nCells scan fraction), PQ bounds WHAT
+    // is scored (~4-byte codes). Same trained codebooks as q_ann_pq, so
+    // one index serves both modes; the oracle composes both derivations
+    "q_ann_ivfpq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 8), k = 5,
+        everyNthCentroid = 50, nProbe = 3)
+    }),
+
     // IVF with 2 deterministic Lloyd iterations: the quantized-int64 member
     // mean makes the trained centroids bit-identical across engines, so the
     // whole k-means pipeline (assign → mean → reassign → probe → rank) is
@@ -1462,8 +1472,43 @@ object SparkEntry {
     * one quantized-Lloyd round per subspace, L2 encode, per-query ADC
     * lookup tables with subspace-ordered folds, exact re-rank. Constants
     * mirror Similarity.pqTopK's defaults. */
-  private def pqOracle: String = {
+  /** PQ oracle, optionally composed with the IVF probe cut — `ivf =
+    * Some((everyNth, nProbe))` adds the coarse-quantizer CTEs and
+    * restricts ADC scoring to each query's probed cells, mirroring
+    * `Similarity.ivfPqTopK` (non-residual IVFPQ: same codebooks/codes as
+    * the plain PQ derivation).
+    */
+  private def pqOracle: String = pqOracleIvf(None)
+
+  private def pqOracleIvf(ivf: Option[(Int, Int)]): String = {
     val nSub = 4; val nCodes = 16; val stride = 31; val cands = 20; val k = 5
+    // the coarse-quantizer CTEs (identical derivation to the q_ann_ivf
+    // oracle) and the probe-restricted ADC input, when composing IVF-PQ
+    val ivfCtes = ivf.map { case (everyNth, nProbe) =>
+      s"""cents AS (SELECT vec_id AS cell, embedding AS cv FROM n WHERE vec_id % $everyNth = 0),
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT n.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ${dotSql("n.embedding", "c.cv")} / (${normSql("n.embedding")} * ${normSql("c.cv")}) DESC,
+         |                      c.cell) AS crk
+         |    FROM n CROSS JOIN cents c) WHERE crk = 1),
+         |probes AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell,
+         |           row_number() OVER (PARTITION BY q.q_id
+         |             ORDER BY ${dotSql("q.qv", "c.cv")} / (${normSql("q.qv")} * ${normSql("c.cv")}) DESC,
+         |                      c.cell) AS crk
+         |    FROM q CROSS JOIN cents c) WHERE crk <= $nProbe),
+         |""".stripMargin
+    }.getOrElse("")
+    val scoredFrom =
+      if (ivf.isDefined)
+        """FROM codes co
+          |  JOIN assign a ON a.vec_id = co.vec_id
+          |  JOIN probes p ON p.cell = a.cell
+          |  JOIN qdots d ON d.q_id = p.q_id AND d.m = co.m AND d.code = co.code""".stripMargin
+      else "FROM codes co JOIN qdots d ON d.m = co.m AND d.code = co.code"
     def l2Sql(a: String, b: String): String =
       s"list_reduce(list_transform(list_zip($a, $b), p -> " +
         "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
@@ -1503,11 +1548,11 @@ object SparkEntry {
        |  ${dotSql("s.sv", "c.cv")} AS dt, ${dotSql("c.cv", "c.cv")} AS cn2
        |  FROM qsv s JOIN cb c ON c.m = s.m),
        |qn AS (SELECT q_id, ${normSql("qv")} AS qn FROM q),
-       |scored AS (
+       |${ivfCtes}scored AS (
        |  SELECT d.q_id, co.vec_id,
        |    list_reduce(list(d.dt ORDER BY d.m), (x, y) -> x + y) AS ip,
        |    list_reduce(list(d.cn2 ORDER BY d.m), (x, y) -> x + y) AS rn2
-       |  FROM codes co JOIN qdots d ON d.m = co.m AND d.code = co.code
+       |  $scoredFrom
        |  GROUP BY d.q_id, co.vec_id),
        |approxed AS (
        |  SELECT s.q_id, s.vec_id, s.ip / (qn.qn * sqrt(s.rn2)) AS approx
@@ -1534,6 +1579,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_ann_pq" -> pqOracle,
+    "q_ann_ivfpq" -> pqOracleIvf(Some((50, 3))),
 
     "q_dim_customer" ->
       "SELECT DISTINCT c_custkey, c_name, c_mktsegment FROM customer",

@@ -323,7 +323,50 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
              nSub: Int = 4, nCodes: Int = 16, seedStride: Int = 31,
-             candidates: Int = 20): DataFrame = {
+             candidates: Int = 20): DataFrame =
+    pqSearch(corpus, queries, k, nSub, nCodes, seedStride, candidates,
+      cellRestrict = None)
+
+  /** IVF-PQ: the two existing tiers composed the way FAISS's IVFPQ is — an
+    * IVF coarse quantizer bounds WHICH vectors are scored (the `nProbe`/
+    * `nCells` scan fraction of [[ivfTopK]]) while product quantization
+    * bounds WHAT is scored (the ~4-byte ADC codes of [[pqTopK]] instead of
+    * full embeddings). Codebooks are trained corpus-wide on raw vectors
+    * (the non-residual IVFPQ variant, so codes are identical to
+    * [[pqTopK]]'s and one trained index serves both search modes); the
+    * probe cut happens BEFORE the ADC aggregation, so per query the fold
+    * touches `nProbe / nCells` of the corpus's codes, not all of them —
+    * compute AND memory both sublinear, the shape that actually serves a
+    * 100 TB corpus from cluster RAM. Exact re-rank of the survivors as in
+    * [[pqTopK]].
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                everyNthCentroid: Int = 50, nProbe: Int = 3,
+                nSub: Int = 4, nCodes: Int = 16, seedStride: Int = 31,
+                candidates: Int = 20): DataFrame = {
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    val cents = centroids(base, everyNthCentroid)
+    val cells = assignCells(base, cents).select(col("vec_id"), col("cell"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val qScored = q.join(broadcast(cents))
+      .withColumn("ccos", cosineSim(col("qv"), col("cv")))
+    val qw = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell"))
+    val probes = qScored.withColumn("crk", row_number().over(qw))
+      .filter(col("crk") <= nProbe).select(col("cell"), col("q_id"))
+    pqSearch(corpus, queries, k, nSub, nCodes, seedStride, candidates,
+      cellRestrict = Some((cells, probes)))
+  }
+
+  /** Shared PQ train + ADC + re-rank core. `cellRestrict = Some((cells,
+    * probes))` cuts the ADC input to each query's probed cells — `cells` is
+    * `(vec_id, cell)`, `probes` is `(cell, q_id)`, both id-only (broadcast-
+    * sized on the probe side). With `None` every (query, vector) pair is
+    * scored, which is exactly [[pqTopK]].
+    */
+  private def pqSearch(corpus: DataFrame, queries: DataFrame, k: Int,
+                       nSub: Int, nCodes: Int, seedStride: Int,
+                       candidates: Int,
+                       cellRestrict: Option[(DataFrame, DataFrame)]): DataFrame = {
     require(nSub >= 1 && nCodes >= 2 && candidates >= k,
       s"bad PQ config nSub=$nSub nCodes=$nCodes candidates=$candidates k=$k")
     val base = corpus.select(col("vec_id"), col("embedding"))
@@ -374,8 +417,17 @@ object Similarity {
         dotD(col("sv"), col("cv")).as("dt"), dotD(col("cv"), col("cv")).as("cn2"))
     val qnorm = q.select(col("q_id"), sqrt(dotD(col("qv"), col("qv"))).as("qn"))
     // ADC: approx cosine = Σ_m dot(q_m, c_m) / (|q| · sqrt(Σ_m |c_m|²)),
-    // both sums folded in subspace order (NOT a bare double SUM)
-    val scored = codes.join(broadcast(qdots), Seq("m", "code"))
+    // both sums folded in subspace order (NOT a bare double SUM). With a
+    // cell restriction the probe cut lands BEFORE this aggregation: only
+    // codes of vectors in the query's probed cells enter the fold
+    val adcInput = cellRestrict match {
+      case None => codes.join(broadcast(qdots), Seq("m", "code"))
+      case Some((cells, probes)) =>
+        codes.join(cells, Seq("vec_id"))
+          .join(broadcast(probes), Seq("cell"))
+          .join(broadcast(qdots), Seq("q_id", "m", "code"))
+    }
+    val scored = adcInput
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sort_array(collect_list(struct(col("m"), col("dt"), col("cn2")))).as("ts"))
       .withColumn("ip",
