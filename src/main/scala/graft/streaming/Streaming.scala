@@ -70,6 +70,31 @@ object Streaming {
       }
       .start()
 
+  /** Live aggregate dashboard: each micro-batch keyed-merges into a
+    * manifest table AND brings a [[graft.operators.MaterializedView]] over
+    * it up to date — the streaming form of incremental view maintenance.
+    * Replay safety composes from the two parts' own contracts: a replayed
+    * batch's merge lands the same keys (idempotent), and the refresh is
+    * driven purely by TABLE VERSIONS (its intent-marker watermark resumes
+    * any crash window), so the view never double-counts no matter where a
+    * failure lands. Per batch the refresh reads only the files the merge
+    * rewrote — O(batch), never O(table).
+    */
+  def mvRefreshSink(stream: DataFrame, tablePath: String, mvPath: String,
+                    mergeKeys: Seq[String], viewKeys: Seq[String],
+                    viewSums: Seq[String], checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        graft.sources.ManifestTable.merge(s, tablePath, batch.toDF(),
+          mergeKeys, Nil)
+        graft.operators.MaterializedView.refresh(s, tablePath, mvPath,
+          viewKeys, viewSums): Unit
+      }
+      .start()
+
   /** Live search-index maintenance: each micro-batch of documents
     * (doc_id, text) is merged into a persisted tf-aware BM25 index
     * ([[graft.operators.Search.searchIndex]] shape) plus its doc-length

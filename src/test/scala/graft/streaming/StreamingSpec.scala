@@ -258,6 +258,39 @@ class StreamingSpec extends SparkSpec {
     assert(graft.sources.ManifestTable.readVersion(spark, s"$root/t", 1L).count() === 2)
   }
 
+  test("mvRefreshSink keeps a live aggregate view recompute-equal across batches") {
+    import graft.operators.MaterializedView
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("mvsink").toString
+    val in = MemoryStream[(Long, String, Double)]
+    val q = Streaming.mvRefreshSink(in.toDF().toDF("id", "grp", "amount"),
+      s"$root/t", s"$root/mv", mergeKeys = Seq("id"),
+      viewKeys = Seq("grp"), viewSums = Seq("amount"),
+      checkpointDir = s"$root/ckpt")
+
+    def viewNow(): Seq[(String, Long, Double)] =
+      MaterializedView.read(spark, s"$root/mv")
+        .select(col("grp"), col("n"), col("sum_amount").cast("double"))
+        .as[(String, Long, Double)].collect().toSeq.sorted
+    def recomputed(): Seq[(String, Long, Double)] =
+      graft.sources.ManifestTable.read(spark, s"$root/t")
+        .groupBy("grp").agg(count(lit(1)).as("n"),
+          sum(col("amount").cast("decimal(18,2)")).cast("double").as("s"))
+        .as[(String, Long, Double)].collect().toSeq.sorted
+
+    in.addData((1L, "a", 10.0), (2L, "a", 5.0), (3L, "b", 7.0))
+    q.processAllAvailable()
+    assert(viewNow() === Seq(("a", 2L, 15.0), ("b", 1L, 7.0)))
+
+    // batch 2: key 2 MOVES group (a → b) and reprices; key 4 is new. The
+    // keyed merge rewrites key 2's file, so the view's delta must fold a
+    // negative (a, 5.0) contribution — the remove side of the CDF
+    in.addData((2L, "b", 6.0), (4L, "a", 1.0))
+    q.processAllAvailable(); q.stop()
+    assert(viewNow() === recomputed())
+    assert(viewNow() === Seq(("a", 2L, 11.0), ("b", 2L, 13.0)))
+  }
+
   test("indexUpsertSink maintains a live BM25 index equal to a batch rebuild") {
     import graft.operators.Search
     implicit val sqlCtx = spark.sqlContext
