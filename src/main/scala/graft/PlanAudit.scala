@@ -153,6 +153,16 @@ object PlanAudit {
         !p.contains("windowspecdefinition(vec_id, m") && p.contains("min(")),
       "ADC scores partially aggregated map-side" -> (p =>
         "HashAggregate|ObjectHashAggregate".r.findAllIn(p).length >= 2))
+    audit("q_market_share")(
+      "every dimension chain broadcast (4 BHJs), facts never broadcast" -> (p =>
+        "BroadcastHashJoin".r.findAllIn(p).length >= 4),
+      "exactly the one unavoidable big-fact shuffle join (lineitem x orders)" -> (p =>
+        "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length <= 1),
+      "part filter pushed to the scan" -> (p =>
+        p.contains("PushedFilters: [IsNotNull(p_type), EqualTo(p_type,PROMO)")),
+      "share is one pass: a single aggregation, partials map-side" -> (p =>
+        p.contains("partial_sum(CASE WHEN") &&
+          "HashAggregate\\(keys=".r.findAllIn(p).length == 2))
     audit("q_ann_ivfpq")(
       "probe cut and lookup tables broadcast (never a shuffled corpus join)" -> (p =>
         "BroadcastExchange".r.findAllIn(p).length >= 3),

@@ -178,6 +178,42 @@ object SparkEntry {
           .cast("double").as("revenue"))
     }),
 
+    // TPC-H Q8 shape (national market share): the 7-table join with a
+    // conditional-aggregation ratio. All dimension chains (region→nation→
+    // customer market gate; nation→supplier origin label; filtered part)
+    // collapse into broadcasts against the two big facts; the share is a
+    // per-year sum(CASE)/sum over ONE pass — never two joins or two scans.
+    // Decimal sums keep both ratio operands exact, so the double division
+    // is bit-identical cross-engine
+    "q_market_share" -> ((s, d) => {
+      val rev = (col("l_extendedprice").cast(dec) *
+        (lit(1) - col("l_discount")).cast(dec)).cast(DecimalType(28, 8))
+      val asiaCust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val suppNation = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_2", rev)
+            .otherwise(lit(0).cast(DecimalType(28, 8)))).cast("double").as("nation_rev"),
+          sum(rev).cast("double").as("total_rev"))
+        .select(col("o_year"), col("nation_rev"), col("total_rev"),
+          round(col("nation_rev") / col("total_rev"), 6).as("mkt_share"))
+    }),
+
     // time-RANGE window frame (the rows-frame family's missing sibling):
     // per event, trailing-1-hour activity for its user. Orders by epoch
     // micros so the frame bound is an exact integer on both engines.
@@ -1725,6 +1761,31 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin,
+
+    // the Q8 shape re-derived: one flat join chain, the same decimal rev
+    // term, the share as a CASE-conditional sum over the single pass
+    "q_market_share" ->
+      """WITH t AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         CAST(1 - l_discount AS DECIMAL(18,2)) AS DECIMAL(28,8)) AS rev,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n1.n_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n2 ON n2.n_nationkey = s_nationkey)
+        |SELECT o_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev
+        |           ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE) AS nation_rev,
+        |  CAST(SUM(rev) AS DOUBLE) AS total_rev,
+        |  round(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev
+        |             ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE) /
+        |        CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share
+        |FROM t GROUP BY o_year""".stripMargin,
 
     // brute force on purpose: an independent derivation (cross join +
     // levenshtein) checks the deletion-neighborhood construction's recall
