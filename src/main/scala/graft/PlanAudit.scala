@@ -163,6 +163,24 @@ object PlanAudit {
       "share is one pass: a single aggregation, partials map-side" -> (p =>
         p.contains("partial_sum(CASE WHEN") &&
           "HashAggregate\\(keys=".r.findAllIn(p).length == 2))
+    audit("q_big_orders")(
+      "per-order totals partially aggregated map-side" -> (p =>
+        "HashAggregate\\(keys=\\[l_orderkey".r.findAllIn(p).length >= 2),
+      "HAVING cut sits below the join-back (join above its aggregate child)" -> (p => {
+        val j = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+          .findFirstMatchIn(p).map(_.start).getOrElse(-1)
+        val a = p.indexOf("HashAggregate(keys=[l_orderkey")
+        j >= 0 && a > j
+      }),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    audit("q_above_avg_cust")(
+      "scalar threshold rides a broadcast 1-row side, never a shuffle" -> (p =>
+        p.contains("BroadcastNestedLoopJoin")),
+      "urgent-order cut is an anti join" -> (p => p.contains("LeftAnti")),
+      "priority filter pushed to the orders scan" -> (p =>
+        p.contains("EqualTo(o_orderpriority,1-URGENT)")),
+      "nation rollup partially aggregated map-side" -> (p =>
+        "HashAggregate\\(keys=\\[c_nationkey".r.findAllIn(p).length >= 2))
     audit("q_ann_ivfpq")(
       "probe cut and lookup tables broadcast (never a shuffled corpus join)" -> (p =>
         "BroadcastExchange".r.findAllIn(p).length >= 3),

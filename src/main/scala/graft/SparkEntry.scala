@@ -214,6 +214,40 @@ object SparkEntry {
           round(col("nation_rev") / col("total_rev"), 6).as("mkt_share"))
     }),
 
+    // TPC-H Q18 shape (large-volume orders): group → HAVING → join back.
+    // The HAVING cut runs on lineitem's per-order totals BEFORE touching
+    // orders, so the join-back carries only the qualifying keys — at 100 TB
+    // the survivors are a thin key set AQE is free to broadcast, and the
+    // big fact is shuffled exactly once (for its own aggregation)
+    "q_big_orders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(dec)).as("sum_qty"))
+        .filter(col("sum_qty") > lit(150))
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"), col("sum_qty").cast("double").as("sum_qty"))
+    }),
+
+    // TPC-H Q22 shape (idle wealthy customers): a scalar aggregate gating a
+    // NOT-EXISTS anti join. The global threshold rides as a broadcast 1-row
+    // side and the comparison is cross-multiplied (bal·n > tot) so it stays
+    // exact decimal — never a divided average in float. The anti join cuts
+    // before the final aggregation, all shuffles key-partitioned
+    "q_above_avg_cust" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val stats = cust.filter(col("c_acctbal") > 0)
+        .agg(sum(col("c_acctbal").cast(dec)).as("tot"), count(lit(1)).as("n"))
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      cust.join(broadcast(stats))
+        .filter(col("c_acctbal").cast(dec) * col("n") > col("tot"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_custs"), decSum(col("c_acctbal")).as("total_bal"))
+    }),
+
     // time-RANGE window frame (the rows-frame family's missing sibling):
     // per event, trailing-1-hour activity for its user. Orders by epoch
     // micros so the frame bound is an exact integer on both engines.
@@ -1786,6 +1820,32 @@ object SparkEntry {
         |             ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE) /
         |        CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share
         |FROM t GROUP BY o_year""".stripMargin,
+
+    // the Q18 shape re-derived with HAVING (DuckDB's planner picks its own
+    // join-back order; values must still land identically)
+    "q_big_orders" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+        |  CAST(sum_qty AS DOUBLE) AS sum_qty
+        |FROM orders JOIN (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+        |) ON o_orderkey = l_orderkey""".stripMargin,
+
+    // the Q22 shape re-derived: the scalar aggregate as a CTE, the same
+    // cross-multiplied exact-decimal threshold, NOT EXISTS for the anti join
+    "q_above_avg_cust" ->
+      """WITH s AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS tot,
+        |                  count(*) AS n
+        |           FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS n_custs,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer c, s
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * s.n > s.tot
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey""".stripMargin,
 
     // brute force on purpose: an independent derivation (cross join +
     // levenshtein) checks the deletion-neighborhood construction's recall
