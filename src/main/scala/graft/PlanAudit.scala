@@ -163,6 +163,14 @@ object PlanAudit {
       "share is one pass: a single aggregation, partials map-side" -> (p =>
         p.contains("partial_sum(CASE WHEN") &&
           "HashAggregate\\(keys=".r.findAllIn(p).length == 2))
+    audit("q_lm_perplexity")(
+      "doc-bigram multiplicity collapsed map-side before the model join" -> (p =>
+        "HashAggregate\\(keys=\\[doc_id#\\d+L?, bg".r.findAllIn(p).length >= 2),
+      "per-doc rollup partially aggregated map-side" -> (p =>
+        "HashAggregate\\(keys=\\[doc_id#\\d+L?\\]".r.findAllIn(p).length >= 2),
+      "the only unkeyed join is the broadcast 1-row vocabulary scalar" -> (p =>
+        "BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1 &&
+          !p.contains("CartesianProduct")))
     audit("q_big_orders")(
       "per-order totals partially aggregated map-side" -> (p =>
         "HashAggregate\\(keys=\\[l_orderkey".r.findAllIn(p).length >= 2),

@@ -482,6 +482,16 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_token_classes" -> ((s, d) => TextAnalysis.tokenClasses(Tables.documents(s, d))),
 
+    // bigram-LM perplexity filter in its CCNet deployment shape: the model
+    // trains on the 90% "reference" slice and scores EVERYTHING — the
+    // held-out tenth carries real OOV mass the smoothing has to absorb.
+    // Integer micro-quantized inverse probabilities hash exactly; the
+    // transcendental perplexity ships only through its AM–GM–HM contract
+    "q_lm_perplexity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.lmPerplexity(docs, docs.filter(col("doc_id") % 10 =!= 0))
+    }),
+
     // learned-BPE APPLICATION: the merge table applied in rank order over
     // the alphabetic pre-tokens (see TextAnalysis.bpeTokenize for the
     // replace-based symbol encoding both engines execute verbatim)
@@ -2148,6 +2158,49 @@ object SparkEntry {
          |    greatest(coalesce(n_symbols, 0), 1) AS chars_per_symbol
          |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id""".stripMargin
     },
+
+    // the bigram LM re-derived: same 90% reference slice, same add-one
+    // smoothing, same integer micro-quantization (pure floor division, so
+    // every count-derived column hashes exactly); the perplexity itself is
+    // checked through the identical AM–GM–HM envelope on DuckDB's own
+    // doubles — floor slack makes the booleans stable to float noise
+    "q_lm_perplexity" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS ts FROM documents),
+         |big AS (SELECT doc_id, ts[g] || ' ' || ts[g+1] AS bg, ts[g] AS w1
+         |        FROM (SELECT doc_id, ts,
+         |                unnest(generate_series(1, len(ts) - 1)) AS g
+         |              FROM toks)),
+         |bc AS (SELECT bg, count(*) AS c12 FROM big WHERE doc_id % 10 <> 0 GROUP BY bg),
+         |uc AS (SELECT w1, count(*) AS c1 FROM big WHERE doc_id % 10 <> 0 GROUP BY w1),
+         |vv AS (SELECT count(DISTINCT t) + 1 AS v
+         |       FROM (SELECT unnest(ts) AS t FROM toks WHERE doc_id % 10 <> 0)),
+         |db AS (SELECT doc_id, bg, w1, count(*) AS m FROM big GROUP BY 1, 2, 3),
+         |j AS (SELECT doc_id, m, coalesce(c12, 0) AS c12,
+         |        coalesce(c1, 0) + v AS num, coalesce(c12, 0) + 1 AS den
+         |      FROM db LEFT JOIN bc USING (bg) LEFT JOIN uc USING (w1) CROSS JOIN vv),
+         |qh AS (SELECT doc_id, m, c12, num, den,
+         |        (num * 1000000) // den AS q, (den * 1000000) // num AS h FROM j),
+         |per AS (SELECT doc_id, sum(m) AS n,
+         |        sum(CASE WHEN c12 = 0 THEN m ELSE 0 END) AS oov,
+         |        sum(CAST(m AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0))) AS sum_q,
+         |        sum(CAST(m AS DECIMAL(19,0)) * CAST(h AS DECIMAL(19,0))) AS sum_h,
+         |        min(q) AS min_q, max(q) AS max_q,
+         |        sum(m * (ln(num) - ln(den))) AS sum_lp
+         |        FROM qh GROUP BY doc_id),
+         |fin AS (SELECT doc_id, n, oov, sum_q, min_q, max_q,
+         |        exp(sum_lp / n) AS ppl,
+         |        (CAST(sum_q AS DOUBLE) / n + 1.0) / 1e6 AS am,
+         |        CAST(n AS DOUBLE) * 1e6 / (CAST(sum_h AS DOUBLE) + n) AS hm
+         |        FROM per)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(n, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(oov, 0) AS BIGINT) AS oov_bigrams,
+         |  CAST((sum_q - sum_q % n) / n AS BIGINT) AS am_micro,
+         |  min_q, max_q,
+         |  coalesce(ppl <= am * 1.000001 + 1e-6 AND ppl >= hm * 0.999999 - 1e-6
+         |    AND ppl >= min_q / 1e6 * 0.999999 - 1e-6
+         |    AND ppl <= (max_q + 1) / 1e6 * 1.000001 + 1e-6, TRUE) AS ppl_ok
+         |FROM documents d LEFT JOIN fin ON fin.doc_id = d.doc_id""".stripMargin,
 
     // the TRAINING loop re-run by the oracle engine: a generated chain of
     // per-round CTEs — pair-count over the vocabulary, argmax with the

@@ -327,6 +327,100 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
   }
 
+  /** Bigram language-model quality scoring — the CCNet/Gopher-style
+    * perplexity filter: train add-one-smoothed bigram statistics on a
+    * reference corpus, then score every document by how predictable its
+    * token stream is under that model. High perplexity ⇒ the doc's word
+    * transitions are alien to the reference distribution (boilerplate,
+    * gibberish, wrong language) — the classic cut for training-data
+    * curation.
+    *
+    * p(w2|w1) = (C(w1 w2) + 1) / (C(w1·) + V), V = |ref vocabulary| + 1;
+    * perplexity = geometric mean of the inverse probabilities.
+    *
+    * Scale design (100 TB): the model IS a distributed table — bigram
+    * counts stay partitioned by bigram key, never collected or broadcast
+    * (a web-scale bigram table is itself TB-sized). Scoring is two
+    * key-partitioned shuffle joins (bigram, then first-token) plus one
+    * per-doc aggregation; doc bigrams pre-collapse multiplicity map-side
+    * so join input is bounded by DISTINCT bigrams per doc. The only
+    * broadcast is the 1-row vocabulary scalar.
+    *
+    * Cross-engine exactness: every count-derived quantity ships as an
+    * integer — inverse probabilities quantized to micro-units via pure
+    * integer floor division, so sums/mins/maxes hash bit-identically. The
+    * one transcendental (the perplexity itself) is emitted ONLY through
+    * `ppl_ok`, an AM–GM–HM envelope both engines evaluate on their own
+    * doubles: floor-quantization gives the bounds real slack, so the
+    * boolean is stable to float noise yet flips on any genuine defect in
+    * the count plumbing or the log-space mean. A loud guard rejects
+    * reference corpora big enough to overflow the micro-quantization
+    * (first-token counts above ~9.2e12).
+    */
+  def lmPerplexity(score: DataFrame, ref: DataFrame): DataFrame = {
+    val maxSafe = 9200000000000L
+    val refBg = ref.select(explode(shingles(col("text"), 2)).as("bg"))
+      .select(col("bg"), substring_index(col("bg"), " ", 1).as("w1"))
+    val bigCounts = refBg.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val uniCounts = refBg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = ref.select(explode(tokens(col("text"))).as("t"))
+      .agg((countDistinct(col("t")) + lit(1L)).as("v"))
+    val docBg = score
+      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val scored = docBg
+      .join(bigCounts, Seq("bg"), "left")
+      .join(uniCounts, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("m"),
+        coalesce(col("c12"), lit(0L)).as("c12"),
+        coalesce(col("c1"), lit(0L)).as("c1"), col("v"))
+      .withColumn("num",
+        when(col("c1") + col("v") > maxSafe, raise_error(concat(
+          lit("lmPerplexity: first-token count overflows micro-quantization: "),
+          (col("c1") + col("v")).cast("string"))))
+          .otherwise(col("c1") + col("v")))
+      .withColumn("den", col("c12") + lit(1L))
+      .withColumn("q", expr("(num * 1000000) div den"))
+      .withColumn("h", expr("(den * 1000000) div num"))
+    // m·q rides as decimal: q alone can reach 9.2e18 at the guard boundary,
+    // so the products must not sum in long. 19 digits each keeps the
+    // product width inside DuckDB's 38-digit ceiling too
+    val d20 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val per = scored.groupBy("doc_id").agg(
+      sum(col("m")).as("n_bigrams"),
+      sum(when(col("c12") === 0L, col("m")).otherwise(lit(0L))).as("oov_bigrams"),
+      sum(col("m").cast(d20) * col("q").cast(d20)).as("sum_q"),
+      sum(col("m").cast(d20) * col("h").cast(d20)).as("sum_h"),
+      min(col("q")).as("min_q"),
+      max(col("q")).as("max_q"),
+      sum(col("m").cast("double") *
+        (log(col("num").cast("double")) - log(col("den").cast("double"))))
+        .as("sum_lp"))
+      .withColumn("ppl", exp(col("sum_lp") / col("n_bigrams")))
+      .withColumn("am",
+        (col("sum_q").cast("double") / col("n_bigrams") + 1.0) / 1e6)
+      .withColumn("hm",
+        col("n_bigrams").cast("double") * 1e6 /
+          (col("sum_h") + col("n_bigrams")).cast("double"))
+      .withColumn("ppl_ok",
+        col("ppl") <= col("am") * 1.000001 + 1e-6 &&
+          col("ppl") >= col("hm") * 0.999999 - 1e-6 &&
+          col("ppl") >= col("min_q").cast("double") / 1e6 * 0.999999 - 1e-6 &&
+          col("ppl") <= (col("max_q") + lit(1L)).cast("double") / 1e6 * 1.000001 + 1e-6)
+    // exact integer floor on the decimal sum: subtract the remainder first,
+    // so the division is exact-integer-valued and the cast can't round
+    score.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("oov_bigrams"), lit(0L)).as("oov_bigrams"),
+        expr("CAST((sum_q - sum_q % n_bigrams) / n_bigrams AS BIGINT)")
+          .as("am_micro"),
+        col("min_q"), col("max_q"),
+        coalesce(col("ppl_ok"), lit(true)).as("ppl_ok"))
+  }
+
   def stripHtml(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val noBlocks = regexp_replace(col(textCol), HtmlBlockRe, " ")
     val noTags = regexp_replace(noBlocks, HtmlTagRe, " ")

@@ -34,6 +34,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Int]("n_other") === 2) // !, ?
   }
 
+  test("lmPerplexity: hand-computed bigram model, smoothing, and envelope") {
+    // ref corpus: d1 = [a b a b c], d2 = [a b]
+    //   bigram counts: "a b"→3, "b a"→1, "b c"→1; first-token: a→3, b→2
+    //   vocab {a,b,c} → V = 4
+    val ref = Seq((1L, "a b a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val score = ref.union(Seq((3L, "c a x"), (4L, "z")).toDF("doc_id", "text"))
+    val out = TextAnalysis.lmPerplexity(score, ref).orderBy("doc_id").collect()
+
+    val d1 = out(0) // "a b"×2 (7/4), "b a" (6/2), "b c" (6/2)
+    assert(d1.getAs[Long]("n_bigrams") === 4L)
+    assert(d1.getAs[Long]("oov_bigrams") === 0L)
+    assert(d1.getAs[Long]("am_micro") === 2375000L) // (2·1750000 + 2·3000000)/4
+    assert(d1.getAs[Long]("min_q") === 1750000L)
+    assert(d1.getAs[Long]("max_q") === 3000000L)
+
+    val d2 = out(1) // single bigram: ppl is exactly 7/4
+    assert(d2.getAs[Long]("n_bigrams") === 1L)
+    assert(d2.getAs[Long]("am_micro") === 1750000L)
+    assert(d2.getAs[Long]("min_q") === d2.getAs[Long]("max_q"))
+
+    val d3 = out(2) // both bigrams unseen: "c a" (0+4)/1, "a x" (3+4)/1
+    assert(d3.getAs[Long]("n_bigrams") === 2L)
+    assert(d3.getAs[Long]("oov_bigrams") === 2L)
+    assert(d3.getAs[Long]("am_micro") === 5500000L) // (4000000 + 7000000)/2
+    assert(d3.getAs[Long]("min_q") === 4000000L)
+    assert(d3.getAs[Long]("max_q") === 7000000L)
+
+    val d4 = out(3) // too short for bigrams: zero row, envelope vacuous
+    assert(d4.getAs[Long]("n_bigrams") === 0L)
+    assert(d4.isNullAt(d4.fieldIndex("am_micro")))
+    assert(out.forall(_.getAs[Boolean]("ppl_ok")))
+  }
+
+  test("lmPerplexity: OOV mass concentrates on the held-out slice") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextAnalysis.lmPerplexity(docs, docs.filter(col("doc_id") % 10 =!= 0))
+      .cache()
+    try {
+      // the model saw every reference bigram, so OOV can only live held-out
+      assert(out.filter(col("doc_id") % 10 =!= 0)
+        .filter(col("oov_bigrams") > 0).count() === 0L)
+      assert(out.filter(col("ppl_ok") === false).count() === 0L)
+      assert(out.count() === docs.count())
+    } finally out.unpersist()
+  }
+
   test("multimodal: synthesize → payloadMeta round-trips byte lengths") {
     val media = Multimodal.synthesize(Tables.documents(spark, sf), "doc_id", "text")
     val meta = Multimodal.payloadMeta(media)
