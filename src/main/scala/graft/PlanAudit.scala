@@ -281,13 +281,13 @@ object PlanAudit {
       "one term-keyed aggregation builds the postings" -> (p =>
         "hashpartitioning\\(term".r.findAllIn(p).nonEmpty))
     audit("q_fuzzy_join")(
-      "pairing is variant-keyed, never all-pairs" -> (p =>
+      "pairing is variant-hash-keyed, never all-pairs" -> (p =>
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
-          "hashpartitioning\\(variant|BroadcastHashJoin \\[variant".r.findAllIn(p).nonEmpty))
+          "hashpartitioning\\(vh#".r.findAllIn(p).nonEmpty))
     audit("q_fuzzy_join_k2")(
-      "depth-2 pairing is variant-keyed, never all-pairs" -> (p =>
+      "depth-2 pairing is variant-hash-keyed, never all-pairs" -> (p =>
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
-          "hashpartitioning\\(variant|BroadcastHashJoin \\[variant".r.findAllIn(p).nonEmpty))
+          "hashpartitioning\\(vh#".r.findAllIn(p).nonEmpty))
     audit("q_label_prop")(
       "vote argmax is an aggregate, not a rank window" -> (p =>
         !p.contains("windowspecdefinition") && p.contains("max(")),

@@ -34,7 +34,8 @@ import org.apache.spark.sql.functions._
   * zero-padded key spaces (`Customer#000012345`): without it, any two
   * keys whose digit tails share a length-(L−2) subsequence collide —
   * at sf0.1 that admitted ~100× more candidates than true pairs
-  * (23 s → ~9 s measured on `q_fuzzy_join_k2`; the remaining time is
+  * (23 s → ~9 s measured on `q_fuzzy_join_k2`; hashed variant keys and
+  * packed position codes took it to ~7 s, and the remaining time is
   * output-bound — the sf0.1 answer itself is 4.1M verified pairs).
   *
   * Scale shape: the explode is ×O(len^k) on the KEY column only — the
@@ -73,34 +74,44 @@ object FuzzyJoin {
                 k: Int = 1, maxBucket: Int = Int.MaxValue): DataFrame = {
     require(k >= 1 && k <= 3, s"selfPairs supports edit distance 1-3, got $k")
     require(maxBucket > 1, "maxBucket must admit at least one pair")
-    val noPos = "CAST(array() AS array<int>)"
     // Depth-d deletion layer over `vs`, positions 1-indexed on the
     // ORIGINAL string. `filter(sequence(0, …))` rather than
     // `sequence(1, …)` because Spark's sequence DESCENDS when
     // start > stop — sequence(1, 0) is [1, 0], not empty.
+    //
+    // The deleted-position SET travels as one packed BIGINT (base 2^20
+    // per position, i < j < l), not an array: equal sets always pack
+    // equal, so the depth-(k,k) pruning rule is unchanged, and for
+    // strings past 2^20 chars a pack collision can only ADMIT a
+    // candidate the levenshtein verify then rejects — never drop one.
+    // pos = 0 marks depth < k (real positions are 1-indexed, so a
+    // depth-k pack is always > 0), which replaces the `d` column.
     def layer(d: Int, withPos: Boolean): String = d match {
       case 0 =>
-        s"array(named_struct('v', vs, 'pos', $noPos, 'd', 0))"
+        "array(named_struct('v', vs, 'pos', CAST(0 AS BIGINT)))"
       case 1 =>
         val v = "concat(substr(vs, 1, i - 1), substr(vs, i + 1, length(vs)))"
-        val pos = if (withPos) "array(i)" else noPos
+        val pos = if (withPos) "CAST(i AS BIGINT)" else "CAST(0 AS BIGINT)"
         "transform(filter(sequence(0, length(vs)), i -> i >= 1), " +
-          s"i -> named_struct('v', $v, 'pos', $pos, 'd', 1))"
+          s"i -> named_struct('v', $v, 'pos', $pos))"
       case 2 =>
         val v = "concat(substr(vs, 1, i - 1), substr(vs, i + 1, j - i - 1), " +
           "substr(vs, j + 1, length(vs)))"
-        val pos = if (withPos) "array(i, j)" else noPos
+        val pos =
+          if (withPos) "CAST(i AS BIGINT) * 1048576 + j" else "CAST(0 AS BIGINT)"
         "flatten(transform(filter(sequence(0, length(vs)), i -> i >= 1 AND i < length(vs)), " +
           "i -> transform(filter(sequence(0, length(vs)), j -> j > i), " +
-          s"j -> named_struct('v', $v, 'pos', $pos, 'd', 2))))"
+          s"j -> named_struct('v', $v, 'pos', $pos))))"
       case _ =>
         val v = "concat(substr(vs, 1, i - 1), substr(vs, i + 1, j - i - 1), " +
           "substr(vs, j + 1, l - j - 1), substr(vs, l + 1, length(vs)))"
-        val pos = if (withPos) "array(i, j, l)" else noPos
+        val pos =
+          if (withPos) "(CAST(i AS BIGINT) * 1048576 + j) * 1048576 + l"
+          else "CAST(0 AS BIGINT)"
         "flatten(flatten(transform(filter(sequence(0, length(vs)), i -> i >= 1 AND i + 2 <= length(vs)), " +
           "i -> transform(filter(sequence(0, length(vs)), j -> j > i AND j + 1 <= length(vs)), " +
           "j -> transform(filter(sequence(0, length(vs)), l -> l > j), " +
-          s"l -> named_struct('v', $v, 'pos', $pos, 'd', 3))))))"
+          s"l -> named_struct('v', $v, 'pos', $pos))))))"
     }
     // Depth < k travels position-free and run-collapsed (deleting ANY
     // position inside a run of identical characters yields the SAME
@@ -113,28 +124,33 @@ object FuzzyJoin {
     val loose = (0 until k).map(layer(_, withPos = false)).mkString(", ")
     val neighborhood =
       s"concat(array_distinct(concat($loose)), ${layer(k, withPos = true)})"
+    // Variants leave the explode as xxhash64 LONGS — the string itself
+    // never reaches the shuffle (16+ bytes → 8; with the packed-long pos
+    // this measured 8.6 s → 7.1 s on q_fuzzy_join_k2 at sf0.1, the rest
+    // being the 4.1M-pair verify). A hash collision merges two buckets,
+    // which only ADDS candidate pairs for the exact verify to reject;
+    // genuinely shared variants still hash equal, so recall is intact.
     val variants = df.select(col(idCol).as("vid"), col(strCol).as("vs"))
       .withColumn("t", explode(expr(neighborhood)))
-      .select(col("vid"), col("t.v").as("variant"),
-        col("t.d").as("d"), col("t.pos").as("pos"))
+      .select(col("vid"), xxhash64(col("t.v")).as("vh"), col("t.pos").as("pos"))
     // candidate pairs via bucket-pair enumeration (the same ONE-shuffle
-    // shape as Dedup.jaccardPairs: group by variant, expand pairs per
-    // bucket — identical pair set to a self-join with half the explode
-    // and shuffle work). The position-pruning filter runs INSIDE the
-    // expansion stage, before any pair reaches the distinct shuffle;
+    // shape as Dedup.jaccardPairs: group by variant hash, expand pairs
+    // per bucket — identical pair set to a self-join with half the
+    // explode and shuffle work). The position-pruning filter runs INSIDE
+    // the expansion stage, before any pair reaches the distinct shuffle;
     // candidates travel as bare id pairs and names re-attach for the
     // verify via two id-keyed joins.
     val itemsCap =
       if (maxBucket >= Int.MaxValue / 4) Int.MaxValue else maxBucket * 4
-    val cand = variants.groupBy(col("variant"))
-      .agg(collect_list(struct(col("vid"), col("d"), col("pos"))).as("items"))
+    val cand = variants.groupBy(col("vh"))
+      .agg(collect_list(struct(col("vid"), col("pos"))).as("items"))
       .withColumn("nd", size(array_distinct(expr("transform(items, x -> x.vid)"))))
       .filter(col("nd") > 1 && col("nd") <= maxBucket &&
         size(col("items")) <= itemsCap)
       .select(explode(col("items")).as("a"), col("items"))
       .select(col("a"), explode(col("items")).as("b"))
       .filter(col("a.vid") < col("b.vid") &&
-        !(col("a.d") === k && col("b.d") === k && col("a.pos") =!= col("b.pos")))
+        !(col("a.pos") > 0L && col("b.pos") > 0L && col("a.pos") =!= col("b.pos")))
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b")).distinct()
     val names = df.select(col(idCol), col(strCol))
     cand
