@@ -163,6 +163,17 @@ object PlanAudit {
       "share is one pass: a single aggregation, partials map-side" -> (p =>
         p.contains("partial_sum(CASE WHEN") &&
           "HashAggregate\\(keys=".r.findAllIn(p).length == 2))
+    audit("q_knn_graph")(
+      // the corpus-sized probe side must meet cell membership in a
+      // cell-KEYED equi-join (hash-shuffled, or BHJ'd by AQE at this sf —
+      // either way keyed on cell); the only nested-loop joins allowed are
+      // the nCells-bounded centroid broadcasts
+      "probe/candidate pairing is cell-keyed, never all-pairs" -> (p =>
+        !p.contains("CartesianProduct") &&
+          ("hashpartitioning\\(cell".r.findAllIn(p).nonEmpty ||
+            "BroadcastHashJoin \\[cell".r.findAllIn(p).nonEmpty)),
+      "both rank cuts push into the shuffle (WindowGroupLimit x2)" -> (p =>
+        "WindowGroupLimit".r.findAllIn(p).length >= 2))
     audit("q_lm_perplexity")(
       "doc-bigram multiplicity collapsed map-side before the model join" -> (p =>
         "HashAggregate\\(keys=\\[doc_id#\\d+L?, bg".r.findAllIn(p).length >= 2),

@@ -430,6 +430,16 @@ object SparkEntry {
         everyNthCentroid = 50, nProbe = 3)
     }),
 
+    // k-NN GRAPH over the WHOLE embedding corpus (every vector → its 3
+    // nearest neighbors): the query side is the corpus itself, so the
+    // probe/candidate join is a cell-keyed SHUFFLE join — the one
+    // physical difference from q_ann_ivf, whose few-query probe list
+    // broadcasts (see Similarity.knnJoin scaladoc)
+    "q_knn_graph" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.knnJoin(e, e, k = 3, everyNthCentroid = 50, nProbe = 2)
+    }),
+
     // product quantization (the MEMORY tier: ~4 code bytes per vector):
     // per-subspace codebooks (sampled seeds + one quantized-Lloyd round),
     // ADC candidate scoring via broadcast lookup tables, exact re-rank of
@@ -2092,6 +2102,37 @@ object SparkEntry {
          |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS INT) AS rk
          |  FROM scored)
          |SELECT q_id, n_id, round(c, 6) AS cos, rk FROM ranked WHERE rk <= 5""".stripMargin,
+
+    // the k-NN graph re-derived: same cells, same probe construction, same
+    // tie-breaks as q_ann_ivf's oracle — only the query set (every vector)
+    // and the cut depths (2 probes, top 3) differ
+    "q_knn_graph" ->
+      s"""WITH n AS (SELECT vec_id, embedding FROM embeddings),
+         |cents AS (SELECT vec_id AS cell, embedding AS cv FROM n WHERE vec_id % 50 = 0),
+         |assign AS (
+         |  SELECT vec_id, cell, embedding FROM (
+         |    SELECT n.vec_id, c.cell, n.embedding,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ${dotSql("n.embedding", "c.cv")} / (${normSql("n.embedding")} * ${normSql("c.cv")}) DESC,
+         |                      c.cell) AS crk
+         |    FROM n CROSS JOIN cents c) WHERE crk = 1),
+         |probes AS (
+         |  SELECT q_id, qv, cell FROM (
+         |    SELECT q.vec_id AS q_id, q.embedding AS qv, c.cell,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dotSql("q.embedding", "c.cv")} / (${normSql("q.embedding")} * ${normSql("c.cv")}) DESC,
+         |                      c.cell) AS crk
+         |    FROM n q CROSS JOIN cents c) WHERE crk <= 2),
+         |scored AS (
+         |  SELECT p.q_id, a.vec_id AS n_id,
+         |         ${dotSql("p.qv", "a.embedding")} / (${normSql("p.qv")} * ${normSql("a.embedding")}) AS c
+         |  FROM probes p JOIN assign a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.q_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, c,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS INT) AS rk
+         |  FROM scored)
+         |SELECT q_id, n_id, round(c, 6) AS cos, rk FROM ranked WHERE rk <= 3""".stripMargin,
 
     "q_text_stats" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS ts, length(text) AS nc FROM documents)

@@ -161,7 +161,34 @@ object Similarity {
     * nProbe/nCells scan fraction.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              everyNthCentroid: Int, nProbe: Int, refineIters: Int = 0): DataFrame = {
+              everyNthCentroid: Int, nProbe: Int, refineIters: Int = 0): DataFrame =
+    ivfSearch(corpus, queries, k, everyNthCentroid, nProbe, refineIters,
+      broadcastProbes = true)
+
+  /** k-NN JOIN / k-NN graph: top-k cosine neighbors for EVERY query row,
+    * where the query side is itself corpus-sized — the SemDeDup batch
+    * scoring shape, and with `queries eq corpus` the k-NN-graph
+    * construction NN-descent / diversity analysis starts from. Identical
+    * candidate semantics and tie-breaks to [[ivfTopK]] (spec-checked
+    * equal on the same arguments); the physical shape differs in the one
+    * load-bearing way: the probe list meets cell membership in a
+    * cell-KEYED shuffle equi-join, because neither side fits a
+    * broadcast. Wire cost is the standard multi-probe trade — each query
+    * vector ships `nProbe` times; candidates per query are bounded by
+    * the probed cells' sizes, never the corpus. Both rank cuts (probe
+    * selection and the final top-k) plan as WindowGroupLimit, so each
+    * map partition forwards at most nProbe cells / k candidates per
+    * query into the rank shuffles. A hot cell (skewed centroid) is AQE's
+    * skew-join case; `everyNthCentroid` sizes cells against it.
+    */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int,
+              everyNthCentroid: Int, nProbe: Int, refineIters: Int = 0): DataFrame =
+    ivfSearch(corpus, queries, k, everyNthCentroid, nProbe, refineIters,
+      broadcastProbes = false)
+
+  private def ivfSearch(corpus: DataFrame, queries: DataFrame, k: Int,
+                        everyNthCentroid: Int, nProbe: Int, refineIters: Int,
+                        broadcastProbes: Boolean): DataFrame = {
     val base = corpus.select(col("vec_id"), col("embedding"))
     val cents = refineCentroids(base, centroids(base, everyNthCentroid), refineIters)
     val cells = assignCells(base, cents)
@@ -175,7 +202,7 @@ object Similarity {
 
     val scored = cells
       .select(col("cell"), col("vec_id").as("n_id"), col("embedding").as("nv"))
-      .join(broadcast(probes), Seq("cell"))
+      .join(if (broadcastProbes) broadcast(probes) else probes, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", cosineSim(col("qv"), col("nv")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))

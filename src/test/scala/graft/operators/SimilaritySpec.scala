@@ -52,6 +52,33 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.size === exact.size)
   }
 
+  test("knnJoin equals ivfTopK on the same arguments (only the plan differs)") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val viaIvf = Similarity.ivfTopK(emb, queries, k = 5, everyNthCentroid = 50, nProbe = 3)
+      .orderBy("q_id", "rk").collect()
+    val viaKnn = Similarity.knnJoin(emb, queries, k = 5, everyNthCentroid = 50, nProbe = 3)
+      .orderBy("q_id", "rk").collect()
+    assert(viaKnn.toSeq === viaIvf.toSeq)
+  }
+
+  test("knnJoin self-graph: every vector gets ranked neighbors, no self-match") {
+    val g = Similarity.knnJoin(emb, emb, k = 3, everyNthCentroid = 50, nProbe = 2).cache()
+    try {
+      val n = emb.count()
+      // every vector appears as a query (its probed cells always hold at
+      // least one other vector on this fixture)
+      assert(g.select("q_id").distinct().count() === n)
+      assert(g.filter(col("q_id") === col("n_id")).count() === 0L)
+      // ranks are contiguous from 1 and ordered by descending cosine
+      val bad = g.groupBy("q_id")
+        .agg(count(lit(1)).as("m"), max(col("rk")).as("maxrk"),
+          min(col("rk")).as("minrk"))
+        .filter(col("m") =!= col("maxrk") || col("minrk") =!= 1)
+      assert(bad.count() === 0L)
+      assert(g.count() <= n * 3)
+    } finally g.unpersist()
+  }
+
   test("pqTopK: PQ candidates + exact re-rank reach usable recall, exact cos values") {
     val queries = emb.filter(col("vec_id") < 8)
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
