@@ -163,6 +163,18 @@ object PlanAudit {
       "share is one pass: a single aggregation, partials map-side" -> (p =>
         p.contains("partial_sum(CASE WHEN") &&
           "HashAggregate\\(keys=".r.findAllIn(p).length == 2))
+    audit("q_funnel")(
+      "step scans push their event_type filter to parquet" -> (p =>
+        p.contains("EqualTo(event_type,click)") &&
+          p.contains("EqualTo(event_type,purchase)")),
+      "all sequencing work keys on user_id, partially aggregated map-side" -> (p =>
+        "hashpartitioning\\(user_id".r.findAllIn(p).nonEmpty &&
+          "HashAggregate\\(keys=\\[user_id".r.findAllIn(p).length >= 2 &&
+          !p.contains("CartesianProduct")))
+    audit("q_cohort_retention")(
+      "distinct users collapse map-side before the day-pair shuffle" -> (p =>
+        "HashAggregate".r.findAllIn(p).length >= 4 &&
+          !p.contains("CartesianProduct")))
     audit("q_knn_graph")(
       // the corpus-sized probe side must meet cell membership in a
       // cell-KEYED equi-join (hash-shuffled, or BHJ'd by AQE at this sf —

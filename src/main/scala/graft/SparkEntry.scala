@@ -101,6 +101,52 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"),
           decSum(col("value")).as("total_value"))),
 
+    // ordered 3-step funnel (view → click → purchase, each step within 24 h
+    // of the previous) — per-user first-completion times and depth reached.
+    // Sequencing needs the previous step's timestamp, so it is three
+    // user-keyed aggregation passes, NOT a sorted-array fold: each pass
+    // re-scans events with its event_type filter pushed to the parquet
+    // scan, and every join/agg reuses the one user_id partitioning. Times
+    // ride as epoch-micro longs end to end — exact integer comparisons and
+    // hashes in both engines
+    "q_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val W = 86400000000L // 24 h in micros
+      val step1 = ev.groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", unix_micros(col("ts")))).as("u1"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("tc"))
+      val step2 = step1.join(clicks, Seq("user_id"), "left")
+        .groupBy(col("user_id")).agg(min(col("u1")).as("u1"),
+          min(when(col("tc") > col("u1") && col("tc") <= col("u1") + W,
+            col("tc"))).as("u2"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("tp"))
+      step2.join(purchases, Seq("user_id"), "left")
+        .groupBy(col("user_id")).agg(min(col("u1")).as("u1"),
+          min(col("u2")).as("u2"),
+          min(when(col("tp") > col("u2") && col("tp") <= col("u2") + W,
+            col("tp"))).as("u3"))
+        .select(col("user_id"), col("u1").as("t_view_us"),
+          col("u2").as("t_click_us"), col("u3").as("t_purchase_us"),
+          when(col("u3").isNotNull, 3).when(col("u2").isNotNull, 2)
+            .when(col("u1").isNotNull, 1).otherwise(0).as("steps_completed"))
+    }),
+
+    // cohort retention matrix: users grouped by first-seen day, activity
+    // counted per (cohort day, activity day) — two keyed aggregations
+    // (user, then the bounded day-pair key), distincts collapsed map-side
+    "q_cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val firstSeen = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort_day"))
+      ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .join(firstSeen, Seq("user_id"))
+        .groupBy(col("cohort_day"), col("day"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .withColumn("days_since", datediff(col("day"), col("cohort_day")))
+    }),
+
     // the fixture PLANTS duplicate (orderkey, linenumber) rows (the exact-
     // dedup target), so those two columns alone are not a total order:
     // l_extendedprice completes the tie-break — and full-duplicate rows
@@ -1750,6 +1796,42 @@ object SparkEntry {
         |SELECT user_id, session_seq, count(*) AS n_events, min(ts) AS session_start,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, session_seq""".stripMargin,
+
+    // the funnel re-derived: same three conditional-min passes over
+    // epoch-micro longs, same 24 h window arithmetic
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS u1
+        |  FROM events GROUP BY user_id),
+        |s2 AS (
+        |  SELECT s.user_id, min(s.u1) AS u1,
+        |    min(CASE WHEN e.event_type = 'click' AND epoch_us(e.ts) > s.u1
+        |             AND epoch_us(e.ts) <= s.u1 + 86400000000
+        |             THEN epoch_us(e.ts) END) AS u2
+        |  FROM s1 s LEFT JOIN events e ON e.user_id = s.user_id
+        |  GROUP BY s.user_id),
+        |s3 AS (
+        |  SELECT s.user_id, min(s.u1) AS u1, min(s.u2) AS u2,
+        |    min(CASE WHEN e.event_type = 'purchase' AND epoch_us(e.ts) > s.u2
+        |             AND epoch_us(e.ts) <= s.u2 + 86400000000
+        |             THEN epoch_us(e.ts) END) AS u3
+        |  FROM s2 s LEFT JOIN events e ON e.user_id = s.user_id
+        |  GROUP BY s.user_id)
+        |SELECT user_id, u1 AS t_view_us, u2 AS t_click_us, u3 AS t_purchase_us,
+        |  CAST(CASE WHEN u3 IS NOT NULL THEN 3 WHEN u2 IS NOT NULL THEN 2
+        |       WHEN u1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS steps_completed
+        |FROM s3""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY user_id)
+        |SELECT f.cohort_day, CAST(e.ts AS DATE) AS day,
+        |  count(DISTINCT e.user_id) AS n_users,
+        |  CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS INT) AS days_since
+        |FROM events e JOIN f ON f.user_id = e.user_id
+        |GROUP BY f.cohort_day, CAST(e.ts AS DATE)""".stripMargin,
 
     "q_running_rev" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
