@@ -294,6 +294,71 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_custs"), decSum(col("c_acctbal")).as("total_bal"))
     }),
 
+    // TPC-H Q13 shape (customer order-count distribution): the fact
+    // aggregates FIRST — one custkey-keyed shuffle shrinks orders to one
+    // row per customer — the dimension LEFT-joins the thin counts so
+    // zero-order customers survive, and the distribution re-aggregates
+    // over the bounded count domain. Never an outer join of two raw
+    // tables; at 100 TB both shuffles are key-partitioned and the second
+    // aggregation input is |customers|, not |orders|
+    "q_order_dist" -> ((s, d) => {
+      val perCust = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("c_count"))
+      Tables.customer(s, d).select("c_custkey")
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("n_custs"))
+    }),
+
+    // TPC-H Q17 shape (small-quantity-order revenue): the per-key average
+    // gate. The brand cut broadcasts into lineitem BEFORE any aggregation,
+    // per-part (count, sum_qty) aggregates once on partkey, and the gate
+    // l_quantity < 0.2·avg is cross-multiplied — 5·qty·n < sum_qty — so it
+    // stays exact decimal, never a divided float average. The stats side
+    // is bounded by the filtered part count, so AQE broadcasts it back
+    // onto the same cut; lineitem is never shuffled whole
+    "q_small_qty_rev" -> ((s, d) => {
+      val keys = Tables.part(s, d).filter(col("p_brand") === "Brand#9")
+        .select("p_partkey")
+      def cut = Tables.lineitem(s, d)
+        .join(broadcast(keys), col("l_partkey") === col("p_partkey"))
+      val stats = cut.groupBy(col("l_partkey").as("sp_key"))
+        .agg(count(lit(1)).as("n_li"),
+          sum(col("l_quantity").cast(dec)).as("sum_qty"))
+      cut.join(stats, col("l_partkey") === col("sp_key"))
+        .filter(col("l_quantity").cast(dec) * 5 * col("n_li") < col("sum_qty"))
+        .agg(decSum(col("l_extendedprice")).as("total_price"),
+          count(lit(1)).as("n_small"))
+    }),
+
+    // TPC-H Q21 shape (suppliers who ALONE held up an order): the classic
+    // EXISTS / NOT-EXISTS self-join pair collapsed into one orderkey-keyed
+    // pass — per-(order, supplier) lateness flags roll up under an
+    // orderkey window to per-order supplier/late-supplier counts, and
+    // "another supplier exists ∧ no other was late" becomes
+    // n_supp > 1 ∧ n_late = 1 ∧ was_late. The fact shuffles once on
+    // (orderkey, suppkey), the window reuses that clustering with
+    // ≤|suppliers per order| rows per group, and only the thin survivors
+    // reach the final suppkey count — never two more lineitem self-joins
+    "q_late_exclusive" -> ((s, d) => {
+      val perOS = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          datediff(col("l_shipdate"), col("o_orderdate")).as("lag_days"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("lag_days") > 2000, 1).otherwise(0)).as("was_late"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      perOS
+        .select(col("l_orderkey"), col("l_suppkey"), col("was_late"),
+          count(lit(1)).over(w).as("n_supp"),
+          sum(col("was_late")).over(w).as("n_late"))
+        .filter(col("was_late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+    }),
+
     // time-RANGE window frame (the rows-frame family's missing sibling):
     // per event, trailing-1-hour activity for its user. Orders by epoch
     // micros so the frame bound is an exact integer on both engines.
@@ -1948,6 +2013,51 @@ object SparkEntry {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey""".stripMargin,
+
+    // the Q13 shape re-derived: aggregate-then-left-join, zero-order
+    // customers via COALESCE
+    "q_order_dist" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, count(*) AS c_count FROM orders
+        |  WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey)
+        |SELECT coalesce(pc.c_count, 0) AS c_count, count(*) AS n_custs
+        |FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+
+    // the Q17 shape re-derived: same brand cut, same per-part stats, the
+    // same cross-multiplied 0.2·avg gate in exact decimal
+    "q_small_qty_rev" ->
+      """WITH cut AS (
+        |  SELECT l.* FROM lineitem l
+        |  JOIN part p ON l_partkey = p_partkey AND p_brand = 'Brand#9'),
+        |st AS (
+        |  SELECT l_partkey AS sp_key, count(*) AS n_li,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  FROM cut GROUP BY 1)
+        |SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  count(*) AS n_small
+        |FROM cut JOIN st ON l_partkey = sp_key
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n_li < sum_qty""".stripMargin,
+
+    // the Q21 shape re-derived: per-(order, supplier) lateness flags, the
+    // orderkey window, the same n_supp > 1 ∧ n_late = 1 exclusivity cut
+    "q_late_exclusive" ->
+      """WITH pos AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |                            CAST(l_shipdate AS DATE)) > 2000
+        |        THEN 1 ELSE 0 END) AS was_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT l_suppkey, was_late,
+        |    count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+        |    sum(was_late) OVER (PARTITION BY l_orderkey) AS n_late
+        |  FROM pos)
+        |SELECT l_suppkey, count(*) AS numwait FROM w
+        |WHERE was_late = 1 AND n_supp > 1 AND n_late = 1
+        |GROUP BY 1""".stripMargin,
 
     // brute force on purpose: an independent derivation (cross join +
     // levenshtein) checks the deletion-neighborhood construction's recall
