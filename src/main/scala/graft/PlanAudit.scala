@@ -374,6 +374,33 @@ object PlanAudit {
         p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")),
       "stratum counts partially aggregated map-side" -> (p =>
         "HashAggregate".r.findAllIn(p).length >= 2))
+    audit("q_order_dist")(
+      // aggregate-first: orders collapses to one row per customer BEFORE
+      // the outer join, so the join never sees the raw fact
+      "per-customer counts partially aggregated map-side" -> (p =>
+        "HashAggregate\\(keys=\\[o_custkey".r.findAllIn(p).length >= 2),
+      "priority filter pushed to the orders scan" -> (p =>
+        p.contains("Not(EqualTo(o_orderpriority,1-URGENT))")),
+      "customer scan pruned to the join key only" -> (p =>
+        p.contains("ReadSchema: struct<c_custkey:bigint>")),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    audit("q_small_qty_rev")(
+      "brand filter pushed to the part scan" -> (p =>
+        p.contains("EqualTo(p_brand,Brand#9)")),
+      "brand cut broadcast into lineitem before any aggregation" -> (p =>
+        "BroadcastHashJoin".r.findAllIn(p).length >= 2),
+      "per-part stats partially aggregated map-side" -> (p =>
+        "HashAggregate\\(keys=\\[l_partkey".r.findAllIn(p).length >= 2),
+      "no sort-merge join, no cartesian" -> (p =>
+        !p.contains("SortMergeJoin") && !p.contains("CartesianProduct")))
+    audit("q_late_exclusive")(
+      "per-(order, supplier) flags partially aggregated map-side" -> (p =>
+        "HashAggregate\\(keys=\\[l_orderkey#\\d+L?, l_suppkey".r.findAllIn(p).length >= 2),
+      "exclusivity counts ride an orderkey-keyed window, never a global sort" -> (p =>
+        p.contains("windowspecdefinition(l_orderkey")),
+      "no second lineitem self-join (single fact scan)" -> (p =>
+        "FileScan parquet.*l_orderkey".r.findAllIn(p).length <= 1 &&
+          !p.contains("CartesianProduct")))
     spark.stop()
   }
 }

@@ -316,8 +316,8 @@ object SparkEntry {
     // per-part (count, sum_qty) aggregates once on partkey, and the gate
     // l_quantity < 0.2·avg is cross-multiplied — 5·qty·n < sum_qty — so it
     // stays exact decimal, never a divided float average. The stats side
-    // is bounded by the filtered part count, so AQE broadcasts it back
-    // onto the same cut; lineitem is never shuffled whole
+    // is bounded by the filtered part count, so it broadcasts back onto
+    // the same cut explicitly; lineitem is never shuffled whole
     "q_small_qty_rev" -> ((s, d) => {
       val keys = Tables.part(s, d).filter(col("p_brand") === "Brand#9")
         .select("p_partkey")
@@ -326,7 +326,7 @@ object SparkEntry {
       val stats = cut.groupBy(col("l_partkey").as("sp_key"))
         .agg(count(lit(1)).as("n_li"),
           sum(col("l_quantity").cast(dec)).as("sum_qty"))
-      cut.join(stats, col("l_partkey") === col("sp_key"))
+      cut.join(broadcast(stats), col("l_partkey") === col("sp_key"))
         .filter(col("l_quantity").cast(dec) * 5 * col("n_li") < col("sum_qty"))
         .agg(decSum(col("l_extendedprice")).as("total_price"),
           count(lit(1)).as("n_small"))
