@@ -393,6 +393,14 @@ object PlanAudit {
         "HashAggregate\\(keys=\\[l_partkey".r.findAllIn(p).length >= 2),
       "no sort-merge join, no cartesian" -> (p =>
         !p.contains("SortMergeJoin") && !p.contains("CartesianProduct")))
+    audit("q_triangles")(
+      "degree counts partially aggregated map-side" -> (p =>
+        "HashAggregate\\(keys=\\[node".r.findAllIn(p).length >= 2),
+      "wedge join keyed on the apex vertex" -> (p =>
+        "hashpartitioning\\(a#".r.findAllIn(p).length >= 1),
+      "closure is a semi join, never a third full join" -> (p =>
+        p.contains("LeftSemi")),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
     audit("q_late_exclusive")(
       "per-(order, supplier) flags partially aggregated map-side" -> (p =>
         "HashAggregate\\(keys=\\[l_orderkey#\\d+L?, l_suppkey".r.findAllIn(p).length >= 2),

@@ -1106,6 +1106,23 @@ object SparkEntry {
       Graph.pageRankPersonalized(fwd.union(rev).distinct(), sources, iters = 3)
     }),
 
+    // triangle counting over the co-purchase graph (parts linked when one
+    // order contains both): degree-ordered orientation makes every wedge
+    // expansion O(√m)-bounded per node — never deg² on a hub part — and
+    // each triangle is found exactly once at its minimum-rank vertex.
+    // Edge generation itself is per-order pairs, bounded by order size.
+    // All-integer, so the whole chain hash-matches the oracle verbatim
+    "q_triangles" -> ((s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e = op.select(col("ok"), col("p").as("p1"))
+        .join(op.select(col("ok"), col("p").as("p2")), Seq("ok"))
+        .filter(col("p1") < col("p2"))
+        .select(col("p1").as("src"), col("p2").as("dst"))
+      Graph.triangleCounts(e)
+    }),
+
     // distribution windows (ntile/percent_rank/cume_dist) over a FIVE-value
     // partition key: the naive priority-keyed window caps parallelism at 5
     // and funnels n/5 rows through each reducer forever — at 100× that is a
@@ -2080,6 +2097,40 @@ object SparkEntry {
     "q_ppr" -> pageRankSqlFor(personalized = true),
 
     "q_label_prop" -> labelPropSql,
+
+    // the triangle chain re-derived in full: same co-purchase edges, same
+    // (degree, id) orientation, same apex-wedge + closing-edge-exists cut
+    "q_triangles" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.p AS u, y.p AS v
+        |  FROM op x JOIN op y ON x.ok = y.ok AND x.p < y.p),
+        |deg AS (
+        |  SELECT node, count(*) AS dg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND e.u < e.v)
+        |         THEN e.u ELSE e.v END AS a,
+        |    CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND e.u < e.v)
+        |         THEN e.v ELSE e.u END AS b,
+        |    CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND e.u < e.v)
+        |         THEN d2.dg ELSE d1.dg END AS db
+        |  FROM e JOIN deg d1 ON e.u = d1.node JOIN deg d2 ON e.v = d2.node),
+        |tri AS (
+        |  SELECT o1.a, o1.b AS b1, o2.b AS b2
+        |  FROM o o1 JOIN o o2 ON o1.a = o2.a
+        |   AND (o1.db < o2.db OR (o1.db = o2.db AND o1.b < o2.b))
+        |  WHERE EXISTS (SELECT 1 FROM o oc WHERE oc.a = o1.b AND oc.b = o2.b))
+        |SELECT d.node, coalesce(t.c, 0) AS n_tri
+        |FROM deg d LEFT JOIN (
+        |  SELECT node, count(*) AS c FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b1 FROM tri
+        |    UNION ALL SELECT b2 FROM tri)
+        |  GROUP BY 1) t ON d.node = t.node""".stripMargin,
 
     "q_window_dist" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,

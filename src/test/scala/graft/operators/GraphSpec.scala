@@ -172,4 +172,64 @@ class GraphSpec extends SparkSpec {
     val total = out.agg(org.apache.spark.sql.functions.sum("pr")).as[Long].head()
     assert(math.abs(total - scale) <= 200L)
   }
+
+  private def triMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_tri")).toMap
+
+  test("triangleCounts on K4: four triangles, every node in three") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    assert(triMap(Graph.triangleCounts(edges)) ===
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts on a 4-cycle finds none but reports every node") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    assert(triMap(Graph.triangleCounts(edges)) ===
+      Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("triangleCounts canonicalizes direction, duplicates, and self-loops") {
+    val clean = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val messy = Seq(
+      (2L, 1L), (1L, 2L), (1L, 2L),   // reversed + duplicated
+      (2L, 3L), (3L, 2L),
+      (1L, 3L),
+      (4L, 3L), (3L, 4L),
+      (2L, 2L), (4L, 4L))             // self-loops dropped
+      .toDF("src", "dst")
+    assert(triMap(Graph.triangleCounts(messy)) ===
+      triMap(Graph.triangleCounts(clean)))
+    assert(triMap(Graph.triangleCounts(clean)) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("triangleCounts matches brute-force triple enumeration") {
+    // deterministic pseudo-random graph on 15 nodes
+    val edges = (for {
+      i <- 1L to 15L; j <- (i + 1) to 15L if (i * 7 + j * 13) % 5 < 2
+    } yield (i, j)).toDF("src", "dst")
+    val canon = edges.toDF("u", "v")
+    val brute = canon.select($"u".as("x"), $"v".as("y"))
+      .join(canon.select($"u".as("y"), $"v".as("z")), "y")
+      .join(canon.select($"u".as("x"), $"v".as("z")), Seq("x", "z"))
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array($"x", $"y", $"z")).as("node"))
+      .groupBy($"node").count()
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("count")).toMap
+    val got = triMap(Graph.triangleCounts(edges))
+    assert(got.filter(_._2 > 0) === brute)
+    // and the node universe is everything incident to an edge
+    assert(got.keySet === (1L to 15L).filter(i =>
+      (1L to 15L).exists(j => j != i &&
+        ((math.min(i, j) * 7 + math.max(i, j) * 13) % 5 < 2))).toSet)
+  }
+
+  test("triangleCounts on a star plus one chord: exactly the chord triangle") {
+    val star = (2L to 11L).map(leaf => (1L, leaf))
+    val edges = (star :+ (2L, 3L)).toDF("src", "dst")
+    val out = triMap(Graph.triangleCounts(edges))
+    assert(out(1L) === 1L && out(2L) === 1L && out(3L) === 1L)
+    assert((4L to 11L).forall(out(_) === 0L))
+  }
 }
