@@ -359,6 +359,150 @@ object SparkEntry {
         .agg(count(lit(1)).as("numwait"))
     }),
 
+    // TPC-H Q7 shape (volume shipping between two nations): BOTH nation
+    // cuts broadcast into their facts BEFORE the orderkey shuffle —
+    // lineitem keeps only the pair's suppliers, orders only the pair's
+    // customers — so the one unavoidable fact-fact exchange carries just
+    // the two nations' survivors. The bidirectional pair condition is a
+    // label inequality riding the broadcasts, never a join predicate that
+    // forces a second shuffle; the year split is a projection
+    "q_nation_volume" -> ((s, d) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+            .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "supp_nation")
+      val cust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+            .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("cn_key"))
+        .select("c_custkey", "cust_nation")
+      Tables.lineitem(s, d)
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d)
+            .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+            .select("o_orderkey", "cust_nation"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec))
+          .cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q15 shape (top supplier, ties kept): per-supplier quarter
+    // revenue aggregates once, the global max rides back as a broadcast
+    // 1-row side, and the equality gate compares the DECIMAL sums — both
+    // engines' exact arithmetic, so ties agree bit-for-bit. The survivor
+    // set (≈1 row) broadcasts into the supplier dim for names; the big
+    // fact is shuffled exactly once, for its own aggregation
+    "q_top_supplier" -> ((s, d) => {
+      val q0 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+      val q1 = java.sql.Timestamp.valueOf("1996-04-01 00:00:00")
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit(q0) && col("l_shipdate") < lit(q1))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec))
+          .as("total_rev"))
+      val top = rev.agg(max(col("total_rev")).as("max_rev"))
+      Tables.supplier(s, d)
+        .join(broadcast(rev.join(broadcast(top))
+            .filter(col("total_rev") === col("max_rev"))),
+          col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_rev"))
+    }),
+
+    // TPC-H Q19 shape (disjunctive predicate pushdown): an OR of three
+    // (brand, size, quantity) conjunctions. The part-only disjunction
+    // pre-filters the dim before it broadcasts; the quantity HULL
+    // (1..30, implied by all three clauses) pushes into the lineitem
+    // scan so the fact never reads rows no clause can accept; the
+    // per-brand residual evaluates on the broadcast-joined survivors.
+    // One broadcast join, zero shuffles before the 1-row aggregate
+    "q_disjunctive_rev" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .filter((col("p_brand") === "Brand#12" && col("p_size").between(1, 5)) ||
+                (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)) ||
+                (col("p_brand") === "Brand#25" && col("p_size").between(1, 15)))
+        .select("p_partkey", "p_brand")
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity").between(1, 30))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter((col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11)) ||
+                (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20)) ||
+                (col("p_brand") === "Brand#25" && col("l_quantity").between(20, 30)))
+        .agg(sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q20 shape (nested semi-join chain): suppliers who shipped the
+    // MAJORITY of some promo part's volume. The part cut broadcasts into
+    // lineitem, per-(part, supplier) quantities aggregate in the fact's
+    // only shuffle, per-part totals re-aggregate the THIN pair table
+    // (bounded by distinct pairs, never lineitem), and the majority gate
+    // cross-multiplies — 2·ps_qty > p_qty — staying exact decimal. Only
+    // the dominated-part counts reach the supplier dim
+    "q_dominant_supplier" -> ((s, d) => {
+      val keys = Tables.part(s, d).filter(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val perPS = Tables.lineitem(s, d)
+        .join(broadcast(keys), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast(dec)).as("ps_qty"))
+      val perP = perPS.groupBy(col("l_partkey").as("pp_key"))
+        .agg(sum(col("ps_qty")).as("p_qty"))
+      val dominated = perPS
+        .join(perP, col("l_partkey") === col("pp_key"))
+        .filter(col("ps_qty") * 2 > col("p_qty"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_dominated"))
+      Tables.supplier(s, d)
+        .join(broadcast(dominated), col("s_suppkey") === col("l_suppkey"))
+        .select("s_suppkey", "s_name", "n_dominated")
+    }),
+
+    // TPC-H Q2 shape (per-key minimum join-back, ties kept): for each
+    // size-10 part, the supplier(s) offering its minimum observed unit
+    // price. The min is a RAW data value (no arithmetic), so the double
+    // equality join-back is exact on both engines. Part cut broadcasts;
+    // per-(part, supplier) mins take the fact's one shuffle; the per-part
+    // min re-aggregates the thin pair table and joins back on
+    // (key, value) equality to keep ties — never a window over the fact
+    "q_min_cost_supplier" -> ((s, d) => {
+      val keys = Tables.part(s, d).filter(col("p_size") === 10)
+        .select("p_partkey")
+      val perPS = Tables.lineitem(s, d)
+        .join(broadcast(keys), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("unit_cost"))
+      val minPer = perPS.groupBy(col("l_partkey").as("mp_key"))
+        .agg(min(col("unit_cost")).as("min_cost"))
+      perPS
+        .join(minPer, col("l_partkey") === col("mp_key") &&
+          col("unit_cost") === col("min_cost"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("l_suppkey").as("s_suppkey"), col("min_cost"))
+    }),
+
+    // TPC-H Q11 shape (fraction-of-total gate over groups): suppliers
+    // holding more than 1/95 of total lineitem value. The global total is
+    // a re-aggregation of the per-supplier sums (thin — never a second
+    // fact scan) broadcast back as a 1-row side; the gate cross-multiplies
+    // — value·95 > total — exact decimal, never a divided float share
+    "q_value_fraction" -> ((s, d) => {
+      val perSupp = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast(dec)).as("supp_value"))
+      val total = perSupp.agg(sum(col("supp_value")).as("tot_value"))
+      perSupp.join(broadcast(total))
+        .filter(col("supp_value") * 95 > col("tot_value"))
+        .select(col("l_suppkey").as("s_suppkey"),
+          col("supp_value").cast("double").as("supp_value"))
+    }),
+
     // time-RANGE window frame (the rows-frame family's missing sibling):
     // per event, trailing-1-hour activity for its user. Orders by epoch
     // micros so the frame bound is an exact integer on both engines.
@@ -2075,6 +2219,84 @@ object SparkEntry {
         |SELECT l_suppkey, count(*) AS numwait FROM w
         |WHERE was_late = 1 AND n_supp > 1 AND n_late = 1
         |GROUP BY 1""".stripMargin,
+
+    // the Q7 shape re-derived: one flat join chain, the nation labels as
+    // subquery dims, the same pair inequality and decimal rev term
+    "q_nation_volume" ->
+      """SELECT sn.supp_nation, cn.cust_nation, year(l_shipdate) AS l_year,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |      JOIN nation ON s_nationkey = n_nationkey
+        |      WHERE n_name IN ('NATION_1','NATION_2')) sn ON l_suppkey = sn.s_suppkey
+        |JOIN (SELECT c_custkey, n_name AS cust_nation FROM customer
+        |      JOIN nation ON c_nationkey = n_nationkey
+        |      WHERE n_name IN ('NATION_1','NATION_2')) cn ON o_custkey = cn.c_custkey
+        |WHERE sn.supp_nation <> cn.cust_nation
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // the Q15 shape re-derived: the same decimal quarter revenue, the max
+    // as a scalar CTE, equality on the exact decimals so ties agree
+    "q_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1),
+        |m AS (SELECT max(total_rev) AS max_rev FROM rev)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey, m
+        |WHERE total_rev = m.max_rev""".stripMargin,
+
+    // the Q19 shape re-derived in its natural OR-of-conjunctions form —
+    // any clause-split or hull-pushdown bug breaks the hash
+    "q_disjunctive_rev" ->
+      """SELECT
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // the Q20 shape re-derived: the same two-level aggregation and the
+    // cross-multiplied majority gate
+    "q_dominant_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS ps_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  GROUP BY 1, 2),
+        |p AS (SELECT l_partkey AS pp_key, SUM(ps_qty) AS p_qty FROM ps GROUP BY 1)
+        |SELECT s_suppkey, s_name, count(*) AS n_dominated
+        |FROM ps JOIN p ON l_partkey = pp_key
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE ps_qty * 2 > p_qty
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the Q2 shape re-derived: raw-value min, (key, value) equality
+    // join-back keeping ties
+    "q_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS unit_cost
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_size = 10
+        |  GROUP BY 1, 2),
+        |m AS (SELECT l_partkey AS mp_key, min(unit_cost) AS min_cost FROM ps GROUP BY 1)
+        |SELECT ps.l_partkey AS p_partkey, ps.l_suppkey AS s_suppkey, min_cost
+        |FROM ps JOIN m ON ps.l_partkey = mp_key AND ps.unit_cost = min_cost""".stripMargin,
+
+    // the Q11 shape re-derived: per-supplier sums, total as a scalar CTE,
+    // the same cross-multiplied fraction gate in exact decimal
+    "q_value_fraction" ->
+      """WITH sv AS (
+        |  SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS supp_value
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT SUM(supp_value) AS tot_value FROM sv)
+        |SELECT l_suppkey AS s_suppkey, CAST(supp_value AS DOUBLE) AS supp_value
+        |FROM sv, t WHERE supp_value * 95 > tot_value""".stripMargin,
 
     // brute force on purpose: an independent derivation (cross join +
     // levenshtein) checks the deletion-neighborhood construction's recall
