@@ -27,8 +27,17 @@ object StreamDemo {
     java.nio.file.Files.copy(src, inDir.resolve("batch1.parquet"))
     java.nio.file.Files.copy(src, inDir.resolve("batch2.parquet"))
 
-    val raw = spark.readStream.schema(Tables.eventsRawSchema).parquet(inDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // streaming sources need the schema up front — probe the staged files'
+    // footer once to pick the unit branch (same policy as Tables.events)
+    val isNanos = graft.sources.ParquetUnits
+      .timestampUnit(spark, inDir.toString, "ts")
+      .contains(org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS)
+    val raw =
+      if (isNanos)
+        spark.readStream.schema(Tables.eventsRawSchema).parquet(inDir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else
+        spark.readStream.schema(Tables.eventsSchema).parquet(inDir.toString)
 
     def run(df: org.apache.spark.sql.DataFrame, name: String): Long = {
       val q = df.writeStream.format("memory").queryName(name).outputMode("append").start()
@@ -39,7 +48,8 @@ object StreamDemo {
     val nDedup = run(Streaming.dedupWithinWatermark(raw, "ts", "1 hour", Seq("event_id")), "dedup")
     val nWin = run(Streaming.windowedCounts(raw, "ts", "1 minute", "1 hour", Seq("event_type")), "win")
     val nSess = run(Streaming.sessionize(spark, raw, gapMs = 30 * 60 * 1000L, useTimeout = false), "sess")
-    val batchTotal = spark.read.schema(Tables.eventsRawSchema).parquet(inDir.toString).count()
+    val batchTotal = graft.sources.ParquetUnits
+      .readTimestamped(spark, inDir.toString, Tables.eventsSchema, "ts").count()
     println(s"[stream-demo] input_rows=$batchTotal dedup_rows=$nDedup " +
       s"windowed_rows=$nWin closed_sessions=$nSess")
     spark.stop()
