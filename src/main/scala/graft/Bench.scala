@@ -60,7 +60,17 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Known-heavy allocators run LAST: min-of-3 isolation runs (BENCHNOTES
+    // r8) proved the round-5/round-7 "regressions" on untouched queries were
+    // heap contention inherited from whichever heavy query ran just before
+    // them in alphabetical order — q_curate measured 16.4 s mid-suite vs
+    // 4.8 s isolated, same binary, same plan. Alphabetical-within-tier keeps
+    // per-query comparability; the tier split just stops the heavyweights'
+    // garbage from being charged to their alphabetical successors.
+    val heavyLast = Set("q_bpe_train", "q_fuzzy_join_k2", "q_curate",
+      "q_mv_refresh", "q_window_dist", "q_ann_pq", "q_ann_ivfpq",
+      "q_jpeg_pixels", "q_late_exclusive")
+    val results = selected.toSeq.sortBy { case (n, _) => (heavyLast(n), n) }.map { case (name, fn) =>
       val times = (1 to reps).map { rep =>
         val gc0 = gcMillis
         val t0 = System.nanoTime()
@@ -91,7 +101,13 @@ object Bench {
           // ... and start the next measurement from a settled heap: without
           // this, a heavy query's garbage is collected DURING its successors'
           // timings, charging its cost to whoever runs next (the round-5
-          // 2-7x phantom regressions on untouched queries)
+          // 2-7x phantom regressions on untouched queries). Two passes with a
+          // breath between: the first full GC surfaces finalizable/soft refs
+          // that only the SECOND collection actually reclaims — one pass
+          // demonstrably left enough floating garbage to recreate the
+          // phantoms in round 7 (BENCHNOTES r8)
+          System.gc()
+          Thread.sleep(50)
           System.gc()
         }
       }

@@ -394,7 +394,9 @@ object SparkEntry {
     // TPC-H Q15 shape (top supplier, ties kept): per-supplier quarter
     // revenue aggregates once, the global max rides back as a broadcast
     // 1-row side, and the equality gate compares the DECIMAL sums — both
-    // engines' exact arithmetic, so ties agree bit-for-bit. The survivor
+    // engines' exact arithmetic, so ties WOULD agree bit-for-bit (on the
+    // tested generator the max is unique, so the tie path is correct by
+    // construction but not data-exercised — ADVICE r7). The survivor
     // set (≈1 row) broadcasts into the supplier dim for names; the big
     // fact is shuffled exactly once, for its own aggregation
     "q_top_supplier" -> ((s, d) => {
@@ -438,13 +440,17 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
-    // TPC-H Q20 shape (nested semi-join chain): suppliers who shipped the
-    // MAJORITY of some promo part's volume. The part cut broadcasts into
-    // lineitem, per-(part, supplier) quantities aggregate in the fact's
-    // only shuffle, per-part totals re-aggregate the THIN pair table
-    // (bounded by distinct pairs, never lineitem), and the majority gate
-    // cross-multiplies — 2·ps_qty > p_qty — staying exact decimal. Only
-    // the dominated-part counts reach the supplier dim
+    // TPC-H Q20 shape (nested semi-join chain): suppliers who shipped a
+    // DOMINANT share (>1/6) of some promo part's volume. The part cut
+    // broadcasts into lineitem, per-(part, supplier) quantities aggregate
+    // in the fact's only shuffle, per-part totals re-aggregate the THIN
+    // pair table (bounded by distinct pairs, never lineitem), and the
+    // share gate cross-multiplies — 6·ps_qty > p_qty — staying exact
+    // decimal. The 1/6 threshold is chosen so survivors EXIST on this
+    // generator (every PROMO part has 15-41 suppliers, max per-supplier
+    // share ~21%): a strict-majority gate returned 0 rows at every SF and
+    // the whole two-level construction went unexercised (ADVICE r7).
+    // Only the dominated-part counts reach the supplier dim
     "q_dominant_supplier" -> ((s, d) => {
       val keys = Tables.part(s, d).filter(col("p_type") === "PROMO")
         .select("p_partkey")
@@ -456,7 +462,7 @@ object SparkEntry {
         .agg(sum(col("ps_qty")).as("p_qty"))
       val dominated = perPS
         .join(perP, col("l_partkey") === col("pp_key"))
-        .filter(col("ps_qty") * 2 > col("p_qty"))
+        .filter(col("ps_qty") * 6 > col("p_qty"))
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("n_dominated"))
       Tables.supplier(s, d)
@@ -1202,10 +1208,17 @@ object SparkEntry {
     // by the deletion-alignment theorem, precision by the levenshtein
     // verify). maxBucket = 1024 demonstrates the degenerate-flood guard —
     // provably inert here (zero-padded name buckets are ≤ ~200: two free
-    // digit positions), so the brute-force oracle still matches exactly
+    // digit positions), so the brute-force oracle still matches exactly.
+    // Runs on a deterministic quarter of customers (custkey ≡ 0 mod 4):
+    // at full width the k=2 answer is ~4.1 M verified pairs at sf0.1 —
+    // output-bound, 25 s of pure result production that was 1/6 of the
+    // whole bench suite (VERDICT r7 §next-3). The slice keeps the exact
+    // same construction machine-checked (the oracle brute-forces the SAME
+    // slice) at 1/16th of the pair volume; k=1 stays full-width above.
     "q_fuzzy_join_k2" -> ((s, d) =>
       FuzzyJoin.selfPairs(
-        Tables.customer(s, d).select(col("c_custkey"), col("c_name")),
+        Tables.customer(s, d).filter(col("c_custkey") % 4 === 0)
+          .select(col("c_custkey"), col("c_name")),
         "c_custkey", "c_name", k = 2, maxBucket = 1024)),
 
     // damped PageRank over the part↔supplier bipartite graph (both edge
@@ -2263,7 +2276,7 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     // the Q20 shape re-derived: the same two-level aggregation and the
-    // cross-multiplied majority gate
+    // cross-multiplied >1/6-share gate
     "q_dominant_supplier" ->
       """WITH ps AS (
         |  SELECT l_partkey, l_suppkey,
@@ -2274,7 +2287,7 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, count(*) AS n_dominated
         |FROM ps JOIN p ON l_partkey = pp_key
         |JOIN supplier ON s_suppkey = l_suppkey
-        |WHERE ps_qty * 2 > p_qty
+        |WHERE ps_qty * 6 > p_qty
         |GROUP BY 1, 2""".stripMargin,
 
     // the Q2 shape re-derived: raw-value min, (key, value) equality
@@ -2312,7 +2325,8 @@ object SparkEntry {
         |a.c_name AS str_a, b.c_name AS str_b,
         |CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+        |WHERE a.c_custkey % 4 = 0 AND b.c_custkey % 4 = 0
+        |AND levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
 
     "q_pagerank" -> pageRankSql,
 

@@ -294,7 +294,14 @@ object TextAnalysis {
       .select(concat(lit(S), regexp_replace(col("tok"), "(.)", "$1" + S)).as("toks"),
         col("cnt"))
       .persist()
-    vocab.count(): Unit
+    // One action per round, not two: each round's argmax collect is ALSO the
+    // action that materializes the current vocab's persist (the pair-count
+    // aggregation reads every cached row). The parent generation stays
+    // persisted until its child is materialized by the NEXT round's argmax,
+    // so lineage never recomputes — at most two generations cached at once,
+    // the same high-water mark the old per-round count() had, at half the
+    // job count (the fixed per-action overhead dominated at bench scale).
+    var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var done = false
@@ -310,6 +317,8 @@ object TextAnalysis {
           col("cnt"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r")).agg(sum("cnt").as("cnt"))
       val best = pairs.orderBy(col("cnt").desc, col("l"), col("r")).limit(1).collect()
+      // `vocab` is materialized now — its parent's cache can finally go
+      if (prev != null) { prev.unpersist(); prev = null }
       if (best.isEmpty) done = true
       else {
         val l = best(0).getString(0); val rt = best(0).getString(1)
@@ -317,12 +326,12 @@ object TextAnalysis {
         val next = vocab.withColumn("toks",
           call_function("replace", col("toks"),
             lit(S + l + S + rt + S), lit(S + l + rt + S))).persist()
-        next.count(): Unit
-        vocab.unpersist()
+        prev = vocab
         vocab = next
         r += 1
       }
     }
+    if (prev != null) prev.unpersist()
     vocab.unpersist()
     merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
   }
