@@ -966,6 +966,39 @@ object SparkEntry {
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
     }),
 
+    // ---- SQL MERGE with conditional clauses + DELETE (CDC apply): the
+    // change feed carries tombstones (op='D' → WHEN MATCHED DELETE),
+    // repricings (op='U' → partial SET reading the OLD target row:
+    // t.o_totalprice + s.delta), and brand-new keys; unmatched tombstones
+    // are dropped by the insert clause's condition. First-match-wins
+    // clause order, one transactional commit ----
+    "q_sql_merge_delete" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_sqlmdel").toString + "/t"
+      val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderstatus")
+      graft.sources.ManifestTable.overwrite(s, dir,
+        orders.repartitionByRange(8, col("o_orderkey")), statsCols = Seq("o_orderkey"))
+      s.sql("DROP TABLE IF EXISTS q_sql_mdel_t")
+      s.sql(s"CREATE TABLE q_sql_mdel_t USING graft OPTIONS (path '$dir')")
+      orders.filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey").as("k"), lit("D").as("op"), lit(0.0).as("delta"))
+        .unionAll(orders.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 0)
+          .select(col("o_orderkey").as("k"), lit("U").as("op"), lit(1.0).as("delta")))
+        .unionAll(orders.filter(col("o_orderkey") % 997 === 0)
+          .select((col("o_orderkey") + 30000000L).as("k"), lit("I").as("op"), lit(1.0).as("delta")))
+        .unionAll(orders.filter(col("o_orderkey") % 997 === 1)
+          .select((col("o_orderkey") + 60000000L).as("k"), lit("D").as("op"), lit(0.0).as("delta")))
+        .createOrReplaceTempView("q_sql_mdel_src")
+      s.sql("""MERGE INTO q_sql_mdel_t t USING q_sql_mdel_src s
+              |ON t.o_orderkey = s.k
+              |WHEN MATCHED AND s.op = 'D' THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET
+              |  o_totalprice = t.o_totalprice + s.delta, o_orderstatus = 'M'
+              |WHEN NOT MATCHED AND s.op <> 'D' THEN
+              |  INSERT (o_orderkey, o_totalprice, o_orderstatus) VALUES (s.k, s.delta, 'N')""".stripMargin)
+      graft.sources.ManifestTable.read(s, dir)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    }),
+
     // ---- incrementally maintained aggregate materialized view ----
     // the source table evolves through append → refresh → append → delete →
     // refresh → append → refresh; each refresh reads ONLY the source files
@@ -3195,6 +3228,18 @@ object SparkEntry {
         |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
         |CASE WHEN o_orderkey % 7 = 0 THEN 'M' ELSE o_orderstatus END AS o_orderstatus
         |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 30000000, 1.0, 'N'
+        |FROM orders WHERE o_orderkey % 997 = 0""".stripMargin,
+
+    // the conditional MERGE re-derived: tombstoned keys filtered out,
+    // updated keys as a CASE projection reading the OLD row, new keys
+    // appended; unmatched tombstones (the +60000000 batch) never land
+    "q_sql_merge_delete" ->
+      """SELECT o_orderkey,
+        |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+        |CASE WHEN o_orderkey % 7 = 0 THEN 'M' ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders WHERE o_orderkey % 13 <> 0
         |UNION ALL
         |SELECT o_orderkey + 30000000, 1.0, 'N'
         |FROM orders WHERE o_orderkey % 997 = 0""".stripMargin,

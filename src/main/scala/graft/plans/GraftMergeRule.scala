@@ -1,38 +1,44 @@
 package graft.plans
 
 import graft.sources.GraftRelation
-import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.types.StructType
 
 /** SQL `MERGE INTO t USING s ON ... WHEN MATCHED ... WHEN NOT MATCHED ...`
-  * over graft tables — the lakehouse upsert statement, lowered onto the
-  * existing transactional `ManifestTable.merge` (key-scoped copy-on-write:
+  * over graft tables — the lakehouse upsert/CDC-apply statement, lowered
+  * onto the transactional key-scoped `ManifestTable.merge` (copy-on-write:
   * on partitioned tables only the partitions holding source keys rewrite;
   * concurrent commits rebase or throw, never clobber).
   *
-  * Supported shape (the classic upsert, which the analyzer's star
-  * expansion also produces for `UPDATE SET *` / `INSERT *`):
+  * Supported shape:
   *   - ON: a conjunction of equalities, each between one target column and
   *     one source column
-  *   - WHEN MATCHED THEN UPDATE SET <every target column = source expr>
-  *     (at most one, unconditional)
-  *   - WHEN NOT MATCHED THEN INSERT <every target column = source expr>
-  *     (at most one, unconditional)
-  *   - at least one of the two; no NOT MATCHED BY SOURCE clauses
+  *   - WHEN MATCHED [AND cond] THEN UPDATE SET ... — any number, evaluated
+  *     first-match-wins in statement order. SET may be PARTIAL (unset
+  *     columns keep the current target value) and right-hand sides may
+  *     reference BOTH sides (`SET n = t.n + s.n`): matched rows evaluate
+  *     over the key-joined (target × source) row
+  *   - WHEN MATCHED [AND cond] THEN DELETE — the CDC tombstone leg
+  *   - WHEN NOT MATCHED [AND cond] THEN INSERT ... — any number,
+  *     first-match-wins; values and conditions reference source columns
+  *     only and must cover every target column
+  *   - no NOT MATCHED BY SOURCE clauses; no subqueries in conditions or
+  *     assignments
   *
-  * Either clause may be omitted: update-only merges touch no unmatched
-  * source rows (semi-join cut), insert-only merges keep every matched
-  * target row (anti-join cut). Right-hand sides must reference SOURCE
-  * columns only — a matched-update mixing in current target values (SET n
-  * = t.n + s.n) is not a row replacement and stays out of scope. Anything
-  * out of scope is left alone, so the v2-only CheckAnalysis still fails it
-  * loudly instead of silently mis-running.
+  * A matched row where NO clause condition fires is kept unchanged; an
+  * unmatched source row where no insert condition fires is dropped. As with
+  * `ManifestTable.merge`, one source row per key is the supported
+  * cardinality — several source rows matching one target key all take
+  * effect (the SQL-standard "cardinality violation" is not detected).
+  * Anything out of scope is left alone, so the v2-only CheckAnalysis still
+  * fails it loudly instead of silently mis-running.
   */
 object GraftMergeRule extends Rule[LogicalPlan] {
 
@@ -65,22 +71,44 @@ object GraftMergeRule extends Rule[LogicalPlan] {
     if (pairs.forall(_.isDefined)) Some(pairs.flatten) else None
   }
 
-  /** Assignments as (targetName -> sourceExpr), provided they cover every
-    * target column exactly once and reference only source attributes. */
+  /** Re-anchor an analyzed expression for evaluation over the prefixed
+    * (target × source) join at execution time: target attributes become
+    * `__tgt_<name>`, source attributes `__src_<name>` — unresolved by-name
+    * references that the command's own DataFrames resolve. None when the
+    * expression references anything else, contains a subquery, or (with
+    * `srcOnly`) touches the target side.
+    */
+  private def encode(e: Expression, tgt: LogicalPlan, src: LogicalPlan,
+                     srcOnly: Boolean = false): Option[Expression] = {
+    if (e.exists(_.isInstanceOf[SubqueryExpression])) return None
+    var ok = true
+    val enc = e.transform {
+      case a: AttributeReference =>
+        if (!srcOnly && tgt.outputSet.contains(a)) UnresolvedAttribute.quoted("__tgt_" + a.name)
+        else if (src.outputSet.contains(a)) UnresolvedAttribute.quoted("__src_" + a.name)
+        else { ok = false; a }
+    }
+    if (ok) Some(enc) else None
+  }
+
+  /** Assignments as (targetName -> encoded expr); each assigned column must
+    * be a target column, assigned at most once; `full` additionally
+    * requires every target column covered (INSERT has no fallback value).
+    */
   private def rowSets(assignments: Seq[Assignment], tgt: LogicalPlan,
-                      src: LogicalPlan): Option[Seq[(String, Expression)]] = {
+                      src: LogicalPlan, srcOnly: Boolean,
+                      full: Boolean): Option[Seq[(String, Expression)]] = {
     val sets = assignments.map {
-      case Assignment(key: AttributeReference, value)
-          if tgt.outputSet.contains(key) &&
-            value.references.subsetOf(src.outputSet) &&
-            !value.exists(_.isInstanceOf[SubqueryExpression]) =>
-        Some(key.name -> value)
+      case Assignment(key: AttributeReference, value) if tgt.outputSet.contains(key) =>
+        encode(value, tgt, src, srcOnly).map(key.name -> _)
       case _ => None
     }
+    val assigned = sets.flatten.map(_._1)
     val names = tgt.output.map(_.name)
-    if (sets.forall(_.isDefined) &&
-        sets.flatten.map(_._1).sorted == names.sorted.toSeq)
-      Some(sets.flatten) else None
+    val covered =
+      if (full) assigned.sorted == names.sorted.toSeq
+      else assigned.distinct.length == assigned.length && assigned.forall(names.contains)
+    if (sets.forall(_.isDefined) && covered) Some(sets.flatten) else None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
@@ -89,84 +117,143 @@ object GraftMergeRule extends Rule[LogicalPlan] {
         (m.matchedActions.nonEmpty || m.notMatchedActions.nonEmpty) =>
       graftOf(m.targetTable) match {
         case Some(rel) =>
+          val tgt = m.targetTable; val src = m.sourceTable
+          def encCond(c: Option[Expression], srcOnly: Boolean): Option[Option[Expression]] =
+            c match {
+              case None => Some(None)
+              case Some(e) => encode(e, tgt, src, srcOnly).map(Some(_))
+            }
           val lowered = for {
-            keys <- keyPairs(m.mergeCondition, m.targetTable, m.sourceTable)
-            upd <- m.matchedActions match {
-              case Seq() => Some(None)
-              case Seq(UpdateAction(None, as, _)) =>
-                rowSets(as, m.targetTable, m.sourceTable).map(Some(_))
+            keys <- keyPairs(m.mergeCondition, tgt, src)
+            matched <- traverse(m.matchedActions) {
+              case UpdateAction(c, as, _) => for {
+                cond <- encCond(c, srcOnly = false)
+                sets <- rowSets(as, tgt, src, srcOnly = false, full = false)
+              } yield (cond, Some(sets))
+              case DeleteAction(c) =>
+                encCond(c, srcOnly = false).map(cond => (cond, None))
               case _ => None
             }
-            ins <- m.notMatchedActions match {
-              case Seq() => Some(None)
-              case Seq(InsertAction(None, as)) =>
-                rowSets(as, m.targetTable, m.sourceTable).map(Some(_))
+            notMatched <- traverse(m.notMatchedActions) {
+              case InsertAction(c, as) => for {
+                cond <- encCond(c, srcOnly = true)
+                sets <- rowSets(as, tgt, src, srcOnly = true, full = true)
+              } yield (cond, sets)
               case _ => None
             }
-          } yield GraftMergeCommand(rel.tablePath, m.sourceTable, keys, upd, ins)
+          } yield GraftMergeCommand(rel.tablePath, src, keys, matched, notMatched)
           lowered.getOrElse(plan)
         case None => plan
       }
     case _ => plan
   }
+
+  private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {
+    val ys = xs.map(f)
+    if (ys.forall(_.isDefined)) Some(ys.flatten) else None
+  }
 }
 
 /** Runnable form of the lowered MERGE. The source plan re-runs as its own
-  * query at execution time; right-hand sides re-anchor on it by attribute
-  * NAME (requiring distinct source column names), values cast to the
-  * target's declared types so the table schema is invariant. The update /
-  * insert row sets split by a key semi/anti join against the target's
-  * current keys — skipped entirely when both clauses are present and
-  * produce the same row (the `SET * / INSERT *` case), where the merge is
-  * a straight upsert of the whole source.
+  * query at execution time; expressions were re-anchored at lowering time
+  * onto `__tgt_`/`__src_`-prefixed by-name references (requiring distinct
+  * source column names), so matched clauses evaluate over the key-joined
+  * (target × source) row and values cast to the target's declared types —
+  * the table schema is invariant under merge.
+  *
+  * Clause semantics are first-match-wins: one CASE over the clause
+  * conditions assigns each matched (or unmatched) row to the first clause
+  * whose condition holds; update clauses project replacement rows, delete
+  * clauses contribute their target keys to the merge's `deleteKeys`, and
+  * unassigned rows are left untouched. The pure `SET * / INSERT *` upsert
+  * (single unconditional clauses producing the same source-only row) skips
+  * the target join entirely — the merge is a straight upsert of the source.
   */
 case class GraftMergeCommand(path: String, source: LogicalPlan,
                              keys: Seq[(String, String)],
-                             updateSets: Option[Seq[(String, Expression)]],
-                             insertSets: Option[Seq[(String, Expression)]])
+                             matched: Seq[(Option[Expression], Option[Seq[(String, Expression)]])],
+                             notMatched: Seq[(Option[Expression], Seq[(String, Expression)])])
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Nil
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
-  private def byName(e: Expression): Expression = e.transform {
-    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
-  }
-
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.graft.bridge.{ofRows, toColumn}
-    val src = ofRows(spark, source)
-    require(src.columns.distinct.length == src.columns.length,
-      s"MERGE source has duplicate column names (${src.columns.mkString(", ")}) — " +
+    val src0 = ofRows(spark, source)
+    require(src0.columns.distinct.length == src0.columns.length,
+      s"MERGE source has duplicate column names (${src0.columns.mkString(", ")}) — " +
         "alias them apart; name-anchored rewrite needs unambiguous names")
+    val srcP = src0.select(src0.columns.toSeq.map(c => col(c).as("__src_" + c)): _*)
     val tgt = graft.sources.ManifestTable.read(spark, path)
-    def proj(sets: Seq[(String, Expression)]): Seq[Column] = {
-      val byTarget = sets.toMap
-      tgt.schema.fields.toSeq.map { f =>
-        toColumn(byName(byTarget(f.name))).cast(f.dataType).as(f.name)
-      }
+    val tgtFields = tgt.schema.fields.toSeq
+
+    def condCol(c: Option[Expression]): Column = c.map(toColumn).getOrElse(lit(true))
+    // 1-based first-match-wins clause index; 0 = no clause fires
+    def clauseIdx(conds: Seq[Option[Expression]]): Column =
+      conds.zipWithIndex.drop(1)
+        .foldLeft(when(condCol(conds.head), lit(1))) {
+          case (acc, (c, i)) => acc.when(condCol(c), lit(i + 1))
+        }.otherwise(lit(0))
+    def updProj(sets: Seq[(String, Expression)]): Seq[Column] = {
+      val byName = sets.toMap
+      tgtFields.map(f => byName.get(f.name).map(toColumn)
+        .getOrElse(col("__tgt_" + f.name)).cast(f.dataType).as(f.name))
     }
-    val updates = (updateSets, insertSets) match {
-      case (Some(u), Some(i)) if proj(u).map(_.toString) == proj(i).map(_.toString) =>
-        src.select(proj(u): _*)
-      case _ =>
-        // target's current key set, renamed to the source-side key names
-        // for the cut joins (distinct: it only gates membership)
-        val tk = tgt.select(keys.map { case (t, s) => col(t).as(s) }: _*).distinct()
-        val sKeys = keys.map(_._2)
-        val up = updateSets.map(u =>
-          src.join(tk, sKeys, "left_semi").select(proj(u): _*))
-        val in = insertSets.map(i =>
-          src.join(tk, sKeys, "left_anti").select(proj(i): _*))
-        (up, in) match {
-          case (Some(a), Some(b)) => a.unionAll(b)
-          case (Some(a), None) => a
-          case (None, Some(b)) => b
-          case (None, None) => sys.error("unreachable: rule requires a clause")
+    def insProj(sets: Seq[(String, Expression)]): Seq[Column] = {
+      val byName = sets.toMap
+      tgtFields.map(f => toColumn(byName(f.name)).cast(f.dataType).as(f.name))
+    }
+
+    // pure-upsert fast path: single unconditional SET-*/INSERT-* clauses
+    // producing the same source-only row — no target join needed at all
+    val fast = (matched, notMatched) match {
+      case (Seq((None, Some(u))), Seq((None, i)))
+          if u.length == tgtFields.length &&
+            (u ++ i).forall(!_._2.exists {
+              case a: UnresolvedAttribute => a.name.startsWith("__tgt_")
+              case _ => false
+            }) && insProj(u).map(_.toString) == insProj(i).map(_.toString) =>
+        Some(srcP.select(insProj(u): _*))
+      case _ => None
+    }
+
+    val (updates, deletes) = fast match {
+      case Some(up) => (up, None)
+      case None =>
+        val tgtP = tgt.select(tgt.columns.toSeq.map(c => col(c).as("__tgt_" + c)): _*)
+        var upserts = List.empty[DataFrame]
+        var deleteKeys: Option[DataFrame] = None
+        if (matched.nonEmpty) {
+          val joinCond = keys.map { case (t, s) =>
+            col("__tgt_" + t) === col("__src_" + s) }.reduce(_ && _)
+          val tagged = tgtP.join(srcP, joinCond, "inner")
+            .withColumn("__clause", clauseIdx(matched.map(_._1)))
+          upserts ++= matched.zipWithIndex.collect { case ((_, Some(sets)), i) =>
+            tagged.filter(col("__clause") === (i + 1)).select(updProj(sets): _*) }
+          val delIdx = matched.zipWithIndex.collect { case ((_, None), i) => i + 1 }
+          if (delIdx.nonEmpty)
+            deleteKeys = Some(tagged.filter(col("__clause").isin(delIdx: _*))
+              .select(keys.map { case (t, _) => col("__tgt_" + t).as(t) }: _*)
+              .distinct())
         }
+        if (notMatched.nonEmpty) {
+          // target's current key set renamed to the source-side names for
+          // the anti-join cut (distinct: it only gates membership)
+          val tk = tgt.select(keys.map { case (t, s) => col(t).as("__src_" + s) }: _*)
+            .distinct()
+          val tagged = srcP.join(tk, keys.map("__src_" + _._2), "left_anti")
+            .withColumn("__clause", clauseIdx(notMatched.map(_._1)))
+          upserts ++= notMatched.zipWithIndex.map { case ((_, sets), i) =>
+            tagged.filter(col("__clause") === (i + 1)).select(insProj(sets): _*) }
+        }
+        val up = upserts.reduceOption(_ unionAll _).getOrElse(
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            StructType(tgtFields)))
+        (up, deleteKeys)
     }
     graft.sources.ManifestTable.merge(spark, path, updates,
-      keys.map(_._1)): Unit
+      keys.map(_._1), deleteKeys = deletes): Unit
     spark.sessionState.catalog.invalidateAllCachedTables()
     Nil
   }

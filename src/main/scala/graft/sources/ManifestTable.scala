@@ -1191,11 +1191,13 @@ object ManifestTable {
   }
 
   /** Keyed MERGE (upsert): rows whose `keys` match existing rows replace
-    * them, new keys are appended. Only partitions touched by the update
-    * batch — including partitions holding the OLD copy of a moved key — are
-    * rewritten; a partition drained to zero rows just drops out of the
-    * manifest. Semantics mirror [[graft.operators.MergeUpsert]] (reference
-    * `etl.py`'s dedup-insert, §7.4.4) with a transactional commit.
+    * them, new keys are appended, and any key in `deleteKeys` is removed
+    * outright (the CDC-apply / `WHEN MATCHED THEN DELETE` leg). Only
+    * partitions touched by the update batch — including partitions holding
+    * the OLD copy of a moved or deleted key — are rewritten; a partition
+    * drained to zero rows just drops out of the manifest. Semantics mirror
+    * [[graft.operators.MergeUpsert]] (reference `etl.py`'s dedup-insert,
+    * §7.4.4) with a transactional commit.
     *
     * Concurrency: a merge's rewritten rows are DERIVED from the snapshot it
     * read, so a lost commit race rebases only when the winner's delta
@@ -1207,20 +1209,30 @@ object ManifestTable {
     * losing attempt are unreferenced and swept by [[vacuum]].
     */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
-            keys: Seq[String], partitionCols: Seq[String] = Nil): Long =
+            keys: Seq[String], partitionCols: Seq[String] = Nil,
+            deleteKeys: Option[DataFrame] = None): Long =
     currentVersion(spark, path) match {
       case None =>
         // lost CREATE race → the table exists now; merge into it instead of
-        // letting overwrite's retry replace the winner's rows
+        // letting overwrite's retry replace the winner's rows. Deletes
+        // against a table that does not exist yet are no-ops by definition.
         createExclusive(spark, path, updates, partitionCols)
-          .getOrElse(merge(spark, path, updates, keys, partitionCols))
+          .getOrElse(merge(spark, path, updates, keys, partitionCols, deleteKeys))
       case Some(v) =>
         val m = readManifest(spark, path, v)
         requireCompatible(updates, m, "merge")
         val existing = readVersion(spark, path, v)
         val ordered = existing.columns.map(col).toSeq
+        // every key this merge removes from the current snapshot: keys being
+        // replaced by an update row, plus keys deleted outright (MERGE's
+        // WHEN MATCHED THEN DELETE). One key set drives the anti-join cut,
+        // the affected-partition discovery, and the rebase overlap check —
+        // a deleted key races with a concurrent append exactly like an
+        // updated one does.
+        val touchKeys = deleteKeys.foldLeft(updates.select(keys.map(col): _*))(
+          (u, dk) => u.unionByName(dk.select(keys.map(col): _*)))
         if (m.partitionCols.isEmpty) {
-          val kept = existing.join(updates.select(keys.map(col): _*), keys, "left_anti")
+          val kept = existing.join(touchKeys, keys, "left_anti")
           val next = kept.unionByName(updates.select(ordered: _*)).localCheckpoint(true)
           val files = writeDataFiles(spark, path, next, Nil)
           // full-table rewrite: ANY concurrent commit invalidates the
@@ -1234,14 +1246,14 @@ object ManifestTable {
           // the updated keys; bounded by the batch size, safe to collect
           val affected = updates.select(pCols: _*)
             .union(existing
-              .join(broadcast(updates.select(keys.map(col): _*).distinct()), keys, "left_semi")
+              .join(broadcast(touchKeys.distinct()), keys, "left_semi")
               .select(pCols: _*))
             .distinct().collect().map(_.toSeq)
           val affectedDf = spark.createDataFrame(
             spark.sparkContext.parallelize(affected.map(Row.fromSeq).toSeq, 1),
             existing.select(pCols: _*).schema)
           val kept = existing.join(broadcast(affectedDf), m.partitionCols)
-            .join(updates.select(keys.map(col): _*), keys, "left_anti")
+            .join(touchKeys, keys, "left_anti")
           val next = kept.unionByName(updates.select(ordered: _*)).localCheckpoint(true)
           val added = writeDataFiles(spark, path, next, m.partitionCols)
           // remove every affected partition's old entries (NOT just dirs the
@@ -1281,8 +1293,7 @@ object ManifestTable {
                   val freshPaths = fresh.map(rel => new Path(dataDir(path), rel).toString)
                   val overlap = spark.read.schema(now.schema)
                     .option("basePath", dataDir(path).toString).parquet(freshPaths: _*)
-                    .join(broadcast(updates.select(keys.map(col): _*).distinct()),
-                      keys, "left_semi")
+                    .join(broadcast(touchKeys.distinct()), keys, "left_semi")
                   if (!overlap.isEmpty) throw new java.util.ConcurrentModificationException(
                     s"merge of $path lost to a commit that appended rows sharing its " +
                       "merge keys — re-run against the new snapshot")

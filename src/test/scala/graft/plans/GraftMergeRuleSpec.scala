@@ -137,7 +137,84 @@ class GraftMergeRuleSpec extends SparkSpec {
     } finally s.sql("DROP TABLE IF EXISTS mrg_part"): Unit
   }
 
-  test("out-of-scope MERGE (target-referencing RHS) still fails loudly") {
+  test("partial SET with target-referencing RHS evaluates over the joined row") {
+    val s = extSpark
+    import s.implicits._
+    target(s, "trhs", baseRows)
+    try {
+      Seq((2L, 5L), (3L, 7L)).toDF("sid", "delta").createOrReplaceTempView("src_trhs")
+      s.sql("""MERGE INTO mrg_trhs t USING src_trhs s ON t.id = s.sid
+              |WHEN MATCHED THEN UPDATE SET n = t.n + s.delta""".stripMargin)
+      // unset columns (id, v) keep their target values; n reads the OLD row
+      assert(s.sql("SELECT id, v, n FROM mrg_trhs ORDER BY id").as[(Long, String, Long)]
+        .collect() === Array((1L, "a", 10L), (2L, "b", 25L), (3L, "c", 37L)))
+    } finally s.sql("DROP TABLE IF EXISTS mrg_trhs"): Unit
+  }
+
+  test("WHEN MATCHED THEN DELETE removes matched keys; unmatched insert") {
+    val s = extSpark
+    import s.implicits._
+    val path = target(s, "del", baseRows)
+    try {
+      Seq((2L, "x", 0L), (5L, "e", 50L)).toDF("id", "v", "n")
+        .createOrReplaceTempView("src_del")
+      s.sql("""MERGE INTO mrg_del t USING src_del s ON t.id = s.id
+              |WHEN MATCHED THEN DELETE
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(s.sql("SELECT id, v FROM mrg_del ORDER BY id").as[(Long, String)]
+        .collect() === Array((1L, "a"), (3L, "c"), (5L, "e")))
+      // transactional: the pre-merge snapshot still reads intact
+      assert(ManifestTable.readVersion(s, path, 1L).count() === 3L)
+    } finally s.sql("DROP TABLE IF EXISTS mrg_del"): Unit
+  }
+
+  test("conditional clauses evaluate first-match-wins in statement order") {
+    val s = extSpark
+    import s.implicits._
+    target(s, "cond", Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L)))
+    try {
+      // op per key: 1 → tombstone, 2 → upgrade, 3 → no clause fires (kept),
+      // 9 (unmatched) → inserted only when op says so, 8 (unmatched) → dropped
+      Seq((1L, "D", 0L), (2L, "U", 200L), (3L, "X", 999L),
+          (9L, "U", 90L), (8L, "D", 80L)).toDF("sid", "op", "sn")
+        .createOrReplaceTempView("src_cond")
+      s.sql("""MERGE INTO mrg_cond t USING src_cond s ON t.id = s.sid
+              |WHEN MATCHED AND s.op = 'D' THEN DELETE
+              |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET n = s.sn, v = concat(t.v, '+')
+              |WHEN NOT MATCHED AND s.op = 'U' THEN INSERT (id, v, n) VALUES (s.sid, 'new', s.sn)""".stripMargin)
+      assert(s.sql("SELECT id, v, n FROM mrg_cond ORDER BY id").as[(Long, String, Long)]
+        .collect() === Array((2L, "b+", 200L), (3L, "c", 30L), (4L, "d", 40L), (9L, "new", 90L)))
+    } finally s.sql("DROP TABLE IF EXISTS mrg_cond"): Unit
+  }
+
+  test("DELETE on a partitioned table drains the key's partition only") {
+    val s = extSpark
+    import s.implicits._
+    val path = Files.createTempDirectory("sqlmrg_pdel").toString + "/t"
+    val df = Seq((1L, "p1", 10L), (2L, "p2", 20L), (3L, "p2", 30L), (4L, "p3", 40L))
+      .toDF("id", "p", "n")
+    ManifestTable.overwrite(s, path, df, partitionCols = Seq("p"))
+    s.sql(s"CREATE TABLE mrg_pdel USING graft OPTIONS (path '$path')")
+    try {
+      def files(v: Long): Set[String] = {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path, "_manifests", f"m$v%012d.txt")))
+        txt.split("\n").filter(_.startsWith("file=")).map(_.stripPrefix("file=")).toSet
+      }
+      val before = files(1L)
+      Seq((2L, "p2")).toDF("id", "p").createOrReplaceTempView("src_pdel")
+      s.sql("""MERGE INTO mrg_pdel t USING src_pdel s ON t.id = s.id
+              |WHEN MATCHED THEN DELETE""".stripMargin)
+      assert(s.sql("SELECT id FROM mrg_pdel ORDER BY id").as[Long].collect()
+        === Array(1L, 3L, 4L))
+      // p1 and p3 hold no touched keys: their files carry byte-identical
+      val carried = before & files(2L)
+      assert(carried.exists(_.contains("p=p1")) && carried.exists(_.contains("p=p3")),
+        s"expected p=p1 and p=p3 files carried untouched, carried=$carried")
+    } finally s.sql("DROP TABLE IF EXISTS mrg_pdel"): Unit
+  }
+
+  test("out-of-scope MERGE (NOT MATCHED BY SOURCE) still fails loudly") {
     val s = extSpark
     import s.implicits._
     target(s, "oos", baseRows)
@@ -145,12 +222,28 @@ class GraftMergeRuleSpec extends SparkSpec {
       Seq((2L, "x", 1L)).toDF("id", "v", "n").createOrReplaceTempView("src_oos")
       val e = intercept[Exception] {
         s.sql("""MERGE INTO mrg_oos t USING src_oos s ON t.id = s.id
-                |WHEN MATCHED THEN UPDATE SET n = t.n + s.n""".stripMargin)
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
       }
       // v2-only CheckAnalysis (or the unsupported-action path) rejects it;
       // the essential property is that it did NOT silently run
       assert(s.sql("SELECT n FROM mrg_oos WHERE id = 2").as[Long].head() === 20L,
         s"out-of-scope merge must not mutate the table (error was: ${e.getMessage})")
     } finally s.sql("DROP TABLE IF EXISTS mrg_oos"): Unit
+  }
+
+  test("out-of-scope MERGE (subquery in a clause condition) still fails loudly") {
+    val s = extSpark
+    import s.implicits._
+    target(s, "oosq", baseRows)
+    try {
+      Seq((2L, "x", 1L)).toDF("id", "v", "n").createOrReplaceTempView("src_oosq")
+      val e = intercept[Exception] {
+        s.sql("""MERGE INTO mrg_oosq t USING src_oosq s ON t.id = s.id
+                |WHEN MATCHED AND s.n IN (SELECT n FROM src_oosq) THEN DELETE""".stripMargin)
+      }
+      assert(s.sql("SELECT n FROM mrg_oosq WHERE id = 2").as[Long].head() === 20L,
+        s"out-of-scope merge must not mutate the table (error was: ${e.getMessage})")
+    } finally s.sql("DROP TABLE IF EXISTS mrg_oosq"): Unit
   }
 }
