@@ -905,6 +905,15 @@ object SparkEntry {
         graft.functions.ZOrder.interleave2(
           col("o_custkey"), year(col("o_orderdate")).cast("long")).as("z"))),
 
+    // 3-column Morton code (the common lakehouse OPTIMIZE ZORDER BY ask;
+    // bit i of column j lands at i·3+j — the oracle restates the exact
+    // shift/mask lattice, so any interleave bug breaks the hash)
+    "q_zorder3" -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"),
+        graft.functions.ZOrder.interleaveN(Seq(
+          col("o_custkey"), year(col("o_orderdate")).cast("long"),
+          col("o_orderkey") % 8), bitsPerCol = 21).as("z"))),
+
     // ---- SQL DML over the registered table format ----
     // the full SQL workflow: CREATE TABLE USING graft → DELETE FROM (the
     // GraftDeleteRule lowering → copy-on-write zone-pruned rewrite) →
@@ -3212,6 +3221,12 @@ object SparkEntry {
     "q_zorder" ->
       s"""SELECT o_orderkey,
          |${graft.functions.ZOrder.interleaveSql("o_custkey", "year(o_orderdate)")} AS z
+         |FROM orders""".stripMargin,
+
+    "q_zorder3" ->
+      s"""SELECT o_orderkey,
+         |${graft.functions.ZOrder.interleaveSqlN(
+               Seq("o_custkey", "year(o_orderdate)", "(o_orderkey % 8)"), 21)} AS z
          |FROM orders""".stripMargin,
 
     // the DELETE predicate negated, with SQL NULL semantics (no NULLs in
