@@ -933,6 +933,22 @@ object SparkEntry {
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
     }),
 
+    // ---- merge-on-read point deletes (deletion vectors): the same
+    // row-level exactness as q_sql_delete but through position sidecars —
+    // no data file is rewritten (DeletionVectorSpec asserts the bytes);
+    // readers anti-join the broadcast position set ----
+    "q_delete_vector" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_dv").toString + "/t"
+      graft.sources.ManifestTable.overwrite(s, dir,
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .repartitionByRange(8, col("o_orderkey")),
+        statsCols = Seq("o_orderkey"))
+      graft.sources.ManifestTable.deleteVectorized(s, dir,
+        col("o_orderkey") % 500 === 7)
+      graft.sources.ManifestTable.read(s, dir)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    }),
+
     // ---- SQL UPDATE on a graft table (copy-on-write row-level update;
     // RHS reads the OLD row, zone-pruned touched-file discovery) ----
     "q_sql_update" -> ((s, d) => {
@@ -3258,6 +3274,13 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey + 30000000, 1.0, 'N'
         |FROM orders WHERE o_orderkey % 997 = 0""".stripMargin,
+
+    // the vectorized DELETE re-derived by predicate negation — identical
+    // contract to q_sql_delete's oracle, different deletion mechanism
+    "q_delete_vector" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders
+        |WHERE NOT (o_orderkey % 500 = 7)""".stripMargin,
 
     // the UPDATE re-derived as a CASE projection over the source rows
     "q_sql_update" ->

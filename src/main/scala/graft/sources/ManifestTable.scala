@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, MapType, StringType, StructField, StructType}
 import java.nio.charset.StandardCharsets
 
 /** A minimal snapshot-isolated table format over parquet — the manifest
@@ -60,7 +60,21 @@ object ManifestTable {
 
   private def manifestDir(path: String) = new Path(path, "_manifests")
   private def dataDir(path: String) = new Path(path, "data")
+  private def dvDir(path: String) = new Path(path, "_dv")
   private def manifestName(v: Long) = f"m$v%012d.txt"
+
+  /** Deletion-vector sidecar schema: deleted row positions keyed by data
+    * FILE NAME (names are commit-prefixed and therefore table-unique —
+    * keying by name instead of the partition-qualified rel path lets both
+    * the writer and the reader derive the key from `_metadata.file_path`
+    * with one split, no URI decoding).
+    */
+  private val DvSchema: StructType = StructType(Seq(
+    StructField("fname", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
+  private def fileNameOf(rel: String): String =
+    rel.substring(rel.lastIndexOf('/') + 1)
 
   /** Per-file zone map: column → (encoded min, encoded max); both None when
     * the file's column is entirely null (such a file can never satisfy a
@@ -73,13 +87,19 @@ object ManifestTable {
     *        (and `stats` is empty in memory) — the spill that keeps a
     *        10⁵-file table's manifest parse and pruning off the driver.
     *        The text manifest remains the commit root either way.
+    * @param dvs merge-on-read deletion vectors: data-file rel →
+    *        (DV parquet dir under `_dv/`, number of deleted rows). A file
+    *        with an entry is read MINUS the positions its DV names; a new
+    *        DV for a file REPLACES (and therefore must contain) the old
+    *        one. Bounded by files-with-point-deletes, not table size.
     */
   private[sources] case class Manifest(version: Long, schema: StructType,
                                        partitionCols: Seq[String], files: Seq[String],
                                        statsCols: Seq[String] = Nil,
                                        stats: Map[String, FileStats] = Map.empty,
                                        bloomCols: Seq[String] = Nil,
-                                       sidecar: Option[String] = None)
+                                       sidecar: Option[String] = None,
+                                       dvs: Map[String, (String, Long)] = Map.empty)
 
   // ------------------------------------------------------------------ reads
 
@@ -129,10 +149,17 @@ object ManifestTable {
       .map(_.split(",").toSeq).getOrElse(Nil)
     val sidecar = lines.find(_.startsWith("sidecar="))
       .map(_.stripPrefix("sidecar=")).filter(_.nonEmpty)
+    // dv=<rel>|<dvname>|<deletedCount> — same '|'-free-rel discipline as
+    // stats lines; absent in pre-DV manifests (they parse to an empty map)
+    val dvs = lines.filter(_.startsWith("dv=")).map(_.stripPrefix("dv="))
+      .map { l =>
+        val Array(rel, name, n) = l.split("\\|", -1)
+        rel -> ((name, n.toLong))
+      }.toMap
     Manifest(version, schema,
       if (parts.isEmpty) Nil else parts.split(",").toSeq,
       lines.filter(_.startsWith("file=")).map(_.stripPrefix("file=")),
-      statsCols, stats, bloomCols, sidecar)
+      statsCols, stats, bloomCols, sidecar, dvs)
   }
 
   /** Schema of a committed version, straight from its manifest (no data-file
@@ -151,12 +178,7 @@ object ManifestTable {
     */
   def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
     val m = readManifest(spark, path, version)
-    if (m.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
-    else
-      spark.read.schema(m.schema)
-        .option("basePath", dataDir(path).toString)
-        .parquet(m.files.map(rel => new Path(dataDir(path), rel).toString): _*)
+    readRels(spark, path, m, m.files)
   }
 
   /** Rows in the data files that `toVersion` references but `fromVersion`
@@ -171,14 +193,15 @@ object ManifestTable {
                        fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion, s"from $fromVersion > to $toVersion")
     val to = readManifest(spark, path, toVersion)
-    val before = readManifest(spark, path, fromVersion).files.toSet
-    val fresh = to.files.filterNot(before)
-    if (fresh.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], to.schema)
-    else
-      spark.read.schema(to.schema)
-        .option("basePath", dataDir(path).toString)
-        .parquet(fresh.map(rel => new Path(dataDir(path), rel).toString): _*)
+    val from = readManifest(spark, path, fromVersion)
+    val before = from.files.toSet
+    // a file whose deletion vector changed is a CHANGED file under the
+    // file-CDF contract: its new visible rows appear here, its old visible
+    // rows in readVersionRemoved — unchanged rows cancel in any additive
+    // consumer, exactly as for a rewritten file
+    val fresh = to.files.filter(rel =>
+      !before.contains(rel) || from.dvs.get(rel) != to.dvs.get(rel))
+    readRels(spark, path, to, fresh)
   }
 
   /** The other half of file-level change data capture: rows in the data
@@ -194,14 +217,13 @@ object ManifestTable {
                          fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion, s"from $fromVersion > to $toVersion")
     val from = readManifest(spark, path, fromVersion)
-    val after = readManifest(spark, path, toVersion).files.toSet
-    val gone = from.files.filterNot(after)
-    if (gone.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], from.schema)
-    else
-      spark.read.schema(from.schema)
-        .option("basePath", dataDir(path).toString)
-        .parquet(gone.map(rel => new Path(dataDir(path), rel).toString): _*)
+    val to = readManifest(spark, path, toVersion)
+    val after = to.files.toSet
+    // DV-changed files contribute their OLD visible rows (read under
+    // `from`'s DV state) — the mirror of readVersionDelta's fresh side
+    val gone = from.files.filter(rel =>
+      !after.contains(rel) || from.dvs.get(rel) != to.dvs.get(rel))
+    readRels(spark, path, from, gone)
   }
 
   // -------------------------------------------------------------- zone maps
@@ -617,14 +639,57 @@ object ManifestTable {
       .filter(col(colName) === lit(value))
   }
 
+  /** Read `rels` under `m`'s schema, applying `m`'s deletion vectors. Files
+    * without a DV read exactly as before (zero cost when no DVs exist: the
+    * split leaves `dvd` empty and the plan is the plain scan). DV'd files
+    * attach `_metadata` (file name + row index), anti-join the broadcast DV
+    * position set, and union back — deleted rows never leave the scan
+    * stage, and the big side is never shuffled.
+    */
   private def readRels(spark: SparkSession, path: String, m: Manifest,
                        rels: Seq[String]): DataFrame =
     if (rels.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
-    else
-      spark.read.schema(m.schema)
+    else {
+      val (dvd, plain) = rels.partition(m.dvs.contains)
+      def raw(rs: Seq[String]) = spark.read.schema(m.schema)
         .option("basePath", dataDir(path).toString)
-        .parquet(rels.map(rel => new Path(dataDir(path), rel).toString): _*)
+        .parquet(rs.map(rel => new Path(dataDir(path), rel).toString): _*)
+      val dvdDf = if (dvd.isEmpty) None else Some {
+        val scan = raw(dvd).select(col("*"),
+          expr("element_at(split(_metadata.file_path, '/'), -1)").as("__dv_fname"),
+          col("_metadata.row_index").as("__dv_pos"))
+        val positions = dvPositions(spark, path, m, dvd)
+          .select(col("fname").as("__dv_fname"), col("pos").as("__dv_pos"))
+        scan.join(broadcast(positions), Seq("__dv_fname", "__dv_pos"), "left_anti")
+          .select(m.schema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
+      }
+      val plainDf = if (plain.isEmpty) None else Some(raw(plain))
+      (plainDf, dvdDf) match {
+        case (Some(a), Some(b)) => a.unionByName(b)
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case _ => sys.error("unreachable: rels is non-empty")
+      }
+    }
+
+  /** The DV position set for `rels` (all of which must carry a DV in `m`):
+    * the union of their referenced DV dirs, restricted to their file names.
+    * Loading a dir that ALSO holds rows for a file whose entry has since
+    * moved to a newer DV is harmless — the newer DV is a superset by the
+    * replace-contains contract, and the restriction drops rows for files
+    * outside `rels` entirely.
+    */
+  private def dvPositions(spark: SparkSession, path: String, m: Manifest,
+                          rels: Seq[String]): DataFrame = {
+    val names = rels.map(rel => m.dvs(rel)._1).distinct
+    val all = names.map(n => spark.read.schema(DvSchema)
+        .parquet(new Path(dvDir(path), n).toString))
+      .reduce(_ unionAll _)
+    val wanted = spark.createDataset(rels.map(fileNameOf))(
+      org.apache.spark.sql.Encoders.STRING).toDF("fname")
+    all.join(broadcast(wanted), Seq("fname"), "left_semi")
+  }
 
   /** Metadata-only COUNT(*): Some(total) when every file of the current
     * snapshot carries a row count (recorded by the stats pass at commit
@@ -660,12 +725,16 @@ object ManifestTable {
   private[sources] def fastCountOf(spark: SparkSession, path: String,
                                    m: Manifest): Option[Long] = {
     if (m.files.isEmpty) return Some(0L)
+    // deletion vectors record their cardinality in the manifest, so the
+    // metadata count stays EXACT under merge-on-read: file row counts
+    // minus deleted positions
+    val dvDeleted = m.dvs.values.map(_._2).sum
     m.sidecar match {
       case None =>
         val counts = m.files.map(rel =>
           m.stats.get(rel).flatMap(_.get(RowsKey)).flatMap(_._1))
         if (counts.forall(_.isDefined))
-          Some(counts.flatten.map(e => decodeStat(e).asInstanceOf[Long]).sum)
+          Some(counts.flatten.map(e => decodeStat(e).asInstanceOf[Long]).sum - dvDeleted)
         else None
       case Some(_) =>
         // distributed: per-file row counts fold to (files-with-count, sum)
@@ -681,7 +750,7 @@ object ManifestTable {
             org.apache.spark.sql.Encoders.scalaLong))
           .toDF("has", "cnt").agg(sum(col("has")), sum(col("cnt"))).head()
         val n = if (agg.isNullAt(0)) 0L else agg.getLong(0)
-        if (n == m.files.size) Some(agg.getLong(1)) else None
+        if (n == m.files.size) Some(agg.getLong(1) - dvDeleted) else None
     }
   }
 
@@ -709,6 +778,9 @@ object ManifestTable {
   private[sources] def fastMinMaxOf(spark: SparkSession, path: String,
                                     m: Manifest, colName: String): Option[(Any, Any)] = {
     if (!m.statsCols.contains(colName) || m.files.isEmpty) return None
+    // a deleted row may BE the recorded extreme — zone maps are only an
+    // upper bound under merge-on-read, so the metadata answer must decline
+    if (m.dvs.nonEmpty) return None
     // sidecar manifests: collect the one slim stats table (files-bounded,
     // zero data IO) — still strictly cheaper than the scan it replaces
     val stats = statsFor(spark, path, m)
@@ -749,6 +821,9 @@ object ManifestTable {
       : Option[Seq[(Seq[Any], Long, Map[String, (Any, Any)])]] = {
     if (m.partitionCols.isEmpty || !groupCols.forall(m.partitionCols.contains))
       return None
+    // per-group counts/extremes are stale under merge-on-read (the DV's
+    // group membership is not tracked) — decline, the scan answers
+    if (m.dvs.nonEmpty) return None
     // see fastMinMaxOf on the sidecar-collect trade
     val stats = statsFor(spark, path, m)
     val zone = java.time.ZoneId.of(
@@ -893,10 +968,21 @@ object ManifestTable {
                               files: Seq[String], statsCols: Seq[String] = Nil,
                               stats: Map[String, FileStats] = Map.empty,
                               bloomCols: Seq[String] = Nil,
-                              carry: Option[Manifest] = None): Long = {
+                              carry: Option[Manifest] = None,
+                              dvs: Map[String, (String, Long)] = Map.empty): Long = {
     val f = fs(spark, path)
     f.mkdirs(manifestDir(path))
     val fileSet = files.toSet
+    // deletion vectors: files carried from the base keep their DVs unless
+    // this commit explicitly re-vectors them (`dvs` wins); files the commit
+    // dropped (rewritten / compacted away) shed their entries via the
+    // fileSet filter — a rewritten file was produced by a DV-applying read,
+    // so its deletions are materialized, not lost
+    val effectiveDvs =
+      carry.map(_.dvs.filter { case (rel, _) => fileSet.contains(rel) })
+        .getOrElse(Map.empty) ++ dvs
+    require(effectiveDvs.keySet.subsetOf(fileSet),
+      s"DV entries for files not in the commit: ${(effectiveDvs.keySet -- fileSet).mkString(", ")}")
     val hasStats = statsCols.nonEmpty || bloomCols.nonEmpty ||
       stats.nonEmpty || carry.exists(b => b.stats.nonEmpty || b.sidecar.isDefined)
     val useSidecar = hasStats && files.size > sidecarThreshold(spark)
@@ -958,7 +1044,9 @@ object ManifestTable {
       "statscols=" + statsCols.mkString(",")) ++
       (if (bloomCols.nonEmpty) Seq("bloomcols=" + bloomCols.mkString(",")) else Nil) ++
       sidecarName.map("sidecar=" + _).toSeq ++
-      files.map("file=" + _) ++ statLines).mkString("\n") + "\n"
+      files.map("file=" + _) ++
+      effectiveDvs.toSeq.sortBy(_._1).map { case (rel, (n, cnt)) => s"dv=$rel|$n|$cnt" } ++
+      statLines).mkString("\n") + "\n"
     val scratch = new Path(path, s"_tmp/manifest-${java.util.UUID.randomUUID()}")
     val out = f.create(scratch, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -1284,6 +1372,12 @@ object ManifestTable {
                 if (removed.nonEmpty) throw new java.util.ConcurrentModificationException(
                   s"merge of $path lost to a commit that rewrote ${removed.size} file(s) " +
                     "this merge read — re-run against the new snapshot")
+                // a concurrent deleteVectorized changed file CONTENT without
+                // changing the file list — the rows this merge derived are
+                // stale exactly as if the file had been rewritten
+                if (now.dvs != cur.dvs) throw new java.util.ConcurrentModificationException(
+                  s"merge of $path lost to a commit that changed deletion vectors — " +
+                    "re-run against the new snapshot")
                 val fresh = now.files.filterNot(cur.files.toSet)
                 if (fresh.exists(rel => affectedDirs.contains(dirOf(rel))))
                   throw new java.util.ConcurrentModificationException(
@@ -1326,6 +1420,86 @@ object ManifestTable {
     if (m.files.isEmpty) return v
     rewriteWithout(spark, path, v, m,
       touchedFiles(spark, path, m.files, m.schema, predicate), predicate)
+  }
+
+  /** Row-level DELETE, merge-on-read: instead of rewriting the files that
+    * hold matching rows, record their POSITIONS in a deletion-vector
+    * sidecar and commit a snapshot whose readers skip them. Write cost is
+    * proportional to the number of DELETED rows, not the number of touched
+    * FILES' bytes — the difference between a point delete writing a few KB
+    * and copy-on-write rewriting a gigabyte file to remove one row; at
+    * 100 TB, a stream of small deletes under copy-on-write rewrites the
+    * lake ([[graft.sources]] SCALE.md §Deletion vectors).
+    *
+    * Every reader honors DVs transparently (snapshot/pruned/range/point
+    * reads, the SQL datasource, CDF, MV refresh); metadata counts stay
+    * exact (DV cardinality rides the manifest); zone maps/Blooms remain
+    * valid upper bounds. Read overhead on a DV'd file is one broadcast
+    * anti-join against its position set — [[rewriteDeletes]] materializes
+    * accumulated DVs back to clean files when that tax grows.
+    *
+    * A new DV for a file REPLACES its old one and therefore merges the old
+    * positions in. Same null semantics as [[delete]] (predicate NULL
+    * keeps); losing the version race throws — re-run against the winner.
+    */
+  def deleteVectorized(spark: SparkSession, path: String, predicate: Column): Long = {
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    if (m.files.isEmpty) return v
+    val touched = touchedFiles(spark, path, m.files, m.schema, predicate)
+    if (touched.isEmpty) return v
+    val fnameToRel = touched.map(rel => fileNameOf(rel) -> rel).toMap
+    require(fnameToRel.size == touched.size,
+      "duplicate data file names — commit-prefixed names must be table-unique")
+    // fresh deleted positions for the touched files, keyed by file name.
+    // The raw scan may re-flag rows an earlier DV already removed; the
+    // union-distinct with the prior positions absorbs them.
+    val fresh = spark.read.schema(m.schema)
+      .option("basePath", dataDir(path).toString)
+      .parquet(touched.map(rel => new Path(dataDir(path), rel).toString): _*)
+      .filter(coalesce(predicate, lit(false)))
+      .select(
+        expr("element_at(split(_metadata.file_path, '/'), -1)").as("fname"),
+        col("_metadata.row_index").as("pos"))
+    val priorRels = touched.filter(m.dvs.contains)
+    val merged = (if (priorRels.isEmpty) fresh
+                  else fresh.unionAll(dvPositions(spark, path, m, priorRels)))
+      .distinct()
+    val name = f"dv$v%012d-${java.util.UUID.randomUUID().toString.take(8)}"
+    // position sets are deleted-rows-sized (the whole point) — a handful of
+    // output files is plenty and keeps the read-side union cheap
+    merged.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new Path(dvDir(path), name).toString)
+    // per-file cardinality from the just-written sidecar (one slim scan);
+    // recorded in the manifest so fastCount stays exact under merge-on-read
+    val counts = spark.read.schema(DvSchema)
+      .parquet(new Path(dvDir(path), name).toString)
+      .groupBy(col("fname")).agg(count(lit(1)).as("n")).collect()
+      .map(r => fnameToRel(r.getString(0)) -> r.getLong(1)).toMap
+    val newDvs = touched.filter(counts.contains)
+      .map(rel => rel -> ((name, counts(rel)))).toMap
+    try commit(spark, path, v + 1, m.schema, m.partitionCols, m.files,
+      m.statsCols, Map.empty, m.bloomCols, carry = Some(m), dvs = newDvs)
+    catch { case e: java.util.ConcurrentModificationException =>
+      fs(spark, path).delete(new Path(dvDir(path), name), true)
+      throw e
+    }
+  }
+
+  /** Materialize accumulated deletion vectors: rewrite every DV'd file
+    * without its deleted rows and drop the DV entries — the maintenance
+    * half of merge-on-read (Delta's PURGE / Iceberg's rewrite-position-
+    * deletes). Files without DVs carry byte-identical; orphaned DV sidecars
+    * are swept by [[vacuum]].
+    */
+  def rewriteDeletes(spark: SparkSession, path: String): Long = {
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    if (m.dvs.isEmpty) return v
+    val dvd = m.files.filter(m.dvs.contains)
+    commitRewrite(spark, path, v, m, dvd, readRels(spark, path, m, dvd))
   }
 
   /** Range DELETE with zone-map file skipping: candidate files come from
@@ -1385,9 +1559,11 @@ object ManifestTable {
                              m: Manifest, touched: Seq[String],
                              pred: Column): Long = {
     if (touched.isEmpty) return v
-    val kept = spark.read.schema(m.schema)
-      .option("basePath", dataDir(path).toString)
-      .parquet(touched.map(rel => new Path(dataDir(path), rel).toString): _*)
+    // readRels applies the touched files' deletion vectors: without it a
+    // copy-on-write rewrite would RESURRECT rows a prior deleteVectorized
+    // removed (the rewrite also materializes those DVs away — commit drops
+    // the replaced files' entries)
+    val kept = readRels(spark, path, m, touched)
       .filter(!coalesce(pred, lit(false)))
     commitRewrite(spark, path, v, m, touched, kept)
   }
@@ -1427,9 +1603,9 @@ object ManifestTable {
         case None => col(s"`${f.name}`")
       }
     }
-    val rewritten = spark.read.schema(m.schema)
-      .option("basePath", dataDir(path).toString)
-      .parquet(touched.map(rel => new Path(dataDir(path), rel).toString): _*)
+    // DV-applied read: see rewriteWithout — an update must not resurrect
+    // previously-deleted rows
+    val rewritten = readRels(spark, path, m, touched)
       .select(replaced.toSeq: _*)
     commitRewrite(spark, path, v, m, touched, rewritten)
   }
@@ -1533,11 +1709,23 @@ object ManifestTable {
         if (n.startsWith("s") && !n.endsWith(".txt") && !keptSidecars.contains(n))
           f.delete(st.getPath, true): Unit
       }
+    // deletion-vector sidecars referenced by surviving manifests must
+    // outlive the sweep; superseded/raced ones go with their manifests
+    val keptDvs = keptManifests.flatMap(_.dvs.values.map(_._1)).toSet
+    def sweepDvs(): Unit = {
+      val dvRoot = dvDir(path)
+      if (f.exists(dvRoot))
+        f.listStatus(dvRoot).foreach { st =>
+          if (!keptDvs.contains(st.getPath.getName))
+            f.delete(st.getPath, true): Unit
+        }
+    }
     var deleted = 0
     if (!f.exists(dataDir(path))) { // zero-data-file table: nothing to collect
       versions.dropRight(keepVersions).foreach(v =>
         f.delete(new Path(dir, manifestName(v)), false))
       sweepSidecars()
+      sweepDvs()
       return 0
     }
     val dataUri = f.makeQualified(dataDir(path)).toUri
@@ -1554,6 +1742,7 @@ object ManifestTable {
     versions.dropRight(keepVersions).foreach(v =>
       f.delete(new Path(dir, manifestName(v)), false))
     sweepSidecars()
+    sweepDvs()
     deleted
   }
 }
