@@ -409,6 +409,39 @@ object PlanAudit {
       "no second lineitem self-join (single fact scan)" -> (p =>
         "FileScan parquet.*l_orderkey".r.findAllIn(p).length <= 1 &&
           !p.contains("CartesianProduct")))
+    audit("q_priority_count")(
+      "EXISTS lowers to one left-semi join" -> (p =>
+        p.contains("LeftSemi") && "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+          .findAllIn(p).length == 1),
+      "order-date quarter pushed into the orders scan" -> (p =>
+        p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")),
+      "priority rollup partially aggregated map-side" -> (p =>
+        "HashAggregate\\(keys=\\[o_orderpriority".r.findAllIn(p).length >= 2))
+    audit("q_nation_volume")(
+      "nation-cut supplier and customer dims broadcast" -> (p =>
+        "BroadcastHashJoin".r.findAllIn(p).length >= 2),
+      "only the lineitem-orders join shuffles both sides" -> (p =>
+        "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length <= 1),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    audit("q_urgent_lines")(
+      "ship-year pushed into the lineitem scan" -> (p =>
+        p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate")),
+      "lineitem scan pruned to 2 columns" -> (p =>
+        p.contains("ReadSchema: struct<l_orderkey:bigint,l_linestatus:string")),
+      "CASE sums partially aggregated map-side" -> (p =>
+        "HashAggregate\\(keys=\\[l_linestatus".r.findAllIn(p).length >= 2))
+    audit("q_promo_revenue")(
+      "part dim broadcasts" -> (p => p.contains("BroadcastHashJoin")),
+      "ship-month pushed into the lineitem scan" -> (p =>
+        p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate")),
+      "single-row result: no shuffle wider than the 1-row final agg" -> (p =>
+        !p.contains("SortMergeJoin")))
+    audit("q_supplier_variety")(
+      "part cut broadcasts into lineitem" -> (p => p.contains("BroadcastHashJoin")),
+      "distinct suppliers via two-phase aggregate, no driver pair set" -> (p =>
+        "HashAggregate".r.findAllIn(p).length >= 3),
+      "lineitem scan pruned to the 2 join/agg columns" -> (p =>
+        p.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>")))
     spark.stop()
   }
 }

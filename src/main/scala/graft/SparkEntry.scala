@@ -493,6 +493,107 @@ object SparkEntry {
           col("l_suppkey").as("s_suppkey"), col("min_cost"))
     }),
 
+    // TPC-H Q4 shape (EXISTS semi-join, priority rollup): orders of one
+    // quarter with at least one late-shipped line (l_shipdate past the
+    // order date — this generator's analog of commitdate < receiptdate).
+    // The correlated EXISTS lowers to ONE left-semi hash join on
+    // orderkey with the cross-table residual evaluated inside it; the
+    // priority rollup then aggregates a pre-shrunk order set. No count
+    // per order, no distinct — the semi join IS the dedup
+    "q_priority_count" -> ((s, d) => {
+      val q0 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+      val q1 = java.sql.Timestamp.valueOf("1996-04-01 00:00:00")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit(q0) && col("o_orderdate") < lit(q1))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      o.join(li, o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // TPC-H Q7 shape (bi-national volume): revenue flowing between two
+    // nations, both directions, by ship year. The nation cut applies to
+    // the DIMS before they broadcast (supplier and customer shrink to two
+    // nations' worth), so the only big shuffle is lineitem ⋈ orders on
+    // orderkey; the cross-pair gate (1→2 or 2→1) evaluates on the
+    // broadcast-joined survivors
+    "q_nation_volume" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select("n_nationkey", "n_name")
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"),
+          year(col("l_shipdate")).as("l_year"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec))
+          .cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q12 shape (conditional aggregation over a big-big join): per
+    // line status of one ship year, how many lines belong to urgent/high
+    // orders vs the rest. Both sides are fact-sized, so the plan is one
+    // hash join on orderkey (each side shuffled once) feeding a CASE-sum
+    // rollup — the priority classification never materializes a second
+    // pass
+    "q_urgent_lines" -> ((s, d) => {
+      val y0 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+      val y1 = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit(y0) && col("l_shipdate") < lit(y1))
+        .select("l_orderkey", "l_linestatus")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+    }),
+
+    // TPC-H Q14 shape (promo revenue share): one month's revenue fraction
+    // from PROMO parts. Part dim broadcasts; both sums stay exact decimal
+    // and meet in ONE IEEE division at the end (100.0 * promo / total,
+    // left-associative in both engines) — the only float op in the query
+    "q_promo_revenue" -> ((s, d) => {
+      val m0 = java.sql.Timestamp.valueOf("1996-03-01 00:00:00")
+      val m1 = java.sql.Timestamp.valueOf("1996-04-01 00:00:00")
+      val rev = col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec)
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit(m0) && col("l_shipdate") < lit(m1))
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) * sum(when(col("p_type") === "PROMO", rev)).cast("double")
+          / sum(rev).cast("double")).as("promo_pct"))
+    }),
+
+    // TPC-H Q16 shape (supplier variety per part class): distinct
+    // suppliers serving each (brand, type, size) class outside one brand.
+    // The part cut broadcasts into lineitem; count(DISTINCT) expands to
+    // Spark's two-phase distinct aggregate over the thin (class, supplier)
+    // pairs — never a pair-set materialization on the driver
+    "q_supplier_variety" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .filter(col("p_size").isin(5, 10, 15) && col("p_brand") =!= "Brand#13")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
     // TPC-H Q11 shape (fraction-of-total gate over groups): suppliers
     // holding more than 1/95 of total lineitem value. The global total is
     // a re-aggregation of the per-supplier sums (thin — never a second
@@ -2368,6 +2469,60 @@ object SparkEntry {
         |t AS (SELECT SUM(supp_value) AS tot_value FROM sv)
         |SELECT l_suppkey AS s_suppkey, CAST(supp_value AS DOUBLE) AS supp_value
         |FROM sv, t WHERE supp_value * 95 > tot_value""".stripMargin,
+
+    // the Q4 shape re-derived in its natural correlated-EXISTS form
+    "q_priority_count" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY 1""".stripMargin,
+
+    // the Q7 shape re-derived with explicit nation self-joins
+    "q_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year, l_extendedprice, l_discount
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // the Q12 shape re-derived as CASE sums over the same join
+    "q_urgent_lines" ->
+      """SELECT l_linestatus,
+        |SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+        |SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    // the Q14 shape re-derived: the same exact-decimal sums meeting in one
+    // IEEE division (100.0 * promo / total, left-associative both engines)
+    "q_promo_revenue" ->
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |  THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) END) AS DOUBLE)
+        |/ CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+
+    // the Q16 shape re-derived with count(DISTINCT)
+    "q_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size IN (5, 10, 15) AND p_brand <> 'Brand#13'
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // brute force on purpose: an independent derivation (cross join +
     // levenshtein) checks the deletion-neighborhood construction's recall

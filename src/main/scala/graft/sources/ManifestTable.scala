@@ -986,9 +986,22 @@ object ManifestTable {
     val hasStats = statsCols.nonEmpty || bloomCols.nonEmpty ||
       stats.nonEmpty || carry.exists(b => b.stats.nonEmpty || b.sidecar.isDefined)
     val useSidecar = hasStats && files.size > sidecarThreshold(spark)
+    // metadata-only commits (same files, no fresh stats — deleteVectorized
+    // is the canonical case) REUSE the base's sidecar instead of rewriting
+    // an O(files) stats table: a point delete on a 10⁵-file table commits
+    // one text manifest and one small DV parquet, nothing else. Sidecars
+    // are immutable and vacuum keeps any sidecar a surviving manifest
+    // references, so sharing one across versions is safe.
+    val reuseSidecar: Option[String] = carry match {
+      case Some(b) if useSidecar && stats.isEmpty && b.sidecar.isDefined &&
+          fileSet == b.files.toSet => b.sidecar
+      case _ => None
+    }
     var sidecarName: Option[String] = None
     var statLines: Seq[String] = Nil
-    if (!useSidecar) {
+    if (reuseSidecar.isDefined) {
+      sidecarName = reuseSidecar
+    } else if (!useSidecar) {
       // inline lines. Carried stats from a sidecar base are filtered to the
       // kept files DISTRIBUTED and only then collected — bounded by the new
       // (below-threshold) file list, not the base's
@@ -1056,8 +1069,10 @@ object ManifestTable {
     if (!publishExclusive(f, scratch, target)) {
       f.delete(scratch, false)
       // the unpublished sidecar is unreferenced; drop it now rather than
-      // waiting for vacuum
-      sidecarName.foreach(n => f.delete(new Path(manifestDir(path), n), true): Unit)
+      // waiting for vacuum — unless it is the BASE's sidecar reused by
+      // this commit, which the winner's chain may still reference
+      if (reuseSidecar.isEmpty)
+        sidecarName.foreach(n => f.delete(new Path(manifestDir(path), n), true): Unit)
       throw new java.util.ConcurrentModificationException(
         s"version $expected of $path was committed concurrently")
     }

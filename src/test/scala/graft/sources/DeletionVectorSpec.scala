@@ -181,6 +181,34 @@ class DeletionVectorSpec extends SparkSpec {
     assert(touchedRows < 1000L, s"only the DV'd file's rows should appear, got $touchedRows")
   }
 
+  test("a DV commit on a sidecar-stats table reuses the sidecar (O(1) metadata)") {
+    val key = "spark.graft.stats.sidecarThreshold"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, "4") // force sidecar representation at 8 files
+    try {
+      val path = mkTable("sreuse")
+      def sidecarOf(v: Long): Option[String] = {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path, "_manifests", f"m$v%012d.txt")))
+        txt.split("\n").find(_.startsWith("sidecar=")).map(_.stripPrefix("sidecar="))
+      }
+      assert(sidecarOf(1L).isDefined, "table should be sidecar-backed at 8 files")
+      val v2 = ManifestTable.deleteVectorized(spark, path, col("id") === 123)
+      // the metadata-only commit shares the base's immutable sidecar
+      assert(sidecarOf(v2) === sidecarOf(1L))
+      // correctness unaffected: pruning + DV + fastCount all work
+      assert(ManifestTable.read(spark, path).count() === 9999L)
+      assert(ManifestTable.fastCount(spark, path) === Some(9999L))
+      assert(ManifestTable.readRange(spark, path, "id", 100L, 200L).count() === 100L)
+      // vacuum with both versions retired to one: the shared sidecar survives
+      ManifestTable.vacuum(spark, path, keepVersions = 1)
+      assert(ManifestTable.read(spark, path).count() === 9999L)
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("append after a DV keeps the DV (carry) and merge respects it") {
     val path = mkTable("carry", n = 1000)
     ManifestTable.deleteVectorized(spark, path, col("id") === 5)
