@@ -513,36 +513,6 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"))
     }),
 
-    // TPC-H Q7 shape (bi-national volume): revenue flowing between two
-    // nations, both directions, by ship year. The nation cut applies to
-    // the DIMS before they broadcast (supplier and customer shrink to two
-    // nations' worth), so the only big shuffle is lineitem ⋈ orders on
-    // orderkey; the cross-pair gate (1→2 or 2→1) evaluates on the
-    // broadcast-joined survivors
-    "q_nation_volume" -> ((s, d) => {
-      val n = Tables.nation(s, d)
-        .filter(col("n_name").isin("NATION_1", "NATION_2"))
-        .select("n_nationkey", "n_name")
-      val supp = Tables.supplier(s, d)
-        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
-      val cust = Tables.customer(s, d)
-        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey"), col("n_name").as("cust_nation"))
-      Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_suppkey"),
-          col("l_extendedprice"), col("l_discount"),
-          year(col("l_shipdate")).as("l_year"))
-        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .filter(col("supp_nation") =!= col("cust_nation"))
-        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
-        .agg(sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec))
-          .cast("double").as("revenue"))
-    }),
-
     // TPC-H Q12 shape (conditional aggregation over a big-big join): per
     // line status of one ship year, how many lines belong to urgent/high
     // orders vs the rest. Both sides are fact-sized, so the plan is one
@@ -2479,23 +2449,6 @@ object SparkEntry {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY 1""".stripMargin,
-
-    // the Q7 shape re-derived with explicit nation self-joins
-    "q_nation_volume" ->
-      """SELECT supp_nation, cust_nation, l_year,
-        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM (
-        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-        |    year(l_shipdate) AS l_year, l_extendedprice, l_discount
-        |  FROM lineitem
-        |  JOIN orders ON l_orderkey = o_orderkey
-        |  JOIN supplier ON l_suppkey = s_suppkey
-        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
-        |  JOIN customer ON o_custkey = c_custkey
-        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-        |GROUP BY 1, 2, 3""".stripMargin,
 
     // the Q12 shape re-derived as CASE sums over the same join
     "q_urgent_lines" ->
