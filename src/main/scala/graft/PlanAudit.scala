@@ -436,6 +436,29 @@ object PlanAudit {
         p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate")),
       "single-row result: no shuffle wider than the 1-row final agg" -> (p =>
         !p.contains("SortMergeJoin")))
+    audit("q_bfs_hops")(
+      "no cartesian anywhere in the hop chain" -> (p =>
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
+    // the registered query's final plan is a checkpoint union (lineage is
+    // cut per hop BY DESIGN); the per-hop shape is audited on the actual
+    // loop body, which bfsHop exposes
+    locally {
+      import org.apache.spark.sql.functions.{col, lit}
+      val e = spark.range(100).select(col("id").as("src"), ((col("id") + 1) % 100).as("dst"))
+      val f = spark.range(3).select(col("id").as("node"), lit(0).as("dist"))
+      auditDf("q_bfs_hops(hop)", graft.operators.Graph.bfsHop(f, e, f.select(col("node"))))(
+        "per-hop min-distances partially aggregated map-side" -> (p =>
+          "HashAggregate\\(keys=\\[node".r.findAllIn(p).length >= 2),
+        "visited-set cut is an anti join" -> (p => p.contains("LeftAnti")),
+        "frontier meets edges in an equi-join, never a cartesian" -> (p =>
+          !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
+    }
+    audit("q_lead_gap")(
+      "single user-keyed window pass, one shuffle" -> (p =>
+        "hashpartitioning\\(user_id".r.findAllIn(p).length >= 1 &&
+          "Exchange".r.findAllIn(p).length <= 1),
+      "events scan pruned to the 4 used columns" -> (p =>
+        p.contains("ReadSchema: struct<event_id:bigint,ts:timestamp,user_id:bigint,event_type:string>")))
     audit("q_supplier_variety")(
       "part cut broadcasts into lineitem" -> (p => p.contains("BroadcastHashJoin")),
       "distinct suppliers via two-phase aggregate, no driver pair set" -> (p =>

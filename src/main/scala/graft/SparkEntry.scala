@@ -596,6 +596,21 @@ object SparkEntry {
           sum(col("value").cast(dec)).over(w).cast("double").as("sum_val_1h"))
     }),
 
+    // forward-looking window functions (lead + first_value — the lag
+    // family's missing siblings): per user, gap to the NEXT event and the
+    // session-opening event type. Epoch-micro ordering with the unique
+    // event_id as tiebreak makes every window value deterministic
+    "q_lead_gap" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tus"), col("event_type"))
+        .select(col("event_id"), col("user_id"),
+          (lead(col("tus"), 1).over(w) - col("tus")).as("gap_us"),
+          first_value(col("event_type")).over(w).as("first_type"))
+    }),
+
     "q_json_props" -> ((s, d) =>
       Tables.events(s, d)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -1130,6 +1145,35 @@ object SparkEntry {
           col("sum_o_totalprice").cast("double").as("sum_price"))
     }),
 
+    // the same MV chain with the delete as a DELETION VECTOR: the DV
+    // commit changes no file list, only positions — the refresh must see
+    // it through the DV-aware file-level CDF (old visible rows out, new
+    // visible rows in) and land on the identical recompute. Same oracle
+    // as q_mv_refresh by construction
+    "q_mv_refresh_dv" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_mvdv").toString
+      val src = s"$dir/src"; val mv = s"$dir/mv"
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"), year(col("o_orderdate")).as("o_year"),
+        col("o_totalprice"))
+      def refresh(): Unit = MaterializedView.refresh(s, src, mv,
+        keys = Seq("o_orderstatus", "o_year"), sums = Seq("o_totalprice")): Unit
+      graft.sources.ManifestTable.overwrite(s, src,
+        orders.filter(col("o_orderkey") % 3 === 0))
+      refresh()
+      graft.sources.ManifestTable.append(s, src,
+        orders.filter(col("o_orderkey") % 3 === 1))
+      refresh()
+      graft.sources.ManifestTable.deleteVectorized(s, src, col("o_totalprice") < 50000.0)
+      refresh()
+      graft.sources.ManifestTable.append(s, src,
+        orders.filter(col("o_orderkey") % 3 === 2))
+      refresh()
+      MaterializedView.read(s, mv)
+        .select(col("o_orderstatus"), col("o_year"), col("n"),
+          col("sum_o_totalprice").cast("double").as("sum_price"))
+    }),
+
     // ---- snapshot diff (CDC-style audit of an incremental load) ----
     "q_snapshot_diff" -> ((s, d) => {
       val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
@@ -1376,6 +1420,23 @@ object SparkEntry {
         .select((col("s_suppkey") * 2 + 1).as("node"),
           col("s_nationkey").as("label"))
       Graph.labelPropagation(fwd.union(rev).distinct(), seeds, iters = 3)
+    }),
+
+    // multi-source BFS over the same bipartite graph: minimal hop count
+    // from NATION_0's suppliers, 3 hops — the k-hop-neighborhood primitive
+    // (graph-expansion sampling, contamination radius). All-integer, so
+    // the recursive-CTE re-derivation hash-matches with no float care
+    "q_bfs_hops" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val fwd = li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val rev = li.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst"))
+      val sources = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_0")
+          .select("n_nationkey")), col("s_nationkey") === col("n_nationkey"))
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+      Graph.bfsDistances(fwd.union(rev).distinct(), sources, maxHops = 3)
     }),
 
     // personalized PageRank seeded at ten part nodes: rank becomes
@@ -2252,6 +2313,15 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
+    // lead/first_value re-derived verbatim (unique-id tiebreak keeps both
+    // engines' window orders identical)
+    "q_lead_gap" ->
+      """SELECT event_id, user_id,
+        |lead(epoch_us(ts), 1) OVER w - epoch_us(ts) AS gap_us,
+        |first_value(event_type) OVER w AS first_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
+
     "q_regional_revenue" ->
       """SELECT n_name,
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
@@ -2499,6 +2569,24 @@ object SparkEntry {
     "q_ppr" -> pageRankSqlFor(personalized = true),
 
     "q_label_prop" -> labelPropSql,
+
+    // the BFS re-derived as a recursive CTE: the UNION dedup on
+    // (node, dist) pairs bounds the recursion at maxHops levels
+    "q_bfs_hops" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+        |  UNION
+        |  SELECT DISTINCT l_suppkey * 2 + 1, l_partkey * 2 FROM lineitem),
+        |s AS (
+        |  SELECT DISTINCT s_suppkey * 2 + 1 AS node
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_0'),
+        |d AS (
+        |  SELECT node, 0 AS dist FROM s
+        |  UNION
+        |  SELECT e.dst, d.dist + 1 FROM d JOIN edges e ON d.node = e.src
+        |  WHERE d.dist < 3)
+        |SELECT node, CAST(min(dist) AS INT) AS dist FROM d GROUP BY 1""".stripMargin,
 
     // the triangle chain re-derived in full: same co-purchase edges, same
     // (degree, id) orientation, same apex-wedge + closing-edge-exists cut
@@ -3403,6 +3491,20 @@ object SparkEntry {
     // delete (which ran while only %3 ∈ {0,1} rows existed) plus the
     // %3 = 2 rows appended afterwards, grouped the same way
     "q_mv_refresh" ->
+      """WITH t AS (
+        |  SELECT o_orderstatus, year(o_orderdate) AS o_year, o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 3 IN (0, 1) AND NOT (o_totalprice < 50000.0)
+        |  UNION ALL
+        |  SELECT o_orderstatus, year(o_orderdate), o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 2)
+        |SELECT o_orderstatus, o_year, count(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM t GROUP BY o_orderstatus, o_year""".stripMargin,
+
+    // identical final state by construction: the delete ran as a deletion
+    // vector, but visible rows — and therefore the recomputed view — match
+    "q_mv_refresh_dv" ->
       """WITH t AS (
         |  SELECT o_orderstatus, year(o_orderdate) AS o_year, o_totalprice
         |  FROM orders

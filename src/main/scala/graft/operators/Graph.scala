@@ -283,4 +283,60 @@ object Graph {
       .join(perNode, Seq("node"), "left")
       .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
+
+  /** Multi-source BFS: minimal hop distance (≤ `maxHops`) from any node in
+    * `sources` (column `node`) along directed `edges` (columns `src`,
+    * `dst`). Returns (node, dist) for every REACHED node; unreached nodes
+    * are absent (the k-hop-neighborhood contract — graph-expansion
+    * sampling, contamination-radius checks, feature propagation).
+    *
+    * All-integer, so it hash-matches a recursive-CTE re-derivation with no
+    * float discipline.
+    *
+    * Scale shape: classic frontier BFS — each hop is one src-keyed
+    * equi-join of the FRONTIER (not the full distance table) against the
+    * edge set, an anti-join against visited nodes, and a map-side-partial
+    * min-aggregation; state is bounded by |nodes|, the edge set is
+    * persisted once and every round's frontier/visited set is
+    * `localCheckpoint`ed with the previous round's blocks released
+    * (lineage stays O(1) in hops — the [[Dedup.clusters]] discipline).
+    * The only driver value per hop is the frontier's emptiness.
+    */
+  def bfsDistances(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be non-negative, got $maxHops")
+    val e = edges.select(col("src"), col("dst")).persist()
+    var dist = sources.select(col("node")).distinct()
+      .select(col("node"), lit(0).as("dist")).localCheckpoint()
+    var frontier = dist
+    var prevDist: DataFrame = null
+    var prevFrontier: DataFrame = null
+    var hop = 0
+    try {
+      while (hop < maxHops && !frontier.isEmpty) {
+        val next = bfsHop(frontier, e, dist).localCheckpoint()
+        val grown = dist.unionByName(next).localCheckpoint()
+        if (prevDist != null) Dedup.release(prevDist)
+        if (prevFrontier != null) Dedup.release(prevFrontier)
+        prevDist = dist; prevFrontier = frontier
+        dist = grown; frontier = next
+        hop += 1
+      }
+      dist
+    } finally {
+      e.unpersist()
+      if (prevDist != null) Dedup.release(prevDist)
+      if (prevFrontier != null) Dedup.release(prevFrontier)
+    }
+  }
+
+  /** One BFS hop: expand `frontier` along `edges`, cut nodes already in
+    * `dist` (anti join), keep each new node's minimal in-hop distance.
+    * Exposed for the plan audit — this IS the loop body's plan.
+    */
+  private[graft] def bfsHop(frontier: DataFrame, edges: DataFrame,
+                            dist: DataFrame): DataFrame =
+    frontier.join(edges, frontier("node") === edges("src"))
+      .select(edges("dst").as("node"), (col("dist") + 1).as("dist"))
+      .join(dist.select(col("node")), Seq("node"), "left_anti")
+      .groupBy(col("node")).agg(min(col("dist")).as("dist"))
 }

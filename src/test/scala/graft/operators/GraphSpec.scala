@@ -232,4 +232,34 @@ class GraphSpec extends SparkSpec {
     assert(out(1L) === 1L && out(2L) === 1L && out(3L) === 1L)
     assert((4L to 11L).forall(out(_) === 0L))
   }
+
+  test("bfsDistances: hand-computed chain with a shortcut takes the minimum") {
+    // 1→2→3→4→5, plus shortcut 1→4. From {1}: d(1)=0 d(2)=1 d(3)=2 d(4)=1 d(5)=2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L)).toDF("src", "dst")
+    val out = Graph.bfsDistances(edges, Seq(1L).toDF("node"), maxHops = 10)
+      .as[(Long, Int)].collect().toMap
+    assert(out === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 2))
+  }
+
+  test("bfsDistances: maxHops bounds the frontier; unreached nodes are absent") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val out = Graph.bfsDistances(edges, Seq(1L).toDF("node"), maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    // node 4 is 3 hops away, the 10→11 component disconnected: both absent
+    assert(out === Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("bfsDistances: multi-source takes the nearest source; duplicate sources collapse") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 3L)).toDF("src", "dst")
+    val out = Graph.bfsDistances(edges, Seq(1L, 5L, 5L).toDF("node"), maxHops = 5)
+      .as[(Long, Int)].collect().toMap
+    assert(out === Map(1L -> 0, 5L -> 0, 2L -> 1, 3L -> 1))
+  }
+
+  test("bfsDistances: zero hops returns exactly the source set") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val out = Graph.bfsDistances(edges, Seq(1L).toDF("node"), maxHops = 0)
+      .as[(Long, Int)].collect().toMap
+    assert(out === Map(1L -> 0))
+  }
 }
