@@ -609,4 +609,27 @@ class ManifestTableSpec extends SparkSpec {
       assert(got === Array(13L))
     } finally spark.conf.unset("spark.graft.stats.sidecarThreshold")
   }
+
+  test("300-commit chain: any version opens with ONE manifest read; vacuum bounds the dir") {
+    // the no-checkpoint-needed argument (SCALE.md): every manifest is a
+    // self-contained snapshot, so chain length never costs a reader replay
+    val path = java.nio.file.Files.createTempDirectory("chain").toString + "/t"
+    ManifestTable.overwrite(spark, path, Seq((0L, "r0")).toDF("id", "v"))
+    // single-row batches through one coalesced writer keep this fast
+    (1 until 300).foreach { i =>
+      ManifestTable.append(spark, path, Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1))
+    }
+    assert(ManifestTable.currentVersion(spark, path) === Some(300L))
+    // time travel deep into the chain: one manifest file read, no replay
+    // (readManifest takes a version and opens exactly that file by name)
+    assert(ManifestTable.readVersion(spark, path, 7L).count() === 7L)
+    assert(ManifestTable.readVersion(spark, path, 250L).count() === 250L)
+    assert(ManifestTable.read(spark, path).count() === 300L)
+    // retention sweep: the manifest dir shrinks to the kept window
+    ManifestTable.vacuum(spark, path, keepVersions = 2)
+    val left = new java.io.File(path, "_manifests").list()
+      .count(n => n.startsWith("m") && n.endsWith(".txt"))
+    assert(left === 2, s"expected 2 retained manifests, found $left")
+    assert(ManifestTable.read(spark, path).count() === 300L)
+  }
 }
