@@ -55,6 +55,13 @@ object GraftDeleteRule extends Rule[LogicalPlan] {
   * expression's ids belong to the relation instance the rule saw, not the
   * fresh read) — sound because a graft snapshot read exposes exactly the
   * table's columns, so names are unambiguous.
+  *
+  * Mechanism is session-selectable: `spark.graft.delete.mode = vectorized`
+  * routes the SAME statement through merge-on-read deletion vectors
+  * (`ManifestTable.deleteVectorized` — position sidecars, no file
+  * rewrite) instead of the default copy-on-write rewrite. Both land on
+  * identical visible rows; the conf chooses the write-amplification
+  * trade, exactly like Delta's table-level DV toggle.
   */
 case class GraftDeleteCommand(path: String, condition: Expression)
     extends LeafRunnableCommand {
@@ -64,8 +71,11 @@ case class GraftDeleteCommand(path: String, condition: Expression)
     val byName = condition.transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     }
-    graft.sources.ManifestTable.delete(spark, path,
-      org.apache.spark.sql.graft.bridge.toColumn(byName)): Unit
+    val pred = org.apache.spark.sql.graft.bridge.toColumn(byName)
+    val vectorized = spark.conf
+      .getOption("spark.graft.delete.mode").contains("vectorized")
+    if (vectorized) graft.sources.ManifestTable.deleteVectorized(spark, path, pred): Unit
+    else graft.sources.ManifestTable.delete(spark, path, pred): Unit
     // same invalidation as GraftRelation.insert: cached catalog relations
     // pin their snapshot; the next query must re-resolve to a fresh one
     spark.sessionState.catalog.invalidateAllCachedTables()

@@ -99,4 +99,31 @@ class GraftDeleteRuleSpec extends SparkSpec {
       assert(ManifestTable.readVersion(s, path, 1L).count() === 10L)
     } finally s.sql("DROP TABLE IF EXISTS del_all"): Unit
   }
+
+  test("spark.graft.delete.mode=vectorized routes SQL DELETE through deletion vectors") {
+    val s = extSpark
+    import s.implicits._
+    val path = Files.createTempDirectory("sqldelv").toString + "/t"
+    val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartitionByRange(10, col("id"))
+    ManifestTable.overwrite(s, path, df, statsCols = Seq("id"))
+    s.sql(s"CREATE TABLE del_vec USING graft OPTIONS (path '$path')")
+    s.conf.set("spark.graft.delete.mode", "vectorized")
+    try {
+      val before = filesOf(path, 1L)
+      s.sql("DELETE FROM del_vec WHERE id % 100 = 7")
+      // identical visible rows to the copy-on-write form...
+      assert(s.sql("SELECT count(*) FROM del_vec").as[Long].head() === 990L)
+      assert(s.sql("SELECT count(*) FROM del_vec WHERE id % 100 = 7")
+        .as[Long].head() === 0L)
+      // ...but NO data file was rewritten — merge-on-read kept all ten
+      assert(filesOf(path, 2L) === before,
+        "vectorized DELETE must not rewrite data files")
+      // prior version reads the deleted rows (time travel unaffected)
+      assert(ManifestTable.readVersion(s, path, 1L).count() === 1000L)
+    } finally {
+      s.conf.unset("spark.graft.delete.mode")
+      s.sql("DROP TABLE IF EXISTS del_vec"): Unit
+    }
+  }
 }

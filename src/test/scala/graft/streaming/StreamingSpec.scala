@@ -745,4 +745,25 @@ class StreamingSpec extends SparkSpec {
     assert(seen.map(_._3).flatten.sorted === Seq(1L, 2L, 3L, 4L, 5L),
       "every row delivered exactly once across the follower's lifetime")
   }
+
+  test("followTable sees a deletion-vector commit as a delta (new visible rows of the DV'd file)") {
+    import graft.sources.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("follow_dv").toString
+    val table = s"$dir/t"
+    val ckpt = s"$dir/ckpt"
+    val seen = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    def run(): Long = Streaming.followTable(spark, table, ckpt) { (df, _, _) =>
+      seen += df.select("id").as[Long].collect().sorted.toSeq
+    }
+    ManifestTable.overwrite(spark, table,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1))
+    run()
+    assert(seen.last === Seq(1L, 2L, 3L))
+    // the DV commit changes no file NAME, only positions — the follower
+    // must still wake and deliver the file's new visible rows
+    ManifestTable.deleteVectorized(spark, table, col("id") === 2L)
+    assert(run() === 2L)
+    assert(seen.last === Seq(1L, 3L),
+      "DV commit must surface as the DV'd file's new visible rows")
+  }
 }
