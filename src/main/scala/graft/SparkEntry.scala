@@ -1174,6 +1174,23 @@ object SparkEntry {
           col("sum_o_totalprice").cast("double").as("sum_price"))
     }),
 
+    // ---- WebDataset tar-shard export (the multimodal training-data
+    // container): documents pack into POSIX tar shards (pure-JVM ustar
+    // writer, GNU-tar-validated in spec) and read back through the
+    // streaming parser — doc ids, byte lengths and md5 digests of the
+    // round-tripped payloads must match the source table exactly, which
+    // the oracle recomputes from the raw text ----
+    "q_webdataset" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_wds").toString
+      WebDataset.packShards(Tables.documents(s, d), "doc_id", "text",
+        dir, numShards = 8)
+      WebDataset.readShards(s, dir)
+        .select(
+          expr("CAST(split(entry, '\\\\.')[0] AS BIGINT)").as("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("digest"))
+    }),
+
     // ---- snapshot diff (CDC-style audit of an incremental load) ----
     "q_snapshot_diff" -> ((s, d) => {
       val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
@@ -3515,6 +3532,12 @@ object SparkEntry {
         |SELECT o_orderstatus, o_year, count(*) AS n,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM t GROUP BY o_orderstatus, o_year""".stripMargin,
+
+    // the tar round trip re-derived from the raw text: same ids, same
+    // byte lengths, same md5 — any header/padding/parse bug breaks it
+    "q_webdataset" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |md5(text) AS digest FROM documents""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH old AS (SELECT o_orderkey, o_totalprice FROM orders),
