@@ -99,7 +99,8 @@ object ManifestTable {
                                        stats: Map[String, FileStats] = Map.empty,
                                        bloomCols: Seq[String] = Nil,
                                        sidecar: Option[String] = None,
-                                       dvs: Map[String, (String, Long)] = Map.empty)
+                                       dvs: Map[String, (String, Long)] = Map.empty,
+                                       constraints: Seq[(String, String)] = Nil)
 
   // ------------------------------------------------------------------ reads
 
@@ -156,10 +157,17 @@ object ManifestTable {
         val Array(rel, name, n) = l.split("\\|", -1)
         rel -> ((name, n.toLong))
       }.toMap
+    // constraint=<name>|<urlencoded CHECK sql> — table-level, versioned
+    // with the manifest like every other piece of table metadata
+    val constraints = lines.filter(_.startsWith("constraint="))
+      .map(_.stripPrefix("constraint=")).map { l =>
+        val Array(n, e) = l.split("\\|", -1)
+        n -> java.net.URLDecoder.decode(e, "UTF-8")
+      }
     Manifest(version, schema,
       if (parts.isEmpty) Nil else parts.split(",").toSeq,
       lines.filter(_.startsWith("file=")).map(_.stripPrefix("file=")),
-      statsCols, stats, bloomCols, sidecar, dvs)
+      statsCols, stats, bloomCols, sidecar, dvs, constraints)
   }
 
   /** Schema of a committed version, straight from its manifest (no data-file
@@ -969,7 +977,8 @@ object ManifestTable {
                               stats: Map[String, FileStats] = Map.empty,
                               bloomCols: Seq[String] = Nil,
                               carry: Option[Manifest] = None,
-                              dvs: Map[String, (String, Long)] = Map.empty): Long = {
+                              dvs: Map[String, (String, Long)] = Map.empty,
+                              constraints: Seq[(String, String)] = Nil): Long = {
     val f = fs(spark, path)
     f.mkdirs(manifestDir(path))
     val fileSet = files.toSet
@@ -1059,6 +1068,8 @@ object ManifestTable {
       sidecarName.map("sidecar=" + _).toSeq ++
       files.map("file=" + _) ++
       effectiveDvs.toSeq.sortBy(_._1).map { case (rel, (n, cnt)) => s"dv=$rel|$n|$cnt" } ++
+      constraints.map { case (n, e) =>
+        s"constraint=$n|${java.net.URLEncoder.encode(e, "UTF-8")}" } ++
       statLines).mkString("\n") + "\n"
     val scratch = new Path(path, s"_tmp/manifest-${java.util.UUID.randomUUID()}")
     val out = f.create(scratch, true)
@@ -1119,7 +1130,9 @@ object ManifestTable {
   def overwrite(spark: SparkSession, path: String, df: DataFrame,
                 partitionCols: Seq[String] = Nil,
                 statsCols: Seq[String] = Nil,
-                bloomCols: Seq[String] = Nil): Long = {
+                bloomCols: Seq[String] = Nil,
+                constraints: Seq[(String, String)] = Nil): Long = {
+    enforceConstraints(df, constraints, "overwrite")
     val files = writeDataFiles(spark, path, df, partitionCols)
     val stats = collectStats(spark, path, files, df.schema, partitionCols,
       statsCols, bloomCols)
@@ -1127,7 +1140,7 @@ object ManifestTable {
     while (true) {
       val next = currentVersion(spark, path).map(_ + 1).getOrElse(1L)
       try return commit(spark, path, next, df.schema, partitionCols, files,
-        statsCols, stats, bloomCols)
+        statsCols, stats, bloomCols, constraints = constraints)
       catch {
         case e: java.util.ConcurrentModificationException =>
           tries += 1; if (tries > MaxCommitRetries) throw e
@@ -1149,6 +1162,24 @@ object ManifestTable {
       s"$op batch schema ${df.schema.simpleString} does not match table schema " +
         s"${m.schema.simpleString}")
   }
+
+  /** CHECK-constraint gate over a write batch: SQL semantics — a row
+    * violates only when the expression evaluates FALSE (NULL passes). One
+    * batch-bounded action per constrained write, run BEFORE any data
+    * lands; the first violating row rides the error. Constraints are
+    * table metadata in the manifest, so every writer — API or SQL —
+    * passes the same gate.
+    */
+  private def enforceConstraints(df: DataFrame,
+                                 constraints: Seq[(String, String)],
+                                 op: String): Unit =
+    constraints.foreach { case (name, sql) =>
+      val bad = df.filter(!coalesce(expr(sql).cast("boolean"), lit(true)))
+        .limit(1).collect()
+      if (bad.nonEmpty)
+        sys.error(s"$op rejected: CHECK constraint '$name' ($sql) is violated, " +
+          s"e.g. by row ${bad(0)}")
+    }
 
   /** Type with every nullability flag forced, recursively — schema
     * comparisons here are nullability-insensitive BY DOCUMENTED CONTRACT,
@@ -1232,6 +1263,7 @@ object ManifestTable {
       case Some(v0) =>
         var m = readManifest(spark, path, v0)
         evolveSchema(df, m, "append") // fail fast, before any data lands
+        enforceConstraints(df, m.constraints, "append")
         val base = m
         val added = writeDataFiles(spark, path, df, m.partitionCols)
         // added files carry the batch's schema (⊇ stats columns)
@@ -1245,7 +1277,8 @@ object ManifestTable {
               s"${base.partitionCols} -> ${m.partitionCols}")
           val schema = evolveSchema(df, m, "append")
           try return commit(spark, path, m.version + 1, schema, m.partitionCols,
-            m.files ++ added, m.statsCols, addedStats, m.bloomCols, carry = Some(m))
+            m.files ++ added, m.statsCols, addedStats, m.bloomCols, carry = Some(m),
+            constraints = m.constraints)
           catch {
             case e: java.util.ConcurrentModificationException =>
               tries += 1; if (tries > MaxCommitRetries) throw e
@@ -1269,6 +1302,7 @@ object ManifestTable {
     var m = readManifest(spark, path, v0)
     require(m.partitionCols.nonEmpty, "table is unpartitioned — use overwrite")
     requireCompatible(df, m, "overwritePartitions")
+    enforceConstraints(df, m.constraints, "overwritePartitions")
     val base = m
     val added = writeDataFiles(spark, path, df, m.partitionCols)
     val replacedDirs = added.map(dirOf).toSet
@@ -1283,7 +1317,8 @@ object ManifestTable {
       requireCompatible(df, m, "overwritePartitions")
       val kept = m.files.filterNot(rel => replacedDirs.contains(dirOf(rel)))
       try return commit(spark, path, m.version + 1, m.schema, m.partitionCols,
-        kept ++ added, m.statsCols, addedStats, m.bloomCols, carry = Some(m))
+        kept ++ added, m.statsCols, addedStats, m.bloomCols, carry = Some(m),
+        constraints = m.constraints)
       catch {
         case e: java.util.ConcurrentModificationException =>
           tries += 1; if (tries > MaxCommitRetries) throw e
@@ -1324,6 +1359,7 @@ object ManifestTable {
       case Some(v) =>
         val m = readManifest(spark, path, v)
         requireCompatible(updates, m, "merge")
+        enforceConstraints(updates, m.constraints, "merge")
         val existing = readVersion(spark, path, v)
         val ordered = existing.columns.map(col).toSeq
         // every key this merge removes from the current snapshot: keys being
@@ -1342,7 +1378,7 @@ object ManifestTable {
           // snapshot this merge rewrote — no rebase path exists
           commit(spark, path, v + 1, m.schema, Nil, files, m.statsCols,
             collectStats(spark, path, files, m.schema, Nil, m.statsCols,
-              m.bloomCols), m.bloomCols)
+              m.bloomCols), m.bloomCols, constraints = m.constraints)
         } else {
           val pCols = m.partitionCols.map(col)
           // partitions named by the batch ∪ partitions holding old copies of
@@ -1373,7 +1409,8 @@ object ManifestTable {
           while (true) {
             val keptFiles = cur.files.filterNot(rel => affectedDirs.contains(dirOf(rel)))
             try return commit(spark, path, cur.version + 1, m.schema, m.partitionCols,
-              keptFiles ++ added, m.statsCols, addedStats, m.bloomCols, carry = Some(cur))
+              keptFiles ++ added, m.statsCols, addedStats, m.bloomCols, carry = Some(cur),
+              constraints = m.constraints)
             catch {
               case e: java.util.ConcurrentModificationException =>
                 tries += 1; if (tries > MaxCommitRetries) throw e
@@ -1495,7 +1532,8 @@ object ManifestTable {
     val newDvs = touched.filter(counts.contains)
       .map(rel => rel -> ((name, counts(rel)))).toMap
     try commit(spark, path, v + 1, m.schema, m.partitionCols, m.files,
-      m.statsCols, Map.empty, m.bloomCols, carry = Some(m), dvs = newDvs)
+      m.statsCols, Map.empty, m.bloomCols, carry = Some(m), dvs = newDvs,
+      constraints = m.constraints)
     catch { case e: java.util.ConcurrentModificationException =>
       fs(spark, path).delete(new Path(dvDir(path), name), true)
       throw e
@@ -1515,6 +1553,40 @@ object ManifestTable {
     if (m.dvs.isEmpty) return v
     val dvd = m.files.filter(m.dvs.contains)
     commitRewrite(spark, path, v, m, dvd, readRels(spark, path, m, dvd))
+  }
+
+  /** Add a CHECK constraint to an existing table: the CURRENT data must
+    * already satisfy it (one full validation scan — the price of a
+    * retroactive guarantee), then a metadata-only commit records it;
+    * every subsequent write batch is gated. Constraint expressions are
+    * arbitrary boolean SQL over the table's columns (`NULL` passes, SQL
+    * CHECK semantics). NOT NULL is just `col IS NOT NULL`.
+    */
+  def addConstraint(spark: SparkSession, path: String,
+                    name: String, sql: String): Long = {
+    require(name.nonEmpty && !name.contains("|"), s"bad constraint name: $name")
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    require(!m.constraints.exists(_._1 == name),
+      s"constraint '$name' already exists on $path")
+    enforceConstraints(readVersion(spark, path, v), Seq(name -> sql),
+      s"addConstraint($name) on existing data")
+    commit(spark, path, v + 1, m.schema, m.partitionCols, m.files,
+      m.statsCols, Map.empty, m.bloomCols, carry = Some(m),
+      constraints = m.constraints :+ (name -> sql))
+  }
+
+  /** Drop a CHECK constraint (metadata-only commit). */
+  def dropConstraint(spark: SparkSession, path: String, name: String): Long = {
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    require(m.constraints.exists(_._1 == name),
+      s"no constraint '$name' on $path (have: ${m.constraints.map(_._1).mkString(", ")})")
+    commit(spark, path, v + 1, m.schema, m.partitionCols, m.files,
+      m.statsCols, Map.empty, m.bloomCols, carry = Some(m),
+      constraints = m.constraints.filterNot(_._1 == name))
   }
 
   /** Range DELETE with zone-map file skipping: candidate files come from
@@ -1622,6 +1694,9 @@ object ManifestTable {
     // previously-deleted rows
     val rewritten = readRels(spark, path, m, touched)
       .select(replaced.toSeq: _*)
+    // the SET right-hand sides can produce violating values — gate the
+    // rewritten rows like any other write batch
+    enforceConstraints(rewritten, m.constraints, "update")
     commitRewrite(spark, path, v, m, touched, rewritten)
   }
 
@@ -1646,7 +1721,8 @@ object ManifestTable {
                      written.filter(newStats.contains)
                    else written
     commit(spark, path, v + 1, m.schema, m.partitionCols,
-      untouched ++ newFiles, m.statsCols, newStats, m.bloomCols, carry = Some(m))
+      untouched ++ newFiles, m.statsCols, newStats, m.bloomCols, carry = Some(m),
+      constraints = m.constraints)
   }
 
   /** Rewrite the current snapshot into ~`targetRowsPerFile`-row files —
@@ -1678,7 +1754,7 @@ object ManifestTable {
     val files = writeDataFiles(spark, path, sized, m.partitionCols)
     commit(spark, path, v + 1, m.schema, m.partitionCols, files, m.statsCols,
       collectStats(spark, path, files, m.schema, m.partitionCols, m.statsCols,
-        m.bloomCols), m.bloomCols)
+        m.bloomCols), m.bloomCols, constraints = m.constraints)
   }
 
   /** Delete data files referenced by none of the `keepVersions` most recent
