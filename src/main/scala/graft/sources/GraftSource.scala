@@ -33,7 +33,19 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
   override def createRelation(ctx: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path", sys.error("graft: 'path' is required"))
-    new GraftRelation(ctx, path, parameters.get("version").map(_.toLong))
+    // metadata tables (the $history / $files surface of the big formats):
+    //   spark.read.format("graft").option("meta", "history").load(path)
+    // SQL: CREATE TABLE h USING graft OPTIONS (path '...', meta 'history')
+    parameters.get("meta") match {
+      case Some("history") => new GraftMetaRelation(ctx,
+        () => ManifestTable.history(ctx.sparkSession, path))
+      case Some("files") => new GraftMetaRelation(ctx,
+        () => ManifestTable.filesMeta(ctx.sparkSession, path))
+      case Some(other) =>
+        sys.error(s"graft: unknown meta table '$other' (expected history | files)")
+      case None =>
+        new GraftRelation(ctx, path, parameters.get("version").map(_.toLong))
+    }
   }
 
   override def createRelation(ctx: SQLContext, mode: SaveMode,
@@ -56,6 +68,18 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     }
     new GraftRelation(ctx, path, None)
   }
+}
+
+/** Relation face of a metadata table: resolves the frame lazily PER SCAN,
+  * so `SELECT` after a write sees the new version (metadata queries are
+  * observability — pinning them to creation time would show stale ops
+  * state). Row volume is bounded by versions/files, not data.
+  */
+class GraftMetaRelation(ctx: SQLContext, frame: () => DataFrame)
+    extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = frame().schema
+  override def buildScan(): RDD[Row] = frame().rdd
 }
 
 class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])

@@ -1555,6 +1555,59 @@ object ManifestTable {
     commitRewrite(spark, path, v, m, dvd, readRels(spark, path, m, dvd))
   }
 
+  /** Commit history straight from the manifest chain — the DESCRIBE
+    * HISTORY surface: one row per retained version with its commit time
+    * (the immutable manifest file's mtime — the atomic publish IS the
+    * commit), file count, DV'd-file count, constraint count, and the
+    * metadata row count where it is driver-cheap (inline stats; sidecar
+    * versions report null rather than launch a job per version).
+    * Metadata-only: no data file is opened.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, path)
+    val dir = manifestDir(path)
+    val versions =
+      if (!f.exists(dir)) Nil
+      else f.listStatus(dir).filter(st =>
+          st.getPath.getName.startsWith("m") && st.getPath.getName.endsWith(".txt"))
+        .map(st => (st.getPath.getName.drop(1).dropRight(4).toLong,
+          st.getModificationTime))
+        .sortBy(_._1).toSeq
+    versions.map { case (v, mtime) =>
+      val m = readManifest(spark, path, v)
+      val rows: Option[Long] =
+        if (m.sidecar.isDefined) None else fastCountOf(spark, path, m)
+      (v, new java.sql.Timestamp(mtime), m.files.size.toLong,
+        m.dvs.size.toLong, m.constraints.size.toLong, rows)
+    }.toDF("version", "committed_at", "n_files", "n_dv_files",
+      "n_constraints", "n_rows")
+  }
+
+  /** Per-file metadata of the current snapshot — the `table$files`
+    * surface: rel path, metadata row count (null when unrecorded), DV'd
+    * deleted-row count, and the zone-map range per stats column as
+    * `col=min..max` strings. Inline manifests answer from the driver;
+    * sidecar manifests read the one slim stats table, never the data.
+    */
+  def filesMeta(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    val stats = statsFor(spark, path, m)
+    m.files.map { rel =>
+      val st = stats.getOrElse(rel, Map.empty)
+      val rows = st.get(RowsKey).flatMap(_._1)
+        .map(e => decodeStat(e).asInstanceOf[Long])
+      val zones = m.statsCols.flatMap { c =>
+        st.get(c).collect { case (Some(mn), Some(mx)) =>
+          s"$c=${decodeStat(mn)}..${decodeStat(mx)}" }
+      }.mkString(", ")
+      (rel, rows, m.dvs.get(rel).map(_._2), zones)
+    }.toDF("file", "n_rows", "n_deleted", "zones")
+  }
+
   /** Add a CHECK constraint to an existing table: the CURRENT data must
     * already satisfy it (one full validation scan — the price of a
     * retroactive guarantee), then a metadata-only commit records it;
