@@ -1174,6 +1174,29 @@ object SparkEntry {
           col("sum_o_totalprice").cast("double").as("sum_price"))
     }),
 
+    // ---- hidden partitioning (generated partition columns): one year of
+    // orders lands in ~365 days(o_orderdate) partitions the writer never
+    // supplies; a SOURCE-column month range then prunes to ~31 day dirs
+    // through the implied-filter mapping (HiddenPartitionSpec measures
+    // the dirs; here the oracle checks the visible semantics: derived
+    // column value + exact row set through the SQL relation) ----
+    "q_hidden_partition" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_hp").toString + "/t"
+      val y0 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+      val y1 = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+      graft.sources.ManifestTable.overwrite(s, dir,
+        Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit(y0) && col("o_orderdate") < lit(y1))
+          .select("o_orderkey", "o_totalprice", "o_orderdate"),
+        transforms = Seq(graft.sources.ManifestTable.PartitionTransform(
+          "o_day", "days", 0, "o_orderdate")))
+      s.sql("DROP TABLE IF EXISTS q_hp_t")
+      s.sql(s"CREATE TABLE q_hp_t USING graft OPTIONS (path '$dir')")
+      s.sql("""SELECT o_orderkey, o_day, o_totalprice FROM q_hp_t
+              |WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+              |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
+    }),
+
     // ---- WebDataset tar-shard export (the multimodal training-data
     // container): documents pack into POSIX tar shards (pure-JVM ustar
     // writer, GNU-tar-validated in spec) and read back through the
@@ -3532,6 +3555,14 @@ object SparkEntry {
         |SELECT o_orderstatus, o_year, count(*) AS n,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM t GROUP BY o_orderstatus, o_year""".stripMargin,
+
+    // the generated-column semantics re-derived: same rows, and the
+    // derived day column must equal the source date's ISO day
+    "q_hidden_partition" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_day, o_totalprice
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
 
     // the tar round trip re-derived from the raw text: same ids, same
     // byte lengths, same md5 — any header/padding/parse bug breaks it

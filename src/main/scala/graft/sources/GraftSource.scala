@@ -208,14 +208,73 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
       case In(a, vs) if vs.exists(_ != null) => a -> vs.toSeq.filter(_ != null)
     }.groupBy(_._1).map { case (c, entries) => c -> entries.head._2 }
 
-  override def buildScan(requiredColumns: Array[String],
-                         filters: Array[Filter]): RDD[Row] = {
+  /** Hidden-partitioning payoff: a predicate on a transform's SOURCE
+    * column implies a predicate on its GENERATED partition column — adding
+    * that implied filter to the inner plan turns it into Spark partition
+    * pruning (whole directories skipped before any file is opened). The
+    * original filter still applies, so results are exact; the mapping only
+    * has to be sound, never complete.
+    *
+    *  - days: lexicographic ISO-day order IS chronological order, so
+    *    range endpoints map to day-string endpoints (strict bounds widen
+    *    to inclusive — rows with ts > v live in day >= day(v))
+    *  - bucket: equality/IN map to the value's bucket id, hashed with the
+    *    same xxhash64 AT the source column's type (an int literal hashes
+    *    differently from a long — the cast is load-bearing)
+    *  - trunc: equality maps to the value's prefix
+    */
+  private def impliedPartitionFilter(
+      t: ManifestTable.PartitionTransform, f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    def bucketOf(v: Any) =
+      pmod(xxhash64(lit(v).cast(schema(t.src).dataType)), lit(t.arg))
+    // ts < midnight-of-day-D excludes day D entirely — the half-open day
+    // range (the overwhelmingly common shape) then opens exactly its days
+    def midnight(v: Any): Boolean = v match {
+      case ts: java.sql.Timestamp =>
+        ts.toLocalDateTime.toLocalTime == java.time.LocalTime.MIDNIGHT
+      case ts: java.time.Instant =>
+        ts.atZone(java.time.ZoneOffset.UTC).toLocalTime == java.time.LocalTime.MIDNIGHT
+      case _: java.sql.Date | _: java.time.LocalDate => true
+      case _ => false
+    }
+    (t.kind, f) match {
+      case ("days", EqualTo(a, v)) if a == t.src && v != null =>
+        Some(col(t.derived) === ManifestTable.dayOf(v))
+      case ("days", GreaterThan(a, v)) if a == t.src && v != null =>
+        Some(col(t.derived) >= ManifestTable.dayOf(v))
+      case ("days", GreaterThanOrEqual(a, v)) if a == t.src && v != null =>
+        Some(col(t.derived) >= ManifestTable.dayOf(v))
+      case ("days", LessThan(a, v)) if a == t.src && v != null =>
+        Some(if (midnight(v)) col(t.derived) < ManifestTable.dayOf(v)
+             else col(t.derived) <= ManifestTable.dayOf(v))
+      case ("days", LessThanOrEqual(a, v)) if a == t.src && v != null =>
+        Some(col(t.derived) <= ManifestTable.dayOf(v))
+      case ("bucket", EqualTo(a, v)) if a == t.src && v != null =>
+        Some(col(t.derived) === bucketOf(v))
+      case ("bucket", In(a, vs)) if a == t.src && vs.nonEmpty && vs.forall(_ != null) =>
+        Some(vs.toSeq.map(v => col(t.derived) === bucketOf(v)).reduce(_ || _))
+      case ("trunc", EqualTo(a, v: String)) if a == t.src =>
+        Some(col(t.derived) === v.take(t.arg))
+      case _ => None
+    }
+  }
+
+  /** The scan's inner DataFrame — separated from [[buildScan]] so specs
+    * can assert the real plan (the v1 RDD boundary hides it from the
+    * outer query's executedPlan). */
+  private[sources] def innerScan(requiredColumns: Array[String],
+                                 filters: Array[Filter]): DataFrame = {
     val base = ManifestTable.readPrunedPoints(spark, path, manifest,
       bounds(filters), points(filters))
-    val filtered = filters.flatMap(toColumn).foldLeft(base)(_ filter _)
-    val pruned =
-      if (requiredColumns.isEmpty) filtered
-      else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
-    pruned.rdd
+    val implied = manifest.transforms
+      .flatMap(t => filters.flatMap(f => impliedPartitionFilter(t, f)))
+    val filtered = (filters.flatMap(toColumn) ++ implied).foldLeft(base)(_ filter _)
+    if (requiredColumns.isEmpty) filtered
+    else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
   }
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] =
+    innerScan(requiredColumns, filters).rdd
 }

@@ -82,6 +82,49 @@ object ManifestTable {
     */
   private type FileStats = Map[String, (Option[String], Option[String])]
 
+  /** Generated-partition-column transform (the hidden-partitioning idea,
+    * in its Delta generated-columns shape: the derived column is visible
+    * in the schema, its VALUE is always derived — writers never supply
+    * it — and readers' predicates on the SOURCE column map to partition
+    * filters on it automatically).
+    *
+    * kinds: `days` (date/timestamp → ISO day string: lexicographic order
+    * IS chronological order, so range predicates map 1:1), `bucket`
+    * (xxhash64 mod N: equality/IN predicates map to bucket equality),
+    * `trunc` (string prefix of length N: equality maps to prefix
+    * equality, ranges to prefix ranges).
+    */
+  case class PartitionTransform(derived: String, kind: String, arg: Int, src: String)
+
+  private[sources] def deriveCol(t: PartitionTransform): Column = t.kind match {
+    case "days" => date_format(col(t.src), "yyyy-MM-dd")
+    case "bucket" => pmod(xxhash64(col(t.src)), lit(t.arg))
+    case "trunc" => substring(col(t.src), 1, t.arg)
+    case other => sys.error(s"unknown partition transform kind: $other")
+  }
+
+  /** Map a source-column value to its derived partition value (driver-side
+    * twin of [[deriveCol]] for the `days`/`trunc` range mapping; `bucket`
+    * is handled with the Column form since xxhash64 must match Spark's). */
+  private[sources] def dayOf(v: Any): String = v match {
+    case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate.toString
+    case t: java.time.Instant =>
+      t.atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    case d: java.sql.Date => d.toLocalDate.toString
+    case d: java.time.LocalDate => d.toString
+    case s: String => s.take(10)
+    case other => sys.error(s"days() transform cannot map value $other")
+  }
+
+  /** Add any missing derived partition columns to a write batch — writers
+    * supply only source columns; the derivation is the table's, not the
+    * caller's (a caller-supplied wrong value could land a row in a
+    * partition its filters would never look in). */
+  private def withDerived(df: DataFrame,
+                          transforms: Seq[PartitionTransform]): DataFrame =
+    transforms.foldLeft(df)((d, t) =>
+      d.withColumn(t.derived, deriveCol(t)))
+
   /** @param sidecar when set, per-file stats live in the named parquet
     *        directory under `_manifests/` instead of inline `stats=` lines
     *        (and `stats` is empty in memory) — the spill that keeps a
@@ -100,7 +143,8 @@ object ManifestTable {
                                        bloomCols: Seq[String] = Nil,
                                        sidecar: Option[String] = None,
                                        dvs: Map[String, (String, Long)] = Map.empty,
-                                       constraints: Seq[(String, String)] = Nil)
+                                       constraints: Seq[(String, String)] = Nil,
+                                       transforms: Seq[PartitionTransform] = Nil)
 
   // ------------------------------------------------------------------ reads
 
@@ -164,10 +208,16 @@ object ManifestTable {
         val Array(n, e) = l.split("\\|", -1)
         n -> java.net.URLDecoder.decode(e, "UTF-8")
       }
+    // transform=<derived>|<kind>|<arg>|<src>
+    val transforms = lines.filter(_.startsWith("transform="))
+      .map(_.stripPrefix("transform=")).map { l =>
+        val Array(d, k, a, src) = l.split("\\|", -1)
+        PartitionTransform(d, k, a.toInt, src)
+      }
     Manifest(version, schema,
       if (parts.isEmpty) Nil else parts.split(",").toSeq,
       lines.filter(_.startsWith("file=")).map(_.stripPrefix("file=")),
-      statsCols, stats, bloomCols, sidecar, dvs, constraints)
+      statsCols, stats, bloomCols, sidecar, dvs, constraints, transforms)
   }
 
   /** Schema of a committed version, straight from its manifest (no data-file
@@ -978,7 +1028,8 @@ object ManifestTable {
                               bloomCols: Seq[String] = Nil,
                               carry: Option[Manifest] = None,
                               dvs: Map[String, (String, Long)] = Map.empty,
-                              constraints: Seq[(String, String)] = Nil): Long = {
+                              constraints: Seq[(String, String)] = Nil,
+                              transforms: Seq[PartitionTransform] = Nil): Long = {
     val f = fs(spark, path)
     f.mkdirs(manifestDir(path))
     val fileSet = files.toSet
@@ -1070,6 +1121,7 @@ object ManifestTable {
       effectiveDvs.toSeq.sortBy(_._1).map { case (rel, (n, cnt)) => s"dv=$rel|$n|$cnt" } ++
       constraints.map { case (n, e) =>
         s"constraint=$n|${java.net.URLEncoder.encode(e, "UTF-8")}" } ++
+      transforms.map(t => s"transform=${t.derived}|${t.kind}|${t.arg}|${t.src}") ++
       statLines).mkString("\n") + "\n"
     val scratch = new Path(path, s"_tmp/manifest-${java.util.UUID.randomUUID()}")
     val out = f.create(scratch, true)
@@ -1131,16 +1183,20 @@ object ManifestTable {
                 partitionCols: Seq[String] = Nil,
                 statsCols: Seq[String] = Nil,
                 bloomCols: Seq[String] = Nil,
-                constraints: Seq[(String, String)] = Nil): Long = {
-    enforceConstraints(df, constraints, "overwrite")
-    val files = writeDataFiles(spark, path, df, partitionCols)
-    val stats = collectStats(spark, path, files, df.schema, partitionCols,
+                constraints: Seq[(String, String)] = Nil,
+                transforms: Seq[PartitionTransform] = Nil): Long = {
+    val full = withDerived(df, transforms)
+    val pCols = partitionCols ++ transforms.map(_.derived)
+    enforceConstraints(full, constraints, "overwrite")
+    val files = writeDataFiles(spark, path, full, pCols)
+    val stats = collectStats(spark, path, files, full.schema, pCols,
       statsCols, bloomCols)
     var tries = 0
     while (true) {
       val next = currentVersion(spark, path).map(_ + 1).getOrElse(1L)
-      try return commit(spark, path, next, df.schema, partitionCols, files,
-        statsCols, stats, bloomCols, constraints = constraints)
+      try return commit(spark, path, next, full.schema, pCols, files,
+        statsCols, stats, bloomCols, constraints = constraints,
+        transforms = transforms)
       catch {
         case e: java.util.ConcurrentModificationException =>
           tries += 1; if (tries > MaxCommitRetries) throw e
@@ -1262,23 +1318,28 @@ object ManifestTable {
           .getOrElse(append(spark, path, df))
       case Some(v0) =>
         var m = readManifest(spark, path, v0)
-        evolveSchema(df, m, "append") // fail fast, before any data lands
-        enforceConstraints(df, m.constraints, "append")
+        // generated partition columns: the table derives them, the caller
+        // never supplies them (a caller value could contradict the
+        // transform and land rows where pruning won't look)
+        val batch = withDerived(
+          df.drop(m.transforms.map(_.derived): _*), m.transforms)
+        evolveSchema(batch, m, "append") // fail fast, before any data lands
+        enforceConstraints(batch, m.constraints, "append")
         val base = m
-        val added = writeDataFiles(spark, path, df, m.partitionCols)
+        val added = writeDataFiles(spark, path, batch, m.partitionCols)
         // added files carry the batch's schema (⊇ stats columns)
         val addedStats =
-          collectStats(spark, path, added, df.schema, m.partitionCols,
+          collectStats(spark, path, added, batch.schema, m.partitionCols,
             m.statsCols, m.bloomCols)
         var tries = 0
         while (true) {
           require(m.partitionCols == base.partitionCols,
             s"table partitioning changed concurrently: " +
               s"${base.partitionCols} -> ${m.partitionCols}")
-          val schema = evolveSchema(df, m, "append")
+          val schema = evolveSchema(batch, m, "append")
           try return commit(spark, path, m.version + 1, schema, m.partitionCols,
             m.files ++ added, m.statsCols, addedStats, m.bloomCols, carry = Some(m),
-            constraints = m.constraints)
+            constraints = m.constraints, transforms = m.transforms)
           catch {
             case e: java.util.ConcurrentModificationException =>
               tries += 1; if (tries > MaxCommitRetries) throw e
@@ -1301,10 +1362,12 @@ object ManifestTable {
       .getOrElse(sys.error(s"no manifest table at $path — use overwrite"))
     var m = readManifest(spark, path, v0)
     require(m.partitionCols.nonEmpty, "table is unpartitioned — use overwrite")
-    requireCompatible(df, m, "overwritePartitions")
-    enforceConstraints(df, m.constraints, "overwritePartitions")
+    val batch = withDerived(
+      df.drop(m.transforms.map(_.derived): _*), m.transforms)
+    requireCompatible(batch, m, "overwritePartitions")
+    enforceConstraints(batch, m.constraints, "overwritePartitions")
     val base = m
-    val added = writeDataFiles(spark, path, df, m.partitionCols)
+    val added = writeDataFiles(spark, path, batch, m.partitionCols)
     val replacedDirs = added.map(dirOf).toSet
     val addedStats =
       collectStats(spark, path, added, m.schema, m.partitionCols,
@@ -1314,11 +1377,11 @@ object ManifestTable {
       require(m.partitionCols == base.partitionCols,
         s"table partitioning changed concurrently: " +
           s"${base.partitionCols} -> ${m.partitionCols}")
-      requireCompatible(df, m, "overwritePartitions")
+      requireCompatible(batch, m, "overwritePartitions")
       val kept = m.files.filterNot(rel => replacedDirs.contains(dirOf(rel)))
       try return commit(spark, path, m.version + 1, m.schema, m.partitionCols,
         kept ++ added, m.statsCols, addedStats, m.bloomCols, carry = Some(m),
-        constraints = m.constraints)
+        constraints = m.constraints, transforms = m.transforms)
       catch {
         case e: java.util.ConcurrentModificationException =>
           tries += 1; if (tries > MaxCommitRetries) throw e
@@ -1358,8 +1421,10 @@ object ManifestTable {
           .getOrElse(merge(spark, path, updates, keys, partitionCols, deleteKeys))
       case Some(v) =>
         val m = readManifest(spark, path, v)
-        requireCompatible(updates, m, "merge")
-        enforceConstraints(updates, m.constraints, "merge")
+        val batch = withDerived(
+          updates.drop(m.transforms.map(_.derived): _*), m.transforms)
+        requireCompatible(batch, m, "merge")
+        enforceConstraints(batch, m.constraints, "merge")
         val existing = readVersion(spark, path, v)
         val ordered = existing.columns.map(col).toSeq
         // every key this merge removes from the current snapshot: keys being
@@ -1368,22 +1433,23 @@ object ManifestTable {
         // the affected-partition discovery, and the rebase overlap check —
         // a deleted key races with a concurrent append exactly like an
         // updated one does.
-        val touchKeys = deleteKeys.foldLeft(updates.select(keys.map(col): _*))(
+        val touchKeys = deleteKeys.foldLeft(batch.select(keys.map(col): _*))(
           (u, dk) => u.unionByName(dk.select(keys.map(col): _*)))
         if (m.partitionCols.isEmpty) {
           val kept = existing.join(touchKeys, keys, "left_anti")
-          val next = kept.unionByName(updates.select(ordered: _*)).localCheckpoint(true)
+          val next = kept.unionByName(batch.select(ordered: _*)).localCheckpoint(true)
           val files = writeDataFiles(spark, path, next, Nil)
           // full-table rewrite: ANY concurrent commit invalidates the
           // snapshot this merge rewrote — no rebase path exists
           commit(spark, path, v + 1, m.schema, Nil, files, m.statsCols,
             collectStats(spark, path, files, m.schema, Nil, m.statsCols,
-              m.bloomCols), m.bloomCols, constraints = m.constraints)
+              m.bloomCols), m.bloomCols, constraints = m.constraints,
+            transforms = m.transforms)
         } else {
           val pCols = m.partitionCols.map(col)
           // partitions named by the batch ∪ partitions holding old copies of
           // the updated keys; bounded by the batch size, safe to collect
-          val affected = updates.select(pCols: _*)
+          val affected = batch.select(pCols: _*)
             .union(existing
               .join(broadcast(touchKeys.distinct()), keys, "left_semi")
               .select(pCols: _*))
@@ -1393,7 +1459,7 @@ object ManifestTable {
             existing.select(pCols: _*).schema)
           val kept = existing.join(broadcast(affectedDf), m.partitionCols)
             .join(touchKeys, keys, "left_anti")
-          val next = kept.unionByName(updates.select(ordered: _*)).localCheckpoint(true)
+          val next = kept.unionByName(batch.select(ordered: _*)).localCheckpoint(true)
           val added = writeDataFiles(spark, path, next, m.partitionCols)
           // remove every affected partition's old entries (NOT just dirs the
           // new files landed in — a drained partition writes no files)
@@ -1410,7 +1476,7 @@ object ManifestTable {
             val keptFiles = cur.files.filterNot(rel => affectedDirs.contains(dirOf(rel)))
             try return commit(spark, path, cur.version + 1, m.schema, m.partitionCols,
               keptFiles ++ added, m.statsCols, addedStats, m.bloomCols, carry = Some(cur),
-              constraints = m.constraints)
+              constraints = m.constraints, transforms = m.transforms)
             catch {
               case e: java.util.ConcurrentModificationException =>
                 tries += 1; if (tries > MaxCommitRetries) throw e
@@ -1533,7 +1599,7 @@ object ManifestTable {
       .map(rel => rel -> ((name, counts(rel)))).toMap
     try commit(spark, path, v + 1, m.schema, m.partitionCols, m.files,
       m.statsCols, Map.empty, m.bloomCols, carry = Some(m), dvs = newDvs,
-      constraints = m.constraints)
+      constraints = m.constraints, transforms = m.transforms)
     catch { case e: java.util.ConcurrentModificationException =>
       fs(spark, path).delete(new Path(dvDir(path), name), true)
       throw e
@@ -1627,7 +1693,7 @@ object ManifestTable {
       s"addConstraint($name) on existing data")
     commit(spark, path, v + 1, m.schema, m.partitionCols, m.files,
       m.statsCols, Map.empty, m.bloomCols, carry = Some(m),
-      constraints = m.constraints :+ (name -> sql))
+      constraints = m.constraints :+ (name -> sql), transforms = m.transforms)
   }
 
   /** Drop a CHECK constraint (metadata-only commit). */
@@ -1639,7 +1705,7 @@ object ManifestTable {
       s"no constraint '$name' on $path (have: ${m.constraints.map(_._1).mkString(", ")})")
     commit(spark, path, v + 1, m.schema, m.partitionCols, m.files,
       m.statsCols, Map.empty, m.bloomCols, carry = Some(m),
-      constraints = m.constraints.filterNot(_._1 == name))
+      constraints = m.constraints.filterNot(_._1 == name), transforms = m.transforms)
   }
 
   /** Range DELETE with zone-map file skipping: candidate files come from
@@ -1732,6 +1798,11 @@ object ManifestTable {
         s"table columns: ${m.schema.fieldNames.mkString(", ")}")
     require(sets.map(_._1).distinct.size == sets.size,
       s"UPDATE of $path assigns a column twice")
+    val generated = m.transforms.map(_.derived).toSet
+    require(!sets.exists(kv => generated(kv._1)),
+      s"UPDATE of $path assigns generated partition column(s) " +
+        s"${sets.map(_._1).filter(generated).mkString(", ")} — their values " +
+        "derive from the transform; update the source column instead")
     val touched = touchedFiles(spark, path, m.files, m.schema, predicate)
     if (touched.isEmpty) return v
     val hit = coalesce(predicate, lit(false))
@@ -1745,8 +1816,12 @@ object ManifestTable {
     }
     // DV-applied read: see rewriteWithout — an update must not resurrect
     // previously-deleted rows
-    val rewritten = readRels(spark, path, m, touched)
-      .select(replaced.toSeq: _*)
+    // re-derive generated partition columns AFTER the SET projection: an
+    // update of a transform's SOURCE column must move the row's partition
+    val rewritten = withDerived(
+      readRels(spark, path, m, touched).select(replaced.toSeq: _*)
+        .drop(m.transforms.map(_.derived): _*), m.transforms)
+      .select(m.schema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
     // the SET right-hand sides can produce violating values — gate the
     // rewritten rows like any other write batch
     enforceConstraints(rewritten, m.constraints, "update")
@@ -1775,7 +1850,7 @@ object ManifestTable {
                    else written
     commit(spark, path, v + 1, m.schema, m.partitionCols,
       untouched ++ newFiles, m.statsCols, newStats, m.bloomCols, carry = Some(m),
-      constraints = m.constraints)
+      constraints = m.constraints, transforms = m.transforms)
   }
 
   /** Rewrite the current snapshot into ~`targetRowsPerFile`-row files —
@@ -1807,7 +1882,8 @@ object ManifestTable {
     val files = writeDataFiles(spark, path, sized, m.partitionCols)
     commit(spark, path, v + 1, m.schema, m.partitionCols, files, m.statsCols,
       collectStats(spark, path, files, m.schema, m.partitionCols, m.statsCols,
-        m.bloomCols), m.bloomCols, constraints = m.constraints)
+        m.bloomCols), m.bloomCols, constraints = m.constraints,
+      transforms = m.transforms)
   }
 
   /** Delete data files referenced by none of the `keepVersions` most recent

@@ -1,0 +1,130 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.ManifestTable.PartitionTransform
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Generated partition columns (hidden partitioning, Delta generated-
+  * columns shape): the table derives `days(ts)` / `bucket(n, id)` /
+  * `trunc(k, s)` partition values at write, and source-column predicates
+  * prune partitions automatically at read.
+  */
+class HiddenPartitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def days30(tag: String): String = {
+    val path = Files.createTempDirectory(s"hp_$tag").toString + "/t"
+    val df = spark.range(300).select(col("id"),
+      expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0)").as("ts"),
+      (col("id") % 7).as("k"))
+    // 300 hourly events → 13 day partitions
+    ManifestTable.overwrite(spark, path, df,
+      transforms = Seq(PartitionTransform("ts_day", "days", 0, "ts")))
+    path
+  }
+
+  test("days(): table partitions by derived day; writers never supply it") {
+    val path = days30("days")
+    val m = ManifestTable.readManifest(spark, path, 1L)
+    assert(m.partitionCols === Seq("ts_day"))
+    assert(m.transforms === Seq(PartitionTransform("ts_day", "days", 0, "ts")))
+    val got = ManifestTable.read(spark, path)
+    assert(got.columns.contains("ts_day"))
+    assert(got.count() === 300L)
+    // derived value always agrees with the source column
+    assert(got.filter(col("ts_day") =!= date_format(col("ts"), "yyyy-MM-dd"))
+      .count() === 0L)
+    // append WITHOUT the derived column: injected automatically
+    ManifestTable.append(spark, path,
+      Seq((999L, java.sql.Timestamp.valueOf("2024-02-01 12:00:00"), 1L))
+        .toDF("id", "ts", "k"))
+    assert(ManifestTable.read(spark, path).filter(col("id") === 999L)
+      .select("ts_day").as[String].head() === "2024-02-01")
+  }
+
+  test("source-column range predicate prunes day partitions (implied filter → PartitionFilters)") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    val path = days30("prune")
+    // SQL end-to-end result first
+    spark.sql("DROP TABLE IF EXISTS hp_t")
+    spark.sql(s"CREATE TABLE hp_t USING graft OPTIONS (path '$path')")
+    try {
+      assert(spark.sql(
+        "SELECT id FROM hp_t WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' " +
+          "AND ts < TIMESTAMP '2024-01-12 00:00:00'").count() === 48L)
+    } finally spark.sql("DROP TABLE IF EXISTS hp_t"): Unit
+    // the inner scan (what buildScan executes) carries the implied
+    // ts_day partition filter and opens only the 2 matching day dirs
+    val rel = new GraftRelation(spark.sqlContext, path, None)
+    val inner = rel.innerScan(Array("id"), Array(
+      GreaterThanOrEqual("ts", java.sql.Timestamp.valueOf("2024-01-10 00:00:00")),
+      LessThan("ts", java.sql.Timestamp.valueOf("2024-01-12 00:00:00"))))
+    assert(inner.count() === 48L)
+    val plan = inner.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("ts_day"),
+      s"expected ts_day partition filters in:\n${plan.take(1500)}")
+    // count opened DAY DIRECTORIES (a day may hold several files)
+    def days(df: org.apache.spark.sql.DataFrame): Long = df
+      .select(regexp_extract(input_file_name(), "ts_day=([0-9-]+)", 1).as("d"))
+      .distinct().count()
+    val opened = days(inner)
+    val total = days(ManifestTable.read(spark, path))
+    assert(total >= 13L && opened === 2L, s"opened $opened of $total day dirs")
+  }
+
+  test("bucket(): equality on the source key prunes to one bucket") {
+    import org.apache.spark.sql.sources.EqualTo
+    val path = Files.createTempDirectory("hp_bucket").toString + "/t"
+    ManifestTable.overwrite(spark, path,
+      spark.range(1000).select(col("id"), (col("id") * 3).as("v")),
+      transforms = Seq(PartitionTransform("id_bucket", "bucket", 8, "id")))
+    spark.sql("DROP TABLE IF EXISTS hp_b")
+    spark.sql(s"CREATE TABLE hp_b USING graft OPTIONS (path '$path')")
+    try {
+      assert(spark.sql("SELECT v FROM hp_b WHERE id = 123").as[Long]
+        .collect() === Array(369L))
+    } finally spark.sql("DROP TABLE IF EXISTS hp_b"): Unit
+    val rel = new GraftRelation(spark.sqlContext, path, None)
+    val inner = rel.innerScan(Array("v"), Array(EqualTo("id", 123L)))
+    assert(inner.as[Long].collect() === Array(369L))
+    val opened = inner.select(input_file_name()).distinct().count()
+    val total = ManifestTable.read(spark, path)
+      .select(input_file_name()).distinct().count()
+    assert(total >= 8L && opened * 4 <= total,
+      s"bucket pruning should open ~1/8 of files, opened $opened/$total")
+  }
+
+  test("merge and update re-derive: a source-column change moves the partition") {
+    val path = days30("move")
+    // merge a replacement whose ts moved to another day
+    ManifestTable.merge(spark, path,
+      Seq((5L, java.sql.Timestamp.valueOf("2024-03-03 00:00:00"), 0L))
+        .toDF("id", "ts", "k"),
+      keys = Seq("id"))
+    val afterMerge = ManifestTable.read(spark, path).filter(col("id") === 5L)
+    assert(afterMerge.select("ts_day").as[String].head() === "2024-03-03")
+    // update SET ts: derived col follows
+    ManifestTable.update(spark, path, col("id") === 6L,
+      Seq("ts" -> lit(java.sql.Timestamp.valueOf("2024-04-04 00:00:00"))))
+    assert(ManifestTable.read(spark, path).filter(col("id") === 6L)
+      .select("ts_day").as[String].head() === "2024-04-04")
+    // direct SET of the generated column is rejected
+    val e = intercept[RuntimeException] {
+      ManifestTable.update(spark, path, col("id") === 7L,
+        Seq("ts_day" -> lit("1999-01-01")))
+    }
+    assert(e.getMessage.contains("generated partition column"))
+  }
+
+  test("a caller-supplied derived value is ignored and re-derived") {
+    val path = days30("lie")
+    // batch CLAIMS day 1999-01-01 for a 2024 timestamp — the table's
+    // derivation must win or pruning would silently miss the row
+    ManifestTable.append(spark, path,
+      Seq((777L, java.sql.Timestamp.valueOf("2024-05-05 08:00:00"), 2L, "1999-01-01"))
+        .toDF("id", "ts", "k", "ts_day"))
+    assert(ManifestTable.read(spark, path).filter(col("id") === 777L)
+      .select("ts_day").as[String].head() === "2024-05-05")
+  }
+}
