@@ -71,7 +71,8 @@ object Bench {
       "q_mv_refresh", "q_window_dist", "q_ann_pq", "q_ann_ivfpq",
       "q_jpeg_pixels", "q_late_exclusive",
       // round-8 additions in the 3-5 s multi-commit class
-      "q_mv_refresh_dv", "q_bfs_hops", "q_sql_merge_delete", "q_delete_vector")
+      "q_mv_refresh_dv", "q_bfs_hops", "q_sql_merge_delete", "q_delete_vector",
+      "q_hidden_partition")
     val results = selected.toSeq.sortBy { case (n, _) => (heavyLast(n), n) }.map { case (name, fn) =>
       val times = (1 to reps).map { rep =>
         val gc0 = gcMillis

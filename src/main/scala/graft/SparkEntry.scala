@@ -1187,7 +1187,12 @@ object SparkEntry {
       graft.sources.ManifestTable.overwrite(s, dir,
         Tables.orders(s, d)
           .filter(col("o_orderdate") >= lit(y0) && col("o_orderdate") < lit(y1))
-          .select("o_orderkey", "o_totalprice", "o_orderdate"),
+          .select("o_orderkey", "o_totalprice", "o_orderdate")
+          // cluster by the partition source before the write: otherwise
+          // every task touches every day dir and a year of days × 32
+          // tasks = 10⁴ tiny files (the classic dynamic-partition-write
+          // mistake; 13.6 s → ~3 s at sf0.1)
+          .repartitionByRange(16, col("o_orderdate")),
         transforms = Seq(graft.sources.ManifestTable.PartitionTransform(
           "o_day", "days", 0, "o_orderdate")))
       s.sql("DROP TABLE IF EXISTS q_hp_t")

@@ -55,8 +55,19 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     val spark = ctx.sparkSession
     def split(k: String) = parameters.get(k).map(_.split(",").toSeq).getOrElse(Nil)
     val exists = ManifestTable.currentVersion(spark, path).isDefined
+    // generated partition columns via writer option, e.g.
+    //   .option("transforms", "ts_day:days:0:ts,id_bucket:bucket:8:id")
+    val transforms = split("transforms").map { spec =>
+      spec.split(":", -1) match {
+        case Array(derived, kind, arg, src) =>
+          ManifestTable.PartitionTransform(derived, kind, arg.toInt, src)
+        case _ => sys.error(
+          s"graft: bad transform '$spec' (expected derived:kind:arg:src)")
+      }
+    }
     def create(): Unit = ManifestTable.overwrite(spark, path, data,
-      split("partitionBy"), split("statsCols"), split("bloomCols")): Unit
+      split("partitionBy"), split("statsCols"), split("bloomCols"),
+      transforms = transforms): Unit
     mode match {
       case SaveMode.Append if exists => ManifestTable.append(spark, path, data)
       case SaveMode.Append | SaveMode.Overwrite => create()

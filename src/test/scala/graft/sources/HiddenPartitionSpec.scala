@@ -117,6 +117,26 @@ class HiddenPartitionSpec extends SparkSpec {
     assert(e.getMessage.contains("generated partition column"))
   }
 
+  test("transforms declare through the DataFrame writer option") {
+    val path = Files.createTempDirectory("hp_opt").toString + "/t"
+    spark.range(50).select(col("id"),
+        expr("timestamp '2024-06-01 00:00:00' + make_interval(0,0,0,CAST(id AS INT),0,0,0)").as("ts"))
+      .write.format("graft")
+      .option("path", path)
+      .option("transforms", "ts_day:days:0:ts")
+      .mode("overwrite").save()
+    val m = ManifestTable.readManifest(spark, path, 1L)
+    assert(m.transforms === Seq(PartitionTransform("ts_day", "days", 0, "ts")))
+    assert(ManifestTable.read(spark, path)
+      .filter(col("ts_day") =!= date_format(col("ts"), "yyyy-MM-dd")).count() === 0L)
+    // appends through the writer inherit the table's transforms
+    Seq((100L, java.sql.Timestamp.valueOf("2024-08-08 00:00:00")))
+      .toDF("id", "ts").write.format("graft")
+      .option("path", path).mode("append").save()
+    assert(ManifestTable.read(spark, path).filter(col("id") === 100L)
+      .select("ts_day").as[String].head() === "2024-08-08")
+  }
+
   test("a caller-supplied derived value is ignored and re-derived") {
     val path = days30("lie")
     // batch CLAIMS day 1999-01-01 for a 2024 timestamp — the table's
