@@ -137,6 +137,36 @@ class HiddenPartitionSpec extends SparkSpec {
       .select("ts_day").as[String].head() === "2024-08-08")
   }
 
+  test("composition: deletion vectors, constraints and time travel on a transform-partitioned table") {
+    val path = days30("comp")
+    ManifestTable.addConstraint(spark, path, "k_small", "k < 100")
+    // DV delete on the transform-partitioned table: no file rewritten,
+    // partition dirs untouched, reads correct
+    val v = ManifestTable.deleteVectorized(spark, path, col("id") < 24)
+    assert(ManifestTable.read(spark, path).count() === 276L)
+    assert(ManifestTable.read(spark, path)
+      .filter(col("ts_day") === "2024-01-01").count() === 0L,
+      "day 1's 24 rows are all DV-deleted")
+    // time travel under the partition transform
+    assert(ManifestTable.readVersion(spark, path, 1L).count() === 300L)
+    // constraint still gates an append, and the append carries the DVs
+    intercept[RuntimeException] {
+      ManifestTable.append(spark, path,
+        Seq((500L, java.sql.Timestamp.valueOf("2024-01-20 00:00:00"), 999L))
+          .toDF("id", "ts", "k"))
+    }
+    ManifestTable.append(spark, path,
+      Seq((500L, java.sql.Timestamp.valueOf("2024-01-20 00:00:00"), 9L))
+        .toDF("id", "ts", "k"))
+    assert(ManifestTable.read(spark, path).count() === 277L)
+    assert(ManifestTable.read(spark, path).filter(col("id") < 24).count() === 0L,
+      "DV-deleted rows must stay deleted across the append")
+    // PURGE materializes and the history surface saw every step
+    ManifestTable.rewriteDeletes(spark, path)
+    assert(ManifestTable.read(spark, path).count() === 277L)
+    assert(ManifestTable.history(spark, path).count() === v + 2)
+  }
+
   test("a caller-supplied derived value is ignored and re-derived") {
     val path = days30("lie")
     // batch CLAIMS day 1999-01-01 for a 2024 timestamp — the table's
