@@ -409,6 +409,28 @@ object PlanAudit {
       "no second lineitem self-join (single fact scan)" -> (p =>
         "FileScan parquet.*l_orderkey".r.findAllIn(p).length <= 1 &&
           !p.contains("CartesianProduct")))
+    audit("q_forecast_revenue")(
+      "every predicate pushed into the lineitem scan" -> (p =>
+        p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)")),
+      "no join, no wide shuffle (1-row aggregate only)" -> (p =>
+        !p.contains("Join") && "Exchange".r.findAllIn(p).length <= 1),
+      "scan pruned to the 4 predicate/measure columns" -> (p =>
+        p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp>")))
+    audit("q_nation_profit")(
+      "part cut and supplier-nation chain broadcast" -> (p =>
+        "BroadcastHashJoin".r.findAllIn(p).length >= 2),
+      "single fact-fact shuffle join" -> (p =>
+        "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length <= 1),
+      "profit partially aggregated map-side" -> (p =>
+        "HashAggregate\\(keys=\\[n_name".r.findAllIn(p).length >= 2))
+    audit("q_returned_top")(
+      "returnflag and quarter pushed to the scans" -> (p =>
+        p.contains("EqualTo(l_returnflag,R)") &&
+          p.contains("GreaterThanOrEqual(o_orderdate")),
+      "per-customer revenue aggregates BEFORE the dim joins" -> (p =>
+        "HashAggregate\\(keys=\\[o_custkey".r.findAllIn(p).length >= 2),
+      "rank cut is a TakeOrderedAndProject, never a global sort" -> (p =>
+        p.contains("TakeOrderedAndProject")))
     audit("q_priority_count")(
       "EXISTS lowers to one left-semi join" -> (p =>
         p.contains("LeftSemi") && "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r

@@ -564,6 +564,72 @@ object SparkEntry {
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
     }),
 
+    // TPC-H Q6 shape (forecast revenue): the pure scan-side query — every
+    // predicate pushes into the parquet scan (year range, discount band,
+    // quantity cap), no join, one map-side-partial decimal aggregate.
+    // The simplest query in the suite and the purest pushdown witness
+    "q_forecast_revenue" -> ((s, d) => {
+      val y0 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+      val y1 = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit(y0) && col("l_shipdate") < lit(y1) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(dec) * col("l_discount").cast(dec))
+          .cast("double").as("revenue"))
+    }),
+
+    // TPC-H Q9 shape (product-type profit by nation and year): the only
+    // fact-fact shuffle is lineitem ⋈ orders on orderkey; the part cut
+    // (name pattern) and the supplier→nation chain collapse into
+    // broadcasts. Profit uses the schema's cost proxy (retailprice-scaled)
+    // with the same exact-decimal discipline as the real supplycost form
+    "q_nation_profit" -> ((s, d) => {
+      val p = Tables.part(s, d).filter(col("p_name").like("%a%"))
+        .select("p_partkey", "p_retailprice")
+      val sn = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"),
+            year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(sum(
+          col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec)
+            - col("p_retailprice").cast(dec) * col("l_quantity").cast(dec))
+          .cast("double").as("profit"))
+    }),
+
+    // TPC-H Q10 shape (returned-item ranking): one quarter's 'R' lines
+    // join orders (quarter filter pushed) then the customer/nation dims
+    // broadcast onto the aggregated per-customer revenue — the rank cut
+    // orders by the EXACT decimal sum with the key as tiebreak, so the
+    // top-20 is deterministic cross-engine
+    "q_returned_top" -> ((s, d) => {
+      val q0 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+      val q1 = java.sql.Timestamp.valueOf("1996-04-01 00:00:00")
+      val perCust = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit(q0) && col("o_orderdate") < lit(q1))
+            .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec))
+          .as("rev"))
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(perCust, col("c_custkey") === col("o_custkey"))
+        .orderBy(col("rev").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("rev").cast("double").as("revenue"))
+    }),
+
     // TPC-H Q11 shape (fraction-of-total gate over groups): suppliers
     // holding more than 1/95 of total lineitem value. The global total is
     // a re-aggregation of the per-supplier sums (thin — never a second
@@ -2554,6 +2620,42 @@ object SparkEntry {
         |t AS (SELECT SUM(supp_value) AS tot_value FROM sv)
         |SELECT l_suppkey AS s_suppkey, CAST(supp_value AS DOUBLE) AS supp_value
         |FROM sv, t WHERE supp_value * 95 > tot_value""".stripMargin,
+
+    // the Q6 shape re-derived verbatim
+    "q_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    // the Q9 shape re-derived with the same cost proxy and decimal terms
+    "q_nation_profit" ->
+      """SELECT n_name, year(o_orderdate) AS o_year,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+        |  - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%a%'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the Q10 shape re-derived: exact-decimal rank key + custkey tiebreak
+    // makes the top-20 cut deterministic on both engines
+    "q_returned_top" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name, n_name, CAST(rev AS DOUBLE) AS revenue
+        |FROM pc JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY rev DESC, c_custkey LIMIT 20""".stripMargin,
 
     // the Q4 shape re-derived in its natural correlated-EXISTS form
     "q_priority_count" ->
