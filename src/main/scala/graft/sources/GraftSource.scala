@@ -26,9 +26,36 @@ import org.apache.spark.sql.types.StructType
   * them — results are always exact.
   */
 class GraftSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  // ---- Structured Streaming source: follow a graft table's commits ----
+  // `spark.readStream.format("graft").option("path", p).load()` — table
+  // VERSIONS are the offsets, so checkpoint/recovery is exactly the
+  // table's own commit chain; each micro-batch is the file-level CDF
+  // delta between the last processed version and the current one (the
+  // same at-least-once-per-changed-file contract as `followTable` and
+  // Delta's file-based change feed).
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val path = parameters.getOrElse("path", sys.error("graft: 'path' is required"))
+    val v = ManifestTable.currentVersion(ctx.sparkSession, path)
+      .getOrElse(sys.error(s"graft stream source: no table at $path yet — " +
+        "create it (version 1) before starting the stream"))
+    (shortName(), schema.getOrElse(
+      ManifestTable.manifestSchema(ctx.sparkSession, path, v)))
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val path = parameters.getOrElse("path", sys.error("graft: 'path' is required"))
+    new GraftStreamSource(ctx.sparkSession, path)
+  }
 
   override def createRelation(ctx: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
@@ -79,6 +106,49 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     }
     new GraftRelation(ctx, path, None)
   }
+}
+
+/** V1 streaming source over a graft table. Offsets ARE table versions
+  * (LongOffset), so the streaming checkpoint and the table's commit chain
+  * agree by construction: `getOffset` is one manifest-dir listing,
+  * `getBatch(start, end)` is the file-level CDF delta `readVersionDelta
+  * (start, end)` — new files' rows plus the new VISIBLE rows of files
+  * whose deletion vector changed. Restart recovery deserializes the
+  * version number back out of the checkpoint and resumes the delta from
+  * there; nothing is re-read on a clean restart. The initial batch
+  * (start = None) is the full snapshot at the first observed version.
+  */
+class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String)
+    extends org.apache.spark.sql.execution.streaming.Source {
+  import org.apache.spark.sql.execution.streaming.Offset
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  private val schema0: StructType = {
+    val v = ManifestTable.currentVersion(spark, path)
+      .getOrElse(sys.error(s"graft stream source: no table at $path"))
+    ManifestTable.manifestSchema(spark, path, v)
+  }
+
+  override def schema: StructType = schema0
+
+  override def getOffset: Option[Offset] =
+    ManifestTable.currentVersion(spark, path).map(LongOffset(_))
+
+  private def versionOf(o: Offset): Long = o.json.toLong
+
+  override def getBatch(start: Option[Offset], end: Offset)
+      : org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row] = {
+    val to = versionOf(end)
+    val batch = start match {
+      case Some(s) => ManifestTable.readVersionDelta(spark, path, versionOf(s), to)
+      case None => ManifestTable.readVersion(spark, path, to)
+    }
+    org.apache.spark.sql.graft.bridge
+      .streamingDataFrame(spark, batch.queryExecution.toRdd, batch.schema)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+  }
+
+  override def stop(): Unit = ()
 }
 
 /** Relation face of a metadata table: resolves the frame lazily PER SCAN,

@@ -24,6 +24,17 @@ object bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Re-plan a batch result as a STREAMING DataFrame (what a V1
+    * `Source.getBatch` must return; `internalCreateDataFrame`'s
+    * isStreaming flag is `private[sql]`).
+    */
+  def streamingDataFrame(spark: org.apache.spark.sql.SparkSession,
+                         rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                         schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
   /** Unpersist the RDD blocks backing a `localCheckpoint`ed Dataset.
     * `Dataset.unpersist` only clears CacheManager entries, not the
     * checkpoint RDD's storage — its `LogicalRDD` leaf (private[sql]) holds

@@ -746,6 +746,38 @@ class StreamingSpec extends SparkSpec {
       "every row delivered exactly once across the follower's lifetime")
   }
 
+  test("readStream.format(graft): versions are offsets, commits become micro-batches") {
+    import graft.sources.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("gsrc").toString
+    val table = s"$dir/t"
+    ManifestTable.overwrite(spark, table,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    val q = spark.readStream.format("graft").option("path", table).load()
+      .writeStream.format("memory").queryName("gsrc_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gsrc_out").select("id").as[Long].collect().sorted
+        === Array(1L, 2L), "initial batch = full snapshot")
+      // an append commit becomes exactly one delta batch
+      ManifestTable.append(spark, table, Seq((3L, "c")).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(spark.table("gsrc_out").select("id").as[Long].collect().sorted
+        === Array(1L, 2L, 3L))
+      // a deletion-vector commit re-delivers the changed file's VISIBLE
+      // rows (file-CDF at-least-once contract): id=2 gone, id=1 again
+      ManifestTable.deleteVectorized(spark, table, col("id") === 2L)
+      q.processAllAvailable()
+      val after = spark.table("gsrc_out").select("id").as[Long].collect().sorted
+      assert(after === Array(1L, 1L, 2L, 3L),
+        s"expected the DV'd file's new visible rows appended, got ${after.toSeq}")
+      // idle poll: no commit, no batch
+      q.processAllAvailable()
+      assert(spark.table("gsrc_out").count() === 4L)
+    } finally q.stop()
+  }
+
   test("followTable sees a deletion-vector commit as a delta (new visible rows of the DV'd file)") {
     import graft.sources.ManifestTable
     val dir = java.nio.file.Files.createTempDirectory("follow_dv").toString
