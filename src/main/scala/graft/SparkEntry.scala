@@ -1268,6 +1268,24 @@ object SparkEntry {
               |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
     }),
 
+    // bucket() transform end-to-end through SQL: customers hash-bucketed
+    // 16 ways, point lookups prune to one bucket (HiddenPartitionSpec
+    // measures the dirs); the oracle checks the visible row semantics —
+    // the derived bucket id is engine-internal (xxhash64) so the query
+    // projects the LOGICAL columns only
+    "q_bucket_partition" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bp").toString + "/t"
+      graft.sources.ManifestTable.overwrite(s, dir,
+        Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
+          .repartitionByRange(16, col("c_custkey")),
+        transforms = Seq(graft.sources.ManifestTable.PartitionTransform(
+          "c_bucket", "bucket", 16, "c_custkey")))
+      s.sql("DROP TABLE IF EXISTS q_bp_t")
+      s.sql(s"CREATE TABLE q_bp_t USING graft OPTIONS (path '$dir')")
+      s.sql("""SELECT c_custkey, c_name, c_acctbal FROM q_bp_t
+              |WHERE c_custkey IN (17, 1031, 4096) OR c_acctbal > 9990.0""".stripMargin)
+    }),
+
     // ---- WebDataset tar-shard export (the multimodal training-data
     // container): documents pack into POSIX tar shards (pure-JVM ustar
     // writer, GNU-tar-validated in spec) and read back through the
@@ -3662,6 +3680,11 @@ object SparkEntry {
         |SELECT o_orderstatus, o_year, count(*) AS n,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM t GROUP BY o_orderstatus, o_year""".stripMargin,
+
+    // the bucket-transform table re-derived on its logical columns
+    "q_bucket_partition" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey IN (17, 1031, 4096) OR c_acctbal > 9990.0""".stripMargin,
 
     // the generated-column semantics re-derived: same rows, and the
     // derived day column must equal the source date's ISO day
