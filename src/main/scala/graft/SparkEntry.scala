@@ -1176,6 +1176,39 @@ object SparkEntry {
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
     }),
 
+    // ---- SQL MERGE full CDC apply: the source IS the upstream's current
+    // state (not a change feed), so the one statement must upsert what the
+    // upstream has AND reconcile what it no longer has — WHEN NOT MATCHED
+    // BY SOURCE clauses (target-only, first-match-wins) delete cheap
+    // dropped rows and flag expensive ones instead of deleting them ----
+    "q_sql_merge_cdc" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_sqlcdc").toString + "/t"
+      val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderstatus")
+      graft.sources.ManifestTable.overwrite(s, dir,
+        orders.repartitionByRange(8, col("o_orderkey")), statsCols = Seq("o_orderkey"))
+      s.sql("DROP TABLE IF EXISTS q_sql_cdc_t")
+      s.sql(s"CREATE TABLE q_sql_cdc_t USING graft OPTIONS (path '$dir')")
+      // upstream now: every 3rd order dropped, every 7th repriced, plus new keys
+      orders.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          when(col("o_orderkey") % 7 === 0, lit("M"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"))
+        .unionAll(orders.filter(col("o_orderkey") % 997 === 0)
+          .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+            lit(1.0).as("o_totalprice"), lit("N").as("o_orderstatus")))
+        .createOrReplaceTempView("q_sql_cdc_src")
+      s.sql("""MERGE INTO q_sql_cdc_t t USING q_sql_cdc_src s
+              |ON t.o_orderkey = s.o_orderkey
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *
+              |WHEN NOT MATCHED BY SOURCE AND t.o_totalprice < 200000.0 THEN DELETE
+              |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_orderstatus = 'X'""".stripMargin)
+      graft.sources.ManifestTable.read(s, dir)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    }),
+
     // ---- incrementally maintained aggregate materialized view ----
     // the source table evolves through append → refresh → append → delete →
     // refresh → append → refresh; each refresh reads ONLY the source files
@@ -2688,8 +2721,8 @@ object SparkEntry {
     // the Q12 shape re-derived as CASE sums over the same join
     "q_urgent_lines" ->
       """SELECT l_linestatus,
-        |SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-        |SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -3635,6 +3668,22 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey + 30000000, 1.0, 'N'
         |FROM orders WHERE o_orderkey % 997 = 0""".stripMargin,
+
+    // the CDC apply re-derived: surviving upstream rows carry the
+    // upstream's values (CASE repricing), new upstream keys append,
+    // dropped keys either vanish (cheap) or survive flagged 'X'
+    // (expensive) per the NOT MATCHED BY SOURCE clauses
+    "q_sql_merge_cdc" ->
+      """SELECT o_orderkey,
+        |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+        |CASE WHEN o_orderkey % 7 = 0 THEN 'M' ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders WHERE o_orderkey % 3 <> 0
+        |UNION ALL
+        |SELECT o_orderkey + 30000000, 1.0, 'N'
+        |FROM orders WHERE o_orderkey % 997 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, 'X'
+        |FROM orders WHERE o_orderkey % 3 = 0 AND o_totalprice >= 200000.0""".stripMargin,
 
     // the vectorized DELETE re-derived by predicate negation — identical
     // contract to q_sql_delete's oracle, different deletion mechanism

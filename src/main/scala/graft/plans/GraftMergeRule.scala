@@ -29,8 +29,18 @@ import org.apache.spark.sql.types.StructType
   *   - WHEN NOT MATCHED [AND cond] THEN INSERT ... — any number,
   *     first-match-wins; values and conditions reference source columns
   *     only and must cover every target column
-  *   - no NOT MATCHED BY SOURCE clauses; no subqueries in conditions or
-  *     assignments
+  *   - WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ... | DELETE
+  *     — any number, first-match-wins; conditions and values reference
+  *     TARGET columns only (there is no source row). The full CDC-apply
+  *     shape (upsert + delete-rows-the-upstream-dropped) is therefore one
+  *     statement. At 100 TB note the scan shape: these clauses touch every
+  *     target partition holding unmatched rows — an unconditional clause
+  *     rewrites the whole table, which is inherent to the semantics (same
+  *     as Delta), not a plan defect
+  *   - UPDATE SET may not assign an ON-key column (matched or
+  *     not-matched-by-source): replacement is BY KEY, so re-keying would
+  *     duplicate instead of replace — same restriction as Delta
+  *   - no subqueries in conditions or assignments
   *
   * A matched row where NO clause condition fires is kept unchanged; an
   * unmatched source row where no insert condition fires is dropped. As with
@@ -75,17 +85,19 @@ object GraftMergeRule extends Rule[LogicalPlan] {
     * (target × source) join at execution time: target attributes become
     * `__tgt_<name>`, source attributes `__src_<name>` — unresolved by-name
     * references that the command's own DataFrames resolve. None when the
-    * expression references anything else, contains a subquery, or (with
-    * `srcOnly`) touches the target side.
+    * expression references anything else, contains a subquery, or touches
+    * the side a single-sided clause may not see (`srcOnly` for NOT
+    * MATCHED inserts, `tgtOnly` for NOT MATCHED BY SOURCE clauses).
     */
   private def encode(e: Expression, tgt: LogicalPlan, src: LogicalPlan,
-                     srcOnly: Boolean = false): Option[Expression] = {
+                     srcOnly: Boolean = false,
+                     tgtOnly: Boolean = false): Option[Expression] = {
     if (e.exists(_.isInstanceOf[SubqueryExpression])) return None
     var ok = true
     val enc = e.transform {
       case a: AttributeReference =>
         if (!srcOnly && tgt.outputSet.contains(a)) UnresolvedAttribute.quoted("__tgt_" + a.name)
-        else if (src.outputSet.contains(a)) UnresolvedAttribute.quoted("__src_" + a.name)
+        else if (!tgtOnly && src.outputSet.contains(a)) UnresolvedAttribute.quoted("__src_" + a.name)
         else { ok = false; a }
     }
     if (ok) Some(enc) else None
@@ -94,41 +106,63 @@ object GraftMergeRule extends Rule[LogicalPlan] {
   /** Assignments as (targetName -> encoded expr); each assigned column must
     * be a target column, assigned at most once; `full` additionally
     * requires every target column covered (INSERT has no fallback value).
+    * `onKeys` are the ON-equality (target, source) column pairs: UPDATE
+    * clauses may not RE-KEY — the execution replaces rows BY KEY
+    * (anti-join cut on the batch's new key values), so a re-keying SET
+    * would keep the old-keyed row and append the re-keyed one instead of
+    * replacing (Delta restricts the same way); such a merge is left
+    * unlowered. Identity assignments are fine and must stay lowered
+    * (`UPDATE SET *` expands to them): `k = s.sk` where (k, sk) is an ON
+    * pair equals the current key under the match predicate, and `k = t.k`
+    * is literally the current key.
     */
   private def rowSets(assignments: Seq[Assignment], tgt: LogicalPlan,
                       src: LogicalPlan, srcOnly: Boolean,
-                      full: Boolean): Option[Seq[(String, Expression)]] = {
+                      full: Boolean, tgtOnly: Boolean = false,
+                      onKeys: Seq[(String, String)] = Nil): Option[Seq[(String, Expression)]] = {
     val sets = assignments.map {
       case Assignment(key: AttributeReference, value) if tgt.outputSet.contains(key) =>
-        encode(value, tgt, src, srcOnly).map(key.name -> _)
+        encode(value, tgt, src, srcOnly, tgtOnly).map(key.name -> _)
       case _ => None
     }
+    def rekeys(name: String, enc: Expression): Boolean =
+      onKeys.exists(_._1 == name) && (enc match {
+        case a: UnresolvedAttribute =>
+          !(a.name == "__tgt_" + name ||
+            onKeys.exists { case (t, s) => t == name && a.name == "__src_" + s })
+        case _ => true
+      })
     val assigned = sets.flatten.map(_._1)
     val names = tgt.output.map(_.name)
     val covered =
       if (full) assigned.sorted == names.sorted.toSeq
       else assigned.distinct.length == assigned.length && assigned.forall(names.contains)
-    if (sets.forall(_.isDefined) && covered) Some(sets.flatten) else None
+    if (sets.forall(_.isDefined) && covered &&
+        !sets.flatten.exists { case (n, e) => rekeys(n, e) })
+      Some(sets.flatten)
+    else None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case m: MergeIntoTable if m.resolved &&
-        m.notMatchedBySourceActions.isEmpty &&
-        (m.matchedActions.nonEmpty || m.notMatchedActions.nonEmpty) =>
+        (m.matchedActions.nonEmpty || m.notMatchedActions.nonEmpty ||
+          m.notMatchedBySourceActions.nonEmpty) =>
       graftOf(m.targetTable) match {
         case Some(rel) =>
           val tgt = m.targetTable; val src = m.sourceTable
-          def encCond(c: Option[Expression], srcOnly: Boolean): Option[Option[Expression]] =
+          def encCond(c: Option[Expression], srcOnly: Boolean,
+                      tgtOnly: Boolean = false): Option[Option[Expression]] =
             c match {
               case None => Some(None)
-              case Some(e) => encode(e, tgt, src, srcOnly).map(Some(_))
+              case Some(e) => encode(e, tgt, src, srcOnly, tgtOnly).map(Some(_))
             }
           val lowered = for {
             keys <- keyPairs(m.mergeCondition, tgt, src)
             matched <- traverse(m.matchedActions) {
               case UpdateAction(c, as, _) => for {
                 cond <- encCond(c, srcOnly = false)
-                sets <- rowSets(as, tgt, src, srcOnly = false, full = false)
+                sets <- rowSets(as, tgt, src, srcOnly = false, full = false,
+                  onKeys = keys)
               } yield (cond, Some(sets))
               case DeleteAction(c) =>
                 encCond(c, srcOnly = false).map(cond => (cond, None))
@@ -141,7 +175,22 @@ object GraftMergeRule extends Rule[LogicalPlan] {
               } yield (cond, sets)
               case _ => None
             }
-          } yield GraftMergeCommand(rel.tablePath, src, keys, matched, notMatched)
+            // WHEN NOT MATCHED BY SOURCE — target rows with no source
+            // match; clauses see target columns only (there IS no source
+            // row). UPDATE re-writes the row in place, DELETE is the
+            // CDC "remove rows the upstream no longer has" leg.
+            notBySource <- traverse(m.notMatchedBySourceActions) {
+              case UpdateAction(c, as, _) => for {
+                cond <- encCond(c, srcOnly = false, tgtOnly = true)
+                sets <- rowSets(as, tgt, src, srcOnly = false, full = false,
+                  tgtOnly = true, onKeys = keys)
+              } yield (cond, Some(sets))
+              case DeleteAction(c) =>
+                encCond(c, srcOnly = false, tgtOnly = true).map(cond => (cond, None))
+              case _ => None
+            }
+          } yield GraftMergeCommand(rel.tablePath, src, keys, matched, notMatched,
+            notBySource)
           lowered.getOrElse(plan)
         case None => plan
       }
@@ -172,7 +221,8 @@ object GraftMergeRule extends Rule[LogicalPlan] {
 case class GraftMergeCommand(path: String, source: LogicalPlan,
                              keys: Seq[(String, String)],
                              matched: Seq[(Option[Expression], Option[Seq[(String, Expression)]])],
-                             notMatched: Seq[(Option[Expression], Seq[(String, Expression)])])
+                             notMatched: Seq[(Option[Expression], Seq[(String, Expression)])],
+                             notBySource: Seq[(Option[Expression], Option[Seq[(String, Expression)]])] = Nil)
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Nil
 
@@ -209,7 +259,7 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
     // producing the same source-only row — no target join needed at all
     val fast = (matched, notMatched) match {
       case (Seq((None, Some(u))), Seq((None, i)))
-          if u.length == tgtFields.length &&
+          if notBySource.isEmpty && u.length == tgtFields.length &&
             (u ++ i).forall(!_._2.exists {
               case a: UnresolvedAttribute => a.name.startsWith("__tgt_")
               case _ => false
@@ -246,6 +296,27 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
             .withColumn("__clause", clauseIdx(notMatched.map(_._1)))
           upserts ++= notMatched.zipWithIndex.map { case ((_, sets), i) =>
             tagged.filter(col("__clause") === (i + 1)).select(insProj(sets): _*) }
+        }
+        if (notBySource.nonEmpty) {
+          // WHEN NOT MATCHED BY SOURCE: target rows with no source match —
+          // anti-join the target against the source's key set (distinct:
+          // it only gates membership). Null-keyed target rows qualify (ON
+          // equality can't match them), which is why the merge's key cut
+          // below is null-safe. Expressions are target-anchored only.
+          val sk = srcP
+            .select(keys.map { case (t, s) => col("__src_" + s).as("__tgt_" + t) }: _*)
+            .distinct()
+          val tagged = tgtP.join(sk, keys.map("__tgt_" + _._1), "left_anti")
+            .withColumn("__clause", clauseIdx(notBySource.map(_._1)))
+          upserts ++= notBySource.zipWithIndex.collect { case ((_, Some(sets)), i) =>
+            tagged.filter(col("__clause") === (i + 1)).select(updProj(sets): _*) }
+          val delIdx = notBySource.zipWithIndex.collect { case ((_, None), i) => i + 1 }
+          if (delIdx.nonEmpty) {
+            val dk = tagged.filter(col("__clause").isin(delIdx: _*))
+              .select(keys.map { case (t, _) => col("__tgt_" + t).as(t) }: _*)
+              .distinct()
+            deleteKeys = Some(deleteKeys.map(_.unionByName(dk).distinct()).getOrElse(dk))
+          }
         }
         val up = upserts.reduceOption(_ unionAll _).getOrElse(
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row],

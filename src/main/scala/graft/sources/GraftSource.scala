@@ -309,28 +309,33 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
     import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
     def bucketOf(v: Any) =
       pmod(xxhash64(lit(v).cast(schema(t.src).dataType)), lit(t.arg))
+    // both the day mapping and the midnight test must resolve instants in
+    // the SESSION zone — the zone `date_format` wrote the day dirs in
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    def dayOf(v: Any): String = ManifestTable.dayOf(v, zone)
     // ts < midnight-of-day-D excludes day D entirely — the half-open day
     // range (the overwhelmingly common shape) then opens exactly its days
     def midnight(v: Any): Boolean = v match {
       case ts: java.sql.Timestamp =>
-        ts.toLocalDateTime.toLocalTime == java.time.LocalTime.MIDNIGHT
+        ts.toInstant.atZone(zone).toLocalTime == java.time.LocalTime.MIDNIGHT
       case ts: java.time.Instant =>
-        ts.atZone(java.time.ZoneOffset.UTC).toLocalTime == java.time.LocalTime.MIDNIGHT
+        ts.atZone(zone).toLocalTime == java.time.LocalTime.MIDNIGHT
       case _: java.sql.Date | _: java.time.LocalDate => true
       case _ => false
     }
     (t.kind, f) match {
       case ("days", EqualTo(a, v)) if a == t.src && v != null =>
-        Some(col(t.derived) === ManifestTable.dayOf(v))
+        Some(col(t.derived) === dayOf(v))
       case ("days", GreaterThan(a, v)) if a == t.src && v != null =>
-        Some(col(t.derived) >= ManifestTable.dayOf(v))
+        Some(col(t.derived) >= dayOf(v))
       case ("days", GreaterThanOrEqual(a, v)) if a == t.src && v != null =>
-        Some(col(t.derived) >= ManifestTable.dayOf(v))
+        Some(col(t.derived) >= dayOf(v))
       case ("days", LessThan(a, v)) if a == t.src && v != null =>
-        Some(if (midnight(v)) col(t.derived) < ManifestTable.dayOf(v)
-             else col(t.derived) <= ManifestTable.dayOf(v))
+        Some(if (midnight(v)) col(t.derived) < dayOf(v)
+             else col(t.derived) <= dayOf(v))
       case ("days", LessThanOrEqual(a, v)) if a == t.src && v != null =>
-        Some(col(t.derived) <= ManifestTable.dayOf(v))
+        Some(col(t.derived) <= dayOf(v))
       case ("bucket", EqualTo(a, v)) if a == t.src && v != null =>
         Some(col(t.derived) === bucketOf(v))
       case ("bucket", In(a, vs)) if a == t.src && vs.nonEmpty && vs.forall(_ != null) =>

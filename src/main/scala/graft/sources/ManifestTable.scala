@@ -105,11 +105,18 @@ object ManifestTable {
 
   /** Map a source-column value to its derived partition value (driver-side
     * twin of [[deriveCol]] for the `days`/`trunc` range mapping; `bucket`
-    * is handled with the Column form since xxhash64 must match Spark's). */
-  private[sources] def dayOf(v: Any): String = v match {
-    case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate.toString
-    case t: java.time.Instant =>
-      t.atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    * is handled with the Column form since xxhash64 must match Spark's).
+    *
+    * `zone` must be the SESSION time zone ([[SQLConf.sessionLocalTimeZone]])
+    * — the write side derives the day via `date_format`, which formats in
+    * the session zone, so the driver-side twin must resolve the same
+    * instant in the same zone or a predicate lands on the wrong day
+    * directory and silently drops rows (a Timestamp's toLocalDateTime
+    * would use the JVM default zone instead, which need not agree). */
+  private[sources] def dayOf(v: Any, zone: java.time.ZoneId): String = v match {
+    case t: java.sql.Timestamp =>
+      t.toInstant.atZone(zone).toLocalDate.toString
+    case t: java.time.Instant => t.atZone(zone).toLocalDate.toString
     case d: java.sql.Date => d.toLocalDate.toString
     case d: java.time.LocalDate => d.toString
     case s: String => s.take(10)
@@ -1023,20 +1030,28 @@ object ManifestTable {
       }
     }
     val tList = System.nanoTime()
-    val madeDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    // partition subpath = dirs between tmp root and the file (both
+    // URIs must be fs-qualified or relativize returns its input)
+    def relDirOf(src: Path): String = {
+      val rel = tmpUri.relativize(src.toUri).getPath
+      rel.split("/").dropRight(1).mkString("/")
+    }
+    def destDirOf(relDir: String): Path =
+      if (relDir.isEmpty) dataDir(path) else new Path(dataDir(path), relDir)
+    // destination dirs are created SEQUENTIALLY before any rename task is
+    // submitted — a per-task dedup set would let task B (set-add lost)
+    // race past task A's still-in-flight mkdirs and rename into a
+    // directory that doesn't exist yet, failing the whole write spuriously
+    found.toSeq.map(s => relDirOf(s)).distinct
+      .foreach(rd => mv.mkdirs(destDirOf(rd)): Unit)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(16, math.max(1, found.size)))
     val moved: Seq[String] =
       try {
         val tasks: Seq[java.util.concurrent.Callable[String]] = found.toSeq.map { src =>
           () => {
-            // partition subpath = dirs between tmp root and the file (both
-            // URIs must be fs-qualified or relativize returns its input)
-            val rel = tmpUri.relativize(src.toUri).getPath
-            val relDir = rel.split("/").dropRight(1).mkString("/")
-            val destDir = if (relDir.isEmpty) dataDir(path)
-                          else new Path(dataDir(path), relDir)
-            if (madeDirs.add(destDir.toString)) mv.mkdirs(destDir): Unit
+            val relDir = relDirOf(src)
+            val destDir = destDirOf(relDir)
             val dest = new Path(destDir, s"$commit-${src.getName}")
             if (!mv.rename(src, dest)) sys.error(s"could not place $dest")
             if (relDir.isEmpty) dest.getName else s"$relDir/${dest.getName}"
@@ -1477,8 +1492,22 @@ object ManifestTable {
         // updated one does.
         val touchKeys = deleteKeys.foldLeft(batch.select(keys.map(col): _*))(
           (u, dk) => u.unionByName(dk.select(keys.map(col): _*)))
+        // NULL-SAFE key cut: rows reached through a MATCHED clause always
+        // carry non-null keys (ON equality can't match null), but MERGE's
+        // NOT MATCHED BY SOURCE clauses legitimately update/delete
+        // null-keyed target rows — a plain equality anti-join would keep
+        // the old null-keyed copy alongside its replacement (duplicate) or
+        // fail to delete it. <=> matches the project's composite-key dedup
+        // convention (Core.scala J5b).
+        def cutByKeys(left: DataFrame, rightKeys: DataFrame, joinType: String,
+                      bcastRight: Boolean): DataFrame = {
+          val rk0 = rightKeys.toDF(rightKeys.columns.map("__mk_" + _).toIndexedSeq: _*)
+          val rk = if (bcastRight) broadcast(rk0) else rk0
+          left.join(rk,
+            keys.map(k => left(k) <=> rk("__mk_" + k)).reduce(_ && _), joinType)
+        }
         if (m.partitionCols.isEmpty) {
-          val kept = existing.join(touchKeys, keys, "left_anti")
+          val kept = cutByKeys(existing, touchKeys, "left_anti", bcastRight = false)
           val next = kept.unionByName(batch.select(ordered: _*)).localCheckpoint(true)
           val files = writeDataFiles(spark, path, next, Nil)
           // full-table rewrite: ANY concurrent commit invalidates the
@@ -1492,15 +1521,16 @@ object ManifestTable {
           // partitions named by the batch ∪ partitions holding old copies of
           // the updated keys; bounded by the batch size, safe to collect
           val affected = batch.select(pCols: _*)
-            .union(existing
-              .join(broadcast(touchKeys.distinct()), keys, "left_semi")
+            .union(cutByKeys(existing, touchKeys.distinct(), "left_semi",
+                bcastRight = true)
               .select(pCols: _*))
             .distinct().collect().map(_.toSeq)
           val affectedDf = spark.createDataFrame(
             spark.sparkContext.parallelize(affected.map(Row.fromSeq).toSeq, 1),
             existing.select(pCols: _*).schema)
-          val kept = existing.join(broadcast(affectedDf), m.partitionCols)
-            .join(touchKeys, keys, "left_anti")
+          val kept = cutByKeys(
+            existing.join(broadcast(affectedDf), m.partitionCols),
+            touchKeys, "left_anti", bcastRight = false)
           val next = kept.unionByName(batch.select(ordered: _*)).localCheckpoint(true)
           val added = writeDataFiles(spark, path, next, m.partitionCols)
           // remove every affected partition's old entries (NOT just dirs the

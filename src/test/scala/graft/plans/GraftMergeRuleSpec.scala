@@ -214,22 +214,74 @@ class GraftMergeRuleSpec extends SparkSpec {
     } finally s.sql("DROP TABLE IF EXISTS mrg_pdel"): Unit
   }
 
-  test("out-of-scope MERGE (NOT MATCHED BY SOURCE) still fails loudly") {
+  test("MERGE full CDC apply: upsert + NOT MATCHED BY SOURCE DELETE") {
     val s = extSpark
     import s.implicits._
-    target(s, "oos", baseRows)
+    target(s, "cdc", baseRows)
     try {
-      Seq((2L, "x", 1L)).toDF("id", "v", "n").createOrReplaceTempView("src_oos")
+      // source IS the upstream's current state: 2 changed, 4 new, 1/3 gone
+      Seq((2L, "B2", 200L), (4L, "d", 40L)).toDF("id", "v", "n")
+        .createOrReplaceTempView("src_cdc")
+      s.sql("""MERGE INTO mrg_cdc t USING src_cdc s ON t.id = s.id
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *
+              |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      assert(s.sql("SELECT id, v, n FROM mrg_cdc ORDER BY id").as[(Long, String, Long)]
+        .collect() === Array((2L, "B2", 200L), (4L, "d", 40L)))
+    } finally s.sql("DROP TABLE IF EXISTS mrg_cdc"): Unit
+  }
+
+  test("NOT MATCHED BY SOURCE: conditional UPDATE/DELETE, first-match-wins, " +
+      "unmatched-by-clause rows kept") {
+    val s = extSpark
+    import s.implicits._
+    target(s, "nbs", Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L)))
+    try {
+      Seq((1L, "A", 100L)).toDF("id", "v", "n").createOrReplaceTempView("src_nbs")
+      // 2,3,4 are unmatched-by-source; first clause (n < 25) marks 2
+      // stale, second deletes 3 (n < 35); 4 hits no clause → untouched.
+      // Clause order is first-match-wins: 3 also satisfies no clause
+      // before DELETE's, 2 satisfies BOTH orders only via the first.
+      s.sql("""MERGE INTO mrg_nbs t USING src_nbs s ON t.id = s.id
+              |WHEN NOT MATCHED BY SOURCE AND t.n < 25 THEN UPDATE SET v = 'stale'
+              |WHEN NOT MATCHED BY SOURCE AND t.n < 35 THEN DELETE""".stripMargin)
+      assert(s.sql("SELECT id, v, n FROM mrg_nbs ORDER BY id").as[(Long, String, Long)]
+        .collect() === Array((1L, "a", 10L), (2L, "stale", 20L), (4L, "d", 40L)))
+    } finally s.sql("DROP TABLE IF EXISTS mrg_nbs"): Unit
+  }
+
+  test("NOT MATCHED BY SOURCE referencing source columns is rejected, not mis-run") {
+    val s = extSpark
+    import s.implicits._
+    target(s, "nbsrc", baseRows)
+    try {
+      Seq((2L, "x", 1L)).toDF("id", "v", "n").createOrReplaceTempView("src_nbsrc")
       val e = intercept[Exception] {
-        s.sql("""MERGE INTO mrg_oos t USING src_oos s ON t.id = s.id
-                |WHEN MATCHED THEN UPDATE SET *
-                |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+        s.sql("""MERGE INTO mrg_nbsrc t USING src_nbsrc s ON t.id = s.id
+                |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.v""".stripMargin)
       }
-      // v2-only CheckAnalysis (or the unsupported-action path) rejects it;
-      // the essential property is that it did NOT silently run
-      assert(s.sql("SELECT n FROM mrg_oos WHERE id = 2").as[Long].head() === 20L,
+      assert(s.sql("SELECT v FROM mrg_nbsrc WHERE id = 1").as[String].head() === "a",
         s"out-of-scope merge must not mutate the table (error was: ${e.getMessage})")
-    } finally s.sql("DROP TABLE IF EXISTS mrg_oos"): Unit
+    } finally s.sql("DROP TABLE IF EXISTS mrg_nbsrc"): Unit
+  }
+
+  test("UPDATE SET assigning an ON-key column is rejected, not mis-run") {
+    val s = extSpark
+    import s.implicits._
+    target(s, "rekey", baseRows)
+    try {
+      Seq((2L, "x", 1L)).toDF("id", "v", "n").createOrReplaceTempView("src_rekey")
+      val e = intercept[Exception] {
+        s.sql("""MERGE INTO mrg_rekey t USING src_rekey s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET id = t.id + 100""".stripMargin)
+      }
+      // replacement is by key: a lowered re-keying SET would KEEP the old
+      // row and append the re-keyed one — assert it neither ran nor
+      // duplicated (count stays 3, id 2 intact)
+      assert(s.sql("SELECT count(*) FROM mrg_rekey").as[Long].head() === 3L,
+        s"re-keying merge must not run (error was: ${e.getMessage})")
+      assert(s.sql("SELECT n FROM mrg_rekey WHERE id = 2").as[Long].head() === 20L)
+    } finally s.sql("DROP TABLE IF EXISTS mrg_rekey"): Unit
   }
 
   test("out-of-scope MERGE (subquery in a clause condition) still fails loudly") {
