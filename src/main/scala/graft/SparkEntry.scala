@@ -1286,12 +1286,11 @@ object SparkEntry {
       graft.sources.ManifestTable.overwrite(s, dir,
         Tables.orders(s, d)
           .filter(col("o_orderdate") >= lit(y0) && col("o_orderdate") < lit(y1))
-          .select("o_orderkey", "o_totalprice", "o_orderdate")
-          // cluster by the partition source before the write: otherwise
-          // every task touches every day dir and a year of days × 32
-          // tasks = 10⁴ tiny files (the classic dynamic-partition-write
-          // mistake; 13.6 s → ~3 s at sf0.1)
-          .repartitionByRange(16, col("o_orderdate")),
+          .select("o_orderkey", "o_totalprice", "o_orderdate"),
+        // no caller-side clustering: the table hash-clusters transform-
+        // partitioned writes by the DERIVED day itself (one task per day
+        // dir — exact alignment a caller-side range-by-source can only
+        // approximate)
         transforms = Seq(graft.sources.ManifestTable.PartitionTransform(
           "o_day", "days", 0, "o_orderdate")))
       s.sql("DROP TABLE IF EXISTS q_hp_t")
@@ -1309,8 +1308,11 @@ object SparkEntry {
     "q_bucket_partition" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft_bp").toString + "/t"
       graft.sources.ManifestTable.overwrite(s, dir,
-        Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal")
-          .repartitionByRange(16, col("c_custkey")),
+        // no caller-side clustering: the table hash-clusters by the
+        // derived bucket id, so each of the 16 bucket dirs is written by
+        // exactly one task (a range-by-key layout never aligns with the
+        // xxhash64 bucketing and would write ~16×16 files)
+        Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal"),
         transforms = Seq(graft.sources.ManifestTable.PartitionTransform(
           "c_bucket", "bucket", 16, "c_custkey")))
       s.sql("DROP TABLE IF EXISTS q_bp_t")

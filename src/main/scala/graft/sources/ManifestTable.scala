@@ -132,6 +132,30 @@ object ManifestTable {
     transforms.foldLeft(df)((d, t) =>
       d.withColumn(t.derived, deriveCol(t)))
 
+  /** Cluster a TRANSFORM-partitioned write batch by its partition columns
+    * before the dynamic-partition write. Without this, whatever upstream
+    * partitioning the batch arrives with is orthogonal to the derived
+    * values (a range-by-key layout never aligns with `bucket(16, key)`'s
+    * hash), so EVERY task writes to EVERY partition directory —
+    * tasks × dirs files, the classic small-file explosion that turns a
+    * 16-bucket table into ~256 files per commit and worse at every scale-
+    * up. Hash-clustering on the partition tuple lands each directory's
+    * rows in one task → one file per directory per commit, and the table
+    * owns the discipline (every caller gets it; no caller can get it
+    * right themselves, since the derivation is the table's).
+    *
+    * Only transform-partitioned writes are clustered: transform kinds
+    * derive bounded cardinality (N buckets, day strings, fixed prefixes),
+    * so one-task-per-partition is the intended layout. Explicitly
+    * partitioned tables keep the caller's shaping — a caller with a huge
+    * per-partition volume may deliberately spread one partition across
+    * tasks, which this clustering would undo.
+    */
+  private def clusterForWrite(df: DataFrame, partitionCols: Seq[String],
+                              transforms: Seq[PartitionTransform]): DataFrame =
+    if (transforms.isEmpty || partitionCols.isEmpty) df
+    else df.repartition(partitionCols.map(col): _*)
+
   /** @param sidecar when set, per-file stats live in the named parquet
     *        directory under `_manifests/` instead of inline `stats=` lines
     *        (and `stats` is empty in memory) — the spill that keeps a
@@ -1245,7 +1269,8 @@ object ManifestTable {
     val full = withDerived(df, transforms)
     val pCols = partitionCols ++ transforms.map(_.derived)
     enforceConstraints(full, constraints, "overwrite")
-    val files = writeDataFiles(spark, path, full, pCols)
+    val files = writeDataFiles(spark, path,
+      clusterForWrite(full, pCols, transforms), pCols)
     val stats = collectStats(spark, path, files, full.schema, pCols,
       statsCols, bloomCols)
     var tries = 0
@@ -1383,7 +1408,8 @@ object ManifestTable {
         evolveSchema(batch, m, "append") // fail fast, before any data lands
         enforceConstraints(batch, m.constraints, "append")
         val base = m
-        val added = writeDataFiles(spark, path, batch, m.partitionCols)
+        val added = writeDataFiles(spark, path,
+          clusterForWrite(batch, m.partitionCols, m.transforms), m.partitionCols)
         // added files carry the batch's schema (⊇ stats columns)
         val addedStats =
           collectStats(spark, path, added, batch.schema, m.partitionCols,
@@ -1424,7 +1450,8 @@ object ManifestTable {
     requireCompatible(batch, m, "overwritePartitions")
     enforceConstraints(batch, m.constraints, "overwritePartitions")
     val base = m
-    val added = writeDataFiles(spark, path, batch, m.partitionCols)
+    val added = writeDataFiles(spark, path,
+      clusterForWrite(batch, m.partitionCols, m.transforms), m.partitionCols)
     val replacedDirs = added.map(dirOf).toSet
     val addedStats =
       collectStats(spark, path, added, m.schema, m.partitionCols,
@@ -1532,7 +1559,8 @@ object ManifestTable {
             existing.join(broadcast(affectedDf), m.partitionCols),
             touchKeys, "left_anti", bcastRight = false)
           val next = kept.unionByName(batch.select(ordered: _*)).localCheckpoint(true)
-          val added = writeDataFiles(spark, path, next, m.partitionCols)
+          val added = writeDataFiles(spark, path,
+            clusterForWrite(next, m.partitionCols, m.transforms), m.partitionCols)
           // remove every affected partition's old entries (NOT just dirs the
           // new files landed in — a drained partition writes no files)
           val affectedDirs = affected.map(vals =>

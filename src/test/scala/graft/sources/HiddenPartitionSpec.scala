@@ -167,6 +167,28 @@ class HiddenPartitionSpec extends SparkSpec {
     assert(ManifestTable.history(spark, path).count() === v + 2)
   }
 
+  test("transform-partitioned writes cluster by the derived columns: one file per bucket dir") {
+    val path = Files.createTempDirectory("hp_cluster").toString + "/t"
+    // a deliberately mis-clustered source: a range-by-key layout never
+    // aligns with the xxhash64 bucketing, so without table-side
+    // clustering every source task writes every bucket dir (~8×16
+    // files). The table must hash-cluster on the DERIVED bucket itself.
+    ManifestTable.overwrite(spark, path,
+      spark.range(0, 10000, 1, 8).select(col("id"), (col("id") * 3).as("v"))
+        .repartitionByRange(8, col("id")),
+      transforms = Seq(PartitionTransform("id_bucket", "bucket", 16, "id")))
+    val m = ManifestTable.readManifest(spark, path, 1L)
+    assert(m.files.size === 16,
+      s"expected one file per bucket dir, got ${m.files.size}")
+    // appends get the same discipline from the table, not the caller
+    ManifestTable.append(spark, path,
+      spark.range(10000, 20000, 1, 8).select(col("id"), (col("id") * 3).as("v")))
+    val m2 = ManifestTable.readManifest(spark, path, 2L)
+    assert(m2.files.size === 32,
+      s"append should add one file per bucket, got ${m2.files.size - 16}")
+    assert(ManifestTable.read(spark, path).count() === 20000L)
+  }
+
   test("a caller-supplied derived value is ignored and re-derived") {
     val path = days30("lie")
     // batch CLAIMS day 1999-01-01 for a 2024 timestamp — the table's
