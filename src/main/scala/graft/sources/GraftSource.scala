@@ -54,7 +54,8 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
                             parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
     val path = parameters.getOrElse("path", sys.error("graft: 'path' is required"))
-    new GraftStreamSource(ctx.sparkSession, path)
+    new GraftStreamSource(ctx.sparkSession, path, metadataPath,
+      parameters.get("maxFilesPerTrigger").map(_.toInt))
   }
 
   override def createRelation(ctx: SQLContext,
@@ -108,20 +109,63 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
   }
 }
 
-/** V1 streaming source over a graft table. Offsets ARE table versions
-  * (LongOffset), so the streaming checkpoint and the table's commit chain
-  * agree by construction: `getOffset` is one manifest-dir listing,
-  * `getBatch(start, end)` is the file-level CDF delta `readVersionDelta
-  * (start, end)` — new files' rows plus the new VISIBLE rows of files
-  * whose deletion vector changed. Restart recovery deserializes the
-  * version number back out of the checkpoint and resumes the delta from
-  * there; nothing is re-read on a clean restart. The initial batch
-  * (start = None) is the full snapshot at the first observed version.
+/** Offset of the graft streaming source: a WINDOW position. `(from, to,
+  * k)` reads "every change up to version `from` is fully processed, plus
+  * the first `k` files of the ordered change-file list of `from → to`"
+  * (`from = 0` marks the initial-snapshot window: the list is version
+  * `to`'s full file list). A fully-consumed window `(v, v, 0)`
+  * serializes as the bare version number — exactly the legacy LongOffset
+  * encoding, so checkpoints written before admission control existed
+  * parse as complete-through-v and resume cleanly.
   */
-class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String)
+private[sources] case class GraftSourceOffset(from: Long, to: Long, k: Int)
+    extends org.apache.spark.sql.execution.streaming.Offset {
+  override def json: String =
+    if (from == to && k == 0) to.toString else s"$from/$to/$k"
+}
+
+private[sources] object GraftSourceOffset {
+  def parse(j: String): GraftSourceOffset = j.split("/") match {
+    case Array(v) => val n = v.trim.toLong; GraftSourceOffset(n, n, 0)
+    case Array(f, t, k) => GraftSourceOffset(f.toLong, t.toLong, k.toInt)
+    case _ => sys.error(s"graft: bad stream offset '$j'")
+  }
+  def parse(o: org.apache.spark.sql.execution.streaming.Offset): GraftSourceOffset =
+    o match { case g: GraftSourceOffset => g; case other => parse(other.json) }
+}
+
+/** V1 streaming source over a graft table. Offsets are positions in the
+  * table's commit chain ([[GraftSourceOffset]]), so the streaming
+  * checkpoint and the chain agree by construction: `getOffset` is one
+  * manifest-dir listing, `getBatch(start, end)` reads a deterministic
+  * SLICE of the file-level CDF delta — new files' rows plus the new
+  * VISIBLE rows of files whose deletion vector changed.
+  *
+  * Admission control (`maxFilesPerTrigger`): on a 100 TB table the
+  * initial snapshot — and any large backlog delta — must not become one
+  * micro-batch (the first trigger would be a 100 TB job and a failure
+  * re-runs all of it). With the cap set, `getOffset` advances at most
+  * `cap` files into the current window per trigger; the window's ordered
+  * file list is recomputed from the immutable manifests on both sides of
+  * the slice, so restart mid-window resumes at exactly file `k`. Without
+  * the cap each delta is one batch, as before.
+  *
+  * The source persists its last PROPOSED offset under the query's
+  * metadata path before returning it, so a restart that committed
+  * everything still resumes from the right window instead of re-planning
+  * from scratch. If that file is missing (pre-upgrade checkpoints),
+  * `getBatch` falls back to delta semantics against the committed start
+  * offset — never re-delivering processed files.
+  */
+class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String,
+                        metadataPath: String,
+                        maxFilesPerTrigger: Option[Int] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.Offset
-  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+  import org.apache.hadoop.fs.Path
+
+  require(maxFilesPerTrigger.forall(_ > 0),
+    s"graft: maxFilesPerTrigger must be positive, got $maxFilesPerTrigger")
 
   private val schema0: StructType = {
     val v = ManifestTable.currentVersion(spark, path)
@@ -131,18 +175,112 @@ class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String)
 
   override def schema: StructType = schema0
 
-  override def getOffset: Option[Offset] =
-    ManifestTable.currentVersion(spark, path).map(LongOffset(_))
+  // manifests are immutable — cache the handful of versions the current
+  // window touches instead of re-parsing per trigger
+  private val manifestCache =
+    new java.util.LinkedHashMap[Long, ManifestTable.Manifest](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, ManifestTable.Manifest]): Boolean = size > 6
+    }
+  private def manifestAt(v: Long): ManifestTable.Manifest = {
+    val hit = manifestCache.get(v)
+    if (hit != null) hit
+    else { val m = ManifestTable.readManifest(spark, path, v); manifestCache.put(v, m); m }
+  }
 
-  private def versionOf(o: Offset): Long = o.json.toLong
+  /** Ordered change-file list of a window — sorted so every slice is
+    * deterministic across retries and restarts. */
+  private def windowFiles(from: Long, to: Long): Seq[String] =
+    if (from >= to) Nil
+    else if (from == 0L) manifestAt(to).files.sorted
+    else ManifestTable.changedFiles(manifestAt(from), manifestAt(to)).sorted
+
+  private def windowSize(o: GraftSourceOffset): Int = windowFiles(o.from, o.to).size
+  private def complete(o: GraftSourceOffset): Boolean = o.k >= windowSize(o)
+
+  // ---- position persistence (tiny file under the query's checkpoint) ----
+  private val posFile = new Path(metadataPath, "graft-pos")
+  private def hfs = posFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def persist(o: GraftSourceOffset): Unit = {
+    val tmp = new Path(metadataPath, "graft-pos.tmp")
+    val out = hfs.create(tmp, true)
+    try out.write(o.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    hfs.delete(posFile, false)
+    hfs.rename(tmp, posFile): Unit
+  }
+  private def readPersisted(): Option[GraftSourceOffset] =
+    if (!hfs.exists(posFile)) None
+    else {
+      val in = hfs.open(posFile)
+      val text = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+        new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      Some(GraftSourceOffset.parse(text.trim))
+    }
+
+  private var last: Option[GraftSourceOffset] = None
+
+  override def getOffset: Option[Offset] = {
+    val lastO = last.orElse(readPersisted())
+    val cap = maxFilesPerTrigger.getOrElse(Int.MaxValue)
+    def capped(n: Int, base: Int = 0): Int =
+      math.min(base.toLong + cap.toLong, n.toLong).toInt
+    val next = lastO match {
+      case None =>
+        // fresh stream: open the initial-snapshot window at the current
+        // version (from = 0), admitting at most `cap` of its files
+        ManifestTable.currentVersion(spark, path).map { v =>
+          GraftSourceOffset(0L, v, capped(windowSize(GraftSourceOffset(0L, v, 0))))
+        }
+      case Some(o) =>
+        val n = windowSize(o)
+        if (o.k < n) Some(o.copy(k = capped(n, o.k))) // advance within window
+        else {
+          val v = ManifestTable.currentVersion(spark, path).getOrElse(o.to)
+          if (v > o.to) { // window drained: open the next delta window
+            val w = GraftSourceOffset(o.to, v, 0)
+            Some(w.copy(k = capped(windowSize(w))))
+          } else Some(o) // idle: same json as committed → no batch planned
+        }
+    }
+    next.foreach { n =>
+      if (!lastO.contains(n)) persist(n)
+      last = Some(n)
+    }
+    next
+  }
 
   override def getBatch(start: Option[Offset], end: Offset)
       : org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row] = {
-    val to = versionOf(end)
-    val batch = start match {
-      case Some(s) => ManifestTable.readVersionDelta(spark, path, versionOf(s), to)
-      case None => ManifestTable.readVersion(spark, path, to)
+    val endO = GraftSourceOffset.parse(end)
+    val (rels, pos) = start.map(GraftSourceOffset.parse) match {
+      case Some(s) if s.from == endO.from && s.to == endO.to =>
+        // the normal capped step: the next slice of the shared window
+        (windowFiles(s.from, s.to).slice(s.k, endO.k), endO)
+      case Some(s) =>
+        // window handoff. Under the getOffset invariant `s` is complete
+        // and endO.from == base; anything else is degraded recovery (a
+        // pre-upgrade checkpoint, a lost position file) — serve the FULL
+        // delta from what `s` actually covered and mark the end window
+        // complete, so nothing is re-delivered or skipped
+        val base = if (complete(s)) s.to else s.from
+        if (endO.from == base) (windowFiles(base, endO.to).take(endO.k), endO)
+        else {
+          val files = windowFiles(base, endO.to)
+          (files, GraftSourceOffset(base, endO.to, files.size))
+        }
+      case None =>
+        // first batch of a fresh stream: a slice of the initial snapshot
+        // (legacy plain-long end offsets mean the WHOLE snapshot)
+        val files = windowFiles(0L, endO.to)
+        if (endO.from == 0L && endO.k > 0) (files.take(endO.k), endO)
+        else (files, GraftSourceOffset(0L, endO.to, files.size))
     }
+    last = Some(pos)
+    val batch = ManifestTable.readRels(spark, path, manifestAt(endO.to), rels)
     org.apache.spark.sql.graft.bridge
       .streamingDataFrame(spark, batch.queryExecution.toRdd, batch.schema)
       .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]

@@ -283,14 +283,20 @@ object ManifestTable {
     require(fromVersion <= toVersion, s"from $fromVersion > to $toVersion")
     val to = readManifest(spark, path, toVersion)
     val from = readManifest(spark, path, fromVersion)
+    readRels(spark, path, to, changedFiles(from, to))
+  }
+
+  /** Files `to` references that `from` does not — plus files whose
+    * deletion vector changed between the two, which are CHANGED files
+    * under the file-CDF contract: their new visible rows appear in
+    * [[readVersionDelta]], their old visible rows in
+    * [[readVersionRemoved]] (swapped arguments) — unchanged rows cancel
+    * in any additive consumer, exactly as for a rewritten file.
+    */
+  private[sources] def changedFiles(from: Manifest, to: Manifest): Seq[String] = {
     val before = from.files.toSet
-    // a file whose deletion vector changed is a CHANGED file under the
-    // file-CDF contract: its new visible rows appear here, its old visible
-    // rows in readVersionRemoved — unchanged rows cancel in any additive
-    // consumer, exactly as for a rewritten file
-    val fresh = to.files.filter(rel =>
+    to.files.filter(rel =>
       !before.contains(rel) || from.dvs.get(rel) != to.dvs.get(rel))
-    readRels(spark, path, to, fresh)
   }
 
   /** The other half of file-level change data capture: rows in the data
@@ -307,12 +313,9 @@ object ManifestTable {
     require(fromVersion <= toVersion, s"from $fromVersion > to $toVersion")
     val from = readManifest(spark, path, fromVersion)
     val to = readManifest(spark, path, toVersion)
-    val after = to.files.toSet
     // DV-changed files contribute their OLD visible rows (read under
     // `from`'s DV state) — the mirror of readVersionDelta's fresh side
-    val gone = from.files.filter(rel =>
-      !after.contains(rel) || from.dvs.get(rel) != to.dvs.get(rel))
-    readRels(spark, path, from, gone)
+    readRels(spark, path, from, changedFiles(to, from))
   }
 
   // -------------------------------------------------------------- zone maps
@@ -735,8 +738,8 @@ object ManifestTable {
     * position set, and union back — deleted rows never leave the scan
     * stage, and the big side is never shuffled.
     */
-  private def readRels(spark: SparkSession, path: String, m: Manifest,
-                       rels: Seq[String]): DataFrame =
+  private[sources] def readRels(spark: SparkSession, path: String, m: Manifest,
+                                rels: Seq[String]): DataFrame =
     if (rels.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
     else {

@@ -778,6 +778,77 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger splits the initial snapshot across micro-batches with an identical union") {
+    import graft.sources.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("gsrc_cap").toString
+    val table = s"$dir/t"
+    // 6 data files → cap 2 ⇒ the snapshot needs ≥3 micro-batches
+    ManifestTable.overwrite(spark, table,
+      spark.range(60).select(col("id"), (col("id") * 2).as("v")).repartition(6))
+    assert(ManifestTable.filesMeta(spark, table).count() === 6L)
+    val q = spark.readStream.format("graft").option("path", table)
+      .option("maxFilesPerTrigger", "2").load()
+      .writeStream.format("memory").queryName("gsrc_cap_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gsrc_cap_out").select("id").as[Long].collect().sorted
+        === (0L until 60L).toArray, "capped batches must union to the snapshot")
+      assert(q.lastProgress.batchId >= 2,
+        s"6 files / cap 2 should take ≥3 batches, took ${q.lastProgress.batchId + 1}")
+      // a backlog of several commits drains under the same cap
+      ManifestTable.append(spark, table,
+        spark.range(60, 90).select(col("id"), (col("id") * 2).as("v")).repartition(3))
+      ManifestTable.append(spark, table,
+        spark.range(90, 120).select(col("id"), (col("id") * 2).as("v")).repartition(3))
+      q.processAllAvailable()
+      assert(spark.table("gsrc_cap_out").select("id").as[Long].collect().sorted
+        === (0L until 120L).toArray)
+    } finally q.stop()
+  }
+
+  test("restart mid-snapshot resumes at the next file slice (Trigger.Once per batch)") {
+    import graft.sources.ManifestTable
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("gsrc_resume").toString
+    val table = s"$dir/t"
+    ManifestTable.overwrite(spark, table,
+      spark.range(50).select(col("id"), (col("id") % 5).as("v")).repartition(5))
+    assert(ManifestTable.filesMeta(spark, table).count() === 5L)
+    // each Trigger.Once run IS a restart: one micro-batch, stop, new query
+    // on the same checkpoint — the source must resume from its persisted
+    // window position, not re-deliver or skip files. The buffer outlives
+    // the queries, so it sees exactly the batches that COMMITTED.
+    val seen = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft").option("path", table)
+        .option("maxFilesPerTrigger", "2").load()
+        .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen += df.select("id").as[Long].collect().sorted.toSeq; ()
+        }
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.Once()).start()
+      q.awaitTermination()
+    }
+    runOnce() // files 0-1
+    val after1 = seen.flatten.size
+    assert(after1 > 0 && after1 < 50,
+      s"first capped batch must be a strict slice, got $after1/50 rows")
+    runOnce() // files 2-3
+    val after2 = seen.flatten.size
+    assert(after2 > after1 && after2 < 50, s"got $after2/50 rows after 2 runs")
+    runOnce() // file 4 — snapshot complete
+    assert(seen.flatten.sorted === (0L until 50L),
+      "three restarts under cap 2 must deliver exactly the 5-file snapshot")
+    // a post-snapshot append is picked up by yet another restart
+    ManifestTable.append(spark, table,
+      Seq((100L, 0L)).toDF("id", "v").coalesce(1))
+    runOnce()
+    assert(seen.flatten.sorted === ((0L until 50L) :+ 100L),
+      "restart after the snapshot must deliver exactly the appended delta")
+  }
+
   test("followTable sees a deletion-vector commit as a delta (new visible rows of the DV'd file)") {
     import graft.sources.ManifestTable
     val dir = java.nio.file.Files.createTempDirectory("follow_dv").toString
