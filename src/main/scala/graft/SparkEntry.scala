@@ -1273,6 +1273,23 @@ object SparkEntry {
           col("sum_o_totalprice").cast("double").as("sum_price"))
     }),
 
+    // ---- row-level change data feed (Delta CDF shape): an overwrite,
+    // an append, a deletion-vector delete and a compaction; the feed
+    // must report inserts for the two data commits, exactly the deleted
+    // rows for the DV commit, and NOTHING for the compaction (rewrite
+    // invisibility via multiset difference of the file-level CDF) ----
+    "q_change_feed" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cdf").toString + "/t"
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.ManifestTable.overwrite(s, dir, o.filter(col("o_orderkey") % 4 === 0))
+      graft.sources.ManifestTable.append(s, dir, o.filter(col("o_orderkey") % 4 === 1))
+      graft.sources.ManifestTable.deleteVectorized(s, dir, col("o_totalprice") < lit(10000.0))
+      graft.sources.ManifestTable.compact(s, dir, 100000L)
+      graft.sources.ManifestTable.readChanges(s, dir, 0L, 4L)
+        .select(col("o_orderkey"), col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"))
+    }),
+
     // ---- hidden partitioning (generated partition columns): one year of
     // orders lands in ~365 days(o_orderdate) partitions the writer never
     // supplies; a SOURCE-column month range then prunes to ~31 day dirs
@@ -3731,6 +3748,19 @@ object SparkEntry {
         |SELECT o_orderstatus, o_year, count(*) AS n,
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM t GROUP BY o_orderstatus, o_year""".stripMargin,
+
+    // the change feed re-derived: v1/v2 rows are inserts, the DV'd rows
+    // are deletes at v3, and the compaction (v4) contributes NOTHING
+    "q_change_feed" ->
+      """WITH b1 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 0),
+        |     b2 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 1)
+        |SELECT o_orderkey, 'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version FROM b1
+        |UNION ALL
+        |SELECT o_orderkey, 'insert', CAST(2 AS BIGINT) FROM b2
+        |UNION ALL
+        |SELECT o_orderkey, 'delete', CAST(3 AS BIGINT)
+        |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2) u
+        |WHERE o_totalprice < 10000.0""".stripMargin,
 
     // the bucket-transform table re-derived on its logical columns
     "q_bucket_partition" ->

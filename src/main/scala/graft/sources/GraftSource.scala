@@ -45,8 +45,11 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     val v = ManifestTable.currentVersion(ctx.sparkSession, path)
       .getOrElse(sys.error(s"graft stream source: no table at $path yet — " +
         "create it (version 1) before starting the stream"))
+    val base = ManifestTable.manifestSchema(ctx.sparkSession, path, v)
     (shortName(), schema.getOrElse(
-      ManifestTable.manifestSchema(ctx.sparkSession, path, v)))
+      if (parameters.get("changeFeed").exists(_.toBoolean))
+        GraftStreamSource.changeFeedSchema(base)
+      else base))
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
@@ -55,7 +58,9 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       : org.apache.spark.sql.execution.streaming.Source = {
     val path = parameters.getOrElse("path", sys.error("graft: 'path' is required"))
     new GraftStreamSource(ctx.sparkSession, path, metadataPath,
-      parameters.get("maxFilesPerTrigger").map(_.toInt))
+      parameters.get("maxFilesPerTrigger").map(_.toInt),
+      changeFeed = parameters.get("changeFeed").exists(_.toBoolean),
+      startingVersion = parameters.get("startingVersion").map(_.toLong))
   }
 
   override def createRelation(ctx: SQLContext,
@@ -157,9 +162,22 @@ private[sources] object GraftSourceOffset {
   * `getBatch` falls back to delta semantics against the committed start
   * offset — never re-delivering processed files.
   */
+object GraftStreamSource {
+  /** Output shape of change-feed mode: the table schema plus the CDC
+    * stamp columns. */
+  private[sources] def changeFeedSchema(base: StructType): StructType =
+    StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+}
+
 class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String,
                         metadataPath: String,
-                        maxFilesPerTrigger: Option[Int] = None)
+                        maxFilesPerTrigger: Option[Int] = None,
+                        changeFeed: Boolean = false,
+                        startingVersion: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.Offset
   import org.apache.hadoop.fs.Path
@@ -170,7 +188,8 @@ class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String,
   private val schema0: StructType = {
     val v = ManifestTable.currentVersion(spark, path)
       .getOrElse(sys.error(s"graft stream source: no table at $path"))
-    ManifestTable.manifestSchema(spark, path, v)
+    val base = ManifestTable.manifestSchema(spark, path, v)
+    if (changeFeed) GraftStreamSource.changeFeedSchema(base) else base
   }
 
   override def schema: StructType = schema0
@@ -223,7 +242,29 @@ class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String,
 
   private var last: Option[GraftSourceOffset] = None
 
+  /** Change-feed pacing: one COMMIT per trigger — each micro-batch is one
+    * version step's row-level changes ([[ManifestTable.readChanges]]),
+    * bounded by that commit's changed files. The stream starts AT
+    * `startingVersion` (default: the current version), emitting changes
+    * only going forward — the initial snapshot is not replayed as inserts
+    * (follow the raw mode for that).
+    */
+  private def getOffsetChangeFeed(): Option[Offset] = {
+    val lastO = last.orElse(readPersisted())
+    val base = lastO.map(_.to).orElse(startingVersion)
+      .orElse(ManifestTable.currentVersion(spark, path))
+    base.map { b =>
+      val cur = ManifestTable.currentVersion(spark, path).getOrElse(b)
+      val next = GraftSourceOffset(if (cur > b) b + 1 else b,
+        if (cur > b) b + 1 else b, 0)
+      if (!lastO.contains(next)) persist(next)
+      last = Some(next)
+      next
+    }
+  }
+
   override def getOffset: Option[Offset] = {
+    if (changeFeed) return getOffsetChangeFeed()
     val lastO = last.orElse(readPersisted())
     val cap = maxFilesPerTrigger.getOrElse(Int.MaxValue)
     def capped(n: Int, base: Int = 0): Int =
@@ -255,6 +296,17 @@ class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String,
 
   override def getBatch(start: Option[Offset], end: Offset)
       : org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row] = {
+    if (changeFeed) {
+      val endV = GraftSourceOffset.parse(end).to
+      val startV = start.map(GraftSourceOffset.parse(_).to)
+        .orElse(startingVersion).getOrElse(endV)
+      last = Some(GraftSourceOffset(endV, endV, 0))
+      val batch = ManifestTable.readChanges(spark, path,
+        math.min(startV, endV), endV)
+      return org.apache.spark.sql.graft.bridge
+        .streamingDataFrame(spark, batch.queryExecution.toRdd, batch.schema)
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    }
     val endO = GraftSourceOffset.parse(end)
     val (rels, pos) = start.map(GraftSourceOffset.parse) match {
       case Some(s) if s.from == endO.from && s.to == endO.to =>

@@ -318,6 +318,60 @@ object ManifestTable {
     readRels(spark, path, from, changedFiles(to, from))
   }
 
+  /** Row-level change data feed over a version range: one row per logical
+    * change, stamped `_change_type` (`insert` | `delete`) and
+    * `_commit_version` — the Delta CDF shape, for downstream row-CDC
+    * consumers that can't fold the at-least-once file-level delta
+    * themselves. An update surfaces as its delete + insert pair.
+    *
+    * Derivation is per commit step: the file-level CDF gives the changed
+    * files' NEW visible rows and OLD visible rows; their multiset
+    * difference (`exceptAll` both ways) is exactly the row-level change —
+    * rows a rewrite merely CARRIED (compaction, the untouched rows of an
+    * updated file) appear on both sides and cancel, so a pure rewrite
+    * emits nothing (rewrite invisibility). Cost is bounded by the changed
+    * files of each commit, never table size; append-only and pure-delete
+    * commits skip the diff entirely (one side is empty).
+    *
+    * Schema evolution inside the range is handled by null-aligning every
+    * step to `toVersion`'s schema (a column added mid-range reads NULL for
+    * earlier steps, matching what a scan of those versions would say).
+    */
+  def readChanges(spark: SparkSession, path: String,
+                  fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion, s"from $fromVersion > to $toVersion")
+    val target = readManifest(spark, path, toVersion).schema
+    val extras = StructType(Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false)))
+    val outSchema = StructType(target.fields ++ extras.fields)
+    def align(df: DataFrame, to: StructType): DataFrame =
+      df.select(to.fields.toSeq.map { f =>
+        if (df.columns.contains(f.name)) col(s"`${f.name}`")
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    val steps = (fromVersion until toVersion).map { v =>
+      val to = readManifest(spark, path, v + 1)
+      // version 0 is "before the table existed": every row of version 1
+      // is an insert (the from-side is the empty table)
+      val from = if (v == 0L) to.copy(files = Nil, dvs = Map.empty)
+                 else readManifest(spark, path, v)
+      val freshRels = changedFiles(from, to)
+      val goneRels = changedFiles(to, from)
+      val fresh = readRels(spark, path, to, freshRels)
+      val gone = align(readRels(spark, path, from, goneRels), to.schema)
+      val (ins, del) =
+        if (goneRels.isEmpty) (fresh, fresh.limit(0))
+        else if (freshRels.isEmpty) (gone.limit(0), gone)
+        else (fresh.exceptAll(gone), gone.exceptAll(fresh))
+      align(ins, target).withColumn("_change_type", lit("insert"))
+        .unionByName(align(del, target).withColumn("_change_type", lit("delete")))
+        .withColumn("_commit_version", lit(v + 1))
+    }
+    steps.reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema))
+  }
+
   // -------------------------------------------------------------- zone maps
 
   /** Stat values travel in the manifest as `tag:payload` with the payload

@@ -1,0 +1,86 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Row-level change data feed ([[ManifestTable.readChanges]]): the Delta
+  * CDF shape — `_change_type` insert/delete rows per commit — derived
+  * from the file-level CDF by multiset difference, so rewrites that merely
+  * carry rows (compaction, the untouched rows of an updated file) emit
+  * nothing.
+  */
+class ChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def changes(path: String, from: Long, to: Long): Seq[(Long, String, String, Long)] =
+    ManifestTable.readChanges(spark, path, from, to)
+      .select(col("id"), col("v"), col("_change_type"), col("_commit_version"))
+      .as[(Long, String, String, Long)].collect().sortBy(r => (r._4, r._3, r._1)).toSeq
+
+  test("append commits surface as pure inserts, stamped with their commit version") {
+    val path = Files.createTempDirectory("cdf_append").toString + "/t"
+    ManifestTable.overwrite(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    ManifestTable.append(spark, path, Seq((3L, "c")).toDF("id", "v"))
+    ManifestTable.append(spark, path, Seq((4L, "d"), (5L, "e")).toDF("id", "v"))
+    assert(changes(path, 1, 2) === Seq((3L, "c", "insert", 2L)))
+    assert(changes(path, 1, 3) === Seq((3L, "c", "insert", 2L),
+      (4L, "d", "insert", 3L), (5L, "e", "insert", 3L)))
+    // the initial version itself, if asked for, is all inserts
+    assert(changes(path, 0, 1) === Seq((1L, "a", "insert", 1L), (2L, "b", "insert", 1L)))
+    // empty range → empty frame with the CDC schema
+    val empty = ManifestTable.readChanges(spark, path, 3, 3)
+    assert(empty.isEmpty && empty.columns.takeRight(2) ===
+      Array("_change_type", "_commit_version"))
+  }
+
+  test("a deletion-vector commit emits exactly the deleted rows as deletes") {
+    val path = Files.createTempDirectory("cdf_dv").toString + "/t"
+    ManifestTable.overwrite(spark, path,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1))
+    ManifestTable.deleteVectorized(spark, path, col("id") === 2L)
+    // file-level CDF re-delivers the whole touched file both ways; the
+    // row-level feed must cancel the carried rows (1 and 3)
+    assert(changes(path, 1, 2) === Seq((2L, "b", "delete", 2L)))
+  }
+
+  test("copy-on-write delete and update emit only the changed rows (carried rows cancel)") {
+    val path = Files.createTempDirectory("cdf_cow").toString + "/t"
+    ManifestTable.overwrite(spark, path,
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v").coalesce(1))
+    ManifestTable.delete(spark, path, col("id") === 3L) // v2: rewrites the file
+    assert(changes(path, 1, 2) === Seq((3L, "c", "delete", 2L)))
+    ManifestTable.update(spark, path, col("id") === 1L, Seq("v" -> lit("A"))) // v3
+    assert(changes(path, 2, 3) === Seq(
+      (1L, "a", "delete", 3L), (1L, "A", "insert", 3L)),
+      "an update is its delete + insert pair; untouched rows of the rewritten file are invisible")
+  }
+
+  test("compaction and DV materialization emit no change rows (rewrite invisibility)") {
+    val path = Files.createTempDirectory("cdf_compact").toString + "/t"
+    ManifestTable.overwrite(spark, path,
+      spark.range(20).select(col("id"), concat(lit("r"), col("id")).as("v"))
+        .repartition(4))
+    ManifestTable.deleteVectorized(spark, path, col("id") === 7L) // v2
+    ManifestTable.rewriteDeletes(spark, path) // v3: materializes the DV
+    ManifestTable.compact(spark, path, targetRowsPerFile = 100L) // v4
+    assert(changes(path, 2, 3).isEmpty,
+      "PURGE rewrites a file to its visible rows — no logical change")
+    assert(changes(path, 3, 4).isEmpty, "compaction carries every row — no logical change")
+    // the whole range still reports the one real change
+    assert(changes(path, 1, 4) === Seq((7L, "r7", "delete", 2L)))
+  }
+
+  test("schema evolution inside the range null-aligns earlier steps to the final schema") {
+    val path = Files.createTempDirectory("cdf_evolve").toString + "/t"
+    ManifestTable.overwrite(spark, path, Seq((1L, "a")).toDF("id", "v").coalesce(1))
+    ManifestTable.append(spark, path, Seq((2L, "b")).toDF("id", "v")) // v2: pre-evolution
+    ManifestTable.append(spark, path,
+      Seq((3L, "c", 30L)).toDF("id", "v", "w")) // v3: adds w
+    val got = ManifestTable.readChanges(spark, path, 1, 3)
+      .select(col("id"), col("w"), col("_change_type"), col("_commit_version"))
+      .as[(Long, Option[Long], String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((2L, None, "insert", 2L), (3L, Some(30L), "insert", 3L)))
+  }
+}

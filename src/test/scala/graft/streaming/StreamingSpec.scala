@@ -849,6 +849,37 @@ class StreamingSpec extends SparkSpec {
       "restart after the snapshot must deliver exactly the appended delta")
   }
 
+  test("changeFeed streaming mode serves row-level _change_type rows, one commit per batch") {
+    import graft.sources.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("gsrc_cdf").toString
+    val table = s"$dir/t"
+    ManifestTable.overwrite(spark, table,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    val q = spark.readStream.format("graft").option("path", table)
+      .option("changeFeed", "true").load()
+      .writeStream.format("memory").queryName("gsrc_cdf_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gsrc_cdf_out").isEmpty,
+        "change-feed mode starts at the current version — no snapshot replay")
+      ManifestTable.append(spark, table, Seq((3L, "c")).toDF("id", "v"))
+      q.processAllAvailable()
+      def got() = spark.table("gsrc_cdf_out")
+        .select("id", "v", "_change_type", "_commit_version")
+        .as[(Long, String, String, Long)].collect().sortBy(r => (r._4, r._1)).toSeq
+      assert(got() === Seq((3L, "c", "insert", 2L)))
+      // a DV delete arrives as exactly the deleted row, not the whole file
+      ManifestTable.deleteVectorized(spark, table, col("id") === 1L)
+      q.processAllAvailable()
+      assert(got() === Seq((3L, "c", "insert", 2L), (1L, "a", "delete", 3L)))
+      // idle poll: nothing
+      q.processAllAvailable()
+      assert(spark.table("gsrc_cdf_out").count() === 2L)
+    } finally q.stop()
+  }
+
   test("followTable sees a deletion-vector commit as a delta (new visible rows of the DV'd file)") {
     import graft.sources.ManifestTable
     val dir = java.nio.file.Files.createTempDirectory("follow_dv").toString
