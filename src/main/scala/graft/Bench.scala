@@ -51,10 +51,13 @@ object Bench {
           s"[bench] WARNING: unknown names in SPARK_GRAFT_BENCH_ONLY: ${unknown.mkString(", ")}")
     }
     val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
-    // SPARK_GRAFT_BENCH_REPS=N (diagnostic): run each query N times, report
-    // the MIN — separates a query's real cost from run-to-run noise. The
-    // driver's per-round bench keeps the default 1 rep for comparability.
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(1).max(1)
+    // SPARK_GRAFT_BENCH_REPS=N: run each query N times, report the MIN —
+    // separates a query's real cost from run-to-run noise. Default is 2
+    // since round 9: BENCHNOTES r8 measured 1.4x ambient variance on
+    // single-rep totals (149.7 s vs 211.8 s for identical binaries), so
+    // per-query minima are the only number worth comparing across rounds;
+    // the recorded artifact now carries them directly.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(2).max(1)
     def gcMillis: Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans

@@ -487,6 +487,16 @@ object PlanAudit {
         "HashAggregate".r.findAllIn(p).length >= 3),
       "lineitem scan pruned to the 2 join/agg columns" -> (p =>
         p.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>")))
+    audit("q_top_supplier_ties")(
+      "survivor set and 1-row max broadcast (no fact re-shuffle)" -> (p =>
+        "BroadcastHashJoin".r.findAllIn(p).length >= 2),
+      "per-supplier peak via map-side partials" -> (p =>
+        "HashAggregate\\(keys=\\[l_suppkey".r.findAllIn(p).length >= 2),
+      "lineitem scan pruned to the 3 used columns" -> (p =>
+        p.contains("ReadSchema: struct<l_suppkey:bigint,l_quantity:") &&
+          !p.contains("l_extendedprice")),
+      "ship-quarter filter pushed to the scan" -> (p =>
+        p.contains("PushedFilters: [IsNotNull(l_shipdate)")))
     spark.stop()
   }
 }

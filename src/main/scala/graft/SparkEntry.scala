@@ -394,11 +394,12 @@ object SparkEntry {
     // TPC-H Q15 shape (top supplier, ties kept): per-supplier quarter
     // revenue aggregates once, the global max rides back as a broadcast
     // 1-row side, and the equality gate compares the DECIMAL sums — both
-    // engines' exact arithmetic, so ties WOULD agree bit-for-bit (on the
-    // tested generator the max is unique, so the tie path is correct by
-    // construction but not data-exercised — ADVICE r7). The survivor
-    // set (≈1 row) broadcasts into the supplier dim for names; the big
-    // fact is shuffled exactly once, for its own aggregation
+    // engines' exact arithmetic, so ties agree bit-for-bit (on the
+    // tested generator the revenue max is unique; the SAME construction
+    // is data-exercised with a 35-way tie by q_top_supplier_ties below).
+    // The survivor set (≈1 row) broadcasts into the supplier dim for
+    // names; the big fact is shuffled exactly once, for its own
+    // aggregation
     "q_top_supplier" -> ((s, d) => {
       val q0 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
       val q1 = java.sql.Timestamp.valueOf("1996-04-01 00:00:00")
@@ -414,6 +415,27 @@ object SparkEntry {
           col("s_suppkey") === col("l_suppkey"))
         .select(col("s_suppkey"), col("s_name"),
           col("total_rev").cast("double").as("total_rev"))
+    }),
+
+    // the Q15 ties-kept path under REAL ties: per-supplier peak shipment
+    // quantity is quantized (1..50), so ~35 suppliers share the quarter's
+    // max at sf0.01 — the equality gate against the broadcast 1-row max
+    // must keep every one of them (ADVICE r7/r8: the revenue variant's
+    // max is unique on this generator, leaving the tie path untested)
+    "q_top_supplier_ties" -> ((s, d) => {
+      val q0 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+      val q1 = java.sql.Timestamp.valueOf("1996-04-01 00:00:00")
+      val peak = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit(q0) && col("l_shipdate") < lit(q1))
+        .groupBy(col("l_suppkey"))
+        .agg(max(col("l_quantity")).as("peak_qty"))
+      val top = peak.agg(max(col("peak_qty")).as("max_qty"))
+      Tables.supplier(s, d)
+        .join(broadcast(peak.join(broadcast(top))
+            .filter(col("peak_qty") === col("max_qty"))),
+          col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("peak_qty").cast("double").as("peak_qty"))
     }),
 
     // TPC-H Q19 shape (disjunctive predicate pushdown): an OR of three
@@ -1288,6 +1310,24 @@ object SparkEntry {
       graft.sources.ManifestTable.readChanges(s, dir, 0L, 4L)
         .select(col("o_orderkey"), col("_change_type").as("change_type"),
           col("_commit_version").as("commit_version"))
+    }),
+
+    // ---- schema evolution via column mapping: a rename and a drop are
+    // metadata-only commits; files written BEFORE the rename resolve
+    // through the mapping, files written AFTER land under the original
+    // physical name — the SQL relation must read both vintages under the
+    // new logical name and never show the dropped column ----
+    "q_schema_evolution" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_se").toString + "/t"
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      graft.sources.ManifestTable.overwrite(s, dir, c.filter(col("c_custkey") % 2 === 0))
+      graft.sources.ManifestTable.renameColumn(s, dir, "c_acctbal", "balance")
+      graft.sources.ManifestTable.append(s, dir,
+        c.filter(col("c_custkey") % 2 === 1).withColumnRenamed("c_acctbal", "balance"))
+      graft.sources.ManifestTable.dropColumn(s, dir, "c_name")
+      s.sql("DROP TABLE IF EXISTS q_se_t")
+      s.sql(s"CREATE TABLE q_se_t USING graft OPTIONS (path '$dir')")
+      s.sql("SELECT c_custkey, balance FROM q_se_t WHERE balance > 5000.0")
     }),
 
     // ---- hidden partitioning (generated partition columns): one year of
@@ -2644,6 +2684,20 @@ object SparkEntry {
         |FROM supplier JOIN rev ON s_suppkey = l_suppkey, m
         |WHERE total_rev = m.max_rev""".stripMargin,
 
+    // the ties-kept argmax re-derived on the quantized measure: every
+    // supplier sharing the quarter's peak quantity must survive
+    "q_top_supplier_ties" ->
+      """WITH peak AS (
+        |  SELECT l_suppkey, max(l_quantity) AS peak_qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1),
+        |m AS (SELECT max(peak_qty) AS max_qty FROM peak)
+        |SELECT s_suppkey, s_name, CAST(peak_qty AS DOUBLE) AS peak_qty
+        |FROM supplier JOIN peak ON s_suppkey = l_suppkey, m
+        |WHERE peak_qty = m.max_qty""".stripMargin,
+
     // the Q19 shape re-derived in its natural OR-of-conjunctions form —
     // any clause-split or hull-pushdown bug breaks the hash
     "q_disjunctive_rev" ->
@@ -3761,6 +3815,11 @@ object SparkEntry {
         |SELECT o_orderkey, 'delete', CAST(3 AS BIGINT)
         |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2) u
         |WHERE o_totalprice < 10000.0""".stripMargin,
+
+    // both vintages re-derived under the post-rename logical name
+    "q_schema_evolution" ->
+      """SELECT c_custkey, c_acctbal AS balance FROM customer
+        |WHERE c_acctbal > 5000.0""".stripMargin,
 
     // the bucket-transform table re-derived on its logical columns
     "q_bucket_partition" ->

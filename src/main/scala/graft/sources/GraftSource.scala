@@ -381,8 +381,9 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
     * relation. */
   private lazy val manifest = ManifestTable.readManifest(spark, path, resolvedVersion)
 
-  // from the manifest file directly — no file-index build just for a schema
-  override def schema: StructType = manifest.schema
+  // from the manifest file directly — no file-index build just for a
+  // schema; LOGICAL names (renames applied), like every read surface
+  override def schema: StructType = ManifestTable.logicalSchema(manifest)
 
   /** Manifest-answered COUNT(*) for THIS relation's pinned snapshot — the
     * hook [[graft.plans.MetaAggregateRule]] uses to answer whole-table
@@ -532,6 +533,23 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
         Some(vs.toSeq.map(v => col(t.derived) === bucketOf(v)).reduce(_ || _))
       case ("trunc", EqualTo(a, v: String)) if a == t.src =>
         Some(col(t.derived) === v.take(t.arg))
+      // character truncation is monotone under the binary collation both
+      // engines compare strings in (UTF-8 byte order = codepoint order),
+      // so range endpoints map to truncated endpoints…
+      case ("trunc", GreaterThan(a, v: String)) if a == t.src =>
+        Some(col(t.derived) >= v.take(t.arg))
+      case ("trunc", GreaterThanOrEqual(a, v: String)) if a == t.src =>
+        Some(col(t.derived) >= v.take(t.arg))
+      case ("trunc", LessThan(a, v: String)) if a == t.src =>
+        Some(col(t.derived) <= v.take(t.arg))
+      case ("trunc", LessThanOrEqual(a, v: String)) if a == t.src =>
+        Some(col(t.derived) <= v.take(t.arg))
+      // …and a prefix predicate is a prefix predicate on the partition:
+      // LIKE 'ab%' with trunc(4) opens only dirs starting 'ab'; a prefix
+      // at least arg long pins the single dir it truncates to
+      case ("trunc", StringStartsWith(a, p)) if a == t.src =>
+        Some(if (p.length >= t.arg) col(t.derived) === p.take(t.arg)
+             else col(t.derived).startsWith(p))
       case _ => None
     }
   }

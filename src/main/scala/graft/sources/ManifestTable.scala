@@ -167,6 +167,21 @@ object ManifestTable {
     *        DV for a file REPLACES (and therefore must contain) the old
     *        one. Bounded by files-with-point-deletes, not table size.
     */
+  /** @param colmap logical column name → PHYSICAL name (the name data
+    *        files were written under), for columns renamed after creation
+    *        — Delta column-mapping's name mode reduced to its core. Only
+    *        differing entries are recorded; everything internal (the
+    *        stored `schema`, file reads/writes, stats keys) speaks
+    *        physical names, and the mapping applies exactly once at the
+    *        public read/write boundary. Partition, transform, stats,
+    *        bloom and constraint-referenced columns are never mappable
+    *        (rename/drop rejects them), so pruning and derivation logic
+    *        never consults the map.
+    * @param retired physical names of DROPPED columns — never reusable:
+    *        a later re-add under the same logical name gets a fresh
+    *        physical name, or old files' bytes would resurrect under the
+    *        new column.
+    */
   private[sources] case class Manifest(version: Long, schema: StructType,
                                        partitionCols: Seq[String], files: Seq[String],
                                        statsCols: Seq[String] = Nil,
@@ -175,7 +190,38 @@ object ManifestTable {
                                        sidecar: Option[String] = None,
                                        dvs: Map[String, (String, Long)] = Map.empty,
                                        constraints: Seq[(String, String)] = Nil,
-                                       transforms: Seq[PartitionTransform] = Nil)
+                                       transforms: Seq[PartitionTransform] = Nil,
+                                       colmap: Map[String, String] = Map.empty,
+                                       retired: Seq[String] = Nil)
+
+  /** The user-visible schema: physical fields renamed to their logical
+    * names. Field order, types and nullability are the physical ones. */
+  private[sources] def logicalSchema(m: Manifest): StructType =
+    if (m.colmap.isEmpty) m.schema
+    else {
+      val p2l = m.colmap.map(_.swap)
+      StructType(m.schema.fields.map(f =>
+        f.copy(name = p2l.getOrElse(f.name, f.name))))
+    }
+
+  /** Rename physical columns to logical on a read result. One simultaneous
+    * projection, not a fold — chained renames (a freed name reused by a
+    * later rename) would collide pairwise. Extra columns (CDC stamps,
+    * metadata) pass through untouched. */
+  private def toLogical(df: DataFrame, colmap: Map[String, String]): DataFrame =
+    if (colmap.isEmpty) df
+    else {
+      val p2l = colmap.map(_.swap)
+      df.select(df.columns.toSeq.map(c =>
+        col(s"`$c`").as(p2l.getOrElse(c, c))): _*)
+    }
+
+  /** Rename logical columns to physical on a write batch (inverse of
+    * [[toLogical]], same simultaneous-projection discipline). */
+  private def toPhysical(df: DataFrame, colmap: Map[String, String]): DataFrame =
+    if (colmap.isEmpty) df
+    else df.select(df.columns.toSeq.map(c =>
+      col(s"`$c`").as(colmap.getOrElse(c, c))): _*)
 
   // ------------------------------------------------------------------ reads
 
@@ -245,17 +291,26 @@ object ManifestTable {
         val Array(d, k, a, src) = l.split("\\|", -1)
         PartitionTransform(d, k, a.toInt, src)
       }
+    // colmap=<logical>|<physical>, retired=<physical> (schema evolution)
+    val colmap = lines.filter(_.startsWith("colmap="))
+      .map(_.stripPrefix("colmap=")).map { l =>
+        val Array(lg, ph) = l.split("\\|", -1)
+        lg -> ph
+      }.toMap
+    val retired = lines.filter(_.startsWith("retired="))
+      .map(_.stripPrefix("retired="))
     Manifest(version, schema,
       if (parts.isEmpty) Nil else parts.split(",").toSeq,
       lines.filter(_.startsWith("file=")).map(_.stripPrefix("file=")),
-      statsCols, stats, bloomCols, sidecar, dvs, constraints, transforms)
+      statsCols, stats, bloomCols, sidecar, dvs, constraints, transforms,
+      colmap, retired)
   }
 
-  /** Schema of a committed version, straight from its manifest (no data-file
-    * listing). */
+  /** LOGICAL schema of a committed version, straight from its manifest (no
+    * data-file listing) — what readers of that version see. */
   private[sources] def manifestSchema(spark: SparkSession, path: String,
                                       version: Long): StructType =
-    readManifest(spark, path, version).schema
+    logicalSchema(readManifest(spark, path, version))
 
   /** Snapshot read of the current version (time travel: [[readVersion]]). */
   def read(spark: SparkSession, path: String): DataFrame =
@@ -340,7 +395,7 @@ object ManifestTable {
   def readChanges(spark: SparkSession, path: String,
                   fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion, s"from $fromVersion > to $toVersion")
-    val target = readManifest(spark, path, toVersion).schema
+    val target = logicalSchema(readManifest(spark, path, toVersion))
     val extras = StructType(Seq(
       StructField("_change_type", StringType, nullable = false),
       StructField("_commit_version", LongType, nullable = false)))
@@ -359,7 +414,7 @@ object ManifestTable {
       val freshRels = changedFiles(from, to)
       val goneRels = changedFiles(to, from)
       val fresh = readRels(spark, path, to, freshRels)
-      val gone = align(readRels(spark, path, from, goneRels), to.schema)
+      val gone = align(readRels(spark, path, from, goneRels), logicalSchema(to))
       val (ins, del) =
         if (goneRels.isEmpty) (fresh, fresh.limit(0))
         else if (freshRels.isEmpty) (gone.limit(0), gone)
@@ -793,7 +848,7 @@ object ManifestTable {
     * stage, and the big side is never shuffled.
     */
   private[sources] def readRels(spark: SparkSession, path: String, m: Manifest,
-                                rels: Seq[String]): DataFrame =
+                                rels: Seq[String]): DataFrame = toLogical(
     if (rels.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
     else {
@@ -817,7 +872,7 @@ object ManifestTable {
         case (None, Some(b)) => b
         case _ => sys.error("unreachable: rels is non-empty")
       }
-    }
+    }, m.colmap)
 
   /** The DV position set for `rels` (all of which must carry a DV in `m`):
     * the union of their referenced DV dirs, restricted to their file names.
@@ -1068,8 +1123,12 @@ object ManifestTable {
     * metadata op on any real filesystem; partition dirs must be shared so
     * readers get partition inference under one basePath).
     */
-  private def writeDataFiles(spark: SparkSession, path: String, df: DataFrame,
-                             partitionCols: Seq[String]): Seq[String] = {
+  private def writeDataFiles(spark: SparkSession, path: String, df0: DataFrame,
+                             partitionCols: Seq[String],
+                             colmap: Map[String, String] = Map.empty): Seq[String] = {
+    // batches arrive LOGICAL-named; files are written physical so every
+    // vintage shares one on-disk naming regardless of later renames
+    val df = toPhysical(df0, colmap)
     val commit = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     val f = fs(spark, path)
     val tmp = new Path(path, s"_tmp/$commit")
@@ -1167,7 +1226,9 @@ object ManifestTable {
                               carry: Option[Manifest] = None,
                               dvs: Map[String, (String, Long)] = Map.empty,
                               constraints: Seq[(String, String)] = Nil,
-                              transforms: Seq[PartitionTransform] = Nil): Long = {
+                              transforms: Seq[PartitionTransform] = Nil,
+                              colmap: Map[String, String] = Map.empty,
+                              retired: Seq[String] = Nil): Long = {
     val f = fs(spark, path)
     f.mkdirs(manifestDir(path))
     val fileSet = files.toSet
@@ -1260,6 +1321,8 @@ object ManifestTable {
       constraints.map { case (n, e) =>
         s"constraint=$n|${java.net.URLEncoder.encode(e, "UTF-8")}" } ++
       transforms.map(t => s"transform=${t.derived}|${t.kind}|${t.arg}|${t.src}") ++
+      colmap.toSeq.sortBy(_._1).map { case (lg, ph) => s"colmap=$lg|$ph" } ++
+      retired.map("retired=" + _) ++
       statLines).mkString("\n") + "\n"
     val scratch = new Path(path, s"_tmp/manifest-${java.util.UUID.randomUUID()}")
     val out = f.create(scratch, true)
@@ -1353,9 +1416,10 @@ object ManifestTable {
   private def requireCompatible(df: DataFrame, m: Manifest, op: String): Unit = {
     def shape(s: StructType) =
       s.fields.map(f => f.name -> ignoreNullability(f.dataType)).sortBy(_._1).toSeq
-    require(shape(df.schema) == shape(m.schema),
+    val logical = logicalSchema(m)
+    require(shape(df.schema) == shape(logical),
       s"$op batch schema ${df.schema.simpleString} does not match table schema " +
-        s"${m.schema.simpleString}")
+        s"${logical.simpleString}")
   }
 
   /** CHECK-constraint gate over a write batch: SQL semantics — a row
@@ -1406,24 +1470,41 @@ object ManifestTable {
     * or retyped columns still reject — those are the silent-corruption
     * shapes [[requireCompatible]] exists to stop.
     */
-  private def evolveSchema(df: DataFrame, m: Manifest, op: String): StructType = {
+  private def evolveSchema(df: DataFrame, m: Manifest,
+                           op: String): (StructType, Map[String, String]) = {
     def shape(s: StructType) =
       s.fields.map(f => f.name -> ignoreNullability(f.dataType)).sortBy(_._1).toSeq
-    if (shape(df.schema) == shape(m.schema)) m.schema
+    val logical = logicalSchema(m)
+    if (shape(df.schema) == shape(logical)) (m.schema, m.colmap)
     else {
       val batchTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
-      val tableNames = m.schema.fieldNames.toSet
-      val missing = m.schema.fieldNames.filterNot(batchTypes.contains)
-      val retyped = m.schema.fields.filter(f =>
+      val tableNames = logical.fieldNames.toSet
+      val missing = logical.fieldNames.filterNot(batchTypes.contains)
+      val retyped = logical.fields.filter(f =>
         batchTypes.get(f.name).exists(t =>
           ignoreNullability(t) != ignoreNullability(f.dataType)))
       require(missing.isEmpty && retyped.isEmpty,
         s"$op batch schema ${df.schema.simpleString} is not a compatible superset of " +
-          s"table schema ${m.schema.simpleString} " +
+          s"table schema ${logical.simpleString} " +
           s"(missing: ${missing.mkString(",")}; retyped: ${retyped.map(_.name).mkString(",")})")
-      val fresh = df.schema.fields.filterNot(f => tableNames.contains(f.name))
-        .map(_.copy(nullable = true))
-      StructType(m.schema.fields ++ fresh)
+      // fresh columns get a physical name that collides with NOTHING the
+      // table has ever used — current physical names AND retired (dropped)
+      // ones: a dropped-then-re-added column must not resurrect the old
+      // files' bytes, so the re-add maps to a fresh physical name
+      var taken = m.schema.fieldNames.toSet ++ m.retired
+      val freshMapped = df.schema.fields
+        .filterNot(f => tableNames.contains(f.name)).map { f0 =>
+          val f = f0.copy(nullable = true)
+          val ph =
+            if (!taken.contains(f.name)) f.name
+            else Iterator.from(2).map(i => s"${f.name}_$i")
+              .find(!taken.contains(_)).get
+          taken += ph
+          (f.copy(name = ph), f.name -> ph)
+        }
+      val colmap2 = m.colmap ++
+        freshMapped.collect { case (_, (lg, ph)) if lg != ph => lg -> ph }
+      (StructType(m.schema.fields ++ freshMapped.map(_._1)), colmap2)
     }
   }
 
@@ -1462,24 +1543,32 @@ object ManifestTable {
         // transform and land rows where pruning won't look)
         val batch = withDerived(
           df.drop(m.transforms.map(_.derived): _*), m.transforms)
-        evolveSchema(batch, m, "append") // fail fast, before any data lands
+        // fail fast, before any data lands
+        val (_, colmap0) = evolveSchema(batch, m, "append")
         enforceConstraints(batch, m.constraints, "append")
         val base = m
         val added = writeDataFiles(spark, path,
-          clusterForWrite(batch, m.partitionCols, m.transforms), m.partitionCols)
-        // added files carry the batch's schema (⊇ stats columns)
+          clusterForWrite(batch, m.partitionCols, m.transforms), m.partitionCols,
+          colmap0)
+        // added files carry the batch's schema (⊇ stats columns; stats
+        // columns are never renamed, so either name space reads them)
         val addedStats =
-          collectStats(spark, path, added, batch.schema, m.partitionCols,
-            m.statsCols, m.bloomCols)
+          collectStats(spark, path, added, toPhysical(batch, colmap0).schema,
+            m.partitionCols, m.statsCols, m.bloomCols)
         var tries = 0
         while (true) {
           require(m.partitionCols == base.partitionCols,
             s"table partitioning changed concurrently: " +
               s"${base.partitionCols} -> ${m.partitionCols}")
-          val schema = evolveSchema(batch, m, "append")
+          if (m.colmap != base.colmap || m.retired != base.retired)
+            throw new java.util.ConcurrentModificationException(
+              s"append to $path lost to a rename/drop commit — the batch's " +
+                "files were written under the old physical names; re-run")
+          val (schema, colmap2) = evolveSchema(batch, m, "append")
           try return commit(spark, path, m.version + 1, schema, m.partitionCols,
             m.files ++ added, m.statsCols, addedStats, m.bloomCols, carry = Some(m),
-            constraints = m.constraints, transforms = m.transforms)
+            constraints = m.constraints, transforms = m.transforms,
+            colmap = colmap2, retired = m.retired)
           catch {
             case e: java.util.ConcurrentModificationException =>
               tries += 1; if (tries > MaxCommitRetries) throw e
@@ -1508,7 +1597,8 @@ object ManifestTable {
     enforceConstraints(batch, m.constraints, "overwritePartitions")
     val base = m
     val added = writeDataFiles(spark, path,
-      clusterForWrite(batch, m.partitionCols, m.transforms), m.partitionCols)
+      clusterForWrite(batch, m.partitionCols, m.transforms), m.partitionCols,
+      m.colmap)
     val replacedDirs = added.map(dirOf).toSet
     val addedStats =
       collectStats(spark, path, added, m.schema, m.partitionCols,
@@ -1522,7 +1612,8 @@ object ManifestTable {
       val kept = m.files.filterNot(rel => replacedDirs.contains(dirOf(rel)))
       try return commit(spark, path, m.version + 1, m.schema, m.partitionCols,
         kept ++ added, m.statsCols, addedStats, m.bloomCols, carry = Some(m),
-        constraints = m.constraints, transforms = m.transforms)
+        constraints = m.constraints, transforms = m.transforms,
+        colmap = m.colmap, retired = m.retired)
       catch {
         case e: java.util.ConcurrentModificationException =>
           tries += 1; if (tries > MaxCommitRetries) throw e
@@ -1593,13 +1684,13 @@ object ManifestTable {
         if (m.partitionCols.isEmpty) {
           val kept = cutByKeys(existing, touchKeys, "left_anti", bcastRight = false)
           val next = kept.unionByName(batch.select(ordered: _*)).localCheckpoint(true)
-          val files = writeDataFiles(spark, path, next, Nil)
+          val files = writeDataFiles(spark, path, next, Nil, m.colmap)
           // full-table rewrite: ANY concurrent commit invalidates the
           // snapshot this merge rewrote — no rebase path exists
           commit(spark, path, v + 1, m.schema, Nil, files, m.statsCols,
             collectStats(spark, path, files, m.schema, Nil, m.statsCols,
               m.bloomCols), m.bloomCols, constraints = m.constraints,
-            transforms = m.transforms)
+            transforms = m.transforms, colmap = m.colmap, retired = m.retired)
         } else {
           val pCols = m.partitionCols.map(col)
           // partitions named by the batch ∪ partitions holding old copies of
@@ -1617,7 +1708,8 @@ object ManifestTable {
             touchKeys, "left_anti", bcastRight = false)
           val next = kept.unionByName(batch.select(ordered: _*)).localCheckpoint(true)
           val added = writeDataFiles(spark, path,
-            clusterForWrite(next, m.partitionCols, m.transforms), m.partitionCols)
+            clusterForWrite(next, m.partitionCols, m.transforms), m.partitionCols,
+            m.colmap)
           // remove every affected partition's old entries (NOT just dirs the
           // new files landed in — a drained partition writes no files)
           val affectedDirs = affected.map(vals =>
@@ -1633,13 +1725,14 @@ object ManifestTable {
             val keptFiles = cur.files.filterNot(rel => affectedDirs.contains(dirOf(rel)))
             try return commit(spark, path, cur.version + 1, m.schema, m.partitionCols,
               keptFiles ++ added, m.statsCols, addedStats, m.bloomCols, carry = Some(cur),
-              constraints = m.constraints, transforms = m.transforms)
+              constraints = m.constraints, transforms = m.transforms,
+              colmap = m.colmap, retired = m.retired)
             catch {
               case e: java.util.ConcurrentModificationException =>
                 tries += 1; if (tries > MaxCommitRetries) throw e
                 val now = readManifest(spark, path, currentVersion(spark, path).get)
                 // rebase is sound ONLY against a non-interacting delta:
-                if (now.schema != m.schema)
+                if (now.schema != m.schema || now.colmap != m.colmap)
                   throw new java.util.ConcurrentModificationException(
                     s"merge of $path lost to a commit that changed the table schema — " +
                       "re-run against the new snapshot")
@@ -1659,9 +1752,7 @@ object ManifestTable {
                     s"merge of $path lost to a commit that wrote into a partition " +
                       "this merge rewrites — re-run against the new snapshot")
                 if (fresh.nonEmpty) {
-                  val freshPaths = fresh.map(rel => new Path(dataDir(path), rel).toString)
-                  val overlap = spark.read.schema(now.schema)
-                    .option("basePath", dataDir(path).toString).parquet(freshPaths: _*)
+                  val overlap = readRels(spark, path, now, fresh)
                     .join(broadcast(touchKeys.distinct()), keys, "left_semi")
                   if (!overlap.isEmpty) throw new java.util.ConcurrentModificationException(
                     s"merge of $path lost to a commit that appended rows sharing its " +
@@ -1694,7 +1785,7 @@ object ManifestTable {
     val m = readManifest(spark, path, v)
     if (m.files.isEmpty) return v
     rewriteWithout(spark, path, v, m,
-      touchedFiles(spark, path, m.files, m.schema, predicate), predicate)
+      touchedFiles(spark, path, m.files, m, predicate), predicate)
   }
 
   /** Row-level DELETE, merge-on-read: instead of rewriting the files that
@@ -1722,7 +1813,7 @@ object ManifestTable {
       .getOrElse(sys.error(s"no manifest table at $path"))
     val m = readManifest(spark, path, v)
     if (m.files.isEmpty) return v
-    val touched = touchedFiles(spark, path, m.files, m.schema, predicate)
+    val touched = touchedFiles(spark, path, m.files, m, predicate)
     if (touched.isEmpty) return v
     val fnameToRel = touched.map(rel => fileNameOf(rel) -> rel).toMap
     require(fnameToRel.size == touched.size,
@@ -1730,13 +1821,19 @@ object ManifestTable {
     // fresh deleted positions for the touched files, keyed by file name.
     // The raw scan may re-flag rows an earlier DV already removed; the
     // union-distinct with the prior positions absorbs them.
-    val fresh = spark.read.schema(m.schema)
-      .option("basePath", dataDir(path).toString)
-      .parquet(touched.map(rel => new Path(dataDir(path), rel).toString): _*)
+    // materialize the metadata columns BEFORE the logical rename (they
+    // resolve only directly over the file scan), then filter the
+    // logical-named predicate
+    val fresh = toLogical(
+      spark.read.schema(m.schema)
+        .option("basePath", dataDir(path).toString)
+        .parquet(touched.map(rel => new Path(dataDir(path), rel).toString): _*)
+        .select(col("*"),
+          expr("element_at(split(_metadata.file_path, '/'), -1)").as("fname"),
+          col("_metadata.row_index").as("pos")),
+      m.colmap)
       .filter(coalesce(predicate, lit(false)))
-      .select(
-        expr("element_at(split(_metadata.file_path, '/'), -1)").as("fname"),
-        col("_metadata.row_index").as("pos"))
+      .select(col("fname"), col("pos"))
     val priorRels = touched.filter(m.dvs.contains)
     val merged = (if (priorRels.isEmpty) fresh
                   else fresh.unionAll(dvPositions(spark, path, m, priorRels)))
@@ -1756,7 +1853,8 @@ object ManifestTable {
       .map(rel => rel -> ((name, counts(rel)))).toMap
     try commit(spark, path, v + 1, m.schema, m.partitionCols, m.files,
       m.statsCols, Map.empty, m.bloomCols, carry = Some(m), dvs = newDvs,
-      constraints = m.constraints, transforms = m.transforms)
+      constraints = m.constraints, transforms = m.transforms,
+      colmap = m.colmap, retired = m.retired)
     catch { case e: java.util.ConcurrentModificationException =>
       fs(spark, path).delete(new Path(dvDir(path), name), true)
       throw e
@@ -1850,7 +1948,8 @@ object ManifestTable {
       s"addConstraint($name) on existing data")
     commit(spark, path, v + 1, m.schema, m.partitionCols, m.files,
       m.statsCols, Map.empty, m.bloomCols, carry = Some(m),
-      constraints = m.constraints :+ (name -> sql), transforms = m.transforms)
+      constraints = m.constraints :+ (name -> sql), transforms = m.transforms,
+      colmap = m.colmap, retired = m.retired)
   }
 
   /** Drop a CHECK constraint (metadata-only commit). */
@@ -1862,7 +1961,85 @@ object ManifestTable {
       s"no constraint '$name' on $path (have: ${m.constraints.map(_._1).mkString(", ")})")
     commit(spark, path, v + 1, m.schema, m.partitionCols, m.files,
       m.statsCols, Map.empty, m.bloomCols, carry = Some(m),
-      constraints = m.constraints.filterNot(_._1 == name), transforms = m.transforms)
+      constraints = m.constraints.filterNot(_._1 == name), transforms = m.transforms,
+      colmap = m.colmap, retired = m.retired)
+  }
+
+  /** A column rename/drop must not touch anything the table's machinery
+    * resolves by PHYSICAL name: partition layout (directory names),
+    * transform derivations, zone-map/Bloom stats keys, and CHECK
+    * constraint SQL (stored text). Keeping those column families
+    * unmappable is what lets every internal path skip the logical↔
+    * physical translation entirely.
+    */
+  private def requireMappable(m: Manifest, name: String, op: String): Unit = {
+    require(!m.partitionCols.contains(name),
+      s"$op: '$name' is a partition column — partition directory names are physical")
+    require(!m.transforms.exists(t => t.src == name || t.derived == name),
+      s"$op: '$name' is a partition transform source/derived column")
+    require(!m.statsCols.contains(name) && !m.bloomCols.contains(name),
+      s"$op: '$name' carries zone-map/Bloom stats — stats keys are physical")
+    val refs = m.constraints.filter(_._2.matches(
+      s"(?s).*\\b${java.util.regex.Pattern.quote(name)}\\b.*"))
+    require(refs.isEmpty,
+      s"$op: '$name' is referenced by CHECK constraint(s) " +
+        s"${refs.map(_._1).mkString(", ")} — drop them first")
+  }
+
+  /** Rename a column WITHOUT rewriting any data (metadata-only commit):
+    * the logical name changes; the physical name — what every data file
+    * of every vintage was written under — stays, recorded in the
+    * manifest's column mapping. Old and new files keep resolving through
+    * the one mapping; readers of PRIOR versions still see the old name
+    * (the mapping is versioned with everything else). The Iceberg/Delta
+    * column-mapping move: at 100 TB a rename that rewrote files would be
+    * a full-table job for a metadata change.
+    */
+  def renameColumn(spark: SparkSession, path: String,
+                   oldName: String, newName: String): Long = {
+    require(newName.nonEmpty && !newName.contains("|") && !newName.contains(","),
+      s"bad column name: '$newName'")
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    val logical = logicalSchema(m)
+    require(logical.fieldNames.contains(oldName),
+      s"rename: no column '$oldName' on $path " +
+        s"(have: ${logical.fieldNames.mkString(", ")})")
+    require(!logical.fieldNames.contains(newName),
+      s"rename: column '$newName' already exists on $path")
+    requireMappable(m, oldName, "rename")
+    val ph = m.colmap.getOrElse(oldName, oldName)
+    val colmap2 = (m.colmap - oldName) ++
+      (if (newName == ph) Map.empty[String, String] else Map(newName -> ph))
+    commit(spark, path, v + 1, m.schema, m.partitionCols, m.files,
+      m.statsCols, Map.empty, m.bloomCols, carry = Some(m),
+      constraints = m.constraints, transforms = m.transforms,
+      colmap = colmap2, retired = m.retired)
+  }
+
+  /** Drop a column WITHOUT rewriting any data (metadata-only commit): the
+    * field leaves the schema, old files' bytes for it are simply never
+    * projected again, and its physical name is RETIRED — a later re-add
+    * under the same logical name maps to a fresh physical name
+    * ([[evolveSchema]]), so the dropped bytes can never resurrect. Prior
+    * versions still read the column (time travel is unaffected).
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String): Long = {
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    val logical = logicalSchema(m)
+    require(logical.fieldNames.contains(name),
+      s"drop: no column '$name' on $path (have: ${logical.fieldNames.mkString(", ")})")
+    require(logical.fields.length > 1, s"drop: cannot drop the only column of $path")
+    requireMappable(m, name, "drop")
+    val ph = m.colmap.getOrElse(name, name)
+    commit(spark, path, v + 1,
+      StructType(m.schema.fields.filterNot(_.name == ph)), m.partitionCols,
+      m.files, m.statsCols, Map.empty, m.bloomCols, carry = Some(m),
+      constraints = m.constraints, transforms = m.transforms,
+      colmap = m.colmap - name, retired = (m.retired :+ ph).distinct)
   }
 
   /** Range DELETE with zone-map file skipping: candidate files come from
@@ -1883,7 +2060,7 @@ object ManifestTable {
       prunedRels(spark, path, m, Map(colName -> ((Some(lo), Some(hi)))), Map.empty)
     if (candidates.isEmpty) return v
     rewriteWithout(spark, path, v, m,
-      touchedFiles(spark, path, candidates, m.schema, pred), pred)
+      touchedFiles(spark, path, candidates, m, pred), pred)
   }
 
   /** The subset of `rels` whose files contain at least one predicate match —
@@ -1892,12 +2069,15 @@ object ManifestTable {
     * manifest already holds.
     */
   private def touchedFiles(spark: SparkSession, path: String, rels: Seq[String],
-                           schema: StructType, predicate: Column): Seq[String] = {
+                           m: Manifest, predicate: Column): Seq[String] = {
     if (rels.isEmpty) return Nil
     val dataPath = fs(spark, path).makeQualified(dataDir(path)).toUri.getPath
     val relSet = rels.toSet
-    spark.read.schema(schema).option("basePath", dataDir(path).toString)
-      .parquet(rels.map(rel => new Path(dataDir(path), rel).toString): _*)
+    // predicates arrive in LOGICAL names; the files are physical
+    toLogical(
+      spark.read.schema(m.schema).option("basePath", dataDir(path).toString)
+        .parquet(rels.map(rel => new Path(dataDir(path), rel).toString): _*),
+      m.colmap)
       .filter(predicate)
       .select(input_file_name().as("_f")).distinct().collect()
       .map { r =>
@@ -1948,11 +2128,12 @@ object ManifestTable {
       .getOrElse(sys.error(s"no manifest table at $path"))
     val m = readManifest(spark, path, v)
     if (m.files.isEmpty) return v
-    val fields = m.schema.fields.map(f => f.name -> f).toMap
+    val logical = logicalSchema(m)
+    val fields = logical.fields.map(f => f.name -> f).toMap
     val bad = sets.collect { case (n, _) if !fields.contains(n) => n }
     require(bad.isEmpty,
       s"UPDATE of $path assigns unknown column(s) ${bad.mkString(", ")} — " +
-        s"table columns: ${m.schema.fieldNames.mkString(", ")}")
+        s"table columns: ${logical.fieldNames.mkString(", ")}")
     require(sets.map(_._1).distinct.size == sets.size,
       s"UPDATE of $path assigns a column twice")
     val generated = m.transforms.map(_.derived).toSet
@@ -1960,11 +2141,11 @@ object ManifestTable {
       s"UPDATE of $path assigns generated partition column(s) " +
         s"${sets.map(_._1).filter(generated).mkString(", ")} — their values " +
         "derive from the transform; update the source column instead")
-    val touched = touchedFiles(spark, path, m.files, m.schema, predicate)
+    val touched = touchedFiles(spark, path, m.files, m, predicate)
     if (touched.isEmpty) return v
     val hit = coalesce(predicate, lit(false))
     val setMap = sets.toMap
-    val replaced = m.schema.fields.map { f =>
+    val replaced = logical.fields.map { f =>
       setMap.get(f.name) match {
         case Some(e) => when(hit, e.cast(f.dataType))
           .otherwise(col(s"`${f.name}`")).as(f.name)
@@ -1978,7 +2159,7 @@ object ManifestTable {
     val rewritten = withDerived(
       readRels(spark, path, m, touched).select(replaced.toSeq: _*)
         .drop(m.transforms.map(_.derived): _*), m.transforms)
-      .select(m.schema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
+      .select(logical.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
     // the SET right-hand sides can produce violating values — gate the
     // rewritten rows like any other write batch
     enforceConstraints(rewritten, m.constraints, "update")
@@ -1995,7 +2176,8 @@ object ManifestTable {
                             replacement: DataFrame): Long = {
     val touchedSet = touched.toSet
     val untouched = m.files.filterNot(touchedSet)
-    val written = writeDataFiles(spark, path, replacement, m.partitionCols)
+    val written = writeDataFiles(spark, path, replacement, m.partitionCols,
+      m.colmap)
     val newStats = collectStats(spark, path, written, m.schema,
       m.partitionCols, m.statsCols, m.bloomCols)
     // a fully-drained rewrite can emit a ROW-LESS parquet file; committing
@@ -2007,7 +2189,8 @@ object ManifestTable {
                    else written
     commit(spark, path, v + 1, m.schema, m.partitionCols,
       untouched ++ newFiles, m.statsCols, newStats, m.bloomCols, carry = Some(m),
-      constraints = m.constraints, transforms = m.transforms)
+      constraints = m.constraints, transforms = m.transforms,
+      colmap = m.colmap, retired = m.retired)
   }
 
   /** Rewrite the current snapshot into ~`targetRowsPerFile`-row files —
@@ -2036,11 +2219,11 @@ object ManifestTable {
     } else graft.operators.Maintenance.sizedRepartition(
       current, m.partitionCols, targetRowsPerFile))
       .localCheckpoint(true) // materialize before writing (self-read safety)
-    val files = writeDataFiles(spark, path, sized, m.partitionCols)
+    val files = writeDataFiles(spark, path, sized, m.partitionCols, m.colmap)
     commit(spark, path, v + 1, m.schema, m.partitionCols, files, m.statsCols,
       collectStats(spark, path, files, m.schema, m.partitionCols, m.statsCols,
         m.bloomCols), m.bloomCols, constraints = m.constraints,
-      transforms = m.transforms)
+      transforms = m.transforms, colmap = m.colmap, retired = m.retired)
   }
 
   /** Delete data files referenced by none of the `keepVersions` most recent

@@ -95,6 +95,31 @@ class HiddenPartitionSpec extends SparkSpec {
       s"bucket pruning should open ~1/8 of files, opened $opened/$total")
   }
 
+  test("trunc(): prefix and range predicates on the source prune prefix partitions") {
+    import org.apache.spark.sql.sources.{StringStartsWith, GreaterThanOrEqual}
+    val path = Files.createTempDirectory("hp_trunc").toString + "/t"
+    // keys aa-0 … ee-249 → 25 two-char-prefix partitions
+    val df = spark.range(250).select(col("id"),
+      expr("concat(char(97 + CAST(id % 5 AS INT)), " +
+        "char(97 + CAST((id DIV 5) % 5 AS INT)), '-', id)").as("k"))
+    ManifestTable.overwrite(spark, path, df,
+      transforms = Seq(PartitionTransform("k2", "trunc", 2, "k")))
+    val rel = new GraftRelation(spark.sqlContext, path, None)
+    def dirs(d: org.apache.spark.sql.DataFrame): Long = d
+      .select(regexp_extract(input_file_name(), "k2=([a-z]+)", 1)).distinct().count()
+    val all = ManifestTable.read(spark, path)
+    // LIKE 'ab%' (prefix ≥ trunc width) pins ONE partition
+    val pre = rel.innerScan(Array("id"), Array(StringStartsWith("k", "ab")))
+    assert(pre.select("id").as[Long].collect().sorted ===
+      all.filter(col("k").startsWith("ab")).select("id").as[Long].collect().sorted)
+    assert(dirs(pre) === 1L, "a full-width prefix must open exactly its partition")
+    // k >= 'ca' opens only prefixes >= 'ca' (truncation is monotone)
+    val rng = rel.innerScan(Array("id"), Array(GreaterThanOrEqual("k", "ca")))
+    assert(rng.select("id").as[Long].collect().sorted ===
+      all.filter(col("k") >= "ca").select("id").as[Long].collect().sorted)
+    assert(dirs(rng) === 15L, s"expected the 15 c*/d*/e* dirs, got ${dirs(rng)}")
+  }
+
   test("merge and update re-derive: a source-column change moves the partition") {
     val path = days30("move")
     // merge a replacement whose ts moved to another day

@@ -1,0 +1,151 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.ManifestTable.PartitionTransform
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Rename/drop schema evolution via column mapping: logical names change
+  * in a metadata-only commit; data files of every vintage keep their
+  * PHYSICAL names and resolve through the manifest's mapping — no
+  * rewrite, old versions unaffected, dropped bytes never resurrect.
+  */
+class SchemaEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rename is metadata-only: old and new files both resolve; time travel keeps the old name") {
+    val path = Files.createTempDirectory("se_rename").toString + "/t"
+    ManifestTable.overwrite(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    val before = ManifestTable.filesMeta(spark, path).count()
+    ManifestTable.renameColumn(spark, path, "v", "val") // v2, no data writes
+    assert(ManifestTable.filesMeta(spark, path).count() === before,
+      "rename must not rewrite or add data files")
+    val got = ManifestTable.read(spark, path)
+    assert(got.columns === Array("id", "val"))
+    assert(got.orderBy("id").as[(Long, String)].collect()
+      === Array((1L, "a"), (2L, "b")), "pre-rename files read through the mapping")
+    // post-rename append arrives under the LOGICAL name, lands physical
+    ManifestTable.append(spark, path, Seq((3L, "c")).toDF("id", "val"))
+    assert(ManifestTable.read(spark, path).orderBy("id").as[(Long, String)]
+      .collect() === Array((1L, "a"), (2L, "b"), (3L, "c")),
+      "old and new vintages share one physical name space")
+    // prior versions are untouched: version 1 still says 'v'
+    assert(ManifestTable.readVersion(spark, path, 1L).columns === Array("id", "v"))
+    // an append under the RETIRED logical name now means a NEW column
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, path, Seq((9L, "x")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("missing: val"))
+  }
+
+  test("SQL scan and DML follow a rename") {
+    val path = Files.createTempDirectory("se_sql").toString + "/t"
+    ManifestTable.overwrite(spark, path,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1))
+    ManifestTable.renameColumn(spark, path, "v", "label")
+    spark.sql("DROP TABLE IF EXISTS se_t")
+    spark.sql(s"CREATE TABLE se_t USING graft OPTIONS (path '$path')")
+    try {
+      assert(spark.sql("SELECT label FROM se_t WHERE label = 'b'")
+        .as[String].collect() === Array("b"))
+      assert(spark.sql("SELECT id FROM se_t WHERE label >= 'b'")
+        .as[Long].collect().sorted === Array(2L, 3L))
+    } finally spark.sql("DROP TABLE IF EXISTS se_t"): Unit
+    // row-level commands address the logical name
+    ManifestTable.update(spark, path, col("label") === "a",
+      Seq("label" -> lit("A")))
+    ManifestTable.deleteVectorized(spark, path, col("label") === "c")
+    assert(ManifestTable.read(spark, path).orderBy("id")
+      .select("id", "label").as[(Long, String)].collect()
+      === Array((1L, "A"), (2L, "b")))
+    // merge on the renamed payload column
+    ManifestTable.merge(spark, path,
+      Seq((2L, "B"), (4L, "d")).toDF("id", "label"), keys = Seq("id"))
+    assert(ManifestTable.read(spark, path).orderBy("id")
+      .select("id", "label").as[(Long, String)].collect()
+      === Array((1L, "A"), (2L, "B"), (4L, "d")))
+  }
+
+  test("drop is metadata-only and a re-added namesake never resurrects the dropped bytes") {
+    val path = Files.createTempDirectory("se_drop").toString + "/t"
+    ManifestTable.overwrite(spark, path,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "v", "score").coalesce(1))
+    val before = ManifestTable.filesMeta(spark, path).count()
+    ManifestTable.dropColumn(spark, path, "score") // v2
+    assert(ManifestTable.filesMeta(spark, path).count() === before)
+    assert(ManifestTable.read(spark, path).columns === Array("id", "v"))
+    // time travel still sees the dropped column
+    assert(ManifestTable.readVersion(spark, path, 1L)
+      .select("score").as[Long].collect().sorted === Array(10L, 20L))
+    // re-add a column NAMED score: the old files' bytes must stay dead
+    ManifestTable.append(spark, path, Seq((3L, "c", 99L)).toDF("id", "v", "score"))
+    val got = ManifestTable.read(spark, path).orderBy("id")
+      .select("id", "score").as[(Long, Option[Long])].collect()
+    assert(got === Array((1L, None), (2L, None), (3L, Some(99L))),
+      s"dropped bytes resurrected: ${got.toSeq}")
+  }
+
+  test("rename then rename again, and renaming into a freed name") {
+    val path = Files.createTempDirectory("se_chain").toString + "/t"
+    ManifestTable.overwrite(spark, path,
+      Seq((1L, "a", 1.5)).toDF("id", "v", "w").coalesce(1))
+    ManifestTable.renameColumn(spark, path, "v", "x") // v free now
+    ManifestTable.renameColumn(spark, path, "w", "v") // reuse the freed name
+    val got = ManifestTable.read(spark, path)
+    assert(got.columns === Array("id", "x", "v"))
+    assert(got.select("x").as[String].head() === "a")
+    assert(got.select("v").as[Double].head() === 1.5)
+    // round-trip back to the original name
+    ManifestTable.renameColumn(spark, path, "x", "v2")
+    ManifestTable.append(spark, path,
+      Seq((2L, "b", 2.5)).toDF("id", "v2", "v"))
+    assert(ManifestTable.read(spark, path).orderBy("id")
+      .select("id", "v2", "v").as[(Long, String, Double)].collect()
+      === Array((1L, "a", 1.5), (2L, "b", 2.5)))
+  }
+
+  test("physical-name column families reject rename/drop") {
+    val path = Files.createTempDirectory("se_guard").toString + "/t"
+    val df = spark.range(10).select(col("id"),
+      expr("timestamp '2024-01-01' + make_interval(0,0,0,CAST(id AS INT),0,0,0)").as("ts"),
+      (col("id") % 3).as("p"), col("id").cast("double").as("m"))
+    ManifestTable.overwrite(spark, path, df,
+      partitionCols = Seq("p"), statsCols = Seq("m"),
+      transforms = Seq(PartitionTransform("ts_day", "days", 0, "ts")))
+    ManifestTable.addConstraint(spark, path, "m_pos", "m >= 0")
+    def rejects(name: String, wants: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        ManifestTable.renameColumn(spark, path, name, name + "_2")
+      }
+      assert(e.getMessage.contains(wants), s"$name: ${e.getMessage}")
+      val e2 = intercept[IllegalArgumentException] {
+        ManifestTable.dropColumn(spark, path, name)
+      }
+      assert(e2.getMessage.contains(wants), s"$name drop: ${e2.getMessage}")
+    }
+    rejects("p", "partition column")
+    rejects("ts", "transform")
+    rejects("ts_day", "partition") // derived cols are partition cols first
+    rejects("m", "stats") // constraint check fires after, stats first
+    // a plain column is still evolvable on this table
+    ManifestTable.renameColumn(spark, path, "id", "row_id")
+    assert(ManifestTable.read(spark, path).columns.contains("row_id"))
+  }
+
+  test("change feed and rewrites speak logical names after a rename") {
+    val path = Files.createTempDirectory("se_cdf").toString + "/t"
+    ManifestTable.overwrite(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    ManifestTable.renameColumn(spark, path, "v", "val") // v2
+    ManifestTable.append(spark, path, Seq((3L, "c")).toDF("id", "val")) // v3
+    ManifestTable.compact(spark, path, 100L) // v4: rewrite across vintages
+    assert(ManifestTable.readChanges(spark, path, 2L, 3L)
+      .select("id", "val", "_change_type").as[(Long, String, String)]
+      .collect() === Array((3L, "c", "insert")))
+    assert(ManifestTable.readChanges(spark, path, 3L, 4L).isEmpty,
+      "compaction across renamed vintages is still invisible")
+    assert(ManifestTable.read(spark, path).orderBy("id").as[(Long, String)]
+      .collect() === Array((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+}
