@@ -59,6 +59,7 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
     val path = parameters.getOrElse("path", sys.error("graft: 'path' is required"))
     new GraftStreamSource(ctx.sparkSession, path, metadataPath,
       parameters.get("maxFilesPerTrigger").map(_.toInt),
+      parameters.get("maxBytesPerTrigger").map(GraftStreamSource.parseBytes),
       changeFeed = parameters.get("changeFeed").exists(_.toBoolean),
       startingVersion = parameters.get("startingVersion").map(_.toLong))
   }
@@ -163,6 +164,20 @@ private[sources] object GraftSourceOffset {
   * offset — never re-delivering processed files.
   */
 object GraftStreamSource {
+  /** `"134217728"`, `"128m"`, `"1g"`, `"512k"` → bytes. */
+  private[sources] def parseBytes(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val (num, mult) = t.last match {
+      case 'k' => (t.dropRight(1), 1L << 10)
+      case 'm' => (t.dropRight(1), 1L << 20)
+      case 'g' => (t.dropRight(1), 1L << 30)
+      case _ => (t, 1L)
+    }
+    val v = num.trim.toLong * mult
+    require(v > 0, s"graft: maxBytesPerTrigger must be positive, got '$s'")
+    v
+  }
+
   /** Output shape of change-feed mode: the table schema plus the CDC
     * stamp columns. */
   private[sources] def changeFeedSchema(base: StructType): StructType =
@@ -176,6 +191,7 @@ object GraftStreamSource {
 class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String,
                         metadataPath: String,
                         maxFilesPerTrigger: Option[Int] = None,
+                        maxBytesPerTrigger: Option[Long] = None,
                         changeFeed: Boolean = false,
                         startingVersion: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
@@ -184,6 +200,8 @@ class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String,
 
   require(maxFilesPerTrigger.forall(_ > 0),
     s"graft: maxFilesPerTrigger must be positive, got $maxFilesPerTrigger")
+  require(maxBytesPerTrigger.forall(_ > 0),
+    s"graft: maxBytesPerTrigger must be positive, got $maxBytesPerTrigger")
 
   private val schema0: StructType = {
     val v = ManifestTable.currentVersion(spark, path)
@@ -216,6 +234,38 @@ class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String,
 
   private def windowSize(o: GraftSourceOffset): Int = windowFiles(o.from, o.to).size
   private def complete(o: GraftSourceOffset): Boolean = o.k >= windowSize(o)
+
+  // per-file byte sizes for maxBytesPerTrigger, from file metadata — one
+  // getFileStatus per candidate file, bounded by the window and cached
+  // (data files are immutable). Same cost class as the listings the
+  // Delta/file sources do for their byte caps.
+  private val sizeCache = scala.collection.mutable.Map[String, Long]()
+  private def sizeOf(rel: String): Long = sizeCache.getOrElseUpdate(rel, {
+    val p = new Path(new Path(path, "data"), rel)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
+  })
+
+  /** How far into `files` this trigger may advance from position `from`:
+    * at most `maxFilesPerTrigger` files AND `maxBytesPerTrigger` bytes —
+    * but always at least one file, or a file larger than the byte cap
+    * would wedge the stream. */
+  private def admit(files: Seq[String], from: Int): Int = {
+    val fCap = maxFilesPerTrigger.map(_.toLong).getOrElse(Long.MaxValue)
+    val n = files.size
+    maxBytesPerTrigger match {
+      case None => math.min(from + fCap, n.toLong).toInt
+      case Some(bCap) =>
+        var k = from
+        var bytes = 0L
+        var stop = false
+        while (k < n && (k - from) < fCap && !stop) {
+          val s = sizeOf(files(k))
+          if (k > from && bytes + s > bCap) stop = true
+          else { bytes += s; k += 1 }
+        }
+        k
+    }
+  }
 
   // ---- position persistence (tiny file under the query's checkpoint) ----
   private val posFile = new Path(metadataPath, "graft-pos")
@@ -266,24 +316,22 @@ class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String,
   override def getOffset: Option[Offset] = {
     if (changeFeed) return getOffsetChangeFeed()
     val lastO = last.orElse(readPersisted())
-    val cap = maxFilesPerTrigger.getOrElse(Int.MaxValue)
-    def capped(n: Int, base: Int = 0): Int =
-      math.min(base.toLong + cap.toLong, n.toLong).toInt
     val next = lastO match {
       case None =>
         // fresh stream: open the initial-snapshot window at the current
-        // version (from = 0), admitting at most `cap` of its files
+        // version (from = 0), admitting at most the caps' worth of files
         ManifestTable.currentVersion(spark, path).map { v =>
-          GraftSourceOffset(0L, v, capped(windowSize(GraftSourceOffset(0L, v, 0))))
+          GraftSourceOffset(0L, v, admit(windowFiles(0L, v), 0))
         }
       case Some(o) =>
-        val n = windowSize(o)
-        if (o.k < n) Some(o.copy(k = capped(n, o.k))) // advance within window
+        val files = windowFiles(o.from, o.to)
+        if (o.k < files.size) // advance within the window
+          Some(o.copy(k = admit(files, o.k)))
         else {
           val v = ManifestTable.currentVersion(spark, path).getOrElse(o.to)
           if (v > o.to) { // window drained: open the next delta window
-            val w = GraftSourceOffset(o.to, v, 0)
-            Some(w.copy(k = capped(windowSize(w))))
+            val w = windowFiles(o.to, v)
+            Some(GraftSourceOffset(o.to, v, admit(w, 0)))
           } else Some(o) // idle: same json as committed → no batch planned
         }
     }
@@ -332,7 +380,15 @@ class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String,
         else (files, GraftSourceOffset(0L, endO.to, files.size))
     }
     last = Some(pos)
-    val batch = ManifestTable.readRels(spark, path, manifestAt(endO.to), rels)
+    val m = manifestAt(endO.to)
+    // a rename/drop mid-stream would silently re-key columns (rows bind
+    // positionally through the RDD bridge) — fail loudly like Delta does
+    // and have the user restart the stream against the new schema
+    require(ManifestTable.logicalSchema(m).fieldNames.sameElements(schema0.fieldNames),
+      s"graft stream source: the table's schema changed while streaming " +
+        s"(pinned ${schema0.fieldNames.mkString(",")}, version ${endO.to} has " +
+        s"${ManifestTable.logicalSchema(m).fieldNames.mkString(",")}) — restart the query")
+    val batch = ManifestTable.readRels(spark, path, m, rels)
     org.apache.spark.sql.graft.bridge
       .streamingDataFrame(spark, batch.queryExecution.toRdd, batch.schema)
       .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]

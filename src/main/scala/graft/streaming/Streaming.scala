@@ -681,4 +681,41 @@ object Streaming {
       fs.delete(new org.apache.hadoop.fs.Path(dir, s"v$v"), false): Unit)
     current
   }
+
+  /** [[followTable]]'s row-level twin: the handler receives the table's
+    * CHANGE FEED since the last processed version — `_change_type`
+    * insert/delete rows stamped `_commit_version`
+    * ([[graft.sources.ManifestTable.readChanges]]) — instead of the
+    * at-least-once file-level delta. A first call against an existing
+    * table replays it as version-stamped inserts (the batch consumer's
+    * natural bootstrap; the streaming source's changeFeed mode starts
+    * forward-only instead, because an unbounded snapshot-as-one-batch is
+    * exactly what its admission control exists to prevent). Same marker
+    * checkpoint, same at-least-once contract: a crash between handler
+    * and marker re-delivers the same changes, and change rows are
+    * deterministic per (fromVersion, toVersion), so replays converge.
+    */
+  def followChanges(spark: SparkSession, tablePath: String,
+                    checkpointPath: String)
+                   (handler: (DataFrame, Long, Long) => Unit): Long = {
+    import graft.sources.ManifestTable
+    val dir = new org.apache.hadoop.fs.Path(checkpointPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers: Seq[Long] =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v"))
+        .flatMap(n => scala.util.Try(n.substring(1).toLong).toOption)
+    val last: Long = if (markers.isEmpty) 0L else markers.max
+    val current = ManifestTable.currentVersion(spark, tablePath)
+      .getOrElse(return last)
+    if (current <= last) return last
+    handler(ManifestTable.readChanges(spark, tablePath, last, current),
+      last, current)
+    fs.mkdirs(dir)
+    fs.create(new org.apache.hadoop.fs.Path(dir, s"v$current"), true).close()
+    markers.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"v$v"), false): Unit)
+    current
+  }
 }

@@ -808,6 +808,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger admits whole files up to the byte budget, never zero") {
+    import graft.sources.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("gsrc_bytes").toString
+    val table = s"$dir/t"
+    ManifestTable.overwrite(spark, table,
+      spark.range(50).select(col("id"), (col("id") * 7).as("v")).repartition(5))
+    assert(ManifestTable.filesMeta(spark, table).count() === 5L)
+    // a byte cap below any single file still admits one file per trigger
+    // (a larger-than-cap file must not wedge the stream)
+    val q = spark.readStream.format("graft").option("path", table)
+      .option("maxBytesPerTrigger", "1").load()
+      .writeStream.format("memory").queryName("gsrc_bytes_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gsrc_bytes_out").select("id").as[Long].collect().sorted
+        === (0L until 50L).toArray)
+      assert(q.lastProgress.batchId >= 4,
+        s"5 files under a sub-file byte cap should take 5 batches, took ${q.lastProgress.batchId + 1}")
+    } finally q.stop()
+    // a generous cap drains the same snapshot in one batch
+    val q2 = spark.readStream.format("graft").option("path", table)
+      .option("maxBytesPerTrigger", "1g").load()
+      .writeStream.format("memory").queryName("gsrc_bytes_out2")
+      .option("checkpointLocation", s"$dir/ckpt2")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("gsrc_bytes_out2").count() === 50L)
+      assert(q2.lastProgress.batchId === 0,
+        s"1g cap must take the 5-file snapshot in one batch")
+    } finally q2.stop()
+  }
+
   test("restart mid-snapshot resumes at the next file slice (Trigger.Once per batch)") {
     import graft.sources.ManifestTable
     import org.apache.spark.sql.streaming.Trigger
@@ -847,6 +882,31 @@ class StreamingSpec extends SparkSpec {
     runOnce()
     assert(seen.flatten.sorted === ((0L until 50L) :+ 100L),
       "restart after the snapshot must deliver exactly the appended delta")
+  }
+
+  test("followChanges delivers row-level changes exactly once across restarts") {
+    import graft.sources.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("follow_cdf").toString
+    val table = s"$dir/t"
+    val ckpt = s"$dir/ckpt"
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    def run(): Long = Streaming.followChanges(spark, table, ckpt) { (df, _, _) =>
+      seen ++= df.select("id", "v", "_change_type", "_commit_version")
+        .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    }
+    ManifestTable.overwrite(spark, table,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    run() // bootstrap: the existing table replays as version-1 inserts
+    assert(seen.toSeq === Seq((1L, "a", "insert", 1L), (2L, "b", "insert", 1L)))
+    ManifestTable.deleteVectorized(spark, table, col("id") === 2L)
+    ManifestTable.append(spark, table, Seq((3L, "c")).toDF("id", "v"))
+    run() // one call folds BOTH pending commits, per-version stamped
+    assert(seen.drop(2).toSeq ===
+      Seq((2L, "b", "delete", 2L), (3L, "c", "insert", 3L)))
+    // idle + compaction: no new change rows
+    ManifestTable.compact(spark, table, 100L)
+    run()
+    assert(seen.size === 4, s"compaction must not surface changes: ${seen.drop(4)}")
   }
 
   test("changeFeed streaming mode serves row-level _change_type rows, one commit per batch") {
