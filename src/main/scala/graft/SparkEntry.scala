@@ -1302,7 +1302,10 @@ object SparkEntry {
     // invisibility via multiset difference of the file-level CDF) ----
     "q_change_feed" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft_cdf").toString + "/t"
+      // 4 files per commit: the semantics don't need 32, and the query's
+      // cost is commit-path (files moved per commit), not compute
       val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        .repartition(4)
       graft.sources.ManifestTable.overwrite(s, dir, o.filter(col("o_orderkey") % 4 === 0))
       graft.sources.ManifestTable.append(s, dir, o.filter(col("o_orderkey") % 4 === 1))
       graft.sources.ManifestTable.deleteVectorized(s, dir, col("o_totalprice") < lit(10000.0))
@@ -1310,6 +1313,30 @@ object SparkEntry {
       graft.sources.ManifestTable.readChanges(s, dir, 0L, 4L)
         .select(col("o_orderkey"), col("_change_type").as("change_type"),
           col("_commit_version").as("commit_version"))
+    }),
+
+    // ---- CDC apply (APPLY CHANGES INTO): a keyed replica follows the
+    // source table through its row-level change feed — inserts/updates
+    // upsert, deletes delete, the highest commit version wins per key.
+    // Two replicate calls each fold two pending commits; the replica's
+    // final rows must equal the source's, which the oracle recomputes
+    // from orders directly ----
+    "q_cdc_replicate" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cdcr").toString
+      val src = s"$dir/src"; val dst = s"$dir/dst"
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        .repartition(4)
+      graft.sources.ManifestTable.overwrite(s, src, o.filter(col("o_orderkey") % 4 === 0))
+      graft.sources.ManifestTable.append(s, src, o.filter(col("o_orderkey") % 4 === 1))
+      graft.streaming.Streaming.replicateChanges(s, src, dst, s"$dir/ckpt",
+        Seq("o_orderkey"))
+      graft.sources.ManifestTable.deleteVectorized(s, src, col("o_totalprice") < lit(10000.0))
+      graft.sources.ManifestTable.update(s, src, col("o_orderkey") % 53 === 0,
+        Seq("o_totalprice" -> (col("o_totalprice") + lit(1.0))))
+      graft.streaming.Streaming.replicateChanges(s, src, dst, s"$dir/ckpt",
+        Seq("o_orderkey"))
+      graft.sources.ManifestTable.read(s, dst)
+        .select(col("o_orderkey"), col("o_totalprice"))
     }),
 
     // ---- schema evolution via column mapping: a rename and a drop are
@@ -3820,6 +3847,15 @@ object SparkEntry {
         |SELECT o_orderkey, 'delete', CAST(3 AS BIGINT)
         |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2) u
         |WHERE o_totalprice < 10000.0""".stripMargin,
+
+    // the replica's final state re-derived: the two %4 buckets, minus
+    // the sub-10000 deletes, with the +1 repricing applied AFTER the cut
+    "q_cdc_replicate" ->
+      """SELECT o_orderkey,
+        |  o_totalprice + CASE WHEN o_orderkey % 53 = 0 THEN 1.0 ELSE 0.0 END
+        |    AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 IN (0, 1) AND o_totalprice >= 10000.0""".stripMargin,
 
     // both vintages re-derived under the post-rename logical name
     "q_schema_evolution" ->

@@ -682,6 +682,51 @@ object Streaming {
     current
   }
 
+  /** CDC apply (Delta's APPLY CHANGES INTO shape): consume the SOURCE
+    * table's row-level change feed since the last marker and merge it
+    * into a keyed REPLICA — upstream inserts/updates upsert, upstream
+    * deletes delete. One call folds any number of pending source commits:
+    * per key, the HIGHEST commit version wins, and within it an insert
+    * row (present for inserts and for the insert half of an update pair)
+    * beats the delete row — so an update lands as its final value and
+    * only a terminal delete removes the key. Replays re-deliver the same
+    * deterministic changes and the keyed merge is idempotent, so the
+    * at-least-once marker contract converges. Cost per call is the
+    * changed files of the pending commits plus a merge bounded by the
+    * change batch — never either table's size.
+    *
+    * The replica must be keyed by `keys` (same uniqueness discipline as
+    * [[graft.sources.ManifestTable.merge]]); it is created on first call.
+    * Returns the source version the replica now reflects.
+    */
+  def replicateChanges(spark: SparkSession, srcPath: String, dstPath: String,
+                       checkpointPath: String, keys: Seq[String]): Long =
+    followChanges(spark, srcPath, checkpointPath) { (changes, _, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val dataCols = changes.columns.filterNot(
+        c => c == "_change_type" || c == "_commit_version").toSeq
+      // last state per key: max commit version, insert over delete inside
+      // it (an update pair shares the version; its insert half is final)
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("_commit_version").desc,
+          (col("_change_type") === "insert").desc)
+      val finals = changes
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+      val upserts = finals.filter(col("_change_type") === "insert")
+        .select(dataCols.map(col): _*)
+      val deletes = finals.filter(col("_change_type") === "delete")
+        .select(keys.map(col): _*)
+      // a changeless fold (compaction, PURGE) must not touch the replica:
+      // merge on an unpartitioned table is a full rewrite even for an
+      // empty batch. The emptiness probe is bounded by the fold's changed
+      // files — for a pure rewrite that's the rewrite's size, still never
+      // the replica's.
+      if (!changes.isEmpty)
+        graft.sources.ManifestTable.merge(spark, dstPath, upserts, keys,
+          deleteKeys = Some(deletes)): Unit
+    }
+
   /** [[followTable]]'s row-level twin: the handler receives the table's
     * CHANGE FEED since the last processed version — `_change_type`
     * insert/delete rows stamped `_commit_version`

@@ -909,6 +909,39 @@ class StreamingSpec extends SparkSpec {
     assert(seen.size === 4, s"compaction must not surface changes: ${seen.drop(4)}")
   }
 
+  test("replicateChanges keeps a keyed replica equal to the source across arbitrary DML") {
+    import graft.sources.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("cdc_repl").toString
+    val src = s"$dir/src"; val dst = s"$dir/dst"; val ckpt = s"$dir/ckpt"
+    def replicate(): Long = Streaming.replicateChanges(spark, src, dst, ckpt, Seq("id"))
+    def stateOf(path: String): Seq[(Long, String)] =
+      ManifestTable.read(spark, path).select("id", "v")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+    ManifestTable.overwrite(spark, src,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1))
+    replicate()
+    assert(stateOf(dst) === stateOf(src))
+    // one replicate call folds several pending commits: append, update,
+    // DV delete — update must land as its final value, delete must drop
+    ManifestTable.append(spark, src, Seq((4L, "d")).toDF("id", "v"))
+    ManifestTable.update(spark, src, col("id") === 2L, Seq("v" -> lit("B")))
+    ManifestTable.deleteVectorized(spark, src, col("id") === 1L)
+    replicate()
+    assert(stateOf(dst) === Seq((2L, "B"), (3L, "c"), (4L, "d")))
+    // delete then re-insert the SAME key across commits: highest version wins
+    ManifestTable.delete(spark, src, col("id") === 3L)
+    ManifestTable.append(spark, src, Seq((3L, "c2")).toDF("id", "v"))
+    replicate()
+    assert(stateOf(dst) === Seq((2L, "B"), (3L, "c2"), (4L, "d")))
+    // compaction produces no changes; an idle replicate is a no-op
+    ManifestTable.compact(spark, src, 100L)
+    val dstCommitsBefore = ManifestTable.history(spark, dst).count()
+    replicate(); replicate()
+    assert(stateOf(dst) === stateOf(src))
+    assert(ManifestTable.history(spark, dst).count() === dstCommitsBefore,
+      "a changeless replicate must not commit to the replica")
+  }
+
   test("changeFeed streaming mode serves row-level _change_type rows, one commit per batch") {
     import graft.sources.ManifestTable
     val dir = java.nio.file.Files.createTempDirectory("gsrc_cdf").toString
