@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, MapType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, MapType, ShortType, StringType, StructField, StructType}
 import java.nio.charset.StandardCharsets
 
 /** A minimal snapshot-isolated table format over parquet — the manifest
@@ -402,7 +402,9 @@ object ManifestTable {
     val outSchema = StructType(target.fields ++ extras.fields)
     def align(df: DataFrame, to: StructType): DataFrame =
       df.select(to.fields.toSeq.map { f =>
-        if (df.columns.contains(f.name)) col(s"`${f.name}`")
+        // cast covers steps before a type WIDENING (lossless upcast, a
+        // no-op when types already agree); missing columns predate an add
+        if (df.columns.contains(f.name)) col(s"`${f.name}`").cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
     val steps = (fromVersion until toVersion).map { v =>
@@ -1460,15 +1462,42 @@ object ManifestTable {
     case other => other
   }
 
+  /** Lossless upcast lattice for TYPE WIDENING evolution — every edge is
+    * verified against Spark 4's parquet reader, which upcasts a narrow
+    * physical column under a wider read schema (int32 files read as
+    * BIGINT/DOUBLE, float as DOUBLE, decimals re-scale when both the
+    * integral and fractional widths grow): files of mixed physical widths
+    * share one logical schema with NO rewrite, the same trick the column
+    * mapping plays for names. Long→double is deliberately absent (lossy
+    * past 2⁵³), as is anything involving strings/temporal types.
+    */
+  private def canWiden(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => true
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case (ByteType | ShortType | IntegerType, DoubleType) => true
+    case (a: DecimalType, b: DecimalType) =>
+      b.scale >= a.scale && b.precision - b.scale >= a.precision - a.scale
+    case _ => false
+  }
+
   /** Table schema after accepting `df`: identical shape → unchanged; a
-    * SUPERSET batch (every table column present with its exact type, plus
-    * new columns) → the merged schema with the new columns appended as
-    * nullable — add-nullable-column evolution, the one lake evolution a
-    * 100 TB table cannot live without (it cannot be rewritten to add a
+    * SUPERSET batch (every table column present with a compatible type,
+    * plus new columns) → the merged schema with the new columns appended
+    * as nullable — add-nullable-column evolution, the one lake evolution
+    * a 100 TB table cannot live without (it cannot be rewritten to add a
     * column). Old files simply read as NULL for the new columns, because
-    * snapshot reads pass the manifest schema explicitly. Renamed, dropped,
-    * or retyped columns still reject — those are the silent-corruption
-    * shapes [[requireCompatible]] exists to stop.
+    * snapshot reads pass the manifest schema explicitly.
+    *
+    * Type mismatches on existing columns resolve through [[canWiden]]:
+    * a batch WIDER than the table widens the table schema (old narrow
+    * files upcast at read); a batch NARROWER than the table is accepted
+    * as-is (its files are physically narrow and upcast at read, like
+    * every pre-widening file). Renamed, dropped, or incompatibly retyped
+    * columns still reject — those are the silent-corruption shapes
+    * [[requireCompatible]] exists to stop.
     */
   private def evolveSchema(df: DataFrame, m: Manifest,
                            op: String): (StructType, Map[String, String]) = {
@@ -1480,13 +1509,31 @@ object ManifestTable {
       val batchTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
       val tableNames = logical.fieldNames.toSet
       val missing = logical.fieldNames.filterNot(batchTypes.contains)
+      // incompatible = not identical AND not wideable in EITHER direction
       val retyped = logical.fields.filter(f =>
-        batchTypes.get(f.name).exists(t =>
-          ignoreNullability(t) != ignoreNullability(f.dataType)))
+        batchTypes.get(f.name).exists { t =>
+          val (bt, ft) = (ignoreNullability(t), ignoreNullability(f.dataType))
+          bt != ft && !canWiden(ft, bt) && !canWiden(bt, ft)
+        })
       require(missing.isEmpty && retyped.isEmpty,
         s"$op batch schema ${df.schema.simpleString} is not a compatible superset of " +
           s"table schema ${logical.simpleString} " +
           s"(missing: ${missing.mkString(",")}; retyped: ${retyped.map(_.name).mkString(",")})")
+      // stats columns must stay in the three encodable stat types — a
+      // widening that leaves the lattice there would corrupt zone maps
+      val p2l = m.colmap.map(_.swap)
+      val widened = m.schema.fields.map { pf =>
+        val lg = p2l.getOrElse(pf.name, pf.name)
+        batchTypes.get(lg) match {
+          case Some(t) if ignoreNullability(t) != ignoreNullability(pf.dataType) &&
+              canWiden(ignoreNullability(pf.dataType), ignoreNullability(t)) =>
+            require(!m.statsCols.contains(pf.name) && !m.bloomCols.contains(pf.name) ||
+                t == LongType || t == DoubleType,
+              s"$op cannot widen stats/bloom column '${pf.name}' to ${t.simpleString}")
+            pf.copy(dataType = t)
+          case _ => pf
+        }
+      }
       // fresh columns get a physical name that collides with NOTHING the
       // table has ever used — current physical names AND retired (dropped)
       // ones: a dropped-then-re-added column must not resurrect the old
@@ -1504,7 +1551,7 @@ object ManifestTable {
         }
       val colmap2 = m.colmap ++
         freshMapped.collect { case (_, (lg, ph)) if lg != ph => lg -> ph }
-      (StructType(m.schema.fields ++ freshMapped.map(_._1)), colmap2)
+      (StructType(widened ++ freshMapped.map(_._1)), colmap2)
     }
   }
 
@@ -1544,16 +1591,18 @@ object ManifestTable {
         val batch = withDerived(
           df.drop(m.transforms.map(_.derived): _*), m.transforms)
         // fail fast, before any data lands
-        val (_, colmap0) = evolveSchema(batch, m, "append")
+        val (schema0, colmap0) = evolveSchema(batch, m, "append")
         enforceConstraints(batch, m.constraints, "append")
         val base = m
         val added = writeDataFiles(spark, path,
           clusterForWrite(batch, m.partitionCols, m.transforms), m.partitionCols,
           colmap0)
-        // added files carry the batch's schema (⊇ stats columns; stats
-        // columns are never renamed, so either name space reads them)
+        // stats read the new files under the EVOLVED physical schema:
+        // stats columns are never renamed, and a physically-narrow batch
+        // column upcasts to the declared stats type (a batch-schema read
+        // would hand encodeStat an Int where the table says Long)
         val addedStats =
-          collectStats(spark, path, added, toPhysical(batch, colmap0).schema,
+          collectStats(spark, path, added, schema0,
             m.partitionCols, m.statsCols, m.bloomCols)
         var tries = 0
         while (true) {

@@ -93,7 +93,8 @@ class ManifestTableSpec extends SparkSpec {
       ManifestTable.append(spark, path, Seq((2L, "b")).toDF("id", "renamed"))
     }
     intercept[IllegalArgumentException] {
-      ManifestTable.append(spark, path, Seq((2, "b")).toDF("id", "v")) // id INT ≠ LONG
+      // id STRING is no LONG — and outside the type-widening lattice
+      ManifestTable.append(spark, path, Seq(("2", "b")).toDF("id", "v"))
     }
     assert(ManifestTable.currentVersion(spark, path).get === v) // nothing committed
     ManifestTable.append(spark, path, Seq(("b", 2L)).toDF("v", "id")) // order-free OK
@@ -280,10 +281,12 @@ class ManifestTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ManifestTable.append(spark, path, Seq((4L, "d")).toDF("id", "v"))
     }
-    // a retyped column is never evolution
+    // an incompatible retype is never evolution (an INT score would be
+    // ACCEPTED since round 9 — it upcasts losslessly into the DOUBLE
+    // column, see SchemaEvolutionSpec's type-widening coverage)
     intercept[IllegalArgumentException] {
       ManifestTable.append(spark, path,
-        Seq((4L, "d", 1)).toDF("id", "v", "score")) // score INT ≠ DOUBLE
+        Seq((4L, "d", "x")).toDF("id", "v", "score")) // score STRING ≠ DOUBLE
     }
   }
 

@@ -133,6 +133,47 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(ManifestTable.read(spark, path).columns.contains("row_id"))
   }
 
+  test("type widening: wider batches widen the schema, narrow vintages upcast at read") {
+    val path = Files.createTempDirectory("se_widen").toString + "/t"
+    ManifestTable.overwrite(spark, path,
+      spark.range(3).select(col("id").cast("int").as("id"),
+        col("id").cast("float").as("f"),
+        col("id").cast("decimal(5,2)").as("d")).coalesce(1))
+    // an int→long / float→double / decimal(5,2)→(10,4) batch widens the
+    // table; the old int32/float/narrow-decimal files upcast at read
+    ManifestTable.append(spark, path,
+      Seq((5000000000L, 2.5d, BigDecimal("12345.6789")))
+        .toDF("id", "f", "d")
+        .select(col("id"), col("f"), col("d").cast("decimal(10,4)").as("d")))
+    val got = ManifestTable.read(spark, path)
+    assert(got.schema("id").dataType.simpleString === "bigint")
+    assert(got.schema("f").dataType.simpleString === "double")
+    assert(got.schema("d").dataType.simpleString === "decimal(10,4)")
+    assert(got.select("id").as[Long].collect().sorted
+      === Array(0L, 1L, 2L, 5000000000L))
+    assert(got.filter(col("id") === 1L).select("d").as[java.math.BigDecimal]
+      .head() === new java.math.BigDecimal("1.0000"))
+    // a NARROWER batch is accepted as-is: its physically-narrow file
+    // upcasts at read exactly like the pre-widening vintages
+    ManifestTable.append(spark, path,
+      spark.range(10, 12).select(col("id").cast("int").as("id"),
+        col("id").cast("float").as("f"), col("id").cast("decimal(5,2)").as("d")))
+    assert(ManifestTable.read(spark, path).schema("id").dataType.simpleString === "bigint")
+    assert(ManifestTable.read(spark, path).select("id").as[Long].collect().sorted
+      === Array(0L, 1L, 2L, 10L, 11L, 5000000000L))
+    // change feed casts pre-widening steps to the final schema
+    assert(ManifestTable.readChanges(spark, path, 0L, 3L)
+      .filter(col("_commit_version") === 1L)
+      .select("id").as[Long].collect().sorted === Array(0L, 1L, 2L))
+    // lossy retypes still reject
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, path,
+        Seq(("x", 1.0d, BigDecimal(1))).toDF("id", "f", "d")
+          .select(col("id"), col("f"), col("d").cast("decimal(10,4)").as("d")))
+    }
+    assert(e.getMessage.contains("retyped: id"))
+  }
+
   test("change feed and rewrites speak logical names after a rename") {
     val path = Files.createTempDirectory("se_cdf").toString + "/t"
     ManifestTable.overwrite(spark, path,
