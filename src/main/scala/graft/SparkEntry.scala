@@ -1266,6 +1266,41 @@ object SparkEntry {
           col("sum_o_totalprice").cast("double").as("sum_price"))
     }),
 
+    // ---- MV with MIN/MAX maintenance: appends fold (semilattice), but
+    // the copy-on-write delete removes every group's price tail and the
+    // DV delete removes the low tail — both TIE stored extremes, so the
+    // suspect-group rescan must recover the true survivors; the final
+    // append then folds on top. The oracle recomputes the whole view ----
+    "q_mv_minmax" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_mvmm").toString
+      val src = s"$dir/src"; val mv = s"$dir/mv"
+      val orders = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"), year(col("o_orderdate")).as("o_year"),
+        col("o_totalprice"))
+      def refresh(): Unit = MaterializedView.refresh(s, src, mv,
+        keys = Seq("o_orderstatus", "o_year"), sums = Seq("o_totalprice"),
+        mins = Seq("o_totalprice"), maxs = Seq("o_totalprice")): Unit
+      graft.sources.ManifestTable.overwrite(s, src,
+        orders.filter(col("o_orderkey") % 3 === 0))
+      refresh()
+      graft.sources.ManifestTable.append(s, src,
+        orders.filter(col("o_orderkey") % 3 === 1))
+      refresh()
+      graft.sources.ManifestTable.delete(s, src, col("o_totalprice") > lit(450000.0))
+      refresh()
+      graft.sources.ManifestTable.deleteVectorized(s, src,
+        col("o_totalprice") < lit(5000.0))
+      refresh()
+      graft.sources.ManifestTable.append(s, src,
+        orders.filter(col("o_orderkey") % 3 === 2))
+      refresh()
+      MaterializedView.read(s, mv)
+        .select(col("o_orderstatus"), col("o_year"), col("n"),
+          col("sum_o_totalprice").cast("double").as("sum_price"),
+          col("min_o_totalprice").as("min_price"),
+          col("max_o_totalprice").as("max_price"))
+    }),
+
     // the same MV chain with the delete as a DELETION VECTOR: the DV
     // commit changes no file list, only positions — the refresh must see
     // it through the DV-aware file-level CDF (old visible rows out, new
@@ -1355,6 +1390,24 @@ object SparkEntry {
       s.sql("DROP TABLE IF EXISTS q_se_t")
       s.sql(s"CREATE TABLE q_se_t USING graft OPTIONS (path '$dir')")
       s.sql("SELECT c_custkey, balance FROM q_se_t WHERE balance > 5000.0")
+    }),
+
+    // ---- type widening: version 1 writes int32/float files, version 2
+    // widens to bigint/double with keys past 2³¹ — one logical schema
+    // over both physical vintages, upcast at the scan, no rewrite ----
+    "q_type_widening" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_tw").toString + "/t"
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+        .repartition(4)
+      graft.sources.ManifestTable.overwrite(s, dir,
+        l.filter(col("l_orderkey") % 2 === 0)
+          .select(col("l_orderkey").cast("int").as("k"),
+            col("l_quantity").cast("float").as("q")))
+      graft.sources.ManifestTable.append(s, dir,
+        l.filter(col("l_orderkey") % 2 === 1)
+          .select((col("l_orderkey") + lit(10000000000L)).as("k"),
+            col("l_quantity").cast("double").as("q")))
+      graft.sources.ManifestTable.read(s, dir).select(col("k"), col("q"))
     }),
 
     // ---- hidden partitioning (generated partition columns): half a
@@ -3823,6 +3876,21 @@ object SparkEntry {
 
     // identical final state by construction: the delete ran as a deletion
     // vector, but visible rows — and therefore the recomputed view — match
+    // min/max recomputed from scratch over the surviving rows — any
+    // stale-extreme bug (a delete whose rescan missed) breaks the hash
+    "q_mv_minmax" ->
+      """WITH t AS (
+        |  SELECT o_orderstatus, year(o_orderdate) AS o_year, o_totalprice
+        |  FROM orders
+        |  WHERE (o_orderkey % 3 IN (0, 1)
+        |         AND NOT (o_totalprice > 450000.0)
+        |         AND NOT (o_totalprice < 5000.0))
+        |     OR o_orderkey % 3 = 2)
+        |SELECT o_orderstatus, o_year, count(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM t GROUP BY o_orderstatus, o_year""".stripMargin,
+
     "q_mv_refresh_dv" ->
       """WITH t AS (
         |  SELECT o_orderstatus, year(o_orderdate) AS o_year, o_totalprice
@@ -3856,6 +3924,18 @@ object SparkEntry {
         |    AS o_totalprice
         |FROM orders
         |WHERE o_orderkey % 4 IN (0, 1) AND o_totalprice >= 10000.0""".stripMargin,
+
+    // both physical vintages re-derived under the widened logical types
+    // (float quantities are integral 1..50, so the float↔double round
+    // trip is exact on both engines)
+    "q_type_widening" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS k,
+        |  CAST(CAST(l_quantity AS FLOAT) AS DOUBLE) AS q
+        |FROM lineitem WHERE l_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT l_orderkey + 10000000000,
+        |  CAST(l_quantity AS DOUBLE)
+        |FROM lineitem WHERE l_orderkey % 2 = 1""".stripMargin,
 
     // both vintages re-derived under the post-rename logical name
     "q_schema_evolution" ->

@@ -59,6 +59,52 @@ class MaterializedViewSpec extends SparkSpec {
     assert(view(mv) == recompute(src))
   }
 
+  test("min/max maintenance: appends fold, extreme-deleting removes rescan only suspect groups") {
+    val dir = tmp("minmax"); val src = s"$dir/src"; val mv = s"$dir/mv"
+    def recomputeMM(): Seq[(String, Long, Double, Double)] =
+      ManifestTable.read(spark, src).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), min("o_totalprice").as("min_o_totalprice"),
+          max("o_totalprice").as("max_o_totalprice"))
+        .select(col("o_orderstatus"), col("n"),
+          col("min_o_totalprice"), col("max_o_totalprice"))
+        .as[(String, Long, Double, Double)].collect().sorted.toSeq
+    def viewMM(): Seq[(String, Long, Double, Double)] =
+      MaterializedView.read(spark, mv)
+        .select(col("o_orderstatus"), col("n"),
+          col("min_o_totalprice"), col("max_o_totalprice"))
+        .as[(String, Long, Double, Double)].collect().sorted.toSeq
+    def refreshMM(): Long = MaterializedView.refresh(spark, src, mv,
+      keys = Seq("o_orderstatus"), sums = Nil,
+      mins = Seq("o_totalprice"), maxs = Seq("o_totalprice"))
+    ManifestTable.overwrite(spark, src, orders.filter(col("o_orderkey") % 3 === 0))
+    refreshMM()
+    assert(viewMM() === recomputeMM())
+    // append-only: min/max fold incrementally (no extreme removed)
+    ManifestTable.append(spark, src, orders.filter(col("o_orderkey") % 3 === 1))
+    refreshMM()
+    assert(viewMM() === recomputeMM())
+    // delete every group's MAX tail: the stored extremes are removed, the
+    // suspect rescan must find the new per-group maxima
+    val cut = ManifestTable.read(spark, src).agg(max("o_totalprice"))
+      .as[Double].head() * 0.7
+    ManifestTable.delete(spark, src, col("o_totalprice") > cut)
+    refreshMM()
+    assert(viewMM() === recomputeMM(), "max-deleting delete must rescan")
+    // delete strictly INSIDE the range: no extreme tied, no rescan needed,
+    // still exact
+    ManifestTable.delete(spark, src,
+      col("o_totalprice") > cut * 0.4 && col("o_totalprice") < cut * 0.6)
+    refreshMM()
+    assert(viewMM() === recomputeMM())
+    // DV-deleting the single min row of one group (ties included) is seen
+    // through the DV-aware CDF and rescans that group
+    val minVal = ManifestTable.read(spark, src).agg(min("o_totalprice"))
+      .as[Double].head()
+    ManifestTable.deleteVectorized(spark, src, col("o_totalprice") === minVal)
+    refreshMM()
+    assert(viewMM() === recomputeMM(), "DV delete of a group min must rescan")
+  }
+
   test("refresh when already up to date is a no-op (view version unchanged)") {
     val dir = tmp("noop"); val src = s"$dir/src"; val mv = s"$dir/mv"
     ManifestTable.overwrite(spark, src, orders.limit(100))
