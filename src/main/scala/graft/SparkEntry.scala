@@ -1442,6 +1442,34 @@ object SparkEntry {
               |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
     }),
 
+    // ---- partition spec evolution: half a year of orders lands FLAT,
+    // then the spec evolves to days(o_orderdate) in a metadata-only
+    // commit and the second half lands in day dirs; a DV delete and a
+    // month-range SQL read must span both layout generations exactly
+    // (the old vintage re-derives o_day, the new vintage prunes dirs) ----
+    "q_partition_evolution" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_pe").toString + "/t"
+      val y0 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+      val y1 = java.sql.Timestamp.valueOf("1996-07-01 00:00:00")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit(y0) && col("o_orderdate") < lit(y1))
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+      graft.sources.ManifestTable.overwrite(s, dir,
+        o.filter(col("o_orderkey") % 2 === 0).repartition(4))
+      graft.sources.ManifestTable.evolvePartitioning(s, dir, Nil,
+        Seq(graft.sources.ManifestTable.PartitionTransform(
+          "o_day", "days", 0, "o_orderdate")))
+      graft.sources.ManifestTable.append(s, dir,
+        o.filter(col("o_orderkey") % 2 === 1))
+      graft.sources.ManifestTable.deleteVectorized(s, dir,
+        col("o_totalprice") < lit(10000.0))
+      s.sql("DROP TABLE IF EXISTS q_pe_t")
+      s.sql(s"CREATE TABLE q_pe_t USING graft OPTIONS (path '$dir')")
+      s.sql("""SELECT o_orderkey, o_day, o_totalprice FROM q_pe_t
+              |WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+              |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
+    }),
+
     // bucket() transform end-to-end through SQL: customers hash-bucketed
     // 16 ways, point lookups prune to one bucket (HiddenPartitionSpec
     // measures the dirs); the oracle checks the visible row semantics —
@@ -3954,6 +3982,15 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+
+    // both layout generations re-derived: the March window minus the DV'd
+    // cheap orders, with the day column the flat vintage never stored
+    "q_partition_evolution" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_day, o_totalprice
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND NOT (o_totalprice < 10000.0)""".stripMargin,
 
     // the tar round trip re-derived from the raw text: same ids, same
     // byte lengths, same md5 — any header/padding/parse bug breaks it

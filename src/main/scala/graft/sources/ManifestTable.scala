@@ -842,6 +842,47 @@ object ManifestTable {
       .filter(col(colName) === lit(value))
   }
 
+  /** Partition-directory signature of a file's rel path — the partition
+    * column names its LAYOUT encodes. Signatures differ across files
+    * after partition-spec evolution ([[evolvePartitioning]]); each group
+    * must scan separately: a single mixed-depth load SILENTLY DROPS the
+    * shallower files (probe-verified on Spark 4's parquet source).
+    */
+  private def pathSpec(rel: String): Seq[String] =
+    rel.split("/").dropRight(1).toSeq.map(_.takeWhile(_ != '='))
+
+  /** One structurally-consistent scan per layout generation: `rels` group
+    * by [[pathSpec]]; each group reads under the manifest schema (file
+    * data and dir values resolve per group), re-derives any TRANSFORM
+    * column its layout predates (exact — the derivation is the table's,
+    * over the source column the file does carry), drops dir columns the
+    * schema no longer knows (a REMOVED transform's old dirs), and lands
+    * on exactly `m.schema`'s shape (+ the DV metadata columns when
+    * `withMeta`). A uniform table is a single group — the plan is
+    * identical to the pre-evolution one.
+    */
+  private def rawScan(spark: SparkSession, path: String, m: Manifest,
+                      rels: Seq[String], withMeta: Boolean = false): DataFrame = {
+    val metaCols = if (withMeta) Seq("__dv_fname", "__dv_pos") else Nil
+    val groups = rels.groupBy(pathSpec).toSeq.sortBy(_._1.mkString(","))
+    groups.map { case (sig, rs) =>
+      val base = spark.read.schema(m.schema)
+        .option("basePath", dataDir(path).toString)
+        .parquet(rs.map(rel => new Path(dataDir(path), rel).toString): _*)
+      // metadata columns resolve only on the file scan — capture them
+      // before any projection
+      val withM = if (withMeta) base.select(col("*"),
+          expr("element_at(split(_metadata.file_path, '/'), -1)").as("__dv_fname"),
+          col("_metadata.row_index").as("__dv_pos"))
+        else base
+      val sigSet = sig.toSet
+      val derived = m.transforms.filterNot(t => sigSet.contains(t.derived))
+        .foldLeft(withM)((d, t) => d.withColumn(t.derived, deriveCol(t)))
+      derived.select((m.schema.fieldNames.toSeq ++ metaCols)
+        .map(n => col(s"`$n`")): _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** Read `rels` under `m`'s schema, applying `m`'s deletion vectors. Files
     * without a DV read exactly as before (zero cost when no DVs exist: the
     * split leaves `dvd` empty and the plan is the plain scan). DV'd files
@@ -855,19 +896,15 @@ object ManifestTable {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
     else {
       val (dvd, plain) = rels.partition(m.dvs.contains)
-      def raw(rs: Seq[String]) = spark.read.schema(m.schema)
-        .option("basePath", dataDir(path).toString)
-        .parquet(rs.map(rel => new Path(dataDir(path), rel).toString): _*)
       val dvdDf = if (dvd.isEmpty) None else Some {
-        val scan = raw(dvd).select(col("*"),
-          expr("element_at(split(_metadata.file_path, '/'), -1)").as("__dv_fname"),
-          col("_metadata.row_index").as("__dv_pos"))
+        val scan = rawScan(spark, path, m, dvd, withMeta = true)
         val positions = dvPositions(spark, path, m, dvd)
           .select(col("fname").as("__dv_fname"), col("pos").as("__dv_pos"))
         scan.join(broadcast(positions), Seq("__dv_fname", "__dv_pos"), "left_anti")
           .select(m.schema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
       }
-      val plainDf = if (plain.isEmpty) None else Some(raw(plain))
+      val plainDf = if (plain.isEmpty) None
+        else Some(rawScan(spark, path, m, plain))
       (plainDf, dvdDf) match {
         case (Some(a), Some(b)) => a.unionByName(b)
         case (Some(a), None) => a
@@ -1190,15 +1227,19 @@ object ManifestTable {
       math.min(16, math.max(1, found.size)))
     val moved: Seq[String] =
       try {
-        val tasks: Seq[java.util.concurrent.Callable[String]] = found.toSeq.map { src =>
-          () => {
-            val relDir = relDirOf(src)
-            val destDir = destDirOf(relDir)
-            val dest = new Path(destDir, s"$commit-${src.getName}")
-            if (!mv.rename(src, dest)) sys.error(s"could not place $dest")
-            if (relDir.isEmpty) dest.getName else s"$relDir/${dest.getName}"
+        // the commit-idx prefix makes file NAMES table-unique, not just
+        // rel paths: one task writing several partition dirs emits the
+        // same part-xxxxx name in each, and deletion vectors key by name
+        val tasks: Seq[java.util.concurrent.Callable[String]] =
+          found.toSeq.zipWithIndex.map { case (src, idx) =>
+            () => {
+              val relDir = relDirOf(src)
+              val destDir = destDirOf(relDir)
+              val dest = new Path(destDir, s"$commit-$idx-${src.getName}")
+              if (!mv.rename(src, dest)) sys.error(s"could not place $dest")
+              if (relDir.isEmpty) dest.getName else s"$relDir/${dest.getName}"
+            }
           }
-        }
         import scala.jdk.CollectionConverters._
         pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
       } finally pool.shutdown()
@@ -1640,6 +1681,7 @@ object ManifestTable {
       .getOrElse(sys.error(s"no manifest table at $path — use overwrite"))
     var m = readManifest(spark, path, v0)
     require(m.partitionCols.nonEmpty, "table is unpartitioned — use overwrite")
+    requireUniformLayout(m, "overwritePartitions")
     val batch = withDerived(
       df.drop(m.transforms.map(_.derived): _*), m.transforms)
     requireCompatible(batch, m, "overwritePartitions")
@@ -1741,6 +1783,7 @@ object ManifestTable {
               m.bloomCols), m.bloomCols, constraints = m.constraints,
             transforms = m.transforms, colmap = m.colmap, retired = m.retired)
         } else {
+          requireUniformLayout(m, "merge into a partitioned table")
           val pCols = m.partitionCols.map(col)
           // partitions named by the batch ∪ partitions holding old copies of
           // the updated keys; bounded by the batch size, safe to collect
@@ -1870,19 +1913,12 @@ object ManifestTable {
     // fresh deleted positions for the touched files, keyed by file name.
     // The raw scan may re-flag rows an earlier DV already removed; the
     // union-distinct with the prior positions absorbs them.
-    // materialize the metadata columns BEFORE the logical rename (they
-    // resolve only directly over the file scan), then filter the
-    // logical-named predicate
-    val fresh = toLogical(
-      spark.read.schema(m.schema)
-        .option("basePath", dataDir(path).toString)
-        .parquet(touched.map(rel => new Path(dataDir(path), rel).toString): _*)
-        .select(col("*"),
-          expr("element_at(split(_metadata.file_path, '/'), -1)").as("fname"),
-          col("_metadata.row_index").as("pos")),
+    // rawScan materializes the metadata columns per layout group BEFORE
+    // the logical rename; the predicate then filters logical names
+    val fresh = toLogical(rawScan(spark, path, m, touched, withMeta = true),
       m.colmap)
       .filter(coalesce(predicate, lit(false)))
-      .select(col("fname"), col("pos"))
+      .select(col("__dv_fname").as("fname"), col("__dv_pos").as("pos"))
     val priorRels = touched.filter(m.dvs.contains)
     val merged = (if (priorRels.isEmpty) fresh
                   else fresh.unionAll(dvPositions(spark, path, m, priorRels)))
@@ -2091,6 +2127,80 @@ object ManifestTable {
       colmap = m.colmap - name, retired = (m.retired :+ ph).distinct)
   }
 
+  private def deriveType(t: PartitionTransform): DataType = t.kind match {
+    case "days" | "trunc" => StringType
+    case "bucket" => LongType
+    case other => sys.error(s"unknown partition transform kind: $other")
+  }
+
+  /** PARTITION SPEC EVOLUTION (Iceberg's marquee metadata move): change
+    * the table's partitioning WITHOUT rewriting a single data file. The
+    * commit records the new spec; files written before it keep their old
+    * directory layout and keep reading correctly — every read path groups
+    * files by layout generation ([[rawScan]]), re-deriving transform
+    * columns a generation predates and ignoring directories the schema no
+    * longer knows. New writes land in the new layout; partition pruning
+    * applies to the files that HAVE the layout (old generations simply
+    * don't prune on the new dimension — exactly Iceberg's contract), and
+    * [[compact]] rewrites everything into the current spec when uniform
+    * layout is wanted back. At 100 TB, re-partitioning by rewrite is a
+    * full-table job; this is one manifest.
+    *
+    * Removed transforms' derived columns leave the schema (their values
+    * were always derivable); new transforms' derived columns join it.
+    * Partition-scoped rewrites ([[overwritePartitions]], partitioned
+    * [[merge]]) require a uniform layout and say so — their partition
+    * arithmetic is directory-based.
+    */
+  def evolvePartitioning(spark: SparkSession, path: String,
+                         partitionCols: Seq[String],
+                         transforms: Seq[PartitionTransform] = Nil): Long = {
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    val logical = logicalSchema(m)
+    partitionCols.foreach(c => require(logical.fieldNames.contains(c),
+      s"evolvePartitioning: no column '$c' on $path"))
+    transforms.foreach { t =>
+      require(logical.fieldNames.contains(t.src),
+        s"evolvePartitioning: transform source '${t.src}' is not a column of $path")
+      require(!partitionCols.contains(t.derived) &&
+        !logical.fieldNames.filterNot(
+          m.transforms.map(_.derived).contains).contains(t.derived),
+        s"evolvePartitioning: derived name '${t.derived}' collides with an existing column")
+    }
+    val removedDerived = m.transforms.map(_.derived)
+      .filterNot(d => transforms.exists(_.derived == d)).toSet
+    removedDerived.foreach { d =>
+      require(!m.statsCols.contains(d) && !m.bloomCols.contains(d),
+        s"evolvePartitioning: removed derived column '$d' carries stats")
+      val refs = m.constraints.filter(_._2.matches(
+        s"(?s).*\\b${java.util.regex.Pattern.quote(d)}\\b.*"))
+      require(refs.isEmpty,
+        s"evolvePartitioning: removed derived column '$d' is referenced by " +
+          s"CHECK constraint(s) ${refs.map(_._1).mkString(", ")} — drop them first")
+    }
+    val fresh = transforms.filterNot(t => m.schema.fieldNames.contains(t.derived))
+      .map(t => StructField(t.derived, deriveType(t), nullable = true))
+    val schema2 = StructType(
+      m.schema.fields.filterNot(f => removedDerived.contains(f.name)) ++ fresh)
+    commit(spark, path, v + 1, schema2,
+      partitionCols ++ transforms.map(_.derived), m.files,
+      m.statsCols, Map.empty, m.bloomCols, carry = Some(m),
+      constraints = m.constraints, transforms = transforms,
+      colmap = m.colmap, retired = m.retired)
+  }
+
+  /** Directory-based partition arithmetic (replaced-dirs, affected-dirs)
+    * is only sound when every file lies in the CURRENT spec's layout. */
+  private def requireUniformLayout(m: Manifest, op: String): Unit = {
+    val bad = m.files.find(rel => pathSpec(rel) != m.partitionCols)
+    require(bad.isEmpty,
+      s"$op requires a uniform partition layout, but '${bad.getOrElse("")}' " +
+        s"predates the current spec (${m.partitionCols.mkString(",")}) — " +
+        "run compact() to rewrite the table into it first")
+  }
+
   /** Range DELETE with zone-map file skipping: candidate files come from
     * the manifest's per-file min/max, so on a corpus clustered on `colName`
     * (sorted writes, compact's range repartition) most files are carried
@@ -2122,11 +2232,9 @@ object ManifestTable {
     if (rels.isEmpty) return Nil
     val dataPath = fs(spark, path).makeQualified(dataDir(path)).toUri.getPath
     val relSet = rels.toSet
-    // predicates arrive in LOGICAL names; the files are physical
-    toLogical(
-      spark.read.schema(m.schema).option("basePath", dataDir(path).toString)
-        .parquet(rels.map(rel => new Path(dataDir(path), rel).toString): _*),
-      m.colmap)
+    // predicates arrive in LOGICAL names; the files are physical (and may
+    // span layout generations — rawScan groups them)
+    toLogical(rawScan(spark, path, m, rels), m.colmap)
       .filter(predicate)
       .select(input_file_name().as("_f")).distinct().collect()
       .map { r =>
