@@ -441,6 +441,18 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
   // schema; LOGICAL names (renames applied), like every read surface
   override def schema: StructType = ManifestTable.logicalSchema(manifest)
 
+  /** Real table size for the optimizer instead of the "assume huge"
+    * default (`spark.sql.defaultSizeInBytes` = Long.MaxValue-ish), which
+    * silently disables auto-broadcast for EVERY graft-side join — a dim
+    * table behind this relation would shuffle-join forever. Summed from
+    * per-file metadata, once per (pinned, immutable) relation; capped at
+    * 4096 files, past which the answer is "huge" anyway and 10⁵ metadata
+    * RPCs per query plan would be the real cost.
+    */
+  override lazy val sizeInBytes: Long =
+    ManifestTable.snapshotBytes(spark, path, manifest)
+      .getOrElse(super.sizeInBytes)
+
   /** Manifest-answered COUNT(*) for THIS relation's pinned snapshot — the
     * hook [[graft.plans.MetaAggregateRule]] uses to answer whole-table
     * aggregates without a scan. */

@@ -931,6 +931,22 @@ object ManifestTable {
     all.join(broadcast(wanted), Seq("fname"), "left_semi")
   }
 
+  /** Total on-disk bytes of a snapshot's data files, for optimizer
+    * sizing (auto-broadcast thresholds). One `getFileStatus` per file,
+    * declined (None) past 4096 files — such a table is over any
+    * broadcast threshold regardless, and the per-file RPCs would cost
+    * more than the answer is worth.
+    */
+  private[sources] def snapshotBytes(spark: SparkSession, path: String,
+                                     m: Manifest): Option[Long] =
+    if (m.files.size > 4096) None
+    else {
+      val f = fs(spark, path)
+      try Some(m.files.map(rel =>
+        f.getFileStatus(new Path(dataDir(path), rel)).getLen).sum)
+      catch { case _: java.io.IOException => None }
+    }
+
   /** Metadata-only COUNT(*): Some(total) when every file of the current
     * snapshot carries a row count (recorded by the stats pass at commit
     * time — tables must opt into `statsCols`), None when any file predates

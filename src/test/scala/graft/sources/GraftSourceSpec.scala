@@ -108,4 +108,26 @@ class GraftSourceSpec extends SparkSpec {
       assert(ManifestTable.fastMinMax(spark, path, "id") === Some((9L, 9L)))
     } finally spark.sql(s"DROP TABLE IF EXISTS $table"): Unit
   }
+
+  test("a small graft table reports its real size and auto-broadcasts in joins") {
+    val path = java.nio.file.Files.createTempDirectory("graft_size").toString + "/t"
+    ManifestTable.overwrite(spark, path,
+      spark.range(100).select(col("id"), (col("id") * 2).as("v")).coalesce(1))
+    val rel = new GraftRelation(spark.sqlContext, path, None)
+    assert(rel.sizeInBytes > 0 && rel.sizeInBytes < (1L << 20),
+      s"a 100-row table must report KBs, not the assume-huge default " +
+        s"(got ${rel.sizeInBytes})")
+    // …which is what lets the optimizer choose BHJ with NO explicit hint
+    spark.sql("DROP TABLE IF EXISTS gsz_t")
+    spark.sql(s"CREATE TABLE gsz_t USING graft OPTIONS (path '$path')")
+    try {
+      spark.range(100000).select(col("id")).createOrReplaceTempView("gsz_big")
+      val q = spark.sql(
+        "SELECT b.id, t.v FROM gsz_big b JOIN gsz_t t ON b.id = t.id")
+      assert(q.count() === 100L)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"small graft side should auto-broadcast:\n${plan.take(900)}")
+    } finally spark.sql("DROP TABLE IF EXISTS gsz_t"): Unit
+  }
 }
