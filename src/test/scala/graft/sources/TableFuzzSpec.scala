@@ -1,0 +1,119 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.ManifestTable.PartitionTransform
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Model-based fuzzing of the table format: random DML sequences
+  * (append / COW delete / DV delete / update / merge / compact / rename /
+  * partition evolution) run against both the real table and an in-memory
+  * model of its rows; after EVERY operation the table must equal the
+  * model exactly, and the metadata fast paths must agree where defined.
+  * Fixed seed — failures reproduce; the value is the INTERACTIONS (a DV
+  * under a rename under an evolved spec …), which no single-feature spec
+  * enumerates.
+  */
+class TableFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("randomized DML sequences match the in-memory model at every step") {
+    // fixed seed for CI determinism; override to shake other sequences:
+    //   GRAFT_FUZZ_SEED=n sbt "testOnly graft.sources.TableFuzzSpec"
+    val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(20260814L)
+    val rnd = new scala.util.Random(seed)
+    for (round <- 1 to 3) {
+      val path = Files.createTempDirectory(s"fuzz_$round").toString + "/t"
+      var model = Map.empty[Long, Long] // id -> measure
+      var nextId = 0L
+      var vName = "v" // current logical name of the measure column
+      var evolved = false
+
+      def fresh(n: Int): Seq[(Long, Long)] = {
+        val rows = (0 until n).map(i => (nextId + i, rnd.nextInt(1000).toLong))
+        nextId += n
+        rows
+      }
+      def df(rows: Seq[(Long, Long)]) = rows.toDF("id", vName)
+      def check(op: String): Unit = {
+        val got = ManifestTable.read(spark, path)
+          .select(col("id"), col(vName)).as[(Long, Long)].collect().sorted.toSeq
+        val want = model.toSeq.sorted
+        assert(got === want,
+          s"round $round after $op: table=${got.take(8)}… (${got.size} rows) " +
+            s"model=${want.take(8)}… (${want.size} rows)")
+        ManifestTable.fastCount(spark, path).foreach(c =>
+          assert(c === model.size.toLong, s"round $round after $op: fastCount"))
+      }
+
+      val init = fresh(30)
+      ManifestTable.overwrite(spark, path, df(init).repartition(3))
+      model = init.toMap
+      check("create")
+
+      for (step <- 1 to 14) {
+        rnd.nextInt(8) match {
+          case 0 => // append
+            val rows = fresh(1 + rnd.nextInt(10))
+            ManifestTable.append(spark, path, df(rows))
+            model ++= rows
+            check(s"$step append")
+          case 1 => // copy-on-write delete
+            val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
+            ManifestTable.delete(spark, path, col("id") % m === r)
+            model = model.filterNot { case (id, _) => id % m == r }
+            check(s"$step delete %$m==$r")
+          case 2 => // merge-on-read delete
+            val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
+            ManifestTable.deleteVectorized(spark, path, col(vName) % m === r)
+            model = model.filterNot { case (_, v) => v % m == r }
+            check(s"$step dv-delete v%$m==$r")
+          case 3 => // update (RHS reads the old row)
+            val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+            ManifestTable.update(spark, path, col("id") % m === r,
+              Seq(vName -> (col(vName) + lit(10000L))))
+            model = model.map { case (id, v) =>
+              id -> (if (id % m == r) v + 10000L else v) }
+            check(s"$step update %$m==$r")
+          case 4 => // keyed merge: re-value some survivors, add new rows
+            val hit = model.keys.toSeq.sorted.take(3)
+            val add = fresh(2)
+            val batch = hit.map(id => (id, -1L)) ++ add
+            if (batch.nonEmpty) {
+              try ManifestTable.merge(spark, path, df(batch), keys = Seq("id"))
+              catch {
+                // partition-scoped rewrites legitimately reject a mixed
+                // layout after an evolution — heal as directed and retry
+                case e: IllegalArgumentException
+                    if e.getMessage.contains("uniform partition layout") =>
+                  ManifestTable.compact(spark, path, 64L)
+                  ManifestTable.merge(spark, path, df(batch), keys = Seq("id"))
+              }
+              model = model ++ batch.toMap
+            }
+            check(s"$step merge")
+          case 5 => // compact (also heals mixed layouts)
+            ManifestTable.compact(spark, path, 16L + rnd.nextInt(64))
+            check(s"$step compact")
+          case 6 => // rename the measure column back and forth
+            val to = if (vName == "v") "val" else "v"
+            ManifestTable.renameColumn(spark, path, vName, to)
+            vName = to
+            check(s"$step rename->$to")
+          case 7 if !evolved => // one partition evolution per round
+            ManifestTable.evolvePartitioning(spark, path, Nil,
+              Seq(PartitionTransform("id_b", "bucket", 4, "id")))
+            evolved = true
+            check(s"$step evolve")
+          case _ => // PURGE accumulated DVs
+            ManifestTable.rewriteDeletes(spark, path)
+            check(s"$step purge")
+        }
+      }
+      // version 1 still reads as the initial snapshot (time travel survives
+      // the whole mutation history, whatever it was)
+      assert(ManifestTable.readVersion(spark, path, 1L).count() === 30L,
+        s"round $round: time travel to v1")
+    }
+  }
+}
