@@ -1359,10 +1359,13 @@ object SparkEntry {
     "q_cdc_replicate" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft_cdcr").toString
       val src = s"$dir/src"; val dst = s"$dir/dst"
+      // eighth-slices: the query's cost is commits + the change-batch
+      // merge, not row volume — an eighth exercises every path the
+      // quarter did at half the suite weight
       val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
-        .repartition(4)
-      graft.sources.ManifestTable.overwrite(s, src, o.filter(col("o_orderkey") % 4 === 0))
-      graft.sources.ManifestTable.append(s, src, o.filter(col("o_orderkey") % 4 === 1))
+        .repartition(2)
+      graft.sources.ManifestTable.overwrite(s, src, o.filter(col("o_orderkey") % 8 === 0))
+      graft.sources.ManifestTable.append(s, src, o.filter(col("o_orderkey") % 8 === 1))
       graft.streaming.Streaming.replicateChanges(s, src, dst, s"$dir/ckpt",
         Seq("o_orderkey"))
       graft.sources.ManifestTable.deleteVectorized(s, src, col("o_totalprice") < lit(10000.0))
@@ -1449,8 +1452,11 @@ object SparkEntry {
     // (the old vintage re-derives o_day, the new vintage prunes dirs) ----
     "q_partition_evolution" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft_pe").toString + "/t"
+      // one quarter → ~91 day dirs after the evolution: a 31/91 pruning
+      // story at half the append's directory-commit tax (cf. the
+      // q_hidden_partition sizing note)
       val y0 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
-      val y1 = java.sql.Timestamp.valueOf("1996-07-01 00:00:00")
+      val y1 = java.sql.Timestamp.valueOf("1996-04-01 00:00:00")
       val o = Tables.orders(s, d)
         .filter(col("o_orderdate") >= lit(y0) && col("o_orderdate") < lit(y1))
         .select("o_orderkey", "o_totalprice", "o_orderdate")
@@ -3951,7 +3957,7 @@ object SparkEntry {
         |  o_totalprice + CASE WHEN o_orderkey % 53 = 0 THEN 1.0 ELSE 0.0 END
         |    AS o_totalprice
         |FROM orders
-        |WHERE o_orderkey % 4 IN (0, 1) AND o_totalprice >= 10000.0""".stripMargin,
+        |WHERE o_orderkey % 8 IN (0, 1) AND o_totalprice >= 10000.0""".stripMargin,
 
     // both physical vintages re-derived under the widened logical types
     // (float quantities are integral 1..50, so the float↔double round

@@ -710,19 +710,22 @@ object Streaming {
       val w = Window.partitionBy(keys.map(col): _*)
         .orderBy(col("_commit_version").desc,
           (col("_change_type") === "insert").desc)
+      // materialize the per-key final changes ONCE (bounded by the change
+      // batch): the emptiness probe, both merge legs, and the merge's own
+      // repeated actions (constraint probe, affected-partition collect,
+      // write) would otherwise each replay the change-feed diff lineage
       val finals = changes
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
+        .localCheckpoint(true)
       val upserts = finals.filter(col("_change_type") === "insert")
         .select(dataCols.map(col): _*)
       val deletes = finals.filter(col("_change_type") === "delete")
         .select(keys.map(col): _*)
       // a changeless fold (compaction, PURGE) must not touch the replica:
       // merge on an unpartitioned table is a full rewrite even for an
-      // empty batch. The emptiness probe is bounded by the fold's changed
-      // files — for a pure rewrite that's the rewrite's size, still never
-      // the replica's.
-      if (!changes.isEmpty)
+      // empty batch
+      if (!finals.isEmpty)
         graft.sources.ManifestTable.merge(spark, dstPath, upserts, keys,
           deleteKeys = Some(deletes)): Unit
     }
