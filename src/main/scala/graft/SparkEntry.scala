@@ -1286,8 +1286,10 @@ object SparkEntry {
       graft.sources.ManifestTable.append(s, src,
         orders.filter(col("o_orderkey") % 3 === 1))
       refresh()
+      // one refresh folds BOTH delete commits — the COW high-tail cut and
+      // the DV low-tail cut — so the suspect rescan runs over a
+      // multi-version delta
       graft.sources.ManifestTable.delete(s, src, col("o_totalprice") > lit(450000.0))
-      refresh()
       graft.sources.ManifestTable.deleteVectorized(s, src,
         col("o_totalprice") < lit(5000.0))
       refresh()

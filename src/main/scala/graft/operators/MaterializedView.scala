@@ -177,7 +177,13 @@ object MaterializedView {
         val added = ManifestTable.readVersionDelta(spark, srcPath, from, target)
         val removed = ManifestTable.readVersionRemoved(spark, srcPath, from, target)
         val stored = read(spark, mvPath).select(outCols: _*)
-        val removedAgg = agg(removed, keys, sums, mins, maxs)
+        // with min/max maintained, the removed-side aggregate feeds BOTH
+        // the negated delta and the suspect-group detection — materialize
+        // it once (it is aggregate-sized) instead of replaying the
+        // removed-files scan per consumer
+        val removedAgg0 = agg(removed, keys, sums, mins, maxs)
+        val removedAgg = if (mins.isEmpty && maxs.isEmpty) removedAgg0
+                         else removedAgg0.localCheckpoint(true)
         val delta = agg(added, keys, sums, mins, maxs)
           .unionByName(negate(removedAgg, sums, mins, maxs))
         val merged = stored.unionByName(delta)
