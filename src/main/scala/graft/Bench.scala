@@ -75,7 +75,9 @@ object Bench {
       "q_jpeg_pixels", "q_late_exclusive",
       // round-8 additions in the 3-5 s multi-commit class
       "q_mv_refresh_dv", "q_bfs_hops", "q_sql_merge_delete", "q_delete_vector",
-      "q_hidden_partition")
+      "q_hidden_partition",
+      // round-9 additions, same commit-path-bound class
+      "q_cdc_replicate", "q_mv_minmax", "q_partition_evolution", "q_change_feed")
     val results = selected.toSeq.sortBy { case (n, _) => (heavyLast(n), n) }.map { case (name, fn) =>
       val times = (1 to reps).map { rep =>
         val gc0 = gcMillis

@@ -349,6 +349,16 @@ class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String,
       val startV = start.map(GraftSourceOffset.parse(_).to)
         .orElse(startingVersion).getOrElse(endV)
       last = Some(GraftSourceOffset(endV, endV, 0))
+      // same mid-stream schema guard as raw mode: readChanges emits the
+      // target version's logical names, and a rename would re-key columns
+      // positionally through the RDD bridge
+      val logical = ManifestTable.manifestSchema(spark, path, endV)
+      require(GraftStreamSource.changeFeedSchema(logical).fieldNames
+          .sameElements(schema0.fieldNames),
+        s"graft stream source: the table's schema changed while streaming " +
+          s"the change feed (pinned ${schema0.fieldNames.mkString(",")}, " +
+          s"version $endV has ${logical.fieldNames.mkString(",")}) — " +
+          "restart the query")
       val batch = ManifestTable.readChanges(spark, path,
         math.min(startV, endV), endV)
       return org.apache.spark.sql.graft.bridge

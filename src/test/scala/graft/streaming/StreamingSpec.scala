@@ -973,6 +973,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a mid-stream rename fails the query loudly instead of re-keying columns") {
+    import graft.sources.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("gsrc_guard").toString
+    val table = s"$dir/t"
+    ManifestTable.overwrite(spark, table,
+      Seq((1L, "a")).toDF("id", "v").coalesce(1))
+    val q = spark.readStream.format("graft").option("path", table).load()
+      .writeStream.format("memory").queryName("gsrc_guard_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      ManifestTable.renameColumn(spark, table, "v", "val")
+      ManifestTable.append(spark, table, Seq((2L, "b")).toDF("id", "val"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("schema changed while streaming") ||
+        Option(e.getCause).exists(_.getMessage.contains("schema changed while streaming")),
+        s"expected the schema guard, got: ${e.getMessage.take(300)}")
+    } finally if (q.isActive) q.stop()
+  }
+
   test("followTable sees a deletion-vector commit as a delta (new visible rows of the DV'd file)") {
     import graft.sources.ManifestTable
     val dir = java.nio.file.Files.createTempDirectory("follow_dv").toString
