@@ -77,8 +77,23 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
         () => ManifestTable.filesMeta(ctx.sparkSession, path))
       case Some(other) =>
         sys.error(s"graft: unknown meta table '$other' (expected history | files)")
-      case None =>
-        new GraftRelation(ctx, path, parameters.get("version").map(_.toLong))
+      case None => parameters.get("changesFrom") match {
+        // batch change-feed face, pinned at load:
+        //   spark.read.format("graft").option("path", p)
+        //     .option("changesFrom", 1).option("changesTo", 3).load()
+        // SQL: CREATE TABLE ch USING graft OPTIONS (path '…', changesFrom '1')
+        // changesTo defaults to the current version
+        case Some(fromS) =>
+          val spark = ctx.sparkSession
+          val from = fromS.toLong
+          val to = parameters.get("changesTo").map(_.toLong).getOrElse(
+            ManifestTable.currentVersion(spark, path)
+              .getOrElse(sys.error(s"no graft table at $path")))
+          val pinned = ManifestTable.readChanges(spark, path, from, to)
+          new GraftMetaRelation(ctx, () => pinned)
+        case None =>
+          new GraftRelation(ctx, path, parameters.get("version").map(_.toLong))
+      }
     }
   }
 

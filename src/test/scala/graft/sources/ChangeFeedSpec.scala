@@ -72,6 +72,31 @@ class ChangeFeedSpec extends SparkSpec {
     assert(changes(path, 1, 4) === Seq((7L, "r7", "delete", 2L)))
   }
 
+  test("the change feed reads through the DataSource and SQL faces (changesFrom/changesTo)") {
+    val path = Files.createTempDirectory("cdf_sql").toString + "/t"
+    ManifestTable.overwrite(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    ManifestTable.append(spark, path, Seq((3L, "c")).toDF("id", "v")) // v2
+    ManifestTable.deleteVectorized(spark, path, col("id") === 1L)      // v3
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long)] =
+      df.select(col("id"), col("_change_type"), col("_commit_version"))
+        .as[(Long, String, Long)].collect().sortBy(r => (r._3, r._2, r._1)).toSeq
+    // reader face, changesTo defaulting to the current version
+    assert(rows(spark.read.format("graft").option("path", path)
+        .option("changesFrom", "1").load())
+      === Seq((3L, "insert", 2L), (1L, "delete", 3L)))
+    // bounded range
+    assert(rows(spark.read.format("graft").option("path", path)
+        .option("changesFrom", "1").option("changesTo", "2").load())
+      === Seq((3L, "insert", 2L)))
+    // SQL face
+    spark.sql("DROP TABLE IF EXISTS cdf_sql_t")
+    spark.sql(s"CREATE TABLE cdf_sql_t USING graft " +
+      s"OPTIONS (path '$path', changesFrom '2')")
+    try assert(rows(spark.table("cdf_sql_t")) === Seq((1L, "delete", 3L)))
+    finally spark.sql("DROP TABLE IF EXISTS cdf_sql_t"): Unit
+  }
+
   test("schema evolution inside the range null-aligns earlier steps to the final schema") {
     val path = Files.createTempDirectory("cdf_evolve").toString + "/t"
     ManifestTable.overwrite(spark, path, Seq((1L, "a")).toDF("id", "v").coalesce(1))
