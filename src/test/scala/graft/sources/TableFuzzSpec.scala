@@ -53,9 +53,14 @@ class TableFuzzSpec extends SparkSpec {
 
       for (step <- 1 to 14) {
         rnd.nextInt(8) match {
-          case 0 => // append
+          case 0 => // append — sometimes with NARROW (int) physical types,
+            // exercising the type-widening accept path under everything
+            // else (values stay < 1000, so the upcast is value-identical)
             val rows = fresh(1 + rnd.nextInt(10))
-            ManifestTable.append(spark, path, df(rows))
+            val batch = if (rnd.nextBoolean()) df(rows)
+              else df(rows).select(col("id").cast("int").as("id"),
+                col(vName).cast("int").as(vName))
+            ManifestTable.append(spark, path, batch)
             model ++= rows
             check(s"$step append")
           case 1 => // copy-on-write delete
