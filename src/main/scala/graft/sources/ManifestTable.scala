@@ -2184,6 +2184,22 @@ object ManifestTable {
         !logical.fieldNames.filterNot(
           m.transforms.map(_.derived).contains).contains(t.derived),
         s"evolvePartitioning: derived name '${t.derived}' collides with an existing column")
+      // a derived column's VALUES are baked into existing directory
+      // layouts, and reads trust a dir whose name matches a current
+      // transform — so a name may carry exactly ONE definition, ever:
+      // redefinition in place and reuse of a retired name both reject
+      // (stale dirs under a changed derivation would silently poison the
+      // implied-filter pruning)
+      m.transforms.find(_.derived == t.derived).foreach { old =>
+        require(old == t,
+          s"evolvePartitioning: transform '${t.derived}' is redefined " +
+            s"($old -> $t) — derived values are baked into existing " +
+            "directory layouts; use a fresh derived name")
+      }
+      require(!m.retired.contains(t.derived),
+        s"evolvePartitioning: derived name '${t.derived}' was used by a " +
+          "removed transform or dropped column — old directories still " +
+          "carry its values; use a fresh name")
     }
     val removedDerived = m.transforms.map(_.derived)
       .filterNot(d => transforms.exists(_.derived == d)).toSet
@@ -2200,11 +2216,14 @@ object ManifestTable {
       .map(t => StructField(t.derived, deriveType(t), nullable = true))
     val schema2 = StructType(
       m.schema.fields.filterNot(f => removedDerived.contains(f.name)) ++ fresh)
+    // removed derived names RETIRE (like dropped columns): their old dirs
+    // survive on disk, so the name may never mean something else
     commit(spark, path, v + 1, schema2,
       partitionCols ++ transforms.map(_.derived), m.files,
       m.statsCols, Map.empty, m.bloomCols, carry = Some(m),
       constraints = m.constraints, transforms = transforms,
-      colmap = m.colmap, retired = m.retired)
+      colmap = m.colmap,
+      retired = (m.retired ++ removedDerived).distinct)
   }
 
   /** Directory-based partition arithmetic (replaced-dirs, affected-dirs)

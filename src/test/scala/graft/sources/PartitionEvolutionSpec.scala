@@ -93,6 +93,38 @@ class PartitionEvolutionSpec extends SparkSpec {
       === (10L until 70L).filter(_ % 4 != 1).toArray)
   }
 
+  test("a derived name carries ONE definition ever: redefinition and retired-name reuse reject") {
+    val path = Files.createTempDirectory("pe_names").toString + "/t"
+    ManifestTable.overwrite(spark, path, hourly(24),
+      transforms = Seq(PartitionTransform("b", "bucket", 4, "k")))
+    // in-place redefinition (bucket 4 → 8 under the same name): old dirs
+    // encode pmod(h,4); trusting them under a pmod(h,8) definition would
+    // silently poison the implied-filter pruning
+    val e1 = intercept[IllegalArgumentException] {
+      ManifestTable.evolvePartitioning(spark, path, Nil,
+        Seq(PartitionTransform("b", "bucket", 8, "k")))
+    }
+    assert(e1.getMessage.contains("redefined"))
+    // identical re-declaration is fine (a no-op spec confirmation)
+    ManifestTable.evolvePartitioning(spark, path, Nil,
+      Seq(PartitionTransform("b", "bucket", 4, "k")))
+    // remove it, then try to reuse the name for a different derivation
+    ManifestTable.evolvePartitioning(spark, path, Nil,
+      Seq(PartitionTransform("ts_day", "days", 0, "ts")))
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestTable.evolvePartitioning(spark, path, Nil,
+        Seq(PartitionTransform("b", "bucket", 8, "k")))
+    }
+    assert(e2.getMessage.contains("removed transform"),
+      s"retired derived names must not return: ${e2.getMessage}")
+    // a FRESH name is the sanctioned path, and reads stay exact throughout
+    ManifestTable.evolvePartitioning(spark, path, Nil,
+      Seq(PartitionTransform("b8", "bucket", 8, "k")))
+    assert(ManifestTable.read(spark, path).count() === 24L)
+    assert(ManifestTable.read(spark, path)
+      .filter(col("b8") =!= pmod(xxhash64(col("k")), lit(8))).count() === 0L)
+  }
+
   test("change feed and MV refresh stay exact across an evolution commit") {
     val path = Files.createTempDirectory("pe_cdf").toString + "/t"
     ManifestTable.overwrite(spark, path, hourly(24).coalesce(1)) // v1 flat
