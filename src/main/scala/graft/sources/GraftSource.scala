@@ -82,7 +82,14 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
         //   spark.read.format("graft").option("path", p)
         //     .option("changesFrom", 1).option("changesTo", 3).load()
         // SQL: CREATE TABLE ch USING graft OPTIONS (path '…', changesFrom '1')
-        // changesTo defaults to the current version
+        // changesTo defaults to the current version.
+        //
+        // CONVENTION — changesFrom is EXCLUSIVE: "changes SINCE version
+        // N", emitting commits N+1..changesTo. This deliberately matches
+        // the streaming face, whose startingVersion also emits only
+        // commits AFTER the named version, so one rule covers both faces:
+        // the named version is the state you already hold. (Delta's
+        // startingVersion is inclusive — porters beware.)
         case Some(fromS) =>
           val spark = ctx.sparkSession
           val from = fromS.toLong
@@ -282,21 +289,27 @@ class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String,
     }
   }
 
-  // ---- position persistence (tiny file under the query's checkpoint) ----
+  // ---- position persistence (tiny files under the query's checkpoint) ----
+  // graft-pos holds the last PROPOSED offset (written by getOffset);
+  // graft-served holds the last SERVED position (written by getBatch).
+  // They differ only transiently (a proposal not yet served); keeping them
+  // separate lets a lost/corrupt proposal file recover from the served
+  // truth instead of re-opening the window from 0.
   private val posFile = new Path(metadataPath, "graft-pos")
+  private val servedFile = new Path(metadataPath, "graft-served")
   private def hfs = posFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private def persist(o: GraftSourceOffset): Unit = {
-    val tmp = new Path(metadataPath, "graft-pos.tmp")
+  private def writeOffset(target: Path, o: GraftSourceOffset): Unit = {
+    val tmp = new Path(target.getParent, target.getName + ".tmp")
     val out = hfs.create(tmp, true)
     try out.write(o.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    hfs.delete(posFile, false)
-    hfs.rename(tmp, posFile): Unit
+    hfs.delete(target, false)
+    hfs.rename(tmp, target): Unit
   }
-  private def readPersisted(): Option[GraftSourceOffset] =
-    if (!hfs.exists(posFile)) None
+  private def readOffset(target: Path): Option[GraftSourceOffset] =
+    if (!hfs.exists(target)) None
     else {
-      val in = hfs.open(posFile)
+      val in = hfs.open(target)
       val text = try {
         val out = new java.io.ByteArrayOutputStream()
         org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
@@ -304,28 +317,121 @@ class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String,
       } finally in.close()
       Some(GraftSourceOffset.parse(text.trim))
     }
+  private def persist(o: GraftSourceOffset): Unit = writeOffset(posFile, o)
+  private def readPersisted(): Option[GraftSourceOffset] =
+    readOffset(posFile).orElse(readOffset(servedFile))
 
   private var last: Option[GraftSourceOffset] = None
 
-  /** Change-feed pacing: one COMMIT per trigger — each micro-batch is one
-    * version step's row-level changes ([[ManifestTable.readChanges]]),
-    * bounded by that commit's changed files. The stream starts AT
-    * `startingVersion` (default: the current version), emitting changes
-    * only going forward — the initial snapshot is not replayed as inserts
-    * (follow the raw mode for that).
+  /** Highest window position this source instance has SERVED (either
+    * mode), updated only in getBatch. A lost position file makes
+    * `getOffset` re-open a window from 0 and the engine then COMMITS that
+    * regressed offset into its own log — after which engine-provided
+    * start offsets understate what was really delivered. Serving never
+    * goes below this floor, so the regression costs empty batches, never
+    * re-delivered rows. */
+  private var maxServed: Option[GraftSourceOffset] = None
+
+  /** The floor for a slice of window `(from, to)`: the engine's start
+    * position, raised to anything already served of the same window —
+    * by this instance (memory) or a predecessor (the served file). */
+  private def servedFloor(from: Long, to: Long, startK: Int): Int = {
+    val remembered = maxServed.orElse(readOffset(servedFile))
+      .filter(m => m.from == from && m.to == to).map(_.k).getOrElse(0)
+    math.max(startK, remembered)
+  }
+
+  private def noteServed(o: GraftSourceOffset): Unit = {
+    if (!maxServed.exists(m => m.from == o.from && m.to == o.to && m.k >= o.k))
+      maxServed = Some(o)
+    writeOffset(servedFile, maxServed.getOrElse(o))
+  }
+
+  /** Field names and datatypes equal, nullability ignored — the mid-stream
+    * schema guard's comparison. `catalogString` spells the full nested
+    * type without nullability flags, so an int→long widening (same names)
+    * fails the guard exactly like a rename does.
+    */
+  private def sameShape(a: StructType, b: StructType): Boolean =
+    a.fields.map(f => (f.name, f.dataType.catalogString))
+      .sameElements(b.fields.map(f => (f.name, f.dataType.catalogString)))
+
+  /** Admission units of a change-feed window (one commit step) —
+    * [[ManifestTable.changeItems]], deterministic across retries and
+    * restarts (manifests are immutable).
+    */
+  private def cfItems(from: Long, to: Long): Seq[(Seq[String], Seq[String])] = {
+    val toM = manifestAt(to)
+    val fromM = if (from == 0L) toM.copy(files = Nil, dvs = Map.empty)
+                else manifestAt(from)
+    ManifestTable.changeItems(fromM, toM)
+  }
+
+  /** How many change-feed admission units this trigger may take from
+    * position `from`: the caps count an atomic unit's fresh AND gone
+    * files/bytes (both sides are scanned to diff it), and always admit at
+    * least one unit — a single rewrite group larger than the caps must
+    * pass whole or the stream wedges. */
+  private def admitItems(items: Seq[(Seq[String], Seq[String])], from: Int): Int = {
+    val fCap = maxFilesPerTrigger.map(_.toLong).getOrElse(Long.MaxValue)
+    val bCap = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+    var k = from
+    var nFiles = 0L
+    var nBytes = 0L
+    var stop = false
+    while (k < items.size && !stop) {
+      val (f, g) = items(k)
+      val itemFiles = (f.size + g.size).toLong
+      val itemBytes =
+        if (maxBytesPerTrigger.isEmpty) 0L else (f ++ g).map(sizeOf).sum
+      if (k > from && (nFiles + itemFiles > fCap || nBytes + itemBytes > bCap))
+        stop = true
+      else { nFiles += itemFiles; nBytes += itemBytes; k += 1 }
+    }
+    k
+  }
+
+  /** Change-feed pacing with ADMISSION CONTROL: each micro-batch is a
+    * capped slice of one commit step's row-level changes. The offset is a
+    * window position like raw mode — `(v, v+1, k)` reads "commit v+1's
+    * first `k` admission units are processed"; a fully-consumed commit
+    * serializes as the bare version number (legacy encoding, so
+    * pre-upgrade checkpoints resume cleanly). Without caps a commit is
+    * one batch, as before. A single commit can be table-sized (a full
+    * overwrite, a giant backfill) — exactly the case raw mode's window
+    * offsets exist for; the units keep the `exceptAll` cancellation
+    * per-slice exact ([[ManifestTable.changeItems]]).
+    *
+    * The stream starts AT `startingVersion` (default: the current
+    * version), emitting changes only going forward — the initial snapshot
+    * is not replayed as inserts (follow the raw mode for that).
     */
   private def getOffsetChangeFeed(): Option[Offset] = {
     val lastO = last.orElse(readPersisted())
-    val base = lastO.map(_.to).orElse(startingVersion)
-      .orElse(ManifestTable.currentVersion(spark, path))
-    base.map { b =>
-      val cur = ManifestTable.currentVersion(spark, path).getOrElse(b)
-      val next = GraftSourceOffset(if (cur > b) b + 1 else b,
-        if (cur > b) b + 1 else b, 0)
-      if (!lastO.contains(next)) persist(next)
-      last = Some(next)
-      next
+    val next: Option[GraftSourceOffset] = lastO match {
+      case Some(o) if o.from != o.to =>
+        // mid-commit window: advance within it, or hand off when drained
+        val items = cfItems(o.from, o.to)
+        if (o.k < items.size) Some(o.copy(k = admitItems(items, o.k)))
+        else openNextCommit(o.to)
+      case Some(o) => openNextCommit(o.to)
+      case None =>
+        startingVersion.orElse(ManifestTable.currentVersion(spark, path))
+          .flatMap(openNextCommit)
     }
+    next.foreach { n =>
+      if (!lastO.contains(n)) persist(n)
+      last = Some(n)
+    }
+    next
+  }
+
+  /** The first admitted slice of commit `b+1`'s window when it exists,
+    * else the steady-state complete offset at `b`. */
+  private def openNextCommit(b: Long): Option[GraftSourceOffset] = {
+    val cur = ManifestTable.currentVersion(spark, path).getOrElse(b)
+    if (cur > b) Some(GraftSourceOffset(b, b + 1, admitItems(cfItems(b, b + 1), 0)))
+    else Some(GraftSourceOffset(b, b, 0))
   }
 
   override def getOffset: Option[Offset] = {
@@ -360,22 +466,83 @@ class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String,
   override def getBatch(start: Option[Offset], end: Offset)
       : org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row] = {
     if (changeFeed) {
-      val endV = GraftSourceOffset.parse(end).to
-      val startV = start.map(GraftSourceOffset.parse(_).to)
-        .orElse(startingVersion).getOrElse(endV)
-      last = Some(GraftSourceOffset(endV, endV, 0))
+      val endO = GraftSourceOffset.parse(end)
+      val startO = start.map(GraftSourceOffset.parse)
       // same mid-stream schema guard as raw mode: readChanges emits the
-      // target version's logical names, and a rename would re-key columns
-      // positionally through the RDD bridge
-      val logical = ManifestTable.manifestSchema(spark, path, endV)
-      require(GraftStreamSource.changeFeedSchema(logical).fieldNames
-          .sameElements(schema0.fieldNames),
+      // target version's logical names and types, and a rename OR a type
+      // widening would re-key/re-type columns positionally through the
+      // RDD bridge
+      val logical = ManifestTable.manifestSchema(spark, path, endO.to)
+      require(sameShape(GraftStreamSource.changeFeedSchema(logical), schema0),
         s"graft stream source: the table's schema changed while streaming " +
-          s"the change feed (pinned ${schema0.fieldNames.mkString(",")}, " +
-          s"version $endV has ${logical.fieldNames.mkString(",")}) — " +
+          s"the change feed (pinned ${schema0.simpleString}, " +
+          s"version ${endO.to} has ${logical.simpleString}) — " +
           "restart the query")
-      val batch = ManifestTable.readChanges(spark, path,
-        math.min(startV, endV), endV)
+      def cfComplete(o: GraftSourceOffset): Boolean =
+        o.from == o.to || o.k >= cfItems(o.from, o.to).size
+      val batch: DataFrame =
+        if (endO.from == endO.to) {
+          // complete end offset: the steady-state handoff after a drained
+          // window, and the legacy (pre-admission checkpoint) encoding.
+          // A COMPLETE window start covers everything through its `to`;
+          // an incomplete one contributes its remainder first.
+          val pos = GraftSourceOffset(endO.to, endO.to, 0)
+          val batch = startO match {
+            case Some(s) if s.from != s.to && !cfComplete(s) =>
+              ManifestTable.readChangesSlice(spark, path, s.from,
+                  cfItems(s.from, s.to).drop(s.k))
+                .unionByName(
+                  ManifestTable.readChanges(spark, path,
+                    math.min(s.to, endO.to), endO.to))
+            case Some(s) =>
+              ManifestTable.readChanges(spark, path,
+                math.min(s.to, endO.to), endO.to)
+            case None =>
+              val startV = startingVersion.getOrElse(endO.to)
+              ManifestTable.readChanges(spark, path,
+                math.min(startV, endO.to), endO.to)
+          }
+          last = Some(pos); noteServed(pos)
+          batch
+        } else startO match {
+          case Some(s) if s.from == endO.from && s.to == endO.to =>
+            // the normal capped step — with the same served-floor guard
+            // as raw mode: a lost position file must not re-deliver
+            // below what was already served or move the position backward
+            val floor = servedFloor(s.from, s.to, s.k)
+            if (endO.k <= floor) {
+              val pos = GraftSourceOffset(s.from, s.to, floor)
+              last = Some(pos); noteServed(pos)
+              ManifestTable.readChangesSlice(spark, path, endO.from, Nil)
+            } else {
+              last = Some(endO); noteServed(endO)
+              ManifestTable.readChangesSlice(spark, path, endO.from,
+                cfItems(endO.from, endO.to).slice(floor, endO.k))
+            }
+          case Some(s) if cfComplete(s) && s.to == endO.from =>
+            // normal handoff: first admitted slice of the next commit
+            last = Some(endO); noteServed(endO)
+            ManifestTable.readChangesSlice(spark, path, endO.from,
+              cfItems(endO.from, endO.to).take(endO.k))
+          case None =>
+            // fresh stream: first slice of the first followed commit
+            last = Some(endO); noteServed(endO)
+            ManifestTable.readChangesSlice(spark, path, endO.from,
+              cfItems(endO.from, endO.to).take(endO.k))
+          case Some(s) =>
+            // degraded recovery (lost position file): serve the remainder
+            // of s's window plus every commit through endO.to, and mark
+            // the range complete — nothing re-delivered, nothing skipped
+            val pending =
+              if (s.from == s.to) ManifestTable.readChanges(spark, path, s.to, endO.to)
+              else ManifestTable.readChangesSlice(spark, path, s.from,
+                  cfItems(s.from, s.to).drop(s.k))
+                .unionByName(
+                  ManifestTable.readChanges(spark, path, s.to, endO.to))
+            val pos = GraftSourceOffset(endO.to, endO.to, 0)
+            last = Some(pos); noteServed(pos)
+            pending
+        }
       return org.apache.spark.sql.graft.bridge
         .streamingDataFrame(spark, batch.queryExecution.toRdd, batch.schema)
         .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
@@ -383,19 +550,33 @@ class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String,
     val endO = GraftSourceOffset.parse(end)
     val (rels, pos) = start.map(GraftSourceOffset.parse) match {
       case Some(s) if s.from == endO.from && s.to == endO.to =>
-        // the normal capped step: the next slice of the shared window
-        (windowFiles(s.from, s.to).slice(s.k, endO.k), endO)
+        // the normal capped step: the next slice of the shared window.
+        // The slice floor is the engine's start position RAISED to what
+        // this instance already served of the window ([[servedFloor]]):
+        // after a lost position file, getOffset re-admits from 0 and the
+        // engine's log regresses — a stale end (endO.k at or below the
+        // floor) serves nothing and HOLDS the position, never re-
+        // delivering committed files or moving the stream backward.
+        val floor = servedFloor(s.from, s.to, s.k)
+        if (endO.k <= floor) (Nil, GraftSourceOffset(s.from, s.to, floor))
+        else (windowFiles(s.from, s.to).slice(floor, endO.k), endO)
       case Some(s) =>
-        // window handoff. Under the getOffset invariant `s` is complete
-        // and endO.from == base; anything else is degraded recovery (a
-        // pre-upgrade checkpoint, a lost position file) — serve the FULL
-        // delta from what `s` actually covered and mark the end window
-        // complete, so nothing is re-delivered or skipped
+        // window handoff: under the getOffset invariant `s` is complete
+        // and endO.from == s.to — serve the admitted first slice of the
+        // new window. Anything else is degraded recovery (a pre-upgrade
+        // checkpoint, a lost position file): serve the FULL remaining
+        // delta MINUS what `s` already covered — an incomplete `s`
+        // committed the first s.k files of its window, and those must
+        // never be re-delivered — and mark the end window complete.
         val base = if (complete(s)) s.to else s.from
-        if (endO.from == base) (windowFiles(base, endO.to).take(endO.k), endO)
+        if (complete(s) && endO.from == base)
+          (windowFiles(base, endO.to).take(endO.k), endO)
         else {
+          val already: Set[String] =
+            if (complete(s)) Set.empty
+            else windowFiles(s.from, s.to).take(s.k).toSet
           val files = windowFiles(base, endO.to)
-          (files, GraftSourceOffset(base, endO.to, files.size))
+          (files.filterNot(already), GraftSourceOffset(base, endO.to, files.size))
         }
       case None =>
         // first batch of a fresh stream: a slice of the initial snapshot
@@ -405,14 +586,18 @@ class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String,
         else (files, GraftSourceOffset(0L, endO.to, files.size))
     }
     last = Some(pos)
+    noteServed(pos)
     val m = manifestAt(endO.to)
-    // a rename/drop mid-stream would silently re-key columns (rows bind
-    // positionally through the RDD bridge) — fail loudly like Delta does
-    // and have the user restart the stream against the new schema
-    require(ManifestTable.logicalSchema(m).fieldNames.sameElements(schema0.fieldNames),
+    // a rename/drop mid-stream would silently re-key columns, and a type
+    // widening would silently re-TYPE them (rows bind positionally through
+    // the RDD bridge, so downstream misinterprets the bytes instead of
+    // failing) — fail loudly like Delta does and have the user restart
+    // the stream against the new schema. Names AND types compare;
+    // nullability doesn't (catalogString carries none).
+    require(sameShape(ManifestTable.logicalSchema(m), schema0),
       s"graft stream source: the table's schema changed while streaming " +
-        s"(pinned ${schema0.fieldNames.mkString(",")}, version ${endO.to} has " +
-        s"${ManifestTable.logicalSchema(m).fieldNames.mkString(",")}) — restart the query")
+        s"(pinned ${schema0.simpleString}, version ${endO.to} has " +
+        s"${ManifestTable.logicalSchema(m).simpleString}) — restart the query")
     val batch = ManifestTable.readRels(spark, path, m, rels)
     org.apache.spark.sql.graft.bridge
       .streamingDataFrame(spark, batch.queryExecution.toRdd, batch.schema)

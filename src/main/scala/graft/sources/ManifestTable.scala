@@ -96,11 +96,27 @@ object ManifestTable {
     */
   case class PartitionTransform(derived: String, kind: String, arg: Int, src: String)
 
-  private[sources] def deriveCol(t: PartitionTransform): Column = t.kind match {
-    case "days" => date_format(col(t.src), "yyyy-MM-dd")
-    case "bucket" => pmod(xxhash64(col(t.src)), lit(t.arg))
-    case "trunc" => substring(col(t.src), 1, t.arg)
-    case other => sys.error(s"unknown partition transform kind: $other")
+  /** @param srcType the table's DECLARED type of the source column, when
+    *        known. The derivation must run at the declared type, not the
+    *        batch's arrived type: `xxhash64(int) != xxhash64(long)`, so a
+    *        narrow-typed batch accepted by the widening lattice would
+    *        otherwise land rows in directories the pruned read (which
+    *        hashes its literal at the DECLARED type, `GraftRelation.
+    *        bucketOf`) never looks in — silently missing rows. The cast is
+    *        lossless by the acceptance contract ([[canWiden]]).
+    */
+  private[sources] def deriveCol(t: PartitionTransform,
+                                 srcType: Option[DataType] = None): Column = {
+    val src = srcType match {
+      case Some(dt) => col(t.src).cast(dt)
+      case None => col(t.src)
+    }
+    t.kind match {
+      case "days" => date_format(src, "yyyy-MM-dd")
+      case "bucket" => pmod(xxhash64(src), lit(t.arg))
+      case "trunc" => substring(src, 1, t.arg)
+      case other => sys.error(s"unknown partition transform kind: $other")
+    }
   }
 
   /** Map a source-column value to its derived partition value (driver-side
@@ -126,11 +142,17 @@ object ManifestTable {
   /** Add any missing derived partition columns to a write batch — writers
     * supply only source columns; the derivation is the table's, not the
     * caller's (a caller-supplied wrong value could land a row in a
-    * partition its filters would never look in). */
-  private def withDerived(df: DataFrame,
-                          transforms: Seq[PartitionTransform]): DataFrame =
+    * partition its filters would never look in). `declared` is the table's
+    * physical schema when the table already exists — the derivation casts
+    * the source column to its DECLARED type first (see [[deriveCol]]);
+    * transform source columns are never colmapped, so the physical schema
+    * resolves them by their logical name.
+    */
+  private def withDerived(df: DataFrame, transforms: Seq[PartitionTransform],
+                          declared: Option[StructType] = None): DataFrame =
     transforms.foldLeft(df)((d, t) =>
-      d.withColumn(t.derived, deriveCol(t)))
+      d.withColumn(t.derived, deriveCol(t,
+        declared.flatMap(s => s.find(_.name == t.src).map(_.dataType)))))
 
   /** Cluster a TRANSFORM-partitioned write batch by its partition columns
     * before the dynamic-partition write. Without this, whatever upstream
@@ -395,11 +417,15 @@ object ManifestTable {
   def readChanges(spark: SparkSession, path: String,
                   fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion, s"from $fromVersion > to $toVersion")
-    val target = logicalSchema(readManifest(spark, path, toVersion))
+    val targetM = readManifest(spark, path, toVersion)
+    val target = logicalSchema(targetM)
     val extras = StructType(Seq(
       StructField("_change_type", StringType, nullable = false),
       StructField("_commit_version", LongType, nullable = false)))
     val outSchema = StructType(target.fields ++ extras.fields)
+    // WITHIN a step, fresh (under v+1) and gone (under v) may only differ
+    // by an added column — rename/drop commits are metadata-only, so their
+    // steps carry no rows — and name alignment is safe there.
     def align(df: DataFrame, to: StructType): DataFrame =
       df.select(to.fields.toSeq.map { f =>
         // cast covers steps before a type WIDENING (lossless upcast, a
@@ -407,6 +433,25 @@ object ManifestTable {
         if (df.columns.contains(f.name)) col(s"`${f.name}`").cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
+    // ACROSS steps, columns must align by PHYSICAL identity, not name: a
+    // step before a renameColumn emits the OLD logical name for the same
+    // physical column, and a name-keyed alignment would null it out —
+    // silently corrupting any change read spanning the rename (Delta keys
+    // CDF columns by id for exactly this reason). Each target field
+    // resolves to the step column whose PHYSICAL name matches; a fresh
+    // physical name (added, or dropped-and-re-added) correctly reads NULL
+    // in steps that predate it.
+    def alignToTarget(df: DataFrame, stepM: Manifest): DataFrame = {
+      val stepP2L = stepM.colmap.map(_.swap)
+      df.select(target.fields.toSeq.map { f =>
+        val ph = targetM.colmap.getOrElse(f.name, f.name)
+        val stepName = stepP2L.getOrElse(ph, ph)
+        val present = df.columns.contains(stepName) &&
+          stepM.colmap.getOrElse(stepName, stepName) == ph
+        if (present) col(s"`$stepName`").cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
     val steps = (fromVersion until toVersion).map { v =>
       val to = readManifest(spark, path, v + 1)
       // version 0 is "before the table existed": every row of version 1
@@ -421,12 +466,90 @@ object ManifestTable {
         if (goneRels.isEmpty) (fresh, fresh.limit(0))
         else if (freshRels.isEmpty) (gone.limit(0), gone)
         else (fresh.exceptAll(gone), gone.exceptAll(fresh))
-      align(ins, target).withColumn("_change_type", lit("insert"))
-        .unionByName(align(del, target).withColumn("_change_type", lit("delete")))
+      alignToTarget(ins, to).withColumn("_change_type", lit("insert"))
+        .unionByName(alignToTarget(del, to).withColumn("_change_type", lit("delete")))
         .withColumn("_commit_version", lit(v + 1))
     }
     steps.reduceOption(_ unionByName _).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema))
+  }
+
+  /** Admission units of one commit step for the CAPPED change-feed stream:
+    * the step's changed files grouped by partition DIRECTORY, with
+    * diff-free sides split per file.
+    *
+    * Per-directory grouping preserves the [[readChanges]] `exceptAll`
+    * cancellation EXACTLY: partition values are part of the row (explicit
+    * partition columns are schema columns; transform-derived ones derive
+    * from unchanged source columns), so two rows that would cancel in the
+    * global diff agree on their partition values and therefore sit in the
+    * SAME directory's group — the per-group diff equals the global diff.
+    * A row an update moved across partitions genuinely changed; its
+    * delete and insert are both real, no cancellation owed. Within a
+    * directory, a side with no counterpart needs no cancellation at all,
+    * so pure-insert / pure-delete directories split one file per unit —
+    * the giant-backfill-append and mass-delete cases slice per file.
+    * A DV-changed file appears on both sides and stays one atomic unit
+    * with its directory. Unpartitioned tables are a single directory: a
+    * whole-table rewrite there is one (unsliceable) unit — the diff is
+    * inherently global — while pure appends/deletes still slice.
+    */
+  private[sources] def changeItems(from: Manifest,
+                                   to: Manifest): Seq[(Seq[String], Seq[String])] = {
+    val fresh = changedFiles(from, to)
+    val gone = changedFiles(to, from)
+    val byDir = (fresh.map(r => (dirOf(r), r, true)) ++
+        gone.map(r => (dirOf(r), r, false))).groupBy(_._1)
+    byDir.toSeq.sortBy(_._1).flatMap { case (_, entries) =>
+      val f = entries.collect { case (_, r, true) => r }.sorted
+      val g = entries.collect { case (_, r, false) => r }.sorted
+      if (g.isEmpty) f.map(r => (Seq(r), Seq.empty[String]))
+      else if (f.isEmpty) g.map(r => (Seq.empty[String], Seq(r)))
+      else Seq((f, g))
+    }
+  }
+
+  /** The row-level changes of a SLICE of one commit step `fromVersion →
+    * fromVersion+1`, over admission units from [[changeItems]] — the
+    * capped streaming change feed's batch primitive. Output shape and
+    * semantics match the corresponding rows of [[readChanges]] exactly
+    * (per-unit diffs compose to the global diff; see [[changeItems]]).
+    * Diff-free units batch into single scans, so a slice of k pure files
+    * plans 1 scan, not k.
+    */
+  private[graft] def readChangesSlice(spark: SparkSession, path: String,
+      fromVersion: Long,
+      items: Seq[(Seq[String], Seq[String])]): DataFrame = {
+    val to = readManifest(spark, path, fromVersion + 1)
+    val from = if (fromVersion == 0L) to.copy(files = Nil, dvs = Map.empty)
+               else readManifest(spark, path, fromVersion)
+    val logical = logicalSchema(to)
+    def align(df: DataFrame): DataFrame =
+      df.select(logical.fields.toSeq.map { f =>
+        if (df.columns.contains(f.name)) col(s"`${f.name}`").cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    val pureF = items.collect { case (f, Seq()) => f }.flatten
+    val pureG = items.collect { case (Seq(), g) => g }.flatten
+    val mixed = items.filter(i => i._1.nonEmpty && i._2.nonEmpty)
+    def stamp(df: DataFrame, tpe: String): DataFrame =
+      align(df).withColumn("_change_type", lit(tpe))
+    val parts =
+      (if (pureF.nonEmpty) Seq(stamp(readRels(spark, path, to, pureF), "insert")) else Nil) ++
+      (if (pureG.nonEmpty) Seq(stamp(readRels(spark, path, from, pureG), "delete")) else Nil) ++
+      mixed.flatMap { case (f, g) =>
+        val fresh = align(readRels(spark, path, to, f))
+        val gone = align(readRels(spark, path, from, g))
+        Seq(fresh.exceptAll(gone).withColumn("_change_type", lit("insert")),
+          gone.exceptAll(fresh).withColumn("_change_type", lit("delete")))
+      }
+    val outSchema = StructType(logical.fields ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false)))
+    parts.reduceOption(_ unionByName _)
+      .map(_.withColumn("_commit_version", lit(fromVersion + 1)))
+      .getOrElse(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema))
   }
 
   // -------------------------------------------------------------- zone maps
@@ -876,8 +999,12 @@ object ManifestTable {
           col("_metadata.row_index").as("__dv_pos"))
         else base
       val sigSet = sig.toSet
+      // the scan reads under m.schema, so the source column is already at
+      // its declared type — the explicit cast is a no-op kept for symmetry
+      // with the write-side derivation
       val derived = m.transforms.filterNot(t => sigSet.contains(t.derived))
-        .foldLeft(withM)((d, t) => d.withColumn(t.derived, deriveCol(t)))
+        .foldLeft(withM)((d, t) => d.withColumn(t.derived, deriveCol(t,
+          m.schema.find(_.name == t.src).map(_.dataType))))
       derived.select((m.schema.fieldNames.toSeq ++ metaCols)
         .map(n => col(s"`$n`")): _*)
     }.reduce(_ unionByName _)
@@ -1587,6 +1714,15 @@ object ManifestTable {
             require(!m.statsCols.contains(pf.name) && !m.bloomCols.contains(pf.name) ||
                 t == LongType || t == DoubleType,
               s"$op cannot widen stats/bloom column '${pf.name}' to ${t.simpleString}")
+            // a transform's derived directory values are baked at the
+            // DECLARED source type (bucket hashes differ across int widths)
+            // — widening it would strand every existing directory outside
+            // the pruned read's hash. Narrow batches stay fine: they cast
+            // up to the declared type before deriving (withDerived).
+            require(!m.transforms.exists(_.src == pf.name),
+              s"$op cannot widen partition-transform source column " +
+                s"'${pf.name}' to ${t.simpleString} — existing partition " +
+                "directories derive from the declared type")
             pf.copy(dataType = t)
           case _ => pf
         }
@@ -1646,7 +1782,7 @@ object ManifestTable {
         // never supplies them (a caller value could contradict the
         // transform and land rows where pruning won't look)
         val batch = withDerived(
-          df.drop(m.transforms.map(_.derived): _*), m.transforms)
+          df.drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema))
         // fail fast, before any data lands
         val (schema0, colmap0) = evolveSchema(batch, m, "append")
         enforceConstraints(batch, m.constraints, "append")
@@ -1699,7 +1835,7 @@ object ManifestTable {
     require(m.partitionCols.nonEmpty, "table is unpartitioned — use overwrite")
     requireUniformLayout(m, "overwritePartitions")
     val batch = withDerived(
-      df.drop(m.transforms.map(_.derived): _*), m.transforms)
+      df.drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema))
     requireCompatible(batch, m, "overwritePartitions")
     enforceConstraints(batch, m.constraints, "overwritePartitions")
     val base = m
@@ -1761,7 +1897,8 @@ object ManifestTable {
       case Some(v) =>
         val m = readManifest(spark, path, v)
         val batch = withDerived(
-          updates.drop(m.transforms.map(_.derived): _*), m.transforms)
+          updates.drop(m.transforms.map(_.derived): _*), m.transforms,
+          Some(m.schema))
         requireCompatible(batch, m, "merge")
         enforceConstraints(batch, m.constraints, "merge")
         val existing = readVersion(spark, path, v)
@@ -2350,7 +2487,7 @@ object ManifestTable {
     // update of a transform's SOURCE column must move the row's partition
     val rewritten = withDerived(
       readRels(spark, path, m, touched).select(replaced.toSeq: _*)
-        .drop(m.transforms.map(_.derived): _*), m.transforms)
+        .drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema))
       .select(logical.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
     // the SET right-hand sides can produce violating values — gate the
     // rewritten rows like any other write batch

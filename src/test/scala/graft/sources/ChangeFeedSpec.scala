@@ -97,6 +97,33 @@ class ChangeFeedSpec extends SparkSpec {
     finally spark.sql("DROP TABLE IF EXISTS cdf_sql_t"): Unit
   }
 
+  test("readChanges across a rename commit aligns by PHYSICAL identity, not name") {
+    val path = Files.createTempDirectory("cdf_rename").toString + "/t"
+    ManifestTable.overwrite(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    ManifestTable.renameColumn(spark, path, "v", "val")                 // v2
+    ManifestTable.append(spark, path, Seq((3L, "c")).toDF("id", "val")) // v3
+    val got = ManifestTable.readChanges(spark, path, 0, 3)
+      .select(col("id"), col("val"), col("_change_type"), col("_commit_version"))
+      .as[(Long, Option[String], String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, Some("a"), "insert", 1L), (2L, Some("b"), "insert", 1L),
+      (3L, Some("c"), "insert", 3L)),
+      "pre-rename steps must carry their values under the new name — a name-keyed " +
+        "alignment would null them out and corrupt any replica bootstrapped across the rename")
+  }
+
+  test("a dropped-and-re-added column reads NULL in steps predating the re-add") {
+    val path = Files.createTempDirectory("cdf_readd").toString + "/t"
+    ManifestTable.overwrite(spark, path, Seq((1L, "a")).toDF("id", "v").coalesce(1))
+    ManifestTable.dropColumn(spark, path, "v")                          // v2
+    ManifestTable.append(spark, path, Seq((2L, "x")).toDF("id", "v"))   // v3: fresh physical
+    val got = ManifestTable.readChanges(spark, path, 0, 3)
+      .select(col("id"), col("v"), col("_change_type"), col("_commit_version"))
+      .as[(Long, Option[String], String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, None, "insert", 1L), (2L, Some("x"), "insert", 3L)),
+      "the dropped vintage's bytes must not resurrect under the re-added namesake")
+  }
+
   test("schema evolution inside the range null-aligns earlier steps to the final schema") {
     val path = Files.createTempDirectory("cdf_evolve").toString + "/t"
     ManifestTable.overwrite(spark, path, Seq((1L, "a")).toDF("id", "v").coalesce(1))

@@ -214,6 +214,41 @@ class HiddenPartitionSpec extends SparkSpec {
     assert(ManifestTable.read(spark, path).count() === 20000L)
   }
 
+  test("a narrow-typed append derives buckets at the DECLARED type; pruned reads find the rows") {
+    import org.apache.spark.sql.sources.EqualTo
+    val path = Files.createTempDirectory("hp_narrow").toString + "/t"
+    // id declared LONG
+    ManifestTable.overwrite(spark, path,
+      spark.range(100).select(col("id"), (col("id") * 3).as("v")),
+      transforms = Seq(PartitionTransform("id_bucket", "bucket", 4, "id")))
+    // the batch arrives with id as INT — accepted (lossless upcast), but
+    // xxhash64(int) != xxhash64(long): the table must cast to the
+    // declared type BEFORE hashing or the row lands in a directory the
+    // pruned read (which hashes its literal at the declared type) never
+    // opens
+    ManifestTable.append(spark, path,
+      Seq((1000, 9L)).toDF("id", "v"))
+    assert(ManifestTable.read(spark, path).filter(col("id") === 1000L).count() === 1L)
+    val rel = new GraftRelation(spark.sqlContext, path, None)
+    val inner = rel.innerScan(Array("v"), Array(EqualTo("id", 1000L)))
+    assert(inner.as[Long].collect() === Array(9L),
+      "the narrow batch's row must sit in the directory the implied bucket filter opens")
+  }
+
+  test("widening a partition-transform source column is rejected") {
+    val path = Files.createTempDirectory("hp_widen").toString + "/t"
+    // id declared INT
+    ManifestTable.overwrite(spark, path,
+      spark.range(100).select(col("id").cast("int").as("id"), (col("id") * 3).as("v")),
+      transforms = Seq(PartitionTransform("id_bucket", "bucket", 4, "id")))
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, path,
+        Seq((1000L, 9L)).toDF("id", "v")) // id LONG: would widen the declared type
+    }
+    assert(e.getMessage.contains("partition-transform source"),
+      s"expected the transform-widening rejection, got: ${e.getMessage.take(200)}")
+  }
+
   test("a caller-supplied derived value is ignored and re-derived") {
     val path = days30("lie")
     // batch CLAIMS day 1999-01-01 for a 2024 timestamp — the table's

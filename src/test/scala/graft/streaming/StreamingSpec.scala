@@ -996,6 +996,111 @@ class StreamingSpec extends SparkSpec {
     } finally if (q.isActive) q.stop()
   }
 
+  test("capped change feed: one overwrite commit drains as multiple exact batches; restart mid-window resumes") {
+    import graft.sources.ManifestTable
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("gsrc_cdf_cap").toString
+    val table = s"$dir/t"
+    def snapshot(tag: String) =
+      spark.range(40).select((col("id") % 4).as("p"), col("id"),
+        concat(lit(tag), col("id")).as("v")).repartition(col("p"))
+    // v1: 4 explicit partitions, one file each
+    ManifestTable.overwrite(spark, table, snapshot("r"), partitionCols = Seq("p"))
+    val seen = scala.collection.mutable.ArrayBuffer[Seq[(Long, Long, String, String, Long)]]()
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft").option("path", table)
+        .option("changeFeed", "true").option("maxFilesPerTrigger", "2").load()
+        .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen += df.select("p", "id", "v", "_change_type", "_commit_version")
+            .as[(Long, Long, String, String, Long)].collect().toSeq; ()
+        }
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.Once()).start()
+      q.awaitTermination()
+    }
+    runOnce() // establishes the forward-only position at v1
+    assert(seen.flatten.isEmpty, "change-feed mode replays no snapshot")
+    // v2: a FULL overwrite — the scale-killer shape: one commit whose
+    // changed files span the whole table. Every partition dir is one
+    // atomic diff unit (old file + new file = 2 files = the cap), so the
+    // feed must drain as ≥3 capped batches, each a restart (Trigger.Once).
+    ManifestTable.overwrite(spark, table, snapshot("R"), partitionCols = Seq("p"))
+    val expected = ManifestTable.readChanges(spark, table, 1, 2)
+      .select("p", "id", "v", "_change_type", "_commit_version")
+      .as[(Long, Long, String, String, Long)].collect().toSeq.sorted
+    assert(expected.size === 80, s"full overwrite = 40 deletes + 40 inserts, got ${expected.size}")
+    val before = seen.size
+    var guard = 0
+    while (seen.flatten.size < expected.size && guard < 12) { runOnce(); guard += 1 }
+    val nonEmpty = seen.drop(before).count(_.nonEmpty)
+    assert(nonEmpty >= 3,
+      s"4 partition units under a 2-file cap must take ≥3 non-empty batches, took $nonEmpty")
+    assert(seen.flatten.sorted === expected,
+      "capped change-feed batches must union EXACTLY to the uncapped feed")
+    runOnce()
+    assert(seen.flatten.size === expected.size, "a drained feed delivers nothing more")
+  }
+
+  test("a lost position file mid-drain never re-delivers committed files") {
+    import graft.sources.ManifestTable
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("gsrc_lostpos").toString
+    val table = s"$dir/t"
+    ManifestTable.overwrite(spark, table,
+      spark.range(50).select(col("id"), (col("id") % 5).as("v")).repartition(5))
+    assert(ManifestTable.filesMeta(spark, table).count() === 5L)
+    val seen = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft").option("path", table)
+        .option("maxFilesPerTrigger", "2").load()
+        .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen += df.select("id").as[Long].collect().sorted.toSeq; ()
+        }
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.Once()).start()
+      q.awaitTermination()
+    }
+    runOnce(); runOnce() // files 0-3 committed
+    val afterTwo = seen.flatten.size
+    assert(afterTwo > 0 && afterTwo < 50,
+      s"two capped runs must be a strict prefix of the snapshot, got $afterTwo/50 rows")
+    // lose the proposal position file: getOffset would re-open the window
+    // from 0 — the served floor (graft-served) must stop any re-delivery
+    val pos = new org.apache.hadoop.fs.Path(s"$dir/ckpt/sources/0/graft-pos")
+    val fs = pos.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(pos, false), "test setup: the position file must exist")
+    var guard = 0
+    while (seen.flatten.size < 50 && guard < 8) { runOnce(); guard += 1 }
+    assert(seen.flatten.sorted === (0L until 50L),
+      s"after losing the position file the stream must deliver each row EXACTLY once, " +
+        s"got ${seen.flatten.size} rows")
+  }
+
+  test("a mid-stream type widening fails the query loudly instead of re-typing columns") {
+    import graft.sources.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("gsrc_widen").toString
+    val table = s"$dir/t"
+    ManifestTable.overwrite(spark, table,
+      Seq((1, "a")).toDF("id", "v").coalesce(1)) // id INT
+    val q = spark.readStream.format("graft").option("path", table).load()
+      .writeStream.format("memory").queryName("gsrc_widen_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a wider append WIDENS the table schema int→long: same names, new
+      // types — rows bind positionally through the RDD bridge, so the
+      // guard must fail rather than serve re-typed bytes
+      ManifestTable.append(spark, table, Seq((2L, "b")).toDF("id", "v"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("schema changed while streaming") ||
+        Option(e.getCause).exists(_.getMessage.contains("schema changed while streaming")),
+        s"expected the schema guard on a type widening, got: ${e.getMessage.take(300)}")
+    } finally if (q.isActive) q.stop()
+  }
+
   test("followTable sees a deletion-vector commit as a delta (new visible rows of the DV'd file)") {
     import graft.sources.ManifestTable
     val dir = java.nio.file.Files.createTempDirectory("follow_dv").toString
