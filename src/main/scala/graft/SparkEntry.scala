@@ -1516,6 +1516,40 @@ object SparkEntry {
           md5(col("payload")).as("digest"))
     }),
 
+    // ---- TIMESTAMP AS OF time travel: two commits with a known clock
+    // boundary; a read pinned AT the first commit's timestamp must see
+    // exactly the first version — the second commit is invisible even
+    // though it is the table's current state ----
+    "q_time_travel_ts" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ts").toString + "/t"
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      graft.sources.ManifestTable.overwrite(s, dir,
+        c.filter(col("c_custkey") % 2 === 0))
+      val t1 = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(dir, "_manifests", "m000000000001.txt")).toMillis
+      Thread.sleep(20) // separate the commit clock ticks
+      graft.sources.ManifestTable.append(s, dir,
+        c.filter(col("c_custkey") % 2 === 1))
+      s.read.format("graft").option("timestampAsOf", t1.toString).load(dir)
+        .select(col("c_custkey"), col("c_acctbal"))
+    }),
+
+    // ---- DECIMAL stats columns: a DECIMAL(18,2) money column carries
+    // zone maps (the real-scale shape the double fixtures mask) and a
+    // range read over the clustered decimal prunes + answers exactly;
+    // price derives from an integer so both engines are bit-exact ----
+    "q_decimal_stats" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_dec").toString + "/t"
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+          (col("o_orderkey") % 10000).cast("decimal(18,2)").as("price"))
+        .repartitionByRange(8, col("price"))
+      graft.sources.ManifestTable.overwrite(s, dir, o, statsCols = Seq("price"))
+      s.sql("DROP TABLE IF EXISTS q_dec_t")
+      s.sql(s"CREATE TABLE q_dec_t USING graft OPTIONS (path '$dir')")
+      s.sql("""SELECT o_orderkey, price FROM q_dec_t
+              |WHERE price BETWEEN 100.00 AND 200.00""".stripMargin)
+    }),
+
     // ---- snapshot diff (CDC-style audit of an incremental load) ----
     "q_snapshot_diff" -> ((s, d) => {
       val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
@@ -4005,6 +4039,17 @@ object SparkEntry {
     "q_webdataset" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |md5(text) AS digest FROM documents""".stripMargin,
+
+    // the timestamp resolves to version 1 = the even-key half
+    "q_time_travel_ts" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey % 2 = 0""".stripMargin,
+
+    // the decimal range re-derived from the integer source
+    "q_decimal_stats" ->
+      """SELECT o_orderkey, CAST(o_orderkey % 10000 AS DECIMAL(18,2)) AS price
+        |FROM orders
+        |WHERE (o_orderkey % 10000) BETWEEN 100 AND 200""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH old AS (SELECT o_orderkey, o_totalprice FROM orders),

@@ -99,7 +99,21 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
           val pinned = ManifestTable.readChanges(spark, path, from, to)
           new GraftMetaRelation(ctx, () => pinned)
         case None =>
-          new GraftRelation(ctx, path, parameters.get("version").map(_.toLong))
+          // time travel: by version number, or TIMESTAMP AS OF —
+          //   .option("timestampAsOf", "2026-08-14T10:00:00") (session
+          //   zone for zoneless literals; epoch millis also accepted),
+          // resolving to the latest version committed at or before it
+          val version = (parameters.get("version"),
+              parameters.get("timestampAsOf")) match {
+            case (Some(_), Some(_)) =>
+              sys.error("graft: specify either 'version' or 'timestampAsOf', not both")
+            case (Some(v), None) => Some(v.toLong)
+            case (None, Some(ts)) => Some(ManifestTable.versionAt(
+              ctx.sparkSession, path,
+              GraftSource.parseTimestampMillis(ctx.sparkSession, ts)))
+            case _ => None
+          }
+          new GraftRelation(ctx, path, version)
       }
     }
   }
@@ -134,6 +148,30 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       case SaveMode.Ignore => create()
     }
     new GraftRelation(ctx, path, None)
+  }
+}
+
+private[sources] object GraftSource {
+  /** `timestampAsOf` literal → epoch millis: raw epoch millis, ISO-8601
+    * instants (`...Z` / offset), or zoneless date-times resolved in the
+    * SESSION time zone (the zone every other temporal literal in the
+    * session speaks). A bare date means its midnight.
+    */
+  private[sources] def parseTimestampMillis(
+      spark: org.apache.spark.sql.SparkSession, s: String): Long = {
+    val t = s.trim
+    scala.util.Try(t.toLong).getOrElse {
+      val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+      val iso = t.replace(' ', 'T')
+      scala.util.Try(java.time.OffsetDateTime.parse(iso).toInstant.toEpochMilli)
+        .orElse(scala.util.Try(
+          java.time.LocalDateTime.parse(iso).atZone(zone).toInstant.toEpochMilli))
+        .orElse(scala.util.Try(
+          java.time.LocalDate.parse(t).atStartOfDay(zone).toInstant.toEpochMilli))
+        .getOrElse(sys.error(
+          s"graft: cannot parse timestampAsOf '$s' (epoch millis, ISO " +
+            "instant, 'yyyy-MM-dd HH:mm:ss', or 'yyyy-MM-dd')"))
+    }
   }
 }
 

@@ -334,6 +334,33 @@ object ManifestTable {
                                       version: Long): StructType =
     logicalSchema(readManifest(spark, path, version))
 
+  /** TIMESTAMP AS OF resolution: the latest committed version whose commit
+    * time is at or before `tsMillis` — every Delta/Iceberg user's first
+    * time-travel query is timestamp-shaped ("what did this table say
+    * yesterday"). The commit time is the immutable manifest file's mtime
+    * (its atomic publish IS the commit — the same clock [[history]]
+    * reports as `committed_at`). Among commits inside the same clock tick
+    * the highest version wins. Loud error when no commit exists at or
+    * before the timestamp. Metadata-only: one manifest-dir listing.
+    */
+  def versionAt(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val f = fs(spark, path)
+    val dir = manifestDir(path)
+    val stamped: Seq[(Long, Long)] =
+      if (!f.exists(dir)) Nil
+      else f.listStatus(dir).filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("m") && n.endsWith(".txt")
+      }.map(st => (st.getPath.getName.drop(1).dropRight(4).toLong,
+        st.getModificationTime)).toSeq
+    require(stamped.nonEmpty, s"no manifest table at $path")
+    val eligible = stamped.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"timestampAsOf ${new java.sql.Timestamp(tsMillis)} predates the first " +
+        s"commit of $path (earliest: ${new java.sql.Timestamp(stamped.map(_._2).min)})")
+    eligible.maxBy(_._1)._1
+  }
+
   /** Snapshot read of the current version (time travel: [[readVersion]]). */
   def read(spark: SparkSession, path: String): DataFrame =
     readVersion(spark, path,
@@ -556,9 +583,12 @@ object ManifestTable {
 
   /** Stat values travel in the manifest as `tag:payload` with the payload
     * URL-encoded. Longs stay exact; doubles round-trip via `toString`
-    * (shortest-repr, lossless); strings arbitrary. Only these three types
-    * are supported as stats columns — enough for keys, measures, and
-    * ISO-ish string timestamps.
+    * (shortest-repr, lossless); strings arbitrary; decimals as
+    * `C:scale:unscaled` (exact — the schema pins one scale per column, so
+    * cross-file comparison never rounds); booleans as 0/1. Enough for
+    * keys, measures — the real-scale money columns are DECIMAL, and
+    * declaring `statsCols` on one must give zone maps, not an error —
+    * and ISO-ish string timestamps.
     */
   private def encodeStat(v: Any): String = v match {
     case l: Long => s"L:$l"
@@ -567,6 +597,9 @@ object ManifestTable {
     case d: Double => s"D:$d"
     case fl: Float => s"D:${fl.toDouble}"
     case s: String => "S:" + java.net.URLEncoder.encode(s, "UTF-8")
+    case d: java.math.BigDecimal => s"C:${d.scale}:${d.unscaledValue}"
+    case d: scala.math.BigDecimal => s"C:${d.scale}:${d.underlying.unscaledValue}"
+    case b: Boolean => s"B:${if (b) 1 else 0}"
     // temporal stats normalize to Spark's internal epoch numbers (micros /
     // days) — the encoding is API-independent (java.sql vs java.time both
     // land on the same long), so manifests survive a session flipping
@@ -589,6 +622,11 @@ object ManifestTable {
       org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(p.toLong)
     case ("A:", p) =>
       org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaDate(p.toInt)
+    case ("C:", p) =>
+      val i = p.indexOf(':')
+      new java.math.BigDecimal(
+        new java.math.BigInteger(p.substring(i + 1)), p.substring(0, i).toInt)
+    case ("B:", p) => p == "1"
     case _ => sys.error(s"bad stat encoding: $enc")
   }
 
@@ -600,6 +638,9 @@ object ManifestTable {
       case s: java.lang.Short => s.longValue
       case b: java.lang.Byte => b.longValue
       case f: java.lang.Float => f.doubleValue
+      // booleans order false < true, like SQL
+      case b: java.lang.Boolean => if (b) 1L else 0L
+      case d: scala.math.BigDecimal => d.underlying
       // temporal values order by their epoch numbers; a column never mixes
       // date and timestamp, so the days/micros scales cannot meet
       case t: java.sql.Timestamp =>
@@ -617,6 +658,17 @@ object ManifestTable {
       case (x: Long, y: Double) => Some(java.lang.Double.compare(x.toDouble, y))
       case (x: Double, y: Long) => Some(java.lang.Double.compare(x, y.toDouble))
       case (x: String, y: String) => Some(utf8Compare(x, y))
+      // decimal vs decimal/integral/floating: compareTo is scale-blind
+      // exact, so a predicate literal of any numeric shape prunes safely
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => Some(x.compareTo(y))
+      case (x: java.math.BigDecimal, y: Long) =>
+        Some(x.compareTo(java.math.BigDecimal.valueOf(y)))
+      case (x: Long, y: java.math.BigDecimal) =>
+        Some(java.math.BigDecimal.valueOf(x).compareTo(y))
+      case (x: java.math.BigDecimal, y: Double) =>
+        Some(x.compareTo(java.math.BigDecimal.valueOf(y)))
+      case (x: Double, y: java.math.BigDecimal) =>
+        Some(java.math.BigDecimal.valueOf(x).compareTo(y))
       case _ => None
     }
   }

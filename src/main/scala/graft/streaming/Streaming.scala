@@ -743,27 +743,45 @@ object Streaming {
     * and marker re-delivers the same changes, and change rows are
     * deterministic per (fromVersion, toVersion), so replays converge.
     */
+  /** Commits per [[followChanges]] handler call. `readChanges` compiles
+    * one union/exceptAll pair per commit in its range — an O(#commits)
+    * plan — so a replica catching up over thousands of commits must fold
+    * in bounded windows or the single catch-up call compiles a
+    * multi-thousand-node plan before any data moves. 16 keeps each
+    * window's plan shallow while amortizing the per-call marker write.
+    */
+  private val FollowChangesWindow = 16L
+
   def followChanges(spark: SparkSession, tablePath: String,
                     checkpointPath: String)
                    (handler: (DataFrame, Long, Long) => Unit): Long = {
     import graft.sources.ManifestTable
     val dir = new org.apache.hadoop.fs.Path(checkpointPath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val markers: Seq[Long] =
+    def markers(): Seq[Long] =
       if (!fs.exists(dir)) Nil
       else fs.listStatus(dir).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("v"))
         .flatMap(n => scala.util.Try(n.substring(1).toLong).toOption)
-    val last: Long = if (markers.isEmpty) 0L else markers.max
+    val last: Long = { val m = markers(); if (m.isEmpty) 0L else m.max }
     val current = ManifestTable.currentVersion(spark, tablePath)
       .getOrElse(return last)
     if (current <= last) return last
-    handler(ManifestTable.readChanges(spark, tablePath, last, current),
-      last, current)
-    fs.mkdirs(dir)
-    fs.create(new org.apache.hadoop.fs.Path(dir, s"v$current"), true).close()
-    markers.foreach(v =>
-      fs.delete(new org.apache.hadoop.fs.Path(dir, s"v$v"), false): Unit)
+    // bounded catch-up windows: each handler call sees at most
+    // FollowChangesWindow commits, and each window advances the marker —
+    // a crash mid-catch-up resumes at the window boundary (same
+    // at-least-once contract, bounded re-delivery)
+    var from = last
+    while (from < current) {
+      val to = math.min(from + FollowChangesWindow, current)
+      handler(ManifestTable.readChanges(spark, tablePath, from, to), from, to)
+      val old = markers()
+      fs.mkdirs(dir)
+      fs.create(new org.apache.hadoop.fs.Path(dir, s"v$to"), true).close()
+      old.foreach(v =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, s"v$v"), false): Unit)
+      from = to
+    }
     current
   }
 }

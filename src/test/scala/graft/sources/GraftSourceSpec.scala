@@ -31,6 +31,39 @@ class GraftSourceSpec extends SparkSpec {
     assert(spark.read.format("graft").load(path).count() === 3)
   }
 
+  test("timestampAsOf resolves to the latest version committed at or before the timestamp") {
+    val path = tmpTable()
+    def mtime(v: Long): Long = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(path, "_manifests", f"m$v%012d.txt")).toMillis
+    Seq((1L, "a")).toDF("id", "v").write.format("graft").save(path)
+    val t1 = mtime(1)
+    Thread.sleep(30) // separate the commit clock ticks
+    Seq((2L, "b")).toDF("id", "v").write.format("graft").mode("append").save(path)
+    val t2 = mtime(2)
+    assert(t2 > t1, "test setup: distinct commit times")
+    def countAt(ts: String): Long =
+      spark.read.format("graft").option("timestampAsOf", ts).load(path).count()
+    // exact commit time is INCLUSIVE; between commits reads the earlier one
+    assert(countAt(t1.toString) === 1)
+    assert(countAt(((t1 + t2) / 2).toString) === 1)
+    assert(countAt(t2.toString) === 2)
+    assert(countAt((t2 + 60000).toString) === 2)
+    // ISO / date-time literals parse in the session zone
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    val iso = java.time.Instant.ofEpochMilli(t2).atZone(zone).toLocalDateTime.toString
+    assert(countAt(iso) === 2)
+    // before the first commit: loud error, not an empty table
+    val e = intercept[RuntimeException] { countAt((t1 - 60000).toString) }
+    assert(e.getMessage.contains("predates the first commit"),
+      s"got: ${e.getMessage.take(160)}")
+    // version and timestampAsOf are mutually exclusive
+    val both = intercept[RuntimeException] {
+      spark.read.format("graft").option("version", 1)
+        .option("timestampAsOf", t1.toString).load(path)
+    }
+    assert(both.getMessage.contains("not both"))
+  }
+
   test("filters and projections push through the source; results stay exact") {
     val path = tmpTable()
     (1 to 1000).map(i => (i.toLong, s"v$i", i % 7)).toDF("id", "v", "g")

@@ -378,6 +378,44 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.fastCount(spark, path) === Some(2376L))
   }
 
+  test("DECIMAL zone maps prune, answer fastMinMax, and take any numeric predicate shape") {
+    val path = tmpTable()
+    // DECIMAL(18,2) money column, range-clustered — the real-scale shape
+    // the double-typed fixtures mask: declaring stats on it must give
+    // zone maps, not an error
+    val df = spark.range(1000).select(col("id"),
+      (col("id") * 7).cast("decimal(18,2)").as("price"))
+      .repartitionByRange(10, col("id"))
+    ManifestTable.overwrite(spark, path, df, statsCols = Seq("price"))
+    val lo = new java.math.BigDecimal("0.00")
+    val hi = new java.math.BigDecimal("100.00")
+    val (kept, total) = ManifestTable.prunedFiles(spark, path, "price", lo, hi)
+    assert(total === 10 && kept.size <= 2, s"kept ${kept.size}/$total")
+    assert(ManifestTable.readRange(spark, path, "price", lo, hi).count() === 15)
+    assert(ManifestTable.fastMinMax(spark, path, "price")
+      === Some((new java.math.BigDecimal("0.00"), new java.math.BigDecimal("6993.00"))))
+    // integral- and double-shaped predicate literals prune a decimal
+    // column safely (compareTo across numeric shapes, scale-exact)
+    val (k2, _) = ManifestTable.prunedFiles(spark, path, "price", 6900L, 7000.0)
+    assert(k2.size <= 2, s"kept ${k2.size}/$total for a long/double range")
+    assert(ManifestTable.readVersionPruned(spark, path, 1L,
+        Map("price" -> ((Some(6900L), Some(7000.0)))))
+      .filter(col("price") >= 6900 && col("price") <= 7000).count() === 14)
+  }
+
+  test("boolean stats columns encode, round-trip, and prune") {
+    val path = tmpTable()
+    ManifestTable.overwrite(spark, path,
+      spark.range(100).select(col("id"), lit(false).as("flag")).coalesce(1),
+      statsCols = Seq("flag"))
+    ManifestTable.append(spark, path,
+      spark.range(100, 120).select(col("id"), lit(true).as("flag")).coalesce(1))
+    val (kept, total) = ManifestTable.prunedFiles(spark, path, "flag", true, true)
+    assert(total === 2 && kept.size === 1,
+      s"an all-false file cannot satisfy flag=true, kept ${kept.size}/$total")
+    assert(ManifestTable.fastMinMax(spark, path, "flag") === Some((false, true)))
+  }
+
   test("bloom file skipping prunes point lookups where zone maps cannot") {
     val path = tmpTable()
     // hash layout: every file spans nearly the full id range, so zone maps

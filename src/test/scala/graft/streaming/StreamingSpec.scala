@@ -1101,6 +1101,33 @@ class StreamingSpec extends SparkSpec {
     } finally if (q.isActive) q.stop()
   }
 
+  test("followChanges folds a long catch-up in bounded commit windows (plan depth stays O(1))") {
+    import graft.sources.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("follow_windows").toString
+    val src = s"$dir/src"; val dst = s"$dir/dst"
+    ManifestTable.overwrite(spark, src, Seq((0L, "r0")).toDF("id", "v").coalesce(1))
+    (1 until 20).foreach(i => ManifestTable.append(spark, src,
+      Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1)))
+    // 20 pending commits, one call: the fold must arrive in windows of
+    // ≤16 commits (each window's readChanges plan is O(window), never
+    // O(total backlog)), contiguous and complete
+    val windows = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var rows = 0L
+    Streaming.followChanges(spark, src, s"$dir/ckpt") { (df, from, to) =>
+      windows += ((from, to)); rows += df.count()
+    }
+    assert(windows.size >= 2 && windows.forall { case (f, t) => t - f <= 16 },
+      s"expected ≥2 bounded windows, got $windows")
+    assert(windows.head._1 === 0L && windows.last._2 === 20L &&
+      windows.sliding(2).forall(w => w.size < 2 || w(0)._2 == w(1)._1),
+      s"windows must tile the backlog contiguously: $windows")
+    assert(rows === 20L, "every commit's changes delivered exactly once")
+    // replicateChanges inherits the bounded fold and still converges
+    Streaming.replicateChanges(spark, src, dst, s"$dir/ckpt2", Seq("id"))
+    assert(ManifestTable.read(spark, dst).orderBy("id").as[(Long, String)].collect().toSeq
+      === (0 until 20).map(i => (i.toLong, s"r$i")))
+  }
+
   test("followTable sees a deletion-vector commit as a delta (new visible rows of the DV'd file)") {
     import graft.sources.ManifestTable
     val dir = java.nio.file.Files.createTempDirectory("follow_dv").toString
