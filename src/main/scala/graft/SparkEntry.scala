@@ -1333,10 +1333,12 @@ object SparkEntry {
     }),
 
     // ---- row-level change data feed (Delta CDF shape): an overwrite,
-    // an append, a deletion-vector delete and a compaction; the feed
-    // must report inserts for the two data commits, exactly the deleted
-    // rows for the DV commit, and NOTHING for the compaction (rewrite
-    // invisibility via multiset difference of the file-level CDF) ----
+    // an append, a deletion-vector delete, a compaction and an UPDATE;
+    // the feed must report inserts for the two data commits, exactly the
+    // deleted rows for the DV commit, NOTHING for the compaction (rewrite
+    // invisibility via multiset difference of the file-level CDF), and
+    // the update's rows as typed update_preimage/update_postimage pairs
+    // (four-type CDF — the commit records its op) ----
     "q_change_feed" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft_cdf").toString + "/t"
       // 4 files per commit: the semantics don't need 32, and the query's
@@ -1347,7 +1349,9 @@ object SparkEntry {
       graft.sources.ManifestTable.append(s, dir, o.filter(col("o_orderkey") % 4 === 1))
       graft.sources.ManifestTable.deleteVectorized(s, dir, col("o_totalprice") < lit(10000.0))
       graft.sources.ManifestTable.compact(s, dir, 100000L)
-      graft.sources.ManifestTable.readChanges(s, dir, 0L, 4L)
+      graft.sources.ManifestTable.update(s, dir, col("o_orderkey") % 400 === 0,
+        Seq("o_totalprice" -> (col("o_totalprice") + lit(1.0))))
+      graft.sources.ManifestTable.readChanges(s, dir, 0L, 5L)
         .select(col("o_orderkey"), col("_change_type").as("change_type"),
           col("_commit_version").as("commit_version"))
     }),
@@ -3977,14 +3981,20 @@ object SparkEntry {
     // are deletes at v3, and the compaction (v4) contributes NOTHING
     "q_change_feed" ->
       """WITH b1 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 0),
-        |     b2 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 1)
+        |     b2 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 1),
+        |     upd AS (SELECT o_orderkey FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2) u
+        |             WHERE NOT (o_totalprice < 10000.0) AND o_orderkey % 400 = 0)
         |SELECT o_orderkey, 'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version FROM b1
         |UNION ALL
         |SELECT o_orderkey, 'insert', CAST(2 AS BIGINT) FROM b2
         |UNION ALL
         |SELECT o_orderkey, 'delete', CAST(3 AS BIGINT)
         |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2) u
-        |WHERE o_totalprice < 10000.0""".stripMargin,
+        |WHERE o_totalprice < 10000.0
+        |UNION ALL
+        |SELECT o_orderkey, 'update_preimage', CAST(5 AS BIGINT) FROM upd
+        |UNION ALL
+        |SELECT o_orderkey, 'update_postimage', CAST(5 AS BIGINT) FROM upd""".stripMargin,
 
     // the replica's final state re-derived: the two %4 buckets, minus
     // the sub-10000 deletes, with the +1 repricing applied AFTER the cut

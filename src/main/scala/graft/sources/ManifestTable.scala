@@ -204,6 +204,14 @@ object ManifestTable {
     *        physical name, or old files' bytes would resurrect under the
     *        new column.
     */
+  /** @param op the OPERATION that produced this commit, when the writer
+    *        declared one (`update` | `merge`) — what lets the change feed
+    *        refine an update commit's delete+insert pairs into
+    *        `update_preimage`/`update_postimage` (the Delta four-type CDF
+    *        shape). Never carried: it describes exactly one commit.
+    * @param opCols the merge keys of an `op=merge` commit (logical names
+    *        at commit time) — the pairing key for the refinement.
+    */
   private[sources] case class Manifest(version: Long, schema: StructType,
                                        partitionCols: Seq[String], files: Seq[String],
                                        statsCols: Seq[String] = Nil,
@@ -214,7 +222,9 @@ object ManifestTable {
                                        constraints: Seq[(String, String)] = Nil,
                                        transforms: Seq[PartitionTransform] = Nil,
                                        colmap: Map[String, String] = Map.empty,
-                                       retired: Seq[String] = Nil)
+                                       retired: Seq[String] = Nil,
+                                       op: Option[String] = None,
+                                       opCols: Seq[String] = Nil)
 
   /** The user-visible schema: physical fields renamed to their logical
     * names. Field order, types and nullability are the physical ones. */
@@ -321,11 +331,17 @@ object ManifestTable {
       }.toMap
     val retired = lines.filter(_.startsWith("retired="))
       .map(_.stripPrefix("retired="))
+    // op=<update|merge>, opcols=<k1,k2> (four-type CDF refinement)
+    val op = lines.find(_.startsWith("op=")).map(_.stripPrefix("op="))
+      .filter(_.nonEmpty)
+    val opCols = lines.find(_.startsWith("opcols="))
+      .map(_.stripPrefix("opcols=")).filter(_.nonEmpty)
+      .map(_.split(",").toSeq).getOrElse(Nil)
     Manifest(version, schema,
       if (parts.isEmpty) Nil else parts.split(",").toSeq,
       lines.filter(_.startsWith("file=")).map(_.stripPrefix("file=")),
       statsCols, stats, bloomCols, sidecar, dvs, constraints, transforms,
-      colmap, retired)
+      colmap, retired, op, opCols)
   }
 
   /** LOGICAL schema of a committed version, straight from its manifest (no
@@ -423,10 +439,13 @@ object ManifestTable {
   }
 
   /** Row-level change data feed over a version range: one row per logical
-    * change, stamped `_change_type` (`insert` | `delete`) and
-    * `_commit_version` — the Delta CDF shape, for downstream row-CDC
-    * consumers that can't fold the at-least-once file-level delta
-    * themselves. An update surfaces as its delete + insert pair.
+    * change, stamped `_change_type` and `_commit_version` — the Delta CDF
+    * shape, for downstream row-CDC consumers that can't fold the
+    * at-least-once file-level delta themselves. Types are `insert` |
+    * `delete`, refined to `update_preimage`/`update_postimage` for
+    * commits whose recorded op is update/merge ([[typeChanges]]) — an
+    * UPDATE surfaces as its typed pair, while a delete and a re-insert
+    * across two commits stay plain (they ARE two changes).
     *
     * Derivation is per commit step: the file-level CDF gives the changed
     * files' NEW visible rows and OLD visible rows; their multiset
@@ -493,12 +512,52 @@ object ManifestTable {
         if (goneRels.isEmpty) (fresh, fresh.limit(0))
         else if (freshRels.isEmpty) (gone.limit(0), gone)
         else (fresh.exceptAll(gone), gone.exceptAll(fresh))
-      alignToTarget(ins, to).withColumn("_change_type", lit("insert"))
-        .unionByName(alignToTarget(del, to).withColumn("_change_type", lit("delete")))
+      typeChanges(alignToTarget(ins, to), alignToTarget(del, to),
+        to.op, to.opCols)
         .withColumn("_commit_version", lit(v + 1))
     }
     steps.reduceOption(_ unionByName _).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema))
+  }
+
+  /** Stamp a commit step's diffed rows with their change types — the
+    * four-type CDF refinement (Delta's shape). Default is the plain
+    * two-type stamp (`insert` | `delete`). An `op=update` commit refines
+    * EVERY diffed row: update never creates or removes a row, so each
+    * surviving diff row is one half of an updated pair
+    * (`update_preimage` / `update_postimage`). An `op=merge` commit pairs
+    * deletes and inserts sharing the recorded merge key — pairs are the
+    * updated keys; unpaired inserts are genuine NOT-MATCHED inserts,
+    * unpaired deletes genuine WHEN-MATCHED deletes. NULL merge keys never
+    * pair (ON equality cannot match them) and a key renamed after the
+    * commit falls back to the plain stamp (conservative). Downstream
+    * appliers that must distinguish an update from a delete+reinsert —
+    * FK cascades, SCD history — key on this distinction.
+    */
+  private def typeChanges(ins: DataFrame, del: DataFrame, op: Option[String],
+                          opCols: Seq[String]): DataFrame = {
+    val cols = ins.columns.toSeq
+    def out(df: DataFrame) =
+      df.select((cols.map(c => col(s"`$c`")) :+ col("_change_type")): _*)
+    op match {
+      case Some("update") =>
+        out(ins.withColumn("_change_type", lit("update_postimage")))
+          .unionByName(out(del.withColumn("_change_type", lit("update_preimage"))))
+      case Some("merge") if opCols.nonEmpty && opCols.forall(cols.contains) =>
+        def mark(df: DataFrame, other: DataFrame,
+                 pairT: String, aloneT: String): DataFrame = {
+          val otherKeys = other.select(opCols.map(c => col(s"`$c`")): _*)
+            .distinct().withColumn("__cf_hit", lit(1))
+          out(df.join(otherKeys, opCols, "left_outer")
+            .withColumn("_change_type",
+              when(col("__cf_hit").isNotNull, pairT).otherwise(aloneT)))
+        }
+        mark(ins, del, "update_postimage", "insert")
+          .unionByName(mark(del, ins, "update_preimage", "delete"))
+      case _ =>
+        out(ins.withColumn("_change_type", lit("insert")))
+          .unionByName(out(del.withColumn("_change_type", lit("delete"))))
+    }
   }
 
   /** Admission units of one commit step for the CAPPED change-feed stream:
@@ -559,24 +618,24 @@ object ManifestTable {
     val pureF = items.collect { case (f, Seq()) => f }.flatten
     val pureG = items.collect { case (Seq(), g) => g }.flatten
     val mixed = items.filter(i => i._1.nonEmpty && i._2.nonEmpty)
-    def stamp(df: DataFrame, tpe: String): DataFrame =
-      align(df).withColumn("_change_type", lit(tpe))
-    val parts =
-      (if (pureF.nonEmpty) Seq(stamp(readRels(spark, path, to, pureF), "insert")) else Nil) ++
-      (if (pureG.nonEmpty) Seq(stamp(readRels(spark, path, from, pureG), "delete")) else Nil) ++
-      mixed.flatMap { case (f, g) =>
-        val fresh = align(readRels(spark, path, to, f))
-        val gone = align(readRels(spark, path, from, g))
-        Seq(fresh.exceptAll(gone).withColumn("_change_type", lit("insert")),
-          gone.exceptAll(fresh).withColumn("_change_type", lit("delete")))
-      }
-    val outSchema = StructType(logical.fields ++ Seq(
-      StructField("_change_type", StringType, nullable = false),
-      StructField("_commit_version", LongType, nullable = false)))
-    parts.reduceOption(_ unionByName _)
-      .map(_.withColumn("_commit_version", lit(fromVersion + 1)))
-      .getOrElse(
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema))
+    val empty = align(readRels(spark, path, to, Nil))
+    val ins = ((if (pureF.nonEmpty)
+        Seq(align(readRels(spark, path, to, pureF))) else Nil) ++
+      mixed.map { case (f, g) =>
+        align(readRels(spark, path, to, f))
+          .exceptAll(align(readRels(spark, path, from, g)))
+      }).foldLeft(empty)(_ unionByName _)
+    val del = ((if (pureG.nonEmpty)
+        Seq(align(readRels(spark, path, from, pureG))) else Nil) ++
+      mixed.map { case (f, g) =>
+        align(readRels(spark, path, from, g))
+          .exceptAll(align(readRels(spark, path, to, f)))
+      }).foldLeft(empty)(_ unionByName _)
+    // same four-type refinement as readChanges — merge-key pairing is
+    // per SLICE here (a pair split across slices downgrades to its plain
+    // insert/delete halves; update-commit labeling is slice-invariant)
+    typeChanges(ins, del, to.op, to.opCols)
+      .withColumn("_commit_version", lit(fromVersion + 1))
   }
 
   // -------------------------------------------------------------- zone maps
@@ -1466,7 +1525,9 @@ object ManifestTable {
                               constraints: Seq[(String, String)] = Nil,
                               transforms: Seq[PartitionTransform] = Nil,
                               colmap: Map[String, String] = Map.empty,
-                              retired: Seq[String] = Nil): Long = {
+                              retired: Seq[String] = Nil,
+                              op: Option[String] = None,
+                              opCols: Seq[String] = Nil): Long = {
     val f = fs(spark, path)
     f.mkdirs(manifestDir(path))
     val fileSet = files.toSet
@@ -1561,6 +1622,8 @@ object ManifestTable {
       transforms.map(t => s"transform=${t.derived}|${t.kind}|${t.arg}|${t.src}") ++
       colmap.toSeq.sortBy(_._1).map { case (lg, ph) => s"colmap=$lg|$ph" } ++
       retired.map("retired=" + _) ++
+      op.map("op=" + _).toSeq ++
+      (if (opCols.nonEmpty) Seq("opcols=" + opCols.mkString(",")) else Nil) ++
       statLines).mkString("\n") + "\n"
     val scratch = new Path(path, s"_tmp/manifest-${java.util.UUID.randomUUID()}")
     val out = f.create(scratch, true)
@@ -1986,7 +2049,8 @@ object ManifestTable {
           commit(spark, path, v + 1, m.schema, Nil, files, m.statsCols,
             collectStats(spark, path, files, m.schema, Nil, m.statsCols,
               m.bloomCols), m.bloomCols, constraints = m.constraints,
-            transforms = m.transforms, colmap = m.colmap, retired = m.retired)
+            transforms = m.transforms, colmap = m.colmap, retired = m.retired,
+            op = Some("merge"), opCols = keys)
         } else {
           requireUniformLayout(m, "merge into a partitioned table")
           val pCols = m.partitionCols.map(col)
@@ -2023,7 +2087,8 @@ object ManifestTable {
             try return commit(spark, path, cur.version + 1, m.schema, m.partitionCols,
               keptFiles ++ added, m.statsCols, addedStats, m.bloomCols, carry = Some(cur),
               constraints = m.constraints, transforms = m.transforms,
-              colmap = m.colmap, retired = m.retired)
+              colmap = m.colmap, retired = m.retired,
+              op = Some("merge"), opCols = keys)
             catch {
               case e: java.util.ConcurrentModificationException =>
                 tries += 1; if (tries > MaxCommitRetries) throw e
@@ -2544,7 +2609,9 @@ object ManifestTable {
     // the SET right-hand sides can produce violating values — gate the
     // rewritten rows like any other write batch
     enforceConstraints(rewritten, m.constraints, "update")
-    commitRewrite(spark, path, v, m, touched, rewritten)
+    // op=update: every delete+insert the change feed diffs out of this
+    // commit IS an update pair — the four-type CDF refinement
+    commitRewrite(spark, path, v, m, touched, rewritten, op = Some("update"))
   }
 
   /** Shared tail of the copy-on-write row-level commands: write
@@ -2554,7 +2621,8 @@ object ManifestTable {
     */
   private def commitRewrite(spark: SparkSession, path: String, v: Long,
                             m: Manifest, touched: Seq[String],
-                            replacement: DataFrame): Long = {
+                            replacement: DataFrame,
+                            op: Option[String] = None): Long = {
     val touchedSet = touched.toSet
     val untouched = m.files.filterNot(touchedSet)
     val written = writeDataFiles(spark, path, replacement, m.partitionCols,
@@ -2571,7 +2639,7 @@ object ManifestTable {
     commit(spark, path, v + 1, m.schema, m.partitionCols,
       untouched ++ newFiles, m.statsCols, newStats, m.bloomCols, carry = Some(m),
       constraints = m.constraints, transforms = m.transforms,
-      colmap = m.colmap, retired = m.retired)
+      colmap = m.colmap, retired = m.retired, op = op)
   }
 
   /** Rewrite the current snapshot into ~`targetRowsPerFile`-row files —

@@ -705,11 +705,12 @@ object Streaming {
       import org.apache.spark.sql.expressions.Window
       val dataCols = changes.columns.filterNot(
         c => c == "_change_type" || c == "_commit_version").toSeq
-      // last state per key: max commit version, insert over delete inside
-      // it (an update pair shares the version; its insert half is final)
+      // last state per key: max commit version, row-bearing change over
+      // removal inside it (an update pair shares the version; its
+      // insert/postimage half is the final value)
+      val rowBearing = col("_change_type").isin("insert", "update_postimage")
       val w = Window.partitionBy(keys.map(col): _*)
-        .orderBy(col("_commit_version").desc,
-          (col("_change_type") === "insert").desc)
+        .orderBy(col("_commit_version").desc, rowBearing.desc)
       // materialize the per-key final changes ONCE (bounded by the change
       // batch): the emptiness probe, both merge legs, and the merge's own
       // repeated actions (constraint probe, affected-partition collect,
@@ -718,9 +719,11 @@ object Streaming {
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .localCheckpoint(true)
-      val upserts = finals.filter(col("_change_type") === "insert")
+      val upserts = finals
+        .filter(col("_change_type").isin("insert", "update_postimage"))
         .select(dataCols.map(col): _*)
-      val deletes = finals.filter(col("_change_type") === "delete")
+      val deletes = finals
+        .filter(col("_change_type").isin("delete", "update_preimage"))
         .select(keys.map(col): _*)
       // a changeless fold (compaction, PURGE) must not touch the replica:
       // merge on an unpartitioned table is a full rewrite even for an

@@ -53,8 +53,32 @@ class ChangeFeedSpec extends SparkSpec {
     assert(changes(path, 1, 2) === Seq((3L, "c", "delete", 2L)))
     ManifestTable.update(spark, path, col("id") === 1L, Seq("v" -> lit("A"))) // v3
     assert(changes(path, 2, 3) === Seq(
-      (1L, "a", "delete", 3L), (1L, "A", "insert", 3L)),
-      "an update is its delete + insert pair; untouched rows of the rewritten file are invisible")
+      (1L, "A", "update_postimage", 3L), (1L, "a", "update_preimage", 3L)),
+      "an update is its TYPED pre/post pair; untouched rows of the rewritten file are invisible")
+  }
+
+  test("four-type CDF: update commits emit typed pairs, merge pairs by key, delete+reinsert stays plain") {
+    val path = Files.createTempDirectory("cdf_types").toString + "/t"
+    ManifestTable.overwrite(spark, path,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1))
+    // v2: a MERGE that updates key 2, inserts key 4, deletes key 3 — the
+    // pairing must type ONLY key 2 as an update
+    ManifestTable.merge(spark, path, Seq((2L, "B"), (4L, "d")).toDF("id", "v"),
+      keys = Seq("id"), deleteKeys = Some(Seq(Tuple1(3L)).toDF("id")))
+    assert(changes(path, 1, 2) === Seq(
+      (4L, "d", "insert", 2L),
+      (3L, "c", "delete", 2L),
+      (2L, "B", "update_postimage", 2L),
+      (2L, "b", "update_preimage", 2L)).sortBy(r => (r._4, r._3, r._1)),
+      "merge types exactly the keys present on both sides of the diff")
+    // v3+v4: DELETE then re-INSERT the same key across two commits — two
+    // plain changes, NOT an update pair (the four-type refinement is
+    // per-commit, keyed on the recorded op)
+    ManifestTable.delete(spark, path, col("id") === 1L)                // v3
+    ManifestTable.append(spark, path, Seq((1L, "a2")).toDF("id", "v")) // v4
+    assert(changes(path, 2, 4) === Seq(
+      (1L, "a", "delete", 3L), (1L, "a2", "insert", 4L)),
+      "a delete and a re-insert across commits are two real changes, never an update pair")
   }
 
   test("compaction and DV materialization emit no change rows (rewrite invisibility)") {
