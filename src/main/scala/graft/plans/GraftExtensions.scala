@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(_ => GraftUpdateRule)
     // SQL MERGE INTO over graft tables (transactional key-scoped upsert)
     e.injectResolutionRule(_ => GraftMergeRule)
+    // maintenance statements (OPTIMIZE / VACUUM / DESCRIBE HISTORY)
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }
 

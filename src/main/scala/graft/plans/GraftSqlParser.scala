@@ -1,0 +1,137 @@
+package graft.plans
+
+import graft.sources.{GraftRelation, ManifestTable}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
+
+/** SQL faces for the table-maintenance operations — ops teams drive
+  * maintenance from SQL schedulers, not Scala call sites. Injected ahead
+  * of Spark's parser ([[GraftExtensions]]); anything that is not one of
+  * these statements falls through to the delegate untouched.
+  *
+  * {{{
+  *   OPTIMIZE t [TARGET n ROWS]      -- compact to ~n-row files (default 1M)
+  *   OPTIMIZE t PURGE                -- materialize deletion vectors away
+  *   VACUUM t [RETAIN n VERSIONS]    -- drop unreferenced files (default 1)
+  *   DESCRIBE HISTORY t              -- the commit chain, metadata-only
+  * }}}
+  *
+  * `t` is either a quoted table root path (`'/data/events'`) or a
+  * catalog/temp-view name resolving to a graft relation — the name form
+  * resolves AT EXECUTION through the session catalog, like every other
+  * command. Grammar is regex-dispatched: these statements are not valid
+  * Spark SQL, so there is no ambiguity with the delegate's language
+  * (`OPTIMIZE`/`VACUUM` are not Spark keywords and a leading `DESCRIBE
+  * HISTORY` is rejected by Spark's DESCRIBE rule).
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case OptimizeRe(target, rows, purge) =>
+      GraftOptimizeCommand(target,
+        Option(rows).map(_.toLong).getOrElse(1000000L), purge != null)
+    case VacuumRe(target, keep) =>
+      GraftVacuumCommand(target, Option(keep).map(_.toInt).getOrElse(1))
+    case HistoryRe(target) =>
+      GraftHistoryCommand(target)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+  // target: '<quoted path>' or a (possibly qualified, possibly backticked)
+  // identifier — no spaces outside quotes/backticks
+  private val T = """('[^']*'|`[^`]+`|[\w.$]+)"""
+  private val OptimizeRe =
+    s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+TARGET\\s+(\\d+)\\s+ROWS)?(?:\\s+(PURGE))?\\s*;?\\s*""".r
+  private val VacuumRe =
+    s"""(?is)\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS?)?\\s*;?\\s*""".r
+  private val HistoryRe =
+    s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$T\\s*;?\\s*""".r
+
+  /** Table root of the statement target: a quoted literal IS the path; a
+    * name resolves through the session (catalog table or temp view over a
+    * graft relation). */
+  private[plans] def resolvePath(spark: SparkSession, target: String): String =
+    if (target.startsWith("'")) target.substring(1, target.length - 1)
+    else {
+      val name = if (target.startsWith("`")) target.substring(1, target.length - 1)
+                 else target
+      spark.table(name).queryExecution.analyzed.collectFirst {
+        case l: LogicalRelation if l.relation.isInstanceOf[GraftRelation] =>
+          l.relation.asInstanceOf[GraftRelation].tablePath
+      }.getOrElse(sys.error(
+        s"$name is not a graft table — maintenance statements need a " +
+          "USING graft table (or a quoted table root path)"))
+    }
+}
+
+/** `OPTIMIZE` — [[ManifestTable.compact]] (small-file + clustering
+  * maintenance), or [[ManifestTable.rewriteDeletes]] with `PURGE`
+  * (materialize accumulated deletion vectors). Returns the new version
+  * and the snapshot's file count. */
+case class GraftOptimizeCommand(target: String, targetRows: Long,
+                                purge: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    val v = if (purge) ManifestTable.rewriteDeletes(spark, path)
+            else ManifestTable.compact(spark, path, targetRows)
+    // cached relations pin their snapshot; the next query must re-resolve
+    spark.sessionState.catalog.invalidateAllCachedTables()
+    Seq(Row(v, ManifestTable.filesMeta(spark, path).count()))
+  }
+}
+
+/** `VACUUM` — [[ManifestTable.vacuum]]: drop data files referenced by
+  * none of the retained manifests (plus aged scratch). Returns the number
+  * of data files deleted. */
+case class GraftVacuumCommand(target: String,
+                              keepVersions: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("deleted_files", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    Seq(Row(ManifestTable.vacuum(spark, path, keepVersions).toLong))
+  }
+}
+
+/** `DESCRIBE HISTORY` — [[ManifestTable.history]]: one row per retained
+  * version, metadata-only (version count-bounded, no data IO). */
+case class GraftHistoryCommand(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("committed_at", TimestampType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("n_dv_files", LongType, nullable = false)(),
+    AttributeReference("n_constraints", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    ManifestTable.history(spark, path).collect().toSeq
+  }
+}

@@ -26,9 +26,37 @@ import org.apache.spark.sql.types.StructType
   * them — results are always exact.
   */
 class GraftSource extends RelationProvider with CreatableRelationProvider
-    with StreamSourceProvider with DataSourceRegister {
+    with StreamSourceProvider with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  // ---- Structured Streaming sink: stream INTO a graft table ----
+  //   df.writeStream.format("graft").option("path", p)
+  //     [.option("keys", "id")] [.option("partitionBy", "day")]
+  //     .option("checkpointLocation", c).start()
+  // With `keys`, each micro-batch keyed-MERGES (upsert); without, it
+  // appends. Exactly-once either way: the batch id commits ATOMICALLY
+  // with the data as a manifest txn watermark, so a replayed batch is
+  // recognized from the table itself (see GraftSink).
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val path = parameters.getOrElse("path", sys.error("graft: 'path' is required"))
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append
+        || outputMode == org.apache.spark.sql.streaming.OutputMode.Update,
+      s"graft sink supports Append/Update output modes, got $outputMode " +
+        "(Complete would re-land the whole result every batch)")
+    val keys = parameters.get("keys").map(_.split(",").toSeq).getOrElse(Nil)
+    val parts = if (partitionColumns.nonEmpty) partitionColumns
+      else parameters.get("partitionBy").map(_.split(",").toSeq).getOrElse(Nil)
+    // txn identity: explicit option, else the query's checkpoint (unique
+    // per logical stream — two streams into one table stay independent)
+    val sinkId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse("graft-sink")
+    new GraftSink(ctx.sparkSession, path, keys, parts, sinkId)
+  }
 
   // ---- Structured Streaming source: follow a graft table's commits ----
   // `spark.readStream.format("graft").option("path", p).load()` — table
@@ -643,6 +671,45 @@ class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String,
   }
 
   override def stop(): Unit = ()
+}
+
+/** V1 streaming sink over a graft table: append mode (no keys) or keyed
+  * upsert mode (`keys` option → [[ManifestTable.merge]] per micro-batch).
+  *
+  * EXACTLY-ONCE across restarts: the engine re-runs the last uncommitted
+  * micro-batch with the SAME batch id after a crash. Each applied batch
+  * commits its id as a manifest TXN watermark (`sinkId → batchId`)
+  * atomically with the data — addBatch first consults the current
+  * manifest and skips any batch at or below the watermark. A sidecar
+  * marker file could not give this: a crash between data-commit and
+  * marker-write would double-apply the append. The keyed mode is
+  * additionally idempotent by construction; the txn check is what makes
+  * plain appends exactly-once too.
+  */
+class GraftSink(spark: org.apache.spark.sql.SparkSession, path: String,
+                keys: Seq[String], partitionCols: Seq[String], sinkId: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long,
+                        data: org.apache.spark.sql.Dataset[Row]): Unit = {
+    val committed = ManifestTable.currentVersion(spark, path)
+      .flatMap(v => ManifestTable.readManifest(spark, path, v).txns.get(sinkId))
+    if (committed.exists(_ >= batchId)) return // replay of a landed batch
+    // the incoming Dataset carries streaming-incremental plan state —
+    // materialize it as a plain batch frame (the ForeachBatchSink move)
+    val df = org.apache.spark.sql.graft.bridge.batchDataFrame(
+      spark, data.queryExecution.toRdd, data.schema)
+    if (keys.nonEmpty)
+      ManifestTable.merge(spark, path, df, keys, partitionCols,
+        txn = Some(sinkId -> batchId)): Unit
+    else if (ManifestTable.currentVersion(spark, path).isEmpty && partitionCols.nonEmpty)
+      // first batch of a partitioned append-mode stream creates the
+      // table with its layout; later batches follow the manifest's
+      ManifestTable.overwrite(spark, path, df, partitionCols,
+        txn = Some(sinkId -> batchId)): Unit
+    else
+      ManifestTable.append(spark, path, df, txn = Some(sinkId -> batchId)): Unit
+  }
 }
 
 /** Relation face of a metadata table: resolves the frame lazily PER SCAN,

@@ -211,6 +211,13 @@ object ManifestTable {
     *        shape). Never carried: it describes exactly one commit.
     * @param opCols the merge keys of an `op=merge` commit (logical names
     *        at commit time) — the pairing key for the refinement.
+    * @param txns streaming-sink transaction watermarks: sink id → highest
+    *        batch id whose write COMMITTED (the Delta txn-action idea).
+    *        Carried forward by every carrying commit, so "did batch N
+    *        land?" is one read of the current manifest — atomic with the
+    *        data, which is what makes sink replays exactly-once even for
+    *        append-mode batches (a marker file beside the data could
+    *        diverge from it across a crash).
     */
   private[sources] case class Manifest(version: Long, schema: StructType,
                                        partitionCols: Seq[String], files: Seq[String],
@@ -224,7 +231,8 @@ object ManifestTable {
                                        colmap: Map[String, String] = Map.empty,
                                        retired: Seq[String] = Nil,
                                        op: Option[String] = None,
-                                       opCols: Seq[String] = Nil)
+                                       opCols: Seq[String] = Nil,
+                                       txns: Map[String, Long] = Map.empty)
 
   /** The user-visible schema: physical fields renamed to their logical
     * names. Field order, types and nullability are the physical ones. */
@@ -337,11 +345,17 @@ object ManifestTable {
     val opCols = lines.find(_.startsWith("opcols="))
       .map(_.stripPrefix("opcols=")).filter(_.nonEmpty)
       .map(_.split(",").toSeq).getOrElse(Nil)
+    // txn=<urlencoded sink id>|<batch id> (streaming-sink watermarks)
+    val txns = lines.filter(_.startsWith("txn=")).map(_.stripPrefix("txn="))
+      .map { l =>
+        val Array(id, b) = l.split("\\|", -1)
+        java.net.URLDecoder.decode(id, "UTF-8") -> b.toLong
+      }.toMap
     Manifest(version, schema,
       if (parts.isEmpty) Nil else parts.split(",").toSeq,
       lines.filter(_.startsWith("file=")).map(_.stripPrefix("file=")),
       statsCols, stats, bloomCols, sidecar, dvs, constraints, transforms,
-      colmap, retired, op, opCols)
+      colmap, retired, op, opCols, txns)
   }
 
   /** LOGICAL schema of a committed version, straight from its manifest (no
@@ -1527,7 +1541,8 @@ object ManifestTable {
                               colmap: Map[String, String] = Map.empty,
                               retired: Seq[String] = Nil,
                               op: Option[String] = None,
-                              opCols: Seq[String] = Nil): Long = {
+                              opCols: Seq[String] = Nil,
+                              txn: Option[(String, Long)] = None): Long = {
     val f = fs(spark, path)
     f.mkdirs(manifestDir(path))
     val fileSet = files.toSet
@@ -1624,6 +1639,9 @@ object ManifestTable {
       retired.map("retired=" + _) ++
       op.map("op=" + _).toSeq ++
       (if (opCols.nonEmpty) Seq("opcols=" + opCols.mkString(",")) else Nil) ++
+      (carry.map(_.txns).getOrElse(Map.empty) ++ txn).toSeq.sortBy(_._1)
+        .map { case (id, b) =>
+          s"txn=${java.net.URLEncoder.encode(id, "UTF-8")}|$b" } ++
       statLines).mkString("\n") + "\n"
     val scratch = new Path(path, s"_tmp/manifest-${java.util.UUID.randomUUID()}")
     val out = f.create(scratch, true)
@@ -1686,7 +1704,8 @@ object ManifestTable {
                 statsCols: Seq[String] = Nil,
                 bloomCols: Seq[String] = Nil,
                 constraints: Seq[(String, String)] = Nil,
-                transforms: Seq[PartitionTransform] = Nil): Long = {
+                transforms: Seq[PartitionTransform] = Nil,
+                txn: Option[(String, Long)] = None): Long = {
     val full = withDerived(df, transforms)
     val pCols = partitionCols ++ transforms.map(_.derived)
     enforceConstraints(full, constraints, "overwrite")
@@ -1699,7 +1718,7 @@ object ManifestTable {
       val next = currentVersion(spark, path).map(_ + 1).getOrElse(1L)
       try return commit(spark, path, next, full.schema, pCols, files,
         statsCols, stats, bloomCols, constraints = constraints,
-        transforms = transforms)
+        transforms = transforms, txn = txn)
       catch {
         case e: java.util.ConcurrentModificationException =>
           tries += 1; if (tries > MaxCommitRetries) throw e
@@ -1871,9 +1890,11 @@ object ManifestTable {
     * The loser's data files become vacuumable orphans.
     */
   private def createExclusive(spark: SparkSession, path: String, df: DataFrame,
-                              partitionCols: Seq[String]): Option[Long] = {
+                              partitionCols: Seq[String],
+                              txn: Option[(String, Long)] = None): Option[Long] = {
     val files = writeDataFiles(spark, path, df, partitionCols)
-    try Some(commit(spark, path, 1L, df.schema, partitionCols, files, Nil, Map.empty))
+    try Some(commit(spark, path, 1L, df.schema, partitionCols, files, Nil,
+      Map.empty, txn = txn))
     catch { case _: java.util.ConcurrentModificationException => None }
   }
 
@@ -1886,11 +1907,12 @@ object ManifestTable {
     * schema and partitioning) instead of failing — including a lost CREATE
     * race, which falls through to a normal append against the winner.
     */
-  def append(spark: SparkSession, path: String, df: DataFrame): Long =
+  def append(spark: SparkSession, path: String, df: DataFrame,
+             txn: Option[(String, Long)] = None): Long =
     currentVersion(spark, path) match {
       case None =>
-        createExclusive(spark, path, df, Nil)
-          .getOrElse(append(spark, path, df))
+        createExclusive(spark, path, df, Nil, txn)
+          .getOrElse(append(spark, path, df, txn))
       case Some(v0) =>
         var m = readManifest(spark, path, v0)
         // generated partition columns: the table derives them, the caller
@@ -1925,7 +1947,7 @@ object ManifestTable {
           try return commit(spark, path, m.version + 1, schema, m.partitionCols,
             m.files ++ added, m.statsCols, addedStats, m.bloomCols, carry = Some(m),
             constraints = m.constraints, transforms = m.transforms,
-            colmap = colmap2, retired = m.retired)
+            colmap = colmap2, retired = m.retired, txn = txn)
           catch {
             case e: java.util.ConcurrentModificationException =>
               tries += 1; if (tries > MaxCommitRetries) throw e
@@ -2001,14 +2023,16 @@ object ManifestTable {
     */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
             keys: Seq[String], partitionCols: Seq[String] = Nil,
-            deleteKeys: Option[DataFrame] = None): Long =
+            deleteKeys: Option[DataFrame] = None,
+            txn: Option[(String, Long)] = None): Long =
     currentVersion(spark, path) match {
       case None =>
         // lost CREATE race → the table exists now; merge into it instead of
         // letting overwrite's retry replace the winner's rows. Deletes
         // against a table that does not exist yet are no-ops by definition.
-        createExclusive(spark, path, updates, partitionCols)
-          .getOrElse(merge(spark, path, updates, keys, partitionCols, deleteKeys))
+        createExclusive(spark, path, updates, partitionCols, txn)
+          .getOrElse(merge(spark, path, updates, keys, partitionCols,
+            deleteKeys, txn))
       case Some(v) =>
         val m = readManifest(spark, path, v)
         val batch = withDerived(
@@ -2050,7 +2074,7 @@ object ManifestTable {
             collectStats(spark, path, files, m.schema, Nil, m.statsCols,
               m.bloomCols), m.bloomCols, constraints = m.constraints,
             transforms = m.transforms, colmap = m.colmap, retired = m.retired,
-            op = Some("merge"), opCols = keys)
+            op = Some("merge"), opCols = keys, txn = txn)
         } else {
           requireUniformLayout(m, "merge into a partitioned table")
           val pCols = m.partitionCols.map(col)
@@ -2088,7 +2112,7 @@ object ManifestTable {
               keptFiles ++ added, m.statsCols, addedStats, m.bloomCols, carry = Some(cur),
               constraints = m.constraints, transforms = m.transforms,
               colmap = m.colmap, retired = m.retired,
-              op = Some("merge"), opCols = keys)
+              op = Some("merge"), opCols = keys, txn = txn)
             catch {
               case e: java.util.ConcurrentModificationException =>
                 tries += 1; if (tries > MaxCommitRetries) throw e

@@ -35,6 +35,18 @@ object bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
 
+  /** Re-plan a streaming micro-batch as a BATCH DataFrame (what a V1
+    * `Sink.addBatch` needs to hand the table's write paths: the incoming
+    * Dataset carries streaming-incremental plan state that must not be
+    * re-analyzed — the same materialization `ForeachBatchSink` performs).
+    */
+  def batchDataFrame(spark: org.apache.spark.sql.SparkSession,
+                     rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                     schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
   /** Unpersist the RDD blocks backing a `localCheckpoint`ed Dataset.
     * `Dataset.unpersist` only clears CacheManager entries, not the
     * checkpoint RDD's storage — its `LogicalRDD` leaf (private[sql]) holds

@@ -1,0 +1,94 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.sources.ManifestTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** SQL maintenance faces (OPTIMIZE / VACUUM / DESCRIBE HISTORY): the whole
+  * compact-and-sweep lifecycle driven purely from `spark.sql`, with file
+  * counts asserted on disk — what an ops scheduler runs.
+  */
+class GraftSqlParserSpec extends SparkSpec {
+
+  private lazy val extSpark: SparkSession = {
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-sqlparser-test")
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_sqlp_wh").toString)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def dataFiles(path: String): Int = {
+    val root = java.nio.file.Paths.get(path, "data")
+    if (!java.nio.file.Files.exists(root)) 0
+    else {
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(p => p.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }
+  }
+
+  test("OPTIMIZE + VACUUM + DESCRIBE HISTORY drive the maintenance lifecycle from SQL") {
+    val s = extSpark
+    val path = Files.createTempDirectory("sqlp_opt").toString + "/t"
+    // 8 small files across two commits
+    ManifestTable.overwrite(s, path,
+      s.range(1000).select(col("id"), (col("id") * 2).as("v")).repartition(4))
+    ManifestTable.append(s, path,
+      s.range(1000, 2000).select(col("id"), (col("id") * 2).as("v")).repartition(4))
+    assert(dataFiles(path) === 8)
+
+    // quoted-path form
+    val opt = s.sql(s"OPTIMIZE '$path' TARGET 1000000 ROWS").collect()
+    assert(opt.head.getLong(0) === 3L, "compact commits version 3")
+    assert(opt.head.getLong(1) === 1L, "2000 rows fit one target-sized file")
+
+    // old files survive until VACUUM (readers of v1/v2 are unaffected)
+    assert(dataFiles(path) === 9)
+    val swept = s.sql(s"VACUUM '$path' RETAIN 1 VERSIONS").collect()
+    assert(swept.head.getLong(0) === 8L, "the 8 pre-compact files sweep")
+    assert(dataFiles(path) === 1)
+
+    val hist = s.sql(s"DESCRIBE HISTORY '$path'").collect()
+    assert(hist.map(_.getLong(0)).toSeq === Seq(3L),
+      "RETAIN 1 keeps only the current version's manifest")
+    assert(s.sql(s"DESCRIBE HISTORY '$path'").columns.take(2)
+      === Array("version", "committed_at"))
+    assert(ManifestTable.read(s, path).count() === 2000L, "data intact throughout")
+  }
+
+  test("maintenance statements resolve catalog table names, and PURGE materializes DVs") {
+    val s = extSpark
+    val path = Files.createTempDirectory("sqlp_name").toString + "/t"
+    ManifestTable.overwrite(s, path,
+      s.range(100).select(col("id"), (col("id") % 5).as("v")).coalesce(1))
+    ManifestTable.deleteVectorized(s, path, col("id") === 7L)
+    s.sql("DROP TABLE IF EXISTS sqlp_t")
+    s.sql(s"CREATE TABLE sqlp_t USING graft OPTIONS (path '$path')")
+    try {
+      val before = s.sql("DESCRIBE HISTORY sqlp_t").collect()
+      assert(before.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+      assert(before.last.getLong(3) === 1L, "version 2 carries one DV'd file")
+      // PURGE = rewriteDeletes: the DV entry leaves the manifest
+      s.sql("OPTIMIZE sqlp_t PURGE").collect()
+      val after = s.sql("DESCRIBE HISTORY sqlp_t").collect()
+      assert(after.last.getLong(0) === 3L && after.last.getLong(3) === 0L,
+        "after PURGE the current version has no deletion vectors")
+      assert(s.sql("SELECT count(*) FROM sqlp_t").head.getLong(0) === 99L)
+      // a non-graft name fails loudly, and unrelated SQL still parses
+      intercept[Exception] { s.sql("VACUUM nonexistent_table_xyz").collect() }
+      assert(s.sql("SELECT 1 + 1").head.getInt(0) === 2)
+    } finally s.sql("DROP TABLE IF EXISTS sqlp_t"): Unit
+  }
+}
