@@ -17,6 +17,7 @@ import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
   *
   * {{{
   *   OPTIMIZE t [TARGET n ROWS]      -- compact to ~n-row files (default 1M)
+  *   OPTIMIZE t ZORDER BY (a, b)     -- compact clustering on the Morton curve
   *   OPTIMIZE t PURGE                -- materialize deletion vectors away
   *   VACUUM t [RETAIN n VERSIONS]    -- drop unreferenced files (default 1)
   *   DESCRIBE HISTORY t              -- the commit chain, metadata-only
@@ -34,9 +35,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OptimizeRe(target, rows, purge) =>
+    case OptimizeRe(target, rows, zorder, purge) =>
       GraftOptimizeCommand(target,
-        Option(rows).map(_.toLong).getOrElse(1000000L), purge != null)
+        Option(rows).map(_.toLong).getOrElse(1000000L),
+        Option(zorder).map(_.split(",").map(_.trim.stripPrefix("`")
+          .stripSuffix("`")).toSeq).getOrElse(Nil),
+        purge != null)
     case VacuumRe(target, keep) =>
       GraftVacuumCommand(target, Option(keep).map(_.toInt).getOrElse(1))
     case HistoryRe(target) =>
@@ -65,7 +69,8 @@ object GraftSqlParser {
   // identifier — no spaces outside quotes/backticks
   private val T = """('[^']*'|`[^`]+`|[\w.$]+)"""
   private val OptimizeRe =
-    s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+TARGET\\s+(\\d+)\\s+ROWS)?(?:\\s+(PURGE))?\\s*;?\\s*""".r
+    (s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+TARGET\\s+(\\d+)\\s+ROWS)?""" +
+      """(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?(?:\s+(PURGE))?\s*;?\s*""").r
   private val VacuumRe =
     s"""(?is)\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS?)?\\s*;?\\s*""".r
   private val HistoryRe =
@@ -89,18 +94,22 @@ object GraftSqlParser {
 }
 
 /** `OPTIMIZE` — [[ManifestTable.compact]] (small-file + clustering
-  * maintenance), or [[ManifestTable.rewriteDeletes]] with `PURGE`
+  * maintenance; `ZORDER BY` clusters on the Morton curve instead of the
+  * stats-column range), or [[ManifestTable.rewriteDeletes]] with `PURGE`
   * (materialize accumulated deletion vectors). Returns the new version
   * and the snapshot's file count. */
 case class GraftOptimizeCommand(target: String, targetRows: Long,
+                                zorderCols: Seq[String],
                                 purge: Boolean) extends LeafRunnableCommand {
+  require(!(purge && zorderCols.nonEmpty),
+    "OPTIMIZE: PURGE and ZORDER BY are separate maintenance passes — run them as two statements")
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("n_files", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
     val v = if (purge) ManifestTable.rewriteDeletes(spark, path)
-            else ManifestTable.compact(spark, path, targetRows)
+            else ManifestTable.compact(spark, path, targetRows, zorderCols)
     // cached relations pin their snapshot; the next query must re-resolve
     spark.sessionState.catalog.invalidateAllCachedTables()
     Seq(Row(v, ManifestTable.filesMeta(spark, path).count()))

@@ -2676,14 +2676,34 @@ object ManifestTable {
     * re-clusters, so each output file covers a narrow stats range and
     * [[readRange]] stays selective — the OPTIMIZE-with-clustering behavior
     * of the big table formats, for free out of the same rewrite.
+    *
+    * `zorderBy` overrides the clustering key with the N-column Morton
+    * curve ([[graft.functions.ZOrder.clusterByN]]) — Delta's `OPTIMIZE …
+    * ZORDER BY`: each output file then covers a narrow range on EVERY
+    * named column at once, so multi-dimension zone-map pruning stays
+    * selective where a single-column range layout degrades. Partition
+    * columns still lead the range key, so rows stay grouped per output
+    * directory.
     */
-  def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): Long = {
+  def compact(spark: SparkSession, path: String, targetRowsPerFile: Long,
+              zorderBy: Seq[String] = Nil): Long = {
     require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
     val v = currentVersion(spark, path)
       .getOrElse(sys.error(s"no manifest table at $path"))
     val m = readManifest(spark, path, v)
+    val logical = logicalSchema(m)
+    zorderBy.foreach(c => require(logical.fieldNames.contains(c),
+      s"zorderBy: no column '$c' on $path"))
     val current = readVersion(spark, path, v)
-    val sized = (if (m.statsCols.nonEmpty) {
+    val sized = (if (zorderBy.nonEmpty) {
+      val total = current.count()
+      val n = math.max(1, math.ceil(total.toDouble / targetRowsPerFile).toInt)
+      val bits = graft.functions.ZOrder.defaultBits(zorderBy.length)
+      current.withColumn("__zv", graft.functions.ZOrder.interleaveN(
+          zorderBy.map(c => col(s"`$c`")), bits))
+        .repartitionByRange(n, (m.partitionCols :+ "__zv").map(col): _*)
+        .drop("__zv")
+    } else if (m.statsCols.nonEmpty) {
       // partition cols lead the range key so rows stay grouped per output
       // directory; within a partition, files tile the stats range
       val total = current.count()

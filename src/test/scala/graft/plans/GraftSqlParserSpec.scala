@@ -68,6 +68,26 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(ManifestTable.read(s, path).count() === 2000L, "data intact throughout")
   }
 
+  test("OPTIMIZE ZORDER BY re-clusters on the Morton curve: both dimensions prune after") {
+    val s = extSpark
+    val path = Files.createTempDirectory("sqlp_z").toString + "/t"
+    // a 64×64 grid laid out by x alone: y zone maps are useless until the
+    // Z-order pass co-clusters both dimensions
+    val grid = s.range(64L * 64).select(
+      (col("id") / 64).cast("long").as("x"), (col("id") % 64).as("y"))
+    ManifestTable.overwrite(s, path,
+      grid.repartitionByRange(16, col("x")), statsCols = Seq("x", "y"))
+    val (preY, total) = ManifestTable.prunedFiles(s, path, "y", 0L, 7L)
+    assert(total === 16 && preY.size === 16, "x-ranged layout cannot prune on y")
+    s.sql(s"OPTIMIZE '$path' TARGET 256 ROWS ZORDER BY (x, y)").collect()
+    val (postX, t2) = ManifestTable.prunedFiles(s, path, "x", 0L, 7L)
+    val (postY, _) = ManifestTable.prunedFiles(s, path, "y", 0L, 7L)
+    assert(t2 === 16 && postX.size <= 8 && postY.size <= 8,
+      s"after ZORDER both dimensions must prune, kept x=${postX.size} y=${postY.size} of $t2")
+    assert(ManifestTable.readRange(s, path, "y", 0L, 7L).count() === 64 * 8,
+      "results stay exact through the re-clustering")
+  }
+
   test("maintenance statements resolve catalog table names, and PURGE materializes DVs") {
     val s = extSpark
     val path = Files.createTempDirectory("sqlp_name").toString + "/t"
