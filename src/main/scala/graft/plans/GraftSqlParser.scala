@@ -45,6 +45,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftVacuumCommand(target, Option(keep).map(_.toInt).getOrElse(1))
     case HistoryRe(target) =>
       GraftHistoryCommand(target)
+    case DetailRe(target) =>
+      GraftDetailCommand(target)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -75,6 +77,8 @@ object GraftSqlParser {
     s"""(?is)\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS?)?\\s*;?\\s*""".r
   private val HistoryRe =
     s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$T\\s*;?\\s*""".r
+  private val DetailRe =
+    s"""(?is)\\s*DESCRIBE\\s+DETAIL\\s+$T\\s*;?\\s*""".r
 
   /** Table root of the statement target: a quoted literal IS the path; a
     * name resolves through the session (catalog table or temp view over a
@@ -126,6 +130,25 @@ case class GraftVacuumCommand(target: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
     Seq(Row(ManifestTable.vacuum(spark, path, keepVersions).toLong))
+  }
+}
+
+/** `DESCRIBE DETAIL` — [[ManifestTable.detail]]: the one-row table
+  * summary (version, files, bytes, layout), metadata-only. */
+case class GraftDetailCommand(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = true)(),
+    AttributeReference("partition_cols", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("stats_cols", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("bloom_cols", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("n_dv_files", LongType, nullable = false)(),
+    AttributeReference("n_constraints", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    ManifestTable.detail(spark, path).collect().toSeq
   }
 }
 

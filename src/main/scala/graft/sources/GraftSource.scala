@@ -85,11 +85,23 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
                             parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
     val path = parameters.getOrElse("path", sys.error("graft: 'path' is required"))
+    // startingTimestamp mirrors the batch face's timestampAsOf: resolve
+    // to the latest version committed at or before it — the stream then
+    // emits changes AFTER that version (the state you already hold)
+    val startingVersion = (parameters.get("startingVersion"),
+        parameters.get("startingTimestamp")) match {
+      case (Some(_), Some(_)) => sys.error(
+        "graft: specify either 'startingVersion' or 'startingTimestamp', not both")
+      case (Some(v), None) => Some(v.toLong)
+      case (None, Some(ts)) => Some(ManifestTable.versionAt(ctx.sparkSession,
+        path, GraftSource.parseTimestampMillis(ctx.sparkSession, ts)))
+      case _ => None
+    }
     new GraftStreamSource(ctx.sparkSession, path, metadataPath,
       parameters.get("maxFilesPerTrigger").map(_.toInt),
       parameters.get("maxBytesPerTrigger").map(GraftStreamSource.parseBytes),
       changeFeed = parameters.get("changeFeed").exists(_.toBoolean),
-      startingVersion = parameters.get("startingVersion").map(_.toLong))
+      startingVersion = startingVersion)
   }
 
   override def createRelation(ctx: SQLContext,

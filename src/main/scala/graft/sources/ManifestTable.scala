@@ -2284,6 +2284,24 @@ object ManifestTable {
       "n_constraints", "n_rows")
   }
 
+  /** One-row table-level summary — the DESCRIBE DETAIL surface: current
+    * version, file/DV/constraint counts, partition spec, stats/bloom
+    * columns, and total data bytes (null past the [[snapshotBytes]] RPC
+    * cap). Metadata-only.
+    */
+  def detail(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    Seq((path, v, m.files.size.toLong, snapshotBytes(spark, path, m),
+      m.partitionCols.mkString(","), m.statsCols.mkString(","),
+      m.bloomCols.mkString(","), m.dvs.size.toLong,
+      m.constraints.size.toLong))
+      .toDF("location", "version", "n_files", "size_bytes", "partition_cols",
+        "stats_cols", "bloom_cols", "n_dv_files", "n_constraints")
+  }
+
   /** Per-file metadata of the current snapshot — the `table$files`
     * surface: rel path, metadata row count (null when unrecorded), DV'd
     * deleted-row count, and the zone-map range per stats column as

@@ -106,6 +106,12 @@ class GraftSqlParserSpec extends SparkSpec {
       assert(after.last.getLong(0) === 3L && after.last.getLong(3) === 0L,
         "after PURGE the current version has no deletion vectors")
       assert(s.sql("SELECT count(*) FROM sqlp_t").head.getLong(0) === 99L)
+      // DESCRIBE DETAIL: the one-row ops summary
+      val det = s.sql("DESCRIBE DETAIL sqlp_t").collect()
+      assert(det.length === 1 &&
+        det.head.getAs[String]("location").stripPrefix("file:") === path)
+      assert(det.head.getAs[Long]("version") === 3L &&
+        det.head.getAs[Long]("n_files") === 1L)
       // a non-graft name fails loudly, and unrelated SQL still parses
       intercept[Exception] { s.sql("VACUUM nonexistent_table_xyz").collect() }
       assert(s.sql("SELECT 1 + 1").head.getInt(0) === 2)

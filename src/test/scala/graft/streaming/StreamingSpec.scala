@@ -1169,6 +1169,37 @@ class StreamingSpec extends SparkSpec {
       "the current manifest must carry the sink's batch watermark")
   }
 
+  test("startingTimestamp resolves the change-feed start like the batch face's timestampAsOf") {
+    import graft.sources.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("gsrc_sts").toString
+    val table = s"$dir/t"
+    ManifestTable.overwrite(spark, table,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1))
+    val t1 = java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(
+      table, "_manifests", "m000000000001.txt")).toMillis
+    Thread.sleep(30)
+    ManifestTable.append(spark, table, Seq((3L, "c")).toDF("id", "v"))
+    // position at the version committed ≤ t1 (= v1): only v2's changes emit
+    val q = spark.readStream.format("graft").option("path", table)
+      .option("changeFeed", "true").option("startingTimestamp", t1.toString).load()
+      .writeStream.format("memory").queryName("gsrc_sts_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gsrc_sts_out").select("id").as[Long].collect().sorted
+        === Array(3L), "the state at the timestamp is already held; only later commits emit")
+    } finally q.stop()
+    // both options together fail the query (source creation is async —
+    // the error surfaces on the first poll)
+    val bad = spark.readStream.format("graft").option("path", table)
+      .option("startingVersion", "1").option("startingTimestamp", t1.toString)
+      .load().writeStream.format("memory").queryName("gsrc_sts_bad")
+      .option("checkpointLocation", s"$dir/ckpt2").start()
+    try intercept[Exception] { bad.processAllAvailable() }
+    finally { if (bad.isActive) bad.stop() }
+  }
+
   test("followTable sees a deletion-vector commit as a delta (new visible rows of the DV'd file)") {
     import graft.sources.ManifestTable
     val dir = java.nio.file.Files.createTempDirectory("follow_dv").toString
