@@ -1554,6 +1554,22 @@ object SparkEntry {
               |WHERE price BETWEEN 100.00 AND 200.00""".stripMargin)
     }),
 
+    // ---- RESTORE (rollback): a good version, a bad backfill overwrite,
+    // then a metadata-only roll-back — the read must be exactly the good
+    // state, with the bad version still in history ----
+    "q_restore" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_restore").toString + "/t"
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.ManifestTable.overwrite(s, dir,
+        o.filter(col("o_orderkey") % 3 === 0))                       // v1: good
+      graft.sources.ManifestTable.overwrite(s, dir,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", lit(0.0)))                     // v2: bad backfill
+      graft.sources.ManifestTable.restore(s, dir, 1L)                // v3 = v1's state
+      graft.sources.ManifestTable.read(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
     // ---- snapshot diff (CDC-style audit of an incremental load) ----
     "q_snapshot_diff" -> ((s, d) => {
       val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
@@ -4060,6 +4076,11 @@ object SparkEntry {
       """SELECT o_orderkey, CAST(o_orderkey % 10000 AS DECIMAL(18,2)) AS price
         |FROM orders
         |WHERE (o_orderkey % 10000) BETWEEN 100 AND 200""".stripMargin,
+
+    // the rollback target re-derived: version 1 = the %3 slice
+    "q_restore" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 = 0""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH old AS (SELECT o_orderkey, o_totalprice FROM orders),

@@ -21,6 +21,9 @@ import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
   *   OPTIMIZE t PURGE                -- materialize deletion vectors away
   *   VACUUM t [RETAIN n VERSIONS]    -- drop unreferenced files (default 1)
   *   DESCRIBE HISTORY t              -- the commit chain, metadata-only
+  *   DESCRIBE DETAIL t               -- one-row table summary
+  *   RESTORE t TO VERSION n          -- roll back (a new commit; history kept)
+  *   RESTORE t TO TIMESTAMP 'ts'     -- same, resolved via the commit clock
   * }}}
   *
   * `t` is either a quoted table root path (`'/data/events'`) or a
@@ -47,6 +50,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftHistoryCommand(target)
     case DetailRe(target) =>
       GraftDetailCommand(target)
+    case RestoreRe(target, version, ts) =>
+      GraftRestoreCommand(target, Option(version).map(_.toLong),
+        Option(ts))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -79,6 +85,9 @@ object GraftSqlParser {
     s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$T\\s*;?\\s*""".r
   private val DetailRe =
     s"""(?is)\\s*DESCRIBE\\s+DETAIL\\s+$T\\s*;?\\s*""".r
+  private val RestoreRe =
+    (s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+""" +
+      """(?:VERSION\s+(\d+)|TIMESTAMP\s+'([^']+)')\s*;?\s*""").r
 
   /** Table root of the statement target: a quoted literal IS the path; a
     * name resolves through the session (catalog table or temp view over a
@@ -130,6 +139,26 @@ case class GraftVacuumCommand(target: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
     Seq(Row(ManifestTable.vacuum(spark, path, keepVersions).toLong))
+  }
+}
+
+/** `RESTORE … TO VERSION n | TO TIMESTAMP 'ts'` —
+  * [[ManifestTable.restore]]: roll the table back by committing a NEW
+  * version with the prior state's content; history is preserved, nothing
+  * rewrites. Returns the restored-from and new version numbers. */
+case class GraftRestoreCommand(target: String, version: Option[Long],
+                               timestamp: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_version", LongType, nullable = false)(),
+    AttributeReference("new_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    val to = version.getOrElse(ManifestTable.versionAt(spark, path,
+      graft.sources.GraftSource.parseTimestampMillis(spark,
+        timestamp.get)))
+    val v = ManifestTable.restore(spark, path, to)
+    spark.sessionState.catalog.invalidateAllCachedTables()
+    Seq(Row(to, v))
   }
 }
 

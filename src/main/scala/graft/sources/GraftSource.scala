@@ -191,13 +191,13 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
   }
 }
 
-private[sources] object GraftSource {
+private[graft] object GraftSource {
   /** `timestampAsOf` literal → epoch millis: raw epoch millis, ISO-8601
     * instants (`...Z` / offset), or zoneless date-times resolved in the
     * SESSION time zone (the zone every other temporal literal in the
     * session speaks). A bare date means its midnight.
     */
-  private[sources] def parseTimestampMillis(
+  private[graft] def parseTimestampMillis(
       spark: org.apache.spark.sql.SparkSession, s: String): Long = {
     val t = s.trim
     scala.util.Try(t.toLong).getOrElse {

@@ -2737,6 +2737,42 @@ object ManifestTable {
       transforms = m.transforms, colmap = m.colmap, retired = m.retired)
   }
 
+  /** ROLL BACK the table to a prior version's state — Delta's RESTORE:
+    * commits a NEW version whose content (files, schema, partitioning,
+    * stats, DVs, constraints, transforms, column mapping) is exactly
+    * `toVersion`'s. History is preserved — the bad versions stay readable
+    * and auditable between the restore points; nothing is deleted (the
+    * restored version's files still exist until [[vacuum]] claims
+    * otherwise, which it won't: they are referenced again). Metadata-only
+    * and O(manifest): at 100 TB, undoing a bad backfill is one commit,
+    * not a rewrite. Restoring to the current version is a no-op. Sink txn
+    * watermarks deliberately CARRY FORWARD from the current version, not
+    * the restored one — a restore must not make exactly-once sinks replay
+    * batches that did land.
+    */
+  def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
+    val cur = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    if (toVersion == cur) return cur
+    require(toVersion > 0 && toVersion < cur,
+      s"restore: version $toVersion is not a prior version of $path (current $cur)")
+    val target = readManifest(spark, path, toVersion)
+    val now = readManifest(spark, path, cur)
+    // sanity: every restored file must still exist (a too-aggressive
+    // vacuum may have swept unreferenced versions' files)
+    val f = fs(spark, path)
+    target.files.find(rel => !f.exists(new Path(dataDir(path), rel)))
+      .foreach(missing => sys.error(
+        s"restore: data file $missing of version $toVersion was vacuumed — " +
+          "that version is no longer restorable"))
+    commit(spark, path, cur + 1, target.schema, target.partitionCols,
+      target.files, target.statsCols, Map.empty, target.bloomCols,
+      carry = Some(target.copy(txns = now.txns)),
+      constraints = target.constraints, transforms = target.transforms,
+      colmap = target.colmap, retired = now.retired,
+      op = Some("restore"))
+  }
+
   /** Delete data files referenced by none of the `keepVersions` most recent
     * manifests, then the superseded manifests themselves. Returns the number
     * of data files deleted. Run only when no reader still holds a manifest

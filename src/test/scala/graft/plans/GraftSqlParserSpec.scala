@@ -88,6 +88,45 @@ class GraftSqlParserSpec extends SparkSpec {
       "results stay exact through the re-clustering")
   }
 
+  test("RESTORE rolls back as a new commit: history kept, DVs/constraints/stats restored, vacuum-safe") {
+    val s = extSpark
+    val path = Files.createTempDirectory("sqlp_restore").toString + "/t"
+    ManifestTable.overwrite(s, path,
+      s.range(100).select(col("id"), (col("id") % 7).as("v")).coalesce(1),
+      statsCols = Seq("id"))
+    ManifestTable.deleteVectorized(s, path, col("id") === 50L)        // v2: the good state
+    ManifestTable.overwrite(s, path,
+      s.range(5).select(col("id"), lit(0L).as("v")), Nil, Seq("id"))  // v3: the bad backfill
+    ManifestTable.append(s, path,
+      s.range(5, 8).select(col("id"), lit(0L).as("v")))               // v4: more damage
+    val out = s.sql(s"RESTORE '$path' TO VERSION 2").collect()
+    assert(out.head.getLong(0) === 2L && out.head.getLong(1) === 5L)
+    // the restored state is exactly v2's: 99 visible rows (the DV holds)
+    assert(ManifestTable.read(s, path).count() === 99L)
+    assert(ManifestTable.read(s, path).filter(col("id") === 50L).count() === 0L,
+      "the deletion vector must restore with the file list")
+    // zone maps restored: a range read prunes and answers exactly
+    assert(ManifestTable.fastCount(s, path) === Some(99L))
+    // history preserved — the bad versions remain readable between the points
+    assert(s.sql(s"DESCRIBE HISTORY '$path'").collect().map(_.getLong(0)).toSeq
+      === (1L to 5L))
+    assert(ManifestTable.readVersion(s, path, 3L).count() === 5L,
+      "the rolled-back version stays readable (auditable)")
+    // restoring to the current version is a no-op commit-wise
+    assert(s.sql(s"RESTORE '$path' TO VERSION 5").collect().head.getLong(1) === 5L)
+    // the rollback surfaces in the change feed as deletes+inserts
+    val types = ManifestTable.readChanges(s, path, 4L, 5L)
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ids 0 and 7 carry identical rows (v = id % 7 = 0) in both states
+    // and cancel in the diff: 99-2 inserts, 8-2 deletes
+    assert(types.getOrElse("insert", 0L) === 97L && types.getOrElse("delete", 0L) === 6L,
+      s"rollback CDC must re-insert the good state and delete the bad one, got $types")
+    // vacuum after restore keeps the restored files (they are referenced)
+    ManifestTable.vacuum(s, path, keepVersions = 1)
+    assert(ManifestTable.read(s, path).count() === 99L)
+  }
+
   test("maintenance statements resolve catalog table names, and PURGE materializes DVs") {
     val s = extSpark
     val path = Files.createTempDirectory("sqlp_name").toString + "/t"

@@ -7,12 +7,15 @@ import java.nio.file.Files
 
 /** Model-based fuzzing of the table format: random DML sequences
   * (append / COW delete / DV delete / update / merge / compact / rename /
-  * partition evolution) run against both the real table and an in-memory
-  * model of its rows; after EVERY operation the table must equal the
-  * model exactly, and the metadata fast paths must agree where defined.
+  * partition evolution / restore) run against both the real table and an
+  * in-memory model of its rows; after EVERY operation the table must
+  * equal the model exactly, the metadata fast paths must agree where
+  * defined, and a PRUNED point read through the relation face must find
+  * a model row (the read path that silently loses rows if any write path
+  * ever derives a partition value pruning disagrees with).
   * Fixed seed — failures reproduce; the value is the INTERACTIONS (a DV
-  * under a rename under an evolved spec …), which no single-feature spec
-  * enumerates.
+  * under a rename under an evolved spec, a restore across all of it …),
+  * which no single-feature spec enumerates.
   */
 class TableFuzzSpec extends SparkSpec {
   import spark.implicits._
@@ -44,6 +47,19 @@ class TableFuzzSpec extends SparkSpec {
             s"model=${want.take(8)}… (${want.size} rows)")
         ManifestTable.fastCount(spark, path).foreach(c =>
           assert(c === model.size.toLong, s"round $round after $op: fastCount"))
+        // pruned POINT read through the relation face: after an evolution
+        // the implied bucket filter must open the directory the row
+        // actually landed in — narrow-typed appends once broke exactly
+        // this (int-vs-long xxhash) while the full-scan check stayed green
+        if (model.nonEmpty) {
+          val (pid, pv) = model.minBy(_._1)
+          val rel = new GraftRelation(spark.sqlContext, path, None)
+          val found = rel.innerScan(Array("id", vName),
+              Array(org.apache.spark.sql.sources.EqualTo("id", pid)))
+            .as[(Long, Long)].collect().toSeq
+          assert(found === Seq((pid, pv)),
+            s"round $round after $op: pruned point read of id=$pid got $found")
+        }
       }
 
       val init = fresh(30)
@@ -51,8 +67,12 @@ class TableFuzzSpec extends SparkSpec {
       model = init.toMap
       check("create")
 
+      // restore targets must share the CURRENT logical schema (a restore
+      // across a rename is legal for the table but would desync this
+      // model's single vName); remember restorable checkpoints
+      var checkpoints = List.empty[(Long, Map[Long, Long], String, Boolean)]
       for (step <- 1 to 14) {
-        rnd.nextInt(8) match {
+        rnd.nextInt(9) match {
           case 0 => // append — sometimes with NARROW (int) physical types,
             // exercising the type-widening accept path under everything
             // else (values stay < 1000, so the upcast is value-identical)
@@ -110,9 +130,19 @@ class TableFuzzSpec extends SparkSpec {
               Seq(PartitionTransform("id_b", "bucket", 4, "id")))
             evolved = true
             check(s"$step evolve")
-          case _ => // PURGE accumulated DVs
+          case 8 => // PURGE accumulated DVs
             ManifestTable.rewriteDeletes(spark, path)
             check(s"$step purge")
+          case _ => // RESTORE to a remembered checkpoint (same-name only)
+            checkpoints.find { case (_, _, n, e) => n == vName && e == evolved } match {
+              case Some((v, snap, _, _)) =>
+                ManifestTable.restore(spark, path, v)
+                model = snap
+                check(s"$step restore->v$v")
+              case None => // nothing compatible yet: checkpoint instead
+                val v = ManifestTable.currentVersion(spark, path).get
+                checkpoints ::= ((v, model, vName, evolved))
+            }
         }
       }
       // version 1 still reads as the initial snapshot (time travel survives
