@@ -17,6 +17,7 @@ import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
   *
   * {{{
   *   OPTIMIZE t [TARGET n ROWS]      -- compact to ~n-row files (default 1M)
+  *   OPTIMIZE t WHERE p = '…'        -- compact only matching PARTITIONS
   *   OPTIMIZE t ZORDER BY (a, b)     -- compact clustering on the Morton curve
   *   OPTIMIZE t PURGE                -- materialize deletion vectors away
   *   VACUUM t [RETAIN n VERSIONS]    -- drop unreferenced files (default 1)
@@ -38,8 +39,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OptimizeRe(target, rows, zorder, purge) =>
-      GraftOptimizeCommand(target,
+    case OptimizeRe(target, where, rows, zorder, purge) =>
+      GraftOptimizeCommand(target, Option(where).map(_.trim),
         Option(rows).map(_.toLong).getOrElse(1000000L),
         Option(zorder).map(_.split(",").map(_.trim.stripPrefix("`")
           .stripSuffix("`")).toSeq).getOrElse(Nil),
@@ -77,7 +78,8 @@ object GraftSqlParser {
   // identifier — no spaces outside quotes/backticks
   private val T = """('[^']*'|`[^`]+`|[\w.$]+)"""
   private val OptimizeRe =
-    (s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+TARGET\\s+(\\d+)\\s+ROWS)?""" +
+    (s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(.+?))?""" +
+      """(?:\s+TARGET\s+(\d+)\s+ROWS)?""" +
       """(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?(?:\s+(PURGE))?\s*;?\s*""").r
   private val VacuumRe =
     s"""(?is)\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS?)?\\s*;?\\s*""".r
@@ -108,21 +110,29 @@ object GraftSqlParser {
 
 /** `OPTIMIZE` — [[ManifestTable.compact]] (small-file + clustering
   * maintenance; `ZORDER BY` clusters on the Morton curve instead of the
-  * stats-column range), or [[ManifestTable.rewriteDeletes]] with `PURGE`
-  * (materialize accumulated deletion vectors). Returns the new version
-  * and the snapshot's file count. */
-case class GraftOptimizeCommand(target: String, targetRows: Long,
+  * stats-column range; `WHERE` scopes the rewrite to matching PARTITIONS
+  * — at 100 TB the nightly job compacts yesterday's partition, never the
+  * table), or [[ManifestTable.rewriteDeletes]] with `PURGE` (materialize
+  * accumulated deletion vectors). Returns the new version and the
+  * snapshot's file count. */
+case class GraftOptimizeCommand(target: String, where: Option[String],
+                                targetRows: Long,
                                 zorderCols: Seq[String],
                                 purge: Boolean) extends LeafRunnableCommand {
-  require(!(purge && zorderCols.nonEmpty),
-    "OPTIMIZE: PURGE and ZORDER BY are separate maintenance passes — run them as two statements")
+  require(!(purge && (zorderCols.nonEmpty || where.isDefined)),
+    "OPTIMIZE: PURGE and WHERE/ZORDER BY are separate maintenance passes — run them as two statements")
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("n_files", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
     val v = if (purge) ManifestTable.rewriteDeletes(spark, path)
-            else ManifestTable.compact(spark, path, targetRows, zorderCols)
+            else where match {
+              case Some(w) => ManifestTable.compactWhere(spark, path,
+                org.apache.spark.sql.functions.expr(w), targetRows, zorderCols)
+              case None =>
+                ManifestTable.compact(spark, path, targetRows, zorderCols)
+            }
     // cached relations pin their snapshot; the next query must re-resolve
     spark.sessionState.catalog.invalidateAllCachedTables()
     Seq(Row(v, ManifestTable.filesMeta(spark, path).count()))

@@ -1135,12 +1135,22 @@ object ManifestTable {
     }.reduce(_ unionByName _)
   }
 
+  /** Deleted-row count above which the DV anti-join is left to the
+    * planner (AQE) instead of a forced broadcast: ~10M (fname, pos) rows
+    * is ~hundreds of MB serialized — past any sane broadcast budget. The
+    * manifest carries per-file DV cardinality, so the choice is free.
+    */
+  private val DvBroadcastRows = 10L * 1000 * 1000
+
   /** Read `rels` under `m`'s schema, applying `m`'s deletion vectors. Files
     * without a DV read exactly as before (zero cost when no DVs exist: the
     * split leaves `dvd` empty and the plan is the plain scan). DV'd files
-    * attach `_metadata` (file name + row index), anti-join the broadcast DV
-    * position set, and union back — deleted rows never leave the scan
-    * stage, and the big side is never shuffled.
+    * attach `_metadata` (file name + row index), anti-join the DV position
+    * set, and union back — deleted rows never leave the scan stage. The
+    * position side broadcasts while its manifest-recorded cardinality is
+    * small (the point-delete common case, big side never shuffled) and
+    * falls back to a planner-chosen join past [[DvBroadcastRows]] — a
+    * mass delete must not be a driver-OOM broadcast.
     */
   private[sources] def readRels(spark: SparkSession, path: String, m: Manifest,
                                 rels: Seq[String]): DataFrame = toLogical(
@@ -1150,9 +1160,12 @@ object ManifestTable {
       val (dvd, plain) = rels.partition(m.dvs.contains)
       val dvdDf = if (dvd.isEmpty) None else Some {
         val scan = rawScan(spark, path, m, dvd, withMeta = true)
-        val positions = dvPositions(spark, path, m, dvd)
+        val positions0 = dvPositions(spark, path, m, dvd)
           .select(col("fname").as("__dv_fname"), col("pos").as("__dv_pos"))
-        scan.join(broadcast(positions), Seq("__dv_fname", "__dv_pos"), "left_anti")
+        val deleted = dvd.map(rel => m.dvs(rel)._2).sum
+        val positions = if (deleted <= DvBroadcastRows) broadcast(positions0)
+                        else positions0
+        scan.join(positions, Seq("__dv_fname", "__dv_pos"), "left_anti")
           .select(m.schema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
       }
       val plainDf = if (plain.isEmpty) None
@@ -1334,22 +1347,8 @@ object ManifestTable {
     if (m.dvs.nonEmpty) return None
     // see fastMinMaxOf on the sidecar-collect trade
     val stats = statsFor(spark, path, m)
-    val zone = java.time.ZoneId.of(
-      spark.sessionState.conf.sessionLocalTimeZone)
     def parse(raw: String, dt: DataType): Option[Any] =
-      org.apache.spark.sql.graft.bridge.unescapePathValue(raw) match {
-        case None => Some(null)
-        case Some(s) =>
-          try {
-            val c = org.apache.spark.sql.catalyst.expressions.Cast(
-              org.apache.spark.sql.catalyst.expressions.Literal(
-                org.apache.spark.unsafe.types.UTF8String.fromString(s),
-                org.apache.spark.sql.types.StringType),
-              dt, Some(zone.getId))
-            Option(c.eval(null)).map(
-              org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(_, dt))
-          } catch { case scala.util.control.NonFatal(_) => None }
-      }
+      parsePartitionValue(spark, raw, dt)
     val groups = scala.collection.mutable.Map[Seq[Any],
       (Long, scala.collection.mutable.Map[String, (Any, Any)])]()
     val poisoned = scala.collection.mutable.Set[String]()
@@ -1395,6 +1394,28 @@ object ManifestTable {
         (key, n, mm.toMap.filter { case (c, _) => !poisoned.contains(c) })
     })
   }
+
+  /** Directory-name segment → typed partition value (Hive unescape, then
+    * a session-zone Cast back to the column type; None on parse failure —
+    * callers must then decline rather than mis-evaluate).
+    */
+  private def parsePartitionValue(spark: SparkSession, raw: String,
+                                  dt: DataType): Option[Any] =
+    org.apache.spark.sql.graft.bridge.unescapePathValue(raw) match {
+      case None => Some(null)
+      case Some(s) =>
+        try {
+          val zone = java.time.ZoneId.of(
+            spark.sessionState.conf.sessionLocalTimeZone)
+          val c = org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s),
+              org.apache.spark.sql.types.StringType),
+            dt, Some(zone.getId))
+          Option(c.eval(null)).map(
+            org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala(_, dt))
+        } catch { case scala.util.control.NonFatal(_) => None }
+    }
 
   /** Files of `version` whose zone map can satisfy `lo <= colName <= hi` —
     * plus every file with no recorded stats (unknown must be scanned).
@@ -2735,6 +2756,74 @@ object ManifestTable {
       collectStats(spark, path, files, m.schema, m.partitionCols, m.statsCols,
         m.bloomCols), m.bloomCols, constraints = m.constraints,
       transforms = m.transforms, colmap = m.colmap, retired = m.retired)
+  }
+
+  /** PARTITION-SCOPED compaction: rewrite only the partitions whose
+    * VALUES satisfy `predicate` (a boolean Column over partition columns
+    * — evaluated on the distinct partition tuples, partition-count-
+    * bounded, no data read for selection). At 100 TB nobody compacts the
+    * whole table; the nightly job compacts yesterday's partition. Files
+    * outside the matching directories carry into the new snapshot
+    * byte-identical with their stats; matching partitions rewrite sized
+    * (and re-clustered per the [[compact]] rules / `zorderBy`), their
+    * accumulated deletion vectors materializing away in the process.
+    * Rows where the predicate is NULL are untouched (predicate=true
+    * selects). Requires a uniform layout (directory arithmetic).
+    */
+  def compactWhere(spark: SparkSession, path: String, predicate: Column,
+                   targetRowsPerFile: Long,
+                   zorderBy: Seq[String] = Nil): Long = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    require(m.partitionCols.nonEmpty,
+      s"compactWhere: $path is unpartitioned — use compact()")
+    requireUniformLayout(m, "compactWhere")
+    // distinct partition tuples, parsed back to typed values; evaluate
+    // the predicate over them as a (partition-count-bounded) local frame
+    val partSchema = StructType(m.partitionCols.map(c => m.schema(c)).toArray)
+    val byDir: Map[String, Seq[String]] = m.files.groupBy(dirOf)
+    val tuples = byDir.keys.toSeq.sorted.map { dir =>
+      val vals = dir.split("/").zip(m.partitionCols).map { case (seg, c) =>
+        val i = seg.indexOf('=')
+        require(i > 0 && seg.substring(0, i) == c,
+          s"compactWhere: unexpected directory segment '$seg'")
+        parsePartitionValue(spark, seg.substring(i + 1), m.schema(c).dataType)
+          .getOrElse(sys.error(
+            s"compactWhere: cannot parse partition value '$seg' — " +
+              "the predicate cannot be evaluated safely"))
+      }
+      (dir, vals)
+    }
+    val dirDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        tuples.map { case (dir, vals) => Row.fromSeq(vals.toSeq :+ dir) }, 1),
+      StructType(partSchema.fields :+ StructField("__dir", StringType, nullable = false)))
+    val matching = dirDf.filter(coalesce(predicate, lit(false)))
+      .select(col("__dir")).collect().map(_.getString(0)).toSet
+    if (matching.isEmpty) return v
+    val touched = m.files.filter(rel => matching.contains(dirOf(rel)))
+    val scoped = readRels(spark, path, m, touched)
+    val sized = (if (zorderBy.nonEmpty) {
+      val logical = logicalSchema(m)
+      zorderBy.foreach(c => require(logical.fieldNames.contains(c),
+        s"zorderBy: no column '$c' on $path"))
+      val total = scoped.count()
+      val n = math.max(1, math.ceil(total.toDouble / targetRowsPerFile).toInt)
+      val bits = graft.functions.ZOrder.defaultBits(zorderBy.length)
+      scoped.withColumn("__zv", graft.functions.ZOrder.interleaveN(
+          zorderBy.map(c => col(s"`$c`")), bits))
+        .repartitionByRange(n, (m.partitionCols :+ "__zv").map(col): _*)
+        .drop("__zv")
+    } else if (m.statsCols.nonEmpty) {
+      val total = scoped.count()
+      val n = math.max(1, math.ceil(total.toDouble / targetRowsPerFile).toInt)
+      scoped.repartitionByRange(n, (m.partitionCols ++ m.statsCols).map(col): _*)
+    } else graft.operators.Maintenance.sizedRepartition(
+      scoped, m.partitionCols, targetRowsPerFile))
+      .localCheckpoint(true)
+    commitRewrite(spark, path, v, m, touched, sized)
   }
 
   /** ROLL BACK the table to a prior version's state — Delta's RESTORE:

@@ -88,6 +88,29 @@ class GraftSqlParserSpec extends SparkSpec {
       "results stay exact through the re-clustering")
   }
 
+  test("OPTIMIZE WHERE compacts only the matching partitions; others carry byte-identical") {
+    val s = extSpark
+    val path = Files.createTempDirectory("sqlp_optw").toString + "/t"
+    def slice(lo: Long, hi: Long) = s.range(lo, hi)
+      .select((col("id") % 4).as("p"), col("id")).repartition(2)
+    ManifestTable.overwrite(s, path, slice(0, 400), Seq("p"))
+    ManifestTable.append(s, path, slice(400, 800))
+    ManifestTable.append(s, path, slice(800, 1200))
+    def filesIn(p: Long): Seq[String] = {
+      val meta = ManifestTable.filesMeta(s, path).select("file")
+        .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq
+      meta.filter(_.startsWith(s"p=$p/"))
+    }
+    val before0 = filesIn(0); val before1 = filesIn(1)
+    assert(before1.size >= 3, s"setup: several files per partition, got ${before1.size}")
+    s.sql(s"OPTIMIZE '$path' WHERE p = 1 TARGET 1000000 ROWS").collect()
+    assert(filesIn(1).size === 1, "the matching partition collapses to one file")
+    assert(filesIn(0) === before0,
+      "non-matching partitions carry byte-identical (same manifest entries)")
+    assert(ManifestTable.read(s, path).count() === 1200L)
+    assert(ManifestTable.read(s, path).filter(col("p") === 1).count() === 300L)
+  }
+
   test("RESTORE rolls back as a new commit: history kept, DVs/constraints/stats restored, vacuum-safe") {
     val s = extSpark
     val path = Files.createTempDirectory("sqlp_restore").toString + "/t"
