@@ -47,8 +47,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         purge != null)
     case VacuumRe(target, keep) =>
       GraftVacuumCommand(target, Option(keep).map(_.toInt).getOrElse(1))
-    case HistoryRe(target) =>
-      GraftHistoryCommand(target)
+    case HistoryRe(target, limit) =>
+      GraftHistoryCommand(target, Option(limit).map(_.toInt))
     case DetailRe(target) =>
       GraftDetailCommand(target)
     case RestoreRe(target, version, ts) =>
@@ -84,7 +84,7 @@ object GraftSqlParser {
   private val VacuumRe =
     s"""(?is)\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS?)?\\s*;?\\s*""".r
   private val HistoryRe =
-    s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$T\\s*;?\\s*""".r
+    s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$T(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*""".r
   private val DetailRe =
     s"""(?is)\\s*DESCRIBE\\s+DETAIL\\s+$T\\s*;?\\s*""".r
   private val RestoreRe =
@@ -191,9 +191,11 @@ case class GraftDetailCommand(target: String) extends LeafRunnableCommand {
   }
 }
 
-/** `DESCRIBE HISTORY` — [[ManifestTable.history]]: one row per retained
-  * version, metadata-only (version count-bounded, no data IO). */
-case class GraftHistoryCommand(target: String) extends LeafRunnableCommand {
+/** `DESCRIBE HISTORY [LIMIT n]` — [[ManifestTable.history]]: one row per
+  * retained version, metadata-only; `LIMIT` parses only the latest n
+  * manifests (the recent tail ops actually looks at). */
+case class GraftHistoryCommand(target: String,
+                               limit: Option[Int] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("committed_at", TimestampType, nullable = false)(),
@@ -203,6 +205,6 @@ case class GraftHistoryCommand(target: String) extends LeafRunnableCommand {
     AttributeReference("n_rows", LongType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
-    ManifestTable.history(spark, path).collect().toSeq
+    ManifestTable.history(spark, path, limit).collect().toSeq
   }
 }

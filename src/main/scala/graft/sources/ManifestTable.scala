@@ -2284,7 +2284,13 @@ object ManifestTable {
     * versions report null rather than launch a job per version).
     * Metadata-only: no data file is opened.
     */
-  def history(spark: SparkSession, path: String): DataFrame = {
+  /** @param limit when set, only the LATEST `limit` versions are parsed
+    *        and reported — a 10⁵-commit table's `DESCRIBE HISTORY` must
+    *        not be 10⁵ manifest parses on the driver (ops looks at the
+    *        recent tail; the full chain stays available unlimited).
+    */
+  def history(spark: SparkSession, path: String,
+              limit: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val f = fs(spark, path)
     val dir = manifestDir(path)
@@ -2295,7 +2301,7 @@ object ManifestTable {
         .map(st => (st.getPath.getName.drop(1).dropRight(4).toLong,
           st.getModificationTime))
         .sortBy(_._1).toSeq
-    versions.map { case (v, mtime) =>
+    limit.foldLeft(versions)((vs, n) => vs.takeRight(n)).map { case (v, mtime) =>
       val m = readManifest(spark, path, v)
       val rows: Option[Long] =
         if (m.sidecar.isDefined) None else fastCountOf(spark, path, m)

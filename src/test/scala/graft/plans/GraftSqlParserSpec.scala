@@ -63,6 +63,8 @@ class GraftSqlParserSpec extends SparkSpec {
     val hist = s.sql(s"DESCRIBE HISTORY '$path'").collect()
     assert(hist.map(_.getLong(0)).toSeq === Seq(3L),
       "RETAIN 1 keeps only the current version's manifest")
+    assert(s.sql(s"DESCRIBE HISTORY '$path' LIMIT 1").collect()
+      .map(_.getLong(0)).toSeq === Seq(3L), "LIMIT takes the latest tail")
     assert(s.sql(s"DESCRIBE HISTORY '$path'").columns.take(2)
       === Array("version", "committed_at"))
     assert(ManifestTable.read(s, path).count() === 2000L, "data intact throughout")
@@ -133,6 +135,9 @@ class GraftSqlParserSpec extends SparkSpec {
     // history preserved — the bad versions remain readable between the points
     assert(s.sql(s"DESCRIBE HISTORY '$path'").collect().map(_.getLong(0)).toSeq
       === (1L to 5L))
+    assert(s.sql(s"DESCRIBE HISTORY '$path' LIMIT 2").collect()
+      .map(_.getLong(0)).toSeq === Seq(4L, 5L),
+      "LIMIT parses only the latest tail of the chain")
     assert(ManifestTable.readVersion(s, path, 3L).count() === 5L,
       "the rolled-back version stays readable (auditable)")
     // restoring to the current version is a no-op commit-wise
