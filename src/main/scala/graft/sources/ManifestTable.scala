@@ -530,8 +530,24 @@ object ManifestTable {
         to.op, to.opCols)
         .withColumn("_commit_version", lit(v + 1))
     }
-    steps.reduceOption(_ unionByName _).getOrElse(
+    balancedUnion(steps).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema))
+  }
+
+  /** Union a sequence of frames as a BALANCED binary tree — O(log n) plan
+    * DEPTH instead of the left-deep reduce's O(n). The node count is the
+    * same (one union per input, inherent), but a 10³-commit change range
+    * under a left-deep fold builds a plan the analyzer recurses a
+    * thousand frames deep on; balanced, the same range analyzes at depth
+    * ten. (Catch-up consumers additionally fold in bounded windows —
+    * `Streaming.followChanges` — so the node count itself stays small;
+    * this protects direct `changesFrom` reads over long ranges.)
+    */
+  private def balancedUnion(dfs: Seq[DataFrame]): Option[DataFrame] = {
+    var level = dfs
+    while (level.size > 1)
+      level = level.grouped(2).map(_.reduce(_ unionByName _)).toSeq
+    level.headOption
   }
 
   /** Stamp a commit step's diffed rows with their change types — the

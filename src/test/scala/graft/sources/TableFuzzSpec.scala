@@ -72,7 +72,7 @@ class TableFuzzSpec extends SparkSpec {
       // model's single vName); remember restorable checkpoints
       var checkpoints = List.empty[(Long, Map[Long, Long], String, Boolean)]
       for (step <- 1 to 14) {
-        rnd.nextInt(9) match {
+        rnd.nextInt(10) match {
           case 0 => // append — sometimes with NARROW (int) physical types,
             // exercising the type-widening accept path under everything
             // else (values stay < 1000, so the upcast is value-identical)
@@ -133,6 +133,17 @@ class TableFuzzSpec extends SparkSpec {
           case 8 => // PURGE accumulated DVs
             ManifestTable.rewriteDeletes(spark, path)
             check(s"$step purge")
+          case 9 if evolved => // partition-scoped compaction (rows invisible)
+            val b = rnd.nextInt(4)
+            try ManifestTable.compactWhere(spark, path,
+              col("id_b") === b.toLong, 32L)
+            catch {
+              case e: IllegalArgumentException
+                  if e.getMessage.contains("uniform partition layout") =>
+                ManifestTable.compact(spark, path, 64L)
+                ManifestTable.compactWhere(spark, path, col("id_b") === b.toLong, 32L)
+            }
+            check(s"$step compactWhere id_b=$b")
           case _ => // RESTORE to a remembered checkpoint (same-name only)
             checkpoints.find { case (_, _, n, e) => n == vName && e == evolved } match {
               case Some((v, snap, _, _)) =>
