@@ -18,6 +18,7 @@ import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
   * {{{
   *   OPTIMIZE t [TARGET n ROWS]      -- compact to ~n-row files (default 1M)
   *   OPTIMIZE t WHERE p = '…'        -- compact only matching PARTITIONS
+  *   OPTIMIZE t SMALLER THAN '64m'   -- bin-pack: rewrite only small files
   *   OPTIMIZE t ZORDER BY (a, b)     -- compact clustering on the Morton curve
   *   OPTIMIZE t PURGE                -- materialize deletion vectors away
   *   VACUUM t [RETAIN n VERSIONS]    -- drop unreferenced files (default 1)
@@ -39,8 +40,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OptimizeRe(target, where, rows, zorder, purge) =>
+    case OptimizeRe(target, where, smaller, rows, zorder, purge) =>
       GraftOptimizeCommand(target, Option(where).map(_.trim),
+        Option(smaller),
         Option(rows).map(_.toLong).getOrElse(1000000L),
         Option(zorder).map(_.split(",").map(_.trim.stripPrefix("`")
           .stripSuffix("`")).toSeq).getOrElse(Nil),
@@ -79,6 +81,7 @@ object GraftSqlParser {
   private val T = """('[^']*'|`[^`]+`|[\w.$]+)"""
   private val OptimizeRe =
     (s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(.+?))?""" +
+      """(?:\s+SMALLER\s+THAN\s+'([^']+)')?""" +
       """(?:\s+TARGET\s+(\d+)\s+ROWS)?""" +
       """(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?(?:\s+(PURGE))?\s*;?\s*""").r
   private val VacuumRe =
@@ -116,21 +119,26 @@ object GraftSqlParser {
   * accumulated deletion vectors). Returns the new version and the
   * snapshot's file count. */
 case class GraftOptimizeCommand(target: String, where: Option[String],
+                                smallerThan: Option[String],
                                 targetRows: Long,
                                 zorderCols: Seq[String],
                                 purge: Boolean) extends LeafRunnableCommand {
-  require(!(purge && (zorderCols.nonEmpty || where.isDefined)),
-    "OPTIMIZE: PURGE and WHERE/ZORDER BY are separate maintenance passes — run them as two statements")
+  require(!(purge && (zorderCols.nonEmpty || where.isDefined || smallerThan.isDefined)),
+    "OPTIMIZE: PURGE and WHERE/SMALLER THAN/ZORDER BY are separate maintenance passes — run them as two statements")
+  require(!(smallerThan.isDefined && (where.isDefined || zorderCols.nonEmpty)),
+    "OPTIMIZE: SMALLER THAN bin-packs whole-table; combine with WHERE/ZORDER BY as separate passes")
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("n_files", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
     val v = if (purge) ManifestTable.rewriteDeletes(spark, path)
-            else where match {
-              case Some(w) => ManifestTable.compactWhere(spark, path,
+            else (where, smallerThan) match {
+              case (Some(w), _) => ManifestTable.compactWhere(spark, path,
                 org.apache.spark.sql.functions.expr(w), targetRows, zorderCols)
-              case None =>
+              case (None, Some(sz)) => ManifestTable.compactSmall(spark, path,
+                graft.sources.GraftStreamSource.parseBytes(sz), targetRows)
+              case _ =>
                 ManifestTable.compact(spark, path, targetRows, zorderCols)
             }
     // cached relations pin their snapshot; the next query must re-resolve

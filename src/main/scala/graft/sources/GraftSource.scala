@@ -265,7 +265,7 @@ private[sources] object GraftSourceOffset {
   */
 object GraftStreamSource {
   /** `"134217728"`, `"128m"`, `"1g"`, `"512k"` → bytes. */
-  private[sources] def parseBytes(s: String): Long = {
+  private[graft] def parseBytes(s: String): Long = {
     val t = s.trim.toLowerCase
     val (num, mult) = t.last match {
       case 'k' => (t.dropRight(1), 1L << 10)

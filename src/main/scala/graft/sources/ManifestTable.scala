@@ -2780,6 +2780,36 @@ object ManifestTable {
       transforms = m.transforms, colmap = m.colmap, retired = m.retired)
   }
 
+  /** BIN-PACKING compaction: rewrite ONLY files smaller than
+    * `smallerThanBytes` into ~target-sized ones; every right-sized file
+    * carries into the new snapshot byte-identical with its stats — the
+    * incremental OPTIMIZE a 100 TB table actually runs (a full rewrite
+    * pays the whole table to fix a trickle of streaming-commit files;
+    * this pays only the trickle). File sizes come from one metadata RPC
+    * per file, manifest-bounded. A DV'd small file materializes its
+    * deletions in the rewrite, exactly like [[compact]]. No-op (current
+    * version, no commit) when fewer than two small files exist — one
+    * small file has nothing to merge WITH.
+    */
+  def compactSmall(spark: SparkSession, path: String, smallerThanBytes: Long,
+                   targetRowsPerFile: Long): Long = {
+    require(smallerThanBytes > 0 && targetRowsPerFile > 0,
+      "compactSmall thresholds must be positive")
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    val f = fs(spark, path)
+    val touched = m.files.filter { rel =>
+      try f.getFileStatus(new Path(dataDir(path), rel)).getLen < smallerThanBytes
+      catch { case _: java.io.IOException => false }
+    }
+    if (touched.size < 2) return v
+    val scoped = readRels(spark, path, m, touched)
+    val sized = graft.operators.Maintenance.sizedRepartition(
+      scoped, m.partitionCols, targetRowsPerFile).localCheckpoint(true)
+    commitRewrite(spark, path, v, m, touched, sized)
+  }
+
   /** PARTITION-SCOPED compaction: rewrite only the partitions whose
     * VALUES satisfy `predicate` (a boolean Column over partition columns
     * — evaluated on the distinct partition tuples, partition-count-

@@ -90,6 +90,32 @@ class GraftSqlParserSpec extends SparkSpec {
       "results stay exact through the re-clustering")
   }
 
+  test("OPTIMIZE SMALLER THAN bin-packs only the small files; right-sized ones carry") {
+    val s = extSpark
+    val path = Files.createTempDirectory("sqlp_binpack").toString + "/t"
+    // one big file, then a trickle of tiny streaming-style commits
+    ManifestTable.overwrite(s, path,
+      s.range(100000).select(col("id"), (col("id") * 3).as("v")).coalesce(1))
+    (0 until 4).foreach(i => ManifestTable.append(s, path,
+      s.range(100000 + i * 10, 100000 + i * 10 + 10)
+        .select(col("id"), (col("id") * 3).as("v")).coalesce(1)))
+    val before = ManifestTable.filesMeta(s, path).select("file")
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq
+    assert(before.size === 5)
+    s.sql(s"OPTIMIZE '$path' SMALLER THAN '64k' TARGET 1000000 ROWS").collect()
+    val after = ManifestTable.filesMeta(s, path).select("file")
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq
+    assert(after.size === 2, s"4 tiny files pack into 1, big file carries: $after")
+    assert(after.toSet.intersect(before.toSet).size === 1,
+      "the right-sized file's manifest entry is byte-identical (carried, not rewritten)")
+    assert(ManifestTable.read(s, path).count() === 100040L)
+    // idempotent-ish: a second pass has <2 small files → no commit
+    val v = ManifestTable.currentVersion(s, path).get
+    s.sql(s"OPTIMIZE '$path' SMALLER THAN '64k'").collect()
+    assert(ManifestTable.currentVersion(s, path).get === v,
+      "a single remaining small file has nothing to merge with — no-op")
+  }
+
   test("OPTIMIZE WHERE compacts only the matching partitions; others carry byte-identical") {
     val s = extSpark
     val path = Files.createTempDirectory("sqlp_optw").toString + "/t"
