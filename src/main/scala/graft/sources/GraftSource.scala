@@ -711,6 +711,11 @@ class GraftSink(spark: org.apache.spark.sql.SparkSession, path: String,
     // materialize it as a plain batch frame (the ForeachBatchSink move)
     val df = org.apache.spark.sql.graft.bridge.batchDataFrame(
       spark, data.queryExecution.toRdd, data.schema)
+    // an EMPTY micro-batch commits nothing — appending a rowless parquet
+    // file would leave a statless manifest entry that degrades the
+    // metadata fast paths on stats tables; skipping without recording the
+    // txn is safe (a replayed empty batch re-lands nothing by definition)
+    if (df.isEmpty) return
     if (keys.nonEmpty)
       ManifestTable.merge(spark, path, df, keys, partitionCols,
         txn = Some(sinkId -> batchId)): Unit

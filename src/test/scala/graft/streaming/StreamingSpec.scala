@@ -1160,6 +1160,12 @@ class StreamingSpec extends SparkSpec {
     assert(ManifestTable.read(spark, s"$root/a").select("id").as[Long]
       .collect().sorted === Array(10L, 11L),
       "the txn watermark in the manifest must absorb replays (exactly-once appends)")
+    // an empty micro-batch commits nothing (a rowless parquet file would
+    // degrade metadata fast paths); its replay is naturally idempotent
+    val vBefore = ManifestTable.currentVersion(spark, s"$root/a").get
+    sink.addBatch(2, batch().filter(col("id") < 0))
+    assert(ManifestTable.currentVersion(spark, s"$root/a").get === vBefore,
+      "empty batches must not commit")
     // the watermark rides the manifest chain, atomic with the data (the
     // text manifest is the spec'd on-disk contract)
     val v = ManifestTable.currentVersion(spark, s"$root/a").get
