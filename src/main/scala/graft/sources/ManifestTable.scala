@@ -679,6 +679,33 @@ object ManifestTable {
     * declaring `statsCols` on one must give zone maps, not an error —
     * and ISO-ish string timestamps.
     */
+  /** Max stored length of a STRING stat: longer values truncate to a
+    * sound BOUND (Iceberg's truncate transform on stats) — a stats
+    * declaration on a text column must not copy the document into every
+    * manifest entry. A prefix is a valid LOWER bound as-is; the UPPER
+    * bound needs the prefix's SUCCESSOR (increment the last code point,
+    * carrying left past U+FFFF values). Truncated bounds carry their own
+    * tags (`P:`/`Q:`) so the exact-extremes fast path declines them.
+    */
+  private val MaxStringStat = 64
+
+  /** Smallest string strictly greater than every string with prefix
+    * `s.take(n)`: increment the last incrementable code point of the
+    * prefix and drop what follows. None when nothing is incrementable
+    * (astronomically unlikely) — the caller then records no upper bound.
+    */
+  private[sources] def stringSuccessor(s: String): Option[String] = {
+    val cs = s.toCharArray
+    var i = cs.length - 1
+    while (i >= 0) {
+      // stay inside the BMP below the surrogate range so the result is a
+      // valid UTF-16 string that still byte-orders correctly
+      if (cs(i) < 0xD700) return Some(new String(cs, 0, i) + (cs(i) + 1).toChar)
+      i -= 1
+    }
+    None
+  }
+
   private def encodeStat(v: Any): String = v match {
     case l: Long => s"L:$l"
     case i: Int => s"L:${i.toLong}"
@@ -716,7 +743,32 @@ object ManifestTable {
       new java.math.BigDecimal(
         new java.math.BigInteger(p.substring(i + 1)), p.substring(0, i).toInt)
     case ("B:", p) => p == "1"
+    // truncated string BOUNDS (not exact extremes): prefix lower / successor upper
+    case ("P:", p) => java.net.URLDecoder.decode(p, "UTF-8")
+    case ("Q:", p) => java.net.URLDecoder.decode(p, "UTF-8")
     case _ => sys.error(s"bad stat encoding: $enc")
+  }
+
+  /** True when an encoded stat is an EXACT extreme (not a truncated
+    * bound) — what [[fastMinMaxOf]]/[[fastGroupAggOf]] may return. */
+  private def statExact(enc: String): Boolean =
+    !(enc.startsWith("P:") || enc.startsWith("Q:"))
+
+  /** Encode a (min, max) pair for the manifest, truncating oversized
+    * strings to sound bounds. */
+  private def encodeBounds(mn: Any, mx: Any): (String, String) = (mn, mx) match {
+    case (a: String, b: String)
+        if a.length > MaxStringStat || b.length > MaxStringStat =>
+      val lo = if (a.length > MaxStringStat)
+        "P:" + java.net.URLEncoder.encode(a.take(MaxStringStat), "UTF-8")
+      else encodeStat(a)
+      val hi = if (b.length > MaxStringStat)
+        stringSuccessor(b.take(MaxStringStat))
+          .map(s => "Q:" + java.net.URLEncoder.encode(s, "UTF-8"))
+          .getOrElse("") // no sound upper bound: record none
+      else encodeStat(b)
+      (lo, hi)
+    case _ => (encodeStat(mn), encodeStat(mx))
   }
 
   /** None when the two values cannot be ordered (unknown type pairing) —
@@ -988,8 +1040,14 @@ object ManifestTable {
         (BloomPrefix + c) -> ((Option(r.getAs[String](s"bloom_$c")), None))
       }
       rel -> (statsCols.map { c =>
-        c -> ((Option(r.getAs[Any](s"min_$c")).map(encodeStat),
-               Option(r.getAs[Any](s"max_$c")).map(encodeStat)))
+        val enc = (Option(r.getAs[Any](s"min_$c")),
+            Option(r.getAs[Any](s"max_$c"))) match {
+          case (Some(a), Some(b)) =>
+            val (lo, hi) = encodeBounds(a, b)
+            (Some(lo).filter(_.nonEmpty), Some(hi).filter(_.nonEmpty))
+          case (a, b) => (a.map(encodeStat), b.map(encodeStat))
+        }
+        c -> enc
       }.toMap ++ blooms + (RowsKey -> ((nrows, nrows))))
     }.toMap
   }
@@ -1323,6 +1381,12 @@ object ManifestTable {
     val stats = statsFor(spark, path, m)
     val perFile = m.files.map(rel => stats.get(rel).flatMap(_.get(colName)))
     if (perFile.exists(_.isEmpty)) return None // statless file: must scan
+    // truncated string BOUNDS (P:/Q: tags) or a one-sided entry (upper
+    // bound unrepresentable) are sound for PRUNING but are not the exact
+    // extremes this fast path promises — decline, the scan answers
+    if (perFile.flatten.exists { case (mn, mx) =>
+        mn.exists(!statExact(_)) || mx.exists(!statExact(_)) ||
+          mn.isDefined != mx.isDefined }) return None
     // (None, None) entries are all-null files: no values to contribute
     val ranges = perFile.flatten.collect {
       case (Some(mn), Some(mx)) => (decodeStat(mn), decodeStat(mx))
@@ -1387,7 +1451,8 @@ object ManifestTable {
         (0L, scala.collection.mutable.Map[String, (Any, Any)]()))
       m.statsCols.foreach { c =>
         fileStats.get(c) match {
-          case Some((Some(mnE), Some(mxE))) =>
+          case Some((Some(mnE), Some(mxE)))
+              if statExact(mnE) && statExact(mxE) =>
             val (mn, mx) = (decodeStat(mnE), decodeStat(mxE))
             mm.get(c) match {
               case None => mm(c) = (mn, mx)

@@ -403,6 +403,29 @@ class ManifestTableSpec extends SparkSpec {
       .filter(col("price") >= 6900 && col("price") <= 7000).count() === 14)
   }
 
+  test("long string stats truncate to sound bounds: small manifests, exact pruning, honest fast path") {
+    val path = tmpTable()
+    // 2 KB strings behind a short sortable prefix — a stats declaration
+    // on a text column must not copy documents into the manifest
+    val df = (0 until 200).map { i =>
+      (i.toLong, f"k$i%04d" + ("x" * 2000))
+    }.toDF("id", "s").repartitionByRange(10, col("id"))
+    ManifestTable.overwrite(spark, path, df, statsCols = Seq("id", "s"))
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_manifests", "m000000000001.txt")))
+    assert(txt.length < 10000,
+      s"10 files of 2 KB strings must truncate in the manifest, got ${txt.length} bytes")
+    // pruning on the prefix stays selective AND exact
+    val (kept, total) = ManifestTable.prunedFiles(spark, path, "s", "k0050", "k0059z")
+    assert(total === 10 && kept.size <= 2, s"kept ${kept.size}/$total")
+    assert(ManifestTable.readRange(spark, path, "s", "k0050", "k0059z").count() === 10)
+    // truncated bounds are sound for pruning but are NOT exact extremes —
+    // the metadata fast path must decline, not invent a truncated answer
+    assert(ManifestTable.fastMinMax(spark, path, "s") === None)
+    // short strings keep the exact path
+    assert(ManifestTable.fastMinMax(spark, path, "id").isDefined)
+  }
+
   test("boolean stats columns encode, round-trip, and prune") {
     val path = tmpTable()
     ManifestTable.overwrite(spark, path,
