@@ -32,8 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(_ => GraftUpdateRule)
     // SQL MERGE INTO over graft tables (transactional key-scoped upsert)
     e.injectResolutionRule(_ => GraftMergeRule)
-    // maintenance statements (OPTIMIZE / VACUUM / DESCRIBE HISTORY)
-    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // maintenance statements (OPTIMIZE / VACUUM / DESCRIBE HISTORY /
+    // RESTORE) + ALTER TABLE schema-evolution DDL over graft tables
+    e.injectParser((s, delegate) => new GraftSqlParser(s, delegate))
   }
 }
 

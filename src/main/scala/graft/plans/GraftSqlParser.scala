@@ -36,7 +36,8 @@ import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
   * (`OPTIMIZE`/`VACUUM` are not Spark keywords and a leading `DESCRIBE
   * HISTORY` is rejected by Spark's DESCRIBE rule).
   */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(session: SparkSession,
+                     delegate: ParserInterface) extends ParserInterface {
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
@@ -56,7 +57,48 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case RestoreRe(target, version, ts) =>
       GraftRestoreCommand(target, Option(version).map(_.toLong),
         Option(ts))
-    case _ => delegate.parsePlan(sqlText)
+    case other => interceptAlter(delegate.parsePlan(other))
+  }
+
+  /** Schema-evolution DDL over graft tables: Spark parses `ALTER TABLE …
+    * RENAME COLUMN / DROP COLUMN(S) / ADD COLUMNS` for every table but
+    * only EXECUTES them for v2 catalogs — a v1 session-catalog table dies
+    * in analysis ("only supported with v2 tables"). When the named table
+    * is a catalog table `USING graft`, lower the parsed command here to
+    * the metadata-only evolution commits ([[ManifestTable.renameColumn]]/
+    * [[ManifestTable.dropColumn]]/[[ManifestTable.addColumns]]); every
+    * other table passes through untouched, so no other format's behavior
+    * changes. Nested-field DDL passes through (graft columns are
+    * top-level).
+    */
+  private def interceptAlter(plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+    import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, DropColumns, RenameColumn}
+    def graftTarget(child: LogicalPlan): Option[(String, TableIdentifier)] =
+      child match {
+        case u: UnresolvedTable =>
+          GraftSqlParser.catalogGraftTarget(session, u.multipartIdentifier)
+        case _ => None
+      }
+    plan match {
+      case RenameColumn(child, col, newName) if col.name.length == 1 =>
+        graftTarget(child).map { case (p, id) =>
+          GraftRenameColumnCommand(p, id, col.name.head, newName)
+        }.getOrElse(plan)
+      case DropColumns(child, cols, ifExists) if cols.forall(_.name.length == 1) =>
+        graftTarget(child).map { case (p, id) =>
+          GraftDropColumnsCommand(p, id, cols.map(_.name.head), ifExists)
+        }.getOrElse(plan)
+      case AddColumns(child, cols)
+          if cols.forall(c => c.path.isEmpty && c.position.isEmpty &&
+            c.default.isEmpty) =>
+        graftTarget(child).map { case (p, id) =>
+          GraftAddColumnsCommand(p, id,
+            cols.map(c => org.apache.spark.sql.types.StructField(
+              c.colName, c.dataType, nullable = true)))
+        }.getOrElse(plan)
+      case p => p
+    }
   }
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
@@ -93,6 +135,48 @@ object GraftSqlParser {
   private val RestoreRe =
     (s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+""" +
       """(?:VERSION\s+(\d+)|TIMESTAMP\s+'([^']+)')\s*;?\s*""").r
+
+  /** The (table root, identifier) of a CATALOG table `USING graft`, or
+    * None for anything else (other providers, unknown names, views) —
+    * the guard that keeps the ALTER interception graft-only. */
+  private[plans] def catalogGraftTarget(spark: SparkSession,
+      parts: Seq[String]): Option[(String, TableIdentifier)] =
+    try {
+      val ident = parts match {
+        case Seq(t) => TableIdentifier(t)
+        case Seq(db, t) => TableIdentifier(t, Some(db))
+        case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
+          TableIdentifier(t, Some(db))
+        case _ => return None
+      }
+      val meta = spark.sessionState.catalog.getTableMetadata(ident)
+      if (meta.provider.exists(_.equalsIgnoreCase("graft")))
+        // the datasource `path` option is stored as the table LOCATION
+        meta.storage.locationUri.map(_.toString)
+          .orElse(meta.storage.properties.get("path"))
+          .orElse(meta.properties.get("path"))
+          .map(p => (p, ident))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** After a schema-evolution commit, re-align the CATALOG's stored
+    * schema with the table's new logical schema — the catalog remembers
+    * the create-time schema and scan resolution cross-checks it (the
+    * move Spark's own v1 ADD COLUMNS command makes). */
+  private[plans] def refreshCatalogSchema(spark: SparkSession, path: String,
+                                          ident: TableIdentifier): Unit = {
+    val catalog = spark.sessionState.catalog
+    // the SessionCatalog wrapper rejects column REMOVALS by design (it
+    // serves formats whose files carry fixed schemas); the graft manifest
+    // is the source of truth here, so write the stored schema through the
+    // external catalog directly — renames and drops included
+    catalog.externalCatalog.alterTableDataSchema(
+      ident.database.getOrElse(catalog.getCurrentDatabase),
+      ident.table,
+      ManifestTable.read(spark, path).schema)
+    catalog.refreshTable(ident)
+    catalog.invalidateAllCachedTables()
+  }
 
   /** Table root of the statement target: a quoted literal IS the path; a
     * name resolves through the session (catalog table or temp view over a
@@ -157,6 +241,52 @@ case class GraftVacuumCommand(target: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
     Seq(Row(ManifestTable.vacuum(spark, path, keepVersions).toLong))
+  }
+}
+
+/** `ALTER TABLE … RENAME COLUMN` on a graft table —
+  * [[ManifestTable.renameColumn]], a metadata-only commit through the
+  * column mapping. */
+case class GraftRenameColumnCommand(path: String, ident: TableIdentifier,
+                                    from: String, to: String)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    ManifestTable.renameColumn(spark, path, from, to)
+    GraftSqlParser.refreshCatalogSchema(spark, path, ident)
+    Nil
+  }
+}
+
+/** `ALTER TABLE … DROP COLUMN(S)` on a graft table —
+  * [[ManifestTable.dropColumn]] per column (each a metadata-only commit;
+  * the physical name retires). */
+case class GraftDropColumnsCommand(path: String, ident: TableIdentifier,
+                                   names: Seq[String],
+                                   ifExists: Boolean) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val have = ManifestTable.read(spark, path).columns.toSet
+    names.foreach { n =>
+      if (have.contains(n)) ManifestTable.dropColumn(spark, path, n): Unit
+      else if (!ifExists) sys.error(s"DROP COLUMN: no column '$n' on $path")
+    }
+    GraftSqlParser.refreshCatalogSchema(spark, path, ident)
+    Nil
+  }
+}
+
+/** `ALTER TABLE … ADD COLUMNS` on a graft table —
+  * [[ManifestTable.addColumns]] (one metadata-only commit; old files
+  * read NULL for the new columns). */
+case class GraftAddColumnsCommand(path: String, ident: TableIdentifier,
+                                  fields: Seq[org.apache.spark.sql.types.StructField])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    ManifestTable.addColumns(spark, path, fields)
+    GraftSqlParser.refreshCatalogSchema(spark, path, ident)
+    Nil
   }
 }
 

@@ -2523,6 +2523,43 @@ object ManifestTable {
       colmap = colmap2, retired = m.retired)
   }
 
+  /** Add NULLABLE columns in a metadata-only commit — the explicit DDL
+    * form of the add-column evolution that widening appends already
+    * perform ([[evolveSchema]]): existing files read NULL for the new
+    * columns, and each new column maps to a physical name that collides
+    * with nothing the table has ever used (current or retired), so a
+    * dropped namesake's old bytes can never resurrect.
+    */
+  def addColumns(spark: SparkSession, path: String,
+                 cols: Seq[StructField]): Long = {
+    require(cols.nonEmpty, "addColumns: no columns given")
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    val logical = logicalSchema(m)
+    cols.foreach { f =>
+      require(!logical.fieldNames.contains(f.name),
+        s"addColumns: column '${f.name}' already exists on $path")
+    }
+    require(cols.map(_.name).distinct.size == cols.size,
+      "addColumns: duplicate column names")
+    var taken = m.schema.fieldNames.toSet ++ m.retired
+    val mapped = cols.map { f0 =>
+      val f = f0.copy(nullable = true)
+      val ph = if (!taken.contains(f.name)) f.name
+               else Iterator.from(2).map(i => s"${f.name}_$i")
+                 .find(!taken.contains(_)).get
+      taken += ph
+      (f.copy(name = ph), f.name -> ph)
+    }
+    commit(spark, path, v + 1,
+      StructType(m.schema.fields ++ mapped.map(_._1)), m.partitionCols,
+      m.files, m.statsCols, Map.empty, m.bloomCols, carry = Some(m),
+      constraints = m.constraints, transforms = m.transforms,
+      colmap = m.colmap ++ mapped.collect { case (_, (lg, ph)) if lg != ph => lg -> ph },
+      retired = m.retired)
+  }
+
   /** Drop a column WITHOUT rewriting any data (metadata-only commit): the
     * field leaves the schema, old files' bytes for it are simply never
     * projected again, and its physical name is RETIRED — a later re-add

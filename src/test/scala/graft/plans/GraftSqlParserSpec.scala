@@ -90,6 +90,43 @@ class GraftSqlParserSpec extends SparkSpec {
       "results stay exact through the re-clustering")
   }
 
+  test("ALTER TABLE DDL (RENAME/DROP/ADD COLUMNS) lowers to metadata-only evolution for graft tables") {
+    val s = extSpark
+    val path = Files.createTempDirectory("sqlp_ddl").toString + "/t"
+    ManifestTable.overwrite(s, path,
+      s.range(10).select(col("id"), (col("id") * 2).as("v"),
+        (col("id") % 3).as("w")).coalesce(1))
+    s.sql("DROP TABLE IF EXISTS sqlp_ddl_t")
+    s.sql(s"CREATE TABLE sqlp_ddl_t USING graft OPTIONS (path '$path')")
+    try {
+      s.sql("ALTER TABLE sqlp_ddl_t RENAME COLUMN v TO measure")
+      assert(s.sql("SELECT sum(measure) FROM sqlp_ddl_t").head.getLong(0) === 90L,
+        "the rename is metadata-only and immediately visible through SQL")
+      s.sql("ALTER TABLE sqlp_ddl_t DROP COLUMN w")
+      assert(!s.table("sqlp_ddl_t").columns.contains("w"))
+      s.sql("ALTER TABLE sqlp_ddl_t ADD COLUMNS (note STRING, score BIGINT)")
+      val cols = s.table("sqlp_ddl_t").columns.toSeq
+      assert(cols === Seq("id", "measure", "note", "score"), s"got $cols")
+      assert(s.sql("SELECT count(*) FROM sqlp_ddl_t WHERE note IS NULL")
+        .head.getLong(0) === 10L, "old files read NULL for added columns")
+      // all three were metadata-only commits: same single data file
+      assert(ManifestTable.filesMeta(s, path).count() === 1L)
+      assert(ManifestTable.currentVersion(s, path).get === 4L)
+      // a dropped-then-re-added namesake maps fresh: old bytes never return
+      s.sql("ALTER TABLE sqlp_ddl_t ADD COLUMNS (w BIGINT)")
+      assert(s.sql("SELECT count(*) FROM sqlp_ddl_t WHERE w IS NULL")
+        .head.getLong(0) === 10L, "the re-added namesake must not resurrect dropped bytes")
+      // non-graft tables pass through to Spark's own DDL untouched
+      s.sql("DROP TABLE IF EXISTS sqlp_ddl_pq")
+      s.sql("CREATE TABLE sqlp_ddl_pq (a BIGINT) USING parquet")
+      s.sql("ALTER TABLE sqlp_ddl_pq ADD COLUMNS (b STRING)") // v1-supported: must still work
+      assert(s.table("sqlp_ddl_pq").columns.toSeq === Seq("a", "b"))
+    } finally {
+      s.sql("DROP TABLE IF EXISTS sqlp_ddl_t")
+      s.sql("DROP TABLE IF EXISTS sqlp_ddl_pq"): Unit
+    }
+  }
+
   test("OPTIMIZE SMALLER THAN bin-packs only the small files; right-sized ones carry") {
     val s = extSpark
     val path = Files.createTempDirectory("sqlp_binpack").toString + "/t"
