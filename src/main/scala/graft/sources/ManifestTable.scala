@@ -55,6 +55,20 @@ object ManifestTable {
 
   private val Header = "graft-manifest-v1"
 
+  /** Manifest PROTOCOL version this reader understands (Delta's
+    * `minReaderVersion`, Iceberg's `format-version`). Unknown-prefix lines
+    * are ignored by design — which is forward-compatible for ADDITIVE
+    * metadata but silently WRONG for semantics-bearing additions: a reader
+    * built before `dv=` lines existed would scan a DV'd table and
+    * resurrect its deleted rows. Every commit therefore stamps
+    * `format=N`; a reader that sees N greater than this constant must
+    * refuse loudly instead of returning a plausible-but-corrupt answer.
+    * Manifests with no format line predate the stamp and are format 1.
+    * Bump this (and the written line) on the next line type whose
+    * IGNORANCE would change query results.
+    */
+  private[sources] val FormatVersion = 1L
+
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -289,6 +303,16 @@ object ManifestTable {
     } finally in.close()
     val lines = text.split("\n").toSeq
     require(lines.headOption.contains(Header), s"not a graft manifest: version $version")
+    // protocol gate BEFORE any semantic parsing: a too-new manifest may
+    // carry line types whose absence from this parse silently corrupts
+    // results (the DV hazard) — fail loudly, never guess
+    val fmt = lines.find(_.startsWith("format="))
+      .map(_.stripPrefix("format=").trim.toLong).getOrElse(1L)
+    if (fmt > FormatVersion) throw new IllegalStateException(
+      s"table at $path was written with graft manifest format $fmt, but this " +
+        s"reader supports only up to format $FormatVersion — upgrade the graft " +
+        "library before reading, writing, or streaming this table " +
+        s"(manifest ${manifestName(version)})")
     val schema = DataType.fromJson(
       lines.find(_.startsWith("schema=")).get.stripPrefix("schema=")).asInstanceOf[StructType]
     val parts = lines.find(_.startsWith("partitions=")).get.stripPrefix("partitions=")
@@ -1727,6 +1751,7 @@ object ManifestTable {
       sidecarName = Some(name)
     }
     val body = (Seq(Header,
+      "format=" + FormatVersion,
       "schema=" + schema.json,
       "partitions=" + partitionCols.mkString(","),
       "statscols=" + statsCols.mkString(",")) ++

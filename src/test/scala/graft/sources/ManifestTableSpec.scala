@@ -696,4 +696,57 @@ class ManifestTableSpec extends SparkSpec {
     assert(left === 2, s"expected 2 retained manifests, found $left")
     assert(ManifestTable.read(spark, path).count() === 300L)
   }
+
+  test("format=N protocol gate: too-new manifests fail loudly on read/write/stream; legacy reads as v1") {
+    val path = tmpTable()
+    ManifestTable.overwrite(spark, path, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val m1 = java.nio.file.Paths.get(path, "_manifests", "m000000000001.txt")
+    val original = new String(java.nio.file.Files.readAllBytes(m1))
+    assert(original.contains("\nformat=1\n"), "commits must stamp the protocol line")
+
+    // a manifest from a FUTURE writer: the reader must refuse, not guess —
+    // an ignored semantics-bearing line (the dv= hazard) silently corrupts
+    java.nio.file.Files.write(m1,
+      original.replace("format=1", "format=99").getBytes("UTF-8"))
+    val r = intercept[IllegalStateException](ManifestTable.read(spark, path))
+    assert(r.getMessage.contains("format 99") && r.getMessage.contains("upgrade"))
+    // writes read their base manifest first, so they hit the same gate
+    val w = intercept[IllegalStateException](
+      ManifestTable.append(spark, path, Seq((3L, "c")).toDF("id", "v")))
+    assert(w.getMessage.contains("format 99"))
+    // streaming schema resolution reads the manifest too
+    val s = intercept[Exception](
+      spark.readStream.format("graft").load(path).schema)
+    assert(s.getMessage.contains("format 99") ||
+      Option(s.getCause).exists(_.getMessage.contains("format 99")))
+
+    // legacy pre-stamp manifests (no format line at all) parse as format 1
+    java.nio.file.Files.write(m1,
+      original.replace("format=1\n", "").getBytes("UTF-8"))
+    assert(ManifestTable.read(spark, path).count() === 2L)
+  }
+
+  test("versionAt resolves from explicit commit clocks; same-tick commits pick the highest version") {
+    val path = tmpTable()
+    ManifestTable.overwrite(spark, path, Seq((1L, "a")).toDF("id", "v"))
+    ManifestTable.append(spark, path, Seq((2L, "b")).toDF("id", "v"))
+    ManifestTable.append(spark, path, Seq((3L, "c")).toDF("id", "v"))
+    val mdir = java.nio.file.Paths.get(path, "_manifests")
+    // model a 1 s-granularity filesystem: v1 and v2 land in the SAME clock
+    // tick, v3 a full second later — exactly the aliasing that a
+    // sleep-20ms fixture cannot survive
+    val t = 1700000000000L
+    java.nio.file.Files.setLastModifiedTime(mdir.resolve("m000000000001.txt"),
+      java.nio.file.attribute.FileTime.fromMillis(t))
+    java.nio.file.Files.setLastModifiedTime(mdir.resolve("m000000000002.txt"),
+      java.nio.file.attribute.FileTime.fromMillis(t))
+    java.nio.file.Files.setLastModifiedTime(mdir.resolve("m000000000003.txt"),
+      java.nio.file.attribute.FileTime.fromMillis(t + 1000L))
+    assert(ManifestTable.versionAt(spark, path, t) === 2L) // tie → highest
+    assert(ManifestTable.versionAt(spark, path, t + 999L) === 2L)
+    assert(ManifestTable.versionAt(spark, path, t + 1000L) === 3L)
+    val e = intercept[IllegalArgumentException](
+      ManifestTable.versionAt(spark, path, t - 1L))
+    assert(e.getMessage.contains("predates"))
+  }
 }
