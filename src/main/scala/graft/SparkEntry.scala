@@ -1547,6 +1547,32 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_acctbal"))
     }),
 
+    // ---- SQL time travel (FOR VERSION AS OF / FOR TIMESTAMP AS OF, the
+    // Delta/Iceberg SELECT idiom): both pin syntaxes in ONE statement — a
+    // version-pinned read self-joined against a timestamp-pinned read of
+    // the same commit; any mis-pin (either face seeing v2) changes the
+    // row count. Commit clocks are pinned explicitly, never slept-for ----
+    "q_sql_time_travel" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ttsql").toString + "/t"
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      graft.sources.ManifestTable.overwrite(s, dir,
+        c.filter(col("c_custkey") % 2 === 0))
+      graft.sources.ManifestTable.append(s, dir,
+        c.filter(col("c_custkey") % 2 === 1))
+      val mdir = java.nio.file.Paths.get(dir, "_manifests")
+      val t1 = 1700000000000L
+      java.nio.file.Files.setLastModifiedTime(mdir.resolve("m000000000001.txt"),
+        java.nio.file.attribute.FileTime.fromMillis(t1))
+      java.nio.file.Files.setLastModifiedTime(mdir.resolve("m000000000002.txt"),
+        java.nio.file.attribute.FileTime.fromMillis(t1 + 60000L))
+      s.sql("DROP TABLE IF EXISTS q_ttsql_t")
+      s.sql(s"CREATE TABLE q_ttsql_t USING graft OPTIONS (path '$dir')")
+      s.sql(s"""SELECT v.c_custkey, v.c_acctbal
+               |FROM q_ttsql_t FOR VERSION AS OF 1 v
+               |JOIN q_ttsql_t FOR TIMESTAMP AS OF '$t1' ts
+               |  ON v.c_custkey = ts.c_custkey""".stripMargin)
+    }),
+
     // ---- DECIMAL stats columns: a DECIMAL(18,2) money column carries
     // zone maps (the real-scale shape the double fixtures mask) and a
     // range read over the clustered decimal prunes + answers exactly;
@@ -4079,6 +4105,11 @@ object SparkEntry {
     "q_webdataset" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |md5(text) AS digest FROM documents""".stripMargin,
+
+    // both SQL pins resolve to version 1 = the even-key half
+    "q_sql_time_travel" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey % 2 = 0""".stripMargin,
 
     // the timestamp resolves to version 1 = the even-key half
     "q_time_travel_ts" ->

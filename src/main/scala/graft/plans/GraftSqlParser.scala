@@ -22,11 +22,16 @@ import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
   *   OPTIMIZE t ZORDER BY (a, b)     -- compact clustering on the Morton curve
   *   OPTIMIZE t PURGE                -- materialize deletion vectors away
   *   VACUUM t [RETAIN n VERSIONS]    -- drop unreferenced files (default 1)
+  *   VACUUM t RETAIN n HOURS|DAYS    -- time-based retention on the commit clock
   *   DESCRIBE HISTORY t              -- the commit chain, metadata-only
   *   DESCRIBE DETAIL t               -- one-row table summary
   *   RESTORE t TO VERSION n          -- roll back (a new commit; history kept)
   *   RESTORE t TO TIMESTAMP 'ts'     -- same, resolved via the commit clock
   * }}}
+  *
+  * SELECT-side time travel (`FROM t FOR VERSION AS OF n` /
+  * `FOR TIMESTAMP AS OF 'ts'`) rides Spark's own grammar and is lowered
+  * in [[interceptTimeTravel]].
   *
   * `t` is either a quoted table root path (`'/data/events'`) or a
   * catalog/temp-view name resolving to a graft relation — the name form
@@ -48,8 +53,15 @@ class GraftSqlParser(session: SparkSession,
         Option(zorder).map(_.split(",").map(_.trim.stripPrefix("`")
           .stripSuffix("`")).toSeq).getOrElse(Nil),
         purge != null)
-    case VacuumRe(target, keep) =>
-      GraftVacuumCommand(target, Option(keep).map(_.toInt).getOrElse(1))
+    case VacuumRe(target, keep, unit) =>
+      (Option(keep), Option(unit).map(_.toUpperCase)) match {
+        case (Some(n), Some(u)) if u.startsWith("HOUR") =>
+          GraftVacuumCommand(target, 1, Some(n.toLong * 3600000L))
+        case (Some(n), Some(u)) if u.startsWith("DAY") =>
+          GraftVacuumCommand(target, 1, Some(n.toLong * 86400000L))
+        case (Some(n), _) => GraftVacuumCommand(target, n.toInt, None)
+        case _ => GraftVacuumCommand(target, 1, None)
+      }
     case HistoryRe(target, limit) =>
       GraftHistoryCommand(target, Option(limit).map(_.toInt))
     case DetailRe(target) =>
@@ -57,7 +69,80 @@ class GraftSqlParser(session: SparkSession,
     case RestoreRe(target, version, ts) =>
       GraftRestoreCommand(target, Option(version).map(_.toLong),
         Option(ts))
-    case other => interceptAlter(delegate.parsePlan(other))
+    case other => interceptTimeTravel(interceptAlter(delegate.parsePlan(other)))
+  }
+
+  /** SQL time travel (`SELECT … FROM t FOR VERSION AS OF n` /
+    * `FOR TIMESTAMP AS OF 'ts'`, the Delta/Iceberg idiom): Spark's own
+    * parser accepts the clause for EVERY table and emits a
+    * [[RelationTimeTravel]] node, but only DSv2 catalogs resolve it — a
+    * v1 relation dies in analysis. When the named table is graft, lower
+    * the node to the already-working pinned read face
+    * (`option("version", …)` → [[ManifestTable.readVersion]]), aliased
+    * under the original name so qualified column refs keep resolving.
+    * Any non-graft target keeps its node untouched (their catalogs — or
+    * Spark's error — behave exactly as before). Timestamps resolve
+    * through [[ManifestTable.versionAt]] on the commit clock, same as the
+    * reader-option face; subqueries and CTEs are covered by the
+    * bottom-up transform.
+    */
+  private def interceptTimeTravel(plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+    plan.transformUp {
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+        graftPathOf(u.multipartIdentifier) match {
+          case Some(path) =>
+            val version = ver match {
+              case Some(v) => scala.util.Try(v.trim.toLong).getOrElse(
+                sys.error(s"FOR VERSION AS OF: '$v' is not a version number"))
+              case None => ManifestTable.versionAt(session, path,
+                timeTravelMillis(ts.getOrElse(
+                  sys.error("time travel needs VERSION or TIMESTAMP"))))
+            }
+            val pinned = session.read.format("graft")
+              .option("version", version.toString).load(path)
+            SubqueryAlias(u.multipartIdentifier.last,
+              pinned.queryExecution.logical)
+          case None => tt
+        }
+    }
+  }
+
+  /** Table root when `parts` names a graft table — catalog `USING graft`
+    * first, then a temp view over a graft relation; None for everything
+    * else (the non-graft pass-through guard). */
+  private def graftPathOf(parts: Seq[String]): Option[String] =
+    GraftSqlParser.catalogGraftTarget(session, parts).map(_._1).orElse {
+      try session.table(parts.map(p => s"`$p`").mkString(".")).queryExecution
+        .analyzed.collectFirst {
+          case l: LogicalRelation if l.relation.isInstanceOf[GraftRelation] =>
+            l.relation.asInstanceOf[GraftRelation].tablePath
+        }
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** `FOR TIMESTAMP AS OF <expr>` → epoch millis. String literals take
+    * the reader-option grammar (epoch millis / ISO / session-zone
+    * date-times); any other FOLDABLE expression (e.g.
+    * `current_date() - INTERVAL 1 DAY`) folds through a timestamp cast.
+    * Non-foldable expressions are rejected loudly — the pin must be
+    * decidable at plan time, exactly as Delta requires. */
+  private def timeTravelMillis(e: Expression): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    e match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _: org.apache.spark.sql.types.StringType) =>
+        graft.sources.GraftSource.parseTimestampMillis(session, s.toString)
+      case other if other.foldable =>
+        val tz = session.sessionState.conf.sessionLocalTimeZone
+        Cast(other, TimestampType, Some(tz)).eval(null) match {
+          case micros: java.lang.Long => micros / 1000L
+          case _ => sys.error(s"FOR TIMESTAMP AS OF: '${other.sql}' is not a timestamp")
+        }
+      case other =>
+        sys.error("FOR TIMESTAMP AS OF needs a literal or foldable " +
+          s"timestamp expression, got '${other.sql}'")
+    }
   }
 
   /** Schema-evolution DDL over graft tables: Spark parses `ALTER TABLE …
@@ -127,7 +212,7 @@ object GraftSqlParser {
       """(?:\s+TARGET\s+(\d+)\s+ROWS)?""" +
       """(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?(?:\s+(PURGE))?\s*;?\s*""").r
   private val VacuumRe =
-    s"""(?is)\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS?)?\\s*;?\\s*""".r
+    s"""(?is)\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS?|HOURS?|DAYS?))?\\s*;?\\s*""".r
   private val HistoryRe =
     s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$T(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*""".r
   private val DetailRe =
@@ -231,16 +316,22 @@ case class GraftOptimizeCommand(target: String, where: Option[String],
   }
 }
 
-/** `VACUUM` — [[ManifestTable.vacuum]]: drop data files referenced by
-  * none of the retained manifests (plus aged scratch). Returns the number
-  * of data files deleted. */
+/** `VACUUM [RETAIN n VERSIONS | n HOURS | n DAYS]` —
+  * [[ManifestTable.vacuum]] (count-based) or
+  * [[ManifestTable.vacuumRetainMs]] (time-based, the scheduler idiom):
+  * drop data files referenced by none of the retained manifests (plus
+  * aged scratch). Returns the number of data files deleted. */
 case class GraftVacuumCommand(target: String,
-                              keepVersions: Int) extends LeafRunnableCommand {
+                              keepVersions: Int,
+                              retainMs: Option[Long] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("deleted_files", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
-    Seq(Row(ManifestTable.vacuum(spark, path, keepVersions).toLong))
+    Seq(Row(retainMs match {
+      case Some(ms) => ManifestTable.vacuumRetainMs(spark, path, ms).toLong
+      case None => ManifestTable.vacuum(spark, path, keepVersions).toLong
+    }))
   }
 }
 

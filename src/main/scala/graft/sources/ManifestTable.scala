@@ -3063,6 +3063,34 @@ object ManifestTable {
     vacuumData(spark, path, keepVersions)
   }
 
+  /** Time-based retention (`VACUUM t RETAIN n HOURS`, the idiom ops
+    * schedulers actually write — Delta's default is 168 hours): every
+    * version COMMITTED inside the window survives, resolved on the same
+    * commit clock [[versionAt]]/[[history]] read (the manifest mtime).
+    * The current version always survives, even when stale. Lowers to the
+    * count-based sweep by finding the oldest in-window version and
+    * keeping that suffix — commit clocks are monotone in version order,
+    * and if a doctored clock breaks monotonicity the suffix rule errs
+    * toward KEEPING (an over-retained file is storage; an over-deleted
+    * one is a broken reader). Metadata-only resolution: one dir listing.
+    */
+  def vacuumRetainMs(spark: SparkSession, path: String, retainMs: Long): Int = {
+    require(retainMs >= 0, "retention window must be non-negative")
+    val f = fs(spark, path)
+    val dir = manifestDir(path)
+    if (!f.exists(dir)) return 0
+    val stamped = f.listStatus(dir).filter { st =>
+      val n = st.getPath.getName
+      n.startsWith("m") && n.endsWith(".txt")
+    }.map(st => (st.getPath.getName.drop(1).dropRight(4).toLong,
+      st.getModificationTime)).sortBy(_._1)
+    if (stamped.isEmpty) return 0
+    val cutoff = System.currentTimeMillis() - retainMs
+    val firstKept = stamped.find(_._2 >= cutoff).map(_._1)
+      .getOrElse(stamped.last._1)
+    vacuum(spark, path, stamped.count(_._1 >= firstKept).max(1))
+  }
+
   private def vacuumData(spark: SparkSession, path: String, keepVersions: Int): Int = {
     require(keepVersions >= 1, "must keep at least the current version")
     val f = fs(spark, path)

@@ -247,4 +247,89 @@ class GraftSqlParserSpec extends SparkSpec {
       assert(s.sql("SELECT 1 + 1").head.getInt(0) === 2)
     } finally s.sql("DROP TABLE IF EXISTS sqlp_t"): Unit
   }
+
+  test("SELECT … FOR VERSION/TIMESTAMP AS OF pins graft reads; non-graft tables pass through") {
+    val s = extSpark
+    val path = Files.createTempDirectory("sqlp_tt").toString + "/t"
+    ManifestTable.overwrite(s, path,
+      s.range(10).select(col("id"), lit("v1").as("tag")))
+    ManifestTable.overwrite(s, path,
+      s.range(20).select(col("id"), lit("v2").as("tag")))
+    // pin the commit clocks explicitly (the de-flaked fixture discipline)
+    val mdir = java.nio.file.Paths.get(path, "_manifests")
+    val t1 = 1700000000000L
+    java.nio.file.Files.setLastModifiedTime(mdir.resolve("m000000000001.txt"),
+      java.nio.file.attribute.FileTime.fromMillis(t1))
+    java.nio.file.Files.setLastModifiedTime(mdir.resolve("m000000000002.txt"),
+      java.nio.file.attribute.FileTime.fromMillis(t1 + 3600000L))
+    s.sql("DROP TABLE IF EXISTS sqlp_tt")
+    s.sql(s"CREATE TABLE sqlp_tt USING graft OPTIONS (path '$path')")
+    try {
+      assert(s.sql("SELECT count(*) FROM sqlp_tt").head.getLong(0) === 20L)
+      // version pin, with and without the optional FOR, qualified refs intact
+      assert(s.sql("SELECT count(*) FROM sqlp_tt FOR VERSION AS OF 1").head.getLong(0) === 10L)
+      assert(s.sql(
+        "SELECT max(t.id) AS m FROM sqlp_tt VERSION AS OF 1 t").head.getLong(0) === 9L)
+      assert(s.sql("SELECT DISTINCT tag FROM sqlp_tt FOR VERSION AS OF 1")
+        .head.getString(0) === "v1")
+      // timestamp pin resolves on the commit clock (epoch-millis literal)
+      assert(s.sql(s"SELECT count(*) FROM sqlp_tt FOR TIMESTAMP AS OF '$t1'")
+        .head.getLong(0) === 10L)
+      assert(s.sql(s"SELECT count(*) FROM sqlp_tt FOR TIMESTAMP AS OF '${t1 + 7200000L}'")
+        .head.getLong(0) === 20L)
+      // a pinned version joins against the current one in a single query
+      assert(s.sql(
+        """SELECT count(*) FROM sqlp_tt cur
+          |JOIN sqlp_tt FOR VERSION AS OF 1 old ON cur.id = old.id""".stripMargin)
+        .head.getLong(0) === 10L)
+      // temp views over graft relations pin too
+      s.read.format("graft").load(path).createOrReplaceTempView("sqlp_tt_view")
+      assert(s.sql("SELECT count(*) FROM sqlp_tt_view FOR VERSION AS OF 1")
+        .head.getLong(0) === 10L)
+      // non-graft targets keep Spark's own behavior (v1 parquet: loud
+      // unsupported-time-travel analysis error, untouched by the hook)
+      s.range(5).write.mode("overwrite")
+        .parquet(path.stripSuffix("/t") + "/plain")
+      s.read.parquet(path.stripSuffix("/t") + "/plain")
+        .createOrReplaceTempView("sqlp_plain")
+      intercept[Exception] {
+        s.sql("SELECT * FROM sqlp_plain FOR VERSION AS OF 1").collect()
+      }
+      assert(s.sql("SELECT count(*) FROM sqlp_plain").head.getLong(0) === 5L)
+    } finally s.sql("DROP TABLE IF EXISTS sqlp_tt"): Unit
+  }
+
+  test("VACUUM RETAIN n HOURS sweeps on the commit clock; RESTORE-referenced files survive") {
+    val s = extSpark
+    val path = Files.createTempDirectory("sqlp_ret").toString + "/t"
+    ManifestTable.overwrite(s, path,
+      s.range(100).select(col("id"), lit("good").as("tag")).coalesce(1)) // v1
+    ManifestTable.overwrite(s, path,
+      s.range(50).select(col("id"), lit("bad").as("tag")).coalesce(1))   // v2
+    ManifestTable.restore(s, path, 1L)                                   // v3 = v1's files
+    assert(dataFiles(path) === 2)
+    val mdir = java.nio.file.Paths.get(path, "_manifests")
+    val now = System.currentTimeMillis()
+    // v1 and v2 committed 10 days ago; the restore commit is fresh
+    Seq("m000000000001.txt", "m000000000002.txt").foreach { n =>
+      java.nio.file.Files.setLastModifiedTime(mdir.resolve(n),
+        java.nio.file.attribute.FileTime.fromMillis(now - 10L * 86400000L))
+    }
+    // Delta's default window: one week. v1/v2 age out, v3 survives —
+    // and v1's data file survives WITH it (the restore references it).
+    s.sql(s"VACUUM '$path' RETAIN 168 HOURS").collect()
+    val manifests = new java.io.File(path, "_manifests").list()
+      .count(n => n.startsWith("m") && n.endsWith(".txt"))
+    assert(manifests === 1, s"only the in-window restore commit survives, found $manifests")
+    assert(dataFiles(path) === 1, "v2's orphaned file sweeps; v1's restored file survives")
+    val back = ManifestTable.read(s, path)
+    assert(back.count() === 100L &&
+      back.select("tag").distinct().head.getString(0) === "good")
+    // an all-inside-the-window sweep deletes nothing
+    val path2 = Files.createTempDirectory("sqlp_ret2").toString + "/t"
+    ManifestTable.overwrite(s, path2, s.range(10).toDF("id").coalesce(1))
+    ManifestTable.append(s, path2, s.range(10, 20).toDF("id").coalesce(1))
+    assert(s.sql(s"VACUUM '$path2' RETAIN 1 HOURS").head.getLong(0) === 0L)
+    assert(ManifestTable.read(s, path2).count() === 20L)
+  }
 }
