@@ -1547,6 +1547,26 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_acctbal"))
     }),
 
+    // ---- CTAS + transform DDL: a day-partitioned table created from SQL
+    // ALONE (CREATE TABLE … USING graft PARTITIONED BY (days(ts)) AS
+    // SELECT — the Iceberg DDL shape), then a month-range read that must
+    // open only matching day dirs (same pruning story as
+    // q_hidden_partition, but the table's whole lifecycle is SQL) ----
+    "q_sql_ctas" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_ctassql").toString
+      Tables.orders(s, d).createOrReplaceTempView("q_ctas_orders")
+      s.sql("DROP TABLE IF EXISTS q_ctas_t")
+      s.sql(s"""CREATE TABLE q_ctas_t USING graft
+               |PARTITIONED BY (days(o_orderdate))
+               |OPTIONS (path '$root/t', statscols 'o_orderkey')
+               |AS SELECT o_orderkey, o_totalprice, o_orderdate FROM q_ctas_orders
+               |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+               |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
+      s.sql("""SELECT o_orderkey, o_orderdate_day, o_totalprice FROM q_ctas_t
+              |WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+              |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
+    }),
+
     // ---- SQL time travel (FOR VERSION AS OF / FOR TIMESTAMP AS OF, the
     // Delta/Iceberg SELECT idiom): both pin syntaxes in ONE statement — a
     // version-pinned read self-joined against a timestamp-pinned read of
@@ -4105,6 +4125,13 @@ object SparkEntry {
     "q_webdataset" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |md5(text) AS digest FROM documents""".stripMargin,
+
+    // the DDL-derived day column re-computed from the source timestamp
+    "q_sql_ctas" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_day,
+        |o_totalprice FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
 
     // both SQL pins resolve to version 1 = the even-key half
     "q_sql_time_travel" ->

@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => RangeJoinRule)
     // manifest-answered COUNT/MIN/MAX over graft relations (exact-or-silent)
     e.injectOptimizerRule(_ => MetaAggregateRule)
+    // manifest row counts → CatalogStatistics, so CBO join reordering
+    // sees cardinality, not just bytes
+    e.injectOptimizerRule(_ => GraftStatsRule)
     // SQL DELETE over graft tables (copy-on-write row-level delete)
     e.injectResolutionRule(_ => GraftDeleteRule)
     // SQL UPDATE over graft tables (copy-on-write row-level update)

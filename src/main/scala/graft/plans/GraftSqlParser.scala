@@ -69,7 +69,40 @@ class GraftSqlParser(session: SparkSession,
     case RestoreRe(target, version, ts) =>
       GraftRestoreCommand(target, Option(version).map(_.toLong),
         Option(ts))
-    case other => interceptTimeTravel(interceptAlter(delegate.parsePlan(other)))
+    case other => interceptCtas(interceptTimeTravel(interceptAlter(delegate.parsePlan(other))))
+  }
+
+  /** CTAS + transform DDL (`CREATE TABLE t USING graft [PARTITIONED BY
+    * (days(ts), bucket(16, id), …)] [OPTIONS …] AS SELECT …`, Iceberg's
+    * DDL shape): Spark parses every CTAS into the v2
+    * [[CreateTableAsSelect]] plan, and the session catalog's v1
+    * conversion cannot carry function transforms — so a graft-provider
+    * CTAS is lowered here to [[GraftCtasCommand]]:
+    * [[ManifestTable.overwrite]] with the mapped transforms, then
+    * catalog registration. Plain `CREATE TABLE … USING graft` (no AS
+    * SELECT) keeps its existing v1 path; other providers' CTAS pass
+    * through untouched. */
+  private def interceptCtas(plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+    import org.apache.spark.sql.catalyst.plans.logical.{CreateTableAsSelect, UnresolvedTableSpec}
+    plan match {
+      case c: CreateTableAsSelect =>
+        (c.name, c.tableSpec) match {
+          case (u: UnresolvedIdentifier, ts: UnresolvedTableSpec)
+              if ts.provider.exists(_.equalsIgnoreCase("graft")) =>
+            // at parse time the OPTIONS live as (key, expression) pairs;
+            // graft options are string literals, so fold them here
+            val opts = ts.optionExpression.options.collect {
+              case (k, e) if e.foldable =>
+                k.toLowerCase(java.util.Locale.ROOT) ->
+                  Option(e.eval(null)).map(_.toString).getOrElse("")
+            }.toMap
+            GraftCtasCommand(u.nameParts, c.partitioning, c.query,
+              opts ++ c.writeOptions, ts.location, c.ignoreIfExists)
+          case _ => plan
+        }
+      case p => p
+    }
   }
 
   /** SQL time travel (`SELECT … FROM t FOR VERSION AS OF n` /
@@ -263,6 +296,29 @@ object GraftSqlParser {
     catalog.invalidateAllCachedTables()
   }
 
+  /** DDL `PARTITIONED BY` transforms → graft's partition spec: identity
+    * references become plain partition columns; `days(ts)` /
+    * `bucket(n, col)` / `truncate(col, n)` become the hidden-partition
+    * [[ManifestTable.PartitionTransform]]s (derived-column naming matches
+    * the Scala-face convention: `<col>_day` / `<col>_bucket` /
+    * `<col>_trunc`). Anything graft cannot derive — `months`/`years`/
+    * `hours`, multi-column buckets, nested refs — is rejected loudly at
+    * CREATE time, never silently dropped (a dropped transform would
+    * produce an unpartitioned 100 TB table that "works" until the first
+    * full scan). */
+  private[plans] def toGraftPartitioning(
+      parts: Seq[org.apache.spark.sql.connector.expressions.Transform])
+      : (Seq[String], Seq[ManifestTable.PartitionTransform]) = {
+    val neutral = org.apache.spark.sql.graft.bridge.v2Transforms(parts)
+    val pcols = neutral.collect { case ("identity", c, _) => c }
+    val derived = neutral.collect {
+      case ("days", c, _) => ManifestTable.PartitionTransform(s"${c}_day", "days", 0, c)
+      case ("bucket", c, n) => ManifestTable.PartitionTransform(s"${c}_bucket", "bucket", n, c)
+      case ("trunc", c, n) => ManifestTable.PartitionTransform(s"${c}_trunc", "trunc", n, c)
+    }
+    (pcols, derived)
+  }
+
   /** Table root of the statement target: a quoted literal IS the path; a
     * name resolves through the session (catalog table or temp view over a
     * graft relation). */
@@ -398,6 +454,58 @@ case class GraftRestoreCommand(target: String, version: Option[Long],
     val v = ManifestTable.restore(spark, path, to)
     spark.sessionState.catalog.invalidateAllCachedTables()
     Seq(Row(to, v))
+  }
+}
+
+/** `CREATE TABLE … USING graft [PARTITIONED BY (transforms)] AS SELECT`
+  * — run the source query, write it as version 1 of a new manifest table
+  * (with hidden-partition transforms derived exactly as the Scala face
+  * does), and register the name in the session catalog. The data path is
+  * `OPTIONS (path …)` / `LOCATION` when given, else the catalog's
+  * default table location — the same resolution every session-catalog
+  * CTAS uses. `statscols` / `bloomcols` options seed the table's stats
+  * columns so the created table prunes from day one. */
+case class GraftCtasCommand(nameParts: Seq[String],
+                            partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+                            query: LogicalPlan,
+                            options: Map[String, String],
+                            location: Option[String],
+                            ignoreIfExists: Boolean) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val ident = nameParts match {
+      case Seq(t) => TableIdentifier(t)
+      case Seq(db, t) => TableIdentifier(t, Some(db))
+      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
+        TableIdentifier(t, Some(db))
+      case _ => sys.error(
+        s"CREATE TABLE … USING graft: cannot resolve ${nameParts.mkString(".")} " +
+          "in the session catalog")
+    }
+    val catalog = spark.sessionState.catalog
+    if (catalog.tableExists(ident)) {
+      if (ignoreIfExists) return Nil
+      sys.error(s"CREATE TABLE: $ident already exists (use IF NOT EXISTS to skip)")
+    }
+    val path = options.get("path").orElse(location)
+      .getOrElse(catalog.defaultTablePath(ident).toString)
+    if (ManifestTable.currentVersion(spark, path).isDefined) {
+      if (ignoreIfExists) return Nil
+      sys.error(s"CREATE TABLE AS SELECT: a graft table already exists at $path")
+    }
+    val df = org.apache.spark.sql.graft.bridge.ofRows(spark, query)
+    val (pcols, transforms) = GraftSqlParser.toGraftPartitioning(partitioning)
+    def csv(k: String): Seq[String] =
+      options.get(k).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    ManifestTable.overwrite(spark, path, df, pcols,
+      statsCols = csv("statscols"), bloomCols = csv("bloomcols"),
+      transforms = transforms)
+    val quotedName = nameParts.map(p => s"`$p`").mkString(".")
+    val optStr = (options + ("path" -> path))
+      .map { case (k, v) => s"$k '${v.replace("'", "''")}'" }.mkString(", ")
+    spark.sql(s"CREATE TABLE $quotedName USING graft OPTIONS ($optStr)")
+    Nil
   }
 }
 

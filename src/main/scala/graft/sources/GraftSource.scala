@@ -787,9 +787,20 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
 
   /** Manifest-answered COUNT(*) for THIS relation's pinned snapshot — the
     * hook [[graft.plans.MetaAggregateRule]] uses to answer whole-table
-    * aggregates without a scan. */
-  private[graft] def metaCount: Option[Long] =
+    * aggregates without a scan. Cached: the optimizer consults it once
+    * per rule invocation and the snapshot is immutable. */
+  private[graft] lazy val metaCount: Option[Long] =
     ManifestTable.fastCountOf(spark, path, manifest)
+
+  /** [[metaCount]] restricted to DRIVER-CHEAP resolution: None when the
+    * snapshot's stats live in a distributed sidecar (above the file
+    * threshold), where an exact count costs a Spark job — acceptable
+    * inside a metadata-aggregate ANSWER, unacceptable during PLANNING.
+    * The CBO stats hook uses this: the tables whose cardinality decides
+    * join order are the small ones, and those are exactly the
+    * below-threshold manifests. */
+  private[graft] lazy val metaCountCheap: Option[Long] =
+    if (manifest.sidecar.isDefined) None else metaCount
 
   /** Manifest-answered MIN/MAX (zone maps) for the pinned snapshot. */
   private[graft] def metaMinMax(colName: String): Option[(Any, Any)] =

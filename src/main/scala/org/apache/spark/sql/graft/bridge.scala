@@ -58,6 +58,44 @@ object bridge {
       case _ => ()
     }
 
+  /** DDL `PARTITIONED BY` v2 transforms → a neutral `(kind, column, arg)`
+    * list: `("identity", col, 0)`, `("days", col, 0)`,
+    * `("bucket", col, n)`, `("trunc", col, n)`. The connector transform
+    * case classes (`IdentityTransform` et al.) are `private[sql]`, so the
+    * match lives here; callers map the neutral triples onto their own
+    * partition spec. Unsupported transforms (months/years/hours,
+    * multi-column buckets, nested refs) throw with the transform's
+    * `describe()` — never silently dropped.
+    */
+  def v2Transforms(parts: Seq[org.apache.spark.sql.connector.expressions.Transform])
+      : Seq[(String, String, Int)] = {
+    import org.apache.spark.sql.connector.expressions._
+    def nameOf(r: NamedReference): String = {
+      require(r.fieldNames.length == 1,
+        s"PARTITIONED BY: nested field '${r.describe()}' is not partitionable")
+      r.fieldNames.head
+    }
+    parts.map {
+      case it: IdentityTransform => ("identity", nameOf(it.ref), 0)
+      case dt: DaysTransform => ("days", nameOf(dt.ref), 0)
+      case bt: BucketTransform if bt.columns.length == 1 =>
+        ("bucket", nameOf(bt.columns.head), bt.numBuckets.value.toString.toInt)
+      case at: ApplyTransform
+          if at.name.equalsIgnoreCase("truncate") || at.name.equalsIgnoreCase("trunc") =>
+        val ref = at.args.collectFirst { case r: NamedReference => nameOf(r) }
+        val len = at.args.collectFirst { case LiteralValue(v, _) => v.toString.toInt }
+        (ref, len) match {
+          case (Some(c), Some(n)) if n > 0 => ("trunc", c, n)
+          case _ => throw new IllegalArgumentException(
+            "PARTITIONED BY: truncate needs a column and a positive length")
+        }
+      case other => throw new IllegalArgumentException(
+        s"PARTITIONED BY: transform '${other.describe()}' is not supported by " +
+          "graft tables — use identity columns, days(ts), bucket(n, col), " +
+          "or truncate(col, n)")
+    }
+  }
+
   /** Hive-style partition-directory escaping, exactly as Spark's writer
     * applies it (special chars percent-encoded, nulls →
     * `__HIVE_DEFAULT_PARTITION__`) — needed to map partition VALUES back to

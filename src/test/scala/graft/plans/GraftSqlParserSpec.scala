@@ -332,4 +332,72 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(s.sql(s"VACUUM '$path2' RETAIN 1 HOURS").head.getLong(0) === 0L)
     assert(ManifestTable.read(s, path2).count() === 20L)
   }
+
+  test("CTAS with transform DDL: PARTITIONED BY (days/bucket/truncate/identity) from SQL alone") {
+    val s = extSpark
+    val root = Files.createTempDirectory("sqlp_ctas").toString
+    s.range(200)
+      .selectExpr("id",
+        "timestamp_millis(1672531200000 + id * 43200000) AS ts", // 2023-01-01 +12h steps
+        "concat('name_', id % 7) AS name",
+        "id % 3 AS grp")
+      .createOrReplaceTempView("ctas_src")
+    s.sql("DROP TABLE IF EXISTS ctas_days")
+    try {
+      // days(ts) + identity column, path via OPTIONS
+      s.sql(s"""CREATE TABLE ctas_days USING graft
+               |PARTITIONED BY (grp, days(ts))
+               |OPTIONS (path '$root/days', statscols 'id')
+               |AS SELECT * FROM ctas_src""".stripMargin)
+      assert(s.sql("SELECT count(*) FROM ctas_days").head.getLong(0) === 200L)
+      // the hidden day column derived and laid out as directories
+      val dayDirs = new java.io.File(s"$root/days/data").listFiles()
+        .filter(_.isDirectory).map(_.getName)
+      assert(dayDirs.forall(_.startsWith("grp=")), s"outer layout: ${dayDirs.toSeq}")
+      val inner = new java.io.File(s"$root/days/data/grp=0").listFiles()
+        .filter(_.isDirectory).map(_.getName)
+      assert(inner.nonEmpty && inner.forall(_.startsWith("ts_day=")),
+        s"inner layout: ${inner.toSeq}")
+      // a day-range read prunes to matching dirs and answers exactly
+      assert(s.sql("""SELECT count(*) FROM ctas_days
+                     |WHERE ts >= TIMESTAMP '2023-01-10 00:00:00'
+                     |  AND ts < TIMESTAMP '2023-01-12 00:00:00'""".stripMargin)
+        .head.getLong(0) === 4L)
+      // stats option seeds zone maps on the created table
+      val (kept, total) = ManifestTable.prunedFiles(s, s"$root/days", "id", 0L, 3L)
+      assert(kept.size < total, s"statscols option must seed pruning ($kept of $total)")
+
+      // bucket + truncate transforms
+      s.sql("DROP TABLE IF EXISTS ctas_bkt")
+      s.sql(s"""CREATE TABLE ctas_bkt USING graft
+               |PARTITIONED BY (bucket(8, id), truncate(name, 5))
+               |OPTIONS (path '$root/bkt')
+               |AS SELECT id, name FROM ctas_src""".stripMargin)
+      assert(s.sql("SELECT count(*) FROM ctas_bkt").head.getLong(0) === 200L)
+      val bktDirs = new java.io.File(s"$root/bkt/data").listFiles()
+        .filter(_.isDirectory).map(_.getName)
+      assert(bktDirs.nonEmpty && bktDirs.forall(_.startsWith("id_bucket=")))
+
+      // IF NOT EXISTS short-circuits; a bare re-create fails loudly
+      s.sql(s"""CREATE TABLE IF NOT EXISTS ctas_days USING graft
+               |OPTIONS (path '$root/days') AS SELECT * FROM ctas_src""".stripMargin)
+      assert(s.sql("SELECT count(*) FROM ctas_days").head.getLong(0) === 200L)
+      intercept[Exception] {
+        s.sql(s"""CREATE TABLE ctas_days USING graft
+                 |OPTIONS (path '$root/days') AS SELECT * FROM ctas_src""".stripMargin)
+      }
+      // unsupported transforms are rejected loudly, not dropped
+      val e = intercept[Exception] {
+        s.sql(s"""CREATE TABLE ctas_bad USING graft PARTITIONED BY (months(ts))
+                 |OPTIONS (path '$root/bad') AS SELECT * FROM ctas_src""".stripMargin)
+      }
+      assert(e.getMessage.contains("not supported"))
+      // non-graft CTAS passes through to Spark's own path untouched
+      s.sql("DROP TABLE IF EXISTS ctas_pq")
+      s.sql(s"""CREATE TABLE ctas_pq USING parquet LOCATION '$root/pq'
+               |AS SELECT id FROM ctas_src""".stripMargin)
+      assert(s.sql("SELECT count(*) FROM ctas_pq").head.getLong(0) === 200L)
+    } finally Seq("ctas_days", "ctas_bkt", "ctas_pq").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+  }
 }

@@ -163,4 +163,68 @@ class GraftSourceSpec extends SparkSpec {
         s"small graft side should auto-broadcast:\n${plan.take(900)}")
     } finally spark.sql("DROP TABLE IF EXISTS gsz_t"): Unit
   }
+
+  test("manifest row counts reach CBO: a 3-way graft join reorders small-first without hints") {
+    // needs the injected optimizer rule → an extensions session
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_cbo_wh").toString)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    val root = Files.createTempDirectory("graft_cbo").toString
+    // stats-tracked tables: row counts ride the per-file stats map (a
+    // statless manifest deliberately contributes rowCount = None)
+    ManifestTable.overwrite(s, s"$root/big",
+      s.range(100000).select(col("id"), (col("id") * 2).as("bv")).coalesce(4),
+      statsCols = Seq("id"))
+    ManifestTable.overwrite(s, s"$root/mid",
+      s.range(1000).select(col("id"), (col("id") * 3).as("mv")).coalesce(1),
+      statsCols = Seq("id"))
+    ManifestTable.overwrite(s, s"$root/small",
+      s.range(10).select(col("id"), (col("id") * 5).as("sv")).coalesce(1),
+      statsCols = Seq("id"))
+    Seq("big", "mid", "small").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS cbo_$t")
+      s.sql(s"CREATE TABLE cbo_$t USING graft OPTIONS (path '$root/$t')")
+    }
+    try {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      // written big-first: without cardinalities the optimizer keeps this
+      // order; with manifest row counts CBO must join the two small
+      // tables first (their product is 10 rows, vs 1000 through big)
+      val q = s.sql(
+        """SELECT b.bv, m.mv, sm.sv FROM cbo_big b
+          |JOIN cbo_mid m ON b.id = m.id
+          |JOIN cbo_small sm ON m.id = sm.id""".stripMargin)
+      // every graft scan carries a row count in the optimized plan
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }
+      assert(scans.length === 3)
+      assert(scans.forall(_.stats.rowCount.isDefined),
+        s"manifest row counts must reach the plan: ${scans.map(_.stats.rowCount)}")
+      // the DEEPEST join of the optimized plan touches mid+small, not big
+      val joins = q.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joins.length === 2)
+      val innerNames = joins.last.output.map(_.name).toSet
+      assert(innerNames.contains("mv") && innerNames.contains("sv") &&
+        !innerNames.contains("bv"),
+        s"CBO must reorder mid⨝small first, got innermost output $innerNames")
+      assert(q.count() === 10L)
+    } finally {
+      s.conf.set("spark.sql.cbo.enabled", "false")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      Seq("big", "mid", "small").foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS cbo_$t"): Unit)
+    }
+  }
 }
