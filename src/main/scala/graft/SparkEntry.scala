@@ -1567,6 +1567,53 @@ object SparkEntry {
               |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
     }),
 
+    // ---- COPY INTO: idempotent landing-zone ingestion — two waves of
+    // parquet drops, with the FIRST wave copied TWICE (the re-run must
+    // absorb zero files; any ledger bug double-counts the even half).
+    // The table itself is declared empty from SQL DDL first ----
+    "q_sql_copy_into" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_copysql").toString
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      def land(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+        df.coalesce(1).write.parquet(s"$root/stage_$tag")
+        new java.io.File(s"$root/stage_$tag").listFiles()
+          .filter(_.getName.endsWith(".parquet")).foreach { f =>
+            java.nio.file.Files.createDirectories(
+              java.nio.file.Paths.get(s"$root/landing"))
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(s"$root/landing", s"${tag}_${f.getName}"))
+          }
+      }
+      land(o.filter(col("o_orderkey") % 2 === 0), "w1")
+      s.sql("DROP TABLE IF EXISTS q_copy_t")
+      s.sql(s"""CREATE TABLE q_copy_t (o_orderkey BIGINT, o_totalprice DOUBLE)
+               |USING graft OPTIONS (path '$root/t')""".stripMargin)
+      s.sql(s"COPY INTO q_copy_t FROM '$root/landing' FILEFORMAT = PARQUET PATTERN '*.parquet'").collect()
+      s.sql(s"COPY INTO q_copy_t FROM '$root/landing' FILEFORMAT = PARQUET PATTERN '*.parquet'").collect()
+      land(o.filter(col("o_orderkey") % 2 === 1), "w2")
+      s.sql(s"COPY INTO q_copy_t FROM '$root/landing' FILEFORMAT = PARQUET PATTERN '*.parquet'").collect()
+      s.sql("SELECT o_orderkey, o_totalprice FROM q_copy_t")
+    }),
+
+    // ---- CREATE OR REPLACE TABLE … AS SELECT: the replace is an
+    // overwrite COMMIT, so the pre-replace snapshot stays readable — the
+    // query reads BOTH generations (current %5 slice union the retained
+    // v1 %7 slice via FOR VERSION AS OF) in one statement ----
+    "q_sql_replace" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_rtassql").toString
+      Tables.orders(s, d).createOrReplaceTempView("q_rp_orders")
+      s.sql("DROP TABLE IF EXISTS q_rp_t")
+      s.sql(s"""CREATE TABLE q_rp_t USING graft OPTIONS (path '$root/t')
+               |AS SELECT o_orderkey, o_totalprice FROM q_rp_orders
+               |WHERE o_orderkey % 7 = 0""".stripMargin)
+      s.sql(s"""CREATE OR REPLACE TABLE q_rp_t USING graft
+               |AS SELECT o_orderkey, o_totalprice FROM q_rp_orders
+               |WHERE o_orderkey % 5 = 0""".stripMargin)
+      s.sql("""SELECT o_orderkey, o_totalprice FROM q_rp_t
+              |UNION ALL
+              |SELECT o_orderkey, o_totalprice FROM q_rp_t FOR VERSION AS OF 1""".stripMargin)
+    }),
+
     // ---- SQL time travel (FOR VERSION AS OF / FOR TIMESTAMP AS OF, the
     // Delta/Iceberg SELECT idiom): both pin syntaxes in ONE statement — a
     // version-pinned read self-joined against a timestamp-pinned read of
@@ -4125,6 +4172,16 @@ object SparkEntry {
     "q_webdataset" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |md5(text) AS digest FROM documents""".stripMargin,
+
+    // idempotent ingestion lands every order exactly once
+    "q_sql_copy_into" ->
+      """SELECT o_orderkey, o_totalprice FROM orders""".stripMargin,
+
+    // current (%5) generation union the retained pre-replace (%7) one
+    "q_sql_replace" ->
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 = 0""".stripMargin,
 
     // the DDL-derived day column re-computed from the source timestamp
     "q_sql_ctas" ->

@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(_ => GraftUpdateRule)
     // SQL MERGE INTO over graft tables (transactional key-scoped upsert)
     e.injectResolutionRule(_ => GraftMergeRule)
+    // INSERT INTO transform-partitioned tables: pad the hidden derived
+    // columns (the table re-derives them on write)
+    e.injectResolutionRule(_ => GraftInsertDeriveRule)
     // maintenance statements (OPTIMIZE / VACUUM / DESCRIBE HISTORY /
     // RESTORE) + ALTER TABLE schema-evolution DDL over graft tables
     e.injectParser((s, delegate) => new GraftSqlParser(s, delegate))

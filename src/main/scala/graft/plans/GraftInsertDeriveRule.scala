@@ -1,0 +1,41 @@
+package graft.plans
+
+import graft.sources.GraftRelation
+import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/** SQL `INSERT INTO` a transform-partitioned graft table: the derived
+  * (hidden-partition) columns — `ts_day`, `id_bucket`, … — are TABLE
+  * OUTPUTS, never user inputs: every write path drops and re-derives them
+  * from the manifest's transform spec, because a caller-supplied value
+  * could contradict the transform and land rows where pruning won't look.
+  * Spark's insert preprocessing, however, checks arity against the full
+  * relation schema (which exposes derived columns to reads) and rejects a
+  * logical-columns-only INSERT before the write path ever runs.
+  *
+  * This resolution rule closes the gap: when an INSERT's query supplies
+  * exactly the non-derived columns, pad it with typed NULLs for the
+  * derived ones — placeholders only; the append path drops them and
+  * re-derives the real values. An INSERT that explicitly lists columns
+  * (`INSERT INTO t (a, b)`), inserts by name, or already matches full
+  * arity is left untouched.
+  */
+object GraftInsertDeriveRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case i: InsertIntoStatement if !i.byName && i.userSpecifiedCols.isEmpty &&
+        i.query.resolved =>
+      i.table match {
+        case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation] =>
+          val derived = lr.relation.asInstanceOf[GraftRelation].derivedColumns.toSet
+          val missing = lr.schema.fields.filter(f => derived.contains(f.name))
+          if (missing.nonEmpty &&
+              i.query.output.size == lr.schema.size - missing.length) {
+            val pad = missing.toSeq.map(f => Alias(Literal(null, f.dataType), f.name)())
+            i.copy(query = Project(i.query.output ++ pad, i.query))
+          } else i
+        case _ => i
+      }
+  }
+}

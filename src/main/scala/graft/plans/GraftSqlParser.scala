@@ -27,6 +27,8 @@ import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
   *   DESCRIBE DETAIL t               -- one-row table summary
   *   RESTORE t TO VERSION n          -- roll back (a new commit; history kept)
   *   RESTORE t TO TIMESTAMP 'ts'     -- same, resolved via the commit clock
+  *   COPY INTO t FROM 'dir' FILEFORMAT = PARQUET [PATTERN 'g']
+  *                                   -- idempotent file-level ingestion
   * }}}
   *
   * SELECT-side time travel (`FROM t FOR VERSION AS OF n` /
@@ -69,6 +71,8 @@ class GraftSqlParser(session: SparkSession,
     case RestoreRe(target, version, ts) =>
       GraftRestoreCommand(target, Option(version).map(_.toLong),
         Option(ts))
+    case CopyIntoRe(target, src, format, pattern) =>
+      GraftCopyIntoCommand(target, src, format.toLowerCase, Option(pattern))
     case other => interceptCtas(interceptTimeTravel(interceptAlter(delegate.parsePlan(other))))
   }
 
@@ -84,21 +88,50 @@ class GraftSqlParser(session: SparkSession,
     * through untouched. */
   private def interceptCtas(plan: LogicalPlan): LogicalPlan = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
-    import org.apache.spark.sql.catalyst.plans.logical.{CreateTableAsSelect, UnresolvedTableSpec}
+    import org.apache.spark.sql.catalyst.plans.logical.{CreateTable, CreateTableAsSelect, ReplaceTableAsSelect, UnresolvedTableSpec}
+    // at parse time the OPTIONS live as (key, expression) pairs; graft
+    // options are string literals, so fold them here
+    def graftSpec(spec: org.apache.spark.sql.catalyst.plans.logical.TableSpecBase)
+        : Option[(Map[String, String], Option[String])] = spec match {
+      case ts: UnresolvedTableSpec if ts.provider.exists(_.equalsIgnoreCase("graft")) =>
+        Some((ts.optionExpression.options.collect {
+          case (k, e) if e.foldable =>
+            k.toLowerCase(java.util.Locale.ROOT) ->
+              Option(e.eval(null)).map(_.toString).getOrElse("")
+        }.toMap, ts.location))
+      case _ => None
+    }
+    // function transforms (days/bucket/truncate) are what the v1 catalog
+    // path cannot carry; identity-only PARTITIONED BY keeps the existing
+    // v1 CREATE TABLE behavior unchanged
+    def hasFunctionTransform(parts: Seq[org.apache.spark.sql.connector.expressions.Transform]) =
+      scala.util.Try(org.apache.spark.sql.graft.bridge.v2Transforms(parts))
+        .map(_.exists(_._1 != "identity")).getOrElse(true)
     plan match {
       case c: CreateTableAsSelect =>
-        (c.name, c.tableSpec) match {
-          case (u: UnresolvedIdentifier, ts: UnresolvedTableSpec)
-              if ts.provider.exists(_.equalsIgnoreCase("graft")) =>
-            // at parse time the OPTIONS live as (key, expression) pairs;
-            // graft options are string literals, so fold them here
-            val opts = ts.optionExpression.options.collect {
-              case (k, e) if e.foldable =>
-                k.toLowerCase(java.util.Locale.ROOT) ->
-                  Option(e.eval(null)).map(_.toString).getOrElse("")
-            }.toMap
+        (c.name, graftSpec(c.tableSpec)) match {
+          case (u: UnresolvedIdentifier, Some((opts, loc))) =>
             GraftCtasCommand(u.nameParts, c.partitioning, c.query,
-              opts ++ c.writeOptions, ts.location, c.ignoreIfExists)
+              opts ++ c.writeOptions, loc, c.ignoreIfExists)
+          case _ => plan
+        }
+      case r: ReplaceTableAsSelect =>
+        (r.name, graftSpec(r.tableSpec)) match {
+          case (u: UnresolvedIdentifier, Some((opts, loc))) =>
+            GraftRtasCommand(u.nameParts, r.partitioning, r.query,
+              opts ++ r.writeOptions, loc, r.orCreate)
+          case _ => plan
+        }
+      // a DECLARED schema (or a function transform) means "create the
+      // table"; the schema-less form (`CREATE TABLE t USING graft OPTIONS
+      // (path …)`) keeps the stock v1 register-over-existing-path behavior
+      case c: CreateTable if hasFunctionTransform(c.partitioning) || c.columns.nonEmpty =>
+        (c.name, graftSpec(c.tableSpec)) match {
+          case (u: UnresolvedIdentifier, Some((opts, loc))) =>
+            GraftCreateTableCommand(u.nameParts,
+              org.apache.spark.sql.types.StructType(c.columns.map(cd =>
+                org.apache.spark.sql.types.StructField(cd.name, cd.dataType, cd.nullable))),
+              c.partitioning, opts, loc, c.ignoreIfExists)
           case _ => plan
         }
       case p => p
@@ -253,6 +286,9 @@ object GraftSqlParser {
   private val RestoreRe =
     (s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+""" +
       """(?:VERSION\s+(\d+)|TIMESTAMP\s+'([^']+)')\s*;?\s*""").r
+  private val CopyIntoRe =
+    (s"""(?is)\\s*COPY\\s+INTO\\s+$T\\s+FROM\\s+'([^']+)'""" +
+      """\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=?\s*'([^']+)')?\s*;?\s*""").r
 
   /** The (table root, identifier) of a CATALOG table `USING graft`, or
     * None for anything else (other providers, unknown names, views) —
@@ -317,6 +353,30 @@ object GraftSqlParser {
       case ("trunc", c, n) => ManifestTable.PartitionTransform(s"${c}_trunc", "trunc", n, c)
     }
     (pcols, derived)
+  }
+
+  /** Session-catalog identifier for a DDL name (1-, 2-, or
+    * spark_catalog-qualified 3-part). */
+  private[plans] def sessionIdent(nameParts: Seq[String]): TableIdentifier =
+    nameParts match {
+      case Seq(t) => TableIdentifier(t)
+      case Seq(db, t) => TableIdentifier(t, Some(db))
+      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
+        TableIdentifier(t, Some(db))
+      case _ => sys.error(
+        s"USING graft DDL: cannot resolve ${nameParts.mkString(".")} " +
+          "in the session catalog")
+    }
+
+  /** Register `nameParts` as a catalog table over an existing graft root
+    * (the plain `CREATE TABLE … USING graft OPTIONS (path …)` move). */
+  private[plans] def registerGraft(spark: SparkSession, nameParts: Seq[String],
+                                   options: Map[String, String], path: String): Unit = {
+    val quotedName = nameParts.map(p => s"`$p`").mkString(".")
+    val optStr = (options + ("path" -> path))
+      .map { case (k, v) => s"$k '${v.replace("'", "''")}'" }.mkString(", ")
+    spark.sql(s"CREATE TABLE $quotedName USING graft OPTIONS ($optStr)")
+    ()
   }
 
   /** Table root of the statement target: a quoted literal IS the path; a
@@ -474,15 +534,7 @@ case class GraftCtasCommand(nameParts: Seq[String],
   override def output: Seq[Attribute] = Nil
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
   override def run(spark: SparkSession): Seq[Row] = {
-    val ident = nameParts match {
-      case Seq(t) => TableIdentifier(t)
-      case Seq(db, t) => TableIdentifier(t, Some(db))
-      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
-        TableIdentifier(t, Some(db))
-      case _ => sys.error(
-        s"CREATE TABLE … USING graft: cannot resolve ${nameParts.mkString(".")} " +
-          "in the session catalog")
-    }
+    val ident = GraftSqlParser.sessionIdent(nameParts)
     val catalog = spark.sessionState.catalog
     if (catalog.tableExists(ident)) {
       if (ignoreIfExists) return Nil
@@ -501,11 +553,149 @@ case class GraftCtasCommand(nameParts: Seq[String],
     ManifestTable.overwrite(spark, path, df, pcols,
       statsCols = csv("statscols"), bloomCols = csv("bloomcols"),
       transforms = transforms)
-    val quotedName = nameParts.map(p => s"`$p`").mkString(".")
-    val optStr = (options + ("path" -> path))
-      .map { case (k, v) => s"$k '${v.replace("'", "''")}'" }.mkString(", ")
-    spark.sql(s"CREATE TABLE $quotedName USING graft OPTIONS ($optStr)")
+    GraftSqlParser.registerGraft(spark, nameParts, options, path)
     Nil
+  }
+}
+
+/** `CREATE OR REPLACE TABLE … USING graft [PARTITIONED BY …] AS SELECT`
+  * — the atomic-swap idiom: on an existing table this is an OVERWRITE
+  * COMMIT (a new version; readers of the old snapshot are undisturbed
+  * and history/time-travel keep working — the lakehouse answer to "drop
+  * and recreate"), on a missing one it creates (REPLACE without OR
+  * CREATE on a missing table fails loudly, Delta's contract). The
+  * partition spec may change across the replace — overwrite lays out
+  * fresh, exactly like partition-spec evolution. */
+case class GraftRtasCommand(nameParts: Seq[String],
+                            partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+                            query: LogicalPlan,
+                            options: Map[String, String],
+                            location: Option[String],
+                            orCreate: Boolean) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val ident = GraftSqlParser.sessionIdent(nameParts)
+    val catalog = spark.sessionState.catalog
+    val registered = catalog.tableExists(ident)
+    // a registered name keeps ITS path (the replace targets the table,
+    // not a fresh location); otherwise options/location/default resolve
+    val path =
+      if (registered) GraftSqlParser.resolvePath(spark,
+        nameParts.map(p => s"`$p`").mkString("."))
+      else options.get("path").orElse(location)
+        .getOrElse(catalog.defaultTablePath(ident).toString)
+    val exists = registered || ManifestTable.currentVersion(spark, path).isDefined
+    if (!exists && !orCreate) sys.error(
+      s"REPLACE TABLE: ${nameParts.mkString(".")} does not exist " +
+        "(use CREATE OR REPLACE TABLE to create)")
+    val df = org.apache.spark.sql.graft.bridge.ofRows(spark, query)
+    val (pcols, transforms) = GraftSqlParser.toGraftPartitioning(partitioning)
+    def csv(k: String): Seq[String] =
+      options.get(k).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    ManifestTable.overwrite(spark, path, df, pcols,
+      statsCols = csv("statscols"), bloomCols = csv("bloomcols"),
+      transforms = transforms)
+    if (!registered) GraftSqlParser.registerGraft(spark, nameParts, options, path)
+    else {
+      // the replace may have changed the schema; re-align the catalog
+      GraftSqlParser.refreshCatalogSchema(spark, path, ident)
+      spark.sessionState.catalog.invalidateAllCachedTables()
+    }
+    Nil
+  }
+}
+
+/** `CREATE TABLE t (cols) USING graft PARTITIONED BY (days(ts), …)` —
+  * an EMPTY transform-partitioned table (the Iceberg DDL-first workflow:
+  * declare the layout, then INSERT/stream into it). Only reached when
+  * the spec carries a function transform — identity-only DDL keeps the
+  * stock v1 path. The declared schema commits as version 1 with zero
+  * data files; appends derive the hidden partition columns from the
+  * manifest's transform spec from then on. */
+case class GraftCreateTableCommand(nameParts: Seq[String],
+                                   tableSchema: StructType,
+                                   partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+                                   options: Map[String, String],
+                                   location: Option[String],
+                                   ignoreIfExists: Boolean) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val ident = GraftSqlParser.sessionIdent(nameParts)
+    val catalog = spark.sessionState.catalog
+    if (catalog.tableExists(ident)) {
+      if (ignoreIfExists) return Nil
+      sys.error(s"CREATE TABLE: $ident already exists (use IF NOT EXISTS to skip)")
+    }
+    val path = options.get("path").orElse(location)
+      .getOrElse(catalog.defaultTablePath(ident).toString)
+    if (ManifestTable.currentVersion(spark, path).isEmpty) {
+      val empty = spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), tableSchema)
+      val (pcols, transforms) = GraftSqlParser.toGraftPartitioning(partitioning)
+      def csv(k: String): Seq[String] =
+        options.get(k).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      ManifestTable.overwrite(spark, path, empty, pcols,
+        statsCols = csv("statscols"), bloomCols = csv("bloomcols"),
+        transforms = transforms)
+    }
+    GraftSqlParser.registerGraft(spark, nameParts, options, path)
+    Nil
+  }
+}
+
+/** `COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|JSON|CSV
+  * [PATTERN '<glob>']` — IDEMPOTENT file-level ingestion (the Delta
+  * idiom for landing-zone loads): every source file is ingested AT MOST
+  * ONCE, tracked by a ledger of absorbed file URIs carried in the
+  * manifest and committed ATOMICALLY with the data — a re-run after any
+  * partial failure loads exactly the files the table hasn't absorbed,
+  * never duplicating rows. Reads use the TABLE's schema (no inference
+  * scan over the landing zone); schema drift in the source fails the
+  * append loudly before any data lands. Returns
+  * `(version, files_loaded)`; an all-absorbed re-run is a no-op
+  * returning `files_loaded = 0` at the current version.
+  *
+  * Scale shape: the file diff is a driver-side set difference over file
+  * NAMES (metadata-bounded, same class as the manifest's own file list);
+  * the data movement is one distributed append over only the fresh
+  * files. Ledger growth is one line per absorbed file — the same order
+  * as the manifest's `file=` lines, and an overwrite resets it with the
+  * content it described. Racing identical COPYs are linearized by the
+  * append's commit race: the loser REBASES and re-commits its batch, so
+  * run concurrent COPYs over disjoint PATTERNs (the Delta contract). */
+case class GraftCopyIntoCommand(target: String, src: String,
+                                format: String,
+                                pattern: Option[String]) extends LeafRunnableCommand {
+  require(Set("parquet", "json", "csv").contains(format),
+    s"COPY INTO: FILEFORMAT must be PARQUET, JSON or CSV (got $format)")
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_loaded", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    val current = ManifestTable.currentVersion(spark, path).getOrElse(
+      sys.error(s"COPY INTO: no graft table at $path — CREATE TABLE first"))
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val glob = new org.apache.hadoop.fs.Path(srcPath, pattern.getOrElse("*"))
+    val found = Option(fs.globStatus(glob)).getOrElse(Array.empty)
+      .filter(_.isFile).map(st => fs.makeQualified(st.getPath).toString)
+      .filterNot(_.split("/").last.startsWith("_")) // _SUCCESS et al.
+      .sorted
+    val absorbed = ManifestTable.ingestedFiles(spark, path).toSet
+    val fresh = found.filterNot(absorbed)
+    if (fresh.isEmpty) return Seq(Row(current, 0L))
+    val schema = ManifestTable.schemaOf(spark, path)
+    val reader = spark.read.schema(schema)
+    val batch = format match {
+      case "parquet" => reader.parquet(fresh: _*)
+      case "json" => reader.json(fresh: _*)
+      case "csv" => reader.option("header", "true").csv(fresh: _*)
+    }
+    val v = ManifestTable.append(spark, path, batch, ingests = fresh.toSeq)
+    spark.sessionState.catalog.invalidateAllCachedTables()
+    Seq(Row(v, fresh.length.toLong))
   }
 }
 

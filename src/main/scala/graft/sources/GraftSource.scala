@@ -809,6 +809,13 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
   /** This relation's partition columns (for grouped metadata aggregates). */
   private[graft] def partitionColumns: Seq[String] = manifest.partitionCols
 
+  /** The snapshot's transform-DERIVED (hidden-partition) columns — the
+    * table computes these itself on every write; SQL INSERT resolution
+    * pads them ([[graft.plans.GraftInsertDeriveRule]]) so users write
+    * only the logical columns, exactly as the Scala append face works. */
+  private[graft] def derivedColumns: Seq[String] =
+    manifest.transforms.map(_.derived)
+
   /** Per-partition-group metadata aggregates for the pinned snapshot. */
   private[graft] def metaGroupAgg(groupCols: Seq[String])
       : Option[Seq[(Seq[Any], Long, Map[String, (Any, Any)])]] =

@@ -246,7 +246,8 @@ object ManifestTable {
                                        retired: Seq[String] = Nil,
                                        op: Option[String] = None,
                                        opCols: Seq[String] = Nil,
-                                       txns: Map[String, Long] = Map.empty)
+                                       txns: Map[String, Long] = Map.empty,
+                                       ingests: Seq[String] = Nil)
 
   /** The user-visible schema: physical fields renamed to their logical
     * names. Field order, types and nullability are the physical ones. */
@@ -375,11 +376,15 @@ object ManifestTable {
         val Array(id, b) = l.split("\\|", -1)
         java.net.URLDecoder.decode(id, "UTF-8") -> b.toLong
       }.toMap
+    // ingest=<urlencoded source file URI> — the COPY INTO idempotency
+    // ledger (which external files this table's content already absorbed)
+    val ingests = lines.filter(_.startsWith("ingest="))
+      .map(l => java.net.URLDecoder.decode(l.stripPrefix("ingest="), "UTF-8"))
     Manifest(version, schema,
       if (parts.isEmpty) Nil else parts.split(",").toSeq,
       lines.filter(_.startsWith("file=")).map(_.stripPrefix("file=")),
       statsCols, stats, bloomCols, sidecar, dvs, constraints, transforms,
-      colmap, retired, op, opCols, txns)
+      colmap, retired, op, opCols, txns, ingests)
   }
 
   /** LOGICAL schema of a committed version, straight from its manifest (no
@@ -414,6 +419,19 @@ object ManifestTable {
         s"commit of $path (earliest: ${new java.sql.Timestamp(stamped.map(_._2).min)})")
     eligible.maxBy(_._1)._1
   }
+
+  /** The COPY INTO idempotency ledger of the CURRENT version: which
+    * external source files this table's content already absorbed.
+    * Metadata-only (one manifest read). */
+  def ingestedFiles(spark: SparkSession, path: String): Seq[String] =
+    currentVersion(spark, path)
+      .map(v => readManifest(spark, path, v).ingests).getOrElse(Nil)
+
+  /** LOGICAL schema of the current version, metadata-only. */
+  def schemaOf(spark: SparkSession, path: String): StructType =
+    logicalSchema(readManifest(spark, path,
+      currentVersion(spark, path).getOrElse(
+        sys.error(s"no manifest table at $path"))))
 
   /** Snapshot read of the current version (time travel: [[readVersion]]). */
   def read(spark: SparkSession, path: String): DataFrame =
@@ -1668,7 +1686,8 @@ object ManifestTable {
                               retired: Seq[String] = Nil,
                               op: Option[String] = None,
                               opCols: Seq[String] = Nil,
-                              txn: Option[(String, Long)] = None): Long = {
+                              txn: Option[(String, Long)] = None,
+                              ingests: Seq[String] = Nil): Long = {
     val f = fs(spark, path)
     f.mkdirs(manifestDir(path))
     val fileSet = files.toSet
@@ -1769,6 +1788,10 @@ object ManifestTable {
       (carry.map(_.txns).getOrElse(Map.empty) ++ txn).toSeq.sortBy(_._1)
         .map { case (id, b) =>
           s"txn=${java.net.URLEncoder.encode(id, "UTF-8")}|$b" } ++
+      // COPY INTO ledger: carried like txn watermarks (append chains keep
+      // it; an overwrite replaces the content, so the ledger resets too)
+      (carry.map(_.ingests).getOrElse(Nil) ++ ingests).distinct.sorted
+        .map(i => s"ingest=${java.net.URLEncoder.encode(i, "UTF-8")}") ++
       statLines).mkString("\n") + "\n"
     val scratch = new Path(path, s"_tmp/manifest-${java.util.UUID.randomUUID()}")
     val out = f.create(scratch, true)
@@ -2035,11 +2058,12 @@ object ManifestTable {
     * race, which falls through to a normal append against the winner.
     */
   def append(spark: SparkSession, path: String, df: DataFrame,
-             txn: Option[(String, Long)] = None): Long =
+             txn: Option[(String, Long)] = None,
+             ingests: Seq[String] = Nil): Long =
     currentVersion(spark, path) match {
       case None =>
         createExclusive(spark, path, df, Nil, txn)
-          .getOrElse(append(spark, path, df, txn))
+          .getOrElse(append(spark, path, df, txn, ingests))
       case Some(v0) =>
         var m = readManifest(spark, path, v0)
         // generated partition columns: the table derives them, the caller
@@ -2074,7 +2098,7 @@ object ManifestTable {
           try return commit(spark, path, m.version + 1, schema, m.partitionCols,
             m.files ++ added, m.statsCols, addedStats, m.bloomCols, carry = Some(m),
             constraints = m.constraints, transforms = m.transforms,
-            colmap = colmap2, retired = m.retired, txn = txn)
+            colmap = colmap2, retired = m.retired, txn = txn, ingests = ingests)
           catch {
             case e: java.util.ConcurrentModificationException =>
               tries += 1; if (tries > MaxCommitRetries) throw e

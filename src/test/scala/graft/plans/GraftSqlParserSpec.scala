@@ -400,4 +400,110 @@ class GraftSqlParserSpec extends SparkSpec {
     } finally Seq("ctas_days", "ctas_bkt", "ctas_pq").foreach(t =>
       s.sql(s"DROP TABLE IF EXISTS $t"): Unit)
   }
+
+  test("empty CREATE TABLE with transforms, then INSERT; CREATE OR REPLACE commits a new version") {
+    val s = extSpark
+    val root = Files.createTempDirectory("sqlp_ddl2").toString
+    s.range(100)
+      .selectExpr("id",
+        "timestamp_millis(1672531200000 + id * 86400000) AS ts") // daily steps
+      .createOrReplaceTempView("ddl2_src")
+    try {
+      // DDL-first workflow: declare the layout, insert later
+      s.sql("DROP TABLE IF EXISTS ddl2_t")
+      s.sql(s"""CREATE TABLE ddl2_t (id BIGINT, ts TIMESTAMP) USING graft
+               |PARTITIONED BY (days(ts))
+               |OPTIONS (path '$root/t', statscols 'id')""".stripMargin)
+      assert(s.sql("SELECT count(*) FROM ddl2_t").head.getLong(0) === 0L,
+        "a declared table starts empty but readable")
+      s.sql("INSERT INTO ddl2_t SELECT id, ts FROM ddl2_src WHERE id < 40")
+      assert(s.sql("SELECT count(*) FROM ddl2_t").head.getLong(0) === 40L)
+      // the hidden day layout came from the DECLARED spec, not the insert
+      val dirs = new java.io.File(s"$root/t/data").listFiles()
+        .filter(_.isDirectory).map(_.getName)
+      assert(dirs.nonEmpty && dirs.forall(_.startsWith("ts_day=")),
+        s"insert must land in declared day dirs: ${dirs.take(3).toSeq}")
+
+      // CREATE OR REPLACE over the existing table: an overwrite COMMIT —
+      // history is kept and the old snapshot stays time-travelable
+      s.sql(s"""CREATE OR REPLACE TABLE ddl2_t USING graft
+               |PARTITIONED BY (days(ts))
+               |AS SELECT id, ts FROM ddl2_src WHERE id >= 90""".stripMargin)
+      assert(s.sql("SELECT count(*) FROM ddl2_t").head.getLong(0) === 10L)
+      val hist = s.sql(s"DESCRIBE HISTORY '$root/t'").collect()
+      assert(hist.length === 3, s"create + insert + replace = 3 versions, got ${hist.length}")
+      assert(s.sql(s"SELECT count(*) FROM ddl2_t FOR VERSION AS OF 2").head.getLong(0) === 40L,
+        "the pre-replace snapshot stays readable")
+
+      // REPLACE (no OR CREATE) on a missing table fails loudly
+      val e = intercept[Exception] {
+        s.sql(s"""REPLACE TABLE ddl2_missing USING graft
+                 |OPTIONS (path '$root/missing')
+                 |AS SELECT id FROM ddl2_src""".stripMargin)
+      }
+      assert(e.getMessage.contains("does not exist"))
+      // …and CREATE OR REPLACE on a missing one creates it
+      s.sql("DROP TABLE IF EXISTS ddl2_new")
+      s.sql(s"""CREATE OR REPLACE TABLE ddl2_new USING graft
+               |OPTIONS (path '$root/new')
+               |AS SELECT id FROM ddl2_src""".stripMargin)
+      assert(s.sql("SELECT count(*) FROM ddl2_new").head.getLong(0) === 100L)
+    } finally Seq("ddl2_t", "ddl2_new").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+  }
+
+  test("COPY INTO ingests each landing-zone file exactly once; re-runs and new arrivals compose") {
+    val s = extSpark
+    val root = Files.createTempDirectory("sqlp_copy").toString
+    // a landing zone of parquet drops, arriving in waves
+    s.range(100).select(col("id"), (col("id") * 2).as("v")).coalesce(1)
+      .write.parquet(s"$root/landing/wave1")
+    val wave1 = new java.io.File(s"$root/landing").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+    // flatten into the zone root, as loaders drop them
+    wave1.foreach(f => java.nio.file.Files.move(f.toPath,
+      java.nio.file.Paths.get(s"$root/landing", f.getName)))
+    val path = s"$root/t"
+    ManifestTable.overwrite(s, path,
+      s.range(0).select(col("id"), (col("id") * 2).as("v")))
+    s.sql("DROP TABLE IF EXISTS copy_t")
+    s.sql(s"CREATE TABLE copy_t USING graft OPTIONS (path '$path')")
+    try {
+      val r1 = s.sql(
+        s"COPY INTO copy_t FROM '$root/landing' FILEFORMAT = PARQUET PATTERN '*.parquet'")
+        .collect().head
+      assert(r1.getLong(1) === 1L, "wave 1 = one parquet file loaded")
+      assert(s.sql("SELECT count(*) FROM copy_t").head.getLong(0) === 100L)
+      // identical re-run: all files absorbed → no-op, no duplicate rows
+      val r2 = s.sql(
+        s"COPY INTO copy_t FROM '$root/landing' FILEFORMAT = PARQUET PATTERN '*.parquet'")
+        .collect().head
+      assert(r2.getLong(1) === 0L && r2.getLong(0) === r1.getLong(0),
+        "re-run must absorb nothing and commit nothing")
+      assert(s.sql("SELECT count(*) FROM copy_t").head.getLong(0) === 100L)
+      // a second wave lands; only IT is ingested
+      s.range(100, 150).select(col("id"), (col("id") * 2).as("v")).coalesce(1)
+        .write.parquet(s"$root/landing/wave2")
+      new java.io.File(s"$root/landing/wave2").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$root/landing", "wave2_" + f.getName)))
+      val r3 = s.sql(
+        s"COPY INTO copy_t FROM '$root/landing' FILEFORMAT = PARQUET PATTERN '*.parquet'")
+        .collect().head
+      assert(r3.getLong(1) === 1L, "only the new wave loads")
+      assert(s.sql("SELECT count(*) FROM copy_t").head.getLong(0) === 150L)
+      assert(s.sql("SELECT count(DISTINCT id) FROM copy_t").head.getLong(0) === 150L)
+      // the ledger rides the manifest: visible after unrelated appends
+      ManifestTable.append(s, path,
+        s.range(1000, 1010).select(col("id"), (col("id") * 2).as("v")).coalesce(1))
+      assert(ManifestTable.ingestedFiles(s, path).size === 2,
+        "ledger carries across unrelated commits")
+      val r4 = s.sql(
+        s"COPY INTO copy_t FROM '$root/landing' FILEFORMAT = PARQUET PATTERN '*.parquet'")
+        .collect().head
+      assert(r4.getLong(1) === 0L)
+    } finally s.sql("DROP TABLE IF EXISTS copy_t"): Unit
+  }
 }
