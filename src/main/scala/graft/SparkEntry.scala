@@ -1567,6 +1567,23 @@ object SparkEntry {
               |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
     }),
 
+    // ---- CONVERT TO GRAFT: a pre-existing hive-partitioned parquet lake
+    // becomes a graft table ZERO-COPY (files renamed under the root,
+    // never rewritten), then answers a partition-filtered SQL read with
+    // stats pruning live from version 1 ----
+    "q_sql_convert" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_convsql").toString
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .repartition(4)
+        .write.partitionBy("o_orderpriority").parquet(s"$root/lake")
+      s.sql(s"CONVERT TO GRAFT '$root/lake' STATSCOLS (o_orderkey)").collect()
+      s.sql("DROP TABLE IF EXISTS q_conv_t")
+      s.sql(s"CREATE TABLE q_conv_t USING graft OPTIONS (path '$root/lake')")
+      s.sql("""SELECT o_orderkey, o_totalprice, o_orderpriority FROM q_conv_t
+              |WHERE o_orderpriority = '1-URGENT' AND o_orderkey <= 20000""".stripMargin)
+    }),
+
     // ---- COPY INTO: idempotent landing-zone ingestion — two waves of
     // parquet drops, with the FIRST wave copied TWICE (the re-run must
     // absorb zero files; any ledger bug double-counts the even half).
@@ -4172,6 +4189,11 @@ object SparkEntry {
     "q_webdataset" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |md5(text) AS digest FROM documents""".stripMargin,
+
+    // the converted lake answers exactly what the source parquet said
+    "q_sql_convert" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderkey <= 20000""".stripMargin,
 
     // idempotent ingestion lands every order exactly once
     "q_sql_copy_into" ->

@@ -29,6 +29,8 @@ import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
   *   RESTORE t TO TIMESTAMP 'ts'     -- same, resolved via the commit clock
   *   COPY INTO t FROM 'dir' FILEFORMAT = PARQUET [PATTERN 'g']
   *                                   -- idempotent file-level ingestion
+  *   CONVERT TO GRAFT 'dir' [STATSCOLS (a, b)]
+  *                                   -- zero-copy parquet-dir migration
   * }}}
   *
   * SELECT-side time travel (`FROM t FOR VERSION AS OF n` /
@@ -73,6 +75,10 @@ class GraftSqlParser(session: SparkSession,
         Option(ts))
     case CopyIntoRe(target, src, format, pattern) =>
       GraftCopyIntoCommand(target, src, format.toLowerCase, Option(pattern))
+    case ConvertRe(dir, statscols) =>
+      GraftConvertCommand(dir,
+        Option(statscols).map(_.split(",").map(_.trim.stripPrefix("`")
+          .stripSuffix("`")).toSeq).getOrElse(Nil))
     case other => interceptCtas(interceptTimeTravel(interceptAlter(delegate.parsePlan(other))))
   }
 
@@ -289,6 +295,9 @@ object GraftSqlParser {
   private val CopyIntoRe =
     (s"""(?is)\\s*COPY\\s+INTO\\s+$T\\s+FROM\\s+'([^']+)'""" +
       """\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=?\s*'([^']+)')?\s*;?\s*""").r
+  private val ConvertRe =
+    ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'""" +
+      """(?:\s+STATSCOLS\s*\(([^)]+)\))?\s*;?\s*""").r
 
   /** The (table root, identifier) of a CATALOG table `USING graft`, or
     * None for anything else (other providers, unknown names, views) —
@@ -696,6 +705,23 @@ case class GraftCopyIntoCommand(target: String, src: String,
     val v = ManifestTable.append(spark, path, batch, ingests = fresh.toSeq)
     spark.sessionState.catalog.invalidateAllCachedTables()
     Seq(Row(v, fresh.length.toLong))
+  }
+}
+
+/** `CONVERT TO GRAFT '<dir>' [STATSCOLS (a, b)]` —
+  * [[ManifestTable.convert]]: zero-copy migration of a flat or
+  * hive-partitioned parquet directory into a graft table (files renamed
+  * under the table root, never rewritten). STATSCOLS opts into a
+  * one-pass zone-map scan so the converted table prunes from version 1.
+  * Returns `(version, n_files)`. */
+case class GraftConvertCommand(dir: String,
+                               statsCols: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = ManifestTable.convert(spark, dir, statsCols)
+    Seq(Row(v, ManifestTable.filesMeta(spark, dir).count()))
   }
 }
 

@@ -1877,6 +1877,84 @@ object ManifestTable {
     sys.error("unreachable")
   }
 
+  /** ZERO-COPY conversion of an existing parquet directory (flat or
+    * hive-partitioned) into a graft table — the `CONVERT TO DELTA`
+    * migration story: a 100 TB parquet lake becomes ACID/time-travelable
+    * WITHOUT rewriting a byte. The directory's children are RENAMED under
+    * `<root>/data/` (one metadata move per top-level child, no data
+    * copied — the manifest layout keeps refs relative so every read
+    * path, basePath partition parsing included, works untouched), the
+    * files are listed, the schema comes from parquet footers, partition
+    * columns are derived from the `k=v` directory shape (validated
+    * uniform), and version 1 commits referencing the files in place.
+    *
+    * Contracts: the source must not already be a graft table; conversion
+    * requires exclusive access (concurrent plain-parquet readers would
+    * see files mid-move); a crash mid-move is repaired by RE-RUNNING the
+    * convert (the move is idempotent — remaining children move, already
+    * moved ones are found under data/). `statsCols`/`bloomCols` opt into
+    * a one-pass stats scan so the converted table prunes immediately;
+    * the default is metadata-only. Converted file names may collide
+    * across partition dirs (Spark task naming) — row-level DV deletes
+    * detect that loudly and `OPTIMIZE` re-prefixes; everything else
+    * (reads, appends, compaction, time travel) is name-agnostic.
+    */
+  def convert(spark: SparkSession, path: String,
+              statsCols: Seq[String] = Nil,
+              bloomCols: Seq[String] = Nil): Long = {
+    val f = fs(spark, path)
+    val root = new Path(path)
+    require(f.exists(root) && f.getFileStatus(root).isDirectory,
+      s"CONVERT: $path is not a directory")
+    require(currentVersion(spark, path).isEmpty,
+      s"CONVERT: $path is already a graft table")
+    val dd = dataDir(path)
+    f.mkdirs(dd)
+    val keep = Set("data", "_manifests", "_tmp", "_dv")
+    f.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (keep.contains(n)) ()                       // already graft layout
+      else if (n.startsWith("_") || n.startsWith(".")) // _SUCCESS, .crc …
+        f.delete(st.getPath, true): Unit
+      else require(f.rename(st.getPath, new Path(dd, n)),
+        s"CONVERT: cannot move ${st.getPath} under $dd")
+    }
+    // every parquet file under data/, as data-dir-relative refs
+    val ddUri = f.makeQualified(dd).toUri.getPath
+    val rels = {
+      val out = Seq.newBuilder[String]
+      val it = f.listFiles(dd, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val p = st.getPath.toUri.getPath
+        val rel = p.stripPrefix(ddUri).stripPrefix("/")
+        val segs = rel.split("/")
+        if (st.isFile && rel.endsWith(".parquet") &&
+            !segs.exists(s => s.startsWith("_") || s.startsWith(".")))
+          out += rel
+      }
+      out.result().sorted
+    }
+    require(rels.nonEmpty, s"CONVERT: no parquet files under $path")
+    // hive partition columns from the directory shape, uniform across files
+    val partCols = pathSpec(rels.head)
+    require(partCols.forall(_.nonEmpty) &&
+      rels.forall(pathSpec(_) == partCols),
+      s"CONVERT: inconsistent partition directory shapes under $path " +
+        s"(expected ${partCols.mkString("/")}) — convert uniform layouts only")
+    // schema from footers; basePath folds the partition dirs back in as
+    // typed columns, exactly as the table's own reads will resolve them
+    val schema = spark.read.option("basePath", dd.toString)
+      .parquet(dd.toString).schema
+    require(partCols.forall(schema.fieldNames.contains),
+      s"CONVERT: directory levels ${partCols.mkString("/")} are not all " +
+        "hive `k=v` partition dirs — nested non-partition layouts cannot convert")
+    val stats = collectStats(spark, path, rels, schema, partCols,
+      statsCols, bloomCols)
+    commit(spark, path, 1L, schema, partCols, rels, statsCols, stats,
+      bloomCols)
+  }
+
   /** Reject batches whose columns do not line up with the table schema —
     * by name and type, order-free, nullability ignored. Without this an
     * append with a renamed column would commit fine and then read back as

@@ -506,4 +506,56 @@ class GraftSqlParserSpec extends SparkSpec {
       assert(r4.getLong(1) === 0L)
     } finally s.sql("DROP TABLE IF EXISTS copy_t"): Unit
   }
+
+  test("CONVERT TO GRAFT migrates a hive-partitioned parquet dir zero-copy; full lifecycle works after") {
+    val s = extSpark
+    val root = Files.createTempDirectory("sqlp_conv").toString
+    // a pre-existing plain-parquet lake, hive-partitioned, multiple files
+    s.range(1000)
+      .select(col("id"), (col("id") % 4).as("grp"), (col("id") * 1.5).as("v"))
+      .repartition(2)
+      .write.partitionBy("grp").parquet(s"$root/lake")
+    val preNames = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/lake"))
+      try st.filter(p => p.toString.endsWith(".parquet"))
+        .map[String](_.getFileName.toString).sorted.toArray
+      finally st.close()
+    }
+    val r = s.sql(s"CONVERT TO GRAFT '$root/lake' STATSCOLS (id)").collect().head
+    assert(r.getLong(0) === 1L && r.getLong(1) === preNames.length.toLong)
+    // the files MOVED (zero copy): same names, now under data/
+    val postNames = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/lake/data"))
+      try st.filter(p => p.toString.endsWith(".parquet"))
+        .map[String](_.getFileName.toString).sorted.toArray
+      finally st.close()
+    }
+    assert(postNames.toSeq === preNames.toSeq, "conversion must move, not rewrite")
+    // reads resolve partition dirs + types; stats prune from version 1
+    val t = s.read.format("graft").load(s"$root/lake")
+    assert(t.count() === 1000L)
+    assert(t.filter(col("grp") === 2).count() === 250L)
+    assert(t.schema.fieldNames.toSet === Set("id", "grp", "v"))
+    val (kept, total) = ManifestTable.prunedFiles(s, s"$root/lake", "id", 0L, 10L)
+    assert(kept.size < total, s"STATSCOLS must seed pruning ($kept of $total)")
+    // the converted table is a full citizen: append, delete, time travel
+    ManifestTable.append(s, s"$root/lake",
+      s.range(1000, 1100).select(col("id"), (col("id") % 4).as("grp"),
+        (col("id") * 1.5).as("v")).coalesce(1))
+    assert(ManifestTable.read(s, s"$root/lake").count() === 1100L)
+    assert(ManifestTable.readVersion(s, s"$root/lake", 1L).count() === 1000L,
+      "the conversion snapshot stays time-travelable")
+    // a re-convert is rejected; a dir with no parquet too
+    assert(intercept[Exception](
+      s.sql(s"CONVERT TO GRAFT '$root/lake'").collect())
+      .getMessage.contains("already a graft table"))
+    val empty = Files.createTempDirectory("sqlp_conv_empty").toString
+    assert(intercept[Exception](
+      s.sql(s"CONVERT TO GRAFT '$empty'").collect())
+      .getMessage.contains("no parquet files"))
+    // flat (unpartitioned) dirs convert too
+    s.range(50).select(col("id")).coalesce(1).write.parquet(s"$root/flat")
+    s.sql(s"CONVERT TO GRAFT '$root/flat'").collect()
+    assert(ManifestTable.read(s, s"$root/flat").count() === 50L)
+  }
 }
