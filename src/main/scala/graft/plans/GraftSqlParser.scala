@@ -79,6 +79,12 @@ class GraftSqlParser(session: SparkSession,
       GraftConvertCommand(dir,
         Option(statscols).map(_.split(",").map(_.trim.stripPrefix("`")
           .stripSuffix("`")).toSeq).getOrElse(Nil))
+    // SHOW PARTITIONS over a GRAFT table answers from the manifest
+    // (partitions are manifest facts, not catalog entries — Spark's own
+    // command sees an unpartitioned catalog relation and errors); every
+    // other table keeps Spark's behavior
+    case showP @ ShowPartitionsRe(target) if graftTargetPath(target).isDefined =>
+      GraftShowPartitionsCommand(target)
     case other => interceptCtas(interceptTimeTravel(interceptAlter(delegate.parsePlan(other))))
   }
 
@@ -180,6 +186,22 @@ class GraftSqlParser(session: SparkSession,
         }
     }
   }
+
+  /** Table root when a regex-dispatched statement TARGET (quoted path,
+    * backticked or qualified name) is a graft table; None otherwise —
+    * the guard that keeps shared-keyword statements (SHOW PARTITIONS)
+    * graft-only. */
+  private def graftTargetPath(target: String): Option[String] =
+    if (target.startsWith("'")) {
+      val p = target.substring(1, target.length - 1)
+      try if (ManifestTable.currentVersion(session, p).isDefined) Some(p) else None
+      catch { case scala.util.control.NonFatal(_) => None }
+    } else {
+      val parts =
+        if (target.startsWith("`")) Seq(target.substring(1, target.length - 1))
+        else target.split("\\.").toSeq
+      graftPathOf(parts)
+    }
 
   /** Table root when `parts` names a graft table — catalog `USING graft`
     * first, then a temp view over a graft relation; None for everything
@@ -298,6 +320,8 @@ object GraftSqlParser {
   private val ConvertRe =
     ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'""" +
       """(?:\s+STATSCOLS\s*\(([^)]+)\))?\s*;?\s*""").r
+  private val ShowPartitionsRe =
+    s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$T\\s*;?\\s*""".r
 
   /** The (table root, identifier) of a CATALOG table `USING graft`, or
     * None for anything else (other providers, unknown names, views) —
@@ -722,6 +746,20 @@ case class GraftConvertCommand(dir: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val v = ManifestTable.convert(spark, dir, statsCols)
     Seq(Row(v, ManifestTable.filesMeta(spark, dir).count()))
+  }
+}
+
+/** `SHOW PARTITIONS` over a graft table — [[ManifestTable.partitionsMeta]]:
+  * one hive-formatted row per distinct partition directory of the current
+  * snapshot, metadata-only (Spark's own output shape: a single
+  * `partition` string column). */
+case class GraftShowPartitionsCommand(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    ManifestTable.partitionsMeta(spark, path).map(Row(_))
   }
 }
 

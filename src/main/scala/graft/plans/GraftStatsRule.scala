@@ -40,9 +40,34 @@ object GraftStatsRule extends Rule[LogicalPlan] {
         lr.catalogTable.forall(_.stats.isEmpty) =>
       val r = lr.relation.asInstanceOf[GraftRelation]
       val stats = CatalogStatistics(BigInt(r.sizeInBytes),
-        r.metaCountCheap.map(BigInt(_)))
+        r.metaCountCheap.map(BigInt(_)), columnStats(r, lr))
       val table = lr.catalogTable.getOrElse(synthetic(r))
       lr.copy(catalogTable = Some(table.copy(stats = Some(stats))))
+  }
+
+  /** Column min/max for CBO filter-selectivity estimation, folded from
+    * the manifest's zone maps (driver-cheap inline manifests only, same
+    * discipline as the row count). Restricted to numeric columns, where
+    * `toString` round-trips through `CatalogColumnStat`'s external form
+    * exactly; strings/temporals are pruned by zone maps at scan time
+    * anyway, so the optimizer-estimate upside doesn't justify a lossy
+    * encoding. */
+  private def columnStats(r: GraftRelation, lr: LogicalRelation)
+      : Map[String, org.apache.spark.sql.catalyst.catalog.CatalogColumnStat] = {
+    import org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
+    import org.apache.spark.sql.types._
+    r.statsColumnsCheap.flatMap { c =>
+      lr.schema.find(_.name == c).filter(f => f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case FloatType | DoubleType => true
+        case _: DecimalType => true
+        case _ => false
+      }).flatMap { _ =>
+        r.metaMinMaxCheap(c).map { case (mn, mx) =>
+          c -> CatalogColumnStat(min = Some(mn.toString), max = Some(mx.toString))
+        }
+      }
+    }.toMap
   }
 
   /** Minimal catalog entry for a PATH-based graft read (`spark.read

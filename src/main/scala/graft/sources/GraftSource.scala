@@ -802,6 +802,19 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
   private[graft] lazy val metaCountCheap: Option[Long] =
     if (manifest.sidecar.isDefined) None else metaCount
 
+  /** Stats columns whose extremes resolve driver-cheap (inline-stats
+    * manifests only — same planning-cost discipline as
+    * [[metaCountCheap]]); the CBO stats hook feeds these to filter
+    * selectivity estimation. */
+  private[graft] def statsColumnsCheap: Seq[String] =
+    if (manifest.sidecar.isDefined) Nil else manifest.statsCols
+
+  /** [[metaMinMax]] restricted to driver-cheap resolution (no sidecar
+    * collect at plan time). */
+  private[graft] def metaMinMaxCheap(colName: String): Option[(Any, Any)] =
+    if (manifest.sidecar.isDefined) None
+    else ManifestTable.fastMinMaxOf(spark, path, manifest, colName)
+
   /** Manifest-answered MIN/MAX (zone maps) for the pinned snapshot. */
   private[graft] def metaMinMax(colName: String): Option[(Any, Any)] =
     ManifestTable.fastMinMaxOf(spark, path, manifest, colName)

@@ -420,6 +420,21 @@ object ManifestTable {
     eligible.maxBy(_._1)._1
   }
 
+  /** Distinct partition directories of the current snapshot,
+    * hive-formatted (`k=v[/k2=v2]`, sorted) — `SHOW PARTITIONS` for
+    * manifest tables, where partitions are manifest facts, not catalog
+    * entries. Metadata-only: one manifest read, partition-count-bounded
+    * output; hidden (transform-derived) partition dirs show exactly as
+    * they lay out on disk. */
+  def partitionsMeta(spark: SparkSession, path: String): Seq[String] = {
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    require(m.partitionCols.nonEmpty,
+      s"SHOW PARTITIONS: table at $path is not partitioned")
+    m.files.map(dirOf).filter(_.nonEmpty).distinct.sorted
+  }
+
   /** The COPY INTO idempotency ledger of the CURRENT version: which
     * external source files this table's content already absorbed.
     * Metadata-only (one manifest read). */

@@ -558,4 +558,39 @@ class GraftSqlParserSpec extends SparkSpec {
     s.sql(s"CONVERT TO GRAFT '$root/flat'").collect()
     assert(ManifestTable.read(s, s"$root/flat").count() === 50L)
   }
+
+  test("SHOW PARTITIONS answers from the manifest; non-graft tables keep Spark's behavior") {
+    val s = extSpark
+    val root = Files.createTempDirectory("sqlp_showp").toString
+    ManifestTable.overwrite(s, s"$root/t",
+      s.range(100).select(col("id"), (col("id") % 3).as("grp"),
+        (col("id") % 2).as("b")), Seq("grp", "b"))
+    s.sql("DROP TABLE IF EXISTS showp_t")
+    s.sql(s"CREATE TABLE showp_t USING graft OPTIONS (path '$root/t')")
+    try {
+      val parts = s.sql("SHOW PARTITIONS showp_t").collect().map(_.getString(0))
+      assert(parts.length === 6 && parts.head === "grp=0/b=0" &&
+        parts.forall(_.matches("grp=\\d/b=\\d")), s"got ${parts.toSeq}")
+      // quoted-path form; hidden transform dirs show as laid out
+      val hidden = s"$root/h"
+      ManifestTable.overwrite(s, hidden,
+        s.range(40).select(col("id"), concat(lit("u"), col("id") % 4).as("u")),
+        transforms = Seq(ManifestTable.PartitionTransform("u_bucket", "bucket", 2, "u")))
+      val hparts = s.sql(s"SHOW PARTITIONS '$hidden'").collect().map(_.getString(0))
+      assert(hparts.nonEmpty && hparts.forall(_.startsWith("u_bucket=")))
+      // an unpartitioned graft table errors loudly
+      ManifestTable.overwrite(s, s"$root/flat2", s.range(5).toDF("id"))
+      assert(intercept[Exception](
+        s.sql(s"SHOW PARTITIONS '$root/flat2'").collect())
+        .getMessage.contains("not partitioned"))
+      // a non-graft partitioned catalog table keeps Spark's own answer
+      s.sql("DROP TABLE IF EXISTS showp_pq")
+      s.sql(s"""CREATE TABLE showp_pq (id BIGINT, g INT) USING parquet
+               |PARTITIONED BY (g) LOCATION '$root/pq'""".stripMargin)
+      s.sql("INSERT INTO showp_pq VALUES (1, 7)")
+      val pq = s.sql("SHOW PARTITIONS showp_pq").collect().map(_.getString(0))
+      assert(pq.toSeq === Seq("g=7"))
+    } finally Seq("showp_t", "showp_pq").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+  }
 }

@@ -210,6 +210,12 @@ class GraftSourceSpec extends SparkSpec {
       assert(scans.length === 3)
       assert(scans.forall(_.stats.rowCount.isDefined),
         s"manifest row counts must reach the plan: ${scans.map(_.stats.rowCount)}")
+      // zone-map extremes surface as per-column min/max for selectivity
+      val idStats = scans.flatMap(_.stats.attributeStats.toSeq)
+        .filter(_._1.name == "id").map(_._2)
+      assert(idStats.nonEmpty &&
+        idStats.forall(cs => cs.min.isDefined && cs.max.isDefined),
+        s"manifest column extremes must reach the plan: $idStats")
       // the DEEPEST join of the optimized plan touches mid+small, not big
       val joins = q.queryExecution.optimizedPlan.collect {
         case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
