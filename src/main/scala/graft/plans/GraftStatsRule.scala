@@ -56,6 +56,9 @@ object GraftStatsRule extends Rule[LogicalPlan] {
       : Map[String, org.apache.spark.sql.catalyst.catalog.CatalogColumnStat] = {
     import org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
     import org.apache.spark.sql.types._
+    // column stats only feed CBO estimation — don't pay the per-column
+    // fold on sessions that run with CBO off (the default)
+    if (!conf.cboEnabled) return Map.empty
     r.statsColumnsCheap.flatMap { c =>
       lr.schema.find(_.name == c).filter(f => f.dataType match {
         case ByteType | ShortType | IntegerType | LongType => true

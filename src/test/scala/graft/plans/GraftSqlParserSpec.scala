@@ -507,6 +507,32 @@ class GraftSqlParserSpec extends SparkSpec {
     } finally s.sql("DROP TABLE IF EXISTS copy_t"): Unit
   }
 
+  test("the COPY INTO ledger follows content: RESTORE reverts it, so rolled-back files re-ingest") {
+    val s = extSpark
+    val root = Files.createTempDirectory("sqlp_copyr").toString
+    s.range(20).select(col("id")).coalesce(1).write.parquet(s"$root/stage")
+    new java.io.File(s"$root/stage").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => { java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$root/landing"))
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$root/landing", f.getName)) })
+    val path = s"$root/t"
+    ManifestTable.overwrite(s, path, s.range(0).select(col("id")))   // v1: empty
+    val r1 = s.sql(s"COPY INTO '$path' FROM '$root/landing' FILEFORMAT = PARQUET")
+      .collect().head
+    assert(r1.getLong(1) === 1L && ManifestTable.read(s, path).count() === 20L)
+    // roll the ingestion back: the ledger reverts WITH the rows, so the
+    // same landing file is ingestable again — re-copy restores the data
+    ManifestTable.restore(s, path, 1L)
+    assert(ManifestTable.read(s, path).count() === 0L)
+    assert(ManifestTable.ingestedFiles(s, path).isEmpty,
+      "the ledger must follow the restored content")
+    val r2 = s.sql(s"COPY INTO '$path' FROM '$root/landing' FILEFORMAT = PARQUET")
+      .collect().head
+    assert(r2.getLong(1) === 1L && ManifestTable.read(s, path).count() === 20L)
+  }
+
   test("CONVERT TO GRAFT migrates a hive-partitioned parquet dir zero-copy; full lifecycle works after") {
     val s = extSpark
     val root = Files.createTempDirectory("sqlp_conv").toString
