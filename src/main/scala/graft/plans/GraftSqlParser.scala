@@ -251,11 +251,13 @@ class GraftSqlParser(session: SparkSession,
     * top-level).
     */
   private def interceptAlter(plan: LogicalPlan): LogicalPlan = {
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedTable
-    import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, DropColumns, RenameColumn}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedTable, UnresolvedTableOrView}
+    import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, DropColumns, RenameColumn, SetTableProperties, ShowTableProperties, UnsetTableProperties}
     def graftTarget(child: LogicalPlan): Option[(String, TableIdentifier)] =
       child match {
         case u: UnresolvedTable =>
+          GraftSqlParser.catalogGraftTarget(session, u.multipartIdentifier)
+        case u: UnresolvedTableOrView => // SHOW TBLPROPERTIES parses to this
           GraftSqlParser.catalogGraftTarget(session, u.multipartIdentifier)
         case _ => None
       }
@@ -275,6 +277,20 @@ class GraftSqlParser(session: SparkSession,
           GraftAddColumnsCommand(p, id,
             cols.map(c => org.apache.spark.sql.types.StructField(
               c.colName, c.dataType, nullable = true)))
+        }.getOrElse(plan)
+      // table properties are MANIFEST metadata on graft tables (versioned,
+      // time-travelable, restore-reverted) — never catalog entries
+      case SetTableProperties(child, kvs) =>
+        graftTarget(child).map { case (p, _) =>
+          GraftSetPropertiesCommand(p, kvs)
+        }.getOrElse(plan)
+      case UnsetTableProperties(child, keys, _) =>
+        graftTarget(child).map { case (p, _) =>
+          GraftUnsetPropertiesCommand(p, keys)
+        }.getOrElse(plan)
+      case ShowTableProperties(child, key, _) =>
+        graftTarget(child).map { case (p, _) =>
+          GraftShowPropertiesCommand(p, key)
         }.getOrElse(plan)
       case p => p
     }
@@ -746,6 +762,48 @@ case class GraftConvertCommand(dir: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val v = ManifestTable.convert(spark, dir, statsCols)
     Seq(Row(v, ManifestTable.filesMeta(spark, dir).count()))
+  }
+}
+
+/** `ALTER TABLE … SET TBLPROPERTIES` on a graft table — a metadata-only
+  * versioned commit ([[ManifestTable.setProperties]]). */
+case class GraftSetPropertiesCommand(path: String,
+                                     kvs: Map[String, String])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    ManifestTable.setProperties(spark, path, kvs)
+    Nil
+  }
+}
+
+/** `ALTER TABLE … UNSET TBLPROPERTIES` on a graft table —
+  * [[ManifestTable.unsetProperties]] (missing keys ignored). */
+case class GraftUnsetPropertiesCommand(path: String,
+                                       keys: Seq[String])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    ManifestTable.unsetProperties(spark, path, keys)
+    Nil
+  }
+}
+
+/** `SHOW TBLPROPERTIES t [('key')]` on a graft table — the manifest's
+  * property map (Spark's output shape: key/value string rows). */
+case class GraftShowPropertiesCommand(path: String,
+                                      key: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("value", org.apache.spark.sql.types.StringType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val props = ManifestTable.properties(spark, path)
+    key match {
+      case Some(k) => Seq(Row(k, props.getOrElse(k,
+        s"Table default.${new org.apache.hadoop.fs.Path(path).getName} does not have property: $k")))
+      case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    }
   }
 }
 

@@ -247,7 +247,8 @@ object ManifestTable {
                                        op: Option[String] = None,
                                        opCols: Seq[String] = Nil,
                                        txns: Map[String, Long] = Map.empty,
-                                       ingests: Seq[String] = Nil)
+                                       ingests: Seq[String] = Nil,
+                                       props: Map[String, String] = Map.empty)
 
   /** The user-visible schema: physical fields renamed to their logical
     * names. Field order, types and nullability are the physical ones. */
@@ -380,11 +381,16 @@ object ManifestTable {
     // ledger (which external files this table's content already absorbed)
     val ingests = lines.filter(_.startsWith("ingest="))
       .map(l => java.net.URLDecoder.decode(l.stripPrefix("ingest="), "UTF-8"))
+    // prop=<urlencoded key>|<urlencoded value> — user table properties
+    val props = lines.filter(_.startsWith("prop=")).map { l =>
+      val Array(k, v0) = l.stripPrefix("prop=").split("\\|", -1)
+      java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v0, "UTF-8")
+    }.toMap
     Manifest(version, schema,
       if (parts.isEmpty) Nil else parts.split(",").toSeq,
       lines.filter(_.startsWith("file=")).map(_.stripPrefix("file=")),
       statsCols, stats, bloomCols, sidecar, dvs, constraints, transforms,
-      colmap, retired, op, opCols, txns, ingests)
+      colmap, retired, op, opCols, txns, ingests, props)
   }
 
   /** LOGICAL schema of a committed version, straight from its manifest (no
@@ -433,6 +439,42 @@ object ManifestTable {
     require(m.partitionCols.nonEmpty,
       s"SHOW PARTITIONS: table at $path is not partitioned")
     m.files.map(dirOf).filter(_.nonEmpty).distinct.sorted
+  }
+
+  /** User table PROPERTIES of the current version (`SHOW TBLPROPERTIES`)
+    * — versioned manifest metadata like everything else: time travel
+    * shows a version's properties, restore reverts them. */
+  def properties(spark: SparkSession, path: String): Map[String, String] =
+    currentVersion(spark, path)
+      .map(v => readManifest(spark, path, v).props).getOrElse(Map.empty)
+
+  /** `ALTER TABLE … SET TBLPROPERTIES` — a metadata-only commit merging
+    * `kvs` over the current properties. */
+  def setProperties(spark: SparkSession, path: String,
+                    kvs: Map[String, String]): Long = {
+    require(kvs.nonEmpty, "SET TBLPROPERTIES: no properties given")
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    commit(spark, path, v + 1, m.schema, m.partitionCols, m.files,
+      m.statsCols, Map.empty, m.bloomCols, carry = Some(m),
+      constraints = m.constraints, transforms = m.transforms,
+      colmap = m.colmap, retired = m.retired, props = kvs)
+  }
+
+  /** `ALTER TABLE … UNSET TBLPROPERTIES` — a metadata-only commit with
+    * the keys removed (missing keys are ignored, Spark's IF EXISTS
+    * semantics). */
+  def unsetProperties(spark: SparkSession, path: String,
+                      keys: Seq[String]): Long = {
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    commit(spark, path, v + 1, m.schema, m.partitionCols, m.files,
+      m.statsCols, Map.empty, m.bloomCols,
+      carry = Some(m.copy(props = m.props -- keys)),
+      constraints = m.constraints, transforms = m.transforms,
+      colmap = m.colmap, retired = m.retired)
   }
 
   /** The COPY INTO idempotency ledger of the CURRENT version: which
@@ -1702,7 +1744,8 @@ object ManifestTable {
                               op: Option[String] = None,
                               opCols: Seq[String] = Nil,
                               txn: Option[(String, Long)] = None,
-                              ingests: Seq[String] = Nil): Long = {
+                              ingests: Seq[String] = Nil,
+                              props: Map[String, String] = Map.empty): Long = {
     val f = fs(spark, path)
     f.mkdirs(manifestDir(path))
     val fileSet = files.toSet
@@ -1807,6 +1850,11 @@ object ManifestTable {
       // it; an overwrite replaces the content, so the ledger resets too)
       (carry.map(_.ingests).getOrElse(Nil) ++ ingests).distinct.sorted
         .map(i => s"ingest=${java.net.URLEncoder.encode(i, "UTF-8")}") ++
+      // user table properties: carried across every chained commit;
+      // SET merges, UNSET passes a carry with the keys removed
+      (carry.map(_.props).getOrElse(Map.empty) ++ props).toSeq.sortBy(_._1)
+        .map { case (k, v0) => s"prop=${java.net.URLEncoder.encode(k, "UTF-8")}|" +
+          java.net.URLEncoder.encode(v0, "UTF-8") } ++
       statLines).mkString("\n") + "\n"
     val scratch = new Path(path, s"_tmp/manifest-${java.util.UUID.randomUUID()}")
     val out = f.create(scratch, true)
@@ -2183,6 +2231,16 @@ object ManifestTable {
           require(m.partitionCols == base.partitionCols,
             s"table partitioning changed concurrently: " +
               s"${base.partitionCols} -> ${m.partitionCols}")
+          // COPY INTO race: a concurrent ingestion of the same landing
+          // files must fail LOUDLY here, not land the rows twice — the
+          // re-run recomputes its fresh set against the winner's ledger
+          // and absorbs only what is still missing
+          if (ingests.nonEmpty) {
+            val dup = ingests.toSet.intersect(m.ingests.toSet)
+            if (dup.nonEmpty) throw new java.util.ConcurrentModificationException(
+              s"ingestion lost to a concurrent COPY of ${dup.size} of its " +
+                s"file(s) (e.g. ${dup.head}) — re-run to pick up the remainder")
+          }
           if (m.colmap != base.colmap || m.retired != base.retired)
             throw new java.util.ConcurrentModificationException(
               s"append to $path lost to a rename/drop commit — the batch's " +

@@ -533,6 +533,37 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(r2.getLong(1) === 1L && ManifestTable.read(s, path).count() === 20L)
   }
 
+  test("TBLPROPERTIES are versioned manifest metadata: SET/UNSET/SHOW, time travel, restore") {
+    val s = extSpark
+    val path = Files.createTempDirectory("sqlp_props").toString + "/t"
+    ManifestTable.overwrite(s, path, s.range(10).toDF("id").coalesce(1))
+    s.sql("DROP TABLE IF EXISTS props_t")
+    s.sql(s"CREATE TABLE props_t USING graft OPTIONS (path '$path')")
+    try {
+      s.sql("ALTER TABLE props_t SET TBLPROPERTIES ('team'='etl', 'retention'='168h')")
+      val shown = s.sql("SHOW TBLPROPERTIES props_t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(shown === Map("team" -> "etl", "retention" -> "168h"))
+      assert(s.sql("SHOW TBLPROPERTIES props_t ('team')").head.getString(1) === "etl")
+      // SET merges; UNSET removes (missing keys ignored); appends carry
+      s.sql("ALTER TABLE props_t SET TBLPROPERTIES ('team'='ml')")
+      s.sql("ALTER TABLE props_t UNSET TBLPROPERTIES ('retention', 'nope')")
+      ManifestTable.append(s, path, s.range(10, 20).toDF("id").coalesce(1))
+      assert(ManifestTable.properties(s, path) === Map("team" -> "ml"))
+      // restore reverts properties with the content (versioned metadata)
+      ManifestTable.restore(s, path, 1L)
+      assert(ManifestTable.properties(s, path) === Map.empty,
+        "restore must revert the property map to the target version's")
+      // non-graft tables keep Spark's catalog-backed behavior
+      s.sql("DROP TABLE IF EXISTS props_pq")
+      s.sql("CREATE TABLE props_pq (id BIGINT) USING parquet TBLPROPERTIES ('a'='1')")
+      val pq = s.sql("SHOW TBLPROPERTIES props_pq").collect()
+        .map(_.getString(0))
+      assert(pq.contains("a"))
+    } finally Seq("props_t", "props_pq").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+  }
+
   test("CONVERT TO GRAFT migrates a hive-partitioned parquet dir zero-copy; full lifecycle works after") {
     val s = extSpark
     val root = Files.createTempDirectory("sqlp_conv").toString
