@@ -1567,6 +1567,28 @@ object SparkEntry {
               |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
     }),
 
+    // ---- write-audit-publish: a staged batch must be INVISIBLE to the
+    // table until published (the require gates assert that mid-fixture —
+    // any staging leak fails the query loudly), auditable as the exact
+    // would-be table, and then publish atomically; the final read is the
+    // published union ----
+    "q_wap" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_wap").toString + "/t"
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      graft.sources.ManifestTable.overwrite(s, dir, o.filter(col("o_orderkey") % 3 === 0))
+      val n0 = graft.sources.ManifestTable.read(s, dir).count()
+      val id = graft.sources.ManifestTable.stageAppend(s, dir,
+        o.filter(col("o_orderkey") % 3 === 1))
+      require(graft.sources.ManifestTable.read(s, dir).count() == n0,
+        "WAP leak: staged rows visible before publish")
+      val audited = graft.sources.ManifestTable.readStaged(s, dir, id)
+      require(audited.filter(col("o_totalprice") < 0).count() == 0L,
+        "audit gate failed") // the audit step a real pipeline runs
+      graft.sources.ManifestTable.publishStaged(s, dir, id)
+      graft.sources.ManifestTable.read(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
     // ---- CONVERT TO GRAFT: a pre-existing hive-partitioned parquet lake
     // becomes a graft table ZERO-COPY (files renamed under the root,
     // never rewritten), then answers a partition-filtered SQL read with
@@ -4189,6 +4211,11 @@ object SparkEntry {
     "q_webdataset" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |md5(text) AS digest FROM documents""".stripMargin,
+
+    // the published table = base slice union the audited staged slice
+    "q_wap" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 <= 1""".stripMargin,
 
     // the converted lake answers exactly what the source parquet said
     "q_sql_convert" ->

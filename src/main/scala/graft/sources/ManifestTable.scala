@@ -295,16 +295,25 @@ object ManifestTable {
   }
 
   private[sources] def readManifest(spark: SparkSession, path: String,
-                                    version: Long): Manifest = {
+                                    version: Long): Manifest =
+    parseManifest(path, readManifestText(spark, path, manifestName(version)),
+      version, manifestName(version))
+
+  private def readManifestText(spark: SparkSession, path: String,
+                               name: String): String = {
     val f = fs(spark, path)
-    val in = f.open(new Path(manifestDir(path), manifestName(version)))
-    val text = try {
+    val in = f.open(new Path(manifestDir(path), name))
+    try {
       val out = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
       new String(out.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
+  }
+
+  private def parseManifest(path: String, text: String,
+                            version: Long, label: String): Manifest = {
     val lines = text.split("\n").toSeq
-    require(lines.headOption.contains(Header), s"not a graft manifest: version $version")
+    require(lines.headOption.contains(Header), s"not a graft manifest: $label")
     // protocol gate BEFORE any semantic parsing: a too-new manifest may
     // carry line types whose absence from this parse silently corrupts
     // results (the DV hazard) — fail loudly, never guess
@@ -314,7 +323,7 @@ object ManifestTable {
       s"table at $path was written with graft manifest format $fmt, but this " +
         s"reader supports only up to format $FormatVersion — upgrade the graft " +
         "library before reading, writing, or streaming this table " +
-        s"(manifest ${manifestName(version)})")
+        s"(manifest $label)")
     val schema = DataType.fromJson(
       lines.find(_.startsWith("schema=")).get.stripPrefix("schema=")).asInstanceOf[StructType]
     val parts = lines.find(_.startsWith("partitions=")).get.stripPrefix("partitions=")
@@ -2259,6 +2268,133 @@ object ManifestTable {
         sys.error("unreachable")
     }
 
+  // ---------------------------------------------- write-audit-publish staging
+
+  /** WRITE-AUDIT-PUBLISH: stage an append INVISIBLY. The batch's data
+    * files land under `data/` and a self-contained STAGED manifest
+    * (`staged-<id>.txt`, outside the version chain) records them with
+    * their stats — readers of the table see nothing, vacuum protects the
+    * staged files, and the stage survives restarts (it is durable
+    * on-disk state, not session state). The audit step reads the
+    * WOULD-BE table via [[readStaged]]; [[publishStaged]] then commits
+    * the batch atomically (or [[dropStaged]] abandons it, sweeping the
+    * files). The Iceberg WAP workflow: bad data never becomes readable,
+    * but is validated AS the exact bytes that will publish.
+    *
+    * Staged batches take the CURRENT schema/layout verbatim (no
+    * evolution through a stage — audit then evolve then re-stage);
+    * constraints are enforced at stage time AND the publish re-validates
+    * the layout against the then-current manifest, so a concurrent
+    * rename/evolution fails the publish loudly instead of landing files
+    * written under stale physical names.
+    */
+  def stageAppend(spark: SparkSession, path: String, df: DataFrame): String = {
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    val batch = withDerived(
+      df.drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema))
+    requireCompatible(batch, m, "stageAppend")
+    enforceConstraints(batch, m.constraints, "stageAppend")
+    val files = writeDataFiles(spark, path,
+      clusterForWrite(batch, m.partitionCols, m.transforms), m.partitionCols,
+      m.colmap)
+    // stats inline always: a stage is one batch, bounded by its writer
+    val stats = collectStats(spark, path, files, m.schema,
+      m.partitionCols, m.statsCols, m.bloomCols)
+    val statLines = for {
+      rel <- files.filter(stats.contains)
+      (c, (mn, mx)) <- stats(rel).toSeq.sortBy(_._1)
+    } yield s"stats=$rel|$c|${mn.getOrElse("")}|${mx.getOrElse("")}"
+    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val body = (Seq(Header,
+      "format=" + FormatVersion,
+      "schema=" + m.schema.json,
+      "partitions=" + m.partitionCols.mkString(","),
+      "statscols=" + m.statsCols.mkString(",")) ++
+      (if (m.bloomCols.nonEmpty) Seq("bloomcols=" + m.bloomCols.mkString(",")) else Nil) ++
+      m.transforms.map(t => s"transform=${t.derived}|${t.kind}|${t.arg}|${t.src}") ++
+      m.colmap.toSeq.sortBy(_._1).map { case (lg, ph) => s"colmap=$lg|$ph" } ++
+      files.map("file=" + _) ++
+      statLines).mkString("\n") + "\n"
+    val f = fs(spark, path)
+    val out = f.create(new Path(manifestDir(path), stagedName(id)), false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    id
+  }
+
+  private def stagedName(id: String) = s"staged-$id.txt"
+
+  private[sources] def readStagedManifest(spark: SparkSession, path: String,
+                                          id: String): Manifest =
+    parseManifest(path, readManifestText(spark, path, stagedName(id)),
+      -1L, stagedName(id))
+
+  /** The AUDIT view of a staged batch: the exact table that
+    * [[publishStaged]] would produce right now — current snapshot plus
+    * the staged files, deletion vectors and renames applied. Only this
+    * call sees the staged rows; `read`/SQL/streaming never do. */
+  def readStaged(spark: SparkSession, path: String, id: String): DataFrame = {
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    val st = readStagedManifest(spark, path, id)
+    val merged = m.copy(files = m.files ++ st.files, stats = m.stats ++ st.stats)
+    readRels(spark, path, merged, merged.files)
+  }
+
+  /** Staged batch ids awaiting audit/publish (on-disk state). */
+  def stagedIds(spark: SparkSession, path: String): Seq[String] = {
+    val f = fs(spark, path)
+    val dir = manifestDir(path)
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("staged-") && n.endsWith(".txt"))
+      .map(n => n.stripPrefix("staged-").stripSuffix(".txt")).toSeq.sorted
+  }
+
+  /** Publish a staged batch: one append-shaped commit of its recorded
+    * files, rebasing across commit races like [[append]]. The publish
+    * re-validates schema, partitioning and column mapping against the
+    * CURRENT manifest — a rename or spec evolution since the stage fails
+    * loudly (the staged bytes carry stale physical names; re-stage). The
+    * staged manifest is removed on success. */
+  def publishStaged(spark: SparkSession, path: String, id: String): Long = {
+    val st = readStagedManifest(spark, path, id)
+    var m = readManifest(spark, path,
+      currentVersion(spark, path).getOrElse(sys.error(s"no manifest table at $path")))
+    var tries = 0
+    while (true) {
+      require(m.partitionCols == st.partitionCols &&
+        m.transforms == st.transforms && m.colmap == st.colmap &&
+        m.schema.json == st.schema.json,
+        s"publishStaged: table layout changed since stage $id was written " +
+          "(schema/partitioning/column mapping differ) — audit again and re-stage")
+      try {
+        val v = commit(spark, path, m.version + 1, m.schema, m.partitionCols,
+          m.files ++ st.files, m.statsCols, st.stats, m.bloomCols,
+          carry = Some(m), constraints = m.constraints,
+          transforms = m.transforms, colmap = m.colmap, retired = m.retired)
+        fs(spark, path).delete(new Path(manifestDir(path), stagedName(id)), false)
+        return v
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          tries += 1; if (tries > MaxCommitRetries) throw e
+          m = readManifest(spark, path, currentVersion(spark, path).get)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Abandon a staged batch: delete its manifest, then its data files
+    * (which no version ever referenced). */
+  def dropStaged(spark: SparkSession, path: String, id: String): Unit = {
+    val f = fs(spark, path)
+    val st = readStagedManifest(spark, path, id)
+    f.delete(new Path(manifestDir(path), stagedName(id)), false)
+    st.files.foreach(rel => f.delete(new Path(dataDir(path), rel), false): Unit)
+  }
+
   /** Replace exactly the partitions present in `df` (dynamic-overwrite
     * semantics, but transactional): untouched partitions keep their old
     * manifest entries verbatim.
@@ -3276,7 +3412,11 @@ object ManifestTable {
       .map(n => n.substring(1, n.length - 4).toLong).sorted
     val keep = versions.takeRight(keepVersions)
     val keptManifests = keep.map(readManifest(spark, path, _))
-    val referenced = keptManifests.flatMap(_.files).toSet
+    // staged (write-audit-publish) batches are un-published but LIVE:
+    // their files must survive the sweep until published or dropped
+    val stagedFiles = stagedIds(spark, path)
+      .flatMap(id => readStagedManifest(spark, path, id).files)
+    val referenced = keptManifests.flatMap(_.files).toSet ++ stagedFiles
     // stats sidecars referenced by surviving manifests must outlive the
     // sweep; everything else named s* (superseded versions, race losers)
     // goes with the manifests that referenced it

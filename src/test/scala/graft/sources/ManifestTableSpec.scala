@@ -697,6 +697,50 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, path).count() === 300L)
   }
 
+  test("write-audit-publish: staged batches are invisible, auditable, vacuum-safe, publish atomically") {
+    val path = tmpTable()
+    ManifestTable.overwrite(spark, path,
+      (1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartitionByRange(2, col("id")), statsCols = Seq("id"))
+    val id = ManifestTable.stageAppend(spark, path,
+      (51 to 70).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1))
+    // invisible to every normal read surface
+    assert(ManifestTable.read(spark, path).count() === 50L)
+    assert(ManifestTable.fastCount(spark, path) === Some(50L))
+    // …but the audit view is the exact would-be table
+    val audit = ManifestTable.readStaged(spark, path, id)
+    assert(audit.count() === 70L)
+    assert(audit.filter(col("id") > 50).count() === 20L)
+    assert(ManifestTable.stagedIds(spark, path) === Seq(id))
+    // vacuum must not sweep the staged (never-yet-referenced) files
+    ManifestTable.append(spark, path,
+      Seq((1000L, "x")).toDF("id", "v").coalesce(1))
+    ManifestTable.vacuum(spark, path, keepVersions = 1)
+    assert(ManifestTable.readStaged(spark, path, id).count() === 71L,
+      "staged files must survive a vacuum")
+    // publish: one atomic append-shaped commit; the stage is consumed
+    val v = ManifestTable.publishStaged(spark, path, id)
+    assert(ManifestTable.read(spark, path).count() === 71L)
+    assert(ManifestTable.readVersion(spark, path, v - 1).count() === 51L,
+      "pre-publish readers still see their snapshot")
+    assert(ManifestTable.stagedIds(spark, path).isEmpty)
+    // a stage dropped unpublished leaves no trace: manifest gone, files swept
+    val id2 = ManifestTable.stageAppend(spark, path,
+      Seq((2000L, "y")).toDF("id", "v").coalesce(1))
+    val before = new java.io.File(path, "data").listFiles().length
+    ManifestTable.dropStaged(spark, path, id2)
+    assert(ManifestTable.stagedIds(spark, path).isEmpty)
+    assert(new java.io.File(path, "data").listFiles().length === before - 1)
+    assert(ManifestTable.read(spark, path).count() === 71L)
+    // publish after a concurrent RENAME fails loudly (stale physical names)
+    val id3 = ManifestTable.stageAppend(spark, path,
+      Seq((3000L, "z")).toDF("id", "v").coalesce(1))
+    ManifestTable.renameColumn(spark, path, "v", "val")
+    val e = intercept[IllegalArgumentException](
+      ManifestTable.publishStaged(spark, path, id3))
+    assert(e.getMessage.contains("re-stage"))
+  }
+
   test("format=N protocol gate: too-new manifests fail loudly on read/write/stream; legacy reads as v1") {
     val path = tmpTable()
     ManifestTable.overwrite(spark, path, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
