@@ -53,18 +53,18 @@ class GraftSqlParser(session: SparkSession,
     case OptimizeRe(target, where, smaller, rows, zorder, purge) =>
       GraftOptimizeCommand(target, Option(where).map(_.trim),
         Option(smaller),
-        Option(rows).map(_.toLong).getOrElse(1000000L),
+        Option(rows).map(_.toLong),
         Option(zorder).map(_.split(",").map(_.trim.stripPrefix("`")
           .stripSuffix("`")).toSeq).getOrElse(Nil),
         purge != null)
     case VacuumRe(target, keep, unit) =>
       (Option(keep), Option(unit).map(_.toUpperCase)) match {
         case (Some(n), Some(u)) if u.startsWith("HOUR") =>
-          GraftVacuumCommand(target, 1, Some(n.toLong * 3600000L))
+          GraftVacuumCommand(target, Some(1), Some(n.toLong * 3600000L))
         case (Some(n), Some(u)) if u.startsWith("DAY") =>
-          GraftVacuumCommand(target, 1, Some(n.toLong * 86400000L))
-        case (Some(n), _) => GraftVacuumCommand(target, n.toInt, None)
-        case _ => GraftVacuumCommand(target, 1, None)
+          GraftVacuumCommand(target, Some(1), Some(n.toLong * 86400000L))
+        case (Some(n), _) => GraftVacuumCommand(target, Some(n.toInt), None)
+        case _ => GraftVacuumCommand(target, None, None)
       }
     case HistoryRe(target, limit) =>
       GraftHistoryCommand(target, Option(limit).map(_.toInt))
@@ -454,7 +454,7 @@ object GraftSqlParser {
   * snapshot's file count. */
 case class GraftOptimizeCommand(target: String, where: Option[String],
                                 smallerThan: Option[String],
-                                targetRows: Long,
+                                targetRowsOpt: Option[Long],
                                 zorderCols: Seq[String],
                                 purge: Boolean) extends LeafRunnableCommand {
   require(!(purge && (zorderCols.nonEmpty || where.isDefined || smallerThan.isDefined)),
@@ -466,6 +466,12 @@ case class GraftOptimizeCommand(target: String, where: Option[String],
     AttributeReference("n_files", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
+    // an omitted TARGET falls back to the table's own tuning property,
+    // then the global default — per-table knobs an ops team sets once
+    val targetRows = targetRowsOpt
+      .orElse(ManifestTable.properties(spark, path)
+        .get("graft.targetFileRows").map(_.toLong))
+      .getOrElse(1000000L)
     val v = if (purge) ManifestTable.rewriteDeletes(spark, path)
             else (where, smallerThan) match {
               case (Some(w), _) => ManifestTable.compactWhere(spark, path,
@@ -487,15 +493,23 @@ case class GraftOptimizeCommand(target: String, where: Option[String],
   * drop data files referenced by none of the retained manifests (plus
   * aged scratch). Returns the number of data files deleted. */
 case class GraftVacuumCommand(target: String,
-                              keepVersions: Int,
+                              keepVersions: Option[Int],
                               retainMs: Option[Long] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("deleted_files", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
-    Seq(Row(retainMs match {
+    // a bare VACUUM honors the table's own retention property (the
+    // Delta `deletedFileRetentionDuration` idea) before the
+    // keep-current-only default
+    val effective: Option[Long] = retainMs.orElse(
+      if (keepVersions.isEmpty)
+        ManifestTable.properties(spark, path)
+          .get("graft.retentionHours").map(_.toLong * 3600000L)
+      else None)
+    Seq(Row(effective match {
       case Some(ms) => ManifestTable.vacuumRetainMs(spark, path, ms).toLong
-      case None => ManifestTable.vacuum(spark, path, keepVersions).toLong
+      case None => ManifestTable.vacuum(spark, path, keepVersions.getOrElse(1)).toLong
     }))
   }
 }

@@ -457,6 +457,16 @@ object ManifestTable {
     currentVersion(spark, path)
       .map(v => readManifest(spark, path, v).props).getOrElse(Map.empty)
 
+  /** `graft.appendOnly = true` (Delta's `delta.appendOnly` re-derived):
+    * row-level mutation is refused table-wide — an audit-log table must
+    * never lose a row to a fat-fingered DELETE. The gate reads the
+    * manifest the operation already holds, so it costs nothing. */
+  private def requireMutable(m: Manifest, path: String, op: String): Unit =
+    require(!m.props.get("graft.appendOnly").exists(_.equalsIgnoreCase("true")),
+      s"$op on $path refused: table property graft.appendOnly is true — " +
+        "unset it first (ALTER TABLE … UNSET TBLPROPERTIES) if this " +
+        "mutation is intentional")
+
   /** `ALTER TABLE … SET TBLPROPERTIES` — a metadata-only commit merging
     * `kvs` over the current properties. */
   def setProperties(spark: SparkSession, path: String,
@@ -2473,6 +2483,7 @@ object ManifestTable {
             deleteKeys, txn))
       case Some(v) =>
         val m = readManifest(spark, path, v)
+        requireMutable(m, path, "MERGE")
         val batch = withDerived(
           updates.drop(m.transforms.map(_.derived): _*), m.transforms,
           Some(m.schema))
@@ -2607,6 +2618,7 @@ object ManifestTable {
     val v = currentVersion(spark, path)
       .getOrElse(sys.error(s"no manifest table at $path"))
     val m = readManifest(spark, path, v)
+    requireMutable(m, path, "DELETE")
     if (m.files.isEmpty) return v
     rewriteWithout(spark, path, v, m,
       touchedFiles(spark, path, m.files, m, predicate), predicate)
@@ -2636,6 +2648,7 @@ object ManifestTable {
     val v = currentVersion(spark, path)
       .getOrElse(sys.error(s"no manifest table at $path"))
     val m = readManifest(spark, path, v)
+    requireMutable(m, path, "DELETE")
     if (m.files.isEmpty) return v
     val touched = touchedFiles(spark, path, m.files, m, predicate)
     if (touched.isEmpty) return v
@@ -3096,6 +3109,7 @@ object ManifestTable {
     val v = currentVersion(spark, path)
       .getOrElse(sys.error(s"no manifest table at $path"))
     val m = readManifest(spark, path, v)
+    requireMutable(m, path, "UPDATE")
     if (m.files.isEmpty) return v
     val logical = logicalSchema(m)
     val fields = logical.fields.map(f => f.name -> f).toMap

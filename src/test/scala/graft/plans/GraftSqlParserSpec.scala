@@ -564,6 +564,48 @@ class GraftSqlParserSpec extends SparkSpec {
       s.sql(s"DROP TABLE IF EXISTS $t"): Unit)
   }
 
+  test("table properties drive behavior: graft.appendOnly guards mutation, retention/target tune maintenance") {
+    val s = extSpark
+    val path = Files.createTempDirectory("sqlp_propfx").toString + "/t"
+    ManifestTable.overwrite(s, path,
+      s.range(100).select(col("id"), (col("id") * 2).as("v")).repartition(4))
+    // appendOnly: every row-level mutation refused, appends still fine
+    ManifestTable.setProperties(s, path, Map("graft.appendOnly" -> "true"))
+    Seq(
+      () => ManifestTable.delete(s, path, col("id") === 1L),
+      () => ManifestTable.deleteVectorized(s, path, col("id") === 1L),
+      () => ManifestTable.update(s, path, col("id") === 1L, Seq("v" -> lit(0L))),
+      () => ManifestTable.merge(s, path,
+        s.range(1).select(col("id"), lit(9L).as("v")), keys = Seq("id"))
+    ).foreach { op =>
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("appendOnly"))
+    }
+    ManifestTable.append(s, path,
+      s.range(100, 110).select(col("id"), (col("id") * 2).as("v")).coalesce(1))
+    assert(ManifestTable.read(s, path).count() === 110L)
+    ManifestTable.unsetProperties(s, path, Seq("graft.appendOnly"))
+    ManifestTable.delete(s, path, col("id") === 1L)
+    assert(ManifestTable.read(s, path).count() === 109L)
+
+    // graft.targetFileRows: a bare OPTIMIZE sizes files per the property
+    ManifestTable.setProperties(s, path, Map("graft.targetFileRows" -> "50"))
+    s.sql(s"OPTIMIZE '$path'").collect()
+    assert(dataFiles(path) >= 2,
+      "a 109-row table at 50-row targets must compact to multiple files")
+
+    // graft.retentionHours: a bare VACUUM takes the table's window —
+    // everything is in-window, so nothing sweeps despite old versions
+    ManifestTable.setProperties(s, path, Map("graft.retentionHours" -> "168"))
+    assert(s.sql(s"VACUUM '$path'").head.getLong(0) === 0L,
+      "in-window versions must survive a bare VACUUM under retentionHours")
+    assert(ManifestTable.currentVersion(s, path).get ===
+      ManifestTable.history(s, path, None).count(),
+      "no manifest swept either")
+    // an explicit RETAIN clause still overrides the property
+    assert(s.sql(s"VACUUM '$path' RETAIN 1 VERSIONS").head.getLong(0) > 0L)
+  }
+
   test("CONVERT TO GRAFT migrates a hive-partitioned parquet dir zero-copy; full lifecycle works after") {
     val s = extSpark
     val root = Files.createTempDirectory("sqlp_conv").toString
