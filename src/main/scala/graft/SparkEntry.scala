@@ -1567,6 +1567,26 @@ object SparkEntry {
               |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
     }),
 
+    // ---- the change feed as a SQL table-valued function (Delta's
+    // table_changes idiom): the same five-commit fixture as
+    // q_change_feed, served entirely through
+    // SELECT … FROM graft_table_changes(path, from, to) — both faces
+    // must land on the identical typed CDC answer ----
+    "q_sql_changes" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cdfsql").toString + "/t"
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        .repartition(4)
+      graft.sources.ManifestTable.overwrite(s, dir, o.filter(col("o_orderkey") % 4 === 0))
+      graft.sources.ManifestTable.append(s, dir, o.filter(col("o_orderkey") % 4 === 1))
+      graft.sources.ManifestTable.deleteVectorized(s, dir, col("o_totalprice") < lit(10000.0))
+      graft.sources.ManifestTable.compact(s, dir, 100000L)
+      graft.sources.ManifestTable.update(s, dir, col("o_orderkey") % 400 === 0,
+        Seq("o_totalprice" -> (col("o_totalprice") + lit(1.0))))
+      s.sql(s"""SELECT o_orderkey, _change_type AS change_type,
+               |  _commit_version AS commit_version
+               |FROM graft_table_changes('$dir', 0, 5)""".stripMargin)
+    }),
+
     // ---- write-audit-publish: a staged batch must be INVISIBLE to the
     // table until published (the require gates assert that mid-fixture —
     // any staging leak fails the query loudly), auditable as the exact
@@ -2683,6 +2703,25 @@ object SparkEntry {
        |  FROM exact)
        |SELECT q_id, n_id, round(c, 6) AS cos, rk FROM ranked WHERE rk <= $k""".stripMargin
   }
+
+  // shared by the reader-face (q_change_feed) and TVF-face (q_sql_changes)
+  // registrations: both run the same five-commit fixture
+  private val ChangeFeedOracle: String =
+    """WITH b1 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 0),
+        |     b2 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 1),
+        |     upd AS (SELECT o_orderkey FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2) u
+        |             WHERE NOT (o_totalprice < 10000.0) AND o_orderkey % 400 = 0)
+        |SELECT o_orderkey, 'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version FROM b1
+        |UNION ALL
+        |SELECT o_orderkey, 'insert', CAST(2 AS BIGINT) FROM b2
+        |UNION ALL
+        |SELECT o_orderkey, 'delete', CAST(3 AS BIGINT)
+        |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2) u
+        |WHERE o_totalprice < 10000.0
+        |UNION ALL
+        |SELECT o_orderkey, 'update_preimage', CAST(5 AS BIGINT) FROM upd
+        |UNION ALL
+        |SELECT o_orderkey, 'update_postimage', CAST(5 AS BIGINT) FROM upd""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_ann_pq" -> pqOracle,
@@ -4141,22 +4180,10 @@ object SparkEntry {
 
     // the change feed re-derived: v1/v2 rows are inserts, the DV'd rows
     // are deletes at v3, and the compaction (v4) contributes NOTHING
-    "q_change_feed" ->
-      """WITH b1 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 0),
-        |     b2 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 1),
-        |     upd AS (SELECT o_orderkey FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2) u
-        |             WHERE NOT (o_totalprice < 10000.0) AND o_orderkey % 400 = 0)
-        |SELECT o_orderkey, 'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version FROM b1
-        |UNION ALL
-        |SELECT o_orderkey, 'insert', CAST(2 AS BIGINT) FROM b2
-        |UNION ALL
-        |SELECT o_orderkey, 'delete', CAST(3 AS BIGINT)
-        |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2) u
-        |WHERE o_totalprice < 10000.0
-        |UNION ALL
-        |SELECT o_orderkey, 'update_preimage', CAST(5 AS BIGINT) FROM upd
-        |UNION ALL
-        |SELECT o_orderkey, 'update_postimage', CAST(5 AS BIGINT) FROM upd""".stripMargin,
+    "q_change_feed" -> ChangeFeedOracle,
+
+    // the TVF face must land on the identical typed CDC answer
+    "q_sql_changes" -> ChangeFeedOracle,
 
     // the replica's final state re-derived: the two %4 buckets, minus
     // the sub-10000 deletes, with the +1 repricing applied AFTER the cut

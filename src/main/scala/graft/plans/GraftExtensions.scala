@@ -21,6 +21,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSimilarityDescriptor)
+    // table-valued CDC face: SELECT * FROM graft_table_changes(t, from[, to])
+    e.injectTableFunction(GraftExtensions.tableChangesDescriptor)
     // opt-in range-join binning (fires only when
     // spark.graft.rangeJoin.binWidth is set on the session)
     e.injectOptimizerRule(_ => RangeJoinRule)
@@ -51,6 +53,45 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 2, "cosine_similarity(a, b) takes exactly 2 arguments")
       CosineSimilarity(children.head, children(1))
+    })
+
+  /** `graft_table_changes('t', from [, to])` — the row-level change feed
+    * as a TABLE-VALUED FUNCTION (Delta's `table_changes` idiom): typed
+    * CDC rows (`insert`/`delete`/`update_preimage`/`update_postimage` +
+    * `_commit_version`) for the commits AFTER `from` up to `to`
+    * (default: current). The first argument is a quoted table root path
+    * or a catalog/temp-view name; versions must be literals — the feed
+    * is pinned at plan time like every other time-travel face. Composes
+    * with full SQL: join the feed, filter by change type, aggregate per
+    * commit.
+    */
+  private val tableChangesDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = (
+    FunctionIdentifier("graft_table_changes"),
+    new ExpressionInfo("graft.sources.ManifestTable", "graft_table_changes"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2 || args.length == 3,
+        "graft_table_changes(table, fromVersion [, toVersion]) takes 2 or 3 arguments")
+      val spark = org.apache.spark.sql.SparkSession.active
+      def strArg(e: Expression): String = e.eval(null) match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => String.valueOf(other)
+      }
+      def longArg(e: Expression): Long = e.eval(null) match {
+        case n: java.lang.Number => n.longValue()
+        case other => sys.error(s"graft_table_changes: version must be a " +
+          s"numeric literal, got '$other'")
+      }
+      val target = strArg(args.head)
+      // a path contains a separator; anything else resolves as a name
+      val path = if (target.contains("/")) target
+                 else GraftSqlParser.resolvePath(spark, target)
+      val from = longArg(args(1))
+      val to = args.lift(2).map(longArg).getOrElse(
+        graft.sources.ManifestTable.currentVersion(spark, path)
+          .getOrElse(sys.error(s"no graft table at $path")))
+      graft.sources.ManifestTable.readChanges(spark, path, from, to)
+        .queryExecution.logical
     })
 
   /** Imperative registration for an already-built session (tests, REPLs). */

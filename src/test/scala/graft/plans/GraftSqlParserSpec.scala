@@ -658,6 +658,41 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(ManifestTable.read(s, s"$root/flat").count() === 50L)
   }
 
+  test("graft_table_changes TVF: typed CDC rows from SQL, name resolution, default to-version, composition") {
+    val s = extSpark
+    val path = Files.createTempDirectory("sqlp_tvf").toString + "/t"
+    ManifestTable.overwrite(s, path,
+      s.range(10).select(col("id"), (col("id") * 2).as("v")).coalesce(1))
+    ManifestTable.append(s, path,
+      s.range(10, 20).select(col("id"), (col("id") * 2).as("v")).coalesce(1))
+    ManifestTable.update(s, path, col("id") === 3L, Seq("v" -> lit(99L)))
+    s.sql("DROP TABLE IF EXISTS tvf_t")
+    s.sql(s"CREATE TABLE tvf_t USING graft OPTIONS (path '$path')")
+    try {
+      // path form, full range
+      val all = s.sql(s"SELECT * FROM graft_table_changes('$path', 0, 3)")
+      assert(all.columns.toSeq ===
+        Seq("id", "v", "_change_type", "_commit_version"))
+      assert(all.count() === 22L) // 10 + 10 inserts + pre/post pair
+      // name form + default to-version (current)
+      assert(s.sql("SELECT count(*) FROM graft_table_changes('tvf_t', 2)")
+        .head.getLong(0) === 2L, "only the update commit's typed pair")
+      // composes with full SQL: per-commit rollup
+      val byCommit = s.sql(
+        s"""SELECT _commit_version, count(*) AS n
+           |FROM graft_table_changes('$path', 0)
+           |GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+      assert(byCommit.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+        Seq((1L, 10L), (2L, 10L), (3L, 2L)))
+      assert(s.sql(s"""SELECT v FROM graft_table_changes('$path', 2)
+                      |WHERE _change_type = 'update_postimage'""".stripMargin)
+        .head.getLong(0) === 99L)
+      intercept[Exception] {
+        s.sql("SELECT * FROM graft_table_changes('no_such_table_xyz', 0)").collect()
+      }
+    } finally s.sql("DROP TABLE IF EXISTS tvf_t"): Unit
+  }
+
   test("SHOW PARTITIONS answers from the manifest; non-graft tables keep Spark's behavior") {
     val s = extSpark
     val root = Files.createTempDirectory("sqlp_showp").toString
