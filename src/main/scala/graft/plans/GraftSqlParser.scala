@@ -252,7 +252,7 @@ class GraftSqlParser(session: SparkSession,
     */
   private def interceptAlter(plan: LogicalPlan): LogicalPlan = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedTable, UnresolvedTableOrView}
-    import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, DropColumns, RenameColumn, SetTableProperties, ShowTableProperties, UnsetTableProperties}
+    import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, DropColumns, RenameColumn, SetTableProperties, ShowTableProperties, TruncateTable, UnsetTableProperties}
     def graftTarget(child: LogicalPlan): Option[(String, TableIdentifier)] =
       child match {
         case u: UnresolvedTable =>
@@ -291,6 +291,13 @@ class GraftSqlParser(session: SparkSession,
       case ShowTableProperties(child, key, _) =>
         graftTarget(child).map { case (p, _) =>
           GraftShowPropertiesCommand(p, key)
+        }.getOrElse(plan)
+      // TRUNCATE is a metadata-only empty commit on graft tables (the v1
+      // path would try to delete the location's files out from under
+      // time travel)
+      case TruncateTable(child) =>
+        graftTarget(child).map { case (p, _) =>
+          GraftTruncateCommand(p)
         }.getOrElse(plan)
       case p => p
     }
@@ -818,6 +825,18 @@ case class GraftShowPropertiesCommand(path: String,
         s"Table default.${new org.apache.hadoop.fs.Path(path).getName} does not have property: $k")))
       case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
     }
+  }
+}
+
+/** `TRUNCATE TABLE` on a graft table — [[ManifestTable.truncate]]: a
+  * metadata-only empty commit (layout/properties survive, old versions
+  * stay time-travelable, files age out via vacuum). */
+case class GraftTruncateCommand(path: String) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    ManifestTable.truncate(spark, path)
+    spark.sessionState.catalog.invalidateAllCachedTables()
+    Nil
   }
 }
 

@@ -2278,6 +2278,26 @@ object ManifestTable {
         sys.error("unreachable")
     }
 
+  /** `TRUNCATE TABLE`: drop every row, keep the table — schema,
+    * partition spec, stats/bloom declarations, constraints, column
+    * mapping and PROPERTIES all survive into the empty version; the COPY
+    * ledger resets with the content it described (a truncated landing
+    * load is re-ingestable, exactly like restore-then-recopy). A
+    * metadata-only commit: the old files age out via vacuum, and the
+    * pre-truncate version stays time-travelable. Honors
+    * `graft.appendOnly`. */
+  def truncate(spark: SparkSession, path: String): Long = {
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    requireMutable(m, path, "TRUNCATE")
+    commit(spark, path, v + 1, m.schema, m.partitionCols, Nil,
+      m.statsCols, Map.empty, m.bloomCols,
+      carry = Some(m.copy(ingests = Nil)),
+      constraints = m.constraints, transforms = m.transforms,
+      colmap = m.colmap, retired = m.retired, op = Some("truncate"))
+  }
+
   // ---------------------------------------------- write-audit-publish staging
 
   /** WRITE-AUDIT-PUBLISH: stage an append INVISIBLY. The batch's data

@@ -658,6 +658,43 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(ManifestTable.read(s, s"$root/flat").count() === 50L)
   }
 
+  test("TRUNCATE TABLE is a metadata-only empty commit: layout/properties survive, history intact") {
+    val s = extSpark
+    val path = Files.createTempDirectory("sqlp_trunc").toString + "/t"
+    ManifestTable.overwrite(s, path,
+      s.range(100).select(col("id"), (col("id") % 5).as("grp")),
+      Seq("grp"), statsCols = Seq("id"))
+    ManifestTable.setProperties(s, path, Map("team" -> "etl"))
+    s.sql("DROP TABLE IF EXISTS trunc_t")
+    s.sql(s"CREATE TABLE trunc_t USING graft OPTIONS (path '$path')")
+    try {
+      s.sql("TRUNCATE TABLE trunc_t")
+      assert(s.sql("SELECT count(*) FROM trunc_t").head.getLong(0) === 0L)
+      // layout + properties survive into the empty version
+      assert(ManifestTable.properties(s, path) === Map("team" -> "etl"))
+      // the data files themselves survive for time travel until vacuum
+      assert(ManifestTable.readVersion(s, path, 1L).count() === 100L)
+      // refills take the SAME declared layout (REFRESH after an
+      // out-of-band API write — the standard v1 relation-cache contract)
+      ManifestTable.append(s, path,
+        s.range(7).select(col("id"), (col("id") % 5).as("grp")))
+      s.sql("REFRESH TABLE trunc_t")
+      assert(s.sql("SELECT count(*) FROM trunc_t").head.getLong(0) === 7L)
+      assert(s.sql("SHOW PARTITIONS trunc_t").count() === 5L)
+      // appendOnly blocks TRUNCATE too
+      ManifestTable.setProperties(s, path, Map("graft.appendOnly" -> "true"))
+      assert(intercept[Exception](s.sql("TRUNCATE TABLE trunc_t"))
+        .getMessage.contains("appendOnly"))
+      // non-graft v1 TRUNCATE keeps Spark's behavior
+      s.sql("DROP TABLE IF EXISTS trunc_pq")
+      s.sql("CREATE TABLE trunc_pq (id BIGINT) USING parquet")
+      s.sql("INSERT INTO trunc_pq VALUES (1)")
+      s.sql("TRUNCATE TABLE trunc_pq")
+      assert(s.sql("SELECT count(*) FROM trunc_pq").head.getLong(0) === 0L)
+    } finally Seq("trunc_t", "trunc_pq").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+  }
+
   test("graft_table_changes TVF: typed CDC rows from SQL, name resolution, default to-version, composition") {
     val s = extSpark
     val path = Files.createTempDirectory("sqlp_tvf").toString + "/t"
