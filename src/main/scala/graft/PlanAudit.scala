@@ -14,6 +14,12 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // plan-node toString truncates metadata (PushedFilters etc.) at 100
+      // chars by default, which can hide the very filter an audit asserts
+      .config("spark.sql.maxMetadataStringLength", "2000")
+      // the SQL-surface queries (time travel, CTAS, TVF) need the
+      // injected parser/rules, same as Verify's session
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def auditDf(name: String, df: org.apache.spark.sql.DataFrame)(
@@ -497,6 +503,23 @@ object PlanAudit {
           !p.contains("l_extendedprice")),
       "ship-quarter filter pushed to the scan" -> (p =>
         p.contains("PushedFilters: [IsNotNull(l_shipdate)")))
+    audit("q_sql_time_travel")(
+      // two small pinned snapshots of the same table: the self-join must
+      // broadcast, never shuffle both sides
+      "pinned-snapshot self-join broadcasts" -> (p =>
+        p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin")),
+      "no cartesian product" -> (p => !p.contains("CartesianProduct")))
+    audit("q_sql_convert")(
+      "order-key filter pushed into the converted table's parquet scan" -> (p =>
+        p.contains("LessThanOrEqual(o_orderkey")),
+      "no join, no wide shuffle (scan-shaped query)" -> (p =>
+        !p.contains("Join")))
+    audit("q_wap")(
+      "published read is a plain pruned scan (no joins, no exchanges)" -> (p =>
+        !p.contains("Join") && !p.contains("Exchange")))
+    audit("q_sql_changes")(
+      "change derivation never goes cartesian" -> (p =>
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
     spark.stop()
   }
 }
