@@ -520,6 +520,13 @@ object PlanAudit {
     audit("q_sql_changes")(
       "change derivation never goes cartesian" -> (p =>
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
+    audit("q_cobucket_join")(
+      "co-bucketed fact join plans storage-partitioned" -> (p =>
+        p.contains("CoBucketJoin")),
+      "no shuffle below the final aggregation (join is exchange-free)" -> (p =>
+        !p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")),
+      "exactly the one exchange the 5-group aggregate needs" -> (p =>
+        "Exchange".r.findAllIn(p).length <= 2))
     spark.stop()
   }
 }

@@ -1609,6 +1609,35 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_totalprice"))
     }),
 
+    // ---- Storage-partitioned join: lineitem and orders land as graft
+    // tables co-bucketed on the order key (bucket(8, …)), and the
+    // fact-to-fact join then plans as N per-bucket hash joins with ZERO
+    // exchange on either side (plans.CoBucketJoinRule — the Iceberg-SPJ
+    // move; at 100 TB it deletes both full-table shuffles). The child
+    // session opts out of auto-broadcast WITHOUT touching the shared
+    // session's conf: below the threshold the rule correctly defers to
+    // the broadcast join, and the fixture's point is the SPJ path ----
+    "q_cobucket_join" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_cbj").toString
+      import graft.sources.ManifestTable
+      ManifestTable.overwrite(s, s"$root/L",
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+        transforms = Seq(ManifestTable.PartitionTransform(
+          "l_orderkey_bucket", "bucket", 8, "l_orderkey")))
+      ManifestTable.overwrite(s, s"$root/R",
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        transforms = Seq(ManifestTable.PartitionTransform(
+          "o_orderkey_bucket", "bucket", 8, "o_orderkey")))
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val l = s2.read.format("graft").load(s"$root/L")
+      val r = s2.read.format("graft").load(s"$root/R")
+      l.join(r, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- CONVERT TO GRAFT: a pre-existing hive-partitioned parquet lake
     // becomes a graft table ZERO-COPY (files renamed under the root,
     // never rewritten), then answers a partition-filtered SQL read with
@@ -4243,6 +4272,12 @@ object SparkEntry {
     "q_wap" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 <= 1""".stripMargin,
+
+    // the zero-shuffle co-bucketed join lands exactly the shuffled answer
+    "q_cobucket_join" ->
+      """SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // the converted lake answers exactly what the source parquet said
     "q_sql_convert" ->

@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // manifest row counts → CatalogStatistics, so CBO join reordering
     // sees cardinality, not just bytes
     e.injectOptimizerRule(_ => GraftStatsRule)
+    // zero-shuffle storage-partitioned join over co-bucketed graft tables
+    e.injectOptimizerRule(_ => CoBucketJoinRule)
+    e.injectPlannerStrategy(_ => new CoBucketJoinStrategy)
     // SQL DELETE over graft tables (copy-on-write row-level delete)
     e.injectResolutionRule(_ => GraftDeleteRule)
     // SQL UPDATE over graft tables (copy-on-write row-level update)

@@ -834,6 +834,29 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
       : Option[Seq[(Seq[Any], Long, Map[String, (Any, Any)])]] =
     ManifestTable.fastGroupAggOf(spark, path, manifest, groupCols)
 
+  /** The version this relation pinned at construction — what a rewrite
+    * that re-reads the table out-of-band (co-bucketed join) must pin to,
+    * so the rewritten plan answers for the SAME snapshot the relation
+    * would have scanned. */
+  private[graft] def snapshotVersion: Long = resolvedVersion
+
+  /** The snapshot's bucket layout, when it is SOUND to read the table as
+    * N disjoint per-bucket slices: exactly one single-column `bucket`
+    * transform whose source column exists in the logical schema, and
+    * EVERY manifest file lives under a `derived=` directory — a file
+    * written before partition-spec evolution introduced the transform
+    * holds rows of all buckets and breaks slice-disjointness, so its
+    * presence stands the whole layout down. Returns
+    * (source logical column, bucket count, derived dir column).
+    */
+  private[graft] def bucketReady: Option[(String, Int, String)] =
+    manifest.transforms.filter(_.kind == "bucket") match {
+      case Seq(t) if schema.fieldNames.contains(t.src) && t.arg > 0 &&
+          manifest.files.forall(_.split('/').exists(_.startsWith(t.derived + "="))) =>
+        Some((t.src, t.arg, t.derived))
+      case _ => None
+    }
+
   /** Filters we can apply exactly as Columns (everything listed here is
     * handled by us; the rest Spark re-applies on top).
     */

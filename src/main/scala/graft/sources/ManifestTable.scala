@@ -522,6 +522,26 @@ object ManifestTable {
     readRels(spark, path, m, m.files)
   }
 
+  /** Snapshot read restricted to ONE value of a hidden-partition (derived)
+    * column — the per-bucket read primitive behind the co-bucketed join
+    * ([[graft.plans.CoBucketJoinRule]]). File selection is pure path
+    * matching on the manifest's rel paths (`derived=value` is a directory
+    * segment the writer produced), so no data file outside the named
+    * partition is ever opened; the selected rels then go through the full
+    * [[readRels]] surface — deletion vectors, column mapping, schema — so
+    * a bucket slice sees exactly the rows a whole-table read would show
+    * for that bucket. Callers must ensure every manifest file carries the
+    * segment (see [[GraftRelation.bucketReady]]): a pre-evolution file
+    * without it holds rows of ALL buckets and cannot be sliced by path.
+    */
+  private[graft] def readHiddenPartition(spark: SparkSession, path: String,
+                                         version: Long, derived: String,
+                                         value: Any): DataFrame = {
+    val m = readManifest(spark, path, version)
+    val seg = s"$derived=${org.apache.spark.sql.graft.bridge.escapePathValue(value)}"
+    readRels(spark, path, m, m.files.filter(_.split('/').contains(seg)))
+  }
+
   /** Rows in the data files that `toVersion` references but `fromVersion`
     * does not — the incremental-read primitive: a downstream job remembers
     * the last version it processed and consumes only what arrived since,
