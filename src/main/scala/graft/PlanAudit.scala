@@ -520,6 +520,10 @@ object PlanAudit {
     audit("q_sql_changes")(
       "change derivation never goes cartesian" -> (p =>
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
+    audit("q_cobucket_agg")(
+      "keyed aggregate over the bucketed fact is storage-partitioned" -> (p =>
+        p.contains("CoBucketAgg")),
+      "zero exchange anywhere" -> (p => !p.contains("Exchange")))
     audit("q_cobucket_join")(
       "co-bucketed fact join plans storage-partitioned" -> (p =>
         p.contains("CoBucketJoin")),

@@ -1638,6 +1638,25 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // ---- Storage-partitioned aggregation: grouping a bucketed fact by
+    // its bucket key aggregates completely inside each bucket slice
+    // (plans.CoBucketAggRule) — the high-cardinality keyed aggregate,
+    // normally the map-partials shuffle, runs with ZERO exchange ----
+    "q_cobucket_agg" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_cba").toString + "/t"
+      import graft.sources.ManifestTable
+      ManifestTable.overwrite(s, root,
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+        transforms = Seq(ManifestTable.PartitionTransform(
+          "l_orderkey_bucket", "bucket", 8, "l_orderkey")))
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.read.format("graft").load(root)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
+          max("l_quantity").as("max_qty"))
+    }),
+
     // ---- CONVERT TO GRAFT: a pre-existing hive-partitioned parquet lake
     // becomes a graft table ZERO-COPY (files renamed under the root,
     // never rewritten), then answers a partition-filtered SQL read with
@@ -4272,6 +4291,11 @@ object SparkEntry {
     "q_wap" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 <= 1""".stripMargin,
+
+    // the zero-shuffle keyed aggregate lands exactly the shuffled answer
+    "q_cobucket_agg" ->
+      """SELECT l_orderkey, count(*) AS n, sum(l_quantity) AS sum_qty,
+        |max(l_quantity) AS max_qty FROM lineitem GROUP BY l_orderkey""".stripMargin,
 
     // the zero-shuffle co-bucketed join lands exactly the shuffled answer
     "q_cobucket_join" ->

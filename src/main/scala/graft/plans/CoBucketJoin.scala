@@ -6,7 +6,7 @@ import graft.sources.{GraftRelation, ManifestTable}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, BoundReference, EqualTo, Expression, GenericInternalRow, JoinedRow, PredicateHelper, SubqueryExpression, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, BoundReference, EqualTo, Expression, GenericInternalRow, JoinedRow, NamedExpression, PredicateHelper, SubqueryExpression, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LeafNode, LogicalPlan, Project, Statistics}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -69,6 +69,49 @@ object CoBucketJoin {
   val EnabledKey = "spark.graft.bucketJoin.enabled"
 }
 
+/** Shared machinery of the storage-partitioned rewrites
+  * ([[CoBucketJoinRule]], [[CoBucketAggRule]]): sub-plan destructuring
+  * and by-NAME expression replay onto fresh bucket slices (the analyzed
+  * attrs belong to the relation instance the rule saw —
+  * [[GraftDeleteCommand]]'s re-anchoring move; sound because logical
+  * names are unique in a graft schema). */
+private[plans] object CoBucketReplay {
+
+  case class Side(rel: GraftRelation, filters: Seq[Expression],
+                  output: Seq[Attribute])
+
+  /** Relation under only replayable nodes; anything else → None. */
+  def destructure(p: LogicalPlan): Option[Side] = p match {
+    case l: LogicalRelation => l.relation match {
+      case g: GraftRelation => Some(Side(g, Nil, l.output))
+      case _ => None
+    }
+    case f @ Filter(cond, child)
+        if cond.deterministic && !cond.exists(_.isInstanceOf[SubqueryExpression]) =>
+      destructure(child).map(s => s.copy(filters = s.filters :+ cond,
+        output = f.output))
+    case pr @ Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+      destructure(child).map(s => s.copy(output = pr.output))
+    case _ => None
+  }
+
+  /** Re-anchor attribute refs by name; the slice's analysis resolves them. */
+  def byName(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+  }
+
+  /** [[byName]] preserving NamedExpression-ness (a bare grouping attr
+    * becomes an UnresolvedAttribute, which is itself named; anything that
+    * loses its name gets it back via an Alias). */
+  def byNameNamed(ne: NamedExpression): NamedExpression = byName(ne) match {
+    case n: NamedExpression => n
+    case other => Alias(other, ne.name)()
+  }
+
+  def replay(df: org.apache.spark.sql.DataFrame, e: Expression): org.apache.spark.sql.DataFrame =
+    df.filter(bridge.toColumn(byName(e)))
+}
+
 /** One side of the rewritten join: the pinned snapshot to slice, the
   * filters to replay (by NAME — the analyzed attrs belong to the relation
   * instance the rule saw, [[GraftDeleteCommand]]'s re-anchoring move),
@@ -102,23 +145,7 @@ case class CoBucketJoinPlan(left: CoBucketSide, right: CoBucketSide,
   */
 object CoBucketJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
-  private case class Side(rel: GraftRelation, filters: Seq[Expression],
-                          output: Seq[Attribute])
-
-  /** Relation under only replayable nodes; anything else → None. */
-  private def destructure(p: LogicalPlan): Option[Side] = p match {
-    case l: LogicalRelation => l.relation match {
-      case g: GraftRelation => Some(Side(g, Nil, l.output))
-      case _ => None
-    }
-    case f @ Filter(cond, child)
-        if cond.deterministic && !cond.exists(_.isInstanceOf[SubqueryExpression]) =>
-      destructure(child).map(s => s.copy(filters = s.filters :+ cond,
-        output = f.output))
-    case pr @ Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-      destructure(child).map(s => s.copy(output = pr.output))
-    case _ => None
-  }
+  import CoBucketReplay.destructure
 
   /** The condition as left-oriented attribute equi-pairs, or None when any
     * conjunct is something else (non-equi residuals, null-safe equality,
@@ -201,20 +228,12 @@ case class CoBucketJoinExec(output: Seq[Attribute], left: CoBucketSide,
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
 
-  /** Replay a captured filter on a fresh per-bucket frame: re-anchor its
-    * attribute refs by NAME (logical names are unique in a graft schema)
-    * and let the slice's own analysis resolve them. */
-  private def replay(df: org.apache.spark.sql.DataFrame, e: Expression) =
-    df.filter(bridge.toColumn(e.transform {
-      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
-    }))
-
   private def sideRdd(side: CoBucketSide): RDD[InternalRow] = {
     val sess = session
     val slices = (0 until buckets).map { i =>
       val base = ManifestTable.readHiddenPartition(sess, side.path,
         side.version, side.derived, i)
-      val sliced = side.filters.foldLeft(base)(replay)
+      val sliced = side.filters.foldLeft(base)(CoBucketReplay.replay)
         .select(side.output.map(a => col(s"`${a.name}`")).toIndexedSeq: _*)
       val rdd = sliced.queryExecution.toRdd
       rdd.getNumPartitions match {

@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // zero-shuffle storage-partitioned join over co-bucketed graft tables
     e.injectOptimizerRule(_ => CoBucketJoinRule)
     e.injectPlannerStrategy(_ => new CoBucketJoinStrategy)
+    // zero-shuffle aggregation on a graft table's bucket key
+    e.injectOptimizerRule(_ => CoBucketAggRule)
+    e.injectPlannerStrategy(_ => new CoBucketAggStrategy)
     // SQL DELETE over graft tables (copy-on-write row-level delete)
     e.injectResolutionRule(_ => GraftDeleteRule)
     // SQL UPDATE over graft tables (copy-on-write row-level update)
