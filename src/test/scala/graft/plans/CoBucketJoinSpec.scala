@@ -208,6 +208,59 @@ class CoBucketJoinSpec extends SparkSpec {
       .toSet === Set((0L, "l0", "r0"), (16L, "l16", "r16")))
   }
 
+  test("lifecycle: spec evolution stands down until OPTIMIZE rewrites the old files") {
+    val root = Files.createTempDirectory("cbj_evolve").toString
+    val s = extSpark
+    import s.implicits._
+    // left starts UNPARTITIONED: its v1 files carry no bucket dirs
+    val left = extSpark.range(200).select((col("id") % 20).as("k"), col("id").as("lv"))
+    ManifestTable.overwrite(extSpark, s"$root/L", left)
+    val right = extSpark.range(20).select(col("id").as("k"), lit("r").as("rv"))
+    ManifestTable.overwrite(extSpark, s"$root/R", right,
+      transforms = Seq(PartitionTransform("k_bucket", "bucket", 4, "k")))
+    ManifestTable.evolvePartitioning(extSpark, s"$root/L", Nil,
+      Seq(PartitionTransform("k_bucket", "bucket", 4, "k")))
+    // declared layouts now match, but left's pre-evolution files hold rows
+    // of ALL buckets — slicing by path would lose rows, so: stand down
+    def q = graftDf(s"$root/L").join(graftDf(s"$root/R"), "k")
+      .select(col("k"), col("lv"), col("rv"))
+    assert(!planOf(q).contains("CoBucketJoin"))
+    val expect = q.collect().map(_.toString).toSet
+    // OPTIMIZE rewrites every file under the CURRENT spec's directories,
+    // after which the join is sliceable — same rows, zero exchange
+    ManifestTable.compact(extSpark, s"$root/L", targetRowsPerFile = 1000L)
+    def q2 = graftDf(s"$root/L").join(graftDf(s"$root/R"), "k")
+      .select(col("k"), col("lv"), col("rv"))
+    val plan2 = planOf(q2)
+    assert(plan2.contains("CoBucketJoin") && !plan2.contains("Exchange"), plan2)
+    assert(q2.collect().map(_.toString).toSet === expect)
+  }
+
+  test("pure-SQL lifecycle: CTAS PARTITIONED BY bucket(...) twice, SQL join is storage-partitioned") {
+    val root = Files.createTempDirectory("cbj_sql").toString
+    extSpark.range(400)
+      .select((col("id") % 50).as("k"), col("id").as("lv"))
+      .createOrReplaceTempView("cbj_src_l")
+    extSpark.range(50).select(col("id").as("k"), (col("id") * 10).as("rv"))
+      .createOrReplaceTempView("cbj_src_r")
+    extSpark.sql("DROP TABLE IF EXISTS cbj_l")
+    extSpark.sql("DROP TABLE IF EXISTS cbj_r")
+    extSpark.sql(s"""CREATE TABLE cbj_l USING graft PARTITIONED BY (bucket(4, k))
+                    |OPTIONS (path '$root/L') AS SELECT * FROM cbj_src_l""".stripMargin)
+    extSpark.sql(s"""CREATE TABLE cbj_r USING graft PARTITIONED BY (bucket(4, k))
+                    |OPTIONS (path '$root/R') AS SELECT * FROM cbj_src_r""".stripMargin)
+    try {
+      def q = extSpark.sql(
+        "SELECT l.k, l.lv, r.rv FROM cbj_l l JOIN cbj_r r ON l.k = r.k")
+      val plan = planOf(q)
+      assert(plan.contains("CoBucketJoin") && !plan.contains("Exchange"), plan)
+      assert(q.collect().map(_.toString).toSet === shuffled(q))
+    } finally {
+      extSpark.sql("DROP TABLE IF EXISTS cbj_l")
+      extSpark.sql("DROP TABLE IF EXISTS cbj_r"): Unit
+    }
+  }
+
   test("disabled flag restores the ordinary join plan") {
     val (lp, rp) = mkTables("flag", 4)
     extSpark.conf.set(CoBucketJoin.EnabledKey, "false")
