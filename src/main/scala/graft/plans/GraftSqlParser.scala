@@ -85,6 +85,15 @@ class GraftSqlParser(session: SparkSession,
     // other table keeps Spark's behavior
     case showP @ ShowPartitionsRe(target) if graftTargetPath(target).isDefined =>
       GraftShowPartitionsCommand(target)
+    // ANALYZE over a GRAFT table lands stats in the MANIFEST (zone maps +
+    // per-file row counts — the skipping/fast-count machinery every read
+    // consults), not in catalog stats Spark would compute; other tables
+    // keep Spark's command
+    case AnalyzeRe(target, forClause, colsRaw) if graftTargetPath(target).isDefined =>
+      val all = forClause != null && forClause.toUpperCase.startsWith("ALL")
+      GraftAnalyzeCommand(target, all,
+        Option(colsRaw).map(_.split(",").map(_.trim.stripPrefix("`")
+          .stripSuffix("`")).toSeq).getOrElse(Nil))
     case other => interceptCtas(interceptTimeTravel(interceptAlter(delegate.parsePlan(other))))
   }
 
@@ -343,6 +352,9 @@ object GraftSqlParser {
   private val ConvertRe =
     ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+'([^']+)'""" +
       """(?:\s+STATSCOLS\s*\(([^)]+)\))?\s*;?\s*""").r
+  private val AnalyzeRe =
+    (s"""(?is)\\s*ANALYZE\\s+TABLE\\s+$T\\s+COMPUTE\\s+STATISTICS""" +
+      """(?:\s+FOR\s+(ALL\s+COLUMNS|COLUMNS\s+([^;]+?)))?\s*;?\s*""").r
   private val ShowPartitionsRe =
     s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$T\\s*;?\\s*""".r
 
@@ -851,6 +863,38 @@ case class GraftShowPartitionsCommand(target: String) extends LeafRunnableComman
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
     ManifestTable.partitionsMeta(spark, path).map(Row(_))
+  }
+}
+
+/** `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b | FOR ALL
+  * COLUMNS]` — [[ManifestTable.analyzeStats]]: post-hoc zone maps and
+  * per-file row counts over the existing files, published as a
+  * metadata-only commit (the stats lifecycle for CONVERT TO GRAFT
+  * imports and late-declared filter keys). `FOR ALL COLUMNS` resolves to
+  * every non-partition column of a stats-encodable type; the bare form
+  * records row counts alone. Returns the new version and the columns
+  * actually added (already-analyzed ones skip idempotently). */
+case class GraftAnalyzeCommand(target: String, allColumns: Boolean,
+                               cols: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("analyzed_cols", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    val resolved =
+      if (!allColumns) cols
+      else {
+        val schema = ManifestTable.schemaOf(spark, path)
+        val parts = ManifestTable.partitionColsAt(spark, path,
+          ManifestTable.currentVersion(spark, path).get).toSet
+        schema.fields.toSeq
+          .filter(f => !parts.contains(f.name) && ManifestTable.statSupported(f.dataType))
+          .map(_.name)
+      }
+    val (v, added) = ManifestTable.analyzeStats(spark, path, resolved)
+    spark.sessionState.catalog.invalidateAllCachedTables()
+    Seq(Row(v, added.mkString(",")))
   }
 }
 

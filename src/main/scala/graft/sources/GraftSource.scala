@@ -908,12 +908,12 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
     * complete workflow against the snapshot-isolated format.
     */
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-    if (overwrite) {
-      val v = ManifestTable.currentVersion(spark, path)
-        .getOrElse(sys.error(s"no graft table at $path"))
-      val (parts, stats, blooms) = ManifestTable.layoutAt(spark, path, v)
-      ManifestTable.overwrite(spark, path, data, parts, stats, blooms): Unit
-    } else ManifestTable.append(spark, path, data): Unit
+    // overwrite REPLACES CONTENT, never the table's definition:
+    // overwriteData carries partitioning, transforms, constraints,
+    // column mapping and properties from the manifest (rebuilding the
+    // layout from arguments here once silently dropped all of them)
+    if (overwrite) ManifestTable.overwriteData(spark, path, data): Unit
+    else ManifestTable.append(spark, path, data): Unit
     // the catalog caches resolved relations, and THIS relation pins its
     // snapshot version — without invalidation, `SELECT` after `INSERT`
     // would keep answering from the pre-insert snapshot forever. Dropping

@@ -1134,8 +1134,10 @@ object ManifestTable {
   private def collectStats(spark: SparkSession, path: String, rels: Seq[String],
                            schema: StructType, partitionCols: Seq[String],
                            statsCols: Seq[String],
-                           bloomCols: Seq[String] = Nil): Map[String, FileStats] = {
-    if ((statsCols.isEmpty && bloomCols.isEmpty) || rels.isEmpty) return Map.empty
+                           bloomCols: Seq[String] = Nil,
+                           forceRows: Boolean = false): Map[String, FileStats] = {
+    if ((statsCols.isEmpty && bloomCols.isEmpty && !forceRows) || rels.isEmpty)
+      return Map.empty
     val bad = (statsCols ++ bloomCols).filter(partitionCols.contains)
     require(bad.isEmpty, s"stats on partition columns are redundant: $bad")
     require(!statsCols.contains(RowsKey), s"$RowsKey is reserved")
@@ -1440,14 +1442,6 @@ object ManifestTable {
   private[graft] def partitionColsAt(spark: SparkSession, path: String,
                                      v: Long): Seq[String] =
     readManifest(spark, path, v).partitionCols
-
-  /** Declared layout of a committed version: (partition, stats, bloom)
-    * columns — what an overwriting writer must preserve. */
-  private[graft] def layoutAt(spark: SparkSession, path: String,
-                              v: Long): (Seq[String], Seq[String], Seq[String]) = {
-    val m = readManifest(spark, path, v)
-    (m.partitionCols, m.statsCols, m.bloomCols)
-  }
 
   /** [[fastCount]] pinned to a snapshot — what a version-pinned relation
     * (time travel, [[GraftRelation]]) must consult instead of "current". */
@@ -2491,6 +2485,142 @@ object ManifestTable {
     sys.error("unreachable")
   }
 
+  /** Replace the table's CONTENT while preserving its DEFINITION — what
+    * SQL `INSERT OVERWRITE` means on a declared table (CTAS / CREATE OR
+    * REPLACE are the faces that redefine): partitioning, hidden-partition
+    * transforms, stats/bloom layout, CHECK constraints, column mapping,
+    * retired names, TBLPROPERTIES and streaming txn watermarks all carry
+    * into the new snapshot; only the COPY ledger resets with the content
+    * ([[truncate]]'s convention — the replaced rows are gone, so the
+    * landing files that produced them are ingestable again). Plain
+    * [[overwrite]] takes the layout from its ARGUMENTS and therefore
+    * resets everything — routing INSERT OVERWRITE through it silently
+    * dropped the table's transforms, constraints and properties.
+    * Refused on `graft.appendOnly` tables, same as TRUNCATE: a content
+    * wipe is exactly the mutation the guard exists for.
+    */
+  def overwriteData(spark: SparkSession, path: String, df: DataFrame): Long = {
+    val v0 = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path — use overwrite"))
+    var m = readManifest(spark, path, v0)
+    requireMutable(m, path, "INSERT OVERWRITE")
+    val batch = withDerived(
+      df.drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema))
+    val (schema0, colmap0) = evolveSchema(batch, m, "overwrite")
+    enforceConstraints(batch, m.constraints, "overwrite")
+    val base = m
+    val added = writeDataFiles(spark, path,
+      clusterForWrite(batch, m.partitionCols, m.transforms), m.partitionCols,
+      colmap0)
+    val addedStats = collectStats(spark, path, added, schema0,
+      m.partitionCols, m.statsCols, m.bloomCols)
+    var tries = 0
+    while (true) {
+      require(m.partitionCols == base.partitionCols,
+        s"table partitioning changed concurrently: " +
+          s"${base.partitionCols} -> ${m.partitionCols}")
+      if (m.colmap != base.colmap || m.retired != base.retired)
+        throw new java.util.ConcurrentModificationException(
+          s"INSERT OVERWRITE on $path lost to a rename/drop commit — the " +
+            "batch's files were written under the old physical names; re-run")
+      try return commit(spark, path, m.version + 1, schema0, m.partitionCols,
+        added, m.statsCols, addedStats, m.bloomCols,
+        carry = Some(m.copy(ingests = Nil)),
+        constraints = m.constraints, transforms = m.transforms,
+        colmap = colmap0, retired = m.retired, op = Some("overwrite"))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          tries += 1; if (tries > MaxCommitRetries) throw e
+          m = readManifest(spark, path, currentVersion(spark, path).get)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Stats value types the manifest can encode exactly ([[encodeStat]]):
+    * the eligibility test for `ANALYZE … FOR ALL COLUMNS`. */
+  private[graft] def statSupported(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.DateType => true
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case _ => false
+    }
+
+  /** `ANALYZE TABLE … COMPUTE STATISTICS [FOR COLUMNS …]` — compute zone
+    * maps (and per-file row counts) for ADDITIONAL columns over the
+    * CURRENT snapshot's EXISTING files, and publish them as a
+    * metadata-only commit: same file set, stats extended, the named
+    * columns joining `statscols=` so every future write keeps them
+    * current. The post-hoc half of the stats lifecycle — a table
+    * imported via CONVERT TO GRAFT (or created before a column became a
+    * filter key) gains file skipping and metadata MIN/MAX without
+    * rewriting a byte of data. With NO columns, records per-file row
+    * counts alone (statless imports gain manifest-answered COUNT(*)).
+    *
+    * Cost shape: one column-pruned scan of exactly the named columns
+    * (plus the grouping on `input_file_name`), the identical pass every
+    * stats-carrying commit already runs — never a full-width read. The
+    * stats merge rides the driver bounded by the manifest (same class as
+    * compaction's stats pass); commit re-spills to the sidecar past the
+    * threshold as usual. Columns are LOGICAL names; already-analyzed
+    * columns are skipped idempotently. No-op (current version) when
+    * nothing new would be recorded and every file already has stats.
+    */
+  def analyzeStats(spark: SparkSession, path: String,
+                   cols: Seq[String]): (Long, Seq[String]) = {
+    val v0 = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    var m = readManifest(spark, path, v0)
+    val logical = logicalSchema(m)
+    cols.foreach { c =>
+      require(logical.fieldNames.contains(c),
+        s"ANALYZE: no column '$c' on $path")
+      require(statSupported(logical(c).dataType),
+        s"ANALYZE: column '$c' has unsupported stats type ${logical(c).dataType.sql}")
+    }
+    val phys = cols.map(c => m.colmap.getOrElse(c, c))
+    phys.foreach { c =>
+      require(!m.partitionCols.contains(c),
+        s"ANALYZE: '$c' is a partition column — its stats are the directory itself")
+    }
+    val fresh = phys.filterNot(m.statsCols.contains).distinct
+    // files with no stats row at all (statless imports): a rows-only
+    // refresh gives them fastCount even when `fresh` is empty
+    val statless = m.files.filterNot(statsFor(spark, path, m).contains)
+    if (fresh.isEmpty && statless.isEmpty) return (v0, Nil)
+    val computed = collectStats(spark, path, m.files, m.schema,
+      m.partitionCols, fresh, Nil, forceRows = true)
+    var tries = 0
+    while (true) {
+      // re-merge against the (possibly rebased) snapshot each attempt:
+      // the computed stats describe IMMUTABLE files, so entries survive
+      // for files the winner still references, files it dropped fall out
+      // of the merge, and files it added commit statless — exactly what
+      // every stats table already tolerates
+      val existing = statsFor(spark, path, m)
+      val merged = m.files.flatMap { rel =>
+        val st = existing.getOrElse(rel, Map.empty) ++
+          computed.getOrElse(rel, Map.empty)
+        if (st.isEmpty) None else Some(rel -> st)
+      }.toMap
+      try return (commit(spark, path, m.version + 1, m.schema, m.partitionCols,
+        m.files, m.statsCols ++ fresh, merged, m.bloomCols, carry = Some(m),
+        constraints = m.constraints, transforms = m.transforms,
+        colmap = m.colmap, retired = m.retired, op = Some("analyze")),
+        fresh)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          tries += 1; if (tries > MaxCommitRetries) throw e
+          m = readManifest(spark, path, currentVersion(spark, path).get)
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Keyed MERGE (upsert): rows whose `keys` match existing rows replace
     * them, new keys are appended, and any key in `deleteKeys` is removed
     * outright (the CDC-apply / `WHEN MATCHED THEN DELETE` leg). Only
@@ -3266,9 +3396,16 @@ object ManifestTable {
       current, m.partitionCols, targetRowsPerFile))
       .localCheckpoint(true) // materialize before writing (self-read safety)
     val files = writeDataFiles(spark, path, sized, m.partitionCols, m.colmap)
+    // carry = Some(m): table-level metadata (TBLPROPERTIES, streaming txn
+    // watermarks, the COPY ledger) must survive maintenance — dropping the
+    // txn line here would make the sink REPLAY its last batch after the
+    // next restart (exactly-once broken by an OPTIMIZE), and dropping
+    // props would silently lift the appendOnly guard. DVs do not leak
+    // through the carry: every old file is rewritten out of the file set,
+    // and commit() filters carried DVs to surviving files.
     commit(spark, path, v + 1, m.schema, m.partitionCols, files, m.statsCols,
       collectStats(spark, path, files, m.schema, m.partitionCols, m.statsCols,
-        m.bloomCols), m.bloomCols, constraints = m.constraints,
+        m.bloomCols), m.bloomCols, carry = Some(m), constraints = m.constraints,
       transforms = m.transforms, colmap = m.colmap, retired = m.retired)
   }
 

@@ -16,6 +16,10 @@ import java.nio.file.Files
 class CoBucketJoinSpec extends SparkSpec {
 
   private lazy val extSpark: SparkSession = {
+    // build a genuinely new session with the extensions bound, then
+    // RESTORE the shared default so sibling suites are unaffected by
+    // suite ordering (the RangeJoinRuleSpec discipline)
+    val base = spark
     SparkSession.clearDefaultSession()
     SparkSession.clearActiveSession()
     val s = SparkSession.builder()
@@ -32,6 +36,8 @@ class CoBucketJoinSpec extends SparkSpec {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    SparkSession.setDefaultSession(base)
+    SparkSession.setActiveSession(base)
     s
   }
 
