@@ -75,6 +75,10 @@ object CoBucketAggRule extends Rule[LogicalPlan] {
           s <- CoBucketReplay.destructure(child)
           (keyCol, n, derived) <- s.rel.bucketReady
           if groupings.exists { case a: AttributeReference => a.name == keyCol }
+          // a float bucket key cannot split groups soundly (-0.0/NaN rows
+          // land in different buckets) — declaration refuses it, but a
+          // legacy layout stands the rewrite down here too
+          if !CoBucketReplay.hasFloat(s.rel.schema(keyCol).dataType)
           if conf.autoBroadcastJoinThreshold <= 0 ||
             s.rel.sizeInBytes > conf.autoBroadcastJoinThreshold
         } yield CoBucketAggPlan(

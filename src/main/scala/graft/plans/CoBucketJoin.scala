@@ -95,6 +95,24 @@ private[plans] object CoBucketReplay {
     case _ => None
   }
 
+  /** Floating-point anywhere in the type? SQL equality identifies
+    * -0.0 with 0.0 and NaN with NaN (Spark normalizes keys before its own
+    * hash joins/aggregates); the exec's byte-equality hash map and the
+    * write path's raw-bits xxhash64 layout do not — so a float-typed key
+    * stands the storage-partitioned rewrites down. ([[ManifestTable]]
+    * refuses float bucket SOURCES at declaration; this guards the extra
+    * equi-pairs a join folds into the hash key, and legacy layouts.) */
+  def hasFloat(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case FloatType | DoubleType => true
+      case s: StructType => s.fields.exists(f => hasFloat(f.dataType))
+      case a: ArrayType => hasFloat(a.elementType)
+      case m: MapType => hasFloat(m.keyType) || hasFloat(m.valueType)
+      case _ => false
+    }
+  }
+
   /** Re-anchor attribute refs by name; the slice's analysis resolves them. */
   def byName(e: Expression): Expression = e.transform {
     case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
@@ -189,6 +207,8 @@ object CoBucketJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           if ls.rel.schema(lKeyCol).dataType == rs.rel.schema(rKeyCol).dataType
           pairs <- equiPairs(cond, l, r)
           if pairs.exists { case (a, b) => a.name == lKeyCol && b.name == rKeyCol }
+          // post-analysis EqualTo sides share a type, so one side suffices
+          if pairs.forall { case (a, _) => !CoBucketReplay.hasFloat(a.dataType) }
           if big(ls.rel) && big(rs.rel)
         } yield CoBucketJoinPlan(
           CoBucketSide(ls.rel.tablePath, ls.rel.snapshotVersion, lDerived,

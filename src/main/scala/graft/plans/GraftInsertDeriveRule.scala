@@ -29,11 +29,18 @@ object GraftInsertDeriveRule extends Rule[LogicalPlan] {
       i.table match {
         case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation] =>
           val derived = lr.relation.asInstanceOf[GraftRelation].derivedColumns.toSet
-          val missing = lr.schema.fields.filter(f => derived.contains(f.name))
-          if (missing.nonEmpty &&
-              i.query.output.size == lr.schema.size - missing.length) {
-            val pad = missing.toSeq.map(f => Alias(Literal(null, f.dataType), f.name)())
-            i.copy(query = Project(i.query.output ++ pad, i.query))
+          val missing = lr.schema.fields.count(f => derived.contains(f.name))
+          if (missing > 0 && i.query.output.size == lr.schema.size - missing) {
+            // Positional insert maps query columns to the schema IN ORDER, so
+            // the pads must sit at the derived fields' positions — schema
+            // evolution appends new columns AFTER ts_day/…, making "append the
+            // pads at the end" misalign every column past the first derived one.
+            val queryCols = i.query.output.iterator
+            val cols = lr.schema.fields.toSeq.map { f =>
+              if (derived.contains(f.name)) Alias(Literal(null, f.dataType), f.name)()
+              else queryCols.next()
+            }
+            i.copy(query = Project(cols, i.query))
           } else i
         case _ => i
       }

@@ -1952,6 +1952,12 @@ object ManifestTable {
                 constraints: Seq[(String, String)] = Nil,
                 transforms: Seq[PartitionTransform] = Nil,
                 txn: Option[(String, Long)] = None): Long = {
+    // appendOnly guards every content-removing path; replace-the-table is
+    // the most removing of all (reachable via CREATE OR REPLACE / the
+    // Scala face), so it passes the same gate as TRUNCATE/DELETE/MERGE
+    currentVersion(spark, path).foreach(v =>
+      requireMutable(readManifest(spark, path, v), path, "OVERWRITE/REPLACE"))
+    requireBucketableSources(df.schema, transforms, "create/overwrite")
     val full = withDerived(df, transforms)
     val pCols = partitionCols ++ transforms.map(_.derived)
     enforceConstraints(full, constraints, "overwrite")
@@ -2005,32 +2011,41 @@ object ManifestTable {
     require(currentVersion(spark, path).isEmpty,
       s"CONVERT: $path is already a graft table")
     val dd = dataDir(path)
-    f.mkdirs(dd)
     val keep = Set("data", "_manifests", "_tmp", "_dv")
-    f.listStatus(root).foreach { st =>
-      val n = st.getPath.getName
-      if (keep.contains(n)) ()                       // already graft layout
-      else if (n.startsWith("_") || n.startsWith(".")) // _SUCCESS, .crc …
-        f.delete(st.getPath, true): Unit
-      else require(f.rename(st.getPath, new Path(dd, n)),
-        s"CONVERT: cannot move ${st.getPath} under $dd")
-    }
-    // every parquet file under data/, as data-dir-relative refs
-    val ddUri = f.makeQualified(dd).toUri.getPath
-    val rels = {
+    // ---- validate FIRST, from the files' CURRENT positions: a CONVERT
+    // mistargeted at a non-parquet or mixed-layout directory must fail
+    // BEFORE any rename or delete restructures it — validation failure
+    // leaves the directory byte-for-byte untouched
+    def parquetRelsUnder(base: Path): Seq[String] = {
       val out = Seq.newBuilder[String]
-      val it = f.listFiles(dd, true)
-      while (it.hasNext) {
-        val st = it.next()
-        val p = st.getPath.toUri.getPath
-        val rel = p.stripPrefix(ddUri).stripPrefix("/")
-        val segs = rel.split("/")
-        if (st.isFile && rel.endsWith(".parquet") &&
-            !segs.exists(s => s.startsWith("_") || s.startsWith(".")))
-          out += rel
+      if (f.exists(base)) {
+        val baseUri = f.makeQualified(base).toUri.getPath
+        val it = f.listFiles(base, true)
+        while (it.hasNext) {
+          val st = it.next()
+          val rel = st.getPath.toUri.getPath.stripPrefix(baseUri).stripPrefix("/")
+          val segs = rel.split("/")
+          if (st.isFile && rel.endsWith(".parquet") &&
+              !segs.exists(s => s.startsWith("_") || s.startsWith(".")))
+            out += rel
+        }
       }
-      out.result().sorted
+      out.result()
     }
+    val children = f.listStatus(root).toSeq
+    val movable = children.filter { st =>
+      val n = st.getPath.getName
+      !keep.contains(n) && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val pendingRels = movable.flatMap { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory) parquetRelsUnder(st.getPath).map(r => s"$n/$r")
+      else if (n.endsWith(".parquet")) Seq(n)
+      else Seq.empty
+    }
+    // plus whatever a prior crashed convert already moved under data/ —
+    // re-running IS the documented repair
+    val rels = (pendingRels ++ parquetRelsUnder(dd)).sorted
     require(rels.nonEmpty, s"CONVERT: no parquet files under $path")
     // hive partition columns from the directory shape, uniform across files
     val partCols = pathSpec(rels.head)
@@ -2038,6 +2053,16 @@ object ManifestTable {
       rels.forall(pathSpec(_) == partCols),
       s"CONVERT: inconsistent partition directory shapes under $path " +
         s"(expected ${partCols.mkString("/")}) — convert uniform layouts only")
+    // ---- validated: now (and only now) restructure
+    f.mkdirs(dd)
+    children.foreach { st =>
+      val n = st.getPath.getName
+      if (keep.contains(n)) ()                       // already graft layout
+      else if (n.startsWith("_") || n.startsWith(".")) // _SUCCESS, .crc …
+        f.delete(st.getPath, true): Unit
+      else require(f.rename(st.getPath, new Path(dd, n)),
+        s"CONVERT: cannot move ${st.getPath} under $dd")
+    }
     // schema from footers; basePath folds the partition dirs back in as
     // typed columns, exactly as the table's own reads will resolve them
     val schema = spark.read.option("basePath", dd.toString)
@@ -2215,10 +2240,14 @@ object ManifestTable {
     */
   private def createExclusive(spark: SparkSession, path: String, df: DataFrame,
                               partitionCols: Seq[String],
-                              txn: Option[(String, Long)] = None): Option[Long] = {
+                              txn: Option[(String, Long)] = None,
+                              ingests: Seq[String] = Nil): Option[Long] = {
     val files = writeDataFiles(spark, path, df, partitionCols)
+    // `ingests` must reach version 1 too: a COPY-shaped append that CREATES
+    // the table would otherwise commit the rows without its ledger, and a
+    // re-run of the same ingestion would land them twice
     try Some(commit(spark, path, 1L, df.schema, partitionCols, files, Nil,
-      Map.empty, txn = txn))
+      Map.empty, txn = txn, ingests = ingests))
     catch { case _: java.util.ConcurrentModificationException => None }
   }
 
@@ -2236,7 +2265,7 @@ object ManifestTable {
              ingests: Seq[String] = Nil): Long =
     currentVersion(spark, path) match {
       case None =>
-        createExclusive(spark, path, df, Nil, txn)
+        createExclusive(spark, path, df, Nil, txn, ingests)
           .getOrElse(append(spark, path, df, txn, ingests))
       case Some(v0) =>
         var m = readManifest(spark, path, v0)
@@ -2359,6 +2388,10 @@ object ManifestTable {
       (if (m.bloomCols.nonEmpty) Seq("bloomcols=" + m.bloomCols.mkString(",")) else Nil) ++
       m.transforms.map(t => s"transform=${t.derived}|${t.kind}|${t.arg}|${t.src}") ++
       m.colmap.toSeq.sortBy(_._1).map { case (lg, ph) => s"colmap=$lg|$ph" } ++
+      // the constraints IN FORCE at stage time — publish re-validates the
+      // staged bytes only when the table's constraints have since changed
+      m.constraints.map { case (n, e) =>
+        s"constraint=$n|${java.net.URLEncoder.encode(e, "UTF-8")}" } ++
       files.map("file=" + _) ++
       statLines).mkString("\n") + "\n"
     val f = fs(spark, path)
@@ -2414,6 +2447,16 @@ object ManifestTable {
         m.schema.json == st.schema.json,
         s"publishStaged: table layout changed since stage $id was written " +
           "(schema/partitioning/column mapping differ) — audit again and re-stage")
+      // constraints added/changed BETWEEN stage and publish must gate the
+      // staged bytes too, or the stage becomes a constraint bypass: re-run
+      // the CHECK pass over exactly the staged files against the CURRENT
+      // constraint set (one batch-bounded scan, and only when they differ
+      // — the stage itself already validated the set it was written under)
+      if (m.constraints != st.constraints)
+        enforceConstraints(
+          readRels(spark, path, m.copy(files = st.files, stats = st.stats),
+            st.files),
+          m.constraints, s"publishStaged($id)")
       try {
         val v = commit(spark, path, m.version + 1, m.schema, m.partitionCols,
           m.files ++ st.files, m.statsCols, st.stats, m.bloomCols,
@@ -2451,6 +2494,7 @@ object ManifestTable {
     val v0 = currentVersion(spark, path)
       .getOrElse(sys.error(s"no manifest table at $path — use overwrite"))
     var m = readManifest(spark, path, v0)
+    requireMutable(m, path, "OVERWRITE PARTITIONS")
     require(m.partitionCols.nonEmpty, "table is unpartitioned — use overwrite")
     requireUniformLayout(m, "overwritePartitions")
     val batch = withDerived(
@@ -3103,6 +3147,38 @@ object ManifestTable {
       colmap = m.colmap - name, retired = (m.retired :+ ph).distinct)
   }
 
+  /** Does the type contain a floating-point leaf anywhere? */
+  private def hasFloat(dt: DataType): Boolean = dt match {
+    case FloatType | DoubleType => true
+    case s: StructType => s.fields.exists(f => hasFloat(f.dataType))
+    case a: ArrayType => hasFloat(a.elementType)
+    case mp: MapType => hasFloat(mp.keyType) || hasFloat(mp.valueType)
+    case _ => false
+  }
+
+  /** `bucket(N, src)` requires a float-free source type: the layout hashes
+    * RAW BITS (xxhash64), but SQL equality identifies -0.0 with 0.0 and
+    * NaN with NaN — two SQL-equal values would land in (and equality
+    * predicates would prune to) DIFFERENT bucket directories, silently
+    * dropping rows from pruned reads and from the storage-partitioned
+    * join/agg family. Refused at declaration time, so every downstream
+    * consumer may trust the layout's equality classes. `days`/`trunc`
+    * sources are date/string-shaped and unaffected.
+    */
+  private def requireBucketableSources(schema: StructType,
+                                       transforms: Seq[PartitionTransform],
+                                       op: String): Unit =
+    transforms.filter(_.kind == "bucket").foreach { t =>
+      schema.find(_.name == t.src).foreach { f =>
+        require(!hasFloat(f.dataType),
+          s"$op: bucket(${t.arg}, ${t.src}) on type ${f.dataType.simpleString} " +
+            "refused — bucketing hashes raw bits, so SQL-equal floating " +
+            "values (-0.0 = 0.0, NaN = NaN) would land in different buckets " +
+            "and pruned reads would silently miss rows; bucket on an " +
+            "integral, string, date or decimal key instead")
+      }
+    }
+
   private def deriveType(t: PartitionTransform): DataType = t.kind match {
     case "days" | "trunc" => StringType
     case "bucket" => LongType
@@ -3137,6 +3213,7 @@ object ManifestTable {
     val logical = logicalSchema(m)
     partitionCols.foreach(c => require(logical.fieldNames.contains(c),
       s"evolvePartitioning: no column '$c' on $path"))
+    requireBucketableSources(logical, transforms, "evolvePartitioning")
     transforms.foreach { t =>
       require(logical.fieldNames.contains(t.src),
         s"evolvePartitioning: transform source '${t.src}' is not a column of $path")

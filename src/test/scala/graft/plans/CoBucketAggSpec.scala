@@ -131,6 +131,42 @@ class CoBucketAggSpec extends SparkSpec {
     assert(got.map(_.toString).toSet === offline(q))
   }
 
+  test("NULL bucket-key rows form ONE group, from one pinned bucket dir") {
+    val root = Files.createTempDirectory("cba_nullkey").toString + "/t"
+    val s = extSpark
+    import s.implicits._
+    val df = Seq((Option(1L), 10L), (Option.empty[Long], 5L),
+      (Option.empty[Long], 7L), (Option(2L), 3L)).toDF("k", "v")
+    ManifestTable.overwrite(extSpark, root, df,
+      transforms = Seq(PartitionTransform("k_bucket", "bucket", 4, "k")))
+    // xxhash64(NULL) = the seed, a constant: ALL NULL-keyed rows share one
+    // bucket dir — exactly why a per-bucket complete aggregate can emit
+    // the NULL group once instead of splitting it
+    val nullBucket = extSpark.range(1)
+      .select(pmod(xxhash64(lit(null).cast("long")), lit(4)).as("b"))
+      .head().getLong(0).toInt
+    assert(ManifestTable.readHiddenPartition(extSpark, root, 1L,
+      "k_bucket", nullBucket).filter(col("k").isNull).count() === 2L,
+      s"both NULL-keyed rows must land in bucket dir k_bucket=$nullBucket")
+    def q = graftDf(root).groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+    assert(planOf(q).contains("CoBucketAgg"))
+    val got = q.collect().map(r =>
+      (if (r.isNullAt(0)) -999L else r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 10L, 1L), (2L, 3L, 1L), (-999L, 12L, 2L)))
+    assert(q.collect().map(_.toString).toSet === offline(q))
+  }
+
+  test("float bucket sources are refused at declaration; a legacy-float grouping key would stand down") {
+    val s = extSpark
+    import s.implicits._
+    val root = Files.createTempDirectory("cba_float").toString + "/t"
+    intercept[IllegalArgumentException] {
+      ManifestTable.overwrite(extSpark, root,
+        Seq((1.0, 1L)).toDF("k", "v"),
+        transforms = Seq(PartitionTransform("k_bucket", "bucket", 4, "k")))
+    }
+  }
+
   test("disabled flag restores the two-phase shuffled aggregate") {
     val p = mkTable("flag")
     extSpark.conf.set(CoBucketAgg.EnabledKey, "false")

@@ -214,6 +214,73 @@ class CoBucketJoinSpec extends SparkSpec {
       .toSet === Set((0L, "l0", "r0"), (16L, "l16", "r16")))
   }
 
+  test("NULL join keys: rewrite fires, inner drops them, left-outer null-pads — and the NULL rows live in ONE pinned bucket dir") {
+    val root = Files.createTempDirectory("cbj_nullkey").toString
+    val s = extSpark
+    import s.implicits._
+    val left = Seq((Option(0L), "l0"), (Option.empty[Long], "lnull"),
+      (Option(3L), "l3")).toDF("k", "lv")
+    val right = Seq((Option(0L), "r0"), (Option.empty[Long], "rnull")).toDF("k", "rv")
+    ManifestTable.overwrite(extSpark, s"$root/L", left,
+      transforms = Seq(PartitionTransform("k_bucket", "bucket", 4, "k")))
+    ManifestTable.overwrite(extSpark, s"$root/R", right,
+      transforms = Seq(PartitionTransform("k_bucket", "bucket", 4, "k")))
+    // xxhash64(NULL) = the seed, a CONSTANT: every NULL-keyed row lands in
+    // exactly one bucket dir — pin that contract (slice-disjointness and
+    // bucketReady both rest on it)
+    val nullBucket = extSpark.range(1)
+      .select(pmod(xxhash64(lit(null).cast("long")), lit(4)).as("b"))
+      .head().getLong(0).toInt
+    val nullSlice = ManifestTable.readHiddenPartition(extSpark, s"$root/L", 1L,
+      "k_bucket", nullBucket)
+    assert(nullSlice.filter(col("k").isNull).count() === 1L,
+      s"NULL-keyed row must land in bucket dir k_bucket=$nullBucket")
+    def inner = graftDf(s"$root/L").join(graftDf(s"$root/R"), "k")
+      .select(col("k"), col("lv"), col("rv"))
+    assert(planOf(inner).contains("CoBucketJoin"))
+    // equi-join semantics: NULL never matches NULL
+    assert(inner.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet === Set((0L, "l0", "r0")))
+    assert(inner.collect().map(_.toString).toSet === shuffled(inner))
+    def louter = graftDf(s"$root/L").join(graftDf(s"$root/R"), Seq("k"), "left_outer")
+      .select(col("lv"), col("rv"))
+    assert(planOf(louter).contains("CoBucketJoin"))
+    val got = louter.collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    // the NULL-keyed and unmatched left rows survive, null-padded
+    assert(got === Set(("l0", Some("r0")), ("lnull", None), ("l3", None)))
+    assert(louter.collect().map(_.toString).toSet === shuffled(louter))
+  }
+
+  test("float/double join keys stand the rewrite down (SQL equality vs raw-bit hashing)") {
+    // bucket() itself refuses float sources at declaration — the unsound
+    // layout can never be created
+    val root = Files.createTempDirectory("cbj_float").toString
+    val s = extSpark
+    import s.implicits._
+    val df = Seq((1.0, "a"), (2.0, "b")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.overwrite(extSpark, s"$root/F", df,
+        transforms = Seq(PartitionTransform("k_bucket", "bucket", 4, "k")))
+    }
+    assert(e.getMessage.contains("bucket"), e.getMessage)
+    // an extra STORED float equi-pair beside a sound bucket pair stands
+    // down (the byte-equality hash map would miss -0.0 = 0.0 / NaN = NaN);
+    // -0.0 vs 0.0 rows prove the shuffled plan finds matches it would lose
+    val lf = Seq((1L, 0.0, "l1"), (2L, -0.0, "l2")).toDF("k", "f", "lv")
+    val rf = Seq((1L, -0.0, "r1"), (2L, 0.0, "r2")).toDF("k", "f", "rv")
+    ManifestTable.overwrite(extSpark, s"$root/LF", lf,
+      transforms = Seq(PartitionTransform("k_bucket", "bucket", 4, "k")))
+    ManifestTable.overwrite(extSpark, s"$root/RF", rf,
+      transforms = Seq(PartitionTransform("k_bucket", "bucket", 4, "k")))
+    val l = graftDf(s"$root/LF"); val r = graftDf(s"$root/RF")
+    def q = l.join(r, l("k") === r("k") && l("f") === r("f"))
+      .select(col("lv"), col("rv"))
+    assert(!planOf(q).contains("CoBucketJoin"))
+    val got = q.collect().map(r0 => (r0.getString(0), r0.getString(1))).toSet
+    assert(got === Set(("l1", "r1"), ("l2", "r2"))) // -0.0 = 0.0 in SQL
+    assert(q.collect().map(_.toString).toSet === shuffled(q))
+  }
+
   test("lifecycle: spec evolution stands down until OPTIMIZE rewrites the old files") {
     val root = Files.createTempDirectory("cbj_evolve").toString
     val s = extSpark

@@ -658,6 +658,37 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(ManifestTable.read(s, s"$root/flat").count() === 50L)
   }
 
+  test("a mistargeted CONVERT fails BEFORE restructuring the directory") {
+    val s = extSpark
+    val root = Files.createTempDirectory("sqlp_conv_guard").toString
+    // a MIXED-layout dir: partitioned and flat parquet side by side —
+    // convertible by neither shape; plus an underscore file that a
+    // premature cleanup pass would have deleted
+    s.range(10).select(col("id"), (col("id") % 2).as("grp"))
+      .coalesce(1).write.partitionBy("grp").parquet(s"$root/mixed")
+    s.range(5).select(col("id")).coalesce(1)
+      .write.parquet(s"$root/mixed/stray") // depth mismatch: stray/ is not k=v
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/mixed/_PRECIOUS"),
+      "keep me".getBytes)
+    val before = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/mixed"))
+      try st.map[String](_.toString).sorted.toArray.toSeq finally st.close()
+    }
+    assert(intercept[Exception](
+      s.sql(s"CONVERT TO GRAFT '$root/mixed'").collect())
+      .getMessage.contains("inconsistent partition"))
+    val after = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/mixed"))
+      try st.map[String](_.toString).sorted.toArray.toSeq finally st.close()
+    }
+    assert(after === before,
+      "a failed CONVERT must leave the directory byte-for-byte untouched")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/mixed/_PRECIOUS")),
+      "underscore entries are deleted only after validation passes")
+  }
+
   test("TRUNCATE TABLE is a metadata-only empty commit: layout/properties survive, history intact") {
     val s = extSpark
     val path = Files.createTempDirectory("sqlp_trunc").toString + "/t"
@@ -763,5 +794,29 @@ class GraftSqlParserSpec extends SparkSpec {
       assert(pq.toSeq === Seq("g=7"))
     } finally Seq("showp_t", "showp_pq").foreach(t =>
       s.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+  }
+
+  test("positional INSERT pads derived columns AT their schema positions after evolution") {
+    val s = extSpark
+    val root = Files.createTempDirectory("sqlp_derivepad").toString
+    try {
+      s.sql("DROP TABLE IF EXISTS dpad_t")
+      s.sql(s"""CREATE TABLE dpad_t (a BIGINT, ts TIMESTAMP) USING graft
+               |PARTITIONED BY (days(ts))
+               |OPTIONS (path '$root/t')""".stripMargin)
+      s.sql("ALTER TABLE dpad_t ADD COLUMNS (c STRING)")
+      // schema is now (a, ts, ts_day, c) — the derived column is NOT a
+      // trailing suffix. A positional INSERT supplies (a, ts, c); padding
+      // appended at the END would land 'hello' in ts_day's slot (dropped
+      // and re-derived) and NULL in c — silent corruption. The pad must
+      // interleave at ts_day's position.
+      s.sql("""INSERT INTO dpad_t
+              |SELECT CAST(1 AS BIGINT), timestamp'2023-01-02 03:00:00', 'hello'
+              |""".stripMargin)
+      val row = s.sql("SELECT a, c, ts_day FROM dpad_t").head()
+      assert(row.getLong(0) === 1L)
+      assert(row.getString(1) === "hello", "c must receive the query's value")
+      assert(row.getString(2) === "2023-01-02", "ts_day is re-derived, never supplied")
+    } finally s.sql("DROP TABLE IF EXISTS dpad_t"): Unit
   }
 }

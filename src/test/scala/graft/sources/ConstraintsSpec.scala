@@ -106,4 +106,46 @@ class ConstraintsSpec extends SparkSpec {
     assert(ManifestTable.read(spark, path).filter(col("p") === "p1")
       .select("v").as[Double].head() === 8.5)
   }
+
+  test("constraint added between stage and publish gates the staged bytes") {
+    val path = tbl("wap")
+    ManifestTable.overwrite(spark, path,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price"))
+    // stage a batch that is CLEAN under the (empty) constraint set of its
+    // stage time but violates the constraint added before publish —
+    // without the publish-time re-check the stage is a constraint bypass
+    val bad = ManifestTable.stageAppend(spark, path,
+      Seq((3L, -5.0)).toDF("id", "price"))
+    ManifestTable.addConstraint(spark, path, "price_pos", "price > 0")
+    val e = intercept[RuntimeException] {
+      ManifestTable.publishStaged(spark, path, bad)
+    }
+    assert(e.getMessage.contains("price_pos"))
+    // table untouched: the add's metadata commit is the only new version
+    assert(ManifestTable.currentVersion(spark, path) === Some(2L))
+    assert(ManifestTable.read(spark, path).count() === 2L)
+    // a CLEAN staged batch still publishes through the new constraint
+    val ok = ManifestTable.stageAppend(spark, path,
+      Seq((4L, 40.0)).toDF("id", "price"))
+    ManifestTable.publishStaged(spark, path, ok)
+    assert(ManifestTable.read(spark, path).count() === 3L)
+  }
+
+  test("appendOnly blocks overwrite/REPLACE and partition overwrite") {
+    val path = tbl("appendonly")
+    ManifestTable.overwrite(spark, path,
+      Seq((1L, "p1", 5.0), (2L, "p2", 6.0)).toDF("id", "p", "v"),
+      partitionCols = Seq("p"))
+    ManifestTable.setProperties(spark, path, Map("graft.appendOnly" -> "true"))
+    intercept[IllegalArgumentException] {
+      ManifestTable.overwrite(spark, path, Seq((9L, "p1", 1.0)).toDF("id", "p", "v"))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.overwritePartitions(spark, path,
+        Seq((9L, "p1", 1.0)).toDF("id", "p", "v"))
+    }
+    // appends still flow — that is the property's whole point
+    ManifestTable.append(spark, path, Seq((3L, "p1", 7.0)).toDF("id", "p", "v"))
+    assert(ManifestTable.read(spark, path).count() === 3L)
+  }
 }

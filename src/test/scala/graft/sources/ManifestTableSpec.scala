@@ -793,4 +793,22 @@ class ManifestTableSpec extends SparkSpec {
       ManifestTable.versionAt(spark, path, t - 1L))
     assert(e.getMessage.contains("predates"))
   }
+
+  test("a COPY-shaped append that CREATES the table records its ingest ledger") {
+    val path = Files.createTempDirectory("mt_ingest_create").toString + "/t"
+    val src = "file:///landing/batch-0001.parquet"
+    // version 1 via the create path must carry the ledger — without it a
+    // re-run of the same ingestion would land the rows twice
+    ManifestTable.append(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), ingests = Seq(src))
+    val m = ManifestTable.readManifest(spark, path, 1L)
+    assert(m.ingests === Seq(src))
+    // the ledger now defends: a duplicate ingestion of the same file fails
+    // loudly instead of duplicating rows
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestTable.append(spark, path,
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v"), ingests = Seq(src))
+    }
+    assert(ManifestTable.read(spark, path).count() === 2L)
+  }
 }
