@@ -1567,6 +1567,89 @@ object SparkEntry {
               |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
     }),
 
+    // ---- hours() hidden partitioning (Iceberg's finest time transform):
+    // two days of events land in 48 hour dirs via pure DDL, and a 2-hour
+    // source-column predicate prunes to exactly its 2 directories — the
+    // require gate asserts the opened-dir count, which is the entire
+    // point of hour grain at 100 TB (a dashboard's "last 2 hours" reads
+    // 2/17520 of a 2-year table) ----
+    "q_hour_partition" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_hours").toString + "/t"
+      Tables.events(s, d).createOrReplaceTempView("q_hour_events")
+      s.sql("DROP TABLE IF EXISTS q_hour_t")
+      s.sql(s"""CREATE TABLE q_hour_t USING graft
+               |PARTITIONED BY (hours(ts))
+               |OPTIONS (path '$dir')
+               |AS SELECT event_id, ts, value FROM q_hour_events
+               |WHERE ts < TIMESTAMP '2024-01-03 00:00:00'""".stripMargin)
+      val q = s.sql(
+        """SELECT event_id, ts_hour, value FROM q_hour_t
+          |WHERE ts >= TIMESTAMP '2024-01-02 05:00:00'
+          |  AND ts < TIMESTAMP '2024-01-02 07:00:00'""".stripMargin)
+      val opened = q.select(regexp_extract(input_file_name(),
+        "ts_hour=([0-9-]+)", 1)).distinct().count()
+      require(opened == 2L, s"2-hour predicate must open 2 hour dirs, opened $opened")
+      q
+    }),
+
+    // ---- the WAP workflow driven purely from SQL + session conf
+    // (Iceberg's spark.wap.id idiom): set spark.graft.wap.id → INSERT
+    // stages invisibly → graft_staged() audits the would-be table →
+    // PUBLISH STAGED commits atomically. The require gates assert the
+    // invisibility and audit contracts mid-fixture; the conf is unset in
+    // a finally so no later query inherits staging behavior ----
+    "q_sql_wap" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_wapsql").toString
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("q_wapsql_orders")
+      s.sql("DROP TABLE IF EXISTS q_wapsql_t")
+      s.sql(s"""CREATE TABLE q_wapsql_t (o_orderkey BIGINT, o_totalprice DOUBLE)
+               |USING graft OPTIONS (path '$root/t')""".stripMargin)
+      s.sql("""INSERT INTO q_wapsql_t SELECT o_orderkey, o_totalprice
+              |FROM q_wapsql_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+      val n0 = s.sql("SELECT count(*) FROM q_wapsql_t").head.getLong(0)
+      s.conf.set(graft.sources.ManifestTable.WapIdKey, "q_wapsql_batch")
+      try {
+        s.sql("""INSERT INTO q_wapsql_t SELECT o_orderkey, o_totalprice
+                |FROM q_wapsql_orders WHERE o_orderkey % 2 = 1""".stripMargin)
+        require(s.sql("SELECT count(*) FROM q_wapsql_t").head.getLong(0) == n0,
+          "WAP leak: staged rows visible before publish")
+        val audited = s.sql(
+          "SELECT count(*) AS n FROM graft_staged('q_wapsql_t')").head.getLong(0)
+        require(audited > n0, "audit must see the staged batch")
+        s.sql("PUBLISH STAGED q_wapsql_t").collect()
+      } finally s.conf.unset(graft.sources.ManifestTable.WapIdKey)
+      s.sql("SELECT o_orderkey, o_totalprice FROM q_wapsql_t")
+    }),
+
+    // ---- CHECK constraints declared from SQL (ALTER TABLE … ADD
+    // CONSTRAINT name CHECK (expr), the Delta idiom on the ANSI syntax
+    // Spark 4 parses): the constraint is versioned manifest metadata, so
+    // the SAME gate rejects a violating INSERT from SQL or any API
+    // writer; the require gates assert the reject-and-untouched contract
+    // mid-fixture ----
+    "q_sql_constraint" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_conssql").toString
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("q_cons_orders")
+      s.sql("DROP TABLE IF EXISTS q_cons_t")
+      s.sql(s"""CREATE TABLE q_cons_t (o_orderkey BIGINT, o_totalprice DOUBLE)
+               |USING graft OPTIONS (path '$root/t')""".stripMargin)
+      s.sql("""INSERT INTO q_cons_t SELECT o_orderkey, o_totalprice
+              |FROM q_cons_orders WHERE o_orderkey % 3 = 0""".stripMargin)
+      s.sql("ALTER TABLE q_cons_t ADD CONSTRAINT price_pos CHECK (o_totalprice > 0)")
+      val n0 = s.sql("SELECT count(*) FROM q_cons_t").head.getLong(0)
+      val rejected =
+        try { s.sql("INSERT INTO q_cons_t VALUES (999999999, -1.0)"); false }
+        catch { case e: Throwable => e.getMessage.contains("price_pos") }
+      require(rejected, "constraint must reject the violating INSERT by name")
+      require(s.sql("SELECT count(*) FROM q_cons_t").head.getLong(0) == n0,
+        "a rejected INSERT must leave the table untouched")
+      s.sql("""INSERT INTO q_cons_t SELECT o_orderkey, o_totalprice
+              |FROM q_cons_orders WHERE o_orderkey % 3 = 1""".stripMargin)
+      s.sql("SELECT o_orderkey, o_totalprice FROM q_cons_t")
+    }),
+
     // ---- the change feed as a SQL table-valued function (Delta's
     // table_changes idiom): the same five-commit fixture as
     // q_change_feed, served entirely through
@@ -4324,6 +4407,22 @@ object SparkEntry {
         |o_totalprice FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+
+    // the derived hour key re-computed from the source timestamp
+    "q_hour_partition" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d-%H') AS ts_hour, value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-02 05:00:00'
+        |  AND ts < TIMESTAMP '2024-01-02 07:00:00'""".stripMargin,
+
+    // both halves: the committed even half plus the WAP-published odd half
+    "q_sql_wap" ->
+      "SELECT o_orderkey, o_totalprice FROM orders",
+
+    // the two clean thirds; the violating INSERT landed nothing
+    "q_sql_constraint" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1)""".stripMargin,
 
     // both SQL pins resolve to version 1 = the even-key half
     "q_sql_time_travel" ->

@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.cosineSimilarityDescriptor)
     // table-valued CDC face: SELECT * FROM graft_table_changes(t, from[, to])
     e.injectTableFunction(GraftExtensions.tableChangesDescriptor)
+    // WAP audit face: SELECT * FROM graft_staged(t [, wapId])
+    e.injectTableFunction(GraftExtensions.stagedDescriptor)
     // opt-in range-join binning (fires only when
     // spark.graft.rangeJoin.binWidth is set on the session)
     e.injectOptimizerRule(_ => RangeJoinRule)
@@ -97,6 +99,36 @@ object GraftExtensions {
         graft.sources.ManifestTable.currentVersion(spark, path)
           .getOrElse(sys.error(s"no graft table at $path")))
       graft.sources.ManifestTable.readChanges(spark, path, from, to)
+        .queryExecution.logical
+    })
+
+  /** `graft_staged('t' [, 'id'])` — the WAP AUDIT view: the exact table
+    * `PUBLISH STAGED` would produce (current snapshot + the staged batch,
+    * DVs and renames applied). The id defaults to the session's active
+    * `spark.graft.wap.id`, so the standard workflow reads naturally:
+    * set the id, INSERT (stages), `SELECT … FROM graft_staged(t)` to
+    * audit, then `PUBLISH STAGED t`. Only this function sees staged rows.
+    */
+  private val stagedDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = (
+    FunctionIdentifier("graft_staged"),
+    new ExpressionInfo("graft.sources.ManifestTable", "graft_staged"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1 || args.length == 2,
+        "graft_staged(table [, wapId]) takes 1 or 2 arguments")
+      val spark = org.apache.spark.sql.SparkSession.active
+      def strArg(e: Expression): String = e.eval(null) match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => String.valueOf(other)
+      }
+      val target = strArg(args.head)
+      val path = if (target.contains("/")) target
+                 else GraftSqlParser.resolvePath(spark, target)
+      val id = args.lift(1).map(strArg)
+        .orElse(graft.sources.ManifestTable.sessionWapId(spark))
+        .getOrElse(sys.error("graft_staged: no WAP id given and " +
+          s"${graft.sources.ManifestTable.WapIdKey} is not set"))
+      graft.sources.ManifestTable.readStaged(spark, path, id)
         .queryExecution.logical
     })
 

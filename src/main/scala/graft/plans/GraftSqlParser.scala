@@ -75,6 +75,10 @@ class GraftSqlParser(session: SparkSession,
         Option(ts))
     case CopyIntoRe(target, src, format, pattern) =>
       GraftCopyIntoCommand(target, src, format.toLowerCase, Option(pattern))
+    case PublishStagedRe(target, id) =>
+      GraftPublishStagedCommand(target, Option(id))
+    case DropStagedRe(target, id) =>
+      GraftDropStagedCommand(target, Option(id))
     case ConvertRe(dir, statscols) =>
       GraftConvertCommand(dir,
         Option(statscols).map(_.split(",").map(_.trim.stripPrefix("`")
@@ -308,6 +312,38 @@ class GraftSqlParser(session: SparkSession,
         graftTarget(child).map { case (p, _) =>
           GraftTruncateCommand(p)
         }.getOrElse(plan)
+      // ANSI constraint DDL: Spark 4 parses `ADD CONSTRAINT n CHECK (e)` /
+      // `DROP CONSTRAINT n` for every table but executes them only for v2
+      // catalogs that support constraints — on graft tables they lower to
+      // the manifest's versioned constraint commits (retroactive-add
+      // validation included). PRIMARY KEY/UNIQUE/FOREIGN KEY pass through
+      // (and fail in analysis, as they do everywhere in OSS Spark).
+      // parse shape: AddCheckConstraint(Filter(!expr, UnresolvedRelation))
+      // — the child IS the retroactive-validation scan; the graft lowering
+      // only needs the relation's identity (addConstraint runs its own
+      // existing-data validation, same semantics)
+      case a: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint =>
+        a.child.collectFirst {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+            u.multipartIdentifier
+        }.flatMap(GraftSqlParser.catalogGraftTarget(session, _)).map {
+          case (p, _) =>
+            val c = a.checkConstraint
+            val name = Option(c.userProvidedName).getOrElse(sys.error(
+              "ADD CONSTRAINT on a graft table needs an explicit name: " +
+                "ALTER TABLE t ADD CONSTRAINT <name> CHECK (<expr>)"))
+            GraftAddConstraintCommand(p, name, c.condition)
+        }.getOrElse(plan)
+      case d: org.apache.spark.sql.catalyst.plans.logical.DropConstraint =>
+        graftTarget(d.table).map { case (p, _) =>
+          GraftDropConstraintCommand(p, d.name, d.ifExists)
+        }.getOrElse(plan)
+      // SHOW CREATE TABLE prints re-runnable graft DDL from the MANIFEST
+      // (the catalog's stored schema is a cache; the manifest is truth)
+      case sct: org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable =>
+        graftTarget(sct.child).map { case (p, id) =>
+          GraftShowCreateCommand(p, id.quotedString)
+        }.getOrElse(plan)
       case p => p
     }
   }
@@ -357,6 +393,12 @@ object GraftSqlParser {
       """(?:\s+FOR\s+(ALL\s+COLUMNS|COLUMNS\s+([^;]+?)))?\s*;?\s*""").r
   private val ShowPartitionsRe =
     s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$T\\s*;?\\s*""".r
+  // WAP lifecycle statements; the id defaults to the session's
+  // spark.graft.wap.id when omitted
+  private val PublishStagedRe =
+    s"""(?is)\\s*PUBLISH\\s+STAGED\\s+$T(?:\\s+'([^']+)')?\\s*;?\\s*""".r
+  private val DropStagedRe =
+    s"""(?is)\\s*DROP\\s+STAGED\\s+$T(?:\\s+'([^']+)')?\\s*;?\\s*""".r
 
   /** The (table root, identifier) of a CATALOG table `USING graft`, or
     * None for anything else (other providers, unknown names, views) —
@@ -401,15 +443,15 @@ object GraftSqlParser {
   }
 
   /** DDL `PARTITIONED BY` transforms → graft's partition spec: identity
-    * references become plain partition columns; `days(ts)` /
-    * `bucket(n, col)` / `truncate(col, n)` become the hidden-partition
-    * [[ManifestTable.PartitionTransform]]s (derived-column naming matches
-    * the Scala-face convention: `<col>_day` / `<col>_bucket` /
-    * `<col>_trunc`). Anything graft cannot derive — `months`/`years`/
-    * `hours`, multi-column buckets, nested refs — is rejected loudly at
-    * CREATE time, never silently dropped (a dropped transform would
-    * produce an unpartitioned 100 TB table that "works" until the first
-    * full scan). */
+    * references become plain partition columns; `years`/`months`/`days`/
+    * `hours(ts)` / `bucket(n, col)` / `truncate(col, n)` become the
+    * hidden-partition [[ManifestTable.PartitionTransform]]s
+    * (derived-column naming matches the Scala-face convention:
+    * `<col>_year`/`_month`/`_day`/`_hour` / `<col>_bucket` /
+    * `<col>_trunc`). Anything graft cannot derive — multi-column buckets,
+    * nested refs — is rejected loudly at CREATE time, never silently
+    * dropped (a dropped transform would produce an unpartitioned 100 TB
+    * table that "works" until the first full scan). */
   private[plans] def toGraftPartitioning(
       parts: Seq[org.apache.spark.sql.connector.expressions.Transform])
       : (Seq[String], Seq[ManifestTable.PartitionTransform]) = {
@@ -417,6 +459,9 @@ object GraftSqlParser {
     val pcols = neutral.collect { case ("identity", c, _) => c }
     val derived = neutral.collect {
       case ("days", c, _) => ManifestTable.PartitionTransform(s"${c}_day", "days", 0, c)
+      case ("hours", c, _) => ManifestTable.PartitionTransform(s"${c}_hour", "hours", 0, c)
+      case ("months", c, _) => ManifestTable.PartitionTransform(s"${c}_month", "months", 0, c)
+      case ("years", c, _) => ManifestTable.PartitionTransform(s"${c}_year", "years", 0, c)
       case ("bucket", c, n) => ManifestTable.PartitionTransform(s"${c}_bucket", "bucket", n, c)
       case ("trunc", c, n) => ManifestTable.PartitionTransform(s"${c}_trunc", "trunc", n, c)
     }
@@ -579,6 +624,83 @@ case class GraftAddColumnsCommand(path: String, ident: TableIdentifier,
   }
 }
 
+/** `SHOW CREATE TABLE` on a graft table — [[ManifestTable.showCreate]]:
+  * one `createtab_stmt` row whose text reproduces the table's layout
+  * (schema, partition transforms, stats/bloom options, TBLPROPERTIES,
+  * constraints as trailing ALTER statements) when executed on a fresh
+  * path. */
+case class GraftShowCreateCommand(path: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("createtab_stmt", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(ManifestTable.showCreate(spark, path, name)))
+}
+
+/** `PUBLISH STAGED <table> ['<id>']` — commit a WAP-staged batch
+  * atomically ([[ManifestTable.publishStaged]]: rebases across races,
+  * re-validates layout AND constraints against the then-current
+  * manifest). The id defaults to the session's `spark.graft.wap.id`.
+  * Returns the published version. */
+case class GraftPublishStagedCommand(target: String, id: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    val wid = id.orElse(ManifestTable.sessionWapId(spark)).getOrElse(
+      sys.error("PUBLISH STAGED: no id given and " +
+        s"${ManifestTable.WapIdKey} is not set"))
+    val v = ManifestTable.publishStaged(spark, path, wid)
+    spark.sessionState.catalog.invalidateAllCachedTables()
+    Seq(Row(v))
+  }
+}
+
+/** `DROP STAGED <table> ['<id>']` — abandon a WAP-staged batch: its
+  * manifest and never-referenced data files are deleted; the table is
+  * untouched. The id defaults to the session's `spark.graft.wap.id`. */
+case class GraftDropStagedCommand(target: String, id: Option[String])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    val wid = id.orElse(ManifestTable.sessionWapId(spark)).getOrElse(
+      sys.error("DROP STAGED: no id given and " +
+        s"${ManifestTable.WapIdKey} is not set"))
+    ManifestTable.dropStaged(spark, path, wid)
+    Nil
+  }
+}
+
+/** `ALTER TABLE … ADD CONSTRAINT name CHECK (expr)` on a graft table —
+  * [[ManifestTable.addConstraint]]: validates the EXISTING data against
+  * the expression first (one batch-bounded scan; a violating table
+  * rejects the add), then commits the constraint as versioned manifest
+  * metadata enforced by every writer, API or SQL. */
+case class GraftAddConstraintCommand(path: String, name: String,
+                                     condition: String)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    ManifestTable.addConstraint(spark, path, name, condition)
+    Nil
+  }
+}
+
+/** `ALTER TABLE … DROP CONSTRAINT [IF EXISTS] name` —
+  * [[ManifestTable.dropConstraint]] (metadata-only commit). */
+case class GraftDropConstraintCommand(path: String, name: String,
+                                      ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    ManifestTable.dropConstraint(spark, path, name, ifExists)
+    Nil
+  }
+}
+
 /** `RESTORE … TO VERSION n | TO TIMESTAMP 'ts'` —
   * [[ManifestTable.restore]]: roll the table back by committing a NEW
   * version with the prior state's content; history is preserved, nothing
@@ -717,9 +839,20 @@ case class GraftCreateTableCommand(nameParts: Seq[String],
       val (pcols, transforms) = GraftSqlParser.toGraftPartitioning(partitioning)
       def csv(k: String): Seq[String] =
         options.get(k).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      // the `transforms` OPTION declares custom-NAMED derived columns the
+      // PARTITIONED BY convention can't express (same spec format as the
+      // DataFrame writer option; what SHOW CREATE TABLE emits for them)
+      val optTransforms = csv("transforms").map { spec =>
+        spec.split(":", -1) match {
+          case Array(derived, kind, arg, src) =>
+            ManifestTable.PartitionTransform(derived, kind, arg.toInt, src)
+          case _ => sys.error(
+            s"CREATE TABLE: bad transform '$spec' (expected derived:kind:arg:src)")
+        }
+      }
       ManifestTable.overwrite(spark, path, empty, pcols,
         statsCols = csv("statscols"), bloomCols = csv("bloomcols"),
-        transforms = transforms)
+        transforms = transforms ++ optTransforms)
     }
     GraftSqlParser.registerGraft(spark, nameParts, options, path)
     Nil

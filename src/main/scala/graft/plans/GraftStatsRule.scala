@@ -66,9 +66,13 @@ object GraftStatsRule extends Rule[LogicalPlan] {
         case _: DecimalType => true
         case _ => false
       }).flatMap { _ =>
+        // NDV from the merged per-file KMV sketches: the estimate that
+        // lets join reorder tell a near-unique key from a 5-value key
+        val ndv = r.metaNdvCheap(c).map(BigInt(_))
         r.metaMinMaxCheap(c).map { case (mn, mx) =>
-          c -> CatalogColumnStat(min = Some(mn.toString), max = Some(mx.toString))
-        }
+          c -> CatalogColumnStat(distinctCount = ndv,
+            min = Some(mn.toString), max = Some(mx.toString))
+        }.orElse(ndv.map(n => c -> CatalogColumnStat(distinctCount = Some(n))))
       }
     }.toMap
   }

@@ -179,6 +179,16 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       split("partitionBy"), split("statsCols"), split("bloomCols"),
       transforms = transforms): Unit
     mode match {
+      // an active WAP id stages DataFrame appends too (one workflow for
+      // SQL and the writer API); creation/replace under WAP is refused —
+      // there is no table yet to stage against, or no append shape
+      case _ if ManifestTable.sessionWapId(spark).isDefined =>
+        val id = ManifestTable.sessionWapId(spark).get
+        require(mode == SaveMode.Append && exists,
+          s"only appends to an EXISTING graft table can stage under a WAP " +
+            s"id ('${ManifestTable.WapIdKey}' = '$id'); unset it for " +
+            s"create/overwrite writes")
+        ManifestTable.stageAppend(spark, path, data, Some(id)): Unit
       case SaveMode.Append if exists => ManifestTable.append(spark, path, data)
       case SaveMode.Append | SaveMode.Overwrite => create()
       case SaveMode.ErrorIfExists if exists =>
@@ -815,6 +825,15 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
     if (manifest.sidecar.isDefined) None
     else ManifestTable.fastMinMaxOf(spark, path, manifest, colName)
 
+  /** Table-level distinct-count estimate for a stats column, folded from
+    * the per-file KMV sketches (driver-cheap inline manifests only — the
+    * same planning discipline as [[metaCountCheap]]); feeds
+    * `CatalogColumnStat.distinctCount` so CBO join reordering sees
+    * cardinality classes, not just byte sizes. */
+  private[graft] def metaNdvCheap(colName: String): Option[Long] =
+    if (manifest.sidecar.isDefined) None
+    else ManifestTable.fastNdvOf(manifest, colName)
+
   /** Manifest-answered MIN/MAX (zone maps) for the pinned snapshot. */
   private[graft] def metaMinMax(colName: String): Option[(Any, Any)] =
     ManifestTable.fastMinMaxOf(spark, path, manifest, colName)
@@ -908,6 +927,21 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
     * complete workflow against the snapshot-isolated format.
     */
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    // active WAP id (spark.graft.wap.id): the write STAGES under the id
+    // instead of committing — invisible to every reader until PUBLISH
+    // STAGED, exactly Iceberg's spark.wap.id workflow. Appends only: an
+    // overwrite's "replace everything" intent has no audit-then-publish
+    // shape (what would the audit read — a table that pretends the other
+    // rows are gone? Iceberg stages appends too).
+    ManifestTable.sessionWapId(spark) match {
+      case Some(id) =>
+        require(!overwrite, "INSERT OVERWRITE cannot run under an active " +
+          s"WAP id ('${ManifestTable.WapIdKey}' = '$id') — unset it, or " +
+          "stage the batch as an append and publish after audit")
+        ManifestTable.stageAppend(spark, path, data, Some(id)): Unit
+        return // nothing committed: readers keep the current snapshot
+      case None =>
+    }
     // overwrite REPLACES CONTENT, never the table's definition:
     // overwriteData carries partitioning, transforms, constraints,
     // column mapping and properties from the manifest (rebuilding the
@@ -958,29 +992,26 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
     // the SESSION zone — the zone `date_format` wrote the day dirs in
     val zone = java.time.ZoneId.of(
       spark.sessionState.conf.sessionLocalTimeZone)
-    def dayOf(v: Any): String = ManifestTable.dayOf(v, zone)
-    // ts < midnight-of-day-D excludes day D entirely — the half-open day
-    // range (the overwhelmingly common shape) then opens exactly its days
-    def midnight(v: Any): Boolean = v match {
-      case ts: java.sql.Timestamp =>
-        ts.toInstant.atZone(zone).toLocalTime == java.time.LocalTime.MIDNIGHT
-      case ts: java.time.Instant =>
-        ts.atZone(zone).toLocalTime == java.time.LocalTime.MIDNIGHT
-      case _: java.sql.Date | _: java.time.LocalDate => true
-      case _ => false
-    }
+    // every time granularity (years/months/days/hours) maps the same way:
+    // the key string is chronologically ordered, so endpoints map to key
+    // endpoints; ts < start-of-period-P excludes period P entirely — the
+    // half-open range (the overwhelmingly common shape) then opens
+    // exactly its periods
+    def keyOf(v: Any): String = ManifestTable.timeKeyOf(t.kind, v, zone)
+    def boundary(v: Any): Boolean = ManifestTable.atTimeBoundary(t.kind, v, zone)
+    val time = ManifestTable.TimeKinds
     (t.kind, f) match {
-      case ("days", EqualTo(a, v)) if a == t.src && v != null =>
-        Some(col(t.derived) === dayOf(v))
-      case ("days", GreaterThan(a, v)) if a == t.src && v != null =>
-        Some(col(t.derived) >= dayOf(v))
-      case ("days", GreaterThanOrEqual(a, v)) if a == t.src && v != null =>
-        Some(col(t.derived) >= dayOf(v))
-      case ("days", LessThan(a, v)) if a == t.src && v != null =>
-        Some(if (midnight(v)) col(t.derived) < dayOf(v)
-             else col(t.derived) <= dayOf(v))
-      case ("days", LessThanOrEqual(a, v)) if a == t.src && v != null =>
-        Some(col(t.derived) <= dayOf(v))
+      case (k, EqualTo(a, v)) if time(k) && a == t.src && v != null =>
+        Some(col(t.derived) === keyOf(v))
+      case (k, GreaterThan(a, v)) if time(k) && a == t.src && v != null =>
+        Some(col(t.derived) >= keyOf(v))
+      case (k, GreaterThanOrEqual(a, v)) if time(k) && a == t.src && v != null =>
+        Some(col(t.derived) >= keyOf(v))
+      case (k, LessThan(a, v)) if time(k) && a == t.src && v != null =>
+        Some(if (boundary(v)) col(t.derived) < keyOf(v)
+             else col(t.derived) <= keyOf(v))
+      case (k, LessThanOrEqual(a, v)) if time(k) && a == t.src && v != null =>
+        Some(col(t.derived) <= keyOf(v))
       case ("bucket", EqualTo(a, v)) if a == t.src && v != null =>
         Some(col(t.derived) === bucketOf(v))
       case ("bucket", In(a, vs)) if a == t.src && vs.nonEmpty && vs.forall(_ != null) =>

@@ -126,12 +126,21 @@ object ManifestTable {
       case None => col(t.src)
     }
     t.kind match {
+      // all four time granularities format to a string whose LEXICOGRAPHIC
+      // order is chronological order, so range predicates map 1:1 to
+      // directory-name ranges (Iceberg's hour format, yyyy-MM-dd-HH)
       case "days" => date_format(src, "yyyy-MM-dd")
+      case "hours" => date_format(src, "yyyy-MM-dd-HH")
+      case "months" => date_format(src, "yyyy-MM")
+      case "years" => date_format(src, "yyyy")
       case "bucket" => pmod(xxhash64(src), lit(t.arg))
       case "trunc" => substring(src, 1, t.arg)
       case other => sys.error(s"unknown partition transform kind: $other")
     }
   }
+
+  /** Time-transform kinds, coarsest-to-finest string keys. */
+  private[graft] val TimeKinds = Set("years", "months", "days", "hours")
 
   /** Map a source-column value to its derived partition value (driver-side
     * twin of [[deriveCol]] for the `days`/`trunc` range mapping; `bucket`
@@ -143,14 +152,61 @@ object ManifestTable {
     * instant in the same zone or a predicate lands on the wrong day
     * directory and silently drops rows (a Timestamp's toLocalDateTime
     * would use the JVM default zone instead, which need not agree). */
-  private[sources] def dayOf(v: Any, zone: java.time.ZoneId): String = v match {
-    case t: java.sql.Timestamp =>
-      t.toInstant.atZone(zone).toLocalDate.toString
-    case t: java.time.Instant => t.atZone(zone).toLocalDate.toString
-    case d: java.sql.Date => d.toLocalDate.toString
-    case d: java.time.LocalDate => d.toString
-    case s: String => s.take(10)
-    case other => sys.error(s"days() transform cannot map value $other")
+  private[sources] def dayOf(v: Any, zone: java.time.ZoneId): String =
+    timeKeyOf("days", v, zone)
+
+  /** [[dayOf]] at any time granularity: the value's partition-key string
+    * for `years`/`months`/`days`/`hours`, resolved in the session zone
+    * exactly like the write-side `date_format`. */
+  private[graft] def timeKeyOf(kind: String, v: Any,
+                               zone: java.time.ZoneId): String = {
+    def fmt(ldt: java.time.LocalDateTime): String = kind match {
+      case "years" => f"${ldt.getYear}%04d"
+      case "months" => f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d"
+      case "days" => ldt.toLocalDate.toString
+      case "hours" => s"${ldt.toLocalDate}-${f"${ldt.getHour}%02d"}"
+      case other => sys.error(s"not a time transform kind: $other")
+    }
+    v match {
+      case t: java.sql.Timestamp => fmt(t.toInstant.atZone(zone).toLocalDateTime)
+      case t: java.time.Instant => fmt(t.atZone(zone).toLocalDateTime)
+      case d: java.sql.Date => fmt(d.toLocalDate.atStartOfDay)
+      case d: java.time.LocalDate => fmt(d.atStartOfDay)
+      // 'yyyy-MM-dd HH:mm:ss'-shaped strings: prefix at the granularity,
+      // with the hour separator normalized to the directory form
+      case s: String => kind match {
+        case "years" => s.take(4)
+        case "months" => s.take(7)
+        case "days" => s.take(10)
+        case "hours" => s.take(13).replace(' ', '-').replace('T', '-')
+      }
+      case other => sys.error(s"$kind() transform cannot map value $other")
+    }
+  }
+
+  /** Is the value exactly AT the granularity's boundary (start of its
+    * hour/day/month/year)? Strict upper bounds exclude the boundary
+    * partition only then — `ts < '…-03-01 00:00'` excludes March, but
+    * `ts < '…-03-01 00:01'` must still open it. */
+  private[graft] def atTimeBoundary(kind: String, v: Any,
+                                    zone: java.time.ZoneId): Boolean = {
+    def at(ldt: java.time.LocalDateTime): Boolean = {
+      val hourStart = ldt.getMinute == 0 && ldt.getSecond == 0 && ldt.getNano == 0
+      kind match {
+        case "hours" => hourStart
+        case "days" => hourStart && ldt.getHour == 0
+        case "months" => hourStart && ldt.getHour == 0 && ldt.getDayOfMonth == 1
+        case "years" => hourStart && ldt.getHour == 0 && ldt.getDayOfYear == 1
+        case _ => false
+      }
+    }
+    v match {
+      case t: java.sql.Timestamp => at(t.toInstant.atZone(zone).toLocalDateTime)
+      case t: java.time.Instant => at(t.atZone(zone).toLocalDateTime)
+      case d: java.sql.Date => at(d.toLocalDate.atStartOfDay)
+      case d: java.time.LocalDate => at(d.atStartOfDay)
+      case _ => false
+    }
   }
 
   /** Add any missing derived partition columns to a write batch — writers
@@ -1141,13 +1197,20 @@ object ManifestTable {
     val bad = (statsCols ++ bloomCols).filter(partitionCols.contains)
     require(bad.isEmpty, s"stats on partition columns are redundant: $bad")
     require(!statsCols.contains(RowsKey), s"$RowsKey is reserved")
-    require((statsCols ++ bloomCols).forall(!_.startsWith(BloomPrefix)),
-      s"column names may not start with the reserved prefix $BloomPrefix")
+    require((statsCols ++ bloomCols).forall(c =>
+      !c.startsWith(BloomPrefix) && !c.startsWith(NdvPrefix)),
+      s"column names may not start with the reserved prefixes " +
+        s"$BloomPrefix / $NdvPrefix")
     val paths = rels.map(rel => new Path(dataDir(path), rel).toString)
     val bloomAgg = udaf(new BloomAgg(BloomWords, BloomK),
       org.apache.spark.sql.Encoders.LONG)
     val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        // sketch stays BINARY on the wire; the driver base64s it below
+        // (Spark's base64() MIME-chunks long output with newlines, which
+        // would shred the line-oriented manifest format)
+        hll_sketch_agg(when(col(c).isNotNull, xxhash64(col(c))),
+          lit(NdvLgK)).as(s"ndv_$c"))) ++
       bloomCols.map(c =>
         bloomAgg(when(col(c).isNotNull, xxhash64(col(c)))).as(s"bloom_$c")) :+
       count(lit(1)).as("_nrows")
@@ -1179,6 +1242,12 @@ object ManifestTable {
       val blooms = bloomCols.map { c =>
         (BloomPrefix + c) -> ((Option(r.getAs[String](s"bloom_$c")), None))
       }
+      // per-file HLL distinct sketches ride the same map (the RowsKey
+      // trick): mergeable at plan time into a table-level NDV for CBO
+      val ndvs = statsCols.map { c =>
+        (NdvPrefix + c) -> ((Option(r.getAs[Array[Byte]](s"ndv_$c"))
+          .map(java.util.Base64.getEncoder.encodeToString), None))
+      }
       rel -> (statsCols.map { c =>
         val enc = (Option(r.getAs[Any](s"min_$c")),
             Option(r.getAs[Any](s"max_$c"))) match {
@@ -1188,8 +1257,54 @@ object ManifestTable {
           case (a, b) => (a.map(encodeStat), b.map(encodeStat))
         }
         c -> enc
-      }.toMap ++ blooms + (RowsKey -> ((nrows, nrows))))
+      }.toMap ++ blooms ++ ndvs + (RowsKey -> ((nrows, nrows))))
     }.toMap
+  }
+
+  // --------------------------------------------------- NDV sketches (CBO)
+
+  /** Reserved pseudo-column prefix for per-file HLL distinct sketches:
+    * `_ndv:<col>` holds a base64 DataSketches HLL sketch of the column's
+    * xxhash64 stream. Mergeable (HLL union), so the PLANNER folds a
+    * table-level NDV from per-file entries with no scan — what CBO join
+    * reordering needs ([[graft.plans.GraftStatsRule]]): a near-unique key
+    * and a 5-value key must read as different cardinalities.
+    *
+    * Deliberately Spark's NATIVE `hll_sketch_agg` (a codegen'd
+    * ImperativeAggregate), not a Scala `Aggregator` UDAF: a UDAF in the
+    * agg list forces the WHOLE per-file stats pass from a codegen'd
+    * HashAggregate into ObjectHashAggregate — measured as a broad
+    * per-commit tax across every stats-carrying fixture. lgK = 9 keeps
+    * the entry ≤ ~360 base64 chars per (file, stats column) at ~5%
+    * standard error (exact in list mode for small files) —
+    * cardinality-CLASS accuracy, which is what join ordering consumes. */
+  private[sources] val NdvPrefix = "_ndv:"
+  private[sources] val NdvLgK = 9
+
+  /** Table-level NDV for a stats column: union every file's HLL sketch
+    * (driver fold over already-parsed inline stats — NO job, the planning
+    * discipline; DataSketches ships with Spark). None when ANY
+    * row-carrying file lacks a sketch (files committed before NDV stats
+    * existed): an incomplete union would UNDERESTIMATE, and a wrong
+    * cardinality is worse for join ordering than none. */
+  private[sources] def fastNdvOf(m: Manifest, colName: String): Option[Long] = {
+    if (!m.statsCols.contains(colName)) return None
+    val u = new org.apache.datasketches.hll.Union(NdvLgK)
+    var any = false
+    for (rel <- m.files) {
+      val st = m.stats.getOrElse(rel, return None)
+      // a zero-row file contributes nothing but needs no sketch
+      val rows = st.get(RowsKey).flatMap(_._1).map(decodeStat(_).toString.toLong)
+      if (!rows.contains(0L)) {
+        val enc = st.get(NdvPrefix + colName).flatMap(_._1).getOrElse(return None)
+        try {
+          u.update(org.apache.datasketches.hll.HllSketch.heapify(
+            java.util.Base64.getDecoder.decode(enc)))
+          any = true
+        } catch { case scala.util.control.NonFatal(_) => return None }
+      }
+    }
+    Some(math.max(u.getEstimate.round, if (any) 1L else 0L))
   }
 
   // ------------------------------------------------------- bloom file skipping
@@ -2361,9 +2476,20 @@ object ManifestTable {
     * rename/evolution fails the publish loudly instead of landing files
     * written under stale physical names.
     */
-  def stageAppend(spark: SparkSession, path: String, df: DataFrame): String = {
+  def stageAppend(spark: SparkSession, path: String, df: DataFrame,
+                  id: Option[String] = None): String = {
     val v = currentVersion(spark, path)
       .getOrElse(sys.error(s"no manifest table at $path"))
+    // a caller-chosen id (the SQL/conf WAP face: spark.graft.wap.id) must
+    // be filename-safe and UNUSED — one staged batch per id, so publish/
+    // drop are unambiguous; the audit step names exactly what publishes
+    id.foreach { i =>
+      require(i.matches("[A-Za-z0-9._-]+"),
+        s"WAP id '$i' must be alphanumeric/dot/dash/underscore")
+      require(!fs(spark, path).exists(new Path(manifestDir(path), stagedName(i))),
+        s"WAP id '$i' already has a staged batch on $path — " +
+          "publish or drop it first, or stage under a fresh id")
+    }
     val m = readManifest(spark, path, v)
     val batch = withDerived(
       df.drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema))
@@ -2379,7 +2505,8 @@ object ManifestTable {
       rel <- files.filter(stats.contains)
       (c, (mn, mx)) <- stats(rel).toSeq.sortBy(_._1)
     } yield s"stats=$rel|$c|${mn.getOrElse("")}|${mx.getOrElse("")}"
-    val id = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val stageId = id.getOrElse(
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12))
     val body = (Seq(Header,
       "format=" + FormatVersion,
       "schema=" + m.schema.json,
@@ -2395,10 +2522,20 @@ object ManifestTable {
       files.map("file=" + _) ++
       statLines).mkString("\n") + "\n"
     val f = fs(spark, path)
-    val out = f.create(new Path(manifestDir(path), stagedName(id)), false)
+    val out = f.create(new Path(manifestDir(path), stagedName(stageId)), false)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    id
+    stageId
   }
+
+  /** The session's active WAP id (`spark.graft.wap.id`), Iceberg's
+    * `spark.wap.id` idiom: while set, SQL/DataFrame appends to graft
+    * tables STAGE under this id instead of committing — invisible until
+    * `PUBLISH STAGED`, auditable via `graft_staged(...)`. */
+  val WapIdKey = "spark.graft.wap.id"
+
+  private[graft] def sessionWapId(spark: SparkSession): Option[String] =
+    Option(spark.sessionState.conf.getConfString(WapIdKey, null))
+      .map(_.trim).filter(_.nonEmpty)
 
   private def stagedName(id: String) = s"staged-$id.txt"
 
@@ -2960,6 +3097,64 @@ object ManifestTable {
     * columns, and total data bytes (null past the [[snapshotBytes]] RPC
     * cap). Metadata-only.
     */
+  /** Re-runnable DDL for the table's CURRENT definition, printed from the
+    * manifest (`SHOW CREATE TABLE`): logical schema (derived partition
+    * columns excluded — the transforms re-derive them), `PARTITIONED BY`
+    * with identity columns and convention-named transforms, the
+    * `transforms` OPTION for custom-named ones (so ANY layout
+    * round-trips), stats/bloom options, TBLPROPERTIES, and one
+    * `ALTER TABLE … ADD CONSTRAINT` statement per CHECK constraint
+    * (CREATE TABLE syntax carries no named CHECKs) — statements separated
+    * by `;`. Executing the output against a fresh path reproduces the
+    * table's layout exactly.
+    */
+  def showCreate(spark: SparkSession, path: String, name: String): String = {
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    val derivedNames = m.transforms.map(_.derived).toSet
+    val cols = logicalSchema(m).fields
+      .filterNot(f => derivedNames.contains(f.name))
+      .map(f => s"  ${f.toDDL}")
+    def conventional(t: PartitionTransform): Option[String] = t.kind match {
+      case "days" if t.derived == s"${t.src}_day" => Some(s"days(${t.src})")
+      case "hours" if t.derived == s"${t.src}_hour" => Some(s"hours(${t.src})")
+      case "months" if t.derived == s"${t.src}_month" => Some(s"months(${t.src})")
+      case "years" if t.derived == s"${t.src}_year" => Some(s"years(${t.src})")
+      case "bucket" if t.derived == s"${t.src}_bucket" =>
+        Some(s"bucket(${t.arg}, ${t.src})")
+      case "trunc" if t.derived == s"${t.src}_trunc" =>
+        Some(s"truncate(${t.src}, ${t.arg})")
+      case _ => None
+    }
+    val (conv, custom) = m.transforms.partition(t => conventional(t).isDefined)
+    val partSpecs = m.partitionCols.filterNot(derivedNames.contains) ++
+      conv.flatMap(conventional)
+    val optLines = Seq(s"path '$path'") ++
+      (if (m.statsCols.nonEmpty)
+        Seq(s"statscols '${m.statsCols.mkString(",")}'") else Nil) ++
+      (if (m.bloomCols.nonEmpty)
+        Seq(s"bloomcols '${m.bloomCols.mkString(",")}'") else Nil) ++
+      (if (custom.nonEmpty) Seq("transforms '" + custom.map(t =>
+        s"${t.derived}:${t.kind}:${t.arg}:${t.src}").mkString(",") + "'") else Nil)
+    val sb = new StringBuilder
+    sb ++= s"CREATE TABLE $name (\n" ++= cols.mkString(",\n") ++= ")\n"
+    sb ++= "USING graft\n"
+    if (partSpecs.nonEmpty)
+      sb ++= s"PARTITIONED BY (${partSpecs.mkString(", ")})\n"
+    sb ++= s"OPTIONS (\n  ${optLines.mkString(",\n  ")})"
+    // properties and constraints follow as ALTER statements: the graft
+    // CREATE face takes layout only, and ALTER routes both straight to
+    // the manifest (no catalog reserved-property policing)
+    if (m.props.nonEmpty)
+      sb ++= s";\nALTER TABLE $name SET TBLPROPERTIES (" + m.props.toSeq.sorted
+        .map { case (k, pv) => s"'$k' = '$pv'" }.mkString(", ") + ")"
+    m.constraints.foreach { case (n, e) =>
+      sb ++= s";\nALTER TABLE $name ADD CONSTRAINT $n CHECK ($e)"
+    }
+    sb.result()
+  }
+
   def detail(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val v = currentVersion(spark, path)
@@ -3020,11 +3215,14 @@ object ManifestTable {
       colmap = m.colmap, retired = m.retired)
   }
 
-  /** Drop a CHECK constraint (metadata-only commit). */
-  def dropConstraint(spark: SparkSession, path: String, name: String): Long = {
+  /** Drop a CHECK constraint (metadata-only commit). With `ifExists`, a
+    * missing name is a no-op returning the current version. */
+  def dropConstraint(spark: SparkSession, path: String, name: String,
+                     ifExists: Boolean = false): Long = {
     val v = currentVersion(spark, path)
       .getOrElse(sys.error(s"no manifest table at $path"))
     val m = readManifest(spark, path, v)
+    if (ifExists && !m.constraints.exists(_._1 == name)) return v
     require(m.constraints.exists(_._1 == name),
       s"no constraint '$name' on $path (have: ${m.constraints.map(_._1).mkString(", ")})")
     commit(spark, path, v + 1, m.schema, m.partitionCols, m.files,
@@ -3180,7 +3378,7 @@ object ManifestTable {
     }
 
   private def deriveType(t: PartitionTransform): DataType = t.kind match {
-    case "days" | "trunc" => StringType
+    case "days" | "hours" | "months" | "years" | "trunc" => StringType
     case "bucket" => LongType
     case other => sys.error(s"unknown partition transform kind: $other")
   }

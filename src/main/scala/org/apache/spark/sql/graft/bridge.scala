@@ -78,6 +78,9 @@ object bridge {
     parts.map {
       case it: IdentityTransform => ("identity", nameOf(it.ref), 0)
       case dt: DaysTransform => ("days", nameOf(dt.ref), 0)
+      case ht: HoursTransform => ("hours", nameOf(ht.ref), 0)
+      case mt: MonthsTransform => ("months", nameOf(mt.ref), 0)
+      case yt: YearsTransform => ("years", nameOf(yt.ref), 0)
       case bt: BucketTransform if bt.columns.length == 1 =>
         ("bucket", nameOf(bt.columns.head), bt.numBuckets.value.toString.toInt)
       case at: ApplyTransform
@@ -91,8 +94,8 @@ object bridge {
         }
       case other => throw new IllegalArgumentException(
         s"PARTITIONED BY: transform '${other.describe()}' is not supported by " +
-          "graft tables — use identity columns, days(ts), bucket(n, col), " +
-          "or truncate(col, n)")
+          "graft tables — use identity columns, years/months/days/hours(ts), " +
+          "bucket(n, col), or truncate(col, n)")
     }
   }
 

@@ -386,18 +386,26 @@ class GraftSqlParserSpec extends SparkSpec {
         s.sql(s"""CREATE TABLE ctas_days USING graft
                  |OPTIONS (path '$root/days') AS SELECT * FROM ctas_src""".stripMargin)
       }
-      // unsupported transforms are rejected loudly, not dropped
+      // the full time family is accepted (months derives yyyy-MM dirs)…
+      s.sql(s"""CREATE TABLE ctas_months USING graft PARTITIONED BY (months(ts))
+               |OPTIONS (path '$root/months') AS SELECT * FROM ctas_src""".stripMargin)
+      val monthDirs = new java.io.File(s"$root/months/data").listFiles()
+        .filter(_.isDirectory).map(_.getName)
+      assert(monthDirs.nonEmpty && monthDirs.forall(_.startsWith("ts_month=")))
+      // …while genuinely unsupported transforms still reject loudly
       val e = intercept[Exception] {
-        s.sql(s"""CREATE TABLE ctas_bad USING graft PARTITIONED BY (months(ts))
+        s.sql(s"""CREATE TABLE ctas_bad USING graft
+                 |PARTITIONED BY (bucket(4, id, ts))
                  |OPTIONS (path '$root/bad') AS SELECT * FROM ctas_src""".stripMargin)
       }
-      assert(e.getMessage.contains("not supported"))
+      assert(e.getMessage.toLowerCase.contains("not supported") ||
+        e.getMessage.contains("PARTITIONED BY"), e.getMessage)
       // non-graft CTAS passes through to Spark's own path untouched
       s.sql("DROP TABLE IF EXISTS ctas_pq")
       s.sql(s"""CREATE TABLE ctas_pq USING parquet LOCATION '$root/pq'
                |AS SELECT id FROM ctas_src""".stripMargin)
       assert(s.sql("SELECT count(*) FROM ctas_pq").head.getLong(0) === 200L)
-    } finally Seq("ctas_days", "ctas_bkt", "ctas_pq").foreach(t =>
+    } finally Seq("ctas_days", "ctas_bkt", "ctas_months", "ctas_pq").foreach(t =>
       s.sql(s"DROP TABLE IF EXISTS $t"): Unit)
   }
 
@@ -794,6 +802,148 @@ class GraftSqlParserSpec extends SparkSpec {
       assert(pq.toSeq === Seq("g=7"))
     } finally Seq("showp_t", "showp_pq").foreach(t =>
       s.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+  }
+
+  test("ADD/DROP CONSTRAINT DDL: declared from SQL, enforced on INSERT, retroactive add validates, non-graft passes through") {
+    val s = extSpark
+    val root = Files.createTempDirectory("sqlp_constraint").toString
+    try {
+      s.sql("DROP TABLE IF EXISTS cons_t")
+      s.sql(s"""CREATE TABLE cons_t (id BIGINT, price DOUBLE) USING graft
+               |OPTIONS (path '$root/t')""".stripMargin)
+      s.sql("INSERT INTO cons_t VALUES (1, 10.0), (2, 20.0)")
+      s.sql("ALTER TABLE cons_t ADD CONSTRAINT price_pos CHECK (price > 0)")
+      // the constraint gates SQL writes…
+      val e = intercept[Exception] {
+        s.sql("INSERT INTO cons_t VALUES (3, -5.0)")
+      }
+      assert(e.getMessage.contains("price_pos"), e.getMessage)
+      assert(s.sql("SELECT count(*) FROM cons_t").head.getLong(0) === 2L)
+      // …and API writes (one manifest, one gate)
+      intercept[RuntimeException] {
+        ManifestTable.append(s, s"$root/t",
+          s.range(1).selectExpr("id", "-1.0 AS price"))
+      }
+      // retroactive add validates EXISTING data
+      val e2 = intercept[Exception] {
+        s.sql("ALTER TABLE cons_t ADD CONSTRAINT id_small CHECK (id < 2)")
+      }
+      assert(e2.getMessage.contains("id_small"), e2.getMessage)
+      // DROP lifts the gate; IF EXISTS tolerates a missing name
+      s.sql("ALTER TABLE cons_t DROP CONSTRAINT price_pos")
+      s.sql("ALTER TABLE cons_t DROP CONSTRAINT IF EXISTS nope")
+      intercept[Exception] {
+        s.sql("ALTER TABLE cons_t DROP CONSTRAINT nope")
+      }
+      s.sql("INSERT INTO cons_t VALUES (3, -5.0)")
+      assert(s.sql("SELECT count(*) FROM cons_t").head.getLong(0) === 3L)
+      // a non-graft table keeps Spark's own (v1: unsupported) behavior
+      s.sql("DROP TABLE IF EXISTS cons_pq")
+      s.sql(s"CREATE TABLE cons_pq (id BIGINT) USING parquet LOCATION '$root/pq'")
+      intercept[Exception] {
+        s.sql("ALTER TABLE cons_pq ADD CONSTRAINT c1 CHECK (id > 0)")
+      }
+    } finally Seq("cons_t", "cons_pq").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+  }
+
+  test("SHOW CREATE TABLE round-trips the full layout; non-graft passes through") {
+    val s = extSpark
+    val root = Files.createTempDirectory("sqlp_showcreate").toString
+    try {
+      // a table exercising every printable surface: identity partition,
+      // convention transform, CUSTOM-named transform, stats, bloom,
+      // properties, constraint
+      ManifestTable.overwrite(s, s"$root/t",
+        s.range(100).selectExpr("id", "CAST(id % 3 AS STRING) AS grp",
+          "timestamp_millis(1704067200000 + id * 3600000) AS ts",
+          "CAST(id AS DOUBLE) AS v"),
+        partitionCols = Seq("grp"),
+        statsCols = Seq("id"), bloomCols = Seq("v"),
+        constraints = Seq("v_nonneg" -> "v >= 0"),
+        transforms = Seq(
+          ManifestTable.PartitionTransform("ts_day", "days", 0, "ts"),
+          ManifestTable.PartitionTransform("idb", "bucket", 4, "id")))
+      ManifestTable.setProperties(s, s"$root/t", Map("graft.appendOnly" -> "false",
+        "team" -> "etl"))
+      s.sql("DROP TABLE IF EXISTS sct_t")
+      s.sql(s"CREATE TABLE sct_t USING graft OPTIONS (path '$root/t')")
+      val ddl = s.sql("SHOW CREATE TABLE sct_t").head.getString(0)
+      assert(ddl.contains("USING graft") && ddl.contains("days(ts)") &&
+        ddl.contains("transforms 'idb:bucket:4:id'") &&
+        ddl.contains("statscols 'id'") && ddl.contains("bloomcols 'v'") &&
+        ddl.contains("'team' = 'etl'") && ddl.contains("ADD CONSTRAINT v_nonneg"),
+        s"DDL missing surfaces:\n$ddl")
+      // round trip: run the printed DDL against a FRESH path + name
+      val ddl2 = ddl.replace(s"$root/t", s"$root/t2")
+        .replace("sct_t", "sct_t2")
+      ddl2.split(";").foreach(stmt => s.sql(stmt).collect(): Unit)
+      // fixpoint: the re-created table prints the SAME DDL (modulo
+      // path/name) — layouts identical in every printed dimension
+      val ddlBack = s.sql("SHOW CREATE TABLE sct_t2").head.getString(0)
+        .replace(s"$root/t2", s"$root/t").replace("sct_t2", "sct_t")
+      assert(ddlBack === ddl, s"round-trip drifted:\n$ddlBack\n-- vs --\n$ddl")
+      // and the recreated table reads with the identical logical schema
+      assert(s.table("sct_t2").schema === s.table("sct_t").schema)
+      // the re-created table accepts writes under the same layout
+      s.sql("""INSERT INTO sct_t2 SELECT CAST(5 AS BIGINT), '2',
+              |timestamp'2024-01-05 00:00:00', CAST(1.5 AS DOUBLE)""".stripMargin)
+      assert(s.sql("SELECT count(*) FROM sct_t2").head.getLong(0) === 1L)
+      // non-graft tables keep Spark's own SHOW CREATE TABLE
+      s.sql("DROP TABLE IF EXISTS sct_pq")
+      s.sql(s"CREATE TABLE sct_pq (id BIGINT) USING parquet LOCATION '$root/pq'")
+      val pq = s.sql("SHOW CREATE TABLE sct_pq").head.getString(0)
+      assert(pq.toLowerCase.contains("parquet"))
+    } finally Seq("sct_t", "sct_t2", "sct_pq").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+  }
+
+  test("WAP conf face: INSERT under spark.graft.wap.id stages invisibly, graft_staged audits, PUBLISH STAGED lands it") {
+    val s = extSpark
+    val root = Files.createTempDirectory("sqlp_wap").toString
+    try {
+      s.sql("DROP TABLE IF EXISTS wap_t")
+      s.sql(s"""CREATE TABLE wap_t (id BIGINT, v DOUBLE) USING graft
+               |OPTIONS (path '$root/t')""".stripMargin)
+      s.sql("INSERT INTO wap_t VALUES (1, 1.0), (2, 2.0)")
+      s.conf.set(ManifestTable.WapIdKey, "etl_batch_7")
+      try {
+        // the INSERT stages: readers see NOTHING new
+        s.sql("INSERT INTO wap_t VALUES (3, 3.0), (4, -4.0)")
+        assert(s.sql("SELECT count(*) FROM wap_t").head.getLong(0) === 2L,
+          "staged rows must be invisible to readers")
+        assert(ManifestTable.currentVersion(s, s"$root/t") === Some(2L),
+          "staging must not commit a version")
+        // the audit face sees the exact would-be table (id from the conf)
+        val audit = s.sql("SELECT id, v FROM graft_staged('wap_t')")
+        assert(audit.count() === 4L)
+        assert(audit.filter(col("v") < 0).count() === 1L,
+          "the audit catches the bad row before anything publishes")
+        // overwrite under an active WAP id refuses loudly
+        intercept[Exception] {
+          s.sql("INSERT OVERWRITE wap_t VALUES (9, 9.0)")
+        }
+        // abandon, fix, re-stage under the SAME id, publish
+        s.sql("DROP STAGED wap_t")
+        s.sql("INSERT INTO wap_t VALUES (3, 3.0), (4, 4.0)")
+        val v = s.sql("PUBLISH STAGED wap_t").head.getLong(0)
+        assert(v === 3L)
+      } finally s.conf.unset(ManifestTable.WapIdKey)
+      assert(s.sql("SELECT count(*) FROM wap_t").head.getLong(0) === 4L,
+        "published rows are visible after the WAP id is gone")
+      assert(s.sql("SELECT sum(v) FROM wap_t").head.getDouble(0) === 10.0)
+      // a crash between stage and publish = a stage nobody publishes:
+      // explicit-id staging + publish of a NAMED id from a fresh session
+      // state still works, and the unpublished stage left no trace
+      val orphan = ManifestTable.stageAppend(s, s"$root/t",
+        s.range(1).selectExpr("id + 100 AS id", "CAST(0.5 AS DOUBLE) AS v"),
+        Some("crashed_run"))
+      assert(orphan === "crashed_run")
+      assert(s.sql("SELECT count(*) FROM wap_t").head.getLong(0) === 4L,
+        "an unpublished stage never surfaces")
+      s.sql(s"DROP STAGED '$root/t' 'crashed_run'")
+      assert(ManifestTable.stagedIds(s, s"$root/t").isEmpty)
+    } finally s.sql("DROP TABLE IF EXISTS wap_t"): Unit
   }
 
   test("positional INSERT pads derived columns AT their schema positions after evolution") {

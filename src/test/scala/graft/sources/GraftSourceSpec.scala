@@ -233,4 +233,71 @@ class GraftSourceSpec extends SparkSpec {
         s.sql(s"DROP TABLE IF EXISTS cbo_$t"): Unit)
     }
   }
+
+  test("HLL NDV reaches CBO: equal-sized dims, near-unique vs 5-value key, join order differs") {
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_ndv_wh").toString)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    val root = Files.createTempDirectory("graft_ndv").toString
+    ManifestTable.overwrite(s, s"$root/fact",
+      s.range(20000).select(col("id").as("a"), (col("id") % 5).as("b"),
+        (col("id") * 2).as("fv")).coalesce(4),
+      statsCols = Seq("a", "b"))
+    // SAME row count on both dims: bytes and rowCount cannot tell them
+    // apart — only the join keys' DISTINCT counts can
+    ManifestTable.overwrite(s, s"$root/dima",
+      s.range(2000).select(col("id").as("k"), (col("id") * 3).as("av")).coalesce(2),
+      statsCols = Seq("k"))
+    ManifestTable.overwrite(s, s"$root/dimb",
+      s.range(2000).select((col("id") % 5).as("k5"), (col("id") * 7).as("bv")).coalesce(2),
+      statsCols = Seq("k5"))
+    // the sketch fold itself: exact at 5 distinct (list mode), ~5% near-unique
+    val factRel = new GraftRelation(s.sqlContext, s"$root/fact", None)
+    assert(factRel.metaNdvCheap("b") === Some(5L),
+      "a 5-value column's HLL estimate is exact in list mode")
+    val aNdv = factRel.metaNdvCheap("a").get
+    assert(aNdv > 12000L && aNdv < 30000L,
+      s"near-unique column estimate must land near 20000, got $aNdv")
+    Seq("fact", "dima", "dimb").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS ndv_$t")
+      s.sql(s"CREATE TABLE ndv_$t USING graft OPTIONS (path '$root/$t')")
+    }
+    try {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      // written 5-value-key-first: with NDV the optimizer must flip to the
+      // near-unique join (output ~2000 rows vs ~8,000,000 through dimb)
+      val q = s.sql(
+        """SELECT f.fv, db.bv, da.av FROM ndv_fact f
+          |JOIN ndv_dimb db ON f.b = db.k5
+          |JOIN ndv_dima da ON f.a = da.k""".stripMargin)
+      val attrStats = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+      }.flatMap(_.stats.attributeStats.toSeq)
+      val bStat = attrStats.find(_._1.name == "b").map(_._2)
+      assert(bStat.exists(_.distinctCount.contains(BigInt(5))),
+        s"NDV must reach the plan's column stats: $bStat")
+      val joins = q.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joins.length === 2)
+      val innerNames = joins.last.output.map(_.name).toSet
+      assert(innerNames.contains("av") && !innerNames.contains("bv"),
+        s"CBO must join the near-unique key first, got innermost $innerNames")
+      assert(q.count() === 800000L) // 2000 a-matches × 400 b-matches per key
+    } finally {
+      s.conf.set("spark.sql.cbo.enabled", "false")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      Seq("fact", "dima", "dimb").foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS ndv_$t"): Unit)
+    }
+  }
 }

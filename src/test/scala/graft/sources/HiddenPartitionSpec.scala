@@ -73,6 +73,67 @@ class HiddenPartitionSpec extends SparkSpec {
     assert(total >= 13L && opened === 2L, s"opened $opened of $total day dirs")
   }
 
+  test("hours(): a 2-hour source predicate opens exactly 2 hour dirs; months()/years() derive and prune too") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    val path = Files.createTempDirectory("hp_hours").toString + "/t"
+    // 288 events at 10-minute steps → 48 hour dirs over 2 days
+    val df = spark.range(288).select(col("id"),
+      expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,CAST(id*10 AS INT),0)").as("ts"))
+    ManifestTable.overwrite(spark, path, df,
+      transforms = Seq(PartitionTransform("ts_hour", "hours", 0, "ts")))
+    val got = ManifestTable.read(spark, path)
+    assert(got.count() === 288L)
+    assert(got.filter(col("ts_hour") =!= date_format(col("ts"), "yyyy-MM-dd-HH"))
+      .count() === 0L, "derived hour always agrees with the source")
+    val rel = new GraftRelation(spark.sqlContext, path, None)
+    val inner = rel.innerScan(Array("id"), Array(
+      GreaterThanOrEqual("ts", java.sql.Timestamp.valueOf("2024-01-01 05:00:00")),
+      LessThan("ts", java.sql.Timestamp.valueOf("2024-01-01 07:00:00"))))
+    assert(inner.count() === 12L) // 2 hours × 6 events
+    val plan = inner.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("ts_hour"),
+      s"expected ts_hour partition filters in:\n${plan.take(1500)}")
+    def hours(d: org.apache.spark.sql.DataFrame): Long = d
+      .select(regexp_extract(input_file_name(), "ts_hour=([0-9-]+)", 1).as("h"))
+      .distinct().count()
+    val opened = hours(inner)
+    val total = hours(ManifestTable.read(spark, path))
+    assert(total === 48L && opened === 2L, s"opened $opened of $total hour dirs")
+    // a NON-boundary strict upper bound must widen to include its hour
+    val widened = rel.innerScan(Array("id"), Array(
+      LessThan("ts", java.sql.Timestamp.valueOf("2024-01-01 05:00:01"))))
+    assert(hours(widened) === 6L, "05:00:01 strict bound still opens hour 05")
+
+    // months(): 90 daily events → 3 month dirs; a 1-month range opens 1
+    val mpath = Files.createTempDirectory("hp_months").toString + "/t"
+    ManifestTable.overwrite(spark, mpath,
+      spark.range(90).select(col("id"),
+        expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,CAST(id AS INT),0,0,0)").as("ts")),
+      transforms = Seq(PartitionTransform("ts_month", "months", 0, "ts")))
+    val mrel = new GraftRelation(spark.sqlContext, mpath, None)
+    val minner = mrel.innerScan(Array("id"), Array(
+      GreaterThanOrEqual("ts", java.sql.Timestamp.valueOf("2024-02-01 00:00:00")),
+      LessThan("ts", java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))))
+    assert(minner.count() === 29L) // Feb 2024
+    assert(minner.select(regexp_extract(input_file_name(), "ts_month=([0-9-]+)", 1))
+      .distinct().count() === 1L)
+
+    // years(): 3 yearly rows → year dirs, equality opens one
+    val ypath = Files.createTempDirectory("hp_years").toString + "/t"
+    ManifestTable.overwrite(spark, ypath,
+      Seq((1L, java.sql.Timestamp.valueOf("2022-06-01 00:00:00")),
+        (2L, java.sql.Timestamp.valueOf("2023-06-01 00:00:00")),
+        (3L, java.sql.Timestamp.valueOf("2024-06-01 00:00:00")))
+        .toDF("id", "ts"),
+      transforms = Seq(PartitionTransform("ts_year", "years", 0, "ts")))
+    val yrel = new GraftRelation(spark.sqlContext, ypath, None)
+    val yinner = yrel.innerScan(Array("id"), Array(
+      GreaterThanOrEqual("ts", java.sql.Timestamp.valueOf("2023-01-01 00:00:00")),
+      LessThan("ts", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))))
+    assert(yinner.as[Long].collect() === Array(2L))
+    assert(yinner.select(input_file_name()).distinct().count() === 1L)
+  }
+
   test("bucket(): equality on the source key prunes to one bucket") {
     import org.apache.spark.sql.sources.EqualTo
     val path = Files.createTempDirectory("hp_bucket").toString + "/t"
