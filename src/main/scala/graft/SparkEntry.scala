@@ -1531,18 +1531,11 @@ object SparkEntry {
         c.filter(col("c_custkey") % 2 === 0))
       graft.sources.ManifestTable.append(s, dir,
         c.filter(col("c_custkey") % 2 === 1))
-      // Pin the two commit clocks EXPLICITLY (a whole minute apart) rather
-      // than trusting filesystem mtime granularity to separate two
-      // back-to-back commits — on coarse-mtime filesystems (1 s ext4/HDFS
-      // configs) a sleep-based fixture aliases and versionAt resolves
-      // ambiguously. The commit clock IS the manifest mtime, so setting it
-      // is the sanctioned way to model "committed yesterday".
-      val mdir = java.nio.file.Paths.get(dir, "_manifests")
-      val t1 = 1700000000000L
-      java.nio.file.Files.setLastModifiedTime(mdir.resolve("m000000000001.txt"),
-        java.nio.file.attribute.FileTime.fromMillis(t1))
-      java.nio.file.Files.setLastModifiedTime(mdir.resolve("m000000000002.txt"),
-        java.nio.file.attribute.FileTime.fromMillis(t1 + 60000L))
+      // IN-COMMIT timestamps make this deterministic with no sleeps and
+      // no mtime games: each commit stamps max(now, parent+1) INTO the
+      // manifest, so v1's stamp is strictly before v2's and querying AT
+      // v1's own commit time resolves to exactly v1 on any filesystem.
+      val t1 = graft.sources.ManifestTable.commitTimestamp(s, dir, 1L)
       s.read.format("graft").option("timestampAsOf", t1.toString).load(dir)
         .select(col("c_custkey"), col("c_acctbal"))
     }),
@@ -1565,6 +1558,37 @@ object SparkEntry {
       s.sql("""SELECT o_orderkey, o_orderdate_day, o_totalprice FROM q_ctas_t
               |WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
               |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
+    }),
+
+    // ---- SHALLOW CLONE (Delta's zero-copy clone): version 1 of the
+    // clone REFERENCES the source's files in place — the require gates
+    // assert zero data files were copied and that the fork is real
+    // (a clone-side INSERT never reaches the source). At 100 TB a clone
+    // is one metadata commit: the dev/staging-copy story ----
+    "q_sql_clone" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_clone").toString
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("q_clone_orders")
+      graft.sources.ManifestTable.overwrite(s, s"$root/src",
+        s.table("q_clone_orders").filter(col("o_orderkey") % 3 === 0))
+      val n0 = graft.sources.ManifestTable.read(s, s"$root/src").count()
+      s.sql("DROP TABLE IF EXISTS q_clone_t")
+      s.sql(s"CREATE TABLE q_clone_t SHALLOW CLONE '$root/src' LOCATION '$root/dst'")
+      val copied = {
+        val dd = java.nio.file.Paths.get(s"$root/dst", "data")
+        if (!java.nio.file.Files.exists(dd)) 0
+        else {
+          val st = java.nio.file.Files.walk(dd)
+          try st.filter(_.toString.endsWith(".parquet")).count()
+          finally st.close()
+        }
+      }
+      require(copied == 0, s"a SHALLOW CLONE must copy no data file, found $copied")
+      s.sql("""INSERT INTO q_clone_t SELECT o_orderkey, o_totalprice
+              |FROM q_clone_orders WHERE o_orderkey % 3 = 1""".stripMargin)
+      require(graft.sources.ManifestTable.read(s, s"$root/src").count() == n0,
+        "a clone-side INSERT must never reach the source")
+      s.sql("SELECT o_orderkey, o_totalprice FROM q_clone_t")
     }),
 
     // ---- hours() hidden partitioning (Iceberg's finest time transform):
@@ -1816,12 +1840,9 @@ object SparkEntry {
         c.filter(col("c_custkey") % 2 === 0))
       graft.sources.ManifestTable.append(s, dir,
         c.filter(col("c_custkey") % 2 === 1))
-      val mdir = java.nio.file.Paths.get(dir, "_manifests")
-      val t1 = 1700000000000L
-      java.nio.file.Files.setLastModifiedTime(mdir.resolve("m000000000001.txt"),
-        java.nio.file.attribute.FileTime.fromMillis(t1))
-      java.nio.file.Files.setLastModifiedTime(mdir.resolve("m000000000002.txt"),
-        java.nio.file.attribute.FileTime.fromMillis(t1 + 60000L))
+      // the in-commit timestamp is the deterministic pin (see
+      // q_time_travel_ts): v1's own stamp resolves to exactly v1
+      val t1 = graft.sources.ManifestTable.commitTimestamp(s, dir, 1L)
       s.sql("DROP TABLE IF EXISTS q_ttsql_t")
       s.sql(s"CREATE TABLE q_ttsql_t USING graft OPTIONS (path '$dir')")
       s.sql(s"""SELECT v.c_custkey, v.c_acctbal
@@ -4407,6 +4428,11 @@ object SparkEntry {
         |o_totalprice FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+
+    // the cloned third plus the clone-only inserted third
+    "q_sql_clone" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1)""".stripMargin,
 
     // the derived hour key re-computed from the source timestamp
     "q_hour_partition" ->

@@ -75,6 +75,8 @@ class GraftSqlParser(session: SparkSession,
         Option(ts))
     case CopyIntoRe(target, src, format, pattern) =>
       GraftCopyIntoCommand(target, src, format.toLowerCase, Option(pattern))
+    case CloneRe(target, src, ver, loc) =>
+      GraftCloneCommand(target, src, Option(ver).map(_.toLong), Option(loc))
     case PublishStagedRe(target, id) =>
       GraftPublishStagedCommand(target, Option(id))
     case DropStagedRe(target, id) =>
@@ -393,6 +395,11 @@ object GraftSqlParser {
       """(?:\s+FOR\s+(ALL\s+COLUMNS|COLUMNS\s+([^;]+?)))?\s*;?\s*""").r
   private val ShowPartitionsRe =
     s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$T\\s*;?\\s*""".r
+  // CREATE TABLE t2 SHALLOW CLONE t1 [VERSION AS OF n] [LOCATION 'p']
+  private val CloneRe =
+    (s"""(?is)\\s*CREATE\\s+TABLE\\s+$T\\s+SHALLOW\\s+CLONE\\s+$T""" +
+      """(?:\s+(?:FOR\s+)?VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*""").r
   // WAP lifecycle statements; the id defaults to the session's
   // spark.graft.wap.id when omitted
   private val PublishStagedRe =
@@ -636,6 +643,39 @@ case class GraftShowCreateCommand(path: String, name: String)
       nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(ManifestTable.showCreate(spark, path, name)))
+}
+
+/** `CREATE TABLE t2 SHALLOW CLONE t1 [VERSION AS OF n] [LOCATION 'p']` —
+  * [[ManifestTable.shallowClone]]: a zero-copy table clone referencing
+  * the source snapshot's files in place (one metadata commit at any
+  * scale). The target is a catalog name (registered; data path =
+  * LOCATION or the catalog default) or a quoted path (no registration).
+  * Returns the clone's version (always 1). */
+case class GraftCloneCommand(target: String, source: String,
+                             version: Option[Long], location: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcPath = GraftSqlParser.resolvePath(spark, source)
+    val (targetPath, register) =
+      if (target.startsWith("'")) (target.substring(1, target.length - 1), None)
+      else {
+        val name = if (target.startsWith("`"))
+          target.substring(1, target.length - 1) else target
+        val parts = name.split("\\.").toSeq
+        val ident = GraftSqlParser.sessionIdent(parts)
+        require(!spark.sessionState.catalog.tableExists(ident),
+          s"CLONE: table $ident already exists")
+        (location.getOrElse(
+          spark.sessionState.catalog.defaultTablePath(ident).toString),
+          Some(parts))
+      }
+    val v = ManifestTable.shallowClone(spark, srcPath, targetPath, version)
+    register.foreach(parts =>
+      GraftSqlParser.registerGraft(spark, parts, Map.empty, targetPath))
+    Seq(Row(v))
+  }
 }
 
 /** `PUBLISH STAGED <table> ['<id>']` — commit a WAP-staged batch

@@ -87,8 +87,41 @@ object ManifestTable {
     StructField("fname", StringType, nullable = false),
     StructField("pos", LongType, nullable = false)))
 
-  private def fileNameOf(rel: String): String =
-    rel.substring(rel.lastIndexOf('/') + 1)
+  // ---------------------------------------- external (shallow-clone) refs
+
+  /** Manifest `file=` refs are data-dir-relative; a SHALLOW CLONE
+    * references the SOURCE table's files IN PLACE as
+    * `ext::<qualified source data dir>::<rel under it>` — the partition
+    * layout (`<rel>`'s k=v segments) survives verbatim, so pruning,
+    * layout grouping and partition semantics are identical to a
+    * self-contained ref; only path RESOLUTION differs ([[filePath]]).
+    * External files are naturally vacuum-safe on the clone (the sweep
+    * walks only the clone's own data dir) and compaction/OPTIMIZE
+    * naturally materializes them into self-contained files. */
+  private def isExt(rel: String): Boolean = rel.startsWith("ext::")
+  private[sources] def extRef(base: String, rel: String): String =
+    s"ext::$base::$rel"
+  private def extParts(rel: String): (String, String) = {
+    val rest = rel.stripPrefix("ext::")
+    val i = rest.lastIndexOf("::")
+    (rest.substring(0, i), rest.substring(i + 2))
+  }
+  /** The layout-bearing tail of a ref (the part whose `/`-segments carry
+    * k=v partition dirs) — the whole ref unless external. */
+  private def relTail(rel: String): String =
+    if (isExt(rel)) extParts(rel)._2 else rel
+  /** Resolve a ref to its on-disk location. */
+  private[sources] def filePath(path: String, rel: String): Path =
+    if (isExt(rel)) { val (b, r) = extParts(rel); new Path(b, r) }
+    else new Path(dataDir(path), rel)
+  /** The base directory partition-dir inference must anchor at. */
+  private def baseOf(path: String, rel: String): String =
+    if (isExt(rel)) extParts(rel)._1 else dataDir(path).toString
+
+  private def fileNameOf(rel: String): String = {
+    val t = relTail(rel)
+    t.substring(t.lastIndexOf('/') + 1)
+  }
 
   /** Per-file zone map: column → (encoded min, encoded max); both None when
     * the file's column is entirely null (such a file can never satisfy a
@@ -304,7 +337,8 @@ object ManifestTable {
                                        opCols: Seq[String] = Nil,
                                        txns: Map[String, Long] = Map.empty,
                                        ingests: Seq[String] = Nil,
-                                       props: Map[String, String] = Map.empty)
+                                       props: Map[String, String] = Map.empty,
+                                       ts: Long = 0L)
 
   /** The user-visible schema: physical fields renamed to their logical
     * names. Field order, types and nullability are the physical ones. */
@@ -451,11 +485,17 @@ object ManifestTable {
       val Array(k, v0) = l.stripPrefix("prop=").split("\\|", -1)
       java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v0, "UTF-8")
     }.toMap
+    // ts=<epochMillis> — the IN-COMMIT timestamp (Delta ICT re-derived):
+    // the commit time travels WITH the manifest bytes, so timestamp time
+    // travel survives file copies/migrations that reset mtimes; absent in
+    // pre-ICT manifests (0 = fall back to the file mtime)
+    val ts = lines.find(_.startsWith("ts="))
+      .map(_.stripPrefix("ts=").trim.toLong).getOrElse(0L)
     Manifest(version, schema,
       if (parts.isEmpty) Nil else parts.split(",").toSeq,
       lines.filter(_.startsWith("file=")).map(_.stripPrefix("file=")),
       statsCols, stats, bloomCols, sidecar, dvs, constraints, transforms,
-      colmap, retired, op, opCols, txns, ingests, props)
+      colmap, retired, op, opCols, txns, ingests, props, ts)
   }
 
   /** LOGICAL schema of a committed version, straight from its manifest (no
@@ -464,16 +504,20 @@ object ManifestTable {
                                       version: Long): StructType =
     logicalSchema(readManifest(spark, path, version))
 
-  /** TIMESTAMP AS OF resolution: the latest committed version whose commit
-    * time is at or before `tsMillis` — every Delta/Iceberg user's first
-    * time-travel query is timestamp-shaped ("what did this table say
-    * yesterday"). The commit time is the immutable manifest file's mtime
-    * (its atomic publish IS the commit — the same clock [[history]]
-    * reports as `committed_at`). Among commits inside the same clock tick
-    * the highest version wins. Loud error when no commit exists at or
-    * before the timestamp. Metadata-only: one manifest-dir listing.
+  /** The table's COMMIT CLOCK: every retained (version, commitMillis),
+    * version-ordered. The time is the manifest's IN-COMMIT timestamp
+    * (`ts=` line — monotonized at commit, survives mtime-resetting
+    * migrations) with the file mtime as the pre-ICT fallback; since ICT
+    * stamps are strictly increasing in version order, the whole clock is
+    * re-monotonized over the fallback seam so mixed chains stay ordered.
+    * This is THE clock: [[versionAt]], [[history]] and
+    * [[vacuumRetainMs]] all read it, so "committed_at", `TIMESTAMP AS
+    * OF` and time-based retention can never disagree. Cost: one dir
+    * listing + one manifest parse per retained version (vacuum bounds
+    * the chain).
     */
-  def versionAt(spark: SparkSession, path: String, tsMillis: Long): Long = {
+  private[sources] def commitClock(spark: SparkSession,
+                                   path: String): Seq[(Long, Long)] = {
     val f = fs(spark, path)
     val dir = manifestDir(path)
     val stamped: Seq[(Long, Long)] =
@@ -481,8 +525,28 @@ object ManifestTable {
       else f.listStatus(dir).filter { st =>
         val n = st.getPath.getName
         n.startsWith("m") && n.endsWith(".txt")
-      }.map(st => (st.getPath.getName.drop(1).dropRight(4).toLong,
-        st.getModificationTime)).toSeq
+      }.map { st =>
+        val v = st.getPath.getName.drop(1).dropRight(4).toLong
+        val ict = try readManifest(spark, path, v).ts
+                  catch { case scala.util.control.NonFatal(_) => 0L }
+        (v, if (ict > 0L) ict else st.getModificationTime)
+      }.toSeq.sortBy(_._1)
+    // re-monotonize across the mtime→ICT seam (an old mtime ahead of a
+    // later ICT must not reorder the clock): carry the running max
+    var run = Long.MinValue
+    stamped.map { case (v, t) => run = math.max(run, t); (v, run) }
+  }
+
+  /** TIMESTAMP AS OF resolution: the latest committed version whose commit
+    * time is at or before `tsMillis` — every Delta/Iceberg user's first
+    * time-travel query is timestamp-shaped ("what did this table say
+    * yesterday"). Resolved on [[commitClock]] (in-commit timestamps,
+    * mtime fallback for pre-ICT manifests). Among commits inside the same
+    * clock tick the highest version wins. Loud error when no commit
+    * exists at or before the timestamp.
+    */
+  def versionAt(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val stamped = commitClock(spark, path)
     require(stamped.nonEmpty, s"no manifest table at $path")
     val eligible = stamped.filter(_._2 <= tsMillis)
     require(eligible.nonEmpty,
@@ -490,6 +554,11 @@ object ManifestTable {
         s"commit of $path (earliest: ${new java.sql.Timestamp(stamped.map(_._2).min)})")
     eligible.maxBy(_._1)._1
   }
+
+  /** A version's commit time on [[commitClock]] — the ICT when present. */
+  def commitTimestamp(spark: SparkSession, path: String, version: Long): Long =
+    commitClock(spark, path).find(_._1 == version)
+      .getOrElse(sys.error(s"no version $version at $path"))._2
 
   /** Distinct partition directories of the current snapshot,
     * hive-formatted (`k=v[/k2=v2]`, sorted) — `SHOW PARTITIONS` for
@@ -1201,7 +1270,6 @@ object ManifestTable {
       !c.startsWith(BloomPrefix) && !c.startsWith(NdvPrefix)),
       s"column names may not start with the reserved prefixes " +
         s"$BloomPrefix / $NdvPrefix")
-    val paths = rels.map(rel => new Path(dataDir(path), rel).toString)
     val bloomAgg = udaf(new BloomAgg(BloomWords, BloomK),
       org.apache.spark.sql.Encoders.LONG)
     val aggs = statsCols.flatMap(c =>
@@ -1214,27 +1282,29 @@ object ManifestTable {
       bloomCols.map(c =>
         bloomAgg(when(col(c).isNotNull, xxhash64(col(c)))).as(s"bloom_$c")) :+
       count(lit(1)).as("_nrows")
-    val rows = spark.read.schema(schema)
-      .option("basePath", dataDir(path).toString).parquet(paths: _*)
-      .groupBy(input_file_name().as("_f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
+    // one scan per base dir (a shallow clone's ANALYZE reads external
+    // files anchored at the SOURCE's data dir; same-base is one load)
+    val f0 = fs(spark, path)
+    val rows = rels.groupBy(baseOf(path, _)).toSeq.sortBy(_._1).map {
+      case (groupBase, rs) =>
+        spark.read.schema(schema).option("basePath", groupBase)
+          .parquet(rs.map(rel => filePath(path, rel).toString): _*)
+          .groupBy(input_file_name().as("_f"))
+          .agg(aggs.head, aggs.tail: _*)
+    }.reduce(_ unionByName _).collect()
     // Manifest rels are LITERAL on-disk names (hive-escaped partition dirs
     // like `p=c%3Ad` included), but input_file_name() returns a URI-ENCODED
     // form of them (`p=c%253Ad`, space→%20) — and Hadoop's Path(String)
     // preserves that encoding. Decode exactly once via java.net.URI, then
-    // require an exact '/'-bounded match — a suffix test could misattribute
-    // stats between files whose names overlap.
-    val dataPath = fs(spark, path).makeQualified(dataDir(path)).toUri.getPath
-    val relSet = rels.toSet
+    // look up the REF by its resolved location — an exact-map lookup, so a
+    // suffix test can never misattribute stats between overlapping names.
+    val byResolved: Map[String, String] = rels.map(rel =>
+      f0.makeQualified(filePath(path, rel)).toUri.getPath -> rel).toMap
     rows.map { r =>
       val p = try new java.net.URI(r.getString(0)).getPath
               catch { case _: java.net.URISyntaxException => r.getString(0) }
-      require(p.startsWith(dataPath + "/"),
-        s"stats file ${r.getString(0)} outside the data dir $dataPath")
-      val rel = p.substring(dataPath.length + 1)
-      require(relSet.contains(rel),
-        s"stats file ${r.getString(0)} not among committed files")
+      val rel = byResolved.getOrElse(p, sys.error(
+        s"stats file ${r.getString(0)} not among committed files"))
       val nrows = Some(encodeStat(r.getAs[Long]("_nrows")))
       // bloom payloads ride the same per-file stats map under a reserved
       // pseudo-column key — every commit path that carries stats carries
@@ -1426,7 +1496,7 @@ object ManifestTable {
     * shallower files (probe-verified on Spark 4's parquet source).
     */
   private def pathSpec(rel: String): Seq[String] =
-    rel.split("/").dropRight(1).toSeq.map(_.takeWhile(_ != '='))
+    relTail(rel).split("/").dropRight(1).toSeq.map(_.takeWhile(_ != '='))
 
   /** One structurally-consistent scan per layout generation: `rels` group
     * by [[pathSpec]]; each group reads under the manifest schema (file
@@ -1441,11 +1511,15 @@ object ManifestTable {
   private def rawScan(spark: SparkSession, path: String, m: Manifest,
                       rels: Seq[String], withMeta: Boolean = false): DataFrame = {
     val metaCols = if (withMeta) Seq("__dv_fname", "__dv_pos") else Nil
-    val groups = rels.groupBy(pathSpec).toSeq.sortBy(_._1.mkString(","))
-    groups.map { case (sig, rs) =>
+    // external (shallow-cloned) refs scan in their OWN group anchored at
+    // the source's data dir — partition-dir inference needs every file of
+    // a load under its basePath
+    val groups = rels.groupBy(r => (pathSpec(r), baseOf(path, r))).toSeq
+      .sortBy { case ((sig, b), _) => (sig.mkString(","), b) }
+    groups.map { case ((sig, groupBase), rs) =>
       val base = spark.read.schema(m.schema)
-        .option("basePath", dataDir(path).toString)
-        .parquet(rs.map(rel => new Path(dataDir(path), rel).toString): _*)
+        .option("basePath", groupBase)
+        .parquet(rs.map(rel => filePath(path, rel).toString): _*)
       // metadata columns resolve only on the file scan — capture them
       // before any projection
       val withM = if (withMeta) base.select(col("*"),
@@ -1537,7 +1611,7 @@ object ManifestTable {
     else {
       val f = fs(spark, path)
       try Some(m.files.map(rel =>
-        f.getFileStatus(new Path(dataDir(path), rel)).getLen).sum)
+        f.getFileStatus(filePath(path, rel)).getLen).sum)
       catch { case _: java.io.IOException => None }
     }
 
@@ -1975,8 +2049,23 @@ object ManifestTable {
         .parquet(new Path(manifestDir(path), name).toString)
       sidecarName = Some(name)
     }
+    // IN-COMMIT timestamp, monotonized against the parent (max(now,
+    // parent+1), Delta ICT's rule): the clock versionAt/history/vacuum
+    // read is then strictly increasing in version order even across
+    // writers with skewed wall clocks, and it lives in the manifest
+    // BYTES — a migration that resets mtimes cannot corrupt time travel.
+    // The parent comes from `carry` when the commit chains; the rare
+    // carry-less paths (create, full overwrite) read the predecessor's
+    // line, one small manifest parse per commit.
+    val parentTs = carry.map(_.ts).filter(_ > 0L).getOrElse(
+      if (expected > 1)
+        try readManifest(spark, path, expected - 1).ts
+        catch { case scala.util.control.NonFatal(_) => 0L }
+      else 0L)
+    val commitTs = math.max(System.currentTimeMillis(), parentTs + 1)
     val body = (Seq(Header,
       "format=" + FormatVersion,
+      "ts=" + commitTs,
       "schema=" + schema.json,
       "partitions=" + partitionCols.mkString(","),
       "statscols=" + statsCols.mkString(",")) ++
@@ -2051,7 +2140,8 @@ object ManifestTable {
     */
   private val MaxCommitRetries = 5
 
-  private def dirOf(rel: String): String = rel.split("/").dropRight(1).mkString("/")
+  private def dirOf(rel: String): String =
+    relTail(rel).split("/").dropRight(1).mkString("/")
 
   /** Create or replace the whole table as one snapshot. `statsCols` opts the
     * table into zone maps: every commit records per-file min/max for these
@@ -2189,6 +2279,53 @@ object ManifestTable {
       statsCols, bloomCols)
     commit(spark, path, 1L, schema, partCols, rels, statsCols, stats,
       bloomCols)
+  }
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE src` re-derived):
+    * a NEW graft table at `target` whose version 1 references the source
+    * snapshot's data files IN PLACE — zero bytes copied; a 100 TB table
+    * clones in one metadata commit. The clone carries the source's whole
+    * definition (schema, partition spec + transforms, stats incl. NDV
+    * sketches, bloom columns, constraints, column mapping, properties)
+    * and then lives its OWN life: appends land in its own `data/`,
+    * DELETE/UPDATE rewrite referenced files into it, OPTIMIZE
+    * materializes external refs away, vacuum sweeps only its own
+    * directory (external files are untouchable by construction), and its
+    * history starts fresh at version 1.
+    *
+    * Contracts (Delta's, stated loudly): the clone references — never
+    * owns — the source's files, so a VACUUM ON THE SOURCE that sweeps a
+    * file the clone still references breaks the clone; clone from
+    * snapshots the source retains, or OPTIMIZE the clone to self-contain
+    * it. A source carrying deletion vectors must PURGE first (DV
+    * position files live under the source's private `_dv/`, which the
+    * clone must not reach into). Cloning a CLONE keeps original bases —
+    * chains never nest resolution. Fresh-table identity: streaming txn
+    * watermarks and the COPY ledger deliberately do NOT carry (the clone
+    * is a different table; an ingest into it is a new ingest).
+    */
+  def shallowClone(spark: SparkSession, source: String, target: String,
+                   version: Option[Long] = None): Long = {
+    val sv = version.getOrElse(currentVersion(spark, source)
+      .getOrElse(sys.error(s"CLONE: no graft table at $source")))
+    val m = readManifest(spark, source, sv)
+    require(currentVersion(spark, target).isEmpty,
+      s"CLONE: a graft table already exists at $target")
+    require(m.dvs.isEmpty,
+      s"CLONE: version $sv of $source carries deletion vectors — run " +
+        "OPTIMIZE … PURGE on the source first (DV files live under the " +
+        "source's private _dv/ directory)")
+    val srcBase = fs(spark, source).makeQualified(dataDir(source)).toString
+    def ext(rel: String) = if (isExt(rel)) rel else extRef(srcBase, rel)
+    // stats travel with the clone (sidecar included — statsFor collects
+    // it, file-count-bounded; commit re-spills past the threshold)
+    val stats = statsFor(spark, source, m).map { case (rel, st) =>
+      ext(rel) -> st }
+    commit(spark, target, 1L, m.schema, m.partitionCols,
+      m.files.map(ext), m.statsCols, stats, m.bloomCols,
+      constraints = m.constraints, transforms = m.transforms,
+      colmap = m.colmap, retired = m.retired, op = Some("clone"),
+      props = m.props)
   }
 
   /** Reject batches whose columns do not line up with the table schema —
@@ -3073,20 +3210,15 @@ object ManifestTable {
   def history(spark: SparkSession, path: String,
               limit: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    val f = fs(spark, path)
-    val dir = manifestDir(path)
-    val versions =
-      if (!f.exists(dir)) Nil
-      else f.listStatus(dir).filter(st =>
-          st.getPath.getName.startsWith("m") && st.getPath.getName.endsWith(".txt"))
-        .map(st => (st.getPath.getName.drop(1).dropRight(4).toLong,
-          st.getModificationTime))
-        .sortBy(_._1).toSeq
-    limit.foldLeft(versions)((vs, n) => vs.takeRight(n)).map { case (v, mtime) =>
+    // committed_at reads the SAME clock TIMESTAMP AS OF resolves on
+    // (in-commit timestamps, mtime fallback) — what history prints is
+    // what time travel accepts
+    val versions = commitClock(spark, path)
+    limit.foldLeft(versions)((vs, n) => vs.takeRight(n)).map { case (v, t) =>
       val m = readManifest(spark, path, v)
       val rows: Option[Long] =
         if (m.sidecar.isDefined) None else fastCountOf(spark, path, m)
-      (v, new java.sql.Timestamp(mtime), m.files.size.toLong,
+      (v, new java.sql.Timestamp(t), m.files.size.toLong,
         m.dvs.size.toLong, m.constraints.size.toLong, rows)
     }.toDF("version", "committed_at", "n_files", "n_dv_files",
       "n_constraints", "n_rows")
@@ -3500,8 +3632,12 @@ object ManifestTable {
   private def touchedFiles(spark: SparkSession, path: String, rels: Seq[String],
                            m: Manifest, predicate: Column): Seq[String] = {
     if (rels.isEmpty) return Nil
-    val dataPath = fs(spark, path).makeQualified(dataDir(path)).toUri.getPath
-    val relSet = rels.toSet
+    val f = fs(spark, path)
+    // refs resolve through filePath (a shallow clone's external files live
+    // under the SOURCE's data dir) — attribute matches by exact resolved
+    // location, never by prefix arithmetic
+    val byResolved: Map[String, String] = rels.map(rel =>
+      f.makeQualified(filePath(path, rel)).toUri.getPath -> rel).toMap
     // predicates arrive in LOGICAL names; the files are physical (and may
     // span layout generations — rawScan groups them)
     toLogical(rawScan(spark, path, m, rels), m.colmap)
@@ -3513,11 +3649,8 @@ object ManifestTable {
         val u = r.getString(0)
         val p = try new java.net.URI(u).getPath
                 catch { case _: java.net.URISyntaxException => u }
-        require(p.startsWith(dataPath + "/"),
-          s"matched file $u outside the data dir $dataPath")
-        val rel = p.substring(dataPath.length + 1)
-        require(relSet.contains(rel), s"matched file $u not among scanned files")
-        rel
+        byResolved.getOrElse(p,
+          sys.error(s"matched file $u not among scanned files"))
       }.toSeq
   }
 
@@ -3704,7 +3837,7 @@ object ManifestTable {
     val m = readManifest(spark, path, v)
     val f = fs(spark, path)
     val touched = m.files.filter { rel =>
-      try f.getFileStatus(new Path(dataDir(path), rel)).getLen < smallerThanBytes
+      try f.getFileStatus(filePath(path, rel)).getLen < smallerThanBytes
       catch { case _: java.io.IOException => false }
     }
     if (touched.size < 2) return v
@@ -3806,7 +3939,7 @@ object ManifestTable {
     // sanity: every restored file must still exist (a too-aggressive
     // vacuum may have swept unreferenced versions' files)
     val f = fs(spark, path)
-    target.files.find(rel => !f.exists(new Path(dataDir(path), rel)))
+    target.files.find(rel => !f.exists(filePath(path, rel)))
       .foreach(missing => sys.error(
         s"restore: data file $missing of version $toVersion was vacuumed — " +
           "that version is no longer restorable"))
@@ -3853,14 +3986,7 @@ object ManifestTable {
     */
   def vacuumRetainMs(spark: SparkSession, path: String, retainMs: Long): Int = {
     require(retainMs >= 0, "retention window must be non-negative")
-    val f = fs(spark, path)
-    val dir = manifestDir(path)
-    if (!f.exists(dir)) return 0
-    val stamped = f.listStatus(dir).filter { st =>
-      val n = st.getPath.getName
-      n.startsWith("m") && n.endsWith(".txt")
-    }.map(st => (st.getPath.getName.drop(1).dropRight(4).toLong,
-      st.getModificationTime)).sortBy(_._1)
+    val stamped = commitClock(spark, path)
     if (stamped.isEmpty) return 0
     val cutoff = System.currentTimeMillis() - retainMs
     val firstKept = stamped.find(_._2 >= cutoff).map(_._1)

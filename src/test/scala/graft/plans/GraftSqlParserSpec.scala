@@ -255,13 +255,9 @@ class GraftSqlParserSpec extends SparkSpec {
       s.range(10).select(col("id"), lit("v1").as("tag")))
     ManifestTable.overwrite(s, path,
       s.range(20).select(col("id"), lit("v2").as("tag")))
-    // pin the commit clocks explicitly (the de-flaked fixture discipline)
-    val mdir = java.nio.file.Paths.get(path, "_manifests")
-    val t1 = 1700000000000L
-    java.nio.file.Files.setLastModifiedTime(mdir.resolve("m000000000001.txt"),
-      java.nio.file.attribute.FileTime.fromMillis(t1))
-    java.nio.file.Files.setLastModifiedTime(mdir.resolve("m000000000002.txt"),
-      java.nio.file.attribute.FileTime.fromMillis(t1 + 3600000L))
+    // in-commit timestamps ARE the clock: v1's own stamp is strictly
+    // before v2's by construction, no mtime pinning needed
+    val t1 = ManifestTable.commitTimestamp(s, path, 1L)
     s.sql("DROP TABLE IF EXISTS sqlp_tt")
     s.sql(s"CREATE TABLE sqlp_tt USING graft OPTIONS (path '$path')")
     try {
@@ -310,10 +306,18 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(dataFiles(path) === 2)
     val mdir = java.nio.file.Paths.get(path, "_manifests")
     val now = System.currentTimeMillis()
-    // v1 and v2 committed 10 days ago; the restore commit is fresh
-    Seq("m000000000001.txt", "m000000000002.txt").foreach { n =>
-      java.nio.file.Files.setLastModifiedTime(mdir.resolve(n),
-        java.nio.file.attribute.FileTime.fromMillis(now - 10L * 86400000L))
+    // v1 and v2 committed 10 days ago; the restore commit is fresh. The
+    // commit clock lives IN the manifest bytes (in-commit timestamps), so
+    // modeling age means rewriting the ts= line — mtimes are ignored now
+    // (the manifest format is the spec'd on-disk contract; editing it
+    // here is the same fair game as the format-gate test)
+    Seq("m000000000001.txt", "m000000000002.txt").zipWithIndex.foreach {
+      case (n, i) =>
+        val p = mdir.resolve(n)
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        java.nio.file.Files.write(p, txt.replaceAll(
+          "(?m)^ts=\\d+$",
+          s"ts=${now - 10L * 86400000L + i}").getBytes("UTF-8"))
     }
     // Delta's default window: one week. v1/v2 age out, v3 survives —
     // and v1's data file survives WITH it (the restore references it).
@@ -844,6 +848,44 @@ class GraftSqlParserSpec extends SparkSpec {
         s.sql("ALTER TABLE cons_pq ADD CONSTRAINT c1 CHECK (id > 0)")
       }
     } finally Seq("cons_t", "cons_pq").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS $t"): Unit)
+  }
+
+  test("CREATE TABLE … SHALLOW CLONE: zero-copy from SQL, version pin, LOCATION and path forms") {
+    val s = extSpark
+    val r = Files.createTempDirectory("sqlp_clone").toString
+    val src = s"$r/src"
+    ManifestTable.overwrite(s, src, s.range(2).selectExpr("id", "'a' AS v"))
+    ManifestTable.append(s, src, s.range(2, 3).selectExpr("id", "'c' AS v"))
+    s.sql("DROP TABLE IF EXISTS clone_src")
+    s.sql(s"CREATE TABLE clone_src USING graft OPTIONS (path '$src')")
+    def ownFiles(p: String): Int = {
+      val d = java.nio.file.Paths.get(p, "data")
+      if (!java.nio.file.Files.exists(d)) 0
+      else {
+        val st = java.nio.file.Files.walk(d)
+        try st.filter(_.toString.endsWith(".parquet")).count().toInt
+        finally st.close()
+      }
+    }
+    try {
+      s.sql("DROP TABLE IF EXISTS clone_t")
+      val v = s.sql(
+        s"""CREATE TABLE clone_t SHALLOW CLONE clone_src VERSION AS OF 1
+           |LOCATION '$r/dst'""".stripMargin).head.getLong(0)
+      assert(v === 1L)
+      assert(s.sql("SELECT count(*) FROM clone_t").head.getLong(0) === 2L)
+      assert(ownFiles(s"$r/dst") === 0, "a shallow clone copies no data file")
+      // the clone is writable SQL-side and stays independent
+      s.sql("INSERT INTO clone_t VALUES (9, 'z')")
+      assert(s.sql("SELECT count(*) FROM clone_t").head.getLong(0) === 3L)
+      assert(s.sql("SELECT count(*) FROM clone_src").head.getLong(0) === 3L)
+      assert(ManifestTable.read(s, src).filter(col("v") === "z").count() === 0L)
+      // path-form target, current version
+      s.sql(s"CREATE TABLE '$r/dst2' SHALLOW CLONE '$src'").collect()
+      assert(ManifestTable.read(s, s"$r/dst2").count() === 3L)
+      assert(ownFiles(s"$r/dst2") === 0)
+    } finally Seq("clone_src", "clone_t").foreach(t =>
       s.sql(s"DROP TABLE IF EXISTS $t"): Unit)
   }
 

@@ -773,28 +773,39 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, path).count() === 2L)
   }
 
-  test("versionAt resolves from explicit commit clocks; same-tick commits pick the highest version") {
+  test("in-commit timestamps: strictly monotonic clock, exact versionAt, immune to mtime games") {
     val path = tmpTable()
     ManifestTable.overwrite(spark, path, Seq((1L, "a")).toDF("id", "v"))
     ManifestTable.append(spark, path, Seq((2L, "b")).toDF("id", "v"))
     ManifestTable.append(spark, path, Seq((3L, "c")).toDF("id", "v"))
-    val mdir = java.nio.file.Paths.get(path, "_manifests")
-    // model a 1 s-granularity filesystem: v1 and v2 land in the SAME clock
-    // tick, v3 a full second later — exactly the aliasing that a
-    // sleep-20ms fixture cannot survive
-    val t = 1700000000000L
-    java.nio.file.Files.setLastModifiedTime(mdir.resolve("m000000000001.txt"),
-      java.nio.file.attribute.FileTime.fromMillis(t))
-    java.nio.file.Files.setLastModifiedTime(mdir.resolve("m000000000002.txt"),
-      java.nio.file.attribute.FileTime.fromMillis(t))
-    java.nio.file.Files.setLastModifiedTime(mdir.resolve("m000000000003.txt"),
-      java.nio.file.attribute.FileTime.fromMillis(t + 1000L))
-    assert(ManifestTable.versionAt(spark, path, t) === 2L) // tie → highest
-    assert(ManifestTable.versionAt(spark, path, t + 999L) === 2L)
-    assert(ManifestTable.versionAt(spark, path, t + 1000L) === 3L)
+    // the clock travels IN the manifest bytes and is monotonized at
+    // commit (max(now, parent+1)) — strictly increasing even for
+    // back-to-back commits inside one wall-clock millisecond
+    val t = (1L to 3L).map(ManifestTable.commitTimestamp(spark, path, _))
+    assert(t(0) < t(1) && t(1) < t(2), s"ICT must be strictly increasing: $t")
+    assert(ManifestTable.versionAt(spark, path, t(0)) === 1L)
+    assert(ManifestTable.versionAt(spark, path, t(1)) === 2L)
+    assert(ManifestTable.versionAt(spark, path, t(1) - 1L) <= 1L)
+    assert(ManifestTable.versionAt(spark, path, t(2)) === 3L)
+    assert(ManifestTable.versionAt(spark, path, t(2) + 60000L) === 3L)
     val e = intercept[IllegalArgumentException](
-      ManifestTable.versionAt(spark, path, t - 1L))
+      ManifestTable.versionAt(spark, path, t(0) - 1L))
     assert(e.getMessage.contains("predates"))
+    // the point of ICT: resetting file mtimes (a migration/copy would)
+    // changes NOTHING — the clock is in the committed bytes
+    val mdir = java.nio.file.Paths.get(path, "_manifests")
+    (1L to 3L).foreach { v =>
+      java.nio.file.Files.setLastModifiedTime(
+        mdir.resolve(f"m$v%012d.txt"),
+        java.nio.file.attribute.FileTime.fromMillis(1000L))
+    }
+    assert(ManifestTable.versionAt(spark, path, t(1)) === 2L,
+      "time travel must survive mtime-resetting file migrations")
+    assert(ManifestTable.commitTimestamp(spark, path, 2L) === t(1))
+    // history's committed_at reads the same clock
+    val hist = ManifestTable.history(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    assert(hist === Map(1L -> t(0), 2L -> t(1), 3L -> t(2)))
   }
 
   test("a COPY-shaped append that CREATES the table records its ingest ledger") {
