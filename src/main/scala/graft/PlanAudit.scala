@@ -531,6 +531,24 @@ object PlanAudit {
         !p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")),
       "exactly the one exchange the 5-group aggregate needs" -> (p =>
         "Exchange".r.findAllIn(p).length <= 2))
+    audit("q_cobucket_anti")(
+      "co-bucketed ANTI join plans storage-partitioned" -> (p =>
+        p.contains("CoBucketJoin")),
+      "fully exchange-free (no shuffle, no broadcast, no SMJ)" -> (p =>
+        !p.contains("Exchange") && !p.contains("SortMergeJoin") &&
+          !p.contains("BroadcastHashJoin")))
+    // the v1 relation plan shows pushed SOURCE filters; the hour-DIR
+    // pruning they imply is require-gated INSIDE the fixture (opened==2
+    // hour dirs) — reaching these checks means that gate held
+    audit("q_hour_partition")(
+      "ts range predicate pushed into the graft scan" -> (p =>
+        p.contains("Scan graft.sources.GraftRelation") &&
+          p.contains("GreaterThanOrEqual(ts,") && p.contains("LessThan(ts,")),
+      "scan pruned to the 3 projected columns" -> (p =>
+        p.contains("ReadSchema: struct<event_id:bigint,ts_hour:string,value:double>")))
+    audit("q_sql_clone")(
+      "the clone read is a plain graft scan, no extra nodes" -> (p =>
+        p.contains("Scan graft.sources.GraftRelation") && !p.contains("Exchange")))
     spark.stop()
   }
 }

@@ -1764,6 +1764,31 @@ object SparkEntry {
           max("l_quantity").as("max_qty"))
     }),
 
+    // ---- Storage-partitioned ANTI join (the dedup-before-insert shape
+    // on co-bucketed tables): "lineitems whose order is NOT in the
+    // orders subset" runs as N per-bucket key-set probes with ZERO
+    // exchange on either fact — at 100 TB this deletes both shuffles of
+    // the nightly incremental-load dedup ----
+    "q_cobucket_anti" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_cban").toString
+      import graft.sources.ManifestTable
+      ManifestTable.overwrite(s, s"$root/L",
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+        transforms = Seq(ManifestTable.PartitionTransform(
+          "l_orderkey_bucket", "bucket", 8, "l_orderkey")))
+      ManifestTable.overwrite(s, s"$root/R",
+        Tables.orders(s, d).select(col("o_orderkey"))
+          .filter(col("o_orderkey") % 4 === 0),
+        transforms = Seq(ManifestTable.PartitionTransform(
+          "o_orderkey_bucket", "bucket", 8, "o_orderkey")))
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val l = s2.read.format("graft").load(s"$root/L")
+      val r = s2.read.format("graft").load(s"$root/R")
+      l.join(r, col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .select(col("l_orderkey"), col("l_quantity"))
+    }),
+
     // ---- CONVERT TO GRAFT: a pre-existing hive-partitioned parquet lake
     // becomes a graft table ZERO-COPY (files renamed under the root,
     // never rewritten), then answers a partition-filtered SQL read with
@@ -4406,6 +4431,11 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // anti join over the co-bucketed subset = the %4≠0 complement
+    "q_cobucket_anti" ->
+      """SELECT l_orderkey, l_quantity FROM lineitem
+        |WHERE l_orderkey % 4 <> 0""".stripMargin,
 
     // the converted lake answers exactly what the source parquet said
     "q_sql_convert" ->

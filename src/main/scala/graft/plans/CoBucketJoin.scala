@@ -7,7 +7,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, BoundReference, EqualTo, Expression, GenericInternalRow, JoinedRow, NamedExpression, PredicateHelper, SubqueryExpression, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LeafNode, LogicalPlan, Project, Statistics}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
@@ -49,7 +49,9 @@ import org.apache.spark.sql.graft.bridge
   *    (`xxhash64(int) != xxhash64(long)`: equal values in differently
   *    typed columns land in different buckets, so a mixed-type join can
   *    never be sliced by this layout);
-  *  - the join is INNER or LEFT OUTER, its condition is a pure
+  *  - the join is INNER, LEFT OUTER, LEFT SEMI or LEFT ANTI (the last
+  *    two are the table format's dedup-before-insert shape — the exec
+  *    builds a key SET, not row lists), its condition is a pure
   *    conjunction of attribute equalities, and the bucket-key pair is
   *    among them (extra equi-pairs just extend the hash key: rows equal
   *    on the full key are equal on the bucket key, so co-location holds);
@@ -195,7 +197,8 @@ object CoBucketJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       return plan
     plan.transformUp {
       case j @ Join(l, r, jt, Some(cond), hint)
-          if (jt == Inner || jt == LeftOuter) && hint == JoinHint.NONE =>
+          if (jt == Inner || jt == LeftOuter || jt == LeftSemi || jt == LeftAnti) &&
+            hint == JoinHint.NONE =>
         (for {
           ls <- destructure(l)
           rs <- destructure(r)
@@ -276,43 +279,69 @@ case class CoBucketJoinExec(output: Seq[Attribute], left: CoBucketSide,
     require(lKeyIdx.forall(_ >= 0) && rKeyIdx.forall(_ >= 0),
       "co-bucket join keys must be part of each side's output")
     val leftOuter = joinType == LeftOuter
+    val semiShaped = joinType == LeftSemi || joinType == LeftAnti
+    val anti = joinType == LeftAnti
     sideRdd(left).zipPartitions(sideRdd(right)) { (li, ri) =>
       val lKeyProj = UnsafeProjection.create(
         lKeyIdx.toIndexedSeq.map(i => BoundReference(i, lTypes(i), nullable = true)))
       val rKeyProj = UnsafeProjection.create(
         rKeyIdx.toIndexedSeq.map(i => BoundReference(i, rTypes(i), nullable = true)))
-      val outProj = UnsafeProjection.create(
-        (lTypes ++ rTypes).toIndexedSeq.zipWithIndex.map {
-          case (t, i) => BoundReference(i, t, nullable = true)
-        })
-      // UnsafeRow hashes/compares by bytes — valid as a map key precisely
-      // because both key columns share one declared type (rule-checked)
-      val built = new java.util.HashMap[InternalRow, ArrayBuffer[InternalRow]]()
-      ri.foreach { row =>
-        val k = rKeyProj(row)
-        if (!k.anyNull) { // an equi-join never matches NULL keys
-          var bucket = built.get(k)
-          if (bucket == null) {
-            bucket = new ArrayBuffer[InternalRow](1)
-            built.put(k.copy(), bucket) // scan rows are reused buffers: copy
-          }
-          bucket += row.copy()
+      if (semiShaped) {
+        // SEMI/ANTI need key EXISTENCE only: the build side is a set of
+        // keys, not row lists — the memory shape of Spark's own
+        // shuffled-hash semi join, minus both shuffles. NULL keys never
+        // match (plain equality), so SEMI drops them and ANTI emits them.
+        val outProj = UnsafeProjection.create(
+          lTypes.toIndexedSeq.zipWithIndex.map {
+            case (t, i) => BoundReference(i, t, nullable = true)
+          })
+        val keys = new java.util.HashSet[InternalRow]()
+        ri.foreach { row =>
+          val k = rKeyProj(row)
+          if (!k.anyNull) keys.add(k.copy()): Unit
         }
-      }
-      val joined = new JoinedRow
-      val nullRight = new GenericInternalRow(rTypes.length)
-      li.flatMap { lrow =>
-        val k = lKeyProj(lrow)
-        val matches = if (k.anyNull) null else built.get(k)
-        if (matches != null)
-          matches.iterator.map { rrow =>
+        li.flatMap { lrow =>
+          val k = lKeyProj(lrow)
+          val matched = !k.anyNull && keys.contains(k)
+          if (matched != anti) {
             numOutputRows += 1
-            outProj(joined(lrow, rrow))
+            Iterator.single(outProj(lrow))
+          } else Iterator.empty
+        }
+      } else {
+        val outProj = UnsafeProjection.create(
+          (lTypes ++ rTypes).toIndexedSeq.zipWithIndex.map {
+            case (t, i) => BoundReference(i, t, nullable = true)
+          })
+        // UnsafeRow hashes/compares by bytes — valid as a map key precisely
+        // because both key columns share one declared type (rule-checked)
+        val built = new java.util.HashMap[InternalRow, ArrayBuffer[InternalRow]]()
+        ri.foreach { row =>
+          val k = rKeyProj(row)
+          if (!k.anyNull) { // an equi-join never matches NULL keys
+            var bucket = built.get(k)
+            if (bucket == null) {
+              bucket = new ArrayBuffer[InternalRow](1)
+              built.put(k.copy(), bucket) // scan rows are reused buffers: copy
+            }
+            bucket += row.copy()
           }
-        else if (leftOuter) {
-          numOutputRows += 1
-          Iterator.single(outProj(joined(lrow, nullRight)))
-        } else Iterator.empty
+        }
+        val joined = new JoinedRow
+        val nullRight = new GenericInternalRow(rTypes.length)
+        li.flatMap { lrow =>
+          val k = lKeyProj(lrow)
+          val matches = if (k.anyNull) null else built.get(k)
+          if (matches != null)
+            matches.iterator.map { rrow =>
+              numOutputRows += 1
+              outProj(joined(lrow, rrow))
+            }
+          else if (leftOuter) {
+            numOutputRows += 1
+            Iterator.single(outProj(joined(lrow, nullRight)))
+          } else Iterator.empty
+        }
       }
     }
   }

@@ -214,6 +214,44 @@ class CoBucketJoinSpec extends SparkSpec {
       .toSet === Set((0L, "l0", "r0"), (16L, "l16", "r16")))
   }
 
+  test("LEFT SEMI / LEFT ANTI rewrite exchange-free; NULL keys follow plain-equality semantics") {
+    val (lp, rp) = mkTables("semianti", 4)
+    val l = graftDf(lp); val r = graftDf(rp)
+    def semi = l.join(r, l("k") === r("k"), "left_semi").select(col("k"), col("lv"))
+    val semiPlan = planOf(semi)
+    assert(semiPlan.contains("CoBucketJoin") && !semiPlan.contains("Exchange"),
+      semiPlan)
+    assert(semi.collect().map(_.toString).toSet === shuffled(semi))
+    // semi keeps only even-k left rows (right holds even keys)
+    assert(semi.collect().forall(_.getLong(0) % 2 == 0))
+    def anti = l.join(r, l("k") === r("k"), "left_anti").select(col("k"), col("lv"))
+    val antiPlan = planOf(anti)
+    assert(antiPlan.contains("CoBucketJoin") && !antiPlan.contains("Exchange"),
+      antiPlan)
+    assert(anti.collect().map(_.toString).toSet === shuffled(anti))
+    assert(anti.collect().forall(_.getLong(0) % 2 == 1))
+    // dedup-before-insert shape: anti(left, left) is empty, semi is all
+    val s = extSpark
+    import s.implicits._
+    // NULL keys: plain equality never matches — SEMI drops the NULL row,
+    // ANTI emits it (NOT EXISTS semantics)
+    val root = Files.createTempDirectory("cbj_sa_null").toString
+    val ln = Seq((Option(0L), "l0"), (Option.empty[Long], "lnull")).toDF("k", "lv")
+    val rn = Seq((Option(0L), "r0"), (Option.empty[Long], "rnull")).toDF("k", "rv")
+    ManifestTable.overwrite(extSpark, s"$root/L", ln,
+      transforms = Seq(PartitionTransform("k_bucket", "bucket", 4, "k")))
+    ManifestTable.overwrite(extSpark, s"$root/R", rn,
+      transforms = Seq(PartitionTransform("k_bucket", "bucket", 4, "k")))
+    val l2 = graftDf(s"$root/L"); val r2 = graftDf(s"$root/R")
+    def semiN = l2.join(r2, l2("k") === r2("k"), "left_semi").select(col("lv"))
+    def antiN = l2.join(r2, l2("k") === r2("k"), "left_anti").select(col("lv"))
+    assert(planOf(semiN).contains("CoBucketJoin"))
+    assert(semiN.as[String].collect().toSet === Set("l0"))
+    assert(antiN.as[String].collect().toSet === Set("lnull"))
+    assert(semiN.collect().map(_.toString).toSet === shuffled(semiN))
+    assert(antiN.collect().map(_.toString).toSet === shuffled(antiN))
+  }
+
   test("NULL join keys: rewrite fires, inner drops them, left-outer null-pads — and the NULL rows live in ONE pinned bucket dir") {
     val root = Files.createTempDirectory("cbj_nullkey").toString
     val s = extSpark
