@@ -150,6 +150,11 @@ object PlanAudit {
         !p.contains("windowspecdefinition(vec_id") && p.contains("max(")),
       "centroids broadcast at every iteration" -> (p =>
         "BroadcastNestedLoopJoin|BroadcastExchange".r.findAllIn(p).length >= 3))
+    audit("q_ann_filtered")(
+      "eligible id set meets candidates as a broadcast semi join" -> (p =>
+        p.contains("BroadcastHashJoin") && p.contains("LeftSemi")),
+      "both rank cuts stay WindowGroupLimit" -> (p =>
+        "WindowGroupLimit".r.findAllIn(p).length >= 2))
     audit("q_ann_pq")(
       "codebooks and ADC lookup tables broadcast" -> (p =>
         "BroadcastExchange".r.findAllIn(p).length >= 2),

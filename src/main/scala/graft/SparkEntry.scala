@@ -865,6 +865,18 @@ object SparkEntry {
         everyNthCentroid = 50, nProbe = 3)
     }),
 
+    // FILTERED ANN — vector search with a WHERE clause ("nearest docs
+    // that are also label=1"): the label predicate applies INSIDE the
+    // probed cells BEFORE the rank cut, so every query still gets k
+    // eligible neighbors; post-filtering an unfiltered top-k would
+    // under-deliver for any selective predicate (the classic bug)
+    "q_ann_filtered" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopKFiltered(e, e.filter(col("vec_id") < 8), k = 5,
+        everyNthCentroid = 50, nProbe = 3,
+        eligible = e.filter(col("label") === 1).select("vec_id"))
+    }),
+
     // k-NN GRAPH over the WHOLE embedding corpus (every vector → its 3
     // nearest neighbors): the query side is the corpus itself, so the
     // probe/candidate join is a cell-keyed SHUFFLE join — the one
@@ -3638,6 +3650,39 @@ object SparkEntry {
          |         ${dotSql("p.qv", "a.embedding")} / (${normSql("p.qv")} * ${normSql("a.embedding")}) AS c
          |  FROM probes p JOIN assign a ON a.cell = p.cell
          |  WHERE a.vec_id <> p.q_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, c,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS INT) AS rk
+         |  FROM scored)
+         |SELECT q_id, n_id, round(c, 6) AS cos, rk FROM ranked WHERE rk <= 5""".stripMargin,
+
+    // filtered ANN re-derived: identical cells/probes/tie-breaks to
+    // q_ann_ivf's oracle; the label predicate lands as an IN-subquery on
+    // the candidates INSIDE the probed cells, before the rank cut
+    "q_ann_filtered" ->
+      s"""WITH n AS (SELECT vec_id, embedding FROM embeddings),
+         |cents AS (SELECT vec_id AS cell, embedding AS cv FROM n WHERE vec_id % 50 = 0),
+         |assign AS (
+         |  SELECT vec_id, cell, embedding FROM (
+         |    SELECT n.vec_id, c.cell, n.embedding,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ${dotSql("n.embedding", "c.cv")} / (${normSql("n.embedding")} * ${normSql("c.cv")}) DESC,
+         |                      c.cell) AS crk
+         |    FROM n CROSS JOIN cents c) WHERE crk = 1),
+         |q AS (SELECT vec_id AS q_id, embedding AS qv FROM n WHERE vec_id < 8),
+         |probes AS (
+         |  SELECT q_id, qv, cell FROM (
+         |    SELECT q.q_id, q.qv, c.cell,
+         |           row_number() OVER (PARTITION BY q.q_id
+         |             ORDER BY ${dotSql("q.qv", "c.cv")} / (${normSql("q.qv")} * ${normSql("c.cv")}) DESC,
+         |                      c.cell) AS crk
+         |    FROM q CROSS JOIN cents c) WHERE crk <= 3),
+         |scored AS (
+         |  SELECT p.q_id, a.vec_id AS n_id,
+         |         ${dotSql("p.qv", "a.embedding")} / (${normSql("p.qv")} * ${normSql("a.embedding")}) AS c
+         |  FROM probes p JOIN assign a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.q_id
+         |    AND a.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 1)),
          |ranked AS (
          |  SELECT q_id, n_id, c,
          |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS INT) AS rk

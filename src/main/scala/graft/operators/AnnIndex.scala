@@ -63,8 +63,15 @@ object AnnIndex {
       keys = Seq("vec_id"), partitionCols = Seq("cell"))
   }
 
+  /** @param eligible when set, a `vec_id` set restricting candidates —
+    *        FILTERED search over the persisted index: the filter applies
+    *        inside the probed cells before the rank cut (see
+    *        [[Similarity.ivfTopKFiltered]] for why post-filtering is
+    *        wrong), joined LEFT SEMI so a selective id set broadcasts
+    *        and a huge one shuffles, never collected. */
   def query(spark: SparkSession, path: String, queries: DataFrame,
-            k: Int, nProbe: Int): DataFrame = {
+            k: Int, nProbe: Int,
+            eligible: Option[DataFrame] = None): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cell"), col("embedding").as("cv"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
@@ -79,9 +86,11 @@ object AnnIndex {
     // them so the scan below is STATICALLY partition-pruned
     val probedCells = probes.select("cell").distinct().collect().map(_.getLong(0))
 
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells0 = spark.read.parquet(s"$path/cells")
       .filter(col("cell").isin(probedCells: _*))
       .select(col("cell"), col("vec_id").as("n_id"), col("embedding").as("nv"))
+    val cells = eligible.fold(cells0)(e =>
+      cells0.join(e.select(col("vec_id").as("n_id")), Seq("n_id"), "left_semi"))
 
     val scored = cells.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))

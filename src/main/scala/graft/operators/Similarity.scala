@@ -186,9 +186,30 @@ object Similarity {
     ivfSearch(corpus, queries, k, everyNthCentroid, nProbe, refineIters,
       broadcastProbes = false)
 
+  /** FILTERED ANN — vector search with a WHERE clause, the shape every
+    * retrieval stack needs ("nearest docs that are also label=2 / in this
+    * tenant / after this date"): top-k among ONLY the corpus rows whose
+    * `vec_id` appears in `eligible`. The filter applies INSIDE the probed
+    * cells, BEFORE the rank cut — post-filtering an unfiltered top-k
+    * under-delivers k whenever the predicate is selective (the classic
+    * filtered-ANN bug); pre-filtering the CORPUS would change cell
+    * geometry per predicate and force a rebuild per filter. Cells and
+    * probes are built on the FULL corpus; `eligible` meets the candidates
+    * as a LEFT SEMI join (Catalyst broadcasts a small id set, shuffles a
+    * large one — it is never collected), so selectivity costs nothing at
+    * plan scale. Same tie-breaks and recall contract (within probed
+    * cells, exact) as [[ivfTopK]].
+    */
+  def ivfTopKFiltered(corpus: DataFrame, queries: DataFrame, k: Int,
+                      everyNthCentroid: Int, nProbe: Int,
+                      eligible: DataFrame, refineIters: Int = 0): DataFrame =
+    ivfSearch(corpus, queries, k, everyNthCentroid, nProbe, refineIters,
+      broadcastProbes = true, eligible = Some(eligible))
+
   private def ivfSearch(corpus: DataFrame, queries: DataFrame, k: Int,
                         everyNthCentroid: Int, nProbe: Int, refineIters: Int,
-                        broadcastProbes: Boolean): DataFrame = {
+                        broadcastProbes: Boolean,
+                        eligible: Option[DataFrame] = None): DataFrame = {
     val base = corpus.select(col("vec_id"), col("embedding"))
     val cents = refineCentroids(base, centroids(base, everyNthCentroid), refineIters)
     val cells = assignCells(base, cents)
@@ -200,8 +221,13 @@ object Similarity {
     val probes = qScored.withColumn("crk", row_number().over(qw))
       .filter(col("crk") <= nProbe).select(col("q_id"), col("qv"), col("cell"))
 
-    val scored = cells
+    val candidates0 = cells
       .select(col("cell"), col("vec_id").as("n_id"), col("embedding").as("nv"))
+    // metadata filter INSIDE the probed cells, before any ranking
+    val candidates = eligible.fold(candidates0)(e =>
+      candidates0.join(e.select(col("vec_id").as("n_id")), Seq("n_id"),
+        "left_semi"))
+    val scored = candidates
       .join(if (broadcastProbes) broadcast(probes) else probes, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", cosineSim(col("qv"), col("nv")))

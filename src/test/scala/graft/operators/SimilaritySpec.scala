@@ -52,6 +52,57 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.size === exact.size)
   }
 
+  test("ivfTopKFiltered: only eligible neighbors, full k delivered, exact when probing everything") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val eligible = emb.filter(col("label") === 1).select("vec_id")
+    val eligibleSet = eligible.as[Long].collect().toSet
+    assert(eligibleSet.nonEmpty && eligibleSet.size < emb.count(),
+      "fixture sanity: the label predicate must be selective")
+    val got = Similarity.ivfTopKFiltered(emb, queries, k = 5,
+      everyNthCentroid = 50, nProbe = 3, eligible = eligible).collect()
+    // every neighbor satisfies the predicate, every query gets its k
+    assert(got.forall(r => eligibleSet.contains(r.getAs[Long]("n_id"))))
+    assert(got.groupBy(_.getAs[Long]("q_id")).forall(_._2.length == 5),
+      "the in-probe filter must still deliver k eligible neighbors")
+    // probing EVERY cell makes filtered IVF exact: equal to brute force
+    // over the eligible corpus (the independent oracle)
+    val nCells = emb.filter(col("vec_id") % 50 === 0).count().toInt
+    val full = Similarity.ivfTopKFiltered(emb, queries, k = 5,
+      everyNthCentroid = 50, nProbe = nCells, eligible = eligible)
+      .select("q_id", "n_id", "rk").as[(Long, Long, Int)].collect().toSet
+    val brute = Similarity.bruteForceTopK(
+      emb.join(eligible, Seq("vec_id"), "left_semi"), queries, k = 5)
+      .select("q_id", "n_id", "rk").as[(Long, Long, Int)].collect().toSet
+    assert(full === brute,
+      "all-probes filtered IVF must equal brute force over the eligible set")
+    // post-filtering the UNFILTERED top-k under-delivers — the bug the
+    // in-probe filter exists to avoid
+    val postFiltered = Similarity.ivfTopK(emb, queries, k = 5,
+      everyNthCentroid = 50, nProbe = 3)
+      .filter(col("n_id").isInCollection(eligibleSet))
+    assert(postFiltered.count() < got.length,
+      "fixture sanity: post-filtering must actually lose neighbors here")
+  }
+
+  test("AnnIndex.query with an eligible set filters inside the probed cells") {
+    val root = java.nio.file.Files.createTempDirectory("ann_filtered").toString
+    AnnIndex.build(spark, emb, everyNthCentroid = 50, root)
+    val queries = emb.filter(col("vec_id") < 4)
+    val eligible = emb.filter(col("label") === 1).select("vec_id")
+    val eligibleSet = eligible.as[Long].collect().toSet
+    val got = AnnIndex.query(spark, root, queries, k = 3, nProbe = 3,
+      eligible = Some(eligible)).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => eligibleSet.contains(r.getAs[Long]("n_id"))))
+    assert(got.groupBy(_.getAs[Long]("q_id")).forall(_._2.length == 3))
+    // an all-ids eligible set is the unfiltered query, bit for bit
+    val all = AnnIndex.query(spark, root, queries, k = 3, nProbe = 3,
+      eligible = Some(emb.select("vec_id")))
+    val plain = AnnIndex.query(spark, root, queries, k = 3, nProbe = 3)
+    assert(all.collect().map(_.toString).sorted.toSeq ===
+      plain.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("knnJoin equals ivfTopK on the same arguments (only the plan differs)") {
     val queries = emb.filter(col("vec_id") < 8)
     val viaIvf = Similarity.ivfTopK(emb, queries, k = 5, everyNthCentroid = 50, nProbe = 3)
