@@ -23,6 +23,11 @@ import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
   *   OPTIMIZE t PURGE                -- materialize deletion vectors away
   *   VACUUM t [RETAIN n VERSIONS]    -- drop unreferenced files (default 1)
   *   VACUUM t RETAIN n HOURS|DAYS    -- time-based retention on the commit clock
+  *   VACUUM t [RETAIN …] DRY RUN     -- list what WOULD delete; touch nothing
+  *   CREATE TABLE t2 SHALLOW CLONE t [VERSION AS OF n] [LOCATION 'p']
+  *                                   -- zero-copy clone referencing t's files
+  *   PUBLISH STAGED t ['id']         -- commit a WAP-staged batch atomically
+  *   DROP STAGED t ['id']            -- abandon a WAP-staged batch
   *   DESCRIBE HISTORY t              -- the commit chain, metadata-only
   *   DESCRIBE DETAIL t               -- one-row table summary
   *   RESTORE t TO VERSION n          -- roll back (a new commit; history kept)
@@ -57,14 +62,15 @@ class GraftSqlParser(session: SparkSession,
         Option(zorder).map(_.split(",").map(_.trim.stripPrefix("`")
           .stripSuffix("`")).toSeq).getOrElse(Nil),
         purge != null)
-    case VacuumRe(target, keep, unit) =>
+    case VacuumRe(target, keep, unit, dry) =>
+      val dryRun = dry != null
       (Option(keep), Option(unit).map(_.toUpperCase)) match {
         case (Some(n), Some(u)) if u.startsWith("HOUR") =>
-          GraftVacuumCommand(target, Some(1), Some(n.toLong * 3600000L))
+          GraftVacuumCommand(target, Some(1), Some(n.toLong * 3600000L), dryRun)
         case (Some(n), Some(u)) if u.startsWith("DAY") =>
-          GraftVacuumCommand(target, Some(1), Some(n.toLong * 86400000L))
-        case (Some(n), _) => GraftVacuumCommand(target, Some(n.toInt), None)
-        case _ => GraftVacuumCommand(target, None, None)
+          GraftVacuumCommand(target, Some(1), Some(n.toLong * 86400000L), dryRun)
+        case (Some(n), _) => GraftVacuumCommand(target, Some(n.toInt), None, dryRun)
+        case _ => GraftVacuumCommand(target, None, None, dryRun)
       }
     case HistoryRe(target, limit) =>
       GraftHistoryCommand(target, Option(limit).map(_.toInt))
@@ -376,7 +382,8 @@ object GraftSqlParser {
       """(?:\s+TARGET\s+(\d+)\s+ROWS)?""" +
       """(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?(?:\s+(PURGE))?\s*;?\s*""").r
   private val VacuumRe =
-    s"""(?is)\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS?|HOURS?|DAYS?))?\\s*;?\\s*""".r
+    (s"""(?is)\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS?|HOURS?|DAYS?))?""" +
+      """(?:\s+(DRY\s+RUN))?\s*;?\s*""").r
   private val HistoryRe =
     s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+$T(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*""".r
   private val DetailRe =
@@ -565,9 +572,12 @@ case class GraftOptimizeCommand(target: String, where: Option[String],
   * aged scratch). Returns the number of data files deleted. */
 case class GraftVacuumCommand(target: String,
                               keepVersions: Option[Int],
-                              retainMs: Option[Long] = None) extends LeafRunnableCommand {
-  override val output: Seq[Attribute] = Seq(
-    AttributeReference("deleted_files", LongType, nullable = false)())
+                              retainMs: Option[Long] = None,
+                              dryRun: Boolean = false) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    if (dryRun) Seq(AttributeReference("would_delete",
+      org.apache.spark.sql.types.StringType, nullable = false)())
+    else Seq(AttributeReference("deleted_files", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
     // a bare VACUUM honors the table's own retention property (the
@@ -578,7 +588,16 @@ case class GraftVacuumCommand(target: String,
         ManifestTable.properties(spark, path)
           .get("graft.retentionHours").map(_.toLong * 3600000L)
       else None)
-    Seq(Row(effective match {
+    if (dryRun) {
+      // audit, never mutate: one row per data file the real sweep would
+      // delete under the SAME arguments (Delta's VACUUM DRY RUN shape)
+      val doomed = effective match {
+        case Some(ms) => ManifestTable.vacuumRetainDryRunMs(spark, path, ms)
+        case None =>
+          ManifestTable.vacuumDryRun(spark, path, keepVersions.getOrElse(1))
+      }
+      doomed.map(Row(_))
+    } else Seq(Row(effective match {
       case Some(ms) => ManifestTable.vacuumRetainMs(spark, path, ms).toLong
       case None => ManifestTable.vacuum(spark, path, keepVersions.getOrElse(1)).toLong
     }))
@@ -1101,7 +1120,9 @@ case class GraftHistoryCommand(target: String,
     AttributeReference("n_files", LongType, nullable = false)(),
     AttributeReference("n_dv_files", LongType, nullable = false)(),
     AttributeReference("n_constraints", LongType, nullable = false)(),
-    AttributeReference("n_rows", LongType, nullable = true)())
+    AttributeReference("n_rows", LongType, nullable = true)(),
+    AttributeReference("operation", org.apache.spark.sql.types.StringType,
+      nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
     ManifestTable.history(spark, path, limit).collect().toSeq

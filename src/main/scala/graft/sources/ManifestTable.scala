@@ -3219,9 +3219,13 @@ object ManifestTable {
       val rows: Option[Long] =
         if (m.sidecar.isDefined) None else fastCountOf(spark, path, m)
       (v, new java.sql.Timestamp(t), m.files.size.toLong,
-        m.dvs.size.toLong, m.constraints.size.toLong, rows)
+        m.dvs.size.toLong, m.constraints.size.toLong, rows,
+        // the commit's operation kind where the manifest refines it
+        // (update/merge/truncate/clone — the CDC-refinement field);
+        // plain appends/overwrites read as the generic "write"
+        m.op.getOrElse("write"))
     }.toDF("version", "committed_at", "n_files", "n_dv_files",
-      "n_constraints", "n_rows")
+      "n_constraints", "n_rows", "operation")
   }
 
   /** One-row table-level summary — the DESCRIBE DETAIL surface: current
@@ -3994,6 +3998,57 @@ object ManifestTable {
     vacuum(spark, path, stamped.count(_._1 >= firstKept).max(1))
   }
 
+  /** The data-file paths a `vacuum(keepVersions)` would delete, WITHOUT
+    * deleting anything — `VACUUM … DRY RUN`, the audit an operator runs
+    * before the irreversible sweep. Exactly the real sweep's reference
+    * computation (WAP-staged batches protected, external shallow-clone
+    * refs untouchable by construction — the walk covers only the table's
+    * OWN data dir). */
+  def vacuumDryRun(spark: SparkSession, path: String,
+                   keepVersions: Int = 1): Seq[String] = {
+    require(keepVersions >= 1, "must keep at least the current version")
+    val f = fs(spark, path)
+    val dir = manifestDir(path)
+    if (!f.exists(dir) || !f.exists(dataDir(path))) return Nil
+    val versions = f.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("m") && n.endsWith(".txt"))
+      .map(n => n.substring(1, n.length - 4).toLong).sorted
+    val referenced = vacuumReferenced(spark, path,
+      versions.takeRight(keepVersions).map(readManifest(spark, path, _)))
+    val dataUri = f.makeQualified(dataDir(path)).toUri
+    val out = Seq.newBuilder[String]
+    val it = f.listFiles(dataDir(path), true)
+    while (it.hasNext) {
+      val file = it.next()
+      if (file.getPath.getName.endsWith(".parquet") &&
+          !referenced.contains(dataUri.relativize(file.getPath.toUri).getPath))
+        out += file.getPath.toString
+    }
+    out.result().sorted
+  }
+
+  /** [[vacuumDryRun]] for a time-retention window — the keep-suffix
+    * resolution of [[vacuumRetainMs]], zero mutations. */
+  def vacuumRetainDryRunMs(spark: SparkSession, path: String,
+                           retainMs: Long): Seq[String] = {
+    require(retainMs >= 0, "retention window must be non-negative")
+    val stamped = commitClock(spark, path)
+    if (stamped.isEmpty) return Nil
+    val cutoff = System.currentTimeMillis() - retainMs
+    val firstKept = stamped.find(_._2 >= cutoff).map(_._1)
+      .getOrElse(stamped.last._1)
+    vacuumDryRun(spark, path, stamped.count(_._1 >= firstKept).max(1))
+  }
+
+  /** Everything a sweep keeping `keptManifests` must NOT delete: their
+    * file refs plus every WAP-staged batch's (un-published but live). */
+  private def vacuumReferenced(spark: SparkSession, path: String,
+                               keptManifests: Seq[Manifest]): Set[String] = {
+    val stagedFiles = stagedIds(spark, path)
+      .flatMap(id => readStagedManifest(spark, path, id).files)
+    keptManifests.flatMap(_.files).toSet ++ stagedFiles
+  }
+
   private def vacuumData(spark: SparkSession, path: String, keepVersions: Int): Int = {
     require(keepVersions >= 1, "must keep at least the current version")
     val f = fs(spark, path)
@@ -4006,9 +4061,7 @@ object ManifestTable {
     val keptManifests = keep.map(readManifest(spark, path, _))
     // staged (write-audit-publish) batches are un-published but LIVE:
     // their files must survive the sweep until published or dropped
-    val stagedFiles = stagedIds(spark, path)
-      .flatMap(id => readStagedManifest(spark, path, id).files)
-    val referenced = keptManifests.flatMap(_.files).toSet ++ stagedFiles
+    val referenced = vacuumReferenced(spark, path, keptManifests)
     // stats sidecars referenced by surviving manifests must outlive the
     // sweep; everything else named s* (superseded versions, race losers)
     // goes with the manifests that referenced it

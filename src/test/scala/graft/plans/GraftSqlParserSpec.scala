@@ -851,6 +851,39 @@ class GraftSqlParserSpec extends SparkSpec {
       s.sql(s"DROP TABLE IF EXISTS $t"): Unit)
   }
 
+  test("VACUUM DRY RUN lists exactly what the real sweep then deletes; history shows operations") {
+    val s = extSpark
+    val path = Files.createTempDirectory("sqlp_dry").toString + "/t"
+    ManifestTable.overwrite(s, path,
+      s.range(100).select(col("id"), lit("v1").as("tag")).coalesce(1))
+    ManifestTable.overwrite(s, path,
+      s.range(50).select(col("id"), lit("v2").as("tag")).coalesce(1))
+    ManifestTable.truncate(s, path)
+    // dry run: audit only — v1's and v2's files doomed, NOTHING deleted
+    val doomed = s.sql(s"VACUUM '$path' DRY RUN").collect()
+      .map(_.getString(0)).toSet
+    assert(doomed.size === 2, s"both superseded files listed, got $doomed")
+    assert(dataFiles(path) === 2, "DRY RUN must delete nothing")
+    assert(ManifestTable.readVersion(s, path, 1L).count() === 100L,
+      "DRY RUN must not touch manifests either")
+    // DESCRIBE HISTORY carries the operation kind per commit (before the
+    // sweep drops the superseded manifests)
+    val ops = s.sql(s"DESCRIBE HISTORY '$path'").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("operation")).toMap
+    assert(ops(3L) === "truncate")
+    assert(ops(2L) === "write")
+    // the real sweep deletes EXACTLY the audited set
+    val swept = s.sql(s"VACUUM '$path'").head.getLong(0)
+    assert(swept === 2L)
+    assert(dataFiles(path) === 0)
+    // an in-window retention dry run lists nothing
+    val path2 = Files.createTempDirectory("sqlp_dry2").toString + "/t"
+    ManifestTable.overwrite(s, path2, s.range(5).toDF("id").coalesce(1))
+    ManifestTable.overwrite(s, path2, s.range(6).toDF("id").coalesce(1))
+    assert(s.sql(s"VACUUM '$path2' RETAIN 168 HOURS DRY RUN").collect().isEmpty)
+    assert(s.sql(s"VACUUM '$path2' DRY RUN").count() === 1L)
+  }
+
   test("CREATE TABLE … SHALLOW CLONE: zero-copy from SQL, version pin, LOCATION and path forms") {
     val s = extSpark
     val r = Files.createTempDirectory("sqlp_clone").toString
