@@ -1888,6 +1888,31 @@ object SparkEntry {
                |  ON v.c_custkey = ts.c_custkey""".stripMargin)
     }),
 
+    // ---- named tags: a release pin that survives VACUUM — tag v1, then
+    // sweep with only the current version retained; the require gates
+    // prove the sweep actually deleted the UNTAGGED middle version while
+    // the tag alone kept v1 readable by name ----
+    "q_sql_tag" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_tagq").toString + "/t"
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      graft.sources.ManifestTable.overwrite(s, dir,
+        c.filter(col("c_custkey") % 2 === 0).coalesce(1))   // v1: the release
+      graft.sources.ManifestTable.overwrite(s, dir,
+        c.filter(col("c_custkey") % 3 === 0).coalesce(1))   // v2: superseded
+      graft.sources.ManifestTable.overwrite(s, dir,
+        c.filter(col("c_custkey") % 7 === 0).coalesce(1))   // v3: current
+      s.sql("DROP TABLE IF EXISTS q_tag_t")
+      s.sql(s"CREATE TABLE q_tag_t USING graft OPTIONS (path '$dir')")
+      s.sql("ALTER TABLE q_tag_t CREATE TAG release-1 AS OF VERSION 1")
+      // default retention keeps only the current version — v2's file
+      // sweeps, v1's survives ON THE TAG alone
+      val swept = s.sql("VACUUM q_tag_t").head.getLong(0)
+      require(swept == 1L,
+        s"expected the untagged v2 file (only) to sweep, deleted $swept")
+      s.sql("""SELECT c_custkey, c_acctbal
+              |FROM q_tag_t FOR VERSION AS OF 'release-1'""".stripMargin)
+    }),
+
     // ---- DECIMAL stats columns: a DECIMAL(18,2) money column carries
     // zone maps (the real-scale shape the double fixtures mask) and a
     // range read over the clustered decimal prunes + answers exactly;
@@ -4527,6 +4552,11 @@ object SparkEntry {
 
     // both SQL pins resolve to version 1 = the even-key half
     "q_sql_time_travel" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_custkey % 2 = 0""".stripMargin,
+
+    // the tag pins version 1 = the even-key half, across the sweep
+    "q_sql_tag" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_custkey % 2 = 0""".stripMargin,
 

@@ -28,6 +28,10 @@ import org.apache.spark.sql.types.{LongType, StructType, TimestampType}
   *                                   -- zero-copy clone referencing t's files
   *   PUBLISH STAGED t ['id']         -- commit a WAP-staged batch atomically
   *   DROP STAGED t ['id']            -- abandon a WAP-staged batch
+  *   ALTER TABLE t CREATE [OR REPLACE] TAG name [AS OF VERSION n]
+  *                                   -- vacuum-protected named version pin
+  *   ALTER TABLE t DROP TAG [IF EXISTS] name
+  *   SHOW TAGS t                     -- tags with versions and create times
   *   DESCRIBE HISTORY t              -- the commit chain, metadata-only
   *   DESCRIBE DETAIL t               -- one-row table summary
   *   RESTORE t TO VERSION n          -- roll back (a new commit; history kept)
@@ -87,6 +91,16 @@ class GraftSqlParser(session: SparkSession,
       GraftPublishStagedCommand(target, Option(id))
     case DropStagedRe(target, id) =>
       GraftDropStagedCommand(target, Option(id))
+    // tag DDL: not Spark grammar (ALTER TABLE … CREATE TAG fails its
+    // ALTER rule), so regex dispatch is unambiguous
+    case CreateTagRe(target, orReplace, name, version) =>
+      GraftCreateTagCommand(target, name.stripPrefix("'").stripSuffix("'"),
+        Option(version).map(_.toLong), orReplace != null)
+    case DropTagRe(target, ifExists, name) =>
+      GraftDropTagCommand(target, name.stripPrefix("'").stripSuffix("'"),
+        ifExists != null)
+    case ShowTagsRe(target) if graftTargetPath(target).isDefined =>
+      GraftShowTagsCommand(target)
     case ConvertRe(dir, statscols) =>
       GraftConvertCommand(dir,
         Option(statscols).map(_.split(",").map(_.trim.stripPrefix("`")
@@ -193,8 +207,9 @@ class GraftSqlParser(session: SparkSession,
         graftPathOf(u.multipartIdentifier) match {
           case Some(path) =>
             val version = ver match {
-              case Some(v) => scala.util.Try(v.trim.toLong).getOrElse(
-                sys.error(s"FOR VERSION AS OF: '$v' is not a version number"))
+              // a number pins that version; a string resolves as a TAG —
+              // Iceberg's `VERSION AS OF 'ref-name'` shape
+              case Some(v) => ManifestTable.resolveVersionRef(session, path, v)
               case None => ManifestTable.versionAt(session, path,
                 timeTravelMillis(ts.getOrElse(
                   sys.error("time travel needs VERSION or TIMESTAMP"))))
@@ -413,6 +428,18 @@ object GraftSqlParser {
     s"""(?is)\\s*PUBLISH\\s+STAGED\\s+$T(?:\\s+'([^']+)')?\\s*;?\\s*""".r
   private val DropStagedRe =
     s"""(?is)\\s*DROP\\s+STAGED\\s+$T(?:\\s+'([^']+)')?\\s*;?\\s*""".r
+  // named tags (Iceberg's ref DDL shape): bare or quoted tag names — the
+  // quoted branch accepts anything so createTag's validation, not a
+  // delegate parse error, rejects a bad name
+  private val TagName = """([A-Za-z0-9][A-Za-z0-9._-]*|'[^']+')"""
+  private val CreateTagRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+CREATE\\s+(OR\\s+REPLACE\\s+)?TAG\\s+""" +
+      s"""$TagName(?:\\s+AS\\s+OF\\s+VERSION\\s+(\\d+))?\\s*;?\\s*""").r
+  private val DropTagRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+TAG\\s+(IF\\s+EXISTS\\s+)?""" +
+      s"""$TagName\\s*;?\\s*""").r
+  private val ShowTagsRe =
+    s"""(?is)\\s*SHOW\\s+TAGS\\s+$T\\s*;?\\s*""".r
 
   /** The (table root, identifier) of a CATALOG table `USING graft`, or
     * None for anything else (other providers, unknown names, views) —
@@ -730,6 +757,48 @@ case class GraftDropStagedCommand(target: String, id: Option[String])
         s"${ManifestTable.WapIdKey} is not set"))
     ManifestTable.dropStaged(spark, path, wid)
     Nil
+  }
+}
+
+/** `ALTER TABLE t CREATE [OR REPLACE] TAG name [AS OF VERSION n]` —
+  * [[ManifestTable.createTag]]: pin a version under an immutable name,
+  * protected from VACUUM until dropped. Returns the pinned version. */
+case class GraftCreateTagCommand(target: String, name: String,
+                                 version: Option[Long], replace: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    Seq(Row(ManifestTable.createTag(spark, path, name, version, replace)))
+  }
+}
+
+/** `ALTER TABLE t DROP TAG [IF EXISTS] name` — [[ManifestTable.dropTag]]:
+  * release the pin; the next out-of-window VACUUM sweeps the version. */
+case class GraftDropTagCommand(target: String, name: String,
+                               ifExists: Boolean) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    ManifestTable.dropTag(spark, path, name, ifExists)
+    Nil
+  }
+}
+
+/** `SHOW TAGS t` — one row per tag: name, pinned version, created-at.
+  * Metadata-only (a dir listing plus one tiny read per tag). */
+case class GraftShowTagsCommand(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("tag", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("created_at", TimestampType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    ManifestTable.tags(spark, path).map { case (n, v, ts) =>
+      Row(n, v, new java.sql.Timestamp(ts))
+    }
   }
 }
 

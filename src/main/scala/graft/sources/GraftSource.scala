@@ -147,7 +147,9 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
               parameters.get("timestampAsOf")) match {
             case (Some(_), Some(_)) =>
               sys.error("graft: specify either 'version' or 'timestampAsOf', not both")
-            case (Some(v), None) => Some(v.toLong)
+            // a number pins that version; anything else resolves as a TAG
+            case (Some(v), None) =>
+              Some(ManifestTable.resolveVersionRef(ctx.sparkSession, path, v))
             case (None, Some(ts)) => Some(ManifestTable.versionAt(
               ctx.sparkSession, path,
               GraftSource.parseTimestampMillis(ctx.sparkSession, ts)))

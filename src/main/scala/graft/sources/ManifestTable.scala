@@ -2756,6 +2756,98 @@ object ManifestTable {
     st.files.foreach(rel => f.delete(new Path(dataDir(path), rel), false): Unit)
   }
 
+  // ------------------------------------------------------------ named tags
+
+  /** Tag names must survive a file name and an unescaped SQL string
+    * literal: word characters, dots, dashes, starting alphanumeric. */
+  private val TagNameRe = "^[A-Za-z0-9][A-Za-z0-9._-]*$".r
+  private def tagFileName(name: String) = s"tag-$name.txt"
+
+  /** Pin `version` (default: current) under an immutable NAME — Iceberg's
+    * tag re-derived: the ref lives OUTSIDE the version chain (a
+    * `tag-<name>.txt` beside the manifests, never inside one), so tagging
+    * is one metadata write at any table size, and — the point — VACUUM
+    * keeps every tagged version's manifest and files regardless of the
+    * retention window. `FOR VERSION AS OF 'name'` and
+    * `.option("version", name)` read the pinned snapshot by name; a
+    * release/audit/repro pin survives the nightly sweep until DROP TAG
+    * releases it. Tags are immutable (create-exclusive — a concurrent
+    * CREATE of the same name loses loudly); `replace=true` is the
+    * CREATE OR REPLACE face. Clones and RESTOREs never carry tags: a tag
+    * names a version of THIS table's chain, nothing else. */
+  def createTag(spark: SparkSession, path: String, name: String,
+                version: Option[Long] = None, replace: Boolean = false): Long = {
+    require(TagNameRe.findFirstIn(name).isDefined,
+      s"bad tag name '$name' (letters/digits/._- only, starting alphanumeric)")
+    val v = version.getOrElse(currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path")))
+    val f = fs(spark, path)
+    require(f.exists(new Path(manifestDir(path), manifestName(v))),
+      s"cannot tag version $v at $path: no such committed version")
+    val p = new Path(manifestDir(path), tagFileName(name))
+    if (replace) f.delete(p, false): Unit
+    val body = s"version=$v\nts=${System.currentTimeMillis()}\n"
+    val out =
+      try f.create(p, false)
+      catch { case _: java.io.IOException => sys.error(
+        s"tag '$name' already exists at $path (CREATE OR REPLACE TAG to move it)") }
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    v
+  }
+
+  /** Release a tag: the named version re-enters normal retention and the
+    * next out-of-window VACUUM sweeps it. */
+  def dropTag(spark: SparkSession, path: String, name: String,
+              ifExists: Boolean = false): Unit = {
+    val f = fs(spark, path)
+    val p = new Path(manifestDir(path), tagFileName(name))
+    if (!f.exists(p)) {
+      if (ifExists) return
+      sys.error(s"no tag '$name' at $path")
+    }
+    f.delete(p, false): Unit
+  }
+
+  /** All tags: (name, pinned version, created-at millis), name-sorted.
+    * Metadata-only — one dir listing plus one tiny read per tag. */
+  def tags(spark: SparkSession, path: String): Seq[(String, Long, Long)] = {
+    val f = fs(spark, path)
+    val dir = manifestDir(path)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("tag-") && n.endsWith(".txt"))
+      .map(n => n.stripPrefix("tag-").stripSuffix(".txt")).sorted.toSeq
+      .map { name =>
+        val lines = readManifestText(spark, path, tagFileName(name))
+          .split("\n").map(_.trim)
+        val v = lines.collectFirst { case l if l.startsWith("version=") =>
+          l.stripPrefix("version=").toLong }.getOrElse(
+          sys.error(s"corrupt tag file for '$name' at $path"))
+        val ts = lines.collectFirst { case l if l.startsWith("ts=") =>
+          l.stripPrefix("ts=").toLong }.getOrElse(0L)
+        (name, v, ts)
+      }
+  }
+
+  /** The version a tag pins, if the tag exists. */
+  def tagVersion(spark: SparkSession, path: String, name: String): Option[Long] =
+    tags(spark, path).collectFirst { case (n, v, _) if n == name => v }
+
+  /** A version REF — a number, or a tag name — to its version. The one
+    * resolver behind `.option("version", …)` and `FOR VERSION AS OF`,
+    * so both faces accept both forms. */
+  private[graft] def resolveVersionRef(spark: SparkSession, path: String,
+                                       ref: String): Long =
+    scala.util.Try(ref.trim.toLong).getOrElse(
+      tagVersion(spark, path, ref.trim).getOrElse(sys.error(
+        s"'$ref' is neither a version number nor a tag at $path")))
+
+  /** Versions pinned by tags — each keeps its manifest, files, stats
+    * sidecar and DV files across VACUUM. Dangling refs (manually deleted
+    * manifests) protect nothing. */
+  private def taggedVersions(spark: SparkSession, path: String): Set[Long] =
+    tags(spark, path).map(_._2).toSet
+
   /** Replace exactly the partitions present in `df` (dynamic-overwrite
     * semantics, but transactional): untouched partitions keep their old
     * manifest entries verbatim.
@@ -4013,8 +4105,11 @@ object ManifestTable {
     val versions = f.listStatus(dir).map(_.getPath.getName)
       .filter(n => n.startsWith("m") && n.endsWith(".txt"))
       .map(n => n.substring(1, n.length - 4).toLong).sorted
+    val tagged = taggedVersions(spark, path)
+    val keep = (versions.takeRight(keepVersions) ++
+      versions.filter(tagged.contains)).distinct.sorted
     val referenced = vacuumReferenced(spark, path,
-      versions.takeRight(keepVersions).map(readManifest(spark, path, _)))
+      keep.map(readManifest(spark, path, _)))
     val dataUri = f.makeQualified(dataDir(path)).toUri
     val out = Seq.newBuilder[String]
     val it = f.listFiles(dataDir(path), true)
@@ -4057,7 +4152,11 @@ object ManifestTable {
     val versions = f.listStatus(dir).map(_.getPath.getName)
       .filter(n => n.startsWith("m") && n.endsWith(".txt"))
       .map(n => n.substring(1, n.length - 4).toLong).sorted
-    val keep = versions.takeRight(keepVersions)
+    // tagged versions are pinned BY NAME outside the retention window:
+    // their manifests, files, sidecars and DVs all survive the sweep
+    val tagged = taggedVersions(spark, path)
+    val keep = (versions.takeRight(keepVersions) ++
+      versions.filter(tagged.contains)).distinct.sorted
     val keptManifests = keep.map(readManifest(spark, path, _))
     // staged (write-audit-publish) batches are un-published but LIVE:
     // their files must survive the sweep until published or dropped
@@ -4083,9 +4182,10 @@ object ManifestTable {
             f.delete(st.getPath, true): Unit
         }
     }
+    val keepSet = keep.toSet
     var deleted = 0
     if (!f.exists(dataDir(path))) { // zero-data-file table: nothing to collect
-      versions.dropRight(keepVersions).foreach(v =>
+      versions.filterNot(keepSet.contains).foreach(v =>
         f.delete(new Path(dir, manifestName(v)), false))
       sweepSidecars()
       sweepDvs()
@@ -4102,7 +4202,7 @@ object ManifestTable {
       }
     }
     doomed.foreach { p => if (f.delete(p, false)) deleted += 1 }
-    versions.dropRight(keepVersions).foreach(v =>
+    versions.filterNot(keepSet.contains).foreach(v =>
       f.delete(new Path(dir, manifestName(v)), false))
     sweepSidecars()
     sweepDvs()

@@ -884,6 +884,82 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(s.sql(s"VACUUM '$path2' DRY RUN").count() === 1L)
   }
 
+  test("tags: vacuum-protected named version pins, CREATE/REPLACE/DROP/SHOW, both read faces") {
+    val s = extSpark
+    val path = Files.createTempDirectory("sqlp_tag").toString + "/t"
+    ManifestTable.overwrite(s, path,
+      s.range(100).select(col("id"), lit("v1").as("tag")).coalesce(1))
+    ManifestTable.overwrite(s, path,
+      s.range(50).select(col("id"), lit("v2").as("tag")).coalesce(1))
+
+    // CREATE TAG pins version 1; SHOW TAGS lists it
+    assert(s.sql(s"ALTER TABLE '$path' CREATE TAG rel-1.0 AS OF VERSION 1")
+      .head.getLong(0) === 1L)
+    val shown = s.sql(s"SHOW TAGS '$path'").collect()
+    assert(shown.map(r => r.getString(0) -> r.getLong(1)).toSeq ===
+      Seq("rel-1.0" -> 1L))
+    assert(shown.head.getAs[java.sql.Timestamp]("created_at") != null)
+
+    // tags are immutable: duplicate CREATE fails loudly, OR REPLACE moves
+    val dup = intercept[Exception](
+      s.sql(s"ALTER TABLE '$path' CREATE TAG rel-1.0"))
+    assert(dup.getMessage.contains("already exists"))
+    // bare CREATE OR REPLACE defaults to the CURRENT version…
+    assert(s.sql(s"ALTER TABLE '$path' CREATE OR REPLACE TAG rel-1.0")
+      .head.getLong(0) === 2L)
+    // …and moves back with an explicit pin
+    assert(s.sql(s"ALTER TABLE '$path' CREATE OR REPLACE TAG 'rel-1.0' AS OF VERSION 1")
+      .head.getLong(0) === 1L)
+    // a tag cannot name a version that was never committed
+    val bad = intercept[Exception](
+      s.sql(s"ALTER TABLE '$path' CREATE TAG ghost AS OF VERSION 9"))
+    assert(bad.getMessage.contains("no such committed version"))
+
+    // THE POINT: vacuum keeps the tagged version — manifest AND file.
+    // DRY RUN agrees (nothing to sweep: v1 is tagged, v2 is current)
+    assert(s.sql(s"VACUUM '$path' DRY RUN").collect().isEmpty)
+    assert(s.sql(s"VACUUM '$path'").head.getLong(0) === 0L)
+    assert(dataFiles(path) === 2)
+    // both read faces resolve the tag to the pinned snapshot
+    s.sql("DROP TABLE IF EXISTS tag_read_t")
+    s.sql(s"CREATE TABLE tag_read_t USING graft OPTIONS (path '$path')")
+    assert(s.sql("SELECT count(*) AS n FROM tag_read_t FOR VERSION AS OF 'rel-1.0'")
+      .head.getLong(0) === 100L)
+    assert(s.read.format("graft").option("version", "rel-1.0").load(path)
+      .count() === 100L)
+
+    // DROP TAG releases the pin: the next sweep takes v1's file
+    s.sql(s"ALTER TABLE '$path' DROP TAG rel-1.0")
+    assert(s.sql(s"VACUUM '$path'").head.getLong(0) === 1L)
+    assert(dataFiles(path) === 1)
+    val gone = intercept[Exception](
+      s.sql("SELECT * FROM tag_read_t FOR VERSION AS OF 'rel-1.0'"))
+    assert(gone.getMessage.contains("neither a version number nor a tag"))
+    s.sql("DROP TABLE tag_read_t")
+
+    // DROP TAG hygiene + name validation
+    s.sql(s"ALTER TABLE '$path' DROP TAG IF EXISTS rel-1.0") // no-op, no error
+    val miss = intercept[Exception](
+      s.sql(s"ALTER TABLE '$path' DROP TAG rel-1.0"))
+    assert(miss.getMessage.contains("no tag"))
+    val badName = intercept[Exception](
+      s.sql(s"ALTER TABLE '$path' CREATE TAG '-bad'"))
+    assert(badName.getMessage.contains("bad tag name"))
+
+    // catalog-name form works end to end
+    s.sql("DROP TABLE IF EXISTS tag_t")
+    s.sql(s"CREATE TABLE tag_t USING graft OPTIONS (path '$path')")
+    s.sql("ALTER TABLE tag_t CREATE TAG audit")
+    assert(s.sql("SHOW TAGS tag_t").head.getString(0) === "audit")
+    s.sql("ALTER TABLE tag_t DROP TAG audit")
+    s.sql("DROP TABLE tag_t")
+
+    // non-graft targets fall through to Spark (which has no SHOW TAGS)
+    s.range(3).write.mode("overwrite").saveAsTable("plain_tag_t")
+    intercept[Exception](s.sql("SHOW TAGS plain_tag_t"))
+    s.sql("DROP TABLE plain_tag_t")
+  }
+
   test("CREATE TABLE … SHALLOW CLONE: zero-copy from SQL, version pin, LOCATION and path forms") {
     val s = extSpark
     val r = Files.createTempDirectory("sqlp_clone").toString
