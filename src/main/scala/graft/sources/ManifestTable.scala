@@ -276,10 +276,36 @@ object ManifestTable {
     * per-partition volume may deliberately spread one partition across
     * tasks, which this clustering would undo.
     */
+  /** `graft.write.distribution` — how a PARTITIONED write distributes
+    * rows across tasks before the per-directory file split (Iceberg's
+    * `write.distribution-mode`, Delta's optimized writes):
+    *   - `hash`: repartition on the partition columns — each partition
+    *     value lands in exactly ONE task, so a 1000-task write into 365
+    *     day-dirs emits ~365 files instead of up to 365,000. The skew
+    *     cost: one giant partition value is one giant task.
+    *   - `rebalance`: AQE-planned even-sized output (the REBALANCE hint)
+    *     — like hash, but a skewed partition value SPLITS across several
+    *     right-sized files; the mode a 100 TB daily load wants.
+    *   - `none`: write with the query's own distribution (today's
+    *     default for identity-partitioned tables).
+    * Default when unset: transform tables cluster by hash (a bucket/days
+    * write is scattered by construction), identity tables write as-is. */
+  private[sources] val DistributionProp = "graft.write.distribution"
+
   private def clusterForWrite(df: DataFrame, partitionCols: Seq[String],
-                              transforms: Seq[PartitionTransform]): DataFrame =
-    if (transforms.isEmpty || partitionCols.isEmpty) df
-    else df.repartition(partitionCols.map(col): _*)
+                              transforms: Seq[PartitionTransform],
+                              mode: Option[String] = None): DataFrame = {
+    val effective = mode.map(_.trim.toLowerCase).getOrElse(
+      if (transforms.nonEmpty) "hash" else "none")
+    effective match {
+      case _ if partitionCols.isEmpty => df
+      case "none" => df
+      case "hash" => df.repartition(partitionCols.map(col): _*)
+      case "rebalance" => df.hint("rebalance", partitionCols.map(col): _*)
+      case other => sys.error(
+        s"$DistributionProp: unknown mode '$other' (none | hash | rebalance)")
+    }
+  }
 
   /** @param sidecar when set, per-file stats live in the named parquet
     *        directory under `_manifests/` instead of inline `stats=` lines
@@ -2531,7 +2557,7 @@ object ManifestTable {
         enforceConstraints(batch, m.constraints, "append")
         val base = m
         val added = writeDataFiles(spark, path,
-          clusterForWrite(batch, m.partitionCols, m.transforms), m.partitionCols,
+          clusterForWrite(batch, m.partitionCols, m.transforms, m.props.get(DistributionProp)), m.partitionCols,
           colmap0)
         // stats read the new files under the EVOLVED physical schema:
         // stats columns are never renamed, and a physically-narrow batch
@@ -2633,7 +2659,7 @@ object ManifestTable {
     requireCompatible(batch, m, "stageAppend")
     enforceConstraints(batch, m.constraints, "stageAppend")
     val files = writeDataFiles(spark, path,
-      clusterForWrite(batch, m.partitionCols, m.transforms), m.partitionCols,
+      clusterForWrite(batch, m.partitionCols, m.transforms, m.props.get(DistributionProp)), m.partitionCols,
       m.colmap)
     // stats inline always: a stage is one batch, bounded by its writer
     val stats = collectStats(spark, path, files, m.schema,
@@ -2869,7 +2895,7 @@ object ManifestTable {
     enforceConstraints(batch, m.constraints, "overwritePartitions")
     val base = m
     val added = writeDataFiles(spark, path,
-      clusterForWrite(batch, m.partitionCols, m.transforms), m.partitionCols,
+      clusterForWrite(batch, m.partitionCols, m.transforms, m.props.get(DistributionProp)), m.partitionCols,
       m.colmap)
     val replacedDirs = added.map(dirOf).toSet
     val addedStats =
@@ -2920,7 +2946,7 @@ object ManifestTable {
     enforceConstraints(batch, m.constraints, "overwrite")
     val base = m
     val added = writeDataFiles(spark, path,
-      clusterForWrite(batch, m.partitionCols, m.transforms), m.partitionCols,
+      clusterForWrite(batch, m.partitionCols, m.transforms, m.props.get(DistributionProp)), m.partitionCols,
       colmap0)
     val addedStats = collectStats(spark, path, added, schema0,
       m.partitionCols, m.statsCols, m.bloomCols)
@@ -3122,7 +3148,8 @@ object ManifestTable {
             touchKeys, "left_anti", bcastRight = false)
           val next = kept.unionByName(batch.select(ordered: _*)).localCheckpoint(true)
           val added = writeDataFiles(spark, path,
-            clusterForWrite(next, m.partitionCols, m.transforms), m.partitionCols,
+            clusterForWrite(next, m.partitionCols, m.transforms,
+              m.props.get(DistributionProp)), m.partitionCols,
             m.colmap)
           // remove every affected partition's old entries (NOT just dirs the
           // new files landed in — a drained partition writes no files)

@@ -33,6 +33,45 @@ class ManifestTableSpec extends SparkSpec {
     assert(back.filter(col("year") === 2020).count() === 2)
   }
 
+  test("graft.write.distribution: hash = one file per partition, rebalance stays clean, bad mode loud") {
+    val path = tmpTable()
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id"), (col("id") % 4).cast("string").as("grp"))
+      .repartition(8) // a deliberately scattered incoming batch
+    ManifestTable.overwrite(spark, path, mk(0, 400), Seq("grp"))   // v1
+    // default for identity partitioning: the batch's own distribution —
+    // every task writes every directory it holds rows for
+    ManifestTable.append(spark, path, mk(400, 800))                // v2
+    val v2New = filesOf(path, 2L).toSet -- filesOf(path, 1L).toSet
+    assert(v2New.size > 4,
+      s"scattered append should emit a file per (task, dir), got ${v2New.size}")
+
+    // hash mode: each partition value lands in exactly one task → 4 files
+    ManifestTable.setProperties(spark, path,
+      Map(ManifestTable.DistributionProp -> "hash"))               // v3
+    ManifestTable.append(spark, path, mk(800, 1200))               // v4
+    val v4New = filesOf(path, 4L).toSet -- filesOf(path, 3L).toSet
+    assert(v4New.size === 4,
+      s"hash distribution writes one file per partition, got ${v4New.size}")
+
+    // rebalance mode: AQE-sized output, still directory-clean
+    ManifestTable.setProperties(spark, path,
+      Map(ManifestTable.DistributionProp -> "rebalance"))          // v5
+    ManifestTable.append(spark, path, mk(1200, 1600))              // v6
+    val v6New = filesOf(path, 6L).toSet -- filesOf(path, 5L).toSet
+    assert(v6New.size <= 8, s"rebalanced small batch stays compact, got ${v6New.size}")
+
+    // every row arrived exactly once under all three modes
+    assert(ManifestTable.read(spark, path).count() === 1600)
+    assert(ManifestTable.read(spark, path).filter(col("grp") === "1").count() === 400)
+
+    // a bad mode fails the WRITE loudly (never silently unclustered)
+    ManifestTable.setProperties(spark, path,
+      Map(ManifestTable.DistributionProp -> "bogus"))
+    val bad = intercept[Exception](ManifestTable.append(spark, path, mk(0, 10)))
+    assert(bad.getMessage.contains("unknown mode"))
+  }
+
   test("zone maps skip files outside the queried range; results stay exact") {
     val path = tmpTable()
     // cluster on id: range repartition → each file holds a narrow id band
