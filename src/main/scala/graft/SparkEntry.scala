@@ -1913,6 +1913,28 @@ object SparkEntry {
               |FROM q_tag_t FOR VERSION AS OF 'release-1'""".stripMargin)
     }),
 
+    // ---- identity column: two loads into a GENERATED BY DEFAULT table —
+    // every row gets a table-unique id with no count pass and no driver
+    // work; the require gates pin assignment + uniqueness, the compared
+    // output is the payload (id VALUES are implementation-defined) ----
+    "q_identity" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_idq").toString + "/t"
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      def load(r: Int) = o.filter(col("o_orderkey") % 3 === r)
+        .select(lit(null).cast("long").as("row_id"),
+          col("o_orderkey"), col("o_totalprice"))
+      graft.sources.ManifestTable.overwrite(s, dir, load(0).limit(0)) // schema
+      graft.sources.ManifestTable.setProperties(s, dir,
+        Map(graft.sources.ManifestTable.IdentityColProp -> "row_id"))
+      graft.sources.ManifestTable.append(s, dir, load(0))
+      graft.sources.ManifestTable.append(s, dir, load(1))
+      val t = graft.sources.ManifestTable.read(s, dir)
+      require(t.filter(col("row_id").isNull).count() == 0, "every row assigned")
+      require(t.select("row_id").distinct().count() == t.count(),
+        "generated ids must be table-unique across commits")
+      t.select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
     // ---- DECIMAL stats columns: a DECIMAL(18,2) money column carries
     // zone maps (the real-scale shape the double fixtures mask) and a
     // range read over the clustered decimal prunes + answers exactly;
@@ -4554,6 +4576,12 @@ object SparkEntry {
     "q_sql_time_travel" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_custkey % 2 = 0""".stripMargin,
+
+    // the two identity loads = the %3 ∈ {0,1} slices; ids are
+    // implementation-defined so the payload is what's compared
+    "q_identity" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1)""".stripMargin,
 
     // the tag pins version 1 = the even-key half, across the sweep
     "q_sql_tag" ->

@@ -2550,8 +2550,9 @@ object ManifestTable {
         // generated partition columns: the table derives them, the caller
         // never supplies them (a caller value could contradict the
         // transform and land rows where pruning won't look)
-        val batch = withDerived(
-          df.drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema))
+        val batch = fillIdentity(m, withDerived(
+          df.drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema)),
+          "append")
         // fail fast, before any data lands
         val (schema0, colmap0) = evolveSchema(batch, m, "append")
         enforceConstraints(batch, m.constraints, "append")
@@ -2566,11 +2567,21 @@ object ManifestTable {
         val addedStats =
           collectStats(spark, path, added, schema0,
             m.partitionCols, m.statsCols, m.bloomCols)
+        val idWm = identityWmUpdate(spark, path, base, added, addedStats)
         var tries = 0
         while (true) {
           require(m.partitionCols == base.partitionCols,
             s"table partitioning changed concurrently: " +
               s"${base.partitionCols} -> ${m.partitionCols}")
+          // a concurrent write already advanced the identity watermark we
+          // minted from: both batches carry overlapping generated ids, so
+          // retrying silently would commit duplicates — fail loudly
+          if (idWm.nonEmpty &&
+              m.props.get(IdentityWmProp) != base.props.get(IdentityWmProp))
+            throw new java.util.ConcurrentModificationException(
+              s"identity allocation on $path lost to a concurrent write — " +
+                "the batch's generated ids were minted from a stale " +
+                "watermark; re-run the append")
           // COPY INTO race: a concurrent ingestion of the same landing
           // files must fail LOUDLY here, not land the rows twice — the
           // re-run recomputes its fresh set against the winner's ledger
@@ -2589,7 +2600,8 @@ object ManifestTable {
           try return commit(spark, path, m.version + 1, schema, m.partitionCols,
             m.files ++ added, m.statsCols, addedStats, m.bloomCols, carry = Some(m),
             constraints = m.constraints, transforms = m.transforms,
-            colmap = colmap2, retired = m.retired, txn = txn, ingests = ingests)
+            colmap = colmap2, retired = m.retired, txn = txn, ingests = ingests,
+            props = idWm)
           catch {
             case e: java.util.ConcurrentModificationException =>
               tries += 1; if (tries > MaxCommitRetries) throw e
@@ -2874,6 +2886,77 @@ object ManifestTable {
   private def taggedVersions(spark: SparkSession, path: String): Set[Long] =
     tags(spark, path).map(_._2).toSet
 
+  // ------------------------------------------------------ identity columns
+
+  /** `graft.identity.column=<col>` — Delta's GENERATED BY DEFAULT AS
+    * IDENTITY re-derived: appends (Scala, SQL INSERT, streaming-sink
+    * append batches) and INSERT OVERWRITE fill the column's NULLs with
+    * table-unique, increasing BIGINTs minted from a HIGH WATERMARK the
+    * manifest carries (`graft.identity.watermark`, advanced atomically
+    * with each filling commit). Values are unique and increasing across
+    * commits, NOT contiguous (each row gets watermark + 1 +
+    * monotonically-increasing-id — the per-task allocation every engine
+    * uses, no count pass, no driver bottleneck). Caller-supplied non-NULL
+    * values are kept verbatim (the BY DEFAULT contract), and the
+    * watermark advances past EVERYTHING the commit wrote — self-syncing,
+    * so a caller writing ahead of the watermark never causes a later
+    * generated collision. A concurrent filling write is detected at commit rebase
+    * and fails LOUDLY — both writers minted from the same watermark, so
+    * retrying the loser silently would land duplicate ids. Declared via
+    * TBLPROPERTIES (any time); the column must exist as BIGINT. */
+  val IdentityColProp = "graft.identity.column"
+  private[sources] val IdentityWmProp = "graft.identity.watermark"
+
+  /** NULL-fill the identity column of a logical-named batch, minting from
+    * the manifest's watermark. No-op when the table declares none. */
+  private def fillIdentity(m: Manifest, batch: DataFrame,
+                           face: String): DataFrame =
+    m.props.get(IdentityColProp) match {
+      case None => batch
+      case Some(idCol) =>
+        val lg = logicalSchema(m)
+        require(lg.fieldNames.contains(idCol),
+          s"$IdentityColProp names '$idCol', which is not a table column")
+        require(lg(idCol).dataType == LongType,
+          s"identity column '$idCol' must be BIGINT, is ${lg(idCol).dataType.sql}")
+        val wm = m.props.get(IdentityWmProp).map(_.toLong).getOrElse(0L)
+        // by-name writers may omit the column entirely = all generated
+        val withCol =
+          if (batch.columns.contains(idCol)) batch
+          else batch.withColumn(idCol, lit(null).cast(LongType))
+        withCol.withColumn(idCol, coalesce(col(idCol).cast(LongType),
+          lit(wm + 1L) + monotonically_increasing_id()))
+    }
+
+  /** The watermark property update for a commit that just wrote `added`
+    * files through [[fillIdentity]]: the real max of the identity column
+    * over the NEW files — free from the commit's own stats pass when the
+    * column carries zone maps, otherwise one single-column scan of the
+    * batch's files (batch-bounded, never the table). Empty when the
+    * table declares no identity column. */
+  private def identityWmUpdate(spark: SparkSession, path: String,
+                               m: Manifest, added: Seq[String],
+                               addedStats: Map[String, FileStats]):
+      Map[String, String] =
+    m.props.get(IdentityColProp) match {
+      case None => Map.empty
+      case Some(idCol) if added.isEmpty => Map.empty
+      case Some(idCol) =>
+        val wm = m.props.get(IdentityWmProp).map(_.toLong).getOrElse(0L)
+        val written: Long =
+          if (m.statsCols.contains(idCol))
+            added.flatMap(rel => addedStats.get(rel).flatMap(_.get(idCol))
+              .flatMap(_._2).map(decodeStat(_).asInstanceOf[Long]))
+              .foldLeft(Long.MinValue)(_ max _)
+          else {
+            val ph = m.colmap.getOrElse(idCol, idCol)
+            val paths = added.map(rel => new Path(dataDir(path), rel).toString)
+            val r = spark.read.parquet(paths: _*).agg(max(col(ph))).head
+            if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+          }
+        Map(IdentityWmProp -> math.max(wm, written).toString)
+    }
+
   /** Replace exactly the partitions present in `df` (dynamic-overwrite
     * semantics, but transactional): untouched partitions keep their old
     * manifest entries verbatim.
@@ -2940,8 +3023,9 @@ object ManifestTable {
       .getOrElse(sys.error(s"no manifest table at $path — use overwrite"))
     var m = readManifest(spark, path, v0)
     requireMutable(m, path, "INSERT OVERWRITE")
-    val batch = withDerived(
-      df.drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema))
+    val batch = fillIdentity(m, withDerived(
+      df.drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema)),
+      "INSERT OVERWRITE")
     val (schema0, colmap0) = evolveSchema(batch, m, "overwrite")
     enforceConstraints(batch, m.constraints, "overwrite")
     val base = m
@@ -2950,6 +3034,7 @@ object ManifestTable {
       colmap0)
     val addedStats = collectStats(spark, path, added, schema0,
       m.partitionCols, m.statsCols, m.bloomCols)
+    val idWm = identityWmUpdate(spark, path, base, added, addedStats)
     var tries = 0
     while (true) {
       require(m.partitionCols == base.partitionCols,
@@ -2959,11 +3044,17 @@ object ManifestTable {
         throw new java.util.ConcurrentModificationException(
           s"INSERT OVERWRITE on $path lost to a rename/drop commit — the " +
             "batch's files were written under the old physical names; re-run")
+      if (idWm.nonEmpty &&
+          m.props.get(IdentityWmProp) != base.props.get(IdentityWmProp))
+        throw new java.util.ConcurrentModificationException(
+          s"identity allocation on $path lost to a concurrent write — the " +
+            "batch's generated ids were minted from a stale watermark; re-run")
       try return commit(spark, path, m.version + 1, schema0, m.partitionCols,
         added, m.statsCols, addedStats, m.bloomCols,
         carry = Some(m.copy(ingests = Nil)),
         constraints = m.constraints, transforms = m.transforms,
-        colmap = colmap0, retired = m.retired, op = Some("overwrite"))
+        colmap = colmap0, retired = m.retired, op = Some("overwrite"),
+        props = idWm)
       catch {
         case e: java.util.ConcurrentModificationException =>
           tries += 1; if (tries > MaxCommitRetries) throw e

@@ -72,6 +72,76 @@ class ManifestTableSpec extends SparkSpec {
     assert(bad.getMessage.contains("unknown mode"))
   }
 
+  test("identity column: NULL fill, cross-commit uniqueness, explicit values kept, self-syncing watermark") {
+    val path = tmpTable()
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(lit(null).cast("long").as("row_id"), col("id").as("payload"))
+      .repartition(3)
+    ManifestTable.overwrite(spark, path, batch(0, 0))                 // v1: empty, schema declared
+    ManifestTable.setProperties(spark, path,
+      Map(ManifestTable.IdentityColProp -> "row_id"))                 // v2
+
+    ManifestTable.append(spark, path, batch(0, 100))                  // v3: all generated
+    val after1 = ManifestTable.read(spark, path)
+    assert(after1.filter(col("row_id").isNull).count() === 0)
+    assert(after1.select("row_id").distinct().count() === 100)
+    val max1 = after1.agg(max("row_id")).head.getLong(0)
+    assert(max1 >= 100L)
+
+    // second batch mints strictly ABOVE everything committed
+    ManifestTable.append(spark, path, batch(100, 150))                // v4
+    val after2 = ManifestTable.read(spark, path)
+    assert(after2.select("row_id").distinct().count() === 150)
+    val min2 = after2.filter(col("payload") >= 100).agg(min("row_id")).head.getLong(0)
+    assert(min2 > max1, s"new generated ids ($min2) must exceed the prior max ($max1)")
+
+    // explicit values are kept verbatim AND self-sync the watermark:
+    // later generated ids land above them
+    ManifestTable.append(spark, path, spark.range(150, 160)
+      .select((col("id") + 5000000L).as("row_id"), col("id").as("payload")))  // v5
+    ManifestTable.append(spark, path, batch(160, 170))                // v6
+    val after4 = ManifestTable.read(spark, path)
+    assert(after4.filter(col("payload").between(150, 159))
+      .select("row_id").as[Long].collect().sorted === (5000150L to 5000159L).toArray)
+    assert(after4.filter(col("payload") >= 160).agg(min("row_id")).head.getLong(0)
+      > 5000159L, "watermark must have synced past the explicit values")
+    assert(after4.select("row_id").distinct().count() === 170)
+
+    // a mixed batch fills exactly the NULLs
+    ManifestTable.append(spark, path, spark.range(170, 174)
+      .select(when(col("id") % 2 === 0, col("id") + 9000000L).as("row_id"),
+        col("id").as("payload")))                                     // v7
+    val mixed = ManifestTable.read(spark, path).filter(col("payload") >= 170)
+    assert(mixed.filter(col("row_id").isNull).count() === 0)
+    assert(mixed.filter(col("row_id").isin(9000170L, 9000172L)).count() === 2,
+      "the two explicit ids must land verbatim")
+
+    // by-name writers may omit the column entirely
+    ManifestTable.append(spark, path,
+      spark.range(174, 178).select(col("id").as("payload")))          // v8
+    val omitted = ManifestTable.read(spark, path).filter(col("payload") >= 174)
+    assert(omitted.count() === 4 && omitted.filter(col("row_id").isNull).count() === 0)
+
+    // the watermark is an ordinary visible property
+    assert(ManifestTable.properties(spark, path)
+      .get(ManifestTable.IdentityWmProp).exists(_.toLong >= 9000003L))
+
+    // contract violations fail the WRITE loudly
+    val path2 = tmpTable()
+    ManifestTable.overwrite(spark, path2,
+      spark.range(0).select(col("id").cast("int").as("small"), col("id").as("v")))
+    ManifestTable.setProperties(spark, path2,
+      Map(ManifestTable.IdentityColProp -> "small"))
+    val notLong = intercept[Exception](ManifestTable.append(spark, path2,
+      spark.range(3).select(col("id").cast("int").as("small"), col("id").as("v"))))
+    assert(notLong.getMessage.contains("must be BIGINT"))
+    ManifestTable.setProperties(spark, path2,
+      Map(ManifestTable.IdentityColProp -> "ghost"))
+    val noCol = intercept[Exception](ManifestTable.append(spark, path2,
+      spark.range(3).select(col("id").cast("int").as("small"), col("id").as("v"))))
+    assert(noCol.getMessage.contains("not a table column"))
+  }
+
   test("zone maps skip files outside the queried range; results stay exact") {
     val path = tmpTable()
     // cluster on id: range repartition → each file holds a narrow id band
