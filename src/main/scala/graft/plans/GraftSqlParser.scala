@@ -80,9 +80,9 @@ class GraftSqlParser(session: SparkSession,
       GraftHistoryCommand(target, Option(limit).map(_.toInt))
     case DetailRe(target) =>
       GraftDetailCommand(target)
-    case RestoreRe(target, version, ts) =>
+    case RestoreRe(target, version, ts, tag) =>
       GraftRestoreCommand(target, Option(version).map(_.toLong),
-        Option(ts))
+        Option(ts), Option(tag).map(_.stripPrefix("'").stripSuffix("'")))
     case CopyIntoRe(target, src, format, pattern) =>
       GraftCopyIntoCommand(target, src, format.toLowerCase, Option(pattern))
     case CloneRe(target, src, ver, loc) =>
@@ -391,6 +391,10 @@ object GraftSqlParser {
   // target: '<quoted path>' or a (possibly qualified, possibly backticked)
   // identifier — no spaces outside quotes/backticks
   private val T = """('[^']*'|`[^`]+`|[\w.$]+)"""
+  // tag names (Iceberg's ref DDL): bare or quoted — the quoted branch
+  // accepts anything so createTag's validation, not a delegate parse
+  // error, rejects a bad name. Declared before every regex that uses it.
+  private val TagName = """([A-Za-z0-9][A-Za-z0-9._-]*|'[^']+')"""
   private val OptimizeRe =
     (s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(.+?))?""" +
       """(?:\s+SMALLER\s+THAN\s+'([^']+)')?""" +
@@ -405,7 +409,8 @@ object GraftSqlParser {
     s"""(?is)\\s*DESCRIBE\\s+DETAIL\\s+$T\\s*;?\\s*""".r
   private val RestoreRe =
     (s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+""" +
-      """(?:VERSION\s+(\d+)|TIMESTAMP\s+'([^']+)')\s*;?\s*""").r
+      """(?:VERSION\s+(\d+)|TIMESTAMP\s+'([^']+)'|TAG\s+""" +
+      s"""$TagName)\\s*;?\\s*""").r
   private val CopyIntoRe =
     (s"""(?is)\\s*COPY\\s+INTO\\s+$T\\s+FROM\\s+'([^']+)'""" +
       """\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=?\s*'([^']+)')?\s*;?\s*""").r
@@ -428,10 +433,6 @@ object GraftSqlParser {
     s"""(?is)\\s*PUBLISH\\s+STAGED\\s+$T(?:\\s+'([^']+)')?\\s*;?\\s*""".r
   private val DropStagedRe =
     s"""(?is)\\s*DROP\\s+STAGED\\s+$T(?:\\s+'([^']+)')?\\s*;?\\s*""".r
-  // named tags (Iceberg's ref DDL shape): bare or quoted tag names — the
-  // quoted branch accepts anything so createTag's validation, not a
-  // delegate parse error, rejects a bad name
-  private val TagName = """([A-Za-z0-9][A-Za-z0-9._-]*|'[^']+')"""
   private val CreateTagRe =
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+CREATE\\s+(OR\\s+REPLACE\\s+)?TAG\\s+""" +
       s"""$TagName(?:\\s+AS\\s+OF\\s+VERSION\\s+(\\d+))?\\s*;?\\s*""").r
@@ -834,15 +835,20 @@ case class GraftDropConstraintCommand(path: String, name: String,
   * version with the prior state's content; history is preserved, nothing
   * rewrites. Returns the restored-from and new version numbers. */
 case class GraftRestoreCommand(target: String, version: Option[Long],
-                               timestamp: Option[String]) extends LeafRunnableCommand {
+                               timestamp: Option[String],
+                               tag: Option[String] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("restored_version", LongType, nullable = false)(),
     AttributeReference("new_version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
-    val to = version.getOrElse(ManifestTable.versionAt(spark, path,
-      graft.sources.GraftSource.parseTimestampMillis(spark,
-        timestamp.get)))
+    val to = version
+      .orElse(tag.map(t => ManifestTable.tagVersion(spark, path, t)
+        .getOrElse(sys.error(s"RESTORE TO TAG: no tag '$t' at $path"))))
+      .getOrElse(ManifestTable.versionAt(spark, path,
+        graft.sources.GraftSource.parseTimestampMillis(spark,
+          timestamp.get)))
     val v = ManifestTable.restore(spark, path, to)
     spark.sessionState.catalog.invalidateAllCachedTables()
     Seq(Row(to, v))

@@ -951,6 +951,11 @@ class GraftSqlParserSpec extends SparkSpec {
     s.sql(s"CREATE TABLE tag_t USING graft OPTIONS (path '$path')")
     s.sql("ALTER TABLE tag_t CREATE TAG audit")
     assert(s.sql("SHOW TAGS tag_t").head.getString(0) === "audit")
+    // RESTORE TO TAG: the rollback face speaks tag names too
+    val rv = s.sql("RESTORE tag_t TO TAG audit").head
+    assert(rv.getLong(0) === s.sql("SHOW TAGS tag_t").head.getLong(1))
+    val noTag = intercept[Exception](s.sql("RESTORE tag_t TO TAG ghost"))
+    assert(noTag.getMessage.contains("no tag 'ghost'"))
     s.sql("ALTER TABLE tag_t DROP TAG audit")
     s.sql("DROP TABLE tag_t")
 

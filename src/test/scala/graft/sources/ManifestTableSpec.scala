@@ -142,6 +142,33 @@ class ManifestTableSpec extends SparkSpec {
     assert(noCol.getMessage.contains("not a table column"))
   }
 
+  test("graft.write.distribution=range + sortOrder: appends prune from day one, no OPTIMIZE needed") {
+    def scattered = spark.range(1000).select(col("id"), (col("id") * 7).as("v"))
+      .repartition(8) // round-robin: every task holds the FULL id range
+    // control: the same batch without write clustering — every file spans
+    // the whole id range, a range read prunes nothing
+    val flat = tmpTable()
+    ManifestTable.overwrite(spark, flat, scattered.limit(0), statsCols = Seq("id"))
+    ManifestTable.append(spark, flat, scattered)
+    val (keptFlat, totalFlat) = ManifestTable.prunedFiles(spark, flat, "id", 100L, 150L)
+    assert(totalFlat >= 8 && keptFlat.size === totalFlat,
+      s"unclustered ingest cannot prune: ${keptFlat.size}/$totalFlat")
+
+    // range distribution + sort order: each file is a narrow contiguous band
+    val clustered = tmpTable()
+    ManifestTable.overwrite(spark, clustered, scattered.limit(0), statsCols = Seq("id"))
+    ManifestTable.setProperties(spark, clustered, Map(
+      ManifestTable.DistributionProp -> "range",
+      ManifestTable.SortOrderProp -> "id"))
+    ManifestTable.append(spark, clustered, scattered)
+    val (kept, total) = ManifestTable.prunedFiles(spark, clustered, "id", 100L, 150L)
+    assert(total >= 2 && kept.size <= 2,
+      s"range-clustered ingest should keep <=2 of $total files, kept ${kept.size}")
+    // rows identical either way
+    assert(ManifestTable.read(spark, clustered).agg(sum("v")).head.getLong(0) ===
+      ManifestTable.read(spark, flat).agg(sum("v")).head.getLong(0))
+  }
+
   test("zone maps skip files outside the queried range; results stay exact") {
     val path = tmpTable()
     // cluster on id: range repartition → each file holds a narrow id band
