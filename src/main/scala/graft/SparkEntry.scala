@@ -1913,6 +1913,32 @@ object SparkEntry {
               |FROM q_tag_t FOR VERSION AS OF 'release-1'""".stripMargin)
     }),
 
+    // ---- REPLACE WHERE (Delta's replaceWhere): the idempotent backfill —
+    // correct exactly the 'P'-status partition from a version-pinned read
+    // of the table itself, run the SAME statement twice (second run must
+    // change nothing), untouched partitions carry byte-identical ----
+    "q_replace_where" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_rwq").toString + "/t"
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.ManifestTable.overwrite(s, dir, o, Seq("o_orderstatus"))
+      s.sql("DROP TABLE IF EXISTS q_rw_t")
+      s.sql(s"CREATE TABLE q_rw_t USING graft OPTIONS (path '$dir')")
+      val backfill =
+        """INSERT INTO q_rw_t REPLACE WHERE o_orderstatus = 'P'
+          |SELECT o_orderkey, o_orderstatus,
+          |       o_totalprice + 1 AS o_totalprice
+          |FROM q_rw_t FOR VERSION AS OF 1
+          |WHERE o_orderstatus = 'P'""".stripMargin
+      s.sql(backfill)
+      val once = s.sql("SELECT sum(o_totalprice) FROM q_rw_t").head.getDouble(0)
+      s.sql(backfill) // idempotent: same pinned source, same replace target
+      val twice = s.sql("SELECT sum(o_totalprice) FROM q_rw_t").head.getDouble(0)
+      require(math.abs(once - twice) < 1e-6,
+        s"replaceWhere backfill must be idempotent: $once vs $twice")
+      s.sql("SELECT o_orderkey, o_orderstatus, o_totalprice FROM q_rw_t")
+    }),
+
     // ---- identity column: two loads into a GENERATED BY DEFAULT table —
     // every row gets a table-unique id with no count pass and no driver
     // work; the require gates pin assignment + uniqueness, the compared
@@ -4576,6 +4602,13 @@ object SparkEntry {
     "q_sql_time_travel" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_custkey % 2 = 0""".stripMargin,
+
+    // the backfill re-derived: +1 on the P-status partition only
+    "q_replace_where" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 1
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders""".stripMargin,
 
     // the two identity loads = the %3 ∈ {0,1} slices; ids are
     // implementation-defined so the payload is what's compared

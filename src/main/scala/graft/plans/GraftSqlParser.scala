@@ -120,7 +120,34 @@ class GraftSqlParser(session: SparkSession,
       GraftAnalyzeCommand(target, all,
         Option(colsRaw).map(_.split(",").map(_.trim.stripPrefix("`")
           .stripSuffix("`")).toSeq).getOrElse(Nil))
-    case other => interceptCtas(interceptTimeTravel(interceptAlter(delegate.parsePlan(other))))
+    case other => interceptReplaceWhere(interceptCtas(
+      interceptTimeTravel(interceptAlter(delegate.parsePlan(other)))))
+  }
+
+  /** `INSERT INTO t REPLACE WHERE cond query` (Delta's replaceWhere,
+    * Spark's own v2 grammar — it parses for every table but only
+    * executes against DSv2): over a graft target it lowers to
+    * [[GraftReplaceWhereCommand]] / [[ManifestTable.overwriteWhere]] —
+    * one atomic commit that drops/rewrites exactly the matching rows and
+    * lands the batch, after validating the batch itself satisfies the
+    * predicate. Non-graft targets keep Spark's plan untouched. */
+  private def interceptReplaceWhere(plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.OverwriteByExpression
+    plan match {
+      case o @ OverwriteByExpression(u: UnresolvedRelation, cond, query,
+          _, _, _, _) =>
+        graftPathOf(u.multipartIdentifier) match {
+          case Some(path) =>
+            // carried as a COLUMN: the command is a leaf, so an unresolved
+            // Expression field would fail CheckAnalysis before run() ever
+            // re-anchors it on the snapshot read
+            GraftReplaceWhereCommand(path,
+              org.apache.spark.sql.graft.bridge.toColumn(cond), query)
+          case None => o
+        }
+      case other => other
+    }
   }
 
   /** CTAS + transform DDL (`CREATE TABLE t USING graft [PARTITIONED BY
@@ -758,6 +785,25 @@ case class GraftDropStagedCommand(target: String, id: Option[String])
         s"${ManifestTable.WapIdKey} is not set"))
     ManifestTable.dropStaged(spark, path, wid)
     Nil
+  }
+}
+
+/** Runnable form of the lowered `INSERT INTO … REPLACE WHERE` —
+  * [[ManifestTable.overwriteWhere]]: the batch query resolves at
+  * execution (exactly like CTAS), and the parse-time condition re-anchors
+  * on the snapshot read by attribute NAME (sound: a graft snapshot
+  * exposes exactly the table's columns). Returns the committed version. */
+case class GraftReplaceWhereCommand(path: String,
+                                    condition: org.apache.spark.sql.Column,
+                                    query: LogicalPlan)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = org.apache.spark.sql.graft.bridge.ofRows(spark, query)
+    val v = ManifestTable.overwriteWhere(spark, path, df, condition)
+    spark.sessionState.catalog.invalidateAllCachedTables()
+    Seq(Row(v))
   }
 }
 

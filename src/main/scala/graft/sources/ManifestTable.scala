@@ -3087,6 +3087,46 @@ object ManifestTable {
     sys.error("unreachable")
   }
 
+  /** Delta's replaceWhere: atomically replace exactly the rows matching
+    * `predicate` with `df` — ONE commit in which files fully inside the
+    * predicate drop, partially-matching files rewrite WITHOUT their
+    * matching rows (deletion vectors honored — no resurrection), and the
+    * batch's files land. The batch must itself satisfy the predicate,
+    * validated BEFORE any data is written — the contract that makes a
+    * backfill idempotent and stops "replaced January, inserted February"
+    * from corrupting silently. Constraints gate the batch and identity
+    * columns fill, like every write. Touch cost is predicate-bounded:
+    * untouched files carry byte-identical with their stats (zone maps
+    * select the touched set, so a partition-aligned predicate never reads
+    * the rest of a 100 TB table). Losing the version race throws —
+    * re-run against the winner. */
+  def overwriteWhere(spark: SparkSession, path: String, df: DataFrame,
+                     predicate: Column): Long = {
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    requireMutable(m, path, "REPLACE WHERE")
+    val batch = fillIdentity(m, withDerived(
+      df.drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema)),
+      "REPLACE WHERE")
+    enforceConstraints(batch, m.constraints, "REPLACE WHERE")
+    // every incoming row must match the predicate it claims to replace
+    val offender = batch.filter(!coalesce(predicate, lit(false))).take(1)
+    require(offender.isEmpty,
+      s"REPLACE WHERE on $path: the batch contains row(s) OUTSIDE the " +
+        s"predicate (e.g. ${offender.headOption.getOrElse("")}) — a " +
+        "replace must only write rows it is replacing")
+    val touched = touchedFiles(spark, path, m.files, m, predicate)
+    // surviving rows of partially-matching files + the batch, one rewrite
+    val kept =
+      if (touched.isEmpty) batch
+      else readRels(spark, path, m, touched)
+        .filter(!coalesce(predicate, lit(false)))
+        .unionByName(batch)
+    commitRewrite(spark, path, v, m, touched,
+      clusterForWrite(kept, m), op = Some("overwrite"))
+  }
+
   /** Stats value types the manifest can encode exactly ([[encodeStat]]):
     * the eligibility test for `ANALYZE … FOR ALL COLUMNS`. */
   private[graft] def statSupported(dt: org.apache.spark.sql.types.DataType): Boolean =
@@ -3987,10 +4027,14 @@ object ManifestTable {
     val newFiles = if (m.statsCols.nonEmpty || m.bloomCols.nonEmpty)
                      written.filter(newStats.contains)
                    else written
+    // identity tables self-sync the watermark past everything the rewrite
+    // wrote (REPLACE WHERE mints fresh ids; delete/update rewrites carry
+    // old ones, whose max never exceeds the current watermark — harmless)
     commit(spark, path, v + 1, m.schema, m.partitionCols,
       untouched ++ newFiles, m.statsCols, newStats, m.bloomCols, carry = Some(m),
       constraints = m.constraints, transforms = m.transforms,
-      colmap = m.colmap, retired = m.retired, op = op)
+      colmap = m.colmap, retired = m.retired, op = op,
+      props = identityWmUpdate(spark, path, m, newFiles, newStats))
   }
 
   /** Rewrite the current snapshot into ~`targetRowsPerFile`-row files —

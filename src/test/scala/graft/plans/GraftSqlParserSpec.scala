@@ -965,6 +965,61 @@ class GraftSqlParserSpec extends SparkSpec {
     s.sql("DROP TABLE plain_tag_t")
   }
 
+  test("INSERT INTO … REPLACE WHERE: atomic predicate-scoped replace, batch gated, untouched files carry") {
+    val s = extSpark
+    val path = Files.createTempDirectory("sqlp_rw").toString + "/t"
+    ManifestTable.overwrite(s, path,
+      s.range(100).select(col("id"),
+        when(col("id") < 50, "jan").otherwise("feb").as("mon"),
+        (col("id") * 2).as("v")),
+      Seq("mon"))
+    s.sql("DROP TABLE IF EXISTS rw_t")
+    s.sql(s"CREATE TABLE rw_t USING graft OPTIONS (path '$path')")
+
+    // replace exactly January: one commit, corrected rows in, feb untouched
+    val v = s.sql("""INSERT INTO rw_t REPLACE WHERE mon = 'jan'
+      |SELECT id, 'jan' AS mon, CAST(0 AS BIGINT) AS v FROM range(40)"""
+      .stripMargin).head.getLong(0)
+    assert(v === 2L, "one atomic commit")
+    assert(s.sql("SELECT count(*) AS n FROM rw_t").head.getLong(0) === 90L)
+    assert(s.sql("SELECT sum(v) AS sv FROM rw_t WHERE mon = 'jan'")
+      .head.getLong(0) === 0L, "january fully replaced")
+    assert(s.sql("SELECT count(*) AS n FROM rw_t WHERE mon = 'feb'")
+      .head.getLong(0) === 50L)
+    // february's files carried byte-identical (same manifest entries)
+    def febFiles(ver: Long) = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path, "_manifests", f"m$ver%012d.txt")))
+      .split("\n").filter(_.startsWith("file="))
+      .map(_.stripPrefix("file=")).filter(_.contains("mon=feb")).toSet
+    assert(febFiles(2L) === febFiles(1L),
+      "untouched partition must carry, not rewrite")
+
+    // a batch row OUTSIDE the predicate rejects LOUDLY, nothing lands
+    val bad = intercept[Exception](s.sql(
+      """INSERT INTO rw_t REPLACE WHERE mon = 'jan'
+        |SELECT id, 'feb' AS mon, CAST(1 AS BIGINT) AS v FROM range(5)"""
+        .stripMargin))
+    assert(bad.getMessage.contains("OUTSIDE the predicate"))
+    assert(s.sql("SELECT count(*) AS n FROM rw_t").head.getLong(0) === 90L)
+    assert(ManifestTable.currentVersion(s, path).get === 2L,
+      "a rejected replace must not commit")
+
+    // idempotent backfill: the same replace twice lands the same table
+    s.sql("""INSERT INTO rw_t REPLACE WHERE mon = 'jan'
+      |SELECT id, 'jan' AS mon, CAST(7 AS BIGINT) AS v FROM range(40)""".stripMargin)
+    s.sql("""INSERT INTO rw_t REPLACE WHERE mon = 'jan'
+      |SELECT id, 'jan' AS mon, CAST(7 AS BIGINT) AS v FROM range(40)""".stripMargin)
+    assert(s.sql("SELECT count(*) AS n, sum(v) AS sv FROM rw_t WHERE mon = 'jan'")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head === ((40L, 280L)))
+    s.sql("DROP TABLE rw_t")
+
+    // non-graft targets keep Spark's own (v2-only) path and its error
+    s.range(3).write.mode("overwrite").saveAsTable("plain_rw_t")
+    intercept[Exception](s.sql(
+      "INSERT INTO plain_rw_t REPLACE WHERE id > 1 SELECT 9 AS id"))
+    s.sql("DROP TABLE plain_rw_t")
+  }
+
   test("CREATE TABLE … SHALLOW CLONE: zero-copy from SQL, version pin, LOCATION and path forms") {
     val s = extSpark
     val r = Files.createTempDirectory("sqlp_clone").toString
