@@ -2620,11 +2620,17 @@ object ManifestTable {
               s"append to $path lost to a rename/drop commit — the batch's " +
                 "files were written under the old physical names; re-run")
           val (schema, colmap2) = evolveSchema(batch, m, "append")
-          try return commit(spark, path, m.version + 1, schema, m.partitionCols,
-            m.files ++ added, m.statsCols, addedStats, m.bloomCols, carry = Some(m),
-            constraints = m.constraints, transforms = m.transforms,
-            colmap = colmap2, retired = m.retired, txn = txn, ingests = ingests,
-            props = idWm)
+          try {
+            val committed = commit(spark, path, m.version + 1, schema,
+              m.partitionCols, m.files ++ added, m.statsCols, addedStats,
+              m.bloomCols, carry = Some(m), constraints = m.constraints,
+              transforms = m.transforms, colmap = colmap2,
+              retired = m.retired, txn = txn, ingests = ingests,
+              props = idWm)
+            // best-effort small-file packing of the touched directories
+            autoCompactAfterAppend(spark, path, added)
+            return committed
+          }
           catch {
             case e: java.util.ConcurrentModificationException =>
               tries += 1; if (tries > MaxCommitRetries) throw e
@@ -2979,6 +2985,52 @@ object ManifestTable {
           }
         Map(IdentityWmProp -> math.max(wm, written).toString)
     }
+
+  // ------------------------------------------------------- auto-compaction
+
+  /** Delta's auto compaction re-derived: with `graft.autoCompact=true`,
+    * every successful APPEND checks the partition directories it touched
+    * and, once at least `graft.autoCompact.minFiles` (default 8) files
+    * there sit under `graft.autoCompact.smallerThan` (default '32m'),
+    * bin-packs exactly those small files into `graft.targetFileRows`-row
+    * files as a follow-up commit — the answer to the streaming trickle
+    * that would otherwise accrete thousands of tiny files between nightly
+    * OPTIMIZE runs. Scope discipline at 100 TB: only the TOUCHED
+    * directories are listed and rewritten (never the table), the check is
+    * one metadata RPC per candidate file, and compaction is BEST-EFFORT —
+    * a lost race or failure logs and never fails the append that
+    * triggered it (the data is committed; packing is maintenance). */
+  val AutoCompactProp = "graft.autoCompact"
+  private val AutoCompactMinFilesProp = "graft.autoCompact.minFiles"
+  private val AutoCompactSmallerProp = "graft.autoCompact.smallerThan"
+
+  private def autoCompactAfterAppend(spark: SparkSession, path: String,
+                                     added: Seq[String]): Unit = {
+    val v = currentVersion(spark, path).getOrElse(return)
+    val m = readManifest(spark, path, v)
+    if (!m.props.get(AutoCompactProp).exists(_.equalsIgnoreCase("true"))) return
+    val minFiles = math.max(2,
+      m.props.get(AutoCompactMinFilesProp).map(_.toInt).getOrElse(8))
+    val smaller = m.props.get(AutoCompactSmallerProp)
+      .map(GraftStreamSource.parseBytes).getOrElse(32L << 20)
+    val target = m.props.get("graft.targetFileRows").map(_.toLong)
+      .getOrElse(1L << 20)
+    val dirs = added.map(dirOf).toSet
+    val f = fs(spark, path)
+    val small = m.files.filter(rel => dirs.contains(dirOf(rel)) && {
+      try f.getFileStatus(filePath(path, rel)).getLen < smaller
+      catch { case _: java.io.IOException => false }
+    })
+    if (small.size < minFiles) return
+    try {
+      val sized = graft.operators.Maintenance.sizedRepartition(
+        readRels(spark, path, m, small), m.partitionCols, target)
+        .localCheckpoint(true)
+      commitRewrite(spark, path, v, m, small, sized): Unit
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft] auto-compact of $path skipped: ${e.getMessage}")
+    }
+  }
 
   /** Replace exactly the partitions present in `df` (dynamic-overwrite
     * semantics, but transactional): untouched partitions keep their old

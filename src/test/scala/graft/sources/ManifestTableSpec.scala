@@ -169,6 +169,34 @@ class ManifestTableSpec extends SparkSpec {
       ManifestTable.read(spark, flat).agg(sum("v")).head.getLong(0))
   }
 
+  test("graft.autoCompact: trickle appends self-pack; disabled tables accrete") {
+    def trickle(path: String): Unit =
+      (0 until 4).foreach(i => ManifestTable.append(spark, path,
+        spark.range(i * 10L, i * 10L + 10).toDF("id").repartition(2)))
+
+    val off = tmpTable()
+    ManifestTable.overwrite(spark, off, spark.range(0).toDF("id"))
+    trickle(off)
+    assert(filesOf(off, ManifestTable.currentVersion(spark, off).get).size === 9,
+      "without autoCompact the trickle accretes a file per task per append " +
+        "(8) plus the empty create's one")
+
+    val on = tmpTable()
+    ManifestTable.overwrite(spark, on, spark.range(0).toDF("id"))
+    ManifestTable.setProperties(spark, on, Map(
+      ManifestTable.AutoCompactProp -> "true",
+      "graft.autoCompact.minFiles" -> "6"))
+    trickle(on)
+    val v = ManifestTable.currentVersion(spark, on).get
+    val n = filesOf(on, v).size
+    assert(n < 9, s"crossing minFiles must have packed the small files, got $n")
+    // content identical either way, and history kept every step
+    assert(ManifestTable.read(spark, on).agg(sum("id")).head.getLong(0) ===
+      ManifestTable.read(spark, off).agg(sum("id")).head.getLong(0))
+    assert(ManifestTable.read(spark, on).count() === 40)
+    assert(v > 6, "the packing is its own follow-up commit in the history")
+  }
+
   test("zone maps skip files outside the queried range; results stay exact") {
     val path = tmpTable()
     // cluster on id: range repartition → each file holds a narrow id band
