@@ -131,6 +131,8 @@ object MetaAggregateRule extends Rule[LogicalPlan] {
     ae.aggregateFunction match {
       // count(*) plans as Count(1); any non-null literal counts every row
       case Count(Seq(l: Literal)) if l.value != null => rel.metaCount
+      // COUNT(col) = non-null count, from the per-file null counters
+      case Count(Seq(a: AttributeReference)) => rel.metaNonNullCount(a.name)
       case Min(a: AttributeReference) =>
         rel.metaMinMax(a.name).flatMap(mm => external(mm._1, a.dataType))
       case Max(a: AttributeReference) =>

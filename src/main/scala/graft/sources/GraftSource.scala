@@ -840,6 +840,11 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
   private[graft] def metaMinMax(colName: String): Option[(Any, Any)] =
     ManifestTable.fastMinMaxOf(spark, path, manifest, colName)
 
+  /** Manifest-answered COUNT(col) — the non-null count, from the per-file
+    * null counters; None when any counter is missing or DVs exist. */
+  private[graft] def metaNonNullCount(colName: String): Option[Long] =
+    ManifestTable.fastNonNullCountOf(manifest, colName)
+
   /** This relation's partition columns (for grouped metadata aggregates). */
   private[graft] def partitionColumns: Seq[String] = manifest.partitionCols
 
@@ -1044,10 +1049,24 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
   /** The scan's inner DataFrame — separated from [[buildScan]] so specs
     * can assert the real plan (the v1 RDD boundary hides it from the
     * outer query's executedPlan). */
+  /** Top-level (conjunctive) null constraints usable against per-file
+    * null counters: `IS NULL` skips null-free files, `IS NOT NULL` skips
+    * all-null files. A same-column contradiction (both present) yields no
+    * constraint — the row filter returns the empty answer anyway. */
+  private def nullPrunes(filters: Array[Filter]): Map[String, Boolean] = {
+    val wants = filters.collect {
+      case IsNull(a) => a -> true
+      case IsNotNull(a) => a -> false
+    }
+    wants.groupBy(_._1).collect {
+      case (c, ws) if ws.map(_._2).distinct.size == 1 => c -> ws.head._2
+    }
+  }
+
   private[sources] def innerScan(requiredColumns: Array[String],
                                  filters: Array[Filter]): DataFrame = {
     val base = ManifestTable.readPrunedPoints(spark, path, manifest,
-      bounds(filters), points(filters))
+      bounds(filters), points(filters), nullPrunes(filters))
     val implied = manifest.transforms
       .flatMap(t => filters.flatMap(f => impliedPartitionFilter(t, f)))
     val filtered = (filters.flatMap(toColumn) ++ implied).foldLeft(base)(_ filter _)

@@ -1175,6 +1175,26 @@ object ManifestTable {
                                 hashes: Map[String, Seq[Long]]): Boolean =
     hashes.forall { case (c, hs) => hs.exists(h => bloomStatMayContain(st, c, h)) }
 
+  /** Per-file NULL-count test: `IS NULL` (wantNull=true) skips null-free
+    * files, `IS NOT NULL` skips all-null files. Missing counters (older
+    * manifests, non-stats columns) keep the file — conservative. */
+  private def keepByNullsStats(st: Option[FileStats], statsCols: Seq[String],
+                               nulls: Map[String, Boolean]): Boolean =
+    nulls.forall { case (c, wantNull) =>
+      if (!statsCols.contains(c)) true
+      else {
+        val nc = st.flatMap(_.get(NullsPrefix + c)).flatMap(_._1)
+          .map(decodeStat(_).asInstanceOf[Long])
+        val rows = st.flatMap(_.get(RowsKey)).flatMap(_._1)
+          .map(decodeStat(_).asInstanceOf[Long])
+        (nc, rows) match {
+          case (Some(n), _) if wantNull => n > 0
+          case (Some(n), Some(r)) if !wantNull => n < r
+          case _ => true
+        }
+      }
+    }
+
   private def pruneByBounds(m: Manifest,
                             bounds: Map[String, (Option[Any], Option[Any])]): Seq[String] =
     m.files.filter(rel => keepByBoundsStats(m.stats.get(rel), m.statsCols, bounds))
@@ -1201,8 +1221,9 @@ object ManifestTable {
   private[sources] def readPrunedPoints(
       spark: SparkSession, path: String, m: Manifest,
       bounds: Map[String, (Option[Any], Option[Any])],
-      points: Map[String, Seq[Any]]): DataFrame =
-    readRels(spark, path, m, prunedRels(spark, path, m, bounds, points))
+      points: Map[String, Seq[Any]],
+      nulls: Map[String, Boolean] = Map.empty): DataFrame =
+    readRels(spark, path, m, prunedRels(spark, path, m, bounds, points, nulls))
 
   /** File skipping, dispatched on the stats representation: inline
     * manifests run the driver loop over `m.stats`; sidecar manifests run
@@ -1213,7 +1234,8 @@ object ManifestTable {
     */
   private def prunedRels(spark: SparkSession, path: String, m: Manifest,
                          bounds: Map[String, (Option[Any], Option[Any])],
-                         points: Map[String, Seq[Any]]): Seq[String] = {
+                         points: Map[String, Seq[Any]],
+                         nulls: Map[String, Boolean] = Map.empty): Seq[String] = {
     val hashes: Map[String, Seq[Long]] = points.collect {
       case (c, vs) if m.bloomCols.contains(c) && vs.nonEmpty =>
         val dt = m.schema(c).dataType
@@ -1223,15 +1245,20 @@ object ManifestTable {
       case None =>
         m.files.filter { rel =>
           val st = m.stats.get(rel)
-          keepByBoundsStats(st, m.statsCols, bounds) && keepByPointsStats(st, hashes)
+          keepByBoundsStats(st, m.statsCols, bounds) &&
+            keepByPointsStats(st, hashes) &&
+            keepByNullsStats(st, m.statsCols, nulls)
         }
       case Some(_) =>
         val statsCols = m.statsCols
-        val (bs, hs) = (bounds, hashes) // serialize the small predicate state only
+        // serialize the small predicate state only
+        val (bs, hs, ns) = (bounds, hashes, nulls)
         val survivors = readSidecar(spark, path, m)
           .filter { r =>
             val st = Some(rowStats(r))
-            keepByBoundsStats(st, statsCols, bs) && keepByPointsStats(st, hs)
+            keepByBoundsStats(st, statsCols, bs) &&
+              keepByPointsStats(st, hs) &&
+              keepByNullsStats(st, statsCols, ns)
           }
           .map(_.rel)(org.apache.spark.sql.Encoders.STRING)
           .collect().toSet
@@ -1316,13 +1343,16 @@ object ManifestTable {
     require(bad.isEmpty, s"stats on partition columns are redundant: $bad")
     require(!statsCols.contains(RowsKey), s"$RowsKey is reserved")
     require((statsCols ++ bloomCols).forall(c =>
-      !c.startsWith(BloomPrefix) && !c.startsWith(NdvPrefix)),
+      !c.startsWith(BloomPrefix) && !c.startsWith(NdvPrefix) &&
+        !c.startsWith(NullsPrefix)),
       s"column names may not start with the reserved prefixes " +
-        s"$BloomPrefix / $NdvPrefix")
+        s"$BloomPrefix / $NdvPrefix / $NullsPrefix")
     val bloomAgg = udaf(new BloomAgg(BloomWords, BloomK),
       org.apache.spark.sql.Encoders.LONG)
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        // per-file null count: IS [NOT] NULL skipping + metadata COUNT(c)
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
         // sketch stays BINARY on the wire; the driver base64s it below
         // (Spark's base64() MIME-chunks long output with newlines, which
         // would shred the line-oriented manifest format)
@@ -1367,6 +1397,11 @@ object ManifestTable {
         (NdvPrefix + c) -> ((Option(r.getAs[Array[Byte]](s"ndv_$c"))
           .map(java.util.Base64.getEncoder.encodeToString), None))
       }
+      // per-file null counts, same vehicle
+      val nulls = statsCols.map { c =>
+        val n = Some(encodeStat(r.getAs[Long](s"nulls_$c")))
+        (NullsPrefix + c) -> ((n, n))
+      }
       rel -> (statsCols.map { c =>
         val enc = (Option(r.getAs[Any](s"min_$c")),
             Option(r.getAs[Any](s"max_$c"))) match {
@@ -1376,7 +1411,7 @@ object ManifestTable {
           case (a, b) => (a.map(encodeStat), b.map(encodeStat))
         }
         c -> enc
-      }.toMap ++ blooms ++ ndvs + (RowsKey -> ((nrows, nrows))))
+      }.toMap ++ blooms ++ ndvs ++ nulls + (RowsKey -> ((nrows, nrows))))
     }.toMap
   }
 
@@ -1398,6 +1433,14 @@ object ManifestTable {
     * standard error (exact in list mode for small files) —
     * cardinality-CLASS accuracy, which is what join ordering consumes. */
   private[sources] val NdvPrefix = "_ndv:"
+
+  /** Reserved pseudo-column prefix for a stats column's per-file NULL
+    * COUNT (min == max == count, the RowsKey trick) — what `IS NULL`
+    * skips on (null-free files) and `IS NOT NULL` skips on (all-null
+    * files), and what lets `COUNT(col)` answer from metadata. Rides the
+    * one commit stats pass; absent on older manifests (conservative
+    * keep). Parquet/Iceberg/Delta all carry the same counter. */
+  private[sources] val NullsPrefix = "_nulls:"
   private[sources] val NdvLgK = 9
 
   /** Table-level NDV for a stats column: union every file's HLL sketch
@@ -1686,6 +1729,28 @@ object ManifestTable {
   private[graft] def fastCountAt(spark: SparkSession, path: String,
                                  v: Long): Option[Long] =
     fastCountOf(spark, path, readManifest(spark, path, v))
+
+  /** Metadata-answered COUNT(col) — non-null count — for a stats column:
+    * Σ per-file (rows − nulls), exact only when EVERY file carries both
+    * counters and no deletion vector exists (a DV'd row's null-ness is
+    * not recorded; subtracting blind would over- or under-count). Inline
+    * manifests only — the pseudo-keys are a driver fold away. */
+  private[sources] def fastNonNullCountOf(m: Manifest,
+                                          colName: String): Option[Long] = {
+    if (!m.statsCols.contains(colName) || m.sidecar.isDefined ||
+        m.dvs.nonEmpty) return None
+    if (m.files.isEmpty) return Some(0L)
+    val per = m.files.map { rel =>
+      val st = m.stats.get(rel)
+      for {
+        rows <- st.flatMap(_.get(RowsKey)).flatMap(_._1)
+          .map(decodeStat(_).asInstanceOf[Long])
+        nulls <- st.flatMap(_.get(NullsPrefix + colName)).flatMap(_._1)
+          .map(decodeStat(_).asInstanceOf[Long])
+      } yield rows - nulls
+    }
+    if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+  }
 
   private[sources] def fastCountOf(spark: SparkSession, path: String,
                                    m: Manifest): Option[Long] = {

@@ -55,6 +55,27 @@ class MetaAggregateRuleSpec extends SparkSpec {
       === ((300L, 1L, 300L, 0.25, 75.0)))
   }
 
+  test("COUNT(col) answers from the null counters; DV'd tables fall back and stay exact") {
+    val s = extSpark
+    import s.implicits._
+    val path = tmpTable()
+    // 100 rows, every third x NULL
+    (1 to 100).map(i => (i.toLong, if (i % 3 == 0) None else Some(i * 1.5)))
+      .toDF("id", "x")
+      .write.format("graft").option("statsCols", "id,x").save(path)
+
+    val nn = s.read.format("graft").load(path).agg(count(col("x")).as("n"))
+    assert(plansMetadataOnly(nn), nn.queryExecution.executedPlan.toString)
+    assert(nn.as[Long].head() === 67L)
+
+    // a deletion vector makes the null split of deleted rows unknowable
+    // from metadata: the rule must stand down, the answer must stay right
+    ManifestTable.deleteVectorized(s, path, col("id") <= 10L)
+    val after = s.read.format("graft").load(path).agg(count(col("x")).as("n"))
+    assert(!plansMetadataOnly(after))
+    assert(after.as[Long].head() === 60L, "67 minus the 7 non-null deleted")
+  }
+
   test("filters, non-stats columns, and stat-less tables fall back to a scan") {
     val s = extSpark
     import s.implicits._

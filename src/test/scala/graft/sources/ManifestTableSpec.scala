@@ -197,6 +197,30 @@ class ManifestTableSpec extends SparkSpec {
     assert(v > 6, "the packing is its own follow-up commit in the history")
   }
 
+  test("null counters skip files on IS NULL / IS NOT NULL; results stay exact") {
+    import org.apache.spark.sql.sources.{IsNull, IsNotNull}
+    val path = tmpTable()
+    def part(lo: Int, hi: Int, v: Int => Option[Long]) =
+      (lo until hi).map(i => (i.toLong, v(i))).toDF("id", "v").coalesce(1)
+    ManifestTable.overwrite(spark, path,
+      part(0, 10, i => Some(i.toLong)), statsCols = Seq("v"))      // null-free
+    ManifestTable.append(spark, path,
+      part(10, 20, i => if (i % 2 == 0) Some(i.toLong) else None)) // mixed
+    ManifestTable.append(spark, path, part(20, 30, _ => None))     // all-null
+
+    val rel = new GraftRelation(spark.sqlContext, path, None)
+    val isNull = rel.innerScan(Array("id"), Array(IsNull("v")))
+    assert(isNull.inputFiles.length === 2,
+      "IS NULL must skip the null-free file")
+    assert(isNull.count() === 15)
+    val notNull = rel.innerScan(Array("id"), Array(IsNotNull("v")))
+    assert(notNull.inputFiles.length === 2,
+      "IS NOT NULL must skip the all-null file")
+    assert(notNull.count() === 15)
+    // sanity: an unconstrained scan reads all three
+    assert(rel.innerScan(Array("id"), Array.empty).inputFiles.length === 3)
+  }
+
   test("zone maps skip files outside the queried range; results stay exact") {
     val path = tmpTable()
     // cluster on id: range repartition → each file holds a narrow id band
