@@ -101,6 +101,8 @@ class GraftSqlParser(session: SparkSession,
         ifExists != null)
     case ShowTagsRe(target) if graftTargetPath(target).isDefined =>
       GraftShowTagsCommand(target)
+    case GenerateRe(mode, target) =>
+      GraftGenerateCommand(target, mode)
     case ConvertRe(dir, statscols) =>
       GraftConvertCommand(dir,
         Option(statscols).map(_.split(",").map(_.trim.stripPrefix("`")
@@ -468,6 +470,9 @@ object GraftSqlParser {
       s"""$TagName\\s*;?\\s*""").r
   private val ShowTagsRe =
     s"""(?is)\\s*SHOW\\s+TAGS\\s+$T\\s*;?\\s*""".r
+  // Delta's GENERATE statement shape; the mode is validated at execution
+  private val GenerateRe =
+    s"""(?is)\\s*GENERATE\\s+(\\w+)\\s+FOR\\s+TABLE\\s+$T\\s*;?\\s*""".r
 
   /** The (table root, identifier) of a CATALOG table `USING graft`, or
     * None for anything else (other providers, unknown names, views) —
@@ -804,6 +809,22 @@ case class GraftReplaceWhereCommand(path: String,
     val v = ManifestTable.overwriteWhere(spark, path, df, condition)
     spark.sessionState.catalog.invalidateAllCachedTables()
     Seq(Row(v))
+  }
+}
+
+/** `GENERATE symlink_format_manifest FOR TABLE t` —
+  * [[ManifestTable.generateSymlinkManifest]]: export the current snapshot
+  * as per-partition text manifests an external parquet engine can read.
+  * Returns the number of manifest files written. */
+case class GraftGenerateCommand(target: String, mode: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("manifests", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(mode.equalsIgnoreCase("symlink_format_manifest"),
+      s"GENERATE: unknown mode '$mode' (supported: symlink_format_manifest)")
+    val path = GraftSqlParser.resolvePath(spark, target)
+    Seq(Row(ManifestTable.generateSymlinkManifest(spark, path).toLong))
   }
 }
 

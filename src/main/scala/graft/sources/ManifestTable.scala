@@ -3051,6 +3051,46 @@ object ManifestTable {
         Map(IdentityWmProp -> math.max(wm, written).toString)
     }
 
+  // ------------------------------------------------- symlink manifest export
+
+  /** Delta's `GENERATE symlink_format_manifest` re-derived: write
+    * `_symlink_format_manifest/[<partition dirs>/]manifest` text files,
+    * one absolute file URI per line, describing the CURRENT snapshot —
+    * the lowest-common-denominator handoff that lets engines with no
+    * graft reader (Presto/Trino/Athena-style external tables) query the
+    * table as plain partitioned parquet. Each generation REPLACES the
+    * previous tree (stale partition dirs disappear); a snapshot carrying
+    * deletion vectors refuses loudly — an external reader would
+    * resurrect deleted rows ({{OPTIMIZE t PURGE}} first, Delta's own
+    * contract). Metadata-only: one manifest read, one small text file
+    * per partition directory, no data scanned. Returns the number of
+    * manifest files written. */
+  def generateSymlinkManifest(spark: SparkSession, path: String): Int = {
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    require(m.dvs.isEmpty,
+      s"GENERATE symlink_format_manifest: $path carries deletion vectors — " +
+        "an external parquet reader would resurrect the deleted rows; run " +
+        "OPTIMIZE … PURGE first")
+    val f = fs(spark, path)
+    val root = new Path(path, "_symlink_format_manifest")
+    f.delete(root, true)
+    val byDir = m.files.groupBy(dirOf)
+    byDir.toSeq.sortBy(_._1).foreach { case (dir, rels) =>
+      val target =
+        if (dir.isEmpty) new Path(root, "manifest")
+        else new Path(new Path(root, dir), "manifest")
+      f.mkdirs(target.getParent)
+      val body = rels.sorted
+        .map(rel => f.makeQualified(filePath(path, rel)).toUri.toString)
+        .mkString("", "\n", "\n")
+      val out = f.create(target, true)
+      try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
+    byDir.size
+  }
+
   // ------------------------------------------------------- auto-compaction
 
   /** Delta's auto compaction re-derived: with `graft.autoCompact=true`,

@@ -1020,6 +1020,42 @@ class GraftSqlParserSpec extends SparkSpec {
     s.sql("DROP TABLE plain_rw_t")
   }
 
+  test("GENERATE symlink_format_manifest: external-reader export, regenerates, DV refusal") {
+    val s = extSpark
+    val path = Files.createTempDirectory("sqlp_gen").toString + "/t"
+    ManifestTable.overwrite(s, path,
+      s.range(100).select(col("id"), (col("id") % 2).cast("string").as("p"))
+        .repartition(2),
+      Seq("p"))
+    assert(s.sql(s"GENERATE symlink_format_manifest FOR TABLE '$path'")
+      .head.getLong(0) === 2L, "one manifest per partition dir")
+    // an external engine's view: read EXACTLY the listed files as parquet
+    def listed(dir: String): Seq[String] = new String(java.nio.file.Files
+      .readAllBytes(java.nio.file.Paths.get(path,
+        "_symlink_format_manifest", dir, "manifest"))).split("\n")
+      .filter(_.nonEmpty).toSeq
+    val external = s.read.parquet(listed("p=0") ++ listed("p=1"): _*)
+    assert(external.count() === 100)
+    assert(external.agg(sum("id")).head.getLong(0) === 4950L)
+
+    // regeneration tracks the snapshot (append then re-export)
+    ManifestTable.append(s, path, s.range(100, 110)
+      .select(col("id"), lit("2").as("p")))
+    s.sql(s"GENERATE symlink_format_manifest FOR TABLE '$path'")
+    assert(s.read.parquet(
+      listed("p=0") ++ listed("p=1") ++ listed("p=2"): _*).count() === 110)
+
+    // deletion vectors refuse: an external reader would resurrect rows
+    ManifestTable.deleteVectorized(s, path, col("id") === 5L)
+    val dv = intercept[Exception](
+      s.sql(s"GENERATE symlink_format_manifest FOR TABLE '$path'"))
+    assert(dv.getMessage.contains("deletion vectors"))
+    // unknown mode is loud
+    val bad = intercept[Exception](
+      s.sql(s"GENERATE bogus_manifest FOR TABLE '$path'"))
+    assert(bad.getMessage.contains("unknown mode"))
+  }
+
   test("CREATE TABLE … SHALLOW CLONE: zero-copy from SQL, version pin, LOCATION and path forms") {
     val s = extSpark
     val r = Files.createTempDirectory("sqlp_clone").toString
