@@ -85,17 +85,22 @@ object GraftExtensions {
         case s: org.apache.spark.unsafe.types.UTF8String => s.toString
         case other => String.valueOf(other)
       }
-      def longArg(e: Expression): Long = e.eval(null) match {
-        case n: java.lang.Number => n.longValue()
-        case other => sys.error(s"graft_table_changes: version must be a " +
-          s"numeric literal, got '$other'")
-      }
       val target = strArg(args.head)
       // a path contains a separator; anything else resolves as a name
       val path = if (target.contains("/")) target
                  else GraftSqlParser.resolvePath(spark, target)
-      val from = longArg(args(1))
-      val to = args.lift(2).map(longArg).getOrElse(
+      // a numeric literal is a version; a string literal is a TIMESTAMP
+      // resolved on the commit clock (Delta's table_changes accepts both)
+      def refArg(e: Expression): Long = e.eval(null) match {
+        case n: java.lang.Number => n.longValue()
+        case s: org.apache.spark.unsafe.types.UTF8String =>
+          graft.sources.ManifestTable.versionAt(spark, path,
+            graft.sources.GraftSource.parseTimestampMillis(spark, s.toString))
+        case other => sys.error(s"graft_table_changes: version must be a " +
+          s"numeric or timestamp literal, got '$other'")
+      }
+      val from = refArg(args(1))
+      val to = args.lift(2).map(refArg).getOrElse(
         graft.sources.ManifestTable.currentVersion(spark, path)
           .getOrElse(sys.error(s"no graft table at $path")))
       graft.sources.ManifestTable.readChanges(spark, path, from, to)

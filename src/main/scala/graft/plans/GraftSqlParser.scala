@@ -103,6 +103,8 @@ class GraftSqlParser(session: SparkSession,
       GraftShowTagsCommand(target)
     case GenerateRe(mode, target) =>
       GraftGenerateCommand(target, mode)
+    case FsckRe(target, dry) =>
+      GraftFsckCommand(target, dry != null)
     case ConvertRe(dir, statscols) =>
       GraftConvertCommand(dir,
         Option(statscols).map(_.split(",").map(_.trim.stripPrefix("`")
@@ -473,6 +475,8 @@ object GraftSqlParser {
   // Delta's GENERATE statement shape; the mode is validated at execution
   private val GenerateRe =
     s"""(?is)\\s*GENERATE\\s+(\\w+)\\s+FOR\\s+TABLE\\s+$T\\s*;?\\s*""".r
+  private val FsckRe =
+    s"""(?is)\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$T(?:\\s+(DRY\\s+RUN))?\\s*;?\\s*""".r
 
   /** The (table root, identifier) of a CATALOG table `USING graft`, or
     * None for anything else (other providers, unknown names, views) —
@@ -809,6 +813,23 @@ case class GraftReplaceWhereCommand(path: String,
     val v = ManifestTable.overwriteWhere(spark, path, df, condition)
     spark.sessionState.catalog.invalidateAllCachedTables()
     Seq(Row(v))
+  }
+}
+
+/** `FSCK REPAIR TABLE t [DRY RUN]` — [[ManifestTable.fsck]]: drop
+  * references to data files the filesystem has lost, so the table
+  * degrades to the surviving data instead of failing every scan; DRY RUN
+  * audits without committing. One row per missing file. */
+case class GraftFsckCommand(target: String, dryRun: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("missing_file", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    val missing = ManifestTable.fsck(spark, path, dryRun)
+    if (!dryRun) spark.sessionState.catalog.invalidateAllCachedTables()
+    missing.map(Row(_))
   }
 }
 

@@ -117,7 +117,21 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
         () => ManifestTable.filesMeta(ctx.sparkSession, path))
       case Some(other) =>
         sys.error(s"graft: unknown meta table '$other' (expected history | files)")
-      case None => parameters.get("changesFrom") match {
+      case None =>
+        // upper bound of a change-feed read: version, timestamp (commit
+        // clock), or the current version
+        def changesTo(ctx2: SQLContext, p: String,
+                      ps: Map[String, String]): Long = {
+          require(!(ps.contains("changesTo") && ps.contains("changesToTimestamp")),
+            "graft: specify changesTo or changesToTimestamp, not both")
+          ps.get("changesTo").map(_.toLong)
+            .orElse(ps.get("changesToTimestamp").map(ts =>
+              ManifestTable.versionAt(ctx2.sparkSession, p,
+                GraftSource.parseTimestampMillis(ctx2.sparkSession, ts))))
+            .getOrElse(ManifestTable.currentVersion(ctx2.sparkSession, p)
+              .getOrElse(sys.error(s"no graft table at $p")))
+        }
+        parameters.get("changesFrom") match {
         // batch change-feed face, pinned at load:
         //   spark.read.format("graft").option("path", p)
         //     .option("changesFrom", 1).option("changesTo", 3).load()
@@ -132,11 +146,23 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
         // startingVersion is inclusive — porters beware.)
         case Some(fromS) =>
           val spark = ctx.sparkSession
+          require(!parameters.contains("changesFromTimestamp"),
+            "graft: specify changesFrom or changesFromTimestamp, not both")
           val from = fromS.toLong
-          val to = parameters.get("changesTo").map(_.toLong).getOrElse(
-            ManifestTable.currentVersion(spark, path)
-              .getOrElse(sys.error(s"no graft table at $path")))
+          val to = changesTo(ctx, path, parameters)
           val pinned = ManifestTable.readChanges(spark, path, from, to)
+          new GraftMetaRelation(ctx, () => pinned)
+        // timestamp twin (Delta's startingTimestamp on CDF reads): the
+        // named instant resolves on the commit clock to the version whose
+        // state you already HOLD — same exclusive convention as
+        // changesFrom/startingVersion, one rule across all three faces
+        case None if parameters.contains("changesFromTimestamp") =>
+          val spark = ctx.sparkSession
+          val from = ManifestTable.versionAt(spark, path,
+            GraftSource.parseTimestampMillis(spark,
+              parameters("changesFromTimestamp")))
+          val pinned = ManifestTable.readChanges(spark, path, from,
+            changesTo(ctx, path, parameters))
           new GraftMetaRelation(ctx, () => pinned)
         case None =>
           // time travel: by version number, or TIMESTAMP AS OF —

@@ -3051,6 +3051,38 @@ object ManifestTable {
         Map(IdentityWmProp -> math.max(wm, written).toString)
     }
 
+  // ----------------------------------------------------------- FSCK repair
+
+  /** Delta's `FSCK REPAIR TABLE` re-derived: data files the CURRENT
+    * manifest references but the filesystem has LOST (out-of-band
+    * deletion, a partial restore, an eventually-consistent store) make
+    * every scan fail forever; repair commits a new version WITHOUT the
+    * missing references, so the table degrades to the surviving data
+    * instead of being bricked. Returns the missing rel paths; with
+    * `dryRun` nothing commits (the audit an operator runs first). The
+    * removed files' deletion vectors shed with them (positions of rows
+    * that no longer exist); everything else — schema, stats of surviving
+    * files, constraints, properties, watermarks — carries. Metadata cost:
+    * one existence probe per referenced file, driver-side — the same
+    * walk VACUUM already does; prior versions stay in history (their
+    * reads fail on the same missing bytes, as they must). */
+  def fsck(spark: SparkSession, path: String,
+           dryRun: Boolean = false): Seq[String] = {
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    val f = fs(spark, path)
+    val missing = m.files.filterNot(rel =>
+      try f.exists(filePath(path, rel))
+      catch { case _: java.io.IOException => false })
+    if (missing.isEmpty || dryRun) return missing
+    commit(spark, path, v + 1, m.schema, m.partitionCols,
+      m.files.filterNot(missing.toSet), m.statsCols, Map.empty, m.bloomCols,
+      carry = Some(m), constraints = m.constraints, transforms = m.transforms,
+      colmap = m.colmap, retired = m.retired)
+    missing
+  }
+
   // ------------------------------------------------- symlink manifest export
 
   /** Delta's `GENERATE symlink_format_manifest` re-derived: write

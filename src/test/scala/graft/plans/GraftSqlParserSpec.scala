@@ -1056,6 +1056,70 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(bad.getMessage.contains("unknown mode"))
   }
 
+  test("FSCK REPAIR TABLE: lost files audited then dropped — the table degrades, not bricks") {
+    val s = extSpark
+    val path = Files.createTempDirectory("sqlp_fsck").toString + "/t"
+    ManifestTable.overwrite(s, path, s.range(10).toDF("id").coalesce(1))
+    ManifestTable.append(s, path, s.range(10, 20).toDF("id").coalesce(1))
+    // lose the second commit's file out-of-band
+    val v2Files = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_manifests", f"m${2L}%012d.txt")))
+      .split("\n").filter(_.startsWith("file=")).map(_.stripPrefix("file="))
+    val v1Files = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_manifests", f"m${1L}%012d.txt")))
+      .split("\n").filter(_.startsWith("file=")).map(_.stripPrefix("file="))
+    val lost = (v2Files.toSet -- v1Files.toSet).head
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path, "data", lost))
+
+    // the damaged table fails scans; DRY RUN audits without committing
+    intercept[Exception](ManifestTable.read(s, path).count())
+    val audit = s.sql(s"FSCK REPAIR TABLE '$path' DRY RUN").collect()
+    assert(audit.map(_.getString(0)).toSeq === Seq(lost))
+    assert(ManifestTable.currentVersion(s, path).get === 2L,
+      "DRY RUN must not commit")
+
+    // repair: one commit dropping the reference, surviving data readable
+    assert(s.sql(s"FSCK REPAIR TABLE '$path'").collect()
+      .map(_.getString(0)).toSeq === Seq(lost))
+    assert(ManifestTable.currentVersion(s, path).get === 3L)
+    assert(ManifestTable.read(s, path).agg(sum("id")).head.getLong(0) === 45L)
+    // a healthy table audits clean and commits nothing
+    assert(s.sql(s"FSCK REPAIR TABLE '$path'").collect().isEmpty)
+    assert(ManifestTable.currentVersion(s, path).get === 3L)
+  }
+
+  test("change feed by TIMESTAMP: reader options and the TVF accept commit-clock instants") {
+    val s = extSpark
+    val path = Files.createTempDirectory("sqlp_cdfts").toString + "/t"
+    ManifestTable.overwrite(s, path, s.range(5).toDF("id"))
+    ManifestTable.append(s, path, s.range(5, 8).toDF("id"))
+    ManifestTable.append(s, path, s.range(8, 12).toDF("id"))
+    val t1 = ManifestTable.commitTimestamp(s, path, 1L)
+    val t2 = ManifestTable.commitTimestamp(s, path, 2L)
+
+    // options face: "changes since the state at t1" = commits 2..current
+    val byTs = s.read.format("graft")
+      .option("changesFromTimestamp", t1.toString).load(path)
+    val byV = s.read.format("graft").option("changesFrom", "1").load(path)
+    assert(byTs.count() === byV.count() && byTs.count() === 7L)
+    // bounded above by a timestamp too: exactly commit 2
+    assert(s.read.format("graft")
+      .option("changesFromTimestamp", t1.toString)
+      .option("changesToTimestamp", t2.toString).load(path).count() === 3L)
+    // both forms together are rejected loudly
+    intercept[Exception](s.read.format("graft")
+      .option("changesFrom", "1")
+      .option("changesFromTimestamp", t1.toString).load(path))
+
+    // TVF: a string literal is a timestamp, a number a version — equal here
+    s.sql("DROP TABLE IF EXISTS cdfts_t")
+    s.sql(s"CREATE TABLE cdfts_t USING graft OPTIONS (path '$path')")
+    val tvfTs = s.sql(s"SELECT * FROM graft_table_changes('$path', '$t1')")
+    val tvfV = s.sql(s"SELECT * FROM graft_table_changes('$path', 1)")
+    assert(tvfTs.count() === tvfV.count() && tvfTs.count() === 7L)
+    s.sql("DROP TABLE cdfts_t")
+  }
+
   test("CREATE TABLE … SHALLOW CLONE: zero-copy from SQL, version pin, LOCATION and path forms") {
     val s = extSpark
     val r = Files.createTempDirectory("sqlp_clone").toString
