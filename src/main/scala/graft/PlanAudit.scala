@@ -554,6 +554,21 @@ object PlanAudit {
     audit("q_sql_clone")(
       "the clone read is a plain graft scan, no extra nodes" -> (p =>
         p.contains("Scan graft.sources.GraftRelation") && !p.contains("Exchange")))
+    audit("q_sql_tag")(
+      "the tag-pinned read is a plain graft scan (resolution is metadata)" -> (p =>
+        p.contains("Scan graft.sources.GraftRelation") &&
+          !p.contains("Join") && !p.contains("Exchange")))
+    audit("q_identity")(
+      // the fixture reads through the Scala face (a direct parquet scan,
+      // not a registered relation) — the claim is the same: no join, no
+      // shuffle; id allocation cost lives entirely on the write side
+      "the identity table reads as a plain scan (allocation is write-side)" -> (p =>
+        p.contains("Scan parquet") && !p.contains("Join") &&
+          !p.contains("Exchange")))
+    audit("q_replace_where")(
+      "the post-backfill read is scan-shaped (replace cost was write-side)" -> (p =>
+        p.contains("Scan graft.sources.GraftRelation") &&
+          !p.contains("Join") && !p.contains("Exchange")))
     spark.stop()
   }
 }
