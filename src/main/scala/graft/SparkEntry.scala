@@ -1913,6 +1913,39 @@ object SparkEntry {
               |FROM q_tag_t FOR VERSION AS OF 'release-1'""".stripMargin)
     }),
 
+    // ---- write-time clustering: declare range distribution + sort order
+    // BEFORE data arrives, ingest a deliberately scattered batch, and a
+    // narrow range read prunes files immediately — no OPTIMIZE between
+    // ingestion and first query (require-gated ≤¼ of files opened) ----
+    "q_write_cluster" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_wcq").toString + "/t"
+      val e = Tables.events(s, d).select(col("event_id"), col("user_id"), col("value"))
+      graft.sources.ManifestTable.overwrite(s, dir, e.limit(0),
+        statsCols = Seq("user_id"))
+      graft.sources.ManifestTable.setProperties(s, dir, Map(
+        "graft.write.distribution" -> "range",
+        "graft.write.sortOrder" -> "user_id"))
+      // at fixture scale AQE would coalesce the tiny range shuffle to one
+      // file and prove nothing; real volume produces many range partitions
+      // by itself — disable coalescing only around this append
+      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      val prevCoalesce = s.conf.get(coalesceKey, "true")
+      s.conf.set(coalesceKey, "false")
+      try graft.sources.ManifestTable.append(s, dir, e.repartition(16))
+      finally s.conf.set(coalesceKey, prevCoalesce)
+      val mx = e.agg(max("user_id")).head.getLong(0)
+      val hi = mx / 20
+      val (kept, total) = graft.sources.ManifestTable
+        .prunedFiles(s, dir, "user_id", 0L, hi)
+      require(total >= 8 && kept.size * 4 <= total,
+        s"range-clustered ingest must prune a 5% range read: kept " +
+          s"${kept.size} of $total")
+      s.sql("DROP TABLE IF EXISTS q_wc_t")
+      s.sql(s"CREATE TABLE q_wc_t USING graft OPTIONS (path '$dir')")
+      s.sql(s"""SELECT event_id, user_id, value FROM q_wc_t
+               |WHERE user_id <= $hi""".stripMargin)
+    }),
+
     // ---- REPLACE WHERE (Delta's replaceWhere): the idempotent backfill —
     // correct exactly the 'P'-status partition from a version-pinned read
     // of the table itself, run the SAME statement twice (second run must
@@ -4602,6 +4635,12 @@ object SparkEntry {
     "q_sql_time_travel" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_custkey % 2 = 0""".stripMargin,
+
+    // the clustered-ingest range read re-derived (same floor-division bound)
+    "q_write_cluster" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE user_id <= (SELECT CAST(FLOOR(max(user_id) / 20.0) AS BIGINT)
+        |                  FROM events)""".stripMargin,
 
     // the backfill re-derived: +1 on the P-status partition only
     "q_replace_where" ->

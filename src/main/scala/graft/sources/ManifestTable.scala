@@ -4263,12 +4263,20 @@ object ManifestTable {
           zorderBy.map(c => col(s"`$c`")), bits))
         .repartitionByRange(n, (m.partitionCols :+ "__zv").map(col): _*)
         .drop("__zv")
-    } else if (m.statsCols.nonEmpty) {
+    } else if (m.props.get(SortOrderProp).exists(_.trim.nonEmpty) ||
+               m.statsCols.nonEmpty) {
       // partition cols lead the range key so rows stay grouped per output
-      // directory; within a partition, files tile the stats range
+      // directory; within a partition, files tile the clustering range.
+      // A declared write sort order (graft.write.sortOrder) IS the
+      // table's clustering intent — OPTIMIZE honors it over the default
+      // stats-column key, so maintenance re-clusters the same way
+      // ingestion does (Iceberg's sort-order-aware rewrite)
+      val orderCols = m.props.get(SortOrderProp)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty).getOrElse(m.statsCols)
       val total = current.count()
       val n = math.max(1, math.ceil(total.toDouble / targetRowsPerFile).toInt)
-      current.repartitionByRange(n, (m.partitionCols ++ m.statsCols).map(col): _*)
+      current.repartitionByRange(n, (m.partitionCols ++ orderCols).map(col): _*)
     } else graft.operators.Maintenance.sizedRepartition(
       current, m.partitionCols, targetRowsPerFile))
       .localCheckpoint(true) // materialize before writing (self-read safety)
