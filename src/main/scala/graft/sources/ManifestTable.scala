@@ -290,6 +290,10 @@ object ManifestTable {
     *     file covers a NARROW band of the sort columns, so zone maps
     *     prune freshly-ingested data without waiting for `OPTIMIZE
     *     ZORDER` (Iceberg's range distribution).
+    *   - `zorder`: range-partition on the Morton interleave of the sort
+    *     columns — every fresh file covers a narrow range on EVERY sort
+    *     column at once (multi-dimension pruning from ingest, where
+    *     `range` degrades past the first column); requires a sort order.
     *   - `none`: write with the query's own distribution (today's
     *     default for identity-partitioned tables).
     * `graft.write.sortOrder=c1,c2` additionally sorts WITHIN each write
@@ -308,6 +312,18 @@ object ManifestTable {
       if (transforms.nonEmpty) "hash" else "none")
     val distributed = effective match {
       case "none" => df
+      // a declared zorder is validated even when there is nothing to
+      // cluster by — a silently-unclustered write is the failure mode
+      // this whole property exists to prevent
+      case "zorder" =>
+        require(sortOrder.nonEmpty,
+          s"$DistributionProp=zorder needs $SortOrderProp to name the curve columns")
+        val bits = graft.functions.ZOrder.defaultBits(sortOrder.length)
+        df.withColumn("__graft_zv", graft.functions.ZOrder.interleaveN(
+            sortOrder.map(c => col(s"`$c`")), bits))
+          .repartitionByRange((partitionCols :+ "__graft_zv").map(col): _*)
+          .sortWithinPartitions((partitionCols :+ "__graft_zv").map(col): _*)
+          .drop("__graft_zv")
       case _ if partitionCols.isEmpty && sortOrder.isEmpty => df
       case "hash" if partitionCols.isEmpty => df
       case "hash" => df.repartition(partitionCols.map(col): _*)
@@ -316,10 +332,15 @@ object ManifestTable {
       case "range" => df.repartitionByRange(
         (partitionCols ++ sortOrder).map(col): _*)
       case other => sys.error(
-        s"$DistributionProp: unknown mode '$other' (none | hash | rebalance | range)")
+        s"$DistributionProp: unknown mode '$other' " +
+          "(none | hash | rebalance | range | zorder)")
     }
-    if (sortOrder.isEmpty) distributed
-    else distributed.sortWithinPartitions((partitionCols ++ sortOrder).map(col): _*)
+    effective match {
+      case "zorder" => distributed // already curve-sorted
+      case _ if sortOrder.isEmpty => distributed
+      case _ =>
+        distributed.sortWithinPartitions((partitionCols ++ sortOrder).map(col): _*)
+    }
   }
 
   /** [[clusterForWrite]] under a manifest's declared write layout — the

@@ -221,6 +221,43 @@ class ManifestTableSpec extends SparkSpec {
     assert(rel.innerScan(Array("id"), Array.empty).inputFiles.length === 3)
   }
 
+  test("graft.write.distribution=zorder: fresh ingest prunes on BOTH curve dimensions") {
+    val path = tmpTable()
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toLong, y.toLong)).toDF("x", "y").repartition(8)
+    ManifestTable.overwrite(spark, path, grid.limit(0), statsCols = Seq("x", "y"))
+    ManifestTable.setProperties(spark, path, Map(
+      ManifestTable.DistributionProp -> "zorder",
+      ManifestTable.SortOrderProp -> "x,y"))
+    // tiny fixture: keep AQE from coalescing the curve shuffle to one file
+    // and give it enough range partitions that boundary sampling noise
+    // cannot mask the curve locality (real volume does both by itself)
+    val keys = Seq("spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "16")
+    val prevs = keys.map { case (k, _) => k -> spark.conf.get(k, null) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try ManifestTable.append(spark, path, grid)
+    finally prevs.foreach { case (k, v) =>
+      if (v == null) spark.conf.unset(k) else spark.conf.set(k, v) }
+
+    val (kx, tx) = ManifestTable.prunedFiles(spark, path, "x", 0L, 7L)
+    val (ky, ty) = ManifestTable.prunedFiles(spark, path, "y", 0L, 7L)
+    assert(tx >= 4, s"need several files to prove pruning, got $tx")
+    assert(kx.size * 2 <= tx, s"x range must prune: ${kx.size}/$tx")
+    assert(ky.size * 2 <= ty, s"y range must prune TOO: ${ky.size}/$ty")
+    // results exact on a 2-dim read
+    assert(ManifestTable.read(spark, path).count() === 4096)
+    assert(ManifestTable.read(spark, path)
+      .filter(col("x") < 8 && col("y") < 8).count() === 64)
+    // zorder without a sort order is a loud contract violation
+    val p2 = tmpTable()
+    ManifestTable.overwrite(spark, p2, grid.limit(0))
+    ManifestTable.setProperties(spark, p2,
+      Map(ManifestTable.DistributionProp -> "zorder"))
+    val bad = intercept[Exception](ManifestTable.append(spark, p2, grid))
+    assert(bad.getMessage.contains("needs graft.write.sortOrder"))
+  }
+
   test("zone maps skip files outside the queried range; results stay exact") {
     val path = tmpTable()
     // cluster on id: range repartition → each file holds a narrow id band
