@@ -1913,6 +1913,29 @@ object SparkEntry {
               |FROM q_tag_t FOR VERSION AS OF 'release-1'""".stripMargin)
     }),
 
+    // ---- branches: fork the table zero-copy, load the odd half ON THE
+    // BRANCH (require-gated invisible to main), then FAST FORWARD — one
+    // atomic publish; the final read must be the complete table ----
+    "q_sql_branch" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_brq").toString + "/t"
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      graft.sources.ManifestTable.overwrite(s, dir,
+        c.filter(col("c_custkey") % 2 === 0))
+      s.sql("DROP TABLE IF EXISTS q_br_t")
+      s.sql(s"CREATE TABLE q_br_t USING graft OPTIONS (path '$dir')")
+      s.sql("ALTER TABLE q_br_t CREATE BRANCH load")
+      graft.sources.ManifestTable.append(s,
+        graft.sources.ManifestTable.branchPath(dir, "load"),
+        c.filter(col("c_custkey") % 2 === 1))
+      val mainN = s.sql("SELECT count(*) FROM q_br_t").head.getLong(0)
+      val branchN = s.sql(s"SELECT count(*) FROM graft_branch('$dir', 'load')")
+        .head.getLong(0)
+      require(mainN < branchN,
+        s"branch writes must be invisible to main ($mainN vs $branchN)")
+      s.sql("ALTER TABLE q_br_t FAST FORWARD BRANCH load")
+      s.sql("SELECT c_custkey, c_acctbal FROM q_br_t")
+    }),
+
     // ---- write-time clustering: declare range distribution + sort order
     // BEFORE data arrives, ingest a deliberately scattered batch, and a
     // narrow range read prunes files immediately — no OPTIMIZE between
@@ -4635,6 +4658,10 @@ object SparkEntry {
     "q_sql_time_travel" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_custkey % 2 = 0""".stripMargin,
+
+    // the published branch = the whole customer table
+    "q_sql_branch" ->
+      "SELECT c_custkey, c_acctbal FROM customer",
 
     // the clustered-ingest range read re-derived (same floor-division bound)
     "q_write_cluster" ->

@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectTableFunction(GraftExtensions.tableChangesDescriptor)
     // WAP audit face: SELECT * FROM graft_staged(t [, wapId])
     e.injectTableFunction(GraftExtensions.stagedDescriptor)
+    // branch read face: SELECT * FROM graft_branch(t, name)
+    e.injectTableFunction(GraftExtensions.branchDescriptor)
     // opt-in range-join binning (fires only when
     // spark.graft.rangeJoin.binWidth is set on the session)
     e.injectOptimizerRule(_ => RangeJoinRule)
@@ -134,6 +136,29 @@ object GraftExtensions {
         .getOrElse(sys.error("graft_staged: no WAP id given and " +
           s"${graft.sources.ManifestTable.WapIdKey} is not set"))
       graft.sources.ManifestTable.readStaged(spark, path, id)
+        .queryExecution.logical
+    })
+
+  /** `graft_branch('t', 'name')` — read a live BRANCH through SQL: the
+    * branch head's full table, invisible to main's readers. Write to it
+    * through its path (`ManifestTable.branchPath`) or publish with
+    * `ALTER TABLE t FAST FORWARD BRANCH name`. */
+  private[plans] val branchDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = (
+    FunctionIdentifier("graft_branch"),
+    new ExpressionInfo("graft.sources.ManifestTable", "graft_branch"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "graft_branch(table, name) takes 2 arguments")
+      val spark = org.apache.spark.sql.SparkSession.active
+      def strArg(e: Expression): String = e.eval(null) match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => String.valueOf(other)
+      }
+      val target = strArg(args.head)
+      val path = if (target.contains("/")) target
+                 else GraftSqlParser.resolvePath(spark, target)
+      graft.sources.ManifestTable.read(spark,
+        graft.sources.ManifestTable.branchPath(path, strArg(args(1))))
         .queryExecution.logical
     })
 

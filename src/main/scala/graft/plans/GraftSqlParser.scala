@@ -105,6 +105,15 @@ class GraftSqlParser(session: SparkSession,
       GraftGenerateCommand(target, mode)
     case FsckRe(target, dry) =>
       GraftFsckCommand(target, dry != null)
+    case CreateBranchRe(target, name) =>
+      GraftCreateBranchCommand(target, name.stripPrefix("'").stripSuffix("'"))
+    case DropBranchRe(target, ifExists, name) =>
+      GraftDropBranchCommand(target, name.stripPrefix("'").stripSuffix("'"),
+        ifExists != null)
+    case ShowBranchesRe(target) if graftTargetPath(target).isDefined =>
+      GraftShowBranchesCommand(target)
+    case FastForwardRe(target, name) =>
+      GraftFastForwardCommand(target, name.stripPrefix("'").stripSuffix("'"))
     case ConvertRe(dir, statscols) =>
       GraftConvertCommand(dir,
         Option(statscols).map(_.split(",").map(_.trim.stripPrefix("`")
@@ -477,6 +486,16 @@ object GraftSqlParser {
     s"""(?is)\\s*GENERATE\\s+(\\w+)\\s+FOR\\s+TABLE\\s+$T\\s*;?\\s*""".r
   private val FsckRe =
     s"""(?is)\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$T(?:\\s+(DRY\\s+RUN))?\\s*;?\\s*""".r
+  // writable branches (Iceberg's ref DDL family, same name grammar as tags)
+  private val CreateBranchRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+CREATE\\s+BRANCH\\s+$TagName\\s*;?\\s*""".r
+  private val DropBranchRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+BRANCH\\s+(IF\\s+EXISTS\\s+)?""" +
+      s"""$TagName\\s*;?\\s*""").r
+  private val ShowBranchesRe =
+    s"""(?is)\\s*SHOW\\s+BRANCHES\\s+$T\\s*;?\\s*""".r
+  private val FastForwardRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+FAST\\s+FORWARD\\s+BRANCH\\s+$TagName\\s*;?\\s*""".r
 
   /** The (table root, identifier) of a CATALOG table `USING graft`, or
     * None for anything else (other providers, unknown names, views) —
@@ -811,6 +830,69 @@ case class GraftReplaceWhereCommand(path: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val df = org.apache.spark.sql.graft.bridge.ofRows(spark, query)
     val v = ManifestTable.overwriteWhere(spark, path, df, condition)
+    spark.sessionState.catalog.invalidateAllCachedTables()
+    Seq(Row(v))
+  }
+}
+
+/** `ALTER TABLE t CREATE BRANCH name` — [[ManifestTable.createBranch]]:
+  * a zero-copy writable fork, invisible to main's readers, its fork
+  * version vacuum-pinned on main. Returns the fork base version. */
+case class GraftCreateBranchCommand(target: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("base_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    Seq(Row(ManifestTable.createBranch(spark, path, name)))
+  }
+}
+
+/** `ALTER TABLE t DROP BRANCH [IF EXISTS] name` — delete the fork and
+  * release its vacuum pin. */
+case class GraftDropBranchCommand(target: String, name: String,
+                                  ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    ManifestTable.dropBranch(spark, path, name, ifExists)
+    Nil
+  }
+}
+
+/** `SHOW BRANCHES t` — one row per live branch: name, fork base version
+  * on main, branch head version. */
+case class GraftShowBranchesCommand(target: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("branch", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("base_version", LongType, nullable = false)(),
+    AttributeReference("head_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    ManifestTable.branches(spark, path).map { case (n, b, h) => Row(n, b, h) }
+  }
+}
+
+/** `ALTER TABLE t FAST FORWARD BRANCH name` —
+  * [[ManifestTable.fastForward]]: publish the branch atomically onto main
+  * (main must not have advanced since the fork). Returns main's new
+  * version. */
+case class GraftFastForwardCommand(target: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    val v = ManifestTable.fastForward(spark, path, name)
+    // branch-side schema evolution lands with the publish: re-align the
+    // catalog's stored schema when the target is a registered table
+    if (!target.startsWith("'"))
+      GraftSqlParser.catalogGraftTarget(spark,
+          target.stripPrefix("`").stripSuffix("`").split("\\.").toSeq)
+        .foreach { case (_, ident) =>
+          GraftSqlParser.refreshCatalogSchema(spark, path, ident) }
     spark.sessionState.catalog.invalidateAllCachedTables()
     Seq(Row(v))
   }

@@ -3001,6 +3001,135 @@ object ManifestTable {
   private def taggedVersions(spark: SparkSession, path: String): Set[Long] =
     tags(spark, path).map(_._2).toSet
 
+  // --------------------------------------------------------------- branches
+
+  /** Iceberg's writable branch workflow re-derived on the clone codec: a
+    * BRANCH is a zero-copy fork of the current snapshot living under the
+    * table's own `_branches/<name>/` — a full graft table in its own
+    * right (append/DELETE/MERGE/OPTIMIZE/schema evolution all work
+    * through every existing face), INVISIBLE to main's readers, whose
+    * version-1 files are `ext::` references into main's data dir (one
+    * metadata commit to fork at any table size). The fork version is
+    * pinned on main (`graft.branch.base`, honored by main's VACUUM like
+    * a tag) so the referenced bytes cannot be swept while the branch
+    * lives. FAST FORWARD publishes the branch atomically when main has
+    * not advanced since the fork: main-owned refs flatten back to plain
+    * rels, branch-OWN data files MOVE into main's data dir (one metadata
+    * rename each, bounded by what the branch wrote), and ONE commit
+    * carries the branch's full definition — schema evolution, constraint
+    * and property changes made on the branch land with it, while main's
+    * sink txn watermarks and COPY ledger carry (exactly-once survives the
+    * publish). A moved-files crash repairs by re-running (renames are
+    * idempotent); main-advanced-since-fork refuses loudly — merge is a
+    * different operation, re-branch and replay. DROP BRANCH deletes the
+    * self-contained fork dir and releases the pin. */
+  private val BranchBaseProp = "graft.branch.base"
+  private def branchesDir(path: String) = new Path(path, "_branches")
+
+  /** The branch's table root — every existing read/write face works on
+    * it (the branch IS a graft table). */
+  def branchPath(path: String, name: String): String =
+    new Path(branchesDir(path), name).toString
+
+  def createBranch(spark: SparkSession, path: String, name: String): Long = {
+    require(TagNameRe.findFirstIn(name).isDefined,
+      s"bad branch name '$name' (letters/digits/._- only, starting alphanumeric)")
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val bp = branchPath(path, name)
+    require(currentVersion(spark, bp).isEmpty,
+      s"branch '$name' already exists at $path")
+    shallowClone(spark, path, bp, Some(v))
+    setProperties(spark, bp, Map(BranchBaseProp -> v.toString))
+    v
+  }
+
+  /** All branches: (name, fork base version on main, branch head
+    * version), name-sorted. Metadata-only. */
+  def branches(spark: SparkSession, path: String): Seq[(String, Long, Long)] = {
+    val f = fs(spark, path)
+    val dir = branchesDir(path)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
+      .flatMap { name =>
+        currentVersion(spark, branchPath(path, name)).map { hv =>
+          val bm = readManifest(spark, branchPath(path, name), hv)
+          (name, bm.props.get(BranchBaseProp).map(_.toLong).getOrElse(-1L), hv)
+        }
+      }
+  }
+
+  def dropBranch(spark: SparkSession, path: String, name: String,
+                 ifExists: Boolean = false): Unit = {
+    val f = fs(spark, path)
+    val bp = new Path(branchesDir(path), name)
+    if (!f.exists(bp)) {
+      if (ifExists) return
+      sys.error(s"no branch '$name' at $path")
+    }
+    f.delete(bp, true): Unit
+  }
+
+  /** Publish a branch onto main — see the section doc. Returns main's new
+    * version; the branch is dropped on success. */
+  def fastForward(spark: SparkSession, path: String, name: String): Long = {
+    val bp = branchPath(path, name)
+    val bv = currentVersion(spark, bp)
+      .getOrElse(sys.error(s"no branch '$name' at $path"))
+    val bm = readManifest(spark, bp, bv)
+    val base = bm.props.get(BranchBaseProp).map(_.toLong)
+      .getOrElse(sys.error(s"'$name' carries no fork pin — not a branch"))
+    val mv = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    require(mv == base,
+      s"FAST FORWARD: $path advanced since branch '$name' forked " +
+        s"(version $base -> $mv) — a fast-forward must be the ONLY writer " +
+        "since the fork; re-branch from the current version and replay")
+    require(bm.dvs.isEmpty,
+      s"FAST FORWARD: branch '$name' carries deletion vectors — run " +
+        "OPTIMIZE … PURGE on the branch first (its DV files live under " +
+        "the branch's private _dv/)")
+    val f = fs(spark, path)
+    val mainBase = f.makeQualified(dataDir(path)).toString
+    val stats = statsFor(spark, bp, bm)
+    val newFiles = bm.files.map { rel =>
+      if (isExt(rel)) {
+        val (b, r) = extParts(rel)
+        if (b == mainBase) r else rel // main's own bytes | foreign clone ref
+      } else {
+        // branch-own bytes: one metadata rename into main's data dir;
+        // idempotent across a crashed prior attempt
+        val src = filePath(bp, rel)
+        val dst = new Path(dataDir(path), rel)
+        if (!(f.exists(dst) && !f.exists(src))) {
+          require(!f.exists(dst), s"FAST FORWARD: name collision on $rel")
+          f.mkdirs(dst.getParent)
+          require(f.rename(src, dst), s"FAST FORWARD: could not move $src")
+        }
+        rel
+      }
+    }
+    val newStats = bm.files.zip(newFiles)
+      .flatMap { case (o, n) => stats.get(o).map(n -> _) }.toMap
+    // carry = main's manifest: sink txn watermarks and the COPY ledger
+    // survive the publish; the branch's definition (schema, partitioning,
+    // constraints, properties) is the new truth
+    val mm = readManifest(spark, path, mv)
+    val v = commit(spark, path, mv + 1, bm.schema, bm.partitionCols,
+      newFiles, bm.statsCols, newStats, bm.bloomCols,
+      carry = Some(mm.copy(files = Nil, stats = Map.empty, dvs = Map.empty)),
+      constraints = bm.constraints, transforms = bm.transforms,
+      colmap = bm.colmap, retired = bm.retired,
+      props = bm.props - BranchBaseProp)
+    dropBranch(spark, path, name)
+    v
+  }
+
+  /** Versions pinned by live branches (their fork bases) — main's VACUUM
+    * must keep the bytes the branches reference. */
+  private def branchPinnedVersions(spark: SparkSession, path: String): Set[Long] =
+    branches(spark, path).map(_._2).filter(_ >= 0).toSet
+
   // ------------------------------------------------------ identity columns
 
   /** `graft.identity.column=<col>` — Delta's GENERATED BY DEFAULT AS
@@ -4507,7 +4636,7 @@ object ManifestTable {
     val versions = f.listStatus(dir).map(_.getPath.getName)
       .filter(n => n.startsWith("m") && n.endsWith(".txt"))
       .map(n => n.substring(1, n.length - 4).toLong).sorted
-    val tagged = taggedVersions(spark, path)
+    val tagged = taggedVersions(spark, path) ++ branchPinnedVersions(spark, path)
     val keep = (versions.takeRight(keepVersions) ++
       versions.filter(tagged.contains)).distinct.sorted
     val referenced = vacuumReferenced(spark, path,
@@ -4556,7 +4685,7 @@ object ManifestTable {
       .map(n => n.substring(1, n.length - 4).toLong).sorted
     // tagged versions are pinned BY NAME outside the retention window:
     // their manifests, files, sidecars and DVs all survive the sweep
-    val tagged = taggedVersions(spark, path)
+    val tagged = taggedVersions(spark, path) ++ branchPinnedVersions(spark, path)
     val keep = (versions.takeRight(keepVersions) ++
       versions.filter(tagged.contains)).distinct.sorted
     val keptManifests = keep.map(readManifest(spark, path, _))

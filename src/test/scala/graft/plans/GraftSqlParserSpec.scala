@@ -1120,6 +1120,68 @@ class GraftSqlParserSpec extends SparkSpec {
     s.sql("DROP TABLE cdfts_t")
   }
 
+  test("branches: zero-copy fork, invisible writes, fast-forward publish, vacuum pin") {
+    val s = extSpark
+    val path = Files.createTempDirectory("sqlp_br").toString + "/t"
+    ManifestTable.overwrite(s, path,
+      s.range(100).select(col("id"), lit("base").as("src")).coalesce(1))
+    s.sql("DROP TABLE IF EXISTS br_t")
+    s.sql(s"CREATE TABLE br_t USING graft OPTIONS (path '$path')")
+
+    assert(s.sql("ALTER TABLE br_t CREATE BRANCH exp").head.getLong(0) === 1L)
+    assert(s.sql("SHOW BRANCHES br_t").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("exp", 1L)))
+    // the fork is zero-copy: the branch owns no data files yet
+    assert(dataFiles(ManifestTable.branchPath(path, "exp")) === 0)
+
+    // work on the branch through the ordinary faces — append WITH schema
+    // evolution; main's readers see none of it
+    ManifestTable.append(s, ManifestTable.branchPath(path, "exp"),
+      s.range(100, 150).select(col("id"), lit("branch").as("src"),
+        col("id").cast("long").as("extra")))
+    assert(s.sql("SELECT count(*) AS n FROM br_t").head.getLong(0) === 100L)
+    assert(!s.table("br_t").columns.contains("extra"))
+    // the audit face sees the branch head
+    assert(s.sql(s"SELECT count(*) AS n FROM graft_branch('$path', 'exp')")
+      .head.getLong(0) === 150L)
+
+    // publish: one atomic commit carrying the branch's full definition
+    assert(s.sql("ALTER TABLE br_t FAST FORWARD BRANCH exp").head.getLong(0) === 2L)
+    assert(s.sql("SELECT count(*) AS n FROM br_t").head.getLong(0) === 150L)
+    assert(s.table("br_t").columns.contains("extra"),
+      "branch-side schema evolution lands with the publish")
+    assert(s.sql("SELECT count(*) AS n FROM br_t WHERE extra >= 100")
+      .head.getLong(0) === 50L)
+    assert(s.sql("SHOW BRANCHES br_t").collect().isEmpty,
+      "a published branch is dropped")
+    // the pre-publish snapshot stays time-travelable
+    assert(s.sql("SELECT count(*) AS n FROM br_t FOR VERSION AS OF 1")
+      .head.getLong(0) === 100L)
+
+    // a branch whose main has advanced refuses to publish — but its fork
+    // pin keeps the referenced bytes across main's VACUUM
+    s.sql("ALTER TABLE br_t CREATE BRANCH exp2")
+    ManifestTable.overwrite(s, path, s.range(10)
+      .select(col("id"), lit("x").as("src"), lit(0L).as("extra")).coalesce(1))
+    s.sql("VACUUM br_t").collect()
+    assert(s.sql(s"SELECT count(*) AS n FROM graft_branch('$path', 'exp2')")
+      .head.getLong(0) === 150L, "fork-pinned bytes survive main's vacuum")
+    val adv = intercept[Exception](
+      s.sql("ALTER TABLE br_t FAST FORWARD BRANCH exp2"))
+    assert(adv.getMessage.contains("advanced since"))
+    s.sql("ALTER TABLE br_t DROP BRANCH exp2")
+    val gone = intercept[Exception](
+      s.sql("ALTER TABLE br_t FAST FORWARD BRANCH exp2"))
+    assert(gone.getMessage.contains("no branch"))
+    s.sql("ALTER TABLE br_t DROP BRANCH IF EXISTS exp2") // no-op
+    // duplicate CREATE BRANCH of a LIVE branch is loud
+    s.sql("ALTER TABLE br_t CREATE BRANCH exp3")
+    val dup = intercept[Exception](s.sql("ALTER TABLE br_t CREATE BRANCH exp3"))
+    assert(dup.getMessage.contains("already exists"))
+    s.sql("ALTER TABLE br_t DROP BRANCH exp3")
+    s.sql("DROP TABLE br_t")
+  }
+
   test("CREATE TABLE … SHALLOW CLONE: zero-copy from SQL, version pin, LOCATION and path forms") {
     val s = extSpark
     val r = Files.createTempDirectory("sqlp_clone").toString
