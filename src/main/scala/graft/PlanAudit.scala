@@ -569,6 +569,14 @@ object PlanAudit {
       "the post-backfill read is scan-shaped (replace cost was write-side)" -> (p =>
         p.contains("Scan graft.sources.GraftRelation") &&
           !p.contains("Join") && !p.contains("Exchange")))
+    audit("q_sql_branch")(
+      "the published table reads as a plain graft scan (publish was metadata + moves)" -> (p =>
+        p.contains("Scan graft.sources.GraftRelation") &&
+          !p.contains("Join") && !p.contains("Exchange")))
+    audit("q_write_cluster")(
+      "the range predicate reaches the clustered scan" -> (p =>
+        p.contains("Scan graft.sources.GraftRelation") &&
+          p.contains("LessThanOrEqual(user_id")))
     spark.stop()
   }
 }

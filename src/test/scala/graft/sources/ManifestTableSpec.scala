@@ -126,6 +126,16 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.properties(spark, path)
       .get(ManifestTable.IdentityWmProp).exists(_.toLong >= 9000003L))
 
+    // REPLACE WHERE mints ids too, and its rewrite commit advances the
+    // watermark — a later append must stay unique
+    ManifestTable.overwriteWhere(spark, path,
+      spark.range(200, 210).select(lit(null).cast("long").as("row_id"),
+        col("id").as("payload")), col("payload") >= 200)
+    ManifestTable.append(spark, path, batch(210, 215))
+    val everything = ManifestTable.read(spark, path)
+    assert(everything.filter(col("row_id").isNull).count() === 0)
+    assert(everything.select("row_id").distinct().count() === everything.count())
+
     // contract violations fail the WRITE loudly
     val path2 = tmpTable()
     ManifestTable.overwrite(spark, path2,
