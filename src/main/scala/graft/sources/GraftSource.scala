@@ -210,6 +210,9 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       // an active WAP id stages DataFrame appends too (one workflow for
       // SQL and the writer API); creation/replace under WAP is refused —
       // there is no table yet to stage against, or no append shape
+      // SaveMode.Ignore on an existing table is a documented NO-OP —
+      // writing nothing needs no staging, WAP id or not
+      case SaveMode.Ignore if exists => // no-op
       case _ if ManifestTable.sessionWapId(spark).isDefined =>
         val id = ManifestTable.sessionWapId(spark).get
         require(mode == SaveMode.Append && exists,
@@ -222,8 +225,7 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       case SaveMode.ErrorIfExists if exists =>
         sys.error(s"graft table already exists at $path")
       case SaveMode.ErrorIfExists => create()
-      case SaveMode.Ignore if exists => // no-op
-      case SaveMode.Ignore => create()
+      case SaveMode.Ignore => create() // Ignore-on-existing no-op'd above
     }
     new GraftRelation(ctx, path, None)
   }

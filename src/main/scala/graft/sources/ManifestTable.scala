@@ -310,6 +310,11 @@ object ManifestTable {
                               sortOrder: Seq[String] = Nil): DataFrame = {
     val effective = mode.map(_.trim.toLowerCase).getOrElse(
       if (transforms.nonEmpty) "hash" else "none")
+    // validate the MODE NAME before any nothing-to-cluster-by early exit:
+    // a typo'd declaration must fail the write, never silently no-op
+    require(Set("none", "hash", "rebalance", "range", "zorder")(effective),
+      s"$DistributionProp: unknown mode '$effective' " +
+        "(none | hash | rebalance | range | zorder)")
     val distributed = effective match {
       case "none" => df
       // a declared zorder is validated even when there is nothing to
@@ -331,9 +336,6 @@ object ManifestTable {
       case "rebalance" => df.hint("rebalance", partitionCols.map(col): _*)
       case "range" => df.repartitionByRange(
         (partitionCols ++ sortOrder).map(col): _*)
-      case other => sys.error(
-        s"$DistributionProp: unknown mode '$other' " +
-          "(none | hash | rebalance | range | zorder)")
     }
     effective match {
       case "zorder" => distributed // already curve-sorted
@@ -586,6 +588,27 @@ object ManifestTable {
     * listing + one manifest parse per retained version (vacuum bounds
     * the chain).
     */
+  /** A manifest's `ts=` header WITHOUT parsing the body: the line sits in
+    * the first few header lines, so the clock read costs a few hundred
+    * bytes per version even on a 10⁵-file manifest — versionAt / history
+    * / VACUUM RETAIN stay metadata-cheap. 0 = pre-ICT manifest. */
+  private def readCommitTs(spark: SparkSession, path: String, v: Long): Long = {
+    val in = fs(spark, path).open(new Path(manifestDir(path), manifestName(v)))
+    try {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+      var line = br.readLine()
+      var n = 0
+      while (line != null && n < 8) {
+        if (line.startsWith("ts=")) return line.stripPrefix("ts=").toLong
+        if (line.startsWith("schema=")) return 0L // past the ts slot
+        n += 1; line = br.readLine()
+      }
+      0L
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+    finally in.close()
+  }
+
   private[sources] def commitClock(spark: SparkSession,
                                    path: String): Seq[(Long, Long)] = {
     val f = fs(spark, path)
@@ -597,8 +620,7 @@ object ManifestTable {
         n.startsWith("m") && n.endsWith(".txt")
       }.map { st =>
         val v = st.getPath.getName.drop(1).dropRight(4).toLong
-        val ict = try readManifest(spark, path, v).ts
-                  catch { case scala.util.control.NonFatal(_) => 0L }
+        val ict = readCommitTs(spark, path, v)
         (v, if (ict > 0L) ict else st.getModificationTime)
       }.toSeq.sortBy(_._1)
     // re-monotonize across the mtime→ICT seam (an old mtime ahead of a
@@ -2193,10 +2215,7 @@ object ManifestTable {
     // carry-less paths (create, full overwrite) read the predecessor's
     // line, one small manifest parse per commit.
     val parentTs = carry.map(_.ts).filter(_ > 0L).getOrElse(
-      if (expected > 1)
-        try readManifest(spark, path, expected - 1).ts
-        catch { case scala.util.control.NonFatal(_) => 0L }
-      else 0L)
+      if (expected > 1) readCommitTs(spark, path, expected - 1) else 0L)
     val commitTs = math.max(System.currentTimeMillis(), parentTs + 1)
     val body = (Seq(Header,
       "format=" + FormatVersion,
@@ -2781,6 +2800,16 @@ object ManifestTable {
           "publish or drop it first, or stage under a fresh id")
     }
     val m = readManifest(spark, path, v)
+    // identity tables cannot stage: the staged bytes would bake ids
+    // minted from the STAGE-TIME watermark, and any filling write landing
+    // before the publish silently duplicates them — loud beats silent
+    // NULLs or collisions (fill-at-publish would rewrite the audited
+    // bytes, defeating the workflow)
+    require(m.props.get(IdentityColProp).isEmpty,
+      s"stageAppend: $path declares an identity column " +
+        s"('${m.props.getOrElse(IdentityColProp, "")}') — write-audit-publish " +
+        "staging cannot allocate ids against a moving watermark; unset " +
+        s"$IdentityColProp or append directly")
     val batch = withDerived(
       df.drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema))
     requireCompatible(batch, m, "stageAppend")
@@ -2932,19 +2961,36 @@ object ManifestTable {
                 version: Option[Long] = None, replace: Boolean = false): Long = {
     require(TagNameRe.findFirstIn(name).isDefined,
       s"bad tag name '$name' (letters/digits/._- only, starting alphanumeric)")
+    // a digit-only name could never be READ back: the one version-ref
+    // resolver tries numbers first, so '123' always means version 123
+    require(!name.forall(_.isDigit),
+      s"bad tag name '$name': all-digit names are indistinguishable from " +
+        "version numbers in FOR VERSION AS OF")
     val v = version.getOrElse(currentVersion(spark, path)
       .getOrElse(sys.error(s"no manifest table at $path")))
     val f = fs(spark, path)
     require(f.exists(new Path(manifestDir(path), manifestName(v))),
       s"cannot tag version $v at $path: no such committed version")
     val p = new Path(manifestDir(path), tagFileName(name))
-    if (replace) f.delete(p, false): Unit
     val body = s"version=$v\nts=${System.currentTimeMillis()}\n"
-    val out =
-      try f.create(p, false)
-      catch { case _: java.io.IOException => sys.error(
-        s"tag '$name' already exists at $path (CREATE OR REPLACE TAG to move it)") }
-    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    def write(target: Path, overwrite: Boolean): Unit = {
+      val out =
+        try f.create(target, overwrite)
+        catch { case _: java.io.IOException => sys.error(
+          s"tag '$name' already exists at $path (CREATE OR REPLACE TAG to move it)") }
+      try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
+    if (replace) {
+      // bridge the delete→create window with a SWAP pin of the new
+      // version, so a concurrent VACUUM can never catch the target
+      // version unpinned mid-replace (deterministic name: a crashed
+      // replace self-heals on re-run)
+      val swap = new Path(manifestDir(path), tagFileName(s"$name.swap"))
+      write(swap, overwrite = true)
+      f.delete(p, false): Unit
+      write(p, overwrite = false)
+      f.delete(swap, false): Unit
+    } else write(p, overwrite = false)
     v
   }
 
@@ -3092,6 +3138,7 @@ object ManifestTable {
     val f = fs(spark, path)
     val mainBase = f.makeQualified(dataDir(path)).toString
     val stats = statsFor(spark, bp, bm)
+    val movedPairs = scala.collection.mutable.ArrayBuffer[(Path, Path)]()
     val newFiles = bm.files.map { rel =>
       if (isExt(rel)) {
         val (b, r) = extParts(rel)
@@ -3105,6 +3152,7 @@ object ManifestTable {
           require(!f.exists(dst), s"FAST FORWARD: name collision on $rel")
           f.mkdirs(dst.getParent)
           require(f.rename(src, dst), s"FAST FORWARD: could not move $src")
+          movedPairs += ((src, dst))
         }
         rel
       }
@@ -3115,12 +3163,25 @@ object ManifestTable {
     // survive the publish; the branch's definition (schema, partitioning,
     // constraints, properties) is the new truth
     val mm = readManifest(spark, path, mv)
-    val v = commit(spark, path, mv + 1, bm.schema, bm.partitionCols,
-      newFiles, bm.statsCols, newStats, bm.bloomCols,
-      carry = Some(mm.copy(files = Nil, stats = Map.empty, dvs = Map.empty)),
-      constraints = bm.constraints, transforms = bm.transforms,
-      colmap = bm.colmap, retired = bm.retired,
-      props = bm.props - BranchBaseProp)
+    val v =
+      try commit(spark, path, mv + 1, bm.schema, bm.partitionCols,
+        newFiles, bm.statsCols, newStats, bm.bloomCols,
+        carry = Some(mm.copy(files = Nil, stats = Map.empty, dvs = Map.empty)),
+        constraints = bm.constraints, transforms = bm.transforms,
+        colmap = bm.colmap, retired = bm.retired,
+        props = bm.props - BranchBaseProp)
+      catch {
+        // a writer slipped in between the base check and the commit:
+        // UNDO the moves (metadata renames) so the branch stays intact
+        // and main's next VACUUM cannot sweep its bytes, then refuse
+        // exactly like the up-front check would have
+        case e: java.util.ConcurrentModificationException =>
+          movedPairs.foreach { case (src, dst) => f.rename(dst, src): Unit }
+          throw new java.util.ConcurrentModificationException(
+            s"FAST FORWARD: $path advanced during the publish of branch " +
+              s"'$name' — the branch is intact; re-branch from the current " +
+              s"version and replay (${e.getMessage})")
+      }
     dropBranch(spark, path, name)
     v
   }
@@ -3292,24 +3353,27 @@ object ManifestTable {
   private val AutoCompactSmallerProp = "graft.autoCompact.smallerThan"
 
   private def autoCompactAfterAppend(spark: SparkSession, path: String,
-                                     added: Seq[String]): Unit = {
-    val v = currentVersion(spark, path).getOrElse(return)
-    val m = readManifest(spark, path, v)
-    if (!m.props.get(AutoCompactProp).exists(_.equalsIgnoreCase("true"))) return
-    val minFiles = math.max(2,
-      m.props.get(AutoCompactMinFilesProp).map(_.toInt).getOrElse(8))
-    val smaller = m.props.get(AutoCompactSmallerProp)
-      .map(GraftStreamSource.parseBytes).getOrElse(32L << 20)
-    val target = m.props.get("graft.targetFileRows").map(_.toLong)
-      .getOrElse(1L << 20)
-    val dirs = added.map(dirOf).toSet
-    val f = fs(spark, path)
-    val small = m.files.filter(rel => dirs.contains(dirOf(rel)) && {
-      try f.getFileStatus(filePath(path, rel)).getLen < smaller
-      catch { case _: java.io.IOException => false }
-    })
-    if (small.size < minFiles) return
+                                     added: Seq[String]): Unit =
+    // best-effort END TO END: a malformed property value (bad minFiles,
+    // unparsable smallerThan) must log, not fail an append whose data
+    // already committed — a retrying caller would double-load
     try {
+      val v = currentVersion(spark, path).getOrElse(return)
+      val m = readManifest(spark, path, v)
+      if (!m.props.get(AutoCompactProp).exists(_.equalsIgnoreCase("true"))) return
+      val minFiles = math.max(2,
+        m.props.get(AutoCompactMinFilesProp).map(_.toInt).getOrElse(8))
+      val smaller = m.props.get(AutoCompactSmallerProp)
+        .map(GraftStreamSource.parseBytes).getOrElse(32L << 20)
+      val target = m.props.get("graft.targetFileRows").map(_.toLong)
+        .getOrElse(1L << 20)
+      val dirs = added.map(dirOf).toSet
+      val f = fs(spark, path)
+      val small = m.files.filter(rel => dirs.contains(dirOf(rel)) && {
+        try f.getFileStatus(filePath(path, rel)).getLen < smaller
+        catch { case _: java.io.IOException => false }
+      })
+      if (small.size < minFiles) return
       val sized = graft.operators.Maintenance.sizedRepartition(
         readRels(spark, path, m, small), m.partitionCols, target)
         .localCheckpoint(true)
@@ -3317,7 +3381,6 @@ object ManifestTable {
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[graft] auto-compact of $path skipped: ${e.getMessage}")
     }
-  }
 
   /** Replace exactly the partitions present in `df` (dynamic-overwrite
     * semantics, but transactional): untouched partitions keep their old
@@ -3426,6 +3489,48 @@ object ManifestTable {
     sys.error("unreachable")
   }
 
+  /** The manifest files whose PARTITION VALUES satisfy `predicate`, when
+    * that is decidable WITHOUT reading data: the predicate references
+    * only partition columns, the layout is uniform, every directory
+    * value parses, and no subquery/nondeterminism is involved. None =
+    * undecidable (the caller falls back to a scan). The decidable case
+    * is THE backfill shape — REPLACE WHERE day='…' touches exactly the
+    * named directories of a 100 TB table, no scan at all. */
+  private def matchingPartitionFiles(spark: SparkSession, m: Manifest,
+                                     predicate: Column): Option[Seq[String]] =
+    try {
+      if (m.partitionCols.isEmpty) return None
+      val expr = org.apache.spark.sql.graft.bridge.toExpression(predicate)
+      val refs = expr.collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          a.name
+      }.toSet
+      if (refs.isEmpty || !refs.subsetOf(m.partitionCols.toSet)) return None
+      val byDir: Map[String, Seq[String]] = m.files.groupBy(dirOf)
+      val tuples = byDir.keys.toSeq.sorted.map { dir =>
+        val segs = dir.split("/")
+        if (segs.length != m.partitionCols.length) return None
+        val vals = segs.zip(m.partitionCols).map { case (seg, c) =>
+          val i = seg.indexOf('=')
+          if (i <= 0 || seg.substring(0, i) != c) return None
+          parsePartitionValue(spark, seg.substring(i + 1), m.schema(c).dataType)
+            .getOrElse(return None)
+        }
+        (dir, vals)
+      }
+      val partSchema = StructType(m.partitionCols.map(c => m.schema(c)).toArray)
+      val dirDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          tuples.map { case (dir, vals) => Row.fromSeq(vals.toSeq :+ dir) }, 1),
+        StructType(partSchema.fields :+
+          StructField("__dir", StringType, nullable = false)))
+      val matching = dirDf.filter(coalesce(predicate, lit(false)))
+        .select(col("__dir")).collect().map(_.getString(0)).toSet
+      Some(m.files.filter(rel => matching.contains(dirOf(rel))))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Delta's replaceWhere: atomically replace exactly the rows matching
     * `predicate` with `df` — ONE commit in which files fully inside the
     * predicate drop, partially-matching files rewrite WITHOUT their
@@ -3448,6 +3553,11 @@ object ManifestTable {
     val batch = fillIdentity(m, withDerived(
       df.drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema)),
       "REPLACE WHERE")
+    // the batch must match the table shape EXACTLY (no evolution on a
+    // replace): when the predicate matches no existing file the batch
+    // bypasses the union with surviving rows, and a missing/retyped
+    // column would otherwise commit silently and read back as NULL
+    requireCompatible(batch, m, "REPLACE WHERE")
     enforceConstraints(batch, m.constraints, "REPLACE WHERE")
     // every incoming row must match the predicate it claims to replace
     val offender = batch.filter(!coalesce(predicate, lit(false))).take(1)
@@ -3455,7 +3565,11 @@ object ManifestTable {
       s"REPLACE WHERE on $path: the batch contains row(s) OUTSIDE the " +
         s"predicate (e.g. ${offender.headOption.getOrElse("")}) — a " +
         "replace must only write rows it is replacing")
-    val touched = touchedFiles(spark, path, m.files, m, predicate)
+    // partition-only predicates decide the touched set from DIRECTORY
+    // VALUES alone (no scan — the 100 TB backfill shape); anything else
+    // scans for matching files
+    val touched = matchingPartitionFiles(spark, m, predicate)
+      .getOrElse(touchedFiles(spark, path, m.files, m, predicate))
     // surviving rows of partially-matching files + the batch, one rewrite
     val kept =
       if (touched.isEmpty) batch

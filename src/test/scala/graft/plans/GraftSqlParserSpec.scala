@@ -945,6 +945,17 @@ class GraftSqlParserSpec extends SparkSpec {
     val badName = intercept[Exception](
       s.sql(s"ALTER TABLE '$path' CREATE TAG '-bad'"))
     assert(badName.getMessage.contains("bad tag name"))
+    // all-digit names would be unreadable (the resolver means version 123)
+    val digits = intercept[Exception](
+      s.sql(s"ALTER TABLE '$path' CREATE TAG '123'"))
+    assert(digits.getMessage.contains("all-digit"))
+    // SaveMode.Ignore on an existing table stays a no-op under a WAP id
+    s.conf.set(ManifestTable.WapIdKey, "ignore-probe")
+    try {
+      s.range(3).toDF("id").write.format("graft")
+        .mode("ignore").save(path) // must neither stage nor throw
+      assert(ManifestTable.stagedIds(s, path).isEmpty)
+    } finally s.conf.unset(ManifestTable.WapIdKey)
 
     // catalog-name form works end to end
     s.sql("DROP TABLE IF EXISTS tag_t")
@@ -1011,6 +1022,12 @@ class GraftSqlParserSpec extends SparkSpec {
       |SELECT id, 'jan' AS mon, CAST(7 AS BIGINT) AS v FROM range(40)""".stripMargin)
     assert(s.sql("SELECT count(*) AS n, sum(v) AS sv FROM rw_t WHERE mon = 'jan'")
       .collect().map(r => (r.getLong(0), r.getLong(1))).head === ((40L, 280L)))
+
+    // a batch MISSING a table column is loud even when the predicate
+    // matches nothing (no union to catch it — the schema gate must)
+    val thin = intercept[Exception](s.sql(
+      "INSERT INTO rw_t REPLACE WHERE mon = 'mars' SELECT id, 'mars' AS mon FROM range(3)"))
+    assert(thin.getMessage.contains("does not match table schema"))
     s.sql("DROP TABLE rw_t")
 
     // non-graft targets keep Spark's own (v2-only) path and its error

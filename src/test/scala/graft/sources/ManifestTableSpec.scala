@@ -65,11 +65,19 @@ class ManifestTableSpec extends SparkSpec {
     assert(ManifestTable.read(spark, path).count() === 1600)
     assert(ManifestTable.read(spark, path).filter(col("grp") === "1").count() === 400)
 
-    // a bad mode fails the WRITE loudly (never silently unclustered)
+    // a bad mode fails the WRITE loudly (never silently unclustered) —
+    // on partitioned AND unpartitioned tables alike
     ManifestTable.setProperties(spark, path,
       Map(ManifestTable.DistributionProp -> "bogus"))
     val bad = intercept[Exception](ManifestTable.append(spark, path, mk(0, 10)))
     assert(bad.getMessage.contains("unknown mode"))
+    val flat = tmpTable()
+    ManifestTable.overwrite(spark, flat, spark.range(5).toDF("id"))
+    ManifestTable.setProperties(spark, flat,
+      Map(ManifestTable.DistributionProp -> "rangee"))
+    val badFlat = intercept[Exception](
+      ManifestTable.append(spark, flat, spark.range(5).toDF("id")))
+    assert(badFlat.getMessage.contains("unknown mode"))
   }
 
   test("identity column: NULL fill, cross-commit uniqueness, explicit values kept, self-syncing watermark") {
@@ -125,6 +133,12 @@ class ManifestTableSpec extends SparkSpec {
     // the watermark is an ordinary visible property
     assert(ManifestTable.properties(spark, path)
       .get(ManifestTable.IdentityWmProp).exists(_.toLong >= 9000003L))
+
+    // WAP staging refuses identity tables loudly: staged bytes would bake
+    // ids from a stale watermark
+    val wap = intercept[Exception](
+      ManifestTable.stageAppend(spark, path, batch(300, 305)))
+    assert(wap.getMessage.contains("identity column"))
 
     // REPLACE WHERE mints ids too, and its rewrite commit advances the
     // watermark — a later append must stay unique
@@ -205,6 +219,13 @@ class ManifestTableSpec extends SparkSpec {
       ManifestTable.read(spark, off).agg(sum("id")).head.getLong(0))
     assert(ManifestTable.read(spark, on).count() === 40)
     assert(v > 6, "the packing is its own follow-up commit in the history")
+
+    // a malformed property value must LOG, never fail the append whose
+    // data already committed (a retrying caller would double-load)
+    ManifestTable.setProperties(spark, on,
+      Map("graft.autoCompact.minFiles" -> "eight"))
+    ManifestTable.append(spark, on, spark.range(40, 45).toDF("id"))
+    assert(ManifestTable.read(spark, on).count() === 45)
   }
 
   test("null counters skip files on IS NULL / IS NOT NULL; results stay exact") {
