@@ -3833,8 +3833,22 @@ object ManifestTable {
     val m = readManifest(spark, path, v)
     requireMutable(m, path, "DELETE")
     if (m.files.isEmpty) return v
-    rewriteWithout(spark, path, v, m,
-      touchedFiles(spark, path, m.files, m, predicate), predicate)
+    // a partition-only predicate deletes WHOLE directories: decide from
+    // the directory values alone and commit WITHOUT the matching files —
+    // metadata-only, no byte read or written (Delta's partition delete);
+    // undecidable predicates keep the row-level rewrite
+    matchingPartitionFiles(spark, m, predicate) match {
+      case Some(matching) =>
+        if (matching.isEmpty) return v
+        val doomed = matching.toSet
+        commit(spark, path, v + 1, m.schema, m.partitionCols,
+          m.files.filterNot(doomed), m.statsCols, Map.empty, m.bloomCols,
+          carry = Some(m), constraints = m.constraints,
+          transforms = m.transforms, colmap = m.colmap, retired = m.retired)
+      case None =>
+        rewriteWithout(spark, path, v, m,
+          touchedFiles(spark, path, m.files, m, predicate), predicate)
+    }
   }
 
   /** Row-level DELETE, merge-on-read: instead of rewriting the files that

@@ -289,6 +289,27 @@ class ManifestTableSpec extends SparkSpec {
     assert(bad.getMessage.contains("needs graft.write.sortOrder"))
   }
 
+  test("partition-only DELETE is metadata-only: whole directories drop, no bytes written") {
+    val path = tmpTable()
+    ManifestTable.overwrite(spark, path, spark.range(100)
+      .select(col("id"), (col("id") % 2).cast("string").as("grp"))
+      .repartition(4), Seq("grp"))
+    val before = filesOf(path, 1L).toSet
+
+    // whole-partition predicate: files of grp=1 vanish, NOTHING new lands
+    ManifestTable.delete(spark, path, col("grp") === "1")
+    val after = filesOf(path, 2L).toSet
+    assert(after.subsetOf(before), "a partition delete must write no files")
+    assert(after === before.filterNot(_.contains("grp=1")))
+    assert(ManifestTable.read(spark, path).count() === 50)
+
+    // a mixed predicate still rewrites row-level (new file names appear)
+    ManifestTable.delete(spark, path, col("grp") === "0" && col("id") < 10)
+    val rewritten = filesOf(path, 3L).toSet
+    assert((rewritten -- before).nonEmpty, "row-level delete rewrites files")
+    assert(ManifestTable.read(spark, path).count() === 45)
+  }
+
   test("zone maps skip files outside the queried range; results stay exact") {
     val path = tmpTable()
     // cluster on id: range repartition → each file holds a narrow id band
