@@ -592,22 +592,25 @@ object ManifestTable {
     * the first few header lines, so the clock read costs a few hundred
     * bytes per version even on a 10⁵-file manifest — versionAt / history
     * / VACUUM RETAIN stay metadata-cheap. 0 = pre-ICT manifest. */
-  private def readCommitTs(spark: SparkSession, path: String, v: Long): Long = {
-    val in = fs(spark, path).open(new Path(manifestDir(path), manifestName(v)))
+  private def readCommitTs(spark: SparkSession, path: String, v: Long): Long =
+    // the OPEN sits inside the try too: a concurrent VACUUM can delete a
+    // superseded manifest between the caller's dir listing and this read —
+    // a vanished version degrades to the mtime fallback (0), never throws
     try {
-      val br = new java.io.BufferedReader(
-        new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
-      var line = br.readLine()
-      var n = 0
-      while (line != null && n < 8) {
-        if (line.startsWith("ts=")) return line.stripPrefix("ts=").toLong
-        if (line.startsWith("schema=")) return 0L // past the ts slot
-        n += 1; line = br.readLine()
-      }
-      0L
+      val in = fs(spark, path).open(new Path(manifestDir(path), manifestName(v)))
+      try {
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+        var line = br.readLine()
+        var n = 0
+        while (line != null && n < 8) {
+          if (line.startsWith("ts=")) return line.stripPrefix("ts=").toLong
+          if (line.startsWith("schema=")) return 0L // past the ts slot
+          n += 1; line = br.readLine()
+        }
+        0L
+      } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => 0L }
-    finally in.close()
-  }
 
   private[sources] def commitClock(spark: SparkSession,
                                    path: String): Seq[(Long, Long)] = {
@@ -2984,8 +2987,12 @@ object ManifestTable {
       // bridge the delete→create window with a SWAP pin of the new
       // version, so a concurrent VACUUM can never catch the target
       // version unpinned mid-replace (deterministic name: a crashed
-      // replace self-heals on re-run)
-      val swap = new Path(manifestDir(path), tagFileName(s"$name.swap"))
+      // replace self-heals on re-run). The swap name starts with '.' —
+      // OUTSIDE the tag grammar (names start alphanumeric) — so it can
+      // never clobber a real user tag, never lists in SHOW TAGS, and
+      // never resolves in FOR VERSION AS OF; its PIN is still honored by
+      // VACUUM (swapPinnedVersions) until the sweep GCs stale ones.
+      val swap = new Path(manifestDir(path), tagFileName(s".swap.$name"))
       write(swap, overwrite = true)
       f.delete(p, false): Unit
       write(p, overwrite = false)
@@ -3015,7 +3022,10 @@ object ManifestTable {
     if (!f.exists(dir)) return Nil
     f.listStatus(dir).map(_.getPath.getName)
       .filter(n => n.startsWith("tag-") && n.endsWith(".txt"))
-      .map(n => n.stripPrefix("tag-").stripSuffix(".txt")).sorted.toSeq
+      .map(n => n.stripPrefix("tag-").stripSuffix(".txt"))
+      // replace-swap pins (.swap.<name>) are transient plumbing, never
+      // user tags: hidden from SHOW TAGS and from version-ref resolution
+      .filter(n => TagNameRe.findFirstIn(n).isDefined).sorted.toSeq
       .map { name =>
         val lines = readManifestText(spark, path, tagFileName(name))
           .split("\n").map(_.trim)
@@ -3045,7 +3055,43 @@ object ManifestTable {
     * sidecar and DV files across VACUUM. Dangling refs (manually deleted
     * manifests) protect nothing. */
   private def taggedVersions(spark: SparkSession, path: String): Set[Long] =
-    tags(spark, path).map(_._2).toSet
+    tags(spark, path).map(_._2).toSet ++ swapPins(spark, path).map(_._2)
+
+  /** In-flight CREATE OR REPLACE TAG swap pins: (fileName, version,
+    * created-at ms). Hidden from tags() but honored by VACUUM — a
+    * concurrent sweep must not catch the replace target unpinned between
+    * the old tag's delete and the new tag's create. */
+  private def swapPins(spark: SparkSession,
+                       path: String): Seq[(String, Long, Long)] = {
+    val f = fs(spark, path)
+    val dir = manifestDir(path)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("tag-.swap.") && n.endsWith(".txt")).toSeq
+      .flatMap { n =>
+        val lines = readManifestText(spark, path, n).split("\n").map(_.trim)
+        for (v <- lines.collectFirst { case l if l.startsWith("version=") =>
+               l.stripPrefix("version=").toLong })
+          yield (n, v,
+            lines.collectFirst { case l if l.startsWith("ts=") =>
+              l.stripPrefix("ts=").toLong }.getOrElse(0L))
+      }
+  }
+
+  /** A replace completes in milliseconds; a swap older than this came
+    * from a crashed replace and may be swept (the re-run self-heals). */
+  private val SwapPinMaxAgeMs = 60L * 60 * 1000
+
+  /** GC swap pins left by crashed CREATE OR REPLACE TAG runs — without
+    * this, a phantom swap would pin its version against VACUUM forever. */
+  private def sweepStaleSwapPins(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    val now = System.currentTimeMillis()
+    swapPins(spark, path).foreach { case (n, _, ts) =>
+      if (now - ts > SwapPinMaxAgeMs)
+        f.delete(new Path(manifestDir(path), n), false): Unit
+    }
+  }
 
   // --------------------------------------------------------------- branches
 
@@ -3501,6 +3547,17 @@ object ManifestTable {
     try {
       if (m.partitionCols.isEmpty) return None
       val expr = org.apache.spark.sql.graft.bridge.toExpression(predicate)
+      // a non-deterministic predicate (grp='a' AND rand()<0.5) or one
+      // carrying a subquery must be evaluated per ROW — deciding it once
+      // per DIRECTORY would silently delete/replace whole partitions where
+      // the row-level path touches only the matching rows
+      if (!expr.deterministic || expr.exists {
+          case _: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] => true
+          // an UNRESOLVED function reports deterministic=true by default —
+          // only a resolved tree can prove itself safe to hoist
+          case _: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction => true
+          case _ => false
+        }) return None
       val refs = expr.collect {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
           a.nameParts.last
@@ -4812,7 +4869,11 @@ object ManifestTable {
       .filter(n => n.startsWith("m") && n.endsWith(".txt"))
       .map(n => n.substring(1, n.length - 4).toLong).sorted
     // tagged versions are pinned BY NAME outside the retention window:
-    // their manifests, files, sidecars and DVs all survive the sweep
+    // their manifests, files, sidecars and DVs all survive the sweep.
+    // Stale replace-swap pins GC first so a crashed replace cannot pin
+    // its version indefinitely (fresh ones still protect the in-flight
+    // replace window).
+    sweepStaleSwapPins(spark, path)
     val tagged = taggedVersions(spark, path) ++ branchPinnedVersions(spark, path)
     val keep = (versions.takeRight(keepVersions) ++
       versions.filter(tagged.contains)).distinct.sorted

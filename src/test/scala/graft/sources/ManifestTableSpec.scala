@@ -1102,4 +1102,56 @@ class ManifestTableSpec extends SparkSpec {
     }
     assert(ManifestTable.read(spark, path).count() === 2L)
   }
+
+  test("non-deterministic partition predicate keeps the ROW-level delete path") {
+    val path = tmpTable()
+    ManifestTable.overwrite(spark, path, spark.range(100)
+      .select(col("id"), (col("id") % 2).cast("string").as("grp"))
+      .repartition(4), Seq("grp"))
+    // grp alone is partition-decidable, but rand() must force per-row
+    // evaluation: the metadata-only path would coin-flip WHOLE DIRECTORIES
+    // (0 or 50 rows deleted); the row-level path deletes ~half of grp=1
+    ManifestTable.delete(spark, path, col("grp") === "1" && rand(42) < 0.5)
+    val grp0 = ManifestTable.read(spark, path).filter(col("grp") === "0").count()
+    val grp1 = ManifestTable.read(spark, path).filter(col("grp") === "1").count()
+    assert(grp0 === 50L, "rows outside the deterministic conjunct are untouched")
+    assert(grp1 > 0L && grp1 < 50L,
+      s"a random predicate must delete SOME but not ALL of grp=1, kept $grp1")
+  }
+
+  test("CREATE OR REPLACE TAG cannot clobber a user tag named '<name>.swap'") {
+    val path = tmpTable()
+    ManifestTable.overwrite(spark, path, spark.range(10).toDF("id").coalesce(1))
+    ManifestTable.overwrite(spark, path, spark.range(5).toDF("id").coalesce(1))
+    // a REAL user tag whose name collides with the old swap-pin convention
+    ManifestTable.createTag(spark, path, "rel.swap", Some(1L))
+    ManifestTable.createTag(spark, path, "rel", Some(1L))
+    ManifestTable.createTag(spark, path, "rel", Some(2L), replace = true)
+    assert(ManifestTable.tags(spark, path).map(t => t._1 -> t._2) ===
+      Seq("rel" -> 2L, "rel.swap" -> 1L),
+      "the replace's transient swap pin must not touch the user's .swap tag")
+  }
+
+  test("crashed-replace swap pins: honored while fresh, GC'd when stale, never listed") {
+    val path = tmpTable()
+    ManifestTable.overwrite(spark, path, spark.range(10).toDF("id").coalesce(1))
+    ManifestTable.overwrite(spark, path, spark.range(5).toDF("id").coalesce(1))
+    def writeSwap(ts: Long): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "_manifests", "tag-.swap.ghost.txt"),
+        s"version=1\nts=$ts\n".getBytes("UTF-8"))
+    // FRESH swap (an in-flight replace): invisible to SHOW TAGS and the
+    // version-ref resolver, but its pin keeps v1 across the sweep
+    writeSwap(System.currentTimeMillis())
+    assert(ManifestTable.tags(spark, path).isEmpty)
+    intercept[Exception](
+      ManifestTable.resolveVersionRef(spark, path, ".swap.ghost"))
+    assert(ManifestTable.vacuum(spark, path, keepVersions = 1) === 0,
+      "a fresh swap pin must protect its version's file")
+    // STALE swap (a crashed replace): the sweep GCs the pin, then takes v1
+    writeSwap(System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    assert(ManifestTable.vacuum(spark, path, keepVersions = 1) === 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_manifests", "tag-.swap.ghost.txt")))
+  }
 }
