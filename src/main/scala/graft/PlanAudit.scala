@@ -573,6 +573,16 @@ object PlanAudit {
       "the published table reads as a plain graft scan (publish was metadata + moves)" -> (p =>
         p.contains("Scan graft.sources.GraftRelation") &&
           !p.contains("Join") && !p.contains("Exchange")))
+    audit("q_sql_merge_mor")(
+      // the query itself REQUIREs byte-identity of resident files (write
+      // side); the read side must apply the deletion vectors as a
+      // broadcast anti-join against the position set — never a shuffle of
+      // the corpus
+      "merge-on-read read path: DV positions applied as broadcast anti-join" -> (p =>
+        p.contains("LeftAnti") && p.contains("BroadcastHashJoin")))
+    audit("q_sql_update_mor")(
+      "merge-on-read read path: DV positions applied as broadcast anti-join" -> (p =>
+        p.contains("LeftAnti") && p.contains("BroadcastHashJoin")))
     audit("q_write_cluster")(
       "the range predicate reaches the clustered scan" -> (p =>
         p.contains("Scan graft.sources.GraftRelation") &&

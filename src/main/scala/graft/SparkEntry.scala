@@ -1210,6 +1210,82 @@ object SparkEntry {
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
     }),
 
+    // ---- SQL MERGE under MERGE-ON-READ (spark.graft.dml.mode=mor): the
+    // SAME statement and the SAME oracle as q_sql_merge — MOR is an
+    // execution strategy, never a semantics change. The write side records
+    // deletion vectors on the matched rows' files plus a batch-bounded
+    // append instead of rewriting affected partitions; the query itself
+    // requires every pre-merge data file to carry BYTE-IDENTICAL (the
+    // write-amplification contract that makes daily CDC viable at 100 TB),
+    // then the oracle hash pins result equality ----
+    "q_sql_merge_mor" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_sqlmmor").toString + "/t"
+      val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderstatus")
+      graft.sources.ManifestTable.overwrite(s, dir,
+        orders.repartitionByRange(8, col("o_orderkey")), statsCols = Seq("o_orderkey"))
+      s.sql("DROP TABLE IF EXISTS q_sql_mmor_t")
+      s.sql(s"CREATE TABLE q_sql_mmor_t USING graft OPTIONS (path '$dir')")
+      orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 1.0).as("o_totalprice"),
+          lit("M").as("o_orderstatus"))
+        .unionAll(orders.filter(col("o_orderkey") % 997 === 0)
+          .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+            lit(1.0).as("o_totalprice"), lit("N").as("o_orderstatus")))
+        .createOrReplaceTempView("q_sql_mmor_src")
+      def files(): Map[String, Long] = {
+        val out = scala.collection.mutable.Map[String, Long]()
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data")).forEach { p =>
+          if (p.toString.endsWith(".parquet"))
+            out(p.toString) = java.nio.file.Files.size(p)
+        }
+        out.toMap
+      }
+      val before = files()
+      s.conf.set(graft.sources.ManifestTable.DmlModeKey, "mor")
+      try s.sql("""MERGE INTO q_sql_mmor_t t USING q_sql_mmor_src s
+                  |ON t.o_orderkey = s.o_orderkey
+                  |WHEN MATCHED THEN UPDATE SET *
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      finally s.conf.unset(graft.sources.ManifestTable.DmlModeKey)
+      val after = files()
+      before.foreach { case (f, sz) => require(after.get(f).contains(sz),
+        s"merge-on-read MERGE must not rewrite resident file $f") }
+      graft.sources.ManifestTable.read(s, dir)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    }),
+
+    // ---- SQL UPDATE under MERGE-ON-READ: same statement and oracle as
+    // q_sql_update; matched rows DV out of their files and re-append
+    // updated — match-bounded write cost, resident bytes untouched ----
+    "q_sql_update_mor" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_sqlumor").toString + "/t"
+      graft.sources.ManifestTable.overwrite(s, dir,
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .repartitionByRange(8, col("o_orderkey")),
+        statsCols = Seq("o_orderkey"))
+      s.sql("DROP TABLE IF EXISTS q_sql_umor_t")
+      s.sql(s"CREATE TABLE q_sql_umor_t USING graft OPTIONS (path '$dir')")
+      def files(): Map[String, Long] = {
+        val out = scala.collection.mutable.Map[String, Long]()
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data")).forEach { p =>
+          if (p.toString.endsWith(".parquet"))
+            out(p.toString) = java.nio.file.Files.size(p)
+        }
+        out.toMap
+      }
+      val before = files()
+      s.conf.set(graft.sources.ManifestTable.DmlModeKey, "mor")
+      try s.sql("UPDATE q_sql_umor_t " +
+        "SET o_totalprice = o_totalprice * 2.0, o_orderstatus = 'U' " +
+        "WHERE o_orderkey % 10 = 3 AND o_totalprice < 150000.0")
+      finally s.conf.unset(graft.sources.ManifestTable.DmlModeKey)
+      val after = files()
+      before.foreach { case (f, sz) => require(after.get(f).contains(sz),
+        s"merge-on-read UPDATE must not rewrite resident file $f") }
+      graft.sources.ManifestTable.read(s, dir)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    }),
+
     // ---- SQL MERGE full CDC apply: the source IS the upstream's current
     // state (not a change feed), so the one statement must upsert what the
     // upstream has AND reconcile what it no longer has — WHEN NOT MATCHED
@@ -4475,6 +4551,26 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice, o_orderstatus
         |FROM orders
         |WHERE NOT (o_orderkey % 500 = 7)""".stripMargin,
+
+    // merge-on-read MERGE: the SAME oracle as q_sql_merge — MOR is an
+    // execution strategy, the result must be hash-identical
+    "q_sql_merge_mor" ->
+      """SELECT o_orderkey,
+        |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+        |CASE WHEN o_orderkey % 7 = 0 THEN 'M' ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 30000000, 1.0, 'N'
+        |FROM orders WHERE o_orderkey % 997 = 0""".stripMargin,
+
+    // merge-on-read UPDATE: the SAME oracle as q_sql_update
+    "q_sql_update_mor" ->
+      """SELECT o_orderkey,
+        |CASE WHEN o_orderkey % 10 = 3 AND o_totalprice < 150000.0
+        |     THEN o_totalprice * 2.0 ELSE o_totalprice END AS o_totalprice,
+        |CASE WHEN o_orderkey % 10 = 3 AND o_totalprice < 150000.0
+        |     THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders""".stripMargin,
 
     // the UPDATE re-derived as a CASE projection over the source rows
     "q_sql_update" ->

@@ -1737,6 +1737,73 @@ object ManifestTable {
     all.join(broadcast(wanted), Seq("fname"), "left_semi")
   }
 
+  /** `spark.graft.dml.mode = mor` routes UPDATE and MERGE through
+    * merge-on-read: touched rows become deletion-vector entries on their
+    * source files plus a small append of the replacement rows, instead of
+    * copy-on-write's whole-file rewrites. At 100 TB with daily CDC
+    * upserts the difference is the dominant write cost — repricing one
+    * row in a 1 GB file writes a few KB, not a gigabyte. Unset (default)
+    * keeps copy-on-write. [[rewriteDeletes]] (OPTIMIZE … PURGE)
+    * materializes accumulated DVs back to clean files either way. */
+  val DmlModeKey = "spark.graft.dml.mode"
+  private def morDml(spark: SparkSession): Boolean =
+    spark.conf.getOption(DmlModeKey).exists(_.trim.equalsIgnoreCase("mor"))
+
+  /** DV-applied scan of `rels` that KEEPS the (`__dv_fname`, `__dv_pos`)
+    * metadata columns, logical-named — the merge-on-read write paths need
+    * each LIVE row's position to record its deletion. Same broadcast
+    * discipline as [[readRels]]. */
+  private def liveRowsWithPos(spark: SparkSession, path: String, m: Manifest,
+                              rels: Seq[String]): DataFrame = {
+    val scan = toLogical(rawScan(spark, path, m, rels, withMeta = true), m.colmap)
+    val prior = rels.filter(m.dvs.contains)
+    if (prior.isEmpty) scan
+    else {
+      val pos = dvPositions(spark, path, m, prior)
+        .select(col("fname").as("__dv_fname"), col("pos").as("__dv_pos"))
+      val deleted = prior.map(rel => m.dvs(rel)._2).sum
+      scan.join(if (deleted <= DvBroadcastRows) broadcast(pos) else pos,
+        Seq("__dv_fname", "__dv_pos"), "left_anti")
+    }
+  }
+
+  /** Write one DV sidecar holding `fresh` (fname, pos) positions merged
+    * with the PRIOR positions of exactly the files `fresh` touches (a new
+    * DV REPLACES a file's old one, so the old positions must travel —
+    * the replace-contains contract [[deleteVectorized]] established), and
+    * return the manifest DV entries for those files. Files `fresh` does
+    * not touch keep their existing sidecar via the commit's carry. Cost
+    * is bounded by the touched files' deleted-row counts, never the
+    * table's accumulated DV total. `fresh` must be materialized
+    * (checkpointed) by the caller — it is consumed twice. Returns the
+    * sidecar name (for race cleanup) and the entries; no sidecar is
+    * written when `fresh` is empty. */
+  private def writeDvEntries(spark: SparkSession, path: String, m: Manifest,
+                             v: Long, fresh: DataFrame):
+      (Option[String], Map[String, (String, Long)]) = {
+    val fnames = fresh.select(col("fname")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (fnames.isEmpty) return (None, Map.empty)
+    val fnameToRel = m.files.map(rel => fileNameOf(rel) -> rel).toMap
+    require(fnameToRel.size == m.files.size,
+      "duplicate data file names — commit-prefixed names must be table-unique")
+    val hitRels = m.files.filter(rel => fnames.contains(fileNameOf(rel)))
+    val priorRels = hitRels.filter(m.dvs.contains)
+    val merged = (if (priorRels.isEmpty) fresh
+                  else fresh.unionAll(dvPositions(spark, path, m, priorRels)))
+      .distinct()
+    val name = f"dv$v%012d-${java.util.UUID.randomUUID().toString.take(8)}"
+    // position sets are touched-rows-sized — a single output file keeps
+    // the read-side union cheap
+    merged.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new Path(dvDir(path), name).toString)
+    val counts = spark.read.schema(DvSchema)
+      .parquet(new Path(dvDir(path), name).toString)
+      .groupBy(col("fname")).agg(count(lit(1)).as("n")).collect()
+      .map(r => fnameToRel(r.getString(0)) -> r.getLong(1)).toMap
+    (Some(name), counts.map { case (rel, n) => rel -> ((name, n)) })
+  }
+
   /** Total on-disk bytes of a snapshot's data files, for optimizer
     * sizing (auto-broadcast thresholds). One `getFileStatus` per file,
     * declined (None) past 4096 files — such a table is over any
@@ -3759,6 +3826,8 @@ object ManifestTable {
           Some(m.schema))
         requireCompatible(batch, m, "merge")
         enforceConstraints(batch, m.constraints, "merge")
+        if (morDml(spark))
+          return mergeMor(spark, path, v, m, batch, keys, deleteKeys, txn)
         val existing = readVersion(spark, path, v)
         val ordered = existing.columns.map(col).toSeq
         // every key this merge removes from the current snapshot: keys being
@@ -3869,6 +3938,61 @@ object ManifestTable {
           sys.error("unreachable")
         }
     }
+
+  /** Merge-on-read MERGE (`spark.graft.dml.mode=mor`): the old copies of
+    * every key the merge touches (updated OR deleted) become deletion-
+    * vector entries on their source files, and the batch appends as new
+    * files — write cost is batch-bounded, where copy-on-write rewrites
+    * every affected partition's full bytes (or, unpartitioned, the whole
+    * table). The daily-CDC-upsert shape at 100 TB is exactly this: a few
+    * million changed keys against billions of resident rows must not
+    * re-write the resident bytes. Same null-safe `<=>` key cut as the
+    * COW path (NOT MATCHED BY SOURCE legs may delete null-keyed rows);
+    * `op=merge`+keys gives CDF the four-type refinement; losing the
+    * version race throws with the sidecar cleaned up — parity with
+    * [[deleteVectorized]], no rebase (the COW rebase re-reads rewritten
+    * partitions, which MOR never materializes). */
+  private def mergeMor(spark: SparkSession, path: String, v: Long,
+                       m: Manifest, batch: DataFrame, keys: Seq[String],
+                       deleteKeys: Option[DataFrame],
+                       txn: Option[(String, Long)]): Long = {
+    val ordered = logicalSchema(m).fieldNames.toSeq
+    // materialized once: consumed by the key cut and the data write, and
+    // the write lands inside the directory the key cut scans
+    val b = batch.select(ordered.map(n => col(s"`$n`")): _*).localCheckpoint(true)
+    val touchKeys = deleteKeys.foldLeft(b.select(keys.map(col): _*))(
+        (u, dk) => u.unionByName(dk.select(keys.map(col): _*)))
+      .distinct().toDF(keys.map("__mk_" + _): _*)
+    // every live row holding a touched key: its position is the deletion.
+    // The key set is the CDC delta — planner/AQE picks broadcast when it
+    // is small; the corpus side never shuffles more than the semi-join
+    // demands, and never re-writes.
+    val live = liveRowsWithPos(spark, path, m, m.files)
+    val matchedPos = live.join(touchKeys,
+        keys.map(k => live(k) <=> touchKeys("__mk_" + k)).reduce(_ && _),
+        "left_semi")
+      .select(col("__dv_fname").as("fname"), col("__dv_pos").as("pos"))
+      .localCheckpoint(true)
+    val (dvName, newDvs) = writeDvEntries(spark, path, m, v, matchedPos)
+    val added = if (b.isEmpty) Nil
+      else writeDataFiles(spark, path, clusterForWrite(b, m),
+        m.partitionCols, m.colmap)
+    if (newDvs.isEmpty && added.isEmpty) return v
+    val addedStats = collectStats(spark, path, added, m.schema,
+      m.partitionCols, m.statsCols, m.bloomCols)
+    val newFiles = if (m.statsCols.nonEmpty || m.bloomCols.nonEmpty)
+                     added.filter(addedStats.contains)
+                   else added
+    try commit(spark, path, v + 1, m.schema, m.partitionCols,
+      m.files ++ newFiles, m.statsCols, addedStats, m.bloomCols,
+      carry = Some(m), dvs = newDvs, constraints = m.constraints,
+      transforms = m.transforms, colmap = m.colmap, retired = m.retired,
+      op = Some("merge"), opCols = keys, txn = txn)
+    catch { case e: java.util.ConcurrentModificationException =>
+      dvName.foreach(n => fs(spark, path).delete(new Path(dvDir(path), n), true))
+      throw e
+    }
+  }
 
   /** Row-level DELETE, copy-on-write: rewrite ONLY the files that hold
     * matching rows; every other file carries into the new snapshot
@@ -4505,6 +4629,7 @@ object ManifestTable {
     val touched = touchedFiles(spark, path, m.files, m, predicate)
     if (touched.isEmpty) return v
     val hit = coalesce(predicate, lit(false))
+    if (morDml(spark)) return updateMor(spark, path, v, m, touched, hit, sets)
     val setMap = sets.toMap
     val replaced = logical.fields.map { f =>
       setMap.get(f.name) match {
@@ -4527,6 +4652,67 @@ object ManifestTable {
     // op=update: every delete+insert the change feed diffs out of this
     // commit IS an update pair — the four-type CDF refinement
     commitRewrite(spark, path, v, m, touched, rewritten, op = Some("update"))
+  }
+
+  /** Merge-on-read UPDATE (`spark.graft.dml.mode=mor`): matched rows'
+    * positions become deletion-vector entries on their source files and
+    * ONLY the matched rows re-write — an append bounded by the match
+    * count, while every untouched-row file (and every untouched row of a
+    * touched file) carries byte-identical. Copy-on-write rewrites the
+    * full bytes of every touched file; at 100 TB a point update under
+    * COW rewrites gigabytes to change one row. Readers, CDF (`op=update`
+    * pairs the DV'd pre-images with the appended post-images), fastCount
+    * and zone maps all honor the DVs exactly as for [[deleteVectorized]];
+    * [[rewriteDeletes]] materializes the tax away. Losing the version
+    * race throws (the orphaned sidecar and data files are vacuum-swept) —
+    * parity with [[deleteVectorized]], no rebase. */
+  private def updateMor(spark: SparkSession, path: String, v: Long,
+                        m: Manifest, touched: Seq[String], hit: Column,
+                        sets: Seq[(String, Column)]): Long = {
+    val logical = logicalSchema(m)
+    // DV-applied read WITH positions: a previously-deleted row must not
+    // resurrect as an updated copy, and each matched live row's position
+    // is exactly what the new DV records
+    val matched = liveRowsWithPos(spark, path, m, touched).filter(hit)
+      .localCheckpoint(true) // one materialization feeds positions AND rows
+    if (matched.isEmpty) return v
+    val setMap = sets.toMap
+    val replaced = logical.fields.map { f =>
+      setMap.get(f.name) match {
+        case Some(e) => e.cast(f.dataType).as(f.name)
+        case None => col(s"`${f.name}`")
+      }
+    }
+    // re-derive generated partition columns AFTER the SET projection: an
+    // update of a transform's SOURCE column must move the row's partition
+    // (the new copy lands in the new directory; the DV removes the old)
+    val rewritten = withDerived(
+      matched.select(replaced.toSeq: _*)
+        .drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema))
+      .select(logical.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
+    // constraints gate the SET results BEFORE any sidecar/data write — a
+    // violating update leaves zero bytes behind
+    enforceConstraints(rewritten, m.constraints, "update")
+    val freshPos = matched
+      .select(col("__dv_fname").as("fname"), col("__dv_pos").as("pos"))
+    val (dvName, newDvs) = writeDvEntries(spark, path, m, v, freshPos)
+    val added = writeDataFiles(spark, path, clusterForWrite(rewritten, m),
+      m.partitionCols, m.colmap)
+    val addedStats = collectStats(spark, path, added, m.schema,
+      m.partitionCols, m.statsCols, m.bloomCols)
+    val newFiles = if (m.statsCols.nonEmpty || m.bloomCols.nonEmpty)
+                     added.filter(addedStats.contains)
+                   else added
+    try commit(spark, path, v + 1, m.schema, m.partitionCols,
+      m.files ++ newFiles, m.statsCols, addedStats, m.bloomCols,
+      carry = Some(m), dvs = newDvs, constraints = m.constraints,
+      transforms = m.transforms, colmap = m.colmap, retired = m.retired,
+      op = Some("update"),
+      props = identityWmUpdate(spark, path, m, newFiles, addedStats))
+    catch { case e: java.util.ConcurrentModificationException =>
+      dvName.foreach(n => fs(spark, path).delete(new Path(dvDir(path), n), true))
+      throw e
+    }
   }
 
   /** Shared tail of the copy-on-write row-level commands: write
