@@ -2521,9 +2521,10 @@ object ManifestTable {
     * owns — the source's files, so a VACUUM ON THE SOURCE that sweeps a
     * file the clone still references breaks the clone; clone from
     * snapshots the source retains, or OPTIMIZE the clone to self-contain
-    * it. A source carrying deletion vectors must PURGE first (DV
-    * position files live under the source's private `_dv/`, which the
-    * clone must not reach into). Cloning a CLONE keeps original bases —
+    * it. A source carrying deletion vectors clones fine: the sidecars
+    * (deleted-rows-sized) COPY into the clone's own `_dv/` so the clone
+    * never reaches into the source's private directories. Cloning a
+    * CLONE keeps original bases —
     * chains never nest resolution. Fresh-table identity: streaming txn
     * watermarks and the COPY ledger deliberately do NOT carry (the clone
     * is a different table; an ingest into it is a new ingest).
@@ -2535,21 +2536,45 @@ object ManifestTable {
     val m = readManifest(spark, source, sv)
     require(currentVersion(spark, target).isEmpty,
       s"CLONE: a graft table already exists at $target")
-    require(m.dvs.isEmpty,
-      s"CLONE: version $sv of $source carries deletion vectors — run " +
-        "OPTIMIZE … PURGE on the source first (DV files live under the " +
-        "source's private _dv/ directory)")
     val srcBase = fs(spark, source).makeQualified(dataDir(source)).toString
     def ext(rel: String) = if (isExt(rel)) rel else extRef(srcBase, rel)
+    // deletion vectors CARRY: the referenced sidecars are deleted-rows-
+    // sized, so they COPY into the clone's own _dv/ (the clone must never
+    // reach into the source's private directories — a source VACUUM after
+    // a PURGE would break it) and the entries re-key onto the
+    // externalized rels. Zero data-file bytes move; a DV'd 100 TB table
+    // still clones in one metadata commit plus its position sidecars.
+    copyDvSidecars(spark, source, target, m.dvs.values.map(_._1).toSet)
+    val dvs2 = m.dvs.map { case (rel, e) => ext(rel) -> e }
     // stats travel with the clone (sidecar included — statsFor collects
     // it, file-count-bounded; commit re-spills past the threshold)
     val stats = statsFor(spark, source, m).map { case (rel, st) =>
       ext(rel) -> st }
     commit(spark, target, 1L, m.schema, m.partitionCols,
-      m.files.map(ext), m.statsCols, stats, m.bloomCols,
+      m.files.map(ext), m.statsCols, stats, m.bloomCols, dvs = dvs2,
       constraints = m.constraints, transforms = m.transforms,
       colmap = m.colmap, retired = m.retired, op = Some("clone"),
       props = m.props)
+  }
+
+  /** Copy the named DV sidecar directories from `source`'s `_dv/` into
+    * `target`'s. Sidecar dirs are immutable once written, so an existing
+    * target dir (a re-run, or a branch publish of fork-inherited DVs)
+    * is already correct and skips. Cost: deleted-rows-sized. */
+  private def copyDvSidecars(spark: SparkSession, source: String,
+                             target: String, names: Set[String]): Unit = {
+    if (names.isEmpty) return
+    val sf = fs(spark, source); val tf = fs(spark, target)
+    val conf = spark.sparkContext.hadoopConfiguration
+    names.toSeq.sorted.foreach { n =>
+      val dst = new Path(dvDir(target), n)
+      if (!tf.exists(dst)) {
+        tf.mkdirs(dst.getParent)
+        require(org.apache.hadoop.fs.FileUtil.copy(
+          sf, new Path(dvDir(source), n), tf, dst, false, conf),
+          s"CLONE: could not copy DV sidecar $n from $source")
+      }
+    }
   }
 
   /** Reject batches whose columns do not line up with the table schema —
@@ -3244,10 +3269,6 @@ object ManifestTable {
       s"FAST FORWARD: $path advanced since branch '$name' forked " +
         s"(version $base -> $mv) — a fast-forward must be the ONLY writer " +
         "since the fork; re-branch from the current version and replay")
-    require(bm.dvs.isEmpty,
-      s"FAST FORWARD: branch '$name' carries deletion vectors — run " +
-        "OPTIMIZE … PURGE on the branch first (its DV files live under " +
-        "the branch's private _dv/)")
     val f = fs(spark, path)
     val mainBase = f.makeQualified(dataDir(path)).toString
     val stats = statsFor(spark, bp, bm)
@@ -3272,6 +3293,23 @@ object ManifestTable {
     }
     val newStats = bm.files.zip(newFiles)
       .flatMap { case (o, n) => stats.get(o).map(n -> _) }.toMap
+    // deletion vectors PUBLISH with the branch: entries re-key through the
+    // same rel flattening as the files, and the branch's sidecar dirs move
+    // into main's _dv/ — fork-INHERITED sidecars (clone copies of dirs
+    // main already holds, immutable once written) skip, branch-WRITTEN
+    // ones are one metadata rename each, undone with the data moves on a
+    // lost race. A DV'd branch publishes without any table rewrite.
+    val relMap = bm.files.zip(newFiles).toMap
+    val newDvs = bm.dvs.flatMap { case (rel, e) => relMap.get(rel).map(_ -> e) }
+    newDvs.values.map(_._1).toSet[String].toSeq.sorted.foreach { n =>
+      val src = new Path(dvDir(bp), n)
+      val dst = new Path(dvDir(path), n)
+      if (!f.exists(dst)) {
+        f.mkdirs(dst.getParent)
+        require(f.rename(src, dst), s"FAST FORWARD: could not move DV sidecar $n")
+        movedPairs += ((src, dst))
+      }
+    }
     // carry = main's manifest: sink txn watermarks and the COPY ledger
     // survive the publish; the branch's definition (schema, partitioning,
     // constraints, properties) is the new truth
@@ -3280,6 +3318,7 @@ object ManifestTable {
       try commit(spark, path, mv + 1, bm.schema, bm.partitionCols,
         newFiles, bm.statsCols, newStats, bm.bloomCols,
         carry = Some(mm.copy(files = Nil, stats = Map.empty, dvs = Map.empty)),
+        dvs = newDvs,
         constraints = bm.constraints, transforms = bm.transforms,
         colmap = bm.colmap, retired = bm.retired,
         props = bm.props - BranchBaseProp)
@@ -3415,20 +3454,23 @@ object ManifestTable {
     * the lowest-common-denominator handoff that lets engines with no
     * graft reader (Presto/Trino/Athena-style external tables) query the
     * table as plain partitioned parquet. Each generation REPLACES the
-    * previous tree (stale partition dirs disappear); a snapshot carrying
-    * deletion vectors refuses loudly — an external reader would
-    * resurrect deleted rows ({{OPTIMIZE t PURGE}} first, Delta's own
-    * contract). Metadata-only: one manifest read, one small text file
-    * per partition directory, no data scanned. Returns the number of
-    * manifest files written. */
+    * previous tree (stale partition dirs disappear). A snapshot carrying
+    * deletion vectors first runs a SCOPED materialize ([[rewriteDeletes]]
+    * — only the DV'd files rewrite, a semantically-invisible commit) so
+    * the external reader cannot resurrect deleted rows; the common DV'd
+    * case (a few point-deleted files on a huge table) pays a few file
+    * rewrites, never a table rewrite. Otherwise metadata-only: one
+    * manifest read, one small text file per partition directory, no data
+    * scanned. Returns the number of manifest files written. */
   def generateSymlinkManifest(spark: SparkSession, path: String): Int = {
-    val v = currentVersion(spark, path)
+    val v0 = currentVersion(spark, path)
       .getOrElse(sys.error(s"no manifest table at $path"))
+    // scoped DV materialize: symlink manifests cannot express position
+    // deletes (plain file lists), so the DV'd files — and ONLY those —
+    // rewrite clean before export. No DVs → no commit, metadata-only.
+    val v = if (readManifest(spark, path, v0).dvs.isEmpty) v0
+            else rewriteDeletes(spark, path)
     val m = readManifest(spark, path, v)
-    require(m.dvs.isEmpty,
-      s"GENERATE symlink_format_manifest: $path carries deletion vectors — " +
-        "an external parquet reader would resurrect the deleted rows; run " +
-        "OPTIMIZE … PURGE first")
     val f = fs(spark, path)
     val root = new Path(path, "_symlink_format_manifest")
     f.delete(root, true)

@@ -1037,7 +1037,7 @@ class GraftSqlParserSpec extends SparkSpec {
     s.sql("DROP TABLE plain_rw_t")
   }
 
-  test("GENERATE symlink_format_manifest: external-reader export, regenerates, DV refusal") {
+  test("GENERATE symlink_format_manifest: external-reader export, regenerates, DV materialize") {
     val s = extSpark
     val path = Files.createTempDirectory("sqlp_gen").toString + "/t"
     ManifestTable.overwrite(s, path,
@@ -1062,11 +1062,15 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(s.read.parquet(
       listed("p=0") ++ listed("p=1") ++ listed("p=2"): _*).count() === 110)
 
-    // deletion vectors refuse: an external reader would resurrect rows
+    // deletion vectors trigger a SCOPED materialize (only the DV'd file
+    // rewrites) so the external reader cannot resurrect the deleted row
     ManifestTable.deleteVectorized(s, path, col("id") === 5L)
-    val dv = intercept[Exception](
-      s.sql(s"GENERATE symlink_format_manifest FOR TABLE '$path'"))
-    assert(dv.getMessage.contains("deletion vectors"))
+    s.sql(s"GENERATE symlink_format_manifest FOR TABLE '$path'")
+    val afterDv = s.read.parquet(
+      listed("p=0") ++ listed("p=1") ++ listed("p=2"): _*)
+    assert(afterDv.count() === 109)
+    assert(afterDv.filter(col("id") === 5L).count() === 0L,
+      "the exported file list must not resurrect the DV-deleted row")
     // unknown mode is loud
     val bad = intercept[Exception](
       s.sql(s"GENERATE bogus_manifest FOR TABLE '$path'"))

@@ -98,15 +98,26 @@ class CloneSpec extends SparkSpec {
     ManifestTable.shallowClone(spark, s"$r/v1", s"$r/v1b")
     assert(dataFileNames(s"$r/v1b").isEmpty)
     assert(ManifestTable.read(spark, s"$r/v1b").count() === 1L)
-    // refusals: existing target, DV-carrying source
+    // refusal: existing target
     intercept[IllegalArgumentException] {
       ManifestTable.shallowClone(spark, src, s"$r/v1")
     }
+    // a DV-carrying source clones fine: the sidecars copy into the
+    // clone's OWN _dv/ (never a reach into the source's private dirs)
+    // and the deleted row stays dead in the clone
     ManifestTable.deleteVectorized(spark, src, col("id") === 1L)
-    val e = intercept[IllegalArgumentException] {
-      ManifestTable.shallowClone(spark, src, s"$r/dv")
-    }
-    assert(e.getMessage.contains("deletion vectors"))
+    ManifestTable.shallowClone(spark, src, s"$r/dv")
+    assert(ManifestTable.read(spark, s"$r/dv")
+      .select("id").as[Long].collect().toSeq === Seq(2L))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$r/dv", "_dv")),
+      "the clone must own a copy of the DV sidecars")
+    // the clone never reads the SOURCE's _dv/: losing it changes nothing
+    // (data files must stay — that part of the vacuum contract is unchanged)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(src, "_dv"))
+    assert(ManifestTable.read(spark, s"$r/dv")
+      .select("id").as[Long].collect().toSeq === Seq(2L),
+      "clone DVs are self-contained — the source's sidecars are not read")
   }
 
   test("constraints, properties, transforms and column mapping carry into the clone") {
@@ -136,6 +147,38 @@ class CloneSpec extends SparkSpec {
         .toDF("id", "ts", "amount"))
     assert(ManifestTable.read(spark, dst).filter(col("id") === 99L)
       .select("ts_day").as[String].head() === "2024-02-01")
+  }
+
+  test("a DV'd branch forks zero-copy and FAST FORWARDs without any table rewrite") {
+    val r = root("brdv")
+    val path = s"$r/t"
+    ManifestTable.overwrite(spark, path, spark.range(100)
+      .select(col("id"), concat(lit("v"), col("id")).as("v")).coalesce(2))
+    // main carries a DV at fork time — the branch must inherit it
+    ManifestTable.deleteVectorized(spark, path, col("id") === 10L)
+    ManifestTable.createBranch(spark, path, "exp")
+    val bp = ManifestTable.branchPath(path, "exp")
+    assert(ManifestTable.read(spark, bp).filter(col("id") === 10L).count() === 0L)
+    // branch-side MOR work: a DV delete and a MOR update on the fork refs
+    ManifestTable.deleteVectorized(spark, bp, col("id") === 20L)
+    spark.conf.set(ManifestTable.DmlModeKey, "mor")
+    try ManifestTable.update(spark, bp, col("id") === 30L, Seq("v" -> lit("u")))
+    finally spark.conf.unset(ManifestTable.DmlModeKey)
+    val mainBytes = dataFileNames(path)
+    val v = ManifestTable.fastForward(spark, path, "exp")
+    // the publish moved only the branch's small MOR append — every
+    // pre-existing main data file is still present under the same name
+    assert(mainBytes.subsetOf(dataFileNames(path)),
+      "FAST FORWARD of a DV'd branch must not rewrite main's files")
+    val got = ManifestTable.read(spark, path)
+    assert(got.count() === 98L) // 100 - ids 10, 20
+    assert(got.filter(col("id").isin(10L, 20L)).count() === 0L)
+    assert(got.filter(col("id") === 30L).select("v").as[String].head() === "u")
+    // published DVs are main's own now: time travel + further DML work
+    assert(ManifestTable.readVersion(spark, path, v)
+      .filter(col("id") === 20L).count() === 0L)
+    ManifestTable.deleteVectorized(spark, path, col("id") === 40L)
+    assert(ManifestTable.read(spark, path).count() === 97L)
   }
 
   // the SQL face (CREATE TABLE … SHALLOW CLONE …) needs the injected graft
