@@ -1286,6 +1286,33 @@ object SparkEntry {
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
     }),
 
+    // ---- column DEFAULT values: ADD COLUMN … DEFAULT is one METADATA
+    // commit (require-gated: zero data files change) — every pre-add row
+    // reads the default, a positional INSERT may omit the trailing
+    // default column, and an INSERT supplying it wins ----
+    "q_sql_add_default" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_defq").toString + "/t"
+      graft.sources.ManifestTable.overwrite(s, dir,
+        Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+          .repartitionByRange(4, col("c_custkey")))
+      s.sql("DROP TABLE IF EXISTS q_def_t")
+      s.sql(s"CREATE TABLE q_def_t USING graft OPTIONS (path '$dir')")
+      def nFiles() = {
+        var n = 0
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data")).forEach { p =>
+          if (p.toString.endsWith(".parquet")) n += 1 }
+        n
+      }
+      val before = nFiles()
+      s.sql("ALTER TABLE q_def_t ADD COLUMN tier BIGINT DEFAULT 3")
+      require(nFiles() == before, "ADD COLUMN DEFAULT must be metadata-only")
+      // positional INSERT omitting the trailing default column + one
+      // supplying an explicit value
+      s.sql("INSERT INTO q_def_t VALUES (90000001, 111.5)")
+      s.sql("INSERT INTO q_def_t VALUES (90000002, 222.5, 9)")
+      s.sql("SELECT c_custkey, c_acctbal, tier FROM q_def_t")
+    }),
+
     // ---- SQL MERGE full CDC apply: the source IS the upstream's current
     // state (not a change feed), so the one statement must upsert what the
     // upstream has AND reconcile what it no longer has — WHEN NOT MATCHED
@@ -2010,6 +2037,33 @@ object SparkEntry {
         s"branch writes must be invisible to main ($mainN vs $branchN)")
       s.sql("ALTER TABLE q_br_t FAST FORWARD BRANCH load")
       s.sql("SELECT c_custkey, c_acctbal FROM q_br_t")
+    }),
+
+    // ---- branch CHERRY-PICK: main keeps ingesting after the fork (the
+    // shape FAST FORWARD refuses — require-gated), so the branch's
+    // append-only load REPLAYS onto main's moved head in one commit; the
+    // final read must hold the base, main's interleaved load, and the
+    // branch's load ----
+    "q_sql_cherry_pick" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cpq").toString + "/t"
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      graft.sources.ManifestTable.overwrite(s, dir,
+        c.filter(col("c_custkey") % 3 === 0))
+      s.sql("DROP TABLE IF EXISTS q_cp_t")
+      s.sql(s"CREATE TABLE q_cp_t USING graft OPTIONS (path '$dir')")
+      s.sql("ALTER TABLE q_cp_t CREATE BRANCH load")
+      graft.sources.ManifestTable.append(s,
+        graft.sources.ManifestTable.branchPath(dir, "load"),
+        c.filter(col("c_custkey") % 3 === 1))
+      // main MOVES after the fork — fast-forward must refuse, cherry-pick lands
+      graft.sources.ManifestTable.append(s, dir,
+        c.filter(col("c_custkey") % 3 === 2))
+      val ffRefused =
+        try { s.sql("ALTER TABLE q_cp_t FAST FORWARD BRANCH load"); false }
+        catch { case _: Exception => true }
+      require(ffRefused, "FAST FORWARD must refuse a moved main")
+      s.sql("ALTER TABLE q_cp_t CHERRY-PICK BRANCH load")
+      s.sql("SELECT c_custkey, c_acctbal FROM q_cp_t")
     }),
 
     // ---- write-time clustering: declare range distribution + sort order
@@ -4758,6 +4812,17 @@ object SparkEntry {
     // the published branch = the whole customer table
     "q_sql_branch" ->
       "SELECT c_custkey, c_acctbal FROM customer",
+
+    // base + main's interleaved load + the replayed branch load = all rows
+    "q_sql_cherry_pick" ->
+      "SELECT c_custkey, c_acctbal FROM customer",
+
+    // pre-add rows read the default (3); the two inserts land their
+    // omitted/explicit tiers
+    "q_sql_add_default" ->
+      """SELECT c_custkey, c_acctbal, CAST(3 AS BIGINT) AS tier FROM customer
+        |UNION ALL SELECT 90000001, 111.5, 3
+        |UNION ALL SELECT 90000002, 222.5, 9""".stripMargin,
 
     // the clustered-ingest range read re-derived (same floor-division bound)
     "q_write_cluster" ->

@@ -21,6 +21,14 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   * re-derives the real values. An INSERT that explicitly lists columns
   * (`INSERT INTO t (a, b)`), inserts by name, or already matches full
   * arity is left untouched.
+  *
+  * DEFAULT columns extend the same gap-closing: a positional INSERT may
+  * additionally omit TRAILING columns that declare a DEFAULT
+  * (`ManifestTable.DefaultPropPrefix`) — the omitted slots pad with the
+  * declared literal (trailing-only, the standard positional-DEFAULT
+  * shape: added columns sit at the schema's end). The write path would
+  * fill NULLs to the default anyway; padding the literal here keeps the
+  * batch physically materialized from the start.
   */
 object GraftInsertDeriveRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
@@ -28,16 +36,30 @@ object GraftInsertDeriveRule extends Rule[LogicalPlan] {
         i.query.resolved =>
       i.table match {
         case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation] =>
-          val derived = lr.relation.asInstanceOf[GraftRelation].derivedColumns.toSet
-          val missing = lr.schema.fields.count(f => derived.contains(f.name))
-          if (missing > 0 && i.query.output.size == lr.schema.size - missing) {
+          val rel = lr.relation.asInstanceOf[GraftRelation]
+          val derived = rel.derivedColumns.toSet
+          val defaults = rel.defaultColumns
+          val nonDerived = lr.schema.fields.toSeq.filterNot(f => derived.contains(f.name))
+          val needed = nonDerived.length
+          val supplied = i.query.output.size
+          // trailing run of default-bearing columns a positional INSERT
+          // may omit
+          val omittable = nonDerived.reverse.takeWhile(f =>
+            defaults.contains(f.name)).length
+          if (supplied <= needed && needed - supplied <= omittable &&
+              (supplied < needed || derived.nonEmpty)) {
             // Positional insert maps query columns to the schema IN ORDER, so
             // the pads must sit at the derived fields' positions — schema
             // evolution appends new columns AFTER ts_day/…, making "append the
             // pads at the end" misalign every column past the first derived one.
+            val omitted = nonDerived.drop(supplied).map(_.name).toSet
             val queryCols = i.query.output.iterator
             val cols = lr.schema.fields.toSeq.map { f =>
               if (derived.contains(f.name)) Alias(Literal(null, f.dataType), f.name)()
+              else if (omitted.contains(f.name))
+                Alias(org.apache.spark.sql.catalyst.expressions.Cast(
+                  org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+                    .parseExpression(defaults(f.name)), f.dataType), f.name)()
               else queryCols.next()
             }
             i.copy(query = Project(cols, i.query))

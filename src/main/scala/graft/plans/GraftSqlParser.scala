@@ -114,6 +114,8 @@ class GraftSqlParser(session: SparkSession,
       GraftShowBranchesCommand(target)
     case FastForwardRe(target, name) =>
       GraftFastForwardCommand(target, name.stripPrefix("'").stripSuffix("'"))
+    case CherryPickRe(target, name) =>
+      GraftCherryPickCommand(target, name.stripPrefix("'").stripSuffix("'"))
     case ConvertRe(dir, statscols) =>
       GraftConvertCommand(dir,
         Option(statscols).map(_.split(",").map(_.trim.stripPrefix("`")
@@ -347,12 +349,16 @@ class GraftSqlParser(session: SparkSession,
           GraftDropColumnsCommand(p, id, cols.map(_.name.head), ifExists)
         }.getOrElse(plan)
       case AddColumns(child, cols)
-          if cols.forall(c => c.path.isEmpty && c.position.isEmpty &&
-            c.default.isEmpty) =>
+          if cols.forall(c => c.path.isEmpty && c.position.isEmpty) =>
         graftTarget(child).map { case (p, id) =>
           GraftAddColumnsCommand(p, id,
             cols.map(c => org.apache.spark.sql.types.StructField(
-              c.colName, c.dataType, nullable = true)))
+              c.colName, c.dataType, nullable = true)),
+            // `ADD COLUMN c T DEFAULT lit` → the manifest's column
+            // default: old files read the literal, writers may omit or
+            // NULL the column (ManifestTable.DefaultPropPrefix contract)
+            cols.flatMap(c => c.default.map(d => c.colName -> d.originalSQL))
+              .toMap)
         }.getOrElse(plan)
       // table properties are MANIFEST metadata on graft tables (versioned,
       // time-travelable, restore-reverted) — never catalog entries
@@ -496,6 +502,8 @@ object GraftSqlParser {
     s"""(?is)\\s*SHOW\\s+BRANCHES\\s+$T\\s*;?\\s*""".r
   private val FastForwardRe =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+FAST\\s+FORWARD\\s+BRANCH\\s+$TagName\\s*;?\\s*""".r
+  private val CherryPickRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+CHERRY[-_]PICK\\s+BRANCH\\s+$TagName\\s*;?\\s*""".r
 
   /** The (table root, identifier) of a CATALOG table `USING graft`, or
     * None for anything else (other providers, unknown names, views) —
@@ -531,10 +539,16 @@ object GraftSqlParser {
     // serves formats whose files carry fixed schemas); the graft manifest
     // is the source of truth here, so write the stored schema through the
     // external catalog directly — renames and drops included
+    // the MANIFEST's logical schema, not the read plan's: scan-level
+    // expression rewrites (DEFAULT-column coalesce) tighten the plan's
+    // nullability, and a catalog schema that disagrees with the
+    // relation's declared schema fails every later resolve
     catalog.externalCatalog.alterTableDataSchema(
       ident.database.getOrElse(catalog.getCurrentDatabase),
       ident.table,
-      ManifestTable.read(spark, path).schema)
+      ManifestTable.manifestSchema(spark, path,
+        ManifestTable.currentVersion(spark, path)
+          .getOrElse(sys.error(s"no manifest table at $path"))))
     catalog.refreshTable(ident)
     catalog.invalidateAllCachedTables()
   }
@@ -721,13 +735,15 @@ case class GraftDropColumnsCommand(path: String, ident: TableIdentifier,
 
 /** `ALTER TABLE … ADD COLUMNS` on a graft table —
   * [[ManifestTable.addColumns]] (one metadata-only commit; old files
-  * read NULL for the new columns). */
+  * read NULL for the new columns — or the declared DEFAULT, when the
+  * column carries one). */
 case class GraftAddColumnsCommand(path: String, ident: TableIdentifier,
-                                  fields: Seq[org.apache.spark.sql.types.StructField])
+                                  fields: Seq[org.apache.spark.sql.types.StructField],
+                                  defaults: Map[String, String] = Map.empty)
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
-    ManifestTable.addColumns(spark, path, fields)
+    ManifestTable.addColumns(spark, path, fields, defaults)
     GraftSqlParser.refreshCatalogSchema(spark, path, ident)
     Nil
   }
@@ -872,6 +888,23 @@ case class GraftShowBranchesCommand(target: String) extends LeafRunnableCommand 
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(spark, target)
     ManifestTable.branches(spark, path).map { case (n, b, h) => Row(n, b, h) }
+  }
+}
+
+/** `ALTER TABLE t CHERRY-PICK BRANCH name` — [[ManifestTable.cherryPick]]:
+  * replay a branch's append-only commits onto a main that has MOVED since
+  * the fork (the case FAST FORWARD refuses); non-append branch work or a
+  * definition change on either side refuses loudly with the table
+  * untouched. Returns main's new version. */
+case class GraftCherryPickCommand(target: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(spark, target)
+    val v = ManifestTable.cherryPick(spark, path, name)
+    spark.sessionState.catalog.invalidateAllCachedTables()
+    Seq(Row(v))
   }
 }
 

@@ -883,6 +883,15 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
   private[graft] def derivedColumns: Seq[String] =
     manifest.transforms.map(_.derived)
 
+  /** LOGICAL column name → DEFAULT SQL literal for the pinned snapshot —
+    * SQL INSERT resolution pads omitted trailing default columns with it
+    * ([[graft.plans.GraftInsertDeriveRule]]). */
+  private[graft] def defaultColumns: Map[String, String] = {
+    val p2l = manifest.colmap.map(_.swap)
+    ManifestTable.defaultsOf(manifest).map { case (ph, sql) =>
+      p2l.getOrElse(ph, ph) -> sql }
+  }
+
   /** Per-partition-group metadata aggregates for the pinned snapshot. */
   private[graft] def metaGroupAgg(groupCols: Seq[String])
       : Option[Seq[(Seq[Any], Long, Map[String, (Any, Any)])]] =

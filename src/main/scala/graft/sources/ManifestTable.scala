@@ -572,8 +572,8 @@ object ManifestTable {
 
   /** LOGICAL schema of a committed version, straight from its manifest (no
     * data-file listing) — what readers of that version see. */
-  private[sources] def manifestSchema(spark: SparkSession, path: String,
-                                      version: Long): StructType =
+  private[graft] def manifestSchema(spark: SparkSession, path: String,
+                                    version: Long): StructType =
     logicalSchema(readManifest(spark, path, version))
 
   /** The table's COMMIT CLOCK: every retained (version, commitMillis),
@@ -1671,8 +1671,20 @@ object ManifestTable {
       val derived = m.transforms.filterNot(t => sigSet.contains(t.derived))
         .foldLeft(withM)((d, t) => d.withColumn(t.derived, deriveCol(t,
           m.schema.find(_.name == t.src).map(_.dataType))))
-      derived.select((m.schema.fieldNames.toSeq ++ metaCols)
-        .map(n => col(s"`$n`")): _*)
+      // DEFAULT columns: files that predate the add lack the physical
+      // column, so the scan reads NULL — coalesce to the declared default
+      // here, at THE read choke point, and every consumer (snapshot reads,
+      // pruned/range/point reads, DML touch scans, CDF, MVs) sees it.
+      // Post-add files hold materialized values ([[fillDefaults]]), so
+      // this fires only for genuinely-absent bytes.
+      val dfts = defaultsOf(m)
+      derived.select((m.schema.fields.toSeq.map { f =>
+        dfts.get(f.name) match {
+          case Some(sql) =>
+            coalesce(col(s"`${f.name}`"), expr(sql).cast(f.dataType)).as(f.name)
+          case None => col(s"`${f.name}`")
+        }
+      } ++ metaCols.map(n => col(s"`$n`"))): _*)
     }.reduce(_ unionByName _)
   }
 
@@ -1735,6 +1747,50 @@ object ManifestTable {
     val wanted = spark.createDataset(rels.map(fileNameOf))(
       org.apache.spark.sql.Encoders.STRING).toDF("fname")
     all.join(broadcast(wanted), Seq("fname"), "left_semi")
+  }
+
+  /** Column DEFAULT values (`graft.default.<physical name>` manifest
+    * property holding a constant SQL literal) — Iceberg v3's
+    * initial-default re-derived, in its NULL-backfill flavor:
+    * `ADD COLUMN c T DEFAULT lit` is one metadata commit; files written
+    * BEFORE the add read the default (their parquet footers lack the
+    * fresh physical column, so the scan-level NULL coalesces), and every
+    * write path materializes the default for batches that omit the column
+    * or carry NULLs in it ([[fillDefaults]]) — post-add files therefore
+    * physically hold real values, keeping zone maps/Blooms exact. The
+    * contract, stated plainly: in a DEFAULT column, ABSENT-or-NULL always
+    * reads as the default (an explicit post-add NULL becomes the default
+    * at write time — the price of never rewriting old files; a column
+    * that needs real NULLs should not declare one). Keyed by PHYSICAL
+    * name so renames keep the linkage and a drop+re-add (fresh physical
+    * name) sheds it. */
+  val DefaultPropPrefix = "graft.default."
+
+  /** physical column name → default SQL literal, for `m`'s snapshot. */
+  private[sources] def defaultsOf(m: Manifest): Map[String, String] =
+    if (m.props.isEmpty) Map.empty
+    else m.props.collect { case (k, v) if k.startsWith(DefaultPropPrefix) =>
+      k.stripPrefix(DefaultPropPrefix) -> v }
+
+  /** Materialize DEFAULT columns into a LOGICAL-named write batch: a
+    * missing column fills entirely, a present one coalesces its NULLs —
+    * so post-add data files always hold physical values and the manifest
+    * stats stay exact. Stale entries (dropped columns) are ignored. */
+  private def fillDefaults(m: Manifest, batch: DataFrame): DataFrame = {
+    val ds = defaultsOf(m)
+    if (ds.isEmpty) return batch
+    val p2l = m.colmap.map(_.swap)
+    ds.toSeq.sortBy(_._1).foldLeft(batch) { case (df, (ph, sql)) =>
+      m.schema.find(_.name == ph) match {
+        case None => df
+        case Some(f) =>
+          val lg = p2l.getOrElse(ph, ph)
+          val d = expr(sql).cast(f.dataType)
+          if (df.columns.contains(lg))
+            df.withColumn(lg, coalesce(col(s"`$lg`"), d))
+          else df.withColumn(lg, d)
+      }
+    }
   }
 
   /** `spark.graft.dml.mode = mor` routes UPDATE and MERGE through
@@ -2773,8 +2829,8 @@ object ManifestTable {
         // generated partition columns: the table derives them, the caller
         // never supplies them (a caller value could contradict the
         // transform and land rows where pruning won't look)
-        val batch = fillIdentity(m, withDerived(
-          df.drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema)),
+        val batch = fillIdentity(m, fillDefaults(m, withDerived(
+          df.drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema))),
           "append")
         // fail fast, before any data lands
         val (schema0, colmap0) = evolveSchema(batch, m, "append")
@@ -2905,8 +2961,8 @@ object ManifestTable {
         s"('${m.props.getOrElse(IdentityColProp, "")}') — write-audit-publish " +
         "staging cannot allocate ids against a moving watermark; unset " +
         s"$IdentityColProp or append directly")
-    val batch = withDerived(
-      df.drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema))
+    val batch = fillDefaults(m, withDerived(
+      df.drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema)))
     requireCompatible(batch, m, "stageAppend")
     enforceConstraints(batch, m.constraints, "stageAppend")
     val files = writeDataFiles(spark, path,
@@ -3338,6 +3394,125 @@ object ManifestTable {
     v
   }
 
+  /** Iceberg's cherry-pick re-derived for branches: replay a branch's
+    * APPEND-ONLY commits onto a main that has MOVED since the fork — the
+    * publish case [[fastForward]] refuses, and the one that matters for a
+    * long-running curation experiment on a hot table (main ingests daily;
+    * the branch only added files). Sound only when nothing interacted,
+    * checked loudly with the table untouched on refusal:
+    *
+    *  - every branch commit after the fork must be a PURE APPEND — no
+    *    dropped/rewritten files, no DV changes, no definition changes
+    *    (Iceberg cherry-picks only append snapshots for the same reason);
+    *  - main's definition (schema, partitioning, transforms, column
+    *    mapping) must still equal the fork-time definition — appends were
+    *    shaped against it;
+    *  - identity tables refuse when main's watermark moved since the fork
+    *    (both sides minted from the same fork watermark — replaying would
+    *    land duplicate ids).
+    *
+    * Main's DATA movement since the fork is fine: appends commute with
+    * appends/deletes/rewrites of OTHER files, so the replay retries
+    * through concurrent commits like any append. Main's CURRENT
+    * constraints re-gate the appended rows when they differ from the
+    * fork's (branch-bounded CHECK pass — the WAP publish discipline).
+    * The branch's new files MOVE into main's data dir (one metadata
+    * rename each, undone on a terminal lost race); ONE commit lands them
+    * (`op=cherry-pick`; the change feed reads them as plain inserts) and
+    * the branch drops. Branch-side sink txn watermarks do NOT transfer
+    * (main is a different table lineage — re-run idempotent ingests
+    * against main). Returns main's new version. */
+  def cherryPick(spark: SparkSession, path: String, name: String): Long = {
+    val bp = branchPath(path, name)
+    val bv = currentVersion(spark, bp)
+      .getOrElse(sys.error(s"no branch '$name' at $path"))
+    val bm = readManifest(spark, bp, bv)
+    bm.props.get(BranchBaseProp).map(_.toLong)
+      .getOrElse(sys.error(s"'$name' carries no fork pin — not a branch"))
+    val fork = readManifest(spark, bp, 1L) // the zero-copy clone of main@base
+    var prev = fork
+    (2L to bv).foreach { v =>
+      val c = readManifest(spark, bp, v)
+      require((prev.files.toSet -- c.files.toSet).isEmpty &&
+          c.dvs == prev.dvs && c.schema == prev.schema &&
+          c.colmap == prev.colmap && c.partitionCols == prev.partitionCols &&
+          c.transforms == prev.transforms,
+        s"CHERRY-PICK: branch '$name' commit $v is not a pure append — " +
+          "deletes/rewrites/DV or definition changes cannot replay onto a " +
+          "moved main; FAST FORWARD from an un-moved main, or re-branch " +
+          "and replay")
+      prev = c
+    }
+    val newRels = bm.files.filterNot(fork.files.toSet)
+    def checkAgainst(mm: Manifest): Unit = {
+      require(mm.schema == fork.schema && mm.colmap == fork.colmap &&
+          mm.partitionCols == fork.partitionCols &&
+          mm.transforms == fork.transforms,
+        s"CHERRY-PICK: $path changed its definition since branch '$name' " +
+          "forked — re-branch from the current version and replay")
+      require(mm.props.get(IdentityColProp).isEmpty ||
+          mm.props.get(IdentityWmProp) == fork.props.get(IdentityWmProp),
+        s"CHERRY-PICK: the identity watermark of $path moved since the " +
+          s"fork of '$name' — both sides minted ids from the same " +
+          "watermark, so replaying would land duplicates; re-branch and replay")
+    }
+    val mv = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val mm0 = readManifest(spark, path, mv)
+    checkAgainst(mm0)
+    if (newRels.isEmpty) { dropBranch(spark, path, name); return mv }
+    // main may have added a constraint since the fork — the branch's
+    // appends were never gated by it; re-check the NEW rows only
+    if (mm0.constraints != fork.constraints)
+      enforceConstraints(readRels(spark, bp, bm, newRels), mm0.constraints,
+        "CHERRY-PICK")
+    val f = fs(spark, path)
+    val newStats = statsFor(spark, bp, bm)
+      .filter { case (rel, _) => newRels.contains(rel) }
+    val movedPairs = scala.collection.mutable.ArrayBuffer[(Path, Path)]()
+    newRels.foreach { rel =>
+      require(!isExt(rel),
+        s"CHERRY-PICK: branch append $rel is an external ref — unexpected")
+      val src = filePath(bp, rel)
+      val dst = new Path(dataDir(path), rel)
+      if (!(f.exists(dst) && !f.exists(src))) { // idempotent across a crash
+        require(!f.exists(dst), s"CHERRY-PICK: name collision on $rel")
+        f.mkdirs(dst.getParent)
+        require(f.rename(src, dst), s"CHERRY-PICK: could not move $src")
+        movedPairs += ((src, dst))
+      }
+    }
+    def undo(): Unit =
+      movedPairs.foreach { case (src, dst) => f.rename(dst, src): Unit }
+    var cur = mm0
+    var tries = 0
+    while (true) {
+      try {
+        val v = commit(spark, path, cur.version + 1, cur.schema,
+          cur.partitionCols, cur.files ++ newRels, cur.statsCols, newStats,
+          cur.bloomCols, carry = Some(cur), constraints = cur.constraints,
+          transforms = cur.transforms, colmap = cur.colmap,
+          retired = cur.retired, op = Some("cherry-pick"))
+        dropBranch(spark, path, name)
+        return v
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          tries += 1
+          if (tries > MaxCommitRetries) { undo(); throw e }
+          val now = readManifest(spark, path, currentVersion(spark, path).get)
+          try checkAgainst(now)
+          catch { case t: Throwable => undo(); throw t }
+          if (now.constraints != cur.constraints)
+            try enforceConstraints(
+              toLogical(rawScan(spark, path, now, newRels), now.colmap),
+              now.constraints, "CHERRY-PICK")
+            catch { case t: Throwable => undo(); throw t }
+          cur = now
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Versions pinned by live branches (their fork bases) — main's VACUUM
     * must keep the bytes the branches reference. */
   private def branchPinnedVersions(spark: SparkSession, path: String): Set[Long] =
@@ -3357,7 +3532,14 @@ object ManifestTable {
     * values are kept verbatim (the BY DEFAULT contract), and the
     * watermark advances past EVERYTHING the commit wrote — self-syncing,
     * so a caller writing ahead of the watermark never causes a later
-    * generated collision. A concurrent filling write is detected at commit rebase
+    * generated collision. SAME-BATCH caveat (Delta's BY DEFAULT has the
+    * identical one, pinned by `IdentitySpec`): a batch that mixes NULLs
+    * with explicit ids ABOVE the current watermark can collide WITHIN
+    * ITSELF — generated values start at watermark+1 with no knowledge of
+    * the batch's own explicit ids (knowing them would cost a pre-write
+    * scan of every batch). Mixed writers should supply ids at or below
+    * the watermark, or use GENERATED ALWAYS discipline (never supply).
+    * A concurrent filling write is detected at commit rebase
     * and fails LOUDLY — both writers minted from the same watermark, so
     * retrying the loser silently would land duplicate ids. Declared via
     * TBLPROPERTIES (any time); the column must exist as BIGINT. */
@@ -3552,8 +3734,8 @@ object ManifestTable {
     requireMutable(m, path, "OVERWRITE PARTITIONS")
     require(m.partitionCols.nonEmpty, "table is unpartitioned — use overwrite")
     requireUniformLayout(m, "overwritePartitions")
-    val batch = withDerived(
-      df.drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema))
+    val batch = fillDefaults(m, withDerived(
+      df.drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema)))
     requireCompatible(batch, m, "overwritePartitions")
     enforceConstraints(batch, m.constraints, "overwritePartitions")
     val base = m
@@ -3603,8 +3785,8 @@ object ManifestTable {
       .getOrElse(sys.error(s"no manifest table at $path — use overwrite"))
     var m = readManifest(spark, path, v0)
     requireMutable(m, path, "INSERT OVERWRITE")
-    val batch = fillIdentity(m, withDerived(
-      df.drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema)),
+    val batch = fillIdentity(m, fillDefaults(m, withDerived(
+      df.drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema))),
       "INSERT OVERWRITE")
     val (schema0, colmap0) = evolveSchema(batch, m, "overwrite")
     enforceConstraints(batch, m.constraints, "overwrite")
@@ -3716,8 +3898,8 @@ object ManifestTable {
       .getOrElse(sys.error(s"no manifest table at $path"))
     val m = readManifest(spark, path, v)
     requireMutable(m, path, "REPLACE WHERE")
-    val batch = fillIdentity(m, withDerived(
-      df.drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema)),
+    val batch = fillIdentity(m, fillDefaults(m, withDerived(
+      df.drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema))),
       "REPLACE WHERE")
     // the batch must match the table shape EXACTLY (no evolution on a
     // replace): when the predicate matches no existing file the batch
@@ -3863,9 +4045,9 @@ object ManifestTable {
       case Some(v) =>
         val m = readManifest(spark, path, v)
         requireMutable(m, path, "MERGE")
-        val batch = withDerived(
+        val batch = fillDefaults(m, withDerived(
           updates.drop(m.transforms.map(_.derived): _*), m.transforms,
-          Some(m.schema))
+          Some(m.schema)))
         requireCompatible(batch, m, "merge")
         enforceConstraints(batch, m.constraints, "merge")
         if (morDml(spark))
@@ -3899,10 +4081,16 @@ object ManifestTable {
           val next = kept.unionByName(batch.select(ordered: _*)).localCheckpoint(true)
           val files = writeDataFiles(spark, path, next, Nil, m.colmap)
           // full-table rewrite: ANY concurrent commit invalidates the
-          // snapshot this merge rewrote — no rebase path exists
+          // snapshot this merge rewrote — no rebase path exists.
+          // carry = m: table properties, sink txn watermarks and the COPY
+          // ledger survive the rewrite (dropped-file stats/DV entries are
+          // filtered by the new file set inside commit); without it an
+          // unpartitioned merge silently SHED the table's props and every
+          // other sink's exactly-once watermark.
           commit(spark, path, v + 1, m.schema, Nil, files, m.statsCols,
             collectStats(spark, path, files, m.schema, Nil, m.statsCols,
-              m.bloomCols), m.bloomCols, constraints = m.constraints,
+              m.bloomCols), m.bloomCols, carry = Some(m),
+            constraints = m.constraints,
             transforms = m.transforms, colmap = m.colmap, retired = m.retired,
             op = Some("merge"), opCols = keys, txn = txn)
         } else {
@@ -4389,8 +4577,15 @@ object ManifestTable {
     * with nothing the table has ever used (current or retired), so a
     * dropped namesake's old bytes can never resurrect.
     */
+  /** @param defaults logical column name → constant SQL literal: declares
+    *        a column DEFAULT with the add (see [[DefaultPropPrefix]]) —
+    *        old files read the default, writers may omit the column.
+    *        Validated here: the literal must be constant (no column
+    *        references, no subquery, deterministic) and cast to the
+    *        column's type. */
   def addColumns(spark: SparkSession, path: String,
-                 cols: Seq[StructField]): Long = {
+                 cols: Seq[StructField],
+                 defaults: Map[String, String] = Map.empty): Long = {
     require(cols.nonEmpty, "addColumns: no columns given")
     val v = currentVersion(spark, path)
       .getOrElse(sys.error(s"no manifest table at $path"))
@@ -4402,6 +4597,25 @@ object ManifestTable {
     }
     require(cols.map(_.name).distinct.size == cols.size,
       "addColumns: duplicate column names")
+    defaults.keys.foreach(n => require(cols.exists(_.name == n),
+      s"addColumns: DEFAULT for '$n', which is not among the added columns"))
+    defaults.foreach { case (n, sql) =>
+      val dt = cols.find(_.name == n).get.dataType
+      // parse eagerly (functions.expr is a LAZY SqlExpression node in
+      // Spark 4 — its tree is not inspectable before analysis)
+      val e = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(sql)
+      require(e.deterministic && !e.exists {
+          case _: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => true
+          case _: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction => true
+          case _: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] => true
+          case _ => false
+        },
+        s"addColumns: DEFAULT for '$n' must be a constant literal, got: $sql")
+      // the literal must evaluate and cast to the declared type — loud at
+      // DDL time, not at first read
+      spark.range(1).select(expr(sql).cast(dt)).head: Unit
+    }
     var taken = m.schema.fieldNames.toSet ++ m.retired
     val mapped = cols.map { f0 =>
       val f = f0.copy(nullable = true)
@@ -4411,12 +4625,15 @@ object ManifestTable {
       taken += ph
       (f.copy(name = ph), f.name -> ph)
     }
+    val l2p = mapped.map(_._2).toMap
     commit(spark, path, v + 1,
       StructType(m.schema.fields ++ mapped.map(_._1)), m.partitionCols,
       m.files, m.statsCols, Map.empty, m.bloomCols, carry = Some(m),
       constraints = m.constraints, transforms = m.transforms,
       colmap = m.colmap ++ mapped.collect { case (_, (lg, ph)) if lg != ph => lg -> ph },
-      retired = m.retired)
+      retired = m.retired,
+      props = defaults.map { case (n, sql) =>
+        s"$DefaultPropPrefix${l2p(n)}" -> sql })
   }
 
   /** Drop a column WITHOUT rewriting any data (metadata-only commit): the

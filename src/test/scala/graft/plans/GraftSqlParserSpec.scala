@@ -1200,6 +1200,22 @@ class GraftSqlParserSpec extends SparkSpec {
     val dup = intercept[Exception](s.sql("ALTER TABLE br_t CREATE BRANCH exp3"))
     assert(dup.getMessage.contains("already exists"))
     s.sql("ALTER TABLE br_t DROP BRANCH exp3")
+
+    // CHERRY-PICK: the moved-main publish FAST FORWARD refuses — branch
+    // appends replay onto main's new head in one commit
+    s.sql("ALTER TABLE br_t CREATE BRANCH cp")
+    ManifestTable.append(s, ManifestTable.branchPath(path, "cp"),
+      s.range(1000, 1010).select(col("id"), lit("cp").as("src"),
+        col("id").as("extra")))
+    ManifestTable.append(s, path, s.range(2000, 2005)
+      .select(col("id"), lit("main2").as("src"), col("id").as("extra")))
+    intercept[Exception](s.sql("ALTER TABLE br_t FAST FORWARD BRANCH cp"))
+    s.sql("ALTER TABLE br_t CHERRY-PICK BRANCH cp").collect()
+    assert(s.sql("SELECT count(*) AS n FROM br_t WHERE src = 'cp'")
+      .head.getLong(0) === 10L)
+    assert(s.sql("SELECT count(*) AS n FROM br_t WHERE src = 'main2'")
+      .head.getLong(0) === 5L, "main's interleaved append survives")
+    assert(s.sql("SHOW BRANCHES br_t").collect().isEmpty)
     s.sql("DROP TABLE br_t")
   }
 

@@ -181,6 +181,81 @@ class CloneSpec extends SparkSpec {
     assert(ManifestTable.read(spark, path).count() === 97L)
   }
 
+  test("CHERRY-PICK replays an append-only branch onto MOVED main; conflicts refuse untouched") {
+    val r = root("cp")
+    val path = s"$r/t"
+    ManifestTable.overwrite(spark, path, spark.range(100)
+      .select(col("id"), lit("base").as("src")).coalesce(1))
+    ManifestTable.createBranch(spark, path, "exp")
+    val bp = ManifestTable.branchPath(path, "exp")
+    // branch: two pure appends
+    ManifestTable.append(spark, bp, spark.range(100, 120)
+      .select(col("id"), lit("br1").as("src")))
+    ManifestTable.append(spark, bp, spark.range(120, 130)
+      .select(col("id"), lit("br2").as("src")))
+    // main MOVES: an append AND a delete since the fork — fastForward
+    // refuses this, cherry-pick is the answer
+    ManifestTable.append(spark, path, spark.range(200, 210)
+      .select(col("id"), lit("main").as("src")))
+    ManifestTable.delete(spark, path, col("id") === 5L)
+    intercept[Exception](ManifestTable.fastForward(spark, path, "exp"))
+    val v = ManifestTable.cherryPick(spark, path, "exp")
+    val got = ManifestTable.read(spark, path)
+    assert(got.count() === 99L + 20L + 10L + 10L) // 100-1 +br1 +br2 +main
+    assert(got.filter(col("src") === "br1").count() === 20L)
+    assert(got.filter(col("src") === "br2").count() === 10L)
+    assert(got.filter(col("id") === 5L).count() === 0L,
+      "main's interleaved delete survives the replay")
+    assert(ManifestTable.branches(spark, path).isEmpty,
+      "a cherry-picked branch is dropped")
+    // the replayed rows read as plain inserts in the change feed
+    assert(ManifestTable.readChanges(spark, path, v - 1, v)
+      .groupBy("_change_type").count().as[(String, Long)].collect().toMap
+      === Map("insert" -> 30L))
+
+    // refusal 1: a branch that DELETED cannot replay — table untouched
+    ManifestTable.createBranch(spark, path, "del")
+    ManifestTable.delete(spark, path, col("id") === 6L) // move main
+    ManifestTable.delete(spark, ManifestTable.branchPath(path, "del"),
+      col("id") === 7L)
+    val nFiles = ManifestTable.read(spark, path).count()
+    val e1 = intercept[IllegalArgumentException](
+      ManifestTable.cherryPick(spark, path, "del"))
+    assert(e1.getMessage.contains("not a pure append"))
+    assert(ManifestTable.read(spark, path).count() === nFiles)
+    ManifestTable.dropBranch(spark, path, "del")
+
+    // refusal 2: main evolved its schema since the fork
+    ManifestTable.createBranch(spark, path, "sch")
+    ManifestTable.append(spark, ManifestTable.branchPath(path, "sch"),
+      spark.range(300, 310).select(col("id"), lit("s").as("src")))
+    ManifestTable.addColumns(spark, path, Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType)))
+    val e2 = intercept[IllegalArgumentException](
+      ManifestTable.cherryPick(spark, path, "sch"))
+    assert(e2.getMessage.contains("changed its definition"))
+    ManifestTable.dropBranch(spark, path, "sch")
+  }
+
+  test("CHERRY-PICK re-gates branch appends under constraints main added after the fork") {
+    val r = root("cpc")
+    val path = s"$r/t"
+    ManifestTable.overwrite(spark, path,
+      spark.range(10).select(col("id"), (col("id") * 10).as("n")).coalesce(1))
+    ManifestTable.createBranch(spark, path, "exp")
+    ManifestTable.append(spark, ManifestTable.branchPath(path, "exp"),
+      Seq((100L, -5L)).toDF("id", "n")) // violates the FUTURE constraint
+    // main moves AND adds a constraint the branch never saw
+    ManifestTable.append(spark, path, Seq((50L, 500L)).toDF("id", "n"))
+    ManifestTable.addConstraint(spark, path, "n_pos", "n >= 0")
+    val e = intercept[Exception](ManifestTable.cherryPick(spark, path, "exp"))
+    assert(e.getMessage.contains("n_pos"))
+    assert(ManifestTable.read(spark, path).filter(col("n") < 0).count() === 0L,
+      "the violating branch rows must not land")
+    ManifestTable.dropBranch(spark, path, "exp")
+  }
+
   // the SQL face (CREATE TABLE … SHALLOW CLONE …) needs the injected graft
   // parser and is covered in GraftSqlParserSpec
 }

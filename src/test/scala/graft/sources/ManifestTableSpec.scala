@@ -1154,4 +1154,62 @@ class ManifestTableSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(path, "_manifests", "tag-.swap.ghost.txt")))
   }
+
+  test("unpartitioned MERGE carries table properties and foreign txn watermarks") {
+    val path = tmpTable()
+    ManifestTable.overwrite(spark, path, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    ManifestTable.setProperties(spark, path, Map("team" -> "etl"))
+    // a sink's exactly-once watermark, recorded by an earlier append
+    ManifestTable.append(spark, path, Seq((3L, "c")).toDF("id", "v"),
+      txn = Some(("sinkA", 7L)))
+    // the full-rewrite merge path must CARRY both — it used to commit
+    // carry-less and silently shed every property and foreign watermark
+    ManifestTable.merge(spark, path, Seq((2L, "B")).toDF("id", "v"),
+      keys = Seq("id"))
+    assert(ManifestTable.properties(spark, path).get("team") === Some("etl"))
+    val m = ManifestTable.readManifest(spark, path,
+      ManifestTable.currentVersion(spark, path).get)
+    assert(m.txns === Map("sinkA" -> 7L),
+      "an unpartitioned merge must not break other sinks' exactly-once")
+  }
+
+  test("identity BY DEFAULT same-batch contract: explicit ids above the watermark CAN collide within one batch (documented Delta-parity caveat)") {
+    val path = tmpTable()
+    ManifestTable.overwrite(spark, path, spark.range(0)
+      .select(lit(null).cast("long").as("row_id"), col("id").as("payload")))
+    ManifestTable.setProperties(spark, path,
+      Map(ManifestTable.IdentityColProp -> "row_id"))
+    // the SAFE mixed batch: explicit ids AT OR BELOW the watermark (0)
+    // coexist with generated ones — no collision, ever
+    ManifestTable.append(spark, path, spark.range(4)
+      .select(when(col("id") < 2, col("id") - 10L).as("row_id"),
+        col("id").as("payload")))
+    assert(ManifestTable.read(spark, path)
+      .select("row_id").distinct().count() === 4L)
+    // the DOCUMENTED caveat: one batch mixing NULLs with explicit ids
+    // ABOVE the watermark can self-collide — generated values start at
+    // watermark+1 with NO knowledge of the batch's own explicit ids
+    // (plan-dependent partition ordinals decide the exact fill, which is
+    // exactly why no cheap guard exists). This pin asserts the contract's
+    // two guaranteed halves: the fill does NOT mint above the batch's
+    // explicit range (so an explicit wm+1/wm+2 id IS collision-exposed),
+    // and CROSS-commit uniqueness still holds (the watermark self-syncs).
+    val wm = ManifestTable.properties(spark, path)(ManifestTable.IdentityWmProp).toLong
+    ManifestTable.append(spark, path, spark.range(2)
+      .select(when(col("id") === 0, lit(wm + 2L)).as("row_id"),
+        (col("id") + 100L).as("payload")).coalesce(1))
+    val gen = ManifestTable.read(spark, path).filter(col("payload") === 101L)
+      .select("row_id").as[Long].head()
+    assert(gen > wm && gen <= wm + 2L,
+      "the generated id lands INSIDE the batch's explicit range " +
+        "(wm, wm+2] — same-batch collision is possible by contract; if id " +
+        "allocation ever avoids the batch's explicit ids, update the " +
+        "fillIdentity scaladoc with this test")
+    // ...but the NEXT commit mints above everything — no cross-commit leak
+    ManifestTable.append(spark, path, spark.range(1)
+      .select(lit(null).cast("long").as("row_id"), lit(200L).as("payload")))
+    val next = ManifestTable.read(spark, path).filter(col("payload") === 200L)
+      .select("row_id").as[Long].head()
+    assert(next > wm + 2L, "the watermark self-synced past the mixed batch")
+  }
 }
