@@ -58,7 +58,14 @@ class GraftSqlParser(session: SparkSession,
                      delegate: ParserInterface) extends ParserInterface {
   import GraftSqlParser._
 
-  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+  // regex dispatch matches the COMMENT-STRIPPED text: a graft statement
+  // carrying an inline comment must still hit its graft form — for the
+  // forms that are ALSO Spark grammar (ANALYZE, SHOW PARTITIONS, …) a
+  // comment-broken regex would silently fall through to the same-shaped
+  // Spark statement and diverge. Fallthrough hands the ORIGINAL text to
+  // the delegate (comments are legal Spark). GraftSqlParserSpec fuzzes
+  // every intercepted form over case/whitespace/comment/semicolon noise.
+  override def parsePlan(sqlText: String): LogicalPlan = stripComments(sqlText) match {
     case OptimizeRe(target, where, smaller, rows, zorder, purge) =>
       GraftOptimizeCommand(target, Option(where).map(_.trim),
         Option(smaller),
@@ -135,8 +142,42 @@ class GraftSqlParser(session: SparkSession,
       GraftAnalyzeCommand(target, all,
         Option(colsRaw).map(_.split(",").map(_.trim.stripPrefix("`")
           .stripSuffix("`")).toSeq).getOrElse(Nil))
-    case other => interceptReplaceWhere(interceptCtas(
-      interceptTimeTravel(interceptAlter(delegate.parsePlan(other)))))
+    case _ => interceptReplaceWhere(interceptCtas(
+      interceptTimeTravel(interceptAlter(delegate.parsePlan(sqlText)))))
+  }
+
+  /** Remove SQL comments (`-- …` to end of line, `/* … */`) OUTSIDE
+    * quoted regions, replacing each with one space — dispatch
+    * normalization only; the delegate still parses the original text.
+    * Quote-aware for `'`, `"` and backtick (paths may contain `--`);
+    * doubled-quote escapes toggle state twice, which is still never
+    * "inside a comment". An unterminated block comment swallows to the
+    * end, exactly as Spark's lexer treats it. */
+  private[plans] def stripComments(sql: String): String = {
+    val sb = new java.lang.StringBuilder(sql.length)
+    var i = 0
+    var quote: Char = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (quote != 0) {
+        sb.append(c); if (c == quote) quote = 0; i += 1
+      } else c match {
+        case '\'' | '"' | '`' =>
+          quote = c; sb.append(c); i += 1
+        case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
+          while (i < sql.length && sql.charAt(i) != '\n') i += 1
+          sb.append(' ')
+        case '/' if i + 1 < sql.length && sql.charAt(i + 1) == '*' =>
+          i += 2
+          while (i + 1 < sql.length &&
+            !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+          i = math.min(i + 2, sql.length)
+          sb.append(' ')
+        case other =>
+          sb.append(other); i += 1
+      }
+    }
+    sb.toString
   }
 
   /** `INSERT INTO t REPLACE WHERE cond query` (Delta's replaceWhere,

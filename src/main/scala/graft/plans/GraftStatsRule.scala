@@ -68,13 +68,103 @@ object GraftStatsRule extends Rule[LogicalPlan] {
       }).flatMap { _ =>
         // NDV from the merged per-file KMV sketches: the estimate that
         // lets join reorder tell a near-unique key from a 5-value key
-        val ndv = r.metaNdvCheap(c).map(BigInt(_))
+        val ndv = r.metaNdvCheap(c)
+        val hist = histogramOf(r, c, ndv)
         r.metaMinMaxCheap(c).map { case (mn, mx) =>
-          c -> CatalogColumnStat(distinctCount = ndv,
-            min = Some(mn.toString), max = Some(mx.toString))
-        }.orElse(ndv.map(n => c -> CatalogColumnStat(distinctCount = Some(n))))
+          c -> CatalogColumnStat(distinctCount = ndv.map(BigInt(_)),
+            min = Some(mn.toString), max = Some(mx.toString),
+            histogram = hist)
+        }.orElse(ndv.map(n =>
+          c -> CatalogColumnStat(distinctCount = Some(BigInt(n)),
+            histogram = hist)))
       }
     }.toMap
+  }
+
+  /** Equi-height histogram for CBO filter/join selectivity under skew,
+    * folded DRIVER-CHEAP from the manifest's per-file zone maps + row
+    * counts — no data scan, no job (`spark.sql.statistics.histogram
+    * .enabled` gates it, like ANALYZE's own histograms). Each file
+    * contributes its non-null rows spread uniformly over its [min, max];
+    * the resulting piecewise density cuts into `histogramNumBins`
+    * equal-mass bins. Fidelity therefore FOLLOWS CLUSTERING: a
+    * range-clustered/Z-ordered table (graft's write-distribution and
+    * OPTIMIZE default) yields bins that hug the true mass — exactly the
+    * skew signal FilterEstimation and join estimation consume — while an
+    * unclustered table degrades toward the uniform estimate CBO would
+    * use anyway, never to a wrong one. Per-bin NDV scales the sketch NDV
+    * by value-width (clamped to the bin's mass). */
+  private def histogramOf(r: GraftRelation, c: String, ndv: Option[Long])
+      : Option[org.apache.spark.sql.catalyst.plans.logical.Histogram] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Histogram, HistogramBin}
+    if (!conf.histogramEnabled) return None
+    def toD(a: Any): Option[Double] = a match {
+      case n: java.lang.Number => Some(n.doubleValue())
+      case d: scala.math.BigDecimal => Some(d.toDouble)
+      case _ => None
+    }
+    val segs = r.metaFileRangesCheap(c).getOrElse(return None)
+      .flatMap { case (mn, mx, n) =>
+        for (lo <- toD(mn); hi <- toD(mx)) yield (lo, hi, n.toDouble) }
+    if (segs.isEmpty) return None
+    val total = segs.map(_._3).sum
+    if (total <= 0) return None
+    // elementary intervals between all endpoints; point masses at lo==hi
+    val pts = segs.flatMap(s => Seq(s._1, s._2)).distinct.sorted.toIndexedSeq
+    val idx = pts.zipWithIndex.toMap
+    val pointMass = new Array[Double](pts.length)
+    val intMass = new Array[Double](math.max(0, pts.length - 1))
+    segs.foreach { case (lo, hi, n) =>
+      if (hi == lo) pointMass(idx(lo)) += n
+      else {
+        val w = hi - lo
+        var i = idx(lo)
+        while (i < intMass.length && pts(i) < hi) {
+          intMass(i) += n * (pts(i + 1) - pts(i)) / w; i += 1
+        }
+      }
+    }
+    val nBins = math.max(1, math.min(conf.histogramNumBins,
+      // no more bins than the structure can support — each bin boundary
+      // must be a distinct double
+      math.max(1, (pts.length - 1) * 4)))
+    val height = total / nBins
+    val width = pts.last - pts.head
+    def binNdv(lo: Double, hi: Double, mass: Double): Long = {
+      val byWidth = ndv.map(n => if (width > 0) n * (hi - lo) / width else n.toDouble)
+        .getOrElse(mass)
+      math.max(1L, math.min(mass.round, byWidth.round))
+    }
+    val bins = scala.collection.mutable.ArrayBuffer[HistogramBin]()
+    var cum = 0.0          // mass emitted into CLOSED bins
+    var binLo = pts.head
+    var target = height
+    def emitUpTo(cut: Double, cumNow: Double): Unit = {
+      bins += HistogramBin(binLo, cut, binNdv(binLo, cut, cumNow - cum))
+      cum = cumNow; binLo = cut; target += height
+    }
+    var acc = 0.0          // running mass including the open bin
+    var i = 0
+    while (i < pts.length) {
+      // point masses are atomic: a cut never splits one — a heavy hitter
+      // emits REPEATED same-point bins, the standard equi-height encoding
+      acc += pointMass(i)
+      while (acc >= target - 1e-9 && bins.length < nBins - 1)
+        emitUpTo(pts(i), acc)
+      if (i < intMass.length && intMass(i) > 0) {
+        val a = pts(i); val b = pts(i + 1); val m = intMass(i)
+        // uniform density inside an elementary interval: the position of
+        // cumulative mass T is a + (T - massBefore) / m * (b - a)
+        while (acc + m >= target - 1e-9 && bins.length < nBins - 1) {
+          val cut = a + (target - acc) / m * (b - a)
+          emitUpTo(math.min(math.max(cut, a), b), target)
+        }
+        acc += m
+      }
+      i += 1
+    }
+    bins += HistogramBin(binLo, pts.last, binNdv(binLo, pts.last, total - cum))
+    Some(Histogram(total / bins.length, bins.toArray))
   }
 
   /** Minimal catalog entry for a PATH-based graft read (`spark.read

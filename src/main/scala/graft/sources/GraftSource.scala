@@ -864,6 +864,14 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
     if (manifest.sidecar.isDefined) None
     else ManifestTable.fastNdvOf(manifest, colName)
 
+  /** Per-file (min, max, non-null rows) for a stats column, driver-cheap
+    * — the input the CBO equi-height histogram folds from (see
+    * [[graft.plans.GraftStatsRule]]). */
+  private[graft] def metaFileRangesCheap(colName: String)
+      : Option[Seq[(Any, Any, Long)]] =
+    if (manifest.sidecar.isDefined) None
+    else ManifestTable.fastFileRangesOf(manifest, colName)
+
   /** Manifest-answered MIN/MAX (zone maps) for the pinned snapshot. */
   private[graft] def metaMinMax(colName: String): Option[(Any, Any)] =
     ManifestTable.fastMinMaxOf(spark, path, manifest, colName)

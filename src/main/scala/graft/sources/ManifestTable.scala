@@ -1515,6 +1515,42 @@ object ManifestTable {
     Some(math.max(u.getEstimate.round, if (any) 1L else 0L))
   }
 
+  /** Per-FILE (min, max, non-null rows) triples for a stats column — the
+    * raw material the CBO histogram fold approximates a distribution
+    * from (each file ≈ uniform over its zone-map range, so fidelity
+    * follows the table's CLUSTERING: a range-clustered or Z-ordered
+    * table yields a sharp histogram, an unclustered one degrades toward
+    * the histogram-free uniform estimate — never to a WRONG one, since
+    * every file's mass stays inside its true bounds). Inline-stats
+    * manifests with exact bounds only; DV'd snapshots decline (row
+    * counts are stale under position deletes). Null rows carry no mass
+    * (the per-file null counters subtract; a missing counter counts the
+    * file's full rows — conservative overcount of its own range). */
+  private[sources] def fastFileRangesOf(m: Manifest, colName: String)
+      : Option[Seq[(Any, Any, Long)]] = {
+    if (!m.statsCols.contains(colName) || m.files.isEmpty) return None
+    if (m.dvs.nonEmpty || m.sidecar.isDefined) return None
+    val acc = Seq.newBuilder[(Any, Any, Long)]
+    for (rel <- m.files) {
+      val st = m.stats.getOrElse(rel, return None)
+      val rows = st.get(RowsKey).flatMap(_._1) match {
+        case Some(e) => decodeStat(e).toString.toLong
+        case None => return None
+      }
+      val nulls = st.get(NullsPrefix + colName).flatMap(_._1)
+        .map(decodeStat(_).toString.toLong).getOrElse(0L)
+      st.get(colName) match {
+        case Some((None, None)) => () // all-null file: no mass
+        case Some((Some(mn), Some(mx))) if statExact(mn) && statExact(mx) =>
+          if (rows - nulls > 0L)
+            acc += ((decodeStat(mn), decodeStat(mx), rows - nulls))
+        case _ => return None // statless / truncated bounds: decline
+      }
+    }
+    val rs = acc.result()
+    if (rs.isEmpty) None else Some(rs)
+  }
+
   // ------------------------------------------------------- bloom file skipping
 
   /** Per-file Bloom filter sizing: 2^15 bits (512 longs ≈ 4 KiB; ~5.5 KiB

@@ -1379,4 +1379,91 @@ class GraftSqlParserSpec extends SparkSpec {
       assert(row.getString(2) === "2023-01-02", "ts_day is re-derived, never supplied")
     } finally s.sql("DROP TABLE IF EXISTS dpad_t"): Unit
   }
+
+  test("fuzz: every intercepted statement form survives case/whitespace/comment/semicolon noise") {
+    val s = extSpark
+    val path = Files.createTempDirectory("sqlp_fuzz").toString + "/t"
+    ManifestTable.overwrite(s, path, s.range(10)
+      .select(col("id"), (col("id") % 2).cast("string").as("p")), Seq("p"))
+    // one canonical statement per regex-intercepted form, with the command
+    // class it must lower to — parse-level assertions only (no execution)
+    val stmts: Seq[(String, String)] = Seq(
+      s"OPTIMIZE '$path' WHERE p = '0' TARGET 1000 ROWS" -> "GraftOptimizeCommand",
+      s"OPTIMIZE '$path' SMALLER THAN '32m'" -> "GraftOptimizeCommand",
+      s"OPTIMIZE '$path' ZORDER BY (id)" -> "GraftOptimizeCommand",
+      s"OPTIMIZE '$path' PURGE" -> "GraftOptimizeCommand",
+      s"VACUUM '$path' RETAIN 7 DAYS DRY RUN" -> "GraftVacuumCommand",
+      s"VACUUM '$path'" -> "GraftVacuumCommand",
+      s"DESCRIBE HISTORY '$path' LIMIT 5" -> "GraftHistoryCommand",
+      s"DESCRIBE DETAIL '$path'" -> "GraftDetailCommand",
+      s"RESTORE TABLE '$path' TO VERSION 1" -> "GraftRestoreCommand",
+      s"RESTORE '$path' TO TAG rel-1.0" -> "GraftRestoreCommand",
+      s"COPY INTO '$path' FROM '/tmp/fz' FILEFORMAT = PARQUET PATTERN = '*.parquet'" -> "GraftCopyIntoCommand",
+      "CONVERT TO GRAFT '/tmp/fz' STATSCOLS (id)" -> "GraftConvertCommand",
+      s"ANALYZE TABLE '$path' COMPUTE STATISTICS FOR COLUMNS id" -> "GraftAnalyzeCommand",
+      s"ANALYZE TABLE '$path' COMPUTE STATISTICS FOR ALL COLUMNS" -> "GraftAnalyzeCommand",
+      s"SHOW PARTITIONS '$path'" -> "GraftShowPartitionsCommand",
+      s"CREATE TABLE fuzz_clone SHALLOW CLONE '$path' VERSION AS OF 1 LOCATION '/tmp/fzc'" -> "GraftCloneCommand",
+      s"PUBLISH STAGED '$path' 'wap1'" -> "GraftPublishStagedCommand",
+      s"DROP STAGED '$path' 'wap1'" -> "GraftDropStagedCommand",
+      s"ALTER TABLE '$path' CREATE OR REPLACE TAG rel-1.0 AS OF VERSION 1" -> "GraftCreateTagCommand",
+      s"ALTER TABLE '$path' DROP TAG IF EXISTS rel-1.0" -> "GraftDropTagCommand",
+      s"SHOW TAGS '$path'" -> "GraftShowTagsCommand",
+      s"GENERATE symlink_format_manifest FOR TABLE '$path'" -> "GraftGenerateCommand",
+      s"FSCK REPAIR TABLE '$path' DRY RUN" -> "GraftFsckCommand",
+      s"ALTER TABLE '$path' CREATE BRANCH exp" -> "GraftCreateBranchCommand",
+      s"ALTER TABLE '$path' DROP BRANCH IF EXISTS exp" -> "GraftDropBranchCommand",
+      s"SHOW BRANCHES '$path'" -> "GraftShowBranchesCommand",
+      s"ALTER TABLE '$path' FAST FORWARD BRANCH exp" -> "GraftFastForwardCommand",
+      s"ALTER TABLE '$path' CHERRY-PICK BRANCH exp" -> "GraftCherryPickCommand")
+    // quote-aware mutator: case-flips letters, re-rolls whitespace runs as
+    // space/tab/newline mixes, swaps some runs for /* */ or -- comments,
+    // and appends an optional trailing semicolon — everything a human or
+    // a SQL formatter produces. Quoted regions (paths!) stay verbatim.
+    def mutate(sql: String, rnd: scala.util.Random): String = {
+      val out = new StringBuilder
+      if (rnd.nextBoolean()) out.append("  ")
+      var quote: Char = 0
+      var commentBudget = 2
+      var i = 0
+      while (i < sql.length) {
+        val c = sql.charAt(i)
+        if (quote != 0) {
+          out.append(c); if (c == quote) quote = 0; i += 1
+        } else if (c == '\'' || c == '`') {
+          quote = c; out.append(c); i += 1
+        } else if (c == ' ') {
+          while (i < sql.length && sql.charAt(i) == ' ') i += 1
+          if (commentBudget > 0 && rnd.nextInt(4) == 0) {
+            commentBudget -= 1
+            out.append(
+              if (rnd.nextBoolean()) s" /* fuzz ${rnd.nextInt(100)} */ "
+              else "\n-- fuzz line\n")
+          } else {
+            val n = 1 + rnd.nextInt(3)
+            (0 until n).foreach(_ =>
+              out.append(" \t\n".charAt(rnd.nextInt(3))))
+          }
+        } else {
+          out.append(
+            if (c.isLetter && rnd.nextBoolean())
+              (if (c.isUpper) c.toLower else c.toUpper)
+            else c)
+          i += 1
+        }
+      }
+      if (rnd.nextBoolean()) out.append(" ;  ")
+      out.toString
+    }
+    val parser = s.sessionState.sqlParser
+    for (seed <- 0 until 6; (sql, expected) <- stmts) {
+      val mutated = mutate(sql, new scala.util.Random(seed * 1000 + sql.hashCode))
+      val got = try parser.parsePlan(mutated).getClass.getSimpleName
+        catch { case e: Exception =>
+          fail(s"seed=$seed: '$mutated' threw ${e.getMessage}") }
+      assert(got === expected,
+        s"seed=$seed: '$mutated' lowered to $got, wanted $expected — the " +
+          "statement silently fell through to Spark")
+    }
+  }
 }
