@@ -1847,6 +1847,12 @@ object ManifestTable {
     * discipline as [[readRels]]. */
   private def liveRowsWithPos(spark: SparkSession, path: String, m: Manifest,
                               rels: Seq[String]): DataFrame = {
+    if (rels.isEmpty) // an all-pruned key cut: zero candidates, zero rows
+      return toLogical(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(m.schema.fields ++ Array(
+          StructField("__dv_fname", StringType),
+          StructField("__dv_pos", LongType)))), m.colmap)
     val scan = toLogical(rawScan(spark, path, m, rels, withMeta = true), m.colmap)
     val prior = rels.filter(m.dvs.contains)
     if (prior.isEmpty) scan
@@ -4232,8 +4238,13 @@ object ManifestTable {
     // every live row holding a touched key: its position is the deletion.
     // The key set is the CDC delta — planner/AQE picks broadcast when it
     // is small; the corpus side never shuffles more than the semi-join
-    // demands, and never re-writes.
-    val live = liveRowsWithPos(spark, path, m, m.files)
+    // demands, and never re-writes. Zone maps + Blooms first cut the scan
+    // to the files that MAY hold a touched key ([[morMergeCandidates]]):
+    // at 100 TB the difference between scanning the fleet and scanning
+    // the working set.
+    val candidates = morMergeCandidates(spark, path, m, keys, touchKeys)
+    val candidateSet = candidates.toSet
+    val live = liveRowsWithPos(spark, path, m, candidates)
     val matchedPos = live.join(touchKeys,
         keys.map(k => live(k) <=> touchKeys("__mk_" + k)).reduce(_ && _),
         "left_semi")
@@ -4249,15 +4260,90 @@ object ManifestTable {
     val newFiles = if (m.statsCols.nonEmpty || m.bloomCols.nonEmpty)
                      added.filter(addedStats.contains)
                    else added
-    try commit(spark, path, v + 1, m.schema, m.partitionCols,
-      m.files ++ newFiles, m.statsCols, addedStats, m.bloomCols,
-      carry = Some(m), dvs = newDvs, constraints = m.constraints,
-      transforms = m.transforms, colmap = m.colmap, retired = m.retired,
-      op = Some("merge"), opCols = keys, txn = txn)
-    catch { case e: java.util.ConcurrentModificationException =>
-      dvName.foreach(n => fs(spark, path).delete(new Path(dvDir(path), n), true))
-      throw e
+    def cleanup(): Unit = dvName.foreach(n =>
+      fs(spark, path).delete(new Path(dvDir(path), n), true): Unit)
+    def lost(msg: String): Nothing = {
+      cleanup()
+      throw new java.util.ConcurrentModificationException(
+        s"merge of $path lost to a concurrent commit that $msg — " +
+          "re-run against the new snapshot")
     }
+    // rebase loop: appends COMMUTE with a MOR merge unless they carry the
+    // merge's keys — same discipline as the COW rebase, but the stakes
+    // differ (our DV entries reference the files we READ, so any change
+    // to those files' identity or DVs is a stale-read conflict)
+    var cur = m
+    var tries = 0
+    while (true) {
+      try return commit(spark, path, cur.version + 1, m.schema,
+        m.partitionCols, cur.files ++ newFiles, m.statsCols, addedStats,
+        m.bloomCols, carry = Some(cur), dvs = newDvs,
+        constraints = m.constraints, transforms = m.transforms,
+        colmap = m.colmap, retired = m.retired,
+        op = Some("merge"), opCols = keys, txn = txn)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          tries += 1; if (tries > MaxCommitRetries) { cleanup(); throw e }
+          val now = readManifest(spark, path, currentVersion(spark, path).get)
+          if (now.schema != m.schema || now.colmap != m.colmap)
+            lost("changed the table schema")
+          val removed = cur.files.toSet -- now.files.toSet
+          // a removed file OUTSIDE the candidate set was proven key-free
+          // (pruning layers only KEEP extra files) and none of our DV
+          // entries reference it — its rewrite commutes with this merge
+          if (removed.exists(rel => candidateSet.contains(rel) ||
+              newDvs.contains(rel)))
+            lost("rewrote file(s) this merge read or deletion-vectored")
+          // our sidecar merged the PRIOR positions of exactly the files it
+          // touches; a concurrent DV change on one of them would be
+          // silently dropped by the entry replacement
+          if (newDvs.keys.exists(rel => now.dvs.get(rel) != m.dvs.get(rel)))
+            lost("changed deletion vectors on file(s) this merge re-vectors")
+          val fresh = now.files.filterNot(cur.files.toSet)
+          if (fresh.nonEmpty) {
+            val tk = touchKeys.toDF(keys: _*)
+            val overlap = readRels(spark, path, now, fresh)
+              .join(broadcast(tk), keys.toSeq, "left_semi")
+            if (!overlap.isEmpty)
+              lost("appended rows sharing this merge's keys")
+          }
+          cur = now
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Candidate files for a MOR merge's key cut. When the merge key is one
+    * stats/Bloom column and the key set is driver-collectable (≤
+    * `spark.graft.mor.keyPruneMax`, default 100 000), zone maps bound the
+    * scan to files whose [min,max] meets the key range, and Blooms (for
+    * sets ≤ 4096, where per-file probing stays cheap) drop files holding
+    * none of the keys. Conservative by construction — every layer only
+    * ever KEEPS extra files; NULL keys, multi-column keys, uncollectable
+    * sets and statless columns fall back to every file. */
+  private def morMergeCandidates(spark: SparkSession, path: String,
+                                 m: Manifest, keys: Seq[String],
+                                 touchKeys: DataFrame): Seq[String] = {
+    if (keys.length != 1) return m.files
+    val ph = m.colmap.getOrElse(keys.head, keys.head)
+    if (!m.statsCols.contains(ph) && !m.bloomCols.contains(ph)) return m.files
+    val cap = spark.conf.getOption("spark.graft.mor.keyPruneMax")
+      .map(_.toInt).getOrElse(100000)
+    val rows = touchKeys.limit(cap + 1).collect()
+    if (rows.length > cap) return m.files
+    // a NULL key (NOT MATCHED BY SOURCE deleting null-keyed rows) is
+    // invisible to zone maps/Blooms — scan everything
+    if (rows.exists(_.isNullAt(0))) return m.files
+    val vals = rows.map(_.get(0)).toSeq
+    if (vals.isEmpty) return m.files
+    val (mn, mx) = vals.tail.foldLeft((vals.head, vals.head)) {
+      case ((lo, hi), x) =>
+        (if (statCompare(x, lo).exists(_ < 0)) x else lo,
+         if (statCompare(x, hi).exists(_ > 0)) x else hi)
+    }
+    val points: Map[String, Seq[Any]] =
+      if (vals.length <= 4096) Map(ph -> vals) else Map.empty
+    prunedRels(spark, path, m, Map(ph -> ((Some(mn), Some(mx)))), points)
   }
 
   /** Row-level DELETE, copy-on-write: rewrite ONLY the files that hold

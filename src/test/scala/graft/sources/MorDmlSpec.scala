@@ -241,6 +241,51 @@ class MorDmlSpec extends SparkSpec {
       "zone-map metadata answers return once DVs are materialized")
   }
 
+  test("MOR MERGE key-prune path: clustered narrow keys, out-of-range keys, prune-off fallback all match COW") {
+    // range-clustered on id with zone maps + blooms: the key cut scans
+    // only candidate files (pruning is conservative — these pins prove
+    // each arm lands on the COW answer)
+    def mk(tag: String): String = {
+      val p = Files.createTempDirectory(s"mor_$tag").toString + "/t"
+      val df = spark.range(10000).select(col("id"),
+        concat(lit("v"), col("id")).as("v")).repartitionByRange(8, col("id"))
+      ManifestTable.overwrite(spark, p, df, statsCols = Seq("id"),
+        bloomCols = Seq("id"))
+      p
+    }
+    def cdc(s: SparkSession) = s.range(5)
+      .select((col("id") + 100L).as("id"), lit("upd").as("v")) // narrow band
+    val cow = mk("kpcow")
+    ManifestTable.merge(spark, cow, cdc(spark), keys = Seq("id"),
+      deleteKeys = Some(Seq(110L).toDF("id")))
+    val mor = mk("kpmor")
+    withMor(spark) {
+      ManifestTable.merge(spark, mor, cdc(spark), keys = Seq("id"),
+        deleteKeys = Some(Seq(110L).toDF("id")))
+    }
+    assert(ManifestTable.read(spark, mor).orderBy("id").collect().toSeq
+      === ManifestTable.read(spark, cow).orderBy("id").collect().toSeq)
+    // keys entirely OUTSIDE every file's range: pruning drops every
+    // candidate — the merge degenerates to a pure insert, no DV written
+    val ins = mk("kpins")
+    withMor(spark) {
+      ManifestTable.merge(spark, ins,
+        Seq((90000L, "new")).toDF("id", "v"), keys = Seq("id"))
+    }
+    assert(ManifestTable.read(spark, ins).count() === 10001L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(ins, "_dv")),
+      "an all-pruned key cut must write no deletion vector")
+    // prune disabled (cap 0 → uncollectable): full-scan fallback, same answer
+    val full = mk("kpfull")
+    spark.conf.set("spark.graft.mor.keyPruneMax", "0")
+    try withMor(spark) {
+      ManifestTable.merge(spark, full, cdc(spark), keys = Seq("id"),
+        deleteKeys = Some(Seq(110L).toDF("id")))
+    } finally spark.conf.unset("spark.graft.mor.keyPruneMax")
+    assert(ManifestTable.read(spark, full).orderBy("id").collect().toSeq
+      === ManifestTable.read(spark, cow).orderBy("id").collect().toSeq)
+  }
+
   test("MOR UPDATE enforces constraints before writing any sidecar or data") {
     val path = mkTable("constr", n = 100)
     ManifestTable.addConstraint(spark, path, "k_small", "k < 5000")

@@ -258,6 +258,46 @@ class StreamingSpec extends SparkSpec {
     assert(graft.sources.ManifestTable.readVersion(spark, s"$root/t", 1L).count() === 2)
   }
 
+  test("manifestUpsertSink under spark.graft.dml.mode=mor: CDC stream never rewrites resident files") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("musinkmor").toString
+    // the table pre-exists with resident history (the 100 TB shape: a big
+    // corpus, a trickle of CDC upserts)
+    graft.sources.ManifestTable.overwrite(spark, s"$root/t",
+      spark.range(1000).select(col("id"), concat(lit("v"), col("id")).as("v"))
+        .repartitionByRange(4, col("id")), statsCols = Seq("id"))
+    def files(): Map[String, Long] = {
+      val out = scala.collection.mutable.Map[String, Long]()
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/t", "data")).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          out(p.toString) = java.nio.file.Files.size(p)
+      }
+      out.toMap
+    }
+    val before = files()
+    val in = MemoryStream[(Long, String)]
+    spark.conf.set(graft.sources.ManifestTable.DmlModeKey, "mor")
+    try {
+      val q = Streaming.manifestUpsertSink(in.toDF().toDF("id", "v"),
+        s"$root/t", keys = Seq("id"), partitionCols = Nil,
+        checkpointDir = s"$root/ckpt")
+      in.addData((5L, "u5"), (2000L, "new"))
+      q.processAllAvailable()
+      in.addData((5L, "u5b"), (7L, "u7")) // re-update the same key + one more
+      q.processAllAvailable(); q.stop()
+    } finally spark.conf.unset(graft.sources.ManifestTable.DmlModeKey)
+    val after = files()
+    before.foreach { case (f, sz) =>
+      assert(after.get(f).contains(sz), s"the MOR CDC stream rewrote $f") }
+    val t = graft.sources.ManifestTable.read(spark, s"$root/t")
+    assert(t.count() === 1001L)
+    assert(t.filter(col("id") === 5L).select("v").as[String].head() === "u5b")
+    assert(t.filter(col("id") === 7L).select("v").as[String].head() === "u7")
+    assert(t.filter(col("id") === 2000L).count() === 1L)
+    assert(t.groupBy("id").count().filter(col("count") > 1).count() === 0L,
+      "exactly one live copy per upserted key")
+  }
+
   test("mvRefreshSink keeps a live aggregate view recompute-equal across batches") {
     import graft.operators.MaterializedView
     implicit val sqlCtx = spark.sqlContext
