@@ -580,6 +580,12 @@ object PlanAudit {
       // the corpus
       "merge-on-read read path: DV positions applied as broadcast anti-join" -> (p =>
         p.contains("LeftAnti") && p.contains("BroadcastHashJoin")))
+    audit("q_sql_merge_eq")(
+      // the write side REQUIREs byte-identity + no position sidecar; the
+      // read side applies the key set as an anti-join with the per-file
+      // sequence lookup broadcast — never a corpus shuffle
+      "equality-delete read path: key anti-join, broadcast sides" -> (p =>
+        p.contains("LeftAnti") && p.contains("BroadcastHashJoin")))
     audit("q_sql_update_mor")(
       "merge-on-read read path: DV positions applied as broadcast anti-join" -> (p =>
         p.contains("LeftAnti") && p.contains("BroadcastHashJoin")))

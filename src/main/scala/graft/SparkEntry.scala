@@ -1254,6 +1254,53 @@ object SparkEntry {
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
     }),
 
+    // ---- SQL MERGE under EQUALITY DELETES (spark.graft.dml.mode=eq —
+    // Iceberg v2 eq-deletes / the Flink CDC writer): the merge READS
+    // NOTHING — touched keys land as a key sidecar, the batch appends,
+    // readers anti-join files sequenced before the delete. Same statement
+    // and oracle as q_sql_merge (hash-identical); the query REQUIREs
+    // resident byte-identity AND that no position sidecar was written
+    // (the _eqd dir is the only new artifact) ----
+    "q_sql_merge_eq" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_sqlmeq").toString + "/t"
+      val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice", "o_orderstatus")
+      graft.sources.ManifestTable.overwrite(s, dir,
+        orders.repartitionByRange(8, col("o_orderkey")), statsCols = Seq("o_orderkey"))
+      s.sql("DROP TABLE IF EXISTS q_sql_meq_t")
+      s.sql(s"CREATE TABLE q_sql_meq_t USING graft OPTIONS (path '$dir')")
+      orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 1.0).as("o_totalprice"),
+          lit("M").as("o_orderstatus"))
+        .unionAll(orders.filter(col("o_orderkey") % 997 === 0)
+          .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+            lit(1.0).as("o_totalprice"), lit("N").as("o_orderstatus")))
+        .createOrReplaceTempView("q_sql_meq_src")
+      def files(): Map[String, Long] = {
+        val out = scala.collection.mutable.Map[String, Long]()
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data")).forEach { p =>
+          if (p.toString.endsWith(".parquet"))
+            out(p.toString) = java.nio.file.Files.size(p)
+        }
+        out.toMap
+      }
+      val before = files()
+      s.conf.set(graft.sources.ManifestTable.DmlModeKey, "eq")
+      try s.sql("""MERGE INTO q_sql_meq_t t USING q_sql_meq_src s
+                  |ON t.o_orderkey = s.o_orderkey
+                  |WHEN MATCHED THEN UPDATE SET *
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      finally s.conf.unset(graft.sources.ManifestTable.DmlModeKey)
+      val after = files()
+      before.foreach { case (f, sz) => require(after.get(f).contains(sz),
+        s"equality-delete MERGE must not rewrite resident file $f") }
+      require(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_dv")),
+        "equality-delete MERGE must not scan for positions")
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_eqd")),
+        "equality-delete MERGE must record its key sidecar")
+      graft.sources.ManifestTable.read(s, dir)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    }),
+
     // ---- SQL UPDATE under MERGE-ON-READ: same statement and oracle as
     // q_sql_update; matched rows DV out of their files and re-append
     // updated — match-bounded write cost, resident bytes untouched ----
@@ -4609,6 +4656,16 @@ object SparkEntry {
     // merge-on-read MERGE: the SAME oracle as q_sql_merge — MOR is an
     // execution strategy, the result must be hash-identical
     "q_sql_merge_mor" ->
+      """SELECT o_orderkey,
+        |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+        |CASE WHEN o_orderkey % 7 = 0 THEN 'M' ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 30000000, 1.0, 'N'
+        |FROM orders WHERE o_orderkey % 997 = 0""".stripMargin,
+
+    // equality-delete MERGE: the SAME oracle as q_sql_merge
+    "q_sql_merge_eq" ->
       """SELECT o_orderkey,
         |CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
         |CASE WHEN o_orderkey % 7 = 0 THEN 'M' ELSE o_orderstatus END AS o_orderstatus

@@ -370,7 +370,13 @@ class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String,
   private def windowFiles(from: Long, to: Long): Seq[String] =
     if (from >= to) Nil
     else if (from == 0L) manifestAt(to).files.sorted
-    else ManifestTable.changedFiles(manifestAt(from), manifestAt(to)).sorted
+    else {
+      // an eq-delete inside the window changes rows in files this delta
+      // does not name — refuse loudly rather than stream stale rows
+      ManifestTable.requireNoNewEqdels(path, manifestAt(from), manifestAt(to),
+        "the graft streaming source")
+      ManifestTable.changedFiles(manifestAt(from), manifestAt(to)).sorted
+    }
 
   private def windowSize(o: GraftSourceOffset): Int = windowFiles(o.from, o.to).size
   private def complete(o: GraftSourceOffset): Boolean = o.k >= windowSize(o)

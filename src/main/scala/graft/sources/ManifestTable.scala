@@ -66,8 +66,14 @@ object ManifestTable {
     * Manifests with no format line predate the stamp and are format 1.
     * Bump this (and the written line) on the next line type whose
     * IGNORANCE would change query results.
-    */
-  private[sources] val FormatVersion = 1L
+    *
+    * Format 2 = EQUALITY DELETES (`eqdel=` + `fseq=` lines): a format-1
+    * reader ignoring them would resurrect every eq-deleted row. The
+    * stamp is FEATURE-GATED like Delta's protocol: a commit writes
+    * format 2 only WHILE live eqdel entries exist, so a table that never
+    * uses them — or has PURGEd them away — stays readable by format-1
+    * readers. */
+  private[sources] val FormatVersion = 2L
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -410,7 +416,24 @@ object ManifestTable {
                                        txns: Map[String, Long] = Map.empty,
                                        ingests: Seq[String] = Nil,
                                        props: Map[String, String] = Map.empty,
-                                       ts: Long = 0L)
+                                       ts: Long = 0L,
+                                       eqdels: Seq[EqDelete] = Nil,
+                                       fseq: Map[String, Long] = Map.empty)
+
+  /** One EQUALITY DELETE (Iceberg v2's eq-deletes re-derived): "every row
+    * whose `keyCols` (PHYSICAL names) match a key in sidecar `_eqd/<name>`
+    * is deleted from all files SEQUENCED BEFORE `seq`" — the delete that
+    * needs ZERO reads to write (the Flink-CDC ingest shape). A file's
+    * sequence is the version whose commit added it (`Manifest.fseq`,
+    * absent = 0 for pre-feature files, which correctly predate every
+    * eqdel); the same-commit batch of an eq-merge gets `fseq == seq`, so
+    * the upsert's own rows are exempt — delete-then-insert ordering by
+    * construction. `count` is the sidecar's key count (read-side
+    * broadcast budgeting only — NOT a deleted-row count: keys may match
+    * zero or many rows, which is why every metadata fast-count declines
+    * while eqdels live). */
+  private[sources] case class EqDelete(name: String, keyCols: Seq[String],
+                                       seq: Long, count: Long)
 
   /** The user-visible schema: physical fields renamed to their logical
     * names. Field order, types and nullability are the physical ones. */
@@ -563,11 +586,23 @@ object ManifestTable {
     // pre-ICT manifests (0 = fall back to the file mtime)
     val ts = lines.find(_.startsWith("ts="))
       .map(_.stripPrefix("ts=").trim.toLong).getOrElse(0L)
+    // eqdel=<name>|<k1,k2>|<seq>|<keyCount>; fseq=<rel>|<version> — the
+    // equality-delete feature (format 2); see [[EqDelete]]
+    val eqdels = lines.filter(_.startsWith("eqdel="))
+      .map(_.stripPrefix("eqdel=")).map { l =>
+        val Array(n, ks, sq, cnt) = l.split("\\|", -1)
+        EqDelete(n, ks.split(",").toSeq, sq.toLong, cnt.toLong)
+      }
+    val fseq = lines.filter(_.startsWith("fseq="))
+      .map(_.stripPrefix("fseq=")).map { l =>
+        val i = l.lastIndexOf('|')
+        l.substring(0, i) -> l.substring(i + 1).toLong
+      }.toMap
     Manifest(version, schema,
       if (parts.isEmpty) Nil else parts.split(",").toSeq,
       lines.filter(_.startsWith("file=")).map(_.stripPrefix("file=")),
       statsCols, stats, bloomCols, sidecar, dvs, constraints, transforms,
-      colmap, retired, op, opCols, txns, ingests, props, ts)
+      colmap, retired, op, opCols, txns, ingests, props, ts, eqdels, fseq)
   }
 
   /** LOGICAL schema of a committed version, straight from its manifest (no
@@ -775,6 +810,7 @@ object ManifestTable {
     require(fromVersion <= toVersion, s"from $fromVersion > to $toVersion")
     val to = readManifest(spark, path, toVersion)
     val from = readManifest(spark, path, fromVersion)
+    requireNoNewEqdels(path, from, to, "readVersionDelta")
     readRels(spark, path, to, changedFiles(from, to))
   }
 
@@ -789,6 +825,26 @@ object ManifestTable {
     val before = from.files.toSet
     to.files.filter(rel =>
       !before.contains(rel) || from.dvs.get(rel) != to.dvs.get(rel))
+  }
+
+  /** Change capture REFUSES windows that cross an equality-delete commit:
+    * an eq-delete changes rows in every OLDER file without naming any of
+    * them, so a file-level delta cannot bound what changed — silently
+    * emitting only the window's file changes would hand a follower stale
+    * rows. Materialize (OPTIMIZE … PURGE) or ingest CDF-consumed tables
+    * under `spark.graft.dml.mode=mor` instead. An entry RETIRING inside
+    * the window is fine (retirement rides file rewrites, which file-CDF
+    * already reports). */
+  private[sources] def requireNoNewEqdels(path: String, from: Manifest,
+                                          to: Manifest, face: String): Unit = {
+    val before = from.eqdels.map(_.name).toSet
+    val added = to.eqdels.filterNot(e => before.contains(e.name))
+    require(added.isEmpty,
+      s"$face across an equality-delete commit of $path " +
+        s"(${added.map(_.name).mkString(", ")}) — an eq-delete changes rows " +
+        "in every older file without naming them, so file-level change " +
+        "capture cannot bound the delta; run OPTIMIZE ... PURGE first, or " +
+        "use spark.graft.dml.mode=mor for CDF-consumed tables")
   }
 
   /** The other half of file-level change data capture: rows in the data
@@ -807,6 +863,7 @@ object ManifestTable {
     val to = readManifest(spark, path, toVersion)
     // DV-changed files contribute their OLD visible rows (read under
     // `from`'s DV state) — the mirror of readVersionDelta's fresh side
+    requireNoNewEqdels(path, from, to, "readVersionRemoved")
     readRels(spark, path, from, changedFiles(to, from))
   }
 
@@ -876,6 +933,7 @@ object ManifestTable {
       // is an insert (the from-side is the empty table)
       val from = if (v == 0L) to.copy(files = Nil, dvs = Map.empty)
                  else readManifest(spark, path, v)
+      requireNoNewEqdels(path, from, to, "readChanges")
       val freshRels = changedFiles(from, to)
       val goneRels = changedFiles(to, from)
       val fresh = readRels(spark, path, to, freshRels)
@@ -970,6 +1028,7 @@ object ManifestTable {
     */
   private[sources] def changeItems(from: Manifest,
                                    to: Manifest): Seq[(Seq[String], Seq[String])] = {
+    requireNoNewEqdels("<table>", from, to, "the streaming change feed")
     val fresh = changedFiles(from, to)
     val gone = changedFiles(to, from)
     val byDir = (fresh.map(r => (dirOf(r), r, true)) ++
@@ -1529,7 +1588,7 @@ object ManifestTable {
   private[sources] def fastFileRangesOf(m: Manifest, colName: String)
       : Option[Seq[(Any, Any, Long)]] = {
     if (!m.statsCols.contains(colName) || m.files.isEmpty) return None
-    if (m.dvs.nonEmpty || m.sidecar.isDefined) return None
+    if (m.dvs.nonEmpty || m.eqdels.nonEmpty || m.sidecar.isDefined) return None
     val acc = Seq.newBuilder[(Any, Any, Long)]
     for (rel <- m.files) {
       val st = m.stats.getOrElse(rel, return None)
@@ -1745,16 +1804,19 @@ object ManifestTable {
                                 rels: Seq[String]): DataFrame = toLogical(
     if (rels.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
-    else {
+    else if (liveEqdels(m, rels).nonEmpty) {
+      // equality deletes in scope: every rel scans WITH metadata — the
+      // key anti-join needs each row's file (for its sequence), and the
+      // DV anti-join rides the same columns; row order: DV positions
+      // first (a position references the raw row index), then keys
+      val scan = rawScan(spark, path, m, rels, withMeta = true)
+      applyEqDeletes(spark, path, m, applyDvAnti(spark, path, m, scan, rels),
+        rels).select(m.schema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
+    } else {
       val (dvd, plain) = rels.partition(m.dvs.contains)
       val dvdDf = if (dvd.isEmpty) None else Some {
         val scan = rawScan(spark, path, m, dvd, withMeta = true)
-        val positions0 = dvPositions(spark, path, m, dvd)
-          .select(col("fname").as("__dv_fname"), col("pos").as("__dv_pos"))
-        val deleted = dvd.map(rel => m.dvs(rel)._2).sum
-        val positions = if (deleted <= DvBroadcastRows) broadcast(positions0)
-                        else positions0
-        scan.join(positions, Seq("__dv_fname", "__dv_pos"), "left_anti")
+        applyDvAnti(spark, path, m, scan, dvd)
           .select(m.schema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
       }
       val plainDf = if (plain.isEmpty) None
@@ -1766,6 +1828,74 @@ object ManifestTable {
         case _ => sys.error("unreachable: rels is non-empty")
       }
     }, m.colmap)
+
+  /** The deletion-vector anti-join over a metadata-attached scan of
+    * `rels`: rows whose (file, position) sits in a referenced DV drop;
+    * rels without DVs pass through untouched (their names never appear in
+    * the position side). Same broadcast budget as always. */
+  private def applyDvAnti(spark: SparkSession, path: String, m: Manifest,
+                          scan: DataFrame, rels: Seq[String]): DataFrame = {
+    val dvd = rels.filter(m.dvs.contains)
+    if (dvd.isEmpty) return scan
+    val positions0 = dvPositions(spark, path, m, dvd)
+      .select(col("fname").as("__dv_fname"), col("pos").as("__dv_pos"))
+    val deleted = dvd.map(rel => m.dvs(rel)._2).sum
+    val positions = if (deleted <= DvBroadcastRows) broadcast(positions0)
+                    else positions0
+    scan.join(positions, Seq("__dv_fname", "__dv_pos"), "left_anti")
+  }
+
+  /** The eqdel entries that can affect ANY of `rels` (some rel is
+    * sequenced before the entry). */
+  private def liveEqdels(m: Manifest, rels: Seq[String]): Seq[EqDelete] =
+    if (m.eqdels.isEmpty) Nil
+    else {
+      val minSeq = rels.iterator.map(r => m.fseq.getOrElse(r, 0L))
+        .foldLeft(Long.MaxValue)(_ min _)
+      m.eqdels.filter(_.seq > minSeq)
+    }
+
+  /** Apply EQUALITY DELETES to a metadata-attached, PHYSICAL-named scan
+    * of `rels`: each row anti-joins the key sidecars whose sequence
+    * exceeds its file's sequence — "deleted from everything older". The
+    * file→sequence lookup is a broadcast over the rel list (file-count-
+    * bounded); the key side unions the live sidecars (accumulated-keys-
+    * sized) and broadcasts under the same budget as DV positions. Key
+    * equality is NULL-SAFE (`<=>`), matching the merge key cut — a
+    * null-keyed tombstone (NOT MATCHED BY SOURCE) deletes null-keyed
+    * rows. */
+  private def applyEqDeletes(spark: SparkSession, path: String, m: Manifest,
+                             df: DataFrame, rels: Seq[String]): DataFrame = {
+    val live = liveEqdels(m, rels)
+    if (live.isEmpty) return df
+    val lookup = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rels.map(r => Row(fileNameOf(r), m.fseq.getOrElse(r, 0L))), 1),
+      StructType(Seq(StructField("__fs_name", StringType, nullable = false),
+        StructField("__fseq", LongType, nullable = false)))))
+    val withSeq = df.join(lookup, df("__dv_fname") === lookup("__fs_name"))
+      .drop("__fs_name")
+    val out = live.groupBy(_.keyCols).foldLeft(withSeq) {
+      case (acc, (kc, entries)) =>
+        val keys0 = entries.map { e =>
+          spark.read.schema(StructType(kc.map(k =>
+              m.schema.find(_.name == k).getOrElse(
+                sys.error(s"eqdel key '$k' not in schema of $path")))))
+            .parquet(new Path(eqdDir(path), e.name).toString)
+            .toDF(kc.map("__eqk_" + _): _*)
+            .withColumn("__eq_seq", lit(e.seq))
+        }.reduce(_ unionAll _)
+        val totalKeys = entries.map(_.count).sum
+        val keys = if (totalKeys <= DvBroadcastRows) broadcast(keys0) else keys0
+        acc.join(keys,
+          kc.map(k => acc(k) <=> keys("__eqk_" + k)).reduce(_ && _) &&
+            keys("__eq_seq") > acc("__fseq"),
+          "left_anti")
+    }
+    out.drop("__fseq")
+  }
+
+  private def eqdDir(path: String) = new Path(path, "_eqd")
 
   /** The DV position set for `rels` (all of which must carry a DV in `m`):
     * the union of their referenced DV dirs, restricted to their file names.
@@ -1840,6 +1970,11 @@ object ManifestTable {
   val DmlModeKey = "spark.graft.dml.mode"
   private def morDml(spark: SparkSession): Boolean =
     spark.conf.getOption(DmlModeKey).exists(_.trim.equalsIgnoreCase("mor"))
+  /** `spark.graft.dml.mode = eq` routes MERGE through EQUALITY DELETES —
+    * zero table reads per merge (see [[mergeEq]]); the streaming-CDC
+    * ingest mode. UPDATE keeps MOR/COW (an update's SET reads the row). */
+  private def eqDml(spark: SparkSession): Boolean =
+    spark.conf.getOption(DmlModeKey).exists(_.trim.equalsIgnoreCase("eq"))
 
   /** DV-applied scan of `rels` that KEEPS the (`__dv_fname`, `__dv_pos`)
     * metadata columns, logical-named — the merge-on-read write paths need
@@ -1853,16 +1988,12 @@ object ManifestTable {
         StructType(m.schema.fields ++ Array(
           StructField("__dv_fname", StringType),
           StructField("__dv_pos", LongType)))), m.colmap)
-    val scan = toLogical(rawScan(spark, path, m, rels, withMeta = true), m.colmap)
-    val prior = rels.filter(m.dvs.contains)
-    if (prior.isEmpty) scan
-    else {
-      val pos = dvPositions(spark, path, m, prior)
-        .select(col("fname").as("__dv_fname"), col("pos").as("__dv_pos"))
-      val deleted = prior.map(rel => m.dvs(rel)._2).sum
-      scan.join(if (deleted <= DvBroadcastRows) broadcast(pos) else pos,
-        Seq("__dv_fname", "__dv_pos"), "left_anti")
-    }
+    // DV positions first (they reference raw row indexes), then equality
+    // deletes (a MOR write on an eq-deleted table must not resurrect) —
+    // the same order readRels applies
+    val scan = rawScan(spark, path, m, rels, withMeta = true)
+    toLogical(applyEqDeletes(spark, path, m,
+      applyDvAnti(spark, path, m, scan, rels), rels), m.colmap)
   }
 
   /** Write one DV sidecar holding `fresh` (fname, pos) positions merged
@@ -1949,7 +2080,7 @@ object ManifestTable {
   private[sources] def fastNonNullCountOf(m: Manifest,
                                           colName: String): Option[Long] = {
     if (!m.statsCols.contains(colName) || m.sidecar.isDefined ||
-        m.dvs.nonEmpty) return None
+        m.dvs.nonEmpty || m.eqdels.nonEmpty) return None
     if (m.files.isEmpty) return Some(0L)
     val per = m.files.map { rel =>
       val st = m.stats.get(rel)
@@ -1966,6 +2097,9 @@ object ManifestTable {
   private[sources] def fastCountOf(spark: SparkSession, path: String,
                                    m: Manifest): Option[Long] = {
     if (m.files.isEmpty) return Some(0L)
+    // an equality delete's key multiplicity is unknown without reading —
+    // every metadata count declines while entries live (the scan answers)
+    if (m.eqdels.nonEmpty) return None
     // deletion vectors record their cardinality in the manifest, so the
     // metadata count stays EXACT under merge-on-read: file row counts
     // minus deleted positions
@@ -2020,8 +2154,9 @@ object ManifestTable {
                                     m: Manifest, colName: String): Option[(Any, Any)] = {
     if (!m.statsCols.contains(colName) || m.files.isEmpty) return None
     // a deleted row may BE the recorded extreme — zone maps are only an
-    // upper bound under merge-on-read, so the metadata answer must decline
-    if (m.dvs.nonEmpty) return None
+    // upper bound under merge-on-read (position OR equality deletes), so
+    // the metadata answer must decline
+    if (m.dvs.nonEmpty || m.eqdels.nonEmpty) return None
     // sidecar manifests: collect the one slim stats table (files-bounded,
     // zero data IO) — still strictly cheaper than the scan it replaces
     val stats = statsFor(spark, path, m)
@@ -2070,7 +2205,7 @@ object ManifestTable {
       return None
     // per-group counts/extremes are stale under merge-on-read (the DV's
     // group membership is not tracked) — decline, the scan answers
-    if (m.dvs.nonEmpty) return None
+    if (m.dvs.nonEmpty || m.eqdels.nonEmpty) return None
     // see fastMinMaxOf on the sidecar-collect trade
     val stats = statsFor(spark, path, m)
     def parse(raw: String, dt: DataType): Option[Any] =
@@ -2292,7 +2427,9 @@ object ManifestTable {
                               opCols: Seq[String] = Nil,
                               txn: Option[(String, Long)] = None,
                               ingests: Seq[String] = Nil,
-                              props: Map[String, String] = Map.empty): Long = {
+                              props: Map[String, String] = Map.empty,
+                              eqdels: Seq[EqDelete] = Nil,
+                              fseqExplicit: Map[String, Long] = Map.empty): Long = {
     val f = fs(spark, path)
     f.mkdirs(manifestDir(path))
     val fileSet = files.toSet
@@ -2306,6 +2443,23 @@ object ManifestTable {
         .getOrElse(Map.empty) ++ dvs
     require(effectiveDvs.keySet.subsetOf(fileSet),
       s"DV entries for files not in the commit: ${(effectiveDvs.keySet -- fileSet).mkString(", ")}")
+    // file SEQUENCES (the equality-delete scoping): explicit wins (clone/
+    // restore re-keying); carried files keep theirs; a carried file with
+    // no entry predates the feature (0); a NEW file is sequenced at this
+    // commit — a rewrite's output read through the eqdel-applying scan,
+    // and an eq-merge's own batch, are therefore exempt from every
+    // already-recorded eqdel, which IS the delete-then-insert ordering
+    val carryFiles: Set[String] = carry.map(_.files.toSet).getOrElse(Set.empty)
+    val effectiveFseq: Map[String, Long] = files.map { rel =>
+      rel -> fseqExplicit.getOrElse(rel,
+        carry.flatMap(_.fseq.get(rel)).getOrElse(
+          if (carryFiles.contains(rel)) 0L else expected))
+    }.filter(_._2 > 0L).toMap
+    // an eqdel entry RETIRES when no remaining file is sequenced before it
+    // (every affected file was rewritten/dropped) — the manifest sheds the
+    // line and, once none remain, the format stamp returns to 1
+    val effectiveEqdels = (carry.map(_.eqdels).getOrElse(Nil) ++ eqdels)
+      .filter(e => files.exists(rel => effectiveFseq.getOrElse(rel, 0L) < e.seq))
     val hasStats = statsCols.nonEmpty || bloomCols.nonEmpty ||
       stats.nonEmpty || carry.exists(b => b.stats.nonEmpty || b.sidecar.isDefined)
     val useSidecar = hasStats && files.size > sidecarThreshold(spark)
@@ -2385,8 +2539,13 @@ object ManifestTable {
     val parentTs = carry.map(_.ts).filter(_ > 0L).getOrElse(
       if (expected > 1) readCommitTs(spark, path, expected - 1) else 0L)
     val commitTs = math.max(System.currentTimeMillis(), parentTs + 1)
+    // feature-gated protocol stamp: format 2 only WHILE live eqdel lines
+    // exist (a format-1 reader ignoring them would resurrect rows); file
+    // sequences matter only relative to live eqdels, so they are shed
+    // together — a future eqdel's seq exceeds every current version, and
+    // "absent = 0" compares identically below it
     val body = (Seq(Header,
-      "format=" + FormatVersion,
+      "format=" + (if (effectiveEqdels.nonEmpty) 2L else 1L),
       "ts=" + commitTs,
       "schema=" + schema.json,
       "partitions=" + partitionCols.mkString(","),
@@ -2395,6 +2554,11 @@ object ManifestTable {
       sidecarName.map("sidecar=" + _).toSeq ++
       files.map("file=" + _) ++
       effectiveDvs.toSeq.sortBy(_._1).map { case (rel, (n, cnt)) => s"dv=$rel|$n|$cnt" } ++
+      effectiveEqdels.sortBy(e => (e.seq, e.name)).map(e =>
+        s"eqdel=${e.name}|${e.keyCols.mkString(",")}|${e.seq}|${e.count}") ++
+      (if (effectiveEqdels.nonEmpty)
+         effectiveFseq.toSeq.sortBy(_._1).map { case (rel, s) => s"fseq=$rel|$s" }
+       else Nil) ++
       constraints.map { case (n, e) =>
         s"constraint=$n|${java.net.URLEncoder.encode(e, "UTF-8")}" } ++
       transforms.map(t => s"transform=${t.derived}|${t.kind}|${t.arg}|${t.src}") ++
@@ -2634,6 +2798,11 @@ object ManifestTable {
     val m = readManifest(spark, source, sv)
     require(currentVersion(spark, target).isEmpty,
       s"CLONE: a graft table already exists at $target")
+    require(m.eqdels.isEmpty,
+      s"CLONE: version $sv of $source carries equality deletes — their " +
+        "sequences live in the source's version domain and cannot re-base " +
+        "onto a fresh table's; run OPTIMIZE ... PURGE on the source first " +
+        "(the rewrite is scoped to the affected files)")
     val srcBase = fs(spark, source).makeQualified(dataDir(source)).toString
     def ext(rel: String) = if (isExt(rel)) rel else extRef(srcBase, rel)
     // deletion vectors CARRY: the referenced sidecars are deleted-rows-
@@ -3367,6 +3536,10 @@ object ManifestTable {
       s"FAST FORWARD: $path advanced since branch '$name' forked " +
         s"(version $base -> $mv) — a fast-forward must be the ONLY writer " +
         "since the fork; re-branch from the current version and replay")
+    require(bm.eqdels.isEmpty,
+      s"FAST FORWARD: branch '$name' carries equality deletes — their " +
+        "sequences live in the branch's version domain; run OPTIMIZE ... " +
+        "PURGE on the branch first (scoped to the affected files)")
     val f = fs(spark, path)
     val mainBase = f.makeQualified(dataDir(path)).toString
     val stats = statsFor(spark, bp, bm)
@@ -3476,7 +3649,8 @@ object ManifestTable {
     (2L to bv).foreach { v =>
       val c = readManifest(spark, bp, v)
       require((prev.files.toSet -- c.files.toSet).isEmpty &&
-          c.dvs == prev.dvs && c.schema == prev.schema &&
+          c.dvs == prev.dvs && c.eqdels == prev.eqdels &&
+          c.schema == prev.schema &&
           c.colmap == prev.colmap && c.partitionCols == prev.partitionCols &&
           c.transforms == prev.transforms,
         s"CHERRY-PICK: branch '$name' commit $v is not a pure append — " +
@@ -4094,6 +4268,8 @@ object ManifestTable {
         enforceConstraints(batch, m.constraints, "merge")
         if (morDml(spark))
           return mergeMor(spark, path, v, m, batch, keys, deleteKeys, txn)
+        if (eqDml(spark))
+          return mergeEq(spark, path, v, m, batch, keys, deleteKeys, txn)
         val existing = readVersion(spark, path, v)
         val ordered = existing.columns.map(col).toSeq
         // every key this merge removes from the current snapshot: keys being
@@ -4170,7 +4346,7 @@ object ManifestTable {
             val keptFiles = cur.files.filterNot(rel => affectedDirs.contains(dirOf(rel)))
             try return commit(spark, path, cur.version + 1, m.schema, m.partitionCols,
               keptFiles ++ added, m.statsCols, addedStats, m.bloomCols, carry = Some(cur),
-              constraints = m.constraints, transforms = m.transforms,
+              constraints = cur.constraints, transforms = m.transforms,
               colmap = m.colmap, retired = m.retired,
               op = Some("merge"), opCols = keys, txn = txn)
             catch {
@@ -4186,6 +4362,10 @@ object ManifestTable {
                 if (removed.nonEmpty) throw new java.util.ConcurrentModificationException(
                   s"merge of $path lost to a commit that rewrote ${removed.size} file(s) " +
                     "this merge read — re-run against the new snapshot")
+                // a constraint added mid-merge must gate this batch too —
+                // committing the OLD set would silently drop the new CHECK
+                if (now.constraints != cur.constraints)
+                  enforceConstraints(batch, now.constraints, "merge")
                 // a concurrent deleteVectorized changed file CONTENT without
                 // changing the file list — the rows this merge derived are
                 // stale exactly as if the file had been rewritten
@@ -4278,7 +4458,7 @@ object ManifestTable {
       try return commit(spark, path, cur.version + 1, m.schema,
         m.partitionCols, cur.files ++ newFiles, m.statsCols, addedStats,
         m.bloomCols, carry = Some(cur), dvs = newDvs,
-        constraints = m.constraints, transforms = m.transforms,
+        constraints = cur.constraints, transforms = m.transforms,
         colmap = m.colmap, retired = m.retired,
         op = Some("merge"), opCols = keys, txn = txn)
       catch {
@@ -4299,6 +4479,9 @@ object ManifestTable {
           // silently dropped by the entry replacement
           if (newDvs.keys.exists(rel => now.dvs.get(rel) != m.dvs.get(rel)))
             lost("changed deletion vectors on file(s) this merge re-vectors")
+          if (now.constraints != cur.constraints)
+            try enforceConstraints(b, now.constraints, "merge")
+            catch { case t: Throwable => cleanup(); throw t }
           val fresh = now.files.filterNot(cur.files.toSet)
           if (fresh.nonEmpty) {
             val tk = touchKeys.toDF(keys: _*)
@@ -4344,6 +4527,83 @@ object ManifestTable {
     val points: Map[String, Seq[Any]] =
       if (vals.length <= 4096) Map(ph -> vals) else Map.empty
     prunedRels(spark, path, m, Map(ph -> ((Some(mn), Some(mx)))), points)
+  }
+
+  /** EQUALITY-DELETE MERGE (`spark.graft.dml.mode=eq` — Iceberg v2's
+    * eq-deletes / the Flink CDC writer re-derived): upsert `batch` and
+    * delete `deleteKeys` WITHOUT READING THE TABLE AT ALL. The touched
+    * keys land as a key sidecar (`_eqd/<name>`), the manifest records
+    * (keyCols, seq=commit version, count), and every reader anti-joins
+    * files SEQUENCED BEFORE the delete against the key set — total write
+    * cost O(batch), where even MOR pays a (pruned) key-cut scan per
+    * merge. The trade: reads carry the anti-join until OPTIMIZE … PURGE
+    * materializes, every metadata fast-count declines while entries live
+    * (a key's row multiplicity is unknown without reading), CDF refuses
+    * ranges crossing an eq-delete commit, and zero-copy ops (CLONE /
+    * branch / publish) refuse until purged — sequences live in ONE
+    * table's version domain. Rebase is UNCONDITIONAL except definition
+    * changes: an eq-merge reads nothing, so appends/rewrites/other
+    * merges all commute — the retry re-sequences the entry at the new
+    * head, which IS the CDC linearization by commit order. A concurrent
+    * constraint add re-gates the batch on retry. */
+  private def mergeEq(spark: SparkSession, path: String, v: Long,
+                      m: Manifest, batch: DataFrame, keys: Seq[String],
+                      deleteKeys: Option[DataFrame],
+                      txn: Option[(String, Long)]): Long = {
+    val ordered = logicalSchema(m).fieldNames.toSeq
+    val b = batch.select(ordered.map(n => col(s"`$n`")): _*).localCheckpoint(true)
+    val phKeys = keys.map(k => m.colmap.getOrElse(k, k))
+    val touchKeys = deleteKeys.foldLeft(b.select(keys.map(col): _*))(
+        (u, dk) => u.unionByName(dk.select(keys.map(col): _*)))
+      .distinct().toDF(phKeys: _*)
+    val name = f"eq$v%012d-${java.util.UUID.randomUUID().toString.take(8)}"
+    touchKeys.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new Path(eqdDir(path), name).toString)
+    val keySchema = StructType(phKeys.map(k => m.schema.find(_.name == k)
+      .getOrElse(sys.error(s"merge key '$k' not in schema of $path"))))
+    val count = spark.read.schema(keySchema)
+      .parquet(new Path(eqdDir(path), name).toString).count()
+    def cleanup(): Unit =
+      fs(spark, path).delete(new Path(eqdDir(path), name), true): Unit
+    val added = if (b.isEmpty) Nil
+      else writeDataFiles(spark, path, clusterForWrite(b, m),
+        m.partitionCols, m.colmap)
+    if (count == 0L && added.isEmpty) { cleanup(); return v }
+    val addedStats = collectStats(spark, path, added, m.schema,
+      m.partitionCols, m.statsCols, m.bloomCols)
+    val newFiles = if (m.statsCols.nonEmpty || m.bloomCols.nonEmpty)
+                     added.filter(addedStats.contains)
+                   else added
+    var cur = m
+    var tries = 0
+    while (true) {
+      val nv = cur.version + 1
+      try return commit(spark, path, nv, m.schema, m.partitionCols,
+        cur.files ++ newFiles, m.statsCols, addedStats, m.bloomCols,
+        carry = Some(cur), constraints = cur.constraints,
+        transforms = m.transforms, colmap = m.colmap, retired = m.retired,
+        op = Some("merge"), opCols = keys, txn = txn,
+        eqdels = if (count == 0L) Nil
+                 else Seq(EqDelete(name, phKeys, nv, count)))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          tries += 1; if (tries > MaxCommitRetries) { cleanup(); throw e }
+          val now = readManifest(spark, path, currentVersion(spark, path).get)
+          if (now.schema != m.schema || now.colmap != m.colmap ||
+              now.partitionCols != m.partitionCols ||
+              now.transforms != m.transforms) {
+            cleanup()
+            throw new java.util.ConcurrentModificationException(
+              s"merge of $path lost to a commit that changed the table " +
+                "definition — re-run against the new snapshot")
+          }
+          if (now.constraints != cur.constraints)
+            try enforceConstraints(b, now.constraints, "merge")
+            catch { case t: Throwable => cleanup(); throw t }
+          cur = now
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Row-level DELETE, copy-on-write: rewrite ONLY the files that hold
@@ -4461,9 +4721,14 @@ object ManifestTable {
     val v = currentVersion(spark, path)
       .getOrElse(sys.error(s"no manifest table at $path"))
     val m = readManifest(spark, path, v)
-    if (m.dvs.isEmpty) return v
-    val dvd = m.files.filter(m.dvs.contains)
-    commitRewrite(spark, path, v, m, dvd, readRels(spark, path, m, dvd))
+    if (m.dvs.isEmpty && m.eqdels.isEmpty) return v
+    // equality deletes: every file sequenced before a live entry may hold
+    // affected rows — rewrite exactly those (plus DV'd files); outputs
+    // re-sequence at the new version, so the entries retire in the commit
+    val affected = m.files.filter(rel => m.dvs.contains(rel) ||
+      m.eqdels.exists(e => m.fseq.getOrElse(rel, 0L) < e.seq))
+    commitRewrite(spark, path, v, m, affected,
+      readRels(spark, path, m, affected))
   }
 
   /** Commit history straight from the manifest chain — the DESCRIBE
@@ -5316,12 +5581,24 @@ object ManifestTable {
     val target = readManifest(spark, path, toVersion)
     val now = readManifest(spark, path, cur)
     // sanity: every restored file must still exist (a too-aggressive
-    // vacuum may have swept unreferenced versions' files)
+    // vacuum may have swept unreferenced versions' files) — delete
+    // sidecars (DV positions, eqdel keys) included, since restoring a
+    // reference to swept keys would resurrect deleted rows
     val f = fs(spark, path)
     target.files.find(rel => !f.exists(filePath(path, rel)))
       .foreach(missing => sys.error(
         s"restore: data file $missing of version $toVersion was vacuumed — " +
           "that version is no longer restorable"))
+    target.dvs.values.map(_._1).toSet[String]
+      .find(n => !f.exists(new Path(dvDir(path), n)))
+      .foreach(n => sys.error(
+        s"restore: DV sidecar $n of version $toVersion was vacuumed — " +
+          "that version is no longer restorable"))
+    target.eqdels.map(_.name)
+      .find(n => !f.exists(new Path(eqdDir(path), n)))
+      .foreach(n => sys.error(
+        s"restore: equality-delete sidecar $n of version $toVersion was " +
+          "vacuumed — that version is no longer restorable"))
     commit(spark, path, cur + 1, target.schema, target.partitionCols,
       target.files, target.statsCols, Map.empty, target.bloomCols,
       carry = Some(target.copy(txns = now.txns)),
@@ -5461,11 +5738,20 @@ object ManifestTable {
     // deletion-vector sidecars referenced by surviving manifests must
     // outlive the sweep; superseded/raced ones go with their manifests
     val keptDvs = keptManifests.flatMap(_.dvs.values.map(_._1)).toSet
+    val keptEqd = keptManifests.flatMap(_.eqdels.map(_.name)).toSet
     def sweepDvs(): Unit = {
       val dvRoot = dvDir(path)
       if (f.exists(dvRoot))
         f.listStatus(dvRoot).foreach { st =>
           if (!keptDvs.contains(st.getPath.getName))
+            f.delete(st.getPath, true): Unit
+        }
+      // equality-delete key sidecars: same referenced-by-kept-manifests
+      // retention as DV sidecars
+      val eqRoot = eqdDir(path)
+      if (f.exists(eqRoot))
+        f.listStatus(eqRoot).foreach { st =>
+          if (!keptEqd.contains(st.getPath.getName))
             f.delete(st.getPath, true): Unit
         }
     }

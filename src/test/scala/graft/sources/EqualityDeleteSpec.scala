@@ -1,0 +1,242 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Equality deletes (`spark.graft.dml.mode=eq` — Iceberg v2 eq-deletes /
+  * the Flink CDC writer): MERGE writes a key sidecar and appends the
+  * batch, READING NOTHING — readers anti-join files sequenced before the
+  * delete against the key set. These specs pin the zero-read write
+  * contract, sequence-ordered semantics, every reader face, the
+  * metadata-decline discipline, PURGE materialization, the feature-gated
+  * format stamp, and the loud refusals (CDF, streaming, zero-copy ops).
+  */
+class EqualityDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withEq[A](s: SparkSession)(body: => A): A = {
+    s.conf.set(ManifestTable.DmlModeKey, "eq")
+    try body finally s.conf.unset(ManifestTable.DmlModeKey)
+  }
+
+  private def mkTable(tag: String, n: Int = 10000): String = {
+    val path = Files.createTempDirectory(s"eqd_$tag").toString + "/t"
+    ManifestTable.overwrite(spark, path, spark.range(n).select(col("id"),
+      concat(lit("v"), col("id")).as("v")).repartitionByRange(4, col("id")),
+      statsCols = Seq("id"))
+    path
+  }
+
+  private def dataFiles(path: String): Map[String, Long] = {
+    val out = scala.collection.mutable.Map[String, Long]()
+    java.nio.file.Files.walk(java.nio.file.Paths.get(path, "data")).forEach { p =>
+      if (p.toString.endsWith(".parquet"))
+        out(p.toString) = java.nio.file.Files.size(p)
+    }
+    out.toMap
+  }
+
+  private def manifestText(path: String, v: Long): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_manifests", f"m$v%012d.txt")))
+
+  test("eq MERGE writes zero table bytes and matches the COW answer") {
+    val cow = mkTable("cow"); val eq = mkTable("eq")
+    val updates = spark.range(50).select((col("id") * 100).as("id"),
+        lit("upd").as("v"))
+      .unionAll(spark.range(20).select((col("id") + 20000L).as("id"),
+        lit("new").as("v")))
+    val dels = spark.range(30).select((col("id") * 100 + 51).as("id"))
+    ManifestTable.merge(spark, cow, updates, keys = Seq("id"),
+      deleteKeys = Some(dels))
+    val before = dataFiles(eq)
+    withEq(spark) {
+      ManifestTable.merge(spark, eq, updates, keys = Seq("id"),
+        deleteKeys = Some(dels))
+    }
+    val after = dataFiles(eq)
+    before.foreach { case (f, sz) =>
+      assert(after.get(f).contains(sz), s"eq merge rewrote $f") }
+    // the write is key-sidecar + batch only: no DV dir, an _eqd dir
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(eq, "_dv")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(eq, "_eqd")))
+    assert(ManifestTable.read(spark, eq).orderBy("id").collect().toSeq
+      === ManifestTable.read(spark, cow).orderBy("id").collect().toSeq)
+    // live eqdels stamp format 2 (feature-gated protocol)
+    assert(manifestText(eq, 2L).contains("format=2"))
+    assert(manifestText(eq, 2L).contains("eqdel="))
+  }
+
+  test("sequence order: the merge's own batch is exempt; chained merges linearize") {
+    val path = mkTable("seq", n = 100)
+    withEq(spark) {
+      // upsert key 5 — the new copy must survive its own delete
+      ManifestTable.merge(spark, path,
+        Seq((5L, "u1")).toDF("id", "v"), keys = Seq("id"))
+      assert(ManifestTable.read(spark, path).filter(col("id") === 5L)
+        .select("v").as[String].collect().toSeq === Seq("u1"))
+      // re-upsert the same key: the older upsert's copy dies too
+      ManifestTable.merge(spark, path,
+        Seq((5L, "u2")).toDF("id", "v"), keys = Seq("id"))
+      // delete it outright, then re-insert later: the re-insert survives
+      ManifestTable.merge(spark, path,
+        spark.range(0).select(col("id"), lit("x").as("v")),
+        keys = Seq("id"), deleteKeys = Some(Seq(5L).toDF("id")))
+      assert(ManifestTable.read(spark, path).filter(col("id") === 5L).count() === 0L)
+      ManifestTable.merge(spark, path,
+        Seq((5L, "reborn")).toDF("id", "v"), keys = Seq("id"))
+    }
+    val got = ManifestTable.read(spark, path)
+    assert(got.filter(col("id") === 5L).select("v").as[String].collect().toSeq
+      === Seq("reborn"))
+    assert(got.count() === 100L)
+    assert(got.groupBy("id").count().filter(col("count") > 1).count() === 0L)
+  }
+
+  test("every reader face honors eq-deletes: pruned/range/point, time travel, SQL scan, metadata declines") {
+    val path = mkTable("faces", n = 1000)
+    withEq(spark) {
+      ManifestTable.merge(spark, path,
+        Seq((100L, "u100")).toDF("id", "v"),
+        keys = Seq("id"), deleteKeys = Some(Seq(101L, 102L).toDF("id")))
+    }
+    assert(ManifestTable.readRange(spark, path, "id", 95L, 105L)
+      .select("id").as[Long].collect().sorted
+      === Array(95L, 96L, 97L, 98L, 99L, 100L, 103L, 104L, 105L))
+    assert(ManifestTable.readPoint(spark, path, "id", 101L).count() === 0L)
+    assert(ManifestTable.readPoint(spark, path, "id", 100L)
+      .select("v").as[String].head() === "u100")
+    // time travel: the pre-merge snapshot still holds the old rows
+    assert(ManifestTable.readVersion(spark, path, 1L)
+      .filter(col("id").isin(100L, 101L, 102L)).count() === 3L)
+    // the SQL datasource scan
+    spark.sql("DROP TABLE IF EXISTS eqd_sql_t")
+    spark.sql(s"CREATE TABLE eqd_sql_t USING graft OPTIONS (path '$path')")
+    try {
+      assert(spark.sql("SELECT count(*) FROM eqd_sql_t").as[Long].head() === 998L)
+      assert(spark.sql("SELECT v FROM eqd_sql_t WHERE id = 100").as[String].head() === "u100")
+    } finally spark.sql("DROP TABLE IF EXISTS eqd_sql_t"): Unit
+    // metadata fast paths DECLINE (key multiplicity unknown) but scans stay exact
+    assert(ManifestTable.fastCount(spark, path).isEmpty)
+    assert(ManifestTable.fastMinMax(spark, path, "id").isEmpty)
+    assert(ManifestTable.read(spark, path).count() === 998L)
+  }
+
+  test("interplay: DVs and MOR on an eq-deleted table never resurrect") {
+    val path = mkTable("mix", n = 1000)
+    withEq(spark) {
+      ManifestTable.merge(spark, path, spark.range(0)
+        .select(col("id"), lit("x").as("v")),
+        keys = Seq("id"), deleteKeys = Some(Seq(10L).toDF("id")))
+    }
+    // a position delete on top of the eq-delete
+    ManifestTable.deleteVectorized(spark, path, col("id") === 11L)
+    assert(ManifestTable.read(spark, path).filter(col("id").isin(10L, 11L))
+      .count() === 0L)
+    // MOR update whose predicate spans both deleted rows: neither comes back
+    spark.conf.set(ManifestTable.DmlModeKey, "mor")
+    try ManifestTable.update(spark, path, col("id").between(9L, 12L),
+      Seq("v" -> lit("u")))
+    finally spark.conf.unset(ManifestTable.DmlModeKey)
+    val got = ManifestTable.read(spark, path).filter(col("id").between(9L, 12L))
+    assert(got.select("id").as[Long].collect().sorted === Array(9L, 12L))
+    assert(got.filter(col("v") =!= "u").count() === 0L)
+  }
+
+  test("OPTIMIZE PURGE materializes: entries retire, format returns to 1, answers equal") {
+    val path = mkTable("purge", n = 1000)
+    withEq(spark) {
+      ManifestTable.merge(spark, path,
+        Seq((7L, "u7")).toDF("id", "v"),
+        keys = Seq("id"), deleteKeys = Some(Seq(8L).toDF("id")))
+    }
+    val want = ManifestTable.read(spark, path).orderBy("id").collect().toSeq
+    val v = ManifestTable.rewriteDeletes(spark, path)
+    assert(ManifestTable.read(spark, path).orderBy("id").collect().toSeq === want)
+    val txt = manifestText(path, v)
+    assert(txt.contains("format=1") && !txt.contains("eqdel=") &&
+      !txt.contains("fseq="),
+      "a purged table sheds the entries, the sequences and the format bump")
+    assert(ManifestTable.fastCount(spark, path) === Some(999L),
+      "metadata answers return once materialized")
+    // vacuum sweeps the retired key sidecar with its manifests
+    ManifestTable.vacuum(spark, path, keepVersions = 1)
+    val eqRoot = java.nio.file.Paths.get(path, "_eqd")
+    assert(!java.nio.file.Files.exists(eqRoot) ||
+      !java.nio.file.Files.list(eqRoot).findFirst().isPresent)
+  }
+
+  test("loud refusals: CDF, streaming follower, CLONE, FAST FORWARD; format gate") {
+    val path = mkTable("refuse", n = 100)
+    val vBefore = ManifestTable.currentVersion(spark, path).get
+    withEq(spark) {
+      ManifestTable.merge(spark, path, Seq((1L, "u")).toDF("id", "v"),
+        keys = Seq("id"))
+    }
+    val vAfter = ManifestTable.currentVersion(spark, path).get
+    val cdf = intercept[Exception](
+      ManifestTable.readChanges(spark, path, vBefore, vAfter).count())
+    assert(cdf.getMessage.contains("equality-delete"))
+    val delta = intercept[Exception](
+      ManifestTable.readVersionDelta(spark, path, vBefore, vAfter).count())
+    assert(delta.getMessage.contains("equality-delete"))
+    val clone = intercept[Exception](ManifestTable.shallowClone(spark, path,
+      Files.createTempDirectory("eqd_c").toString + "/t"))
+    assert(clone.getMessage.contains("equality deletes"))
+    val br = intercept[Exception](ManifestTable.createBranch(spark, path, "b"))
+    assert(br.getMessage.contains("equality deletes"))
+    // a format-1 reader must refuse the format-2 manifest rather than
+    // resurrect rows: simulate by checking the stamp is really 2 (the
+    // gate itself is spec'd in TableMetadataCarrySpec / format tests)
+    assert(manifestText(path, vAfter).contains("format=2"))
+    // ... and PURGE lifts every refusal
+    ManifestTable.rewriteDeletes(spark, path)
+    ManifestTable.shallowClone(spark, path,
+      Files.createTempDirectory("eqd_c2").toString + "/t")
+  }
+
+  test("eq-merge rebase: a racing append commutes and both land") {
+    val path = mkTable("race", n = 100)
+    // simulate the race by committing version 2 out-of-band AFTER the
+    // merge reads version 1 — easiest deterministic interleave: a second
+    // eq-merge thread is nondeterministic, so instead assert the rebase
+    // SEMANTICS: an eq-delete sequenced after an append applies to it
+    withEq(spark) {
+      ManifestTable.merge(spark, path, Seq((200L, "first")).toDF("id", "v"),
+        keys = Seq("id"))
+    }
+    ManifestTable.append(spark, path, Seq((201L, "appended")).toDF("id", "v"))
+    withEq(spark) {
+      // deletes a key that only exists in the post-merge append: the
+      // later sequence must win
+      ManifestTable.merge(spark, path, spark.range(0)
+        .select(col("id"), lit("x").as("v")),
+        keys = Seq("id"), deleteKeys = Some(Seq(201L).toDF("id")))
+    }
+    val got = ManifestTable.read(spark, path)
+    assert(got.filter(col("id") === 201L).count() === 0L)
+    assert(got.filter(col("id") === 200L).select("v").as[String].head() === "first")
+    assert(got.count() === 101L)
+  }
+
+  test("REPLACE WHERE / COW delete / compact on an eq-deleted table stay exact") {
+    val path = mkTable("dml", n = 1000)
+    withEq(spark) {
+      ManifestTable.merge(spark, path, spark.range(0)
+        .select(col("id"), lit("x").as("v")),
+        keys = Seq("id"), deleteKeys = Some(Seq(500L).toDF("id")))
+    }
+    // COW delete of a range spanning the eq-deleted row: no resurrection
+    ManifestTable.delete(spark, path, col("id").between(498L, 502L))
+    assert(ManifestTable.read(spark, path)
+      .filter(col("id").between(495L, 505L)).select("id").as[Long]
+      .collect().sorted === Array(495L, 496L, 497L, 503L, 504L, 505L))
+    // compact materializes everything it rewrites
+    ManifestTable.compact(spark, path, targetRowsPerFile = 10000)
+    assert(ManifestTable.read(spark, path).count() === 995L)
+    assert(ManifestTable.fastCount(spark, path) === Some(995L),
+      "a full compaction retires the entries — metadata answers return")
+  }
+}
