@@ -1868,6 +1868,10 @@ object ManifestTable {
                              df: DataFrame, rels: Seq[String]): DataFrame = {
     val live = liveEqdels(m, rels)
     if (live.isEmpty) return df
+    // INNER join on the basename: scan-side __dv_fname and manifest-side
+    // fileNameOf(rel) are the SAME identity the DV position codec already
+    // relies on (deleteVectorized's fnameToRel throws on any mismatch and
+    // its specs pin it), so no row can fail the lookup
     val lookup = broadcast(spark.createDataFrame(
       spark.sparkContext.parallelize(
         rels.map(r => Row(fileNameOf(r), m.fseq.getOrElse(r, 0L))), 1),
@@ -5275,7 +5279,11 @@ object ManifestTable {
     val touched = touchedFiles(spark, path, m.files, m, predicate)
     if (touched.isEmpty) return v
     val hit = coalesce(predicate, lit(false))
-    if (morDml(spark)) return updateMor(spark, path, v, m, touched, hit, sets)
+    // eq mode routes UPDATE through MOR too: an UPDATE's SET reads the
+    // old row regardless, so position deletes are the best it can do —
+    // a user who opted out of COW write amplification gets it everywhere
+    if (morDml(spark) || eqDml(spark))
+      return updateMor(spark, path, v, m, touched, hit, sets)
     val setMap = sets.toMap
     val replaced = logical.fields.map { f =>
       setMap.get(f.name) match {

@@ -221,6 +221,20 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(got.count() === 101L)
   }
 
+  test("under eq mode, UPDATE routes merge-on-read: resident files carry byte-identical") {
+    val path = mkTable("upd", n = 1000)
+    val before = dataFiles(path)
+    withEq(spark) {
+      ManifestTable.update(spark, path, col("id") === 42L, Seq("v" -> lit("u")))
+    }
+    val after = dataFiles(path)
+    before.foreach { case (f, sz) =>
+      assert(after.get(f).contains(sz), s"eq-mode UPDATE rewrote $f") }
+    assert(ManifestTable.read(spark, path).filter(col("id") === 42L)
+      .select("v").as[String].collect().toSeq === Seq("u"))
+    assert(ManifestTable.read(spark, path).count() === 1000L)
+  }
+
   test("REPLACE WHERE / COW delete / compact on an eq-deleted table stay exact") {
     val path = mkTable("dml", n = 1000)
     withEq(spark) {

@@ -298,6 +298,37 @@ class StreamingSpec extends SparkSpec {
       "exactly one live copy per upserted key")
   }
 
+  test("manifestUpsertSink under spark.graft.dml.mode=eq: zero-read CDC streaming") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("musinkeq").toString
+    graft.sources.ManifestTable.overwrite(spark, s"$root/t",
+      spark.range(1000).select(col("id"), concat(lit("v"), col("id")).as("v"))
+        .repartitionByRange(4, col("id")), statsCols = Seq("id"))
+    val in = MemoryStream[(Long, String)]
+    spark.conf.set(graft.sources.ManifestTable.DmlModeKey, "eq")
+    try {
+      val q = Streaming.manifestUpsertSink(in.toDF().toDF("id", "v"),
+        s"$root/t", keys = Seq("id"), partitionCols = Nil,
+        checkpointDir = s"$root/ckpt")
+      in.addData((5L, "u5"), (2000L, "new"))
+      q.processAllAvailable()
+      in.addData((5L, "u5b"), (7L, "u7"))
+      q.processAllAvailable(); q.stop()
+    } finally spark.conf.unset(graft.sources.ManifestTable.DmlModeKey)
+    // the whole stream wrote key sidecars + batches, NEVER positions:
+    // no _dv dir, and each micro-batch is an eqdel commit
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/t", "_dv")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/t", "_eqd")))
+    val t = graft.sources.ManifestTable.read(spark, s"$root/t")
+    assert(t.count() === 1001L)
+    assert(t.filter(col("id") === 5L).select("v").as[String].head() === "u5b")
+    assert(t.filter(col("id") === 7L).select("v").as[String].head() === "u7")
+    assert(t.groupBy("id").count().filter(col("count") > 1).count() === 0L)
+    // maintenance converts the accumulated debt and metadata answers return
+    graft.sources.ManifestTable.rewriteDeletes(spark, s"$root/t")
+    assert(graft.sources.ManifestTable.fastCount(spark, s"$root/t") === Some(1001L))
+  }
+
   test("mvRefreshSink keeps a live aggregate view recompute-equal across batches") {
     import graft.operators.MaterializedView
     implicit val sqlCtx = spark.sqlContext
