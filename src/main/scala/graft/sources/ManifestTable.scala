@@ -5044,6 +5044,11 @@ object ManifestTable {
     require(logical.fields.length > 1, s"drop: cannot drop the only column of $path")
     requireMappable(m, name, "drop")
     val ph = m.colmap.getOrElse(name, name)
+    // a LIVE equality delete keyed on this column would brick every read
+    // (its anti-join needs the column's type) — materialize first
+    require(!m.eqdels.exists(_.keyCols.contains(ph)),
+      s"drop: column '$name' keys a live equality delete on $path — run " +
+        "OPTIMIZE ... PURGE first (scoped to the affected files)")
     commit(spark, path, v + 1,
       StructType(m.schema.fields.filterNot(_.name == ph)), m.partitionCols,
       m.files, m.statsCols, Map.empty, m.bloomCols, carry = Some(m),

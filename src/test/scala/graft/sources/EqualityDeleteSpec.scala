@@ -221,6 +221,65 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(got.count() === 101L)
   }
 
+  test("composite and NULL keys: the eq anti-join is null-safe, per-key-set grouped") {
+    val path = Files.createTempDirectory("eqd_comp").toString + "/t"
+    ManifestTable.overwrite(spark, path, Seq(
+      (Option(1L), "a", 10L), (Option(1L), "b", 20L),
+      (Option(2L), "a", 30L), (Option.empty[Long], "a", 40L))
+      .toDF("k1", "k2", "n").coalesce(1))
+    withEq(spark) {
+      // composite upsert of (1, a) + tombstone for the NULL-keyed row
+      ManifestTable.merge(spark, path,
+        Seq((Option(1L), "a", 100L)).toDF("k1", "k2", "n"),
+        keys = Seq("k1", "k2"),
+        deleteKeys = Some(Seq((Option.empty[Long], "a")).toDF("k1", "k2")))
+    }
+    val got = ManifestTable.read(spark, path)
+      .select("k1", "k2", "n").as[(Option[Long], String, Long)].collect().toSet
+    assert(got === Set((Some(1L), "a", 100L), (Some(1L), "b", 20L),
+      (Some(2L), "a", 30L)),
+      "composite match replaced exactly (1,a); the null-keyed tombstone " +
+        "deleted the null row; (1,b)/(2,a) untouched")
+  }
+
+  test("schema DDL on an eq-deleted table: rename keeps the key linkage, drop of a key column refuses") {
+    val path = mkTable("ddl", n = 100)
+    // key on the NON-stats column (stats columns refuse renames outright
+    // — their keys are physical, a pre-existing contract)
+    withEq(spark) {
+      ManifestTable.merge(spark, path, spark.range(0)
+        .select(col("id"), lit("x").as("v")),
+        keys = Seq("v"), deleteKeys = Some(Seq("v50").toDF("v")))
+    }
+    assert(ManifestTable.read(spark, path).count() === 99L)
+    // rename of the KEY column: the eqdel is keyed by PHYSICAL name, so
+    // the delete keeps applying under the new logical name
+    ManifestTable.renameColumn(spark, path, "v", "label")
+    assert(ManifestTable.read(spark, path).filter(col("label") === "v50")
+      .count() === 0L)
+    assert(ManifestTable.read(spark, path).count() === 99L)
+    // dropping the key column would brick every read — refuse, PURGE lifts
+    val e = intercept[Exception](ManifestTable.dropColumn(spark, path, "label"))
+    assert(e.getMessage.contains("equality delete"))
+    ManifestTable.rewriteDeletes(spark, path)
+    ManifestTable.dropColumn(spark, path, "label")
+    assert(ManifestTable.read(spark, path).columns.toSeq === Seq("id"))
+    // the extensions-session metadata COUNT(*) declines while entries
+    // live (MetaAggregateRule must not answer 100 from stale file stats)
+    val s = MorDmlSpec.extSpark
+    val p2 = mkTable("metacnt", n = 100)
+    s.conf.set(ManifestTable.DmlModeKey, "eq")
+    try ManifestTable.merge(s, p2, s.range(0)
+      .select(col("id"), lit("x").as("v")),
+      keys = Seq("id"), deleteKeys = Some(Seq(1L, 2L).toDF("id")))
+    finally s.conf.unset(ManifestTable.DmlModeKey)
+    s.sql("DROP TABLE IF EXISTS eqd_cnt_t")
+    s.sql(s"CREATE TABLE eqd_cnt_t USING graft OPTIONS (path '$p2')")
+    try assert(s.sql("SELECT count(*) FROM eqd_cnt_t")
+      .collect().head.getLong(0) === 98L)
+    finally s.sql("DROP TABLE IF EXISTS eqd_cnt_t"): Unit
+  }
+
   test("under eq mode, UPDATE routes merge-on-read: resident files carry byte-identical") {
     val path = mkTable("upd", n = 1000)
     val before = dataFiles(path)
