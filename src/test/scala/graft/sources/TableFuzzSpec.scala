@@ -93,18 +93,27 @@ class TableFuzzSpec extends SparkSpec {
             ManifestTable.deleteVectorized(spark, path, col(vName) % m === r)
             model = model.filterNot { case (_, v) => v % m == r }
             check(s"$step dv-delete v%$m==$r")
-          case 3 => // update (RHS reads the old row)
+          case 3 => // update (RHS reads the old row) — randomly COW or MOR
             val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
-            ManifestTable.update(spark, path, col("id") % m === r,
+            val mor = rnd.nextBoolean()
+            if (mor) spark.conf.set(ManifestTable.DmlModeKey, "mor")
+            try ManifestTable.update(spark, path, col("id") % m === r,
               Seq(vName -> (col(vName) + lit(10000L))))
+            finally if (mor) spark.conf.unset(ManifestTable.DmlModeKey)
             model = model.map { case (id, v) =>
               id -> (if (id % m == r) v + 10000L else v) }
-            check(s"$step update %$m==$r")
-          case 4 => // keyed merge: re-value some survivors, add new rows
+            check(s"$step update %$m==$r mor=$mor")
+          case 4 => // keyed merge: re-value some survivors, add new rows —
+            // randomly COW, merge-on-read, or equality-delete mode: all
+            // three must land MODEL-EQUAL under whatever interactions the
+            // sequence has piled up (renames, evolution, DVs, restores)
             val hit = model.keys.toSeq.sorted.take(3)
             val add = fresh(2)
             val batch = hit.map(id => (id, -1L)) ++ add
-            if (batch.nonEmpty) {
+            val mode = rnd.nextInt(3) match {
+              case 1 => Some("mor"); case 2 => Some("eq"); case _ => None }
+            mode.foreach(spark.conf.set(ManifestTable.DmlModeKey, _))
+            try if (batch.nonEmpty) {
               try ManifestTable.merge(spark, path, df(batch), keys = Seq("id"))
               catch {
                 // partition-scoped rewrites legitimately reject a mixed
@@ -115,8 +124,8 @@ class TableFuzzSpec extends SparkSpec {
                   ManifestTable.merge(spark, path, df(batch), keys = Seq("id"))
               }
               model = model ++ batch.toMap
-            }
-            check(s"$step merge")
+            } finally mode.foreach(_ => spark.conf.unset(ManifestTable.DmlModeKey))
+            check(s"$step merge(${mode.getOrElse("cow")})")
           case 5 => // compact (also heals mixed layouts)
             ManifestTable.compact(spark, path, 16L + rnd.nextInt(64))
             check(s"$step compact")
