@@ -3870,8 +3870,9 @@ object ManifestTable {
     // scoped DV materialize: symlink manifests cannot express position
     // deletes (plain file lists), so the DV'd files — and ONLY those —
     // rewrite clean before export. No DVs → no commit, metadata-only.
-    val v = if (readManifest(spark, path, v0).dvs.isEmpty) v0
-            else rewriteDeletes(spark, path)
+    val m0 = readManifest(spark, path, v0)
+    val v = if (m0.dvs.isEmpty && m0.eqdels.isEmpty) v0
+            else rewriteDeletes(spark, path) // positions AND equality keys
     val m = readManifest(spark, path, v)
     val f = fs(spark, path)
     val root = new Path(path, "_symlink_format_manifest")

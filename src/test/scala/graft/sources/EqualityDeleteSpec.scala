@@ -221,6 +221,23 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(got.count() === 101L)
   }
 
+  test("symlink export on an eq-deleted table materializes first — no resurrection for external readers") {
+    val path = mkTable("sym", n = 100)
+    withEq(spark) {
+      ManifestTable.merge(spark, path, spark.range(0)
+        .select(col("id"), lit("x").as("v")),
+        keys = Seq("id"), deleteKeys = Some(Seq(5L).toDF("id")))
+    }
+    ManifestTable.generateSymlinkManifest(spark, path)
+    val listed = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_symlink_format_manifest", "manifest")))
+      .split("\n").filter(_.nonEmpty).toSeq
+    val external = spark.read.parquet(listed: _*)
+    assert(external.count() === 99L)
+    assert(external.filter(col("id") === 5L).count() === 0L,
+      "an external reader of the exported list must not see the eq-deleted row")
+  }
+
   test("composite and NULL keys: the eq anti-join is null-safe, per-key-set grouped") {
     val path = Files.createTempDirectory("eqd_comp").toString + "/t"
     ManifestTable.overwrite(spark, path, Seq(
