@@ -1963,14 +1963,25 @@ object ManifestTable {
     }
   }
 
-  /** `spark.graft.dml.mode = mor` routes UPDATE and MERGE through
-    * merge-on-read: touched rows become deletion-vector entries on their
-    * source files plus a small append of the replacement rows, instead of
-    * copy-on-write's whole-file rewrites. At 100 TB with daily CDC
-    * upserts the difference is the dominant write cost — repricing one
-    * row in a 1 GB file writes a few KB, not a gigabyte. Unset (default)
-    * keeps copy-on-write. [[rewriteDeletes]] (OPTIMIZE … PURGE)
-    * materializes accumulated DVs back to clean files either way. */
+  /** `spark.graft.dml.mode` — the DML execution-strategy dial (results
+    * are identical across modes, oracle- and fuzz-pinned):
+    *
+    *  - unset (default): COPY-ON-WRITE — touched files rewrite in full;
+    *    simplest read path, the right default for read-heavy tables;
+    *  - `mor`: MERGE-ON-READ — UPDATE and MERGE record touched rows as
+    *    deletion-vector entries plus a match-bounded append; write cost
+    *    O(matched rows) instead of O(touched files' bytes) (repricing one
+    *    row in a 1 GB file writes a few KB, not a gigabyte) — the daily
+    *    CDC batch shape at 100 TB;
+    *  - `eq`: EQUALITY DELETES — MERGE writes a key sidecar and appends,
+    *    READING NOTHING (O(batch) total; UPDATE still routes MOR — its
+    *    SET reads the old row regardless) — the high-frequency streaming
+    *    CDC shape, at the price of a read-side key anti-join, declined
+    *    metadata fast-counts, CDF refusal across the commit, and
+    *    PURGE-before-zero-copy-ops.
+    *
+    * [[rewriteDeletes]] (OPTIMIZE … PURGE) materializes both sidecar
+    * kinds back to clean files on the maintenance window. */
   val DmlModeKey = "spark.graft.dml.mode"
   private def morDml(spark: SparkSession): Boolean =
     spark.conf.getOption(DmlModeKey).exists(_.trim.equalsIgnoreCase("mor"))
