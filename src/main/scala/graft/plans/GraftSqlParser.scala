@@ -66,13 +66,14 @@ class GraftSqlParser(session: SparkSession,
   // the delegate (comments are legal Spark). GraftSqlParserSpec fuzzes
   // every intercepted form over case/whitespace/comment/semicolon noise.
   override def parsePlan(sqlText: String): LogicalPlan = stripComments(sqlText) match {
-    case OptimizeRe(target, where, smaller, rows, zorder, purge) =>
+    case OptimizeRe(target, where, smaller, rows, zorder, purge, minDel) =>
       GraftOptimizeCommand(target, Option(where).map(_.trim),
         Option(smaller),
         Option(rows).map(_.toLong),
         Option(zorder).map(_.split(",").map(_.trim.stripPrefix("`")
           .stripSuffix("`")).toSeq).getOrElse(Nil),
-        purge != null)
+        purge != null,
+        Option(minDel).map(_.toDouble / 100.0))
     case VacuumRe(target, keep, unit, dry) =>
       val dryRun = dry != null
       (Option(keep), Option(unit).map(_.toUpperCase)) match {
@@ -486,7 +487,8 @@ object GraftSqlParser {
     (s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(.+?))?""" +
       """(?:\s+SMALLER\s+THAN\s+'([^']+)')?""" +
       """(?:\s+TARGET\s+(\d+)\s+ROWS)?""" +
-      """(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?(?:\s+(PURGE))?\s*;?\s*""").r
+      """(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?""" +
+      """(?:\s+(PURGE)(?:\s+MIN\s+DELETED\s+(\d+(?:\.\d+)?)\s*%)?)?\s*;?\s*""").r
   private val VacuumRe =
     (s"""(?is)\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS?|HOURS?|DAYS?))?""" +
       """(?:\s+(DRY\s+RUN))?\s*;?\s*""").r
@@ -672,7 +674,11 @@ case class GraftOptimizeCommand(target: String, where: Option[String],
                                 smallerThan: Option[String],
                                 targetRowsOpt: Option[Long],
                                 zorderCols: Seq[String],
-                                purge: Boolean) extends LeafRunnableCommand {
+                                purge: Boolean,
+                                // `PURGE MIN DELETED n%`: rewrite only
+                                // files whose deleted fraction reaches n%
+                                purgeMinFraction: Option[Double] = None)
+    extends LeafRunnableCommand {
   require(!(purge && (zorderCols.nonEmpty || where.isDefined || smallerThan.isDefined)),
     "OPTIMIZE: PURGE and WHERE/SMALLER THAN/ZORDER BY are separate maintenance passes — run them as two statements")
   require(!(smallerThan.isDefined && (where.isDefined || zorderCols.nonEmpty)),
@@ -688,7 +694,8 @@ case class GraftOptimizeCommand(target: String, where: Option[String],
       .orElse(ManifestTable.properties(spark, path)
         .get("graft.targetFileRows").map(_.toLong))
       .getOrElse(1000000L)
-    val v = if (purge) ManifestTable.rewriteDeletes(spark, path)
+    val v = if (purge) ManifestTable.rewriteDeletes(spark, path,
+              purgeMinFraction.getOrElse(0.0))
             else (where, smallerThan) match {
               case (Some(w), _) => ManifestTable.compactWhere(spark, path,
                 org.apache.spark.sql.functions.expr(w), targetRows, zorderCols)

@@ -4733,16 +4733,41 @@ object ManifestTable {
     * deletes). Files without DVs carry byte-identical; orphaned DV sidecars
     * are swept by [[vacuum]].
     */
-  def rewriteDeletes(spark: SparkSession, path: String): Long = {
+  /** @param minDeletedFraction threshold-scoped materialization (the
+    *        Iceberg rewrite-position-deletes knob): a DV'd file rewrites
+    *        only when its deleted fraction (DV cardinality / recorded
+    *        rows) reaches the threshold — a 1M-row file with one point
+    *        delete should not rewrite on every nightly pass. 0 (default)
+    *        rewrites everything. Files with UNKNOWN row counts rewrite
+    *        regardless (conservative), and equality-delete-affected files
+    *        ALWAYS rewrite — an eqdel entry retires only when every
+    *        affected file re-sequences, so sparing some would keep the
+    *        whole read tax and the format bump for nothing. */
+  def rewriteDeletes(spark: SparkSession, path: String,
+                     minDeletedFraction: Double = 0.0): Long = {
+    require(minDeletedFraction >= 0.0 && minDeletedFraction < 1.0,
+      s"minDeletedFraction must be in [0, 1), got $minDeletedFraction")
     val v = currentVersion(spark, path)
       .getOrElse(sys.error(s"no manifest table at $path"))
     val m = readManifest(spark, path, v)
     if (m.dvs.isEmpty && m.eqdels.isEmpty) return v
-    // equality deletes: every file sequenced before a live entry may hold
-    // affected rows — rewrite exactly those (plus DV'd files); outputs
-    // re-sequence at the new version, so the entries retire in the commit
-    val affected = m.files.filter(rel => m.dvs.contains(rel) ||
-      m.eqdels.exists(e => m.fseq.getOrElse(rel, 0L) < e.seq))
+    // one stats fold only when the threshold needs per-file row counts
+    lazy val allStats = statsFor(spark, path, m)
+    def rows(rel: String): Option[Long] =
+      allStats.get(rel).flatMap(_.get(RowsKey)).flatMap(_._1)
+        .map(decodeStat(_).toString.toLong)
+    val affected = m.files.filter { rel =>
+      if (m.eqdels.exists(e => m.fseq.getOrElse(rel, 0L) < e.seq)) true
+      else m.dvs.get(rel) match {
+        case None => false
+        case Some((_, cnt)) =>
+          minDeletedFraction <= 0.0 || (rows(rel) match {
+            case Some(n) if n > 0 => cnt.toDouble / n >= minDeletedFraction
+            case _ => true // unknown rows: conservative rewrite
+          })
+      }
+    }
+    if (affected.isEmpty) return v
     commitRewrite(spark, path, v, m, affected,
       readRels(spark, path, m, affected))
   }

@@ -209,6 +209,45 @@ class DeletionVectorSpec extends SparkSpec {
     }
   }
 
+  test("threshold-scoped PURGE: lightly-deleted files keep their DVs, heavy ones rewrite") {
+    val path = mkTable("thresh") // 8 range-clustered files, stats on id
+    // heavy deletes in the low band (~40-50% of the file(s) covering it),
+    // one point delete far away (a fraction-of-a-percent of its file)
+    ManifestTable.deleteVectorized(spark, path,
+      col("id") < 1000 && col("id") % 2 === 0)
+    ManifestTable.deleteVectorized(spark, path, col("id") === 9000L)
+    // MANIFEST file lists, not disk: superseded files live until vacuum
+    def filesOf(v: Long): Set[String] = new String(java.nio.file.Files
+      .readAllBytes(java.nio.file.Paths.get(path, "_manifests", f"m$v%012d.txt")))
+      .split("\n").filter(_.startsWith("file=")).map(_.stripPrefix("file=")).toSet
+    val before = filesOf(ManifestTable.currentVersion(spark, path).get)
+    // 20% threshold: the heavy file(s) rewrite; the point-deleted one
+    // keeps its bytes AND its DV
+    val v2 = ManifestTable.rewriteDeletes(spark, path, minDeletedFraction = 0.2)
+    val after = filesOf(v2)
+    assert((before -- after).nonEmpty, "the heavily-deleted file(s) must rewrite")
+    assert(before.intersect(after).nonEmpty,
+      "lightly-deleted files must keep their bytes")
+    // exactly the point delete's DV entry survives the threshold pass
+    val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths
+      .get(path, "_manifests", f"m${ManifestTable.currentVersion(spark, path).get}%012d.txt")))
+    assert(txt.split("\n").count(_.startsWith("dv=")) === 1,
+      "only the below-threshold file keeps a DV entry")
+    val got = ManifestTable.read(spark, path)
+    assert(got.filter(col("id") === 9000L).count() === 0L,
+      "the kept DV still applies")
+    assert(got.count() === 10000L - 500L - 1L)
+    // fastCount stays exact (DV cardinality rides the manifest)
+    assert(ManifestTable.fastCount(spark, path) === Some(10000L - 500L - 1L))
+    // the SQL face: full PURGE then materializes the rest
+    val s = MorDmlSpec.extSpark
+    s.sql(s"OPTIMIZE '$path' PURGE MIN DELETED 90%") // nothing reaches 90%
+    assert(ManifestTable.read(s, path).count() === 10000L - 500L - 1L)
+    s.sql(s"OPTIMIZE '$path' PURGE")
+    assert(ManifestTable.fastMinMax(s, path, "id").isDefined,
+      "a full purge clears every DV")
+  }
+
   test("append after a DV keeps the DV (carry) and merge respects it") {
     val path = mkTable("carry", n = 1000)
     ManifestTable.deleteVectorized(spark, path, col("id") === 5)
