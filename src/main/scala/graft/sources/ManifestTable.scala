@@ -1300,9 +1300,82 @@ object ManifestTable {
       }
     }
 
-  private def pruneByBounds(m: Manifest,
-                            bounds: Map[String, (Option[Any], Option[Any])]): Seq[String] =
-    m.files.filter(rel => keepByBoundsStats(m.stats.get(rel), m.statsCols, bounds))
+  /** Encoded DEFAULT literals for `m`'s default-bearing columns, keyed by
+    * PHYSICAL name. Some(enc): the literal folds driver-side to a
+    * non-null constant (the common case — defaults are literals). None:
+    * unevaluable — the column must then DECLINE stats answers rather
+    * than risk a wrong one ([[adjustStatsForDefaults]] sheds its
+    * entries). Session-free (CatalystSqlParser + SQLConf.get), so the
+    * metadata fast paths can call it without a SparkSession. */
+  private def defaultStatEncs(m: Manifest): Map[String, Option[String]] =
+    defaultsOf(m).map { case (ph, sql) =>
+      ph -> m.schema.find(_.name == ph).flatMap { f =>
+        try {
+          val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(sql)
+          val zone = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+          val v = org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToScala(org.apache.spark.sql.catalyst.expressions
+              .Cast(parsed, f.dataType, Some(zone)).eval(null), f.dataType)
+          Option(v).map(encodeStat)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+
+  /** One file's stats AS A READER SEES THEM: a DEFAULT-bearing column's
+    * physical NULLs read as the default ([[readRels]]' coalesce), so its
+    * recorded zone map / null counter / Bloom describe the BYTES, not the
+    * ROWS — a pre-add file records all-null while every row reads the
+    * default, and pruning/metadata answers on the raw entry would
+    * silently drop matching rows. Correction per default column `c`:
+    *
+    *  - recorded null count 0 → the file physically materialized the
+    *    default ([[fillDefaults]]) — entries are exact, pass through;
+    *  - otherwise the read range WIDENS to include the default (all-null
+    *    → exactly [d, d]), the null counter becomes 0 (default literals
+    *    are non-null by contract), and the Bloom/NDV sketches drop (a
+    *    bitset cannot learn "also contains d" after the fact);
+    *  - an unevaluable default sheds every entry for the column — absent
+    *    reads as must-scan / decline everywhere, never a wrong answer.
+    *
+    * Identity when the table has no defaults (`defEnc` empty — the 100 TB
+    * common case pays nothing). */
+  private def adjustStatsForDefaults(st: FileStats,
+      defEnc: Map[String, Option[String]]): FileStats =
+    if (defEnc.isEmpty) st
+    else defEnc.foldLeft(st) { case (s, (c, encOpt)) =>
+      val nullsK = NullsPrefix + c
+      encOpt match {
+        case None => s - c - nullsK - (BloomPrefix + c) - (NdvPrefix + c)
+        case Some(enc) =>
+          val nulls = s.get(nullsK).flatMap(_._1)
+            .map(decodeStat(_).toString.toLong)
+          if (nulls.contains(0L)) s
+          else {
+            val d = decodeStat(enc)
+            val zero = Some(encodeStat(0L))
+            val s1 = s.get(c) match {
+              case None => s
+              case Some((None, None)) => s.updated(c, (Some(enc), Some(enc)))
+              case Some((mn, mx)) =>
+                // possibly-mixed bytes (unknown or >0 physical nulls):
+                // widen each recorded bound to cover the default — a
+                // truncated (P:/Q:) bound stays a valid bound under the
+                // same comparison; an absent side (unrepresentable)
+                // stays absent, never narrows to the default
+                val lo = mn.flatMap(e => statCompare(decodeStat(e), d)
+                  .map(cmp => if (cmp <= 0) e else enc))
+                val hi = mx.flatMap(e => statCompare(decodeStat(e), d)
+                  .map(cmp => if (cmp >= 0) e else enc))
+                // (None, None) MEANS all-null to keepByBoundsStats — an
+                // incomparable widen must land on "absent" (must-scan)
+                if (lo.isEmpty && hi.isEmpty) s - c
+                else s.updated(c, (lo, hi))
+            }
+            s1.updated(nullsK, (zero, zero)) - (BloomPrefix + c) - (NdvPrefix + c)
+          }
+      }
+    }
 
   /** Snapshot read of `version` with the file list zone-map-pruned against
     * per-column bounds — the entry point the `graft` DataSource
@@ -1346,10 +1419,14 @@ object ManifestTable {
         val dt = m.schema(c).dataType
         c -> vs.map(v => pointHash(v, dt))
     }
+    // DEFAULT-bearing columns: correct each file's recorded stats to what
+    // the rows READ as before testing ([[adjustStatsForDefaults]]) —
+    // identity (and zero cost) on default-free tables
+    val defEnc = defaultStatEncs(m)
     m.sidecar match {
       case None =>
         m.files.filter { rel =>
-          val st = m.stats.get(rel)
+          val st = m.stats.get(rel).map(adjustStatsForDefaults(_, defEnc))
           keepByBoundsStats(st, m.statsCols, bounds) &&
             keepByPointsStats(st, hashes) &&
             keepByNullsStats(st, m.statsCols, nulls)
@@ -1357,10 +1434,10 @@ object ManifestTable {
       case Some(_) =>
         val statsCols = m.statsCols
         // serialize the small predicate state only
-        val (bs, hs, ns) = (bounds, hashes, nulls)
+        val (bs, hs, ns, de) = (bounds, hashes, nulls, defEnc)
         val survivors = readSidecar(spark, path, m)
           .filter { r =>
-            val st = Some(rowStats(r))
+            val st = Some(adjustStatsForDefaults(rowStats(r), de))
             keepByBoundsStats(st, statsCols, bs) &&
               keepByPointsStats(st, hs) &&
               keepByNullsStats(st, statsCols, ns)
@@ -1589,9 +1666,10 @@ object ManifestTable {
       : Option[Seq[(Any, Any, Long)]] = {
     if (!m.statsCols.contains(colName) || m.files.isEmpty) return None
     if (m.dvs.nonEmpty || m.eqdels.nonEmpty || m.sidecar.isDefined) return None
+    val defEnc = defaultStatEncs(m)
     val acc = Seq.newBuilder[(Any, Any, Long)]
     for (rel <- m.files) {
-      val st = m.stats.getOrElse(rel, return None)
+      val st = adjustStatsForDefaults(m.stats.getOrElse(rel, return None), defEnc)
       val rows = st.get(RowsKey).flatMap(_._1) match {
         case Some(e) => decodeStat(e).toString.toLong
         case None => return None
@@ -2097,8 +2175,11 @@ object ManifestTable {
     if (!m.statsCols.contains(colName) || m.sidecar.isDefined ||
         m.dvs.nonEmpty || m.eqdels.nonEmpty) return None
     if (m.files.isEmpty) return Some(0L)
+    // DEFAULT column: physical NULLs read as the (non-null) default, so
+    // the as-read null counter is the adjusted one (0 for pre-add files)
+    val defEnc = defaultStatEncs(m)
     val per = m.files.map { rel =>
-      val st = m.stats.get(rel)
+      val st = m.stats.get(rel).map(adjustStatsForDefaults(_, defEnc))
       for {
         rows <- st.flatMap(_.get(RowsKey)).flatMap(_._1)
           .map(decodeStat(_).asInstanceOf[Long])
@@ -2175,7 +2256,9 @@ object ManifestTable {
     // sidecar manifests: collect the one slim stats table (files-bounded,
     // zero data IO) — still strictly cheaper than the scan it replaces
     val stats = statsFor(spark, path, m)
-    val perFile = m.files.map(rel => stats.get(rel).flatMap(_.get(colName)))
+    val defEnc = defaultStatEncs(m)
+    val perFile = m.files.map(rel => stats.get(rel)
+      .map(adjustStatsForDefaults(_, defEnc)).flatMap(_.get(colName)))
     if (perFile.exists(_.isEmpty)) return None // statless file: must scan
     // truncated string BOUNDS (P:/Q: tags) or a one-sided entry (upper
     // bound unrepresentable) are sound for PRUNING but are not the exact
@@ -2223,6 +2306,7 @@ object ManifestTable {
     if (m.dvs.nonEmpty || m.eqdels.nonEmpty) return None
     // see fastMinMaxOf on the sidecar-collect trade
     val stats = statsFor(spark, path, m)
+    val defEnc = defaultStatEncs(m)
     def parse(raw: String, dt: DataType): Option[Any] =
       parsePartitionValue(spark, raw, dt)
     val groups = scala.collection.mutable.Map[Seq[Any],
@@ -2240,7 +2324,8 @@ object ManifestTable {
         parse(byCol.getOrElse(c, return None),
           m.schema(c).dataType).getOrElse(return None)
       }
-      val fileStats = stats.getOrElse(rel, return None)
+      val fileStats =
+        adjustStatsForDefaults(stats.getOrElse(rel, return None), defEnc)
       val n = fileStats.get(RowsKey).flatMap(_._1)
         .map(e => decodeStat(e).asInstanceOf[Long]).getOrElse(return None)
       val (n0, mm) = groups.getOrElseUpdate(key,
@@ -5338,9 +5423,14 @@ object ManifestTable {
     // previously-deleted rows
     // re-derive generated partition columns AFTER the SET projection: an
     // update of a transform's SOURCE column must move the row's partition
-    val rewritten = withDerived(
+    // fillDefaults: a SET that evaluates to NULL in a DEFAULT column must
+    // materialize the default, not a physical NULL — otherwise the new
+    // file's zone map records all-null and bound pruning would skip it
+    // for `WHERE dcol = <default>` while the read coalesce says the rows
+    // match (the documented "post-add NULL becomes the default" contract)
+    val rewritten = fillDefaults(m, withDerived(
       readRels(spark, path, m, touched).select(replaced.toSeq: _*)
-        .drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema))
+        .drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema)))
       .select(logical.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
     // the SET right-hand sides can produce violating values — gate the
     // rewritten rows like any other write batch
@@ -5382,9 +5472,12 @@ object ManifestTable {
     // re-derive generated partition columns AFTER the SET projection: an
     // update of a transform's SOURCE column must move the row's partition
     // (the new copy lands in the new directory; the DV removes the old)
-    val rewritten = withDerived(
+    // fillDefaults: same discipline as the COW path — a NULL-producing
+    // SET in a DEFAULT column materializes the default so the appended
+    // file's stats/Bloom stay prunable-exact
+    val rewritten = fillDefaults(m, withDerived(
       matched.select(replaced.toSeq: _*)
-        .drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema))
+        .drop(m.transforms.map(_.derived): _*), m.transforms, Some(m.schema)))
       .select(logical.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
     // constraints gate the SET results BEFORE any sidecar/data write — a
     // violating update leaves zero bytes behind

@@ -136,4 +136,45 @@ class ColumnDefaultSpec extends SparkSpec {
     assert(ManifestTable.read(spark, path).filter(col("id") === 7L)
       .select("n", "tag").as[(Long, String)].head() === ((777L, "t0")))
   }
+
+  test("UPDATE SET <defaultCol> = NULL materializes the default — stats/Bloom pruning stays exact (COW and MOR)") {
+    for (mode <- Seq(None, Some("mor"))) {
+      val path = tmp("setnull" + mode.getOrElse("cow"))
+      // the default column IS a stats+bloom column: an update writing a
+      // physical NULL here would record an all-null zone map for the new
+      // file and bound pruning would silently drop matching rows
+      ManifestTable.overwrite(spark, path,
+        spark.range(100).select(col("id"), concat(lit("v"), col("id")).as("v"))
+          .coalesce(2))
+      ManifestTable.addColumns(spark, path,
+        Seq(StructField("score", LongType)), defaults = Map("score" -> "7"))
+      // score joins statsCols BEFORE the update, so the update's own
+      // commit records zone maps for its rewritten/appended files — the
+      // exact shape ADVICE flagged (all-null zone map → wrong pruning).
+      // This also stats the PRE-add files (their bytes lack the column →
+      // recorded all-null), pinning the read-as-default stats correction.
+      ManifestTable.analyzeStats(spark, path, Seq("score"))
+      mode.foreach(spark.conf.set(ManifestTable.DmlModeKey, _))
+      try ManifestTable.update(spark, path, col("id") < 10L,
+        Seq("score" -> lit(null), "v" -> lit("upd")))
+      finally mode.foreach(_ => spark.conf.unset(ManifestTable.DmlModeKey))
+      val got = ManifestTable.read(spark, path).filter(col("score") === 7L)
+      assert(got.count() === 100L,
+        s"mode=$mode: WHERE score = <default> must see the updated rows " +
+          "— a physically-NULL default column poisons zone-map pruning")
+      assert(got.filter(col("id") < 10L && col("v") =!= "upd").count() === 0L)
+      // the point-read face (manifest-pruned) agrees with the full scan
+      assert(ManifestTable.readPoint(spark, path, "score", 7L).count() === 100L)
+      // metadata answers see the rows AS READ, not the physical bytes:
+      // min/max include the default, COUNT(score) counts every row
+      // (physical NULLs read as the non-null default). MOR leaves DVs,
+      // which rightly decline metadata answers — purge them first
+      // (a no-op under COW).
+      ManifestTable.rewriteDeletes(spark, path)
+      assert(ManifestTable.fastMinMax(spark, path, "score") === Some((7L, 7L)))
+      val m = ManifestTable.readManifest(spark, path,
+        ManifestTable.currentVersion(spark, path).get)
+      assert(ManifestTable.fastNonNullCountOf(m, "score") === Some(100L))
+    }
+  }
 }
