@@ -589,6 +589,31 @@ object PlanAudit {
     audit("q_sql_update_mor")(
       "merge-on-read read path: DV positions applied as broadcast anti-join" -> (p =>
         p.contains("LeftAnti") && p.contains("BroadcastHashJoin")))
+    // per-rel equality-delete routing: one live entry + a post-entry
+    // append — only the files sequenced BEFORE the entry may pay the
+    // metadata scan + sequence lookup + key anti-join; the fresh files
+    // keep the plain graft scan, unioned in beside the at-risk arm
+    locally {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files
+        .createTempDirectory("audit_eqroute").toString + "/t"
+      graft.sources.ManifestTable.overwrite(spark, dir,
+        spark.range(1000).select(col("id"),
+          (col("id") % 7).cast("long").as("v")), statsCols = Seq("id"))
+      spark.conf.set("spark.graft.dml.mode", "eq")
+      try graft.sources.ManifestTable.merge(spark, dir,
+        spark.range(1).select(col("id"), lit(99L).as("v")),
+        keys = Seq("id"), deleteKeys = Some(spark.range(2, 4).toDF("id")))
+      finally spark.conf.unset("spark.graft.dml.mode")
+      graft.sources.ManifestTable.append(spark, dir,
+        spark.range(2000, 2100).select(col("id"), lit(0L).as("v")))
+      auditDf("eqdel_per_rel_route",
+        graft.sources.ManifestTable.read(spark, dir))(
+        "post-entry files keep a plain arm beside the key anti-join" -> (p =>
+          p.contains("Union") && p.contains("LeftAnti")),
+        "one key anti-join, entry-scoped — never fleet-wide" -> (p =>
+          "LeftAnti".r.findAllIn(p).length == 1))
+    }
     audit("q_write_cluster")(
       "the range predicate reaches the clustered scan" -> (p =>
         p.contains("Scan graft.sources.GraftRelation") &&

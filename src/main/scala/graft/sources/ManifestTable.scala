@@ -1879,19 +1879,10 @@ object ManifestTable {
     * mass delete must not be a driver-OOM broadcast.
     */
   private[sources] def readRels(spark: SparkSession, path: String, m: Manifest,
-                                rels: Seq[String]): DataFrame = toLogical(
-    if (rels.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
-    else if (liveEqdels(m, rels).nonEmpty) {
-      // equality deletes in scope: every rel scans WITH metadata — the
-      // key anti-join needs each row's file (for its sequence), and the
-      // DV anti-join rides the same columns; row order: DV positions
-      // first (a position references the raw row index), then keys
-      val scan = rawScan(spark, path, m, rels, withMeta = true)
-      applyEqDeletes(spark, path, m, applyDvAnti(spark, path, m, scan, rels),
-        rels).select(m.schema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
-    } else {
-      val (dvd, plain) = rels.partition(m.dvs.contains)
+                                rels: Seq[String]): DataFrame = {
+    // the plain/DV arm: rels no live eqdel can touch
+    def plainOrDv(rs: Seq[String]): DataFrame = {
+      val (dvd, plain) = rs.partition(m.dvs.contains)
       val dvdDf = if (dvd.isEmpty) None else Some {
         val scan = rawScan(spark, path, m, dvd, withMeta = true)
         applyDvAnti(spark, path, m, scan, dvd)
@@ -1905,7 +1896,35 @@ object ManifestTable {
         case (None, Some(b)) => b
         case _ => sys.error("unreachable: rels is non-empty")
       }
-    }, m.colmap)
+    }
+    toLogical(
+      if (rels.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], m.schema)
+      else {
+        val live = liveEqdels(m, rels)
+        if (live.isEmpty) plainOrDv(rels)
+        else {
+          // PER-REL routing: only files sequenced BEFORE some live entry
+          // ("at risk") pay the metadata scan + per-file sequence lookup +
+          // key anti-join; everything appended after the newest entry —
+          // at a CDC cadence quickly the bulk of the fleet — keeps the
+          // plain/DV plan. The lookup inside applyEqDeletes is then built
+          // over the at-risk rels only (entry-scoped, not fleet-scoped).
+          val maxSeq = live.iterator.map(_.seq).max
+          val (atRisk, clean) =
+            rels.partition(r => m.fseq.getOrElse(r, 0L) < maxSeq)
+          // at-risk rels scan WITH metadata — the key anti-join needs each
+          // row's file (for its sequence), and the DV anti-join rides the
+          // same columns; row order: DV positions first (a position
+          // references the raw row index), then keys
+          val scan = rawScan(spark, path, m, atRisk, withMeta = true)
+          val eqd = applyEqDeletes(spark, path, m,
+            applyDvAnti(spark, path, m, scan, atRisk), atRisk)
+            .select(m.schema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
+          if (clean.isEmpty) eqd else eqd.unionByName(plainOrDv(clean))
+        }
+      }, m.colmap)
+  }
 
   /** The deletion-vector anti-join over a metadata-attached scan of
     * `rels`: rows whose (file, position) sits in a referenced DV drop;
@@ -4597,23 +4616,29 @@ object ManifestTable {
     sys.error("unreachable")
   }
 
-  /** Candidate files for a MOR merge's key cut. When the merge key is one
-    * stats/Bloom column and the key set is driver-collectable (≤
-    * `spark.graft.mor.keyPruneMax`, default 100 000), zone maps bound the
-    * scan to files whose [min,max] meets the key range, and Blooms (for
-    * sets ≤ 4096, where per-file probing stays cheap) drop files holding
-    * none of the keys. Conservative by construction — every layer only
-    * ever KEEPS extra files; NULL keys, multi-column keys, uncollectable
-    * sets and statless columns fall back to every file. */
-  private def morMergeCandidates(spark: SparkSession, path: String,
-                                 m: Manifest, keys: Seq[String],
-                                 touchKeys: DataFrame): Seq[String] = {
-    if (keys.length != 1) return m.files
+  /** Candidate files for a MOR merge's key cut. When the LEADING merge
+    * key is a stats/Bloom column and its distinct values are driver-
+    * collectable (≤ `spark.graft.mor.keyPruneMax`, default 100 000), zone
+    * maps bound the scan to files whose [min,max] meets the key range,
+    * and Blooms (for sets ≤ 4096, where per-file probing stays cheap)
+    * drop files holding none of the values. Composite keys prune on the
+    * leading column alone — a (tenant, id) CDC key cuts to the touched
+    * tenants' files, a conservative SUPERSET of the true match set (the
+    * key cut's join decides exactly). Conservative by construction —
+    * every layer only ever KEEPS extra files; NULL leading keys,
+    * uncollectable sets and statless columns fall back to every file. */
+  private[sources] def morMergeCandidates(spark: SparkSession, path: String,
+                                          m: Manifest, keys: Seq[String],
+                                          touchKeys: DataFrame): Seq[String] = {
     val ph = m.colmap.getOrElse(keys.head, keys.head)
     if (!m.statsCols.contains(ph) && !m.bloomCols.contains(ph)) return m.files
     val cap = spark.conf.getOption("spark.graft.mor.keyPruneMax")
       .map(_.toInt).getOrElse(100000)
-    val rows = touchKeys.limit(cap + 1).collect()
+    // composite keys: the leading column's DISTINCT values can sit under
+    // the cap even when the full key set does not
+    val lead = if (keys.length == 1) touchKeys
+               else touchKeys.select(touchKeys.columns.head).distinct()
+    val rows = lead.limit(cap + 1).collect()
     if (rows.length > cap) return m.files
     // a NULL key (NOT MATCHED BY SOURCE deleting null-keyed rows) is
     // invisible to zone maps/Blooms — scan everything

@@ -297,6 +297,41 @@ class EqualityDeleteSpec extends SparkSpec {
     finally s.sql("DROP TABLE IF EXISTS eqd_cnt_t"): Unit
   }
 
+  test("per-rel routing: files appended after the newest entry keep the plain plan; answers unchanged") {
+    val path = mkTable("route", n = 1000)
+    withEq(spark) {
+      ManifestTable.merge(spark, path, Seq((3L, "u3")).toDF("id", "v"),
+        keys = Seq("id"), deleteKeys = Some(Seq(4L).toDF("id")))
+    }
+    ManifestTable.append(spark, path, spark.range(5000, 5100)
+      .select(col("id"), lit("fresh").as("v")))
+    val v = ManifestTable.currentVersion(spark, path).get
+    val m = ManifestTable.readManifest(spark, path, v)
+    val maxSeq = m.eqdels.map(_.seq).max
+    val (atRisk, clean) = m.files.partition(r => m.fseq.getOrElse(r, 0L) < maxSeq)
+    assert(atRisk.nonEmpty && clean.nonEmpty,
+      "fixture must hold both pre-entry and post-entry files")
+    // the merge's own batch (fseq == seq) and the later append are exempt
+    // from the entry — their read must be a plain scan, no joins at all
+    val freshPlan = ManifestTable.readRels(spark, path, m, clean)
+      .queryExecution.executedPlan.toString
+    assert(!freshPlan.contains("Join"),
+      s"post-entry files must read join-free, got:\n$freshPlan")
+    // the full read routes per rel: the at-risk arm carries the one key
+    // anti-join, the clean arm unions in beside it
+    val full = ManifestTable.read(spark, path)
+    val fullPlan = full.queryExecution.executedPlan.toString
+    assert(fullPlan.contains("Union"), "per-rel routing must split the scan")
+    assert("LeftAnti".r.findAllIn(fullPlan).length === 1,
+      "exactly one key anti-join — entry-scoped, never fleet-wide")
+    // answers unchanged by the routing
+    assert(full.count() === 1099L)
+    assert(full.filter(col("id") === 4L).count() === 0L)
+    assert(full.filter(col("id") === 3L).select("v").as[String].collect().toSeq
+      === Seq("u3"))
+    assert(full.filter(col("id") >= 5000L).count() === 100L)
+  }
+
   test("under eq mode, UPDATE routes merge-on-read: resident files carry byte-identical") {
     val path = mkTable("upd", n = 1000)
     val before = dataFiles(path)

@@ -286,6 +286,53 @@ class MorDmlSpec extends SparkSpec {
       === ManifestTable.read(spark, cow).orderBy("id").collect().toSeq)
   }
 
+  test("MOR MERGE composite-key prune: the leading column cuts the scan below the fleet; answers match COW") {
+    // range-clustered on the LEADING key (tenant) — the (tenant, id) CDC
+    // shape: composite keys prune on tenant's zone maps/Blooms alone
+    def mk(tag: String): String = {
+      val p = Files.createTempDirectory(s"mor_$tag").toString + "/t"
+      val df = spark.range(10000).select((col("id") / 100).cast("long").as("tenant"),
+        col("id"), concat(lit("v"), col("id")).as("v"))
+        .repartitionByRange(8, col("tenant"), col("id"))
+      ManifestTable.overwrite(spark, p, df, statsCols = Seq("tenant"),
+        bloomCols = Seq("tenant"))
+      p
+    }
+    def cdc(s: SparkSession) = s.range(3).select(lit(7L).as("tenant"),
+      (col("id") + 700L).as("id"), lit("upd").as("v"))
+    val cow = mk("ckcow")
+    ManifestTable.merge(spark, cow, cdc(spark), keys = Seq("tenant", "id"),
+      deleteKeys = Some(Seq((7L, 710L)).toDF("tenant", "id")))
+    val mor = mk("ckmor")
+    // the pin: a 2-key merge's candidate set is strictly below the fleet
+    val v = ManifestTable.currentVersion(spark, mor).get
+    val m = ManifestTable.readManifest(spark, mor, v)
+    val touch = cdc(spark).select("tenant", "id")
+      .unionByName(Seq((7L, 710L)).toDF("tenant", "id")).distinct()
+      .toDF("__mk_tenant", "__mk_id")
+    val cand = ManifestTable.morMergeCandidates(spark, mor,
+      m, Seq("tenant", "id"), touch)
+    assert(cand.size < m.files.size,
+      s"composite-key prune must cut below the fleet (${cand.size} of ${m.files.size})")
+    assert(cand.nonEmpty, "the touched tenant's files must survive the cut")
+    withMor(spark) {
+      ManifestTable.merge(spark, mor, cdc(spark), keys = Seq("tenant", "id"),
+        deleteKeys = Some(Seq((7L, 710L)).toDF("tenant", "id")))
+    }
+    assert(ManifestTable.read(spark, mor).orderBy("id").collect().toSeq
+      === ManifestTable.read(spark, cow).orderBy("id").collect().toSeq)
+    // a NULL in the LEADING key column: conservative full-fleet fallback,
+    // and the null-keyed tombstone still deletes nothing here (no null rows)
+    val nullTouch = Seq((Option.empty[Long], Option(1L)))
+      .toDF("__mk_tenant", "__mk_id")
+    assert(ManifestTable.morMergeCandidates(spark, mor,
+      ManifestTable.readManifest(spark, mor,
+        ManifestTable.currentVersion(spark, mor).get),
+      Seq("tenant", "id"), nullTouch).size ===
+      ManifestTable.readManifest(spark, mor,
+        ManifestTable.currentVersion(spark, mor).get).files.size)
+  }
+
   test("MOR UPDATE enforces constraints before writing any sidecar or data") {
     val path = mkTable("constr", n = 100)
     ManifestTable.addConstraint(spark, path, "k_small", "k < 5000")

@@ -112,6 +112,28 @@ class TableFuzzSpec extends SparkSpec {
             val batch = hit.map(id => (id, -1L)) ++ add
             val mode = rnd.nextInt(3) match {
               case 1 => Some("mor"); case 2 => Some("eq"); case _ => None }
+            // composite-key arm (MOR only): key on (id, measure) — the
+            // tombstones name current rows exactly, the batch's fresh ids
+            // insert; exercises the leading-column candidate prune under
+            // whatever layout the sequence piled up
+            if (mode.contains("mor") && rnd.nextBoolean()) {
+              val dels = model.toSeq.sorted.take(2)
+              val addC = fresh(2)
+              spark.conf.set(ManifestTable.DmlModeKey, "mor")
+              try {
+                try ManifestTable.merge(spark, path, df(addC),
+                  keys = Seq("id", vName), deleteKeys = Some(df(dels)))
+                catch {
+                  case e: IllegalArgumentException
+                      if e.getMessage.contains("uniform partition layout") =>
+                    ManifestTable.compact(spark, path, 64L)
+                    ManifestTable.merge(spark, path, df(addC),
+                      keys = Seq("id", vName), deleteKeys = Some(df(dels)))
+                }
+              } finally spark.conf.unset(ManifestTable.DmlModeKey)
+              model = model -- dels.map(_._1) ++ addC
+              check(s"$step merge(mor, composite)")
+            } else {
             mode.foreach(spark.conf.set(ManifestTable.DmlModeKey, _))
             try if (batch.nonEmpty) {
               try ManifestTable.merge(spark, path, df(batch), keys = Seq("id"))
@@ -126,6 +148,7 @@ class TableFuzzSpec extends SparkSpec {
               model = model ++ batch.toMap
             } finally mode.foreach(_ => spark.conf.unset(ManifestTable.DmlModeKey))
             check(s"$step merge(${mode.getOrElse("cow")})")
+            }
           case 5 => // compact (also heals mixed layouts)
             ManifestTable.compact(spark, path, 16L + rnd.nextInt(64))
             check(s"$step compact")
