@@ -152,7 +152,10 @@ class GraftSqlParser(session: SparkSession,
     * normalization only; the delegate still parses the original text.
     * Quote-aware for `'`, `"` and backtick (paths may contain `--`);
     * doubled-quote escapes toggle state twice, which is still never
-    * "inside a comment". An unterminated block comment swallows to the
+    * "inside a comment", and a backslash inside a '…'/"…" literal
+    * escapes the next character (mirroring Spark's lexer — `'a\'--b'`
+    * stays one literal; backticked identifiers have no backslash
+    * escape). An unterminated block comment swallows to the
     * end, exactly as Spark's lexer treats it. */
   private[plans] def stripComments(sql: String): String = {
     val sb = new java.lang.StringBuilder(sql.length)
@@ -161,7 +164,9 @@ class GraftSqlParser(session: SparkSession,
     while (i < sql.length) {
       val c = sql.charAt(i)
       if (quote != 0) {
-        sb.append(c); if (c == quote) quote = 0; i += 1
+        if (c == '\\' && quote != '`' && i + 1 < sql.length) {
+          sb.append(c); sb.append(sql.charAt(i + 1)); i += 2
+        } else { sb.append(c); if (c == quote) quote = 0; i += 1 }
       } else c match {
         case '\'' | '"' | '`' =>
           quote = c; sb.append(c); i += 1
@@ -681,6 +686,11 @@ case class GraftOptimizeCommand(target: String, where: Option[String],
     extends LeafRunnableCommand {
   require(!(purge && (zorderCols.nonEmpty || where.isDefined || smallerThan.isDefined)),
     "OPTIMIZE: PURGE and WHERE/SMALLER THAN/ZORDER BY are separate maintenance passes — run them as two statements")
+  // 100% is meaningful (rewrite only fully-deleted files — the fraction
+  // compare is >=); anything above is a typo, refused at the statement
+  require(purgeMinFraction.forall(f => f >= 0.0 && f <= 1.0),
+    s"OPTIMIZE: PURGE MIN DELETED must be between 0% and 100%, got " +
+      s"${purgeMinFraction.map(f => (f * 100).toString).getOrElse("")}%")
   require(!(smallerThan.isDefined && (where.isDefined || zorderCols.nonEmpty)),
     "OPTIMIZE: SMALLER THAN bin-packs whole-table; combine with WHERE/ZORDER BY as separate passes")
   override val output: Seq[Attribute] = Seq(

@@ -3767,15 +3767,24 @@ object ManifestTable {
     var prev = fork
     (2L to bv).foreach { v =>
       val c = readManifest(spark, bp, v)
+      // definition INCLUDES constraints and properties: a branch commit
+      // that only added a CHECK or set a property is not an append and
+      // would silently drop on replay. Two props are exempt branch
+      // machinery: the fork pin (createBranch commits it as the branch's
+      // own version 2) and the identity watermark, which legitimately
+      // advances on every identity append (the replay safety it guards
+      // is the fork-watermark check below).
+      def defProps(mm: Manifest) = mm.props - IdentityWmProp - BranchBaseProp
       require((prev.files.toSet -- c.files.toSet).isEmpty &&
           c.dvs == prev.dvs && c.eqdels == prev.eqdels &&
           c.schema == prev.schema &&
           c.colmap == prev.colmap && c.partitionCols == prev.partitionCols &&
-          c.transforms == prev.transforms,
+          c.transforms == prev.transforms &&
+          c.constraints == prev.constraints && defProps(c) == defProps(prev),
         s"CHERRY-PICK: branch '$name' commit $v is not a pure append — " +
-          "deletes/rewrites/DV or definition changes cannot replay onto a " +
-          "moved main; FAST FORWARD from an un-moved main, or re-branch " +
-          "and replay")
+          "deletes/rewrites/DV/constraint/property or definition changes " +
+          "cannot replay onto a moved main; FAST FORWARD from an un-moved " +
+          "main, or re-branch and replay")
       prev = c
     }
     val newRels = bm.files.filterNot(fork.files.toSet)
@@ -4498,8 +4507,11 @@ object ManifestTable {
                     s"merge of $path lost to a commit that wrote into a partition " +
                       "this merge rewrites — re-run against the new snapshot")
                 if (fresh.nonEmpty) {
-                  val overlap = readRels(spark, path, now, fresh)
-                    .join(broadcast(touchKeys.distinct()), keys, "left_semi")
+                  // NULL-SAFE, like the key cut itself: a concurrent
+                  // append of null-keyed rows conflicts with a null-keyed
+                  // tombstone exactly as a non-null key would
+                  val overlap = cutByKeys(readRels(spark, path, now, fresh),
+                    touchKeys.distinct(), "left_semi", bcastRight = true)
                   if (!overlap.isEmpty) throw new java.util.ConcurrentModificationException(
                     s"merge of $path lost to a commit that appended rows sharing its " +
                       "merge keys — re-run against the new snapshot")
@@ -4604,9 +4616,13 @@ object ManifestTable {
             catch { case t: Throwable => cleanup(); throw t }
           val fresh = now.files.filterNot(cur.files.toSet)
           if (fresh.nonEmpty) {
-            val tk = touchKeys.toDF(keys: _*)
-            val overlap = readRels(spark, path, now, fresh)
-              .join(broadcast(tk), keys.toSeq, "left_semi")
+            // NULL-SAFE (<=>), matching the key cut: a concurrent append
+            // of null-keyed rows during a merge carrying a null-keyed
+            // tombstone is a stale-read conflict like any other
+            val freshRows = readRels(spark, path, now, fresh)
+            val overlap = freshRows.join(broadcast(touchKeys),
+              keys.map(k => freshRows(k) <=> touchKeys("__mk_" + k))
+                .reduce(_ && _), "left_semi")
             if (!overlap.isEmpty)
               lost("appended rows sharing this merge's keys")
           }
@@ -4855,8 +4871,8 @@ object ManifestTable {
     *        whole read tax and the format bump for nothing. */
   def rewriteDeletes(spark: SparkSession, path: String,
                      minDeletedFraction: Double = 0.0): Long = {
-    require(minDeletedFraction >= 0.0 && minDeletedFraction < 1.0,
-      s"minDeletedFraction must be in [0, 1), got $minDeletedFraction")
+    require(minDeletedFraction >= 0.0 && minDeletedFraction <= 1.0,
+      s"minDeletedFraction must be in [0, 1], got $minDeletedFraction")
     val v = currentVersion(spark, path)
       .getOrElse(sys.error(s"no manifest table at $path"))
     val m = readManifest(spark, path, v)

@@ -1380,6 +1380,55 @@ class GraftSqlParserSpec extends SparkSpec {
     } finally s.sql("DROP TABLE IF EXISTS dpad_t"): Unit
   }
 
+  test("stripComments survives backslash-escaped quotes; PURGE MIN DELETED range-checked") {
+    val s = extSpark
+    val parser = s.sessionState.sqlParser
+    val p = new GraftSqlParser(s, parser)
+    // a -- (and a /*) INSIDE a string literal whose quote is backslash-
+    // escaped: the quote state must not flip at \' — the comment text is
+    // part of the literal and survives verbatim
+    val lit1 = """OPTIMIZE 't' WHERE s = 'a\'--b' TARGET 100 ROWS"""
+    assert(p.stripComments(lit1) === lit1)
+    val lit2 = "SELECT 'x\\\"' , \"y\\\"/*z*/\" FROM t"
+    assert(p.stripComments(lit2) === lit2)
+    // backticks carry no backslash escape: `a\` ends the identifier and a
+    // following -- comment IS stripped
+    val bt = "OPTIMIZE `a\\` -- tail"
+    assert(p.stripComments(bt) === "OPTIMIZE `a\\`  ",
+      "no backslash escape inside backticks — the trailing comment strips")
+    // dispatch end to end: the escaped-quote WHERE reaches the command intact
+    val path = Files.createTempDirectory("sqlp_esc").toString + "/t"
+    ManifestTable.overwrite(s, path, s.range(4)
+      .select(col("id"), concat(lit("a'--"), col("id")).as("v")).coalesce(1),
+      statsCols = Seq("id"))
+    parser.parsePlan(s"OPTIMIZE '$path' WHERE v = 'a\\'--b' TARGET 9 ROWS") match {
+      case c: GraftOptimizeCommand =>
+        assert(c.where === Some("v = 'a\\'--b'"),
+          "the WHERE capture must carry the full literal, comment text included")
+      case other => fail(s"lowered to ${other.getClass.getSimpleName}")
+    }
+    // PURGE MIN DELETED: 100% is legal (only fully-deleted files rewrite);
+    // above 100% refuses with a statement-level message
+    parser.parsePlan(s"OPTIMIZE '$path' PURGE MIN DELETED 100%") match {
+      case c: GraftOptimizeCommand => assert(c.purgeMinFraction === Some(1.0))
+      case other => fail(s"lowered to ${other.getClass.getSimpleName}")
+    }
+    val over = intercept[IllegalArgumentException](
+      parser.parsePlan(s"OPTIMIZE '$path' PURGE MIN DELETED 150%"))
+    assert(over.getMessage.contains("between 0% and 100%"))
+    // ... and 100% executes: nothing under the threshold rewrites, a
+    // fully-deleted file does
+    ManifestTable.deleteVectorized(s, path, col("id") === 0L) // partial
+    val before = ManifestTable.currentVersion(s, path).get
+    assert(ManifestTable.rewriteDeletes(s, path, 1.0) === before,
+      "a partially-deleted file sits under the 100% threshold")
+    ManifestTable.deleteVectorized(s, path, col("id") >= 0L) // all rows
+    val v2 = ManifestTable.currentVersion(s, path).get
+    assert(ManifestTable.rewriteDeletes(s, path, 1.0) > v2,
+      "fully-deleted files rewrite at the 100% threshold")
+    assert(ManifestTable.read(s, path).count() === 0L)
+  }
+
   test("fuzz: every intercepted statement form survives case/whitespace/comment/semicolon noise") {
     val s = extSpark
     val path = Files.createTempDirectory("sqlp_fuzz").toString + "/t"

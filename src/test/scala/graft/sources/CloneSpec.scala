@@ -238,6 +238,32 @@ class CloneSpec extends SparkSpec {
     ManifestTable.dropBranch(spark, path, "sch")
   }
 
+  test("CHERRY-PICK purity gate covers constraints and properties — they would silently drop on replay") {
+    val r = root("cpd")
+    val path = s"$r/t"
+    ManifestTable.overwrite(spark, path,
+      spark.range(10).select(col("id"), (col("id") * 10).as("n")).coalesce(1))
+    // branch adds a CHECK: not a pure append — the replayed main would
+    // lose the constraint
+    ManifestTable.createBranch(spark, path, "con")
+    ManifestTable.addConstraint(spark,
+      ManifestTable.branchPath(path, "con"), "n_pos", "n >= 0")
+    ManifestTable.append(spark, path, Seq((50L, 500L)).toDF("id", "n"))
+    val e1 = intercept[IllegalArgumentException](
+      ManifestTable.cherryPick(spark, path, "con"))
+    assert(e1.getMessage.contains("not a pure append"))
+    ManifestTable.dropBranch(spark, path, "con")
+    // branch sets a table property: same refusal
+    ManifestTable.createBranch(spark, path, "prop")
+    ManifestTable.setProperties(spark,
+      ManifestTable.branchPath(path, "prop"), Map("graft.autoCompact" -> "true"))
+    ManifestTable.append(spark, path, Seq((51L, 510L)).toDF("id", "n"))
+    val e2 = intercept[IllegalArgumentException](
+      ManifestTable.cherryPick(spark, path, "prop"))
+    assert(e2.getMessage.contains("not a pure append"))
+    ManifestTable.dropBranch(spark, path, "prop")
+  }
+
   test("CHERRY-PICK re-gates branch appends under constraints main added after the fork") {
     val r = root("cpc")
     val path = s"$r/t"
