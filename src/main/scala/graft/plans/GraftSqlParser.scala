@@ -1420,9 +1420,13 @@ case class GraftAnalyzeCommand(target: String, allColumns: Boolean,
           .filter(f => !parts.contains(f.name) && ManifestTable.statSupported(f.dataType))
           .map(_.name)
       }
-    val (v, added) = ManifestTable.analyzeStats(spark, path, resolved)
+    val (v0, added) = ManifestTable.analyzeStats(spark, path, resolved)
+    // statistics include the equality-delete matched-row counts: folding
+    // them here restores metadata COUNT(*) on eq-ingested tables — the
+    // same "pay once, answer forever" lifecycle as the zone maps above
+    val v = ManifestTable.foldEqdelCounts(spark, path)
     spark.sessionState.catalog.invalidateAllCachedTables()
-    Seq(Row(v, added.mkString(",")))
+    Seq(Row(math.max(v0, v), added.mkString(",")))
   }
 }
 

@@ -430,10 +430,16 @@ object ManifestTable {
     * the upsert's own rows are exempt — delete-then-insert ordering by
     * construction. `count` is the sidecar's key count (read-side
     * broadcast budgeting only — NOT a deleted-row count: keys may match
-    * zero or many rows, which is why every metadata fast-count declines
-    * while eqdels live). */
+    * zero or many rows, which is why metadata fast-counts decline while
+    * an entry's deleted-row count is unknown). `matched` is that exact
+    * deleted-row count once [[foldEqdelCounts]] materializes it (counted
+    * over DV-surviving rows, so `Σrows − ΣdvDeleted − Σmatched` is the
+    * visible total); it is valid only for the scoped-file/DV state it
+    * was folded against — [[commit]] clears it whenever a scoped file
+    * leaves the fleet, DV entries change, or sequences re-key. */
   private[sources] case class EqDelete(name: String, keyCols: Seq[String],
-                                       seq: Long, count: Long)
+                                       seq: Long, count: Long,
+                                       matched: Option[Long] = None)
 
   /** The user-visible schema: physical fields renamed to their logical
     * names. Field order, types and nullability are the physical ones. */
@@ -586,12 +592,19 @@ object ManifestTable {
     // pre-ICT manifests (0 = fall back to the file mtime)
     val ts = lines.find(_.startsWith("ts="))
       .map(_.stripPrefix("ts=").trim.toLong).getOrElse(0L)
-    // eqdel=<name>|<k1,k2>|<seq>|<keyCount>; fseq=<rel>|<version> — the
-    // equality-delete feature (format 2); see [[EqDelete]]
+    // eqdel=<name>|<k1,k2>|<seq>|<keyCount>[|<matchedRows>];
+    // fseq=<rel>|<version> — the equality-delete feature (format 2); the
+    // optional 5th field is the folded deleted-row count; see [[EqDelete]]
     val eqdels = lines.filter(_.startsWith("eqdel="))
       .map(_.stripPrefix("eqdel=")).map { l =>
-        val Array(n, ks, sq, cnt) = l.split("\\|", -1)
-        EqDelete(n, ks.split(",").toSeq, sq.toLong, cnt.toLong)
+        l.split("\\|", -1) match {
+          case Array(n, ks, sq, cnt) =>
+            EqDelete(n, ks.split(",").toSeq, sq.toLong, cnt.toLong)
+          case Array(n, ks, sq, cnt, mt) =>
+            EqDelete(n, ks.split(",").toSeq, sq.toLong, cnt.toLong,
+              if (mt.isEmpty) None else Some(mt.toLong))
+          case other => sys.error(s"malformed eqdel line: $l")
+        }
       }
     val fseq = lines.filter(_.startsWith("fseq="))
       .map(_.stripPrefix("fseq=")).map { l =>
@@ -1965,27 +1978,12 @@ object ManifestTable {
                              df: DataFrame, rels: Seq[String]): DataFrame = {
     val live = liveEqdels(m, rels)
     if (live.isEmpty) return df
-    // INNER join on the basename: scan-side __dv_fname and manifest-side
-    // fileNameOf(rel) are the SAME identity the DV position codec already
-    // relies on (deleteVectorized's fnameToRel throws on any mismatch and
-    // its specs pin it), so no row can fail the lookup
-    val lookup = broadcast(spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        rels.map(r => Row(fileNameOf(r), m.fseq.getOrElse(r, 0L))), 1),
-      StructType(Seq(StructField("__fs_name", StringType, nullable = false),
-        StructField("__fseq", LongType, nullable = false)))))
-    val withSeq = df.join(lookup, df("__dv_fname") === lookup("__fs_name"))
-      .drop("__fs_name")
+    val withSeq = attachFseq(spark, m, df, rels)
     val out = live.groupBy(_.keyCols).foldLeft(withSeq) {
       case (acc, (kc, entries)) =>
-        val keys0 = entries.map { e =>
-          spark.read.schema(StructType(kc.map(k =>
-              m.schema.find(_.name == k).getOrElse(
-                sys.error(s"eqdel key '$k' not in schema of $path")))))
-            .parquet(new Path(eqdDir(path), e.name).toString)
-            .toDF(kc.map("__eqk_" + _): _*)
-            .withColumn("__eq_seq", lit(e.seq))
-        }.reduce(_ unionAll _)
+        val keys0 = entries.map(e => eqdelKeys(spark, path, m, e)
+            .withColumn("__eq_seq", lit(e.seq)))
+          .reduce(_ unionAll _)
         val totalKeys = entries.map(_.count).sum
         val keys = if (totalKeys <= DvBroadcastRows) broadcast(keys0) else keys0
         acc.join(keys,
@@ -1994,6 +1992,94 @@ object ManifestTable {
           "left_anti")
     }
     out.drop("__fseq")
+  }
+
+  /** Attach each row's FILE SEQUENCE (`__fseq`) to a metadata-attached
+    * scan of `rels`. INNER join on the basename: scan-side `__dv_fname`
+    * and manifest-side `fileNameOf(rel)` are the SAME identity the DV
+    * position codec already relies on (deleteVectorized's fnameToRel
+    * throws on any mismatch and its specs pin it), so no row can fail
+    * the lookup. The broadcast is bounded by `rels` — callers pass the
+    * at-risk subset, never the fleet. */
+  private def attachFseq(spark: SparkSession, m: Manifest, df: DataFrame,
+                         rels: Seq[String]): DataFrame = {
+    val lookup = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rels.map(r => Row(fileNameOf(r), m.fseq.getOrElse(r, 0L))), 1),
+      StructType(Seq(StructField("__fs_name", StringType, nullable = false),
+        StructField("__fseq", LongType, nullable = false)))))
+    df.join(lookup, df("__dv_fname") === lookup("__fs_name"))
+      .drop("__fs_name")
+  }
+
+  /** One entry's key sidecar, columns renamed `__eqk_<physical key>`. */
+  private def eqdelKeys(spark: SparkSession, path: String, m: Manifest,
+                        e: EqDelete): DataFrame =
+    spark.read.schema(StructType(e.keyCols.map(k =>
+        m.schema.find(_.name == k).getOrElse(
+          sys.error(s"eqdel key '$k' not in schema of $path")))))
+      .parquet(new Path(eqdDir(path), e.name).toString)
+      .toDF(e.keyCols.map("__eqk_" + _): _*)
+
+  /** Fold every live equality-delete entry's EXACT deleted-row count into
+    * the manifest (one metadata commit) so [[fastCount]] answers again on
+    * eq-deleted tables — the metadata-decline tax was the documented price
+    * of the zero-read merge; this pays it ONCE instead of per query.
+    * Attribution matches the read path: DV positions come off first (the
+    * manifest subtracts DV cardinalities separately, so a row both DV'd
+    * and key-matched must count once), then entries claim rows in
+    * sequence order. Cost is one scan of the AT-RISK files plus one
+    * count per entry; commit-time invalidation ([[commit]]'s eqdel
+    * carry) clears stale counts, and re-running re-folds only tables
+    * with unfolded entries. Returns the new version (unchanged when
+    * nothing needed folding); loses a version race by retrying against
+    * the fresh snapshot. */
+  def foldEqdelCounts(spark: SparkSession, path: String): Long = {
+    val v = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v)
+    if (m.eqdels.isEmpty || m.eqdels.forall(_.matched.isDefined)) return v
+    val maxSeq = m.eqdels.iterator.map(_.seq).max
+    val atRisk = m.files.filter(r => m.fseq.getOrElse(r, 0L) < maxSeq)
+    var df = attachFseq(spark, m,
+      applyDvAnti(spark, path, m,
+        rawScan(spark, path, m, atRisk, withMeta = true), atRisk), atRisk)
+    val matched: Map[String, Long] =
+      m.eqdels.sortBy(e => (e.seq, e.name)).map { e =>
+        if (e.matched.isDefined) {
+          // already folded: its rows are spoken for — remove them from
+          // the pool so later entries don't re-claim them
+          val keys0 = eqdelKeys(spark, path, m, e)
+          val keys = if (e.count <= DvBroadcastRows) broadcast(keys0) else keys0
+          val cond = e.keyCols.map(k => df(k) <=> keys("__eqk_" + k))
+            .reduce(_ && _) && lit(e.seq) > df("__fseq")
+          df = df.join(keys, cond, "left_anti")
+          e.name -> e.matched.get
+        } else {
+          val keys0 = eqdelKeys(spark, path, m, e)
+          val keys = if (e.count <= DvBroadcastRows) broadcast(keys0) else keys0
+          def cond(d: DataFrame) = e.keyCols.map(k =>
+            d(k) <=> keys("__eqk_" + k)).reduce(_ && _) &&
+            lit(e.seq) > d("__fseq")
+          val n = df.join(keys, cond(df), "left_semi").count()
+          df = df.join(keys, cond(df), "left_anti")
+          e.name -> n
+        }
+      }.toMap
+    val folded = m.eqdels.map(e =>
+      e.copy(matched = Some(matched(e.name))))
+    try commit(spark, path, v + 1, m.schema, m.partitionCols, m.files,
+      m.statsCols, Map.empty, m.bloomCols,
+      carry = Some(m.copy(eqdels = folded)),
+      constraints = m.constraints, transforms = m.transforms,
+      colmap = m.colmap, retired = m.retired)
+    catch {
+      // a concurrent commit may have changed exactly the state the counts
+      // describe — recompute against the winner (commit-time invalidation
+      // guards correctness; the retry just restores usefulness)
+      case _: java.util.ConcurrentModificationException =>
+        foldEqdelCounts(spark, path)
+    }
   }
 
   private def eqdDir(path: String) = new Path(path, "_eqd")
@@ -2213,12 +2299,15 @@ object ManifestTable {
                                    m: Manifest): Option[Long] = {
     if (m.files.isEmpty) return Some(0L)
     // an equality delete's key multiplicity is unknown without reading —
-    // every metadata count declines while entries live (the scan answers)
-    if (m.eqdels.nonEmpty) return None
+    // the metadata count declines until [[foldEqdelCounts]] materializes
+    // each entry's exact matched-row total (counted over DV-surviving
+    // rows, invalidated by commit on any state it depends on)
+    if (m.eqdels.exists(_.matched.isEmpty)) return None
+    val eqDeleted = m.eqdels.flatMap(_.matched).sum
     // deletion vectors record their cardinality in the manifest, so the
     // metadata count stays EXACT under merge-on-read: file row counts
     // minus deleted positions
-    val dvDeleted = m.dvs.values.map(_._2).sum
+    val dvDeleted = m.dvs.values.map(_._2).sum + eqDeleted
     m.sidecar match {
       case None =>
         val counts = m.files.map(rel =>
@@ -2576,9 +2665,21 @@ object ManifestTable {
     }.filter(_._2 > 0L).toMap
     // an eqdel entry RETIRES when no remaining file is sequenced before it
     // (every affected file was rewritten/dropped) — the manifest sheds the
-    // line and, once none remain, the format stamp returns to 1
+    // line and, once none remain, the format stamp returns to 1. A folded
+    // matched-row count describes one exact scoped-file/DV state: it
+    // CLEARS when a scoped file leaves the fleet (its matched rows left
+    // with it), when DV entries change (a position delete over raw rows
+    // may overlap the key set), or when sequences re-key (clone/restore
+    // explicit fseq) — conservative, the next fold restores exactness.
+    val dvsChanged = carry.exists(_.dvs != effectiveDvs)
+    def scopedRemoved(e: EqDelete): Boolean = carry.exists(b =>
+      b.files.exists(rel =>
+        b.fseq.getOrElse(rel, 0L) < e.seq && !fileSet.contains(rel)))
     val effectiveEqdels = (carry.map(_.eqdels).getOrElse(Nil) ++ eqdels)
       .filter(e => files.exists(rel => effectiveFseq.getOrElse(rel, 0L) < e.seq))
+      .map(e => if (e.matched.isDefined &&
+          (dvsChanged || fseqExplicit.nonEmpty || scopedRemoved(e)))
+        e.copy(matched = None) else e)
     val hasStats = statsCols.nonEmpty || bloomCols.nonEmpty ||
       stats.nonEmpty || carry.exists(b => b.stats.nonEmpty || b.sidecar.isDefined)
     val useSidecar = hasStats && files.size > sidecarThreshold(spark)
@@ -2674,7 +2775,8 @@ object ManifestTable {
       files.map("file=" + _) ++
       effectiveDvs.toSeq.sortBy(_._1).map { case (rel, (n, cnt)) => s"dv=$rel|$n|$cnt" } ++
       effectiveEqdels.sortBy(e => (e.seq, e.name)).map(e =>
-        s"eqdel=${e.name}|${e.keyCols.mkString(",")}|${e.seq}|${e.count}") ++
+        s"eqdel=${e.name}|${e.keyCols.mkString(",")}|${e.seq}|${e.count}" +
+          e.matched.map("|" + _).getOrElse("")) ++
       (if (effectiveEqdels.nonEmpty)
          effectiveFseq.toSeq.sortBy(_._1).map { case (rel, s) => s"fseq=$rel|$s" }
        else Nil) ++
@@ -4679,11 +4781,11 @@ object ManifestTable {
     * files SEQUENCED BEFORE the delete against the key set — total write
     * cost O(batch), where even MOR pays a (pruned) key-cut scan per
     * merge. The trade: reads carry the anti-join until OPTIMIZE … PURGE
-    * materializes, every metadata fast-count declines while entries live
-    * (a key's row multiplicity is unknown without reading), CDF refuses
-    * ranges crossing an eq-delete commit, and zero-copy ops (CLONE /
-    * branch / publish) refuse until purged — sequences live in ONE
-    * table's version domain. Rebase is UNCONDITIONAL except definition
+    * materializes, metadata fast-counts decline until
+    * [[foldEqdelCounts]] (or ANALYZE) pays the matched-row count once,
+    * CDF refuses ranges crossing an eq-delete commit, and zero-copy ops
+    * (CLONE / branch / publish) refuse until purged — sequences live in
+    * ONE table's version domain. Rebase is UNCONDITIONAL except definition
     * changes: an eq-merge reads nothing, so appends/rewrites/other
     * merges all commute — the retry re-sequences the entry at the new
     * head, which IS the CDC linearization by commit order. A concurrent
@@ -4698,13 +4800,21 @@ object ManifestTable {
     val touchKeys = deleteKeys.foldLeft(b.select(keys.map(col): _*))(
         (u, dk) => u.unionByName(dk.select(keys.map(col): _*)))
       .distinct().toDF(phKeys: _*)
+    phKeys.foreach(k => m.schema.find(_.name == k)
+      .getOrElse(sys.error(s"merge key '$k' not in schema of $path")))
     val name = f"eq$v%012d-${java.util.UUID.randomUUID().toString.take(8)}"
-    touchKeys.coalesce(1).write.mode(SaveMode.Overwrite)
+    // ONE pass, parallel: the key count rides the write itself as an
+    // observed metric — no single-task coalesce (a mass-backfill merge's
+    // millions of keys write across the cluster; AQE sizes the distinct's
+    // output so a streaming micro-batch still lands one small file) and
+    // no second read to count. The read side globs the entry directory,
+    // so the file count is free to vary.
+    val obs = org.apache.spark.sql.Observation()
+    touchKeys.observe(obs,
+        org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .write.mode(SaveMode.Overwrite)
       .parquet(new Path(eqdDir(path), name).toString)
-    val keySchema = StructType(phKeys.map(k => m.schema.find(_.name == k)
-      .getOrElse(sys.error(s"merge key '$k' not in schema of $path"))))
-    val count = spark.read.schema(keySchema)
-      .parquet(new Path(eqdDir(path), name).toString).count()
+    val count = obs.get("n").asInstanceOf[Long]
     def cleanup(): Unit =
       fs(spark, path).delete(new Path(eqdDir(path), name), true): Unit
     val added = if (b.isEmpty) Nil

@@ -297,6 +297,86 @@ class EqualityDeleteSpec extends SparkSpec {
     finally s.sql("DROP TABLE IF EXISTS eqd_cnt_t"): Unit
   }
 
+  test("foldEqdelCounts restores metadata fast counts; commit-time invalidation keeps them honest") {
+    val path = mkTable("fold", n = 1000)
+    withEq(spark) {
+      ManifestTable.merge(spark, path, Seq((100L, "u100")).toDF("id", "v"),
+        keys = Seq("id"), deleteKeys = Some(Seq(101L, 102L).toDF("id")))
+    }
+    assert(ManifestTable.fastCount(spark, path).isEmpty,
+      "declines while the entry's matched-row count is unknown")
+    val v = ManifestTable.foldEqdelCounts(spark, path)
+    assert(ManifestTable.fastCount(spark, path) === Some(998L),
+      "one fold commit restores the exact metadata count")
+    assert(ManifestTable.foldEqdelCounts(spark, path) === v,
+      "idempotent: fully-folded tables commit nothing")
+    // appends don't invalidate — new files are not scoped to the entry
+    ManifestTable.append(spark, path, Seq((5000L, "x")).toDF("id", "v"))
+    assert(ManifestTable.fastCount(spark, path) === Some(999L))
+    // a second eq-merge adds an UNFOLDED entry: decline returns, refold
+    // recounts only against the fresh snapshot
+    withEq(spark) {
+      ManifestTable.merge(spark, path,
+        spark.range(0).select(col("id"), lit("y").as("v")),
+        keys = Seq("id"), deleteKeys = Some(Seq(103L).toDF("id")))
+    }
+    assert(ManifestTable.fastCount(spark, path).isEmpty)
+    ManifestTable.foldEqdelCounts(spark, path)
+    assert(ManifestTable.fastCount(spark, path) === Some(998L))
+    // a DV write invalidates folded counts (positions are raw-row — they
+    // may overlap the key set); the refold restores exactness
+    ManifestTable.deleteVectorized(spark, path, col("id") === 104L)
+    assert(ManifestTable.fastCount(spark, path).isEmpty,
+      "a DV change clears every folded count")
+    ManifestTable.foldEqdelCounts(spark, path)
+    assert(ManifestTable.fastCount(spark, path) ===
+      Some(ManifestTable.read(spark, path).count()))
+    // a COW delete rewrites scoped files: folded counts clear, refold fixes
+    ManifestTable.delete(spark, path, col("id") === 105L)
+    ManifestTable.foldEqdelCounts(spark, path)
+    assert(ManifestTable.fastCount(spark, path) ===
+      Some(ManifestTable.read(spark, path).count()))
+    // ANALYZE folds too (the SQL statistics face)
+    val p2 = mkTable("fold2", n = 100)
+    val s = MorDmlSpec.extSpark
+    s.conf.set(ManifestTable.DmlModeKey, "eq")
+    try ManifestTable.merge(s, p2, s.range(0)
+      .select(col("id"), lit("z").as("v")),
+      keys = Seq("id"), deleteKeys = Some(Seq(1L, 2L).toDF("id")))
+    finally s.conf.unset(ManifestTable.DmlModeKey)
+    assert(ManifestTable.fastCount(s, p2).isEmpty)
+    s.sql(s"ANALYZE TABLE '$p2' COMPUTE STATISTICS")
+    assert(ManifestTable.fastCount(s, p2) === Some(98L),
+      "ANALYZE folds the matched counts as part of statistics")
+  }
+
+  test("a multi-file key sidecar reads correctly; the entry count comes from the write pass") {
+    val path = mkTable("multi", n = 2000)
+    // force a multi-file sidecar: with AQE's partition coalescing off the
+    // distinct's shuffle width survives into the parallel write
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try withEq(spark) {
+      ManifestTable.merge(spark, path,
+        spark.range(0).select(col("id"), lit("x").as("v")),
+        keys = Seq("id"),
+        deleteKeys = Some(spark.range(0, 2000, 2).toDF("id"))) // 1000 keys
+    } finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val eqd = java.nio.file.Paths.get(path, "_eqd")
+    val entryDir = java.nio.file.Files.list(eqd).findFirst().get()
+    var nFiles = 0
+    java.nio.file.Files.walk(entryDir).forEach { p =>
+      if (p.toString.endsWith(".parquet")) nFiles += 1 }
+    assert(nFiles > 1, s"fixture must produce a multi-file sidecar (got $nFiles)")
+    // the manifest count folded from the write's own observed metric
+    val m = ManifestTable.readManifest(spark, path,
+      ManifestTable.currentVersion(spark, path).get)
+    assert(m.eqdels.map(_.count).sum === 1000L)
+    // the reader globs the entry dir: every key file participates
+    assert(ManifestTable.read(spark, path).count() === 1000L)
+    assert(ManifestTable.read(spark, path)
+      .filter(col("id") % 2 === 0).count() === 0L)
+  }
+
   test("per-rel routing: files appended after the newest entry keep the plain plan; answers unchanged") {
     val path = mkTable("route", n = 1000)
     withEq(spark) {
