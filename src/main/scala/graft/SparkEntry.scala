@@ -1856,6 +1856,42 @@ object SparkEntry {
                |FROM graft_table_changes('$dir', 0, 5)""".stripMargin)
     }),
 
+    // ---- change feed ACROSS an equality-delete commit (opt-in
+    // `spark.graft.cdf.eqdels=compute`): an eq-merge names its deleted
+    // rows by KEY, not by file, so the feed computes the true row-level
+    // delta — visible pre-entry rows matching the key set — instead of
+    // the default loud refusal. The typed four-type refinement still
+    // applies (upserts pair, tombstones read as deletes, fresh keys as
+    // inserts); the oracle re-derives all four classes from scratch ----
+    "q_cdf_eqdel" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cdfeq").toString + "/t"
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      graft.sources.ManifestTable.overwrite(s, dir,
+        orders.repartitionByRange(8, col("o_orderkey")), statsCols = Seq("o_orderkey"))
+      val batch = orders.filter(col("o_orderkey") % 7 === 0 &&
+          col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 1.0).as("o_totalprice"),
+          lit("M").as("o_orderstatus"))
+        .unionAll(orders.filter(col("o_orderkey") % 997 === 0)
+          .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+            lit(1.0).as("o_totalprice"), lit("N").as("o_orderstatus")))
+      val dels = orders.filter(col("o_orderkey") % 13 === 0)
+        .select("o_orderkey")
+      s.conf.set(graft.sources.ManifestTable.DmlModeKey, "eq")
+      try graft.sources.ManifestTable.merge(s, dir, batch,
+        keys = Seq("o_orderkey"), deleteKeys = Some(dels))
+      finally s.conf.unset(graft.sources.ManifestTable.DmlModeKey)
+      // default refuses across the entry — the opt-in computes; the
+      // result materializes inside the conf scope (the read is lazy)
+      s.conf.set("spark.graft.cdf.eqdels", "compute")
+      try s.sql(s"""SELECT o_orderkey, o_totalprice, o_orderstatus,
+                   |  _change_type AS change_type
+                   |FROM graft_table_changes('$dir', 1, 2)""".stripMargin)
+        .localCheckpoint(true)
+      finally s.conf.unset("spark.graft.cdf.eqdels")
+    }),
+
     // ---- write-audit-publish: a staged batch must be INVISIBLE to the
     // table until published (the require gates assert that mid-fixture —
     // any staging leak fails the query loudly), auditable as the exact
@@ -4742,6 +4778,24 @@ object SparkEntry {
 
     // the TVF face must land on the identical typed CDC answer
     "q_sql_changes" -> ChangeFeedOracle,
+
+    // the eq-delete commit's row-level delta re-derived class by class:
+    // matched upserts emit their typed pair, key tombstones their old
+    // rows as deletes, fresh keys as inserts — exactly what mor/COW
+    // ingestion of the same batch would have emitted
+    "q_cdf_eqdel" ->
+      """SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice,
+        |  'M' AS o_orderstatus, 'update_postimage' AS change_type
+        |FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderstatus, 'update_preimage'
+        |FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderstatus, 'delete'
+        |FROM orders WHERE o_orderkey % 13 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 30000000, 1.0, 'N', 'insert'
+        |FROM orders WHERE o_orderkey % 997 = 0""".stripMargin,
 
     // the replica's final state re-derived: the two %4 buckets, minus
     // the sub-10000 deletes, with the +1 repricing applied AFTER the cut

@@ -856,8 +856,10 @@ object ManifestTable {
       s"$face across an equality-delete commit of $path " +
         s"(${added.map(_.name).mkString(", ")}) — an eq-delete changes rows " +
         "in every older file without naming them, so file-level change " +
-        "capture cannot bound the delta; run OPTIMIZE ... PURGE first, or " +
-        "use spark.graft.dml.mode=mor for CDF-consumed tables")
+        "capture cannot bound the delta; run OPTIMIZE ... PURGE first, " +
+        "use spark.graft.dml.mode=mor for CDF-consumed tables, or (batch " +
+        "readChanges only) set spark.graft.cdf.eqdels=compute to pay a " +
+        "keyed scan per crossing step")
   }
 
   /** The other half of file-level change data capture: rows in the data
@@ -940,20 +942,35 @@ object ManifestTable {
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
     }
+    // `spark.graft.cdf.eqdels=compute` (opt-in): a step that ADDED an
+    // equality-delete entry computes its true row-level deletes — the
+    // visible rows of files sequenced before the entry that match its
+    // keys — instead of refusing. The cost is a keyed scan of the
+    // step's at-risk files (bounded by the follower's catch-up window,
+    // not by the range), which is why the loud refusal stays the
+    // default: a polling follower should not silently pay a table scan
+    // per upstream merge. Iceberg's CDC scans make the same trade.
+    val computeEq = spark.conf.getOption("spark.graft.cdf.eqdels")
+      .exists(_.trim.equalsIgnoreCase("compute"))
     val steps = (fromVersion until toVersion).map { v =>
       val to = readManifest(spark, path, v + 1)
       // version 0 is "before the table existed": every row of version 1
       // is an insert (the from-side is the empty table)
       val from = if (v == 0L) to.copy(files = Nil, dvs = Map.empty)
                  else readManifest(spark, path, v)
-      requireNoNewEqdels(path, from, to, "readChanges")
+      if (!computeEq) requireNoNewEqdels(path, from, to, "readChanges")
+      val eqGone: Option[DataFrame] =
+        if (!computeEq) None
+        else eqdelDeletedRows(spark, path, from, to)
       val freshRels = changedFiles(from, to)
       val goneRels = changedFiles(to, from)
       val fresh = readRels(spark, path, to, freshRels)
-      val gone = align(readRels(spark, path, from, goneRels), logicalSchema(to))
+      val gone0 = align(readRels(spark, path, from, goneRels), logicalSchema(to))
+      val gone = eqGone.map(d => gone0.unionByName(align(d, logicalSchema(to))))
+        .getOrElse(gone0)
       val (ins, del) =
-        if (goneRels.isEmpty) (fresh, fresh.limit(0))
-        else if (freshRels.isEmpty) (gone.limit(0), gone)
+        if (goneRels.isEmpty && eqGone.isEmpty) (fresh, fresh.limit(0))
+        else if (freshRels.isEmpty && eqGone.isEmpty) (gone.limit(0), gone)
         else (fresh.exceptAll(gone), gone.exceptAll(fresh))
       typeChanges(alignToTarget(ins, to), alignToTarget(del, to),
         to.op, to.opCols)
@@ -2010,6 +2027,48 @@ object ManifestTable {
         StructField("__fseq", LongType, nullable = false)))))
     df.join(lookup, df("__dv_fname") === lookup("__fs_name"))
       .drop("__fs_name")
+  }
+
+  /** The rows a commit step's NEW equality-delete entries removed: for
+    * each entry in `to` but not `from`, the rows VISIBLE under `from`
+    * (DVs and earlier entries applied) in files sequenced before it that
+    * match its keys — the per-step row-level delete set the change feed
+    * emits under `spark.graft.cdf.eqdels=compute`. One semi-join per
+    * key-column set (survivors anti-join forward so a row never emits
+    * twice across sets); the same commit's upsert batch is fresh-side by
+    * sequencing and never scanned here. Output is `from`'s logical
+    * schema; None when the step added no entry. Scoping reads `to`'s
+    * fseq map — `from` predates the entry and may carry no sequences at
+    * all (a format-1 manifest sheds them). */
+  private def eqdelDeletedRows(spark: SparkSession, path: String,
+                               from: Manifest,
+                               to: Manifest): Option[DataFrame] = {
+    val before = from.eqdels.map(_.name).toSet
+    val added = to.eqdels.filterNot(e => before.contains(e.name))
+    if (added.isEmpty) return None
+    val fromFiles = from.files.toSet
+    val atRisk = to.files.filter(r => fromFiles.contains(r) &&
+      added.exists(e => to.fseq.getOrElse(r, 0L) < e.seq))
+    val p2l = from.colmap.map(_.swap)
+    def lg(ph: String) = p2l.getOrElse(ph, ph)
+    var survivors = attachFseq(spark, to,
+      liveRowsWithPos(spark, path, from, atRisk), atRisk)
+    val parts = added.groupBy(_.keyCols).toSeq
+      .sortBy(_._1.mkString(",")).map { case (kc, entries) =>
+        val keys0 = entries.map(e => eqdelKeys(spark, path, to, e)
+            .withColumn("__eq_seq", lit(e.seq)))
+          .reduce(_ unionAll _)
+        val totalKeys = entries.map(_.count).sum
+        val keys = if (totalKeys <= DvBroadcastRows) broadcast(keys0) else keys0
+        def cond(d: DataFrame) = kc.map(k =>
+          d(lg(k)) <=> keys("__eqk_" + k)).reduce(_ && _) &&
+          keys("__eq_seq") > d("__fseq")
+        val d = survivors.join(keys, cond(survivors), "left_semi")
+        survivors = survivors.join(keys, cond(survivors), "left_anti")
+        d
+      }
+    Some(parts.reduce(_ unionByName _)
+      .select(logicalSchema(from).fieldNames.toSeq.map(n => col(s"`$n`")): _*))
   }
 
   /** One entry's key sidecar, columns renamed `__eqk_<physical key>`. */

@@ -121,6 +121,57 @@ class ChangeFeedSpec extends SparkSpec {
     finally spark.sql("DROP TABLE IF EXISTS cdf_sql_t"): Unit
   }
 
+  test("cdf.eqdels=compute: row deltas across an eq-delete commit equal mor ingestion; follower replica converges") {
+    def mk(tag: String): String = {
+      val p = Files.createTempDirectory(s"cdf_eq$tag").toString + "/t"
+      ManifestTable.overwrite(spark, p,
+        Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+          .coalesce(1), statsCols = Seq("id"))
+      p
+    }
+    val eq = mk("e"); val mor = mk("m")
+    val batch = Seq((2L, "B"), (9L, "i")).toDF("id", "v") // upsert 2, insert 9
+    val dels = Seq(3L).toDF("id")
+    spark.conf.set(ManifestTable.DmlModeKey, "eq")
+    try ManifestTable.merge(spark, eq, batch, keys = Seq("id"),
+      deleteKeys = Some(dels))
+    finally spark.conf.unset(ManifestTable.DmlModeKey)
+    spark.conf.set(ManifestTable.DmlModeKey, "mor")
+    try ManifestTable.merge(spark, mor, batch, keys = Seq("id"),
+      deleteKeys = Some(dels))
+    finally spark.conf.unset(ManifestTable.DmlModeKey)
+    // the default stays the loud refusal
+    val e = intercept[Exception](ManifestTable.readChanges(spark, eq, 1, 2).count())
+    assert(e.getMessage.contains("equality-delete"))
+    spark.conf.set("spark.graft.cdf.eqdels", "compute")
+    try {
+      assert(changes(eq, 1, 2) === changes(mor, 1, 2),
+        "the same upsert batch must emit the identical typed row delta " +
+          "under eq and mor ingestion")
+      assert(changes(eq, 1, 2) === Seq(
+        (2L, "b", "update_preimage", 2L), (2L, "B", "update_postimage", 2L),
+        (3L, "c", "delete", 2L), (9L, "i", "insert", 2L))
+        .sortBy(r => (r._4, r._3, r._1)))
+      // follower replica: apply the windowed change feed to an in-memory
+      // replica — the final state must equal the table
+      var replica = Map.empty[Long, String]
+      graft.streaming.Streaming.followChanges(spark, eq,
+        Files.createTempDirectory("cdf_eqf").toString) { (df, _, _) =>
+        df.select(col("id"), col("v"), col("_change_type"),
+            col("_commit_version"))
+          .as[(Long, String, String, Long)].collect()
+          .sortBy(r => (r._4, r._3 == "insert" || r._3 == "update_postimage"))
+          .foreach { case (id, v, t, _) =>
+            if (t == "insert" || t == "update_postimage") replica += (id -> v)
+            else replica -= id
+          }
+      }
+      assert(replica === ManifestTable.read(spark, eq)
+        .as[(Long, String)].collect().toMap,
+        "a follower over an eq-ingested table converges to the table")
+    } finally spark.conf.unset("spark.graft.cdf.eqdels")
+  }
+
   test("readChanges across a rename commit aligns by PHYSICAL identity, not name") {
     val path = Files.createTempDirectory("cdf_rename").toString + "/t"
     ManifestTable.overwrite(spark, path,
