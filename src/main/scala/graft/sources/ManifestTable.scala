@@ -2717,11 +2717,14 @@ object ManifestTable {
     // and an eq-merge's own batch, are therefore exempt from every
     // already-recorded eqdel, which IS the delete-then-insert ordering
     val carryFiles: Set[String] = carry.map(_.files.toSet).getOrElse(Set.empty)
+    // zero entries shed (absent reads as 0 — identical); NEGATIVE values
+    // persist: a clone maps carried source sequences onto (…, -1, 0, 1]
+    // so its own future commits (≥ 2) sequence above every carried entry
     val effectiveFseq: Map[String, Long] = files.map { rel =>
       rel -> fseqExplicit.getOrElse(rel,
         carry.flatMap(_.fseq.get(rel)).getOrElse(
           if (carryFiles.contains(rel)) 0L else expected))
-    }.filter(_._2 > 0L).toMap
+    }.filter(_._2 != 0L).toMap
     // an eqdel entry RETIRES when no remaining file is sequenced before it
     // (every affected file was rewritten/dropped) — the manifest sheds the
     // line and, once none remain, the format stamp returns to 1. A folded
@@ -3078,11 +3081,6 @@ object ManifestTable {
     val m = readManifest(spark, source, sv)
     require(currentVersion(spark, target).isEmpty,
       s"CLONE: a graft table already exists at $target")
-    require(m.eqdels.isEmpty,
-      s"CLONE: version $sv of $source carries equality deletes — their " +
-        "sequences live in the source's version domain and cannot re-base " +
-        "onto a fresh table's; run OPTIMIZE ... PURGE on the source first " +
-        "(the rewrite is scoped to the affected files)")
     val srcBase = fs(spark, source).makeQualified(dataDir(source)).toString
     def ext(rel: String) = if (isExt(rel)) rel else extRef(srcBase, rel)
     // deletion vectors CARRY: the referenced sidecars are deleted-rows-
@@ -3093,6 +3091,28 @@ object ManifestTable {
     // still clones in one metadata commit plus its position sidecars.
     copyDvSidecars(spark, source, target, m.dvs.values.map(_._1).toSet)
     val dvs2 = m.dvs.map { case (rel, e) => ext(rel) -> e }
+    // EQUALITY DELETES carry too, SEQUENCE-RENUMBERED into the clone's
+    // version domain: sequences only matter relatively (entry seq vs file
+    // fseq, strict >), so the order-preserving map of the source's
+    // distinct sequence values onto (…, -1, 0, 1] — largest value lands
+    // AT the clone commit (1) — keeps every carried comparison verbatim
+    // while every FUTURE clone commit (version ≥ 2) sequences above all
+    // carried entries, exactly the exemption new files need. Key
+    // sidecars copy into the clone's own _eqd/ (keys-sized); folded
+    // matched counts drop (commit clears them under explicit re-keying —
+    // a refold restores them).
+    val (eqdels2, fseq2) =
+      if (m.eqdels.isEmpty) (Nil, Map.empty[String, Long])
+      else {
+        copyEqdSidecars(spark, source, target, m.eqdels.map(_.name).toSet)
+        val domain = (m.files.map(rel => m.fseq.getOrElse(rel, 0L)) ++
+          m.eqdels.map(_.seq) :+ 0L).distinct.sorted
+        val remap: Map[Long, Long] = domain.zipWithIndex.map {
+          case (s, i) => s -> (i - (domain.length - 1) + 1L) }.toMap
+        (m.eqdels.map(e => e.copy(seq = remap(e.seq))),
+          m.files.map(rel =>
+            ext(rel) -> remap(m.fseq.getOrElse(rel, 0L))).toMap)
+      }
     // stats travel with the clone (sidecar included — statsFor collects
     // it, file-count-bounded; commit re-spills past the threshold)
     val stats = statsFor(spark, source, m).map { case (rel, st) =>
@@ -3101,7 +3121,26 @@ object ManifestTable {
       m.files.map(ext), m.statsCols, stats, m.bloomCols, dvs = dvs2,
       constraints = m.constraints, transforms = m.transforms,
       colmap = m.colmap, retired = m.retired, op = Some("clone"),
-      props = m.props)
+      props = m.props, eqdels = eqdels2, fseqExplicit = fseq2)
+  }
+
+  /** Copy the named equality-delete key sidecar directories from
+    * `source`'s `_eqd/` into `target`'s — same immutability/skip
+    * discipline as [[copyDvSidecars]]. Cost: accumulated-keys-sized. */
+  private def copyEqdSidecars(spark: SparkSession, source: String,
+                              target: String, names: Set[String]): Unit = {
+    if (names.isEmpty) return
+    val sf = fs(spark, source); val tf = fs(spark, target)
+    val conf = spark.sparkContext.hadoopConfiguration
+    names.toSeq.sorted.foreach { n =>
+      val dst = new Path(eqdDir(target), n)
+      if (!tf.exists(dst)) {
+        tf.mkdirs(dst.getParent)
+        require(org.apache.hadoop.fs.FileUtil.copy(
+          sf, new Path(eqdDir(source), n), tf, dst, false, conf),
+          s"CLONE: could not copy eq-delete sidecar $n from $source")
+      }
+    }
   }
 
   /** Copy the named DV sidecar directories from `source`'s `_dv/` into

@@ -181,6 +181,54 @@ class CloneSpec extends SparkSpec {
     assert(ManifestTable.read(spark, path).count() === 97L)
   }
 
+  test("SHALLOW CLONE of a live-eqdel table: sequences renumber, answers identical, zero materialization") {
+    val r = root("eqclone")
+    val src = s"$r/src"
+    ManifestTable.overwrite(spark, src, spark.range(100)
+      .select(col("id"), concat(lit("v"), col("id")).as("v")).coalesce(1),
+      statsCols = Seq("id"))
+    spark.conf.set(ManifestTable.DmlModeKey, "eq")
+    try {
+      // two entries at different sequences, with a delete-then-reborn key
+      // whose survival depends on relative ORDER — the renumbering must
+      // preserve every comparison
+      ManifestTable.merge(spark, src, spark.range(0)
+        .select(col("id"), lit("x").as("v")),
+        keys = Seq("id"), deleteKeys = Some(Seq(5L, 6L).toDF("id")))
+      ManifestTable.merge(spark, src, Seq((5L, "reborn")).toDF("id", "v"),
+        keys = Seq("id"))
+    } finally spark.conf.unset(ManifestTable.DmlModeKey)
+    val want = ManifestTable.read(spark, src).orderBy("id").collect().toSeq
+    val tgt = s"$r/tgt"
+    ManifestTable.shallowClone(spark, src, tgt)
+    assert(ManifestTable.read(spark, tgt).orderBy("id").collect().toSeq
+      === want, "the clone answers exactly as the source")
+    // zero-copy: no data bytes landed in the clone
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tgt, "data")) ||
+      { var n = 0
+        java.nio.file.Files.walk(java.nio.file.Paths.get(tgt, "data"))
+          .forEach(p => if (p.toString.endsWith(".parquet")) n += 1)
+        n == 0 })
+    // the key sidecars are the clone's OWN (no reach into the source)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(tgt, "_eqd")))
+    // the clone lives its own life: an append carrying a carried-deleted
+    // key is NOT deleted (new files sequence above every carried entry) …
+    ManifestTable.append(spark, tgt, Seq((6L, "back")).toDF("id", "v"))
+    assert(ManifestTable.read(spark, tgt).filter(col("id") === 6L)
+      .select("v").as[String].collect().toSeq === Seq("back"))
+    // … a fresh eq-merge linearizes after the carried ones …
+    spark.conf.set(ManifestTable.DmlModeKey, "eq")
+    try ManifestTable.merge(spark, tgt, spark.range(0)
+      .select(col("id"), lit("x").as("v")),
+      keys = Seq("id"), deleteKeys = Some(Seq(5L).toDF("id")))
+    finally spark.conf.unset(ManifestTable.DmlModeKey)
+    assert(ManifestTable.read(spark, tgt).filter(col("id") === 5L).count() === 0L)
+    // … PURGE materializes the clone clean; the source is untouched
+    ManifestTable.rewriteDeletes(spark, tgt)
+    assert(ManifestTable.fastCount(spark, tgt) === Some(99L)) // 100 -5 -6 +back(6) -5
+    assert(ManifestTable.read(spark, src).orderBy("id").collect().toSeq === want)
+  }
+
   test("CHERRY-PICK replays an append-only branch onto MOVED main; conflicts refuse untouched") {
     val r = root("cp")
     val path = s"$r/t"

@@ -168,7 +168,7 @@ class EqualityDeleteSpec extends SparkSpec {
       !java.nio.file.Files.list(eqRoot).findFirst().isPresent)
   }
 
-  test("loud refusals: CDF, streaming follower, CLONE, FAST FORWARD; format gate") {
+  test("loud refusals: CDF and file-delta faces, FAST FORWARD; format gate") {
     val path = mkTable("refuse", n = 100)
     val vBefore = ManifestTable.currentVersion(spark, path).get
     withEq(spark) {
@@ -182,11 +182,12 @@ class EqualityDeleteSpec extends SparkSpec {
     val delta = intercept[Exception](
       ManifestTable.readVersionDelta(spark, path, vBefore, vAfter).count())
     assert(delta.getMessage.contains("equality-delete"))
-    val clone = intercept[Exception](ManifestTable.shallowClone(spark, path,
-      Files.createTempDirectory("eqd_c").toString + "/t"))
-    assert(clone.getMessage.contains("equality deletes"))
-    val br = intercept[Exception](ManifestTable.createBranch(spark, path, "b"))
-    assert(br.getMessage.contains("equality deletes"))
+    // a branch of a live-eqdel table forks fine (the clone renumbers) but
+    // cannot FAST FORWARD back while its entries live
+    ManifestTable.createBranch(spark, path, "b")
+    val ff = intercept[Exception](ManifestTable.fastForward(spark, path, "b"))
+    assert(ff.getMessage.contains("equality deletes"))
+    ManifestTable.dropBranch(spark, path, "b")
     // a format-1 reader must refuse the format-2 manifest rather than
     // resurrect rows: simulate by checking the stamp is really 2 (the
     // gate itself is spec'd in TableMetadataCarrySpec / format tests)
