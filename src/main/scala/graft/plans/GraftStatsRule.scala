@@ -47,11 +47,12 @@ object GraftStatsRule extends Rule[LogicalPlan] {
 
   /** Column min/max for CBO filter-selectivity estimation, folded from
     * the manifest's zone maps (driver-cheap inline manifests only, same
-    * discipline as the row count). Restricted to numeric columns, where
-    * `toString` round-trips through `CatalogColumnStat`'s external form
-    * exactly; strings/temporals are pruned by zone maps at scan time
-    * anyway, so the optimizer-estimate upside doesn't justify a lossy
-    * encoding. */
+    * discipline as the row count). Numerics, decimals and temporals —
+    * each round-trips `CatalogColumnStat`'s external string form exactly
+    * (`java.sql.Date`/`Timestamp` print the form `fromExternalString`
+    * parses, and time IS the skew column of a log lake, so temporal
+    * histograms matter most). Strings stay excluded: zone maps prune
+    * them at scan time anyway, and the external encoding is lossy. */
   private def columnStats(r: GraftRelation, lr: LogicalRelation)
       : Map[String, org.apache.spark.sql.catalyst.catalog.CatalogColumnStat] = {
     import org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
@@ -64,6 +65,7 @@ object GraftStatsRule extends Rule[LogicalPlan] {
         case ByteType | ShortType | IntegerType | LongType => true
         case FloatType | DoubleType => true
         case _: DecimalType => true
+        case DateType | TimestampType => true
         case _ => false
       }).flatMap { _ =>
         // NDV from the merged per-file KMV sketches: the estimate that
@@ -98,7 +100,17 @@ object GraftStatsRule extends Rule[LogicalPlan] {
       : Option[org.apache.spark.sql.catalyst.plans.logical.Histogram] = {
     import org.apache.spark.sql.catalyst.plans.logical.{Histogram, HistogramBin}
     if (!conf.histogramEnabled) return None
+    // temporals map onto Spark's INTERNAL epoch doubles (days / micros) —
+    // the exact axis FilterEstimation converts temporal literals to, so
+    // the bins line up with the predicate being estimated
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
     def toD(a: Any): Option[Double] = a match {
+      case t: java.sql.Timestamp =>
+        Some(DateTimeUtils.fromJavaTimestamp(t).toDouble)
+      case t: java.time.Instant =>
+        Some(DateTimeUtils.instantToMicros(t).toDouble)
+      case d: java.sql.Date => Some(DateTimeUtils.fromJavaDate(d).toDouble)
+      case d: java.time.LocalDate => Some(d.toEpochDay.toDouble)
       case n: java.lang.Number => Some(n.doubleValue())
       case d: scala.math.BigDecimal => Some(d.toDouble)
       case _ => None

@@ -360,4 +360,68 @@ class GraftSourceSpec extends SparkSpec {
       s.sql("DROP TABLE IF EXISTS hist_t"): Unit
     }
   }
+
+  test("temporal and decimal histograms reach CBO: time-skewed filter estimate sees the hot hour") {
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_thist_wh").toString)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    val root = Files.createTempDirectory("graft_thist").toString
+    // time IS the skew column of a log lake: 90% of events land inside
+    // one hot hour, the tail spreads over a year — range-clustered on ts
+    // so the zone maps capture it; a date and a decimal column ride along
+    ManifestTable.overwrite(s, s"$root/t",
+      s.range(100000).select(col("id"),
+        when(col("id") % 10 < 9,
+          expr("timestamp'2025-06-01 12:00:00' + make_interval(0,0,0,0,0,0, id % 3600)"))
+          .otherwise(expr("timestamp'2025-06-01 13:00:00' + make_interval(0,0,0,0,0,0, (id % 9990) * 3153)"))
+          .as("ts"),
+        expr("date'2025-01-01' + CAST(id % 300 AS int)").as("d"),
+        expr("CAST(id % 100 AS DECIMAL(10,2)) / 4").as("amt"))
+        .repartitionByRange(20, col("ts")),
+      statsCols = Seq("ts", "d", "amt"))
+    s.sql("DROP TABLE IF EXISTS thist_t")
+    s.sql(s"CREATE TABLE thist_t USING graft OPTIONS (path '$root/t')")
+    def estimate(): BigInt =
+      s.sql("SELECT * FROM thist_t WHERE ts < timestamp'2025-06-01 13:00:01'")
+        .queryExecution.optimizedPlan.stats.rowCount.getOrElse(BigInt(-1))
+    try {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.statistics.histogram.enabled", "false")
+      val uniform = estimate()
+      s.conf.set("spark.sql.statistics.histogram.enabled", "true")
+      val hist = estimate()
+      assert(uniform > 0 && hist > 0, s"estimates must exist: $uniform, $hist")
+      // min/max-uniform sees the hot hour as ~1/8760 of the year; the
+      // histogram's equal-mass bins concentrate there
+      assert(hist > uniform * 50,
+        s"temporal histogram ($hist) must see the hot hour uniform ($uniform) cannot")
+      assert(hist > BigInt(45000) && hist <= BigInt(100000),
+        s"estimate must land near the true 90000 rows, got $hist")
+      // every declared stats column — timestamp, date, decimal — carries
+      // an attached histogram in the plan's column stats
+      val attr = s.sql("SELECT * FROM thist_t").queryExecution.optimizedPlan
+        .collect { case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr }
+        .flatMap(_.stats.attributeStats.toSeq)
+      Seq("ts", "d", "amt").foreach { c =>
+        val st = attr.find(_._1.name == c).map(_._2)
+        assert(st.exists(_.histogram.isDefined),
+          s"column $c must carry a zone-map histogram: $st")
+        assert(st.exists(s0 => s0.min.isDefined && s0.max.isDefined),
+          s"column $c must carry min/max: $st")
+      }
+    } finally {
+      s.conf.set("spark.sql.cbo.enabled", "false")
+      s.conf.unset("spark.sql.statistics.histogram.enabled")
+      s.sql("DROP TABLE IF EXISTS thist_t"): Unit
+    }
+  }
 }
