@@ -2218,9 +2218,13 @@ object ManifestTable {
     *  - `eq`: EQUALITY DELETES — MERGE writes a key sidecar and appends,
     *    READING NOTHING (O(batch) total; UPDATE still routes MOR — its
     *    SET reads the old row regardless) — the high-frequency streaming
-    *    CDC shape, at the price of a read-side key anti-join, declined
-    *    metadata fast-counts, CDF refusal across the commit, and
-    *    PURGE-before-zero-copy-ops.
+    *    CDC shape. The read-side key anti-join is PER-REL routed (only
+    *    files sequenced before an entry pay it); metadata fast-counts
+    *    decline until [[foldEqdelCounts]]/ANALYZE folds the matched
+    *    totals; CDF across the commit refuses by default
+    *    (`spark.graft.cdf.eqdels=compute` opts into the keyed-scan
+    *    delta); CLONE/branch renumber sequences, FAST FORWARD still
+    *    wants a PURGE first.
     *
     * [[rewriteDeletes]] (OPTIMIZE … PURGE) materializes both sidecar
     * kinds back to clean files on the maintenance window. */
@@ -3975,8 +3979,11 @@ object ManifestTable {
       // advances on every identity append (the replay safety it guards
       // is the fork-watermark check below).
       def defProps(mm: Manifest) = mm.props - IdentityWmProp - BranchBaseProp
+      // matched counts are derived statistics, not content — a
+      // foldEqdelCounts commit on the branch stays a pure append
+      def eqd(mm: Manifest) = mm.eqdels.map(_.copy(matched = None))
       require((prev.files.toSet -- c.files.toSet).isEmpty &&
-          c.dvs == prev.dvs && c.eqdels == prev.eqdels &&
+          c.dvs == prev.dvs && eqd(c) == eqd(prev) &&
           c.schema == prev.schema &&
           c.colmap == prev.colmap && c.partitionCols == prev.partitionCols &&
           c.transforms == prev.transforms &&
@@ -4878,12 +4885,14 @@ object ManifestTable {
     * (keyCols, seq=commit version, count), and every reader anti-joins
     * files SEQUENCED BEFORE the delete against the key set — total write
     * cost O(batch), where even MOR pays a (pruned) key-cut scan per
-    * merge. The trade: reads carry the anti-join until OPTIMIZE … PURGE
-    * materializes, metadata fast-counts decline until
-    * [[foldEqdelCounts]] (or ANALYZE) pays the matched-row count once,
-    * CDF refuses ranges crossing an eq-delete commit, and zero-copy ops
-    * (CLONE / branch / publish) refuse until purged — sequences live in
-    * ONE table's version domain. Rebase is UNCONDITIONAL except definition
+    * merge. The trade: at-risk reads carry the anti-join until
+    * OPTIMIZE … PURGE materializes (post-entry files keep the plain
+    * plan — [[readRels]] routes per rel), metadata fast-counts decline
+    * until [[foldEqdelCounts]] (or ANALYZE) pays the matched-row count
+    * once, CDF across the commit refuses unless
+    * `spark.graft.cdf.eqdels=compute` opts into the keyed-scan delta,
+    * and FAST FORWARD publish refuses until purged (CLONE/branch
+    * renumber sequences into the new domain instead). Rebase is UNCONDITIONAL except definition
     * changes: an eq-merge reads nothing, so appends/rewrites/other
     * merges all commute — the retry re-sequences the entry at the new
     * head, which IS the CDC linearization by commit order. A concurrent
