@@ -488,7 +488,13 @@ class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String,
     val toM = manifestAt(to)
     val fromM = if (from == 0L) toM.copy(files = Nil, dvs = Map.empty)
                 else manifestAt(from)
-    ManifestTable.changeItems(fromM, toM)
+    // `spark.graft.cdf.eqdels=compute` (read at each call — keep it
+    // stable for a running stream, like startingVersion): an
+    // eqdel-adding step becomes one atomic whole-step unit whose slice
+    // computes the key-derived deletes; default keeps the loud refusal
+    ManifestTable.changeItems(fromM, toM,
+      computeEq = spark.conf.getOption("spark.graft.cdf.eqdels")
+        .exists(_.trim.equalsIgnoreCase("compute")))
   }
 
   /** How many change-feed admission units this trigger may take from

@@ -1056,11 +1056,20 @@ object ManifestTable {
     * whole-table rewrite there is one (unsliceable) unit — the diff is
     * inherently global — while pure appends/deletes still slice.
     */
-  private[sources] def changeItems(from: Manifest,
-                                   to: Manifest): Seq[(Seq[String], Seq[String])] = {
-    requireNoNewEqdels("<table>", from, to, "the streaming change feed")
+  private[sources] def changeItems(from: Manifest, to: Manifest,
+      computeEq: Boolean = false): Seq[(Seq[String], Seq[String])] = {
+    if (!computeEq)
+      requireNoNewEqdels("<table>", from, to, "the streaming change feed")
     val fresh = changedFiles(from, to)
     val gone = changedFiles(to, from)
+    // an eqdel-adding step under `spark.graft.cdf.eqdels=compute` is ONE
+    // atomic unit: its key-derived delete set is global to the step (the
+    // keys name rows across every pre-entry file), so no per-directory
+    // slicing is sound — and the unit exists even when the merge carried
+    // no batch (a pure key-tombstone commit still emits its deletes)
+    if (computeEq &&
+        to.eqdels.exists(e => !from.eqdels.exists(_.name == e.name)))
+      return Seq((fresh.sorted, gone.sorted))
     val byDir = (fresh.map(r => (dirOf(r), r, true)) ++
         gone.map(r => (dirOf(r), r, false))).groupBy(_._1)
     byDir.toSeq.sortBy(_._1).flatMap { case (_, entries) =>
@@ -1092,6 +1101,23 @@ object ManifestTable {
         if (df.columns.contains(f.name)) col(s"`${f.name}`").cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
+    // an eqdel-adding step under compute mode arrives as ONE whole-step
+    // unit ([[changeItems]]); its delete set folds into the gone side of
+    // a single global diff — identical to what batch readChanges emits
+    val computeEq = spark.conf.getOption("spark.graft.cdf.eqdels")
+      .exists(_.trim.equalsIgnoreCase("compute"))
+    if (computeEq && items.nonEmpty &&
+        to.eqdels.exists(e => !from.eqdels.exists(_.name == e.name))) {
+      val f = items.flatMap(_._1)
+      val g = items.flatMap(_._2)
+      val eqG = eqdelDeletedRows(spark, path, from, to)
+        .getOrElse(readRels(spark, path, from, Nil))
+      val fresh = align(readRels(spark, path, to, f))
+      val gone = align(readRels(spark, path, from, g)).unionByName(align(eqG))
+      return typeChanges(fresh.exceptAll(gone), gone.exceptAll(fresh),
+        to.op, to.opCols)
+        .withColumn("_commit_version", lit(fromVersion + 1))
+    }
     val pureF = items.collect { case (f, Seq()) => f }.flatten
     val pureG = items.collect { case (Seq(), g) => g }.flatten
     val mixed = items.filter(i => i._1.nonEmpty && i._2.nonEmpty)

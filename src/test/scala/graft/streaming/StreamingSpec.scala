@@ -1044,6 +1044,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("changeFeed stream across an eq-delete commit: refuses by default, computes under cdf.eqdels=compute") {
+    import graft.sources.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("gsrc_cdfeq").toString
+    val table = s"$dir/t"
+    ManifestTable.overwrite(spark, table,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1),
+      statsCols = Seq("id"))
+    // the eq-merge: upsert 2, tombstone 3, insert 9 — one commit
+    spark.conf.set(ManifestTable.DmlModeKey, "eq")
+    try ManifestTable.merge(spark, table, Seq((2L, "B"), (9L, "i")).toDF("id", "v"),
+      keys = Seq("id"), deleteKeys = Some(Seq(3L).toDF("id")))
+    finally spark.conf.unset(ManifestTable.DmlModeKey)
+    // default: the stream refuses loudly at the crossing step
+    val q0 = spark.readStream.format("graft").option("path", table)
+      .option("changeFeed", "true").option("startingVersion", "1").load()
+      .writeStream.format("memory").queryName("gsrc_cdfeq_refuse")
+      .option("checkpointLocation", s"$dir/ckpt0")
+      .outputMode("append").start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q0.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("equality-delete")),
+        s"expected the eqdel refusal, got: ${e.getMessage.take(300)}")
+    } finally if (q0.isActive) q0.stop()
+    // compute mode: the crossing step arrives as one atomic batch with
+    // the key-derived deletes, typed like the batch feed
+    spark.conf.set("spark.graft.cdf.eqdels", "compute")
+    try {
+      val q = spark.readStream.format("graft").option("path", table)
+        .option("changeFeed", "true").option("startingVersion", "1").load()
+        .writeStream.format("memory").queryName("gsrc_cdfeq_out")
+        .option("checkpointLocation", s"$dir/ckpt1")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        def got() = spark.table("gsrc_cdfeq_out")
+          .select("id", "v", "_change_type", "_commit_version")
+          .as[(Long, String, String, Long)].collect()
+          .sortBy(r => (r._4, r._3, r._1)).toSeq
+        assert(got() === Seq(
+          (3L, "c", "delete", 2L), (9L, "i", "insert", 2L),
+          (2L, "B", "update_postimage", 2L), (2L, "b", "update_preimage", 2L)))
+        // a pure key-tombstone commit (no batch) still emits its deletes
+        spark.conf.set(ManifestTable.DmlModeKey, "eq")
+        try ManifestTable.merge(spark, table,
+          spark.range(0).select(col("id"), lit("x").as("v")),
+          keys = Seq("id"), deleteKeys = Some(Seq(1L).toDF("id")))
+        finally spark.conf.unset(ManifestTable.DmlModeKey)
+        q.processAllAvailable()
+        assert(got().last === ((1L, "a", "delete", 3L)),
+          s"a batchless tombstone commit must emit its delete, got ${got()}")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.graft.cdf.eqdels")
+  }
+
   test("a mid-stream rename fails the query loudly instead of re-keying columns") {
     import graft.sources.ManifestTable
     val dir = java.nio.file.Files.createTempDirectory("gsrc_guard").toString
