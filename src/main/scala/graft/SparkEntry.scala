@@ -1892,6 +1892,37 @@ object SparkEntry {
       finally s.conf.unset("spark.graft.cdf.eqdels")
     }),
 
+    // ---- eqdel-aware fast counts: after an eq-merge the metadata
+    // COUNT(*) declines (a key's row multiplicity is unknown); ANALYZE
+    // folds each entry's exact matched-row count into the manifest and
+    // the metadata answer returns — require-gated inline, then the SQL
+    // count is compared against the oracle's re-derivation ----
+    "q_sql_fold_count" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_foldq").toString + "/t"
+      val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      graft.sources.ManifestTable.overwrite(s, dir,
+        orders.repartitionByRange(8, col("o_orderkey")), statsCols = Seq("o_orderkey"))
+      s.sql("DROP TABLE IF EXISTS q_fold_t")
+      s.sql(s"CREATE TABLE q_fold_t USING graft OPTIONS (path '$dir')")
+      val batch = orders
+        .filter(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 11 =!= 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 1.0).as("o_totalprice"))
+        .unionAll(orders.filter(col("o_orderkey") % 997 === 0)
+          .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+            lit(1.0).as("o_totalprice")))
+      val dels = orders.filter(col("o_orderkey") % 11 === 0).select("o_orderkey")
+      s.conf.set(graft.sources.ManifestTable.DmlModeKey, "eq")
+      try graft.sources.ManifestTable.merge(s, dir, batch,
+        keys = Seq("o_orderkey"), deleteKeys = Some(dels))
+      finally s.conf.unset(graft.sources.ManifestTable.DmlModeKey)
+      require(graft.sources.ManifestTable.fastCount(s, dir).isEmpty,
+        "metadata COUNT must decline while the entry's matched count is unknown")
+      s.sql("ANALYZE TABLE q_fold_t COMPUTE STATISTICS")
+      require(graft.sources.ManifestTable.fastCount(s, dir).isDefined,
+        "ANALYZE must fold the matched-row counts")
+      s.sql("SELECT count(*) AS n_rows FROM q_fold_t")
+    }),
+
     // ---- write-audit-publish: a staged batch must be INVISIBLE to the
     // table until published (the require gates assert that mid-fixture —
     // any staging leak fails the query loudly), auditable as the exact
@@ -4778,6 +4809,13 @@ object SparkEntry {
 
     // the TVF face must land on the identical typed CDC answer
     "q_sql_changes" -> ChangeFeedOracle,
+
+    // the post-merge row count re-derived: survivors of the key
+    // tombstones plus the brand-new keys (upserts replace 1:1)
+    "q_sql_fold_count" ->
+      """SELECT (SELECT count(*) FROM orders WHERE o_orderkey % 11 <> 0)
+        |     + (SELECT count(*) FROM orders WHERE o_orderkey % 997 = 0)
+        |       AS n_rows""".stripMargin,
 
     // the eq-delete commit's row-level delta re-derived class by class:
     // matched upserts emit their typed pair, key tombstones their old

@@ -3885,10 +3885,6 @@ object ManifestTable {
       s"FAST FORWARD: $path advanced since branch '$name' forked " +
         s"(version $base -> $mv) — a fast-forward must be the ONLY writer " +
         "since the fork; re-branch from the current version and replay")
-    require(bm.eqdels.isEmpty,
-      s"FAST FORWARD: branch '$name' carries equality deletes — their " +
-        "sequences live in the branch's version domain; run OPTIMIZE ... " +
-        "PURGE on the branch first (scoped to the affected files)")
     val f = fs(spark, path)
     val mainBase = f.makeQualified(dataDir(path)).toString
     val stats = statsFor(spark, bp, bm)
@@ -3930,18 +3926,54 @@ object ManifestTable {
         movedPairs += ((src, dst))
       }
     }
+    // EQUALITY DELETES publish with the branch, SEQUENCE-RENUMBERED into
+    // main's version domain (the clone mapping run in reverse): the
+    // branch's distinct sequence values map order-preservingly onto
+    // (…, mv, mv+1] — largest lands AT the publish commit — so every
+    // carried entry-vs-file comparison holds verbatim and main's future
+    // commits sequence above them all. Branch-own key sidecars MOVE into
+    // main's _eqd/ (one metadata rename each, undone on a lost race);
+    // fork-inherited ones already exist under main's _eqd (same names —
+    // clone copies keep them) and skip. Folded matched counts drop
+    // (commit clears them under explicit re-keying; a refold restores).
+    val (newEqdels, newFseq) =
+      if (bm.eqdels.isEmpty) (Nil, Map.empty[String, Long])
+      else {
+        val domain = (bm.files.map(rel => bm.fseq.getOrElse(rel, 0L)) ++
+          bm.eqdels.map(_.seq) :+ 0L).distinct.sorted
+        val remap: Map[Long, Long] = domain.zipWithIndex.map {
+          case (s, i) => s -> (mv + 1 + i - (domain.length - 1)) }.toMap
+        bm.eqdels.map(_.name).toSet[String].toSeq.sorted.foreach { n =>
+          val src = new Path(eqdDir(bp), n)
+          val dst = new Path(eqdDir(path), n)
+          if (!f.exists(dst)) {
+            f.mkdirs(dst.getParent)
+            require(f.rename(src, dst),
+              s"FAST FORWARD: could not move eq-delete sidecar $n")
+            movedPairs += ((src, dst))
+          }
+        }
+        (bm.eqdels.map(e => e.copy(seq = remap(e.seq))),
+          bm.files.zip(newFiles).map { case (o, n) =>
+            n -> remap(bm.fseq.getOrElse(o, 0L)) }.toMap)
+      }
     // carry = main's manifest: sink txn watermarks and the COPY ledger
     // survive the publish; the branch's definition (schema, partitioning,
-    // constraints, properties) is the new truth
+    // constraints, properties) is the new truth. Main's own eqdel entries
+    // do NOT carry — the branch inherited them at fork (same names, now
+    // remapped), and their old seqs would compare wrongly against the
+    // re-keyed file sequences.
     val mm = readManifest(spark, path, mv)
     val v =
       try commit(spark, path, mv + 1, bm.schema, bm.partitionCols,
         newFiles, bm.statsCols, newStats, bm.bloomCols,
-        carry = Some(mm.copy(files = Nil, stats = Map.empty, dvs = Map.empty)),
+        carry = Some(mm.copy(files = Nil, stats = Map.empty, dvs = Map.empty,
+          eqdels = Nil)),
         dvs = newDvs,
         constraints = bm.constraints, transforms = bm.transforms,
         colmap = bm.colmap, retired = bm.retired,
-        props = bm.props - BranchBaseProp)
+        props = bm.props - BranchBaseProp,
+        eqdels = newEqdels, fseqExplicit = newFseq)
       catch {
         // a writer slipped in between the base check and the commit:
         // UNDO the moves (metadata renames) so the branch stays intact

@@ -168,7 +168,7 @@ class EqualityDeleteSpec extends SparkSpec {
       !java.nio.file.Files.list(eqRoot).findFirst().isPresent)
   }
 
-  test("loud refusals: CDF and file-delta faces, FAST FORWARD; format gate") {
+  test("loud refusals: CDF and file-delta faces; format gate") {
     val path = mkTable("refuse", n = 100)
     val vBefore = ManifestTable.currentVersion(spark, path).get
     withEq(spark) {
@@ -182,20 +182,48 @@ class EqualityDeleteSpec extends SparkSpec {
     val delta = intercept[Exception](
       ManifestTable.readVersionDelta(spark, path, vBefore, vAfter).count())
     assert(delta.getMessage.contains("equality-delete"))
-    // a branch of a live-eqdel table forks fine (the clone renumbers) but
-    // cannot FAST FORWARD back while its entries live
-    ManifestTable.createBranch(spark, path, "b")
-    val ff = intercept[Exception](ManifestTable.fastForward(spark, path, "b"))
-    assert(ff.getMessage.contains("equality deletes"))
-    ManifestTable.dropBranch(spark, path, "b")
     // a format-1 reader must refuse the format-2 manifest rather than
     // resurrect rows: simulate by checking the stamp is really 2 (the
     // gate itself is spec'd in TableMetadataCarrySpec / format tests)
     assert(manifestText(path, vAfter).contains("format=2"))
-    // ... and PURGE lifts every refusal
+    // ... and PURGE retires the debt everywhere
     ManifestTable.rewriteDeletes(spark, path)
     ManifestTable.shallowClone(spark, path,
       Files.createTempDirectory("eqd_c2").toString + "/t")
+  }
+
+  test("FAST FORWARD publishes a live-eqdel branch: sequences renumber into main's domain") {
+    val path = mkTable("ffeq", n = 100) // ids 0..99
+    ManifestTable.createBranch(spark, path, "exp")
+    val bp = ManifestTable.branchPath(path, "exp")
+    withEq(spark) {
+      // order-sensitive history: delete 6, then re-insert it — the
+      // publish must preserve the relative sequencing exactly
+      ManifestTable.merge(spark, bp, Seq((5L, "u5")).toDF("id", "v"),
+        keys = Seq("id"), deleteKeys = Some(Seq(6L).toDF("id")))
+      ManifestTable.merge(spark, bp, Seq((6L, "reborn")).toDF("id", "v"),
+        keys = Seq("id"))
+    }
+    val want = ManifestTable.read(spark, bp).orderBy("id").collect().toSeq
+    val v = ManifestTable.fastForward(spark, path, "exp")
+    assert(ManifestTable.read(spark, path).orderBy("id").collect().toSeq
+      === want, "the published main answers exactly as the branch did")
+    assert(manifestText(path, v).contains("format=2"),
+      "carried entries stay live on main until PURGE")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_eqd")),
+      "branch-own key sidecars moved into main's _eqd")
+    // post-publish appends sequence ABOVE every carried entry: re-adding
+    // keys the branch upserted or deleted must not be eaten
+    ManifestTable.append(spark, path, Seq((5L, "fresh"), (6L, "after"))
+      .toDF("id", "v"))
+    val got = ManifestTable.read(spark, path)
+    assert(got.filter(col("id") === 5L).count() === 2L,
+      "the carried upsert-5 entry must not delete a post-publish append")
+    assert(got.filter(col("id") === 6L).count() === 2L,
+      "the carried delete-6 entry must not delete a post-publish append")
+    // PURGE retires the carried debt on main
+    ManifestTable.rewriteDeletes(spark, path)
+    assert(ManifestTable.fastCount(spark, path) === Some(102L))
   }
 
   test("eq-merge rebase: a racing append commutes and both land") {
