@@ -2249,8 +2249,8 @@ object ManifestTable {
     *    decline until [[foldEqdelCounts]]/ANALYZE folds the matched
     *    totals; CDF across the commit refuses by default
     *    (`spark.graft.cdf.eqdels=compute` opts into the keyed-scan
-    *    delta); CLONE/branch renumber sequences, FAST FORWARD still
-    *    wants a PURGE first.
+    *    delta); CLONE/branch/FAST FORWARD renumber sequences across
+    *    version domains instead of refusing.
     *
     * [[rewriteDeletes]] (OPTIMIZE … PURGE) materializes both sidecar
     * kinds back to clean files on the maintenance window. */
@@ -4947,10 +4947,10 @@ object ManifestTable {
     * OPTIMIZE … PURGE materializes (post-entry files keep the plain
     * plan — [[readRels]] routes per rel), metadata fast-counts decline
     * until [[foldEqdelCounts]] (or ANALYZE) pays the matched-row count
-    * once, CDF across the commit refuses unless
-    * `spark.graft.cdf.eqdels=compute` opts into the keyed-scan delta,
-    * and FAST FORWARD publish refuses until purged (CLONE/branch
-    * renumber sequences into the new domain instead). Rebase is UNCONDITIONAL except definition
+    * once, and CDF across the commit refuses unless
+    * `spark.graft.cdf.eqdels=compute` opts into the keyed-scan delta.
+    * CLONE, branch and FAST FORWARD renumber sequences across version
+    * domains, so the zero-copy lifecycle never demands a PURGE. Rebase is UNCONDITIONAL except definition
     * changes: an eq-merge reads nothing, so appends/rewrites/other
     * merges all commute — the retry re-sequences the entry at the new
     * head, which IS the CDC linearization by commit order. A concurrent

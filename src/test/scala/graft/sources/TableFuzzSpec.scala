@@ -162,9 +162,16 @@ class TableFuzzSpec extends SparkSpec {
               Seq(PartitionTransform("id_b", "bucket", 4, "id")))
             evolved = true
             check(s"$step evolve")
-          case 8 => // PURGE accumulated DVs
-            ManifestTable.rewriteDeletes(spark, path)
-            check(s"$step purge")
+          case 8 => // maintenance: PURGE accumulated debt, or FOLD the
+            // eqdel matched counts (the check() fastCount assertion then
+            // exercises commit-time invalidation across later steps)
+            if (rnd.nextBoolean()) {
+              ManifestTable.rewriteDeletes(spark, path)
+              check(s"$step purge")
+            } else {
+              ManifestTable.foldEqdelCounts(spark, path)
+              check(s"$step fold")
+            }
           case 9 if evolved => // partition-scoped compaction (rows invisible)
             val b = rnd.nextInt(4)
             try ManifestTable.compactWhere(spark, path,
