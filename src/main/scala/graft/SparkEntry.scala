@@ -1865,8 +1865,11 @@ object SparkEntry {
     // inserts); the oracle re-derives all four classes from scratch ----
     "q_cdf_eqdel" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft_cdfeq").toString + "/t"
+      // a third of orders: the fixture's cost is table writes + the keyed
+      // delta scan, and the semantics are scale-free
       val orders = Tables.orders(s, d)
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .filter(col("o_orderkey") % 3 === 0)
       graft.sources.ManifestTable.overwrite(s, dir,
         orders.repartitionByRange(8, col("o_orderkey")), statsCols = Seq("o_orderkey"))
       val batch = orders.filter(col("o_orderkey") % 7 === 0 &&
@@ -4822,18 +4825,19 @@ object SparkEntry {
     // rows as deletes, fresh keys as inserts — exactly what mor/COW
     // ingestion of the same batch would have emitted
     "q_cdf_eqdel" ->
-      """SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice,
+      """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice,
         |  'M' AS o_orderstatus, 'update_postimage' AS change_type
-        |FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+        |FROM o WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
         |UNION ALL
         |SELECT o_orderkey, o_totalprice, o_orderstatus, 'update_preimage'
-        |FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+        |FROM o WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
         |UNION ALL
         |SELECT o_orderkey, o_totalprice, o_orderstatus, 'delete'
-        |FROM orders WHERE o_orderkey % 13 = 0
+        |FROM o WHERE o_orderkey % 13 = 0
         |UNION ALL
         |SELECT o_orderkey + 30000000, 1.0, 'N', 'insert'
-        |FROM orders WHERE o_orderkey % 997 = 0""".stripMargin,
+        |FROM o WHERE o_orderkey % 997 = 0""".stripMargin,
 
     // the replica's final state re-derived: the two %4 buckets, minus
     // the sub-10000 deletes, with the +1 repricing applied AFTER the cut
