@@ -613,6 +613,18 @@ object PlanAudit {
           p.contains("Union") && p.contains("LeftAnti")),
         "one key anti-join, entry-scoped — never fleet-wide" -> (p =>
           "LeftAnti".r.findAllIn(p).length == 1))
+      // the opt-in CDF compute across the same entry: the key-derived
+      // delta is equi-join shaped (broadcast under the DV budget), never
+      // an all-pairs expansion
+      spark.conf.set("spark.graft.cdf.eqdels", "compute")
+      try auditDf("eqdel_cdf_compute",
+        graft.sources.ManifestTable.readChanges(spark, dir, 1L, 2L))(
+        "key-derived deletes are joins, never cartesian" -> (p =>
+          !p.contains("CartesianProduct") &&
+            !p.contains("BroadcastNestedLoopJoin")),
+        "the key side broadcasts under the DV budget" -> (p =>
+          p.contains("BroadcastHashJoin")))
+      finally spark.conf.unset("spark.graft.cdf.eqdels")
     }
     audit("q_write_cluster")(
       "the range predicate reaches the clustered scan" -> (p =>
