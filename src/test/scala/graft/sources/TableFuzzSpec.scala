@@ -72,7 +72,31 @@ class TableFuzzSpec extends SparkSpec {
       // model's single vName); remember restorable checkpoints
       var checkpoints = List.empty[(Long, Map[Long, Long], String, Boolean)]
       for (step <- 1 to 14) {
-        rnd.nextInt(10) match {
+        rnd.nextInt(11) match {
+          case 10 => // branch lifecycle: fork, mutate the branch (append +
+            // sometimes an eq-merge that leaves LIVE entries), publish
+            // back via fastForward — the sequence-renumbering path under
+            // whatever state the run piled up; main then carries the
+            // branch's live eqdels into later steps
+            val bname = s"fz$step"
+            ManifestTable.createBranch(spark, path, bname)
+            val bpth = ManifestTable.branchPath(path, bname)
+            var bModel = model
+            val rows = fresh(3)
+            ManifestTable.append(spark, bpth, df(rows))
+            bModel ++= rows
+            if (rnd.nextBoolean() && bModel.nonEmpty) {
+              val del = bModel.keys.min
+              val add = fresh(1)
+              spark.conf.set(ManifestTable.DmlModeKey, "eq")
+              try ManifestTable.merge(spark, bpth, df(add), keys = Seq("id"),
+                deleteKeys = Some(Seq(del).toDF("id")))
+              finally spark.conf.unset(ManifestTable.DmlModeKey)
+              bModel = bModel - del ++ add
+            }
+            ManifestTable.fastForward(spark, path, bname)
+            model = bModel
+            check(s"$step branch-publish")
           case 0 => // append — sometimes with NARROW (int) physical types,
             // exercising the type-widening accept path under everything
             // else (values stay < 1000, so the upcast is value-identical)
