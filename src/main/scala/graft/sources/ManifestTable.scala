@@ -5157,8 +5157,34 @@ object ManifestTable {
     def rows(rel: String): Option[Long] =
       allStats.get(rel).flatMap(_.get(RowsKey)).flatMap(_._1)
         .map(decodeStat(_).toString.toLong)
+    // EXONERATION: an eqdel-affected file whose zone maps/Blooms prove it
+    // holds NONE of any affecting entry's keys re-sequences METADATA-ONLY
+    // (fseq bump to this commit) instead of rewriting — the anti-join
+    // would have removed nothing from it, so the bump changes no answer,
+    // and the entry still retires (no pre-entry file remains). At 100 TB
+    // a narrow-key CDC history purges by rewriting the matched working
+    // set, not the fleet. Conservative: any entry whose candidate set is
+    // unknowable (multi-column keys, uncollectable/NULL keys, statless
+    // column) exonerates nothing.
+    val exonerated: Set[String] =
+      if (m.eqdels.isEmpty) Set.empty
+      else {
+        val perEntry = m.eqdels.map(e =>
+          eqdelCandidates(spark, path, m, e).map(c => e -> c.toSet))
+        if (perEntry.exists(_.isEmpty)) Set.empty
+        else {
+          val known = perEntry.flatten
+          m.files.filter { rel =>
+            val fseq = m.fseq.getOrElse(rel, 0L)
+            val affecting = known.filter { case (e, _) => fseq < e.seq }
+            affecting.nonEmpty &&
+              affecting.forall { case (_, cand) => !cand.contains(rel) }
+          }.toSet
+        }
+      }
     val affected = m.files.filter { rel =>
-      if (m.eqdels.exists(e => m.fseq.getOrElse(rel, 0L) < e.seq)) true
+      if (m.eqdels.exists(e => m.fseq.getOrElse(rel, 0L) < e.seq) &&
+          !exonerated.contains(rel)) true
       else m.dvs.get(rel) match {
         case None => false
         case Some((_, cnt)) =>
@@ -5168,9 +5194,45 @@ object ManifestTable {
           })
       }
     }
-    if (affected.isEmpty) return v
+    if (affected.isEmpty && exonerated.isEmpty) return v
+    if (affected.isEmpty)
+      // every affected file exonerated (the keys matched nothing still
+      // live): retire the entries in one METADATA-ONLY commit
+      return commit(spark, path, v + 1, m.schema, m.partitionCols,
+        m.files, m.statsCols, Map.empty, m.bloomCols, carry = Some(m),
+        constraints = m.constraints, transforms = m.transforms,
+        colmap = m.colmap, retired = m.retired,
+        fseqExplicit = exonerated.iterator.map(_ -> (v + 1)).toMap)
     commitRewrite(spark, path, v, m, affected,
-      readRels(spark, path, m, affected))
+      readRels(spark, path, m, affected),
+      fseqExplicit = exonerated.iterator.map(_ -> (v + 1)).toMap)
+  }
+
+  /** The files entry `e`'s keys MAY touch, by the same conservative
+    * zone-map/Bloom discipline as the MOR key cut ([[morMergeCandidates]])
+    * — None when the candidate set is unknowable (multi-column keys, a
+    * statless key column, NULL keys, a key set past the driver cap), in
+    * which case callers must treat every file as a candidate. */
+  private def eqdelCandidates(spark: SparkSession, path: String,
+                              m: Manifest, e: EqDelete): Option[Seq[String]] = {
+    if (e.keyCols.length != 1) return None
+    val ph = e.keyCols.head
+    if (!m.statsCols.contains(ph) && !m.bloomCols.contains(ph)) return None
+    val cap = spark.conf.getOption("spark.graft.mor.keyPruneMax")
+      .map(_.toInt).getOrElse(100000)
+    if (e.count > cap) return None
+    val rows = eqdelKeys(spark, path, m, e).limit(cap + 1).collect()
+    if (rows.length > cap || rows.exists(_.isNullAt(0))) return None
+    val vals = rows.map(_.get(0)).toSeq
+    if (vals.isEmpty) return Some(Nil)
+    val (mn, mx) = vals.tail.foldLeft((vals.head, vals.head)) {
+      case ((lo, hi), x) =>
+        (if (statCompare(x, lo).exists(_ < 0)) x else lo,
+         if (statCompare(x, hi).exists(_ > 0)) x else hi)
+    }
+    val points: Map[String, Seq[Any]] =
+      if (vals.length <= 4096) Map(ph -> vals) else Map.empty
+    Some(prunedRels(spark, path, m, Map(ph -> ((Some(mn), Some(mx)))), points))
   }
 
   /** Commit history straight from the manifest chain — the DESCRIBE
@@ -5828,7 +5890,8 @@ object ManifestTable {
   private def commitRewrite(spark: SparkSession, path: String, v: Long,
                             m: Manifest, touched: Seq[String],
                             replacement: DataFrame,
-                            op: Option[String] = None): Long = {
+                            op: Option[String] = None,
+                            fseqExplicit: Map[String, Long] = Map.empty): Long = {
     val touchedSet = touched.toSet
     val untouched = m.files.filterNot(touchedSet)
     val written = writeDataFiles(spark, path, replacement, m.partitionCols,
@@ -5849,7 +5912,8 @@ object ManifestTable {
       untouched ++ newFiles, m.statsCols, newStats, m.bloomCols, carry = Some(m),
       constraints = m.constraints, transforms = m.transforms,
       colmap = m.colmap, retired = m.retired, op = op,
-      props = identityWmUpdate(spark, path, m, newFiles, newStats))
+      props = identityWmUpdate(spark, path, m, newFiles, newStats),
+      fseqExplicit = fseqExplicit)
   }
 
   /** Rewrite the current snapshot into ~`targetRowsPerFile`-row files —

@@ -192,6 +192,53 @@ class EqualityDeleteSpec extends SparkSpec {
       Files.createTempDirectory("eqd_c2").toString + "/t")
   }
 
+  test("PURGE exonerates key-disjoint files metadata-only: only the matched working set rewrites") {
+    val path = Files.createTempDirectory("eqd_exon").toString + "/t"
+    // range-clustered on id with zone maps + Blooms: a narrow-key merge's
+    // entries can only touch a couple of files
+    ManifestTable.overwrite(spark, path, spark.range(10000)
+      .select(col("id"), concat(lit("v"), col("id")).as("v"))
+      .repartitionByRange(8, col("id")),
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    withEq(spark) {
+      ManifestTable.merge(spark, path, Seq((100L, "u100")).toDF("id", "v"),
+        keys = Seq("id"), deleteKeys = Some(Seq(101L).toDF("id")))
+    }
+    val v0 = ManifestTable.currentVersion(spark, path).get
+    val before = ManifestTable.readManifest(spark, path, v0).files.toSet
+    val v = ManifestTable.rewriteDeletes(spark, path)
+    val after = ManifestTable.readManifest(spark, path, v).files.toSet
+    val carried = before.intersect(after)
+    assert(carried.size >= 7,
+      s"key-disjoint files must carry, not rewrite (carried ${carried.size} of ${before.size})")
+    assert(before.diff(after).nonEmpty, "the matched file(s) must rewrite")
+    // the entries retired in the same commit (exonerated files re-sequenced)
+    val txt = manifestText(path, v)
+    assert(txt.contains("format=1") && !txt.contains("eqdel="),
+      "exoneration must still retire every entry")
+    assert(ManifestTable.fastCount(spark, path) === Some(9999L))
+    // answers exact
+    val got = ManifestTable.read(spark, path)
+    assert(got.filter(col("id") === 101L).count() === 0L)
+    assert(got.filter(col("id") === 100L).select("v").as[String]
+      .collect().toSeq === Seq("u100"))
+    // keys matching NOTHING live: the purge is a metadata-only commit
+    val p2 = Files.createTempDirectory("eqd_exon2").toString + "/t"
+    ManifestTable.overwrite(spark, p2, spark.range(100)
+      .select(col("id"), concat(lit("v"), col("id")).as("v")).coalesce(1),
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    withEq(spark) {
+      ManifestTable.merge(spark, p2, spark.range(0)
+        .select(col("id"), lit("x").as("v")),
+        keys = Seq("id"), deleteKeys = Some(Seq(5000L).toDF("id")))
+    }
+    val b2 = dataFiles(p2)
+    val v2 = ManifestTable.rewriteDeletes(spark, p2)
+    assert(dataFiles(p2) === b2, "no byte moves when no file holds a key")
+    assert(manifestText(p2, v2).contains("format=1"))
+    assert(ManifestTable.fastCount(spark, p2) === Some(100L))
+  }
+
   test("FAST FORWARD publishes a live-eqdel branch: sequences renumber into main's domain") {
     val path = mkTable("ffeq", n = 100) // ids 0..99
     ManifestTable.createBranch(spark, path, "exp")
