@@ -2119,7 +2119,11 @@ object ManifestTable {
     * with unfolded entries. Returns the new version (unchanged when
     * nothing needed folding); loses a version race by retrying against
     * the fresh snapshot. */
-  def foldEqdelCounts(spark: SparkSession, path: String): Long = {
+  def foldEqdelCounts(spark: SparkSession, path: String): Long =
+    foldEqdelCounts(spark, path, MaxCommitRetries)
+
+  private def foldEqdelCounts(spark: SparkSession, path: String,
+                              retries: Int): Long = {
     val v = currentVersion(spark, path)
       .getOrElse(sys.error(s"no manifest table at $path"))
     val m = readManifest(spark, path, v)
@@ -2160,10 +2164,12 @@ object ManifestTable {
       colmap = m.colmap, retired = m.retired)
     catch {
       // a concurrent commit may have changed exactly the state the counts
-      // describe — recompute against the winner (commit-time invalidation
-      // guards correctness; the retry just restores usefulness)
-      case _: java.util.ConcurrentModificationException =>
-        foldEqdelCounts(spark, path)
+      // describe — recompute against the winner, boundedly (commit-time
+      // invalidation guards correctness; the retry restores usefulness,
+      // and a hot table just folds on a later call)
+      case e: java.util.ConcurrentModificationException =>
+        if (retries <= 0) throw e
+        foldEqdelCounts(spark, path, retries - 1)
     }
   }
 
