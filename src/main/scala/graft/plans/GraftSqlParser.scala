@@ -155,16 +155,22 @@ class GraftSqlParser(session: SparkSession,
     * "inside a comment", and a backslash inside a '…'/"…" literal
     * escapes the next character (mirroring Spark's lexer — `'a\'--b'`
     * stays one literal; backticked identifiers have no backslash
-    * escape). An unterminated block comment swallows to the
-    * end, exactly as Spark's lexer treats it. */
+    * escape). The backslash branch tracks the ACTIVE lexer semantics:
+    * under `spark.sql.parser.escapedStringLiterals=true` (legacy mode)
+    * backslashes are literal and `'a\'` TERMINATES the literal, so the
+    * branch disables to keep the normalizer's literal boundaries in
+    * lockstep with the delegate parser's. An unterminated block comment
+    * swallows to the end, exactly as Spark's lexer treats it. */
   private[plans] def stripComments(sql: String): String = {
+    val backslashEscapes =
+      !org.apache.spark.sql.internal.SQLConf.get.escapedStringLiterals
     val sb = new java.lang.StringBuilder(sql.length)
     var i = 0
     var quote: Char = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
       if (quote != 0) {
-        if (c == '\\' && quote != '`' && i + 1 < sql.length) {
+        if (backslashEscapes && c == '\\' && quote != '`' && i + 1 < sql.length) {
           sb.append(c); sb.append(sql.charAt(i + 1)); i += 2
         } else { sb.append(c); if (c == quote) quote = 0; i += 1 }
       } else c match {

@@ -74,13 +74,36 @@ object GraftStatsRule extends Rule[LogicalPlan] {
         val hist = histogramOf(r, c, ndv)
         r.metaMinMaxCheap(c).map { case (mn, mx) =>
           c -> CatalogColumnStat(distinctCount = ndv.map(BigInt(_)),
-            min = Some(mn.toString), max = Some(mx.toString),
+            min = Some(extString(mn)), max = Some(extString(mx)),
             histogram = hist)
         }.orElse(ndv.map(n =>
           c -> CatalogColumnStat(distinctCount = Some(BigInt(n)),
             histogram = hist)))
       }
     }.toMap
+  }
+
+  /** Stats extremes in `CatalogColumnStat.fromExternalString`'s expected
+    * encoding. Timestamps MUST format at UTC with the exact pattern the
+    * version-2 parser uses (`yyyy-MM-dd HH:mm:ss.SSSSSS` over internal
+    * micros) — `java.sql.Timestamp.toString` renders JVM-local
+    * wall-clock, which on a non-UTC driver shifts min/max by the zone
+    * offset and disagrees with the histogram bins (built from true UTC
+    * micros). Everything else round-trips through `toString`. */
+  private def extString(a: Any): String = a match {
+    case t: java.sql.Timestamp =>
+      org.apache.spark.sql.catalyst.util.TimestampFormatter(
+          format = "yyyy-MM-dd HH:mm:ss.SSSSSS",
+          zoneId = java.time.ZoneOffset.UTC, isParsing = false)
+        .format(org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .fromJavaTimestamp(t))
+    case t: java.time.Instant =>
+      org.apache.spark.sql.catalyst.util.TimestampFormatter(
+          format = "yyyy-MM-dd HH:mm:ss.SSSSSS",
+          zoneId = java.time.ZoneOffset.UTC, isParsing = false)
+        .format(org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .instantToMicros(t))
+    case other => other.toString
   }
 
   /** Equi-height histogram for CBO filter/join selectivity under skew,

@@ -480,6 +480,19 @@ class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String,
     a.fields.map(f => (f.name, f.dataType.catalogString))
       .sameElements(b.fields.map(f => (f.name, f.dataType.catalogString)))
 
+  /** `spark.graft.cdf.eqdels=compute`, LATCHED at source construction
+    * (like `startingVersion`): offsets planned under compute=true make an
+    * eqdel-adding step one atomic mixed unit, and the slice that later
+    * consumes that unit must agree on the mode — re-reading the conf per
+    * call would let a mid-stream flip (or a checkpoint restart in a
+    * session without the conf) interpret planned units under the wrong
+    * semantics. A restart without the conf refuses loudly in
+    * [[ManifestTable.changeItems]] instead of emitting a plain file diff
+    * that drops the key-derived deletes. */
+  private val computeEqLatched: Boolean =
+    spark.conf.getOption("spark.graft.cdf.eqdels")
+      .exists(_.trim.equalsIgnoreCase("compute"))
+
   /** Admission units of a change-feed window (one commit step) —
     * [[ManifestTable.changeItems]], deterministic across retries and
     * restarts (manifests are immutable).
@@ -488,13 +501,10 @@ class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String,
     val toM = manifestAt(to)
     val fromM = if (from == 0L) toM.copy(files = Nil, dvs = Map.empty)
                 else manifestAt(from)
-    // `spark.graft.cdf.eqdels=compute` (read at each call — keep it
-    // stable for a running stream, like startingVersion): an
-    // eqdel-adding step becomes one atomic whole-step unit whose slice
-    // computes the key-derived deletes; default keeps the loud refusal
-    ManifestTable.changeItems(fromM, toM,
-      computeEq = spark.conf.getOption("spark.graft.cdf.eqdels")
-        .exists(_.trim.equalsIgnoreCase("compute")))
+    // an eqdel-adding step under compute mode becomes one atomic
+    // whole-step unit whose slice computes the key-derived deletes;
+    // default keeps the loud refusal
+    ManifestTable.changeItems(fromM, toM, computeEq = computeEqLatched)
   }
 
   /** How many change-feed admission units this trigger may take from
@@ -620,7 +630,7 @@ class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String,
           val batch = startO match {
             case Some(s) if s.from != s.to && !cfComplete(s) =>
               ManifestTable.readChangesSlice(spark, path, s.from,
-                  cfItems(s.from, s.to).drop(s.k))
+                  cfItems(s.from, s.to).drop(s.k), computeEqLatched)
                 .unionByName(
                   ManifestTable.readChanges(spark, path,
                     math.min(s.to, endO.to), endO.to))
@@ -643,22 +653,22 @@ class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String,
             if (endO.k <= floor) {
               val pos = GraftSourceOffset(s.from, s.to, floor)
               last = Some(pos); noteServed(pos)
-              ManifestTable.readChangesSlice(spark, path, endO.from, Nil)
+              ManifestTable.readChangesSlice(spark, path, endO.from, Nil, computeEqLatched)
             } else {
               last = Some(endO); noteServed(endO)
               ManifestTable.readChangesSlice(spark, path, endO.from,
-                cfItems(endO.from, endO.to).slice(floor, endO.k))
+                cfItems(endO.from, endO.to).slice(floor, endO.k), computeEqLatched)
             }
           case Some(s) if cfComplete(s) && s.to == endO.from =>
             // normal handoff: first admitted slice of the next commit
             last = Some(endO); noteServed(endO)
             ManifestTable.readChangesSlice(spark, path, endO.from,
-              cfItems(endO.from, endO.to).take(endO.k))
+              cfItems(endO.from, endO.to).take(endO.k), computeEqLatched)
           case None =>
             // fresh stream: first slice of the first followed commit
             last = Some(endO); noteServed(endO)
             ManifestTable.readChangesSlice(spark, path, endO.from,
-              cfItems(endO.from, endO.to).take(endO.k))
+              cfItems(endO.from, endO.to).take(endO.k), computeEqLatched)
           case Some(s) =>
             // degraded recovery (lost position file): serve the remainder
             // of s's window plus every commit through endO.to, and mark
@@ -666,7 +676,7 @@ class GraftStreamSource(spark: org.apache.spark.sql.SparkSession, path: String,
             val pending =
               if (s.from == s.to) ManifestTable.readChanges(spark, path, s.to, endO.to)
               else ManifestTable.readChangesSlice(spark, path, s.from,
-                  cfItems(s.from, s.to).drop(s.k))
+                  cfItems(s.from, s.to).drop(s.k), computeEqLatched)
                 .unionByName(
                   ManifestTable.readChanges(spark, path, s.to, endO.to))
             val pos = GraftSourceOffset(endO.to, endO.to, 0)

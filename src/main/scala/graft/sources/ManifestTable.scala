@@ -592,14 +592,26 @@ object ManifestTable {
     // pre-ICT manifests (0 = fall back to the file mtime)
     val ts = lines.find(_.startsWith("ts="))
       .map(_.stripPrefix("ts=").trim.toLong).getOrElse(0L)
-    // eqdel=<name>|<k1,k2>|<seq>|<keyCount>[|<matchedRows>];
-    // fseq=<rel>|<version> — the equality-delete feature (format 2); the
-    // optional 5th field is the folded deleted-row count; see [[EqDelete]]
+    // eqdel=<name>|<k1,k2>|<seq>|<keyCount>; fseq=<rel>|<version> — the
+    // equality-delete feature (format 2); see [[EqDelete]]. The folded
+    // matched-row count rides its OWN additive line (eqmatched=
+    // <name>|<rows>) rather than a 5th eqdel= field: unknown-prefix lines
+    // are the format's designed additive-metadata channel, and a reader
+    // that ignores the count stays correct (it just recounts), whereas
+    // extending a semantics-bearing line's grammar would MatchError every
+    // pre-extension format-2 binary. (A brief interim writer emitted the
+    // count as a 5th field — the 5-arm below reads those manifests.)
+    val eqmatched = lines.filter(_.startsWith("eqmatched="))
+      .map(_.stripPrefix("eqmatched=")).map { l =>
+        val i = l.lastIndexOf('|')
+        l.substring(0, i) -> l.substring(i + 1).toLong
+      }.toMap
     val eqdels = lines.filter(_.startsWith("eqdel="))
       .map(_.stripPrefix("eqdel=")).map { l =>
         l.split("\\|", -1) match {
           case Array(n, ks, sq, cnt) =>
-            EqDelete(n, ks.split(",").toSeq, sq.toLong, cnt.toLong)
+            EqDelete(n, ks.split(",").toSeq, sq.toLong, cnt.toLong,
+              eqmatched.get(n))
           case Array(n, ks, sq, cnt, mt) =>
             EqDelete(n, ks.split(",").toSeq, sq.toLong, cnt.toLong,
               if (mt.isEmpty) None else Some(mt.toLong))
@@ -1091,7 +1103,8 @@ object ManifestTable {
     */
   private[graft] def readChangesSlice(spark: SparkSession, path: String,
       fromVersion: Long,
-      items: Seq[(Seq[String], Seq[String])]): DataFrame = {
+      items: Seq[(Seq[String], Seq[String])],
+      computeEq: Boolean = false): DataFrame = {
     val to = readManifest(spark, path, fromVersion + 1)
     val from = if (fromVersion == 0L) to.copy(files = Nil, dvs = Map.empty)
                else readManifest(spark, path, fromVersion)
@@ -1103,9 +1116,14 @@ object ManifestTable {
       }: _*)
     // an eqdel-adding step under compute mode arrives as ONE whole-step
     // unit ([[changeItems]]); its delete set folds into the gone side of
-    // a single global diff — identical to what batch readChanges emits
-    val computeEq = spark.conf.getOption("spark.graft.cdf.eqdels")
-      .exists(_.trim.equalsIgnoreCase("compute"))
+    // a single global diff — identical to what batch readChanges emits.
+    // `computeEq` is the CALLER's latched mode, not a fresh conf read:
+    // the items were planned under it, and interpreting them under a
+    // different mode (mid-stream conf flip, checkpoint restart without
+    // the conf) would silently drop the key-derived deletes — refuse
+    // loudly instead when compute is off but the step added entries.
+    if (!computeEq && items.nonEmpty)
+      requireNoNewEqdels(path, from, to, "the streaming change-feed slice")
     if (computeEq && items.nonEmpty &&
         to.eqdels.exists(e => !from.eqdels.exists(_.name == e.name))) {
       val f = items.flatMap(_._1)
@@ -2130,33 +2148,42 @@ object ManifestTable {
     if (m.eqdels.isEmpty || m.eqdels.forall(_.matched.isDefined)) return v
     val maxSeq = m.eqdels.iterator.map(_.seq).max
     val atRisk = m.files.filter(r => m.fseq.getOrElse(r, 0L) < maxSeq)
-    var df = attachFseq(spark, m,
+    val rows = attachFseq(spark, m,
       applyDvAnti(spark, path, m,
         rawScan(spark, path, m, atRisk, withMeta = true), atRisk), atRisk)
-    val matched: Map[String, Long] =
-      m.eqdels.sortBy(e => (e.seq, e.name)).map { e =>
-        if (e.matched.isDefined) {
-          // already folded: its rows are spoken for — remove them from
-          // the pool so later entries don't re-claim them
-          val keys0 = eqdelKeys(spark, path, m, e)
-          val keys = if (e.count <= DvBroadcastRows) broadcast(keys0) else keys0
-          val cond = e.keyCols.map(k => df(k) <=> keys("__eqk_" + k))
-            .reduce(_ && _) && lit(e.seq) > df("__fseq")
-          df = df.join(keys, cond, "left_anti")
-          e.name -> e.matched.get
-        } else {
-          val keys0 = eqdelKeys(spark, path, m, e)
-          val keys = if (e.count <= DvBroadcastRows) broadcast(keys0) else keys0
-          def cond(d: DataFrame) = e.keyCols.map(k =>
-            d(k) <=> keys("__eqk_" + k)).reduce(_ && _) &&
-            lit(e.seq) > d("__fseq")
-          val n = df.join(keys, cond(df), "left_semi").count()
-          df = df.join(keys, cond(df), "left_anti")
-          e.name -> n
-        }
-      }.toMap
-    val folded = m.eqdels.map(e =>
-      e.copy(matched = Some(matched(e.name))))
+    // ONE-PASS attribution, not a per-entry semi-count/anti-join chain
+    // (which cost E actions, each re-scanning the at-risk set under an
+    // i-deep anti-join — the standing maintenance tax at E≈24 nightly
+    // folds): a row belongs to the EARLIEST (seq, name) entry whose keys
+    // match it and whose seq exceeds the row's file sequence — exactly
+    // the serial claim order. Per key-column set, the entries' sidecars
+    // union with their (seq, name) tags and the at-risk rows inner-join
+    // that set ONCE; `min(struct(seq, name))` per row picks its claiming
+    // entry, and one groupBy yields every entry's count in one action
+    // over one scan.
+    val candidates = m.eqdels.groupBy(_.keyCols).toSeq
+      .sortBy(_._1.mkString(",")).map { case (kc, entries) =>
+        val keys0 = entries.map(e => eqdelKeys(spark, path, m, e)
+            .withColumn("__eq_seq", lit(e.seq))
+            .withColumn("__eq_name", lit(e.name)))
+          .reduce(_ unionAll _)
+        val totalKeys = entries.map(_.count).sum
+        val keys = if (totalKeys <= DvBroadcastRows) broadcast(keys0) else keys0
+        val cond = kc.map(k => rows(k) <=> keys("__eqk_" + k))
+          .reduce(_ && _) && keys("__eq_seq") > rows("__fseq")
+        rows.join(keys, cond, "inner")
+          .select(rows("__dv_fname"), rows("__dv_pos"),
+            keys("__eq_seq"), keys("__eq_name"))
+      }.reduce(_ unionByName _)
+    val counted: Map[String, Long] = candidates
+      .groupBy(col("__dv_fname"), col("__dv_pos"))
+      .agg(min(struct(col("__eq_seq"), col("__eq_name"))).as("__eq_w"))
+      .groupBy(col("__eq_w.__eq_name").as("__eq_name")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // already-folded entries keep their stored count (valid for this
+    // exact state by commit-time invalidation — the recount would agree)
+    val folded = m.eqdels.map(e => e.copy(matched =
+      Some(e.matched.getOrElse(counted.getOrElse(e.name, 0L)))))
     try commit(spark, path, v + 1, m.schema, m.partitionCols, m.files,
       m.statsCols, Map.empty, m.bloomCols,
       carry = Some(m.copy(eqdels = folded)),
@@ -2873,8 +2900,12 @@ object ManifestTable {
       files.map("file=" + _) ++
       effectiveDvs.toSeq.sortBy(_._1).map { case (rel, (n, cnt)) => s"dv=$rel|$n|$cnt" } ++
       effectiveEqdels.sortBy(e => (e.seq, e.name)).map(e =>
-        s"eqdel=${e.name}|${e.keyCols.mkString(",")}|${e.seq}|${e.count}" +
-          e.matched.map("|" + _).getOrElse("")) ++
+        s"eqdel=${e.name}|${e.keyCols.mkString(",")}|${e.seq}|${e.count}") ++
+      // folded matched-row counts as their own ADDITIVE line type: any
+      // format-2 reader that predates folding skips unknown prefixes and
+      // stays correct (it recounts instead of folding)
+      effectiveEqdels.sortBy(e => (e.seq, e.name))
+        .flatMap(e => e.matched.map(m => s"eqmatched=${e.name}|$m")) ++
       (if (effectiveEqdels.nonEmpty)
          effectiveFseq.toSeq.sortBy(_._1).map { case (rel, s) => s"fseq=$rel|$s" }
        else Nil) ++

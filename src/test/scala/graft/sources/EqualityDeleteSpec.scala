@@ -373,6 +373,54 @@ class EqualityDeleteSpec extends SparkSpec {
     finally s.sql("DROP TABLE IF EXISTS eqd_cnt_t"): Unit
   }
 
+  test("foldEqdelCounts is ONE-PASS: job count does not scale with the entry count; overlapping keys attribute to the earliest entry") {
+    def jobsDuring(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          n.incrementAndGet(): Unit
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(1500) }
+      finally spark.sparkContext.removeSparkListener(l)
+      n.get
+    }
+    // one-entry fold: the baseline job budget of the single-scan plan
+    val p1 = mkTable("fold1p", n = 2000)
+    withEq(spark) {
+      ManifestTable.merge(spark, p1, Seq((1L, "u")).toDF("id", "v"),
+        keys = Seq("id"), deleteKeys = Some(Seq(2L, 3L).toDF("id")))
+    }
+    val n1 = jobsDuring { ManifestTable.foldEqdelCounts(spark, p1): Unit }
+    // four-entry fold with OVERLAPPING keys: entry 2 re-names id=10
+    // (already claimed by entry 1) and id=11; the one-pass attribution
+    // must hand id=10's pre-entry-1 row to entry 1 only
+    val p4 = mkTable("fold4p", n = 2000)
+    withEq(spark) {
+      ManifestTable.merge(spark, p4, Seq((10L, "a")).toDF("id", "v"),
+        keys = Seq("id"), deleteKeys = Some(Seq(10L).toDF("id")))
+      ManifestTable.merge(spark, p4, spark.range(0)
+        .select(col("id"), lit("b").as("v")),
+        keys = Seq("id"), deleteKeys = Some(Seq(10L, 11L).toDF("id")))
+      ManifestTable.merge(spark, p4, spark.range(0)
+        .select(col("id"), lit("c").as("v")),
+        keys = Seq("id"), deleteKeys = Some(Seq(12L, 13L).toDF("id")))
+      ManifestTable.merge(spark, p4, spark.range(0)
+        .select(col("id"), lit("d").as("v")),
+        keys = Seq("id"), deleteKeys = Some(Seq(14L).toDF("id")))
+    }
+    assert(ManifestTable.fastCount(spark, p4).isEmpty)
+    val n4 = jobsDuring { ManifestTable.foldEqdelCounts(spark, p4): Unit }
+    assert(n4 <= n1 + 1,
+      s"folding 4 entries ran $n4 jobs vs $n1 for 1 entry — the fold " +
+        "must be one-pass (one scan + one action), not a per-entry chain")
+    // ground truth: Σrows − Σmatched folds to the exact visible count —
+    // overlap double-claiming would undercount here
+    assert(ManifestTable.fastCount(spark, p4) ===
+      Some(ManifestTable.read(spark, p4).count()))
+  }
+
   test("foldEqdelCounts restores metadata fast counts; commit-time invalidation keeps them honest") {
     val path = mkTable("fold", n = 1000)
     withEq(spark) {
