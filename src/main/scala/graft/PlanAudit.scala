@@ -625,11 +625,79 @@ object PlanAudit {
         "the key side broadcasts under the DV budget" -> (p =>
           p.contains("BroadcastHashJoin")))
       finally spark.conf.unset("spark.graft.cdf.eqdels")
+      // PER-ENTRY-SET routing (r15): a second entry after the append —
+      // the mid-append files' arm must join ONLY the new entry's keys
+      spark.conf.set("spark.graft.dml.mode", "eq")
+      try graft.sources.ManifestTable.merge(spark, dir,
+        spark.range(0).select(col("id"), lit(0L).as("v")),
+        keys = Seq("id"), deleteKeys = Some(spark.range(2050, 2052).toDF("id")))
+      finally spark.conf.unset("spark.graft.dml.mode")
+      val Seq(en1, en2) = new java.io.File(dir, "_eqd").listFiles()
+        .map(_.getName.takeWhile(_ != '-')).sorted.toSeq
+      val esDf = graft.sources.ManifestTable.read(spark, dir)
+      esDf.count()
+      val esPlan = esDf.queryExecution.executedPlan.toString
+      def sidecarScans(prefix: String): Int =
+        ("_eqd/" + java.util.regex.Pattern.quote(prefix)).r
+          .findAllIn(esPlan).length
+      auditDf("eqdel_entry_set", esDf)(
+        "two entry-suffix arms, each its own key anti-join" -> (p =>
+          "LeftAnti".r.findAllIn(p).length == 2),
+        "mid-append files join only the later entry's keys" -> (_ =>
+          sidecarScans(en1) == 1 && sidecarScans(en2) == 2))
     }
     audit("q_write_cluster")(
       "the range predicate reaches the clustered scan" -> (p =>
         p.contains("Scan graft.sources.GraftRelation") &&
           p.contains("LessThanOrEqual(user_id")))
+    // runtime file skipping on join keys (GraftRuntimeFilterRule): a
+    // q_star_agg-shape join over a range-clustered graft fact with a
+    // selective dim — the rule collects the dim's keys at plan time and
+    // the fact scan opens STRICTLY FEWER files with identical results
+    locally {
+      import org.apache.spark.sql.functions._
+      val dir = java.nio.file.Files
+        .createTempDirectory("audit_rtfilter").toString + "/t"
+      graft.sources.ManifestTable.overwrite(spark, dir,
+        spark.range(80000).select(col("id").as("order_id"),
+          (col("id") % 97).as("amount"))
+          .repartitionByRange(8, col("order_id")), statsCols = Seq("order_id"))
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW rt_fact USING graft OPTIONS (path '$dir')")
+      spark.range(100, 140).select(col("id").as("k"), lit("hot").as("seg"))
+        .createOrReplaceTempView("rt_dim")
+      def q = spark.sql("SELECT d.seg, sum(f.amount) AS amt FROM rt_fact f " +
+        "JOIN rt_dim d ON f.order_id = d.k GROUP BY d.seg")
+      def relOf(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collectFirst {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+              if lr.relation.isInstanceOf[graft.sources.GraftRelation] =>
+            lr.relation.asInstanceOf[graft.sources.GraftRelation]
+        }.get
+      spark.conf.set("spark.graft.runtimeFilter.enabled", "false")
+      val baseDf = q
+      val baseline = baseDf.collect().toSeq
+      val baseFiles = relOf(baseDf).lastScanFileCount
+      spark.conf.set("spark.graft.runtimeFilter.enabled", "true")
+      val prunedDf = q
+      val seeded = prunedDf.queryExecution.optimizedPlan.exists {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.exists {
+            case _: org.apache.spark.sql.catalyst.expressions.In => true
+            case _: org.apache.spark.sql.catalyst.expressions.InSet => true
+            case _ => false
+          }
+        case _ => false
+      }
+      val prunedRows = prunedDf.collect().toSeq
+      val prunedFiles = relOf(prunedDf).lastScanFileCount
+      spark.conf.unset("spark.graft.runtimeFilter.enabled")
+      auditDf("runtime_file_skip", prunedDf)(
+        "the dim's collected keys seed the fact scan (IN/InSet)" -> (_ => seeded),
+        s"strictly fewer files opened ($prunedFiles of $baseFiles)" -> (_ =>
+          baseFiles == 8 && prunedFiles >= 0 && prunedFiles < baseFiles),
+        "results identical to the unseeded plan" -> (_ =>
+          prunedRows.toSet == baseline.toSet))
+    }
     spark.stop()
   }
 }

@@ -2216,6 +2216,51 @@ object SparkEntry {
                |WHERE user_id <= $hi""".stripMargin)
     }),
 
+    // ---- RUNTIME FILE SKIPPING on join keys (GraftRuntimeFilterRule):
+    // a star join over a range-clustered graft fact with a selective dim
+    // — the optimizer collects the dim's keys at plan time and the fact
+    // scan opens strictly fewer files (require-gated inline), results
+    // exactly the plain join's ----
+    "q_runtime_prune" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_rtp").toString + "/t"
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.sources.ManifestTable.overwrite(s, dir,
+        o.repartitionByRange(8, col("o_custkey")), statsCols = Seq("o_custkey"))
+      s.sql("DROP TABLE IF EXISTS q_rtp_t")
+      s.sql(s"CREATE TABLE q_rtp_t USING graft OPTIONS (path '$dir')")
+      val c = Tables.customer(s, d)
+      val hi = c.agg(max("c_custkey")).head.getLong(0) / 20
+      c.filter(col("c_custkey") <= hi).select("c_custkey", "c_mktsegment")
+        .createOrReplaceTempView("q_rtp_dim")
+      val q = s.sql(
+        """SELECT c_mktsegment, count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM q_rtp_t o JOIN q_rtp_dim c ON o.o_custkey = c.c_custkey
+          |GROUP BY c_mktsegment""".stripMargin)
+      // require-gate the rule's effect inline: the seed fired and the
+      // clustered fact planned strictly fewer than its 8 files
+      q.collect(): Unit
+      val seeded = q.queryExecution.optimizedPlan.exists {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.exists {
+            case _: org.apache.spark.sql.catalyst.expressions.In => true
+            case _: org.apache.spark.sql.catalyst.expressions.InSet => true
+            case _ => false
+          }
+        case _ => false
+      }
+      val opened = q.queryExecution.optimizedPlan.collectFirst {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if lr.relation.isInstanceOf[graft.sources.GraftRelation] =>
+          lr.relation.asInstanceOf[graft.sources.GraftRelation].lastScanFileCount
+      }.getOrElse(-1)
+      require(seeded, "runtime filter must seed the fact scan with the dim keys")
+      require(opened >= 0 && opened < 8,
+        s"the 5%-range dim must skip fact files at plan time: opened $opened of 8")
+      q
+    }),
+
     // ---- REPLACE WHERE (Delta's replaceWhere): the idempotent backfill —
     // correct exactly the 'P'-status partition from a version-pinned read
     // of the table itself, run the SAME statement twice (second run must
@@ -4976,6 +5021,16 @@ object SparkEntry {
       """SELECT c_custkey, c_acctbal, CAST(3 AS BIGINT) AS tier FROM customer
         |UNION ALL SELECT 90000001, 111.5, 3
         |UNION ALL SELECT 90000002, 222.5, 9""".stripMargin,
+
+    // the runtime-pruned star join re-derived: plain join + the dim's own
+    // 5% key-range filter (the pruning is plan-level; results are the join)
+    "q_runtime_prune" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_custkey <= (SELECT CAST(FLOOR(max(c_custkey) / 20.0) AS BIGINT)
+        |                      FROM customer)
+        |GROUP BY c_mktsegment""".stripMargin,
 
     // the clustered-ingest range read re-derived (same floor-division bound)
     "q_write_cluster" ->

@@ -35,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // manifest row counts → CatalogStatistics, so CBO join reordering
     // sees cardinality, not just bytes
     e.injectOptimizerRule(_ => GraftStatsRule)
+    // runtime file skipping on join keys: a broadcast-fit build side's
+    // collected keys seed the graft scan's zone-map/Bloom pruning
+    e.injectOptimizerRule(_ => GraftRuntimeFilterRule)
     // zero-shuffle storage-partitioned join over co-bucketed graft tables
     e.injectOptimizerRule(_ => CoBucketJoinRule)
     e.injectPlannerStrategy(_ => new CoBucketJoinStrategy)

@@ -1130,10 +1130,30 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
     }
   }
 
+  /** How many data files the LAST scan of this relation planned after
+    * zone-map/Bloom skipping (-1 before any scan) — the observable the
+    * runtime-filter plan audit reads to prove "strictly fewer files
+    * opened". Benign metric write: relations are per-query-pinned. */
+  @volatile private[graft] var lastScanFileCount: Int = -1
+
+  /** Total data files in the pinned snapshot. */
+  private[graft] def metaFileCount: Int = manifest.files.size
+
+  /** Whether a LOGICAL column's zone maps/Blooms can skip files by key
+    * values — the [[graft.plans.GraftRuntimeFilterRule]] eligibility
+    * probe (collecting build-side keys is pointless when the probe
+    * column has no file-skipping stats). */
+  private[graft] def keyPrunable(logicalName: String): Boolean = {
+    val ph = manifest.colmap.getOrElse(logicalName, logicalName)
+    manifest.statsCols.contains(ph) || manifest.bloomCols.contains(ph)
+  }
+
   private[sources] def innerScan(requiredColumns: Array[String],
                                  filters: Array[Filter]): DataFrame = {
-    val base = ManifestTable.readPrunedPoints(spark, path, manifest,
+    val rels = ManifestTable.prunedRels(spark, path, manifest,
       bounds(filters), points(filters), nullPrunes(filters))
+    lastScanFileCount = rels.size
+    val base = ManifestTable.readRels(spark, path, manifest, rels)
     val implied = manifest.transforms
       .flatMap(t => filters.flatMap(f => impliedPartitionFilter(t, f)))
     val filtered = (filters.flatMap(toColumn) ++ implied).foldLeft(base)(_ filter _)

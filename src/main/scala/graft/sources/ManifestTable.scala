@@ -916,6 +916,46 @@ object ManifestTable {
     * step to `toVersion`'s schema (a column added mid-range reads NULL for
     * earlier steps, matching what a scan of those versions would say).
     */
+  /** Column alignment across NESTED field-set evolution: a plain `cast`
+    * between structs requires equal field counts, so a CDF step that
+    * predates a nested field-add cannot cast to the target type —
+    * rebuild the struct per field instead (missing nested fields read
+    * NULL, null struct values stay null), recursing through arrays and
+    * map values. Falls back to `cast` whenever the shapes agree, so
+    * every pre-existing align path compiles to exactly what it did.
+    * Cast targets are nullability-RELAXED throughout: manifest schemas
+    * may declare NOT NULL nested fields (the writer's batch did), but a
+    * parquet round-trip reads everything nullable and a nullable→
+    * non-null struct cast is unresolvable — relaxing only the flags
+    * changes no value. */
+  private def reshapeTo(c: Column, from: DataType, to0: DataType): Column = {
+    val to = ignoreNullability(to0)
+    def needsRebuild(f: DataType, t: DataType): Boolean = (f, t) match {
+      case (fs: StructType, ts: StructType) =>
+        fs.fieldNames.toSeq != ts.fieldNames.toSeq ||
+          fs.fields.zip(ts.fields).exists { case (a, b) =>
+            needsRebuild(a.dataType, b.dataType) }
+      case (ArrayType(fe, _), ArrayType(te, _)) => needsRebuild(fe, te)
+      case (MapType(_, fv, _), MapType(_, tv, _)) => needsRebuild(fv, tv)
+      case _ => false
+    }
+    (ignoreNullability(from), to) match {
+      case (f, t) if !needsRebuild(f, t) => c.cast(t)
+      case (fs: StructType, ts: StructType) =>
+        val rebuilt = struct(ts.fields.toSeq.map { tf =>
+          fs.fields.find(_.name == tf.name)
+            .map(ff => reshapeTo(c.getField(tf.name), ff.dataType, tf.dataType))
+            .getOrElse(lit(null).cast(tf.dataType)).as(tf.name)
+        }: _*)
+        when(c.isNull, lit(null).cast(ts)).otherwise(rebuilt)
+      case (ArrayType(fe, _), t @ ArrayType(te, _)) =>
+        transform(c, x => reshapeTo(x, fe, te)).cast(t)
+      case (MapType(_, fv, _), t @ MapType(_, tv, _)) =>
+        transform_values(c, (_, v) => reshapeTo(v, fv, tv)).cast(t)
+      case (_, t) => c.cast(t)
+    }
+  }
+
   def readChanges(spark: SparkSession, path: String,
                   fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion, s"from $fromVersion > to $toVersion")
@@ -930,9 +970,12 @@ object ManifestTable {
     // steps carry no rows — and name alignment is safe there.
     def align(df: DataFrame, to: StructType): DataFrame =
       df.select(to.fields.toSeq.map { f =>
-        // cast covers steps before a type WIDENING (lossless upcast, a
-        // no-op when types already agree); missing columns predate an add
-        if (df.columns.contains(f.name)) col(s"`${f.name}`").cast(f.dataType).as(f.name)
+        // reshape covers steps before a type WIDENING or a nested
+        // field-add (a no-op cast when shapes already agree); missing
+        // columns predate a top-level add
+        if (df.columns.contains(f.name))
+          reshapeTo(col(s"`${f.name}`"), df.schema(f.name).dataType,
+            f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
     // ACROSS steps, columns must align by PHYSICAL identity, not name: a
@@ -950,7 +993,8 @@ object ManifestTable {
         val stepName = stepP2L.getOrElse(ph, ph)
         val present = df.columns.contains(stepName) &&
           stepM.colmap.getOrElse(stepName, stepName) == ph
-        if (present) col(s"`$stepName`").cast(f.dataType).as(f.name)
+        if (present) reshapeTo(col(s"`$stepName`"),
+          df.schema(stepName).dataType, f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
     }
@@ -1111,7 +1155,9 @@ object ManifestTable {
     val logical = logicalSchema(to)
     def align(df: DataFrame): DataFrame =
       df.select(logical.fields.toSeq.map { f =>
-        if (df.columns.contains(f.name)) col(s"`${f.name}`").cast(f.dataType).as(f.name)
+        if (df.columns.contains(f.name))
+          reshapeTo(col(s"`${f.name}`"), df.schema(f.name).dataType,
+            f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
     // an eqdel-adding step under compute mode arrives as ONE whole-step
@@ -1484,7 +1530,7 @@ object ManifestTable {
     * on the driver, and the collected list is bounded by what the query
     * actually reads.
     */
-  private def prunedRels(spark: SparkSession, path: String, m: Manifest,
+  private[sources] def prunedRels(spark: SparkSession, path: String, m: Manifest,
                          bounds: Map[String, (Option[Any], Option[Any])],
                          points: Map[String, Seq[Any]],
                          nulls: Map[String, Boolean] = Map.empty): Seq[String] = {
@@ -1492,6 +1538,13 @@ object ManifestTable {
       case (c, vs) if m.bloomCols.contains(c) && vs.nonEmpty =>
         val dt = m.schema(c).dataType
         c -> vs.map(v => pointHash(v, dt))
+    }
+    // point candidates ALSO zone-test per value (a file survives only if
+    // SOME candidate sits inside its [min, max]) — an IN/equality set
+    // prunes range-clustered tables even without Blooms. Callers pass
+    // non-null candidates only (x = NULL never matches).
+    val zonePts: Map[String, Seq[Any]] = points.filter {
+      case (c, vs) => m.statsCols.contains(c) && vs.nonEmpty
     }
     // DEFAULT-bearing columns: correct each file's recorded stats to what
     // the rows READ as before testing ([[adjustStatsForDefaults]]) —
@@ -1503,17 +1556,19 @@ object ManifestTable {
           val st = m.stats.get(rel).map(adjustStatsForDefaults(_, defEnc))
           keepByBoundsStats(st, m.statsCols, bounds) &&
             keepByPointsStats(st, hashes) &&
+            keepByPointZones(st, zonePts) &&
             keepByNullsStats(st, m.statsCols, nulls)
         }
       case Some(_) =>
         val statsCols = m.statsCols
         // serialize the small predicate state only
-        val (bs, hs, ns, de) = (bounds, hashes, nulls, defEnc)
+        val (bs, hs, zs, ns, de) = (bounds, hashes, zonePts, nulls, defEnc)
         val survivors = readSidecar(spark, path, m)
           .filter { r =>
             val st = Some(adjustStatsForDefaults(rowStats(r), de))
             keepByBoundsStats(st, statsCols, bs) &&
               keepByPointsStats(st, hs) &&
+              keepByPointZones(st, zs) &&
               keepByNullsStats(st, statsCols, ns)
           }
           .map(_.rel)(org.apache.spark.sql.Encoders.STRING)
@@ -1524,6 +1579,23 @@ object ManifestTable {
         m.files.filter(survivors)
     }
   }
+
+  /** Per-file ZONE test of point candidates: for every constrained
+    * column, SOME (non-null) candidate must sit inside the file's
+    * [min, max]. Conservative on missing stats / incomparable types;
+    * an all-null column ((None, None)) matches no non-null candidate. */
+  private def keepByPointZones(st: Option[FileStats],
+                               points: Map[String, Seq[Any]]): Boolean =
+    points.forall { case (c, vs) =>
+      st.flatMap(_.get(c)) match {
+        case None => true // no stats recorded for this file → must scan
+        case Some((None, None)) => false // all-null column: no point match
+        case Some((mn, mx)) => vs.exists { v =>
+          mn.forall(e => statCompare(decodeStat(e), v).forall(_ <= 0)) &&
+            mx.forall(e => statCompare(decodeStat(e), v).forall(_ >= 0))
+        }
+      }
+    }
 
   /** Reserved pseudo-column in the per-file stats map holding the file's
     * ROW COUNT (min == max == count). Rides the stats scan for free and
@@ -1942,6 +2014,12 @@ object ManifestTable {
     */
   private val DvBroadcastRows = 10L * 1000 * 1000
 
+  /** Cap on the per-entry-set read arms in [[readRels]]: more distinct
+    * affecting-entry suffixes than this merge into the last arm. Four
+    * arms cover the common CDC shape (a few unpurged entries) exactly;
+    * a long chain degrades gracefully toward the old single-arm plan. */
+  private val EqdelMaxReadArms = 4
+
   /** Read `rels` under `m`'s schema, applying `m`'s deletion vectors. Files
     * without a DV read exactly as before (zero cost when no DVs exist: the
     * split leaves `dvd` empty and the plan is the plain scan). DV'd files
@@ -1978,23 +2056,43 @@ object ManifestTable {
         val live = liveEqdels(m, rels)
         if (live.isEmpty) plainOrDv(rels)
         else {
-          // PER-REL routing: only files sequenced BEFORE some live entry
-          // ("at risk") pay the metadata scan + per-file sequence lookup +
-          // key anti-join; everything appended after the newest entry —
-          // at a CDC cadence quickly the bulk of the fleet — keeps the
-          // plain/DV plan. The lookup inside applyEqDeletes is then built
-          // over the at-risk rels only (entry-scoped, not fleet-scoped).
-          val maxSeq = live.iterator.map(_.seq).max
-          val (atRisk, clean) =
-            rels.partition(r => m.fseq.getOrElse(r, 0L) < maxSeq)
-          // at-risk rels scan WITH metadata — the key anti-join needs each
+          // PER-ENTRY-SET routing: a file's AFFECTING entries are the
+          // seq-ordered suffix with seq > fseq(file), so at-risk rels
+          // group by their suffix START — a file appended between entry 1
+          // and entry 2 anti-joins ONLY entry 2's keys, never the full
+          // union (the `__eq_seq > __fseq` condition always scoped it
+          // LOGICALLY; the grouping shrinks the joined key side and each
+          // arm's scan too). Files after the newest entry (suffix empty —
+          // at a CDC cadence quickly the bulk of the fleet) keep the
+          // plain/DV plan. Arm count is capped: past [[EqdelMaxReadArms]]
+          // distinct suffixes, adjacent groups merge DOWNWARD (toward the
+          // superset suffix — sound, the seq condition still scopes), so
+          // a long-unpurged entry chain can't explode the plan.
+          val bySeq = live.sortBy(e => (e.seq, e.name)).map(_.seq)
+          def suffixOf(fseq: Long): Int = bySeq.indexWhere(_ > fseq)
+          val grouped = rels.groupBy(r => suffixOf(m.fseq.getOrElse(r, 0L)))
+          val clean = grouped.getOrElse(-1, Nil)
+          val idx = grouped.keys.filter(_ >= 0).toSeq.sorted
+          val arms: Seq[Seq[String]] =
+            if (idx.size <= EqdelMaxReadArms) idx.map(grouped)
+            else {
+              // merge the TAIL suffixes into the last arm (they share the
+              // fewest entries; merging costs them extra logically-inert
+              // key rows, never extra files)
+              val (own, merged) = idx.splitAt(EqdelMaxReadArms - 1)
+              own.map(grouped) :+ merged.flatMap(grouped)
+            }
+          // each arm scans WITH metadata — the key anti-join needs each
           // row's file (for its sequence), and the DV anti-join rides the
           // same columns; row order: DV positions first (a position
-          // references the raw row index), then keys
-          val scan = rawScan(spark, path, m, atRisk, withMeta = true)
-          val eqd = applyEqDeletes(spark, path, m,
-            applyDvAnti(spark, path, m, scan, atRisk), atRisk)
-            .select(m.schema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
+          // references the raw row index), then keys. applyEqDeletes
+          // derives each arm's entry suffix from the arm's own min fseq.
+          val eqd = arms.map { rs =>
+            val scan = rawScan(spark, path, m, rs, withMeta = true)
+            applyEqDeletes(spark, path, m,
+              applyDvAnti(spark, path, m, scan, rs), rs)
+              .select(m.schema.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
+          }.reduce(_ unionByName _)
           if (clean.isEmpty) eqd else eqd.unionByName(plainOrDv(clean))
         }
       }, m.colmap)
@@ -3301,8 +3399,59 @@ object ManifestTable {
     case (ByteType | ShortType | IntegerType, DoubleType) => true
     case (a: DecimalType, b: DecimalType) =>
       b.scale >= a.scale && b.precision - b.scale >= a.precision - a.scale
+    // NESTED evolution, ADD-ONLY (Iceberg/Delta's nested column add): a
+    // struct widens to a superset struct whose new fields are nullable —
+    // old files read NULL for them (parquet schema clipping matches
+    // nested fields by name). Existing nested fields must keep their
+    // exact type: the vectorized reader's upcast contract is
+    // probe-verified at top level only, so nested retype/widening still
+    // rejects rather than risking a silent mis-read. Recurses through
+    // struct-in-struct, arrays, and map values (the metadata shapes a
+    // corpus's evolving `props` column takes).
+    case (a: StructType, b: StructType) =>
+      a.fields.forall(af => b.fields.find(_.name == af.name).exists(bf =>
+        nestedAddOk(af.dataType, bf.dataType))) &&
+        b.fields.filterNot(bf => a.fieldNames.contains(bf.name)).forall(_.nullable)
+    case (ArrayType(ae, _), ArrayType(be, _)) => nestedAddOk(ae, be)
+    case (MapType(ak, av, _), MapType(bk, bv, _)) =>
+      nestedSame(ak, bk) && nestedAddOk(av, bv)
     case _ => false
   }
+
+  private def nestedSame(a: DataType, b: DataType): Boolean =
+    ignoreNullability(a) == ignoreNullability(b)
+
+  /** An existing NESTED position may stay identical or (when it is
+    * itself a container) add-only-widen recursively; nested scalar
+    * retype/widening rejects — see the struct arm's contract note. */
+  private def nestedAddOk(from: DataType, to: DataType): Boolean =
+    nestedSame(from, to) || ((from, to) match {
+      case (_: StructType, _: StructType) | (_: ArrayType, _: ArrayType) |
+           (_: MapType, _: MapType) =>
+        canWiden(ignoreNullability(from), ignoreNullability(to))
+      case _ => false
+    })
+
+  /** The table type after accepting a nested-superset batch: table field
+    * ORDER is preserved, the batch's new nested fields append (nullable),
+    * recursion handles struct-in-struct/array/map-value adds. Scalars
+    * take the batch's (wider) type — the top-level widening behavior. */
+  private def mergeWidened(table: DataType, batch: DataType): DataType =
+    (table, batch) match {
+      case (x: StructType, y: StructType) =>
+        StructType(x.fields.map(xf =>
+          y.fields.find(_.name == xf.name)
+            .map(yf => xf.copy(dataType = mergeWidened(xf.dataType, yf.dataType)))
+            .getOrElse(xf)) ++
+          y.fields.filterNot(yf => x.fieldNames.contains(yf.name))
+            .map(_.copy(nullable = true)))
+      case (ArrayType(xe, n), ArrayType(ye, _)) =>
+        ArrayType(mergeWidened(xe, ye), n)
+      case (MapType(xk, xv, n), MapType(_, yv, _)) =>
+        MapType(xk, mergeWidened(xv, yv), n)
+      case (x, y) if nestedSame(x, y) => x
+      case (_, y) => y
+    }
 
   /** Table schema after accepting `df`: identical shape → unchanged; a
     * SUPERSET batch (every table column present with a compatible type,
@@ -3360,7 +3509,9 @@ object ManifestTable {
               s"$op cannot widen partition-transform source column " +
                 s"'${pf.name}' to ${t.simpleString} — existing partition " +
                 "directories derive from the declared type")
-            pf.copy(dataType = t)
+            // scalars take the batch's wider type; nested containers
+            // MERGE (table field order kept, new nested fields appended)
+            pf.copy(dataType = mergeWidened(pf.dataType, t))
           case _ => pf
         }
       }
@@ -5200,9 +5351,10 @@ object ManifestTable {
     // would have removed nothing from it, so the bump changes no answer,
     // and the entry still retires (no pre-entry file remains). At 100 TB
     // a narrow-key CDC history purges by rewriting the matched working
-    // set, not the fleet. Conservative: any entry whose candidate set is
-    // unknowable (multi-column keys, uncollectable/NULL keys, statless
-    // column) exonerates nothing.
+    // set, not the fleet. Composite keys prune on the LEADING column
+    // ([[eqdelCandidates]]). Conservative: any entry whose candidate set
+    // is unknowable (uncollectable/NULL lead keys, statless lead column)
+    // exonerates nothing.
     val exonerated: Set[String] =
       if (m.eqdels.isEmpty) Set.empty
       else {
@@ -5247,18 +5399,26 @@ object ManifestTable {
 
   /** The files entry `e`'s keys MAY touch, by the same conservative
     * zone-map/Bloom discipline as the MOR key cut ([[morMergeCandidates]])
-    * — None when the candidate set is unknowable (multi-column keys, a
-    * statless key column, NULL keys, a key set past the driver cap), in
+    * — composite keys prune on the LEADING column's distinct values (a
+    * deleted row matches on EVERY key column, so a file whose zone
+    * map/Bloom excludes all lead values is key-disjoint regardless of
+    * the trailing columns). None when the candidate set is unknowable
+    * (statless lead column, NULL lead keys — null-safe equality matches
+    * rows zone maps cannot see — or a key set past the driver cap), in
     * which case callers must treat every file as a candidate. */
   private def eqdelCandidates(spark: SparkSession, path: String,
                               m: Manifest, e: EqDelete): Option[Seq[String]] = {
-    if (e.keyCols.length != 1) return None
     val ph = e.keyCols.head
     if (!m.statsCols.contains(ph) && !m.bloomCols.contains(ph)) return None
     val cap = spark.conf.getOption("spark.graft.mor.keyPruneMax")
       .map(_.toInt).getOrElse(100000)
-    if (e.count > cap) return None
-    val rows = eqdelKeys(spark, path, m, e).limit(cap + 1).collect()
+    // single-key: the sidecar count is exact, short-circuit past the cap
+    // without opening it; composite: the LEAD's distinct count can sit
+    // under the cap even when the full key set does not
+    if (e.keyCols.length == 1 && e.count > cap) return None
+    val keys0 = eqdelKeys(spark, path, m, e).select(col("__eqk_" + ph))
+    val lead = if (e.keyCols.length == 1) keys0 else keys0.distinct()
+    val rows = lead.limit(cap + 1).collect()
     if (rows.length > cap || rows.exists(_.isNullAt(0))) return None
     val vals = rows.map(_.get(0)).toSeq
     if (vals.isEmpty) return Some(Nil)

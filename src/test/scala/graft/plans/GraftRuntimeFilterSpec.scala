@@ -1,0 +1,153 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.sources.{GraftRelation, ManifestTable, MorDmlSpec}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Runtime file skipping on join keys ([[GraftRuntimeFilterRule]]): a
+  * broadcast-fit build side's collected keys seed the graft probe scan,
+  * and zone maps/Blooms then open strictly fewer files — with results
+  * identical to the rule disabled. Also pins the stand-downs (outer
+  * preserved sides, anti joins, non-deterministic builds) and the range
+  * fallback past the key cap.
+  */
+class GraftRuntimeFilterSpec extends SparkSpec {
+
+  private lazy val s = MorDmlSpec.extSpark
+  import s.implicits._
+
+  /** Range-clustered graft fact: 8 files, ids 0..79999 in disjoint runs. */
+  private def mkFact(tag: String, n: Int = 80000, files: Int = 8): String = {
+    val path = Files.createTempDirectory(s"rtf_$tag").toString + "/t"
+    ManifestTable.overwrite(s, path, s.range(n).select(col("id"),
+      (col("id") % 97).as("v")).repartitionByRange(files, col("id")),
+      statsCols = Seq("id"))
+    path
+  }
+
+  private def relOf(df: DataFrame): GraftRelation =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation] =>
+        lr.relation.asInstanceOf[GraftRelation]
+    }.getOrElse(fail("no graft relation in the plan"))
+
+  private def hasKeySeed(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.exists {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.exists {
+          case _: In | _: InSet => true
+          case _ => false
+        }
+      case _ => false
+    }
+
+  private def withRule[A](on: Boolean)(body: => A): A = {
+    s.conf.set("spark.graft.runtimeFilter.enabled", on.toString)
+    try body finally s.conf.unset("spark.graft.runtimeFilter.enabled")
+  }
+
+  test("inner join with a selective dim opens strictly fewer files, identical results") {
+    val fact = mkFact("inner")
+    // a 3-key dim, all keys inside one file's id range
+    val dim = Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("k", "name")
+    dim.createOrReplaceTempView("rtf_dim")
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW rtf_fact USING graft OPTIONS (path '$fact')")
+    def q = s.sql("SELECT f.id, f.v, d.name FROM rtf_fact f JOIN rtf_dim d ON f.id = d.k")
+    val expected = withRule(on = false) {
+      val df = q
+      val out = df.orderBy("id").collect().toSeq
+      assert(relOf(df).lastScanFileCount === 8, "baseline scans every file")
+      out
+    }
+    withRule(on = true) {
+      val df = q
+      assert(hasKeySeed(df), "the rule must seed the probe with an IN/InSet")
+      val got = df.orderBy("id").collect().toSeq
+      val rel = relOf(df)
+      assert(got === expected, "seeded results must be identical")
+      assert(rel.lastScanFileCount >= 0 && rel.lastScanFileCount < 8,
+        s"strictly fewer files opened, got ${rel.lastScanFileCount} of 8")
+      assert(rel.lastScanFileCount <= 2,
+        s"3 clustered keys should open ~1 file, got ${rel.lastScanFileCount}")
+    }
+  }
+
+  test("left-outer preserves the graft left side untouched; prunes a graft right side") {
+    val fact = mkFact("outer", n = 20000, files = 4)
+    val dim = Seq((5L, "x")).toDF("k", "name")
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW rtf_fact2 USING graft OPTIONS (path '$fact')")
+    dim.createOrReplaceTempView("rtf_dim2")
+    withRule(on = true) {
+      // graft on the PRESERVED left of a left-outer: every fact row
+      // survives — the rule must not touch it
+      val keep = s.sql("SELECT f.id, d.name FROM rtf_fact2 f LEFT JOIN rtf_dim2 d ON f.id = d.k")
+      assert(!hasKeySeed(keep), "preserved side must not be seeded")
+      assert(keep.count() === 20000L)
+      // graft on the FILTERED right of a left-outer: prunable
+      val pruned = s.sql("SELECT d.name, f.v FROM rtf_dim2 d LEFT JOIN rtf_fact2 f ON d.k = f.id")
+      assert(hasKeySeed(pruned), "filtered right side seeds")
+      assert(pruned.collect().map(_.getString(0)).toSeq === Seq("x"))
+      assert(relOf(pruned).lastScanFileCount < 4)
+      // anti join: never seeded (it preserves NON-matching rows)
+      val anti = s.sql("SELECT * FROM rtf_fact2 f WHERE NOT EXISTS (SELECT 1 FROM rtf_dim2 d WHERE d.k = f.id)")
+      assert(!hasKeySeed(anti), "anti join must not be seeded")
+      assert(anti.count() === 19999L)
+    }
+  }
+
+  test("past maxKeys the seed degrades to a zone-range BETWEEN; empty builds short-circuit") {
+    val fact = mkFact("range", n = 40000, files = 8)
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW rtf_fact3 USING graft OPTIONS (path '$fact')")
+    // 60 keys clustered in [1000, 1059] with the cap forced to 16 →
+    // BETWEEN 1000 AND 1059, still one file's range
+    s.range(1000, 1060).select(col("id").as("k")).createOrReplaceTempView("rtf_dim3")
+    withRule(on = true) {
+      s.conf.set("spark.graft.runtimeFilter.maxKeys", "16")
+      try {
+        val df = s.sql("SELECT count(*) AS n FROM rtf_fact3 f JOIN rtf_dim3 d ON f.id = d.k")
+        assert(df.collect().head.getLong(0) === 60L)
+        val rel = df.queryExecution.optimizedPlan.collectFirst {
+          case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation] =>
+            lr.relation.asInstanceOf[GraftRelation]
+        }.get
+        assert(rel.lastScanFileCount < 8,
+          s"the range seed must zone-prune, got ${rel.lastScanFileCount} of 8")
+      } finally s.conf.unset("spark.graft.runtimeFilter.maxKeys")
+      // empty build side: the probe scan plans zero files
+      s.range(0).select(col("id").as("k")).createOrReplaceTempView("rtf_dim4")
+      val empty = s.sql("SELECT * FROM rtf_fact3 f JOIN rtf_dim4 d ON f.id = d.k")
+      assert(empty.count() === 0L)
+    }
+  }
+
+  test("non-deterministic builds stand down; results stay correct under DVs and eq-deletes") {
+    val fact = mkFact("dv", n = 20000, files = 4)
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW rtf_fact5 USING graft OPTIONS (path '$fact')")
+    // rand() in the build: executing it twice could disagree — stand down
+    withRule(on = true) {
+      val nd = s.sql("SELECT * FROM rtf_fact5 f JOIN " +
+        "(SELECT CAST(rand()*10 AS BIGINT) AS k FROM range(3)) d ON f.id = d.k")
+      assert(!hasKeySeed(nd), "non-deterministic build must not be collected")
+    }
+    // correctness composes with row-level deletes: DV one key, eq-delete
+    // another, then join — the seeded scan must still apply both
+    ManifestTable.deleteVectorized(s, fact, col("id") === 10L)
+    s.conf.set(ManifestTable.DmlModeKey, "eq")
+    try ManifestTable.merge(s, fact, s.range(0)
+      .select(col("id"), (col("id") % 97).as("v")),
+      keys = Seq("id"), deleteKeys = Some(Seq(20L).toDF("id")))
+    finally s.conf.unset(ManifestTable.DmlModeKey)
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW rtf_fact5 USING graft OPTIONS (path '$fact')")
+    Seq(10L, 20L, 30L).toDF("k").createOrReplaceTempView("rtf_dim5")
+    withRule(on = true) {
+      val df = s.sql("SELECT f.id FROM rtf_fact5 f JOIN rtf_dim5 d ON f.id = d.k")
+      assert(hasKeySeed(df))
+      assert(df.collect().map(_.getLong(0)).toSeq.sorted === Seq(30L),
+        "DV'd and eq-deleted keys stay deleted under the seeded scan")
+    }
+  }
+}

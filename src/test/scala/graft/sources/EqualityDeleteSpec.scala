@@ -373,6 +373,100 @@ class EqualityDeleteSpec extends SparkSpec {
     finally s.sql("DROP TABLE IF EXISTS eqd_cnt_t"): Unit
   }
 
+  test("per-ENTRY-SET read routing: a file appended between entries joins only the later entry's keys") {
+    val path = mkTable("entryset", n = 1000)
+    // entry 1 (v2), then an appended file (v3), then entry 2 (v4): the
+    // v3 file's affecting set is {entry 2} alone
+    withEq(spark) {
+      ManifestTable.merge(spark, path, spark.range(0)
+        .select(col("id"), lit("a").as("v")),
+        keys = Seq("id"), deleteKeys = Some(Seq(1L).toDF("id")))
+    }
+    ManifestTable.append(spark, path,
+      Seq((5000L, "mid"), (1L, "reborn")).toDF("id", "v"))
+    withEq(spark) {
+      ManifestTable.merge(spark, path, spark.range(0)
+        .select(col("id"), lit("b").as("v")),
+        keys = Seq("id"), deleteKeys = Some(Seq(5000L).toDF("id")))
+    }
+    val m = ManifestTable.readManifest(spark, path,
+      ManifestTable.currentVersion(spark, path).get)
+    val Seq(e1, e2) = m.eqdels.sortBy(_.seq)
+    val df = ManifestTable.read(spark, path)
+    val plan = df.queryExecution.executedPlan.toString
+    // entry 1's sidecar feeds ONE arm (the pre-entry-1 files); entry 2's
+    // feeds BOTH (every at-risk file is sequenced before it)
+    // plan Location strings truncate the sidecar dir's UUID tail — count
+    // by the version prefix (eqNNNNNNNNNNNN), unique per entry
+    def scansOf(name: String): Int =
+      ("_eqd/" + java.util.regex.Pattern.quote(name.takeWhile(_ != '-')))
+        .r.findAllIn(plan).length
+    assert(scansOf(e1.name) >= 1 && scansOf(e2.name) > scansOf(e1.name),
+      s"the mid-append arm must join only entry 2's keys " +
+        s"(e1 scans ${scansOf(e1.name)}, e2 scans ${scansOf(e2.name)})\n$plan")
+    // answer equality: id=1's reborn row survives entry 1 (sequenced
+    // after it), id=5000 dies to entry 2, the original id=1 stays dead
+    val got = df.filter(col("id").isin(1L, 5000L)).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "reborn")))
+    assert(df.count() === 1000L) // 1000 - e1's id=1 - e2's id=5000 + 2 appended
+  }
+
+  test("PURGE exonerates under COMPOSITE keys: leading-column pruning re-sequences key-disjoint files metadata-only") {
+    val path = Files.createTempDirectory("eqd_exonc").toString + "/t"
+    // range-clustered on the LEADING key column: trailing columns carry
+    // no stats, yet lead-value zone maps prove disjointness
+    ManifestTable.overwrite(spark, path, spark.range(10000)
+      .select(col("id"), (col("id") % 7).as("sub"),
+        concat(lit("v"), col("id")).as("v"))
+      .repartitionByRange(8, col("id")),
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    withEq(spark) {
+      ManifestTable.merge(spark, path,
+        Seq((100L, 100L % 7, "u100")).toDF("id", "sub", "v"),
+        keys = Seq("id", "sub"),
+        deleteKeys = Some(Seq((101L, 101L % 7)).toDF("id", "sub")))
+    }
+    val v0 = ManifestTable.currentVersion(spark, path).get
+    val before = ManifestTable.readManifest(spark, path, v0).files.toSet
+    val v = ManifestTable.rewriteDeletes(spark, path)
+    val after = ManifestTable.readManifest(spark, path, v).files.toSet
+    val carried = before.intersect(after)
+    assert(carried.size >= 7,
+      s"composite-key purge must exonerate key-disjoint files (carried " +
+        s"${carried.size} of ${before.size})")
+    assert(before.diff(after).nonEmpty, "the matched file(s) must rewrite")
+    val txt = manifestText(path, v)
+    assert(txt.contains("format=1") && !txt.contains("eqdel="),
+      "every entry retires in the same commit")
+    // answers exact: the composite delete hit only its full key tuple
+    val got = ManifestTable.read(spark, path)
+    assert(got.filter(col("id") === 101L).count() === 0L)
+    assert(got.filter(col("id") === 100L).select("v").as[String]
+      .collect().toSeq === Seq("u100"))
+    assert(ManifestTable.fastCount(spark, path) === Some(9999L))
+    // a composite key whose TUPLE matches nothing but whose lead value
+    // exists must still rewrite that file (lead-only pruning is
+    // conservative, never wrong): sub=99 never occurs
+    val p2 = Files.createTempDirectory("eqd_exonc2").toString + "/t"
+    ManifestTable.overwrite(spark, p2, spark.range(1000)
+      .select(col("id"), (col("id") % 7).as("sub"),
+        concat(lit("v"), col("id")).as("v"))
+      .repartitionByRange(4, col("id")),
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    withEq(spark) {
+      ManifestTable.merge(spark, p2, spark.range(0)
+        .select(col("id"), col("id").as("sub"), lit("x").as("v")),
+        keys = Seq("id", "sub"),
+        deleteKeys = Some(Seq((500L, 99L)).toDF("id", "sub")))
+    }
+    val v2 = ManifestTable.rewriteDeletes(spark, p2)
+    assert(manifestText(p2, v2).contains("format=1"))
+    assert(ManifestTable.read(spark, p2).count() === 1000L,
+      "a no-match tuple deletes nothing")
+    assert(ManifestTable.fastCount(spark, p2) === Some(1000L))
+  }
+
   test("foldEqdelCounts is ONE-PASS: job count does not scale with the entry count; overlapping keys attribute to the earliest entry") {
     def jobsDuring(body: => Unit): Int = {
       val n = new java.util.concurrent.atomic.AtomicInteger

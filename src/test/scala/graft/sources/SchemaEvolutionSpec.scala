@@ -174,6 +174,69 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(e.getMessage.contains("retyped: id"))
   }
 
+  test("NESTED field evolution: a struct-superset batch adds the field, old files read NULL, CDF crosses, parent guards hold") {
+    val path = Files.createTempDirectory("se_nested").toString + "/t"
+    ManifestTable.overwrite(spark, path,
+      spark.range(3).select(col("id"),
+        struct(lit("en").as("lang"), col("id").cast("int").as("score"))
+          .as("meta")).coalesce(1))
+    // batch adds meta.source (and reorders its fields): table widens to
+    // the MERGED struct — table field order kept, new field appended
+    ManifestTable.append(spark, path,
+      spark.range(10, 12).select(col("id"),
+        struct(lit("web").as("source"), lit("fr").as("lang"),
+          col("id").cast("int").as("score")).as("meta")))
+    val got = ManifestTable.read(spark, path)
+    assert(got.schema("meta").dataType.simpleString
+      === "struct<lang:string,score:int,source:string>")
+    // old files read NULL for the added nested field; new rows carry it
+    assert(got.filter(col("id") === 1L).select("meta.source").head().isNullAt(0))
+    assert(got.filter(col("id") === 10L).select("meta.source").as[String]
+      .head() === "web")
+    assert(got.filter(col("id") === 10L).select("meta.lang").as[String]
+      .head() === "fr")
+    // a batch MISSING the nested field (the old shape) still appends —
+    // its rows read NULL for it, like every pre-evolution vintage
+    ManifestTable.append(spark, path,
+      spark.range(20, 21).select(col("id"),
+        struct(lit("de").as("lang"), lit(7).as("score")).as("meta")))
+    assert(ManifestTable.read(spark, path).count() === 6L)
+    assert(ManifestTable.read(spark, path).filter(col("id") === 20L)
+      .select("meta.source").head().isNullAt(0))
+    // CDF across the evolution: the pre-add step's structs reshape to
+    // the final type with NULL in the added field
+    val cdf = ManifestTable.readChanges(spark, path, 0L, 3L)
+    assert(cdf.filter(col("_commit_version") === 1L)
+      .select("meta.source").collect().forall(_.isNullAt(0)))
+    assert(cdf.filter(col("_commit_version") === 1L)
+      .select("meta.lang").as[String].collect().toSet === Set("en"))
+    assert(cdf.filter(col("_commit_version") === 2L)
+      .select("meta.source").as[String].collect().toSet === Set("web"))
+    // nested retype still rejects (score int → string)
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, path,
+        spark.range(30, 31).select(col("id"),
+          struct(lit("en").as("lang"), lit("bad").as("score")).as("meta")))
+    }
+    assert(e.getMessage.contains("retyped: meta"))
+    // parent rename stays metadata-only and keeps nested answers; the
+    // renamed parent's nested field still reads
+    ManifestTable.renameColumn(spark, path, "meta", "info")
+    assert(ManifestTable.read(spark, path).filter(col("id") === 10L)
+      .select("info.source").as[String].head() === "web")
+    // parent drop retires the physical column: a re-added namesake
+    // never resurrects the old struct bytes
+    ManifestTable.dropColumn(spark, path, "info")
+    ManifestTable.append(spark, path,
+      spark.range(40, 41).select(col("id"),
+        struct(lit("zz").as("lang")).as("info")))
+    val after = ManifestTable.read(spark, path)
+    assert(after.filter(col("id") === 10L).select("info").head().isNullAt(0),
+      "dropped struct bytes must not resurrect under the re-added namesake")
+    assert(after.filter(col("id") === 40L).select("info.lang").as[String]
+      .head() === "zz")
+  }
+
   test("change feed and rewrites speak logical names after a rename") {
     val path = Files.createTempDirectory("se_cdf").toString + "/t"
     ManifestTable.overwrite(spark, path,
