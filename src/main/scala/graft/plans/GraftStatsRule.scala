@@ -34,15 +34,50 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   * cardinalities. The guard (`stats.isEmpty`) makes the rule a no-op on
   * its own output, and an explicit user-run ANALYZE TABLE always wins.
   */
-object GraftStatsRule extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation] &&
-        lr.catalogTable.forall(_.stats.isEmpty) =>
-      val r = lr.relation.asInstanceOf[GraftRelation]
-      val stats = CatalogStatistics(BigInt(r.sizeInBytes),
-        r.metaCountCheap.map(BigInt(_)), columnStats(r, lr))
-      val table = lr.catalogTable.getOrElse(synthetic(r))
-      lr.copy(catalogTable = Some(table.copy(stats = Some(stats))))
+object GraftStatsRule extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // string-skew calibration signal: the QUERY's own equality literals
+    // per attribute (exprIds are plan-global, so the map keys straight
+    // into each relation's output) — collected once per rule pass, only
+    // when CBO could consume the result
+    val eqLits: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Set[String]] =
+      if (conf.cboEnabled) collectEqLiterals(plan) else Map.empty
+    plan.transform {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation] &&
+          lr.catalogTable.forall(_.stats.isEmpty) =>
+        val r = lr.relation.asInstanceOf[GraftRelation]
+        val stats = CatalogStatistics(BigInt(r.sizeInBytes),
+          r.metaCountCheap.map(BigInt(_)), columnStats(r, lr, eqLits))
+        val table = lr.catalogTable.getOrElse(synthetic(r))
+        lr.copy(catalogTable = Some(table.copy(stats = Some(stats))))
+    }
+  }
+
+  /** Top-level conjunctive equality/IN string literals per attribute —
+    * what the plan actually tests, so the string column stats can
+    * calibrate equality selectivity from the zone maps' point-mass
+    * frequency floors. */
+  private def collectEqLiterals(plan: LogicalPlan)
+      : Map[org.apache.spark.sql.catalyst.expressions.ExprId, Set[String]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    plan.collect {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, _) =>
+        splitConjunctivePredicates(cond).flatMap {
+          case EqualTo(a: AttributeReference, Literal(v: UTF8String, StringType)) =>
+            Seq(a.exprId -> v.toString)
+          case EqualTo(Literal(v: UTF8String, StringType), a: AttributeReference) =>
+            Seq(a.exprId -> v.toString)
+          case EqualNullSafe(a: AttributeReference, Literal(v: UTF8String, StringType)) =>
+            Seq(a.exprId -> v.toString)
+          case In(a: AttributeReference, ls) =>
+            ls.collect { case Literal(v: UTF8String, StringType) =>
+              a.exprId -> v.toString }
+          case _ => Nil
+        }
+    }.flatten.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
   }
 
   /** Column min/max for CBO filter-selectivity estimation, folded from
@@ -53,7 +88,8 @@ object GraftStatsRule extends Rule[LogicalPlan] {
     * parses, and time IS the skew column of a log lake, so temporal
     * histograms matter most). Strings stay excluded: zone maps prune
     * them at scan time anyway, and the external encoding is lossy. */
-  private def columnStats(r: GraftRelation, lr: LogicalRelation)
+  private def columnStats(r: GraftRelation, lr: LogicalRelation,
+      eqLits: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Set[String]])
       : Map[String, org.apache.spark.sql.catalyst.catalog.CatalogColumnStat] = {
     import org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
     import org.apache.spark.sql.types._
@@ -61,25 +97,45 @@ object GraftStatsRule extends Rule[LogicalPlan] {
     // fold on sessions that run with CBO off (the default)
     if (!conf.cboEnabled) return Map.empty
     r.statsColumnsCheap.flatMap { c =>
-      lr.schema.find(_.name == c).filter(f => f.dataType match {
-        case ByteType | ShortType | IntegerType | LongType => true
-        case FloatType | DoubleType => true
-        case _: DecimalType => true
-        case DateType | TimestampType => true
-        case _ => false
-      }).flatMap { _ =>
-        // NDV from the merged per-file KMV sketches: the estimate that
-        // lets join reorder tell a near-unique key from a 5-value key
-        val ndv = r.metaNdvCheap(c)
-        val hist = histogramOf(r, c, ndv)
-        r.metaMinMaxCheap(c).map { case (mn, mx) =>
-          c -> CatalogColumnStat(distinctCount = ndv.map(BigInt(_)),
-            min = Some(extString(mn)), max = Some(extString(mx)),
-            histogram = hist)
-        }.orElse(ndv.map(n =>
-          c -> CatalogColumnStat(distinctCount = Some(BigInt(n)),
-            histogram = hist)))
-      }
+      lr.schema.find(_.name == c).flatMap { f => f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType
+            | FloatType | DoubleType | _: DecimalType
+            | DateType | TimestampType =>
+          // NDV from the merged per-file KMV sketches: the estimate that
+          // lets join reorder tell a near-unique key from a 5-value key
+          val ndv = r.metaNdvCheap(c)
+          val hist = histogramOf(r, c, ndv)
+          r.metaMinMaxCheap(c).map { case (mn, mx) =>
+            c -> CatalogColumnStat(distinctCount = ndv.map(BigInt(_)),
+              min = Some(extString(mn)), max = Some(extString(mx)),
+              histogram = hist)
+          }.orElse(ndv.map(n =>
+            c -> CatalogColumnStat(distinctCount = Some(BigInt(n)),
+              histogram = hist)))
+        case StringType =>
+          // STRING columns (a text corpus's skew columns: domain, lang):
+          // CatalogColumnStat has no string histogram, so equality
+          // selectivity is 1/NDV — under 90% skew that is off by the
+          // skew factor. When the QUERY tests an equality literal whose
+          // zone-map point-mass frequency floor is known (range-clustered
+          // tables: single-value files carry the hot key's mass), fold
+          // the frequency into an EFFECTIVE distinct count
+          // (⌈1/freq⌉ ≤ NDV), so 1/ndv lands near the literal's true
+          // selectivity. Unclustered tables and untested columns keep
+          // the honest sketch NDV — never a guess.
+          val ndv = r.metaNdvCheap(c)
+          val lits = lr.output.find(_.name == c).map(_.exprId)
+            .flatMap(eqLits.get).getOrElse(Set.empty)
+          val freq = lits.iterator.flatMap(v => r.metaPointFreqCheap(c, v))
+            .reduceOption(_ max _)
+          val effective = freq.filter(_ > 0).map(fr =>
+            math.max(1L, math.round(1.0 / fr)))
+            .map(e => ndv.fold(e)(n => math.min(n, e)))
+            .orElse(ndv)
+          effective.map(n =>
+            c -> CatalogColumnStat(distinctCount = Some(BigInt(n))))
+        case _ => None
+      }}
     }.toMap
   }
 

@@ -894,6 +894,23 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
     if (manifest.sidecar.isDefined) None
     else ManifestTable.fastFileRangesOf(manifest, colName)
 
+  /** DRIVER-CHEAP frequency floor of one string value: the mass of files
+    * whose zone map is the POINT [v, v] over the column's total non-null
+    * mass — on a range-clustered table a heavy hitter owns single-value
+    * files, so the floor approaches its true frequency; on an unclustered
+    * table it degrades toward 0 (no estimate), never to a wrong one. The
+    * string twin of the numeric histogram's point-mass bins, consumed by
+    * [[graft.plans.GraftStatsRule]] for equality-selectivity calibration. */
+  private[graft] def metaPointFreqCheap(colName: String, v: String): Option[Double] = {
+    val segs = metaFileRangesCheap(colName).getOrElse(return None)
+    val total = segs.iterator.map(_._3).sum
+    if (total <= 0) return None
+    val hit = segs.iterator.collect {
+      case (mn: String, mx: String, n) if mn == v && mx == v => n
+    }.sum
+    if (hit <= 0) None else Some(hit.toDouble / total)
+  }
+
   /** Manifest-answered MIN/MAX (zone maps) for the pinned snapshot. */
   private[graft] def metaMinMax(colName: String): Option[(Any, Any)] =
     ManifestTable.fastMinMaxOf(spark, path, manifest, colName)

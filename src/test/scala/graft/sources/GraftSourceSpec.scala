@@ -361,6 +361,51 @@ class GraftSourceSpec extends SparkSpec {
     }
   }
 
+  test("string frequency calibration reaches CBO: a 90%-skewed string key's equality estimate lands near truth") {
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_sfreq_wh").toString)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    val root = Files.createTempDirectory("graft_sfreq").toString
+    // 90% of rows carry lang='en', the tail spreads over 200 values —
+    // range-clustered on lang, so the hot key owns single-value files
+    // whose zone-map point mass IS its frequency floor
+    ManifestTable.overwrite(s, s"$root/t",
+      s.range(100000).select(col("id"),
+        when(col("id") % 10 < 9, lit("en"))
+          .otherwise(concat(lit("z"), (col("id") % 200).cast("string")))
+          .as("lang"))
+        .repartitionByRange(20, col("lang")),
+      statsCols = Seq("lang"))
+    s.sql("DROP TABLE IF EXISTS sfreq_t")
+    s.sql(s"CREATE TABLE sfreq_t USING graft OPTIONS (path '$root/t')")
+    def estimate(lit0: String): BigInt =
+      s.sql(s"SELECT * FROM sfreq_t WHERE lang = '$lit0'")
+        .queryExecution.optimizedPlan.stats.rowCount.getOrElse(BigInt(-1))
+    try {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      val hot = estimate("en")
+      assert(hot > BigInt(45000) && hot <= BigInt(100000),
+        s"the hot key's estimate must land near the true 90000, got $hot " +
+          "(uncalibrated 1/NDV would say ~500)")
+      // a cold literal keeps the honest 1/NDV estimate — the calibration
+      // only fires where a point-mass floor EXISTS
+      val cold = estimate("z7")
+      assert(cold >= 0 && cold < BigInt(10000),
+        s"a cold key must keep a small estimate, got $cold")
+    } finally {
+      s.conf.set("spark.sql.cbo.enabled", "false")
+      s.sql("DROP TABLE IF EXISTS sfreq_t"): Unit
+    }
+  }
+
   test("temporal and decimal histograms reach CBO: time-skewed filter estimate sees the hot hour") {
     org.apache.spark.sql.SparkSession.clearDefaultSession()
     org.apache.spark.sql.SparkSession.clearActiveSession()
