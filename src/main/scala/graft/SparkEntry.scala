@@ -706,6 +706,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
 
+    // ---- VARIANT semi-structured metadata (Spark 4's VariantType — the
+    // modern form of a corpus's heterogeneous JSON props): parse_json at
+    // ingest into a graft table, typed variant_get extraction (incl. a
+    // NESTED path) + a variant-predicate filter at read; the binary
+    // variant round-trips the manifest table's parquet + snapshot
+    // machinery untouched ----
+    "q_variant" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_var").toString + "/t"
+      val docs = Tables.documents(s, d)
+      graft.sources.ManifestTable.overwrite(s, dir,
+        docs.select(col("doc_id"),
+          parse_json(to_json(struct(col("lang"), col("source"),
+            struct(col("n_chars")).as("quality")))).as("props")))
+      s.sql("DROP TABLE IF EXISTS q_var_t")
+      s.sql(s"CREATE TABLE q_var_t USING graft OPTIONS (path '$dir')")
+      s.sql("""SELECT variant_get(props, '$.source', 'string') AS source,
+              |  count(*) AS n_docs,
+              |  sum(variant_get(props, '$.quality.n_chars', 'long')) AS sum_chars,
+              |  sum(CASE WHEN try_variant_get(props, '$.missing', 'string')
+              |        IS NULL THEN 1 ELSE 0 END) AS n_missing
+              |FROM q_var_t
+              |WHERE variant_get(props, '$.lang', 'string') = 'en'
+              |GROUP BY 1""".stripMargin)
+    }),
+
     // ---- LLM-pipeline: deduplication ----
     "q_dedup_exact" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -3877,6 +3902,15 @@ object SparkEntry {
         |MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // the variant extraction re-derived from the raw columns the JSON was
+    // assembled from (n_missing counts every row: the probed path never
+    // exists)
+    "q_variant" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(*) AS n_missing
+        |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
 
     "q_range_join" ->
       """SELECT e.event_id AS error_id, count(*) AS n_nearby

@@ -89,28 +89,27 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
     if (build.exists(_.expressions.exists(
         _.exists(_.isInstanceOf[SubqueryExpression])))) return j
     if (build.stats.sizeInBytes > conf.autoBroadcastJoinThreshold) return j
-    // first equality conjunct whose probe side is a bare graft stats/Bloom
-    // column and whose build side computes entirely from the build plan
-    val pair = splitConjunctivePredicates(j.condition.get).collectFirst {
+    // EVERY equality conjunct whose probe side is a bare graft stats/Bloom
+    // column and whose build side computes entirely from the build plan —
+    // a composite-key join seeds all its key columns from ONE plan-time
+    // collect of the distinct key tuples
+    val pairs = splitConjunctivePredicates(j.condition.get).flatMap {
       case EqualTo(a: AttributeReference, e)
           if probe.outputSet.contains(a) && e.references.nonEmpty &&
             e.references.subsetOf(build.outputSet) && eligible(probe, a) =>
-        (a, e)
+        Seq((a, e))
       case EqualTo(e, a: AttributeReference)
           if probe.outputSet.contains(a) && e.references.nonEmpty &&
             e.references.subsetOf(build.outputSet) && eligible(probe, a) =>
-        (a, e)
-    }
-    pair match {
+        Seq((a, e))
+      case _ => Nil
+    }.distinctBy(_._1.exprId)
+    if (pairs.isEmpty) j
+    else collectPredicate(pairs, build) match {
       case None => j
-      case Some((a, buildKey)) =>
-        val pred = collectPredicate(a, buildKey, build)
-        pred match {
-          case None => j
-          case Some(p) =>
-            val seeded = Filter(p, probe)
-            if (probeLeft) j.copy(left = seeded) else j.copy(right = seeded)
-        }
+      case Some(p) =>
+        val seeded = Filter(p, probe)
+        if (probeLeft) j.copy(left = seeded) else j.copy(right = seeded)
     }
   }
 
@@ -142,35 +141,52 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** Execute the build side (bounded) and shape the probe predicate. */
-  private def collectPredicate(a: AttributeReference, buildKey: Expression,
+  /** Execute the build side ONCE (bounded) and shape one predicate per
+    * probe key column, conjoined. Distinct key TUPLES drive the cap; a
+    * column's values are its non-null slice of the tuples. */
+  private def collectPredicate(pairs: Seq[(AttributeReference, Expression)],
                                build: LogicalPlan): Option[Expression] = {
     val spark = SparkSession.active
     val maxKeys = conf.getConfString(MaxKeysKey, "4096").toInt
     inCollect.set(true)
     try {
-      val proj = Project(Seq(Alias(buildKey, "__graft_rtk")()), build)
-      val df = bridge.ofRows(spark, proj)
-        .where(org.apache.spark.sql.functions.col("__graft_rtk").isNotNull)
-        .distinct().limit(maxKeys + 1)
+      val proj = Project(pairs.zipWithIndex.map { case ((_, e), i) =>
+        Alias(e, s"__graft_rtk_$i")() }, build)
+      val df = bridge.ofRows(spark, proj).distinct().limit(maxKeys + 1)
       val rows = df.collect()
       if (rows.isEmpty)
-        // no non-null build key: nothing on the probe side can ever match
-        Some(Literal.FalseLiteral)
-      else if (rows.length <= maxKeys)
-        Some(In(a, rows.toSeq.map(r => Literal.create(r.get(0), buildKey.dataType))))
-      else {
-        // past the cap: two agg values instead of a value list — the
-        // zone-range form prunes clustered probes at any build size
-        val agg = Aggregate(Nil, Seq(
-          Alias(Min(buildKey).toAggregateExpression(), "__graft_mn")(),
-          Alias(Max(buildKey).toAggregateExpression(), "__graft_mx")()), build)
-        val r = bridge.ofRows(spark, agg).collect().head
-        if (r.isNullAt(0) || r.isNullAt(1)) None
-        else Some(And(
-          GreaterThanOrEqual(a, Literal.create(r.get(0), buildKey.dataType)),
-          LessThanOrEqual(a, Literal.create(r.get(1), buildKey.dataType))))
-      }
+        // an empty build side: nothing on the probe side can ever match
+        return Some(Literal.FalseLiteral)
+      val preds: Seq[Expression] =
+        if (rows.length <= maxKeys) pairs.zipWithIndex.map {
+          case ((a, buildKey), i) =>
+            val vals = rows.iterator.filterNot(_.isNullAt(i))
+              .map(_.get(i)).toSeq.distinct
+            if (vals.isEmpty)
+              // every build key NULL: the equality conjunct never matches
+              Literal.FalseLiteral
+            else In(a, vals.map(Literal.create(_, buildKey.dataType)))
+        } else {
+          // past the cap: two agg values PER KEY instead of a value list
+          // (one aggregation job for all keys) — the zone-range form
+          // prunes clustered probes at any build size
+          val agg = Aggregate(Nil, pairs.zipWithIndex.flatMap {
+            case ((_, e), i) => Seq(
+              Alias(Min(e).toAggregateExpression(), s"__graft_mn_$i")(),
+              Alias(Max(e).toAggregateExpression(), s"__graft_mx_$i")())
+          }, build)
+          val r = bridge.ofRows(spark, agg).collect().head
+          pairs.zipWithIndex.map { case ((a, buildKey), i) =>
+            if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) Literal.TrueLiteral
+            else And(
+              GreaterThanOrEqual(a,
+                Literal.create(r.get(2 * i), buildKey.dataType)),
+              LessThanOrEqual(a,
+                Literal.create(r.get(2 * i + 1), buildKey.dataType)))
+          }
+        }
+      val kept = preds.filterNot(_ == Literal.TrueLiteral)
+      if (kept.isEmpty) None else Some(kept.reduce(And))
     } catch {
       // an unevaluable build side (analysis barrier, exotic expression)
       // must never fail the QUERY — the rule is an optimization only

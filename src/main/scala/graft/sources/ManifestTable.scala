@@ -956,6 +956,35 @@ object ManifestTable {
     }
   }
 
+  /** VARIANT columns cannot ride Spark set operations (`exceptAll`
+    * refuses the type) — encode them as their canonical JSON text for a
+    * diff and re-parse after. Carried rows are byte-identical parquet
+    * payloads whose JSON texts are identical, so the cancellation
+    * contract (rewrite invisibility) is unchanged; a genuinely-changed
+    * variant renders different text and survives the diff like any other
+    * column. Top-level variant columns only — the manifest table never
+    * nests them inside structs itself. */
+  private def variantCols(schema: StructType): Seq[String] =
+    schema.fields.filter(_.dataType.typeName == "variant").map(_.name).toSeq
+
+  private def diffSafe(fresh: DataFrame, gone: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val vcols = variantCols(fresh.schema)
+    if (vcols.isEmpty) (fresh.exceptAll(gone), gone.exceptAll(fresh))
+    else {
+      def enc(df: DataFrame) =
+        vcols.foldLeft(df)((d, c) => d.withColumn(c, to_json(col(s"`$c`"))))
+      def dec(df: DataFrame) =
+        vcols.foldLeft(df)((d, c) => d.withColumn(c, parse_json(col(s"`$c`"))))
+      val (fe, ge) = (enc(fresh), enc(gone))
+      (dec(fe.exceptAll(ge)), dec(ge.exceptAll(fe)))
+    }
+  }
+
+  /** One-sided [[diffSafe]] for the per-unit slice diffs. */
+  private def exceptSafe(fresh: DataFrame, gone: DataFrame): DataFrame =
+    diffSafe(fresh, gone)._1
+
   def readChanges(spark: SparkSession, path: String,
                   fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion, s"from $fromVersion > to $toVersion")
@@ -1027,7 +1056,7 @@ object ManifestTable {
       val (ins, del) =
         if (goneRels.isEmpty && eqGone.isEmpty) (fresh, fresh.limit(0))
         else if (freshRels.isEmpty && eqGone.isEmpty) (gone.limit(0), gone)
-        else (fresh.exceptAll(gone), gone.exceptAll(fresh))
+        else diffSafe(fresh, gone)
       typeChanges(alignToTarget(ins, to), alignToTarget(del, to),
         to.op, to.opCols)
         .withColumn("_commit_version", lit(v + 1))
@@ -1178,8 +1207,8 @@ object ManifestTable {
         .getOrElse(readRels(spark, path, from, Nil))
       val fresh = align(readRels(spark, path, to, f))
       val gone = align(readRels(spark, path, from, g)).unionByName(align(eqG))
-      return typeChanges(fresh.exceptAll(gone), gone.exceptAll(fresh),
-        to.op, to.opCols)
+      val (dIns, dDel) = diffSafe(fresh, gone)
+      return typeChanges(dIns, dDel, to.op, to.opCols)
         .withColumn("_commit_version", lit(fromVersion + 1))
     }
     val pureF = items.collect { case (f, Seq()) => f }.flatten
@@ -1189,14 +1218,14 @@ object ManifestTable {
     val ins = ((if (pureF.nonEmpty)
         Seq(align(readRels(spark, path, to, pureF))) else Nil) ++
       mixed.map { case (f, g) =>
-        align(readRels(spark, path, to, f))
-          .exceptAll(align(readRels(spark, path, from, g)))
+        exceptSafe(align(readRels(spark, path, to, f)),
+          align(readRels(spark, path, from, g)))
       }).foldLeft(empty)(_ unionByName _)
     val del = ((if (pureG.nonEmpty)
         Seq(align(readRels(spark, path, from, pureG))) else Nil) ++
       mixed.map { case (f, g) =>
-        align(readRels(spark, path, from, g))
-          .exceptAll(align(readRels(spark, path, to, f)))
+        exceptSafe(align(readRels(spark, path, from, g)),
+          align(readRels(spark, path, to, f)))
       }).foldLeft(empty)(_ unionByName _)
     // same four-type refinement as readChanges — merge-key pairing is
     // per SLICE here (a pair split across slices downgrades to its plain

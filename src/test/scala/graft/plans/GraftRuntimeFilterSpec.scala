@@ -124,6 +124,32 @@ class GraftRuntimeFilterSpec extends SparkSpec {
     }
   }
 
+  test("composite-key joins seed EVERY eligible key column from one collect") {
+    val path = Files.createTempDirectory("rtf_multi").toString + "/t"
+    ManifestTable.overwrite(s, path, s.range(40000).select(col("id"),
+      (col("id") % 16).as("grp"), (col("id") % 97).as("v"))
+      .repartitionByRange(8, col("id")),
+      statsCols = Seq("id", "grp"))
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW rtf_mfact USING graft OPTIONS (path '$path')")
+    Seq((100L, 100L % 16, "a"), (200L, 200L % 16, "b"))
+      .toDF("k", "g", "name").createOrReplaceTempView("rtf_mdim")
+    withRule(on = true) {
+      val df = s.sql("SELECT f.id, d.name FROM rtf_mfact f JOIN rtf_mdim d " +
+        "ON f.id = d.k AND f.grp = d.g")
+      val seeds = df.queryExecution.optimizedPlan.collect {
+        case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          fl.condition.collect {
+            case In(x: org.apache.spark.sql.catalyst.expressions.AttributeReference, _) => x.name
+            case InSet(x: org.apache.spark.sql.catalyst.expressions.AttributeReference, _) => x.name
+          }
+      }.flatten.toSet
+      assert(seeds.contains("id") && seeds.contains("grp"),
+        s"both key columns must seed, got $seeds")
+      assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(100L, 200L))
+      assert(relOf(df).lastScanFileCount < 8)
+    }
+  }
+
   test("non-deterministic builds stand down; results stay correct under DVs and eq-deletes") {
     val fact = mkFact("dv", n = 20000, files = 4)
     s.sql(s"CREATE OR REPLACE TEMPORARY VIEW rtf_fact5 USING graft OPTIONS (path '$fact')")
