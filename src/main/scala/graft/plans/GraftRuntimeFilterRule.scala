@@ -84,7 +84,20 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
     val build = if (probeLeft) j.right else j.left
     if (probe.isStreaming || build.isStreaming) return j
     // the build side runs NOW, at plan time: only a deterministic,
-    // subquery-free plan evaluates to the same keys twice
+    // subquery-free plan evaluates to the same keys twice — and only a
+    // SCAN-SHAPED one (leaf under Filters/Projects/Limits) runs. A size
+    // ESTIMATE under the threshold is not an execution-cost bound: an
+    // Aggregate/Join/Window over a huge input can estimate tiny while
+    // costing a full shuffle to evaluate, and the collect would pay it
+    // twice. Scan shapes are the DFP-profitable case and their plan-time
+    // cost is the pushdown-pruned scan the real join pays anyway.
+    val scanShaped = !build.exists {
+      case _: LeafNode | _: Filter | _: Project |
+           _: GlobalLimit | _: LocalLimit | _: SubqueryAlias |
+           _: Distinct => false
+      case _ => true
+    }
+    if (!scanShaped) return j
     if (build.exists(p => !p.expressions.forall(_.deterministic))) return j
     if (build.exists(_.expressions.exists(
         _.exists(_.isInstanceOf[SubqueryExpression])))) return j

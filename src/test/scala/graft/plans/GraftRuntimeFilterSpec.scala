@@ -158,6 +158,13 @@ class GraftRuntimeFilterSpec extends SparkSpec {
       val nd = s.sql("SELECT * FROM rtf_fact5 f JOIN " +
         "(SELECT CAST(rand()*10 AS BIGINT) AS k FROM range(3)) d ON f.id = d.k")
       assert(!hasKeySeed(nd), "non-deterministic build must not be collected")
+      // an AGGREGATE-shaped build estimates small but can cost a full
+      // shuffle to EVALUATE — never executed at plan time
+      val agg = s.sql("SELECT * FROM rtf_fact5 f JOIN " +
+        "(SELECT id % 7 AS k, count(*) AS c FROM range(100) GROUP BY 1) d " +
+        "ON f.id = d.k")
+      assert(!hasKeySeed(agg), "aggregate builds must stand down")
+      assert(agg.count() === 7L)
     }
     // correctness composes with row-level deletes: DV one key, eq-delete
     // another, then join — the seeded scan must still apply both

@@ -237,6 +237,43 @@ class SchemaEvolutionSpec extends SparkSpec {
       .head() === "zz")
   }
 
+  test("nested evolution composes with compaction, MOR update, and keyed merge") {
+    val path = Files.createTempDirectory("se_nested2").toString + "/t"
+    ManifestTable.overwrite(spark, path,
+      spark.range(6).select(col("id"),
+        struct(lit("en").as("lang")).as("meta")).repartition(3))
+    ManifestTable.append(spark, path,
+      spark.range(10, 13).select(col("id"),
+        struct(lit("fr").as("lang"), lit("web").as("source")).as("meta")))
+    // compaction heals the mixed vintages into the MERGED schema —
+    // old rows materialize NULL for the added nested field
+    ManifestTable.compact(spark, path, targetRowsPerFile = 100000, zorderBy = Nil)
+    val afterCompact = ManifestTable.read(spark, path)
+    assert(afterCompact.count() === 9L)
+    assert(afterCompact.schema("meta").dataType.simpleString
+      === "struct<lang:string,source:string>")
+    assert(afterCompact.filter(col("id") === 1L)
+      .select("meta.source").head().isNullAt(0))
+    assert(afterCompact.filter(col("id") === 11L)
+      .select("meta.source").as[String].head() === "web")
+    // MOR update touching pre-evolution rows: DV + appended replacement
+    spark.conf.set(ManifestTable.DmlModeKey, "mor")
+    try ManifestTable.update(spark, path, col("id") === 2L,
+      Seq("meta" -> struct(lit("de").as("lang"), lit("ed").as("source"))))
+    finally spark.conf.unset(ManifestTable.DmlModeKey)
+    assert(ManifestTable.read(spark, path).filter(col("id") === 2L)
+      .select("meta.source").as[String].head() === "ed")
+    // keyed merge with the evolved struct shape upserts cleanly
+    ManifestTable.merge(spark, path,
+      spark.range(20, 22).select(col("id"),
+        struct(lit("es").as("lang"), lit("m").as("source")).as("meta")),
+      keys = Seq("id"))
+    val fin = ManifestTable.read(spark, path)
+    assert(fin.count() === 11L)
+    assert(fin.filter(col("id") === 21L)
+      .select("meta.lang").as[String].head() === "es")
+  }
+
   test("change feed and rewrites speak logical names after a rename") {
     val path = Files.createTempDirectory("se_cdf").toString + "/t"
     ManifestTable.overwrite(spark, path,
