@@ -963,7 +963,12 @@ object ManifestTable {
     * contract (rewrite invisibility) is unchanged; a genuinely-changed
     * variant renders different text and survives the diff like any other
     * column. Top-level variant columns only — the manifest table never
-    * nests them inside structs itself. */
+    * nests them inside structs itself. Caveat: emitted CDF rows re-parse
+    * from the JSON text, which is exact for JSON-ORIGIN variants
+    * (`parse_json` ingest — the supported shape) but would re-type the
+    * exotic typed variant values (TIMESTAMP/BINARY inside a variant
+    * built from typed Spark data) to their JSON renderings; snapshot
+    * reads are unaffected either way. */
   private def variantCols(schema: StructType): Seq[String] =
     schema.fields.filter(_.dataType.typeName == "variant").map(_.name).toSeq
 
