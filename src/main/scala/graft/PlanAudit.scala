@@ -697,6 +697,113 @@ object PlanAudit {
           baseFiles == 8 && prunedFiles >= 0 && prunedFiles < baseFiles),
         "results identical to the unseeded plan" -> (_ =>
           prunedRows.toSet == baseline.toSet))
+
+      // r16: the SELECT DISTINCT dim-key derivation (grouping-only
+      // Aggregate build) seeds too — r15's dead arm, now load-bearing
+      def qd = spark.sql("SELECT f.order_id, f.amount FROM rt_fact f JOIN " +
+        "(SELECT DISTINCT k FROM rt_dim WHERE k < 120) d ON f.order_id = d.k")
+      val dDf = qd
+      val dRows = dDf.collect().toSeq
+      val dSeeded = dDf.queryExecution.optimizedPlan.exists {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.exists {
+            case _: org.apache.spark.sql.catalyst.expressions.In => true
+            case _: org.apache.spark.sql.catalyst.expressions.InSet => true
+            case _ => false
+          }
+        case _ => false
+      }
+      auditDf("runtime_distinct_seed", dDf)(
+        "a DISTINCT-derived build side seeds the probe" -> (_ => dSeeded),
+        s"fewer files (${relOf(dDf).lastScanFileCount} of 8)" -> (_ =>
+          relOf(dDf).lastScanFileCount >= 0 && relOf(dDf).lastScanFileCount < 8),
+        "20 clustered keys, 20 rows" -> (_ => dRows.size == 20))
+
+      // r16: one-key builds seed EXACTLY once (OptimizeIn rewrites the
+      // 1-element In to EqualTo; the re-fire guard must recognize it or
+      // the collect re-runs every fixpoint iteration and predicates stack)
+      val oneDf = spark.sql("SELECT f.amount FROM rt_fact f JOIN " +
+        "(SELECT 42 AS k) d ON f.order_id = d.k")
+      oneDf.collect()
+      val memberPreds = oneDf.queryExecution.optimizedPlan.collect {
+        case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          fl.condition.collect {
+            case org.apache.spark.sql.catalyst.expressions.In(
+              x: org.apache.spark.sql.catalyst.expressions.AttributeReference, _)
+              if x.name == "order_id" => 1
+            case org.apache.spark.sql.catalyst.expressions.InSet(
+              x: org.apache.spark.sql.catalyst.expressions.AttributeReference, _)
+              if x.name == "order_id" => 1
+            case org.apache.spark.sql.catalyst.expressions.EqualTo(
+              x: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+              _: org.apache.spark.sql.catalyst.expressions.Literal)
+              if x.name == "order_id" => 1
+          }.sum
+      }.sum
+      auditDf("runtime_one_key_seed", oneDf)(
+        s"exactly one membership predicate on the key (got $memberPreds)" -> (_ =>
+          memberPreds == 1))
+
+      // r16: past the IN cap a BLOOM-backed key keeps a membership seed —
+      // an UNCLUSTERED probe (all zone ranges overlap) still skips files
+      {
+        val bdir = java.nio.file.Files
+          .createTempDirectory("audit_rtbloom").toString + "/t"
+        graft.sources.ManifestTable.overwrite(spark, bdir,
+          spark.range(2000).select(col("id"), (col("id") % 97).as("v"))
+            .repartition(8, col("id") % 8), bloomCols = Seq("id"))
+        spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW rtb_fact USING graft OPTIONS (path '$bdir')")
+        spark.range(10000).select((col("id") * 8).as("k"))
+          .createOrReplaceTempView("rtb_dim")
+        def qb = spark.sql(
+          "SELECT f.id, f.v FROM rtb_fact f JOIN rtb_dim d ON f.id = d.k")
+        spark.conf.set("spark.graft.runtimeFilter.enabled", "false")
+        val bBase = qb.collect().toSeq
+        spark.conf.set("spark.graft.runtimeFilter.enabled", "true")
+        spark.conf.set("spark.graft.runtimeFilter.maxKeys", "1000")
+        val bDf = qb
+        val bRows = bDf.collect().toSeq
+        val bFiles = relOf(bDf).lastScanFileCount
+        spark.conf.unset("spark.graft.runtimeFilter.maxKeys")
+        spark.conf.unset("spark.graft.runtimeFilter.enabled")
+        auditDf("runtime_bloom_tier", bDf)(
+          s"10k keys > maxKeys still membership-prune via Blooms ($bFiles of 8)" -> (_ =>
+            bFiles >= 1 && bFiles <= 2),
+          "zero false negatives (identical results)" -> (_ =>
+            bRows.toSet == bBase.toSet))
+      }
+
+      // r16: generated-column predicate derivation — a raw variant-path
+      // range predicate opens a strict subset of a clustered table's files
+      {
+        val gdir = java.nio.file.Files
+          .createTempDirectory("audit_gen").toString + "/t"
+        graft.sources.ManifestTable.overwrite(spark, gdir,
+          spark.range(4000).select(col("id"),
+            org.apache.spark.sql.functions.parse_json(concat(
+              lit("{\"score\": "), (col("id") % 100).cast("string"),
+              lit("}"))).as("props"))
+            .repartitionByRange(8, col("id") % 100),
+          statsCols = Seq("score"),
+          generated = Map("score" -> "try_variant_get(props, '$.score', 'long')"))
+        spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gen_fact USING graft OPTIONS (path '$gdir')")
+        def qg = spark.sql("SELECT id FROM gen_fact " +
+          "WHERE try_variant_get(props, '$.score', 'long') >= 90")
+        spark.conf.set("spark.graft.generatedDerive.enabled", "false")
+        val gBaseDf = qg
+        val gBase = gBaseDf.collect().toSeq
+        val gBaseFiles = relOf(gBaseDf).lastScanFileCount
+        spark.conf.set("spark.graft.generatedDerive.enabled", "true")
+        val gDf = qg
+        val gRows = gDf.collect().toSeq
+        val gFiles = relOf(gDf).lastScanFileCount
+        spark.conf.unset("spark.graft.generatedDerive.enabled")
+        auditDf("generated_derive", gDf)(
+          s"variant-path predicate derives onto the stored column ($gFiles of $gBaseFiles files)" -> (_ =>
+            gBaseFiles == 8 && gFiles >= 1 && gFiles < gBaseFiles),
+          "results identical with and without derivation" -> (_ =>
+            gRows.toSet == gBase.toSet))
+      }
     }
     spark.stop()
   }

@@ -731,6 +731,59 @@ object SparkEntry {
               |GROUP BY 1""".stripMargin)
     }),
 
+    // ---- VARIANT hot-path pruning (r16): the variant itself cannot
+    // carry stats (no order, no stable hash — declaration refuses), so
+    // the table declares a GENERATED long over the hot path
+    // (`try_variant_get`), zone-maps it, range-clusters by it, and
+    // GraftGeneratedDeriveRule rewrites the query's raw variant-path
+    // range predicate onto the stored column — whole files skip for a
+    // predicate on an opaque binary column. Require-gated inline:
+    // the derived conjunct fired and a strict file subset opened ----
+    "q_variant_prune" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_varp").toString + "/t"
+      val docs = Tables.documents(s, d)
+      val prepped = docs.select(col("doc_id"), col("n_chars"),
+        parse_json(to_json(struct(col("lang"),
+          struct(col("n_chars")).as("quality")))).as("props"))
+        .repartitionByRange(8, col("n_chars")).drop("n_chars")
+      graft.sources.ManifestTable.overwrite(s, dir, prepped,
+        statsCols = Seq("n_chars_gen"),
+        generated = Map("n_chars_gen" ->
+          "try_variant_get(props, '$.quality.n_chars', 'long')"))
+      s.sql("DROP TABLE IF EXISTS q_varp_t")
+      s.sql(s"CREATE TABLE q_varp_t USING graft OPTIONS (path '$dir')")
+      val hi = docs.agg(max(col("n_chars"))).head.getLong(0) / 2
+      val q = s.sql(
+        s"""SELECT variant_get(props, '$$.lang', 'string') AS lang,
+           |  count(*) AS n_docs,
+           |  CAST(sum(variant_get(props, '$$.quality.n_chars', 'long')) AS BIGINT)
+           |    AS sum_chars
+           |FROM q_varp_t
+           |WHERE try_variant_get(props, '$$.quality.n_chars', 'long') >= $hi
+           |GROUP BY 1""".stripMargin)
+      q.collect(): Unit
+      val derived = q.queryExecution.optimizedPlan.exists {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.exists {
+            case org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+              a: org.apache.spark.sql.catalyst.expressions.AttributeReference, _)
+              if a.name == "n_chars_gen" => true
+            case _ => false
+          }
+        case _ => false
+      }
+      val opened = q.queryExecution.optimizedPlan.collectFirst {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if lr.relation.isInstanceOf[graft.sources.GraftRelation] =>
+          lr.relation.asInstanceOf[graft.sources.GraftRelation].lastScanFileCount
+      }.getOrElse(-1)
+      require(derived,
+        "the variant-path predicate must derive onto the generated column")
+      require(opened >= 1 && opened < 8,
+        s"the generated zone maps must skip files: opened $opened of 8")
+      q
+    }),
+
     // ---- LLM-pipeline: deduplication ----
     "q_dedup_exact" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -2220,14 +2273,21 @@ object SparkEntry {
       graft.sources.ManifestTable.setProperties(s, dir, Map(
         "graft.write.distribution" -> "range",
         "graft.write.sortOrder" -> "user_id"))
-      // at fixture scale AQE would coalesce the tiny range shuffle to one
-      // file and prove nothing; real volume produces many range partitions
-      // by itself — disable coalescing only around this append
-      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
-      val prevCoalesce = s.conf.get(coalesceKey, "true")
-      s.conf.set(coalesceKey, "false")
+      // the claim under test is the range LAYOUT, not the session's
+      // shuffle sizing: the clustered append's no-explicit-N range
+      // shuffle inherits `spark.sql.shuffle.partitions` (4 under a
+      // low-CPU diagnostic session → 5 files, tripping the >=8 gate) and
+      // AQE re-plans it by advisory bytes at fixture scale (→ 1 file) —
+      // pin BOTH around this one append so the fixture proves the same
+      // thing on every session shape
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevAqe = s.conf.get(aqeKey, "true")
+      val prevShuf = s.conf.get(shufKey)
+      s.conf.set(aqeKey, "false")
+      s.conf.set(shufKey, "32")
       try graft.sources.ManifestTable.append(s, dir, e.repartition(16))
-      finally s.conf.set(coalesceKey, prevCoalesce)
+      finally { s.conf.set(aqeKey, prevAqe); s.conf.set(shufKey, prevShuf) }
       val mx = e.agg(max("user_id")).head.getLong(0)
       val hi = mx / 20
       val (kept, total) = graft.sources.ManifestTable
@@ -3911,6 +3971,16 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  count(*) AS n_missing
         |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
+
+    // oracle re-derives from the RAW columns the fixture packed into the
+    // variant; the threshold is the same max/2 computed in SQL (// is
+    // DuckDB integer division, matching the fixture's Long division)
+    "q_variant_prune" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE n_chars >= (SELECT max(n_chars) // 2 FROM documents)
+        |GROUP BY lang""".stripMargin,
 
     "q_range_join" ->
       """SELECT e.event_id AS error_id, count(*) AS n_nearby

@@ -38,6 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // runtime file skipping on join keys: a broadcast-fit build side's
     // collected keys seed the graft scan's zone-map/Bloom pruning
     e.injectOptimizerRule(_ => GraftRuntimeFilterRule)
+    // generated-column predicate derivation (variant hot-path pruning)
+    e.injectOptimizerRule(_ => GraftGeneratedDeriveRule)
     // zero-shuffle storage-partitioned join over co-bucketed graft tables
     e.injectOptimizerRule(_ => CoBucketJoinRule)
     e.injectPlannerStrategy(_ => new CoBucketJoinStrategy)

@@ -3,7 +3,7 @@ package graft.plans
 import graft.sources.GraftRelation
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max, Min}
 import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -30,25 +30,49 @@ import org.apache.spark.sql.graft.bridge
   * FILTERS (inner: both; left-semi: left; left-outer: right; right-outer:
   * left — never an anti or preserved side). Build sides are executed
   * early, so only deterministic, subquery-free, non-streaming builds
-  * qualify. Three shapes, by build-side key count:
+  * qualify. Three shapes, by build-side distinct key count:
   *  - no non-null keys  → `false` (the join result over that side IS empty);
   *  - ≤ maxKeys distinct → `IN (k₁ … kₙ)` (zone + Bloom + row-group exact);
-  *  - > maxKeys          → `key BETWEEN min AND max` (zone-range only —
-  *    collect-free beyond two agg values, so no cap applies).
+  *  - ≤ maxBloomKeys AND the probe column carries per-file BLOOMS → still
+  *    a membership seed (`IN`, rewritten to an `InSet` hash lookup by
+  *    `OptimizeIn`): the manifest's per-file Blooms test every candidate's
+  *    hash, so an UNCLUSTERED probe prunes files past the plan-size cap.
+  *    The value list stays bounded by the broadcast gate that already
+  *    admitted the build; zone-point testing stands down above
+  *    [[graft.sources.ManifestTable]]'s per-file candidate bound and the
+  *    Blooms carry the skipping. (A relation-side sketch channel would
+  *    avoid the plan-carried list, but graft relations are CACHED across
+  *    queries by the catalog — out-of-plan state seeded by one query
+  *    could wrongly prune another's scan. Everything this rule does
+  *    therefore lives IN the plan.)
+  *  - past maxBloomKeys (or no Blooms on the column) → `key BETWEEN
+  *    min AND max` (zone-range only — two agg values regardless of key
+  *    count, so no cap applies).
+  *
+  * Snapshot stability: the build side executes at PLAN time while the
+  * join re-executes it at RUN time, so the seed is sound only if both
+  * reads see the same keys. Graft builds pin a snapshot version;
+  * `LocalRelation`/`Range` are literal; a file-source build resolves its
+  * file listing once in the shared `FileIndex`, so both executions read
+  * the SAME file list — the residual assumption is that no one mutates a
+  * listed file's bytes in place between plan and execution, the same
+  * immutability every snapshot/file-listing read in Spark already
+  * assumes. (Sources that violate it — overwritten-in-place CSV drops,
+  * say — should disable the rule.)
   *
   * Stand-downs: rule disabled (`spark.graft.runtimeFilter.enabled=false`),
   * no broadcast threshold, build side above it, probe column without
-  * stats/Blooms, single-file probe snapshots, or an existing key predicate
-  * on the same attribute (the re-fire guard — the optimizer runs its
-  * operator batch to fixpoint, and the inserted filter must not re-seed).
-  * Co-bucketed joins never meet this rule: [[CoBucketJoinRule]] requires
-  * BOTH sides above the broadcast threshold, this rule requires the build
-  * side below it.
+  * stats/Blooms, single-file probe snapshots, or an existing
+  * membership/point predicate on the same attribute (the fixpoint
+  * re-fire guard, see [[eligible]]). Co-bucketed joins never meet this
+  * rule: [[CoBucketJoinRule]] requires BOTH sides above the broadcast
+  * threshold, this rule requires the build side below it.
   */
 object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private val EnabledKey = "spark.graft.runtimeFilter.enabled"
   private val MaxKeysKey = "spark.graft.runtimeFilter.maxKeys"
+  private val MaxBloomKeysKey = "spark.graft.runtimeFilter.maxBloomKeys"
 
   /** Re-entrance guard: collecting build keys runs a child query through
     * the full optimizer — the rule must not fire inside its own collect
@@ -77,6 +101,22 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** A grouping-only Aggregate — grouping expressions are the whole
+    * output, no aggregate function anywhere — is `SELECT DISTINCT key
+    * FROM dim WHERE …`, the single most common dim-key derivation
+    * (`ReplaceDistinctWithAggregate` has rewritten `Distinct` into this
+    * shape before the operator-optimization batch this rule runs in).
+    * Its plan-time cost is exactly the `distinct()` [[collectPredicate]]
+    * already runs over every build; the extra guard is that the CHILD
+    * also estimates under the broadcast threshold — a grouped aggregate's
+    * own estimate can be tiny over a huge input, and the collect would
+    * pay the input's scan+shuffle. */
+  private def groupingOnly(a: Aggregate): Boolean =
+    a.groupingExpressions.nonEmpty &&
+      !a.aggregateExpressions.exists(_.exists(
+        _.isInstanceOf[AggregateExpression])) &&
+      a.child.stats.sizeInBytes <= conf.autoBroadcastJoinThreshold
+
   /** Try to seed `j`'s probe side with a key predicate from its build
     * side; returns `j` untouched when ineligible. */
   private def seed(j: Join, probeLeft: Boolean): Join = {
@@ -85,16 +125,20 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
     if (probe.isStreaming || build.isStreaming) return j
     // the build side runs NOW, at plan time: only a deterministic,
     // subquery-free plan evaluates to the same keys twice — and only a
-    // SCAN-SHAPED one (leaf under Filters/Projects/Limits) runs. A size
-    // ESTIMATE under the threshold is not an execution-cost bound: an
-    // Aggregate/Join/Window over a huge input can estimate tiny while
+    // SCAN-SHAPED one (leaf under Filters/Projects/Limits, plus a
+    // grouping-only Aggregate over such) runs. A size ESTIMATE under the
+    // threshold is not an execution-cost bound: an Aggregate-with-
+    // functions/Join/Window over a huge input can estimate tiny while
     // costing a full shuffle to evaluate, and the collect would pay it
     // twice. Scan shapes are the DFP-profitable case and their plan-time
     // cost is the pushdown-pruned scan the real join pays anyway.
     val scanShaped = !build.exists {
       case _: LeafNode | _: Filter | _: Project |
            _: GlobalLimit | _: LocalLimit | _: SubqueryAlias |
+           // Distinct is rewritten to Aggregate before this batch; the
+           // arm is kept for invocation orders that see the raw shape
            _: Distinct => false
+      case a: Aggregate if groupingOnly(a) => false
       case _ => true
     }
     if (!scanShaped) return j
@@ -105,16 +149,18 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
     // EVERY equality conjunct whose probe side is a bare graft stats/Bloom
     // column and whose build side computes entirely from the build plan —
     // a composite-key join seeds all its key columns from ONE plan-time
-    // collect of the distinct key tuples
+    // collect of the distinct key tuples. Each pair remembers whether its
+    // probe column carries per-file BLOOMS (the membership tier past the
+    // IN-list cap needs them).
     val pairs = splitConjunctivePredicates(j.condition.get).flatMap {
       case EqualTo(a: AttributeReference, e)
           if probe.outputSet.contains(a) && e.references.nonEmpty &&
-            e.references.subsetOf(build.outputSet) && eligible(probe, a) =>
-        Seq((a, e))
+            e.references.subsetOf(build.outputSet) =>
+        eligible(probe, a).map(g => (a, e, g.bloomKeyed(a.name))).toSeq
       case EqualTo(e, a: AttributeReference)
           if probe.outputSet.contains(a) && e.references.nonEmpty &&
-            e.references.subsetOf(build.outputSet) && eligible(probe, a) =>
-        Seq((a, e))
+            e.references.subsetOf(build.outputSet) =>
+        eligible(probe, a).map(g => (a, e, g.bloomKeyed(a.name))).toSeq
       case _ => Nil
     }.distinctBy(_._1.exprId)
     if (pairs.isEmpty) j
@@ -127,11 +173,27 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** The probe attribute is worth collecting for: it comes off a graft
-    * relation that records skippable stats for it, the snapshot has more
-    * than one file to skip, and no key predicate on this attribute exists
-    * yet anywhere on the probe side (the fixpoint re-fire guard — also
-    * stands down where a user already wrote the IN themselves). */
-  private def eligible(probe: LogicalPlan, a: AttributeReference): Boolean = {
+    * relation that records skippable stats for it, and the snapshot has
+    * more than one file to skip. Returns that relation (the caller needs
+    * its Bloom layout), or None.
+    *
+    * The fixpoint RE-FIRE guard lives here too: the operator batch runs
+    * to a fixpoint, and the rule must recognize its own previous seed in
+    * every shape later rules rewrite it into — `In` (as seeded), `InSet`
+    * (`OptimizeIn` past the conversion threshold), `EqualTo`/
+    * `EqualNullSafe` (`OptimizeIn` on a one-key build — missing this
+    * re-ran the plan-time collect every batch iteration), `false` (empty
+    * build), and the two-sided range pair the past-cap tier seeds. A
+    * node-identity tag cannot carry this: predicate pushdown re-CREATES
+    * filter nodes as it moves them through projects, dropping tags, so
+    * the guard matches SHAPE. The deliberate consequences: a user's own
+    * point/membership predicate on the key also stands the rule down
+    * (their predicate already prunes at least as tightly for zone/Bloom
+    * purposes), and — the r15 over-suppression fix — a user's ONE-SIDED
+    * range (`key >= lit` beside the join) no longer does: only a filter
+    * bounding the key from BOTH sides (our range seed's shape) counts. */
+  private def eligible(probe: LogicalPlan,
+                       a: AttributeReference): Option[GraftRelation] = {
     val rel = probe.collectFirst {
       case lr: LogicalRelation if lr.outputSet.contains(a) =>
         lr.relation match { case g: GraftRelation => g; case _ => null }
@@ -139,64 +201,102 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
     rel match {
       case Some(g: GraftRelation) if g.metaFileCount > 1 &&
           g.keyPrunable(a.name) =>
-        !probe.exists {
-          case Filter(cond, _) => splitConjunctivePredicates(cond).exists {
-            case In(x: AttributeReference, _) => x.semanticEquals(a)
-            case InSet(x: AttributeReference, _) => x.semanticEquals(a)
-            case GreaterThanOrEqual(x: AttributeReference, _: Literal) =>
-              x.semanticEquals(a)
-            case Literal(false, _) => true
-            case _ => false
-          }
+        val seededAlready = probe.exists {
+          case Filter(cond, _) =>
+            val conjuncts = splitConjunctivePredicates(cond)
+            var lo, hi = false
+            val member = conjuncts.exists {
+              case In(x: AttributeReference, _) => x.semanticEquals(a)
+              case InSet(x: AttributeReference, _) => x.semanticEquals(a)
+              case EqualTo(x: AttributeReference, l) if l.foldable =>
+                x.semanticEquals(a)
+              case EqualTo(l, x: AttributeReference) if l.foldable =>
+                x.semanticEquals(a)
+              case EqualNullSafe(x: AttributeReference, l) if l.foldable =>
+                x.semanticEquals(a)
+              case EqualNullSafe(l, x: AttributeReference) if l.foldable =>
+                x.semanticEquals(a)
+              case Literal(false, _) => true
+              case GreaterThan(x: AttributeReference, l)
+                  if l.foldable && x.semanticEquals(a) => lo = true; false
+              case GreaterThanOrEqual(x: AttributeReference, l)
+                  if l.foldable && x.semanticEquals(a) => lo = true; false
+              case LessThan(x: AttributeReference, l)
+                  if l.foldable && x.semanticEquals(a) => hi = true; false
+              case LessThanOrEqual(x: AttributeReference, l)
+                  if l.foldable && x.semanticEquals(a) => hi = true; false
+              case _ => false
+            }
+            member || (lo && hi)
           case _ => false
         }
-      case _ => false
+        if (seededAlready) None else Some(g)
+      case _ => None
     }
   }
 
   /** Execute the build side ONCE (bounded) and shape one predicate per
-    * probe key column, conjoined. Distinct key TUPLES drive the cap; a
+    * probe key column, conjoined. Distinct key TUPLES drive the caps; a
     * column's values are its non-null slice of the tuples. */
-  private def collectPredicate(pairs: Seq[(AttributeReference, Expression)],
-                               build: LogicalPlan): Option[Expression] = {
+  private def collectPredicate(
+      pairs: Seq[(AttributeReference, Expression, Boolean)],
+      build: LogicalPlan): Option[Expression] = {
     val spark = SparkSession.active
     val maxKeys = conf.getConfString(MaxKeysKey, "4096").toInt
+    val maxBloomKeys =
+      math.max(maxKeys, conf.getConfString(MaxBloomKeysKey, "65536").toInt)
     inCollect.set(true)
     try {
-      val proj = Project(pairs.zipWithIndex.map { case ((_, e), i) =>
+      val proj = Project(pairs.zipWithIndex.map { case ((_, e, _), i) =>
         Alias(e, s"__graft_rtk_$i")() }, build)
-      val df = bridge.ofRows(spark, proj).distinct().limit(maxKeys + 1)
+      val df = bridge.ofRows(spark, proj).distinct().limit(maxBloomKeys + 1)
       val rows = df.collect()
       if (rows.isEmpty)
         // an empty build side: nothing on the probe side can ever match
         return Some(Literal.FalseLiteral)
-      val preds: Seq[Expression] =
-        if (rows.length <= maxKeys) pairs.zipWithIndex.map {
-          case ((a, buildKey), i) =>
+      // columns that get a membership (IN) seed at this key count: all of
+      // them up to maxKeys; past it only Bloom-backed columns (per-file
+      // membership keeps pruning where zone ranges cannot)
+      val inBacked: Seq[Boolean] =
+        if (rows.length <= maxKeys) pairs.map(_ => true)
+        else if (rows.length <= maxBloomKeys) pairs.map(_._3)
+        else pairs.map(_ => false)
+      val memberPreds: Seq[Option[Expression]] =
+        pairs.zipWithIndex.map { case ((a, buildKey, _), i) =>
+          if (!inBacked(i)) None
+          else {
             val vals = rows.iterator.filterNot(_.isNullAt(i))
               .map(_.get(i)).toSeq.distinct
             if (vals.isEmpty)
               // every build key NULL: the equality conjunct never matches
-              Literal.FalseLiteral
-            else In(a, vals.map(Literal.create(_, buildKey.dataType)))
-        } else {
-          // past the cap: two agg values PER KEY instead of a value list
-          // (one aggregation job for all keys) — the zone-range form
-          // prunes clustered probes at any build size
-          val agg = Aggregate(Nil, pairs.zipWithIndex.flatMap {
-            case ((_, e), i) => Seq(
+              Some(Literal.FalseLiteral)
+            else Some(In(a, vals.map(Literal.create(_, buildKey.dataType))))
+          }
+        }
+      val preds: Seq[Expression] =
+        if (!memberPreds.contains(None)) memberPreds.flatten
+        else {
+          // remaining columns: two agg values PER KEY instead of a value
+          // list (one aggregation job for all of them) — the zone-range
+          // form prunes clustered probes at any build size
+          val rangePairs = pairs.zipWithIndex.filter(p => memberPreds(p._2).isEmpty)
+          val agg = Aggregate(Nil, rangePairs.flatMap {
+            case ((_, e, _), i) => Seq(
               Alias(Min(e).toAggregateExpression(), s"__graft_mn_$i")(),
               Alias(Max(e).toAggregateExpression(), s"__graft_mx_$i")())
           }, build)
           val r = bridge.ofRows(spark, agg).collect().head
-          pairs.zipWithIndex.map { case ((a, buildKey), i) =>
-            if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) Literal.TrueLiteral
-            else And(
-              GreaterThanOrEqual(a,
-                Literal.create(r.get(2 * i), buildKey.dataType)),
-              LessThanOrEqual(a,
-                Literal.create(r.get(2 * i + 1), buildKey.dataType)))
+          val ranges = rangePairs.zipWithIndex.map {
+            case (((a, buildKey, _), _), ri) =>
+              if (r.isNullAt(2 * ri) || r.isNullAt(2 * ri + 1))
+                Literal.TrueLiteral
+              else And(
+                GreaterThanOrEqual(a,
+                  Literal.create(r.get(2 * ri), buildKey.dataType)),
+                LessThanOrEqual(a,
+                  Literal.create(r.get(2 * ri + 1), buildKey.dataType)))
           }
+          memberPreds.flatten ++ ranges
         }
       val kept = preds.filterNot(_ == Literal.TrueLiteral)
       if (kept.isEmpty) None else Some(kept.reduce(And))

@@ -43,12 +43,14 @@ object GraftStatsRule extends Rule[LogicalPlan]
     // when CBO could consume the result
     val eqLits: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Set[String]] =
       if (conf.cboEnabled) collectEqLiterals(plan) else Map.empty
+    val joinKeys: Set[org.apache.spark.sql.catalyst.expressions.ExprId] =
+      if (conf.cboEnabled) collectJoinKeys(plan) else Set.empty
     plan.transform {
       case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation] &&
           lr.catalogTable.forall(_.stats.isEmpty) =>
         val r = lr.relation.asInstanceOf[GraftRelation]
         val stats = CatalogStatistics(BigInt(r.sizeInBytes),
-          r.metaCountCheap.map(BigInt(_)), columnStats(r, lr, eqLits))
+          r.metaCountCheap.map(BigInt(_)), columnStats(r, lr, eqLits, joinKeys))
         val table = lr.catalogTable.getOrElse(synthetic(r))
         lr.copy(catalogTable = Some(table.copy(stats = Some(stats))))
     }
@@ -80,6 +82,26 @@ object GraftStatsRule extends Rule[LogicalPlan]
     }.flatten.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
   }
 
+  /** Attributes used as EQUI-JOIN keys anywhere in the plan. The string
+    * point-mass calibration must not rewrite these columns' NDV: a
+    * lowered distinct count feeds the SAME query's join-cardinality
+    * estimate (output rows scale with 1/max(ndv)), so a hot-key filter
+    * beside a join on the same column would inflate the join estimate by
+    * the skew factor and can mis-reorder joins — the equality-
+    * selectivity fix is worth less than a join-order regression. */
+  private def collectJoinKeys(plan: LogicalPlan)
+      : Set[org.apache.spark.sql.catalyst.expressions.ExprId] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.toSeq.flatMap(splitConjunctivePredicates).flatMap {
+          case EqualTo(l, r) => (l.references ++ r.references).map(_.exprId)
+          case EqualNullSafe(l, r) => (l.references ++ r.references).map(_.exprId)
+          case _ => Nil
+        }
+    }.flatten.toSet
+  }
+
   /** Column min/max for CBO filter-selectivity estimation, folded from
     * the manifest's zone maps (driver-cheap inline manifests only, same
     * discipline as the row count). Numerics, decimals and temporals —
@@ -89,7 +111,8 @@ object GraftStatsRule extends Rule[LogicalPlan]
     * histograms matter most). Strings stay excluded: zone maps prune
     * them at scan time anyway, and the external encoding is lossy. */
   private def columnStats(r: GraftRelation, lr: LogicalRelation,
-      eqLits: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Set[String]])
+      eqLits: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Set[String]],
+      joinKeys: Set[org.apache.spark.sql.catalyst.expressions.ExprId] = Set.empty)
       : Map[String, org.apache.spark.sql.catalyst.catalog.CatalogColumnStat] = {
     import org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
     import org.apache.spark.sql.types._
@@ -122,9 +145,14 @@ object GraftStatsRule extends Rule[LogicalPlan]
           // the frequency into an EFFECTIVE distinct count
           // (⌈1/freq⌉ ≤ NDV), so 1/ndv lands near the literal's true
           // selectivity. Unclustered tables and untested columns keep
-          // the honest sketch NDV — never a guess.
+          // the honest sketch NDV — never a guess. Columns that are ALSO
+          // equi-join keys in this plan keep it too ([[collectJoinKeys]]:
+          // the rewritten NDV would corrupt the join-cardinality
+          // estimate on the same column).
           val ndv = r.metaNdvCheap(c)
-          val lits = lr.output.find(_.name == c).map(_.exprId)
+          val attr = lr.output.find(_.name == c)
+          val lits = attr.map(_.exprId)
+            .filterNot(joinKeys.contains)
             .flatMap(eqLits.get).getOrElse(Set.empty)
           val freq = lits.iterator.flatMap(v => r.metaPointFreqCheap(c, v))
             .reduceOption(_ max _)

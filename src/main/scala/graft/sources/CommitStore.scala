@@ -1,0 +1,139 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** The commit protocol's ATOMICITY PRIMITIVE, extracted behind a seam.
+  *
+  * Everything [[ManifestTable]] guarantees — snapshot isolation, the
+  * either/or of racing committers, tag create-exclusivity — reduces to
+  * ONE operation: publish these bytes under this name, atomically,
+  * failing if the name is taken ("put-if-absent"). On HDFS and on the
+  * local filesystem that primitive exists natively
+  * ([[RenameCommitStore]]); on an object store it does NOT — S3's rename
+  * is copy+delete and its PUT unconditionally replaces, so two
+  * concurrent committers of version N+1 would BOTH "win" and one
+  * snapshot would silently vanish. Delta solves this with a pluggable
+  * `LogStore` (DynamoDB arbitrates), Iceberg with the catalog's atomic
+  * swap; this trait is that seam reduced to its core — deploying on an
+  * eventually-consistent store means implementing `putIfAbsent` against
+  * a CAS service (a conditional-write table, a lock service, S3's
+  * If-None-Match conditional PUT) and naming the impl in
+  * `spark.graft.commitStore`.
+  *
+  * Contract:
+  *  - Of N concurrent `putIfAbsent` calls for the same (dir, name),
+  *    EXACTLY ONE returns true; the rest return false having changed
+  *    nothing. A false return must leave any pre-existing object's bytes
+  *    untouched.
+  *  - After a true return, `read` of (dir, name) — from ANY process —
+  *    returns exactly the published bytes (read-after-write visibility
+  *    is part of the primitive: a reader that lists version N must be
+  *    able to read version N).
+  *  - Published objects are IMMUTABLE: no overwrite, no delete through
+  *    this interface (retention is [[ManifestTable.vacuum]]'s job,
+  *    outside the commit path).
+  *
+  * What stays on the plain filesystem regardless of store: data files
+  * and sidecars (nonce-named — no two writers ever contend on a name),
+  * directory listings (names only ever APPEAR, and the reader protocol
+  * takes the highest contiguous version), and scratch. Only the
+  * name-claiming writes go through the seam.
+  */
+trait CommitStore {
+
+  /** Atomically publish `bytes` as `dir/name` iff no object with that
+    * name exists. True = this call published; false = the name was (or
+    * concurrently became) taken and nothing was written. */
+  def putIfAbsent(f: FileSystem, dir: Path, name: String,
+                  bytes: Array[Byte]): Boolean
+
+  /** Read a published object's bytes. Default: a plain filesystem read —
+    * correct for every store whose `putIfAbsent` materializes the object
+    * as a file (the rename store does; a CAS-service store must either
+    * do the same after winning the CAS, or override this to serve reads
+    * from its log). */
+  def read(f: FileSystem, dir: Path, name: String): Array[Byte] = {
+    val in = f.open(new Path(dir, name))
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      out.toByteArray
+    } finally in.close()
+  }
+}
+
+/** The default store: put-if-absent via the filesystem's own exclusive
+  * primitive. Bytes go to nonce-named scratch first (never a partial
+  * object under a real name), then publish:
+  *  - on `file:` via link(2) (`Files.createLink`), atomic-exclusive by
+  *    POSIX contract — a plain exists()+rename() is a TOCTOU hole there,
+  *    because Hadoop's local rename bottoms out in rename(2), which
+  *    silently REPLACES the destination;
+  *  - elsewhere via rename, which HDFS refuses atomically when the
+  *    destination exists (the exists() check is merely a fast path).
+  * Correct exactly where rename/link are atomic — HDFS, POSIX, ABFS;
+  * NOT on S3 (see [[CommitStore]]).
+  */
+object RenameCommitStore extends CommitStore {
+  override def putIfAbsent(f: FileSystem, dir: Path, name: String,
+                           bytes: Array[Byte]): Boolean = {
+    f.mkdirs(dir)
+    val scratch = new Path(dir.getParent, s"_tmp/cs-${java.util.UUID.randomUUID()}")
+    val out = f.create(scratch, true)
+    try out.write(bytes) finally out.close()
+    val target = new Path(dir, name)
+    val won =
+      if ("file" == f.getUri.getScheme) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(f.makeQualified(target).toUri.getPath),
+            java.nio.file.Paths.get(f.makeQualified(scratch).toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else !f.exists(target) && f.rename(scratch, target)
+    // a rename win consumed the scratch; every other outcome (link win,
+    // link loss, rename loss) leaves it behind as garbage
+    if (f.exists(scratch)) f.delete(scratch, false): Unit
+    won
+  }
+}
+
+object CommitStore {
+
+  /** Session conf naming the store: `rename` (default), a name
+    * registered via [[register]] (tests install doctored stores this
+    * way), or a fully-qualified class/object name instantiable by
+    * reflection. */
+  val ConfKey = "spark.graft.commitStore"
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitStore]()
+  registry.put("rename", RenameCommitStore)
+
+  /** Register a store under a short name (test seams, site plugins). */
+  def register(name: String, store: CommitStore): Unit =
+    registry.put(name, store): Unit
+
+  def forSession(spark: SparkSession): CommitStore = {
+    val name = spark.conf.getOption(ConfKey).getOrElse("rename")
+    Option(registry.get(name)).getOrElse {
+      val store =
+        try {
+          val cls = Class.forName(name)
+          // a Scala `object` exposes MODULE$; a class needs a no-arg ctor
+          scala.util.Try(cls.getField("MODULE$").get(null))
+            .getOrElse(cls.getDeclaredConstructor().newInstance())
+            .asInstanceOf[CommitStore]
+        } catch {
+          case scala.util.control.NonFatal(e) => sys.error(
+            s"$ConfKey='$name' is neither a registered store nor a " +
+              s"loadable CommitStore class: $e")
+        }
+      registry.put(name, store)
+      store
+    }
+  }
+}

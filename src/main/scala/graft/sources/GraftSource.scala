@@ -1159,11 +1159,31 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
   /** Whether a LOGICAL column's zone maps/Blooms can skip files by key
     * values — the [[graft.plans.GraftRuntimeFilterRule]] eligibility
     * probe (collecting build-side keys is pointless when the probe
-    * column has no file-skipping stats). */
-  private[graft] def keyPrunable(logicalName: String): Boolean = {
-    val ph = manifest.colmap.getOrElse(logicalName, logicalName)
-    manifest.statsCols.contains(ph) || manifest.bloomCols.contains(ph)
-  }
+    * column has no file-skipping stats). Tested by the NAME AS QUERIED:
+    * stats/Bloom columns are never colmappable (rename rejects them —
+    * [[ManifestTable.Manifest]]'s colmap contract), so their logical and
+    * physical names coincide, and this deliberately matches the same
+    * direct `statsCols`/`bloomCols` lookup the pruning path
+    * ([[innerScan]] → `prunedRels`) keys its bounds/points by — a
+    * colmap translation here once declared renamed columns "prunable"
+    * that the scan could never actually skip by. */
+  private[graft] def keyPrunable(logicalName: String): Boolean =
+    manifest.statsCols.contains(logicalName) ||
+      manifest.bloomCols.contains(logicalName)
+
+  /** Whether the column carries per-file BLOOM membership stats — the
+    * runtime filter's past-the-IN-cap tier needs them (zone ranges do
+    * nothing for a large key set on an unclustered probe; Blooms test
+    * every candidate per file). Same direct-name discipline as
+    * [[keyPrunable]]. */
+  private[graft] def bloomKeyed(logicalName: String): Boolean =
+    manifest.bloomCols.contains(logicalName)
+
+  /** The snapshot's GENERATED-column declarations (logical name → SQL
+    * expression) — [[graft.plans.GraftGeneratedDeriveRule]] rewrites
+    * predicates on the expression into predicates on the stored column. */
+  private[graft] def generatedColumns: Seq[(String, String)] =
+    ManifestTable.generatedOf(manifest)
 
   private[sources] def innerScan(requiredColumns: Array[String],
                                  filters: Array[Filter]): DataFrame = {

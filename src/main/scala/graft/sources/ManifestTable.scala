@@ -45,8 +45,11 @@ import java.nio.charset.StandardCharsets
   *    overlap); otherwise it throws — its rewritten rows were derived from a
   *    snapshot the winner changed. [[compact]] never rebases (same reason);
   *    orphaned files from any losing attempt are swept by [[vacuum]]. The
-  *    atomicity primitive is the filesystem rename, exactly as Delta on
-  *    HDFS; an eventually-consistent object store needs a CAS log service;
+  *    atomicity primitive is pluggable ([[CommitStore]], the Delta
+  *    `LogStore` seam): the default publishes via filesystem rename/link,
+  *    exactly as Delta on HDFS; an eventually-consistent object store —
+  *    where rename is copy+delete and two committers can both "win" —
+  *    plugs a CAS service into `spark.graft.commitStore` instead;
   *  - [[vacuum]] deletes files unreferenced by the retained manifests; run
   *    it with a retention window longer than any reader, as every
   *    manifest-based format requires.
@@ -491,15 +494,9 @@ object ManifestTable {
       version, manifestName(version))
 
   private def readManifestText(spark: SparkSession, path: String,
-                               name: String): String = {
-    val f = fs(spark, path)
-    val in = f.open(new Path(manifestDir(path), name))
-    try {
-      val out = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-      new String(out.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
-  }
+                               name: String): String =
+    new String(CommitStore.forSession(spark)
+      .read(fs(spark, path), manifestDir(path), name), StandardCharsets.UTF_8)
 
   private def parseManifest(path: String, text: String,
                             version: Long, label: String): Manifest = {
@@ -604,7 +601,11 @@ object ManifestTable {
     val eqmatched = lines.filter(_.startsWith("eqmatched="))
       .map(_.stripPrefix("eqmatched=")).map { l =>
         val i = l.lastIndexOf('|')
-        l.substring(0, i) -> l.substring(i + 1).toLong
+        if (i < 0) sys.error(s"malformed eqmatched line: $l")
+        val n = try l.substring(i + 1).toLong
+          catch { case _: NumberFormatException =>
+            sys.error(s"malformed eqmatched line: $l") }
+        l.substring(0, i) -> n
       }.toMap
     val eqdels = lines.filter(_.startsWith("eqdel="))
       .map(_.stripPrefix("eqdel=")).map { l =>
@@ -1429,10 +1430,24 @@ object ManifestTable {
 
   /** Per-file Bloom point test over pre-hashed candidates (one entry per
     * bloom column with candidates): the file survives when, for EVERY
-    * constrained column, SOME candidate may be present. */
+    * constrained column, SOME candidate may be present. The payload
+    * decodes ONCE per (file, column) and every candidate probes the
+    * decoded bitset — a runtime filter's Bloom-tier seed carries 10⁴-10⁵
+    * candidates, and per-candidate decode would be quadratic-ish
+    * (candidates × 4 KiB base64 per file). */
   private def keepByPointsStats(st: Option[FileStats],
                                 hashes: Map[String, Seq[Long]]): Boolean =
-    hashes.forall { case (c, hs) => hs.exists(h => bloomStatMayContain(st, c, h)) }
+    hashes.forall { case (c, hs) =>
+      st.flatMap(_.get(BloomPrefix + c)).flatMap(_._1) match {
+        case None => true // no bloom recorded for this file → must scan
+        case Some(payload) => decodeBloom(payload) match {
+          case None => true // malformed payload degrades to "may contain"
+          case Some((k, words)) => hs.exists(h =>
+            bloomProbes(words.length * 64, k, h)
+              .forall(idx => (words(idx >> 6) & (1L << (idx & 63))) != 0))
+        }
+      }
+    }
 
   /** Per-file NULL-count test: `IS NULL` (wantNull=true) skips null-free
     * files, `IS NOT NULL` skips all-null files. Missing counters (older
@@ -1576,9 +1591,15 @@ object ManifestTable {
     // point candidates ALSO zone-test per value (a file survives only if
     // SOME candidate sits inside its [min, max]) — an IN/equality set
     // prunes range-clustered tables even without Blooms. Callers pass
-    // non-null candidates only (x = NULL never matches).
+    // non-null candidates only (x = NULL never matches). The per-value
+    // test is O(candidates × files): past [[MaxZonePointCandidates]]
+    // (a runtime filter's Bloom-tier IN can carry 10⁴-10⁵ keys) it
+    // stands down — the Bloom test above stays O(k) bit-probes per
+    // (file, candidate) and carries the skipping for exactly the large
+    // sets the zone loop cannot afford.
     val zonePts: Map[String, Seq[Any]] = points.filter {
-      case (c, vs) => m.statsCols.contains(c) && vs.nonEmpty
+      case (c, vs) => m.statsCols.contains(c) && vs.nonEmpty &&
+        vs.size <= MaxZonePointCandidates
     }
     // DEFAULT-bearing columns: correct each file's recorded stats to what
     // the rows READ as before testing ([[adjustStatsForDefaults]]) —
@@ -1613,6 +1634,12 @@ object ManifestTable {
         m.files.filter(survivors)
     }
   }
+
+  /** Zone-point candidate bound: above this many candidates on one
+    * column, [[prunedRels]] skips the per-value zone test (cost
+    * candidates × files) and leaves file skipping to the per-file
+    * Blooms (constant probes per candidate). */
+  private val MaxZonePointCandidates = 256
 
   /** Per-file ZONE test of point candidates: for every constrained
     * column, SOME (non-null) candidate must sit inside the file's
@@ -1916,31 +1943,25 @@ object ManifestTable {
       words(idx >> 6) |= 1L << (idx & 63)
     }
 
-  /** True when the file MAY contain a value hashing to `h` — a missing or
-    * unparsable bloom is "may" (must scan); an empty bitset (all-null file)
-    * correctly answers "definitely not". */
-  private def bloomStatMayContain(st: Option[FileStats], colName: String,
-                                  h: Long): Boolean =
-    st.flatMap(_.get(BloomPrefix + colName)).flatMap(_._1) match {
-      case None => true
-      case Some(payload) =>
-        // ANY malformed payload (bad k, broken base64, empty bitset) must
-        // degrade to "may contain" — a corrupted stat line may cost a file
-        // read, never a wrong answer or a crashed scan
-        try {
-          val sep = payload.indexOf(':')
-          if (sep <= 0) return true
-          val k = payload.substring(0, sep).toInt
-          val bytes = java.util.Base64.getDecoder.decode(payload.substring(sep + 1))
-          if (k <= 0 || bytes.length < 8) return true
-          val words = new Array[Long](bytes.length / 8)
-          val bb = java.nio.ByteBuffer.wrap(bytes)
-          var i = 0
-          while (i < words.length) { words(i) = bb.getLong(); i += 1 }
-          bloomProbes(words.length * 64, k, h)
-            .forall(idx => (words(idx >> 6) & (1L << (idx & 63))) != 0)
-        } catch { case scala.util.control.NonFatal(_) => true }
-    }
+  /** Decode a `k:<base64 bitset>` bloom payload to (k, words). ANY
+    * malformed payload (bad k, broken base64, truncated bitset) yields
+    * None, which every consumer treats as "may contain" — a corrupted
+    * stat line may cost a file read, never a wrong answer or a crashed
+    * scan. An EMPTY bitset (all-null file) decodes fine and correctly
+    * answers "definitely not" to every probe. */
+  private def decodeBloom(payload: String): Option[(Int, Array[Long])] =
+    try {
+      val sep = payload.indexOf(':')
+      if (sep <= 0) return None
+      val k = payload.substring(0, sep).toInt
+      val bytes = java.util.Base64.getDecoder.decode(payload.substring(sep + 1))
+      if (k <= 0 || bytes.length < 8) return None
+      val words = new Array[Long](bytes.length / 8)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      var i = 0
+      while (i < words.length) { words(i) = bb.getLong(); i += 1 }
+      Some((k, words))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** xxhash64 of a point value exactly as the write side hashed the column
     * (same seed, same type coercion) — evaluated on the driver. */
@@ -2378,12 +2399,17 @@ object ManifestTable {
   /** Materialize DEFAULT columns into a LOGICAL-named write batch: a
     * missing column fills entirely, a present one coalesces its NULLs —
     * so post-add data files always hold physical values and the manifest
-    * stats stay exact. Stale entries (dropped columns) are ignored. */
+    * stats stay exact. Stale entries (dropped columns) are ignored.
+    * GENERATED columns recompute here too ([[fillGenerated]], after
+    * defaults so an expression may reference a defaulted column): this
+    * function is the one batch-shaping hook every write path already
+    * runs, which is exactly the coverage the generated-column invariant
+    * needs. */
   private def fillDefaults(m: Manifest, batch: DataFrame): DataFrame = {
     val ds = defaultsOf(m)
-    if (ds.isEmpty) return batch
+    if (ds.isEmpty) return fillGenerated(m, batch)
     val p2l = m.colmap.map(_.swap)
-    ds.toSeq.sortBy(_._1).foldLeft(batch) { case (df, (ph, sql)) =>
+    val defaulted = ds.toSeq.sortBy(_._1).foldLeft(batch) { case (df, (ph, sql)) =>
       m.schema.find(_.name == ph) match {
         case None => df
         case Some(f) =>
@@ -2392,6 +2418,91 @@ object ManifestTable {
           if (df.columns.contains(lg))
             df.withColumn(lg, coalesce(col(s"`$lg`"), d))
           else df.withColumn(lg, d)
+      }
+    }
+    fillGenerated(m, defaulted)
+  }
+
+  /** GENERATED COLUMNS (`graft.generated.<col>` table properties): a
+    * stored column DERIVED from other columns by a declared deterministic
+    * expression — the interim answer to variant-path pruning (parquet
+    * variant shredding's little sibling): declare
+    * `score → try_variant_get(props, '$.score', 'long')` at creation,
+    * list `score` in `statsCols`, and the opaque variant's hot path gets
+    * zone maps like any scalar column, while
+    * [[graft.plans.GraftGeneratedDeriveRule]] rewrites query predicates
+    * on the PATH EXPRESSION into predicates on the stored column so the
+    * user never has to name it.
+    *
+    * The load-bearing invariant — what makes that rewrite sound as a
+    * row-level predicate, not just file-level — is that EVERY stored row
+    * satisfies `col = expr(row)`: declaration is creation-only
+    * ([[overwrite]]'s `generated` parameter; declaring onto existing
+    * files would leave old rows with physical NULLs the rewrite would
+    * wrongly drop), every write path recomputes the column through THIS
+    * hook (it sits inside [[fillDefaults]], which every batch-shaping
+    * path already runs — appends, merges (all three DML modes), COW/MOR
+    * updates, staged writes, replaceWhere), a writer-supplied value is
+    * OVERWRITTEN (the derivation is the table's, exactly the
+    * `withDerived` discipline), and UPDATE refuses to SET the column
+    * directly. Declared exprs are validated deterministic,
+    * subquery-free and aggregate-free at creation; rename/drop of the
+    * column or anything its expression references rejects
+    * ([[requireMappable]]), the constraint-SQL rule. */
+  val GeneratedPropPrefix = "graft.generated."
+
+  /** logical column name → generating SQL expression, name-sorted. */
+  private[sources] def generatedOf(m: Manifest): Seq[(String, String)] =
+    if (m.props.isEmpty) Nil
+    else m.props.collect { case (k, v) if k.startsWith(GeneratedPropPrefix) =>
+      k.stripPrefix(GeneratedPropPrefix) -> v }.toSeq.sortBy(_._1)
+
+  /** Validate fresh generated-column declarations and materialize them
+    * into the creation batch ([[overwrite]] only). Each expression must
+    * analyze against the batch (missing references fail here, loudly),
+    * be deterministic, aggregate- and subquery-free, and not collide
+    * with partitioning or transform machinery. Evaluation is name-sorted
+    * and each column lands before the next is resolved, so an expression
+    * may reference an earlier-sorted generated column. */
+  private def applyGenerated(spark: SparkSession, df: DataFrame,
+                             generated: Map[String, String],
+                             partitionCols: Seq[String],
+                             transforms: Seq[PartitionTransform]): DataFrame =
+    generated.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, sql)) =>
+      require(!partitionCols.contains(c) &&
+        !transforms.exists(t => t.derived == c || t.src == c),
+        s"generated column '$c' collides with partitioning/transforms")
+      val analyzed =
+        try d.select(expr(sql).as(c)).queryExecution.analyzed
+        catch { case scala.util.control.NonFatal(e) => sys.error(
+          s"generated column '$c': expression '$sql' does not resolve " +
+            s"against the creation batch: ${e.getMessage}") }
+      require(analyzed.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.Project],
+        s"generated column '$c': expression '$sql' aggregates — a " +
+          "generated column derives row-by-row")
+      require(analyzed.expressions.forall(_.deterministic),
+        s"generated column '$c': expression '$sql' is non-deterministic — " +
+          "every rewrite must recompute the same value")
+      require(!analyzed.expressions.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])),
+        s"generated column '$c': expression '$sql' contains a subquery")
+      d.withColumn(c, expr(sql))
+    }
+
+  /** Recompute generated columns on a LOGICAL-named write batch (called
+    * from [[fillDefaults]] so every batch-shaping path gets it). Cast to
+    * the declared type keeps the column's physical type stable across
+    * sessions whose expr would resolve wider. */
+  private def fillGenerated(m: Manifest, batch: DataFrame): DataFrame = {
+    val decls = generatedOf(m)
+    if (decls.isEmpty) batch
+    else {
+      val logical = logicalSchema(m)
+      decls.foldLeft(batch) { case (df, (c, sql)) =>
+        val e = expr(sql)
+        df.withColumn(c,
+          logical.find(_.name == c).map(f => e.cast(f.dataType)).getOrElse(e))
       }
     }
   }
@@ -3061,14 +3172,13 @@ object ManifestTable {
         .map { case (k, v0) => s"prop=${java.net.URLEncoder.encode(k, "UTF-8")}|" +
           java.net.URLEncoder.encode(v0, "UTF-8") } ++
       statLines).mkString("\n") + "\n"
-    val scratch = new Path(path, s"_tmp/manifest-${java.util.UUID.randomUUID()}")
-    val out = f.create(scratch, true)
-    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    val target = new Path(manifestDir(path), manifestName(expected))
     // the version file is immutable: its atomic appearance IS the commit.
     // A lost race (version already taken) aborts rather than clobbers.
-    if (!publishExclusive(f, scratch, target)) {
-      f.delete(scratch, false)
+    // The atomicity primitive is the session's [[CommitStore]] — rename/
+    // link on filesystems that have an exclusive one, a CAS service on
+    // object stores that don't.
+    if (!CommitStore.forSession(spark).putIfAbsent(f, manifestDir(path),
+        manifestName(expected), body.getBytes(StandardCharsets.UTF_8))) {
       // the unpublished sidecar is unreferenced; drop it now rather than
       // waiting for vacuum — unless it is the BASE's sidecar reused by
       // this commit, which the winner's chain may still reference
@@ -3079,28 +3189,6 @@ object ManifestTable {
     }
     expected
   }
-
-  /** Atomically publish `scratch` as `target`, failing (false) if `target`
-    * already exists. A plain exists()+rename() is a TOCTOU hole on the
-    * local filesystem, where Hadoop's rename bottoms out in POSIX rename(2)
-    * and silently REPLACES the destination — two racing committers could
-    * both "win". On `file:` we therefore publish via link(2)
-    * (`Files.createLink`), which is atomic-exclusive by contract; on HDFS
-    * rename itself refuses an existing destination atomically, so the
-    * exists() check is merely a fast path.
-    */
-  private def publishExclusive(f: FileSystem, scratch: Path, target: Path): Boolean =
-    if ("file" == f.getUri.getScheme) {
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(f.makeQualified(target).toUri.getPath),
-          java.nio.file.Paths.get(f.makeQualified(scratch).toUri.getPath))
-        f.delete(scratch, false)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
-    } else !f.exists(target) && f.rename(scratch, target)
 
   /** Rebase budget for losing committers. Each retry re-reads the winner's
     * manifest and re-validates, so retries only exhaust under sustained
@@ -3118,20 +3206,28 @@ object ManifestTable {
     * Losing a commit race only costs a retry at the next version number —
     * replace-everything semantics carry no state to rebase.
     */
+  /** @param generated logical column name → deterministic SQL expression:
+    *        declares GENERATED columns with the table (creation-only —
+    *        see [[GeneratedPropPrefix]] for why). The columns are
+    *        materialized into this write and recomputed by every future
+    *        one; list them in `statsCols` to zone-map a variant/JSON hot
+    *        path. */
   def overwrite(spark: SparkSession, path: String, df: DataFrame,
                 partitionCols: Seq[String] = Nil,
                 statsCols: Seq[String] = Nil,
                 bloomCols: Seq[String] = Nil,
                 constraints: Seq[(String, String)] = Nil,
                 transforms: Seq[PartitionTransform] = Nil,
-                txn: Option[(String, Long)] = None): Long = {
+                txn: Option[(String, Long)] = None,
+                generated: Map[String, String] = Map.empty): Long = {
     // appendOnly guards every content-removing path; replace-the-table is
     // the most removing of all (reachable via CREATE OR REPLACE / the
     // Scala face), so it passes the same gate as TRUNCATE/DELETE/MERGE
     currentVersion(spark, path).foreach(v =>
       requireMutable(readManifest(spark, path, v), path, "OVERWRITE/REPLACE"))
     requireBucketableSources(df.schema, transforms, "create/overwrite")
-    val full = withDerived(df, transforms)
+    val withGen = applyGenerated(spark, df, generated, partitionCols, transforms)
+    val full = withDerived(withGen, transforms)
     val pCols = partitionCols ++ transforms.map(_.derived)
     enforceConstraints(full, constraints, "overwrite")
     val files = writeDataFiles(spark, path,
@@ -3143,7 +3239,9 @@ object ManifestTable {
       val next = currentVersion(spark, path).map(_ + 1).getOrElse(1L)
       try return commit(spark, path, next, full.schema, pCols, files,
         statsCols, stats, bloomCols, constraints = constraints,
-        transforms = transforms, txn = txn)
+        transforms = transforms, txn = txn,
+        props = generated.map { case (c, sql) =>
+          (GeneratedPropPrefix + c) -> sql })
       catch {
         case e: java.util.ConcurrentModificationException =>
           tries += 1; if (tries > MaxCommitRetries) throw e
@@ -3433,15 +3531,17 @@ object ManifestTable {
     case (ByteType | ShortType | IntegerType, DoubleType) => true
     case (a: DecimalType, b: DecimalType) =>
       b.scale >= a.scale && b.precision - b.scale >= a.precision - a.scale
-    // NESTED evolution, ADD-ONLY (Iceberg/Delta's nested column add): a
-    // struct widens to a superset struct whose new fields are nullable —
-    // old files read NULL for them (parquet schema clipping matches
-    // nested fields by name). Existing nested fields must keep their
-    // exact type: the vectorized reader's upcast contract is
-    // probe-verified at top level only, so nested retype/widening still
-    // rejects rather than risking a silent mis-read. Recurses through
-    // struct-in-struct, arrays, and map values (the metadata shapes a
-    // corpus's evolving `props` column takes).
+    // NESTED evolution (Iceberg/Delta's nested add + widen): a struct
+    // widens to a superset struct whose new fields are nullable — old
+    // files read NULL for them (parquet schema clipping matches nested
+    // fields by name) — and an existing nested SCALAR may widen along
+    // this same lattice once [[NestedUpcastProbe]] has verified the
+    // reader honors that edge INSIDE struct/array/map containers (the
+    // top-level edges were verified by hand; nested ones are verified
+    // by a one-time in-JVM probe per edge, so an unprobed or failing
+    // edge still rejects rather than risking a silent mis-read).
+    // Recurses through struct-in-struct, arrays, and map values (the
+    // metadata shapes a corpus's evolving `props` column takes).
     case (a: StructType, b: StructType) =>
       a.fields.forall(af => b.fields.find(_.name == af.name).exists(bf =>
         nestedAddOk(af.dataType, bf.dataType))) &&
@@ -3455,16 +3555,110 @@ object ManifestTable {
   private def nestedSame(a: DataType, b: DataType): Boolean =
     ignoreNullability(a) == ignoreNullability(b)
 
-  /** An existing NESTED position may stay identical or (when it is
-    * itself a container) add-only-widen recursively; nested scalar
-    * retype/widening rejects — see the struct arm's contract note. */
+  /** An existing NESTED position may stay identical, (when it is itself
+    * a container) add-only-widen recursively, or (when it is a scalar
+    * on the top-level widening lattice) widen — IF the probe has
+    * verified the reader's nested upcast for that exact edge. */
   private def nestedAddOk(from: DataType, to: DataType): Boolean =
     nestedSame(from, to) || ((from, to) match {
       case (_: StructType, _: StructType) | (_: ArrayType, _: ArrayType) |
            (_: MapType, _: MapType) =>
         canWiden(ignoreNullability(from), ignoreNullability(to))
-      case _ => false
+      case (f, t) =>
+        canWiden(f, t) && NestedUpcastProbe.verified(f, t)
     })
+
+  /** PROBE-VERIFICATION of the parquet reader's nested upcast, per edge.
+    *
+    * The top-level widening lattice ([[canWiden]]'s scalar arms) was
+    * verified against Spark 4's parquet source by hand; the reader's
+    * per-leaf updaters are nesting-agnostic in design, but "in design"
+    * is not a contract — so before the first nested widening of a
+    * (from → to) edge in this JVM, write ONE tiny parquet file carrying
+    * extreme `from`-typed values inside a struct, an array, and a map
+    * value, read it back under the widened schema, and require the
+    * values to round-trip exactly. Pass → the edge widens nested from
+    * then on (cached); any failure or exception → [[nestedAddOk]] keeps
+    * rejecting, exactly the pre-probe behavior. Cost: one local
+    * millisecond-scale write+read per edge per JVM, only ever paid on
+    * the schema-evolution path that wants the edge.
+    */
+  private[sources] object NestedUpcastProbe {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Boolean]()
+
+    /** Representative extremes per widenable source scalar — values a
+      * lossy or misaligned upcast would corrupt visibly. */
+    private def samples(dt: DataType): Seq[Any] = dt match {
+      case ByteType => Seq(Byte.MinValue, (-1).toByte, Byte.MaxValue)
+      case ShortType => Seq(Short.MinValue, (-1).toShort, Short.MaxValue)
+      case IntegerType => Seq(Int.MinValue, -1, Int.MaxValue)
+      case FloatType => Seq(Float.MinPositiveValue, -3.25f, 1.0e30f)
+      case d: DecimalType =>
+        val digits = "9" * (d.precision - d.scale)
+        Seq(new java.math.BigDecimal(s"-$digits.${"9" * d.scale}"),
+          new java.math.BigDecimal(s"$digits.${"9" * d.scale}"))
+      case _ => Nil
+    }
+
+    def verified(from: DataType, to: DataType): Boolean =
+      cache.computeIfAbsent((from.sql, to.sql), { _ =>
+        try java.lang.Boolean.valueOf(probe(from, to)) catch {
+          case scala.util.control.NonFatal(_) => java.lang.Boolean.FALSE
+        }
+      }).booleanValue()
+
+    /** Exact numeric view for cross-width comparison: every widenable
+      * scalar embeds losslessly in BigDecimal (floats via their exact
+      * double expansion — float→double upcast is bit-exact, so both
+      * sides expand identically). */
+    private def num(a: Any): java.math.BigDecimal = a match {
+      case b: Byte => java.math.BigDecimal.valueOf(b.toLong)
+      case s: Short => java.math.BigDecimal.valueOf(s.toLong)
+      case i: Int => java.math.BigDecimal.valueOf(i.toLong)
+      case l: Long => java.math.BigDecimal.valueOf(l)
+      case f: Float => new java.math.BigDecimal(f.toDouble)
+      case d: Double => new java.math.BigDecimal(d)
+      case d: java.math.BigDecimal => d
+      case other => sys.error(s"unexpected probe value: $other")
+    }
+
+    private def probe(from: DataType, to: DataType): Boolean = {
+      val vals = samples(from)
+      if (vals.isEmpty) return false
+      val spark = SparkSession.active
+      def shaped(leaf: DataType) = StructType(Seq(
+        StructField("s", StructType(Seq(StructField("x", leaf)))),
+        StructField("a", ArrayType(leaf)),
+        StructField("m", MapType(StringType, leaf))))
+      val rows = new java.util.ArrayList[Row]()
+      vals.foreach(v => rows.add(Row(Row(v), Seq(v), Map("k" -> v))): Unit)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_upcast_probe").toFile
+      try {
+        spark.createDataFrame(rows, shaped(from))
+          .repartition(1).write.mode(SaveMode.Overwrite)
+          .parquet(dir.toString)
+        val got = spark.read.schema(shaped(to)).parquet(dir.toString)
+          .selectExpr("s.x AS sx", "a[0] AS ax", "m['k'] AS mx").collect()
+          .map(r => (r.get(0), r.get(1), r.get(2)))
+        // all three containers must upcast, value-exact, in any row order
+        def sortedNums(xs: Seq[java.math.BigDecimal]) =
+          xs.sortWith(_.compareTo(_) < 0)
+        val want = sortedNums(vals.map(num))
+        got.length == vals.length &&
+          got.forall { case (sx, ax, mx) =>
+            sx != null && ax != null && mx != null &&
+              num(sx).compareTo(num(ax)) == 0 &&
+              num(sx).compareTo(num(mx)) == 0
+          } && sortedNums(got.map(g => num(g._1)).toSeq).zip(want)
+            .forall { case (a, b) => a.compareTo(b) == 0 }
+      } finally {
+        scala.util.Try(
+          org.apache.commons.io.FileUtils.deleteDirectory(dir)): Unit
+      }
+    }
+  }
 
   /** The table type after accepting a nested-superset batch: table field
     * ORDER is preserved, the batch's new nested fields append (nullable),
@@ -3906,13 +4100,14 @@ object ManifestTable {
       s"cannot tag version $v at $path: no such committed version")
     val p = new Path(manifestDir(path), tagFileName(name))
     val body = s"version=$v\nts=${System.currentTimeMillis()}\n"
-    def write(target: Path, overwrite: Boolean): Unit = {
-      val out =
-        try f.create(target, overwrite)
-        catch { case _: java.io.IOException => sys.error(
-          s"tag '$name' already exists at $path (CREATE OR REPLACE TAG to move it)") }
-      try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    }
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    // tag creation is CREATE-EXCLUSIVE — a concurrent CREATE of the same
+    // name must lose loudly, which is the commit protocol's put-if-absent
+    // primitive again: route it through the session's [[CommitStore]]
+    def createExclusive(tagName: String): Unit =
+      if (!CommitStore.forSession(spark).putIfAbsent(
+          f, manifestDir(path), tagFileName(tagName), bytes)) sys.error(
+        s"tag '$name' already exists at $path (CREATE OR REPLACE TAG to move it)")
     if (replace) {
       // bridge the delete→create window with a SWAP pin of the new
       // version, so a concurrent VACUUM can never catch the target
@@ -3921,13 +4116,16 @@ object ManifestTable {
       // OUTSIDE the tag grammar (names start alphanumeric) — so it can
       // never clobber a real user tag, never lists in SHOW TAGS, and
       // never resolves in FOR VERSION AS OF; its PIN is still honored by
-      // VACUUM (swapPinnedVersions) until the sweep GCs stale ones.
+      // VACUUM (swapPinnedVersions) until the sweep GCs stale ones. The
+      // swap pin is transient plumbing overwritten in place (not a
+      // name-claiming commit object), so it writes directly.
       val swap = new Path(manifestDir(path), tagFileName(s".swap.$name"))
-      write(swap, overwrite = true)
+      val out = f.create(swap, true)
+      try out.write(bytes) finally out.close()
       f.delete(p, false): Unit
-      write(p, overwrite = false)
+      createExclusive(name)
       f.delete(swap, false): Unit
-    } else write(p, overwrite = false)
+    } else createExclusive(name)
     v
   }
 
@@ -5658,6 +5856,14 @@ object ManifestTable {
     require(refs.isEmpty,
       s"$op: '$name' is referenced by CHECK constraint(s) " +
         s"${refs.map(_._1).mkString(", ")} — drop them first")
+    // generated columns: both the column itself (its derivation names it)
+    // and anything its stored expression references resolve by name —
+    // the constraint-SQL rule again
+    val genRefs = generatedOf(m).filter { case (gc, sql) => gc == name ||
+      sql.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(name)}\\b.*") }
+    require(genRefs.isEmpty,
+      s"$op: '$name' is (or is referenced by) generated column(s) " +
+        s"${genRefs.map(_._1).mkString(", ")} — recreate the table to change them")
   }
 
   /** Rename a column WITHOUT rewriting any data (metadata-only commit):
@@ -6012,6 +6218,11 @@ object ManifestTable {
       s"UPDATE of $path assigns generated partition column(s) " +
         s"${sets.map(_._1).filter(generated).mkString(", ")} — their values " +
         "derive from the transform; update the source column instead")
+    val genCols = generatedOf(m).map(_._1).toSet
+    require(!sets.exists(kv => genCols(kv._1)),
+      s"UPDATE of $path assigns GENERATED column(s) " +
+        s"${sets.map(_._1).filter(genCols).mkString(", ")} — their values " +
+        "derive from the declared expression; update the source column instead")
     val touched = touchedFiles(spark, path, m.files, m, predicate)
     if (touched.isEmpty) return v
     val hit = coalesce(predicate, lit(false))
