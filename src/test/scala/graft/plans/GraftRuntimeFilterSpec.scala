@@ -35,11 +35,19 @@ class GraftRuntimeFilterSpec extends SparkSpec {
         lr.relation.asInstanceOf[GraftRelation]
     }.getOrElse(fail("no graft relation in the plan"))
 
+  /** A membership seed in ANY of the shapes the optimizer leaves it in:
+    * `In` as seeded, `InSet` past the conversion threshold, or `EqualTo`
+    * — `OptimizeIn` rewrites a ONE-key seed to an equality in the same
+    * batch (pre-r16 the guard missed that shape and a stacked re-seeded
+    * `In` hid it; with the loop fixed, the equality IS the seed). */
   private def hasKeySeed(df: DataFrame): Boolean =
     df.queryExecution.optimizedPlan.exists {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         f.condition.exists {
           case _: In | _: InSet => true
+          case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            _: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+            _: org.apache.spark.sql.catalyst.expressions.Literal) => true
           case _ => false
         }
       case _ => false
@@ -147,6 +155,99 @@ class GraftRuntimeFilterSpec extends SparkSpec {
         s"both key columns must seed, got $seeds")
       assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(100L, 200L))
       assert(relOf(df).lastScanFileCount < 8)
+    }
+  }
+
+  test("SELECT DISTINCT dim-key builds (grouping-only Aggregate) seed — r15's dead arm, alive") {
+    val fact = mkFact("dist")
+    // dim with DUPLICATE keys: the natural `SELECT DISTINCT key FROM dim
+    // WHERE …` derivation, which ReplaceDistinctWithAggregate rewrites
+    // into a grouping-only Aggregate before the rule ever sees it
+    Seq((10L, "a"), (10L, "a2"), (20L, "b"), (20L, "b2"), (30L, "c"))
+      .toDF("k", "name").createOrReplaceTempView("rtf_ddim")
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW rtf_dfact USING graft OPTIONS (path '$fact')")
+    def q = s.sql("SELECT f.id, f.v FROM rtf_dfact f JOIN " +
+      "(SELECT DISTINCT k FROM rtf_ddim WHERE k < 100) d ON f.id = d.k")
+    val expected = withRule(on = false)(q.orderBy("id").collect().toSeq)
+    withRule(on = true) {
+      val df = q
+      assert(hasKeySeed(df), "a DISTINCT-derived build must seed")
+      assert(df.orderBy("id").collect().toSeq === expected)
+      assert(relOf(df).lastScanFileCount <= 2,
+        s"3 clustered keys open ~1 file, got ${relOf(df).lastScanFileCount}")
+    }
+  }
+
+  test("a user's ONE-SIDED range on the join key no longer suppresses seeding (r15 over-suppression)") {
+    val fact = mkFact("rguard")
+    Seq((10L, "a"), (20L, "b")).toDF("k", "name")
+      .createOrReplaceTempView("rtf_rgdim")
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW rtf_rgfact USING graft OPTIONS (path '$fact')")
+    withRule(on = true) {
+      val df = s.sql("SELECT f.id, d.name FROM rtf_rgfact f JOIN rtf_rgdim d " +
+        "ON f.id = d.k WHERE f.id >= 5")
+      assert(hasKeySeed(df),
+        "an unrelated `id >= 5` beside the join must not stand the rule down")
+      assert(df.orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(10L, 20L))
+      assert(relOf(df).lastScanFileCount <= 2)
+    }
+  }
+
+  test("one-key builds seed once: OptimizeIn's EqualTo rewrite is recognized, no predicate stacking") {
+    val fact = mkFact("onekey", n = 20000, files = 4)
+    Seq((42L, "only")).toDF("k", "name").createOrReplaceTempView("rtf_1dim")
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW rtf_1fact USING graft OPTIONS (path '$fact')")
+    withRule(on = true) {
+      val df = s.sql("SELECT f.id, d.name FROM rtf_1fact f JOIN rtf_1dim d ON f.id = d.k")
+      assert(df.collect().map(_.getLong(0)).toSeq === Seq(42L))
+      // the seeded 1-element In is rewritten to EqualTo by OptimizeIn in
+      // the SAME batch; the guard must recognize it or every further
+      // iteration re-collects and stacks another In on top (ADVICE r15)
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+      val keyPreds = df.queryExecution.optimizedPlan.collect {
+        case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          fl.condition.collect {
+            case In(x: AttributeReference, _) if x.name == "id" => 1
+            case InSet(x: AttributeReference, _) if x.name == "id" => 1
+            case EqualTo(x: AttributeReference, _: Literal) if x.name == "id" => 1
+            case EqualTo(_: Literal, x: AttributeReference) if x.name == "id" => 1
+          }.sum
+      }.sum
+      assert(keyPreds === 1,
+        s"exactly ONE membership predicate on the key, got $keyPreds (stacked re-seeds)")
+      assert(relOf(df).lastScanFileCount <= 1)
+    }
+  }
+
+  test("past the IN cap, Bloom-backed columns keep a membership seed: 10k keys prune an UNCLUSTERED probe") {
+    // files interleave ids MOD 8 (every file's [min,max] spans the whole
+    // domain — zone maps prune nothing); per-file distinct count is kept
+    // small (250) so the per-file Bloom's fpp stays far below 1/candidates
+    // and membership pruning is decisive where range pruning cannot be
+    val path = Files.createTempDirectory("rtf_bloom").toString + "/t"
+    ManifestTable.overwrite(s, path,
+      s.range(2000).select(col("id"), (col("id") % 97).as("v"))
+        .repartition(8, col("id") % 8),
+      bloomCols = Seq("id"))
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW rtf_bfact USING graft OPTIONS (path '$path')")
+    // 10 000 distinct build keys, all ≡ 0 (mod 8): only one fact file can
+    // hold any of them
+    s.range(10000).select((col("id") * 8).as("k"))
+      .createOrReplaceTempView("rtf_bdim")
+    def q = s.sql("SELECT f.id, f.v FROM rtf_bfact f JOIN rtf_bdim d ON f.id = d.k")
+    val expected = withRule(on = false)(q.orderBy("id").collect().toSeq)
+    withRule(on = true) {
+      s.conf.set("spark.graft.runtimeFilter.maxKeys", "1000")
+      try {
+        val df = q
+        assert(hasKeySeed(df),
+          "10k keys exceed maxKeys but the Bloom-backed column keeps a membership seed")
+        assert(df.orderBy("id").collect().toSeq === expected,
+          "zero false negatives: seeded results identical")
+        val opened = relOf(df).lastScanFileCount
+        assert(opened >= 1 && opened <= 2,
+          s"Blooms must prune the 7 key-free files, got $opened of 8")
+      } finally s.conf.unset("spark.graft.runtimeFilter.maxKeys")
     }
   }
 

@@ -1,0 +1,140 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The [[CommitStore]] seam: the commit protocol's atomicity reduces to
+  * one put-if-absent primitive, and the difference between having it and
+  * not having it is OBSERVABLE — a doctored exists()+PUT store (the S3
+  * shape: non-atomic check-then-write) lets two successful committers
+  * claim the same version and silently loses one of them, while the
+  * default CAS store turns the same race into a loud retry that lands
+  * both. Also pins the selection plumbing (registry + reflection) and
+  * tag create-exclusivity through the seam.
+  */
+class CommitStoreSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** S3-PUT-shaped store: exists() check, then an UNCONDITIONAL create —
+    * the TOCTOU window is `between`, where a test injects a concurrent
+    * winner. Exactly what "rename" compiles to on an object store with
+    * no CAS. */
+  object TocTouStore extends CommitStore {
+    @volatile var between: () => Unit = () => ()
+    override def putIfAbsent(f: FileSystem, dir: Path, name: String,
+                             bytes: Array[Byte]): Boolean = {
+      if (f.exists(new Path(dir, name))) false
+      else {
+        val hook = between
+        between = () => ()      // fire once — the injected commit itself
+        hook()                  // must route through the store unhooked
+        val out = f.create(new Path(dir, name), true)
+        try out.write(bytes) finally out.close()
+        true
+      }
+    }
+  }
+  CommitStore.register("toctou", TocTouStore)
+
+  private def withStore[A](name: String)(body: => A): A = {
+    spark.conf.set(CommitStore.ConfKey, name)
+    try body finally spark.conf.unset(CommitStore.ConfKey)
+  }
+
+  test("non-atomic exists+PUT store: two committers both 'win' one version and a commit silently vanishes") {
+    val path = Files.createTempDirectory("cs_toctou").toString + "/t"
+    ManifestTable.overwrite(spark, path,
+      Seq((1L, "base")).toDF("k", "v"))
+    withStore("toctou") {
+      // writer A enters the TOCTOU window (version 2 not yet taken);
+      // writer B commits version 2 INSIDE it; A's blind PUT then clobbers
+      TocTouStore.between = () =>
+        ManifestTable.append(spark, path, Seq((3L, "B")).toDF("k", "v")): Unit
+      val vA = ManifestTable.append(spark, path, Seq((2L, "A")).toDF("k", "v"))
+      // both writers reported success at the same version — the broken
+      // invariant a CAS-less object store deployment would ship
+      assert(vA === 2L, "writer A believes it committed version 2")
+      assert(ManifestTable.currentVersion(spark, path).contains(2L))
+      val rows = ManifestTable.read(spark, path)
+        .select("v").as[String].collect().toSet
+      assert(rows === Set("base", "A"),
+        s"writer B's successful commit must have silently vanished, got $rows")
+    }
+  }
+
+  test("default CAS store: the same race loses loudly and rebases — both commits land") {
+    val path = Files.createTempDirectory("cs_cas").toString + "/t"
+    ManifestTable.overwrite(spark, path, Seq((1L, "base")).toDF("k", "v"))
+    // same dance through a store that delegates to the REAL primitive but
+    // injects writer B inside writer A's window: A's putIfAbsent then
+    // returns false, commit throws ConcurrentModificationException, and
+    // append's rebase loop re-attempts at version 3 — nothing vanishes
+    object HookedRename extends CommitStore {
+      @volatile var between: () => Unit = () => ()
+      override def putIfAbsent(f: FileSystem, dir: Path, name: String,
+                               bytes: Array[Byte]): Boolean = {
+        val hook = between
+        between = () => ()
+        hook()
+        RenameCommitStore.putIfAbsent(f, dir, name, bytes)
+      }
+    }
+    CommitStore.register("hooked-rename", HookedRename)
+    withStore("hooked-rename") {
+      HookedRename.between = () =>
+        ManifestTable.append(spark, path, Seq((3L, "B")).toDF("k", "v")): Unit
+      val vA = ManifestTable.append(spark, path, Seq((2L, "A")).toDF("k", "v"))
+      assert(vA === 3L, "writer A must have rebased past writer B's version 2")
+      val rows = ManifestTable.read(spark, path)
+        .select("v").as[String].collect().toSet
+      assert(rows === Set("base", "A", "B"), "both commits land under CAS")
+      assert(ManifestTable.currentVersion(spark, path).contains(3L))
+    }
+  }
+
+  test("raw primitive: of N same-name putIfAbsent calls exactly one wins; bytes are the winner's") {
+    val dir = new Path(Files.createTempDirectory("cs_prim").toString, "_manifests")
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val results = (1 to 8).map(i =>
+      RenameCommitStore.putIfAbsent(f, dir, "m1.txt",
+        s"writer-$i".getBytes("UTF-8")))
+    assert(results.count(identity) === 1, s"exactly one winner, got $results")
+    val winner = s"writer-${results.indexOf(true) + 1}"
+    assert(new String(RenameCommitStore.read(f, dir, "m1.txt"), "UTF-8") === winner,
+      "published bytes are exactly the winner's")
+    // loser scratch must not accumulate
+    val tmp = new Path(dir.getParent, "_tmp")
+    assert(!f.exists(tmp) || f.listStatus(tmp).isEmpty,
+      "losing putIfAbsent attempts must clean their scratch")
+  }
+
+  test("tag creation routes through the seam: concurrent CREATE of one name loses loudly") {
+    val path = Files.createTempDirectory("cs_tag").toString + "/t"
+    ManifestTable.overwrite(spark, path, Seq((1L, "x")).toDF("k", "v"))
+    ManifestTable.createTag(spark, path, "release")
+    val e = intercept[RuntimeException](
+      ManifestTable.createTag(spark, path, "release"))
+    assert(e.getMessage.contains("already exists"))
+    // CREATE OR REPLACE still moves it (the swap-pin path)
+    ManifestTable.append(spark, path, Seq((2L, "y")).toDF("k", "v"))
+    ManifestTable.createTag(spark, path, "release", replace = true)
+    assert(ManifestTable.tagVersion(spark, path, "release").contains(2L))
+  }
+
+  test("store selection: registry name, reflection fallback, and a loud unknown") {
+    assert(CommitStore.forSession(spark) eq RenameCommitStore)
+    withStore("toctou") {
+      assert(CommitStore.forSession(spark) eq TocTouStore)
+    }
+    withStore("graft.sources.RenameCommitStore$") {
+      assert(CommitStore.forSession(spark) eq RenameCommitStore)
+    }
+    withStore("no.such.Store") {
+      val e = intercept[RuntimeException](CommitStore.forSession(spark))
+      assert(e.getMessage.contains("no.such.Store"))
+    }
+  }
+}

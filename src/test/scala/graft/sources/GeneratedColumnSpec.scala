@@ -1,0 +1,155 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** GENERATED COLUMNS (`graft.generated.*`) and the predicate-derivation
+  * rule ([[graft.plans.GraftGeneratedDeriveRule]]): the interim variant-
+  * hot-path answer — a declared deterministic expression materializes as
+  * a stored, zone-mappable column on every write path, and a query
+  * predicate on the EXPRESSION prunes files through the stored column
+  * without the user naming it. The spec pins the soundness invariant
+  * from every side: recompute on append/merge/update (writer values
+  * overwritten, SET refused), declaration validation, rename/drop
+  * rejection, and the rewrite's exactness (identical results, strictly
+  * fewer files).
+  */
+class GeneratedColumnSpec extends SparkSpec {
+
+  private lazy val s = MorDmlSpec.extSpark
+  import s.implicits._
+
+  private def mkVariantTable(tag: String): String = {
+    val path = Files.createTempDirectory(s"gen_$tag").toString + "/t"
+    // 4000 docs; the variant carries a score the table derives back out
+    // into a generated long, range-clustered so the hot path zone-prunes
+    val docs = s.range(4000).select(col("id"),
+      parse_json(concat(lit("""{"score": """), (col("id") % 100).cast("string"),
+        lit(""", "src": "s"}"""))).as("props"))
+    ManifestTable.overwrite(s, path,
+      docs.repartitionByRange(8, col("id") % 100),
+      statsCols = Seq("score"),
+      generated = Map("score" -> "try_variant_get(props, '$.score', 'long')"))
+    path
+  }
+
+  private def relOf(df: org.apache.spark.sql.DataFrame): GraftRelation =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.relation.isInstanceOf[GraftRelation] =>
+        lr.relation.asInstanceOf[GraftRelation]
+    }.getOrElse(fail("no graft relation in the plan"))
+
+  private def withRule[A](on: Boolean)(body: => A): A = {
+    s.conf.set("spark.graft.generatedDerive.enabled", on.toString)
+    try body finally s.conf.unset("spark.graft.generatedDerive.enabled")
+  }
+
+  test("a variant-path range predicate opens a strict subset of files, identical results") {
+    val path = mkVariantTable("prune")
+    s.sql("DROP TABLE IF EXISTS gen_t1")
+    s.sql(s"CREATE TABLE gen_t1 USING graft OPTIONS (path '$path')")
+    def q = s.sql(
+      """SELECT id, try_variant_get(props, '$.score', 'long') AS sc
+        |FROM gen_t1
+        |WHERE try_variant_get(props, '$.score', 'long') >= 90""".stripMargin)
+    val (expected, allFiles) = withRule(on = false) {
+      val df = q
+      (df.orderBy("id").collect().toSeq, relOf(df).lastScanFileCount)
+    }
+    assert(allFiles === 8, "without derivation the variant predicate scans every file")
+    withRule(on = true) {
+      val df = q
+      val got = df.orderBy("id").collect().toSeq
+      assert(got === expected, "derivation must not change results")
+      assert(got.nonEmpty && got.forall(_.getLong(1) >= 90))
+      val opened = relOf(df).lastScanFileCount
+      assert(opened > 0 && opened < 8,
+        s"the stored generated column must zone-prune, got $opened of 8")
+      // the derived conjunct is a plain attribute comparison on `score`
+      val derived = df.queryExecution.optimizedPlan.exists {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.exists {
+            case org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+              a: org.apache.spark.sql.catalyst.expressions.AttributeReference, _)
+              if a.name == "score" => true
+            case _ => false
+          }
+        case _ => false
+      }
+      assert(derived, "the rule must add `score >= 90` beside the variant predicate")
+    }
+  }
+
+  test("every write path recomputes: append fills, writer values are overwritten, merge and UPDATE re-derive") {
+    val path = Files.createTempDirectory("gen_write").toString + "/t"
+    ManifestTable.overwrite(s, path,
+      Seq((1L, "ab"), (2L, "abcd")).toDF("k", "txt"),
+      generated = Map("n_chars" -> "length(txt)"))
+    def byK = ManifestTable.read(s, path).orderBy("k")
+      .select("k", "txt", "n_chars").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(byK === Map(1L -> (("ab", 2)), 2L -> (("abcd", 4))))
+    // append WITHOUT the column: filled
+    ManifestTable.append(s, path, Seq((3L, "x")).toDF("k", "txt"))
+    assert(byK(3L) === (("x", 1)))
+    // append WITH a wrong writer-supplied value: the derivation wins
+    ManifestTable.append(s, path,
+      Seq((4L, "xyz", 999)).toDF("k", "txt", "n_chars"))
+    assert(byK(4L) === (("xyz", 3)), "writer-supplied generated values are overwritten")
+    // merge upsert changing the source column: re-derived
+    ManifestTable.merge(s, path,
+      Seq((1L, "abcdef")).toDF("k", "txt"), keys = Seq("k"))
+    assert(byK(1L) === (("abcdef", 6)))
+    // COW UPDATE of the source column: re-derived
+    ManifestTable.update(s, path, col("k") === 2L, Seq("txt" -> lit("zz")))
+    assert(byK(2L) === (("zz", 2)))
+    // MOR UPDATE too
+    s.conf.set(ManifestTable.DmlModeKey, "mor")
+    try ManifestTable.update(s, path, col("k") === 3L, Seq("txt" -> lit("wxyz")))
+    finally s.conf.unset(ManifestTable.DmlModeKey)
+    assert(byK(3L) === (("wxyz", 4)))
+    // SET of the generated column itself refuses
+    val e = intercept[IllegalArgumentException](
+      ManifestTable.update(s, path, col("k") === 1L, Seq("n_chars" -> lit(7))))
+    assert(e.getMessage.contains("GENERATED"))
+  }
+
+  test("declaration validation: non-deterministic, aggregating, unresolvable, colliding exprs reject") {
+    val dir = () => Files.createTempDirectory("gen_bad").toString + "/t"
+    val df = Seq((1L, "a")).toDF("k", "txt")
+    val nd = intercept[RuntimeException](ManifestTable.overwrite(s, dir(), df,
+      generated = Map("r" -> "rand()")))
+    assert(nd.getMessage.contains("non-deterministic"))
+    val ag = intercept[RuntimeException](ManifestTable.overwrite(s, dir(), df,
+      generated = Map("c" -> "count(k)")))
+    assert(ag.getMessage.contains("aggregates"))
+    val missing = intercept[RuntimeException](ManifestTable.overwrite(s, dir(), df,
+      generated = Map("g" -> "length(no_such_col)")))
+    assert(missing.getMessage.contains("does not resolve"))
+    val collide = intercept[IllegalArgumentException](ManifestTable.overwrite(s, dir(), df,
+      generated = Map("kb" -> "length(txt)"),
+      transforms = Seq(ManifestTable.PartitionTransform("kb", "bucket", 4, "k"))))
+    assert(collide.getMessage.contains("collides"))
+  }
+
+  test("rename/drop of the generated column or its sources rejects; CDF composes across a generated write") {
+    val path = Files.createTempDirectory("gen_ren").toString + "/t"
+    ManifestTable.overwrite(s, path,
+      Seq((1L, "ab")).toDF("k", "txt"),
+      generated = Map("n_chars" -> "length(txt)"))
+    val e1 = intercept[IllegalArgumentException](
+      ManifestTable.renameColumn(s, path, "txt", "body"))
+    assert(e1.getMessage.contains("generated"))
+    val e2 = intercept[IllegalArgumentException](
+      ManifestTable.renameColumn(s, path, "n_chars", "len"))
+    assert(e2.getMessage.contains("generated"))
+    // the change feed across a generated-column append is a plain insert
+    ManifestTable.append(s, path, Seq((2L, "xyz")).toDF("k", "txt"))
+    val feed = ManifestTable.readChanges(s, path, 1L, 2L)
+      .select("k", "n_chars", "_change_type").collect()
+    assert(feed.map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq ===
+      Seq((2L, 3, "insert")))
+  }
+}

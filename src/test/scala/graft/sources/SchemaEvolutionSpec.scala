@@ -3,6 +3,7 @@ package graft.sources
 import graft.SparkSpec
 import graft.sources.ManifestTable.PartitionTransform
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType, StringType}
 import java.nio.file.Files
 
 /** Rename/drop schema evolution via column mapping: logical names change
@@ -235,6 +236,64 @@ class SchemaEvolutionSpec extends SparkSpec {
       "dropped struct bytes must not resurrect under the re-added namesake")
     assert(after.filter(col("id") === 40L).select("info.lang").as[String]
       .head() === "zz")
+  }
+
+  test("NESTED scalar widening: probe-verified int→long across mixed vintages; CDF crosses; unverified edges keep rejecting") {
+    // the probe itself: the verified lattice edge passes inside
+    // struct/array/map containers, an off-lattice edge fails — and a
+    // failing probe means nestedAddOk keeps the pre-r16 rejection
+    assert(ManifestTable.NestedUpcastProbe.verified(IntegerType, LongType),
+      "the reader's nested int32→int64 upcast must probe-verify")
+    assert(ManifestTable.NestedUpcastProbe.verified(FloatType, DoubleType))
+    assert(!ManifestTable.NestedUpcastProbe.verified(IntegerType, StringType),
+      "an off-lattice edge must fail the probe")
+    val path = Files.createTempDirectory("se_nwide").toString + "/t"
+    // v1: meta.score is INT, tags is array<int>
+    ManifestTable.overwrite(spark, path,
+      spark.range(3).select(col("id"),
+        struct(lit("en").as("lang"), col("id").cast("int").as("score")).as("meta"),
+        array(col("id").cast("int")).as("tags")).coalesce(1))
+    // v2: a batch whose nested score/tag are LONG with values past 2³¹ —
+    // the table widens; v1's physically-int files upcast at read
+    ManifestTable.append(spark, path,
+      spark.range(10, 12).select(col("id"),
+        struct(lit("fr").as("lang"), (col("id") + 3000000000L).as("score")).as("meta"),
+        array(col("id") + 4000000000L).as("tags")))
+    val got = ManifestTable.read(spark, path)
+    assert(got.schema("meta").dataType.simpleString === "struct<lang:string,score:bigint>")
+    assert(got.schema("tags").dataType.simpleString === "array<bigint>")
+    assert(got.filter(col("id") === 1L).select("meta.score").as[Long].head() === 1L,
+      "old int vintage upcasts exactly")
+    assert(got.filter(col("id") === 10L).select("meta.score").as[Long].head()
+      === 3000000010L, "the >2³¹ value reads exactly")
+    assert(got.filter(col("id") === 10L).selectExpr("tags[0]").as[Long].head()
+      === 4000000010L)
+    // a narrow (old-shape) batch still appends after the widening and
+    // upcasts at read like every pre-widening vintage
+    ManifestTable.append(spark, path,
+      spark.range(20, 21).select(col("id"),
+        struct(lit("de").as("lang"), lit(7).as("score")).as("meta"),
+        array(lit(8)).as("tags")))
+    assert(ManifestTable.read(spark, path).filter(col("id") === 20L)
+      .select("meta.score").as[Long].head() === 7L)
+    // CDF ACROSS the widening: the pre-widening commit's rows reshape to
+    // the final (wide) type
+    val cdf = ManifestTable.readChanges(spark, path, 0L, 3L)
+    assert(cdf.schema("meta").dataType.simpleString === "struct<lang:string,score:bigint>")
+    assert(cdf.filter(col("_commit_version") === 1L)
+      .select("meta.score").as[Long].collect().toSet === Set(0L, 1L, 2L))
+    assert(cdf.filter(col("_commit_version") === 2L)
+      .select("meta.score").as[Long].collect().toSet
+      === Set(3000000010L, 3000000011L))
+    // unverified nested edges keep rejecting: long → double is off the
+    // lattice (lossy past 2⁵³) at top level, therefore nested too
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.append(spark, path,
+        spark.range(30, 31).select(col("id"),
+          struct(lit("en").as("lang"), lit(1.5).as("score")).as("meta"),
+          array(lit(1L)).as("tags")))
+    }
+    assert(e.getMessage.contains("retyped: meta"))
   }
 
   test("nested evolution composes with compaction, MOR update, and keyed merge") {
