@@ -54,7 +54,17 @@ object GraftGeneratedDeriveRule extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(EnabledKey, "true").equalsIgnoreCase("true"))
       return plan
-    derivePlan(plan)
+    // one walk decides whether the per-Filter scan below can ever fire —
+    // tables without generated declarations (almost every query) pay a
+    // single subtree pass per rule invocation, not one per Filter node
+    val anyDeclared = plan.exists {
+      case lr: LogicalRelation => lr.relation match {
+        case g: GraftRelation => g.generatedColumns.nonEmpty
+        case _ => false
+      }
+      case _ => false
+    }
+    if (!anyDeclared) plan else derivePlan(plan)
   }
 
   private def derivePlan(plan: LogicalPlan): LogicalPlan = plan.transformUp {

@@ -37,7 +37,13 @@ object GraftInsertDeriveRule extends Rule[LogicalPlan] {
       i.table match {
         case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation] =>
           val rel = lr.relation.asInstanceOf[GraftRelation]
-          val derived = rel.derivedColumns.toSet
+          // GENERATED columns are table outputs exactly like the
+          // transform-derived ones — the write path recomputes them from
+          // the declared expression (fillGenerated) regardless of any
+          // supplied value, so a positional INSERT may omit them and the
+          // pad is a placeholder at the right schema position
+          val derived = rel.derivedColumns.toSet ++
+            rel.generatedColumns.map(_._1)
           val defaults = rel.defaultColumns
           val nonDerived = lr.schema.fields.toSeq.filterNot(f => derived.contains(f.name))
           val needed = nonDerived.length

@@ -633,6 +633,21 @@ object GraftSqlParser {
     (pcols, derived)
   }
 
+  /** GENERATED-column declarations from CREATE OPTIONS: every
+    * `generated.<col> '<expr>'` entry declares column <col> as the
+    * deterministic derivation <expr> — the SQL face of
+    * [[ManifestTable]]'s `overwrite(generated = …)` (the ONLY channels
+    * that can declare one: SET TBLPROPERTIES rejects the prop, because
+    * declaration onto existing data would break the derive rule's
+    * row-level invariant). The column-name part keeps its case. */
+  private[plans] def generatedOpts(options: Map[String, String]): Map[String, String] =
+    options.flatMap { case (k, v) =>
+      if (k.toLowerCase(java.util.Locale.ROOT).startsWith("generated.") &&
+          k.length > "generated.".length)
+        Some(k.substring("generated.".length) -> v)
+      else None
+    }
+
   /** Session-catalog identifier for a DDL name (1-, 2-, or
     * spark_catalog-qualified 3-part). */
   private[plans] def sessionIdent(nameParts: Seq[String]): TableIdentifier =
@@ -1157,7 +1172,8 @@ case class GraftCtasCommand(nameParts: Seq[String],
       options.get(k).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     ManifestTable.overwrite(spark, path, df, pcols,
       statsCols = csv("statscols"), bloomCols = csv("bloomcols"),
-      transforms = transforms)
+      transforms = transforms,
+      generated = GraftSqlParser.generatedOpts(options))
     GraftSqlParser.registerGraft(spark, nameParts, options, path)
     Nil
   }
@@ -1200,7 +1216,8 @@ case class GraftRtasCommand(nameParts: Seq[String],
       options.get(k).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     ManifestTable.overwrite(spark, path, df, pcols,
       statsCols = csv("statscols"), bloomCols = csv("bloomcols"),
-      transforms = transforms)
+      transforms = transforms,
+      generated = GraftSqlParser.generatedOpts(options))
     if (!registered) GraftSqlParser.registerGraft(spark, nameParts, options, path)
     else {
       // the replace may have changed the schema; re-align the catalog
@@ -1253,7 +1270,8 @@ case class GraftCreateTableCommand(nameParts: Seq[String],
       }
       ManifestTable.overwrite(spark, path, empty, pcols,
         statsCols = csv("statscols"), bloomCols = csv("bloomcols"),
-        transforms = transforms ++ optTransforms)
+        transforms = transforms ++ optTransforms,
+        generated = GraftSqlParser.generatedOpts(options))
     }
     GraftSqlParser.registerGraft(spark, nameParts, options, path)
     Nil

@@ -753,6 +753,18 @@ object ManifestTable {
   def setProperties(spark: SparkSession, path: String,
                     kvs: Map[String, String]): Long = {
     require(kvs.nonEmpty, "SET TBLPROPERTIES: no properties given")
+    // generated-column declarations may NOT enter through the generic
+    // property channel: the derive rule's soundness rests on EVERY
+    // stored row satisfying col = expr(row), which only the creation
+    // face (overwrite's validated `generated` parameter, where the
+    // column materializes into the very first files) can guarantee — a
+    // property set onto existing data would leave old rows with
+    // physical NULLs the derived predicates then wrongly drop
+    val gen = kvs.keys.filter(_.startsWith(GeneratedPropPrefix))
+    require(gen.isEmpty,
+      s"SET TBLPROPERTIES cannot declare generated column(s) " +
+        s"${gen.mkString(", ")} — declare them at table creation " +
+        "(overwrite(generated = …) / CREATE TABLE OPTIONS (generated.<col> '<expr>'))")
     val v = currentVersion(spark, path)
       .getOrElse(sys.error(s"no manifest table at $path"))
     val m = readManifest(spark, path, v)
@@ -2487,7 +2499,12 @@ object ManifestTable {
       require(!analyzed.expressions.exists(_.exists(
           _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])),
         s"generated column '$c': expression '$sql' contains a subquery")
-      d.withColumn(c, expr(sql))
+      // a column the creation batch already declares (typed CREATE TABLE
+      // column list) keeps its DECLARED type — the same cast-to-declared
+      // discipline every later fillGenerated recompute applies
+      val e = expr(sql)
+      d.withColumn(c,
+        if (d.columns.contains(c)) e.cast(d.schema(c).dataType) else e)
     }
 
   /** Recompute generated columns on a LOGICAL-named write batch (called
@@ -4810,9 +4827,24 @@ object ManifestTable {
     * Refused on `graft.appendOnly` tables, same as TRUNCATE: a content
     * wipe is exactly the mutation the guard exists for.
     */
-  def overwriteData(spark: SparkSession, path: String, df: DataFrame): Long = {
+  def overwriteData(spark: SparkSession, path: String, df: DataFrame): Long =
+    overwriteDataInternal(spark, path, df)
+
+  /** [[overwriteData]] plus the hooks [[addGeneratedColumn]] needs to be
+    * ATOMIC: extra properties and stats declarations ride the SAME
+    * commit as the rewritten files, and `basePin` turns the rebase loop
+    * into a loud failure — a rewrite derived from snapshot N must not
+    * land over anyone else's N+1. */
+  private def overwriteDataInternal(spark: SparkSession, path: String,
+                                    df: DataFrame,
+                                    extraProps: Map[String, String] = Map.empty,
+                                    extraStats: Seq[String] = Nil,
+                                    basePin: Option[Long] = None): Long = {
     val v0 = currentVersion(spark, path)
       .getOrElse(sys.error(s"no manifest table at $path — use overwrite"))
+    basePin.foreach(p => if (v0 != p)
+      throw new java.util.ConcurrentModificationException(
+        s"$path moved to version $v0 since the rewrite read version $p — re-run"))
     var m = readManifest(spark, path, v0)
     requireMutable(m, path, "INSERT OVERWRITE")
     val batch = fillIdentity(m, fillDefaults(m, withDerived(
@@ -4820,15 +4852,22 @@ object ManifestTable {
       "INSERT OVERWRITE")
     val (schema0, colmap0) = evolveSchema(batch, m, "overwrite")
     enforceConstraints(batch, m.constraints, "overwrite")
+    // fresh stats declarations resolve to the PHYSICAL name the evolved
+    // schema assigned the new column
+    val statsCols2 = m.statsCols ++
+      extraStats.map(c => colmap0.getOrElse(c, c)).filterNot(m.statsCols.contains)
     val base = m
     val added = writeDataFiles(spark, path,
       clusterForWrite(batch, m), m.partitionCols,
       colmap0)
     val addedStats = collectStats(spark, path, added, schema0,
-      m.partitionCols, m.statsCols, m.bloomCols)
+      m.partitionCols, statsCols2, m.bloomCols)
     val idWm = identityWmUpdate(spark, path, base, added, addedStats)
     var tries = 0
     while (true) {
+      basePin.foreach(p => if (m.version != p)
+        throw new java.util.ConcurrentModificationException(
+          s"$path moved past version $p during the rewrite — re-run"))
       require(m.partitionCols == base.partitionCols,
         s"table partitioning changed concurrently: " +
           s"${base.partitionCols} -> ${m.partitionCols}")
@@ -4842,18 +4881,51 @@ object ManifestTable {
           s"identity allocation on $path lost to a concurrent write — the " +
             "batch's generated ids were minted from a stale watermark; re-run")
       try return commit(spark, path, m.version + 1, schema0, m.partitionCols,
-        added, m.statsCols, addedStats, m.bloomCols,
+        added, statsCols2, addedStats, m.bloomCols,
         carry = Some(m.copy(ingests = Nil)),
         constraints = m.constraints, transforms = m.transforms,
         colmap = colmap0, retired = m.retired, op = Some("overwrite"),
-        props = idWm)
+        props = idWm ++ extraProps)
       catch {
         case e: java.util.ConcurrentModificationException =>
-          tries += 1; if (tries > MaxCommitRetries) throw e
+          tries += 1; if (tries > MaxCommitRetries || basePin.isDefined) throw e
           m = readManifest(spark, path, currentVersion(spark, path).get)
       }
     }
     sys.error("unreachable")
+  }
+
+  /** Declare a GENERATED column on an EXISTING table — the post-hoc
+    * face the creation-only rule otherwise forbids. The derive rule's
+    * soundness invariant is "EVERY stored row satisfies
+    * `col = expr(row)`", and the only sound way to extend that to data
+    * already on disk is to MATERIALIZE it: this reads the current
+    * snapshot (DV/eqdel-applied), computes the column for every live
+    * row, rewrites the table, and commits the rewritten files + the
+    * declaration property + (optionally) the zone-map declaration in
+    * ONE atomic commit — no window exists where a concurrent writer
+    * could land rows without the recompute or a reader could derive
+    * against un-materialized files. Cost is an explicit full-table
+    * rewrite (the OPTIMIZE cost class — at 100 TB this is a scheduled
+    * job, which is exactly why creation-time declaration stays the
+    * recommended path). A losing race throws rather than rebases
+    * (full-table rewrites derive from one snapshot; same contract as
+    * compact). */
+  def addGeneratedColumn(spark: SparkSession, path: String, name: String,
+                         exprSql: String, stats: Boolean = false): Long = {
+    val v0 = currentVersion(spark, path)
+      .getOrElse(sys.error(s"no manifest table at $path"))
+    val m = readManifest(spark, path, v0)
+    requireMutable(m, path, "ADD GENERATED COLUMN")
+    require(!logicalSchema(m).fieldNames.contains(name),
+      s"ADD GENERATED COLUMN: column '$name' already exists on $path")
+    val cur = readVersion(spark, path, v0)
+    val batch = applyGenerated(spark, cur, Map(name -> exprSql),
+      m.partitionCols, m.transforms)
+    overwriteDataInternal(spark, path, batch,
+      extraProps = Map(GeneratedPropPrefix + name -> exprSql),
+      extraStats = if (stats) Seq(name) else Nil,
+      basePin = Some(v0))
   }
 
   /** The manifest files whose PARTITION VALUES satisfy `predicate`, when
@@ -5742,7 +5814,12 @@ object ManifestTable {
       (if (m.bloomCols.nonEmpty)
         Seq(s"bloomcols '${m.bloomCols.mkString(",")}'") else Nil) ++
       (if (custom.nonEmpty) Seq("transforms '" + custom.map(t =>
-        s"${t.derived}:${t.kind}:${t.arg}:${t.src}").mkString(",") + "'") else Nil)
+        s"${t.derived}:${t.kind}:${t.arg}:${t.src}").mkString(",") + "'") else Nil) ++
+      // generated columns re-declare through the CREATE face (the only
+      // channel that can declare them — SET TBLPROPERTIES rejects), so
+      // the printed DDL replays the invariant, not just the metadata
+      generatedOf(m).map { case (c, sql) =>
+        s"generated.$c '${sql.replace("'", "''")}'" }
     val sb = new StringBuilder
     sb ++= s"CREATE TABLE $name (\n" ++= cols.mkString(",\n") ++= ")\n"
     sb ++= "USING graft\n"
@@ -5751,9 +5828,12 @@ object ManifestTable {
     sb ++= s"OPTIONS (\n  ${optLines.mkString(",\n  ")})"
     // properties and constraints follow as ALTER statements: the graft
     // CREATE face takes layout only, and ALTER routes both straight to
-    // the manifest (no catalog reserved-property policing)
-    if (m.props.nonEmpty)
-      sb ++= s";\nALTER TABLE $name SET TBLPROPERTIES (" + m.props.toSeq.sorted
+    // the manifest (no catalog reserved-property policing). Generated
+    // declarations are EXCLUDED here — they printed in OPTIONS above,
+    // and the SET channel rejects them by design.
+    val alterProps = m.props.filterNot(_._1.startsWith(GeneratedPropPrefix))
+    if (alterProps.nonEmpty)
+      sb ++= s";\nALTER TABLE $name SET TBLPROPERTIES (" + alterProps.toSeq.sorted
         .map { case (k, pv) => s"'$k' = '$pv'" }.mkString(", ") + ")"
     m.constraints.foreach { case (n, e) =>
       sb ++= s";\nALTER TABLE $name ADD CONSTRAINT $n CHECK ($e)"

@@ -134,6 +134,72 @@ class GeneratedColumnSpec extends SparkSpec {
     assert(collide.getMessage.contains("collides"))
   }
 
+  test("SQL face: CTAS OPTIONS (generated.<col> '<expr>') declares; empty CREATE + INSERT recomputes; SET TBLPROPERTIES rejects; SHOW CREATE replays") {
+    val path = Files.createTempDirectory("gen_sql").toString + "/t"
+    s.sql("DROP TABLE IF EXISTS gen_sql_t")
+    s.sql(
+      s"""CREATE TABLE gen_sql_t USING graft
+         |OPTIONS (path '$path', statscols 'n_chars',
+         |         `generated.n_chars` 'length(txt)')
+         |AS SELECT id AS k, repeat('x', CAST(id AS INT) + 1) AS txt
+         |FROM range(3)""".stripMargin)
+    assert(s.sql("SELECT k, n_chars FROM gen_sql_t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      === Seq((0L, 1), (1L, 2), (2L, 3)))
+    // INSERT through SQL recomputes (writer omits the column)
+    s.sql("INSERT INTO gen_sql_t SELECT 9L AS k, 'abcd' AS txt")
+    assert(s.sql("SELECT n_chars FROM gen_sql_t WHERE k = 9").head.getInt(0) === 4)
+    // the generic property channel REJECTS declarations — the one door
+    // that could break the every-row invariant stays shut in SQL too
+    val e = intercept[Exception](s.sql(
+      "ALTER TABLE gen_sql_t SET TBLPROPERTIES ('graft.generated.bad' = 'k + 1')"))
+    assert(e.getMessage.contains("generated"))
+    // SHOW CREATE TABLE prints the declaration as a CREATE option (the
+    // only channel that can replay it), not as a SET TBLPROPERTIES
+    val ddl = s.sql("SHOW CREATE TABLE gen_sql_t").head.getString(0)
+    assert(ddl.contains("generated.n_chars 'length(txt)'"), ddl)
+    assert(!ddl.contains("TBLPROPERTIES ('graft.generated"), ddl)
+    // empty CREATE TABLE with a typed column list: the declared type
+    // wins, INSERTed rows recompute, and the derive rule prunes SQL-only
+    val path2 = Files.createTempDirectory("gen_sql2").toString + "/t"
+    s.sql("DROP TABLE IF EXISTS gen_sql_t2")
+    s.sql(
+      s"""CREATE TABLE gen_sql_t2 (k BIGINT, txt STRING, n_chars BIGINT)
+         |USING graft
+         |OPTIONS (path '$path2', `generated.n_chars` 'length(txt)')""".stripMargin)
+    s.sql("INSERT INTO gen_sql_t2 SELECT 1L, 'abc', 999L")
+    val row = s.sql("SELECT n_chars FROM gen_sql_t2").head
+    assert(row.getLong(0) === 3L, "declared BIGINT kept, writer value overwritten")
+  }
+
+  test("addGeneratedColumn backfills an existing table atomically: every vintage materializes, deletes stay deleted, later writes recompute") {
+    val path = Files.createTempDirectory("gen_backfill").toString + "/t"
+    ManifestTable.overwrite(s, path, Seq((1L, "ab"), (2L, "abc")).toDF("k", "txt"))
+    ManifestTable.append(s, path, Seq((3L, "abcd")).toDF("k", "txt"))
+    ManifestTable.deleteVectorized(s, path, col("k") === 2L)
+    // one atomic commit: rewritten files + declaration + zone maps
+    val v = ManifestTable.addGeneratedColumn(s, path, "n_chars",
+      "length(txt)", stats = true)
+    val got = ManifestTable.read(s, path).orderBy("k")
+      .select("k", "n_chars").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSeq === Seq((1L, 2), (3L, 4)),
+      "both vintages materialize; the DV'd row stays deleted")
+    // the declaration is live: a later append recomputes
+    ManifestTable.append(s, path, Seq((9L, "xyzxy")).toDF("k", "txt"))
+    assert(ManifestTable.read(s, path).filter(col("k") === 9L)
+      .select("n_chars").head.getInt(0) === 5)
+    // declared stats landed in the SAME commit as the rewrite
+    val m = ManifestTable.readManifest(s, path, v)
+    assert(m.statsCols.contains("n_chars"),
+      s"stats declaration must ride the backfill commit: ${m.statsCols}")
+    assert(m.props.get(ManifestTable.GeneratedPropPrefix + "n_chars")
+      .contains("length(txt)"))
+    // re-declaring the same name rejects
+    val e = intercept[IllegalArgumentException](
+      ManifestTable.addGeneratedColumn(s, path, "n_chars", "length(txt) + 1"))
+    assert(e.getMessage.contains("already exists"))
+  }
+
   test("rename/drop of the generated column or its sources rejects; CDF composes across a generated write") {
     val path = Files.createTempDirectory("gen_ren").toString + "/t"
     ManifestTable.overwrite(s, path,
