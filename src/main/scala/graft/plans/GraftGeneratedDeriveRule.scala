@@ -81,6 +81,11 @@ object GraftGeneratedDeriveRule extends Rule[LogicalPlan] with PredicateHelper {
           lr <- rels
           (name, sql) <- lr.relation.asInstanceOf[GraftRelation].generatedColumns
           genAttr <- lr.output.find(a => conf.resolver(a.name, name)).toSeq
+          // the stored column must still be VISIBLE at this Filter — a
+          // projection below may have pruned it (SELECT props FROM t
+          // subqueries), and a conjunct referencing a non-output
+          // attribute is an invalid plan, not a missed optimization
+          if child.outputSet.contains(genAttr)
           genExpr <- resolved(sql, lr).toSeq
           c <- conjuncts
           d <- derive(c, genExpr, genAttr)

@@ -82,6 +82,25 @@ class GeneratedColumnSpec extends SparkSpec {
     }
   }
 
+  test("derivation stands down when a projection below pruned the stored column away") {
+    val path = mkVariantTable("pruned_col")
+    s.sql("DROP TABLE IF EXISTS gen_t_sub")
+    s.sql(s"CREATE TABLE gen_t_sub USING graft OPTIONS (path '$path')")
+    // the subquery projects ONLY the variant — the stored generated
+    // column is not in the Filter's child output, so adding a conjunct
+    // on it would be an invalid plan; the rule must stand down and the
+    // query still answers exactly
+    def q = s.sql(
+      """SELECT count(*) AS n FROM
+        |  (SELECT props FROM gen_t_sub)
+        |WHERE try_variant_get(props, '$.score', 'long') >= 90""".stripMargin)
+    val expected = withRule(on = false)(q.head.getLong(0))
+    withRule(on = true) {
+      assert(q.head.getLong(0) === expected)
+      assert(expected === 400L, "10 of 100 score values over 4000 rows")
+    }
+  }
+
   test("every write path recomputes: append fills, writer values are overwritten, merge and UPDATE re-derive") {
     val path = Files.createTempDirectory("gen_write").toString + "/t"
     ManifestTable.overwrite(s, path,
