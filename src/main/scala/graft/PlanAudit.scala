@@ -803,6 +803,38 @@ object PlanAudit {
             gBaseFiles == 8 && gFiles >= 1 && gFiles < gBaseFiles),
           "results identical with and without derivation" -> (_ =>
             gRows.toSet == gBase.toSet))
+
+        // r17: READ-PATH derivation — selecting/aggregating the declared
+        // path substitutes the stored scalar: no per-row variant decode
+        // in the optimized plan, and the variant column itself prunes
+        // out of the scan (the ReadSchema judge check, DSv1-shaped)
+        def qs = spark.sql(
+          "SELECT id, try_variant_get(props, '$.score', 'long') AS sc " +
+            "FROM gen_fact WHERE id < 400")
+        spark.conf.set("spark.graft.generatedDerive.enabled", "false")
+        val sBase = qs.collect().toSeq
+        spark.conf.set("spark.graft.generatedDerive.enabled", "true")
+        val sDf = qs
+        val sRows = sDf.collect().toSeq
+        spark.conf.unset("spark.graft.generatedDerive.enabled")
+        val decodes = sDf.queryExecution.optimizedPlan.exists(
+          _.expressions.exists(_.exists(
+            _.getClass.getName.contains("VariantGet"))))
+        // DSv1 pruning shows as REFERENCES: the relation always lists all
+        // columns, but when nothing above names `props` the scan's
+        // requiredColumns exclude it
+        val variantRead = sDf.queryExecution.optimizedPlan.exists {
+          case _: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            false
+          case p => p.references.exists(_.name == "props")
+        }
+        auditDf("generated_read_path", sDf)(
+          "no variant_get survives in the optimized plan of a declared-path SELECT" -> (_ =>
+            !decodes),
+          "the variant column pruned out of the scan projection" -> (_ =>
+            !variantRead),
+          "results identical with and without substitution" -> (_ =>
+            sRows.toSet == sBase.toSet))
       }
     }
     spark.stop()

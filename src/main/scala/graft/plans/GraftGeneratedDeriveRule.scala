@@ -3,6 +3,7 @@ package graft.plans
 import graft.sources.GraftRelation
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -35,11 +36,37 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   * missing, both the query's expression and the stored column evaluate
   * NULL, and both predicates fail together.
   *
+  * The tautology holds for STORED rows only — an outer join's
+  * null-extended rows were never written, and a non-null-tolerant
+  * generated expression (`coalesce(try_variant_get(props,…), 0)`)
+  * evaluates non-NULL over the all-NULL extension while the stored
+  * column reads NULL there. Both faces of the rule therefore only fire
+  * when the relation is reachable from the rewritten node through
+  * NULL-PRESERVING operators ([[preserved]]): filters, projections,
+  * aliases, limits/sorts, plain aggregates (grouping keys co-occur in
+  * some stored row; grouping sets stop at `Expand`), and the
+  * row-preserved sides of joins — never an outer join's null-supplied
+  * side. Types must agree exactly too ([[resolved]] guards
+  * `sameType`): a declaration stored under a narrower declared type
+  * holds `cast(expr)` values, not `expr` values, and the rewrite
+  * stands down rather than compare across the cast.
+  *
   * Matching resolves each declaration's SQL against the relation's own
   * output (cached per (sql, output) — declarations are per-snapshot
   * constants) and compares canonicalized trees (`semanticEquals`), so
   * alias/case differences don't defeat it. Fixpoint-safe: an implied
-  * conjunct that is already present (semantically) is not re-added.
+  * conjunct already present in THIS filter or any filter between it and
+  * the relation (pushdown moves the conjunct down; re-deriving it above
+  * would churn duplicates until CombineFilters merges) is not re-added.
+  *
+  * The second face is READ-PATH derivation (the projection half of
+  * variant shredding): a `Project`/`Aggregate` expression that
+  * `semanticEquals` a declaration is REPLACED by the stored attribute —
+  * `SELECT try_variant_get(props,'$.score','long')` becomes `SELECT
+  * score`, the per-row binary decode disappears, and column pruning
+  * then drops the variant read entirely when nothing else names it.
+  * Same invariant, same guards; substitution only needs the stored
+  * column visible below the node.
   */
 object GraftGeneratedDeriveRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -69,32 +96,134 @@ object GraftGeneratedDeriveRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def derivePlan(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, child) =>
-      val rels = child.collect {
-        case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation] &&
-            lr.relation.asInstanceOf[GraftRelation].generatedColumns.nonEmpty =>
-          lr
-      }
-      if (rels.isEmpty) f
+      // the stored column must be VISIBLE at this Filter — a user's own
+      // projection below may have pruned it, and a conjunct referencing
+      // a non-output attribute is an invalid plan (the filter face adds
+      // a conjunct BESIDE the original predicate; unlike substitution it
+      // never reshapes the child)
+      val subs = substitutions(child)
+        .filter { case (_, a) => child.outputSet.contains(a) }
+      if (subs.isEmpty) f
       else {
         val conjuncts = splitConjunctivePredicates(cond)
         val implied = for {
-          lr <- rels
-          (name, sql) <- lr.relation.asInstanceOf[GraftRelation].generatedColumns
-          genAttr <- lr.output.find(a => conf.resolver(a.name, name)).toSeq
-          // the stored column must still be VISIBLE at this Filter — a
-          // projection below may have pruned it (SELECT props FROM t
-          // subqueries), and a conjunct referencing a non-output
-          // attribute is an invalid plan, not a missed optimization
-          if child.outputSet.contains(genAttr)
-          genExpr <- resolved(sql, lr).toSeq
+          (genExpr, genAttr) <- subs
           c <- conjuncts
           d <- derive(c, genExpr, genAttr)
         } yield d
+        // fixpoint guard, subtree-deep: pushdown moves a derived conjunct
+        // into a lower Filter while the raw predicate stays here — seeing
+        // only this Filter's conjuncts would re-derive every iteration
+        lazy val below = child.collect {
+          case Filter(c2, _) => splitConjunctivePredicates(c2)
+        }.flatten
         val fresh = implied.filterNot(d =>
-          conjuncts.exists(_.semanticEquals(d))).distinct
+          conjuncts.exists(_.semanticEquals(d)) ||
+            below.exists(_.semanticEquals(d))).distinct
         if (fresh.isEmpty) f
         else Filter(fresh.foldLeft(cond)(And), child)
       }
+    case p: Project => substituted(p, p.child)
+    case a: Aggregate => substituted(a, a.child)
+  }
+
+  /** Graft relations with declarations reachable from here through
+    * NULL-PRESERVING, row-provenance-keeping operators only: every row
+    * these nodes emit carries column values that co-occurred in some
+    * stored row, which is what the `col = expr(row)` invariant ranges
+    * over. Outer joins qualify on their row-preserved side alone; an
+    * `Expand` (grouping sets / rollup null-extends grouping keys),
+    * `Union` (re-minted attributes), `Window` frames, and generators all
+    * stop the walk — conservatively, at the cost of a missed rewrite. */
+  private def preserved(p: LogicalPlan): Seq[LogicalRelation] = p match {
+    case lr: LogicalRelation => lr.relation match {
+      case g: GraftRelation if g.generatedColumns.nonEmpty => Seq(lr)
+      case _ => Nil
+    }
+    case n @ (_: Filter | _: Project | _: SubqueryAlias | _: Sort |
+              _: GlobalLimit | _: LocalLimit | _: Distinct |
+              _: RepartitionOperation) =>
+      preserved(n.children.head)
+    case a: Aggregate => preserved(a.child)
+    case j: Join => j.joinType match {
+      case Inner | Cross => preserved(j.left) ++ preserved(j.right)
+      case LeftOuter | LeftSemi | LeftAnti => preserved(j.left)
+      case RightOuter => preserved(j.right)
+      case _: ExistenceJoin => preserved(j.left)
+      case _ => Nil
+    }
+    case _ => Nil
+  }
+
+  /** The (declared expression, stored attribute) pairs usable at a node
+    * whose child is `child`: declaration resolves and the stored type IS
+    * the expression's type (a cast-narrowed store can wrap — `col !=
+    * expr(row)` — so the rewrite must stand down). Visibility of the
+    * stored column is the CALLER's concern: the filter face requires it
+    * in the child's output, the substitution face can re-expose it
+    * ([[ensureVisible]]). */
+  private def substitutions(
+      child: LogicalPlan): Seq[(Expression, Attribute)] = for {
+    lr <- preserved(child)
+    (name, sql) <- lr.relation.asInstanceOf[GraftRelation].generatedColumns
+    genAttr <- lr.output.find(a => conf.resolver(a.name, name)).toSeq
+    genExpr <- resolved(sql, lr).toSeq
+    if genAttr.dataType == genExpr.dataType
+  } yield (genExpr, genAttr)
+
+  /** Re-expose `a` through the pruning projections below: ColumnPruning
+    * runs in the SAME fixpoint batch and has usually already cut the
+    * stored column out of the scan-side Project by the time this rule
+    * sees the plan — appending the attribute to an intermediate
+    * projection is row-neutral, and once the node above actually
+    * REFERENCES it (the substitution), the next pruning iteration keeps
+    * it and drops the now-unreferenced variant column instead. Only
+    * row-preserving pass-throughs are traversed; anything else (an
+    * Aggregate not grouping by the column, a join boundary) declines and
+    * the substitution stands down. */
+  private def ensureVisible(p: LogicalPlan, a: Attribute): Option[LogicalPlan] =
+    if (p.outputSet.contains(a)) Some(p)
+    else p match {
+      case pr @ Project(list, c) =>
+        ensureVisible(c, a).map(nc => pr.copy(projectList = list :+ a, child = nc))
+      case n @ (_: Filter | _: SubqueryAlias | _: Sort |
+                _: GlobalLimit | _: LocalLimit) =>
+        ensureVisible(n.children.head, a)
+          .map(nc => n.withNewChildren(Seq(nc)))
+      case _ => None
+    }
+
+  /** Read-path derivation: replace each expression subtree that
+    * `semanticEquals` a declaration with the stored attribute itself —
+    * the per-row variant decode disappears and the variant column itself
+    * prunes out of the scan when nothing else names it. Idempotent (an
+    * attribute never matches a non-trivial declaration again) and
+    * exprId-stable (aliases keep their ids, so parent plans are
+    * untouched). */
+  private def substituted(node: LogicalPlan, child: LogicalPlan): LogicalPlan = {
+    val subs = substitutions(child)
+    if (subs.isEmpty) return node
+    // which declarations actually OCCUR in this node's expressions — only
+    // those justify re-exposing their stored column below
+    val used = subs.filter { case (genExpr, _) =>
+      node.expressions.exists(_.exists(e =>
+        !e.isInstanceOf[Attribute] && genExpr.semanticEquals(e)))
+    }
+    if (used.isEmpty) return node
+    val newChild = used.foldLeft(Option(child)) { case (acc, (_, genAttr)) =>
+      acc.flatMap(ensureVisible(_, genAttr))
+    }
+    newChild match {
+      case None => node
+      case Some(nc) =>
+        val swapped = node.transformExpressions {
+          case e if !e.isInstanceOf[Attribute] &&
+              used.exists(_._1.semanticEquals(e)) =>
+            used.find(_._1.semanticEquals(e)).get._2
+        }
+        if (nc.eq(child)) swapped
+        else swapped.withNewChildren(Seq(nc))
+    }
   }
 
   /** Resolve a declaration's SQL against the relation's output via a

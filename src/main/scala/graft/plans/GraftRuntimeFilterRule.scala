@@ -243,8 +243,13 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
       build: LogicalPlan): Option[Expression] = {
     val spark = SparkSession.active
     val maxKeys = conf.getConfString(MaxKeysKey, "4096").toInt
+    // default 32k, not "as many as broadcast admits": the IN list rides
+    // the PLAN — every copy, canonicalization, and task serialization
+    // carries it (composite keys one list per column) — while the Bloom
+    // probe's skipping benefit saturates well below that on real
+    // snapshots, so past 32k the plan-weight cost buys nothing
     val maxBloomKeys =
-      math.max(maxKeys, conf.getConfString(MaxBloomKeysKey, "65536").toInt)
+      math.max(maxKeys, conf.getConfString(MaxBloomKeysKey, "32768").toInt)
     inCollect.set(true)
     try {
       val proj = Project(pairs.zipWithIndex.map { case ((_, e, _), i) =>

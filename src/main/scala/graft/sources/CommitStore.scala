@@ -72,12 +72,43 @@ trait CommitStore {
   *    silently REPLACES the destination;
   *  - elsewhere via rename, which HDFS refuses atomically when the
   *    destination exists (the exists() check is merely a fast path).
-  * Correct exactly where rename/link are atomic — HDFS, POSIX, ABFS;
-  * NOT on S3 (see [[CommitStore]]).
+  * Correct exactly where rename/link are atomic — HDFS, POSIX, ABFS.
+  * On the object-store schemes whose rename is copy+delete (S3 family,
+  * GCS connector, OSS, WASB, Swift) the fallback branch would be exactly
+  * the exists()+PUT race this seam exists to prevent — and `rename` is
+  * the silent DEFAULT, so pointing graft at `s3a://` without reading the
+  * docs must fail LOUDLY, not lose a committer: those schemes REFUSE
+  * unless `spark.graft.commitStore.allowNonAtomic=true` explicitly
+  * accepts single-writer-only semantics.
   */
 object RenameCommitStore extends CommitStore {
+
+  /** Schemes whose Hadoop rename is a non-atomic copy+delete (or an
+    * unconditional-PUT emulation): exists()+rename there is
+    * check-then-write, and two same-version committers can both "win". */
+  private[sources] val NonAtomicSchemes =
+    Set("s3", "s3a", "s3n", "gs", "oss", "wasb", "wasbs", "swift", "cos")
+
+  val AllowNonAtomicKey = "spark.graft.commitStore.allowNonAtomic"
+
   override def putIfAbsent(f: FileSystem, dir: Path, name: String,
                            bytes: Array[Byte]): Boolean = {
+    val scheme = Option(f.getUri.getScheme).map(_.toLowerCase).getOrElse("file")
+    if (NonAtomicSchemes.contains(scheme)) {
+      val allowed = SparkSession.getActiveSession
+        .flatMap(_.conf.getOption(AllowNonAtomicKey))
+        .exists(_.equalsIgnoreCase("true"))
+      if (!allowed) sys.error(
+        s"RenameCommitStore cannot guarantee atomic commits on '$scheme://': " +
+          "rename there is copy+delete, so exists()+rename is a " +
+          "check-then-write race — two committers of one version can both " +
+          "'win' and one snapshot silently vanishes. Configure a CAS-backed " +
+          s"store instead (${CommitStore.ConfKey}=conditional-put rides the " +
+          "filesystem's exclusive create, e.g. S3 conditional PUT " +
+          "If-None-Match; or implement CommitStore.putIfAbsent against a " +
+          s"CAS service), or set $AllowNonAtomicKey=true to accept " +
+          "single-writer-only semantics.")
+    }
     f.mkdirs(dir)
     val scratch = new Path(dir.getParent, s"_tmp/cs-${java.util.UUID.randomUUID()}")
     val out = f.create(scratch, true)
@@ -101,6 +132,52 @@ object RenameCommitStore extends CommitStore {
   }
 }
 
+/** The reference CAS store: put-if-absent as ONE exclusive create of the
+  * target itself — `FileSystem.create(target, overwrite = false)` — for
+  * filesystems whose no-overwrite create IS a conditional write. That is
+  * S3's GA `If-None-Match: *` conditional PUT (the S3A connector maps
+  * no-overwrite create onto it when conditional create is enabled, and
+  * the PUT — hence the precondition check — happens at stream close),
+  * and HDFS/POSIX where create-exclusive is natively atomic. No scratch,
+  * no rename: the claim and the bytes are one operation.
+  *
+  * Loss classification is deliberately narrow: `FileAlreadyExists` at
+  * create and a recognizable precondition failure at close (HTTP 412 /
+  * "PreconditionFailed" / "already exists") return false — the name was
+  * concurrently taken, nothing of ours landed. ANY OTHER failure
+  * rethrows: a network error at close leaves the object state UNKNOWN,
+  * and answering false ("nothing was written") to an unknown outcome
+  * would let a committer retry a version it may already own — the
+  * protocol must surface it instead.
+  */
+object ConditionalPutCommitStore extends CommitStore {
+  override def putIfAbsent(f: FileSystem, dir: Path, name: String,
+                           bytes: Array[Byte]): Boolean = {
+    f.mkdirs(dir)
+    val target = new Path(dir, name)
+    val out =
+      try f.create(target, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+        case e: java.io.IOException if lost(e) => return false
+      }
+    try { out.write(bytes); out.close(); true }
+    catch {
+      case e: Throwable =>
+        scala.util.Try(out.close()): Unit
+        if (lost(e)) false else throw e
+    }
+  }
+
+  private def lost(e: Throwable): Boolean = e match {
+    case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+    case _ =>
+      val m = Option(e.getMessage).getOrElse("")
+      m.contains("already exists") || m.contains("PreconditionFailed") ||
+        m.contains("412") || m.contains("At least one of the pre-conditions")
+  }
+}
+
 object CommitStore {
 
   /** Session conf naming the store: `rename` (default), a name
@@ -112,6 +189,7 @@ object CommitStore {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, CommitStore]()
   registry.put("rename", RenameCommitStore)
+  registry.put("conditional-put", ConditionalPutCommitStore)
 
   /** Register a store under a short name (test seams, site plugins). */
   def register(name: String, store: CommitStore): Unit =

@@ -2489,10 +2489,21 @@ object ManifestTable {
         catch { case scala.util.control.NonFatal(e) => sys.error(
           s"generated column '$c': expression '$sql' does not resolve " +
             s"against the creation batch: ${e.getMessage}") }
-      require(analyzed.isInstanceOf[
-          org.apache.spark.sql.catalyst.plans.logical.Project],
-        s"generated column '$c': expression '$sql' aggregates — a " +
-          "generated column derives row-by-row")
+      // the analyzed plan must be EXACTLY a Project over the batch — a
+      // window function analyzes to Project(Window(…)) whose top node is
+      // still a Project and whose top-level expressions are plain
+      // attribute refs, so a top-node type check alone would admit
+      // `row_number() over (…)`, which fillGenerated then recomputes
+      // PER WRITE BATCH, silently breaking the col = expr(row) invariant
+      // every derive-rule rewrite rests on
+      val rowByRow = analyzed match {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.child.sameResult(d.queryExecution.analyzed)
+        case _ => false
+      }
+      require(rowByRow,
+        s"generated column '$c': expression '$sql' aggregates, windows, " +
+          "or generates rows — a generated column derives row-by-row")
       require(analyzed.expressions.forall(_.deterministic),
         s"generated column '$c': expression '$sql' is non-deterministic — " +
           "every rewrite must recompute the same value")

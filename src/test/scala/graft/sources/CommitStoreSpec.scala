@@ -124,6 +124,102 @@ class CommitStoreSpec extends SparkSpec {
     assert(ManifestTable.tagVersion(spark, path, "release").contains(2L))
   }
 
+  test("rename store refuses non-atomic object-store schemes loudly unless explicitly allowed") {
+    // a local filesystem WEARING an s3a:// URI — the guard keys on the
+    // scheme, which is exactly what a misconfigured deployment presents
+    class FakeS3Fs extends org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getUri: java.net.URI = java.net.URI.create("s3a://fake-bucket")
+    }
+    val local = Files.createTempDirectory("cs_s3guard").toString
+    val fake = new FakeS3Fs
+    fake.initialize(java.net.URI.create("s3a://fake-bucket"),
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(local, "_manifests")
+    val e = intercept[RuntimeException](
+      RenameCommitStore.putIfAbsent(fake, dir, "m1.txt", "x".getBytes("UTF-8")))
+    assert(e.getMessage.contains("s3a") &&
+      e.getMessage.contains("conditional-put") &&
+      e.getMessage.contains(RenameCommitStore.AllowNonAtomicKey),
+      s"the refusal must name the scheme, the CAS alternative, and the opt-out: ${e.getMessage}")
+    assert(!fake.exists(new Path(dir, "m1.txt")), "nothing may land on refusal")
+    // the explicit opt-out accepts single-writer semantics
+    spark.conf.set(RenameCommitStore.AllowNonAtomicKey, "true")
+    try {
+      assert(RenameCommitStore.putIfAbsent(fake, dir, "m1.txt",
+        "x".getBytes("UTF-8")))
+      assert(new String(RenameCommitStore.read(fake, dir, "m1.txt"),
+        "UTF-8") === "x")
+    } finally spark.conf.unset(RenameCommitStore.AllowNonAtomicKey)
+  }
+
+  test("conditional-put store: exclusive create claims, one winner of N, precondition failure at close is a clean loss") {
+    val dir = new Path(Files.createTempDirectory("cs_cput").toString, "_manifests")
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // one winner of N same-name puts; the bytes are the winner's
+    val results = (1 to 8).map(i =>
+      ConditionalPutCommitStore.putIfAbsent(f, dir, "m1.txt",
+        s"writer-$i".getBytes("UTF-8")))
+    assert(results.count(identity) === 1, s"exactly one winner, got $results")
+    val winner = s"writer-${results.indexOf(true) + 1}"
+    assert(new String(ConditionalPutCommitStore.read(f, dir, "m1.txt"),
+      "UTF-8") === winner)
+
+    // the real S3 conditional-PUT shape: the object uploads AT CLOSE and
+    // the precondition check fails there — a recognizable 412 is a clean
+    // loss (false), nothing of ours landed
+    def failingFs(msg: String) = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def create(p: Path, overwrite: Boolean,
+                          bufferSize: Int, replication: Short, blockSize: Long,
+                          progress: org.apache.hadoop.util.Progressable):
+          org.apache.hadoop.fs.FSDataOutputStream =
+        new org.apache.hadoop.fs.FSDataOutputStream(
+          new java.io.ByteArrayOutputStream() {
+            override def close(): Unit = throw new java.io.IOException(msg)
+          }, null)
+    }
+    val fs412 = failingFs(
+      "PUT failed: At least one of the pre-conditions you specified did not hold (Status Code: 412; PreconditionFailed)")
+    fs412.initialize(java.net.URI.create("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    assert(!ConditionalPutCommitStore.putIfAbsent(fs412, dir, "m2.txt",
+      "y".getBytes("UTF-8")), "a 412 at close is a loss, not an error")
+
+    // an UNRECOGNIZED failure at close leaves the outcome unknown — it
+    // must propagate, never masquerade as a clean loss
+    val fsNet = failingFs("connection reset by peer")
+    fsNet.initialize(java.net.URI.create("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val e = intercept[java.io.IOException](
+      ConditionalPutCommitStore.putIfAbsent(fsNet, dir, "m3.txt",
+        "z".getBytes("UTF-8")))
+    assert(e.getMessage.contains("connection reset"))
+  }
+
+  test("conditional-put store end-to-end: the injected race rebases loudly and both commits land") {
+    val path = Files.createTempDirectory("cs_cput_e2e").toString + "/t"
+    ManifestTable.overwrite(spark, path, Seq((1L, "base")).toDF("k", "v"))
+    object HookedCput extends CommitStore {
+      @volatile var between: () => Unit = () => ()
+      override def putIfAbsent(f: FileSystem, dir: Path, name: String,
+                               bytes: Array[Byte]): Boolean = {
+        val hook = between
+        between = () => ()
+        hook()
+        ConditionalPutCommitStore.putIfAbsent(f, dir, name, bytes)
+      }
+    }
+    CommitStore.register("hooked-cput", HookedCput)
+    withStore("hooked-cput") {
+      HookedCput.between = () =>
+        ManifestTable.append(spark, path, Seq((3L, "B")).toDF("k", "v")): Unit
+      val vA = ManifestTable.append(spark, path, Seq((2L, "A")).toDF("k", "v"))
+      assert(vA === 3L, "writer A must have rebased past writer B's version 2")
+      val rows = ManifestTable.read(spark, path)
+        .select("v").as[String].collect().toSet
+      assert(rows === Set("base", "A", "B"), "both commits land under CAS")
+    }
+  }
+
   test("store selection: registry name, reflection fallback, and a loud unknown") {
     assert(CommitStore.forSession(spark) eq RenameCommitStore)
     withStore("toctou") {

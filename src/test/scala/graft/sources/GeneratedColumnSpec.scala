@@ -101,6 +101,105 @@ class GeneratedColumnSpec extends SparkSpec {
     }
   }
 
+  test("read-path derivation: projecting or aggregating the declared expression reads the stored column, no variant decode") {
+    val path = mkVariantTable("subst")
+    s.sql("DROP TABLE IF EXISTS gen_sub_t")
+    s.sql(s"CREATE TABLE gen_sub_t USING graft OPTIONS (path '$path')")
+    def hasVariantGet(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.exists(
+        _.expressions.exists(_.exists(
+          _.getClass.getName.contains("VariantGet"))))
+    // projection: SELECT of the declared path substitutes the stored attr
+    def qp = s.sql(
+      """SELECT id, try_variant_get(props, '$.score', 'long') AS sc
+        |FROM gen_sub_t WHERE id < 100""".stripMargin)
+    val expected = withRule(on = false)(qp.orderBy("id").collect().toSeq)
+    withRule(on = true) {
+      val df = qp
+      assert(df.orderBy("id").collect().toSeq === expected)
+      assert(!hasVariantGet(df),
+        "a projected declared path must read the stored column, not decode the variant")
+    }
+    // aggregation: sum over the declared path substitutes too
+    def qa = s.sql(
+      """SELECT sum(try_variant_get(props, '$.score', 'long')) AS total
+        |FROM gen_sub_t""".stripMargin)
+    val expTotal = withRule(on = false)(qa.head.getLong(0))
+    withRule(on = true) {
+      val df = qa
+      assert(df.head.getLong(0) === expTotal)
+      assert(!hasVariantGet(df))
+    }
+  }
+
+  test("an outer join's null-supplied side never derives: null-extended rows survive a null-tolerant generated predicate") {
+    val path = Files.createTempDirectory("gen_oj").toString + "/t"
+    val docs = s.range(4000).select(col("id"),
+      parse_json(concat(lit("""{"score": """), (col("id") % 100).cast("string"),
+        lit("}"))).as("props"))
+    // a NULL-TOLERANT declaration: over an outer join's all-NULL
+    // extension the expression evaluates -1 while the stored column
+    // reads NULL — deriving there would silently drop every such row
+    ManifestTable.overwrite(s, path, docs.repartitionByRange(8, col("id") % 100),
+      statsCols = Seq("score"),
+      generated = Map("score" ->
+        "coalesce(try_variant_get(props, '$.score', 'long'), -1L)"))
+    s.sql("DROP TABLE IF EXISTS gen_oj_t")
+    s.sql(s"CREATE TABLE gen_oj_t USING graft OPTIONS (path '$path')")
+    s.range(3990, 4100).createOrReplaceTempView("gen_oj_probe")
+    // ids 4000..4099 null-extend; the predicate KEEPS exactly those rows
+    def q = s.sql(
+      """SELECT p.id FROM gen_oj_probe p
+        |LEFT JOIN gen_oj_t g ON p.id = g.id
+        |WHERE coalesce(try_variant_get(g.props, '$.score', 'long'), -1L) = -1L
+        |""".stripMargin)
+    val expected = withRule(on = false)(q.collect().map(_.getLong(0)).sorted.toSeq)
+    assert(expected === (4000L until 4100L), "the null-extended rows are the answer")
+    withRule(on = true) {
+      assert(q.collect().map(_.getLong(0)).sorted.toSeq === expected,
+        "deriving onto the stored column across the outer join would drop every null-extended row")
+    }
+  }
+
+  test("a cast-narrowed stored type stands the rewrite down: wrap-around values stay exact") {
+    val path = Files.createTempDirectory("gen_narrow").toString + "/t"
+    s.sql("DROP TABLE IF EXISTS gen_narrow_t")
+    // declared INT, expression type BIGINT: the store holds cast(k+1 AS
+    // INT), which WRAPS for k near 2³¹ — col != expr(row), so neither
+    // face may rewrite through it
+    s.sql(
+      s"""CREATE TABLE gen_narrow_t (k BIGINT, txt STRING, n INT)
+         |USING graft
+         |OPTIONS (path '$path', `generated.n` '(k + 1L)')""".stripMargin)
+    // ANSI would refuse the wrapping write loudly (also fine); the
+    // legacy-cast session is the one that actually stores a wrapped value
+    s.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      s.sql("INSERT INTO gen_narrow_t SELECT 3000000000L, 'a', 0")
+      s.sql("INSERT INTO gen_narrow_t SELECT 5L, 'b', 0")
+    } finally s.conf.unset("spark.sql.ansi.enabled")
+    def q = s.sql("SELECT k FROM gen_narrow_t WHERE k + 1L = 3000000001L")
+    withRule(on = true) {
+      assert(q.collect().map(_.getLong(0)).toSeq === Seq(3000000000L),
+        "the wrapped stored value must not be consulted")
+      val usesStored = q.queryExecution.optimizedPlan.exists {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.references.exists(_.name == "n")
+        case _ => false
+      }
+      assert(!usesStored, "type-mismatched declarations must stand down")
+    }
+  }
+
+  test("a window-function declaration rejects: per-batch recompute would break the invariant") {
+    val dir = Files.createTempDirectory("gen_win").toString + "/t"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "txt")
+    val e = intercept[RuntimeException](ManifestTable.overwrite(s, dir, df,
+      generated = Map("rn" -> "row_number() over (order by k)")))
+    assert(e.getMessage.contains("row-by-row"),
+      s"window declarations must reject at creation: ${e.getMessage}")
+  }
+
   test("every write path recomputes: append fills, writer values are overwritten, merge and UPDATE re-derive") {
     val path = Files.createTempDirectory("gen_write").toString + "/t"
     ManifestTable.overwrite(s, path,
