@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // zero-shuffle aggregation on a graft table's bucket key
     e.injectOptimizerRule(_ => CoBucketAggRule)
     e.injectPlannerStrategy(_ => new CoBucketAggStrategy)
+    // DSv2 catalog reads (spark.sql.catalog.<name>=graft.sources.GraftCatalog)
+    // land on the DSv1 GraftRelation so every rule above fires for
+    // catalog-qualified names too
+    e.injectResolutionRule(_ => GraftV2FallbackRule)
     // SQL DELETE over graft tables (copy-on-write row-level delete)
     e.injectResolutionRule(_ => GraftDeleteRule)
     // SQL UPDATE over graft tables (copy-on-write row-level update)

@@ -192,6 +192,19 @@ class GraftSqlParser(session: SparkSession,
     sb.toString
   }
 
+  /** True when `parts` resolves through a REGISTERED v2 catalog (an
+    * explicit `cat.…` qualifier or a non-session current catalog) — those
+    * statements belong to the catalog's own resolution
+    * ([[graft.sources.GraftCatalog]] handles create/alter/time-travel
+    * natively), and parse-time interception would bypass it. */
+  private def v2Managed(parts: Seq[String]): Boolean = {
+    def registered(name: String): Boolean =
+      !name.equalsIgnoreCase("spark_catalog") &&
+        session.conf.getOption(s"spark.sql.catalog.$name").isDefined
+    if (parts.length >= 2 && registered(parts.head)) true
+    else registered(session.sessionState.catalogManager.currentCatalog.name())
+  }
+
   /** `INSERT INTO t REPLACE WHERE cond query` (Delta's replaceWhere,
     * Spark's own v2 grammar — it parses for every table but only
     * executes against DSv2): over a graft target it lowers to
@@ -203,6 +216,10 @@ class GraftSqlParser(session: SparkSession,
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
     import org.apache.spark.sql.catalyst.plans.logical.OverwriteByExpression
     plan match {
+      // catalog-qualified names stay intercepted too: the target path
+      // resolves through the catalog's own relation, and the lowering is
+      // the one REPLACE WHERE implementation (the v2 write face only
+      // carries full-table overwrites)
       case o @ OverwriteByExpression(u: UnresolvedRelation, cond, query,
           _, _, _, _) =>
         graftPathOf(u.multipartIdentifier) match {
@@ -252,14 +269,16 @@ class GraftSqlParser(session: SparkSession,
     plan match {
       case c: CreateTableAsSelect =>
         (c.name, graftSpec(c.tableSpec)) match {
-          case (u: UnresolvedIdentifier, Some((opts, loc))) =>
+          case (u: UnresolvedIdentifier, Some((opts, loc)))
+              if !v2Managed(u.nameParts) =>
             GraftCtasCommand(u.nameParts, c.partitioning, c.query,
               opts ++ c.writeOptions, loc, c.ignoreIfExists)
           case _ => plan
         }
       case r: ReplaceTableAsSelect =>
         (r.name, graftSpec(r.tableSpec)) match {
-          case (u: UnresolvedIdentifier, Some((opts, loc))) =>
+          case (u: UnresolvedIdentifier, Some((opts, loc)))
+              if !v2Managed(u.nameParts) =>
             GraftRtasCommand(u.nameParts, r.partitioning, r.query,
               opts ++ r.writeOptions, loc, r.orCreate)
           case _ => plan
@@ -269,7 +288,8 @@ class GraftSqlParser(session: SparkSession,
       // (path …)`) keeps the stock v1 register-over-existing-path behavior
       case c: CreateTable if hasFunctionTransform(c.partitioning) || c.columns.nonEmpty =>
         (c.name, graftSpec(c.tableSpec)) match {
-          case (u: UnresolvedIdentifier, Some((opts, loc))) =>
+          case (u: UnresolvedIdentifier, Some((opts, loc)))
+              if !v2Managed(u.nameParts) =>
             GraftCreateTableCommand(u.nameParts,
               org.apache.spark.sql.types.StructType(c.columns.map(cd =>
                 org.apache.spark.sql.types.StructField(cd.name, cd.dataType, cd.nullable))),
@@ -298,7 +318,10 @@ class GraftSqlParser(session: SparkSession,
     import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
     import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
     plan.transformUp {
-      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver)
+          // a v2-catalog name resolves time travel NATIVELY through the
+          // catalog's versioned loadTable — leave its node untouched
+          if !v2Managed(u.multipartIdentifier) =>
         graftPathOf(u.multipartIdentifier) match {
           case Some(path) =>
             val version = ver match {
@@ -617,7 +640,7 @@ object GraftSqlParser {
     * nested refs — is rejected loudly at CREATE time, never silently
     * dropped (a dropped transform would produce an unpartitioned 100 TB
     * table that "works" until the first full scan). */
-  private[plans] def toGraftPartitioning(
+  private[graft] def toGraftPartitioning(
       parts: Seq[org.apache.spark.sql.connector.expressions.Transform])
       : (Seq[String], Seq[ManifestTable.PartitionTransform]) = {
     val neutral = org.apache.spark.sql.graft.bridge.v2Transforms(parts)
@@ -640,7 +663,7 @@ object GraftSqlParser {
     * that can declare one: SET TBLPROPERTIES rejects the prop, because
     * declaration onto existing data would break the derive rule's
     * row-level invariant). The column-name part keeps its case. */
-  private[plans] def generatedOpts(options: Map[String, String]): Map[String, String] =
+  private[graft] def generatedOpts(options: Map[String, String]): Map[String, String] =
     options.flatMap { case (k, v) =>
       if (k.toLowerCase(java.util.Locale.ROOT).startsWith("generated.") &&
           k.length > "generated.".length)

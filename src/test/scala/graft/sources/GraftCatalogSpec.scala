@@ -1,0 +1,213 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The DSv2 `TableCatalog` face ([[GraftCatalog]]): graft tables as
+  * first-class catalog citizens — namespaces, catalog-qualified names,
+  * native CREATE/CTAS/ALTER/DROP, native time travel through the
+  * versioned `loadTable` overloads, DML through Spark's own grammar —
+  * with every read REWRITTEN onto the proven [[GraftRelation]]
+  * ([[graft.plans.GraftV2FallbackRule]]), so the file-skipping and rule
+  * surface is identical to path reads. The spec runs the q_sql_*
+  * lifecycle through `gcat.ns.t` names end to end.
+  */
+class GraftCatalogSpec extends SparkSpec {
+
+  private lazy val s = {
+    val sess = MorDmlSpec.extSpark
+    sess.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+    sess.conf.set("spark.sql.catalog.gcat.warehouse", GraftCatalogSpec.warehouse)
+    sess
+  }
+  import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+  private def graftRel(df: org.apache.spark.sql.DataFrame): GraftRelation =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation] =>
+        lr.relation.asInstanceOf[GraftRelation]
+    }.getOrElse(fail("catalog read did not land on a GraftRelation — " +
+      "the v2 fallback rule must rewrite every catalog read"))
+
+  test("namespaces + CTAS + reads land on GraftRelation + SHOW TABLES") {
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    assert(s.sql("SHOW NAMESPACES IN gcat").collect().map(_.getString(0))
+      .contains("ns"))
+    s.sql("""CREATE TABLE gcat.ns.t USING graft AS
+            |SELECT id, id % 10 AS grp, concat('v', id) AS v
+            |FROM range(1000)""".stripMargin)
+    val df = s.sql("SELECT grp, count(*) AS n FROM gcat.ns.t GROUP BY grp")
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ===
+      (0L until 10L).map(_ -> 100L).toMap)
+    graftRel(df): Unit // reads are GraftRelation-backed
+    assert(s.sql("SHOW TABLES IN gcat.ns").collect()
+      .map(_.getString(1)).contains("t"))
+    // the table is a plain graft table on disk: the path face reads it too
+    val direct = ManifestTable.read(s, s"${GraftCatalogSpec.warehouse}/ns/t")
+    assert(direct.count() === 1000L)
+  }
+
+  test("INSERT INTO / INSERT OVERWRITE / REPLACE WHERE through catalog names") {
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    s.sql("DROP TABLE IF EXISTS gcat.ns.ins")
+    s.sql("CREATE TABLE gcat.ns.ins (id BIGINT, grp BIGINT, v STRING) USING graft")
+    s.sql("INSERT INTO gcat.ns.ins SELECT id, id % 4, concat('a', id) FROM range(100)")
+    assert(s.sql("SELECT count(*) FROM gcat.ns.ins").head.getLong(0) === 100L)
+    s.sql("INSERT INTO gcat.ns.ins SELECT id, id % 4, concat('b', id) FROM range(100, 150)")
+    assert(s.sql("SELECT count(*) FROM gcat.ns.ins").head.getLong(0) === 150L)
+    // history accrued: two writes = versions 1..2 (create) + …
+    s.sql("INSERT OVERWRITE gcat.ns.ins SELECT id, id % 4, concat('c', id) FROM range(20)")
+    assert(s.sql("SELECT count(*) FROM gcat.ns.ins").head.getLong(0) === 20L)
+    assert(s.sql("SELECT v FROM gcat.ns.ins WHERE id = 3").head.getString(0) === "c3")
+    // REPLACE WHERE keeps its one lowering (parse-time) for catalog names
+    s.sql("""INSERT INTO gcat.ns.ins REPLACE WHERE grp = 1
+            |SELECT id, 1L AS grp, concat('r', id) AS v FROM range(201, 206)""".stripMargin)
+    val after = s.sql("SELECT count(*) FROM gcat.ns.ins WHERE grp = 1").head.getLong(0)
+    assert(after === 5L, "REPLACE WHERE swapped exactly the matching slice")
+    assert(s.sql("SELECT count(*) FROM gcat.ns.ins").head.getLong(0) === 20L - 5L + 5L)
+  }
+
+  test("zone-map file skipping fires for catalog-qualified reads") {
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    s.sql("DROP TABLE IF EXISTS gcat.ns.clus")
+    // range-clustered CTAS: statscols via OPTIONS, 8 files via the query
+    s.sql("""CREATE TABLE gcat.ns.clus USING graft
+            |OPTIONS (statscols 'id')
+            |AS SELECT /*+ REPARTITION_BY_RANGE(8, id) */ id, id % 7 AS g
+            |FROM range(8000)""".stripMargin)
+    val df = s.sql("SELECT id FROM gcat.ns.clus WHERE id BETWEEN 100 AND 120")
+    assert(df.count() === 21L)
+    val opened = graftRel(df).lastScanFileCount
+    assert(opened >= 1 && opened < 8,
+      s"catalog reads must zone-prune like path reads: opened $opened of 8")
+  }
+
+  test("native time travel: VERSION AS OF, TIMESTAMP AS OF, tag refs — no parser shim") {
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    s.sql("DROP TABLE IF EXISTS gcat.ns.tt")
+    s.sql("CREATE TABLE gcat.ns.tt USING graft AS SELECT id FROM range(10)")
+    s.sql("INSERT INTO gcat.ns.tt SELECT id FROM range(10, 30)")
+    val path = s"${GraftCatalogSpec.warehouse}/ns/tt"
+    val v1 = 1L
+    assert(s.sql(s"SELECT count(*) FROM gcat.ns.tt VERSION AS OF $v1")
+      .head.getLong(0) === 10L)
+    assert(s.sql("SELECT count(*) FROM gcat.ns.tt").head.getLong(0) === 30L)
+    // a tag resolves as a version ref through the same overload
+    ManifestTable.createTag(s, path, "first", Some(v1))
+    assert(s.sql("SELECT count(*) FROM gcat.ns.tt VERSION AS OF 'first'")
+      .head.getLong(0) === 10L)
+    // TIMESTAMP AS OF on the commit clock: a far-future pin is the head
+    assert(s.sql("SELECT count(*) FROM gcat.ns.tt TIMESTAMP AS OF '2100-01-01'")
+      .head.getLong(0) === 30L)
+    // writes to a version-pinned table refuse
+    val e = intercept[Exception](s.sql(
+      s"INSERT INTO gcat.ns.tt VERSION AS OF $v1 SELECT 99L"))
+    assert(e.getMessage.toLowerCase.contains("version") ||
+      e.getMessage.contains("pinned"), e.getMessage)
+  }
+
+  test("DML lifecycle through catalog names: UPDATE, DELETE, MERGE land on the graft rules") {
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    s.sql("DROP TABLE IF EXISTS gcat.ns.dml")
+    s.sql("""CREATE TABLE gcat.ns.dml USING graft AS
+            |SELECT id, id % 10 AS n, concat('v', id) AS v FROM range(1000)""".stripMargin)
+    s.sql("UPDATE gcat.ns.dml SET v = concat('u', id) WHERE id < 5")
+    assert(s.sql("SELECT v FROM gcat.ns.dml WHERE id = 3").head.getString(0) === "u3")
+    s.sql("DELETE FROM gcat.ns.dml WHERE id >= 990")
+    assert(s.sql("SELECT count(*) FROM gcat.ns.dml").head.getLong(0) === 990L)
+    s.range(5).select((col("id") * 7).as("id"), lit(42L).as("n"),
+      lit("mrg").as("v")).createOrReplaceTempView("gcat_dml_src")
+    s.sql("""MERGE INTO gcat.ns.dml t USING gcat_dml_src s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(s.sql("SELECT v FROM gcat.ns.dml WHERE id = 7").head.getString(0) === "mrg")
+    assert(s.sql("SELECT n FROM gcat.ns.dml WHERE id = 14").head.getLong(0) === 42L)
+    // time travel still reads the pre-DML snapshot (catalog overloads)
+    assert(s.sql("SELECT count(*) FROM gcat.ns.dml VERSION AS OF 1")
+      .head.getLong(0) === 1000L)
+  }
+
+  test("ALTER TABLE through the catalog: columns, properties, rename table") {
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    s.sql("DROP TABLE IF EXISTS gcat.ns.alt")
+    s.sql("DROP TABLE IF EXISTS gcat.ns.alt2")
+    s.sql("CREATE TABLE gcat.ns.alt USING graft AS SELECT id, 'x' AS a FROM range(5)")
+    s.sql("ALTER TABLE gcat.ns.alt ADD COLUMNS (b BIGINT)")
+    s.sql("ALTER TABLE gcat.ns.alt RENAME COLUMN a TO a2")
+    assert(s.sql("SELECT id, a2, b FROM gcat.ns.alt WHERE id = 1").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.isNullAt(2))).toSeq ===
+      Seq((1L, "x", true)))
+    s.sql("ALTER TABLE gcat.ns.alt DROP COLUMN b")
+    assert(!s.table("gcat.ns.alt").columns.contains("b"))
+    s.sql("ALTER TABLE gcat.ns.alt SET TBLPROPERTIES ('team' = 'data')")
+    val props = s.sql("SHOW TBLPROPERTIES gcat.ns.alt").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("team").contains("data"))
+    // the generated-declaration channel stays SHUT here too
+    val e = intercept[Exception](s.sql(
+      "ALTER TABLE gcat.ns.alt SET TBLPROPERTIES ('graft.generated.z' = 'id + 1')"))
+    assert(e.getMessage.contains("generated"))
+    s.sql("ALTER TABLE gcat.ns.alt UNSET TBLPROPERTIES ('team')")
+    // rename moves the directory; the data follows
+    s.sql("ALTER TABLE gcat.ns.alt RENAME TO ns.alt2")
+    assert(s.sql("SELECT count(*) FROM gcat.ns.alt2").head.getLong(0) === 5L)
+    assert(intercept[Exception](s.sql("SELECT * FROM gcat.ns.alt").collect())
+      .getMessage.nonEmpty)
+  }
+
+  test("generated columns declared through catalog CREATE OPTIONS recompute on INSERT") {
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    s.sql("DROP TABLE IF EXISTS gcat.ns.gen")
+    s.sql("""CREATE TABLE gcat.ns.gen (k BIGINT, txt STRING, n_chars INT)
+            |USING graft
+            |OPTIONS (`generated.n_chars` 'length(txt)')""".stripMargin)
+    // v2 INSERT provides every column; the table's derivation overwrites
+    s.sql("INSERT INTO gcat.ns.gen SELECT 1L, 'abcd', 999")
+    assert(s.sql("SELECT n_chars FROM gcat.ns.gen").head.getInt(0) === 4)
+  }
+
+  test("maintenance statements resolve catalog-qualified targets: OPTIMIZE, DESCRIBE HISTORY, ANALYZE") {
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    s.sql("DROP TABLE IF EXISTS gcat.ns.mnt")
+    s.sql("CREATE TABLE gcat.ns.mnt USING graft AS SELECT id FROM range(100)")
+    s.sql("INSERT INTO gcat.ns.mnt SELECT id FROM range(100, 200)")
+    val hist = s.sql("DESCRIBE HISTORY gcat.ns.mnt").collect()
+    assert(hist.length >= 2, "history sees both commits")
+    s.sql("OPTIMIZE gcat.ns.mnt")
+    assert(s.sql("SELECT count(*) FROM gcat.ns.mnt").head.getLong(0) === 200L)
+    s.sql("ANALYZE TABLE gcat.ns.mnt COMPUTE STATISTICS")
+    ()
+  }
+
+  test("external LOCATION tables + DROP semantics + namespace guards") {
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ext")
+    val loc = Files.createTempDirectory("gcat_ext").toString + "/t"
+    s.sql(s"CREATE TABLE gcat.ext.e USING graft LOCATION '$loc' " +
+      "AS SELECT id FROM range(7)")
+    assert(s.sql("SELECT count(*) FROM gcat.ext.e").head.getLong(0) === 7L)
+    assert(ManifestTable.currentVersion(s, loc).isDefined,
+      "the external table lives at its LOCATION")
+    // a non-empty namespace refuses a bare drop
+    val e = intercept[Exception](s.sql("DROP NAMESPACE gcat.ext"))
+    assert(e.getMessage.toLowerCase.contains("empty") ||
+      e.getMessage.toLowerCase.contains("cascade"), e.getMessage)
+    // dropping the EXTERNAL table forgets the entry, keeps the data
+    s.sql("DROP TABLE gcat.ext.e")
+    assert(intercept[Exception](s.sql("SELECT * FROM gcat.ext.e").collect())
+      .getMessage.nonEmpty)
+    assert(ManifestTable.currentVersion(s, loc).isDefined,
+      "DROP of an external table must keep the LOCATION's data")
+    // managed drop deletes
+    s.sql("DROP TABLE IF EXISTS gcat.ns.dropme")
+    s.sql("CREATE TABLE gcat.ns.dropme USING graft AS SELECT 1 AS x")
+    s.sql("DROP TABLE gcat.ns.dropme")
+    assert(ManifestTable.currentVersion(s,
+      s"${GraftCatalogSpec.warehouse}/ns/dropme").isEmpty, "managed DROP deletes")
+  }
+}
+
+object GraftCatalogSpec {
+  lazy val warehouse: String =
+    Files.createTempDirectory("gcat_wh").toString
+}
