@@ -773,6 +773,43 @@ object PlanAudit {
             bRows.toSet == bBase.toSet))
       }
 
+      // r17: runtime-filter PRE-JOB tier — a build side OVER the broadcast
+      // threshold still file-skips: one bounded aggregation sizes its key
+      // space, then membership seeds when NDV admits
+      {
+        val pfd = java.nio.file.Files
+          .createTempDirectory("audit_rtpre").toString + "/t"
+        graft.sources.ManifestTable.overwrite(spark, pfd,
+          spark.range(80000).select(col("id"), (col("id") % 97).as("v"))
+            .repartitionByRange(8, col("id")), statsCols = Seq("id"))
+        spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW pre_fact USING graft OPTIONS (path '$pfd')")
+        val pdd = java.nio.file.Files
+          .createTempDirectory("audit_rtpre_dim").toString + "/t"
+        graft.sources.ManifestTable.overwrite(spark, pdd,
+          spark.range(200000).select((col("id") % 200 + 1000).as("k"),
+            col("id").as("payload")))
+        spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW pre_dim USING graft OPTIONS (path '$pdd')")
+        def qp = spark.sql(
+          "SELECT f.id, f.v FROM pre_fact f JOIN pre_dim d ON f.id = d.k")
+        val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        try {
+          spark.conf.set("spark.graft.runtimeFilter.preJob.enabled", "false")
+          val pBase = qp.collect().toSeq
+          val pBaseFiles = relOf(qp).lastScanFileCount
+          spark.conf.set("spark.graft.runtimeFilter.preJob.enabled", "true")
+          val pDf = qp
+          val pRows = pDf.collect().toSeq
+          val pFiles = relOf(pDf).lastScanFileCount
+          spark.conf.unset("spark.graft.runtimeFilter.preJob.enabled")
+          auditDf("runtime_prejob", pDf)(
+            s"an over-threshold 200k-row build still file-skips ($pFiles of $pBaseFiles)" -> (_ =>
+              pBaseFiles == 8 && pFiles >= 1 && pFiles <= 2),
+            "identical results with the pre-job on and off" -> (_ =>
+              pRows.toSet == pBase.toSet))
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      }
+
       // r16: generated-column predicate derivation — a raw variant-path
       // range predicate opens a strict subset of a clustered table's files
       {

@@ -60,19 +60,32 @@ import org.apache.spark.sql.graft.bridge
   * assumes. (Sources that violate it — overwritten-in-place CSV drops,
   * say — should disable the rule.)
   *
+  * ABOVE the broadcast threshold, the PRE-JOB tier takes over (r17):
+  * one bounded aggregation job (min/max per key + distinct tuple count)
+  * sizes the build's key space, then a capped key collect runs only when
+  * that NDV admits a membership seed — a 10⁶-row dim cut whose keys
+  * cover 5% of a clustered fact now opens ~5% of it, paid with ≤2 scans
+  * of a side the join scans anyway. Kill switch
+  * `spark.graft.runtimeFilter.preJob.enabled`; builds estimating past
+  * `preJob.maxBytes` (default 1 GiB) never execute early at all.
+  *
   * Stand-downs: rule disabled (`spark.graft.runtimeFilter.enabled=false`),
-  * no broadcast threshold, build side above it, probe column without
-  * stats/Blooms, single-file probe snapshots, or an existing
-  * membership/point predicate on the same attribute (the fixpoint
-  * re-fire guard, see [[eligible]]). Co-bucketed joins never meet this
-  * rule: [[CoBucketJoinRule]] requires BOTH sides above the broadcast
-  * threshold, this rule requires the build side below it.
+  * no broadcast threshold, build side above `preJob.maxBytes` (or the
+  * pre-job disabled), probe column without stats/Blooms, single-file
+  * probe snapshots, or an existing membership/point predicate on the
+  * same attribute (the fixpoint re-fire guard, see [[eligible]]).
+  * Co-bucketed joins never meet the under-threshold tiers
+  * ([[CoBucketJoinRule]] requires BOTH sides above the broadcast
+  * threshold); a co-bucketed probe seeded by the pre-job keeps its
+  * zero-shuffle join — the seed is a plain filter under it.
   */
 object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private val EnabledKey = "spark.graft.runtimeFilter.enabled"
   private val MaxKeysKey = "spark.graft.runtimeFilter.maxKeys"
   private val MaxBloomKeysKey = "spark.graft.runtimeFilter.maxBloomKeys"
+  private val PreJobEnabledKey = "spark.graft.runtimeFilter.preJob.enabled"
+  private val PreJobMaxBytesKey = "spark.graft.runtimeFilter.preJob.maxBytes"
 
   /** Re-entrance guard: collecting build keys runs a child query through
     * the full optimizer — the rule must not fire inside its own collect
@@ -145,7 +158,26 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
     if (build.exists(p => !p.expressions.forall(_.deterministic))) return j
     if (build.exists(_.expressions.exists(
         _.exists(_.isInstanceOf[SubqueryExpression])))) return j
-    if (build.stats.sizeInBytes > conf.autoBroadcastJoinThreshold) return j
+    // ABOVE the broadcast threshold the build was never going to execute
+    // at plan time for free — but a build that is merely BIG is not a
+    // build with many DISTINCT KEYS, and the fact-side scan it joins may
+    // be 100× its size. The PRE-JOB tier (kill switch
+    // `spark.graft.runtimeFilter.preJob.enabled`) runs ONE bounded
+    // aggregation over the build — min/max per key column plus the
+    // distinct tuple count, three scalars per key — and only when that
+    // NDV admits a membership seed does a second capped collect fetch
+    // the keys; otherwise the min/max already in hand seeds the range
+    // tier collect-free. Cost ceiling: two scans of a build the join
+    // itself scans anyway, capped by `preJob.maxBytes` (default 1 GiB —
+    // a dim cut, not a second fact).
+    val overThreshold = build.stats.sizeInBytes > conf.autoBroadcastJoinThreshold
+    if (overThreshold) {
+      if (!conf.getConfString(PreJobEnabledKey, "true").equalsIgnoreCase("true"))
+        return j
+      val maxBytes = conf.getConfString(PreJobMaxBytesKey,
+        (1L << 30).toString).toLong
+      if (build.stats.sizeInBytes > maxBytes) return j
+    }
     // EVERY equality conjunct whose probe side is a bare graft stats/Bloom
     // column and whose build side computes entirely from the build plan —
     // a composite-key join seeds all its key columns from ONE plan-time
@@ -164,7 +196,7 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
       case _ => Nil
     }.distinctBy(_._1.exprId)
     if (pairs.isEmpty) j
-    else collectPredicate(pairs, build) match {
+    else collectPredicate(pairs, build, overThreshold) match {
       case None => j
       case Some(p) =>
         val seeded = Filter(p, probe)
@@ -237,10 +269,17 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Execute the build side ONCE (bounded) and shape one predicate per
     * probe key column, conjoined. Distinct key TUPLES drive the caps; a
-    * column's values are its non-null slice of the tuples. */
+    * column's values are its non-null slice of the tuples.
+    *
+    * Over-threshold builds (`preJob = true`) take the two-stage path:
+    * stage 1 is one aggregation job (min+max per column, distinct tuple
+    * count — O(1) driver bytes at any build size); stage 2, the capped
+    * distinct-key collect, runs ONLY when stage 1 proved it bounded. An
+    * under-threshold build keeps the single direct collect — its scan
+    * was broadcast-cheap to begin with. */
   private def collectPredicate(
       pairs: Seq[(AttributeReference, Expression, Boolean)],
-      build: LogicalPlan): Option[Expression] = {
+      build: LogicalPlan, preJob: Boolean = false): Option[Expression] = {
     val spark = SparkSession.active
     val maxKeys = conf.getConfString(MaxKeysKey, "4096").toInt
     // default 32k, not "as many as broadcast admits": the IN list rides
@@ -252,6 +291,33 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
       math.max(maxKeys, conf.getConfString(MaxBloomKeysKey, "32768").toInt)
     inCollect.set(true)
     try {
+      if (preJob) {
+        // stage 1: three scalars per key column, one job
+        import org.apache.spark.sql.catalyst.expressions.aggregate.Count
+        val agg = Aggregate(Nil,
+          pairs.zipWithIndex.flatMap { case ((_, e, _), i) => Seq(
+            Alias(Min(e).toAggregateExpression(), s"__graft_pmn_$i")(),
+            Alias(Max(e).toAggregateExpression(), s"__graft_pmx_$i")()) } :+
+            Alias(Count(pairs.map(_._2))
+              .toAggregateExpression(isDistinct = true), "__graft_pndv")(),
+          build)
+        val r = bridge.ofRows(spark, agg).collect().head
+        val ndv = r.getLong(2 * pairs.length)
+        // no non-null key tuple: the equality join matches nothing
+        if (ndv == 0L) return Some(Literal.FalseLiteral)
+        if (ndv > maxBloomKeys) {
+          // membership is out of reach — the stage-1 extremes ARE the seed
+          val ranges = pairs.zipWithIndex.map { case ((a, buildKey, _), i) =>
+            if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) Literal.TrueLiteral
+            else And(
+              GreaterThanOrEqual(a, Literal.create(r.get(2 * i), buildKey.dataType)),
+              LessThanOrEqual(a, Literal.create(r.get(2 * i + 1), buildKey.dataType)))
+          }.filterNot(_ == Literal.TrueLiteral)
+          return if (ranges.isEmpty) None else Some(ranges.reduce(And))
+        }
+        // else: NDV admits a membership seed — fall through to the
+        // capped distinct collect, which is now provably bounded
+      }
       val proj = Project(pairs.zipWithIndex.map { case ((_, e, _), i) =>
         Alias(e, s"__graft_rtk_$i")() }, build)
       val df = bridge.ofRows(spark, proj).distinct().limit(maxBloomKeys + 1)

@@ -251,6 +251,57 @@ class GraftRuntimeFilterSpec extends SparkSpec {
     }
   }
 
+  test("ABOVE the broadcast threshold: the pre-job sizes the build's keys, seeds membership or range, and the kill switch stands down") {
+    val fact = mkFact("prejob")
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW rtf_factp USING graft OPTIONS (path '$fact')")
+    // a BIG build (200k rows — far over the forced threshold below) whose
+    // distinct keys are few and clustered: membership tier via pre-job
+    val narrowPath = Files.createTempDirectory("rtf_bignarrow").toString + "/t"
+    ManifestTable.overwrite(s, narrowPath, s.range(200000)
+      .select((col("id") % 200 + 1000).as("k"), col("id").as("payload")))
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW rtf_bignarrow USING graft OPTIONS (path '$narrowPath')")
+    // and a big HIGH-NDV build (40k distinct > maxBloomKeys) confined to
+    // the fact's lower half: range tier from the pre-job's min/max alone
+    val widePath = Files.createTempDirectory("rtf_bigwide").toString + "/t"
+    ManifestTable.overwrite(s, widePath, s.range(200000)
+      .select((col("id") % 40000).as("k"), col("id").as("payload")))
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW rtf_bigwide USING graft OPTIONS (path '$widePath')")
+    def qNarrow = s.sql(
+      "SELECT f.id, f.v, d.payload FROM rtf_factp f JOIN rtf_bignarrow d ON f.id = d.k")
+    def qWide = s.sql(
+      "SELECT f.id, f.v FROM rtf_factp f JOIN rtf_bigwide d ON f.id = d.k")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try {
+      val expNarrow = withRule(on = false)(
+        qNarrow.collect().map(_.toString).sorted.toSeq)
+      val expWide = withRule(on = false)(qWide.count())
+      withRule(on = true) {
+        val dfN = qNarrow
+        assert(hasKeySeed(dfN),
+          "a bounded-NDV over-threshold build must seed membership via the pre-job")
+        assert(dfN.collect().map(_.toString).sorted.toSeq === expNarrow)
+        assert(relOf(dfN).lastScanFileCount <= 2,
+          s"200 clustered keys open ~1 of 8 files, got ${relOf(dfN).lastScanFileCount}")
+        val dfW = qWide
+        assert(dfW.count() === expWide)
+        val wideFiles = relOf(dfW).lastScanFileCount
+        assert(wideFiles >= 1 && wideFiles <= 5,
+          s"the pre-job min/max must confine the scan to the lower half, got $wideFiles of 8")
+        // kill switch: over-threshold builds never execute early
+        s.conf.set("spark.graft.runtimeFilter.preJob.enabled", "false")
+        try {
+          val off = qNarrow
+          assert(!hasKeySeed(off), "preJob.enabled=false must stand down")
+          assert(off.collect().map(_.toString).sorted.toSeq === expNarrow)
+        } finally s.conf.unset("spark.graft.runtimeFilter.preJob.enabled")
+        // byte cap: a build estimating past preJob.maxBytes stands down
+        s.conf.set("spark.graft.runtimeFilter.preJob.maxBytes", "1")
+        try assert(!hasKeySeed(qNarrow), "a build past preJob.maxBytes never runs early")
+        finally s.conf.unset("spark.graft.runtimeFilter.preJob.maxBytes")
+      }
+    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("non-deterministic builds stand down; results stay correct under DVs and eq-deletes") {
     val fact = mkFact("dv", n = 20000, files = 4)
     s.sql(s"CREATE OR REPLACE TEMPORARY VIEW rtf_fact5 USING graft OPTIONS (path '$fact')")
