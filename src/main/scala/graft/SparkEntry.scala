@@ -1831,6 +1831,45 @@ object SparkEntry {
       s.sql("SELECT o_orderkey, o_totalprice FROM q_clone_t")
     }),
 
+    // ---- DELTA READ INTEROP (CONVERT TO GRAFT from a _delta_log): the
+    // fixture hand-writes the public Delta transaction-log format — three
+    // commits over lineitem slices, the middle slice REMOVED — and the
+    // converter replays add/remove to the live set, committing it as
+    // graft version 1 with zero-copy ext:: refs (require-gated). At
+    // 100 TB this is the existing-lake migration story: one metadata
+    // commit, the Delta log left untouched for its own readers ----
+    "q_convert_delta" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_dconv").toString + "/t"
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      def slice(flag: String, tag: String) = graft.sources.DeltaLayout
+        .writeFiles(s, root, li.filter(col("l_returnflag") === flag), tag)
+      val a = slice("A", "sliceA"); val n = slice("N", "sliceN")
+      val r = slice("R", "sliceR")
+      graft.sources.DeltaLayout.writeCommit(s, root, 0,
+        Seq(graft.sources.DeltaLayout.protocol(),
+          graft.sources.DeltaLayout.metaData(li.schema)) ++
+          (a ++ n).map(graft.sources.DeltaLayout.add(_)))
+      graft.sources.DeltaLayout.writeCommit(s, root, 1,
+        r.map(graft.sources.DeltaLayout.add(_)))
+      graft.sources.DeltaLayout.writeCommit(s, root, 2,
+        n.map(graft.sources.DeltaLayout.remove))
+      s.sql(s"CONVERT TO GRAFT '$root' STATSCOLS (l_orderkey)")
+      // zero-copy: every ref external, the Delta log intact
+      val files = graft.sources.ManifestTable.filesMeta(s, root)
+        .select("file").collect().map(_.getString(0))
+      require(files.nonEmpty && files.forall(_.startsWith("ext::")),
+        "delta conversion must reference files in place (ext:: refs)")
+      require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "_delta_log")),
+        "the Delta log must survive conversion")
+      s.sql("DROP TABLE IF EXISTS q_dconv_t")
+      s.sql(s"CREATE TABLE q_dconv_t USING graft OPTIONS (path '$root')")
+      s.sql("""SELECT l_returnflag, count(*) AS n_rows,
+              |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+              |FROM q_dconv_t GROUP BY 1""".stripMargin)
+    }),
+
     // ---- hours() hidden partitioning (Iceberg's finest time transform):
     // two days of events land in 48 hour dirs via pure DDL, and a 2-hour
     // source-column predicate prunes to exactly its 2 directories — the
@@ -5089,6 +5128,14 @@ object SparkEntry {
     "q_sql_clone" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 IN (0, 1)""".stripMargin,
+
+    // the Delta log's live set: slices A and R added, slice N removed —
+    // the oracle re-derives from the raw table the fixture sliced
+    "q_convert_delta" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        |GROUP BY 1""".stripMargin,
 
     // the derived hour key re-computed from the source timestamp
     "q_hour_partition" ->

@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Minimal writer for the public Delta Lake TRANSACTION-LOG format —
+  * the fixture side of [[ManifestTable.convertDelta]]: the converter
+  * replays the `_delta_log` JSON action lines (protocol / metaData /
+  * add / remove), and this object composes exactly those, so conversion is
+  * testable (and demonstrable) without any Delta library on the
+  * classpath. Covers only what the log format itself requires; it is a
+  * fixture writer, not a Delta implementation.
+  */
+private[graft] object DeltaLayout {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def js(s: String): String = mapper.writeValueAsString(s)
+
+  /** Write `df`'s rows as bare parquet files directly under `root`
+    * (hive `k=v` dirs preserved when `partitionBy` is set), names
+    * prefixed for uniqueness across slices. Returns root-relative file
+    * names — the strings `add`/`remove` actions carry. */
+  def writeFiles(spark: SparkSession, root: String, df: DataFrame,
+                 prefix: String, partitionBy: Seq[String] = Nil): Seq[String] = {
+    val scratch = java.nio.file.Files.createTempDirectory(s"delta_$prefix").toString
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(scratch)
+    val f = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new Path(root))
+    val rels = Seq.newBuilder[String]
+    var i = 0
+    val it = f.listFiles(new Path(scratch), true)
+    val base = f.makeQualified(new Path(scratch)).toUri.getPath
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+      if (st.isFile && rel.endsWith(".parquet") &&
+          !rel.split("/").exists(s => s.startsWith("_") || s.startsWith("."))) {
+        val dir = rel.split("/").dropRight(1).mkString("/")
+        val name = s"$prefix-$i.parquet"
+        val target = if (dir.isEmpty) name else s"$dir/$name"
+        val tp = new Path(root, target)
+        f.mkdirs(tp.getParent)
+        require(f.rename(st.getPath, tp), s"cannot place $target")
+        rels += target
+        i += 1
+      }
+    }
+    f.delete(new Path(scratch), true)
+    rels.result()
+  }
+
+  def protocol(minReader: Int = 1, minWriter: Int = 2,
+               readerFeatures: Seq[String] = Nil): String = {
+    val feats = if (readerFeatures.isEmpty) ""
+      else s""","readerFeatures":[${readerFeatures.map(js).mkString(",")}]"""
+    s"""{"protocol":{"minReaderVersion":$minReader,"minWriterVersion":$minWriter$feats}}"""
+  }
+
+  def metaData(schema: StructType, partCols: Seq[String] = Nil,
+               config: Map[String, String] = Map.empty): String = {
+    val conf = config.map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString(",")
+    s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${js(schema.json)},""" +
+      s""""partitionColumns":[${partCols.map(js).mkString(",")}],""" +
+      s""""configuration":{$conf},"createdTime":0}}"""
+  }
+
+  def add(rel: String, withDv: Boolean = false): String = {
+    val dv = if (!withDv) ""
+      else ""","deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":8,"cardinality":1}"""
+    s"""{"add":{"path":${js(rel)},"partitionValues":{},"size":1,""" +
+      s""""modificationTime":0,"dataChange":true$dv}}"""
+  }
+
+  def remove(rel: String): String =
+    s"""{"remove":{"path":${js(rel)},"deletionTimestamp":0,"dataChange":true}}"""
+
+  /** Write one log commit: `_delta_log/<v padded to 20>.json`. */
+  def writeCommit(spark: SparkSession, root: String, version: Long,
+                  actions: Seq[String]): Unit = {
+    val f = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new Path(new Path(root, "_delta_log"), f"$version%020d.json")
+    f.mkdirs(p.getParent)
+    val out = f.create(p, true)
+    try out.write((actions.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+}

@@ -3309,6 +3309,12 @@ object ManifestTable {
       s"CONVERT: $path is not a directory")
     require(currentVersion(spark, path).isEmpty,
       s"CONVERT: $path is already a graft table")
+    // a DELTA table converts by LOG REPLAY, never by directory walk: the
+    // walk would absorb REMOVED (dead) files as live rows and the
+    // restructuring pass would discard `_delta_log` as underscore junk —
+    // both silently catastrophic, so the dispatch is automatic
+    if (f.exists(new Path(root, "_delta_log")))
+      return convertDelta(spark, path, statsCols, bloomCols)
     val dd = dataDir(path)
     val keep = Set("data", "_manifests", "_tmp", "_dv")
     // ---- validate FIRST, from the files' CURRENT positions: a CONVERT
@@ -3373,6 +3379,133 @@ object ManifestTable {
       statsCols, bloomCols)
     commit(spark, path, 1L, schema, partCols, rels, statsCols, stats,
       bloomCols)
+  }
+
+  /** CONVERT a DELTA table's current snapshot into a graft table
+    * ZERO-COPY, in place: replay the `_delta_log` JSON commits
+    * (`metaData`/`add`/`remove`/`protocol` actions — the public Delta
+    * transaction-log format), take the LIVE file set, and commit it as
+    * graft version 1 whose refs point at the Delta files WHERE THEY ARE
+    * (the `ext::` reference shallow clones already use) — a 100 TB Delta
+    * lake migrates in one metadata commit. The Delta log itself is
+    * untouched: its readers keep working on the frozen snapshot, while
+    * graft writes land in graft's own `data/` and OPTIMIZE gradually
+    * self-contains the refs, the standard clone lifecycle.
+    *
+    * Unsupported Delta features refuse LOUDLY, never silently drop rows:
+    *  - DELETION VECTORS (an `add.deletionVector`, or the reader feature
+    *    declared): the ref would resurrect deleted rows — purge DVs in
+    *    Delta first;
+    *  - COLUMN MAPPING (`delta.columnMapping.mode` = name/id): parquet
+    *    field names differ from logical names in a way only the mapping
+    *    can resolve;
+    *  - GENERATED COLUMNS (`delta.generationExpression` field metadata):
+    *    the generation contract cannot carry — re-declare on graft after
+    *    converting;
+    *  - reader versions/features beyond plain parquet + the benign
+    *    allowlist (timestampNtz, variant);
+    *  - a LOG-CLEANED history (first JSON commit > 0): the live set
+    *    would need checkpoint-parquet decoding — replay needs the JSON
+    *    chain from version 0.
+    *
+    * Scale shape: the replay is a driver-side line scan of the JSON log
+    * (the same order-sensitive pass Delta's own snapshot construction
+    * makes), bounded by log size, not data size; stats collection is the
+    * standard distributed pass over only the requested columns. */
+  def convertDelta(spark: SparkSession, path: String,
+                   statsCols: Seq[String] = Nil,
+                   bloomCols: Seq[String] = Nil): Long = {
+    import scala.jdk.CollectionConverters._
+    val f = fs(spark, path)
+    val root = new Path(path)
+    val logDir = new Path(root, "_delta_log")
+    require(f.exists(logDir), s"CONVERT FROM DELTA: no _delta_log under $path")
+    require(currentVersion(spark, path).isEmpty,
+      s"CONVERT: $path is already a graft table")
+    val commits = f.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.matches("\\d{20}\\.json")).sorted.toSeq
+    require(commits.nonEmpty, s"CONVERT FROM DELTA: no JSON commits in $logDir")
+    require(commits.head == f"${0L}%020d.json",
+      "CONVERT FROM DELTA: the JSON history does not start at version 0 — " +
+        "a log-cleaned (checkpoint-only) table cannot replay; lower " +
+        "delta.logRetentionDuration cleanup or convert from a fresh clone")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    var schemaJson: Option[String] = None
+    var partCols: Seq[String] = Nil
+    var config: Map[String, String] = Map.empty
+    // add order preserved; remove cancels — the replay IS the live set
+    val live = new scala.collection.mutable.LinkedHashSet[String]()
+    def decode(p: String): String =
+      java.net.URLDecoder.decode(p, "UTF-8")
+    commits.foreach { name =>
+      val in = f.open(new Path(logDir, name))
+      val text = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+        new String(out.toByteArray, "UTF-8")
+      } finally in.close()
+      text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("protocol")) {
+          val p = node.get("protocol")
+          val rv = Option(p.get("minReaderVersion")).map(_.asInt()).getOrElse(1)
+          val feats = Option(p.get("readerFeatures"))
+            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+          val benign = Set("timestampNtz", "variantType", "variantType-preview")
+          val hard = feats.filterNot(benign)
+          require(rv <= 1 || (rv == 3 && hard.isEmpty),
+            s"CONVERT FROM DELTA: reader requirement not supported " +
+              s"(minReaderVersion=$rv, features=${hard.mkString(",")}) — " +
+              "deletion vectors and column mapping do not convert")
+        }
+        if (node.has("metaData")) {
+          val m = node.get("metaData")
+          schemaJson = Some(m.get("schemaString").asText())
+          partCols = Option(m.get("partitionColumns"))
+            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+          config = Option(m.get("configuration"))
+            .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+            .getOrElse(Map.empty)
+        }
+        if (node.has("add")) {
+          val a = node.get("add")
+          require(!a.has("deletionVector") || a.get("deletionVector").isNull,
+            "CONVERT FROM DELTA: a live file carries a DELETION VECTOR — " +
+              "referencing it raw would resurrect deleted rows; purge DVs " +
+              "in Delta (REORG TABLE … APPLY (PURGE)) before converting")
+          val rel = decode(a.get("path").asText())
+          require(!rel.contains("://"),
+            s"CONVERT FROM DELTA: absolute add path '$rel' is not supported")
+          live += rel: Unit
+        }
+        if (node.has("remove"))
+          live -= decode(node.get("remove").get("path").asText()): Unit
+      }
+    }
+    require(config.get("delta.columnMapping.mode").forall(_ == "none"),
+      s"CONVERT FROM DELTA: column mapping mode " +
+        s"'${config("delta.columnMapping.mode")}' does not convert — parquet " +
+        "field names differ from the logical schema in a way only Delta's " +
+        "mapping resolves")
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(schemaJson.getOrElse(sys.error(
+        "CONVERT FROM DELTA: the log carries no metaData action")))
+      .asInstanceOf[StructType]
+    schema.fields.foreach(fd =>
+      require(!fd.metadata.contains("delta.generationExpression"),
+        s"CONVERT FROM DELTA: column '${fd.name}' is a Delta GENERATED " +
+          "column — the generation contract cannot carry; drop it in Delta " +
+          "or re-declare through graft's generated columns after converting"))
+    require(live.nonEmpty, "CONVERT FROM DELTA: the snapshot has no live files")
+    if (partCols.nonEmpty)
+      live.foreach(r => require(pathSpec(r) == partCols,
+        s"CONVERT FROM DELTA: file '$r' does not sit under the hive layout " +
+          s"${partCols.mkString("/")} — non-hive Delta layouts do not convert"))
+    val base = f.makeQualified(root).toString
+    val rels = live.toSeq.sorted.map(r => extRef(base, r))
+    val stats = collectStats(spark, path, rels, schema, partCols,
+      statsCols, bloomCols)
+    commit(spark, path, 1L, schema, partCols, rels, statsCols, stats, bloomCols)
   }
 
   /** SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE src` re-derived):
