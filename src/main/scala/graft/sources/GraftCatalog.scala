@@ -321,9 +321,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "graft catalog: nested ADD COLUMN rides ManifestTable.addNestedField")
+        // `ADD COLUMN c T DEFAULT <sql>` carries the manifest's column
+        // default (old files read the literal) — dropping it silently
+        // would change every pre-add row, so an SQL-less default refuses
+        val defaults = Option(a.defaultValue()) match {
+          case None => Map.empty[String, String]
+          case Some(d) =>
+            val sql = d.getSql
+            require(sql != null && sql.nonEmpty,
+              "graft catalog: ADD COLUMN DEFAULT without a SQL form")
+            Map(a.fieldNames().head -> sql)
+        }
         ManifestTable.addColumns(spark, path, Seq(
           org.apache.spark.sql.types.StructField(
-            a.fieldNames().head, a.dataType(), a.isNullable))): Unit
+            a.fieldNames().head, a.dataType(), a.isNullable)),
+          defaults): Unit
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
           "graft catalog: nested RENAME COLUMN is not supported")

@@ -138,6 +138,10 @@ class GraftCatalogSpec extends SparkSpec {
     assert(s.sql("SELECT id, a2, b FROM gcat.ns.alt WHERE id = 1").collect()
       .map(r => (r.getLong(0), r.getString(1), r.isNullAt(2))).toSeq ===
       Seq((1L, "x", true)))
+    // ADD COLUMN with DEFAULT carries into the manifest: pre-add rows
+    // read the literal, not NULL
+    s.sql("ALTER TABLE gcat.ns.alt ADD COLUMNS (d BIGINT DEFAULT 42)")
+    assert(s.sql("SELECT d FROM gcat.ns.alt WHERE id = 1").head.getLong(0) === 42L)
     s.sql("ALTER TABLE gcat.ns.alt DROP COLUMN b")
     assert(!s.table("gcat.ns.alt").columns.contains("b"))
     s.sql("ALTER TABLE gcat.ns.alt SET TBLPROPERTIES ('team' = 'data')")
