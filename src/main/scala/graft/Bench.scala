@@ -39,6 +39,13 @@ object Bench {
     // forces every output column to be computed — the diagnostic that
     // exposed simhash64's hidden 570 ms/doc projection cost.
     val materialize = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("materialize")
+    // diagnostic conf channel: SPARK_GRAFT_BENCH_CONF=k=v;k=v lands on the
+    // session — lets a kill-switch A/B run on ONE binary (no recompile
+    // between arms, the same-day-binary discipline applied to confs)
+    sys.env.get("SPARK_GRAFT_BENCH_CONF").foreach(_.split(";").foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) spark.conf.set(kv.substring(0, i).trim, kv.substring(i + 1).trim)
+    })
     // diagnostic subset: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
