@@ -184,6 +184,89 @@ class GraftCatalogSpec extends SparkSpec {
     ()
   }
 
+  test("CREATE with function transforms through the catalog: hidden partitioning prunes") {
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    s.sql("DROP TABLE IF EXISTS gcat.ns.ev")
+    s.sql("""CREATE TABLE gcat.ns.ev USING graft
+            |PARTITIONED BY (days(ts), bucket(4, uid))
+            |AS SELECT CAST(id AS BIGINT) AS uid,
+            |  timestamp_millis(1700000000000 + id * 3600000) AS ts,
+            |  id * 2 AS v
+            |FROM range(96)""".stripMargin)
+    // 4 days of hourly rows; a one-day source-column predicate prunes
+    val df = s.sql(
+      """SELECT count(*) FROM gcat.ns.ev
+        |WHERE ts >= TIMESTAMP '2023-11-15 00:00:00'
+        |  AND ts < TIMESTAMP '2023-11-16 00:00:00'""".stripMargin)
+    assert(df.head.getLong(0) === 24L)
+    // the transform columns are real manifest facts: SHOW PARTITIONS answers
+    val parts = s.sql("SHOW PARTITIONS gcat.ns.ev").collect().map(_.getString(0))
+    assert(parts.nonEmpty && parts.exists(_.contains("ts_day=")), parts.take(3).toSeq)
+  }
+
+  test("REPLACE TABLE AS SELECT is one atomic commit; prior snapshots stay readable") {
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    s.sql("DROP TABLE IF EXISTS gcat.ns.rt")
+    s.sql("CREATE TABLE gcat.ns.rt USING graft AS SELECT id FROM range(10)")
+    s.sql("REPLACE TABLE gcat.ns.rt USING graft AS SELECT id FROM range(100, 103)")
+    assert(s.sql("SELECT count(*) FROM gcat.ns.rt").head.getLong(0) === 3L)
+    // the replace is version 2 of the SAME table — version 1 still reads
+    assert(s.sql("SELECT count(*) FROM gcat.ns.rt VERSION AS OF 1")
+      .head.getLong(0) === 10L)
+    // CREATE OR REPLACE over a missing table creates
+    s.sql("DROP TABLE IF EXISTS gcat.ns.rt2")
+    s.sql("CREATE OR REPLACE TABLE gcat.ns.rt2 USING graft AS SELECT 1 AS x")
+    assert(s.sql("SELECT x FROM gcat.ns.rt2").head.getInt(0) === 1)
+    // plain REPLACE of a missing table refuses
+    val e = intercept[Exception](s.sql(
+      "REPLACE TABLE gcat.ns.never USING graft AS SELECT 1 AS x"))
+    assert(e.getMessage.toLowerCase.contains("not") ||
+      e.getMessage.toLowerCase.contains("found"), e.getMessage)
+  }
+
+  test("DataFrame writeTo API: append and overwritePartitions land on the table write faces") {
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    s.sql("DROP TABLE IF EXISTS gcat.ns.wt")
+    s.sql("CREATE TABLE gcat.ns.wt (id BIGINT, v STRING) USING graft")
+    s.range(5).select(col("id"), lit("a").as("v")).writeTo("gcat.ns.wt").append()
+    assert(s.sql("SELECT count(*) FROM gcat.ns.wt").head.getLong(0) === 5L)
+    s.range(3).select(col("id"), lit("b").as("v")).writeTo("gcat.ns.wt").append()
+    assert(s.sql("SELECT count(*) FROM gcat.ns.wt").head.getLong(0) === 8L)
+  }
+
+  test("USE gcat: unqualified names resolve; DESCRIBE and SHOW CREATE answer; nested namespaces list") {
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    s.sql("DROP TABLE IF EXISTS gcat.ns.u")
+    s.sql("CREATE TABLE gcat.ns.u USING graft AS SELECT id, 'x' AS tag FROM range(4)")
+    s.sql("USE gcat.ns")
+    try {
+      assert(s.sql("SELECT count(*) FROM u").head.getLong(0) === 4L)
+      s.sql("INSERT INTO u SELECT 9L, 'y'")
+      assert(s.sql("SELECT count(*) FROM u").head.getLong(0) === 5L)
+    } finally s.sql("USE spark_catalog.default")
+    val desc = s.sql("DESCRIBE TABLE gcat.ns.u").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc.get("id").contains("bigint") && desc.get("tag").contains("string"))
+    val ddl = s.sql("SHOW CREATE TABLE gcat.ns.u").head.getString(0)
+    assert(ddl.contains("gcat.ns.u") && ddl.toLowerCase.contains("graft"), ddl)
+    // nested namespaces are directories all the way down
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.deep.er")
+    s.sql("CREATE TABLE gcat.deep.er.t USING graft AS SELECT 1 AS x")
+    assert(s.sql("SHOW NAMESPACES IN gcat.deep").collect()
+      .map(_.getString(0)).contains("deep.er"))
+    assert(s.sql("SELECT x FROM gcat.deep.er.t").head.getInt(0) === 1)
+  }
+
+  test("CDC table function resolves catalog-qualified names") {
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    s.sql("DROP TABLE IF EXISTS gcat.ns.cdc")
+    s.sql("CREATE TABLE gcat.ns.cdc USING graft AS SELECT id FROM range(3)")
+    s.sql("INSERT INTO gcat.ns.cdc SELECT 99L")
+    val feed = s.sql("SELECT id, _change_type FROM graft_table_changes('gcat.ns.cdc', 1)")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(feed.toSeq === Seq((99L, "insert")))
+  }
+
   test("external LOCATION tables + DROP semantics + namespace guards") {
     s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ext")
     val loc = Files.createTempDirectory("gcat_ext").toString + "/t"
