@@ -1785,6 +1785,42 @@ object SparkEntry {
     // SELECT — the Iceberg DDL shape), then a month-range read that must
     // open only matching day dirs (same pruning story as
     // q_hidden_partition, but the table's whole lifecycle is SQL) ----
+    // ---- DSv2 CATALOG lifecycle (r17): a star query through
+    // catalog-qualified names — CTAS (staged, one commit), INSERT, and a
+    // broadcast-joined aggregate, with the require gate pinning that the
+    // catalog read landed on the DSv1 GraftRelation (the fallback rule):
+    // one relation class for both name faces means the whole pruning/
+    // rule surface cannot fork at 100 TB ----
+    "q_catalog_star" -> ((s, d) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_cat_wh").toString
+      s.conf.set("spark.sql.catalog.gq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gq.star")
+      Tables.orders(s, d).createOrReplaceTempView("q_cat_orders")
+      Tables.customer(s, d).createOrReplaceTempView("q_cat_customer")
+      s.sql("""CREATE TABLE gq.star.orders USING graft AS
+              |SELECT o_orderkey, o_custkey, o_totalprice FROM q_cat_orders
+              |WHERE o_orderkey % 2 = 0""".stripMargin)
+      s.sql("""INSERT INTO gq.star.orders
+              |SELECT o_orderkey, o_custkey, o_totalprice FROM q_cat_orders
+              |WHERE o_orderkey % 2 = 1""".stripMargin)
+      s.sql("""CREATE TABLE gq.star.customer USING graft AS
+              |SELECT c_custkey, c_mktsegment FROM q_cat_customer""".stripMargin)
+      val q = s.sql(
+        """SELECT c.c_mktsegment, count(*) AS n_orders,
+          |  CAST(sum(o.o_totalprice) AS DECIMAL(18,2)) AS revenue
+          |FROM gq.star.orders o JOIN gq.star.customer c
+          |  ON o.o_custkey = c.c_custkey
+          |GROUP BY 1""".stripMargin)
+      val onGraft = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if lr.relation.isInstanceOf[graft.sources.GraftRelation] => lr
+      }
+      require(onGraft.length == 2,
+        s"both catalog reads must land on GraftRelation, got ${onGraft.length}")
+      q
+    }),
+
     "q_sql_ctas" -> ((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft_ctassql").toString
       Tables.orders(s, d).createOrReplaceTempView("q_ctas_orders")
@@ -5128,6 +5164,14 @@ object SparkEntry {
     "q_sql_clone" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderkey % 3 IN (0, 1)""".stripMargin,
+
+    // both halves re-unioned through the catalog; the oracle re-derives
+    // the star aggregate from the raw tables
+    "q_catalog_star" ->
+      """SELECT c.c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(o.o_totalprice) AS DECIMAL(18,2)) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin,
 
     // the Delta log's live set: slices A and R added, slice N removed —
     // the oracle re-derives from the raw table the fixture sliced

@@ -456,7 +456,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   * v2 `V1Write` fallback onto the standard table write faces.
   */
 class GraftTable(val path: String, identName: String,
-                 val pinnedVersion: Option[Long]) extends Table with SupportsWrite {
+                 val pinnedVersion: Option[Long])
+    extends org.apache.spark.sql.graft.V1FallbackTable with SupportsWrite {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -472,6 +473,27 @@ class GraftTable(val path: String, identName: String,
   override def name(): String = identName
 
   override def schema(): StructType = relation.schema
+
+  /** STREAMING reads of catalog tables ride the proven V1 source: Spark's
+    * streaming resolution consults this fallback when the v2 table offers
+    * no MicroBatchStream, and the synthesized entry (provider `graft` +
+    * the table root) routes `spark.readStream.table("cat.ns.t")` into
+    * [[GraftSource]]'s versions-as-offsets source — admission control,
+    * exactly-once txn sinks and the CDC feed included, identical to a
+    * path-based `readStream`. */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    val parts = identName.split("\\.").toSeq
+    org.apache.spark.sql.catalyst.catalog.CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        parts.last, parts.dropRight(1).lastOption,
+        parts.dropRight(2).headOption),
+      tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat.empty
+        .copy(locationUri = Some(new Path(path).toUri),
+          properties = Map("path" -> path)),
+      schema = schema(),
+      provider = Some("graft"))
+  }
 
   override def partitioning(): Array[Transform] = {
     val identity = manifest.partitionCols

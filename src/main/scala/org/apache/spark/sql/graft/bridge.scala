@@ -10,6 +10,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * for Catalyst extensions built outside the Spark tree) re-exports the two
   * conversions the graft expressions need.
   */
+/** `V2TableWithV1Fallback` is `private[sql]` — the hook Spark's streaming
+  * resolution consults to route `readStream.table(...)` of a v2 table
+  * through a V1 `Source`. This abstract re-export lets graft's catalog
+  * table (outside the sql package) implement it. */
+abstract class V1FallbackTable
+  extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback
+
 object bridge {
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)

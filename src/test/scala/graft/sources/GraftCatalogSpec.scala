@@ -267,6 +267,26 @@ class GraftCatalogSpec extends SparkSpec {
     assert(feed.toSeq === Seq((99L, "insert")))
   }
 
+  test("streaming reads of catalog tables ride the V1 fallback source") {
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ns")
+    s.sql("DROP TABLE IF EXISTS gcat.ns.str")
+    s.sql("CREATE TABLE gcat.ns.str USING graft AS SELECT id FROM range(3)")
+    val ckpt = Files.createTempDirectory("gcat_ckpt").toString
+    val outName = "gcat_stream_out"
+    val q = s.readStream.table("gcat.ns.str")
+      .writeStream.format("memory").queryName(outName)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(s.table(outName).count() === 3L)
+      s.sql("INSERT INTO gcat.ns.str SELECT 99L")
+      q.processAllAvailable()
+      assert(s.table(outName).count() === 4L)
+      assert(s.table(outName).collect().map(_.getLong(0)).toSet ===
+        Set(0L, 1L, 2L, 99L))
+    } finally q.stop()
+  }
+
   test("external LOCATION tables + DROP semantics + namespace guards") {
     s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ext")
     val loc = Files.createTempDirectory("gcat_ext").toString + "/t"
