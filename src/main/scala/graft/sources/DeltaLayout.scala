@@ -79,6 +79,40 @@ private[graft] object DeltaLayout {
   def remove(rel: String): String =
     s"""{"remove":{"path":${js(rel)},"deletionTimestamp":0,"dataChange":true}}"""
 
+  /** Write a single-part CHECKPOINT parquet at `version`: the
+    * consolidated state — one metaData row, one protocol row, one add
+    * row per live file (the shape Delta's checkpointing writes; the
+    * converter's bootstrap source for log-cleaned histories). */
+  def writeCheckpoint(spark: SparkSession, root: String, version: Long,
+                      liveRels: Seq[String], schema: StructType,
+                      partCols: Seq[String] = Nil,
+                      config: Map[String, String] = Map.empty): Unit = {
+    val ver = version
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val adds = liveRels.toDF("p").select(org.apache.spark.sql.functions
+      .struct(col("p").as("path")).as("add"))
+    val meta = Seq((schema.json, partCols, config))
+      .toDF("schemaString", "partitionColumns", "configuration")
+      .select(org.apache.spark.sql.functions.struct(col("schemaString"),
+        col("partitionColumns"), col("configuration")).as("metaData"))
+    val prot = Seq((1, 2)).toDF("minReaderVersion", "minWriterVersion")
+      .select(org.apache.spark.sql.functions.struct(col("minReaderVersion"),
+        col("minWriterVersion")).as("protocol"))
+    val scratch = java.nio.file.Files.createTempDirectory("delta_ckpt").toString
+    adds.unionByName(meta, allowMissingColumns = true)
+      .unionByName(prot, allowMissingColumns = true)
+      .coalesce(1).write.mode("overwrite").parquet(scratch)
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = f.listStatus(new Path(scratch)).map(_.getPath)
+      .find(p => p.getName.endsWith(".parquet")).get
+    val target = new Path(new Path(root, "_delta_log"),
+      f"$ver%020d.checkpoint.parquet")
+    f.mkdirs(target.getParent)
+    require(f.rename(part, target), s"cannot place checkpoint $target")
+    f.delete(new Path(scratch), true): Unit
+  }
+
   /** Write one log commit: `_delta_log/<v padded to 20>.json`. */
   def writeCommit(spark: SparkSession, root: String, version: Long,
                   actions: Seq[String]): Unit = {

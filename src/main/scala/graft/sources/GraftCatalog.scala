@@ -457,7 +457,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   */
 class GraftTable(val path: String, identName: String,
                  val pinnedVersion: Option[Long])
-    extends org.apache.spark.sql.graft.V1FallbackTable with SupportsWrite {
+    extends org.apache.spark.sql.graft.V1FallbackTable with SupportsWrite
+    with TruncatableTable {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -523,6 +524,18 @@ class GraftTable(val path: String, identName: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
+
+  /** v2 `TRUNCATE TABLE`: the metadata-only empty commit (history and
+    * time travel keep working — the v1 path would delete files out from
+    * under prior snapshots). */
+  override def truncateTable(): Boolean = {
+    require(pinnedVersion.isEmpty,
+      s"cannot truncate $identName pinned at VERSION AS OF ${pinnedVersion.getOrElse(0L)}")
+    val s = SparkSession.active
+    ManifestTable.truncate(s, path)
+    s.sessionState.catalog.invalidateAllCachedTables()
+    true
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,

@@ -3424,11 +3424,32 @@ object ManifestTable {
       s"CONVERT: $path is already a graft table")
     val commits = f.listStatus(logDir).map(_.getPath.getName)
       .filter(_.matches("\\d{20}\\.json")).sorted.toSeq
-    require(commits.nonEmpty, s"CONVERT FROM DELTA: no JSON commits in $logDir")
-    require(commits.head == f"${0L}%020d.json",
-      "CONVERT FROM DELTA: the JSON history does not start at version 0 — " +
-        "a log-cleaned (checkpoint-only) table cannot replay; lower " +
-        "delta.logRetentionDuration cleanup or convert from a fresh clone")
+    val jsonVers = commits.map(_.stripSuffix(".json").toLong)
+    // CHECKPOINT BOOTSTRAP for log-cleaned histories: a checkpoint parquet
+    // IS the consolidated state at its version (its add rows are the live
+    // set; its remove rows are expired tombstones), so replay = checkpoint
+    // state + the JSON tail after it. The checkpoint reads DISTRIBUTED
+    // (it is data-file-count-sized — exactly what must not sit in one
+    // driver JSON parse at 10⁷ files).
+    val ckRe = """(\d{20})\.checkpoint(?:\.\d+\.\d+)?\.parquet""".r
+    val ckByVer: Map[Long, Seq[Path]] = f.listStatus(logDir).map(_.getPath)
+      .flatMap(p => p.getName match {
+        case ckRe(v) => Some(v.toLong -> p)
+        case _ => None
+      }).groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).toSeq }
+    // usable checkpoint: the largest whose JSON TAIL is contiguous
+    // (v+1 … max, no gaps) — a gap means unreplayable state
+    def contiguousAfter(v: Long): Boolean = {
+      val tail = jsonVers.filter(_ > v)
+      tail.isEmpty || tail == (v + 1 to tail.max)
+    }
+    val fromCkpt: Option[Long] =
+      if (jsonVers.headOption.contains(0L) && jsonVers == (0L to jsonVers.max))
+        None // full JSON history — no checkpoint needed
+      else ckByVer.keys.toSeq.sorted.reverse.find(contiguousAfter)
+    require(jsonVers.headOption.contains(0L) || fromCkpt.isDefined,
+      "CONVERT FROM DELTA: the JSON history does not start at version 0 " +
+        "and no checkpoint covers the gap — the live set cannot replay")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Nil
@@ -3437,7 +3458,51 @@ object ManifestTable {
     val live = new scala.collection.mutable.LinkedHashSet[String]()
     def decode(p: String): String =
       java.net.URLDecoder.decode(p, "UTF-8")
-    commits.foreach { name =>
+    fromCkpt.foreach { v =>
+      val ck = spark.read.parquet(ckByVer(v).map(_.toString): _*)
+      def struct(name: String): Option[StructType] =
+        ck.schema.find(_.name == name).map(_.dataType.asInstanceOf[StructType])
+      struct("protocol").foreach { ps =>
+        val cols = Seq("minReaderVersion") ++
+          (if (ps.fieldNames.contains("readerFeatures")) Seq("readerFeatures") else Nil)
+        ck.filter(col("protocol.minReaderVersion").isNotNull)
+          .select(cols.map(c => col(s"protocol.$c")): _*)
+          .collect().foreach { r =>
+            val rv = r.getInt(0)
+            val feats = if (cols.length > 1 && !r.isNullAt(1))
+              r.getSeq[String](1) else Nil
+            val benign = Set("timestampNtz", "variantType", "variantType-preview")
+            val hard = feats.filterNot(benign)
+            require(rv <= 1 || (rv == 3 && hard.isEmpty),
+              s"CONVERT FROM DELTA: reader requirement not supported " +
+                s"(minReaderVersion=$rv, features=${hard.mkString(",")}) — " +
+                "deletion vectors and column mapping do not convert")
+          }
+      }
+      struct("metaData").foreach { _ =>
+        ck.filter(col("metaData.schemaString").isNotNull)
+          .select(col("metaData.schemaString"),
+            col("metaData.partitionColumns"), col("metaData.configuration"))
+          .collect().lastOption.foreach { r =>
+            schemaJson = Some(r.getString(0))
+            partCols = Option(r.getSeq[String](1)).getOrElse(Nil)
+            config = Option(r.getMap[String, String](2)).map(_.toMap)
+              .getOrElse(Map.empty)
+          }
+      }
+      struct("add").foreach { as =>
+        if (as.fieldNames.contains("deletionVector"))
+          require(ck.filter(col("add.path").isNotNull &&
+              col("add.deletionVector").isNotNull).isEmpty,
+            "CONVERT FROM DELTA: a checkpointed live file carries a " +
+              "DELETION VECTOR — purge DVs in Delta before converting")
+        ck.filter(col("add.path").isNotNull).select(col("add.path"))
+          .collect().foreach(r => live += decode(r.getString(0)): Unit)
+      }
+    }
+    val replay = commits.filter(_.stripSuffix(".json").toLong >
+      fromCkpt.getOrElse(-1L))
+    replay.foreach { name =>
       val in = f.open(new Path(logDir, name))
       val text = try {
         val out = new java.io.ByteArrayOutputStream()

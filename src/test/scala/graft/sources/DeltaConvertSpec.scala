@@ -78,6 +78,37 @@ class DeltaConvertSpec extends SparkSpec {
       (0L until 400L).filter(_ % 2 == 1).sum)
   }
 
+  test("log-cleaned history bootstraps from the checkpoint parquet, then replays the JSON tail") {
+    val root = mkRoot("ckpt")
+    val a = spark.range(50).select(col("id"), lit("a").as("s"))
+    val b = spark.range(50, 120).select(col("id"), lit("b").as("s"))
+    val c = spark.range(200, 210).select(col("id"), lit("c").as("s"))
+    val relsA = DeltaLayout.writeFiles(spark, root, a, "ca")
+    val relsB = DeltaLayout.writeFiles(spark, root, b, "cb")
+    val relsC = DeltaLayout.writeFiles(spark, root, c, "cc")
+    // versions 0-6 were CLEANED: only the checkpoint at 6 (live = A+B)
+    // and the JSON tail 7 (add C) + 8 (remove B) remain
+    DeltaLayout.writeCheckpoint(spark, root, 6, relsA ++ relsB, a.schema)
+    DeltaLayout.writeCommit(spark, root, 7, relsC.map(DeltaLayout.add(_)))
+    DeltaLayout.writeCommit(spark, root, 8, relsB.map(DeltaLayout.remove))
+    ManifestTable.convertDelta(spark, root, statsCols = Seq("id"))
+    val got = ManifestTable.read(spark, root)
+      .select("id", "s").as[(Long, String)].collect().toSet
+    val want = (0L until 50L).map(i => (i, "a")).toSet ++
+      (200L until 210L).map(i => (i, "c")).toSet
+    assert(got === want, "checkpoint state + JSON tail = the live set")
+    // a GAP in the tail (checkpoint 6, json 8 only) refuses loudly
+    val gapRoot = mkRoot("ckpt_gap")
+    val gr = DeltaLayout.writeFiles(spark, gapRoot,
+      spark.range(5).toDF("id"), "g")
+    DeltaLayout.writeCheckpoint(spark, gapRoot, 6, gr,
+      spark.range(5).toDF("id").schema)
+    DeltaLayout.writeCommit(spark, gapRoot, 8, gr.map(DeltaLayout.remove))
+    val e = intercept[IllegalArgumentException](
+      ManifestTable.convertDelta(spark, gapRoot))
+    assert(e.getMessage.contains("checkpoint"), e.getMessage)
+  }
+
   test("unsupported features refuse loudly: DVs, column mapping, generated columns, reader features, cleaned logs") {
     // deletion vector on a live add
     val dvRoot = mkRoot("dv")

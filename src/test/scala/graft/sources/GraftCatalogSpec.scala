@@ -181,7 +181,11 @@ class GraftCatalogSpec extends SparkSpec {
     s.sql("OPTIMIZE gcat.ns.mnt")
     assert(s.sql("SELECT count(*) FROM gcat.ns.mnt").head.getLong(0) === 200L)
     s.sql("ANALYZE TABLE gcat.ns.mnt COMPUTE STATISTICS")
-    ()
+    // v2 TRUNCATE: metadata-only empty commit — history keeps working
+    s.sql("TRUNCATE TABLE gcat.ns.mnt")
+    assert(s.sql("SELECT count(*) FROM gcat.ns.mnt").head.getLong(0) === 0L)
+    assert(s.sql("SELECT count(*) FROM gcat.ns.mnt VERSION AS OF 2")
+      .head.getLong(0) === 200L, "pre-truncate snapshots stay readable")
   }
 
   test("CREATE with function transforms through the catalog: hidden partitioning prunes") {
