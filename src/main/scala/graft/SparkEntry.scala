@@ -753,15 +753,29 @@ object SparkEntry {
       s.sql("DROP TABLE IF EXISTS q_varp_t")
       s.sql(s"CREATE TABLE q_varp_t USING graft OPTIONS (path '$dir')")
       val hi = docs.agg(max(col("n_chars"))).head.getLong(0) / 2
+      // the SELECT's n_chars sum names the DECLARED path via
+      // try_variant_get: the r17 read face substitutes the stored scalar
+      // (no per-row decode for it); lang stays a real variant extraction
       val q = s.sql(
         s"""SELECT variant_get(props, '$$.lang', 'string') AS lang,
            |  count(*) AS n_docs,
-           |  CAST(sum(variant_get(props, '$$.quality.n_chars', 'long')) AS BIGINT)
+           |  CAST(sum(try_variant_get(props, '$$.quality.n_chars', 'long')) AS BIGINT)
            |    AS sum_chars
            |FROM q_varp_t
            |WHERE try_variant_get(props, '$$.quality.n_chars', 'long') >= $hi
            |GROUP BY 1""".stripMargin)
       q.collect(): Unit
+      // read-path derivation fired: the aggregate input is the stored
+      // column, not a variant decode (only the undeclared lang path
+      // still extracts)
+      val aggDecodes = q.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+          a.aggregateExpressions.flatMap(_.collect {
+            case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression => ae
+          }).count(_.exists(_.getClass.getName.contains("VariantGet")))
+      }.sum
+      require(aggDecodes == 0,
+        s"the declared path's sum must read the stored scalar, got $aggDecodes decodes inside aggregate functions")
       val derived = q.queryExecution.optimizedPlan.exists {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
           f.condition.exists {

@@ -516,10 +516,28 @@ class GraftTable(val path: String, identName: String,
     (identity ++ derived).toArray
   }
 
-  override def properties(): util.Map[String, String] =
-    (manifest.props ++ Map(
+  /** Creation-channel declarations surface as `option.`-prefixed entries
+    * so SHOW CREATE TABLE prints them as OPTIONS — the only channel that
+    * can REPLAY them (a TBLPROPERTIES rendering of `graft.generated.*`
+    * would be rejected on replay, by design). */
+  override def properties(): util.Map[String, String] = {
+    val translated = manifest.props.map {
+      case (k, v) if k.startsWith(ManifestTable.GeneratedPropPrefix) =>
+        (TableCatalog.OPTION_PREFIX + "generated." +
+          k.stripPrefix(ManifestTable.GeneratedPropPrefix)) -> v
+      case kv => kv
+    }
+    val decl =
+      (if (manifest.statsCols.nonEmpty)
+        Map(TableCatalog.OPTION_PREFIX + "statscols" ->
+          manifest.statsCols.mkString(",")) else Map.empty) ++
+      (if (manifest.bloomCols.nonEmpty)
+        Map(TableCatalog.OPTION_PREFIX + "bloomcols" ->
+          manifest.bloomCols.mkString(",")) else Map.empty)
+    (translated ++ decl ++ Map(
       TableCatalog.PROP_PROVIDER -> "graft",
       TableCatalog.PROP_LOCATION -> path)).asJava
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.V1_BATCH_WRITE,

@@ -169,6 +169,11 @@ class GraftCatalogSpec extends SparkSpec {
     // v2 INSERT provides every column; the table's derivation overwrites
     s.sql("INSERT INTO gcat.ns.gen SELECT 1L, 'abcd', 999")
     assert(s.sql("SELECT n_chars FROM gcat.ns.gen").head.getInt(0) === 4)
+    // SHOW CREATE TABLE renders the declaration as a replayable OPTION,
+    // never as TBLPROPERTIES (which rejects graft.generated.* on replay)
+    val ddl = s.sql("SHOW CREATE TABLE gcat.ns.gen").head.getString(0)
+    assert(ddl.contains("generated.n_chars") && !ddl.contains("graft.generated"),
+      ddl)
   }
 
   test("maintenance statements resolve catalog-qualified targets: OPTIMIZE, DESCRIBE HISTORY, ANALYZE") {
