@@ -773,6 +773,33 @@ object PlanAudit {
             bRows.toSet == bBase.toSet))
       }
 
+      // r17: DSv2 catalog reads land on the DSv1 GraftRelation — the
+      // whole pruning surface (here: zone maps) fires for cat.ns.t names
+      {
+        val wh = java.nio.file.Files
+          .createTempDirectory("audit_cat_wh").toString
+        spark.conf.set("spark.sql.catalog.gaud", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.gaud.warehouse", wh)
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS gaud.ns")
+        spark.sql("""CREATE TABLE gaud.ns.clus USING graft
+                    |OPTIONS (statscols 'id')
+                    |AS SELECT /*+ REPARTITION_BY_RANGE(8, id) */ id, id % 7 AS g
+                    |FROM range(8000)""".stripMargin)
+        val cDf = spark.sql(
+          "SELECT id FROM gaud.ns.clus WHERE id BETWEEN 100 AND 120")
+        val cRows = cDf.collect().length
+        val cFiles = relOf(cDf).lastScanFileCount
+        auditDf("catalog_read_path", cDf)(
+          "a catalog-qualified read is a GraftRelation scan" -> (_ =>
+            cDf.queryExecution.optimizedPlan.exists {
+              case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                lr.relation.isInstanceOf[graft.sources.GraftRelation]
+              case _ => false
+            }),
+          s"zone maps prune through the catalog name ($cFiles of 8)" -> (_ =>
+            cRows == 21 && cFiles >= 1 && cFiles < 8))
+      }
+
       // r17: runtime-filter PRE-JOB tier — a build side OVER the broadcast
       // threshold still file-skips: one bounded aggregation sizes its key
       // space, then membership seeds when NDV admits
