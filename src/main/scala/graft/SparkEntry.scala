@@ -1810,6 +1810,11 @@ object SparkEntry {
       s.conf.set("spark.sql.catalog.gq", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.gq.warehouse", wh)
       s.sql("CREATE NAMESPACE IF NOT EXISTS gq.star")
+      // idempotent under re-runs: the catalog PLUGIN instance is cached by
+      // the CatalogManager, so a second invocation's fresh warehouse conf
+      // is ignored and the first run's tables are still registered
+      s.sql("DROP TABLE IF EXISTS gq.star.orders")
+      s.sql("DROP TABLE IF EXISTS gq.star.customer")
       Tables.orders(s, d).createOrReplaceTempView("q_cat_orders")
       Tables.customer(s, d).createOrReplaceTempView("q_cat_customer")
       s.sql("""CREATE TABLE gq.star.orders USING graft AS
