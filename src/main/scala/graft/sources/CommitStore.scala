@@ -141,25 +141,75 @@ object RenameCommitStore extends CommitStore {
   * and HDFS/POSIX where create-exclusive is natively atomic. No scratch,
   * no rename: the claim and the bytes are one operation.
   *
-  * Loss classification is deliberately narrow: `FileAlreadyExists` at
-  * create and a recognizable precondition failure at close (HTTP 412 /
-  * "PreconditionFailed" / "already exists") return false — the name was
-  * concurrently taken, nothing of ours landed. ANY OTHER failure
-  * rethrows: a network error at close leaves the object state UNKNOWN,
-  * and answering false ("nothing was written") to an unknown outcome
-  * would let a committer retry a version it may already own — the
-  * protocol must surface it instead.
+  * Two guards keep the claim honest:
+  *  - on the object-store schemes the store PROBES that the connector
+  *    actually maps exclusive create onto a conditional write (path
+  *    capability / connector conf) and refuses loudly otherwise —
+  *    pointing this store at an unconfigured `s3a://` must not silently
+  *    degrade to the HEAD-then-PUT race the rename store refuses;
+  *  - loss classification is TYPED and deliberately narrow (see
+  *    [[lost]]): `FileAlreadyExistsException`, the S3A
+  *    `RemoteFileChangedException`, or a service exception structurally
+  *    carrying HTTP 412 return false — the name was concurrently taken,
+  *    nothing of ours landed. ANY OTHER failure rethrows: a network
+  *    error at close leaves the object state UNKNOWN, and answering
+  *    false ("nothing was written") to an unknown outcome would let a
+  *    committer retry a version it may already own — the protocol must
+  *    surface it instead.
   */
 object ConditionalPutCommitStore extends CommitStore {
+
+  /** Hadoop path capability the S3A connector declares when its
+    * no-overwrite create maps onto a conditional PUT (If-None-Match). */
+  val ConditionalCreateCapability = "fs.s3a.create.conditional"
+
+  /** The S3A knob that turns conditional create on (Hadoop 3.4.1+). */
+  val ConditionalCreateConf = "fs.s3a.create.conditional.enabled"
+
+  /** Escape hatch for connectors whose conditional create is real but
+    * undeclared (no path capability, no recognized conf): the operator
+    * asserts the semantics this store needs. */
+  val AssumeConditionalKey = "spark.graft.commitStore.assumeConditionalCreate"
+
+  /** This store is only as atomic as `create(overwrite=false)` is. On
+    * HDFS/POSIX that call is natively exclusive; on the object-store
+    * schemes it is a conditional PUT ONLY when the connector says so —
+    * otherwise it degrades to a client-side HEAD-then-PUT, the exact
+    * check-then-write race [[RenameCommitStore]] refuses (and whose
+    * refusal message steers users HERE, so silently degrading would
+    * launder the race through the "safe" store). Probe, refuse loudly. */
+  private def requireConditionalCreate(f: FileSystem, dir: Path): Unit = {
+    val scheme = Option(f.getUri.getScheme).map(_.toLowerCase).getOrElse("file")
+    if (!RenameCommitStore.NonAtomicSchemes.contains(scheme)) return
+    val declared =
+      scala.util.Try(f.hasPathCapability(dir, ConditionalCreateCapability))
+        .getOrElse(false) ||
+      f.getConf.getBoolean(ConditionalCreateConf, false) ||
+      SparkSession.getActiveSession
+        .flatMap(_.conf.getOption(AssumeConditionalKey))
+        .exists(_.equalsIgnoreCase("true"))
+    if (!declared) sys.error(
+      s"ConditionalPutCommitStore: '$scheme://' does not declare an atomic " +
+        s"conditional create (path capability $ConditionalCreateCapability " +
+        s"or $ConditionalCreateConf=true) — create(overwrite=false) there " +
+        "is a client-side exists-check + unconditional PUT, the same " +
+        "check-then-write race the rename store refuses. Enable the " +
+        "connector's conditional create (S3A on Hadoop 3.4.1+), or set " +
+        s"$AssumeConditionalKey=true if your connector's exclusive create " +
+        "is genuinely atomic but undeclared.")
+  }
+
   override def putIfAbsent(f: FileSystem, dir: Path, name: String,
                            bytes: Array[Byte]): Boolean = {
+    requireConditionalCreate(f, dir)
     f.mkdirs(dir)
     val target = new Path(dir, name)
     val out =
       try f.create(target, false)
       catch {
+        // create-exclusive refused: the name exists, nothing of ours
+        // opened — the one loss the CREATE call itself can signal
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
-        case e: java.io.IOException if lost(e) => return false
       }
     try { out.write(bytes); out.close(); true }
     catch {
@@ -169,12 +219,38 @@ object ConditionalPutCommitStore extends CommitStore {
     }
   }
 
-  private def lost(e: Throwable): Boolean = e match {
-    case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
-    case _ =>
-      val m = Option(e.getMessage).getOrElse("")
-      m.contains("already exists") || m.contains("PreconditionFailed") ||
-        m.contains("412") || m.contains("At least one of the pre-conditions")
+  /** Loss classification at CLOSE time (where S3A's conditional PUT —
+    * hence its precondition check — actually runs): TYPED matches only.
+    * A free-text scan for "412"/"already exists" would answer "nothing
+    * landed" to any unrelated failure whose message happens to embed one
+    * of those strings (a proxy error, a wrapped temp-path message) — the
+    * retry-a-version-you-may-own hazard. Recognized losses:
+    *  - `FileAlreadyExistsException` anywhere in the cause chain (HDFS/
+    *    POSIX exclusive create surfacing at stream level);
+    *  - the S3A precondition failure: `RemoteFileChangedException` by
+    *    class name (hadoop-aws is an optional runtime dep — matching the
+    *    NAME keeps this store loadable without it);
+    *  - an AWS SDK service exception carrying HTTP status 412, read
+    *    structurally via its `statusCode()`/`getStatusCode()` accessor.
+    * Everything else rethrows: an unknown outcome must surface. */
+  private def lost(e: Throwable): Boolean = {
+    val seen = new java.util.IdentityHashMap[Throwable, Boolean]()
+    var cur = e
+    while (cur != null && !seen.containsKey(cur)) {
+      seen.put(cur, true)
+      cur match {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return true
+        case _ if cur.getClass.getSimpleName == "RemoteFileChangedException" =>
+          return true
+        case _ =>
+          val status = Seq("statusCode", "getStatusCode").iterator.flatMap { m =>
+            scala.util.Try(cur.getClass.getMethod(m).invoke(cur)).toOption
+          }.collectFirst { case i: java.lang.Integer => i.intValue() }
+          if (status.contains(412)) return true
+      }
+      cur = cur.getCause
+    }
+    false
   }
 }
 

@@ -134,7 +134,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (ManifestTable.currentVersion(spark, path).isEmpty)
       throw new NoSuchTableException(
         (catalogName +: ident.namespace().toSeq) :+ ident.name())
-    new GraftTable(path, fullName(ident), None)
+    new GraftTable(path, fullParts(ident), None)
   }
 
   /** `FOR VERSION AS OF <v>` — a number pins that version, a string
@@ -145,7 +145,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (ManifestTable.currentVersion(spark, path).isEmpty)
       throw new NoSuchTableException(
         (catalogName +: ident.namespace().toSeq) :+ ident.name())
-    new GraftTable(path, fullName(ident),
+    new GraftTable(path, fullParts(ident),
       Some(ManifestTable.resolveVersionRef(spark, path, version)))
   }
 
@@ -156,12 +156,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (ManifestTable.currentVersion(spark, path).isEmpty)
       throw new NoSuchTableException(
         (catalogName +: ident.namespace().toSeq) :+ ident.name())
-    new GraftTable(path, fullName(ident),
+    new GraftTable(path, fullParts(ident),
       Some(ManifestTable.versionAt(spark, path, timestamp / 1000L)))
   }
 
-  private def fullName(ident: Identifier): String =
-    ((catalogName +: ident.namespace().toSeq) :+ ident.name()).mkString(".")
+  /** The REAL identifier parts (catalog, namespace segments, name) — the
+    * table carries these, never a pre-joined string: splitting a joined
+    * name on '.' would drop middle segments of a nested namespace and
+    * mis-split quoted identifiers containing dots. */
+  private def fullParts(ident: Identifier): Seq[String] =
+    (catalogName +: ident.namespace().toSeq) :+ ident.name()
 
   /** Everything a creation statement declares, decoded once for both the
     * plain and the staged CREATE paths. v2 DDL carries OPTIONS as
@@ -201,11 +205,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * for external locations. */
   private def materialize(ident: Identifier, spec: CreationSpec,
                           batch: org.apache.spark.sql.DataFrame): Unit = {
-    if (spec.external) writeMarker(new Path(managedPath(ident)), spec.path)
-    else fs.mkdirs(nsPath(ident.namespace())): Unit
+    if (!spec.external) fs.mkdirs(nsPath(ident.namespace())): Unit
     ManifestTable.overwrite(spark, spec.path, batch, spec.pcols,
       statsCols = spec.statsCols, bloomCols = spec.bloomCols,
       transforms = spec.transforms, generated = spec.generated)
+    // the external marker lands only AFTER the manifest commit succeeded:
+    // marker-first would leave a failure between the two as a phantom
+    // catalog entry — listTables reports it, loadTable/tableExists reject
+    if (spec.external) writeMarker(new Path(managedPath(ident)), spec.path)
     // user TBLPROPERTIES land in the manifest (versioned, time-travelable)
     if (spec.userProps.nonEmpty)
       ManifestTable.setProperties(spark, spec.path, spec.userProps): Unit
@@ -220,7 +227,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         (catalogName +: ident.namespace().toSeq) :+ ident.name())
     materialize(ident, spec, spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
-    new GraftTable(spec.path, fullName(ident), None)
+    new GraftTable(spec.path, fullParts(ident), None)
   }
 
   // ---- staged creation: CTAS/RTAS as ONE commit ----
@@ -236,7 +243,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                                      declared: StructType)
       extends StagedTable with SupportsWrite {
     @volatile protected var written = false
-    override def name(): String = fullName(ident)
+    override def name(): String = fullParts(ident).mkString(".")
     override def schema(): StructType = declared
     override def partitioning(): Array[Transform] = Array.empty
     override def properties(): util.Map[String, String] = util.Map.of()
@@ -276,7 +283,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         (catalogName +: ident.namespace().toSeq) :+ ident.name())
     new StagedGraft(ident, spec, schema) {
       override def abortStagedChanges(): Unit =
-        if (written) { fs.delete(new Path(managedPath(ident)), true): Unit }
+        if (written) {
+          fs.delete(new Path(managedPath(ident)), true): Unit
+          // an EXTERNAL staged create also wrote graft state at the
+          // LOCATION — dropping only the marker would strand a
+          // partially-created table there. Clean exactly the graft-owned
+          // subdirectories (never the whole root: the location may hold
+          // pre-existing foreign files that are not ours to delete)
+          if (spec.external) {
+            val extFs = new Path(spec.path).getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            Seq("_manifests", "data", "_tmp", "_dv", "_eqd").foreach(d =>
+              extFs.delete(new Path(spec.path, d), true): Unit)
+          }
+        }
     }
   }
 
@@ -455,10 +475,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   * scan") instead of planning an unoptimized scan. Writes go through the
   * v2 `V1Write` fallback onto the standard table write faces.
   */
-class GraftTable(val path: String, identName: String,
+class GraftTable(val path: String, identParts: Seq[String],
                  val pinnedVersion: Option[Long])
     extends org.apache.spark.sql.graft.V1FallbackTable with SupportsWrite
     with TruncatableTable {
+
+  private val identName: String = identParts.mkString(".")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -483,11 +505,17 @@ class GraftTable(val path: String, identName: String,
     * exactly-once txn sinks and the CDC feed included, identical to a
     * path-based `readStream`. */
   override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
-    val parts = identName.split("\\.").toSeq
+    // the REAL parts the catalog carried in — a split on '.' would drop
+    // middle segments of a nested namespace (cat.a.b.t) and mis-split
+    // quoted identifiers containing dots. TableIdentifier has one
+    // database slot, so a multi-segment namespace joins into it (the v1
+    // identifier is naming only; location + provider drive the source)
+    val ns = identParts.drop(1).dropRight(1)
     org.apache.spark.sql.catalyst.catalog.CatalogTable(
       identifier = org.apache.spark.sql.catalyst.TableIdentifier(
-        parts.last, parts.dropRight(1).lastOption,
-        parts.dropRight(2).headOption),
+        identParts.last,
+        if (ns.isEmpty) None else Some(ns.mkString(".")),
+        if (identParts.length >= 2) identParts.headOption else None),
       tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
       storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat.empty
         .copy(locationUri = Some(new Path(path).toUri),

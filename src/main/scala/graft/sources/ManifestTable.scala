@@ -3428,9 +3428,11 @@ object ManifestTable {
     // CHECKPOINT BOOTSTRAP for log-cleaned histories: a checkpoint parquet
     // IS the consolidated state at its version (its add rows are the live
     // set; its remove rows are expired tombstones), so replay = checkpoint
-    // state + the JSON tail after it. The checkpoint reads DISTRIBUTED
-    // (it is data-file-count-sized — exactly what must not sit in one
-    // driver JSON parse at 10⁷ files).
+    // state + the JSON tail after it. The checkpoint PARSE is distributed
+    // (data-file-count-sized columnar decode, not one driver JSON scan);
+    // the live-set NAME LIST still collects to the driver — the same
+    // driver-resident bound as the manifest itself, whose file= lines
+    // always carry every name (only stats spill to the sidecar).
     val ckRe = """(\d{20})\.checkpoint(?:\.\d+\.\d+)?\.parquet""".r
     val ckByVer: Map[Long, Seq[Path]] = f.listStatus(logDir).map(_.getPath)
       .flatMap(p => p.getName match {
@@ -3447,9 +3449,15 @@ object ManifestTable {
       if (jsonVers.headOption.contains(0L) && jsonVers == (0L to jsonVers.max))
         None // full JSON history — no checkpoint needed
       else ckByVer.keys.toSeq.sorted.reverse.find(contiguousAfter)
-    require(jsonVers.headOption.contains(0L) || fromCkpt.isDefined,
-      "CONVERT FROM DELTA: the JSON history does not start at version 0 " +
-        "and no checkpoint covers the gap — the live set cannot replay")
+    // replaying from 0 demands FULL contiguity, not merely head==0: a
+    // history 0,1,5 with no covering checkpoint would replay across the
+    // gap silently — missed removes resurrect deleted rows, missed adds
+    // drop rows — the exact silent-wrongness this function refuses
+    require(fromCkpt.isDefined ||
+      (jsonVers.headOption.contains(0L) && jsonVers == (0L to jsonVers.max)),
+      "CONVERT FROM DELTA: the JSON history is not contiguous from " +
+        "version 0 and no checkpoint covers the gap — the live set " +
+        "cannot replay")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Nil

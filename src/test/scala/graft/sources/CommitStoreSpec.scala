@@ -14,6 +14,19 @@ import java.nio.file.Files
   * both. Also pins the selection plumbing (registry + reflection) and
   * tag create-exclusivity through the seam.
   */
+/** Stand-in for hadoop-aws's precondition-failure surface exception —
+  * file-scoped so its RUNTIME simple name is exactly
+  * "RemoteFileChangedException", the name [[ConditionalPutCommitStore]]
+  * matches (a method-local class would compile to `...$1`). */
+private class RemoteFileChangedException(msg: String)
+  extends java.io.IOException(msg)
+
+/** Stand-in for an AWS SDK service exception: recognized STRUCTURALLY via
+  * its `statusCode()` accessor, never via message text. */
+private class FakeSdkServiceException(msg: String) extends RuntimeException(msg) {
+  def statusCode(): Int = 412
+}
+
 class CommitStoreSpec extends SparkSpec {
 
   import spark.implicits._
@@ -165,34 +178,94 @@ class CommitStoreSpec extends SparkSpec {
       "UTF-8") === winner)
 
     // the real S3 conditional-PUT shape: the object uploads AT CLOSE and
-    // the precondition check fails there — a recognizable 412 is a clean
-    // loss (false), nothing of ours landed
-    def failingFs(msg: String) = new org.apache.hadoop.fs.RawLocalFileSystem {
+    // the precondition check fails there. Losses are recognized by TYPE,
+    // never by message text: the S3A surface exception (matched by class
+    // name — hadoop-aws is optional) and an SDK service exception whose
+    // statusCode() structurally reads 412
+    def failingFs(boom: => Throwable) = new org.apache.hadoop.fs.RawLocalFileSystem {
       override def create(p: Path, overwrite: Boolean,
                           bufferSize: Int, replication: Short, blockSize: Long,
                           progress: org.apache.hadoop.util.Progressable):
           org.apache.hadoop.fs.FSDataOutputStream =
         new org.apache.hadoop.fs.FSDataOutputStream(
           new java.io.ByteArrayOutputStream() {
-            override def close(): Unit = throw new java.io.IOException(msg)
+            override def close(): Unit = throw boom
           }, null)
     }
-    val fs412 = failingFs(
-      "PUT failed: At least one of the pre-conditions you specified did not hold (Status Code: 412; PreconditionFailed)")
-    fs412.initialize(java.net.URI.create("file:///"),
-      spark.sparkContext.hadoopConfiguration)
-    assert(!ConditionalPutCommitStore.putIfAbsent(fs412, dir, "m2.txt",
-      "y".getBytes("UTF-8")), "a 412 at close is a loss, not an error")
+    def init(f: org.apache.hadoop.fs.RawLocalFileSystem) = {
+      f.initialize(java.net.URI.create("file:///"),
+        spark.sparkContext.hadoopConfiguration); f
+    }
+    val fsS3a = init(failingFs(new RemoteFileChangedException(
+      "PUT on m2.txt: precondition failed")))
+    assert(!ConditionalPutCommitStore.putIfAbsent(fsS3a, dir, "m2.txt",
+      "y".getBytes("UTF-8")),
+      "the S3A precondition surface exception is a clean loss")
+    val fs412 = init(failingFs(new java.io.IOException("upload failed",
+      new FakeSdkServiceException("PreconditionFailed"))))
+    assert(!ConditionalPutCommitStore.putIfAbsent(fs412, dir, "m2b.txt",
+      "y".getBytes("UTF-8")),
+      "a structural statusCode()==412 in the cause chain is a clean loss")
 
     // an UNRECOGNIZED failure at close leaves the outcome unknown — it
-    // must propagate, never masquerade as a clean loss
-    val fsNet = failingFs("connection reset by peer")
-    fsNet.initialize(java.net.URI.create("file:///"),
-      spark.sparkContext.hadoopConfiguration)
+    // must propagate, never masquerade as a clean loss. That includes a
+    // message that merely CONTAINS 412-ish text (a proxy error embedding
+    // a status code must not read as 'nothing landed')
+    val fsNet = init(failingFs(new java.io.IOException("connection reset by peer")))
     val e = intercept[java.io.IOException](
       ConditionalPutCommitStore.putIfAbsent(fsNet, dir, "m3.txt",
         "z".getBytes("UTF-8")))
     assert(e.getMessage.contains("connection reset"))
+    val fsProxy = init(failingFs(new java.io.IOException(
+      "proxy error: upstream returned 412; temp path already exists")))
+    val e2 = intercept[java.io.IOException](
+      ConditionalPutCommitStore.putIfAbsent(fsProxy, dir, "m4.txt",
+        "z".getBytes("UTF-8")))
+    assert(e2.getMessage.contains("proxy error"),
+      "free-text 412/already-exists must rethrow, not classify as loss")
+  }
+
+  test("conditional-put store refuses object-store schemes whose conditional create is undeclared") {
+    // a local filesystem WEARING an s3a:// URI and declaring nothing —
+    // create(overwrite=false) there is HEAD-then-PUT, the condemned race
+    class FakeS3Fs extends org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getUri: java.net.URI = java.net.URI.create("s3a://fake-bucket")
+    }
+    val local = Files.createTempDirectory("cs_cput_guard").toString
+    val dir = new Path(local, "_manifests")
+    def fresh() = {
+      val f = new FakeS3Fs
+      f.initialize(java.net.URI.create("s3a://fake-bucket"),
+        new org.apache.hadoop.conf.Configuration(
+          spark.sparkContext.hadoopConfiguration))
+      f
+    }
+    val bare = fresh()
+    val e = intercept[RuntimeException](
+      ConditionalPutCommitStore.putIfAbsent(bare, dir, "m1.txt",
+        "x".getBytes("UTF-8")))
+    assert(e.getMessage.contains("s3a") &&
+      e.getMessage.contains(ConditionalPutCommitStore.ConditionalCreateConf) &&
+      e.getMessage.contains(ConditionalPutCommitStore.AssumeConditionalKey),
+      s"the refusal must name the scheme, the knob, and the override: ${e.getMessage}")
+    assert(!bare.exists(new Path(dir, "m1.txt")), "nothing may land on refusal")
+    // the connector conf declares conditional create → proceeds
+    val declared = fresh()
+    declared.getConf.setBoolean(
+      ConditionalPutCommitStore.ConditionalCreateConf, true)
+    assert(ConditionalPutCommitStore.putIfAbsent(declared, dir, "m1.txt",
+      "x".getBytes("UTF-8")))
+    assert(new String(ConditionalPutCommitStore.read(declared, dir, "m1.txt"),
+      "UTF-8") === "x")
+    // the operator override accepts undeclared-but-atomic connectors
+    spark.conf.set(ConditionalPutCommitStore.AssumeConditionalKey, "true")
+    try assert(ConditionalPutCommitStore.putIfAbsent(fresh(), dir, "m2.txt",
+      "x".getBytes("UTF-8")))
+    finally spark.conf.unset(ConditionalPutCommitStore.AssumeConditionalKey)
+    // HDFS/POSIX schemes need no declaration (create-exclusive is native)
+    val plain = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(ConditionalPutCommitStore.putIfAbsent(plain, dir, "m3.txt",
+      "x".getBytes("UTF-8")))
   }
 
   test("conditional-put store end-to-end: the injected race rebases loudly and both commits land") {

@@ -168,6 +168,20 @@ class DeltaConvertSpec extends SparkSpec {
       ManifestTable.convertDelta(spark, clRoot))
     assert(e5.getMessage.contains("version 0"))
 
+    // a MID-GAP history (0,1,5 — head IS 0 but the chain is broken and no
+    // checkpoint covers it): replaying across the gap would silently
+    // resurrect removed rows / drop added ones, so it must refuse
+    val mgRoot = mkRoot("midgap")
+    val mgRels = DeltaLayout.writeFiles(spark, mgRoot, df, "d")
+    DeltaLayout.writeCommit(spark, mgRoot, 0,
+      Seq(DeltaLayout.protocol(), DeltaLayout.metaData(df.schema),
+        DeltaLayout.add(mgRels.head)))
+    DeltaLayout.writeCommit(spark, mgRoot, 1, mgRels.tail.map(DeltaLayout.add(_)))
+    DeltaLayout.writeCommit(spark, mgRoot, 5, mgRels.map(DeltaLayout.remove))
+    val e6 = intercept[IllegalArgumentException](
+      ManifestTable.convertDelta(spark, mgRoot))
+    assert(e6.getMessage.contains("contiguous"), e6.getMessage)
+
     // a BENIGN reader feature (timestampNtz) converts fine
     val okRoot = mkRoot("ok")
     val okRels = DeltaLayout.writeFiles(spark, okRoot, df, "d")

@@ -321,6 +321,82 @@ class GraftCatalogSpec extends SparkSpec {
     assert(ManifestTable.currentVersion(s,
       s"${GraftCatalogSpec.warehouse}/ns/dropme").isEmpty, "managed DROP deletes")
   }
+
+  test("nested-namespace identity: v1Table carries every segment; no phantom entry on a failed external create") {
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.a.b")
+    s.sql("DROP TABLE IF EXISTS gcat.a.b.deep")
+    s.sql("CREATE TABLE gcat.a.b.deep USING graft AS SELECT id FROM range(3)")
+    assert(s.sql("SELECT count(*) FROM gcat.a.b.deep").head.getLong(0) === 3L)
+    // the synthesized v1 identifier (the streaming-read face) must carry
+    // the REAL parts — a '.'-split would silently drop the middle segment
+    val cat = s.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog]
+    val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("a", "b"), "deep")).asInstanceOf[GraftTable]
+    val id = t.v1Table.identifier
+    assert(id.table === "deep" && id.database === Some("a.b") &&
+      id.catalog === Some("gcat"),
+      s"nested namespace must survive into the v1 identifier, got $id")
+    // streaming still resolves the nested name through the fallback
+    assert(t.v1Table.provider === Some("graft"))
+
+    // a CREATE whose manifest commit FAILS (location is a FILE) must
+    // leave NO catalog entry: the external marker lands only after the
+    // commit, so there is no window where listTables reports a table
+    // that loadTable rejects
+    val bad = Files.createTempFile("gcat_badloc", ".txt").toString
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ext2")
+    intercept[Exception](s.sql(
+      s"CREATE TABLE gcat.ext2.phantom USING graft LOCATION '$bad' " +
+        "AS SELECT id FROM range(3)"))
+    assert(!s.sql("SHOW TABLES IN gcat.ext2").collect()
+      .map(_.getString(1)).contains("phantom"),
+      "a failed external create must not list as a phantom entry")
+    assert(!cat.tableExists(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("ext2"), "phantom")))
+  }
+
+  test("staged external CTAS abort cleans the graft state it wrote at the LOCATION") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cat = s.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog]
+    val locRoot = Files.createTempDirectory("gcat_abort").toString
+    val loc = s"$locRoot/t"
+    // a pre-existing FOREIGN file INSIDE the location must survive the
+    // abort — cleanup may take only the graft-owned subdirectories
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(loc))
+    val foreign = java.nio.file.Paths.get(loc, "keep.txt")
+    java.nio.file.Files.write(foreign, "mine".getBytes("UTF-8"))
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.stg")
+    val ident = Identifier.of(Array("stg"), "aborted")
+    val props = new java.util.HashMap[String, String]()
+    props.put(org.apache.spark.sql.connector.catalog.TableCatalog.PROP_LOCATION, loc)
+    val staged = cat.stageCreate(ident,
+      new org.apache.spark.sql.types.StructType()
+        .add("id", org.apache.spark.sql.types.LongType),
+      Array.empty, props)
+    // drive the staged write the way the CTAS exec node does
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def queryId(): String = "spec"
+      override def schema(): org.apache.spark.sql.types.StructType =
+        new org.apache.spark.sql.types.StructType()
+          .add("id", org.apache.spark.sql.types.LongType)
+      override def options(): org.apache.spark.sql.util.CaseInsensitiveStringMap =
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+    }
+    staged.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+      .newWriteBuilder(info).build()
+      .asInstanceOf[org.apache.spark.sql.connector.write.V1Write]
+      .toInsertableRelation.insert(s.range(5).toDF("id"), true)
+    assert(ManifestTable.currentVersion(s, loc).isDefined,
+      "the staged write landed graft state at the location")
+    staged.abortStagedChanges()
+    assert(ManifestTable.currentVersion(s, loc).isEmpty,
+      "abort must clean the graft state written at the external LOCATION")
+    assert(!cat.tableExists(ident), "abort must forget the catalog entry")
+    assert(new String(java.nio.file.Files.readAllBytes(foreign),
+      "UTF-8") === "mine", "abort must never touch foreign files at the location")
+  }
 }
 
 object GraftCatalogSpec {
