@@ -1925,6 +1925,108 @@ object SparkEntry {
               |FROM q_dconv_t GROUP BY 1""".stripMargin)
     }),
 
+    // ---- DELTA DV INTEROP (r18): the fixture writes a REAL deletion
+    // vector (portable RoaringBitmapArray blob, framed DV file, Base85
+    // storageType-"u" descriptor — the public Delta format) over ONE
+    // ordered lineitem slice, then the Delta DELETE shape (remove +
+    // re-add with the DV). The converter translates it into a graft DV
+    // sidecar: deleted rows subtract exactly, files stay zero-copy
+    // (require-gated). DV positions are file row indexes, so the fixture
+    // writes the slice in (l_orderkey, l_linenumber) order and deletes
+    // the l_quantity<10 rows BY POSITION — the oracle re-derives the
+    // survivor set relationally. At 100 TB this is the migration story
+    // for modern Delta lakes, where DVs are default-on ----
+    "q_convert_delta_dv" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_dconv_dv")
+        .toString + "/t"
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .repartition(1)
+        .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+      val rels = graft.sources.DeltaLayout.writeFiles(s, root, li, "dvslice")
+      require(rels.size == 1,
+        s"fixture expects ONE ordered file, got ${rels.size}")
+      // position i holds the i-th (orderkey, linenumber) pair ascending —
+      // the written sort — so the to-delete row set maps to positions
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      val pos = li.withColumn("__pos", row_number().over(w).cast("long") - 1)
+        .filter(col("l_quantity") < 10)
+        .select("__pos").as[Long].collect().toSeq
+      val dv = graft.sources.DeltaLayout.writeDv(s, root, pos, prefix = "ab")
+      graft.sources.DeltaLayout.writeCommit(s, root, 0,
+        Seq(graft.sources.DeltaLayout.protocol(minReader = 3,
+          readerFeatures = Seq("deletionVectors")),
+          graft.sources.DeltaLayout.metaData(li.schema),
+          graft.sources.DeltaLayout.add(rels.head)))
+      graft.sources.DeltaLayout.writeCommit(s, root, 1,
+        Seq(graft.sources.DeltaLayout.remove(rels.head),
+          graft.sources.DeltaLayout.add(rels.head, Some(dv))))
+      s.sql(s"CONVERT TO GRAFT '$root' STATSCOLS (l_orderkey)")
+      val fm = graft.sources.ManifestTable.filesMeta(s, root)
+        .select(col("file"), col("n_deleted")).collect()
+      require(fm.nonEmpty && fm.forall(_.getString(0).startsWith("ext::")),
+        "DV'd delta conversion must stay zero-copy (ext:: refs)")
+      val nDeleted = fm.map(r =>
+        if (r.isNullAt(1)) 0L else r.getLong(1)).sum
+      require(nDeleted == pos.size.toLong,
+        s"the graft DV entry must carry exactly ${pos.size} deleted rows, " +
+          s"got $nDeleted")
+      s.sql("DROP TABLE IF EXISTS q_dconv_dv_t")
+      s.sql(s"CREATE TABLE q_dconv_dv_t USING graft OPTIONS (path '$root')")
+      s.sql("""SELECT l_orderkey % 7 AS grp, count(*) AS n_rows,
+              |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+              |FROM q_dconv_dv_t GROUP BY 1""".stripMargin)
+    }),
+
+    // ---- DELTA COLUMN-MAPPING INTEROP (r18): the parquet files carry
+    // PHYSICAL names (col-…), the Delta schemaString logical ones with
+    // the mapping in field metadata — the post-rename shape of any
+    // column-mapped lake. Conversion records graft colmap= lines (the
+    // stored schema speaks physical, exactly like graft's own renames);
+    // stats are requested in LOGICAL names and land on the physical
+    // keys. Require gates pin the recorded mapping ----
+    "q_convert_delta_mapped" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_dconv_cm")
+        .toString + "/t"
+      val phys = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "N")
+        .select(col("l_orderkey").as("col-ok1"),
+          col("l_quantity").as("col-qty2"))
+      val rels = graft.sources.DeltaLayout.writeFiles(s, root, phys, "cm")
+      val logicalNames = Seq("l_orderkey", "l_quantity")
+      val logical = org.apache.spark.sql.types.StructType(
+        phys.schema.fields.zip(logicalNames).zipWithIndex.map {
+          case ((f, ln), i) => f.copy(name = ln,
+            metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("delta.columnMapping.physicalName", f.name)
+              .putLong("delta.columnMapping.id", (i + 1).toLong).build())
+        })
+      graft.sources.DeltaLayout.writeCommit(s, root, 0,
+        Seq(graft.sources.DeltaLayout.protocol(minReader = 2, minWriter = 5),
+          graft.sources.DeltaLayout.metaData(logical,
+            config = Map("delta.columnMapping.mode" -> "name"))) ++
+          rels.map(graft.sources.DeltaLayout.add(_)))
+      s.sql(s"CONVERT TO GRAFT '$root' STATSCOLS (l_orderkey)")
+      // the logical face: reads answer in LOGICAL names (the colmap
+      // landed), and the zone maps key the PHYSICAL column (stats
+      // requested logically translated to the stored name)
+      val cols = graft.sources.ManifestTable.read(s, root).columns.toSeq
+      require(cols == Seq("l_orderkey", "l_quantity"),
+        s"conversion must surface logical names, got $cols")
+      val zones = graft.sources.ManifestTable.filesMeta(s, root)
+        .select(col("zones")).collect().map(_.getString(0))
+      require(zones.nonEmpty && zones.forall(_.contains("col-ok1=")),
+        s"zone maps must key the physical column, got ${zones.take(2).toSeq}")
+      s.sql("DROP TABLE IF EXISTS q_dconv_cm_t")
+      s.sql(s"CREATE TABLE q_dconv_cm_t USING graft OPTIONS (path '$root')")
+      s.sql("""SELECT l_orderkey % 5 AS grp, count(*) AS n_rows,
+              |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+              |FROM q_dconv_cm_t GROUP BY 1""".stripMargin)
+    }),
+
     // ---- hours() hidden partitioning (Iceberg's finest time transform):
     // two days of events land in 48 hour dirs via pure DDL, and a 2-hour
     // source-column predicate prunes to exactly its 2 directories — the
@@ -5198,6 +5300,23 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n_rows,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
         |FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        |GROUP BY 1""".stripMargin,
+
+    // the DV deleted the l_quantity<10 rows BY POSITION; positions were
+    // derived from that exact predicate on the ordered slice, so the
+    // oracle re-derives the survivors relationally
+    "q_convert_delta_dv" ->
+      """SELECT l_orderkey % 7 AS grp, count(*) AS n_rows,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 10
+        |GROUP BY 1""".stripMargin,
+
+    // logical names over physically-named files: the oracle sees only
+    // the logical face
+    "q_convert_delta_mapped" ->
+      """SELECT l_orderkey % 5 AS grp, count(*) AS n_rows,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'N'
         |GROUP BY 1""".stripMargin,
 
     // the derived hour key re-computed from the source timestamp

@@ -69,11 +69,40 @@ private[graft] object DeltaLayout {
       s""""configuration":{$conf},"createdTime":0}}"""
   }
 
-  def add(rel: String, withDv: Boolean = false): String = {
-    val dv = if (!withDv) ""
-      else ""","deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":8,"cardinality":1}"""
+  def add(rel: String, dv: Option[DeltaDv.Desc] = None): String = {
+    val dvJson = dv.map(d =>
+      s""","deletionVector":{"storageType":${js(d.storageType)},""" +
+        s""""pathOrInlineDv":${js(d.pathOrInlineDv)},"offset":${d.offset},""" +
+        s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""")
+      .getOrElse("")
     s"""{"add":{"path":${js(rel)},"partitionValues":{},"size":1,""" +
-      s""""modificationTime":0,"dataChange":true$dv}}"""
+      s""""modificationTime":0,"dataChange":true$dvJson}}"""
+  }
+
+  /** Write a REAL on-disk deletion vector (storageType "u"): the framed
+    * portable bitmap under `<root>/[prefix/]deletion_vector_<uuid>.bin`,
+    * returning the descriptor an `add` action carries. */
+  def writeDv(spark: SparkSession, root: String, positions: Seq[Long],
+              prefix: String = ""): DeltaDv.Desc = {
+    val uuid = java.util.UUID.randomUUID()
+    val blob = DeltaDv.serializeBitmap(positions.toArray)
+    val dir = if (prefix.isEmpty) new Path(root) else new Path(root, prefix)
+    val target = new Path(dir, s"deletion_vector_$uuid.bin")
+    val f = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val Seq((off, size)) = DeltaDv.writeDvFile(f, target, Seq(blob))
+    DeltaDv.Desc("u",
+      (if (prefix.isEmpty) "" else prefix) + DeltaDv.encodeUUID(uuid),
+      off, size, positions.size.toLong)
+  }
+
+  /** An INLINE deletion vector (storageType "i"): the bitmap rides the
+    * descriptor itself, Base85-encoded and zero-padded to a 4-byte
+    * multiple (`sizeInBytes` recovers the true length). */
+  def inlineDv(positions: Seq[Long]): DeltaDv.Desc = {
+    val blob = DeltaDv.serializeBitmap(positions.toArray)
+    val padded = java.util.Arrays.copyOf(blob, (blob.length + 3) / 4 * 4)
+    DeltaDv.Desc("i", DeltaDv.encode85(padded), 0L, blob.length,
+      positions.size.toLong)
   }
 
   def remove(rel: String): String =
@@ -86,12 +115,22 @@ private[graft] object DeltaLayout {
   def writeCheckpoint(spark: SparkSession, root: String, version: Long,
                       liveRels: Seq[String], schema: StructType,
                       partCols: Seq[String] = Nil,
-                      config: Map[String, String] = Map.empty): Unit = {
+                      config: Map[String, String] = Map.empty,
+                      dvs: Map[String, DeltaDv.Desc] = Map.empty): Unit = {
     val ver = version
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val adds = liveRels.toDF("p").select(org.apache.spark.sql.functions
-      .struct(col("p").as("path")).as("add"))
+    val adds = liveRels.map { r =>
+      val d = dvs.get(r)
+      (r, d.map(_.storageType), d.map(_.pathOrInlineDv), d.map(_.offset),
+        d.map(_.sizeInBytes), d.map(_.cardinality))
+    }.toDF("p", "st", "pdv", "off", "sz", "card")
+      .select(org.apache.spark.sql.functions.struct(
+        col("p").as("path"),
+        when(col("st").isNotNull, org.apache.spark.sql.functions.struct(
+          col("st").as("storageType"), col("pdv").as("pathOrInlineDv"),
+          col("off").as("offset"), col("sz").as("sizeInBytes"),
+          col("card").as("cardinality"))).as("deletionVector")).as("add"))
     val meta = Seq((schema.json, partCols, config))
       .toDF("schemaString", "partitionColumns", "configuration")
       .select(org.apache.spark.sql.functions.struct(col("schemaString"),

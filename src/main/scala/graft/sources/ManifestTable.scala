@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, MapType, ShortType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, MapType, Metadata, ShortType, StringType, StructField, StructType}
 import java.nio.charset.StandardCharsets
 
 /** A minimal snapshot-isolated table format over parquet — the manifest
@@ -3392,26 +3392,37 @@ object ManifestTable {
     * graft writes land in graft's own `data/` and OPTIMIZE gradually
     * self-contains the refs, the standard clone lifecycle.
     *
-    * Unsupported Delta features refuse LOUDLY, never silently drop rows:
-    *  - DELETION VECTORS (an `add.deletionVector`, or the reader feature
-    *    declared): the ref would resurrect deleted rows — purge DVs in
-    *    Delta first;
-    *  - COLUMN MAPPING (`delta.columnMapping.mode` = name/id): parquet
-    *    field names differ from logical names in a way only the mapping
-    *    can resolve;
+    * The two features default-on in modern Delta writers TRANSLATE
+    * instead of refusing — graft has both mechanisms natively:
+    *  - DELETION VECTORS: each live file's descriptor decodes (portable
+    *    RoaringBitmapArray, [[DeltaDv]]) into graft's own (fname, pos)
+    *    DV sidecar — distributed, deleted-rows-sized, cardinality
+    *    cross-checked ([[convertDvSidecar]]);
+    *  - COLUMN MAPPING (name/id mode): `physicalName` field metadata
+    *    becomes graft `colmap=` lines; the stored schema speaks physical
+    *    names exactly as graft's own renames do. Mapped NESTED fields
+    *    and mapped PARTITION columns refuse (graft's map is top-level
+    *    and never covers partition columns).
+    *
+    * What cannot carry soundly refuses LOUDLY, never silently drops rows:
     *  - GENERATED COLUMNS (`delta.generationExpression` field metadata):
     *    the generation contract cannot carry — re-declare on graft after
     *    converting;
-    *  - reader versions/features beyond plain parquet + the benign
-    *    allowlist (timestampNtz, variant);
-    *  - a LOG-CLEANED history (first JSON commit > 0): the live set
-    *    would need checkpoint-parquet decoding — replay needs the JSON
-    *    chain from version 0.
+    *  - reader versions/features beyond parquet + the handled set
+    *    (timestampNtz, variant, deletionVectors, columnMapping);
+    *  - a GAPPED history: replay needs the contiguous JSON chain from
+    *    version 0, or a checkpoint whose JSON tail is contiguous.
     *
     * Scale shape: the replay is a driver-side line scan of the JSON log
     * (the same order-sensitive pass Delta's own snapshot construction
     * makes), bounded by log size, not data size; stats collection is the
     * standard distributed pass over only the requested columns. */
+  /** Reader features this converter actually HANDLES (benign type
+    * extensions plus the two it translates); anything outside refuses. */
+  private val DeltaReaderFeatures = Set(
+    "timestampNtz", "variantType", "variantType-preview",
+    "deletionVectors", "columnMapping")
+
   def convertDelta(spark: SparkSession, path: String,
                    statsCols: Seq[String] = Nil,
                    bloomCols: Seq[String] = Nil): Long = {
@@ -3462,8 +3473,12 @@ object ManifestTable {
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Nil
     var config: Map[String, String] = Map.empty
-    // add order preserved; remove cancels — the replay IS the live set
+    // add order preserved; remove cancels — the replay IS the live set.
+    // A file's CURRENT deletion vector travels with its latest add (a
+    // DV-less re-add clears it; a remove clears it) — the same
+    // last-add-wins the Delta snapshot computes
     val live = new scala.collection.mutable.LinkedHashSet[String]()
+    val dvByPath = new scala.collection.mutable.HashMap[String, DeltaDv.Desc]()
     def decode(p: String): String =
       java.net.URLDecoder.decode(p, "UTF-8")
     fromCkpt.foreach { v =>
@@ -3479,12 +3494,13 @@ object ManifestTable {
             val rv = r.getInt(0)
             val feats = if (cols.length > 1 && !r.isNullAt(1))
               r.getSeq[String](1) else Nil
-            val benign = Set("timestampNtz", "variantType", "variantType-preview")
-            val hard = feats.filterNot(benign)
-            require(rv <= 1 || (rv == 3 && hard.isEmpty),
+            val hard = feats.filterNot(DeltaReaderFeatures)
+            require(rv <= 2 || (rv == 3 && hard.isEmpty),
               s"CONVERT FROM DELTA: reader requirement not supported " +
                 s"(minReaderVersion=$rv, features=${hard.mkString(",")}) — " +
-                "deletion vectors and column mapping do not convert")
+                "this converter handles plain parquet + deletion vectors " +
+                "+ column mapping; anything harder refuses rather than " +
+                "risk a wrong live set")
           }
       }
       struct("metaData").foreach { _ =>
@@ -3499,13 +3515,24 @@ object ManifestTable {
           }
       }
       struct("add").foreach { as =>
-        if (as.fieldNames.contains("deletionVector"))
-          require(ck.filter(col("add.path").isNotNull &&
-              col("add.deletionVector").isNotNull).isEmpty,
-            "CONVERT FROM DELTA: a checkpointed live file carries a " +
-              "DELETION VECTOR — purge DVs in Delta before converting")
-        ck.filter(col("add.path").isNotNull).select(col("add.path"))
-          .collect().foreach(r => live += decode(r.getString(0)): Unit)
+        val withDv = as.fieldNames.contains("deletionVector")
+        val cols =
+          if (!withDv) Seq(col("add.path"))
+          else Seq(col("add.path"),
+            col("add.deletionVector.storageType"),
+            col("add.deletionVector.pathOrInlineDv"),
+            col("add.deletionVector.offset").cast(LongType),
+            col("add.deletionVector.sizeInBytes").cast(IntegerType),
+            col("add.deletionVector.cardinality").cast(LongType))
+        ck.filter(col("add.path").isNotNull).select(cols: _*)
+          .collect().foreach { r =>
+            val rel = decode(r.getString(0))
+            live += rel
+            if (withDv && !r.isNullAt(1))
+              dvByPath(rel) = DeltaDv.Desc(r.getString(1), r.getString(2),
+                if (r.isNullAt(3)) 1L else r.getLong(3),
+                r.getInt(4), r.getLong(5))
+          }
       }
     }
     val replay = commits.filter(_.stripSuffix(".json").toLong >
@@ -3524,12 +3551,13 @@ object ManifestTable {
           val rv = Option(p.get("minReaderVersion")).map(_.asInt()).getOrElse(1)
           val feats = Option(p.get("readerFeatures"))
             .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
-          val benign = Set("timestampNtz", "variantType", "variantType-preview")
-          val hard = feats.filterNot(benign)
-          require(rv <= 1 || (rv == 3 && hard.isEmpty),
+          val hard = feats.filterNot(DeltaReaderFeatures)
+          require(rv <= 2 || (rv == 3 && hard.isEmpty),
             s"CONVERT FROM DELTA: reader requirement not supported " +
               s"(minReaderVersion=$rv, features=${hard.mkString(",")}) — " +
-              "deletion vectors and column mapping do not convert")
+              "this converter handles plain parquet + deletion vectors " +
+              "+ column mapping; anything harder refuses rather than " +
+              "risk a wrong live set")
         }
         if (node.has("metaData")) {
           val m = node.get("metaData")
@@ -3542,43 +3570,174 @@ object ManifestTable {
         }
         if (node.has("add")) {
           val a = node.get("add")
-          require(!a.has("deletionVector") || a.get("deletionVector").isNull,
-            "CONVERT FROM DELTA: a live file carries a DELETION VECTOR — " +
-              "referencing it raw would resurrect deleted rows; purge DVs " +
-              "in Delta (REORG TABLE … APPLY (PURGE)) before converting")
           val rel = decode(a.get("path").asText())
           require(!rel.contains("://"),
             s"CONVERT FROM DELTA: absolute add path '$rel' is not supported")
           live += rel: Unit
+          if (a.has("deletionVector") && !a.get("deletionVector").isNull) {
+            val d = a.get("deletionVector")
+            dvByPath(rel) = DeltaDv.Desc(
+              d.get("storageType").asText(),
+              d.get("pathOrInlineDv").asText(),
+              Option(d.get("offset")).filterNot(_.isNull).map(_.asLong())
+                .getOrElse(1L),
+              d.get("sizeInBytes").asInt(),
+              d.get("cardinality").asLong())
+          } else dvByPath.remove(rel): Unit
         }
-        if (node.has("remove"))
-          live -= decode(node.get("remove").get("path").asText()): Unit
+        if (node.has("remove")) {
+          val rel = decode(node.get("remove").get("path").asText())
+          live -= rel
+          dvByPath.remove(rel): Unit
+        }
       }
     }
-    require(config.get("delta.columnMapping.mode").forall(_ == "none"),
-      s"CONVERT FROM DELTA: column mapping mode " +
-        s"'${config("delta.columnMapping.mode")}' does not convert — parquet " +
-        "field names differ from the logical schema in a way only Delta's " +
-        "mapping resolves")
-    val schema = org.apache.spark.sql.types.DataType
+    val logical = org.apache.spark.sql.types.DataType
       .fromJson(schemaJson.getOrElse(sys.error(
         "CONVERT FROM DELTA: the log carries no metaData action")))
       .asInstanceOf[StructType]
-    schema.fields.foreach(fd =>
+    logical.fields.foreach(fd =>
       require(!fd.metadata.contains("delta.generationExpression"),
         s"CONVERT FROM DELTA: column '${fd.name}' is a Delta GENERATED " +
           "column — the generation contract cannot carry; drop it in Delta " +
           "or re-declare through graft's generated columns after converting"))
+    // COLUMN MAPPING (name or id mode): Delta's parquet files carry
+    // PHYSICAL field names, the schemaString logical ones with the
+    // mapping in field metadata — exactly graft's own colmap shape, so
+    // the translation is mechanical: the stored schema speaks physical
+    // names, colmap= lines carry the differing logical→physical pairs.
+    // What CANNOT carry refuses loudly: a mapped NESTED field (graft's
+    // colmap is top-level) and a mapped PARTITION column (graft never
+    // colmaps partition/stats/bloom columns, and the hive directory
+    // names are the physical ones).
+    val cmMode = config.getOrElse("delta.columnMapping.mode", "none")
+    require(Set("none", "name", "id").contains(cmMode),
+      s"CONVERT FROM DELTA: unknown column mapping mode '$cmMode'")
+    val PhysKey = "delta.columnMapping.physicalName"
+    def stripDelta(md: Metadata): Metadata = {
+      val node = mapper.readTree(md.json)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val drop = node.properties().asScala.map(_.getKey)
+        .filter(_.startsWith("delta.columnMapping.")).toSeq
+      drop.foreach(node.remove)
+      Metadata.fromJson(node.toString)
+    }
+    def nestedMapped(dt: DataType): Option[String] = dt match {
+      case st: StructType => st.fields.iterator.flatMap { fd =>
+        (if (fd.metadata.contains(PhysKey) &&
+             fd.metadata.getString(PhysKey) != fd.name)
+          Some(fd.name) else None).orElse(nestedMapped(fd.dataType))
+      }.nextOption()
+      case a: org.apache.spark.sql.types.ArrayType => nestedMapped(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        nestedMapped(m.keyType).orElse(nestedMapped(m.valueType))
+      case _ => None
+    }
+    val translated = logical.fields.map { fd =>
+      nestedMapped(fd.dataType).foreach(n => sys.error(
+        s"CONVERT FROM DELTA: nested field '$n' under '${fd.name}' is " +
+          "column-mapped — graft's mapping is top-level; flatten or " +
+          "rename in Delta first"))
+      val phys =
+        if (cmMode != "none" && fd.metadata.contains(PhysKey))
+          fd.metadata.getString(PhysKey)
+        else fd.name
+      // nested delta metadata (ids on struct members) strips with the
+      // same walk the physical rename skipped over: ids carry no reader
+      // meaning once names resolve the files
+      (fd.copy(name = phys, metadata = stripDelta(fd.metadata)), fd.name)
+    }
+    val schema = StructType(translated.map(_._1))
+    require(schema.fieldNames.distinct.length == schema.fieldNames.length,
+      "CONVERT FROM DELTA: duplicate physical column names")
+    val colmap: Map[String, String] = translated.collect {
+      case (pf, ln) if pf.name != ln => ln -> pf.name
+    }.toMap
+    partCols.foreach(pc => require(!colmap.contains(pc),
+      s"CONVERT FROM DELTA: partition column '$pc' is column-mapped " +
+        s"(physical '${colmap.getOrElse(pc, "")}') — graft partition " +
+        "columns are never mapped; rename it back in Delta first"))
     require(live.nonEmpty, "CONVERT FROM DELTA: the snapshot has no live files")
     if (partCols.nonEmpty)
       live.foreach(r => require(pathSpec(r) == partCols,
         s"CONVERT FROM DELTA: file '$r' does not sit under the hive layout " +
           s"${partCols.mkString("/")} — non-hive Delta layouts do not convert"))
     val base = f.makeQualified(root).toString
-    val rels = live.toSeq.sorted.map(r => extRef(base, r))
+    val liveSorted = live.toSeq.sorted
+    val rels = liveSorted.map(r => extRef(base, r))
+    // stats/bloom requests arrive in LOGICAL names (the user's face);
+    // everything stored speaks physical
+    val statsPhys = statsCols.map(c => colmap.getOrElse(c, c))
+    val bloomPhys = bloomCols.map(c => colmap.getOrElse(c, c))
+    val dvEntries =
+      if (dvByPath.isEmpty) Map.empty[String, (String, Long)]
+      else convertDvSidecar(spark, path, base, liveSorted,
+        dvByPath.filter { case (rel, _) => live.contains(rel) }.toMap)
     val stats = collectStats(spark, path, rels, schema, partCols,
-      statsCols, bloomCols)
-    commit(spark, path, 1L, schema, partCols, rels, statsCols, stats, bloomCols)
+      statsPhys, bloomPhys)
+    commit(spark, path, 1L, schema, partCols, rels, statsPhys, stats,
+      bloomPhys, dvs = dvEntries, colmap = colmap)
+  }
+
+  /** Translate a converted snapshot's Delta deletion vectors into ONE
+    * graft DV sidecar: the blobs decode DISTRIBUTED (one task per batch
+    * of files-with-DVs — deleted-rows-sized work, never driver-resident
+    * positions), land as (fname, pos) parquet under `_dv/`, and the
+    * returned entries key the `ext::` refs exactly as
+    * [[writeDvEntries]]' own sidecars do — the read path cannot tell a
+    * converted DV from a native one. Every descriptor's `cardinality`
+    * is cross-checked against the decoded bitmap AND the written
+    * sidecar counts: a codec drift fails the conversion loudly. */
+  private def convertDvSidecar(spark: SparkSession, path: String,
+                               base: String, liveSorted: Seq[String],
+                               dvs: Map[String, DeltaDv.Desc]):
+      Map[String, (String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    def basename(rel: String): String = rel.substring(rel.lastIndexOf('/') + 1)
+    // graft keys DV positions by data-file BASENAME (table-unique by
+    // construction for graft's own commit-prefixed names; Delta's
+    // UUID-suffixed names are too, but trust nothing: verify)
+    val names = liveSorted.map(basename)
+    require(names.distinct.length == names.length,
+      "CONVERT FROM DELTA: duplicate data-file basenames in the live " +
+        "set — graft DV sidecars key by basename")
+    val descs = liveSorted.filter(dvs.contains).map { rel =>
+      val d = dvs(rel)
+      (basename(rel), d.storageType, d.pathOrInlineDv, d.offset,
+        d.sizeInBytes, d.cardinality)
+    }
+    val confBc = spark.sparkContext.broadcast(
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => e.getKey -> e.getValue).toArray)
+    val name = f"dv${1L}%012d-${java.util.UUID.randomUUID().toString.take(8)}"
+    val target = new Path(dvDir(path), name).toString
+    val slices = math.max(1, math.min(descs.size,
+      spark.sparkContext.defaultParallelism))
+    val positions = spark.createDataset(descs).repartition(slices)
+      .flatMap { case (fname, st, pdv, off, sz, card) =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confBc.value.foreach { case (k, v) => conf.set(k, v) }
+        val pos = DeltaDv.positionsOf(DeltaDv.Desc(st, pdv, off, sz, card),
+          base, conf)
+        require(pos.length.toLong == card,
+          s"CONVERT FROM DELTA: DV cardinality mismatch for '$fname' — " +
+            s"descriptor says $card, bitmap holds ${pos.length}")
+        pos.iterator.map(p => (fname, p))
+      }.toDF("fname", "pos")
+    (if (descs.size <= 64) positions.coalesce(1) else positions)
+      .write.mode(SaveMode.Overwrite).parquet(target)
+    val counts = spark.read.schema(DvSchema).parquet(target)
+      .groupBy(col("fname")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val relOf = liveSorted.map(r => basename(r) -> r).toMap
+    descs.map { case (fname, _, _, _, _, card) =>
+      val n = counts.getOrElse(fname, 0L)
+      require(n == card,
+        s"CONVERT FROM DELTA: sidecar count drift for '$fname' — wrote " +
+          s"$n positions, descriptor says $card")
+      extRef(base, relOf(fname)) -> ((name, n))
+    }.toMap
   }
 
   /** SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE src` re-derived):
