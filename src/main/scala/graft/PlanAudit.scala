@@ -834,6 +834,49 @@ object PlanAudit {
               pBaseFiles == 8 && pFiles >= 1 && pFiles <= 2),
             "identical results with the pre-job on and off" -> (_ =>
               pRows.toSet == pBase.toSet))
+
+          // r18: PAST-ALL-CAPS tier — a 40k-distinct-key build (over the
+          // 32k membership cap) whose keys live in TWO bands still
+          // file-skips via interval refinement, with a compact-Bloom
+          // row-level probe and ZERO keys collected
+          val odd = java.nio.file.Files
+            .createTempDirectory("audit_rtovercap").toString + "/t"
+          graft.sources.ManifestTable.overwrite(spark, odd,
+            spark.range(200000).select(
+              when(col("id") % 40000 < 20000, col("id") % 40000)
+                .otherwise(col("id") % 40000 + 40000).as("k"),
+              col("id").as("payload")))
+          spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW overcap_dim USING graft OPTIONS (path '$odd')")
+          def qo = spark.sql(
+            "SELECT f.id, f.v FROM pre_fact f JOIN overcap_dim d ON f.id = d.k")
+          spark.conf.set("spark.graft.runtimeFilter.enabled", "false")
+          val oBase = qo.count()
+          val oBaseFiles = relOf(qo).lastScanFileCount
+          spark.conf.unset("spark.graft.runtimeFilter.enabled")
+          val oDf = qo
+          val oRows = oDf.count()
+          val oFiles = relOf(oDf).lastScanFileCount
+          val oHasBloom = oDf.queryExecution.optimizedPlan.exists {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              f.condition.exists(_.isInstanceOf[
+                org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain])
+            case _ => false
+          }
+          val oHasOr = oDf.queryExecution.optimizedPlan.exists {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              f.condition.exists {
+                case org.apache.spark.sql.catalyst.expressions.Or(_, _) => true
+                case _ => false
+              }
+            case _ => false
+          }
+          auditDf("runtime_overcap", oDf)(
+            s"two key bands past the 32k cap open only their regions ($oFiles of $oBaseFiles)" -> (_ =>
+              oBaseFiles == 8 && oFiles >= 1 && oFiles <= 6),
+            "the seed is an OR of region ranges plus a compact-Bloom probe" -> (_ =>
+              oHasOr && oHasBloom),
+            "identical results with the tier on and off" -> (_ =>
+              oRows == oBase))
         } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       }
 

@@ -2027,6 +2027,49 @@ object SparkEntry {
               |FROM q_dconv_cm_t GROUP BY 1""".stripMargin)
     }),
 
+    // ---- ICEBERG READ INTEROP (r18): the fixture hand-writes the
+    // public Iceberg layout — metadata JSON (v2), an Avro manifest list,
+    // Avro manifests whose entries mark two lineitem slices live and one
+    // DELETED — and the converter reads the current snapshot, committing
+    // the live set as graft version 1 with zero-copy ext:: refs
+    // (require-gated; the deleted slice's files stay on disk but never
+    // become rows). The other half of the existing-lake migration story
+    // beside q_convert_delta ----
+    "q_convert_iceberg" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_iconv")
+        .toString + "/t"
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      def slice(flag: String, tag: String) = graft.sources.DeltaLayout
+        .writeFiles(s, root, li.filter(col("l_returnflag") === flag), tag)
+      val a = slice("A", "ia"); val n = slice("N", "in")
+      val r = slice("R", "ir")
+      def abs(rel: String) = s"$root/$rel"
+      // one manifest adds A and marks R deleted (the compaction shape);
+      // a second carries N as existing
+      val m1 = graft.sources.IcebergLayout.writeManifest(s, root, "m1.avro",
+        a.map(x => (abs(x), 1L, 1)) ++ r.map(x => (abs(x), 1L, 2)))
+      val m2 = graft.sources.IcebergLayout.writeManifest(s, root, "m2.avro",
+        n.map(x => (abs(x), 1L, 0)))
+      val ml = graft.sources.IcebergLayout.writeManifestList(s, root,
+        "ml.avro", Seq((m1, 0), (m2, 0)))
+      graft.sources.IcebergLayout.writeMetadata(s, root, 4, li.schema,
+        Nil, Some(ml))
+      s.sql(s"CONVERT TO GRAFT '$root' STATSCOLS (l_orderkey)")
+      val files = graft.sources.ManifestTable.filesMeta(s, root)
+        .select("file").collect().map(_.getString(0))
+      require(files.nonEmpty && files.forall(_.startsWith("ext::")),
+        "iceberg conversion must reference files in place (ext:: refs)")
+      require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "metadata")),
+        "the Iceberg metadata must survive conversion")
+      s.sql("DROP TABLE IF EXISTS q_iconv_t")
+      s.sql(s"CREATE TABLE q_iconv_t USING graft OPTIONS (path '$root')")
+      s.sql("""SELECT l_returnflag, count(*) AS n_rows,
+              |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+              |FROM q_iconv_t GROUP BY 1""".stripMargin)
+    }),
+
     // ---- hours() hidden partitioning (Iceberg's finest time transform):
     // two days of events land in 48 hour dirs via pure DDL, and a 2-hour
     // source-column predicate prunes to exactly its 2 directories — the
@@ -5317,6 +5360,14 @@ object SparkEntry {
       """SELECT l_orderkey % 5 AS grp, count(*) AS n_rows,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
         |FROM lineitem WHERE l_returnflag = 'N'
+        |GROUP BY 1""".stripMargin,
+
+    // the Iceberg snapshot's live set: slices A and N live, slice R's
+    // entries DELETED — the oracle re-derives from the raw table
+    "q_convert_iceberg" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem WHERE l_returnflag IN ('A', 'N')
         |GROUP BY 1""".stripMargin,
 
     // the derived hour key re-computed from the source timestamp

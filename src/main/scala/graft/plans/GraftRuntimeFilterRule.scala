@@ -45,9 +45,12 @@ import org.apache.spark.sql.graft.bridge
   *    queries by the catalog — out-of-plan state seeded by one query
   *    could wrongly prune another's scan. Everything this rule does
   *    therefore lives IN the plan.)
-  *  - past maxBloomKeys (or no Blooms on the column) → `key BETWEEN
-  *    min AND max` (zone-range only — two agg values regardless of key
-  *    count, so no cap applies).
+  *  - past maxBloomKeys (or no Blooms on the column) → under-threshold
+  *    builds seed `key BETWEEN min AND max` (zone-range only — two agg
+  *    values regardless of key count); over-threshold builds take the
+  *    PAST-ALL-CAPS tier ([[overCapSeed]]): interval-refined OR-of-ranges
+  *    for file skipping plus a compact-Bloom row-level membership probe —
+  *    no key ever collects, no plan-weight value list.
   *
   * Snapshot stability: the build side executes at PLAN time while the
   * join re-executes it at RUN time, so the seed is sound only if both
@@ -65,9 +68,15 @@ import org.apache.spark.sql.graft.bridge
   * sizes the build's key space, then a capped key collect runs only when
   * that NDV admits a membership seed — a 10⁶-row dim cut whose keys
   * cover 5% of a clustered fact now opens ~5% of it, paid with ≤2 scans
-  * of a side the join scans anyway. Kill switch
-  * `spark.graft.runtimeFilter.preJob.enabled`; builds estimating past
-  * `preJob.maxBytes` (default 1 GiB) never execute early at all.
+  * of a side the join scans anyway. When even that NDV is out of reach,
+  * the PAST-ALL-CAPS tier (r18, [[overCapSeed]]) seeds with ZERO key
+  * collection: per-zone-region hit flags refine the range seed into an
+  * OR of only the regions the build actually touches (file skipping for
+  * multi-modal key sets), and a compact Bloom literal cuts probe rows
+  * before the shuffle. Kill switches
+  * `spark.graft.runtimeFilter.preJob.enabled` /
+  * `…bloomSeed.enabled`; builds estimating past `preJob.maxBytes`
+  * (default 1 GiB) never execute early at all.
   *
   * Stand-downs: rule disabled (`spark.graft.runtimeFilter.enabled=false`),
   * no broadcast threshold, build side above `preJob.maxBytes` (or the
@@ -86,6 +95,13 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
   private val MaxBloomKeysKey = "spark.graft.runtimeFilter.maxBloomKeys"
   private val PreJobEnabledKey = "spark.graft.runtimeFilter.preJob.enabled"
   private val PreJobMaxBytesKey = "spark.graft.runtimeFilter.preJob.maxBytes"
+  /** Interval-refinement cap: more merged zone regions than this means
+    * the probe is effectively unclustered on the key — per-region
+    * hit-testing buys nothing a global range does not. */
+  private val MaxSeedRangesKey = "spark.graft.runtimeFilter.maxSeedRanges"
+  /** Kill switch for the compact-Bloom row-level seed (the past-all-caps
+    * membership tier). */
+  private val BloomSeedKey = "spark.graft.runtimeFilter.bloomSeed.enabled"
 
   /** Re-entrance guard: collecting build keys runs a child query through
     * the full optimizer — the rule must not fire inside its own collect
@@ -188,11 +204,11 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
       case EqualTo(a: AttributeReference, e)
           if probe.outputSet.contains(a) && e.references.nonEmpty &&
             e.references.subsetOf(build.outputSet) =>
-        eligible(probe, a).map(g => (a, e, g.bloomKeyed(a.name))).toSeq
+        eligible(probe, a).map(g => (a, e, g.bloomKeyed(a.name), g)).toSeq
       case EqualTo(e, a: AttributeReference)
           if probe.outputSet.contains(a) && e.references.nonEmpty &&
             e.references.subsetOf(build.outputSet) =>
-        eligible(probe, a).map(g => (a, e, g.bloomKeyed(a.name))).toSeq
+        eligible(probe, a).map(g => (a, e, g.bloomKeyed(a.name), g)).toSeq
       case _ => Nil
     }.distinctBy(_._1.exprId)
     if (pairs.isEmpty) j
@@ -202,6 +218,134 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
         val seeded = Filter(p, probe)
         if (probeLeft) j.copy(left = seeded) else j.copy(right = seeded)
     }
+  }
+
+  /** PAST-ALL-CAPS seeding (pre-job stage 1 measured NDV > maxBloomKeys):
+    * no key ever collects, yet the seed gets BOTH halves of what a value
+    * list bought —
+    *
+    *  - FILE skipping via INTERVAL REFINEMENT: the probe's per-file zone
+    *    intervals (driver-resident manifest stats) merge into ≤
+    *    `maxSeedRanges` disjoint regions, ONE aggregation job hit-tests
+    *    the build keys against each region (`max(key between lo and hi)`
+    *    per region — region-count ints of driver result), and the seed
+    *    is the OR of the HIT regions' ranges. A multi-modal build (keys
+    *    clustered in 3 places of a range-clustered 100 TB fact) then
+    *    opens 3 regions instead of the global min..max span — and the
+    *    scan prunes files on the OR through the interval-set zone
+    *    channel ([[graft.sources.ManifestTable.prunedRels]]' rangeSets).
+    *    Regions with no build key are EXACT exclusions: every probe row
+    *    in such a region has a key no build row carries.
+    *  - ROW-level membership via a COMPACT BLOOM: the same job builds a
+    *    Bloom over `xxhash64(key)` (bits sized from the measured NDV,
+    *    capped ≤ 1 MiB), carried as a foldable binary literal under
+    *    `BloomFilterMightContain` — codegen'd, cuts probe rows BEFORE
+    *    the join's shuffle at any key count, no 32k plan-weight list.
+    *
+    * Both refinements degrade independently: no usable intervals (stats
+    * missing/inexact, > maxSeedRanges regions) → the stage-1 global
+    * range seeds as before; Bloom disabled → ranges alone. Everything
+    * stays plan-carried (the r16 soundness demand) and the whole tier
+    * costs ONE extra scan of a build the join scans anyway. */
+  private def overCapSeed(
+      spark: SparkSession,
+      pairs: Seq[(AttributeReference, Expression, Boolean, GraftRelation)],
+      build: LogicalPlan, stage1: org.apache.spark.sql.Row,
+      ndv: Long): Option[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val maxRanges = conf.getConfString(MaxSeedRangesKey, "64").toInt
+    val bloomOn = conf.getConfString(BloomSeedKey, "true")
+      .equalsIgnoreCase("true")
+    val intervals: Seq[Option[Seq[(Any, Any)]]] = pairs.map {
+      case (a, _, _, g) =>
+        scala.util.Try(g.keyIntervals(a.name, maxRanges)).toOption.flatten
+    }
+    def globalRange(i: Int): Expression = {
+      val (a, buildKey, _, _) = pairs(i)
+      if (stage1.isNullAt(2 * i) || stage1.isNullAt(2 * i + 1))
+        Literal.TrueLiteral
+      else And(
+        GreaterThanOrEqual(a,
+          Literal.create(stage1.get(2 * i), buildKey.dataType)),
+        LessThanOrEqual(a,
+          Literal.create(stage1.get(2 * i + 1), buildKey.dataType)))
+    }
+    val needJob = bloomOn || intervals.exists(_.exists(_.nonEmpty))
+    if (!needJob) {
+      val ranges = pairs.indices.map(globalRange)
+        .filterNot(_ == Literal.TrueLiteral)
+      return if (ranges.isEmpty) None else Some(ranges.reduce(And))
+    }
+    // ONE job: per-region hit flags + the Bloom bytes, all columns
+    val aggExprs = Seq.newBuilder[NamedExpression]
+    pairs.zipWithIndex.foreach { case ((a, e, _, _), i) =>
+      intervals(i).toSeq.flatten.zipWithIndex.foreach { case ((lo, hi), ri) =>
+        aggExprs += Alias(Max(If(And(
+          GreaterThanOrEqual(e, asLit(lo, a.dataType)),
+          LessThanOrEqual(e, asLit(hi, a.dataType))),
+          Literal(1), Literal(0))).toAggregateExpression(),
+          s"__graft_hit_${i}_$ri")()
+      }
+      if (bloomOn) {
+        val items = math.min(ndv, 4L * 1000 * 1000)
+        val bits = math.min(math.max(items * 10L, 1L << 16), 1L << 23)
+        aggExprs += Alias(new BloomFilterAggregate(new XxHash64(Seq(e)),
+          Literal(items), Literal(bits)).toAggregateExpression(),
+          s"__graft_bf_$i")()
+      }
+    }
+    val row = bridge.ofRows(spark,
+      Aggregate(Nil, aggExprs.result(), build)).collect().head
+    var idx = 0
+    val preds = pairs.zipWithIndex.map { case ((a, _, _, _), i) =>
+      val rangePred: Expression = intervals(i) match {
+        case Some(ivs) =>
+          val flags = ivs.map { _ =>
+            val hit = !row.isNullAt(idx) && row.getInt(idx) == 1
+            idx += 1
+            hit
+          }
+          val hit = ivs.zip(flags).collect { case (iv, true) => iv }
+          if (hit.isEmpty)
+            // no build key lands in ANY populated zone region: the join
+            // over this side is provably empty
+            Literal.FalseLiteral
+          else hit.map { case (lo, hi) => And(
+            GreaterThanOrEqual(a, asLit(lo, a.dataType)),
+            LessThanOrEqual(a, asLit(hi, a.dataType))) }.reduce(Or)
+        case None => globalRange(i)
+      }
+      val bloomPred: Option[Expression] =
+        if (!bloomOn) None
+        else {
+          val bytes = row.get(idx)
+          idx += 1
+          bytes match {
+            case b: Array[Byte] => Some(BloomFilterMightContain(
+              Literal(b, org.apache.spark.sql.types.BinaryType),
+              new XxHash64(Seq(a))))
+            case _ => None
+          }
+        }
+      (Seq(rangePred) ++ bloomPred).filterNot(_ == Literal.TrueLiteral)
+    }
+    val kept = preds.flatten
+    if (kept.isEmpty) None else Some(kept.reduce(And))
+  }
+
+  /** Decoded zone-stat value → a literal of the probe column's type (the
+    * stat codec normalizes integral families to Long and floating to
+    * Double; `Literal.create` needs the exact external shape). */
+  private def asLit(v: Any, dt: org.apache.spark.sql.types.DataType): Literal = {
+    import org.apache.spark.sql.types._
+    val conv = (v, dt) match {
+      case (l: java.lang.Long, IntegerType) => l.intValue()
+      case (l: java.lang.Long, ShortType) => l.shortValue()
+      case (l: java.lang.Long, ByteType) => l.byteValue()
+      case (d: java.lang.Double, FloatType) => d.floatValue()
+      case _ => v
+    }
+    Literal.create(conv, dt)
   }
 
   /** The probe attribute is worth collecting for: it comes off a graft
@@ -233,6 +377,32 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
     rel match {
       case Some(g: GraftRelation) if g.metaFileCount > 1 &&
           g.keyPrunable(a.name) =>
+        // the past-all-caps tier's shapes: an OR whose every branch
+        // bounds `a` from both sides (the interval-refined seed), and
+        // the compact-Bloom membership probe
+        def orRangeSeed(o: Or): Boolean = {
+          def branches(x: Expression): Seq[Expression] = x match {
+            case Or(l, r) => branches(l) ++ branches(r)
+            case other => Seq(other)
+          }
+          branches(o).forall { b =>
+            var blo, bhi = false
+            splitConjunctivePredicates(b).foreach {
+              case GreaterThanOrEqual(x: AttributeReference, l)
+                  if l.foldable && x.semanticEquals(a) => blo = true
+              case GreaterThan(x: AttributeReference, l)
+                  if l.foldable && x.semanticEquals(a) => blo = true
+              case LessThanOrEqual(x: AttributeReference, l)
+                  if l.foldable && x.semanticEquals(a) => bhi = true
+              case LessThan(x: AttributeReference, l)
+                  if l.foldable && x.semanticEquals(a) => bhi = true
+              case EqualTo(x: AttributeReference, l)
+                  if l.foldable && x.semanticEquals(a) => blo = true; bhi = true
+              case _ =>
+            }
+            blo && bhi
+          }
+        }
         val seededAlready = probe.exists {
           case Filter(cond, _) =>
             val conjuncts = splitConjunctivePredicates(cond)
@@ -240,6 +410,9 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
             val member = conjuncts.exists {
               case In(x: AttributeReference, _) => x.semanticEquals(a)
               case InSet(x: AttributeReference, _) => x.semanticEquals(a)
+              case bf: BloomFilterMightContain =>
+                bf.valueExpression.references.contains(a)
+              case o: Or => orRangeSeed(o)
               case EqualTo(x: AttributeReference, l) if l.foldable =>
                 x.semanticEquals(a)
               case EqualTo(l, x: AttributeReference) if l.foldable =>
@@ -278,7 +451,7 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
     * under-threshold build keeps the single direct collect — its scan
     * was broadcast-cheap to begin with. */
   private def collectPredicate(
-      pairs: Seq[(AttributeReference, Expression, Boolean)],
+      pairs: Seq[(AttributeReference, Expression, Boolean, GraftRelation)],
       build: LogicalPlan, preJob: Boolean = false): Option[Expression] = {
     val spark = SparkSession.active
     val maxKeys = conf.getConfString(MaxKeysKey, "4096").toInt
@@ -295,7 +468,7 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
         // stage 1: three scalars per key column, one job
         import org.apache.spark.sql.catalyst.expressions.aggregate.Count
         val agg = Aggregate(Nil,
-          pairs.zipWithIndex.flatMap { case ((_, e, _), i) => Seq(
+          pairs.zipWithIndex.flatMap { case ((_, e, _, _), i) => Seq(
             Alias(Min(e).toAggregateExpression(), s"__graft_pmn_$i")(),
             Alias(Max(e).toAggregateExpression(), s"__graft_pmx_$i")()) } :+
             Alias(Count(pairs.map(_._2))
@@ -305,20 +478,14 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
         val ndv = r.getLong(2 * pairs.length)
         // no non-null key tuple: the equality join matches nothing
         if (ndv == 0L) return Some(Literal.FalseLiteral)
-        if (ndv > maxBloomKeys) {
-          // membership is out of reach — the stage-1 extremes ARE the seed
-          val ranges = pairs.zipWithIndex.map { case ((a, buildKey, _), i) =>
-            if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) Literal.TrueLiteral
-            else And(
-              GreaterThanOrEqual(a, Literal.create(r.get(2 * i), buildKey.dataType)),
-              LessThanOrEqual(a, Literal.create(r.get(2 * i + 1), buildKey.dataType)))
-          }.filterNot(_ == Literal.TrueLiteral)
-          return if (ranges.isEmpty) None else Some(ranges.reduce(And))
-        }
+        if (ndv > maxBloomKeys)
+          // membership-by-value is out of reach — refine per zone REGION
+          // and seed a compact Bloom instead of collecting any key
+          return overCapSeed(spark, pairs, build, r, ndv)
         // else: NDV admits a membership seed — fall through to the
         // capped distinct collect, which is now provably bounded
       }
-      val proj = Project(pairs.zipWithIndex.map { case ((_, e, _), i) =>
+      val proj = Project(pairs.zipWithIndex.map { case ((_, e, _, _), i) =>
         Alias(e, s"__graft_rtk_$i")() }, build)
       val df = bridge.ofRows(spark, proj).distinct().limit(maxBloomKeys + 1)
       val rows = df.collect()
@@ -333,7 +500,7 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
         else if (rows.length <= maxBloomKeys) pairs.map(_._3)
         else pairs.map(_ => false)
       val memberPreds: Seq[Option[Expression]] =
-        pairs.zipWithIndex.map { case ((a, buildKey, _), i) =>
+        pairs.zipWithIndex.map { case ((a, buildKey, _, _), i) =>
           if (!inBacked(i)) None
           else {
             val vals = rows.iterator.filterNot(_.isNullAt(i))
@@ -352,13 +519,13 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
           // form prunes clustered probes at any build size
           val rangePairs = pairs.zipWithIndex.filter(p => memberPreds(p._2).isEmpty)
           val agg = Aggregate(Nil, rangePairs.flatMap {
-            case ((_, e, _), i) => Seq(
+            case ((_, e, _, _), i) => Seq(
               Alias(Min(e).toAggregateExpression(), s"__graft_mn_$i")(),
               Alias(Max(e).toAggregateExpression(), s"__graft_mx_$i")())
           }, build)
           val r = bridge.ofRows(spark, agg).collect().head
           val ranges = rangePairs.zipWithIndex.map {
-            case (((a, buildKey, _), _), ri) =>
+            case (((a, buildKey, _, _), _), ri) =>
               if (r.isNullAt(2 * ri) || r.isNullAt(2 * ri + 1))
                 Literal.TrueLiteral
               else And(
@@ -374,7 +541,9 @@ object GraftRuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
     } catch {
       // an unevaluable build side (analysis barrier, exotic expression)
       // must never fail the QUERY — the rule is an optimization only
-      case scala.util.control.NonFatal(_) => None
+      case scala.util.control.NonFatal(e) =>
+        if (sys.env.contains("GRAFT_RTF_DEBUG")) e.printStackTrace()
+        None
     } finally inCollect.set(false)
   }
 }

@@ -205,6 +205,15 @@ class GraftSqlParser(session: SparkSession,
     else registered(session.sessionState.catalogManager.currentCatalog.name())
   }
 
+  /** True when the DEFAULT catalog is overridden by graft's delegating
+    * session catalog (`spark.sql.catalog.spark_catalog =
+    * graft.sources.GraftSessionCatalog`) — unqualified graft tables then
+    * resolve natively through v2, and shims that only exist to cover v1
+    * resolution gaps (time travel) stand down for catalog tables. */
+  private def sessionOverrideActive: Boolean =
+    session.conf.getOption("spark.sql.catalog.spark_catalog")
+      .exists(_.endsWith("GraftSessionCatalog"))
+
   /** `INSERT INTO t REPLACE WHERE cond query` (Delta's replaceWhere,
     * Spark's own v2 grammar — it parses for every table but only
     * executes against DSv2): over a graft target it lowers to
@@ -320,8 +329,15 @@ class GraftSqlParser(session: SparkSession,
     plan.transformUp {
       case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver)
           // a v2-catalog name resolves time travel NATIVELY through the
-          // catalog's versioned loadTable — leave its node untouched
-          if !v2Managed(u.multipartIdentifier) =>
+          // catalog's versioned loadTable — leave its node untouched.
+          // With the SESSION-catalog override installed, unqualified
+          // catalog tables resolve natively too ([[graft.sources
+          // .GraftSessionCatalog]]'s versioned overloads); only temp
+          // views over graft paths keep this shim, since v2 time travel
+          // cannot cover a view
+          if !v2Managed(u.multipartIdentifier) &&
+            !(sessionOverrideActive &&
+              !session.sessionState.catalog.isTempView(u.multipartIdentifier)) =>
         graftPathOf(u.multipartIdentifier) match {
           case Some(path) =>
             val version = ver match {

@@ -34,7 +34,8 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 object GraftV2FallbackRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
-      val rel = r.table.asInstanceOf[GraftTable].relation
+      val table = r.table.asInstanceOf[GraftTable]
+      val rel = table.relation
       // schema drift between load and rewrite is impossible (the table
       // pins its relation), but a mismatch here would mis-type every
       // downstream reference — fail loudly rather than mis-plan
@@ -43,6 +44,13 @@ object GraftV2FallbackRule extends Rule[LogicalPlan] {
           f.name == a.name && f.dataType == a.dataType },
         s"graft catalog: relation schema ${rel.schema.simpleString} does not " +
           s"match resolved output ${r.output.map(_.name).mkString(",")}")
-      LogicalRelation(rel, r.output, None, isStreaming = false, stream = None)
+      // the synthesized v1 CatalogTable travels on the relation: API
+      // surfaces that walk analyzed plans expect catalog-resolved reads
+      // to carry one — `spark.catalog.refreshTable` dereferences it
+      // unconditionally (`r.catalogTable.get`), and a streaming
+      // `toTable` refreshes its target after EVERY micro-batch, so a
+      // bare None here killed the first batch of any catalog-named sink
+      LogicalRelation(rel, r.output, Some(table.v1Table),
+        isStreaming = false, stream = None)
   }
 }

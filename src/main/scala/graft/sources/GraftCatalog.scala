@@ -337,42 +337,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (ManifestTable.currentVersion(spark, path).isEmpty)
       throw new NoSuchTableException(
         (catalogName +: ident.namespace().toSeq) :+ ident.name())
-    changes.foreach {
-      case a: TableChange.AddColumn =>
-        require(a.fieldNames().length == 1,
-          "graft catalog: nested ADD COLUMN rides ManifestTable.addNestedField")
-        // `ADD COLUMN c T DEFAULT <sql>` carries the manifest's column
-        // default (old files read the literal) — dropping it silently
-        // would change every pre-add row, so an SQL-less default refuses
-        val defaults = Option(a.defaultValue()) match {
-          case None => Map.empty[String, String]
-          case Some(d) =>
-            val sql = d.getSql
-            require(sql != null && sql.nonEmpty,
-              "graft catalog: ADD COLUMN DEFAULT without a SQL form")
-            Map(a.fieldNames().head -> sql)
-        }
-        ManifestTable.addColumns(spark, path, Seq(
-          org.apache.spark.sql.types.StructField(
-            a.fieldNames().head, a.dataType(), a.isNullable)),
-          defaults): Unit
-      case r: TableChange.RenameColumn =>
-        require(r.fieldNames().length == 1,
-          "graft catalog: nested RENAME COLUMN is not supported")
-        ManifestTable.renameColumn(spark, path, r.fieldNames().head, r.newName()): Unit
-      case d: TableChange.DeleteColumn =>
-        require(d.fieldNames().length == 1,
-          "graft catalog: nested DROP COLUMN is not supported")
-        ManifestTable.dropColumn(spark, path, d.fieldNames().head): Unit
-      case s: TableChange.SetProperty =>
-        // the same versioned-property channel as SET TBLPROPERTIES —
-        // graft.generated.* rejection included
-        ManifestTable.setProperties(spark, path, Map(s.property() -> s.value())): Unit
-      case rm: TableChange.RemoveProperty =>
-        ManifestTable.unsetProperties(spark, path, Seq(rm.property())): Unit
-      case other => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported table change $other")
-    }
+    GraftCatalog.applyChanges(spark, path, changes)
     loadTable(ident)
   }
 
@@ -458,6 +423,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
       fs.delete(dir, true)
     }
+  }
+}
+
+private[sources] object GraftCatalog {
+
+  /** Route v2 `TableChange`s onto the manifest's metadata-only evolution
+    * commits — shared by the standalone catalog and the session-catalog
+    * override ([[GraftSessionCatalog]]). */
+  def applyChanges(spark: SparkSession, path: String,
+                   changes: Seq[TableChange]): Unit = changes.foreach {
+    case a: TableChange.AddColumn =>
+      require(a.fieldNames().length == 1,
+        "graft catalog: nested ADD COLUMN rides ManifestTable.addNestedField")
+      // `ADD COLUMN c T DEFAULT <sql>` carries the manifest's column
+      // default (old files read the literal) — dropping it silently
+      // would change every pre-add row, so an SQL-less default refuses
+      val defaults = Option(a.defaultValue()) match {
+        case None => Map.empty[String, String]
+        case Some(d) =>
+          val sql = d.getSql
+          require(sql != null && sql.nonEmpty,
+            "graft catalog: ADD COLUMN DEFAULT without a SQL form")
+          Map(a.fieldNames().head -> sql)
+      }
+      ManifestTable.addColumns(spark, path, Seq(
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames().head, a.dataType(), a.isNullable)),
+        defaults): Unit
+    case r: TableChange.RenameColumn =>
+      require(r.fieldNames().length == 1,
+        "graft catalog: nested RENAME COLUMN is not supported")
+      ManifestTable.renameColumn(spark, path, r.fieldNames().head, r.newName()): Unit
+    case d: TableChange.DeleteColumn =>
+      require(d.fieldNames().length == 1,
+        "graft catalog: nested DROP COLUMN is not supported")
+      ManifestTable.dropColumn(spark, path, d.fieldNames().head): Unit
+    case s: TableChange.SetProperty =>
+      // the same versioned-property channel as SET TBLPROPERTIES —
+      // graft.generated.* rejection included
+      ManifestTable.setProperties(spark, path, Map(s.property() -> s.value())): Unit
+    case rm: TableChange.RemoveProperty =>
+      ManifestTable.unsetProperties(spark, path, Seq(rm.property())): Unit
+    case other => throw new UnsupportedOperationException(
+      s"graft catalog: unsupported table change $other")
   }
 }
 

@@ -1185,10 +1185,62 @@ class GraftRelation(ctx: SQLContext, path: String, version: Option[Long])
   private[graft] def generatedColumns: Seq[(String, String)] =
     ManifestTable.generatedOf(manifest)
 
+  /** OR-of-ranges decomposition for interval-SET file pruning: a
+    * top-level `Or` tree whose every branch bounds the SAME single
+    * column (the runtime filter's interval-refined seed shape — and any
+    * user predicate of that shape) yields that column's range set; a
+    * file then survives only if its zone interval intersects SOME
+    * range. Branches that are not pure single-column comparisons make
+    * the whole Or ineligible (conservative); strict bounds widen to
+    * inclusive — sound, like [[bounds]]. */
+  private def rangeSets(filters: Array[Filter])
+      : Map[String, Seq[(Option[Any], Option[Any])]] = {
+    def branch(f: Filter): Option[(String, (Option[Any], Option[Any]))] = f match {
+      case And(l, r) =>
+        for {
+          (cl, (llo, lhi)) <- branch(l)
+          (cr, (rlo, rhi)) <- branch(r)
+          if cl == cr
+        } yield (cl, (llo.orElse(rlo), lhi.orElse(rhi)))
+      case EqualTo(a, v) if v != null => Some((a, (Some(v), Some(v))))
+      case GreaterThan(a, v) if v != null => Some((a, (Some(v), None)))
+      case GreaterThanOrEqual(a, v) if v != null => Some((a, (Some(v), None)))
+      case LessThan(a, v) if v != null => Some((a, (None, Some(v))))
+      case LessThanOrEqual(a, v) if v != null => Some((a, (None, Some(v))))
+      case _ => None
+    }
+    def flat(f: Filter): Seq[Filter] = f match {
+      case Or(l, r) => flat(l) ++ flat(r)
+      case x => Seq(x)
+    }
+    filters.collect { case o: Or =>
+      val branches = flat(o).map(branch)
+      if (branches.exists(_.isEmpty)) None
+      else {
+        val bs = branches.flatten
+        if (bs.map(_._1).distinct.length == 1)
+          Some(bs.head._1 -> bs.map(_._2))
+        else None
+      }
+    }.flatten
+      // several qualifying ORs on one column intersect; any single one
+      // prunes safely — keep the first
+      .groupBy(_._1).map { case (c, xs) => c -> xs.head._2 }
+  }
+
+  /** Merged zone intervals of a stats column (decoded, disjoint, sorted)
+    * — the runtime filter's interval-refinement tier hit-tests build
+    * keys against these. None = refinement must stand down. */
+  private[graft] def keyIntervals(logicalName: String,
+                                  maxRanges: Int): Option[Seq[(Any, Any)]] =
+    ManifestTable.mergedKeyIntervals(spark, path, manifest, logicalName,
+      maxRanges)
+
   private[sources] def innerScan(requiredColumns: Array[String],
                                  filters: Array[Filter]): DataFrame = {
     val rels = ManifestTable.prunedRels(spark, path, manifest,
-      bounds(filters), points(filters), nullPrunes(filters))
+      bounds(filters), points(filters), nullPrunes(filters),
+      rangeSets(filters))
     lastScanFileCount = rels.size
     val base = ManifestTable.readRels(spark, path, manifest, rels)
     val implied = manifest.transforms

@@ -1427,6 +1427,74 @@ object ManifestTable {
     * manifests) and the distributed sidecar filter — one source of truth
     * for skip semantics. `st = None` (no stats recorded) keeps the file.
     */
+  /** Interval-SET zone test (the runtime filter's interval-refined seed
+    * arrives as OR-of-ranges): the file survives a constrained column
+    * when its [min, max] intersects AT LEAST ONE of the ranges. Same
+    * conservative posture as [[keepByBoundsStats]]: missing stats keep,
+    * incomparable values keep, an all-null column cannot match any range
+    * (ranges never admit NULL — the decomposition only accepts non-null
+    * comparisons). */
+  private def keepByRangeSets(st: Option[FileStats], statsCols: Seq[String],
+      rangeSets: Map[String, Seq[(Option[Any], Option[Any])]]): Boolean =
+    rangeSets.forall { case (c, ranges) =>
+      if (!statsCols.contains(c) || ranges.isEmpty) true
+      else st.flatMap(_.get(c)) match {
+        case None => true // no stats recorded for this file → must scan
+        case Some((None, None)) => false // all-null column: no range match
+        case Some((mn, mx)) => ranges.exists { case (lo, hi) =>
+          hi.forall(h => mn.forall(e => statCompare(decodeStat(e), h).forall(_ <= 0))) &&
+            lo.forall(l => mx.forall(e => statCompare(decodeStat(e), l).forall(_ >= 0)))
+        }
+      }
+    }
+
+  /** The snapshot's per-file zone intervals for `col`, MERGED into
+    * disjoint sorted ranges of DECODED values — what the runtime
+    * filter's interval-refinement tier hit-tests build keys against.
+    * None (refinement must stand down, the global range stays sound)
+    * when: the column records no zones, any file's interval is missing
+    * or inexact (truncated string bounds), values do not totally order,
+    * or the merged count exceeds `maxRanges` (an unclustered snapshot —
+    * per-region refinement buys nothing a global range does not).
+    * All-null files drop: no non-null join key can match them. Cost:
+    * one pass over driver-resident stats (sidecar stats collect once,
+    * metadata-sized — the same trade [[prunedRels]] makes). */
+  private[graft] def mergedKeyIntervals(spark: SparkSession, path: String,
+      m: Manifest, col: String, maxRanges: Int): Option[Seq[(Any, Any)]] = {
+    if (!m.statsCols.contains(col)) return None
+    val stats = statsFor(spark, path, m)
+    val defEnc = defaultStatEncs(m)
+    val raw = Seq.newBuilder[(Any, Any)]
+    m.files.foreach { rel =>
+      stats.get(rel).map(adjustStatsForDefaults(_, defEnc))
+          .flatMap(_.get(col)) match {
+        case None => return None
+        case Some((None, None)) => ()
+        case Some((Some(mn), Some(mx))) =>
+          if (!statExact(mn) || !statExact(mx)) return None
+          raw += ((decodeStat(mn), decodeStat(mx)))
+        case Some(_) => return None
+      }
+    }
+    val ivs = raw.result()
+    if (ivs.isEmpty) return Some(Nil)
+    object Incomparable extends Exception with scala.util.control.NoStackTrace
+    def cmp(a: Any, b: Any): Int =
+      statCompare(a, b).getOrElse(throw Incomparable)
+    try {
+      val sorted = ivs.sortWith((x, y) => cmp(x._1, y._1) < 0)
+      val merged = scala.collection.mutable.ArrayBuffer[(Any, Any)](sorted.head)
+      sorted.tail.foreach { case (lo, hi) =>
+        val (mlo, mhi) = merged.last
+        if (cmp(lo, mhi) <= 0)
+          merged(merged.length - 1) =
+            (mlo, if (cmp(hi, mhi) > 0) hi else mhi)
+        else merged += ((lo, hi))
+      }
+      if (merged.length > maxRanges) None else Some(merged.toSeq)
+    } catch { case Incomparable => None }
+  }
+
   private def keepByBoundsStats(st: Option[FileStats], statsCols: Seq[String],
       bounds: Map[String, (Option[Any], Option[Any])]): Boolean =
     bounds.forall { case (c, (lo, hi)) =>
@@ -1594,7 +1662,9 @@ object ManifestTable {
   private[sources] def prunedRels(spark: SparkSession, path: String, m: Manifest,
                          bounds: Map[String, (Option[Any], Option[Any])],
                          points: Map[String, Seq[Any]],
-                         nulls: Map[String, Boolean] = Map.empty): Seq[String] = {
+                         nulls: Map[String, Boolean] = Map.empty,
+                         rangeSets: Map[String, Seq[(Option[Any], Option[Any])]] =
+                           Map.empty): Seq[String] = {
     val hashes: Map[String, Seq[Long]] = points.collect {
       case (c, vs) if m.bloomCols.contains(c) && vs.nonEmpty =>
         val dt = m.schema(c).dataType
@@ -1624,19 +1694,22 @@ object ManifestTable {
           keepByBoundsStats(st, m.statsCols, bounds) &&
             keepByPointsStats(st, hashes) &&
             keepByPointZones(st, zonePts) &&
-            keepByNullsStats(st, m.statsCols, nulls)
+            keepByNullsStats(st, m.statsCols, nulls) &&
+            keepByRangeSets(st, m.statsCols, rangeSets)
         }
       case Some(_) =>
         val statsCols = m.statsCols
         // serialize the small predicate state only
-        val (bs, hs, zs, ns, de) = (bounds, hashes, zonePts, nulls, defEnc)
+        val (bs, hs, zs, ns, de, rs) =
+          (bounds, hashes, zonePts, nulls, defEnc, rangeSets)
         val survivors = readSidecar(spark, path, m)
           .filter { r =>
             val st = Some(adjustStatsForDefaults(rowStats(r), de))
             keepByBoundsStats(st, statsCols, bs) &&
               keepByPointsStats(st, hs) &&
               keepByPointZones(st, zs) &&
-              keepByNullsStats(st, statsCols, ns)
+              keepByNullsStats(st, statsCols, ns) &&
+              keepByRangeSets(st, statsCols, rs)
           }
           .map(_.rel)(org.apache.spark.sql.Encoders.STRING)
           .collect().toSet
@@ -3315,6 +3388,14 @@ object ManifestTable {
     // both silently catastrophic, so the dispatch is automatic
     if (f.exists(new Path(root, "_delta_log")))
       return convertDelta(spark, path, statsCols, bloomCols)
+    // an ICEBERG table (metadata dir's *.metadata.json) converts by SNAPSHOT
+    // READ for the same reason: the walk would absorb files of
+    // non-current snapshots (compacted-away, rolled-back, orphaned) as
+    // live rows — silently catastrophic, so the dispatch is automatic
+    val iceMeta = new Path(root, "metadata")
+    if (f.exists(iceMeta) && f.listStatus(iceMeta)
+        .exists(_.getPath.getName.endsWith(".metadata.json")))
+      return convertIceberg(spark, path, statsCols, bloomCols)
     val dd = dataDir(path)
     val keep = Set("data", "_manifests", "_tmp", "_dv")
     // ---- validate FIRST, from the files' CURRENT positions: a CONVERT
@@ -3738,6 +3819,167 @@ object ManifestTable {
           s"$n positions, descriptor says $card")
       extRef(base, relOf(fname)) -> ((name, n))
     }.toMap
+  }
+
+  /** CONVERT an ICEBERG table's current snapshot into a graft table
+    * ZERO-COPY, in place — the other half of the existing-lake migration
+    * story beside [[convertDelta]]: resolve the current
+    * `metadata dir's *.metadata.json` (via `version-hint.text` when the Hadoop
+    * catalog wrote one, else the highest-numbered file), read the
+    * current snapshot's Avro manifest list + manifests
+    * ([[IcebergMeta]]), take the live file set (entry status
+    * existing/added; deleted entries excluded), and commit it as graft
+    * version 1 of `ext::` refs at the files in place. The Iceberg
+    * metadata is untouched: its readers keep the frozen snapshot while
+    * graft writes land in graft's own `data/` and OPTIMIZE gradually
+    * self-contains the refs — the standard clone lifecycle.
+    *
+    * What cannot carry soundly refuses LOUDLY, never silently wrong:
+    *  - DELETE manifests (v2 positional/equality deletes): raw refs
+    *    would resurrect deleted rows — compact in Iceberg first;
+    *  - non-IDENTITY partition transforms, and identity layouts that
+    *    are not pure hive `k=v` directories under the table root
+    *    (partition values must re-derive from the paths graft reads);
+    *  - non-parquet file formats, files outside the table root,
+    *    unsupported types (uuid, time), format versions beyond v2.
+    *
+    * Scale shape: manifest lists/manifests are METADATA-sized and
+    * Iceberg's own planning reads them centrally — the driver-side
+    * parse here has the same bound; stats collection is the standard
+    * distributed pass. */
+  def convertIceberg(spark: SparkSession, path: String,
+                     statsCols: Seq[String] = Nil,
+                     bloomCols: Seq[String] = Nil): Long = {
+    import scala.jdk.CollectionConverters._
+    val f = fs(spark, path)
+    val root = new Path(path)
+    val metaDir = new Path(root, "metadata")
+    require(f.exists(metaDir),
+      s"CONVERT FROM ICEBERG: no metadata/ under $path")
+    require(currentVersion(spark, path).isEmpty,
+      s"CONVERT: $path is already a graft table")
+    def readText(p: Path): String = {
+      val in = f.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+        new String(out.toByteArray, "UTF-8")
+      } finally in.close()
+    }
+    val hint = new Path(metaDir, "version-hint.text")
+    val metaFile: Path =
+      if (f.exists(hint)) {
+        val v = readText(hint).trim
+        val p = new Path(metaDir, s"v$v.metadata.json")
+        require(f.exists(p),
+          s"CONVERT FROM ICEBERG: version-hint.text names $v but " +
+            s"${p.getName} is missing")
+        p
+      } else {
+        // no hint (non-Hadoop catalogs): the highest-numbered metadata
+        // file — `v<N>.metadata.json` or `<N>-<uuid>.metadata.json`
+        val cands = f.listStatus(metaDir).map(_.getPath.getName)
+          .filter(_.endsWith(".metadata.json"))
+        require(cands.nonEmpty,
+          s"CONVERT FROM ICEBERG: no *.metadata.json under $metaDir")
+        def ord(n: String): Long = {
+          val base = n.stripSuffix(".metadata.json")
+          val digits = (if (base.startsWith("v")) base.drop(1) else base)
+            .takeWhile(_.isDigit)
+          require(digits.nonEmpty,
+            s"CONVERT FROM ICEBERG: unrecognized metadata file name '$n'")
+          digits.toLong
+        }
+        new Path(metaDir, cands.maxBy(ord))
+      }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(readText(metaFile))
+    val fv = node.get("format-version").asInt()
+    require(fv == 1 || fv == 2,
+      s"CONVERT FROM ICEBERG: format-version $fv is not supported (v1/v2)")
+    val snapId = Option(node.get("current-snapshot-id"))
+      .filterNot(_.isNull).map(_.asLong()).getOrElse(-1L)
+    require(snapId != -1L,
+      "CONVERT FROM ICEBERG: the table has no current snapshot")
+    val snap = Option(node.get("snapshots"))
+      .map(_.elements().asScala.toSeq).getOrElse(Nil)
+      .find(s => s.get("snapshot-id").asLong() == snapId)
+      .getOrElse(sys.error(
+        s"CONVERT FROM ICEBERG: current snapshot $snapId is not in snapshots"))
+    val schemaNode =
+      if (node.has("schemas")) {
+        val cur = node.get("current-schema-id").asInt()
+        node.get("schemas").elements().asScala
+          .find(s => s.get("schema-id").asInt() == cur)
+          .getOrElse(sys.error(
+            s"CONVERT FROM ICEBERG: current-schema-id $cur is not in schemas"))
+      } else node.get("schema")
+    val schema = IcebergMeta.toSparkType(schemaNode).asInstanceOf[StructType]
+    val specFields =
+      if (node.has("partition-specs")) {
+        val cur = node.get("default-spec-id").asInt()
+        node.get("partition-specs").elements().asScala
+          .find(s => s.get("spec-id").asInt() == cur)
+          .getOrElse(sys.error(
+            s"CONVERT FROM ICEBERG: default-spec-id $cur is not in partition-specs"))
+          .get("fields").elements().asScala.toSeq
+      } else Option(node.get("partition-spec"))
+        .map(_.elements().asScala.toSeq).getOrElse(Nil)
+    val partCols = specFields.map { sf =>
+      val tr = sf.get("transform").asText()
+      require(tr == "identity",
+        s"CONVERT FROM ICEBERG: partition transform '$tr' does not " +
+          "convert — only identity-partitioned snapshots reference in " +
+          "place (hidden-partition values live in manifests, not paths)")
+      sf.get("name").asText()
+    }
+    val refs =
+      if (snap.has("manifest-list") && !snap.get("manifest-list").isNull)
+        IcebergMeta.readManifestList(spark,
+          new Path(snap.get("manifest-list").asText()))
+      else Option(snap.get("manifests"))
+        .map(_.elements().asScala.map(m =>
+          IcebergMeta.ManifestRef(m.asText(), 0)).toSeq)
+        .getOrElse(sys.error(
+          "CONVERT FROM ICEBERG: the snapshot carries neither a " +
+            "manifest-list nor a manifests array"))
+    refs.foreach(r => require(r.content == 0,
+      "CONVERT FROM ICEBERG: the snapshot carries DELETE manifests " +
+        "(v2 row-level deletes) — referencing the data files raw would " +
+        "resurrect deleted rows; compact/rewrite in Iceberg first"))
+    val entries = refs.flatMap(r =>
+        IcebergMeta.readManifest(spark, new Path(r.path)))
+      .filter(_.status != 2) // DELETED entries left the snapshot
+    require(entries.nonEmpty,
+      "CONVERT FROM ICEBERG: the snapshot has no live files")
+    val baseUriPath = f.makeQualified(root).toUri.getPath
+    val rels = entries.map { e =>
+      require(e.content == 0,
+        s"CONVERT FROM ICEBERG: '${e.path}' is not a data file (content=${e.content})")
+      require(e.format != null && e.format.equalsIgnoreCase("parquet"),
+        s"CONVERT FROM ICEBERG: file format '${e.format}' does not " +
+          "convert (parquet only)")
+      val p = new Path(e.path).toUri.getPath
+      require(p.startsWith(baseUriPath + "/"),
+        s"CONVERT FROM ICEBERG: data file '$p' sits outside the table " +
+          "root — external-location files do not convert zero-copy")
+      p.stripPrefix(baseUriPath).stripPrefix("/")
+    }.distinct.sorted
+    if (partCols.nonEmpty)
+      rels.foreach(r => require(pathSpec(r) == partCols,
+        s"CONVERT FROM ICEBERG: file '$r' does not sit under the pure " +
+          s"hive layout ${partCols.mkString("/")} — partition values must " +
+          "re-derive from the directories graft reads"))
+    else
+      rels.foreach(r => require(r.split("/").dropRight(1).forall(!_.contains('=')),
+        s"CONVERT FROM ICEBERG: unpartitioned snapshot holds a k=v " +
+          s"directory in '$r' — the layout would infer phantom partitions"))
+    val base = f.makeQualified(root).toString
+    val extRels = rels.map(r => extRef(base, r))
+    val stats = collectStats(spark, path, extRels, schema, partCols,
+      statsCols, bloomCols)
+    commit(spark, path, 1L, schema, partCols, extRels, statsCols, stats,
+      bloomCols)
   }
 
   /** SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE src` re-derived):

@@ -21,6 +21,16 @@ object bridge {
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** The `CatalogTable` under the session catalog's v1 wrapper
+    * (`V1Table` is `private[sql]`); None for any other table. The
+    * delegating session catalog uses this to recognize graft-provider
+    * entries it must serve natively. */
+  def v1CatalogTable(t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] = t match {
+    case v1: org.apache.spark.sql.connector.catalog.V1Table => Some(v1.v1Table)
+    case _ => None
+  }
+
   /** Materialize an analyzed LogicalPlan as a DataFrame (the command side
     * of a lowered DML statement needs to run its source plan;
     * `Dataset.ofRows` is `private[sql]`).

@@ -302,6 +302,79 @@ class GraftRuntimeFilterSpec extends SparkSpec {
     } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("past ALL caps (r18): interval refinement opens only the build's key regions; the compact Bloom rides as a row-level cut — zero key collect") {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val fact = mkFact("overcap")
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW rtf_facto USING graft OPTIONS (path '$fact')")
+    // a big build whose ~34k distinct keys (> maxBloomKeys 32768) live in
+    // TWO far-apart clusters of the fact's id space: the global range
+    // seed would span (and open) almost everything, the interval-refined
+    // seed opens only the two touched regions
+    val twoPath = Files.createTempDirectory("rtf_overcap").toString + "/t"
+    // 40000 distinct keys (> maxBloomKeys 32768) in bands [0, 20000) and
+    // [60000, 80000) — the fact's first and seventh file regions
+    ManifestTable.overwrite(s, twoPath, s.range(200000).select(
+      when(col("id") % 40000 < 20000, col("id") % 40000)
+        .otherwise(col("id") % 40000 + 40000).as("k"),
+      col("id").as("payload")))
+    s.sql(s"CREATE OR REPLACE TEMPORARY VIEW rtf_twoband USING graft OPTIONS (path '$twoPath')")
+    def q = s.sql(
+      "SELECT f.id, f.v FROM rtf_facto f JOIN rtf_twoband d ON f.id = d.k")
+    def hasBloomSeed(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.exists {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.exists(_.isInstanceOf[BloomFilterMightContain])
+        case _ => false
+      }
+    def hasOrRangeSeed(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.exists {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.exists {
+            case org.apache.spark.sql.catalyst.expressions.Or(_, _) => true
+            case _ => false
+          }
+        case _ => false
+      }
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try {
+      val expected = withRule(on = false)(q.count())
+      withRule(on = true) {
+        val df = q
+        assert(hasOrRangeSeed(df),
+          "the interval-refined seed must be an OR of region ranges")
+        assert(hasBloomSeed(df),
+          "the compact Bloom must ride as a row-level membership probe")
+        assert(!hasKeySeed(df), "no key list may be collected past the caps")
+        assert(df.count() === expected, "seeded results must be identical")
+        val files = relOf(df).lastScanFileCount
+        assert(files <= 6,
+          s"two key regions must not open the whole 8-file span, got $files")
+        // the fixpoint guard recognizes its own seed — no STACKING: no
+        // single Filter carries two bloom probes for one attribute
+        // (InferFiltersFromConstraints may legitimately mirror the seed
+        // across the equi-join, so the per-plan total can exceed one)
+        val perFilter = df.queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.collect { case b: BloomFilterMightContain => b }.size
+        }
+        assert(perFilter.forall(_ <= 1),
+          s"a re-fired rule would stack blooms in one Filter: $perFilter")
+        // kill switch: no bloom, interval refinement alone still seeds
+        s.conf.set("spark.graft.runtimeFilter.bloomSeed.enabled", "false")
+        try {
+          val noBloom = q
+          assert(!hasBloomSeed(noBloom) && hasOrRangeSeed(noBloom))
+          assert(noBloom.count() === expected)
+        } finally s.conf.unset("spark.graft.runtimeFilter.bloomSeed.enabled")
+        // maxSeedRanges=1 forces the refinement to stand down (everything
+        // merges past the cap) — the global range still seeds, results hold
+        s.conf.set("spark.graft.runtimeFilter.maxSeedRanges", "1")
+        try assert(q.count() === expected)
+        finally s.conf.unset("spark.graft.runtimeFilter.maxSeedRanges")
+      }
+    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("non-deterministic builds stand down; results stay correct under DVs and eq-deletes") {
     val fact = mkFact("dv", n = 20000, files = 4)
     s.sql(s"CREATE OR REPLACE TEMPORARY VIEW rtf_fact5 USING graft OPTIONS (path '$fact')")
