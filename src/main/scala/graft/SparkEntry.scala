@@ -2016,8 +2016,16 @@ object SparkEntry {
       val cols = graft.sources.ManifestTable.read(s, root).columns.toSeq
       require(cols == Seq("l_orderkey", "l_quantity"),
         s"conversion must surface logical names, got $cols")
-      val zones = graft.sources.ManifestTable.filesMeta(s, root)
-        .select(col("zones")).collect().map(_.getString(0))
+      // at sf0.1 the filtered write leaves Spark's task-0 EMPTY file in the
+      // log (a real Delta-lake shape): it must read back as an explicit
+      // rows=0 entry (plan-time skippable), while every ROW-CARRYING file
+      // keys its zone map by the physical column
+      val fmeta = graft.sources.ManifestTable.filesMeta(s, root)
+        .select(col("n_rows"), col("zones")).collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1)))
+      require(fmeta.forall(_._1 >= 0L),
+        s"every converted file must carry a row count, got ${fmeta.toSeq}")
+      val zones = fmeta.filter(_._1 > 0L).map(_._2)
       require(zones.nonEmpty && zones.forall(_.contains("col-ok1=")),
         s"zone maps must key the physical column, got ${zones.take(2).toSeq}")
       s.sql("DROP TABLE IF EXISTS q_dconv_cm_t")

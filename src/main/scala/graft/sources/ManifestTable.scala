@@ -1691,7 +1691,8 @@ object ManifestTable {
       case None =>
         m.files.filter { rel =>
           val st = m.stats.get(rel).map(adjustStatsForDefaults(_, defEnc))
-          keepByBoundsStats(st, m.statsCols, bounds) &&
+          keepByRowCount(st) &&
+            keepByBoundsStats(st, m.statsCols, bounds) &&
             keepByPointsStats(st, hashes) &&
             keepByPointZones(st, zonePts) &&
             keepByNullsStats(st, m.statsCols, nulls) &&
@@ -1705,7 +1706,8 @@ object ManifestTable {
         val survivors = readSidecar(spark, path, m)
           .filter { r =>
             val st = Some(adjustStatsForDefaults(rowStats(r), de))
-            keepByBoundsStats(st, statsCols, bs) &&
+            keepByRowCount(st) &&
+              keepByBoundsStats(st, statsCols, bs) &&
               keepByPointsStats(st, hs) &&
               keepByPointZones(st, zs) &&
               keepByNullsStats(st, statsCols, ns) &&
@@ -1719,6 +1721,14 @@ object ManifestTable {
         m.files.filter(survivors)
     }
   }
+
+  /** A file whose recorded row count is ZERO contributes nothing to any
+    * read — skip it unconditionally (empty files enter tables via Spark's
+    * task-0 empty-partition writes and via converted Delta/Iceberg adds).
+    * Conservative keep when the count is absent or the file has no stats.
+    */
+  private def keepByRowCount(st: Option[FileStats]): Boolean =
+    !st.exists(isZeroRowEntry)
 
   /** Zone-point candidate bound: above this many candidates on one
     * column, [[prunedRels]] skips the per-value zone test (cost
@@ -1749,6 +1759,13 @@ object ManifestTable {
     * `statsCols`, which cannot contain it).
     */
   private val RowsKey = "_rows"
+
+  /** True iff the entry records an explicit ZERO row count ([[collectStats]]
+    * synthesizes one for files the stats scan saw no rows from). Zero-row
+    * files contribute nothing: pruning skips them, the metadata folds
+    * ignore them, rewrites drop them from the commit. */
+  private def isZeroRowEntry(st: FileStats): Boolean =
+    st.get(RowsKey).flatMap(_._1).exists(e => decodeStat(e).toString == "0")
 
   // -------------------------------------------------- stats sidecar (scale)
 
@@ -1853,7 +1870,7 @@ object ManifestTable {
     // suffix test can never misattribute stats between overlapping names.
     val byResolved: Map[String, String] = rels.map(rel =>
       f0.makeQualified(filePath(path, rel)).toUri.getPath -> rel).toMap
-    rows.map { r =>
+    val scanned = rows.map { r =>
       val p = try new java.net.URI(r.getString(0)).getPath
               catch { case _: java.net.URISyntaxException => r.getString(0) }
       val rel = byResolved.getOrElse(p, sys.error(
@@ -1887,6 +1904,18 @@ object ManifestTable {
         c -> enc
       }.toMap ++ blooms ++ ndvs ++ nulls + (RowsKey -> ((nrows, nrows))))
     }.toMap
+    // a ZERO-ROW file yields no input_file_name group, so the scan above
+    // cannot emit its entry — synthesize rows=0 (+ zero null counts) for
+    // every committed file the scan saw no rows from. The scan read every
+    // listed file with no predicate, so absence ⇔ empty; recording it
+    // makes metadata COUNT folds exact on tables carrying empty files and
+    // lets [[prunedRels]] skip them at plan time (converted Delta/Iceberg
+    // lakes routinely carry task-0 empty files).
+    val zeroRows = Some(encodeStat(0L))
+    val emptyEntry: FileStats =
+      statsCols.map(c => (NullsPrefix + c) -> ((zeroRows, zeroRows))).toMap +
+        (RowsKey -> ((zeroRows, zeroRows)))
+    scanned ++ rels.filterNot(scanned.contains).map(_ -> emptyEntry)
   }
 
   // --------------------------------------------------- NDV sketches (CBO)
@@ -2831,8 +2860,12 @@ object ManifestTable {
     // zero data IO) — still strictly cheaper than the scan it replaces
     val stats = statsFor(spark, path, m)
     val defEnc = defaultStatEncs(m)
-    val perFile = m.files.map(rel => stats.get(rel)
-      .map(adjustStatsForDefaults(_, defEnc)).flatMap(_.get(colName)))
+    // zero-row files (explicit rows=0 entries) have no extremes to offer
+    // and must not read as "statless" — skip them in the fold
+    val perFile = m.files
+      .filterNot(rel => stats.get(rel).exists(isZeroRowEntry))
+      .map(rel => stats.get(rel)
+        .map(adjustStatsForDefaults(_, defEnc)).flatMap(_.get(colName)))
     if (perFile.exists(_.isEmpty)) return None // statless file: must scan
     // truncated string BOUNDS (P:/Q: tags) or a one-sided entry (upper
     // bound unrepresentable) are sound for PRUNING but are not the exact
@@ -2904,6 +2937,9 @@ object ManifestTable {
         .map(e => decodeStat(e).asInstanceOf[Long]).getOrElse(return None)
       val (n0, mm) = groups.getOrElseUpdate(key,
         (0L, scala.collection.mutable.Map[String, (Any, Any)]()))
+      // zero-row files contribute no rows and no extremes — and must not
+      // poison the group's min/max as "rows with no recorded range"
+      if (n > 0)
       m.statsCols.foreach { c =>
         fileStats.get(c) match {
           case Some((Some(mnE), Some(mxE)))
@@ -7038,12 +7074,12 @@ object ManifestTable {
       m.colmap)
     val newStats = collectStats(spark, path, written, m.schema,
       m.partitionCols, m.statsCols, m.bloomCols)
-    // a fully-drained rewrite can emit a ROW-LESS parquet file; committing
-    // it would poison fastCount/fastMinMax (no stats row = "must scan").
-    // On stats tables the stats pass identifies them for free — drop them
-    // from the commit and let vacuum sweep the orphaned bytes.
+    // a fully-drained rewrite can emit a ROW-LESS parquet file; the stats
+    // pass records it as an explicit rows=0 entry — drop it from the
+    // commit and let vacuum sweep the orphaned bytes.
     val newFiles = if (m.statsCols.nonEmpty || m.bloomCols.nonEmpty)
-                     written.filter(newStats.contains)
+                     written.filterNot(rel =>
+                       newStats.get(rel).exists(isZeroRowEntry))
                    else written
     // identity tables self-sync the watermark past everything the rewrite
     // wrote (REPLACE WHERE mints fresh ids; delete/update rewrites carry

@@ -175,8 +175,10 @@ class ManifestTableSpec extends SparkSpec {
     ManifestTable.overwrite(spark, flat, scattered.limit(0), statsCols = Seq("id"))
     ManifestTable.append(spark, flat, scattered)
     val (keptFlat, totalFlat) = ManifestTable.prunedFiles(spark, flat, "id", 100L, 150L)
-    assert(totalFlat >= 8 && keptFlat.size === totalFlat,
-      s"unclustered ingest cannot prune: ${keptFlat.size}/$totalFlat")
+    // the limit(0) bootstrap file prunes as an explicit rows=0 entry; every
+    // ROW-CARRYING file spans the full id range, so none of those prune
+    assert(totalFlat >= 9 && keptFlat.size === totalFlat - 1,
+      s"unclustered ingest cannot prune data files: ${keptFlat.size}/$totalFlat")
 
     // range distribution + sort order: each file is a narrow contiguous band
     val clustered = tmpTable()
@@ -250,6 +252,25 @@ class ManifestTableSpec extends SparkSpec {
     assert(notNull.count() === 15)
     // sanity: an unconstrained scan reads all three
     assert(rel.innerScan(Array("id"), Array.empty).inputFiles.length === 3)
+  }
+
+  test("zero-row files: stats record rows=0 and reads skip them at plan time") {
+    val path = tmpTable()
+    val full = (0 until 50).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    ManifestTable.overwrite(spark, path, full.coalesce(1), statsCols = Seq("v"))
+    // an empty batch writes Spark's task-0 zero-row parquet file — the same
+    // shape converted Delta/Iceberg logs carry; it must commit with an
+    // explicit rows=0 stats entry, not a missing one
+    ManifestTable.append(spark, path, full.filter(col("id") < 0).coalesce(1))
+    val fm = ManifestTable.filesMeta(spark, path).select("n_rows")
+      .as[Long].collect().sorted
+    assert(fm === Array(0L, 50L),
+      "the empty file must carry an explicit rows=0 entry")
+    val rel = new GraftRelation(spark.sqlContext, path, None)
+    assert(rel.innerScan(Array("id"), Array.empty).inputFiles.length === 1,
+      "a zero-row file must be skipped at plan time")
+    assert(ManifestTable.read(spark, path).count() === 50)
+    assert(ManifestTable.read(spark, path).filter(col("v") >= 25).count() === 25)
   }
 
   test("graft.write.distribution=zorder: fresh ingest prunes on BOTH curve dimensions") {
