@@ -870,11 +870,16 @@ object SparkEntry {
     // parts.
     "q_curate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val quality = TrainingData.repetitionStats(docs, "doc_id", "text")
+      // the quality and token-count passes are CPU-bound per-doc scans;
+      // Spread (no-op at scale) keeps them off one core when the input
+      // is a single unsplittable file. Per-doc outputs are row-local, so
+      // results are partitioning-independent (oracle re-proven).
+      val spreadDocs = graft.operators.Spread(docs, col("doc_id"))
+      val quality = TrainingData.repetitionStats(spreadDocs, "doc_id", "text")
         .select(col("doc_id"), col("gopher_ok"))
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
         n = 3, threshold = 0.7, maxShingleDf = 64)
-      docs.select(col("doc_id"), col("lang"),
+      spreadDocs.select(col("doc_id"), col("lang"),
           size(TextFunctions.tokens(col("text"))).cast("long").as("n_toks"))
         .join(quality, Seq("doc_id"))
         .join(Dedup.clusters(pairs).select(col("doc_id"), col("keep")),

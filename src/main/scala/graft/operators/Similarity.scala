@@ -32,7 +32,8 @@ object Similarity {
     * deterministically (cos desc, n_id asc).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+    val c = Spread(corpus.select(col("vec_id").as("n_id"), col("embedding").as("nv")),
+      col("n_id"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .withColumn("cos", cosineSim(col("qv"), col("nv")))
@@ -422,21 +423,21 @@ object Similarity {
                        cellRestrict: Option[(DataFrame, DataFrame)]): DataFrame = {
     require(nSub >= 1 && nCodes >= 2 && candidates >= k,
       s"bad PQ config nSub=$nSub nCodes=$nCodes candidates=$candidates k=$k")
-    val base = corpus.select(col("vec_id"), col("embedding"))
+    val base = Spread(corpus.select(col("vec_id"), col("embedding")), col("vec_id"))
     def subSplit(df: DataFrame, vecCol: String): DataFrame =
       df.select(col(df.columns.head), explode(expr(
         s"transform(sequence(0, ${nSub - 1}), m -> struct(m AS m, " +
           s"slice($vecCol, m * (size($vecCol) div $nSub) + 1, " +
           s"size($vecCol) div $nSub) AS sv))")).as("t"))
         .select(col(df.columns.head), col("t.m").as("m"), col("t.sv").as("sv"))
+    // codegen'd single-pass folds (graft.functions.VectorDistances) — the
+    // interpreted aggregate(zip_with(...)) form costs ~10× on the
+    // |corpus| × nCodes encode; numerics identical (same strict
+    // left-to-right double fold, same null semantics)
     def dotD(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+      graft.functions.VectorDistances.dotProduct(a, b)
     def l2D(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b,
-        (x, y) => (x.cast("double") - y.cast("double")) *
-          (x.cast("double") - y.cast("double"))),
-        lit(0.0), (acc, v) => acc + v)
+      graft.functions.VectorDistances.l2Squared(a, b)
     val sv = subSplit(base, "embedding")
     // nearest code per (vector, subspace): min L2, ties → lowest code id
     def encode(cb: DataFrame): DataFrame =
