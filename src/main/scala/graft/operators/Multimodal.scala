@@ -371,7 +371,8 @@ object Multimodal {
   def encodePngPixelTable(spark: SparkSession, docs: DataFrame,
                           idCol: String): DataFrame = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long]
+    // same scan-parallelism guard as [[jpegRoundTripCheck]]
+    Spread(docs.select(col(idCol).cast("long").as("__mid")), col("__mid")).as[Long]
       .mapPartitions(_.map { id =>
         require(id >= 0, s"encodePngPixelTable: negative media id $id")
         val w = (id % 32 + 8).toInt
@@ -465,7 +466,9 @@ object Multimodal {
   def jpegRoundTripCheck(spark: SparkSession, docs: DataFrame, idCol: String,
                          quality: Int = 100, bound: Int = 4): DataFrame = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long]
+    // scan-parallelism guard (no-op at scale): the per-id encode+decode
+    // is pure CPU and ran single-threaded off a one-split input
+    Spread(docs.select(col(idCol).cast("long").as("__mid")), col("__mid")).as[Long]
       .mapPartitions(_.map { id =>
         require(id >= 0, s"jpegRoundTripCheck: negative media id $id")
         val w = (id % 32 + 8).toInt

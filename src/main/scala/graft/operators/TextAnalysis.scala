@@ -289,19 +289,20 @@ object TextAnalysis {
     val alpha = filter(
       regexp_extract_all(col(textCol), lit(preTokenRe), lit(0)),
       t => t.rlike("^ ?[A-Za-z]+$"))
+    // Each generation is a localCheckpoint, not a persist: the replace
+    // chain otherwise grows the logical plan by one withColumn per round,
+    // and every round's argmax pays analyzer + cache-lookup + optimizer
+    // passes over the WHOLE chain (measured as ~0.18 s/round of driver
+    // gap by the round-18 job profiler — more than the round's actual
+    // jobs). A checkpoint truncates lineage to O(1) per round; its eager
+    // materialization job replaces the lazy cache fill the argmax was
+    // paying anyway, and the vocab is merge-table-sized, never corpus-
+    // sized, so the extra materialization is bounded.
     var vocab = docs.select(explode(alpha).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .select(concat(lit(S), regexp_replace(col("tok"), "(.)", "$1" + S)).as("toks"),
         col("cnt"))
-      .persist()
-    // One action per round, not two: each round's argmax collect is ALSO the
-    // action that materializes the current vocab's persist (the pair-count
-    // aggregation reads every cached row). The parent generation stays
-    // persisted until its child is materialized by the NEXT round's argmax,
-    // so lineage never recomputes — at most two generations cached at once,
-    // the same high-water mark the old per-round count() had, at half the
-    // job count (the fixed per-action overhead dominated at bench scale).
-    var prev: DataFrame = null
+      .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var done = false
@@ -317,22 +318,19 @@ object TextAnalysis {
           col("cnt"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r")).agg(sum("cnt").as("cnt"))
       val best = pairs.orderBy(col("cnt").desc, col("l"), col("r")).limit(1).collect()
-      // `vocab` is materialized now — its parent's cache can finally go
-      if (prev != null) { prev.unpersist(); prev = null }
       if (best.isEmpty) done = true
       else {
         val l = best(0).getString(0); val rt = best(0).getString(1)
         merges += ((r, l, rt, best(0).getLong(2)))
         val next = vocab.withColumn("toks",
           call_function("replace", col("toks"),
-            lit(S + l + S + rt + S), lit(S + l + rt + S))).persist()
-        prev = vocab
+            lit(S + l + S + rt + S), lit(S + l + rt + S))).localCheckpoint()
+        Dedup.release(vocab)
         vocab = next
         r += 1
       }
     }
-    if (prev != null) prev.unpersist()
-    vocab.unpersist()
+    Dedup.release(vocab)
     merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
   }
 

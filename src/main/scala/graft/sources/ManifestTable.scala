@@ -999,15 +999,35 @@ object ManifestTable {
   private def diffSafe(fresh: DataFrame, gone: DataFrame)
       : (DataFrame, DataFrame) = {
     val vcols = variantCols(fresh.schema)
-    if (vcols.isEmpty) (fresh.exceptAll(gone), gone.exceptAll(fresh))
-    else {
-      def enc(df: DataFrame) =
-        vcols.foldLeft(df)((d, c) => d.withColumn(c, to_json(col(s"`$c`"))))
-      def dec(df: DataFrame) =
-        vcols.foldLeft(df)((d, c) => d.withColumn(c, parse_json(col(s"`$c`"))))
-      val (fe, ge) = (enc(fresh), enc(gone))
-      (dec(fe.exceptAll(ge)), dec(ge.exceptAll(fe)))
+    def enc(df: DataFrame) =
+      vcols.foldLeft(df)((d, c) => d.withColumn(c, to_json(col(s"`$c`"))))
+    def dec(df: DataFrame) =
+      vcols.foldLeft(df)((d, c) => d.withColumn(c, parse_json(col(s"`$c`"))))
+    // BOTH multiset differences from ONE ±1-weighted union aggregate —
+    // the same row-replication rewrite Spark applies to each exceptAll
+    // (RewriteExceptAll), computed once for the pair: per distinct row,
+    // Σ weight > 0 ⇒ that many fresh-surplus copies (inserts), < 0 ⇒
+    // gone-surplus copies (deletes). Two separate exceptAll calls plan
+    // two DIFFERENT tagged unions (sides swapped), so nothing is reused
+    // and each commit step paid FOUR full-side shuffles; here the two
+    // consumers share one byte-identical aggregation subtree, which
+    // exchange reuse materializes once (4 shuffles → 1 — the guide §2.4
+    // "remove shuffles outright" case). Row-equality semantics are
+    // exceptAll's own: groupBy on every column is null-safe and
+    // float-normalizing, exactly like the RewriteExceptAll aggregate.
+    val fe = enc(fresh); val ge = enc(gone)
+    val cols = fe.columns.toSeq
+    val tagged = fe.withColumn("__cf_w", lit(1L))
+      .unionByName(ge.withColumn("__cf_w", lit(-1L)))
+    val agg = tagged.groupBy(cols.map(c => col(s"`$c`")): _*)
+      .agg(sum(col("__cf_w")).as("__cf_d"))
+    def side(sign: Int): DataFrame = {
+      val d = if (sign > 0) col("__cf_d") else -col("__cf_d")
+      dec(agg.filter(d > 0L)
+        .withColumn("__cf_n", explode(sequence(lit(1L), d)))
+        .select(cols.map(c => col(s"`$c`")): _*))
     }
+    (side(1), side(-1))
   }
 
   /** One-sided [[diffSafe]] for the per-unit slice diffs. */
