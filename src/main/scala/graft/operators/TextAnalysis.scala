@@ -78,7 +78,10 @@ object TextAnalysis {
     * The corpus-wide df table is the only global state and is bounded by
     * vocabulary size, not corpus size.
     */
-  def tfIdfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+  def tfIdfTopTerms(docs0: DataFrame, k: Int): DataFrame = {
+    // scan-parallelism guard (no-op at scale): tokenization is the
+    // operator's scan-side cost and both tf and df re-run it
+    val docs = Spread(docs0.select(col("doc_id"), col("text")), col("doc_id"))
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count("*").as("tf"))
     val df = tok.select("doc_id", "term").distinct()
@@ -115,7 +118,8 @@ object TextAnalysis {
     * a pruned index silently misses rarer-than-minDf terms).
     */
   def invertedIndexArr(docs: DataFrame, minDf: Long): DataFrame =
-    docs.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+    Spread(docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
       .groupBy("term")
       .agg(count(lit(1)).as("df"),
         sort_array(collect_list(col("doc_id"))).as("postings"))
@@ -177,7 +181,7 @@ object TextAnalysis {
     */
   def ngramCounts(docs: DataFrame, n: Int, k: Int): DataFrame = {
     require(n >= 1 && k >= 1, "n and k must be positive")
-    val grams = docs
+    val grams = Spread(docs.select(col("doc_id"), col("text")), col("doc_id"))
       .select(tokens(col("text")).as("ts"))
       .filter(size(col("ts")) >= n)
       .select(explode(expr(
