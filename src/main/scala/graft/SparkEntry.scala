@@ -342,11 +342,20 @@ object SparkEntry {
     // ≤|suppliers per order| rows per group, and only the thin survivors
     // reach the final suppkey count — never two more lineitem self-joins
     "q_late_exclusive" -> ((s, d) => {
+      // ONE exchange serves both keyed operators: hash(l_orderkey) satisfies
+      // the (l_orderkey, l_suppkey) aggregation's clustering requirement AND
+      // the window's — without it the plan pays a second full shuffle of the
+      // aggregate between groupBy and window. The explicit key also moves the
+      // per-row compute off the scan's few input splits. Pair-level partial
+      // aggregation loses nothing here: lineitem has ~1 row per
+      // (order, supplier), so the map-side partial the shuffle skips was a
+      // no-op reduction at any scale
       val perOS = Tables.lineitem(s, d)
         .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_suppkey"),
           datediff(col("l_shipdate"), col("o_orderdate")).as("lag_days"))
+        .repartition(col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(when(col("lag_days") > 2000, 1).otherwise(0)).as("was_late"))
       val w = Window.partitionBy(col("l_orderkey"))
@@ -2969,8 +2978,16 @@ object SparkEntry {
     // Edge generation itself is per-order pairs, bounded by order size.
     // All-integer, so the whole chain hash-matches the oracle verbatim
     "q_triangles" -> ((s, d) => {
+      // explicit ok-keyed exchange under the pair distinct: hash(ok)
+      // satisfies the (ok, p) clustering requirement, so the distinct
+      // COMPLETES post-exchange across the session's cores instead of
+      // running its partial on the scan's few input splits (plan diff:
+      // Exchange/HashAggregate order swaps, count unchanged). Partial
+      // distinct loses nothing: (ok, p) pairs are ~unique in lineitem,
+      // so the map-side reduction the shuffle skips was a no-op
       val op = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .repartition(col("ok"))
         .distinct()
       val e = op.select(col("ok"), col("p").as("p1"))
         .join(op.select(col("ok"), col("p").as("p2")), Seq("ok"))

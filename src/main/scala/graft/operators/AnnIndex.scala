@@ -30,8 +30,12 @@ object AnnIndex {
   def build(spark: SparkSession, corpus: DataFrame, everyNthCentroid: Int,
             path: String, refineIters: Int = 0): Unit = {
     val base = corpus.select(col("vec_id"), col("embedding"))
-    val cents = Similarity.refineCentroids(
+    val cents0 = Similarity.refineCentroids(
       base, Similarity.centroids(base, everyNthCentroid), refineIters)
+    // both writes below consume the centroid table; when a Lloyd chain
+    // exists, materialize it once (nCells rows, bounded by construction)
+    // instead of re-running refineIters corpus passes per write
+    val cents = if (refineIters > 0) cents0.localCheckpoint(true) else cents0
     Similarity.assignCells(base, cents)
       .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$path/cells")
     cents.select(col("cell"), col("cv").as("embedding"))

@@ -212,7 +212,15 @@ object Similarity {
                         broadcastProbes: Boolean,
                         eligible: Option[DataFrame] = None): DataFrame = {
     val base = corpus.select(col("vec_id"), col("embedding"))
-    val cents = refineCentroids(base, centroids(base, everyNthCentroid), refineIters)
+    val cents0 = refineCentroids(base, centroids(base, everyNthCentroid), refineIters)
+    // the refined centroid table is consumed by BOTH the membership pass
+    // and the probe ranking; without materialization each consumer re-runs
+    // the whole Lloyd chain (refineIters corpus joins + aggregations,
+    // themselves nested per iteration). The table is nCells rows — bounded
+    // by construction, never corpus-sized — so cutting the lineage here is
+    // a pure dedup of corpus passes. Seeds without refinement stay lazy:
+    // re-filtering the corpus twice is cheaper than materializing
+    val cents = if (refineIters > 0) cents0.localCheckpoint(true) else cents0
     val cells = assignCells(base, cents)
 
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
