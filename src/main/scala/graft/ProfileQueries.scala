@@ -86,19 +86,65 @@ object ProfileQueries {
       else if (b >= (1L << 20)) f"${b / (1L << 20).toDouble}%.1fM"
       else if (b >= (1L << 10)) f"${b / 1024.0}%.0fK" else b.toString
 
+    // DRIVER-GAP attribution: sample the query thread's stack and charge
+    // each sample to the deepest graft frame (or a Spark planning bucket)
+    // — says what the driver is doing between jobs (SPARK_GRAFT_SAMPLER=1)
+    val sampleOn = sys.env.contains("SPARK_GRAFT_SAMPLER")
+    val qThread = Thread.currentThread()
+    val frameCounts = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    @volatile var sampling = false
+    val sampler = new Thread(() => {
+      while (true) {
+        if (sampling) {
+          val st = qThread.getStackTrace
+          val tag = st.collectFirst {
+            case f if f.getClassName.startsWith("graft.") &&
+              !f.getClassName.contains("ProfileQueries") =>
+              s"${f.getClassName.stripPrefix("graft.")}.${f.getMethodName}"
+          }.orElse(st.collectFirst {
+            case f if f.getClassName.contains("catalyst.analysis") => "spark:analysis"
+            case f if f.getClassName.contains("catalyst.optimizer") => "spark:optimizer"
+            case f if f.getClassName.contains("execution.adaptive") => "spark:aqe"
+            case f if f.getClassName.contains("QueryPlanner") ||
+              f.getClassName.contains("SparkStrategies") => "spark:planning"
+            case f if f.getClassName.contains("codegen") => "spark:codegen"
+            case f if f.getClassName.contains("DAGScheduler") ||
+              f.getMethodName == "awaitResult" => "spark:await-job"
+            case f if f.getClassName.startsWith("org.apache.hadoop.fs") ||
+              f.getClassName.startsWith("java.io") => "driver:fs-io"
+          }).getOrElse(st.headOption.map(f =>
+            s"other:${f.getClassName.takeRight(30)}.${f.getMethodName}").getOrElse("?"))
+          frameCounts.merge(tag, 1, Integer.sum)
+        }
+        Thread.sleep(5)
+      }
+    })
+    sampler.setDaemon(true)
+    if (sampleOn) sampler.start()
+
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case None => System.err.println(s"[profile] unknown query: $name")
         case Some(fn) =>
           jobs.clear()
+          frameCounts.clear()
+          sampling = true
           val t0 = System.nanoTime()
           val n = fn(spark, sfDir).count()
           val sec = (System.nanoTime() - t0) / 1e9
+          sampling = false
           Thread.sleep(300) // let straggling listener events drain
           val snap = jobs.toVector
           val jobSum = snap.map(_.wallMs).sum / 1000.0
           println(f"%n=== $name: ${sec}%.3f s wall, ${snap.size} jobs " +
             f"(Σjob ${jobSum}%.3f s, gap ${sec - jobSum}%.3f s), rows=$n ===")
+          if (sampleOn) {
+            import scala.jdk.CollectionConverters._
+            val top = frameCounts.asScala.toSeq.sortBy(-_._2).take(14)
+            top.foreach { case (tag, c) =>
+              println(f"  [driver] ${c * 5 / 1000.0}%7.3f s  $tag")
+            }
+          }
           snap.sortBy(-_.wallMs).take(30).foreach { j =>
             println(f"  job ${j.jobId}%4d ${j.wallMs / 1000.0}%7.3f s  ${j.desc.take(100)}")
             j.stages.take(3).foreach { s =>

@@ -266,7 +266,13 @@ object SparkEntry {
     // the survivors are a thin key set AQE is free to broadcast, and the
     // big fact is shuffled exactly once (for its own aggregation)
     "q_big_orders" -> ((s, d) => {
-      val big = Tables.lineitem(s, d)
+      // scan-parallelism guard: the decimal partial aggregate otherwise
+      // runs on the scan's 3 input splits; the key-matched Spread (no-op
+      // at scale, where the map-side partial is the right plan) lets the
+      // aggregation complete post-exchange across the session's cores
+      val big = graft.operators.Spread(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+          col("l_orderkey"))
         .groupBy(col("l_orderkey"))
         .agg(sum(col("l_quantity").cast(dec)).as("sum_qty"))
         .filter(col("sum_qty") > lit(150))
@@ -485,8 +491,15 @@ object SparkEntry {
     "q_dominant_supplier" -> ((s, d) => {
       val keys = Tables.part(s, d).filter(col("p_type") === "PROMO")
         .select("p_partkey")
+      // ONE partkey-keyed exchange serves the whole pipeline: hash(l_partkey)
+      // satisfies the pair aggregation's clustering requirement, the per-part
+      // rollup's, AND the dominance join's — and because perPS is consumed
+      // twice (rollup + join), the shared exchange is the materialization
+      // point ReuseExchange dedups, so the scan+broadcast-join subtree runs
+      // once instead of twice
       val perPS = Tables.lineitem(s, d)
         .join(broadcast(keys), col("l_partkey") === col("p_partkey"))
+        .repartition(col("l_partkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(col("l_quantity").cast(dec)).as("ps_qty"))
       val perP = perPS.groupBy(col("l_partkey").as("pp_key"))
@@ -810,7 +823,14 @@ object SparkEntry {
     // ---- LLM-pipeline: deduplication ----
     "q_dedup_exact" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      Dedup.exact(li.unionAll(li))
+      // the wide-row distinct otherwise runs its partial on the scan's few
+      // input splits — and the union sides live in separate tasks, so that
+      // partial removes NOTHING while hashing all 16 columns twice. The
+      // ok-keyed Spread (no-op at scale) satisfies the full-tuple
+      // clustering requirement (subset key), so the distinct completes
+      // post-exchange across the session's cores; shuffle bytes are
+      // unchanged (the partial was already forwarding every row)
+      Dedup.exact(graft.operators.Spread(li.unionAll(li), col("l_orderkey")))
     }),
 
     "q_dedup_fingerprint" -> ((s, d) =>
@@ -989,7 +1009,10 @@ object SparkEntry {
     // physical difference from q_ann_ivf, whose few-query probe list
     // broadcasts (see Similarity.knnJoin scaladoc)
     "q_knn_graph" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
+      // corpus×corpus: both the membership assign and the probe ranking
+      // run their per-vector argmax partials on the scan's single split —
+      // the Spread guard (no-op at scale) fans both out
+      val e = graft.operators.Spread(Tables.embeddings(s, d), col("vec_id"))
       Similarity.knnJoin(e, e, k = 3, everyNthCentroid = 50, nProbe = 2)
     }),
 

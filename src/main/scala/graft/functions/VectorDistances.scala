@@ -97,6 +97,59 @@ case class L2Squared(left: Expression, right: Expression) extends VectorFold {
     copy(left = newLeft, right = newRight)
 }
 
+/** max(|xᵢ|) over an array<float> — the int8-quantization scale fold.
+  * Replaces `aggregate(v, 0.0, (a, y) -> greatest(a, abs(y)))`, whose
+  * interpreted per-element evaluation dominated the quantize pass.
+  * Semantics mirror that HOF form exactly: null ARRAY → null; null
+  * ELEMENTS are skipped (`greatest` ignores nulls, unlike the binary
+  * folds above); empty array → the fold seed 0.0; NaN propagates
+  * (Math.max and Spark's ordering both rank NaN greatest). Max over
+  * doubles is associative, so the value is bit-identical to the HOF's
+  * left-to-right fold in every case.
+  */
+case class MaxAbs(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "max_abs"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects an array<float> input, got $t")
+    }
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) acc = math.max(acc, math.abs(x.getFloat(i).toDouble))
+      i += 1
+    }
+    acc
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    $acc = Math.max($acc, Math.abs((double) $a.getFloat($i)));
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorDistances {
   import org.apache.spark.sql.graft.bridge
 
@@ -107,4 +160,8 @@ object VectorDistances {
   /** Σ (xᵢ−yᵢ)² as a strict left-to-right double fold. */
   def l2Squared(a: Column, b: Column): Column =
     bridge.toColumn(L2Squared(bridge.toExpression(a), bridge.toExpression(b)))
+
+  /** max(|xᵢ|), the quantization scale fold. */
+  def maxAbs(a: Column): Column =
+    bridge.toColumn(MaxAbs(bridge.toExpression(a)))
 }

@@ -91,8 +91,11 @@ object Similarity {
     */
   def quantize8(corpus: DataFrame): DataFrame =
     corpus
-      .withColumn("_ma", greatest(aggregate(col("embedding"), lit(0.0),
-        (a, y) => greatest(a, abs(y.cast("double")))), lit(1e-300)))
+      // codegen'd max-|x| fold (bit-identical to the interpreted
+      // aggregate/greatest HOF it replaced — max is associative; null
+      // elements skipped, empty → 0.0, null array → null, spec-pinned)
+      .withColumn("_ma", greatest(
+        graft.functions.VectorDistances.maxAbs(col("embedding")), lit(1e-300)))
       .select(col("vec_id"),
         transform(col("embedding"),
           x => round(x.cast("double") / col("_ma") * 127).cast("float")).as("embedding"))

@@ -364,7 +364,10 @@ object TrainingData {
     def shingles(df: DataFrame, as: String) =
       df.select(col(idCol).as(as),
         explode(array_distinct(rollingShingleHashes(tokenHashes(col(textCol)), n))).as("h"))
-    shingles(corpus, idCol)
+    // scan-parallelism guard on the CORPUS side only (no-op at scale):
+    // its shingle pass is the operator's per-row cost; the bench side is
+    // small by contract and broadcast anyway
+    shingles(Spread(corpus.select(col(idCol), col(textCol)), col(idCol)), idCol)
       .join(broadcast(shingles(bench, "bench_id")), "h")
       // both sides are per-doc distinct, so the pair count IS the number of
       // distinct shared n-grams

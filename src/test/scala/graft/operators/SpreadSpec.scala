@@ -54,6 +54,35 @@ class SpreadSpec extends SparkSpec {
     }
   }
 
+  test("MaxAbs matches the interpreted greatest/abs HOF bit-for-bit") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(200)(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 4 - 2))).toDF("id", "a")
+    def hof = aggregate(col("a"), lit(0.0),
+      (acc, y) => greatest(acc, abs(y.cast("double"))))
+    rows.select(col("id"), graft.functions.VectorDistances.maxAbs(col("a")).as("m"),
+      hof.as("h")).collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"id=${r.getLong(0)}")
+    }
+    // edge semantics mirror the HOF: empty -> 0.0, null array -> null,
+    // null ELEMENT skipped (greatest ignores nulls)
+    val edges = spark.sql(
+      "SELECT 1L AS id, array(CAST(-3.5 AS FLOAT), CAST(NULL AS FLOAT)) AS a " +
+        "UNION ALL SELECT 2L, array() " +
+        "UNION ALL SELECT 3L, CAST(NULL AS ARRAY<FLOAT>)")
+    val got = edges.select(col("id"),
+      graft.functions.VectorDistances.maxAbs(col("a")).as("m"),
+      aggregate(col("a"), lit(0.0),
+        (acc, y) => greatest(acc, abs(y.cast("double")))).as("h")).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1))),
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(got(1L)._1 === got(1L)._2); assert(got(1L)._1 === Some(3.5))
+    assert(got(2L)._1 === got(2L)._2); assert(got(2L)._1 === Some(0.0))
+    assert(got(3L)._1 === got(3L)._2); assert(got(3L)._1 === None)
+  }
+
   test("vector fold edge semantics: mismatch/null-element null, empty 0.0") {
     import graft.functions.VectorDistances._
     val df = Seq(
